@@ -1,0 +1,76 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
+
+/** Column helpers shared across the operator modules.
+  *
+  * == Oracle-exact numeric policy ==
+  * The verify harness hash-compares our results against DuckDB. Plain
+  * `sum(double)` is add-order-dependent (Spark sums per-partition, the
+  * oracle sums sequentially), so money-style aggregates here run
+  * through exact decimal arithmetic: cast each term to a decimal wide
+  * enough to hold it exactly, sum (decimal addition is exact), and cast
+  * the final result back to double. Both engines then produce
+  * bit-identical doubles. Integral-valued doubles (quantities, counts)
+  * are exact in IEEE double and need no cast.
+  */
+object GraftFunctions {
+
+  /** Money column (2 fractional digits) as an exact decimal term. */
+  def dec2(c: Column): Column = c.cast(DecimalType(12, 2))
+
+  /** Rate column (discount/tax, 2 fractional digits, < 10). */
+  def rate(c: Column): Column = c.cast(DecimalType(4, 2))
+
+  /** Generic double as exact 6-fractional-digit decimal term. */
+  def dec6(c: Column): Column = c.cast(DecimalType(25, 6))
+
+  /** Exact sum of a money column, returned as double. */
+  def sumMoney(c: Column): Column = sum(dec2(c)).cast(DoubleType)
+
+  /** Exact sum of an arbitrary double column (6-digit grain). */
+  def sumDec(c: Column): Column = sum(dec6(c)).cast(DoubleType)
+
+  /** Exact average of a money column (exact sum / count). */
+  def avgMoney(c: Column): Column =
+    sum(dec2(c)).cast(DoubleType) / count(lit(1))
+
+  /** `1 - rate` as an exact decimal. */
+  def oneMinus(c: Column): Column = lit(1).cast(DecimalType(4, 2)) - rate(c)
+
+  /** `1 + rate` as an exact decimal. */
+  def onePlus(c: Column): Column = lit(1).cast(DecimalType(4, 2)) + rate(c)
+
+  /** Timestamp rendered as a sortable string (avoids tz/precision
+    * ambiguity in cross-engine comparison).
+    */
+  def tsString(c: Column): Column = date_format(c, "yyyy-MM-dd HH:mm:ss")
+
+  /** Cosine similarity between two double-array columns, computed with
+    * sequential fold order (bit-stable across engines for identical
+    * inputs). Arrays must be same length.
+    */
+  def cosineSim(a: Column, b: Column): Column = {
+    val dot = aggregate(
+      zip_with(a, b, (x, y) => x * y),
+      lit(0.0),
+      (acc, x) => acc + x
+    )
+    val na = sqrt(aggregate(a, lit(0.0), (acc, x) => acc + x * x))
+    val nb = sqrt(aggregate(b, lit(0.0), (acc, x) => acc + x * x))
+    dot / (na * nb)
+  }
+
+  /** Dot product of two double-array columns (sequential fold). */
+  def dotProduct(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  /** L2 norm of a double-array column. */
+  def l2Norm(a: Column): Column =
+    sqrt(aggregate(a, lit(0.0), (acc, x) => acc + x * x))
+
+  /** Array<float> → array<double> (exact widening, both engines). */
+  def toDoubleArray(c: Column): Column = transform(c, _.cast(DoubleType))
+}

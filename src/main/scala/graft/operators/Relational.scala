@@ -1,0 +1,581 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.GraftQuery
+import graft.sources.Tables
+import graft.functions.GraftFunctions._
+
+/** Relational surface of the engine.
+  *
+  * The reference delegates all relational work to its host dataframe
+  * library (reference `README.rst:53-55`, `core.py:300-304` — "use
+  * dask.dataframe to load and preprocess"); capability parity means
+  * shipping the full declarative surface on Spark. Every query here is
+  * a lazy Catalyst plan: filters/projections push into the Parquet
+  * scan, small dimension tables are broadcast explicitly, and
+  * aggregations get map-side partial aggregation for free. At 100 TB
+  * the only shuffles left are the ones the semantics require (the
+  * group-by / join keys), and AQE handles skew + partition coalescing.
+  *
+  * Numeric policy: see [[graft.functions.GraftFunctions]] — money
+  * aggregates run in exact decimal and surface as bit-stable doubles,
+  * so results hash-match the DuckDB oracle independent of partition
+  * count or add order.
+  */
+object Relational {
+
+  /** TPC-H Q1-style pricing summary: single scan, partial+final hash
+    * aggregation on two low-cardinality keys. Scale posture: no join,
+    * one shuffle of ~|groups| rows after map-side combine.
+    */
+  val q01PricingSummary = GraftQuery(
+    "q01_pricing_summary",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      t.lineitem
+        .filter(col("l_shipdate") <= lit("2000-12-31 00:00:00").cast("timestamp"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(col("l_quantity")).as("sum_qty"),
+          sumMoney(col("l_extendedprice")).as("sum_base_price"),
+          sum(dec2(col("l_extendedprice")) * oneMinus(col("l_discount")))
+            .cast("double").as("sum_disc_price"),
+          sum(dec2(col("l_extendedprice")) * oneMinus(col("l_discount")) * onePlus(col("l_tax")))
+            .cast("double").as("sum_charge"),
+          avg(col("l_quantity")).as("avg_qty"),
+          avgMoney(col("l_extendedprice")).as("avg_price"),
+          (sum(rate(col("l_discount"))).cast("double") / count(lit(1))).as("avg_disc"),
+          count(lit(1)).as("count_order")
+        )
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    },
+    Some("""
+      SELECT l_returnflag, l_linestatus,
+             SUM(l_quantity) AS sum_qty,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS sum_disc_price,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2))) * (CAST(1 AS DECIMAL(4,2)) + CAST(l_tax AS DECIMAL(4,2)))) AS DOUBLE) AS sum_charge,
+             AVG(l_quantity) AS avg_qty,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_price,
+             CAST(SUM(CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) / COUNT(*) AS avg_disc,
+             COUNT(*) AS count_order
+      FROM lineitem
+      WHERE l_shipdate <= TIMESTAMP '2000-12-31 00:00:00'
+      GROUP BY l_returnflag, l_linestatus
+      ORDER BY l_returnflag, l_linestatus
+    """)
+  )
+
+  /** Star join: fact (lineitem) joined through orders/customer to the
+    * nation/region dims. Dims are broadcast (no shuffle of the fact
+    * for them); the lineitem↔orders join shuffles on orderkey — at
+    * 100 TB that's the one unavoidable shuffle, and bucketing both
+    * fact tables on orderkey would remove it too.
+    */
+  val q02RevenueByNation = GraftQuery(
+    "q02_revenue_by_nation",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      t.lineitem
+        .join(t.orders, col("l_orderkey") === col("o_orderkey"))
+        .join(t.customer, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t.nation), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(t.region), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(
+          sum(dec2(col("l_extendedprice")) * oneMinus(col("l_discount")))
+            .cast("double").as("revenue"),
+          count(lit(1)).as("n_items")
+        )
+        .orderBy(col("r_name"), col("n_name"))
+    },
+    Some("""
+      SELECT r_name, n_name,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
+             COUNT(*) AS n_items
+      FROM lineitem
+      JOIN orders   ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation   ON c_nationkey = n_nationkey
+      JOIN region   ON n_regionkey = r_regionkey
+      GROUP BY r_name, n_name
+      ORDER BY r_name, n_name
+    """)
+  )
+
+  /** TPC-H Q3-style: filtered join + top-10 by computed revenue.
+    * Revenue doubles are decimal-derived, so the top-10 cut is
+    * identical across engines; o_orderkey breaks ties.
+    */
+  val q03ShippingPriority = GraftQuery(
+    "q03_shipping_priority",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      t.customer.filter(col("c_mktsegment") === "MACHINERY")
+        .join(t.orders, col("c_custkey") === col("o_custkey"))
+        .join(t.lineitem, col("o_orderkey") === col("l_orderkey"))
+        .filter(col("l_shipdate") > col("o_orderdate"))
+        .groupBy(col("o_orderkey"), col("o_orderpriority"))
+        .agg(sum(dec2(col("l_extendedprice")) * oneMinus(col("l_discount")))
+          .cast("double").as("revenue"))
+        .orderBy(col("revenue").desc, col("o_orderkey"))
+        .limit(10)
+    },
+    Some("""
+      SELECT o_orderkey, o_orderpriority,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
+      FROM customer
+      JOIN orders   ON c_custkey = o_custkey
+      JOIN lineitem ON o_orderkey = l_orderkey
+      WHERE c_mktsegment = 'MACHINERY' AND l_shipdate > o_orderdate
+      GROUP BY o_orderkey, o_orderpriority
+      ORDER BY revenue DESC, o_orderkey
+      LIMIT 10
+    """)
+  )
+
+  /** EXISTS semantics via left-semi join (no row multiplication, the
+    * probe side streams). Catalyst plans a shuffled semi join; with a
+    * small filtered build side AQE converts it to broadcast.
+    */
+  val q04OrderPriorityExists = GraftQuery(
+    "q04_order_priority_exists",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val o = t.orders
+      val l = t.lineitem
+      o.join(l, o("o_orderkey") === l("l_orderkey") && l("l_shipdate") > o("o_orderdate"), "left_semi")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("order_count"))
+        .orderBy(col("o_orderpriority"))
+    },
+    Some("""
+      SELECT o_orderpriority, COUNT(*) AS order_count
+      FROM orders o
+      WHERE EXISTS (SELECT 1 FROM lineitem l
+                    WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate)
+      GROUP BY o_orderpriority
+      ORDER BY o_orderpriority
+    """)
+  )
+
+  /** NOT EXISTS via left-anti join: customers with no partially-
+    * shipped ('P') order, counted per nation (broadcast dim for the
+    * name). The build side is filtered before the anti join so only
+    * the qualifying keys shuffle.
+    */
+  val q05CustomersWithoutOrders = GraftQuery(
+    "q05_customers_without_orders",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      t.customer
+        .join(t.orders.filter(col("o_orderstatus") === "P"),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .join(broadcast(t.nation), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(count(lit(1)).as("n_customers"))
+        .orderBy(col("n_name"))
+    },
+    Some("""
+      SELECT n_name, COUNT(*) AS n_customers
+      FROM customer c
+      JOIN nation ON c_nationkey = n_nationkey
+      WHERE NOT EXISTS (SELECT 1 FROM orders o
+                        WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'P')
+      GROUP BY n_name
+      ORDER BY n_name
+    """)
+  )
+
+  /** TPC-H Q6-style: pure scan-filter-aggregate. The whole predicate
+    * pushes into the Parquet reader; single-row output.
+    */
+  val q06RevenueFilter = GraftQuery(
+    "q06_revenue_filter",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      t.lineitem
+        .filter(
+          col("l_shipdate") >= lit("1998-01-01 00:00:00").cast("timestamp") &&
+          col("l_shipdate") < lit("1999-01-01 00:00:00").cast("timestamp") &&
+          col("l_discount").between(0.02, 0.06) &&
+          col("l_quantity") < 24
+        )
+        .agg(
+          sum(dec2(col("l_extendedprice")) * rate(col("l_discount")))
+            .cast("double").as("revenue"),
+          count(lit(1)).as("n_items")
+        )
+    },
+    Some("""
+      SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue,
+             COUNT(*) AS n_items
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1998-01-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1999-01-01 00:00:00'
+        AND l_discount BETWEEN 0.02 AND 0.06
+        AND l_quantity < 24
+    """)
+  )
+
+  /** Windowed top-k per group (row_number over a deterministic order).
+    * One shuffle on the partition key; no global sort.
+    */
+  val q07WindowTopkPerOrder = GraftQuery(
+    "q07_window_topk_per_order",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val w = Window.partitionBy(col("l_orderkey"))
+        .orderBy(col("l_extendedprice").desc, col("l_linenumber"))
+      t.lineitem
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .filter(col("rn") <= 3)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"), col("rn"))
+        .orderBy(col("l_orderkey"), col("rn"))
+    },
+    Some("""
+      SELECT l_orderkey, l_linenumber, l_extendedprice, rn
+      FROM (SELECT l_orderkey, l_linenumber, l_extendedprice,
+                   CAST(row_number() OVER (PARTITION BY l_orderkey ORDER BY l_extendedprice DESC, l_linenumber) AS BIGINT) AS rn
+            FROM lineitem)
+      WHERE rn <= 3
+      ORDER BY l_orderkey, rn
+    """)
+  )
+
+  /** Running total + lag within supplier partitions. The running sum
+    * is over integral-valued doubles, so it's exact regardless of the
+    * window implementation's add order.
+    */
+  val q08RunningTotal = GraftQuery(
+    "q08_running_total",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val ord = Window.partitionBy(col("l_suppkey"))
+        .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+      t.lineitem
+        .withColumn("running_qty",
+          sum(col("l_quantity")).over(ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("prev_qty", lag(col("l_quantity"), 1).over(ord))
+        .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity"), col("running_qty"), col("prev_qty"))
+        .orderBy(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"))
+    },
+    Some("""
+      SELECT l_suppkey, l_orderkey, l_linenumber, l_quantity,
+             SUM(l_quantity) OVER w AS running_qty,
+             lag(l_quantity, 1) OVER w AS prev_qty
+      FROM lineitem
+      WINDOW w AS (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber ROWS UNBOUNDED PRECEDING)
+      ORDER BY l_suppkey, l_orderkey, l_linenumber
+    """)
+  )
+
+  /** ROLLUP grouping-set aggregation (hierarchical subtotals). */
+  val q09Rollup = GraftQuery(
+    "q09_rollup",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      t.lineitem
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"), sum(col("l_quantity")).as("sum_qty"))
+        .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+    },
+    Some("""
+      SELECT l_returnflag, l_linestatus, COUNT(*) AS n, SUM(l_quantity) AS sum_qty
+      FROM lineitem
+      GROUP BY ROLLUP(l_returnflag, l_linestatus)
+      ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+    """)
+  )
+
+  /** CUBE over two keys (all grouping-set combinations). */
+  val q10Cube = GraftQuery(
+    "q10_cube",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      t.orders
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), sumMoney(col("o_totalprice")).as("total"))
+        .orderBy(col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first)
+    },
+    Some("""
+      SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
+      FROM orders
+      GROUP BY CUBE(o_orderstatus, o_orderpriority)
+      ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
+    """)
+  )
+
+  /** Multi-column exact distinct counts (expand + two-phase agg in
+    * Spark). At 100 TB prefer approx_count_distinct; the exact form
+    * is the oracle-checkable one.
+    */
+  val q11DistinctCounts = GraftQuery(
+    "q11_distinct_counts",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      t.lineitem.agg(
+        countDistinct(col("l_partkey")).as("n_parts"),
+        countDistinct(col("l_suppkey")).as("n_supps"),
+        countDistinct(col("l_orderkey")).as("n_orders"),
+        count(lit(1)).as("n_rows")
+      )
+    },
+    Some("""
+      SELECT COUNT(DISTINCT l_partkey) AS n_parts,
+             COUNT(DISTINCT l_suppkey) AS n_supps,
+             COUNT(DISTINCT l_orderkey) AS n_orders,
+             COUNT(*) AS n_rows
+      FROM lineitem
+    """)
+  )
+
+  /** Set operations with SQL semantics (INTERSECT/EXCEPT dedup). */
+  val q12SetOps = GraftQuery(
+    "q12_set_ops",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val rich = t.customer.filter(col("c_acctbal") > 5000).select(col("c_custkey"))
+      val furn = t.customer.filter(col("c_mktsegment") === "FURNITURE").select(col("c_custkey"))
+      rich.intersect(furn).withColumn("op", lit("intersect"))
+        .unionByName(rich.except(furn).withColumn("op", lit("except")))
+        .orderBy(col("op"), col("c_custkey"))
+    },
+    Some("""
+      SELECT c_custkey, 'intersect' AS op FROM
+        (SELECT c_custkey FROM customer WHERE c_acctbal > 5000
+         INTERSECT
+         SELECT c_custkey FROM customer WHERE c_mktsegment = 'FURNITURE')
+      UNION ALL
+      SELECT c_custkey, 'except' AS op FROM
+        (SELECT c_custkey FROM customer WHERE c_acctbal > 5000
+         EXCEPT
+         SELECT c_custkey FROM customer WHERE c_mktsegment = 'FURNITURE')
+      ORDER BY op, c_custkey
+    """)
+  )
+
+  /** Scalar string-function surface (all codegen'd built-ins). */
+  val q13StringFuncs = GraftQuery(
+    "q13_string_funcs",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      t.part
+        .filter(col("p_name").like("%a%"))
+        .select(
+          col("p_partkey"),
+          upper(col("p_brand")).as("brand_u"),
+          length(col("p_name")).cast("long").as("name_len"),
+          substring(col("p_name"), 1, 8).as("name_pfx"),
+          concat_ws("|", col("p_brand"), col("p_type")).as("brand_type"),
+          regexp_replace(col("p_type"), " ", "_").as("type_u")
+        )
+        .orderBy(col("p_partkey"))
+    },
+    Some("""
+      SELECT p_partkey,
+             upper(p_brand) AS brand_u,
+             CAST(length(p_name) AS BIGINT) AS name_len,
+             substring(p_name, 1, 8) AS name_pfx,
+             concat_ws('|', p_brand, p_type) AS brand_type,
+             regexp_replace(p_type, ' ', '_', 'g') AS type_u
+      FROM part
+      WHERE p_name LIKE '%a%'
+      ORDER BY p_partkey
+    """)
+  )
+
+  /** Date-part extraction + aggregation. */
+  val q14DateFuncs = GraftQuery(
+    "q14_date_funcs",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      t.orders
+        .groupBy(
+          year(col("o_orderdate")).cast("long").as("yr"),
+          month(col("o_orderdate")).cast("long").as("mo")
+        )
+        .agg(count(lit(1)).as("n_orders"), sumMoney(col("o_totalprice")).as("total"))
+        .orderBy(col("yr"), col("mo"))
+    },
+    Some("""
+      SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
+             CAST(month(o_orderdate) AS BIGINT) AS mo,
+             COUNT(*) AS n_orders,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
+      FROM orders
+      GROUP BY 1, 2
+      ORDER BY yr, mo
+    """)
+  )
+
+  /** Conditional aggregation (COUNT over CASE keeps both engines in
+    * BIGINT — DuckDB SUM(int) would widen to HUGEINT).
+    */
+  val q15CaseAgg = GraftQuery(
+    "q15_case_agg",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      t.orders
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          count(when(col("o_orderstatus") === "F", 1)).as("n_finished"),
+          count(when(col("o_orderstatus") === "O", 1)).as("n_open"),
+          count(when(col("o_totalprice") > 200000, 1)).as("n_large"),
+          count(lit(1)).as("n")
+        )
+        .orderBy(col("o_orderpriority"))
+    },
+    Some("""
+      SELECT o_orderpriority,
+             COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS n_finished,
+             COUNT(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS n_open,
+             COUNT(CASE WHEN o_totalprice > 200000 THEN 1 END) AS n_large,
+             COUNT(*) AS n
+      FROM orders
+      GROUP BY o_orderpriority
+      ORDER BY o_orderpriority
+    """)
+  )
+
+  /** Global top-k (TakeOrderedAndProject — no full sort at scale). */
+  val q16TopOrders = GraftQuery(
+    "q16_top_orders",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      t.orders
+        .select(col("o_orderkey"), col("o_totalprice"),
+          tsString(col("o_orderdate")).as("order_date"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(10)
+    },
+    Some("""
+      SELECT o_orderkey, o_totalprice,
+             strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS order_date
+      FROM orders
+      ORDER BY o_totalprice DESC, o_orderkey
+      LIMIT 10
+    """)
+  )
+
+  /** JSON extraction from the events props column + aggregation. */
+  val q17EventsJson = GraftQuery(
+    "q17_events_json",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      t.events
+        .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+        .groupBy(col("event_type"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(col("k")).as("sum_k"),
+          min(col("k")).as("min_k"),
+          max(col("k")).as("max_k"),
+          sumMoney(col("value")).as("sum_value")
+        )
+        .orderBy(col("event_type"))
+    },
+    Some("""
+      SELECT event_type,
+             COUNT(*) AS n,
+             CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+             MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+             MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k,
+             CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+      FROM events
+      GROUP BY event_type
+      ORDER BY event_type
+    """)
+  )
+
+  /** Tumbling-hour batch aggregation over the event stream table (the
+    * batch twin of the Structured Streaming query in streaming/).
+    */
+  val q18EventsHourly = GraftQuery(
+    "q18_events_hourly",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      t.events
+        .groupBy(tsString(date_trunc("hour", col("ts"))).as("hour_start"), col("event_type"))
+        .agg(count(lit(1)).as("n"), sumMoney(col("value")).as("sum_value"))
+        .orderBy(col("hour_start"), col("event_type"))
+    },
+    Some("""
+      SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
+             event_type, COUNT(*) AS n,
+             CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+      FROM events
+      GROUP BY 1, 2
+      ORDER BY hour_start, event_type
+    """)
+  )
+
+  /** Per-user activity profile (grouped multi-aggregate). */
+  val q19EventsUserStats = GraftQuery(
+    "q19_events_user_stats",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      t.events
+        .groupBy(col("user_id"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          countDistinct(col("event_type")).as("n_types"),
+          tsString(min(col("ts"))).as("first_ts"),
+          tsString(max(col("ts"))).as("last_ts"),
+          sumMoney(col("value")).as("sum_value")
+        )
+        .orderBy(col("user_id"))
+    },
+    Some("""
+      SELECT user_id,
+             COUNT(*) AS n_events,
+             COUNT(DISTINCT event_type) AS n_types,
+             strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS first_ts,
+             strftime(MAX(ts), '%Y-%m-%d %H:%M:%S') AS last_ts,
+             CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+      FROM events
+      GROUP BY user_id
+      ORDER BY user_id
+    """)
+  )
+
+  /** Fact-to-dim broadcast join + aggregate by brand. */
+  val q20PartRevenue = GraftQuery(
+    "q20_part_revenue",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      t.lineitem
+        .join(broadcast(t.part), col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand"))
+        .agg(
+          count(lit(1)).as("n_items"),
+          sumMoney(col("l_extendedprice")).as("sum_price"),
+          avg(col("l_quantity")).as("avg_qty")
+        )
+        .orderBy(col("p_brand"))
+    },
+    Some("""
+      SELECT p_brand, COUNT(*) AS n_items,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price,
+             AVG(l_quantity) AS avg_qty
+      FROM lineitem
+      JOIN part ON l_partkey = p_partkey
+      GROUP BY p_brand
+      ORDER BY p_brand
+    """)
+  )
+
+  def all: Seq[GraftQuery] = Seq(
+    q01PricingSummary, q02RevenueByNation, q03ShippingPriority,
+    q04OrderPriorityExists, q05CustomersWithoutOrders, q06RevenueFilter,
+    q07WindowTopkPerOrder, q08RunningTotal, q09Rollup, q10Cube,
+    q11DistinctCounts, q12SetOps, q13StringFuncs, q14DateFuncs,
+    q15CaseAgg, q16TopOrders, q17EventsJson, q18EventsHourly,
+    q19EventsUserStats, q20PartRevenue
+  )
+}

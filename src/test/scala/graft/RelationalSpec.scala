@@ -1,0 +1,51 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+object TestSession {
+  lazy val spark: SparkSession = GraftSession.local(cores = 4, appName = "graft-test")
+  val sf = "/root/testdata/sf0.001"
+}
+
+class RelationalSpec extends AnyFunSuite {
+  import TestSession._
+
+  test("entry returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("every registered query runs and returns rows at sf0.001") {
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val df = fn(spark, sf)
+      val n = df.count()
+      assert(n > 0, s"$name returned 0 rows")
+    }
+  }
+
+  test("q01 aggregates are consistent") {
+    import org.apache.spark.sql.functions._
+    val df = SparkEntry.queries("q01_pricing_summary")(spark, sf)
+    val total = df.select(sum("count_order")).first().getLong(0)
+    val expected = graft.sources.Tables(spark, sf).lineitem
+      .filter(col("l_shipdate") <= lit("2000-12-31 00:00:00").cast("timestamp"))
+      .count()
+    assert(total == expected, s"expected $expected counted, got $total")
+  }
+
+  test("q12 set ops partition the rich-customer set") {
+    import org.apache.spark.sql.functions._
+    val df = SparkEntry.queries("q12_set_ops")(spark, sf)
+    val byOp = df.groupBy("op").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val t = graft.sources.Tables(spark, sf)
+    val rich = t.customer.filter(col("c_acctbal") > 5000).select("c_custkey").distinct().count()
+    assert(byOp.getOrElse("intersect", 0L) + byOp.getOrElse("except", 0L) == rich)
+  }
+
+  test("q07 emits at most 3 rows per order") {
+    import org.apache.spark.sql.functions._
+    val df = SparkEntry.queries("q07_window_topk_per_order")(spark, sf)
+    val over = df.groupBy("l_orderkey").count().filter(col("count") > 3).count()
+    assert(over == 0)
+  }
+}
