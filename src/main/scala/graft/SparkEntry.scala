@@ -13,7 +13,7 @@ import graft.operators._
 object SparkEntry {
 
   private def modules: Seq[GraftQuery] =
-    Relational.all
+    Relational.all ++ graft.ml.MLQueries.all
 
   private lazy val (queryMap, oracleMap) = GraftQuery.toMaps(modules)
 

@@ -1,0 +1,127 @@
+package graft.ml
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import GraftBoost._
+
+/** Sklearn-style estimator surface — the Spark-native restatement of
+  * the reference's `XGBRegressor`/`XGBClassifier` wrappers
+  * (`core.py:387-631`). Mutable-builder style mirrors sklearn's
+  * set-params-then-fit; `fit` returns `this` like the reference.
+  */
+sealed abstract class GraftEstimator[Self <: GraftEstimator[Self]] { self: Self =>
+  protected var nEstimators: Int = 100
+  protected var maxDepth: Int = 3
+  protected var learningRate: Double = 0.1
+  protected var subsample: Double = 1.0
+  protected var missingValue: Option[Double] = None
+  protected var seed: Long = 42L
+
+  var model: Option[GraftBoostModel] = None
+  /** Per-eval-set training history (`evals_result`, `core.py:259-260`). */
+  var evalsResult: Map[String, Map[String, Array[Double]]] = Map.empty
+
+  def setNEstimators(n: Int): Self = { nEstimators = n; this }
+  def setMaxDepth(d: Int): Self = { maxDepth = d; this }
+  def setLearningRate(lr: Double): Self = { learningRate = lr; this }
+  def setSubsample(s: Double): Self = { subsample = s; this }
+  def setMissing(m: Double): Self = { missingValue = Some(m); this }
+  def setSeed(s: Long): Self = { seed = s; this }
+
+  protected def fitted: GraftBoostModel =
+    model.getOrElse(throw new IllegalStateException("call fit() first"))
+}
+
+/** `XGBRegressor` parity (`core.py:387-484`). */
+final class GraftXGBRegressor extends GraftEstimator[GraftXGBRegressor] {
+
+  /** Distributed fit (`core.py:388-480`). `evalSets` reproduces the
+    * reference's eval_set history; unlike the reference — which
+    * forbids lazy collections in eval sets (`core.py:154-161`) —
+    * DataFrames are naturally fine here, so that restriction
+    * disappears (SURVEY §2.2 `_has_dask_collections`).
+    */
+  def fit(
+      df: DataFrame,
+      featureCols: Seq[String],
+      labelCol: String,
+      weightCol: Option[String] = None,
+      evalSets: Map[String, DataFrame] = Map.empty,
+      earlyStoppingValidation: Option[DataFrame] = None
+  ): GraftXGBRegressor = {
+    val params = BoostParams("reg:squarederror", nEstimators, maxDepth,
+      learningRate, 1, subsample, missingValue, seed = seed)
+    val (data, valCol) = earlyStoppingValidation match {
+      case Some(v) =>
+        (df.withColumn("isVal", lit(false))
+           .unionByName(v.withColumn("isVal", lit(true))), Some("isVal"))
+      case None => (df, None)
+    }
+    model = Some(GraftBoost.train(data, featureCols, labelCol, params, weightCol, valCol))
+    if (evalSets.nonEmpty)
+      evalsResult = GraftBoost.evalHistory(fitted, evalSets, labelCol)
+    this
+  }
+
+  /** Lazy distributed predict (`core.py:482-484`). */
+  def predict(df: DataFrame): DataFrame = GraftBoost.predict(fitted, df)
+}
+
+/** `XGBClassifier` parity (`core.py:487-631`). */
+final class GraftXGBClassifier extends GraftEstimator[GraftXGBClassifier] {
+  private var objective: String = "binary:logistic"
+  private var multiclassStrategy: String = "ovr"
+
+  var classes: Option[Array[Double]] = None
+  def numClasses: Int = classes.map(_.length).getOrElse(0)
+
+  def setObjective(o: String): GraftXGBClassifier = { objective = o; this }
+  def setMulticlassStrategy(s: String): GraftXGBClassifier = { multiclassStrategy = s; this }
+
+  /** Distributed fit with class inference + objective rewrite.
+    * Class inference is the reference's eager distributed distinct
+    * (`core.py:561-570`); with >2 classes the default binary
+    * objective rewrites to `multi:softprob` (`core.py:580-590`).
+    */
+  def fit(
+      df: DataFrame,
+      featureCols: Seq[String],
+      labelCol: String,
+      weightCol: Option[String] = None,
+      evalSets: Map[String, DataFrame] = Map.empty,
+      earlyStoppingValidation: Option[DataFrame] = None
+  ): GraftXGBClassifier = {
+    val inferred = df.select(col(labelCol).cast("double"))
+      .distinct().collect().map(_.getDouble(0)).sorted
+    classes = Some(inferred)
+    val effective =
+      if (inferred.length > 2 && objective == "binary:logistic") "multi:softprob"
+      else objective
+    objective = effective
+
+    val params = BoostParams(effective, nEstimators, maxDepth, learningRate,
+      1, subsample, missingValue, multiclassStrategy, seed)
+    val (data, valCol) = earlyStoppingValidation match {
+      case Some(v) =>
+        (df.withColumn("isVal", lit(false))
+           .unionByName(v.withColumn("isVal", lit(true))), Some("isVal"))
+      case None => (df, None)
+    }
+    model = Some(GraftBoost.train(data, featureCols, labelCol, params, weightCol, valCol))
+    if (evalSets.nonEmpty && effective == "binary:logistic")
+      evalsResult = GraftBoost.evalHistory(fitted, evalSets, labelCol)
+    this
+  }
+
+  /** Class prediction (`core.py:617-624`): the argmax/threshold the
+    * reference computes over its probability matrix is internal to
+    * MLlib's `prediction` column.
+    */
+  def predict(df: DataFrame): DataFrame =
+    GraftBoost.predict(fitted, df)
+      .withColumn("prediction", col("prediction").cast("long"))
+
+  /** `predict_proba` (`core.py:626-631`). */
+  def predictProba(df: DataFrame): DataFrame = GraftBoost.predictProba(fitted, df)
+}

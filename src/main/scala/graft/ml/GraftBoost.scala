@@ -1,0 +1,261 @@
+package graft.ml
+
+import org.apache.spark.ml.classification.{
+  GBTClassificationModel, GBTClassifier, OneVsRest, OneVsRestModel,
+  ProbabilisticClassificationModel, RandomForestClassifier, RandomForestClassificationModel
+}
+import org.apache.spark.ml.feature.VectorAssembler
+import org.apache.spark.ml.functions.vector_to_array
+import org.apache.spark.ml.linalg.Vector
+import org.apache.spark.ml.regression.{GBTRegressionModel, GBTRegressor}
+import org.apache.spark.ml.Model
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Distributed gradient-boosted training/scoring — the Spark-native
+  * restatement of the reference's `train`/`predict` dataflow
+  * (reference `core.py:268-321` train facade, `core.py:324-382`
+  * predict dispatch).
+  *
+  * The reference's entire distribution machinery — partition triads,
+  * locality pinning, the Rabit allreduce tracker (`core.py:183-253`,
+  * `tracker.py`) — is structurally subsumed here: one DataFrame
+  * co-locates features/label/weight, Spark's scheduler places tasks
+  * data-local, and MLlib's boosting aggregates split statistics with
+  * `treeAggregate` instead of an external allreduce ring. `fit` is a
+  * sequence of distributed jobs; the model returns to the driver like
+  * the reference's rank-0 booster (`core.py:126-131, 255-257`).
+  *
+  * Scale posture: training data should be cached by the caller for
+  * iterative boosting; scoring broadcasts the model once into a
+  * codegen'd `transform` (vs. the reference's per-task closure
+  * serialization, `core.py:367`).
+  */
+object GraftBoost {
+
+  /** Training parameters, mirroring the reference's canonical param
+    * dict (`test_core.py:31-36`: max_depth, eta, objective) plus the
+    * sklearn-wrapper knobs (`core.py:388-480`).
+    *
+    * @param objective        "binary:logistic", "multi:softprob", or
+    *                         "reg:squarederror" (reference
+    *                         `core.py:580-590` objective semantics)
+    * @param numRound         boosting rounds (`num_boost_round`)
+    * @param maxDepth         tree depth
+    * @param eta              learning rate / step size
+    * @param minChildWeight   approximated by minInstancesPerNode
+    * @param subsample        row subsampling per tree
+    * @param missing          value to treat as missing. MLlib has no
+    *                         sparse-skip missing handling
+    *                         (`SURVEY.md` §7.6d): occurrences are
+    *                         replaced with NaN and imputed to the
+    *                         column mean before assembly — a
+    *                         documented divergence from XGBoost.
+    * @param multiclassStrategy "ovr" = OneVsRest over binary GBT
+    *                         (closest to multi:softprob boosting);
+    *                         "rf" = RandomForest (single model,
+    *                         native probabilities; faster at scale)
+    * @param seed             determinism anchor
+    */
+  final case class BoostParams(
+      objective: String = "binary:logistic",
+      numRound: Int = 10,
+      maxDepth: Int = 3,
+      eta: Double = 0.3,
+      minChildWeight: Int = 1,
+      subsample: Double = 1.0,
+      missing: Option[Double] = None,
+      multiclassStrategy: String = "ovr",
+      seed: Long = 42L
+  )
+
+  /** Trained model + training metadata. `numClasses` mirrors the
+    * reference's `num_class` model attribute (`core.py:262-264`);
+    * `evalsResult` mirrors the per-eval-set history dict
+    * (`core.py:120, 259-260`), filled by [[evalHistory]].
+    */
+  final case class GraftBoostModel(
+      model: Model[_],
+      featureCols: Seq[String],
+      objective: String,
+      numClasses: Int,
+      evalsResult: Map[String, Map[String, Array[Double]]]
+  )
+
+  /** Assemble named feature columns into a `features` vector —
+    * the `xgb.DMatrix` featurizer equivalence (`core.py:108`;
+    * feature-name capture `core.py:107` becomes ML attribute
+    * metadata on the vector column). Applies the missing-marker
+    * imputation if configured.
+    */
+  def assemble(
+      df: DataFrame,
+      featureCols: Seq[String],
+      missing: Option[Double]
+  ): DataFrame = {
+    // Pre-assembled vector column (e.g. embeddings via
+    // array_to_vector) passes straight through.
+    if (featureCols == Seq("features") &&
+        df.schema("features").dataType.typeName == "vector")
+      return df
+    val cleaned = missing match {
+      case None => df
+      case Some(m) =>
+        // Replace the marker with the column mean (computed once,
+        // distributed). Divergence from XGBoost sparse-skip is
+        // documented on BoostParams.missing.
+        val means = df
+          .select(featureCols.map(c =>
+            avg(when(col(c) =!= m, col(c))).as(c)): _*)
+          .first()
+        featureCols.zipWithIndex.foldLeft(df) { case (d, (c, i)) =>
+          val mean = Option(means.get(i)).map(_.toString.toDouble).getOrElse(0.0)
+          d.withColumn(c, when(col(c) === m, mean).otherwise(col(c)))
+        }
+    }
+    new VectorAssembler()
+      .setInputCols(featureCols.toArray)
+      .setOutputCol("features")
+      .transform(cleaned)
+  }
+
+  /** Distributed training — `train(client, params, data, labels, …)`
+    * parity (`core.py:268-321`). The label/weight alignment checks of
+    * the reference (`core.py:201-206`) are structurally unnecessary:
+    * all columns ride one DataFrame.
+    *
+    * @param df          training frame holding `featureCols`,
+    *                    `labelCol`, optionally `weightCol` and an
+    *                    `isVal` boolean validation indicator
+    * @param validationCol when set, names a boolean column marking
+    *                    held-out rows — early stopping stops when the
+    *                    validation loss stops improving (reference
+    *                    early-stopping semantics, `core.py:435-449`)
+    */
+  def train(
+      df: DataFrame,
+      featureCols: Seq[String],
+      labelCol: String,
+      params: BoostParams = BoostParams(),
+      weightCol: Option[String] = None,
+      validationCol: Option[String] = None
+  ): GraftBoostModel = {
+    val data = assemble(df, featureCols, params.missing)
+      .withColumn("label", col(labelCol).cast("double"))
+
+    params.objective match {
+      case "reg:squarederror" =>
+        val gbt = new GBTRegressor()
+          .setFeaturesCol("features").setLabelCol("label")
+          .setMaxIter(params.numRound).setMaxDepth(params.maxDepth)
+          .setStepSize(params.eta).setSubsamplingRate(params.subsample)
+          .setMinInstancesPerNode(params.minChildWeight)
+          .setSeed(params.seed)
+        weightCol.foreach(gbt.setWeightCol)
+        validationCol.foreach(gbt.setValidationIndicatorCol)
+        val model = gbt.fit(data)
+        GraftBoostModel(model, featureCols, params.objective, 0, Map.empty)
+
+      case "binary:logistic" =>
+        val gbt = new GBTClassifier()
+          .setFeaturesCol("features").setLabelCol("label")
+          .setMaxIter(params.numRound).setMaxDepth(params.maxDepth)
+          .setStepSize(params.eta).setSubsamplingRate(params.subsample)
+          .setMinInstancesPerNode(params.minChildWeight)
+          .setSeed(params.seed)
+        weightCol.foreach(gbt.setWeightCol)
+        validationCol.foreach(gbt.setValidationIndicatorCol)
+        val model = gbt.fit(data)
+        GraftBoostModel(model, featureCols, params.objective, 2, Map.empty)
+
+      case "multi:softprob" | "multi:softmax" =>
+        // Class inference = the reference's eager distributed
+        // distinct (`core.py:561-566`).
+        val numClasses = data.select(max(col("label"))).first().getDouble(0).toInt + 1
+        val model: Model[_] = params.multiclassStrategy match {
+          case "rf" =>
+            new RandomForestClassifier()
+              .setFeaturesCol("features").setLabelCol("label")
+              .setNumTrees(params.numRound).setMaxDepth(params.maxDepth)
+              .setSubsamplingRate(params.subsample)
+              .setMinInstancesPerNode(params.minChildWeight)
+              .setSeed(params.seed)
+              .fit(data)
+          case _ =>
+            val base = new GBTClassifier()
+              .setFeaturesCol("features").setLabelCol("label")
+              .setMaxIter(params.numRound).setMaxDepth(params.maxDepth)
+              .setStepSize(params.eta).setSubsamplingRate(params.subsample)
+              .setSeed(params.seed)
+            new OneVsRest().setClassifier(base)
+              .setFeaturesCol("features").setLabelCol("label")
+              .fit(data)
+        }
+        GraftBoostModel(model, featureCols, params.objective, numClasses, Map.empty)
+
+      case other =>
+        throw new IllegalArgumentException(s"unsupported objective: $other")
+    }
+  }
+
+  /** Distributed lazy scoring — `predict(client, model, data)` parity
+    * (`core.py:366-377`). Returns the input columns plus `prediction`
+    * (double; class id or regression value). The multiclass shape
+    * bookkeeping of the reference (`core.py:369-377`) is subsumed by
+    * the probability vector column; see [[predictProba]].
+    */
+  def predict(model: GraftBoostModel, df: DataFrame): DataFrame = {
+    val data = assemble(df, model.featureCols, None)
+    val scored = model.model match {
+      case m: GBTRegressionModel         => m.transform(data)
+      case m: GBTClassificationModel     => m.transform(data)
+      case m: RandomForestClassificationModel => m.transform(data)
+      case m: OneVsRestModel             => m.transform(data)
+      case m => throw new IllegalStateException(s"unknown model ${m.getClass}")
+    }
+    scored.drop("features", "rawPrediction", "probability")
+  }
+
+  /** Class-probability scoring — `predict_proba` parity
+    * (`core.py:626-631`): emits `proba` as array<double> of length
+    * numClasses (the reference's (n, num_class) matrix,
+    * `core.py:374`).
+    */
+  def predictProba(model: GraftBoostModel, df: DataFrame): DataFrame = {
+    val data = assemble(df, model.featureCols, None)
+    model.model match {
+      case m: ProbabilisticClassificationModel[_, _] =>
+        m.transform(data)
+          .withColumn("proba", vector_to_array(col("probability")))
+          .drop("features", "rawPrediction", "probability")
+      case _: OneVsRestModel =>
+        throw new UnsupportedOperationException(
+          "OneVsRest emits margins, not calibrated probabilities; " +
+          "use multiclassStrategy=rf for predict_proba")
+      case m =>
+        throw new IllegalStateException(s"model has no probabilities: ${m.getClass}")
+    }
+  }
+
+  /** Per-round validation history — `evals_result` parity
+    * (`core.py:120, 259-260`). MLlib exposes it post-hoc via
+    * `evaluateEachIteration`; metric is logloss-family for
+    * classification, squared error for regression.
+    */
+  def evalHistory(
+      model: GraftBoostModel,
+      evalSets: Map[String, DataFrame],
+      labelCol: String
+  ): Map[String, Map[String, Array[Double]]] =
+    evalSets.map { case (name, df) =>
+      val data = assemble(df, model.featureCols, None)
+        .withColumn("label", col(labelCol).cast("double"))
+      val (metric, values) = model.model match {
+        case m: GBTClassificationModel => ("logloss", m.evaluateEachIteration(data))
+        case m: GBTRegressionModel     => ("squarederror", m.evaluateEachIteration(data, "squared"))
+        case m => throw new UnsupportedOperationException(
+          s"per-iteration history unavailable for ${m.getClass}")
+      }
+      name -> Map(metric -> values)
+    }
+}

@@ -1,0 +1,139 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ml._
+import graft.ml.GraftBoost._
+
+/** Behavioral suite mirroring the reference's test_core.py layers
+  * (SURVEY §5): train/predict smoke on a literal frame, accuracy
+  * tolerance on separable data (the reference's distributed-vs-local
+  * oracle becomes partitioning-invariance tolerance), weights
+  * changing the model, early stopping, eval history, multiclass
+  * shapes, missing-marker handling.
+  */
+class MLSpec extends AnyFunSuite {
+  import TestSession._
+  import spark.implicits._
+
+  // Separable synthetic fixture (load_digits(2) analog): label is a
+  // deterministic function of x1 with noise-free margin.
+  private lazy val separable = {
+    val rows = (0 until 400).map { i =>
+      val x1 = (i % 20).toDouble
+      val x2 = ((i * 7) % 13).toDouble
+      (x1, x2, if (x1 >= 10) 1.0 else 0.0)
+    }
+    rows.toDF("x1", "x2", "label").cache()
+  }
+
+  test("binary train/predict on a literal 10-row frame") {
+    val df = Seq(
+      (1.0, 0.0), (2.0, 0.0), (3.0, 0.0), (4.0, 0.0), (5.0, 0.0),
+      (6.0, 1.0), (7.0, 1.0), (8.0, 1.0), (9.0, 1.0), (10.0, 1.0)
+    ).toDF("x", "label")
+    val clf = new GraftXGBClassifier().setNEstimators(5).setMaxDepth(2)
+    clf.fit(df, Seq("x"), "label")
+    val preds = clf.predict(df).select("label", "prediction").collect()
+    val correct = preds.count(r => r.getDouble(0).toLong == r.getLong(1))
+    assert(correct >= 9, s"expected >=9/10 correct on separable data, got $correct")
+    assert(clf.numClasses == 2)
+  }
+
+  test("accuracy is partitioning-invariant within tolerance") {
+    def accuracy(parts: Int): Double = {
+      val df = separable.repartition(parts)
+      val m = GraftBoost.train(df, Seq("x1", "x2"), "label",
+        BoostParams(numRound = 5, maxDepth = 3))
+      val p = GraftBoost.predict(m, separable)
+      p.filter(col("prediction") === col("label")).count().toDouble / 400
+    }
+    val a1 = accuracy(1)
+    val a8 = accuracy(8)
+    assert(a1 >= 0.95, s"1-partition accuracy $a1")
+    assert(a8 >= 0.95, s"8-partition accuracy $a8")
+  }
+
+  test("sample weights change the trained model") {
+    // make_regression analog (test_core.py:299-337): upweighting a
+    // subpopulation must move predictions toward it.
+    val df = (0 until 300).map { i =>
+      val x = (i % 10).toDouble
+      val y = if (i % 3 == 0) x * 10 else x * 2
+      val w = if (i % 3 == 0) 100.0 else 1.0
+      (x, y, w)
+    }.toDF("x", "y", "w")
+    val unweighted = new GraftXGBRegressor().setNEstimators(10).setMaxDepth(3).setLearningRate(0.5)
+    unweighted.fit(df, Seq("x"), "y")
+    val weighted = new GraftXGBRegressor().setNEstimators(10).setMaxDepth(3).setLearningRate(0.5)
+    weighted.fit(df, Seq("x"), "y", weightCol = Some("w"))
+    val pu = unweighted.predict(df).agg(avg("prediction")).first().getDouble(0)
+    val pw = weighted.predict(df).agg(avg("prediction")).first().getDouble(0)
+    assert(pw > pu, s"upweighting the x*10 population should raise mean prediction ($pw vs $pu)")
+  }
+
+  test("early stopping with a validation frame runs and bounds trees") {
+    import org.apache.spark.ml.classification.GBTClassificationModel
+    val train = separable.filter($"x2" =!= 0)
+    val valid = separable.filter($"x2" === 0)
+    val clf = new GraftXGBClassifier().setNEstimators(30).setMaxDepth(2)
+    clf.fit(train, Seq("x1", "x2"), "label", earlyStoppingValidation = Some(valid))
+    val trees = clf.model.get.model.asInstanceOf[GBTClassificationModel].getNumTrees
+    assert(trees <= 30 && trees > 0)
+  }
+
+  test("evals_result history has one entry per boosting round") {
+    val clf = new GraftXGBClassifier().setNEstimators(7).setMaxDepth(2)
+    clf.fit(separable, Seq("x1", "x2"), "label",
+      evalSets = Map("validation_0" -> separable))
+    val hist = clf.evalsResult("validation_0")("logloss")
+    assert(hist.length == 7, s"expected 7 rounds of history, got ${hist.length}")
+  }
+
+  test("multiclass: objective rewrite, class count, proba shape") {
+    val df = (0 until 300).map { i =>
+      val c = i % 3
+      (c * 10.0 + (i % 5), (i % 7).toDouble, c.toDouble)
+    }.toDF("x1", "x2", "label")
+    val clf = new GraftXGBClassifier().setNEstimators(10).setMaxDepth(3)
+      .setMulticlassStrategy("rf")
+    clf.fit(df, Seq("x1", "x2"), "label")
+    assert(clf.numClasses == 3)
+    val proba = clf.predictProba(df).select("proba").first().getSeq[Double](0)
+    assert(proba.length == 3)
+    assert(math.abs(proba.sum - 1.0) < 1e-6)
+    val preds = clf.predict(df).select("label", "prediction").collect()
+    val acc = preds.count(r => r.getDouble(0).toLong == r.getLong(1)).toDouble / preds.length
+    assert(acc >= 0.95, s"multiclass accuracy $acc")
+  }
+
+  test("multiclass via OneVsRest boosting also trains") {
+    val df = (0 until 150).map { i =>
+      val c = i % 3
+      (c * 10.0 + (i % 5), c.toDouble)
+    }.toDF("x1", "label")
+    val clf = new GraftXGBClassifier().setNEstimators(3).setMaxDepth(2)
+    clf.fit(df, Seq("x1"), "label")
+    assert(clf.numClasses == 3)
+    val acc = clf.predict(df).filter($"prediction" === $"label".cast("long")).count().toDouble / 150
+    assert(acc >= 0.9, s"ovr accuracy $acc")
+  }
+
+  test("missing-marker imputation trains and scores") {
+    val df = (0 until 200).map { i =>
+      val x = if (i % 10 == 0) -999.0 else (i % 20).toDouble
+      (x, if (i % 20 >= 10 && x != -999.0) 1.0 else 0.0)
+    }.toDF("x", "label")
+    val clf = new GraftXGBClassifier().setNEstimators(5).setMaxDepth(2).setMissing(-999.0)
+    clf.fit(df, Seq("x"), "label")
+    assert(clf.predict(df).count() == 200)
+  }
+
+  test("ml queries registered in SparkEntry run at sf0.001") {
+    Seq("ml_binary_train_predict", "ml_regression_train_predict", "ml_multiclass_embeddings")
+      .foreach { q =>
+        assert(SparkEntry.queries(q)(spark, sf).count() > 0, s"$q empty")
+      }
+  }
+}
