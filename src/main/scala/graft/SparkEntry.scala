@@ -13,7 +13,8 @@ import graft.operators._
 object SparkEntry {
 
   private def modules: Seq[GraftQuery] =
-    Relational.all ++ graft.ml.MLQueries.all
+    Relational.all ++ graft.ml.MLQueries.all ++
+      TextAnalysis.all ++ Dedup.all ++ Similarity.all
 
   private lazy val (queryMap, oracleMap) = GraftQuery.toMaps(modules)
 

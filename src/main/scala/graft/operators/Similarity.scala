@@ -1,0 +1,156 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.GraftQuery
+import graft.sources.Tables
+import graft.functions.GraftFunctions._
+
+import scala.util.Random
+
+/** Similarity search over the embedding column (64-dim float
+  * vectors).
+  *
+  * Two paths, per the builder brief:
+  *  - brute-force cosine top-k: exact baseline. The query set is tiny
+  *    and broadcast, so the "product" is a broadcast nested loop over
+  *    one scan of the corpus — no shuffle of the corpus at all. This
+  *    is also the oracle-checkable path.
+  *  - hyperplane-LSH ANN: sign bits of r·v for a fixed seeded set of
+  *    random hyperplanes form a bucket key; search only within the
+  *    query's bucket. At 100 TB the corpus is pre-bucketed (one
+  *    shuffle at index build), queries probe single buckets, and
+  *    recall is tunable via planes/probes. Recall vs. the exact
+  *    baseline is pinned in TextDedupSpec.
+  */
+object Similarity {
+
+  val Dim = 64
+  /** Multi-table LSH: L independent tables of `BitsPerTable` sign
+    * bits. More tables raise recall (union of collisions), more bits
+    * shrink buckets; L×(n/2^bits) candidates per query. Tuned here
+    * for an isotropic random corpus (the hardest ANN case); a real
+    * clustered embedding space needs fewer tables.
+    */
+  val NumTables = 8
+  val BitsPerTable = 7
+  val TopK = 5
+  val NumQueries = 10
+
+  /** Fixed, seeded hyperplanes per table (deterministic across runs). */
+  lazy val planes: Array[Array[Array[Double]]] = {
+    val rnd = new Random(42)
+    Array.fill(NumTables, BitsPerTable, Dim)(rnd.nextGaussian())
+  }
+
+  /** LSH bucket id for one table: packed sign bits of projections. */
+  def bucketOf(v: Column, table: Int): Column = {
+    val bits = planes(table).zipWithIndex.map { case (p, i) =>
+      val planeCol = array(p.map(lit): _*)
+      when(dotProduct(v, planeCol) >= 0, lit(1L << i)).otherwise(lit(0L))
+    }
+    bits.reduce(_ + _)
+  }
+
+  /** Exact top-k neighbors for the first NumQueries vectors by
+    * cosine, via broadcast nested-loop + per-query window rank.
+    */
+  val simTopkBruteforce = GraftQuery(
+    "sim_topk_bruteforce",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val e = t.embeddings.select(col("vec_id"), toDoubleArray(col("embedding")).as("v"))
+      val queries = e.filter(col("vec_id") < NumQueries)
+        .select(col("vec_id").as("qid"), col("v").as("qv"))
+      val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))
+      e.join(broadcast(queries), col("vec_id") =!= col("qid"))
+        .withColumn("cos", cosineSim(col("qv"), col("v")))
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= TopK)
+        .select(col("qid"), col("rank"), col("vec_id"), round(col("cos"), 6).as("cos"))
+        .orderBy(col("qid"), col("rank"))
+    },
+    Some(s"""
+      WITH pairs AS (
+        SELECT q.vec_id AS qid, e.vec_id,
+               list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                      CAST(e.embedding AS DOUBLE[])) AS cos
+        FROM embeddings q JOIN embeddings e ON e.vec_id <> q.vec_id
+        WHERE q.vec_id < $NumQueries),
+      ranked AS (
+        SELECT qid, vec_id, cos,
+               CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS BIGINT) AS rank
+        FROM pairs)
+      SELECT qid, rank, vec_id, round(cos, 6) AS cos
+      FROM ranked WHERE rank <= $TopK
+      ORDER BY qid, rank
+    """)
+  )
+
+  /** ANN top-k via hyperplane-LSH bucketing: candidates share the
+    * query's bucket; rank within candidates only. Recall against the
+    * brute-force baseline is asserted in TextDedupSpec.
+    */
+  val simAnnLsh = GraftQuery(
+    "sim_ann_lsh",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val base = t.embeddings
+        .select(col("vec_id"), toDoubleArray(col("embedding")).as("v"))
+      // one (table, bucket) row per vector per table — the "index"
+      val indexed = (0 until NumTables).map { tb =>
+        base.select(col("vec_id"), col("v"), lit(tb).as("tbl"),
+          bucketOf(col("v"), tb).as("bucket"))
+      }.reduce(_ unionByName _)
+      val queries = indexed.filter(col("vec_id") < NumQueries)
+        .select(col("vec_id").as("qid"), col("v").as("qv"), col("tbl"), col("bucket"))
+      val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))
+      indexed.join(broadcast(queries), Seq("tbl", "bucket"))
+        .filter(col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("qv"), col("vec_id"), col("v")).distinct()
+        .withColumn("cos", cosineSim(col("qv"), col("v")))
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= TopK)
+        .select(col("qid"), col("rank"), col("vec_id"), round(col("cos"), 6).as("cos"))
+        .orderBy(col("qid"), col("rank"))
+    },
+    None // approximate by construction; recall pinned in spec
+  )
+
+  /** Vector norms + global norm stats — exercises the higher-order
+    * array math on the embedding column end-to-end with an exact
+    * oracle (sequential fold order ⇒ bit-identical sums).
+    */
+  val simNormStats = GraftQuery(
+    "sim_norm_stats",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      t.embeddings
+        .select(col("vec_id"), col("label"),
+          round(l2Norm(toDoubleArray(col("embedding"))), 6).as("norm"))
+        .groupBy(col("label"))
+        .agg(
+          count(lit(1)).as("n"),
+          round(min(col("norm")), 6).as("min_norm"),
+          round(max(col("norm")), 6).as("max_norm")
+        )
+        .orderBy(col("label"))
+    },
+    Some("""
+      WITH norms AS (
+        SELECT vec_id, label,
+               round(sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x))), 6) AS norm
+        FROM embeddings)
+      SELECT label, COUNT(*) AS n,
+             round(MIN(norm), 6) AS min_norm,
+             round(MAX(norm), 6) AS max_norm
+      FROM norms
+      GROUP BY label
+      ORDER BY label
+    """)
+  )
+
+  def all: Seq[GraftQuery] = Seq(simTopkBruteforce, simAnnLsh, simNormStats)
+}

@@ -1,0 +1,175 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.GraftQuery
+import graft.sources.Tables
+
+/** Text-analysis operators for large-scale training-data pipelines
+  * (builder brief: language-ID, quality scoring, token counting,
+  * fingerprinting). All per-row work is codegen'd built-in functions —
+  * no UDFs — so the hot path stays inside whole-stage codegen and
+  * scales linearly with document count; nothing here shuffles except
+  * the final small aggregates.
+  */
+object TextAnalysis {
+
+  /** Lower-cased whitespace tokens. */
+  def tokens(text: Column): Column = split(lower(text), "\\s+")
+
+  /** BPE-ish subword segmentation estimate: alpha runs, single
+    * digits, and punctuation marks each count as one token (a cheap
+    * stand-in for a byte-pair tokenizer's piece count).
+    */
+  val bpeishPattern = "[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]"
+
+  private val stopwords =
+    Seq("the", "a", "of", "to", "and", "in", "is", "it", "that", "for")
+
+  /** Stopword membership as a Column set test. */
+  private def isStopword(t: Column): Column =
+    t.isInCollection(stopwords)
+
+  /** Token counting: whitespace tokens + BPE-ish pieces per document. */
+  val textTokens = GraftQuery(
+    "text_tokens",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      t.documents
+        .select(
+          col("doc_id"),
+          size(tokens(col("text"))).cast("long").as("n_ws_tokens"),
+          size(regexp_extract_all(col("text"), lit(bpeishPattern), lit(0)))
+            .cast("long").as("n_bpeish_tokens"),
+          length(col("text")).cast("long").as("n_chars_computed"),
+          col("n_chars")
+        )
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""
+      SELECT doc_id,
+             CAST(len(string_split_regex(lower(text), '\\s+')) AS BIGINT) AS n_ws_tokens,
+             CAST(len(regexp_extract_all(text, '$bpeishPattern')) AS BIGINT) AS n_bpeish_tokens,
+             CAST(length(text) AS BIGINT) AS n_chars_computed,
+             n_chars
+      FROM documents
+      ORDER BY doc_id
+    """)
+  )
+
+  /** Quality scoring: length/punctuation/stopword signals combined
+    * into a [0,1] score. All ratios are divisions of exact integer
+    * counts, so they are bit-identical across engines.
+    */
+  val textQuality = GraftQuery(
+    "text_quality",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val toks = tokens(col("text"))
+      val nTok = size(toks).cast("double")
+      val nStop = size(filter(toks, isStopword _)).cast("double")
+      val nPunct = length(regexp_replace(col("text"), "[^.,;:!?'\"]", "")).cast("double")
+      val nChars = length(col("text")).cast("double")
+      t.documents
+        .select(
+          col("doc_id"),
+          nTok.cast("long").as("n_words"),
+          (nChars / nTok).as("avg_word_len"),
+          (nStop / nTok).as("stopword_ratio"),
+          (nPunct / nChars).as("punct_ratio"),
+          // monotone quality heuristic: long-enough docs with a sane
+          // stopword rate and little punctuation noise score high
+          (least(nTok / lit(100.0), lit(1.0)) * lit(0.5)
+            + least(nStop / nTok * lit(5.0), lit(1.0)) * lit(0.3)
+            + (lit(1.0) - least(nPunct / nChars * lit(10.0), lit(1.0))) * lit(0.2)
+          ).as("quality_score")
+        )
+        .orderBy(col("doc_id"))
+    },
+    Some("""
+      WITH q AS (
+        SELECT doc_id,
+               CAST(len(string_split_regex(lower(text), '\s+')) AS DOUBLE) AS n_tok,
+               CAST(len(list_filter(string_split_regex(lower(text), '\s+'),
+                    t -> list_contains(['the','a','of','to','and','in','is','it','that','for'], t))) AS DOUBLE) AS n_stop,
+               CAST(length(regexp_replace(text, '[^.,;:!?''"]', '', 'g')) AS DOUBLE) AS n_punct,
+               CAST(length(text) AS DOUBLE) AS n_chars
+        FROM documents)
+      SELECT doc_id,
+             CAST(n_tok AS BIGINT) AS n_words,
+             n_chars / n_tok AS avg_word_len,
+             n_stop / n_tok AS stopword_ratio,
+             n_punct / n_chars AS punct_ratio,
+             least(n_tok / 100.0, 1.0) * 0.5
+               + least(n_stop / n_tok * 5.0, 1.0) * 0.3
+               + (1.0 - least(n_punct / n_chars * 10.0, 1.0)) * 0.2 AS quality_score
+      FROM q
+      ORDER BY doc_id
+    """)
+  )
+
+  private val markers: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "is", "in", "to", "it", "that", "with", "as"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "los", "se", "del", "las"),
+    "fr" -> Seq("le", "la", "les", "de", "et", "un", "est", "que", "une", "dans"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "ein", "nicht", "zu", "den", "mit")
+  )
+
+  /** Language-ID scores for one text column: marker-token hits per
+    * language plus a CJK-codepoint override for zh. Returns the
+    * predicted language code.
+    */
+  def langId(text: Column): Column = {
+    val toks = tokens(text)
+    def score(lang: String): Column =
+      size(filter(toks, t => t.isInCollection(markers(lang))))
+    val zh = length(regexp_replace(text, "[^\\u4e00-\\u9fff]", "")) > 0
+    val scored = markers.keys.toSeq.sorted.map(l => struct(score(l).as("s"), lit(l).as("l")))
+    val best = array_max(array(scored: _*))
+    when(zh, lit("zh"))
+      .when(best.getField("s") === 0, lit("unknown"))
+      .otherwise(best.getField("l"))
+  }
+
+  /** Language-ID distribution over the corpus (heuristic output —
+    * verified against synthetic multilingual fixtures in
+    * TextDedupSpec; rows-only in the driver harness).
+    */
+  val textLangid = GraftQuery(
+    "text_langid",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      t.documents
+        .withColumn("predicted_lang", langId(col("text")))
+        .groupBy(col("predicted_lang"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("predicted_lang"))
+    },
+    None
+  )
+
+  /** Content fingerprinting: md5 over whitespace-normalized text —
+    * the canonical exact-dedup key. (A rolling-hash variant backs
+    * the SimHash dedup path in Dedup.scala.)
+    */
+  val textFingerprint = GraftQuery(
+    "text_fingerprint",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val normalized = trim(regexp_replace(lower(col("text")), "\\s+", " "))
+      t.documents
+        .select(col("doc_id"), md5(normalized.cast("binary")).as("fingerprint"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""
+      SELECT doc_id,
+             md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint
+      FROM documents
+      ORDER BY doc_id
+    """)
+  )
+
+  def all: Seq[GraftQuery] =
+    Seq(textTokens, textQuality, textLangid, textFingerprint)
+}

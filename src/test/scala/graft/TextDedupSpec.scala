@@ -1,0 +1,100 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Dedup, Similarity, TextAnalysis}
+
+class TextDedupSpec extends AnyFunSuite {
+  import TestSession._
+  import spark.implicits._
+
+  test("langid identifies synthetic multilingual docs") {
+    val docs = Seq(
+      (1L, "the cat and the dog is in that house with it"),
+      (2L, "el perro y la casa de los gatos que se ven"),
+      (3L, "le chat et les maisons de la ville est une belle"),
+      (4L, "der hund und die katze ist ein tier nicht zu sehen"),
+      (5L, "这是 一个 中文 句子"),
+      (6L, "qwerty zxcvb asdfgh")
+    ).toDF("doc_id", "text")
+    val got = docs.select($"doc_id", TextAnalysis.langId($"text").as("l"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(1L) == "en"); assert(got(2L) == "es"); assert(got(3L) == "fr")
+    assert(got(4L) == "de"); assert(got(5L) == "zh"); assert(got(6L) == "unknown")
+  }
+
+  test("exact dedup groups identical normalized content") {
+    val docs = Seq(
+      (1L, "Hello  World"), (2L, "hello world"), (3L, "other doc entirely")
+    ).toDF("doc_id", "text")
+    docs.createOrReplaceTempView("ignore")
+    val normalized = trim(regexp_replace(lower($"text"), "\\s+", " "))
+    val groups = docs.select(md5(normalized.cast("binary")).as("h"), $"doc_id")
+      .groupBy("h").agg(count(lit(1)).as("n"), min("doc_id").as("canon"))
+      .collect()
+    assert(groups.length == 2)
+    assert(groups.find(_.getLong(1) == 2L).get.getLong(2) == 1L)
+  }
+
+  test("shingles produce word trigrams; short docs give empty") {
+    val df = Seq((1L, "a b c d"), (2L, "x y")).toDF("doc_id", "text")
+    val sh = df.select($"doc_id", Dedup.shingles($"text").as("s")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(sh(1L) == Seq("a b c", "b c d"))
+    assert(sh(2L).isEmpty)
+  }
+
+  test("minhash LSH finds planted near-duplicates on the real corpus") {
+    // dedup_ngram_jaccard is the exact ground truth (oracle-checked);
+    // the LSH path must recover every pair at jaccard >= 0.5.
+    val exact = SparkEntry.queries("dedup_ngram_jaccard")(spark, sf)
+      .select("ia", "ib").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = SparkEntry.queries("dedup_minhash_lsh")(spark, sf)
+      .select("ia", "ib").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty, "corpus should contain planted near-dups")
+    val recall = lsh.intersect(exact).size.toDouble / exact.size
+    assert(recall >= 0.9, s"LSH recall $recall over ${exact.size} true pairs")
+    // verification step guarantees no false positives
+    assert(lsh.subsetOf(exact.union(lsh.intersect(exact))) || (lsh -- exact).isEmpty)
+  }
+
+  test("simhash: identical docs distance 0, near-dups small, unrelated large") {
+    import graft.plans.SimHash64.simhash64
+    val df = Seq(
+      (1L, "spark makes big data processing fast and easy to scale"),
+      (2L, "spark makes big data processing fast and easy to scale"),
+      (3L, "spark makes big data processing quick and easy to scale"),
+      (4L, "completely different words about gardening tomatoes roses soil")
+    ).toDF("doc_id", "text")
+    val sh = df.select($"doc_id", simhash64(split(lower($"text"), "\\s+")).as("h"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(sh(1L), sh(2L)) == 0)
+    assert(ham(sh(1L), sh(3L)) < ham(sh(1L), sh(4L)),
+      s"near-dup ${ham(sh(1L), sh(3L))} should be closer than unrelated ${ham(sh(1L), sh(4L))}")
+  }
+
+  test("ANN LSH recovers a meaningful share of exact top-5 on the real corpus") {
+    val exact = SparkEntry.queries("sim_topk_bruteforce")(spark, sf)
+      .select("qid", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ann = SparkEntry.queries("sim_ann_lsh")(spark, sf)
+      .select("qid", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = ann.intersect(exact).size.toDouble / exact.size
+    // single-probe LSH on near-orthogonal random vectors is a weak
+    // signal by construction; the assertion pins the plumbing (same
+    // ranking math, bucket join) rather than a strong recall target.
+    assert(recall >= 0.2, s"ANN recall $recall")
+    assert(ann.nonEmpty)
+  }
+
+  test("text/dedup/sim queries all run and return rows at sf0.001") {
+    Seq("text_tokens", "text_quality", "text_langid", "text_fingerprint",
+      "dedup_exact", "dedup_ngram_jaccard", "dedup_minhash_lsh",
+      "dedup_simhash", "dedup_embedding_cosine",
+      "sim_topk_bruteforce", "sim_ann_lsh", "sim_norm_stats")
+      .foreach { q =>
+        assert(SparkEntry.queries(q)(spark, sf).count() > 0, s"$q empty")
+      }
+  }
+}
