@@ -14,7 +14,8 @@ object SparkEntry {
 
   private def modules: Seq[GraftQuery] =
     Relational.all ++ graft.ml.MLQueries.all ++
-      TextAnalysis.all ++ Dedup.all ++ Similarity.all
+      TextAnalysis.all ++ Dedup.all ++ Similarity.all ++
+      Multimodal.all ++ graft.streaming.EventsStream.all
 
   private lazy val (queryMap, oracleMap) = GraftQuery.toMaps(modules)
 

@@ -1,0 +1,145 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.GraftQuery
+import graft.sources.Tables
+
+/** Multimodal-column plumbing: opaque binary payloads with typed
+  * metadata, processed by a batched per-partition decoder.
+  *
+  * The testdata ships no real media, so the payload is the document
+  * text encoded as bytes and the DECODER IS A DETERMINISTIC STUB
+  * (clearly marked below) — what's real and tested is the Spark-side
+  * shape: binary column + metadata struct, a mapPartitions decode
+  * stage that iterates batches without materializing a partition in
+  * memory (the Scala analog of a Pandas-UDF `mapInPandas` pipeline),
+  * and frame-sampling that yields multiple rows per asset. Swapping
+  * the stub for a JNI/ffmpeg decoder changes only `decodeStub`.
+  *
+  * Scale posture: assets never shuffle — decode is map-side; only
+  * extracted (small) features flow into joins/aggregates downstream.
+  */
+object Multimodal {
+
+  /** Bytes per sampled "frame" in the stub decoder. */
+  val FrameSize = 256
+
+  /** Typed per-asset record after decode. */
+  final case class AssetFeatures(
+      doc_id: Long,
+      n_bytes: Long,
+      n_frames: Long,
+      mean_byte: Double,
+      first_frame_checksum: Long
+  )
+
+  /** ======== STUB ========
+    * Deterministic fake decoder: real media decoding (image/audio/
+    * video libs) is unavailable in this environment. Consumes the
+    * payload bytes as if they were frames of FrameSize bytes and
+    * emits per-asset features. Deterministic in the payload, so
+    * results are reproducible and oracle-friendly for the metadata
+    * part. Replace with a real codec to productionize.
+    */
+  def decodeStub(docId: Long, payload: Array[Byte]): AssetFeatures = {
+    val n = payload.length.toLong
+    val frames = if (n == 0) 0L else (n - 1) / FrameSize + 1
+    var sum = 0L
+    var i = 0
+    while (i < payload.length) { sum += payload(i) & 0xff; i += 1 }
+    val mean = if (n == 0) 0.0 else sum.toDouble / n
+    var checksum = 0L
+    val lim = math.min(FrameSize, payload.length)
+    i = 0
+    while (i < lim) { checksum = checksum * 31 + (payload(i) & 0xff); i += 1 }
+    AssetFeatures(docId, n, frames, mean, checksum)
+  }
+
+  /** Binary assets with metadata struct — the storage-side shape.
+    * Metadata (sizes, frame counts, mime) is SQL-derivable, so this
+    * query is oracle-checked; the decode features are not (see
+    * mm_decode_features).
+    */
+  val mmBinaryMetadata = GraftQuery(
+    "mm_binary_metadata",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      t.documents
+        .select(
+          col("doc_id"),
+          encode(col("text"), "UTF-8").as("payload"),
+          lit("application/octet-stream").as("mime")
+        )
+        .select(
+          col("doc_id"), col("mime"),
+          length(col("payload")).cast("long").as("n_bytes"),
+          (floor((length(col("payload")) - 1) / FrameSize) + 1)
+            .cast("long").as("n_frames")
+        )
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""
+      SELECT doc_id,
+             'application/octet-stream' AS mime,
+             CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+             CAST(floor((octet_length(encode(text)) - 1) / $FrameSize) + 1 AS BIGINT) AS n_frames
+      FROM documents
+      ORDER BY doc_id
+    """)
+  )
+
+  /** Batched decode via mapPartitions over the typed Dataset — the
+    * real plumbing around the stubbed codec. Rows-only in the
+    * harness; MultimodalStreamSpec pins the feature math.
+    */
+  val mmDecodeFeatures = GraftQuery(
+    "mm_decode_features",
+    (s, dir) => {
+      import s.implicits._
+      val t = Tables(s, dir)
+      t.documents
+        .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+        .as[(Long, Array[Byte])]
+        .mapPartitions(_.map { case (id, bytes) => decodeStub(id, bytes) })
+        .toDF()
+        .select(col("doc_id"), col("n_bytes"), col("n_frames"),
+          round(col("mean_byte"), 6).as("mean_byte"),
+          col("first_frame_checksum"))
+        .orderBy(col("doc_id"))
+    },
+    None
+  )
+
+  /** Frame sampling: one row per sampled frame index per asset (every
+    * 4th frame) — the explode-style fan-out a video pipeline needs,
+    * kept fully relational. Oracle-checked via generate_subscripts-
+    * free arithmetic on both sides.
+    */
+  val mmFrameSample = GraftQuery(
+    "mm_frame_sample",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val nFrames = (floor((length(encode(col("text"), "UTF-8")) - 1) / FrameSize) + 1)
+        .cast("long")
+      t.documents
+        .select(col("doc_id"), nFrames.as("n_frames"))
+        .withColumn("frame_idx",
+          explode(sequence(lit(0L), col("n_frames") - 1, lit(4L))))
+        .select(col("doc_id"), col("frame_idx"))
+        .orderBy(col("doc_id"), col("frame_idx"))
+    },
+    Some(s"""
+      WITH f AS (
+        SELECT doc_id,
+               CAST(floor((octet_length(encode(text)) - 1) / $FrameSize) + 1 AS BIGINT) AS n_frames
+        FROM documents)
+      SELECT doc_id, CAST(unnest(range(0, n_frames, 4)) AS BIGINT) AS frame_idx
+      FROM f
+      ORDER BY doc_id, frame_idx
+    """)
+  )
+
+  def all: Seq[GraftQuery] = Seq(mmBinaryMetadata, mmDecodeFeatures, mmFrameSample)
+}

@@ -1,0 +1,169 @@
+package graft.streaming
+
+import java.util.UUID
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+import graft.GraftQuery
+import graft.functions.GraftFunctions._
+
+/** Structured Streaming surface over the events table (SURVEY §2.6
+  * streaming row). The reference has no streams; this is the engine
+  * extension the builder brief requires: watermarked windowed
+  * aggregation and arbitrary-stateful sessionization.
+  *
+  * Each query drives a real `readStream → transform → writeStream`
+  * pipeline synchronously over the parquet input (memory sink +
+  * `processAllAvailable`), then returns the sink table — so the
+  * verify harness checks STREAMING results against the BATCH DuckDB
+  * oracle, proving the two surfaces agree. At scale the same plans
+  * run against a file/Kafka source with triggers; state lives in the
+  * HDFS-backed state store, partitioned by group key.
+  */
+object EventsStream {
+
+  /** Raw parquet schema of events (ts read as nanos long — see
+    * Tables' nanosAsLong note).
+    */
+  private val rawSchema = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)
+  ))
+
+  private def eventsStream(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // The file stream source needs a directory; events.parquet is a
+    // single file, so expose it through a temp-dir symlink (a real
+    // deployment points this at the landing directory the producer
+    // appends to).
+    val src = java.nio.file.Paths.get(dir, "events.parquet")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_stream_src")
+    java.nio.file.Files.createSymbolicLink(tmp.resolve("events.parquet"), src)
+    s.readStream
+      .schema(rawSchema)
+      .parquet(tmp.toString)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  private def runToTable(df: DataFrame, mode: OutputMode): DataFrame = {
+    val name = "graft_sink_" + UUID.randomUUID().toString.replace("-", "")
+    val q = df.writeStream
+      .outputMode(mode)
+      .format("memory")
+      .queryName(name)
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    df.sparkSession.table(name)
+  }
+
+  /** Watermarked tumbling-window aggregation (1h windows by event
+    * type). Complete mode so a single-batch replay emits every
+    * window; the DuckDB oracle is the equivalent batch aggregation —
+    * streaming and batch must agree exactly.
+    */
+  val streamHourlyAgg = GraftQuery(
+    "stream_hourly_agg",
+    (s, dir) => {
+      val agg = eventsStream(s, dir)
+        .withWatermark("ts", "1 hour")
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(dec2(col("value"))).as("sum_dec"))
+      val out = runToTable(agg, OutputMode.Complete())
+      out.select(
+        tsString(col("window.start")).as("hour_start"),
+        col("event_type"), col("n"),
+        col("sum_dec").cast("double").as("sum_value")
+      ).orderBy(col("hour_start"), col("event_type"))
+    },
+    Some("""
+      SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
+             event_type, COUNT(*) AS n,
+             CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+      FROM events
+      GROUP BY 1, 2
+      ORDER BY hour_start, event_type
+    """)
+  )
+
+  case class Ev(user_id: Long, tsMicros: Long, value: Double)
+  case class SessionSummary(
+      user_id: Long, n_sessions: Long, n_events: Long, max_session_events: Long)
+
+  /** Gap from one event to the next that closes a session. */
+  val SessionGapMinutes = 30L
+
+  /** Arbitrary-stateful sessionization via flatMapGroupsWithState:
+    * per-user sessions close after a 30-minute silence. The state
+    * type is the running session bookkeeping; on a live stream the
+    * same function accrues state across triggers with event-time
+    * timeouts. The DuckDB oracle recomputes sessions relationally
+    * (lag + gap counting) — stateful streaming must agree with the
+    * relational definition.
+    */
+  val streamSessionize = GraftQuery(
+    "stream_sessionize",
+    (s, dir) => {
+      import s.implicits._
+      val gapMicros = SessionGapMinutes * 60L * 1000000L
+
+      def fn(user: Long, rows: Iterator[Ev], state: GroupState[Array[Long]])
+          : Iterator[SessionSummary] = {
+        // single-batch replay: all events for the user arrive here;
+        // sort by event time (arrival order is not time order)
+        val ts = rows.map(_.tsMicros).toArray.sorted
+        var sessions = 1L
+        var cur = 1L
+        var maxEv = 1L
+        var i = 1
+        while (i < ts.length) {
+          if (ts(i) - ts(i - 1) > gapMicros) { sessions += 1; cur = 1 }
+          else { cur += 1; if (cur > maxEv) maxEv = cur }
+          i += 1
+        }
+        if (ts.isEmpty) Iterator.empty
+        else Iterator.single(SessionSummary(user, sessions, ts.length.toLong, maxEv))
+      }
+
+      val evs = eventsStream(s, dir)
+        .select(col("user_id"), unix_micros(col("ts")).as("tsMicros"), col("value"))
+        .as[Ev]
+      val summarized = evs
+        .groupByKey(_.user_id)
+        .flatMapGroupsWithState(OutputMode.Update(), GroupStateTimeout.NoTimeout)(fn)
+      runToTable(summarized.toDF(), OutputMode.Update())
+        .orderBy(col("user_id"))
+    },
+    Some(s"""
+      WITH e AS (
+        SELECT user_id, ts,
+               CASE WHEN lag(ts) OVER w IS NULL
+                      OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > ${SessionGapMinutes * 60L * 1000000L}
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+      s AS (
+        SELECT user_id,
+               SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+        FROM e),
+      per_sess AS (
+        SELECT user_id, sid, COUNT(*) AS n FROM s GROUP BY 1, 2)
+      SELECT user_id,
+             COUNT(*) AS n_sessions,
+             CAST(SUM(n) AS BIGINT) AS n_events,
+             CAST(MAX(n) AS BIGINT) AS max_session_events
+      FROM per_sess
+      GROUP BY user_id
+      ORDER BY user_id
+    """)
+  )
+
+  def all: Seq[GraftQuery] = Seq(streamHourlyAgg, streamSessionize)
+}

@@ -1,0 +1,87 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Multimodal
+
+class MultimodalStreamSpec extends AnyFunSuite {
+  import TestSession._
+
+  test("decode stub: frame math and byte stats are exact") {
+    val payload = Array.tabulate[Byte](600)(i => (i % 251).toByte)
+    val f = Multimodal.decodeStub(7L, payload)
+    assert(f.doc_id == 7L)
+    assert(f.n_bytes == 600L)
+    assert(f.n_frames == 3L) // ceil(600/256)
+    val expectedMean = payload.map(_ & 0xff).sum.toDouble / 600
+    assert(math.abs(f.mean_byte - expectedMean) < 1e-12)
+    assert(Multimodal.decodeStub(1L, Array.emptyByteArray).n_frames == 0L)
+  }
+
+  test("mm_decode_features agrees with mm_binary_metadata on sizes") {
+    val meta = SparkEntry.queries("mm_binary_metadata")(spark, sf)
+      .select("doc_id", "n_bytes", "n_frames")
+    val feat = SparkEntry.queries("mm_decode_features")(spark, sf)
+      .select(col("doc_id"), col("n_bytes").as("fb"), col("n_frames").as("ff"))
+    val joined = meta.join(feat, "doc_id")
+      .filter(col("n_bytes") =!= col("fb") || col("n_frames") =!= col("ff"))
+    assert(joined.count() == 0, "metadata path and decode path disagree")
+  }
+
+  test("streaming hourly agg equals the batch aggregation") {
+    val streamed = SparkEntry.queries("stream_hourly_agg")(spark, sf)
+    val batch = SparkEntry.queries("q18_events_hourly")(spark, sf)
+      .withColumnRenamed("hour_start", "hs")
+    val j = streamed.join(batch,
+      streamed("hour_start") === batch("hs") &&
+        streamed("event_type") === batch("event_type"), "full_outer")
+    val bad = j.filter(
+      streamed("n").isNull || batch("n").isNull ||
+      streamed("n") =!= batch("n") ||
+      streamed("sum_value") =!= batch("sum_value")).count()
+    assert(bad == 0, s"streaming/batch divergence in $bad window rows")
+  }
+
+  test("sessionize: hand-checked session splits") {
+    import spark.implicits._
+    // one user: 3 events close together, 45-min gap, 2 more events.
+    // ts is written as raw INT64 nanos, matching the real
+    // events.parquet physical layout the stream reader expects.
+    val baseNanos = 1700000000000000000L
+    val df = Seq(0L, 60L, 120L, 45 * 60L + 120L, 45 * 60L + 180L)
+      .zipWithIndex
+      .map { case (sec, i) =>
+        (i.toLong, baseNanos + sec * 1000000000L, 1L, "click", 1.0, "{}")
+      }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_sess").toFile
+    try {
+      // match the real layout: events.parquet is a single FILE
+      df.coalesce(1).write.mode("overwrite").parquet(tmp + "/staging")
+      val part = new java.io.File(tmp, "staging").listFiles()
+        .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
+      java.nio.file.Files.copy(part.toPath,
+        java.nio.file.Paths.get(tmp.toString, "events.parquet"))
+      val out = SparkEntry.queries("stream_sessionize")(spark, tmp.toString).collect()
+      assert(out.length == 1)
+      val r = out.head
+      assert(r.getAs[Long]("n_sessions") == 2L, s"expected 2 sessions: $r")
+      assert(r.getAs[Long]("n_events") == 5L)
+      assert(r.getAs[Long]("max_session_events") == 3L)
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm); f.delete()
+      }
+      rm(tmp)
+    }
+  }
+
+  test("multimodal + streaming queries run and return rows at sf0.001") {
+    Seq("mm_binary_metadata", "mm_decode_features", "mm_frame_sample",
+      "stream_hourly_agg", "stream_sessionize")
+      .foreach { q =>
+        assert(SparkEntry.queries(q)(spark, sf).count() > 0, s"$q empty")
+      }
+  }
+}
