@@ -1,23 +1,54 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark entry: times every registered query at the target scale
+  * factor and prints one JSON metrics line.
+  *
+  * Timing forces full materialization through the noop sink — a bare
+  * count() would let Catalyst prune columns and undercount real work.
+  * A small warmup at sf0.001 pays the JIT/codegen cost before the
+  * measured runs.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
+      .appName("graft-bench")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def materialize(name: String, dir: String): Unit =
+      SparkEntry.queries(name)(spark, dir)
+        .write.format("noop").mode("overwrite").save()
+
+    // JIT/codegen warmup on the smallest SF (not measured)
+    val warmup = Seq("q01_pricing_summary", "q02_revenue_by_nation",
+      "q07_window_topk_per_order", "text_quality")
+    warmup.foreach { q =>
+      try materialize(q, "/root/testdata/sf0.001")
+      catch { case _: Throwable => () }
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+
+    val results = SparkEntry.queries.keys.toSeq.sorted.map { name =>
+      val t0 = System.nanoTime()
+      val ok = try { materialize(name, sfDir); true }
+               catch { case e: Throwable =>
+                 System.err.println(s"[bench] $name failed: ${e.getMessage}"); false }
+      val secs = (System.nanoTime() - t0) / 1e9
+      name -> (if (ok) secs else -1.0)
+    }
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = results.collect { case (_, v) if v >= 0 => v }.sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

