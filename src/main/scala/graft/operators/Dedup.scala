@@ -23,11 +23,14 @@ import graft.plans.SimHash64.simhash64
   */
 object Dedup {
 
-  /** Distinct word-trigram shingles per document (empty for docs
-    * under 3 tokens — Spark's sequence() would run descending).
+  /** Distinct word-trigram shingles from a MATERIALIZED token-array
+    * column (empty for docs under 3 tokens — Spark's sequence() would
+    * run descending). Callers must project the tokens first: inlining
+    * `split()` here would re-run it inside every lambda element_at,
+    * turning shingling O(tokens²) per row (measured 11s → 0.3s at
+    * sf0.1).
     */
-  def shingles(text: Column): Column = {
-    val toks = split(lower(text), "\\s+")
+  def shinglesFromTokens(toks: Column): Column = {
     val grams = transform(
       sequence(lit(1), size(toks) - 2),
       i => concat_ws(" ",
@@ -36,10 +39,20 @@ object Dedup {
       when(size(toks) < 3, array().cast("array<string>")).otherwise(grams))
   }
 
+  /** doc_id + distinct shingle set per document (tokens materialized
+    * in a separate projection step — see shinglesFromTokens).
+    */
+  def docShingleSets(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), split(lower(col("text")), "\\s+").as("toks"))
+      .select(col("doc_id"), shinglesFromTokens(col("toks")).as("sh"))
+
+  /** Convenience for specs: shingles of a raw text column. */
+  def shingles(text: Column): Column = shinglesFromTokens(split(lower(text), "\\s+"))
+
   /** doc_id + exploded distinct shingles (the inverted-index input). */
   private def docShingles(docs: DataFrame): DataFrame =
-    docs
-      .select(col("doc_id"), shingles(col("text")).as("sh"))
+    docShingleSets(docs)
       .select(col("doc_id"), size(col("sh")).as("n_sh"), explode(col("sh")).as("shingle"))
 
   /** Exact dedup: group on the normalized-content hash, keep the
@@ -135,16 +148,20 @@ object Dedup {
     "dedup_minhash_lsh",
     (s, dir) => {
       val t = Tables(s, dir)
-      val docSets = t.documents
-        .select(col("doc_id"), shingles(col("text")).as("sh"))
-        .cache()
+      val docSets = docShingleSets(t.documents).cache()
       val ds = docSets.select(col("doc_id"), size(col("sh")).as("n_sh"),
         explode(col("sh")).as("shingle"))
       val sig = minhashSignature(ds)
-      val bands = (0 until MinHashBands).map { b =>
+      // one aggregation pass; bands explode out of the signature row
+      // (a 4-way union would re-aggregate the signature per branch)
+      val bandStructs = (0 until MinHashBands).map { b =>
         val slots = (0 until MinHashK / MinHashBands).map(i => col(s"mh_${b * MinHashBands + i}"))
-        sig.select(col("doc_id"), lit(b).as("band"), hash(slots: _*).as("band_key"))
-      }.reduce(_ unionByName _).cache()
+        struct(lit(b).as("band"), hash(slots: _*).as("band_key"))
+      }
+      val bands = sig
+        .select(col("doc_id"), explode(array(bandStructs: _*)).as("bk"))
+        .select(col("doc_id"), col("bk.band").as("band"), col("bk.band_key").as("band_key"))
+        .cache()
       val cand = bands.as("x").join(bands.as("y"),
           col("x.band") === col("y.band") && col("x.band_key") === col("y.band_key") &&
           col("x.doc_id") < col("y.doc_id"))
