@@ -1,0 +1,95 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.SaltedJoin
+import graft.sources.Tables
+
+/** Scale-posture evidence: the physical plans this engine produces are
+  * the ones that survive a 100 TB deployment — pushdown reaches the
+  * scans, dims broadcast, bucketing removes the fact-fact shuffle,
+  * salting spreads skewed keys without changing results.
+  */
+class ScaleSpec extends AnyFunSuite {
+  import TestSession._
+
+  private def planOf(name: String): String =
+    SparkEntry.queries(name)(spark, sf).queryExecution
+      .explainString(org.apache.spark.sql.execution.FormattedMode)
+
+  test("q06 pushes the entire predicate into the parquet scan") {
+    val plan = planOf("q06_revenue_filter")
+    assert(plan.contains("PushedFilters"))
+    Seq("GreaterThanOrEqual(l_shipdate", "LessThan(l_quantity,24.0)",
+      "GreaterThanOrEqual(l_discount,0.02)").foreach { f =>
+      assert(plan.contains(f), s"missing pushed filter $f")
+    }
+  }
+
+  test("scans read only referenced columns (column pruning)") {
+    val plan = planOf("q06_revenue_filter")
+    val readSchema = plan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("l_extendedprice") && !readSchema.contains("l_orderkey"),
+      s"expected pruned schema, got: $readSchema")
+  }
+
+  test("dimension joins broadcast (no fact shuffle for dims)") {
+    val plan = planOf("q20_part_revenue")
+    assert(plan.contains("BroadcastHashJoin"), "part dim should broadcast")
+  }
+
+  test("bucketed fact-fact join plans without a shuffle exchange") {
+    val t = Tables(spark, sf)
+    spark.sql("DROP TABLE IF EXISTS li_b")
+    spark.sql("DROP TABLE IF EXISTS ord_b")
+    // a prior run's orphaned location blocks CREATE in a fresh metastore
+    Seq("li_b", "ord_b").foreach { n =>
+      def rm(f: java.io.File): Unit =
+        if (f.exists) { if (f.isDirectory) f.listFiles().foreach(rm); f.delete() }
+      rm(new java.io.File("spark-warehouse/" + n))
+    }
+    t.lineitem.write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+      .mode("overwrite").saveAsTable("li_b")
+    t.orders.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+      .mode("overwrite").saveAsTable("ord_b")
+    val joined = spark.table("li_b")
+      .join(spark.table("ord_b"), col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderstatus").count()
+    val plan = joined.queryExecution.executedPlan.toString
+    val exchanges = plan.linesIterator.count(_.trim.startsWith("+- Exchange"))
+    // only the final single-column aggregate may shuffle; the join must not
+    assert(!plan.linesIterator.exists(l =>
+      l.contains("Exchange hashpartitioning(l_orderkey") ||
+      l.contains("Exchange hashpartitioning(o_orderkey")),
+      s"bucketed join should not shuffle join keys:\n$plan")
+    assert(joined.count() > 0)
+  }
+
+  test("salted join returns exactly the plain join's result") {
+    val t = Tables(spark, sf)
+    val plain = t.lineitem.join(t.orders, col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderstatus").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val salted = SaltedJoin
+      .saltedEquiJoin(t.lineitem, t.orders, "l_orderkey", "o_orderkey", 8)
+      .groupBy("o_orderstatus").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(salted == plain)
+  }
+
+  test("approximate distinct (HLL) tracks exact within 5%") {
+    val t = Tables(spark, sf)
+    val r = t.lineitem.agg(
+      countDistinct(col("l_orderkey")).as("exact"),
+      approx_count_distinct(col("l_orderkey"), 0.02).as("approx")
+    ).first()
+    val (exact, approx) = (r.getLong(0).toDouble, r.getLong(1).toDouble)
+    assert(math.abs(approx - exact) / exact < 0.05, s"exact=$exact approx=$approx")
+  }
+
+  test("AQE is active in the engine session") {
+    assert(spark.conf.get("spark.sql.adaptive.enabled") == "true")
+    assert(spark.conf.get("spark.sql.adaptive.skewJoin.enabled") == "true")
+  }
+}
