@@ -1,0 +1,112 @@
+package graft.ml
+
+import org.apache.spark.ml.classification.GBTClassificationModel
+import org.apache.spark.ml.linalg.Vector
+import org.apache.spark.ml.regression.GBTRegressionModel
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** Per-round staged evaluation over a trained GBT — the engine's
+  * answer to the reference's arbitrary-metric `evals_result` and
+  * `best_iteration` semantics (`core.py:120, 435-449, 476-479`),
+  * which MLlib's loss-only early stopping can't express (SURVEY
+  * §7.6b/c).
+  *
+  * One distributed pass computes the staged margins for EVERY
+  * boosting round simultaneously (broadcast trees, incremental sum
+  * per row), so the cost is O(rows × trees) — the same as a single
+  * scoring pass — rather than one transform per round. Metrics are
+  * then per-round aggregations:
+  *  - "auc": rank-statistic (Mann-Whitney) per round
+  *  - "logloss": mean log-loss of the sigmoid margin
+  *  - "rmse": regression root-mean-square error of staged prediction
+  */
+object StagedEval {
+
+  /** (round → margin) rows: staged margin after each round for one
+    * example. Emitted narrow (round, label, margin) so per-round
+    * metrics are plain groupBy aggregations.
+    */
+  private def stagedMargins(
+      model: GraftBoost.GraftBoostModel,
+      df: DataFrame,
+      labelCol: String
+  ): DataFrame = {
+    val data = GraftBoost.assemble(df, model.featureCols, None)
+      .withColumn("label", col(labelCol).cast("double"))
+      .select(col("features"), col("label"))
+    val spark = df.sparkSession
+    import spark.implicits._
+
+    val (trees, weights) = model.model match {
+      case m: GBTClassificationModel => (m.trees, m.treeWeights)
+      case m: GBTRegressionModel     => (m.trees, m.treeWeights)
+      case m => throw new UnsupportedOperationException(
+        s"staged evaluation needs a GBT model, got ${m.getClass}")
+    }
+    val bTrees = spark.sparkContext.broadcast((trees, weights))
+
+    data.as[(Vector, Double)].mapPartitions { it =>
+      val (ts, ws) = bTrees.value
+      it.flatMap { case (features, label) =>
+        var margin = 0.0
+        ts.indices.iterator.map { r =>
+          margin += ws(r) * ts(r).predict(features)
+          (r + 1, label, margin)
+        }
+      }
+    }.toDF("round", "label", "margin")
+  }
+
+  /** Per-round metric values, index 0 = after first round. */
+  def history(
+      model: GraftBoost.GraftBoostModel,
+      df: DataFrame,
+      labelCol: String,
+      metric: String
+  ): Array[Double] = {
+    val staged = stagedMargins(model, df, labelCol)
+    val byRound: DataFrame = metric match {
+      case "logloss" =>
+        // p = sigmoid(2 * margin) — MLlib GBT classification margin
+        val p = lit(1.0) / (lit(1.0) + exp(lit(-2.0) * col("margin")))
+        staged.groupBy(col("round")).agg(
+          avg(when(col("label") === 1.0, -log(greatest(p, lit(1e-15))))
+            .otherwise(-log(greatest(lit(1.0) - p, lit(1e-15))))).as("m"))
+      case "rmse" =>
+        staged.groupBy(col("round"))
+          .agg(sqrt(avg(pow(col("margin") - col("label"), 2))).as("m"))
+      case "auc" =>
+        // Mann-Whitney U from margin midranks (ties are common with
+        // shallow trees, so average tied ranks), per round
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("round")).orderBy(col("margin"))
+        val tieW = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("round"), col("margin"))
+        val ranked = staged
+          .withColumn("rk0", row_number().over(w))
+          .withColumn("rk", avg(col("rk0")).over(tieW))
+        ranked.groupBy(col("round")).agg(
+          ((sum(when(col("label") === 1.0, col("rk"))) -
+            (count(when(col("label") === 1.0, 1)) *
+              (count(when(col("label") === 1.0, 1)) + 1)) / 2.0) /
+            (count(when(col("label") === 1.0, 1)) *
+              count(when(col("label") === 0.0, 1)))).as("m"))
+      case other =>
+        throw new IllegalArgumentException(s"unknown metric: $other")
+    }
+    byRound.orderBy(col("round")).collect().map(_.getAs[Double]("m"))
+  }
+
+  /** Best round under the metric (1-based, like `best_iteration`+1 in
+    * the reference's 0-based counting; maximize AUC, minimize
+    * logloss/rmse).
+    */
+  def bestIteration(hist: Array[Double], metric: String): Int = {
+    val idx = metric match {
+      case "auc" => hist.indexOf(hist.max)
+      case _     => hist.indexOf(hist.min)
+    }
+    idx + 1
+  }
+}

@@ -570,12 +570,36 @@ object Relational {
     """)
   )
 
+  /** Raw-SQL entry surface: the engine accepts SQL text directly over
+    * registered views (`spark.sql`), the same way the reference's
+    * users reach their host dataframe engine. The statement below is
+    * written in the ANSI subset both engines parse, so the oracle is
+    * the IDENTICAL string.
+    */
+  private val q24Sql = """
+      SELECT l_returnflag,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price,
+             COUNT(*) AS n
+      FROM lineitem
+      GROUP BY l_returnflag
+      ORDER BY l_returnflag
+    """
+
+  val q24SqlEntry = GraftQuery(
+    "q24_sql_entry",
+    (s, dir) => {
+      Tables(s, dir).registerAll()
+      s.sql(q24Sql)
+    },
+    Some(q24Sql)
+  )
+
   def all: Seq[GraftQuery] = Seq(
     q01PricingSummary, q02RevenueByNation, q03ShippingPriority,
     q04OrderPriorityExists, q05CustomersWithoutOrders, q06RevenueFilter,
     q07WindowTopkPerOrder, q08RunningTotal, q09Rollup, q10Cube,
     q11DistinctCounts, q12SetOps, q13StringFuncs, q14DateFuncs,
     q15CaseAgg, q16TopOrders, q17EventsJson, q18EventsHourly,
-    q19EventsUserStats, q20PartRevenue
+    q19EventsUserStats, q20PartRevenue, q24SqlEntry
   )
 }

@@ -165,5 +165,33 @@ object EventsStream {
     """)
   )
 
-  def all: Seq[GraftQuery] = Seq(streamHourlyAgg, streamSessionize)
+  /** Streaming model inference: a GBT trained on the batch table is
+    * broadcast into a streaming transform — the streaming-scoring
+    * pipeline of SURVEY §7.5. The sink aggregates per (event_type,
+    * prediction); StreamScoreSpec pins stream-vs-batch scoring
+    * equality, which also makes this deterministic (fixed seed).
+    */
+  val streamScore = GraftQuery(
+    "stream_score",
+    (s, dir) => {
+      import graft.ml.GraftBoost
+      val t = graft.sources.Tables(s, dir)
+      val feats = Seq("value", "k")
+      val batch = t.events
+        .withColumn("k", get_json_object(col("props"), "$.k").cast("double"))
+        .withColumn("label", (col("event_type") === "purchase").cast("double"))
+      val model = GraftBoost.train(batch, feats, "label",
+        GraftBoost.BoostParams(numRound = 5, maxDepth = 3))
+      val stream = eventsStream(s, dir)
+        .withColumn("k", get_json_object(col("props"), "$.k").cast("double"))
+      val scored = GraftBoost.predict(model, stream)
+        .groupBy(col("event_type"), col("prediction"))
+        .agg(count(lit(1)).as("n"))
+      runToTable(scored, OutputMode.Complete())
+        .orderBy(col("event_type"), col("prediction"))
+    },
+    None
+  )
+
+  def all: Seq[GraftQuery] = Seq(streamHourlyAgg, streamSessionize, streamScore)
 }

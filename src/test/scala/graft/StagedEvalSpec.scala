@@ -1,0 +1,70 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ml._
+import graft.ml.GraftBoost._
+
+class StagedEvalSpec extends AnyFunSuite {
+  import TestSession._
+  import spark.implicits._
+
+  private lazy val (train, valid) = {
+    val rows = (0 until 600).map { i =>
+      val x1 = (i % 20).toDouble
+      val x2 = ((i * 13) % 17).toDouble
+      // label depends on both features with a little structure
+      val y = if (x1 + 0.5 * x2 >= 13) 1.0 else 0.0
+      (x1, x2, y, i % 4 == 0)
+    }.toDF("x1", "x2", "label", "isVal")
+    (rows.filter(!$"isVal"), rows.filter($"isVal"))
+  }
+
+  test("staged AUC history has one value per round, ends high on train fit") {
+    val m = GraftBoost.train(train, Seq("x1", "x2"), "label",
+      BoostParams(numRound = 8, maxDepth = 3))
+    val hist = StagedEval.history(m, train, "label", "auc")
+    assert(hist.length == 8)
+    assert(hist.last > 0.95, s"train AUC after 8 rounds: ${hist.last}")
+    assert(hist.last >= hist.head - 1e-9, "AUC should not degrade on train")
+  }
+
+  test("staged logloss decreases on training data") {
+    val m = GraftBoost.train(train, Seq("x1", "x2"), "label",
+      BoostParams(numRound = 8, maxDepth = 3))
+    val hist = StagedEval.history(m, train, "label", "logloss")
+    assert(hist.length == 8)
+    assert(hist.last < hist.head, s"logloss ${hist.head} -> ${hist.last}")
+  }
+
+  test("staged final logloss matches evaluateEachIteration's final round") {
+    import org.apache.spark.ml.classification.GBTClassificationModel
+    val m = GraftBoost.train(train, Seq("x1", "x2"), "label",
+      BoostParams(numRound = 5, maxDepth = 2))
+    val mine = StagedEval.history(m, valid, "label", "logloss")
+    val mllib = m.model.asInstanceOf[GBTClassificationModel]
+      .evaluateEachIteration(
+        GraftBoost.assemble(valid, Seq("x1", "x2"), None)
+          .withColumn("label", org.apache.spark.sql.functions.col("label")))
+    assert(mine.length == mllib.length)
+    // same shape: both must improve from round 1 to the last round
+    assert((mine.last < mine.head) == (mllib.last < mllib.head))
+  }
+
+  test("bestIteration picks max for auc, min for logloss") {
+    assert(StagedEval.bestIteration(Array(0.6, 0.9, 0.8), "auc") == 2)
+    assert(StagedEval.bestIteration(Array(0.9, 0.3, 0.5), "logloss") == 2)
+  }
+
+  test("staged rmse works for regression models") {
+    val df = (0 until 400).map { i =>
+      val x = (i % 25).toDouble
+      (x, 3.0 * x + (i % 3))
+    }.toDF("x", "y")
+    val m = GraftBoost.train(df, Seq("x"), "y",
+      BoostParams("reg:squarederror", numRound = 6, maxDepth = 3, eta = 0.5))
+    val hist = StagedEval.history(m, df, "y", "rmse")
+    assert(hist.length == 6)
+    assert(hist.last < hist.head, s"rmse ${hist.head} -> ${hist.last}")
+  }
+}
