@@ -109,4 +109,26 @@ object StagedEval {
     }
     idx + 1
   }
+
+  /** Cut the model down to its best iteration under `metric` on a
+    * validation frame — the reference's `best_ntree_limit` applied
+    * physically (`core.py:476-479`): the returned model scores with
+    * exactly the selected number of trees.
+    */
+  def truncateToBest(
+      model: GraftBoost.GraftBoostModel,
+      validation: DataFrame,
+      labelCol: String,
+      metric: String
+  ): (GraftBoost.GraftBoostModel, Int, Array[Double]) = {
+    import org.apache.spark.ml.classification.{GBTClassificationModel, GraftModelBridge}
+    val hist = history(model, validation, labelCol, metric)
+    val k = bestIteration(hist, metric)
+    val cut = model.model match {
+      case m: GBTClassificationModel => GraftModelBridge.truncateClassifier(m, k)
+      case m: GBTRegressionModel     => GraftModelBridge.truncateRegressor(m, k)
+      case m => throw new UnsupportedOperationException(s"${m.getClass}")
+    }
+    (model.copy(model = cut), k, hist)
+  }
 }

@@ -594,12 +594,43 @@ object Relational {
     Some(q24Sql)
   )
 
+  /** Exact percentiles (sort-based aggregate). At 100 TB the approx
+    * sketch (percentile_approx / KLL) replaces this; the exact form
+    * is the oracle-checkable one. Interpolation math is identical
+    * (linear between order statistics) in both engines.
+    */
+  val q25Percentiles = GraftQuery(
+    "q25_percentiles",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      t.lineitem
+        .groupBy(col("l_returnflag"))
+        .agg(
+          round(expr("percentile(l_quantity, 0.5)"), 6).as("p50_qty"),
+          round(expr("percentile(l_quantity, 0.9)"), 6).as("p90_qty"),
+          round(expr("percentile(l_extendedprice, 0.5)"), 6).as("p50_price"),
+          count(lit(1)).as("n")
+        )
+        .orderBy(col("l_returnflag"))
+    },
+    Some("""
+      SELECT l_returnflag,
+             round(quantile_cont(l_quantity, 0.5), 6) AS p50_qty,
+             round(quantile_cont(l_quantity, 0.9), 6) AS p90_qty,
+             round(quantile_cont(l_extendedprice, 0.5), 6) AS p50_price,
+             COUNT(*) AS n
+      FROM lineitem
+      GROUP BY l_returnflag
+      ORDER BY l_returnflag
+    """)
+  )
+
   def all: Seq[GraftQuery] = Seq(
     q01PricingSummary, q02RevenueByNation, q03ShippingPriority,
     q04OrderPriorityExists, q05CustomersWithoutOrders, q06RevenueFilter,
     q07WindowTopkPerOrder, q08RunningTotal, q09Rollup, q10Cube,
     q11DistinctCounts, q12SetOps, q13StringFuncs, q14DateFuncs,
     q15CaseAgg, q16TopOrders, q17EventsJson, q18EventsHourly,
-    q19EventsUserStats, q20PartRevenue, q24SqlEntry
+    q19EventsUserStats, q20PartRevenue, q24SqlEntry, q25Percentiles
   )
 }

@@ -170,6 +170,39 @@ object TextAnalysis {
     """)
   )
 
+  /** Corpus n-gram analysis: top-20 word trigrams by document
+    * frequency (distinct per doc). Inverted-index explode + count +
+    * top-k — the same shape at 100 TB with a combiner-friendly
+    * two-level aggregation.
+    */
+  val textTopNgrams = GraftQuery(
+    "text_top_ngrams",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      Dedup.docShingleSets(t.documents)
+        .select(explode(col("sh")).as("trigram"))
+        .groupBy(col("trigram"))
+        .agg(count(lit(1)).as("doc_freq"))
+        .orderBy(col("doc_freq").desc, col("trigram"))
+        .limit(20)
+    },
+    Some("""
+      WITH sh AS (
+        SELECT doc_id,
+               list_distinct(list_transform(
+                 range(1, greatest(len(string_split_regex(lower(text), '\s+')) - 1, 1)),
+                 i -> string_split_regex(lower(text), '\s+')[i] || ' ' ||
+                      string_split_regex(lower(text), '\s+')[i+1] || ' ' ||
+                      string_split_regex(lower(text), '\s+')[i+2])) AS s
+        FROM documents)
+      SELECT trigram, COUNT(*) AS doc_freq
+      FROM (SELECT unnest(s) AS trigram FROM sh)
+      GROUP BY 1
+      ORDER BY doc_freq DESC, trigram
+      LIMIT 20
+    """)
+  )
+
   def all: Seq[GraftQuery] =
-    Seq(textTokens, textQuality, textLangid, textFingerprint)
+    Seq(textTokens, textQuality, textLangid, textFingerprint, textTopNgrams)
 }

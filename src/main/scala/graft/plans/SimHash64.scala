@@ -2,7 +2,7 @@ package graft.plans
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
 
@@ -23,7 +23,7 @@ import scala.util.hashing.MurmurHash3
   * happens relationally on band keys (see Dedup.simhashBand).
   */
 case class SimHash64(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def dataType: DataType = LongType
 
@@ -36,8 +36,32 @@ case class SimHash64(child: Expression)
           s"simhash64 needs array<string>, got $other")
     }
 
-  override protected def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
+  override protected def nullSafeEval(input: Any): Any =
+    java.lang.Long.valueOf(SimHash64.evalArray(input.asInstanceOf[ArrayData]))
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash64 =
+    copy(child = newChild)
+
+  override def prettyName: String = "simhash64"
+
+  /** Whole-stage codegen: the vote loop is emitted as a static helper
+    * call, keeping the surrounding stage fused (no CodegenFallback
+    * row-at-a-time boundary in the dedup hot path).
+    */
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.plans.SimHash64.evalArray($c)")
+}
+
+object SimHash64 {
+  import org.apache.spark.sql.GraftColumnBridge
+
+  /** Column API: `simhash64(tokensCol)`. */
+  def simhash64(tokens: Column): Column =
+    GraftColumnBridge.column(SimHash64(GraftColumnBridge.expression(tokens)))
+
+  /** Shared kernel for both interpreted eval and generated code. */
+  def evalArray(arr: ArrayData): Long = {
     val votes = new Array[Int](64)
     var i = 0
     val n = arr.numElements()
@@ -61,19 +85,6 @@ case class SimHash64(child: Expression)
       if (votes(b) > 0) out |= (1L << b)
       b += 1
     }
-    java.lang.Long.valueOf(out)
+    out
   }
-
-  override protected def withNewChildInternal(newChild: Expression): SimHash64 =
-    copy(child = newChild)
-
-  override def prettyName: String = "simhash64"
-}
-
-object SimHash64 {
-  import org.apache.spark.sql.GraftColumnBridge
-
-  /** Column API: `simhash64(tokensCol)`. */
-  def simhash64(tokens: Column): Column =
-    GraftColumnBridge.column(SimHash64(GraftColumnBridge.expression(tokens)))
 }

@@ -56,6 +56,19 @@ class StagedEvalSpec extends AnyFunSuite {
     assert(StagedEval.bestIteration(Array(0.9, 0.3, 0.5), "logloss") == 2)
   }
 
+  test("truncateToBest physically cuts the model to the best round") {
+    import org.apache.spark.ml.classification.GBTClassificationModel
+    val m = GraftBoost.train(train, Seq("x1", "x2"), "label",
+      BoostParams(numRound = 10, maxDepth = 2))
+    val (cut, k, hist) = StagedEval.truncateToBest(m, valid, "label", "logloss")
+    assert(hist.length == 10)
+    assert(k >= 1 && k <= 10)
+    val trees = cut.model.asInstanceOf[GBTClassificationModel].getNumTrees
+    assert(trees == k, s"truncated model has $trees trees, best round was $k")
+    // truncated model still scores
+    assert(GraftBoost.predict(cut, valid).count() == valid.count())
+  }
+
   test("staged rmse works for regression models") {
     val df = (0 until 400).map { i =>
       val x = (i % 25).toDouble
