@@ -625,12 +625,50 @@ object Relational {
     """)
   )
 
+  /** Top-3 lineitems per order via the bounded-heap TopK aggregator —
+    * same semantics as q07's window formulation (the oracle is the
+    * SAME SQL), but partial aggregation keeps only 3 candidates per
+    * order per partition map-side, so the shuffle carries k·|groups|
+    * rows instead of every row. The scale path for top-k-per-key.
+    */
+  val q26TopkAgg = GraftQuery(
+    "q26_topk_agg",
+    (s, dir) => {
+      import graft.functions.{TopKAgg, TopKEntry}
+      import s.implicits._
+      val t = Tables(s, dir)
+      val topk = udaf(new TopKAgg(3))
+      t.lineitem
+        .groupBy(col("l_orderkey"))
+        .agg(topk(
+          col("l_extendedprice"),
+          col("l_linenumber").cast("long"),
+          col("l_linenumber").cast("long")).as("top"))
+        .select(col("l_orderkey"), posexplode(col("top")))
+        .select(col("l_orderkey"),
+          (col("pos") + 1).cast("long").as("rn"),
+          col("col.payload").cast("int").as("l_linenumber"),
+          col("col.sortKey").as("l_extendedprice"))
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"), col("rn"))
+        .orderBy(col("l_orderkey"), col("rn"))
+    },
+    Some("""
+      SELECT l_orderkey, l_linenumber, l_extendedprice, rn
+      FROM (SELECT l_orderkey, l_linenumber, l_extendedprice,
+                   CAST(row_number() OVER (PARTITION BY l_orderkey ORDER BY l_extendedprice DESC, l_linenumber) AS BIGINT) AS rn
+            FROM lineitem)
+      WHERE rn <= 3
+      ORDER BY l_orderkey, rn
+    """)
+  )
+
   def all: Seq[GraftQuery] = Seq(
     q01PricingSummary, q02RevenueByNation, q03ShippingPriority,
     q04OrderPriorityExists, q05CustomersWithoutOrders, q06RevenueFilter,
     q07WindowTopkPerOrder, q08RunningTotal, q09Rollup, q10Cube,
     q11DistinctCounts, q12SetOps, q13StringFuncs, q14DateFuncs,
     q15CaseAgg, q16TopOrders, q17EventsJson, q18EventsHourly,
-    q19EventsUserStats, q20PartRevenue, q24SqlEntry, q25Percentiles
+    q19EventsUserStats, q20PartRevenue, q24SqlEntry, q25Percentiles,
+    q26TopkAgg
   )
 }

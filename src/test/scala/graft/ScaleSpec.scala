@@ -78,6 +78,28 @@ class ScaleSpec extends AnyFunSuite {
     assert(salted == plain)
   }
 
+  test("partitioned write enables partition pruning on read") {
+    val t = Tables(spark, sf)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_part").toString
+    t.lineitem.write.mode("overwrite").partitionBy("l_returnflag").parquet(tmp)
+    val pruned = spark.read.parquet(tmp).filter(col("l_returnflag") === "R")
+    val plan = pruned.queryExecution
+      .explainString(org.apache.spark.sql.execution.FormattedMode)
+    assert(plan.contains("PartitionFilters") &&
+      plan.linesIterator.exists(l => l.contains("PartitionFilters") && l.contains("l_returnflag")),
+      s"expected partition pruning in:\n$plan")
+    assert(pruned.count() ==
+      t.lineitem.filter(col("l_returnflag") === "R").count())
+  }
+
+  test("topk aggregator equals window formulation row-for-row") {
+    val win = SparkEntry.queries("q07_window_topk_per_order")(spark, sf)
+      .collect().map(_.toSeq).toSet
+    val agg = SparkEntry.queries("q26_topk_agg")(spark, sf)
+      .collect().map(_.toSeq).toSet
+    assert(agg == win, s"diff: ${(agg -- win).take(3)} / ${(win -- agg).take(3)}")
+  }
+
   test("approximate distinct (HLL) tracks exact within 5%") {
     val t = Tables(spark, sf)
     val r = t.lineitem.agg(
