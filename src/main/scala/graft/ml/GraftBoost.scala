@@ -237,6 +237,19 @@ object GraftBoost {
     }
   }
 
+  /** Local eager scoring of a single feature vector — the reference's
+    * local predict path (`core.py:378-382`): no cluster round-trip,
+    * the driver-resident model scores directly.
+    */
+  def predictLocal(model: GraftBoostModel, features: Vector): Double =
+    model.model match {
+      case m: GBTRegressionModel              => m.predict(features)
+      case m: GBTClassificationModel          => m.predict(features)
+      case m: RandomForestClassificationModel => m.predict(features)
+      case m => throw new UnsupportedOperationException(
+        s"local predict unavailable for ${m.getClass}")
+    }
+
   /** Per-round validation history — `evals_result` parity
     * (`core.py:120, 259-260`). MLlib exposes it post-hoc via
     * `evaluateEachIteration`; metric is logloss-family for

@@ -30,11 +30,13 @@ object StagedEval {
   private def stagedMargins(
       model: GraftBoost.GraftBoostModel,
       df: DataFrame,
-      labelCol: String
+      labelCol: String,
+      weightCol: Option[String]
   ): DataFrame = {
     val data = GraftBoost.assemble(df, model.featureCols, None)
       .withColumn("label", col(labelCol).cast("double"))
-      .select(col("features"), col("label"))
+      .withColumn("w", weightCol.map(col(_).cast("double")).getOrElse(lit(1.0)))
+      .select(col("features"), col("label"), col("w"))
     val spark = df.sparkSession
     import spark.implicits._
 
@@ -46,36 +48,42 @@ object StagedEval {
     }
     val bTrees = spark.sparkContext.broadcast((trees, weights))
 
-    data.as[(Vector, Double)].mapPartitions { it =>
+    data.as[(Vector, Double, Double)].mapPartitions { it =>
       val (ts, ws) = bTrees.value
-      it.flatMap { case (features, label) =>
+      it.flatMap { case (features, label, w) =>
         var margin = 0.0
         ts.indices.iterator.map { r =>
           margin += ws(r) * ts(r).predict(features)
-          (r + 1, label, margin)
+          (r + 1, label, margin, w)
         }
       }
-    }.toDF("round", "label", "margin")
+    }.toDF("round", "label", "margin", "w")
   }
 
-  /** Per-round metric values, index 0 = after first round. */
+  /** Per-round metric values, index 0 = after first round. `weightCol`
+    * reproduces the reference's `sample_weight_eval_set`
+    * (`core.py:138-151`) for the weighted metrics (logloss/rmse —
+    * the reference's weighted eval path; AUC stays unweighted).
+    */
   def history(
       model: GraftBoost.GraftBoostModel,
       df: DataFrame,
       labelCol: String,
-      metric: String
+      metric: String,
+      weightCol: Option[String] = None
   ): Array[Double] = {
-    val staged = stagedMargins(model, df, labelCol)
+    val staged = stagedMargins(model, df, labelCol, weightCol)
     val byRound: DataFrame = metric match {
       case "logloss" =>
         // p = sigmoid(2 * margin) — MLlib GBT classification margin
         val p = lit(1.0) / (lit(1.0) + exp(lit(-2.0) * col("margin")))
-        staged.groupBy(col("round")).agg(
-          avg(when(col("label") === 1.0, -log(greatest(p, lit(1e-15))))
-            .otherwise(-log(greatest(lit(1.0) - p, lit(1e-15))))).as("m"))
+        val ll = when(col("label") === 1.0, -log(greatest(p, lit(1e-15))))
+          .otherwise(-log(greatest(lit(1.0) - p, lit(1e-15))))
+        staged.groupBy(col("round"))
+          .agg((sum(ll * col("w")) / sum(col("w"))).as("m"))
       case "rmse" =>
         staged.groupBy(col("round"))
-          .agg(sqrt(avg(pow(col("margin") - col("label"), 2))).as("m"))
+          .agg(sqrt(sum(pow(col("margin") - col("label"), 2) * col("w")) / sum(col("w"))).as("m"))
       case "auc" =>
         // Mann-Whitney U from margin midranks (ties are common with
         // shallow trees, so average tied ranks), per round

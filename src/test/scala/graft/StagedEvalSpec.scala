@@ -69,6 +69,31 @@ class StagedEvalSpec extends AnyFunSuite {
     assert(GraftBoost.predict(cut, valid).count() == valid.count())
   }
 
+  test("weighted eval history differs when weights emphasize errors") {
+    import org.apache.spark.sql.functions._
+    val m = GraftBoost.train(train, Seq("x1", "x2"), "label",
+      BoostParams(numRound = 5, maxDepth = 2))
+    // upweight positives 10x: weighted logloss must differ from plain
+    val weighted = valid.withColumn("w", when($"label" === 1.0, 10.0).otherwise(1.0))
+    val plain = StagedEval.history(m, valid, "label", "logloss")
+    val wtd = StagedEval.history(m, weighted, "label", "logloss", Some("w"))
+    assert(plain.length == wtd.length)
+    assert(plain.zip(wtd).exists { case (a, b) => math.abs(a - b) > 1e-9 },
+      "weights should change the metric")
+  }
+
+  test("predictLocal scores a single vector like the distributed path") {
+    import org.apache.spark.ml.linalg.Vectors
+    val m = GraftBoost.train(train, Seq("x1", "x2"), "label",
+      BoostParams(numRound = 5, maxDepth = 3))
+    val distributed = GraftBoost.predict(m, valid)
+      .select("x1", "x2", "prediction").collect()
+    distributed.take(20).foreach { r =>
+      val local = GraftBoost.predictLocal(m, Vectors.dense(r.getDouble(0), r.getDouble(1)))
+      assert(local == r.getDouble(2), s"local $local vs distributed ${r.getDouble(2)}")
+    }
+  }
+
   test("staged rmse works for regression models") {
     val df = (0 until 400).map { i =>
       val x = (i % 25).toDouble

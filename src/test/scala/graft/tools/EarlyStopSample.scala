@@ -29,6 +29,11 @@ object EarlyStopSample {
     println(s"[sample] best round k=$k (of ${hist.length})")
     val scored = GraftBoost.predict(cut, valid)
     println(s"[sample] truncated model scored rows=${scored.count()}")
+    val weighted = valid.withColumn("w", when(col("label") === 1.0, 10.0).otherwise(1.0))
+    val wHist = StagedEval.history(model, weighted, "label", "logloss", Some("w"))
+    println(s"[sample] weighted logloss history: ${wHist.map(v => f"$v%.4f").mkString(", ")}")
+    val one = org.apache.spark.ml.linalg.Vectors.dense(10.0, 40000.0, 0.06, 0.02)
+    println(s"[sample] local single-vector predict = ${GraftBoost.predictLocal(model, one)}")
     spark.stop()
   }
 }
