@@ -114,6 +114,47 @@ object Temporal {
     """)
   )
 
+  /** Two-table as-of join through the NATIVE custom operator
+    * (graft.plans.AsOfJoin: logical node + strategy + sort-merge
+    * exec): every click joined to the user's most recent purchase at
+    * or before it. The oracle is DuckDB's built-in ASOF LEFT JOIN —
+    * the two independent implementations must agree row-for-row.
+    */
+  val q27AsofJoinNative = GraftQuery(
+    "q27_asof_join_native",
+    (s, dir) => {
+      import graft.plans.AsOf
+      val t = Tables(s, dir)
+      val clicks = t.events.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val purchases = t.events.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user"), col("ts").as("p_ts"), col("value").as("p_value"))
+      AsOf.join(clicks, purchases,
+        leftKeys = Seq("user_id"), rightKeys = Seq("p_user"),
+        leftTime = "ts", rightTime = "p_ts")
+        .select(col("event_id"), col("user_id"),
+          tsString(col("ts")).as("ts_s"),
+          tsString(col("p_ts")).as("last_purchase_ts_s"),
+          col("p_value").as("last_purchase_value"))
+        .orderBy(col("event_id"))
+    },
+    Some("""
+      WITH clicks AS (
+        SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+      purchases AS (
+        SELECT user_id AS p_user, ts AS p_ts, value AS p_value
+        FROM events WHERE event_type = 'purchase')
+      SELECT c.event_id, c.user_id,
+             strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
+             strftime(p.p_ts, '%Y-%m-%d %H:%M:%S') AS last_purchase_ts_s,
+             p.p_value AS last_purchase_value
+      FROM clicks c ASOF LEFT JOIN purchases p
+        ON c.user_id = p.p_user AND c.ts >= p.p_ts
+      ORDER BY c.event_id
+    """)
+  )
+
   def all: Seq[GraftQuery] =
-    Seq(q21AsofPrevError, q22RangeJoinNeighbors, q23CustomVariance)
+    Seq(q21AsofPrevError, q22RangeJoinNeighbors, q23CustomVariance,
+      q27AsofJoinNative)
 }

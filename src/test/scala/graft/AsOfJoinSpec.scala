@@ -1,0 +1,88 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.plans.AsOf
+
+class AsOfJoinSpec extends AnyFunSuite {
+  import TestSession._
+  import spark.implicits._
+
+  test("hand-built case: picks latest earlier row per key, null when none") {
+    val probe = Seq(
+      (1L, 100L, "a"), (1L, 200L, "b"), (2L, 150L, "c"), (3L, 50L, "d")
+    ).toDF("k", "t", "tag")
+    val ref = Seq(
+      (1L, 90L, 9.0), (1L, 150L, 15.0), (1L, 300L, 30.0), (2L, 100L, 10.0)
+    ).toDF("rk", "rt", "v")
+    val out = AsOf.join(probe, ref, Seq("k"), Seq("rk"), "t", "rt")
+      .select($"tag", $"rt", $"v").collect()
+      .map(r => r.getString(0) -> (if (r.isNullAt(1)) null else (r.getLong(1), r.getDouble(2))))
+      .toMap
+    assert(out("a") == ((90L, 9.0)))   // latest ref <= 100 is 90
+    assert(out("b") == ((150L, 15.0))) // latest ref <= 200 is 150
+    assert(out("c") == ((100L, 10.0))) // key 2
+    assert(out("d") == null)           // key 3 has no ref rows
+  }
+
+  test("equal timestamps are inclusive (<=)") {
+    val probe = Seq((1L, 100L)).toDF("k", "t")
+    val ref = Seq((1L, 100L, 1.0)).toDF("rk", "rt", "v")
+    val r = AsOf.join(probe, ref, Seq("k"), Seq("rk"), "t", "rt").collect().head
+    assert(!r.isNullAt(3) && r.getDouble(4) == 1.0)
+  }
+
+  test("native exec appears in the physical plan") {
+    val t = graft.sources.Tables(spark, sf)
+    val clicks = t.events.filter($"event_type" === "click")
+      .select($"event_id", $"user_id", $"ts")
+    val purchases = t.events.filter($"event_type" === "purchase")
+      .select($"user_id".as("pu"), $"ts".as("pt"))
+    val df = AsOf.join(clicks, purchases, Seq("user_id"), Seq("pu"), "ts", "pt")
+    assert(df.queryExecution
+      .explainString(org.apache.spark.sql.execution.FormattedMode)
+      .contains("AsOfJoin"))
+    assert(df.count() == clicks.count(), "left-outer: every probe row survives")
+  }
+
+  test("matches the window-trick formulation on the real corpus") {
+    val t = graft.sources.Tables(spark, sf)
+    val native = SparkEntry.queries("q27_asof_join_native")(spark, sf)
+      .collect().map(_.toSeq).toSet
+    // union+window equivalent: tag purchases, last purchase ts per user
+    val ev = t.events
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"user_id").orderBy($"ts", $"event_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val trick = ev
+      .withColumn("p_ts", last(when($"event_type" === "purchase", $"ts"), true).over(w))
+      .withColumn("p_value", last(when($"event_type" === "purchase", $"value"), true).over(w))
+      .filter($"event_type" === "click")
+      .select($"event_id", $"user_id",
+        date_format($"ts", "yyyy-MM-dd HH:mm:ss").as("ts_s"),
+        date_format($"p_ts", "yyyy-MM-dd HH:mm:ss").as("last_purchase_ts_s"),
+        $"p_value".as("last_purchase_value"))
+      .collect().map(_.toSeq).toSet
+    assert(native == trick,
+      s"native vs window-trick diff: ${(native -- trick).take(2)} / ${(trick -- native).take(2)}")
+  }
+
+  test("survives multi-partition inputs (distribution + ordering honored)") {
+    val probe = (0 until 1000).map(i => ((i % 7).toLong, i.toLong * 10))
+      .toDF("k", "t").repartition(8)
+    val ref = (0 until 300).map(i => ((i % 7).toLong, i.toLong * 33, i.toDouble))
+      .toDF("rk", "rt", "v").repartition(5)
+    val out = AsOf.join(probe, ref, Seq("k"), Seq("rk"), "t", "rt")
+    assert(out.count() == 1000)
+    // spot-check one row against a driver-side computation
+    // (probe row i=101: k = 101%7 = 3, t = 1010)
+    val sample = out.filter($"k" === 3 && $"t" === 1010).collect().head
+    val expected = (0 until 300).filter(i => i % 7 == 3 && i * 33 <= 1010)
+      .map(_ * 33L).maxOption
+    expected match {
+      case Some(e) => assert(sample.getLong(3) == e)
+      case None    => assert(sample.isNullAt(3))
+    }
+  }
+}
