@@ -662,6 +662,35 @@ object Relational {
     """)
   )
 
+  /** Pivot (wide aggregation): order counts per priority × status.
+    * Spark's pivot emits null for empty cells while SQL conditional
+    * aggregation emits 0, so cells are coalesced for parity.
+    */
+  val q28Pivot = GraftQuery(
+    "q28_pivot",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      t.orders
+        .groupBy(col("o_orderpriority"))
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(count(lit(1)))
+        .select(col("o_orderpriority"),
+          coalesce(col("F"), lit(0L)).as("n_f"),
+          coalesce(col("O"), lit(0L)).as("n_o"),
+          coalesce(col("P"), lit(0L)).as("n_p"))
+        .orderBy(col("o_orderpriority"))
+    },
+    Some("""
+      SELECT o_orderpriority,
+             COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS n_f,
+             COUNT(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS n_o,
+             COUNT(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS n_p
+      FROM orders
+      GROUP BY o_orderpriority
+      ORDER BY o_orderpriority
+    """)
+  )
+
   def all: Seq[GraftQuery] = Seq(
     q01PricingSummary, q02RevenueByNation, q03ShippingPriority,
     q04OrderPriorityExists, q05CustomersWithoutOrders, q06RevenueFilter,
@@ -669,6 +698,6 @@ object Relational {
     q11DistinctCounts, q12SetOps, q13StringFuncs, q14DateFuncs,
     q15CaseAgg, q16TopOrders, q17EventsJson, q18EventsHourly,
     q19EventsUserStats, q20PartRevenue, q24SqlEntry, q25Percentiles,
-    q26TopkAgg
+    q26TopkAgg, q28Pivot
   )
 }
