@@ -88,6 +88,18 @@ class TextDedupSpec extends AnyFunSuite {
     assert(ann.nonEmpty)
   }
 
+  test("IVF ANN scans a fraction of the corpus yet finds true neighbors") {
+    val exact = SparkEntry.queries("sim_topk_bruteforce")(spark, sf)
+      .select("qid", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = SparkEntry.queries("sim_ann_ivf")(spark, sf)
+      .select("qid", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(ivf.nonEmpty)
+    val recall = ivf.intersect(exact).size.toDouble / exact.size
+    // NProbe/NCells = 1/4 of the corpus scanned; random isotropic
+    // vectors are ANN's worst case — pin a floor, not a target
+    assert(recall >= 0.2, s"IVF recall $recall")
+  }
+
   test("text/dedup/sim queries all run and return rows at sf0.001") {
     Seq("text_tokens", "text_quality", "text_langid", "text_fingerprint",
       "dedup_exact", "dedup_ngram_jaccard", "dedup_minhash_lsh",
