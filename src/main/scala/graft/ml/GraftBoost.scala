@@ -228,10 +228,19 @@ object GraftBoost {
         m.transform(data)
           .withColumn("proba", vector_to_array(col("probability")))
           .drop("features", "rawPrediction", "probability")
-      case _: OneVsRestModel =>
-        throw new UnsupportedOperationException(
-          "OneVsRest emits margins, not calibrated probabilities; " +
-          "use multiclassStrategy=rf for predict_proba")
+      case m: OneVsRestModel =>
+        // per-class margins → softmax. Matches the reference's
+        // multi:softprob SHAPE contract (n × num_class, rows sum to
+        // 1); values are normalized margins, not calibrated
+        // probabilities — documented divergence. Use
+        // multiclassStrategy=rf for calibrated class frequencies.
+        val raw = m.setRawPredictionCol("rawAll").transform(data)
+        val margins = vector_to_array(col("rawAll"))
+        val exps = transform(margins, x => exp(x))
+        val denom = aggregate(exps, lit(0.0), (acc, x) => acc + x)
+        raw
+          .withColumn("proba", transform(exps, x => x / denom))
+          .drop("features", "rawAll")
       case m =>
         throw new IllegalStateException(s"model has no probabilities: ${m.getClass}")
     }

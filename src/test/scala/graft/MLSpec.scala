@@ -118,6 +118,10 @@ class MLSpec extends AnyFunSuite {
     assert(clf.numClasses == 3)
     val acc = clf.predict(df).filter($"prediction" === $"label".cast("long")).count().toDouble / 150
     assert(acc >= 0.9, s"ovr accuracy $acc")
+    // predict_proba shape contract holds for the OvR path too
+    val proba = clf.predictProba(df).select("proba").first().getSeq[Double](0)
+    assert(proba.length == 3)
+    assert(math.abs(proba.sum - 1.0) < 1e-9, s"softmax rows must sum to 1: $proba")
   }
 
   test("missing-marker imputation trains and scores") {
