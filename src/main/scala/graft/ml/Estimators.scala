@@ -109,8 +109,15 @@ final class GraftXGBClassifier extends GraftEstimator[GraftXGBClassifier] {
       case None => (df, None)
     }
     model = Some(GraftBoost.train(data, featureCols, labelCol, params, weightCol, valCol))
-    if (evalSets.nonEmpty && effective == "binary:logistic")
+    if (evalSets.nonEmpty) {
+      // per-round history needs a GBT model; fail loudly rather than
+      // silently dropping the caller's eval sets
+      require(effective == "binary:logistic",
+        s"eval-set history is unavailable for objective '$effective' " +
+        "(per-round metrics need a single GBT model); drop evalSets or " +
+        "use StagedEval on the per-class models")
       evalsResult = GraftBoost.evalHistory(fitted, evalSets, labelCol)
+    }
     this
   }
 

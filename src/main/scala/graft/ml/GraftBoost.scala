@@ -79,7 +79,12 @@ object GraftBoost {
       featureCols: Seq[String],
       objective: String,
       numClasses: Int,
-      evalsResult: Map[String, Map[String, Array[Double]]]
+      evalsResult: Map[String, Map[String, Array[Double]]],
+      /** Missing-marker imputation learned at training time
+        * (marker value, per-feature means) — applied at scoring so
+        * train and serve see identical preprocessing.
+        */
+      imputation: Option[(Double, Map[String, Double])] = None
   )
 
   /** Assemble named feature columns into a `features` vector —
@@ -88,29 +93,41 @@ object GraftBoost {
     * metadata on the vector column). Applies the missing-marker
     * imputation if configured.
     */
+  /** Learn per-feature means over non-marker values (the imputation
+    * statistics stored on the model for serve-time parity).
+    */
+  def learnImputation(
+      df: DataFrame,
+      featureCols: Seq[String],
+      marker: Double
+  ): Map[String, Double] = {
+    val means = df
+      .select(featureCols.map(c =>
+        avg(when(col(c) =!= marker, col(c))).as(c)): _*)
+      .first()
+    featureCols.zipWithIndex.map { case (c, i) =>
+      c -> Option(means.get(i)).map(_.toString.toDouble).getOrElse(0.0)
+    }.toMap
+  }
+
   def assemble(
       df: DataFrame,
       featureCols: Seq[String],
-      missing: Option[Double]
+      imputation: Option[(Double, Map[String, Double])]
   ): DataFrame = {
     // Pre-assembled vector column (e.g. embeddings via
     // array_to_vector) passes straight through.
     if (featureCols == Seq("features") &&
         df.schema("features").dataType.typeName == "vector")
       return df
-    val cleaned = missing match {
+    val cleaned = imputation match {
       case None => df
-      case Some(m) =>
-        // Replace the marker with the column mean (computed once,
-        // distributed). Divergence from XGBoost sparse-skip is
-        // documented on BoostParams.missing.
-        val means = df
-          .select(featureCols.map(c =>
-            avg(when(col(c) =!= m, col(c))).as(c)): _*)
-          .first()
-        featureCols.zipWithIndex.foldLeft(df) { case (d, (c, i)) =>
-          val mean = Option(means.get(i)).map(_.toString.toDouble).getOrElse(0.0)
-          d.withColumn(c, when(col(c) === m, mean).otherwise(col(c)))
+      case Some((marker, means)) =>
+        // Replace the marker with the TRAINING-time column mean.
+        // Divergence from XGBoost sparse-skip is documented on
+        // BoostParams.missing.
+        featureCols.foldLeft(df) { case (d, c) =>
+          d.withColumn(c, when(col(c) === marker, means(c)).otherwise(col(c)))
         }
     }
     new VectorAssembler()
@@ -140,7 +157,9 @@ object GraftBoost {
       weightCol: Option[String] = None,
       validationCol: Option[String] = None
   ): GraftBoostModel = {
-    val data = assemble(df, featureCols, params.missing)
+    val imputation = params.missing.map(m =>
+      (m, learnImputation(df, featureCols, m)))
+    val data = assemble(df, featureCols, imputation)
       .withColumn("label", col(labelCol).cast("double"))
 
     params.objective match {
@@ -154,7 +173,7 @@ object GraftBoost {
         weightCol.foreach(gbt.setWeightCol)
         validationCol.foreach(gbt.setValidationIndicatorCol)
         val model = gbt.fit(data)
-        GraftBoostModel(model, featureCols, params.objective, 0, Map.empty)
+        GraftBoostModel(model, featureCols, params.objective, 0, Map.empty, imputation)
 
       case "binary:logistic" =>
         val gbt = new GBTClassifier()
@@ -166,7 +185,7 @@ object GraftBoost {
         weightCol.foreach(gbt.setWeightCol)
         validationCol.foreach(gbt.setValidationIndicatorCol)
         val model = gbt.fit(data)
-        GraftBoostModel(model, featureCols, params.objective, 2, Map.empty)
+        GraftBoostModel(model, featureCols, params.objective, 2, Map.empty, imputation)
 
       case "multi:softprob" | "multi:softmax" =>
         // Class inference = the reference's eager distributed
@@ -174,24 +193,32 @@ object GraftBoost {
         val numClasses = data.select(max(col("label"))).first().getDouble(0).toInt + 1
         val model: Model[_] = params.multiclassStrategy match {
           case "rf" =>
-            new RandomForestClassifier()
+            require(validationCol.isEmpty,
+              "RandomForest multiclass has no validation-based early stopping; " +
+              "use multiclassStrategy=ovr for validation columns")
+            val rf = new RandomForestClassifier()
               .setFeaturesCol("features").setLabelCol("label")
               .setNumTrees(params.numRound).setMaxDepth(params.maxDepth)
               .setSubsamplingRate(params.subsample)
               .setMinInstancesPerNode(params.minChildWeight)
               .setSeed(params.seed)
-              .fit(data)
+            weightCol.foreach(rf.setWeightCol)
+            rf.fit(data)
           case _ =>
             val base = new GBTClassifier()
               .setFeaturesCol("features").setLabelCol("label")
               .setMaxIter(params.numRound).setMaxDepth(params.maxDepth)
               .setStepSize(params.eta).setSubsamplingRate(params.subsample)
               .setSeed(params.seed)
-            new OneVsRest().setClassifier(base)
+            weightCol.foreach(base.setWeightCol)
+            validationCol.foreach(base.setValidationIndicatorCol)
+            val ovr = new OneVsRest().setClassifier(base)
               .setFeaturesCol("features").setLabelCol("label")
-              .fit(data)
+            weightCol.foreach(ovr.setWeightCol)
+            ovr.fit(data)
         }
-        GraftBoostModel(model, featureCols, params.objective, numClasses, Map.empty)
+        GraftBoostModel(model, featureCols, params.objective, numClasses,
+          Map.empty, imputation)
 
       case other =>
         throw new IllegalArgumentException(s"unsupported objective: $other")
@@ -205,7 +232,7 @@ object GraftBoost {
     * the probability vector column; see [[predictProba]].
     */
   def predict(model: GraftBoostModel, df: DataFrame): DataFrame = {
-    val data = assemble(df, model.featureCols, None)
+    val data = assemble(df, model.featureCols, model.imputation)
     val scored = model.model match {
       case m: GBTRegressionModel         => m.transform(data)
       case m: GBTClassificationModel     => m.transform(data)
@@ -222,7 +249,7 @@ object GraftBoost {
     * `core.py:374`).
     */
   def predictProba(model: GraftBoostModel, df: DataFrame): DataFrame = {
-    val data = assemble(df, model.featureCols, None)
+    val data = assemble(df, model.featureCols, model.imputation)
     model.model match {
       case m: ProbabilisticClassificationModel[_, _] =>
         m.transform(data)
@@ -234,7 +261,11 @@ object GraftBoost {
         // 1); values are normalized margins, not calibrated
         // probabilities — documented divergence. Use
         // multiclassStrategy=rf for calibrated class frequencies.
-        val raw = m.setRawPredictionCol("rawAll").transform(data)
+        // Work on a copy: mutating the shared model's output column
+        // would change later predict() calls' schema.
+        val scorer = m.copy(org.apache.spark.ml.param.ParamMap.empty)
+          .asInstanceOf[OneVsRestModel].setRawPredictionCol("rawAll")
+        val raw = scorer.transform(data)
         val margins = vector_to_array(col("rawAll"))
         val exps = transform(margins, x => exp(x))
         val denom = aggregate(exps, lit(0.0), (acc, x) => acc + x)
@@ -270,7 +301,7 @@ object GraftBoost {
       labelCol: String
   ): Map[String, Map[String, Array[Double]]] =
     evalSets.map { case (name, df) =>
-      val data = assemble(df, model.featureCols, None)
+      val data = assemble(df, model.featureCols, model.imputation)
         .withColumn("label", col(labelCol).cast("double"))
       val (metric, values) = model.model match {
         case m: GBTClassificationModel => ("logloss", m.evaluateEachIteration(data))

@@ -33,7 +33,7 @@ object StagedEval {
       labelCol: String,
       weightCol: Option[String]
   ): DataFrame = {
-    val data = GraftBoost.assemble(df, model.featureCols, None)
+    val data = GraftBoost.assemble(df, model.featureCols, model.imputation)
       .withColumn("label", col(labelCol).cast("double"))
       .withColumn("w", weightCol.map(col(_).cast("double")).getOrElse(lit(1.0)))
       .select(col("features"), col("label"), col("w"))

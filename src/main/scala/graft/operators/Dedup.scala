@@ -101,6 +101,9 @@ object Dedup {
         .filter(col("jaccard") >= 0.5)
         .select(col("ia"), col("ib"), round(col("jaccard"), 6).as("jaccard"))
         .orderBy(col("ia"), col("ib"))
+      // pin the (small) pair result, release the big shingle cache
+      out.persist().count()
+      ds.unpersist(false)
       out
     },
     Some("""
@@ -172,13 +175,17 @@ object Dedup {
       // O(|candidates|), not O(|pairs sharing a shingle|)
       val sa = docSets.select(col("doc_id").as("ia"), col("sh").as("sha"))
       val sb = docSets.select(col("doc_id").as("ib"), col("sh").as("shb"))
-      cand.join(sa, Seq("ia")).join(sb, Seq("ib"))
+      val out = cand.join(sa, Seq("ia")).join(sb, Seq("ib"))
         .withColumn("common", size(array_intersect(col("sha"), col("shb"))).cast("double"))
         .withColumn("jaccard",
           col("common") / (size(col("sha")) + size(col("shb")) - col("common")))
         .filter(col("jaccard") >= 0.5)
         .select(col("ia"), col("ib"), round(col("jaccard"), 6).as("jaccard"))
         .orderBy(col("ia"), col("ib"))
+      out.persist().count()
+      docSets.unpersist(false)
+      bands.unpersist(false)
+      out
     },
     None // LSH candidate generation isn't SQL-expressible concisely;
          // TextDedupSpec proves recall against dedup_ngram_jaccard
@@ -200,7 +207,7 @@ object Dedup {
         docs.select(col("doc_id"), col("sh"), lit(b).as("band"),
           shiftright(col("sh"), b * 16).bitwiseAND(0xffffL).as("band_key"))
       }.reduce(_ unionByName _)
-      bands.as("x").join(bands.as("y"),
+      val out = bands.as("x").join(bands.as("y"),
           col("x.band") === col("y.band") && col("x.band_key") === col("y.band_key") &&
           col("x.doc_id") < col("y.doc_id"))
         .select(col("x.doc_id").as("ia"), col("y.doc_id").as("ib"),
@@ -208,6 +215,9 @@ object Dedup {
         .distinct()
         .filter(col("hamming") <= 8)
         .orderBy(col("ia"), col("ib"))
+      out.persist().count()
+      docs.unpersist(false)
+      out
     },
     None // signature semantics live in the custom expression;
          // TextDedupSpec pins planted near-dups + hamming bounds

@@ -125,6 +125,9 @@ object Multimodal {
         .cast("long")
       t.documents
         .select(col("doc_id"), nFrames.as("n_frames"))
+        // empty payloads have 0 frames: sequence(0,-1) would throw in
+        // Spark while the oracle's range(0,0) emits nothing — filter
+        .filter(col("n_frames") > 0)
         .withColumn("frame_idx",
           explode(sequence(lit(0L), col("n_frames") - 1, lit(4L))))
         .select(col("doc_id"), col("frame_idx"))

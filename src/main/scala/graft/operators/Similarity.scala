@@ -163,13 +163,16 @@ object Similarity {
         })
         .select(col("qid"), col("qv"), explode(col("cells.cell")).as("cell"))
       val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))
-      indexed.join(broadcast(queries), Seq("cell"))
+      val out = indexed.join(broadcast(queries), Seq("cell"))
         .filter(col("vec_id") =!= col("qid"))
         .withColumn("cos", cosineSim(col("qv"), col("v")))
         .withColumn("rank", row_number().over(w).cast("long"))
         .filter(col("rank") <= TopK)
         .select(col("qid"), col("rank"), col("vec_id"), round(col("cos"), 6).as("cos"))
         .orderBy(col("qid"), col("rank"))
+      out.persist().count()
+      base.unpersist(false)
+      out
     },
     None // approximate; recall pinned in spec against brute force
   )

@@ -37,10 +37,11 @@ final case class Tables(spark: SparkSession, dir: String) {
   /** Register every table as a temp view so `spark.sql` queries can
     * reference them by name (same names the DuckDB oracle uses).
     */
-  def registerAll(): Unit =
+  def registerAll(): Unit = {
     Seq(
       "region", "nation", "customer", "supplier", "part",
       "orders", "lineitem", "documents", "embeddings"
     ).foreach(n => load(n).createOrReplaceTempView(n))
     events.createOrReplaceTempView("events")
+  }
 }

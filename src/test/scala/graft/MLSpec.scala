@@ -134,6 +134,24 @@ class MLSpec extends AnyFunSuite {
     assert(clf.predict(df).count() == 200)
   }
 
+  test("missing-marker imputation is applied at scoring time too") {
+    // train/serve parity: scoring a frame containing the marker must
+    // behave as if the marker were replaced by the TRAINING means
+    val df = (0 until 200).map { i =>
+      val x = if (i % 10 == 0) -999.0 else (i % 20).toDouble
+      (x, if (i % 20 >= 10 && x != -999.0) 1.0 else 0.0)
+    }.toDF("x", "label")
+    val clf = new GraftXGBClassifier().setNEstimators(5).setMaxDepth(2).setMissing(-999.0)
+    clf.fit(df, Seq("x"), "label")
+    val means = clf.model.get.imputation.get._2
+    val manual = df.withColumn("x",
+      when($"x" === -999.0, means("x")).otherwise($"x"))
+    val viaModel = clf.predict(df).select("label", "prediction").collect().toSeq
+    val viaManual = clf.predict(manual).select("label", "prediction").collect().toSeq
+    assert(viaModel == viaManual,
+      "scoring with raw markers must equal scoring pre-imputed data")
+  }
+
   test("ml queries registered in SparkEntry run at sf0.001") {
     Seq("ml_binary_train_predict", "ml_regression_train_predict", "ml_multiclass_embeddings")
       .foreach { q =>
