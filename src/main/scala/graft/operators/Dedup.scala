@@ -89,7 +89,11 @@ object Dedup {
     "dedup_ngram_jaccard",
     (s, dir) => {
       val t = Tables(s, dir)
-      val ds = docShingles(t.documents).cache()
+      // cache the SETS (pre-explode): exploding off the raw projection
+      // would re-inline the tokenizer per generated row
+      val sets = docShingleSets(t.documents).cache()
+      val ds = sets.select(col("doc_id"), size(col("sh")).as("n_sh"),
+        explode(col("sh")).as("shingle"))
       val a = ds.select(col("doc_id").as("ia"), col("n_sh").as("na"), col("shingle"))
       val b = ds.select(col("doc_id").as("ib"), col("n_sh").as("nb"), col("shingle"))
       val out = a.join(b, Seq("shingle"))
@@ -103,7 +107,7 @@ object Dedup {
         .orderBy(col("ia"), col("ib"))
       // pin the (small) pair result, release the big shingle cache
       out.persist().count()
-      ds.unpersist(false)
+      sets.unpersist(false)
       out
     },
     Some("""

@@ -179,12 +179,18 @@ object TextAnalysis {
     "text_top_ngrams",
     (s, dir) => {
       val t = Tables(s, dir)
-      Dedup.docShingleSets(t.documents)
+      // cache the shingle sets: exploding straight off the projection
+      // lets generator pushdown re-inline the tokenizer per output row
+      val sets = Dedup.docShingleSets(t.documents).cache()
+      val out = sets
         .select(explode(col("sh")).as("trigram"))
         .groupBy(col("trigram"))
         .agg(count(lit(1)).as("doc_freq"))
         .orderBy(col("doc_freq").desc, col("trigram"))
         .limit(20)
+      out.persist().count()
+      sets.unpersist(false)
+      out
     },
     Some("""
       WITH sh AS (
