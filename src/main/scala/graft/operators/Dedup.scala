@@ -79,11 +79,82 @@ object Dedup {
     """)
   )
 
+  /** Max document frequency for a shingle to participate in candidate
+    * generation. A shingle appearing in d documents contributes
+    * O(d²) join pairs; without a cap one hot trigram ("of the and")
+    * makes the inverted-index self-join quadratic on a single skewed
+    * shuffle key. With the cap, candidate generation touches only
+    * discriminative shingles, and verification still uses FULL
+    * shingle sets, so a pair is lost only if every shingle it shares
+    * is hot — vanishingly unlikely for Jaccard ≥ 0.5 (such pairs
+    * share ~half their shingles; the sf0.01 oracle proves the cap
+    * lossless on this corpus, and TextDedupSpec plants a hot shingle
+    * to pin the bounded-pair behavior).
+    */
+  val MaxShingleDf = 1000
+
+  /** Candidate pairing + exact Jaccard for n-gram shingle sets, with
+    * the inverted-index self-join restricted to shingles whose
+    * document frequency is ≤ dfCap. Common-shingle counts over the
+    * rare index come from the join's own groupBy (one pass, map-side
+    * combined); when hot shingles exist, the exact common count is
+    * restored by intersecting the per-doc hot-shingle arrays (each
+    * bounded by the number of globally hot shingles — tiny), applied
+    * only to pairs whose upper-bound Jaccard clears the threshold.
+    * `sets` must be the cached output of docShingleSets.
+    */
+  private[graft] def ngramJaccardPairs(sets: DataFrame, dfCap: Int): DataFrame = {
+    val ds = sets.select(col("doc_id"), size(col("sh")).as("n_sh"),
+      explode(col("sh")).as("shingle"))
+    // hot-shingle list (df > dfCap) is tiny by construction → broadcast
+    val hot = ds.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > dfCap).select(col("shingle")).cache()
+    val nHot = hot.count()
+    val rare = ds.join(broadcast(hot), Seq("shingle"), "left_anti")
+    val a = rare.select(col("doc_id").as("ia"), col("n_sh").as("na"), col("shingle"))
+    val b = rare.select(col("doc_id").as("ib"), col("n_sh").as("nb"), col("shingle"))
+    val counted = a.join(b, Seq("shingle"))
+      .filter(col("ia") < col("ib"))
+      .groupBy(col("ia"), col("ib"), col("na"), col("nb"))
+      .agg(count(lit(1)).as("common_rare"))
+    val scored =
+      if (nHot == 0L) {
+        counted.withColumn("common", col("common_rare").cast("double"))
+      } else {
+        // common ≤ min(common_rare + nHot, min(na, nb)) — prefilter on
+        // that bound, then correct exactly with the hot arrays
+        val cmax = least(col("common_rare") + lit(nHot.toDouble),
+          least(col("na"), col("nb")).cast("double"))
+        val docHot = ds.join(broadcast(hot), Seq("shingle"))
+          .groupBy(col("doc_id")).agg(collect_list(col("shingle")).as("hot_sh"))
+        val ha = docHot.select(col("doc_id").as("ia"), col("hot_sh").as("hot_a"))
+        val hb = docHot.select(col("doc_id").as("ib"), col("hot_sh").as("hot_b"))
+        counted
+          .filter(cmax / (col("na") + col("nb") - cmax) >= 0.5)
+          .join(ha, Seq("ia"), "left")
+          .join(hb, Seq("ib"), "left")
+          .withColumn("common", col("common_rare").cast("double") +
+            size(array_intersect(
+              coalesce(col("hot_a"), array().cast("array<string>")),
+              coalesce(col("hot_b"), array().cast("array<string>")))))
+      }
+    val out = scored
+      .withColumn("jaccard", col("common") / (col("na") + col("nb") - col("common")))
+      .filter(col("jaccard") >= 0.5)
+      .select(col("ia"), col("ib"), round(col("jaccard"), 6).as("jaccard"))
+      .orderBy(col("ia"), col("ib"))
+    out.persist().count()
+    hot.unpersist(false)
+    out
+  }
+
   /** N-gram Jaccard near-dup via shingle inverted index: explode
-    * shingles, self-join on the shingle key, count common shingles
-    * per pair, compute exact Jaccard. Never builds an all-pairs
-    * product — only pairs sharing ≥1 shingle surface, and the oracle
-    * (all-pairs formulation) proves the pruning is lossless.
+    * shingles, self-join on a document-frequency-capped shingle key
+    * (see MaxShingleDf) to surface candidate pairs, then verify each
+    * candidate with exact Jaccard over the full shingle sets. Never
+    * builds an all-pairs product, and no single hot shingle can blow
+    * up the join; the oracle (all-pairs formulation) proves the
+    * pruning lossless at sf0.01.
     */
   val dedupNgramJaccard = GraftQuery(
     "dedup_ngram_jaccard",
@@ -92,21 +163,9 @@ object Dedup {
       // cache the SETS (pre-explode): exploding off the raw projection
       // would re-inline the tokenizer per generated row
       val sets = docShingleSets(t.documents).cache()
-      val ds = sets.select(col("doc_id"), size(col("sh")).as("n_sh"),
-        explode(col("sh")).as("shingle"))
-      val a = ds.select(col("doc_id").as("ia"), col("n_sh").as("na"), col("shingle"))
-      val b = ds.select(col("doc_id").as("ib"), col("n_sh").as("nb"), col("shingle"))
-      val out = a.join(b, Seq("shingle"))
-        .filter(col("ia") < col("ib"))
-        .groupBy(col("ia"), col("ib"), col("na"), col("nb"))
-        .agg(count(lit(1)).as("common"))
-        .withColumn("jaccard",
-          col("common").cast("double") / (col("na") + col("nb") - col("common")))
-        .filter(col("jaccard") >= 0.5)
-        .select(col("ia"), col("ib"), round(col("jaccard"), 6).as("jaccard"))
-        .orderBy(col("ia"), col("ib"))
-      // pin the (small) pair result, release the big shingle cache
-      out.persist().count()
+      // ngramJaccardPairs pins its (small) pair result; release the
+      // big shingle cache once it has materialized
+      val out = ngramJaccardPairs(sets, MaxShingleDf)
       sets.unpersist(false)
       out
     },
@@ -161,8 +220,9 @@ object Dedup {
       val sig = minhashSignature(ds)
       // one aggregation pass; bands explode out of the signature row
       // (a 4-way union would re-aggregate the signature per branch)
+      val rowsPerBand = MinHashK / MinHashBands
       val bandStructs = (0 until MinHashBands).map { b =>
-        val slots = (0 until MinHashK / MinHashBands).map(i => col(s"mh_${b * MinHashBands + i}"))
+        val slots = (0 until rowsPerBand).map(i => col(s"mh_${b * rowsPerBand + i}"))
         struct(lit(b).as("band"), hash(slots: _*).as("band_key"))
       }
       val bands = sig
@@ -227,52 +287,97 @@ object Dedup {
          // TextDedupSpec pins planted near-dups + hamming bounds
   )
 
-  /** Embedding-cosine near-dup candidates — exact all-pairs (the
-    * oracle-checkable baseline; the sublinear scale path is
-    * Similarity.simAnnLsh). Implemented as a broadcast block
-    * nested-loop with a primitive-array kernel in mapPartitions: the
-    * corpus streams once, the (small) comparison side is broadcast,
-    * and the O(n²) arithmetic runs in tight JIT'd loops rather than
-    * per-pair Catalyst lambda evaluation (~50× faster at sf0.1).
-    * Threshold 0.35 sits above the corpus' 99.9th-percentile
-    * background similarity (calibrated on sf0.01).
+  /** Rows per block for the block-partitioned all-pairs kernel. A
+    * task holds at most two blocks (~BlockRows × dim × 8 B each) —
+    * per-task memory is constant in corpus size.
     */
-  val dedupEmbeddingCosine = GraftQuery(
-    "dedup_embedding_cosine",
-    (s, dir) => {
-      import s.implicits._
-      val t = Tables(s, dir)
-      val vecs = t.embeddings
-        .select(col("vec_id"), toDoubleArray(col("embedding")).as("v"))
-        .as[(Long, Array[Double])]
-      val all = vecs.collect().sortBy(_._1)
-      val norms = all.map { case (_, v) =>
+  val BlockRows = 4096
+
+  /** Block-partitioned exact all-pairs cosine: assign vectors to
+    * ceil(n/BlockRows) blocks, pack each block into one row, join a
+    * driver-built (bx ≤ by) block-pair frame against the packed
+    * blocks on block id, and run the O(|bx|·|by|) arithmetic as a
+    * tight primitive loop per block pair. NOTHING is collected to or
+    * broadcast from the driver — the corpus is shuffled once (to
+    * pack blocks) and replicated B times across block pairs, which
+    * is the information-theoretic minimum for exact all-pairs (every
+    * vector must meet every other). Per-task memory stays ~2 blocks
+    * regardless of corpus size. The shuffle-hash hints keep the
+    * block frame out of a whole-corpus broadcast.
+    */
+  private[graft] def blockedCosinePairs(
+      s: SparkSession, vecs: DataFrame, threshold: Double, blockRows: Int): DataFrame = {
+    import s.implicits._
+    val n = vecs.count()
+    val nBlocks = math.max(1L, (n + blockRows - 1) / blockRows).toInt
+    val packed = vecs.as[(Long, Array[Double])]
+      .groupByKey { case (id, _) => (((id % nBlocks) + nBlocks) % nBlocks).toInt }
+      .mapGroups { (bid, it) => (bid, it.toArray.sortBy(_._1)) }
+      .toDF("bid", "rows")
+      .cache()
+    // B(B+1)/2 (bx, by) int pairs — block IDS on the driver, never data
+    val blockPairs = (for { a <- 0 until nBlocks; b <- a until nBlocks } yield (a, b))
+      .toDF("bx", "by")
+    val joined = blockPairs
+      .join(packed.select(col("bid").as("bx"), col("rows").as("rx")).hint("shuffle_hash"), Seq("bx"))
+      .join(packed.select(col("bid").as("by"), col("rows").as("ry")).hint("shuffle_hash"), Seq("by"))
+      .select(col("bx"), col("by"), col("rx"), col("ry"))
+      .as[(Int, Int, Array[(Long, Array[Double])], Array[(Long, Array[Double])])]
+    val pairs = joined.flatMap { case (bx, by, rx, ry) =>
+      val normsY = ry.map { case (_, v) =>
         var s2 = 0.0; var i = 0
         while (i < v.length) { s2 += v(i) * v(i); i += 1 }
         math.sqrt(s2)
       }
-      val bAll = s.sparkContext.broadcast((all, norms))
-      val pairs = vecs.mapPartitions { it =>
-        val (rows, ns) = bAll.value
-        it.flatMap { case (ia, va) =>
-          var na = 0.0
-          var i = 0
-          while (i < va.length) { na += va(i) * va(i); i += 1 }
-          na = math.sqrt(na)
-          rows.iterator.zipWithIndex
-            .filter { case ((ib, _), _) => ia < ib }
-            .flatMap { case ((ib, vb), k) =>
-              var dot = 0.0
-              var j = 0
-              while (j < va.length) { dot += va(j) * vb(j); j += 1 }
-              val cos = dot / (na * ns(k))
-              if (cos >= 0.35) Some((ia, ib, cos)) else None
-            }
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+      var i = 0
+      while (i < rx.length) {
+        val (ida, va) = rx(i)
+        var na = 0.0
+        var k = 0
+        while (k < va.length) { na += va(k) * va(k); k += 1 }
+        na = math.sqrt(na)
+        // same block: strictly-upper triangle; cross block: all pairs
+        // (each unordered vector pair lives in exactly one bx≤by cell)
+        var j = if (bx == by) i + 1 else 0
+        while (j < ry.length) {
+          val (idb, vb) = ry(j)
+          var dot = 0.0
+          var k2 = 0
+          while (k2 < va.length) { dot += va(k2) * vb(k2); k2 += 1 }
+          val cos = dot / (na * normsY(j))
+          if (cos >= threshold) {
+            if (ida < idb) out += ((ida, idb, cos)) else out += ((idb, ida, cos))
+          }
+          j += 1
         }
-      }.toDF("ia", "ib", "cos")
-      pairs
-        .select(col("ia"), col("ib"), round(col("cos"), 6).as("cos"))
-        .orderBy(col("ia"), col("ib"))
+        i += 1
+      }
+      out
+    }.toDF("ia", "ib", "cos")
+    val res = pairs
+      .select(col("ia"), col("ib"), round(col("cos"), 6).as("cos"))
+      .orderBy(col("ia"), col("ib"))
+    res.persist().count()
+    packed.unpersist(false)
+    res
+  }
+
+  /** Embedding-cosine near-dup candidates — exact all-pairs (the
+    * oracle-checkable baseline; the sublinear scale path is
+    * Similarity.simAnnLsh / simAnnIvf). Implemented with the
+    * block-partitioned kernel above: no driver collect, no
+    * whole-corpus broadcast, constant per-task memory. Threshold
+    * 0.35 sits above the corpus' 99.9th-percentile background
+    * similarity (calibrated on sf0.01).
+    */
+  val dedupEmbeddingCosine = GraftQuery(
+    "dedup_embedding_cosine",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val vecs = t.embeddings
+        .select(col("vec_id"), toDoubleArray(col("embedding")).as("v"))
+      blockedCosinePairs(s, vecs, 0.35, BlockRows)
     },
     Some("""
       SELECT a.vec_id AS ia, b.vec_id AS ib,

@@ -97,24 +97,41 @@ object Similarity {
     "sim_ann_lsh",
     (s, dir) => {
       val t = Tables(s, dir)
+      // cached once: the 8 per-table index builds below re-read the
+      // cache instead of re-scanning parquet per table
       val base = t.embeddings
         .select(col("vec_id"), toDoubleArray(col("embedding")).as("v"))
+        .cache()
       // one (table, bucket) row per vector per table — the "index"
+      // carries only (vec_id, tbl, bucket): vectors never ride the
+      // bucket join or the candidate-dedup shuffle
       val indexed = (0 until NumTables).map { tb =>
-        base.select(col("vec_id"), col("v"), lit(tb).as("tbl"),
+        base.select(col("vec_id"), lit(tb).as("tbl"),
           bucketOf(col("v"), tb).as("bucket"))
       }.reduce(_ unionByName _)
-      val queries = indexed.filter(col("vec_id") < NumQueries)
-        .select(col("vec_id").as("qid"), col("v").as("qv"), col("tbl"), col("bucket"))
-      val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))
-      indexed.join(broadcast(queries), Seq("tbl", "bucket"))
+      val qvecs = base.filter(col("vec_id") < NumQueries)
+        .select(col("vec_id").as("qid"), col("v").as("qv"))
+      val qIndexed = (0 until NumTables).map { tb =>
+        qvecs.select(col("qid"), lit(tb).as("tbl"),
+          bucketOf(col("qv"), tb).as("bucket"))
+      }.reduce(_ unionByName _)
+      // candidate dedup on two longs, THEN re-attach vectors: corpus
+      // vector via one id join, query vector via broadcast
+      val cand = indexed.join(broadcast(qIndexed), Seq("tbl", "bucket"))
         .filter(col("vec_id") =!= col("qid"))
-        .select(col("qid"), col("qv"), col("vec_id"), col("v")).distinct()
+        .select(col("qid"), col("vec_id")).distinct()
+      val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))
+      val out = cand
+        .join(base, Seq("vec_id"))
+        .join(broadcast(qvecs), Seq("qid"))
         .withColumn("cos", cosineSim(col("qv"), col("v")))
         .withColumn("rank", row_number().over(w).cast("long"))
         .filter(col("rank") <= TopK)
         .select(col("qid"), col("rank"), col("vec_id"), round(col("cos"), 6).as("cos"))
         .orderBy(col("qid"), col("rank"))
+      out.persist().count()
+      base.unpersist(false)
+      out
     },
     None // approximate by construction; recall pinned in spec
   )

@@ -100,6 +100,61 @@ class TextDedupSpec extends AnyFunSuite {
     assert(recall >= 0.2, s"IVF recall $recall")
   }
 
+  test("ngram jaccard df-cap prunes hot-shingle candidates but keeps true near-dups") {
+    // every doc shares the hot trigram "of the and"; docs 1/2 are true
+    // near-dups sharing rare shingles too. With dfCap below the corpus
+    // size the hot shingle is excluded from candidate generation, so
+    // unrelated docs (which share ONLY the hot shingle) never pair up,
+    // while the near-dup pair still surfaces via its rare shingles.
+    val hot = "of the and"
+    val shared = "alpha beta gamma delta epsilon kappa lambda mu nu xi"
+    val docs = Seq(
+      (1L, s"$shared omega $hot"),
+      (2L, s"$shared sigma $hot"),
+      (3L, s"totally unrelated words here one $hot"),
+      (4L, s"another different document body two $hot"),
+      (5L, s"yet more unique content three four $hot")
+    ).toDF("doc_id", "text")
+    val sets = Dedup.docShingleSets(docs).cache()
+    val capped = Dedup.ngramJaccardPairs(sets, dfCap = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped == Set((1L, 2L)), s"got $capped")
+    // uncapped candidate generation pairs everything that shares the
+    // hot shingle — the cap is what bounds the join
+    val uncapped = Dedup.ngramJaccardPairs(sets, dfCap = 1000)
+    assert(capped == uncapped.collect().map(r => (r.getLong(0), r.getLong(1))).toSet,
+      "cap must be lossless at jaccard >= 0.5 on this corpus")
+    sets.unpersist()
+  }
+
+  test("blocked cosine kernel is exact across block counts and never collects") {
+    // force many blocks (blockRows=3 over 10 vectors) and compare to a
+    // locally computed brute force; each unordered pair must appear
+    // exactly once regardless of which blocks its vectors land in
+    val rnd = new scala.util.Random(7)
+    val base = Array.fill(4)(rnd.nextDouble())
+    val rows = (0L until 10L).map { i =>
+      val v = if (i % 2 == 0) base.map(_ + rnd.nextDouble() * 0.05)
+              else Array.fill(4)(rnd.nextGaussian())
+      (i, v)
+    }
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      dot / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    val expected = (for {
+      i <- rows.indices; j <- (i + 1) until rows.length
+      c = cos(rows(i)._2, rows(j)._2) if c >= 0.35
+    } yield (rows(i)._1, rows(j)._1)).toSet
+    val df = rows.toDF("vec_id", "v")
+    for (blockRows <- Seq(3, 4, 100)) {
+      val got = Dedup.blockedCosinePairs(spark, df, 0.35, blockRows)
+      val pairs = got.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(pairs == expected, s"blockRows=$blockRows: $pairs vs $expected")
+      got.unpersist()
+    }
+  }
+
   test("text/dedup/sim queries all run and return rows at sf0.001") {
     Seq("text_tokens", "text_quality", "text_langid", "text_fingerprint",
       "dedup_exact", "dedup_ngram_jaccard", "dedup_minhash_lsh",
