@@ -16,6 +16,7 @@ sealed abstract class GraftEstimator[Self <: GraftEstimator[Self]] { self: Self 
   protected var learningRate: Double = 0.1
   protected var subsample: Double = 1.0
   protected var missingValue: Option[Double] = None
+  protected var missingStrat: String = "impute"
   protected var seed: Long = 42L
 
   var model: Option[GraftBoostModel] = None
@@ -27,10 +28,18 @@ sealed abstract class GraftEstimator[Self <: GraftEstimator[Self]] { self: Self 
   def setLearningRate(lr: Double): Self = { learningRate = lr; this }
   def setSubsample(s: Double): Self = { subsample = s; this }
   def setMissing(m: Double): Self = { missingValue = Some(m); this }
+  /** "impute" (default) or "sentinel" — see [[GraftBoost.BoostParams.missingStrategy]]. */
+  def setMissingStrategy(s: String): Self = { missingStrat = s; this }
   def setSeed(s: Long): Self = { seed = s; this }
 
   protected def fitted: GraftBoostModel =
     model.getOrElse(throw new IllegalStateException("call fit() first"))
+
+  /** `feature_importances_` parity (reference `test_core.py:57`):
+    * per-feature importance weights keyed by feature column name.
+    */
+  def featureImportances: Map[String, Double] =
+    GraftBoost.featureImportances(fitted)
 }
 
 /** `XGBRegressor` parity (`core.py:387-484`). */
@@ -51,7 +60,8 @@ final class GraftXGBRegressor extends GraftEstimator[GraftXGBRegressor] {
       earlyStoppingValidation: Option[DataFrame] = None
   ): GraftXGBRegressor = {
     val params = BoostParams("reg:squarederror", nEstimators, maxDepth,
-      learningRate, 1, subsample, missingValue, seed = seed)
+      learningRate, 1, subsample, missingValue, seed = seed,
+      missingStrategy = missingStrat)
     val (data, valCol) = earlyStoppingValidation match {
       case Some(v) =>
         (df.withColumn("isVal", lit(false))
@@ -101,7 +111,8 @@ final class GraftXGBClassifier extends GraftEstimator[GraftXGBClassifier] {
     objective = effective
 
     val params = BoostParams(effective, nEstimators, maxDepth, learningRate,
-      1, subsample, missingValue, multiclassStrategy, seed)
+      1, subsample, missingValue, multiclassStrategy, seed,
+      missingStrategy = missingStrat)
     val (data, valCol) = earlyStoppingValidation match {
       case Some(v) =>
         (df.withColumn("isVal", lit(false))
@@ -110,13 +121,22 @@ final class GraftXGBClassifier extends GraftEstimator[GraftXGBClassifier] {
     }
     model = Some(GraftBoost.train(data, featureCols, labelCol, params, weightCol, valCol))
     if (evalSets.nonEmpty) {
-      // per-round history needs a GBT model; fail loudly rather than
-      // silently dropping the caller's eval sets
-      require(effective == "binary:logistic",
-        s"eval-set history is unavailable for objective '$effective' " +
-        "(per-round metrics need a single GBT model); drop evalSets or " +
-        "use StagedEval on the per-class models")
-      evalsResult = GraftBoost.evalHistory(fitted, evalSets, labelCol)
+      if (effective == "binary:logistic") {
+        evalsResult = GraftBoost.evalHistory(fitted, evalSets, labelCol)
+      } else {
+        // multiclass history via staged OvR margins (reference
+        // `multi:softprob` evals_result, `core.py:120, 580-590`);
+        // RandomForest has no per-round structure — fail loudly
+        // rather than silently dropping the caller's eval sets
+        require(multiclassStrategy != "rf",
+          "eval-set history needs per-round models (multiclassStrategy=ovr); " +
+          "RandomForest multiclass has no boosting rounds")
+        evalsResult = evalSets.map { case (name, d) =>
+          name -> Map(
+            "mlogloss" -> StagedEval.history(fitted, d, labelCol, "mlogloss"),
+            "merror"   -> StagedEval.history(fitted, d, labelCol, "merror"))
+        }
+      }
     }
     this
   }

@@ -66,7 +66,21 @@ object GraftBoost {
       subsample: Double = 1.0,
       missing: Option[Double] = None,
       multiclassStrategy: String = "ovr",
-      seed: Long = 42L
+      seed: Long = 42L,
+      /** How the `missing` marker is handled (reference sparse-skip
+        * semantics, `core.py:370-377`):
+        *  - "impute": marker → training-time column mean (default;
+        *    smooth but diverges from XGBoost on sparse data)
+        *  - "sentinel": marker → a training-time out-of-range value
+        *    (beyond the feature's observed max). MLlib rejects NaN in
+        *    feature vectors outright (checkNonNanVectors), so true
+        *    NaN-routing is unavailable; the sentinel instead gives
+        *    missing rows their own separable region, letting each
+        *    split isolate them — the closest expressible analog of
+        *    XGBoost's learned default direction, and like XGBoost the
+        *    marker never blends into real-value statistics.
+        */
+      missingStrategy: String = "impute"
   )
 
   /** Trained model + training metadata. `numClasses` mirrors the
@@ -80,11 +94,15 @@ object GraftBoost {
       objective: String,
       numClasses: Int,
       evalsResult: Map[String, Map[String, Array[Double]]],
-      /** Missing-marker imputation learned at training time
-        * (marker value, per-feature means) — applied at scoring so
-        * train and serve see identical preprocessing.
+      /** Missing-marker substitution learned at training time
+        * (marker value, per-feature replacement values — column means
+        * under "impute", out-of-range sentinels under "sentinel") —
+        * applied at scoring so train and serve see identical
+        * preprocessing.
         */
-      imputation: Option[(Double, Map[String, Double])] = None
+      imputation: Option[(Double, Map[String, Double])] = None,
+      /** "impute" or "sentinel" — see [[BoostParams.missingStrategy]]. */
+      missingStrategy: String = "impute"
   )
 
   /** Assemble named feature columns into a `features` vector —
@@ -110,10 +128,30 @@ object GraftBoost {
     }.toMap
   }
 
+  /** Learn per-feature out-of-range sentinels (missingStrategy =
+    * "sentinel"): a value strictly beyond the observed non-marker max,
+    * so tree splits can isolate missing rows as their own group.
+    */
+  def learnSentinels(
+      df: DataFrame,
+      featureCols: Seq[String],
+      marker: Double
+  ): Map[String, Double] = {
+    val maxes = df
+      .select(featureCols.map(c =>
+        max(when(col(c) =!= marker, col(c))).as(c)): _*)
+      .first()
+    featureCols.zipWithIndex.map { case (c, i) =>
+      val mx = Option(maxes.get(i)).map(_.toString.toDouble).getOrElse(0.0)
+      c -> (mx + 1.0 + math.abs(mx))
+    }.toMap
+  }
+
   def assemble(
       df: DataFrame,
       featureCols: Seq[String],
-      imputation: Option[(Double, Map[String, Double])]
+      imputation: Option[(Double, Map[String, Double])],
+      missingStrategy: String = "impute"
   ): DataFrame = {
     // Pre-assembled vector column (e.g. embeddings via
     // array_to_vector) passes straight through.
@@ -122,12 +160,14 @@ object GraftBoost {
       return df
     val cleaned = imputation match {
       case None => df
-      case Some((marker, means)) =>
-        // Replace the marker with the TRAINING-time column mean.
-        // Divergence from XGBoost sparse-skip is documented on
-        // BoostParams.missing.
+      case Some((marker, repl)) =>
+        // Replace the marker with the TRAINING-time replacement value
+        // (column mean or out-of-range sentinel — both learned at fit
+        // time and carried on the model for serve parity). Divergence
+        // from XGBoost sparse-skip is documented on
+        // BoostParams.missingStrategy.
         featureCols.foldLeft(df) { case (d, c) =>
-          d.withColumn(c, when(col(c) === marker, means(c)).otherwise(col(c)))
+          d.withColumn(c, when(col(c) === marker, repl(c)).otherwise(col(c)))
         }
     }
     new VectorAssembler()
@@ -157,9 +197,11 @@ object GraftBoost {
       weightCol: Option[String] = None,
       validationCol: Option[String] = None
   ): GraftBoostModel = {
-    val imputation = params.missing.map(m =>
-      (m, learnImputation(df, featureCols, m)))
-    val data = assemble(df, featureCols, imputation)
+    val imputation = params.missing.map { m =>
+      if (params.missingStrategy == "sentinel") (m, learnSentinels(df, featureCols, m))
+      else (m, learnImputation(df, featureCols, m))
+    }
+    val data = assemble(df, featureCols, imputation, params.missingStrategy)
       .withColumn("label", col(labelCol).cast("double"))
 
     params.objective match {
@@ -173,7 +215,7 @@ object GraftBoost {
         weightCol.foreach(gbt.setWeightCol)
         validationCol.foreach(gbt.setValidationIndicatorCol)
         val model = gbt.fit(data)
-        GraftBoostModel(model, featureCols, params.objective, 0, Map.empty, imputation)
+        GraftBoostModel(model, featureCols, params.objective, 0, Map.empty, imputation, params.missingStrategy)
 
       case "binary:logistic" =>
         val gbt = new GBTClassifier()
@@ -185,7 +227,7 @@ object GraftBoost {
         weightCol.foreach(gbt.setWeightCol)
         validationCol.foreach(gbt.setValidationIndicatorCol)
         val model = gbt.fit(data)
-        GraftBoostModel(model, featureCols, params.objective, 2, Map.empty, imputation)
+        GraftBoostModel(model, featureCols, params.objective, 2, Map.empty, imputation, params.missingStrategy)
 
       case "multi:softprob" | "multi:softmax" =>
         // Class inference = the reference's eager distributed
@@ -218,7 +260,7 @@ object GraftBoost {
             ovr.fit(data)
         }
         GraftBoostModel(model, featureCols, params.objective, numClasses,
-          Map.empty, imputation)
+          Map.empty, imputation, params.missingStrategy)
 
       case other =>
         throw new IllegalArgumentException(s"unsupported objective: $other")
@@ -232,7 +274,7 @@ object GraftBoost {
     * the probability vector column; see [[predictProba]].
     */
   def predict(model: GraftBoostModel, df: DataFrame): DataFrame = {
-    val data = assemble(df, model.featureCols, model.imputation)
+    val data = assemble(df, model.featureCols, model.imputation, model.missingStrategy)
     val scored = model.model match {
       case m: GBTRegressionModel         => m.transform(data)
       case m: GBTClassificationModel     => m.transform(data)
@@ -249,7 +291,7 @@ object GraftBoost {
     * `core.py:374`).
     */
   def predictProba(model: GraftBoostModel, df: DataFrame): DataFrame = {
-    val data = assemble(df, model.featureCols, model.imputation)
+    val data = assemble(df, model.featureCols, model.imputation, model.missingStrategy)
     model.model match {
       case m: ProbabilisticClassificationModel[_, _] =>
         m.transform(data)
@@ -281,14 +323,56 @@ object GraftBoost {
     * local predict path (`core.py:378-382`): no cluster round-trip,
     * the driver-resident model scores directly.
     */
-  def predictLocal(model: GraftBoostModel, features: Vector): Double =
+  def predictLocal(model: GraftBoostModel, features: Vector): Double = {
+    // Apply the model's missing-marker preprocessing exactly as the
+    // distributed path does (assemble) — otherwise the local path has
+    // train/serve skew whenever BoostParams.missing is set.
+    val f = model.imputation match {
+      case None => features
+      case Some((marker, repl)) =>
+        val arr = features.toArray.clone()
+        var i = 0
+        while (i < arr.length) {
+          if (arr(i) == marker) arr(i) = repl(model.featureCols(i))
+          i += 1
+        }
+        org.apache.spark.ml.linalg.Vectors.dense(arr)
+    }
     model.model match {
-      case m: GBTRegressionModel              => m.predict(features)
-      case m: GBTClassificationModel          => m.predict(features)
-      case m: RandomForestClassificationModel => m.predict(features)
+      case m: GBTRegressionModel              => m.predict(f)
+      case m: GBTClassificationModel          => m.predict(f)
+      case m: RandomForestClassificationModel => m.predict(f)
       case m => throw new UnsupportedOperationException(
         s"local predict unavailable for ${m.getClass}")
     }
+  }
+
+  /** Per-feature importances — `feature_importances_` parity
+    * (reference `test_core.py:57` asserts distributed ≡ local
+    * importances). MLlib exposes impurity-based importances natively;
+    * for OneVsRest the per-class GBT importances are averaged and
+    * renormalized to sum to 1. Keys are the training feature columns
+    * (or `f0..fn` for a pre-assembled vector).
+    */
+  def featureImportances(model: GraftBoostModel): Map[String, Double] = {
+    def ofModel(m: Model[_]): Array[Double] = m match {
+      case g: GBTRegressionModel              => g.featureImportances.toArray
+      case g: GBTClassificationModel          => g.featureImportances.toArray
+      case g: RandomForestClassificationModel => g.featureImportances.toArray
+      case o: OneVsRestModel =>
+        val per = o.models.map(ofModel)
+        val avg = per.head.indices.map(i => per.map(_(i)).sum / per.length).toArray
+        val total = avg.sum
+        if (total > 0) avg.map(_ / total) else avg
+      case m => throw new UnsupportedOperationException(
+        s"feature importances unavailable for ${m.getClass}")
+    }
+    val imp = ofModel(model.model)
+    val names =
+      if (model.featureCols == Seq("features")) imp.indices.map(i => s"f$i")
+      else model.featureCols
+    names.zip(imp).toMap
+  }
 
   /** Per-round validation history — `evals_result` parity
     * (`core.py:120, 259-260`). MLlib exposes it post-hoc via
@@ -301,7 +385,7 @@ object GraftBoost {
       labelCol: String
   ): Map[String, Map[String, Array[Double]]] =
     evalSets.map { case (name, df) =>
-      val data = assemble(df, model.featureCols, model.imputation)
+      val data = assemble(df, model.featureCols, model.imputation, model.missingStrategy)
         .withColumn("label", col(labelCol).cast("double"))
       val (metric, values) = model.model match {
         case m: GBTClassificationModel => ("logloss", m.evaluateEachIteration(data))

@@ -1,0 +1,92 @@
+package graft.ml
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.ml.classification.{
+  GBTClassificationModel, OneVsRestModel, RandomForestClassificationModel
+}
+import org.apache.spark.ml.regression.GBTRegressionModel
+import org.apache.spark.ml.util.MLWritable
+import org.apache.spark.sql.SparkSession
+
+import GraftBoost.GraftBoostModel
+
+/** Whole-model persistence for [[GraftBoost.GraftBoostModel]] — the
+  * model SINK of SURVEY §2.1, extended beyond the reference (whose
+  * models are in-memory only, `core.py:255-264`) so a reloaded model
+  * scores identically: featureCols, objective, numClasses, the
+  * missing-marker imputation statistics, and the eval history are all
+  * saved alongside the MLlib model.
+  *
+  * Layout: `<path>/model/` (MLlib's own writer — distributed,
+  * HDFS-compatible) plus `<path>/graft_meta.json` (one small JSON
+  * written through the Hadoop FileSystem API, so the sink works on
+  * any cluster filesystem, not just local disk).
+  */
+object ModelIO {
+
+  private case class Meta(
+      modelClass: String,
+      featureCols: Seq[String],
+      objective: String,
+      numClasses: Int,
+      missingStrategy: String,
+      imputationMarker: Option[Double],
+      imputationMeans: Map[String, Double],
+      evalsResult: Map[String, Map[String, Array[Double]]]
+  )
+
+  def save(spark: SparkSession, model: GraftBoostModel, path: String): Unit = {
+    val inner = model.model match {
+      case w: MLWritable => w
+      case m => throw new UnsupportedOperationException(s"not writable: ${m.getClass}")
+    }
+    inner.write.overwrite().save(new Path(path, "model").toString)
+
+    import org.json4s.DefaultFormats
+    import org.json4s.jackson.Serialization
+    implicit val fmt: DefaultFormats.type = DefaultFormats
+    val meta = Meta(
+      model.model.getClass.getName,
+      model.featureCols,
+      model.objective,
+      model.numClasses,
+      model.missingStrategy,
+      model.imputation.map(_._1),
+      model.imputation.map(_._2).getOrElse(Map.empty),
+      model.evalsResult
+    )
+    val json = Serialization.write(meta)
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(new Path(path, "graft_meta.json"), true)
+    try out.write(json.getBytes("UTF-8")) finally out.close()
+  }
+
+  def load(spark: SparkSession, path: String): GraftBoostModel = {
+    import org.json4s.DefaultFormats
+    import org.json4s.jackson.JsonMethods
+    implicit val fmt: DefaultFormats.type = DefaultFormats
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(new Path(path, "graft_meta.json"))
+    val json = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+    val meta = JsonMethods.parse(json).extract[Meta]
+
+    val modelPath = new Path(path, "model").toString
+    val inner = meta.modelClass match {
+      case c if c.endsWith("GBTRegressionModel")  => GBTRegressionModel.load(modelPath)
+      case c if c.endsWith("GBTClassificationModel") => GBTClassificationModel.load(modelPath)
+      case c if c.endsWith("RandomForestClassificationModel") =>
+        RandomForestClassificationModel.load(modelPath)
+      case c if c.endsWith("OneVsRestModel") => OneVsRestModel.load(modelPath)
+      case c => throw new UnsupportedOperationException(s"unknown model class: $c")
+    }
+    GraftBoostModel(
+      inner,
+      meta.featureCols,
+      meta.objective,
+      meta.numClasses,
+      meta.evalsResult,
+      meta.imputationMarker.map(m => (m, meta.imputationMeans)),
+      meta.missingStrategy
+    )
+  }
+}

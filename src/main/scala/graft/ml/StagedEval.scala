@@ -1,6 +1,6 @@
 package graft.ml
 
-import org.apache.spark.ml.classification.GBTClassificationModel
+import org.apache.spark.ml.classification.{GBTClassificationModel, OneVsRestModel}
 import org.apache.spark.ml.linalg.Vector
 import org.apache.spark.ml.regression.GBTRegressionModel
 import org.apache.spark.sql.{DataFrame, Dataset}
@@ -33,7 +33,8 @@ object StagedEval {
       labelCol: String,
       weightCol: Option[String]
   ): DataFrame = {
-    val data = GraftBoost.assemble(df, model.featureCols, model.imputation)
+    val data = GraftBoost.assemble(df, model.featureCols, model.imputation,
+        model.missingStrategy)
       .withColumn("label", col(labelCol).cast("double"))
       .withColumn("w", weightCol.map(col(_).cast("double")).getOrElse(lit(1.0)))
       .select(col("features"), col("label"), col("w"))
@@ -60,10 +61,73 @@ object StagedEval {
     }.toDF("round", "label", "margin", "w")
   }
 
+  /** (round, per-example mlogloss, correct-indicator, weight) rows
+    * for a OneVsRest-over-GBT multiclass model: one distributed pass
+    * accumulates every class's staged margin simultaneously, applies
+    * the same softmax as [[GraftBoost.predictProba]]'s OvR path per
+    * round, and emits the per-example metric parts narrow so the
+    * per-round metrics are plain groupBy aggregations — reference
+    * `multi:softprob` eval-history semantics (`core.py:120, 580-590`).
+    */
+  private def stagedMulticlass(
+      model: GraftBoost.GraftBoostModel,
+      df: DataFrame,
+      labelCol: String,
+      weightCol: Option[String]
+  ): DataFrame = {
+    val data = GraftBoost.assemble(df, model.featureCols, model.imputation,
+        model.missingStrategy)
+      .withColumn("label", col(labelCol).cast("double"))
+      .withColumn("w", weightCol.map(col(_).cast("double")).getOrElse(lit(1.0)))
+      .select(col("features"), col("label"), col("w"))
+    val spark = df.sparkSession
+    import spark.implicits._
+
+    val perClass = model.model match {
+      case m: OneVsRestModel =>
+        m.models.map {
+          case g: GBTClassificationModel => (g.trees, g.treeWeights)
+          case other => throw new UnsupportedOperationException(
+            s"staged multiclass needs GBT per class, got ${other.getClass}")
+        }
+      case m => throw new UnsupportedOperationException(
+        s"staged multiclass metrics need a OneVsRest model, got ${m.getClass}")
+    }
+    val b = spark.sparkContext.broadcast(perClass)
+
+    data.as[(Vector, Double, Double)].mapPartitions { it =>
+      val pc = b.value
+      val nC = pc.length
+      val rounds = pc.map(_._1.length).min
+      it.flatMap { case (features, label, w) =>
+        val margins = new Array[Double](nC)
+        (0 until rounds).iterator.map { r =>
+          var c = 0
+          while (c < nC) {
+            margins(c) += pc(c)._2(r) * pc(c)._1(r).predict(features); c += 1
+          }
+          var mx = margins(0); var argmax = 0
+          var i = 1
+          while (i < nC) {
+            if (margins(i) > mx) { mx = margins(i); argmax = i }; i += 1
+          }
+          var denom = 0.0
+          i = 0
+          while (i < nC) { denom += math.exp(margins(i) - mx); i += 1 }
+          val p = math.exp(margins(label.toInt) - mx) / denom
+          val correct = if (argmax == label.toInt) 1.0 else 0.0
+          (r + 1, -math.log(math.max(p, 1e-15)), correct, w)
+        }
+      }
+    }.toDF("round", "ll", "correct", "w")
+  }
+
   /** Per-round metric values, index 0 = after first round. `weightCol`
     * reproduces the reference's `sample_weight_eval_set`
-    * (`core.py:138-151`) for the weighted metrics (logloss/rmse —
-    * the reference's weighted eval path; AUC stays unweighted).
+    * (`core.py:138-151`) for the weighted metrics (logloss/rmse/
+    * mlogloss/merror — the reference's weighted eval path; AUC stays
+    * unweighted). Binary/regression metrics need a single GBT model;
+    * "mlogloss"/"merror" need a OneVsRest-over-GBT multiclass model.
     */
   def history(
       model: GraftBoost.GraftBoostModel,
@@ -72,6 +136,14 @@ object StagedEval {
       metric: String,
       weightCol: Option[String] = None
   ): Array[Double] = {
+    if (metric == "mlogloss" || metric == "merror") {
+      val staged = stagedMulticlass(model, df, labelCol, weightCol)
+      val m =
+        if (metric == "mlogloss") (sum(col("ll") * col("w")) / sum(col("w"))).as("m")
+        else (lit(1.0) - sum(col("correct") * col("w")) / sum(col("w"))).as("m")
+      return staged.groupBy(col("round")).agg(m)
+        .orderBy(col("round")).collect().map(_.getAs[Double]("m"))
+    }
     val staged = stagedMargins(model, df, labelCol, weightCol)
     val byRound: DataFrame = metric match {
       case "logloss" =>

@@ -65,6 +65,47 @@ class MLInputSpec extends AnyFunSuite {
     assert(before == after)
   }
 
+  test("ModelIO round-trip: reloaded model keeps imputation and scores marker rows identically") {
+    val df = (0 until 200).map { i =>
+      val x = if (i % 10 == 0) -999.0 else (i % 20).toDouble
+      (x, if (i % 20 >= 10 && x != -999.0) 1.0 else 0.0)
+    }.toDF("x", "label")
+    val clf = new GraftXGBClassifier().setNEstimators(5).setMaxDepth(2).setMissing(-999.0)
+    clf.fit(df, Seq("x"), "label", evalSets = Map("validation_0" -> df))
+    val m = clf.model.get.copy(evalsResult = clf.evalsResult)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_modelio").toString + "/m"
+    ModelIO.save(spark, m, tmp)
+    val back = ModelIO.load(spark, tmp)
+    assert(back.featureCols == Seq("x"))
+    assert(back.objective == "binary:logistic")
+    assert(back.numClasses == 2)
+    assert(back.imputation == m.imputation, "imputation means must survive the round-trip")
+    assert(back.evalsResult("validation_0")("logloss").toSeq ==
+      m.evalsResult("validation_0")("logloss").toSeq)
+    val before = GraftBoost.predict(m, df).select("x", "prediction")
+      .collect().map(r => (r.getDouble(0), r.getDouble(1))).toSeq
+    val after = GraftBoost.predict(back, df).select("x", "prediction")
+      .collect().map(r => (r.getDouble(0), r.getDouble(1))).toSeq
+    assert(before == after, "reloaded model must score marker-containing rows identically")
+  }
+
+  test("ModelIO round-trips an OvR multiclass model") {
+    val df = (0 until 150).map { i =>
+      val c = i % 3
+      (c * 10.0 + (i % 5), c.toDouble)
+    }.toDF("x1", "label")
+    val clf = new GraftXGBClassifier().setNEstimators(3).setMaxDepth(2)
+    clf.fit(df, Seq("x1"), "label")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_modelio_ovr").toString + "/m"
+    ModelIO.save(spark, clf.model.get, tmp)
+    val back = ModelIO.load(spark, tmp)
+    assert(back.numClasses == 3)
+    val before = clf.predict(df).select("prediction").collect().map(_.getLong(0)).toSeq
+    val after = GraftBoost.predict(back, df)
+      .select(col("prediction").cast("long")).collect().map(_.getLong(0)).toSeq
+    assert(before == after)
+  }
+
   test("unsupported objective raises") {
     val df = Seq((1.0, 0.0)).toDF("x", "label")
     intercept[IllegalArgumentException] {

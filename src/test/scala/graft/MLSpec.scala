@@ -152,6 +152,109 @@ class MLSpec extends AnyFunSuite {
       "scoring with raw markers must equal scoring pre-imputed data")
   }
 
+  test("feature_importances_: distributed ≈ local, signal feature dominates (test_core.py:57)") {
+    def importances(parts: Int): Map[String, Double] = {
+      val clf = new GraftXGBClassifier().setNEstimators(5).setMaxDepth(3)
+      clf.fit(separable.repartition(parts), Seq("x1", "x2"), "label")
+      clf.featureImportances
+    }
+    val local = importances(1)
+    val dist = importances(8)
+    for (m <- Seq(local, dist)) {
+      assert(math.abs(m.values.sum - 1.0) < 1e-6, s"importances must sum to 1: $m")
+      assert(m("x1") > m("x2"),
+        s"x1 carries the label signal and must dominate: $m")
+    }
+    // distributed ≡ local within tolerance (the reference asserts
+    // exact equality; MLlib histogram order can differ slightly)
+    assert(math.abs(local("x1") - dist("x1")) < 0.2,
+      s"distributed ${dist("x1")} vs local ${local("x1")}")
+  }
+
+  test("feature_importances_ for OvR multiclass averages per-class models") {
+    val df = (0 until 150).map { i =>
+      val c = i % 3
+      (c * 10.0 + (i % 5), (i % 7).toDouble, c.toDouble)
+    }.toDF("x1", "x2", "label")
+    val clf = new GraftXGBClassifier().setNEstimators(3).setMaxDepth(2)
+    clf.fit(df, Seq("x1", "x2"), "label")
+    val imp = clf.featureImportances
+    assert(math.abs(imp.values.sum - 1.0) < 1e-6)
+    assert(imp("x1") > imp("x2"))
+  }
+
+  test("missingStrategy=sentinel: marker handling changes the model (test_core.py:365-382)") {
+    // the reference's own assertion: training WITH missing-marker
+    // handling differs from training that treats the marker as a
+    // real value. Marker -999 placed on rows whose x would otherwise
+    // be strongly informative.
+    val df = (0 until 200).map { i =>
+      val x = if (i % 4 == 0) -999.0 else (i % 20).toDouble
+      (x, if (i % 20 >= 10) 1.0 else 0.0)
+    }.toDF("x", "label")
+    val naive = new GraftXGBClassifier().setNEstimators(5).setMaxDepth(3)
+    naive.fit(df, Seq("x"), "label")
+    val sent = new GraftXGBClassifier().setNEstimators(5).setMaxDepth(3)
+      .setMissing(-999.0).setMissingStrategy("sentinel")
+    sent.fit(df, Seq("x"), "label")
+    assert(sent.predict(df).count() == 200)
+    // the marker must not shape the trees as a real value: the naive
+    // model needs sub-zero thresholds to wall off -999; the sentinel
+    // model sees only [0, 19] ∪ {sentinel} and must have none
+    import org.apache.spark.ml.classification.GBTClassificationModel
+    def thresholds(c: GraftXGBClassifier): Seq[Double] = {
+      val s = c.model.get.model.asInstanceOf[GBTClassificationModel].toDebugString
+      raw"<= (-?[0-9.]+)".r.findAllMatchIn(s).map(_.group(1).toDouble).toSeq
+    }
+    assert(thresholds(naive).exists(_ < 0.0),
+      "naive model should split below zero to separate the -999 'value'")
+    assert(thresholds(sent).forall(_ >= 0.0),
+      s"sentinel model must not inherit marker-shaped thresholds: ${thresholds(sent)}")
+    // sentinel sits strictly beyond the observed non-marker range, so
+    // splits can isolate the missing group instead of blending it
+    val sentinel = sent.model.get.imputation.get._2("x")
+    assert(sentinel > 19.0, s"sentinel $sentinel must exceed observed max 19")
+    // serve parity: raw marker frame ≡ manually substituted frame
+    val manual = df.withColumn("x", when($"x" === -999.0, sentinel).otherwise($"x"))
+    assert(sent.predict(df).select("prediction").collect().map(_.getLong(0)).toSeq ==
+      sent.predict(manual).select("prediction").collect().map(_.getLong(0)).toSeq)
+  }
+
+  test("predictLocal applies the model's missing-marker preprocessing") {
+    import org.apache.spark.ml.linalg.Vectors
+    val df = (0 until 200).map { i =>
+      val x = if (i % 10 == 0) -999.0 else (i % 20).toDouble
+      (x, if (i % 20 >= 10 && x != -999.0) 1.0 else 0.0)
+    }.toDF("x", "label")
+    for (strategy <- Seq("impute", "sentinel")) {
+      val clf = new GraftXGBClassifier().setNEstimators(5).setMaxDepth(2)
+        .setMissing(-999.0).setMissingStrategy(strategy)
+      clf.fit(df, Seq("x"), "label")
+      val m = clf.model.get
+      val distributed = GraftBoost.predict(m, Seq((-999.0, 0.0)).toDF("x", "label"))
+        .select("prediction").first().getDouble(0)
+      val local = GraftBoost.predictLocal(m, Vectors.dense(-999.0))
+      assert(local == distributed,
+        s"strategy=$strategy: local $local must equal distributed $distributed on a marker row")
+    }
+  }
+
+  test("multiclass evals_result: mlogloss/merror history per round (core.py:120)") {
+    val df = (0 until 300).map { i =>
+      val c = i % 3
+      (c * 10.0 + (i % 5), (i % 7).toDouble, c.toDouble)
+    }.toDF("x1", "x2", "label")
+    val clf = new GraftXGBClassifier().setNEstimators(4).setMaxDepth(2)
+    clf.fit(df, Seq("x1", "x2"), "label", evalSets = Map("validation_0" -> df))
+    val hist = clf.evalsResult("validation_0")
+    assert(hist("mlogloss").length == 4, s"mlogloss rounds: ${hist("mlogloss").length}")
+    assert(hist("merror").length == 4)
+    // training-set fit improves over rounds on separable data
+    assert(hist("mlogloss").last <= hist("mlogloss").head,
+      s"mlogloss should not get worse on train data: ${hist("mlogloss").toSeq}")
+    assert(hist("merror").last <= 0.05, s"final merror ${hist("merror").last}")
+  }
+
   test("ml queries registered in SparkEntry run at sf0.001") {
     Seq("ml_binary_train_predict", "ml_regression_train_predict", "ml_multiclass_embeddings")
       .foreach { q =>
