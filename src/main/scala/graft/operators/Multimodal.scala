@@ -91,8 +91,11 @@ object Multimodal {
   )
 
   /** Batched decode via mapPartitions over the typed Dataset — the
-    * real plumbing around the stubbed codec. Rows-only in the
-    * harness; MultimodalStreamSpec pins the feature math.
+    * real plumbing around the stubbed codec. The byte-arithmetic
+    * features (sizes, frame counts, mean byte) are oracle-checked in
+    * DuckDB (the corpus is ASCII, so per-char codes equal payload
+    * bytes); the stub's rolling checksum stays out of the registered
+    * output and is pinned by MultimodalStreamSpec instead.
     */
   val mmDecodeFeatures = GraftQuery(
     "mm_decode_features",
@@ -105,11 +108,18 @@ object Multimodal {
         .mapPartitions(_.map { case (id, bytes) => decodeStub(id, bytes) })
         .toDF()
         .select(col("doc_id"), col("n_bytes"), col("n_frames"),
-          round(col("mean_byte"), 6).as("mean_byte"),
-          col("first_frame_checksum"))
+          round(col("mean_byte"), 6).as("mean_byte"))
         .orderBy(col("doc_id"))
     },
-    None
+    Some(s"""
+      SELECT doc_id,
+             CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+             CAST(floor((octet_length(encode(text)) - 1) / $FrameSize) + 1 AS BIGINT) AS n_frames,
+             round(CAST(list_sum(list_transform(string_split(text, ''), c -> ascii(c))) AS DOUBLE)
+               / octet_length(encode(text)), 6) AS mean_byte
+      FROM documents
+      ORDER BY doc_id
+    """)
   )
 
   /** Frame sampling: one row per sampled frame index per asset (every

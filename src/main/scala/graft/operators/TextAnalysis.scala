@@ -132,9 +132,11 @@ object TextAnalysis {
       .otherwise(best.getField("l"))
   }
 
-  /** Language-ID distribution over the corpus (heuristic output —
-    * verified against synthetic multilingual fixtures in
-    * TextDedupSpec; rows-only in the driver harness).
+  /** Language-ID distribution over the corpus. The marker heuristic
+    * is pure list/struct arithmetic, so it is fully oracle-checked in
+    * DuckDB (same marker lists, same struct-max tie-break on
+    * (score, lang)); synthetic multilingual fixtures in TextDedupSpec
+    * additionally pin per-language behavior.
     */
   val textLangid = GraftQuery(
     "text_langid",
@@ -146,7 +148,25 @@ object TextAnalysis {
         .agg(count(lit(1)).as("n"))
         .orderBy(col("predicted_lang"))
     },
-    None
+    Some(raw"""
+      WITH t AS (
+        SELECT doc_id, text, string_split_regex(lower(text), '\s+') AS toks
+        FROM documents),
+      s AS (
+        SELECT doc_id, text,
+          {s: len(list_filter(toks, x -> list_contains(['der','die','das','und','ist','ein','nicht','zu','den','mit'], x))), l: 'de'} AS de,
+          {s: len(list_filter(toks, x -> list_contains(['the','and','of','is','in','to','it','that','with','as'], x))), l: 'en'} AS en,
+          {s: len(list_filter(toks, x -> list_contains(['el','la','de','que','y','en','los','se','del','las'], x))), l: 'es'} AS es,
+          {s: len(list_filter(toks, x -> list_contains(['le','la','les','de','et','un','est','que','une','dans'], x))), l: 'fr'} AS fr
+        FROM t),
+      b AS (
+        SELECT doc_id, text, list_aggregate([de, en, es, fr], 'max') AS best FROM s)
+      SELECT CASE WHEN length(regexp_replace(text, '[^\x{4e00}-\x{9fff}]', '', 'g')) > 0 THEN 'zh'
+                  WHEN best.s = 0 THEN 'unknown'
+                  ELSE best.l END AS predicted_lang,
+             COUNT(*) AS n
+      FROM b GROUP BY 1 ORDER BY 1
+    """)
   )
 
   /** Content fingerprinting: md5 over whitespace-normalized text —
