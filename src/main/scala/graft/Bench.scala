@@ -48,8 +48,18 @@ object Bench {
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.collect { case (_, v) if v >= 0 => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val failed = results.collect { case (k, v) if v < 0 => k }
+    // a crashed query must never IMPROVE the headline number: report a
+    // sentinel total and a nonzero exit so the perf gate can't pass on
+    // an incomplete run
+    val total =
+      if (failed.nonEmpty) 1e9
+      else results.map(_._2).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":${failed.length},"sf":"$sfDir"}""")
     spark.stop()
+    if (failed.nonEmpty) {
+      System.err.println(s"[bench] ${failed.length} queries failed: ${failed.mkString(", ")}")
+      sys.exit(1)
+    }
   }
 }

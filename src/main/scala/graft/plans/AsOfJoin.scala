@@ -21,6 +21,16 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * time), and stream both sides once with O(1) state — exactly what
   * survives at 100 TB.
   *
+  * Semantics match pandas `merge_asof` / DuckDB ASOF JOIN:
+  *  - `joinType` "left" keeps unmatched probe rows (null right side);
+  *    "inner" drops them.
+  *  - `tolerance` (in the time column's native units — e.g.
+  *    microseconds for timestamps) rejects matches older than
+  *    leftTime − tolerance.
+  *  - Null keys and null times never match (SQL null-equality
+  *    semantics): left rows with nulls surface only under "left",
+  *    right rows with nulls are skipped.
+  *
   * Implemented as the full custom-operator stack per the build
   * brief's preference (c): logical node + planner Strategy +
   * physical exec, injected via experimentalMethods (equivalently
@@ -32,11 +42,16 @@ case class AsOfJoin(
     leftKeys: Seq[Expression],
     rightKeys: Seq[Expression],
     leftTime: Expression,
-    rightTime: Expression
+    rightTime: Expression,
+    joinType: String = "left",
+    tolerance: Option[Double] = None
 ) extends BinaryNode {
-  // left rows always survive (left-outer as-of); right side nullable
+  require(joinType == "left" || joinType == "inner", s"unsupported joinType $joinType")
+  // under "left", left rows always survive and the right side is
+  // nullable; under "inner" every emitted row has a real match
   override def output: Seq[Attribute] =
-    left.output ++ right.output.map(_.withNullability(true))
+    if (joinType == "left") left.output ++ right.output.map(_.withNullability(true))
+    else left.output ++ right.output
   override protected def withNewChildrenInternal(
       newLeft: LogicalPlan, newRight: LogicalPlan): AsOfJoin =
     copy(left = newLeft, right = newRight)
@@ -44,8 +59,8 @@ case class AsOfJoin(
 
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoin(l, r, lk, rk, lt, rt) =>
-      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt) :: Nil
+    case AsOfJoin(l, r, lk, rk, lt, rt, jt, tol) =>
+      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, jt, tol) :: Nil
     case _ => Nil
   }
 }
@@ -56,11 +71,14 @@ case class AsOfJoinExec(
     leftKeys: Seq[Expression],
     rightKeys: Seq[Expression],
     leftTime: Expression,
-    rightTime: Expression
+    rightTime: Expression,
+    joinType: String,
+    tolerance: Option[Double]
 ) extends BinaryExecNode {
 
   override def output: Seq[Attribute] =
-    left.output ++ right.output.map(_.withNullability(true))
+    if (joinType == "left") left.output ++ right.output.map(_.withNullability(true))
+    else left.output ++ right.output
 
   override def outputPartitioning: Partitioning = left.outputPartitioning
 
@@ -85,6 +103,8 @@ case class AsOfJoinExec(
       leftKeys.zipWithIndex.map { case (e, i) =>
         org.apache.spark.sql.types.StructField(s"k$i", e.dataType) })
     val nRight = right.output.length
+    val inner = joinType == "inner"
+    val tolB = tolerance
 
     left.execute().zipPartitions(right.execute()) { (lIt, rIt) =>
       val joined = new JoinedRow
@@ -94,7 +114,9 @@ case class AsOfJoinExec(
       val rTimeBound = BindReferences.bindReference(rTimeB, rOut)
       val lTimeEval = BindReferences.bindReference(lTimeB, lOut)
       val keyOrdering = TypeUtils.getInterpretedOrdering(keySchema)
+        .asInstanceOf[Ordering[Any]]
       val timeOrdering = TypeUtils.getInterpretedOrdering(lTimeB.dataType)
+        .asInstanceOf[Ordering[Any]]
       // downstream consumers (collect, shuffle) require UnsafeRow
       val outProj = UnsafeProjection.create((lOut ++ rOut).map(_.dataType).toArray)
 
@@ -103,40 +125,71 @@ case class AsOfJoinExec(
         private var rHeadKey: InternalRow = _
         private var lastMatch: InternalRow = _
         private var lastMatchKey: InternalRow = _
+        private var lastMatchTime: Any = _
+        private var pending: InternalRow = _
         advanceRight()
 
-        private def advanceRight(): Unit =
-          if (rIt.hasNext) {
-            rHead = rIt.next()
-            rHeadKey = rKey(rHead).copy()
-          } else { rHead = null; rHeadKey = null }
+        private def advanceRight(): Unit = {
+          rHead = null; rHeadKey = null
+          // right rows with null keys or null time can never match
+          while (rHead == null && rIt.hasNext) {
+            val r = rIt.next()
+            val k = rKey(r)
+            if (!k.anyNull && rTimeBound.eval(r) != null) {
+              rHead = r
+              rHeadKey = k.copy()
+            }
+          }
+        }
 
-        override def hasNext: Boolean = lIt.hasNext
-
-        override def next(): InternalRow = {
-          val l = lIt.next()
+        /** Join one left row; null result = unmatched (inner drops it). */
+        private def matchLeft(l: InternalRow): InternalRow = {
           val lk = lKey(l).copy()
           val lt = lTimeEval.eval(l)
+          // null key / null time on the left never matches
+          if (lk.anyNull || lt == null)
+            return if (inner) null else outProj(joined(l, nullRight))
           // consume right rows that are (earlier key) or (same key,
           // time <= left time); remember the last same-key one
           var continue = true
           while (continue && rHead != null) {
-            val c = keyOrdering.asInstanceOf[Ordering[Any]]
-              .compare(rHeadKey, lk)
+            val c = keyOrdering.compare(rHeadKey, lk)
             if (c < 0) {
               advanceRight()
             } else if (c == 0) {
               val rt = rTimeBound.eval(rHead)
-              if (timeOrdering.asInstanceOf[Ordering[Any]].compare(rt, lt) <= 0) {
+              if (timeOrdering.compare(rt, lt) <= 0) {
                 lastMatch = rHead.copy()
                 lastMatchKey = rHeadKey
+                lastMatchTime = rt
                 advanceRight()
               } else continue = false
             } else continue = false
           }
-          val matched = lastMatch != null && lastMatchKey != null &&
-            keyOrdering.asInstanceOf[Ordering[Any]].compare(lastMatchKey, lk) == 0
-          outProj(if (matched) joined(l, lastMatch) else joined(l, nullRight))
+          val sameKey = lastMatch != null && lastMatchKey != null &&
+            keyOrdering.compare(lastMatchKey, lk) == 0
+          val withinTol = sameKey && (tolB match {
+            case None => true
+            case Some(t) =>
+              val ltN = lt.asInstanceOf[Number].doubleValue()
+              val rtN = lastMatchTime.asInstanceOf[Number].doubleValue()
+              ltN - rtN <= t
+          })
+          if (withinTol) outProj(joined(l, lastMatch))
+          else if (inner) null
+          else outProj(joined(l, nullRight))
+        }
+
+        override def hasNext: Boolean = {
+          while (pending == null && lIt.hasNext) pending = matchLeft(lIt.next())
+          pending != null
+        }
+
+        override def next(): InternalRow = {
+          if (!hasNext) throw new NoSuchElementException
+          val out = pending
+          pending = null
+          out
         }
       }
     }
@@ -159,7 +212,16 @@ object AsOf {
   }
 
   /** `left` rows joined to the most recent `right` row with equal
-    * keys and rightTime ≤ leftTime (left-outer semantics).
+    * keys and rightTime ≤ leftTime.
+    *
+    * @param joinType  "left" (default — unmatched probes survive with
+    *                  null right columns) or "inner" (pandas
+    *                  `merge_asof` default drops them only under
+    *                  tolerance misses; DuckDB ASOF INNER drops all
+    *                  unmatched)
+    * @param tolerance maximum allowed leftTime − rightTime, in the
+    *                  time column's native units (microseconds for
+    *                  timestamps) — pandas `merge_asof(tolerance=…)`
     */
   def join(
       left: DataFrame,
@@ -167,7 +229,9 @@ object AsOf {
       leftKeys: Seq[String],
       rightKeys: Seq[String],
       leftTime: String,
-      rightTime: String
+      rightTime: String,
+      joinType: String = "left",
+      tolerance: Option[Double] = None
   ): DataFrame = {
     val spark = left.sparkSession
     install(spark)
@@ -181,7 +245,8 @@ object AsOf {
       leftKeys.map(resolve(lPlan, _)),
       rightKeys.map(resolve(rPlan, _)),
       resolve(lPlan, leftTime),
-      resolve(rPlan, rightTime))
+      resolve(rPlan, rightTime),
+      joinType, tolerance)
     GraftColumnBridge.ofRows(spark, node)
   }
 }

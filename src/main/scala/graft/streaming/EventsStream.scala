@@ -97,47 +97,68 @@ object EventsStream {
   case class SessionSummary(
       user_id: Long, n_sessions: Long, n_events: Long, max_session_events: Long)
 
+  /** Running per-user session bookkeeping carried in GroupState
+    * across triggers: time of the last event seen, session count so
+    * far, events in the currently-open session, the max session size
+    * observed, and total events.
+    */
+  case class SessState(
+      lastTs: Long, sessions: Long, cur: Long, maxEv: Long, total: Long)
+
   /** Gap from one event to the next that closes a session. */
   val SessionGapMinutes = 30L
+  private val GapMicros = SessionGapMinutes * 60L * 1000000L
+
+  /** The flatMapGroupsWithState function: merges this trigger's
+    * (time-sorted) events into the accrued GroupState, so sessions
+    * spanning trigger boundaries are counted once, and emits the
+    * user's updated summary. Within a trigger events are sorted by
+    * event time; across triggers arrival order must follow event time
+    * (the file-replay and append-log case — reordering ACROSS
+    * triggers would need event-time timeouts and a reorder buffer).
+    * Exposed for the multi-trigger spec.
+    */
+  def sessionFn(user: Long, rows: Iterator[Ev], state: GroupState[SessState])
+      : Iterator[SessionSummary] = {
+    val ts = rows.map(_.tsMicros).toArray.sorted
+    if (ts.isEmpty) return Iterator.empty
+    val st = state.getOption.getOrElse(SessState(Long.MinValue, 0L, 0L, 0L, 0L))
+    var last = st.lastTs
+    var sessions = st.sessions
+    var cur = st.cur
+    var maxEv = st.maxEv
+    var total = st.total
+    var i = 0
+    while (i < ts.length) {
+      if (last == Long.MinValue || ts(i) - last > GapMicros) { sessions += 1; cur = 1 }
+      else cur += 1
+      if (cur > maxEv) maxEv = cur
+      last = ts(i)
+      total += 1
+      i += 1
+    }
+    state.update(SessState(last, sessions, cur, maxEv, total))
+    Iterator.single(SessionSummary(user, sessions, total, maxEv))
+  }
 
   /** Arbitrary-stateful sessionization via flatMapGroupsWithState:
-    * per-user sessions close after a 30-minute silence. The state
-    * type is the running session bookkeeping; on a live stream the
-    * same function accrues state across triggers with event-time
-    * timeouts. The DuckDB oracle recomputes sessions relationally
-    * (lag + gap counting) — stateful streaming must agree with the
-    * relational definition.
+    * per-user sessions close after a 30-minute silence. GroupState
+    * carries the running bookkeeping (O(1) per user — never the
+    * user's event history), so sessions that span trigger boundaries
+    * are counted once and a hot user cannot OOM a task. The DuckDB
+    * oracle recomputes sessions relationally (lag + gap counting) —
+    * stateful streaming must agree with the relational definition.
     */
   val streamSessionize = GraftQuery(
     "stream_sessionize",
     (s, dir) => {
       import s.implicits._
-      val gapMicros = SessionGapMinutes * 60L * 1000000L
-
-      def fn(user: Long, rows: Iterator[Ev], state: GroupState[Array[Long]])
-          : Iterator[SessionSummary] = {
-        // single-batch replay: all events for the user arrive here;
-        // sort by event time (arrival order is not time order)
-        val ts = rows.map(_.tsMicros).toArray.sorted
-        var sessions = 1L
-        var cur = 1L
-        var maxEv = 1L
-        var i = 1
-        while (i < ts.length) {
-          if (ts(i) - ts(i - 1) > gapMicros) { sessions += 1; cur = 1 }
-          else { cur += 1; if (cur > maxEv) maxEv = cur }
-          i += 1
-        }
-        if (ts.isEmpty) Iterator.empty
-        else Iterator.single(SessionSummary(user, sessions, ts.length.toLong, maxEv))
-      }
-
       val evs = eventsStream(s, dir)
         .select(col("user_id"), unix_micros(col("ts")).as("tsMicros"), col("value"))
         .as[Ev]
       val summarized = evs
         .groupByKey(_.user_id)
-        .flatMapGroupsWithState(OutputMode.Update(), GroupStateTimeout.NoTimeout)(fn)
+        .flatMapGroupsWithState(OutputMode.Update(), GroupStateTimeout.NoTimeout)(sessionFn _)
       runToTable(summarized.toDF(), OutputMode.Update())
         .orderBy(col("user_id"))
     },

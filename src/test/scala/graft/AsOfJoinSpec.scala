@@ -68,6 +68,56 @@ class AsOfJoinSpec extends AnyFunSuite {
       s"native vs window-trick diff: ${(native -- trick).take(2)} / ${(trick -- native).take(2)}")
   }
 
+  test("inner joinType drops unmatched probe rows") {
+    val probe = Seq(
+      (1L, 100L, "a"), (2L, 150L, "c"), (3L, 50L, "d")
+    ).toDF("k", "t", "tag")
+    val ref = Seq((1L, 90L, 9.0), (2L, 100L, 10.0)).toDF("rk", "rt", "v")
+    val out = AsOf.join(probe, ref, Seq("k"), Seq("rk"), "t", "rt", joinType = "inner")
+      .select($"tag", $"v").collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(out == Map("a" -> 9.0, "c" -> 10.0), s"got $out")
+  }
+
+  test("tolerance rejects matches older than leftTime - tolerance (merge_asof parity)") {
+    val probe = Seq((1L, 100L, "a"), (1L, 500L, "b")).toDF("k", "t", "tag")
+    val ref = Seq((1L, 90L, 9.0)).toDF("rk", "rt", "v")
+    // tag a: gap 10 <= 50 matches; tag b: gap 410 > 50 rejected
+    val out = AsOf.join(probe, ref, Seq("k"), Seq("rk"), "t", "rt",
+        tolerance = Some(50.0))
+      .select($"tag", $"v").collect()
+      .map(r => r.getString(0) -> (if (r.isNullAt(1)) null else r.getDouble(1))).toMap
+    assert(out("a") == 9.0)
+    assert(out("b") == null)
+    // inner + tolerance drops the stale row entirely
+    val inner = AsOf.join(probe, ref, Seq("k"), Seq("rk"), "t", "rt",
+        joinType = "inner", tolerance = Some(50.0))
+      .select($"tag").collect().map(_.getString(0)).toSeq
+    assert(inner == Seq("a"))
+  }
+
+  test("null keys and null times never match (SQL null-equality semantics)") {
+    val probe = Seq(
+      (Some(1L), Some(100L), "ok"),
+      (None, Some(100L), "nullkey"),
+      (Some(1L), None, "nulltime")
+    ).toDF("k", "t", "tag")
+    val ref = Seq(
+      (Some(1L), Some(90L), 9.0),
+      (None, Some(80L), 8.0),       // null right key: skipped
+      (Some(1L), None, 7.0)         // null right time: skipped
+    ).toDF("rk", "rt", "v")
+    val out = AsOf.join(probe, ref, Seq("k"), Seq("rk"), "t", "rt")
+      .select($"tag", $"v").collect()
+      .map(r => r.getString(0) -> (if (r.isNullAt(1)) null else r.getDouble(1))).toMap
+    assert(out("ok") == 9.0, "real rows still match (null right rows skipped, no NPE)")
+    assert(out("nullkey") == null)
+    assert(out("nulltime") == null)
+    // inner drops the null-key/time probes
+    val inner = AsOf.join(probe, ref, Seq("k"), Seq("rk"), "t", "rt", joinType = "inner")
+      .select($"tag").collect().map(_.getString(0)).toSeq
+    assert(inner == Seq("ok"))
+  }
+
   test("survives multi-partition inputs (distribution + ordering honored)") {
     val probe = (0 until 1000).map(i => ((i % 7).toLong, i.toLong * 10))
       .toDF("k", "t").repartition(8)

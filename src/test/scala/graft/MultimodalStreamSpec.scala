@@ -29,6 +29,43 @@ class MultimodalStreamSpec extends AnyFunSuite {
     assert(joined.count() == 0, "metadata path and decode path disagree")
   }
 
+  test("sessionize state accrues across triggers (sessions spanning batches count once)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    import graft.streaming.EventsStream
+    import graft.streaming.EventsStream.{Ev, SessionSummary}
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val minute = 60L * 1000000L
+
+    val src = MemoryStream[Ev]
+    val summarized = src.toDS()
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Update(),
+        org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout)(
+        EventsStream.sessionFn _)
+    val name = "graft_sess_multibatch"
+    val q = summarized.toDF().writeStream
+      .outputMode(OutputMode.Update()).format("memory").queryName(name).start()
+    try {
+      // batch 1: two events 10 min apart — one session of 2 events
+      src.addData(Ev(1L, 0L, 0.0), Ev(1L, 10 * minute, 0.0))
+      q.processAllAvailable()
+      val afterB1 = spark.table(name).as[SessionSummary].collect()
+      assert(afterB1.toSeq == Seq(SessionSummary(1L, 1L, 2L, 2L)), s"got ${afterB1.toSeq}")
+      // batch 2: one event 20 min after the last (same session
+      // continues across the trigger boundary), one 120 min later
+      // (new session). A stateless re-run of batch 2 alone would
+      // miscount this as 2 sessions of 1 event.
+      src.addData(Ev(1L, 30 * minute, 0.0), Ev(1L, 150 * minute, 0.0))
+      q.processAllAvailable()
+      val rows = spark.table(name).as[SessionSummary].collect()
+      val finalRow = rows.last // memory sink appends per-trigger updates in order
+      assert(finalRow == SessionSummary(1L, 2L, 4L, 3L),
+        s"cross-trigger state must merge the spanning session: got $finalRow (all: ${rows.toSeq})")
+    } finally q.stop()
+  }
+
   test("streaming hourly agg equals the batch aggregation") {
     val streamed = SparkEntry.queries("stream_hourly_agg")(spark, sf)
     val batch = SparkEntry.queries("q18_events_hourly")(spark, sf)
