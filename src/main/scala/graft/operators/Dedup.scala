@@ -288,10 +288,10 @@ object Dedup {
   )
 
   /** Rows per block for the block-partitioned all-pairs kernel. A
-    * task holds at most two blocks (~BlockRows × dim × 8 B each) —
-    * per-task memory is constant in corpus size.
+    * task holds at most two blocks (~BlockRows × dim × 8 B ≈ 4 MB
+    * each at dim 64) — per-task memory is constant in corpus size.
     */
-  val BlockRows = 4096
+  val BlockRows = 8192
 
   /** Block-partitioned exact all-pairs cosine: assign vectors to
     * ceil(n/BlockRows) blocks, pack each block into one row, join a
