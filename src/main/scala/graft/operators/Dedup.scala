@@ -23,29 +23,20 @@ import graft.plans.SimHash64.simhash64
   */
 object Dedup {
 
-  /** Distinct word-trigram shingles from a MATERIALIZED token-array
-    * column (empty for docs under 3 tokens — Spark's sequence() would
-    * run descending). Callers must project the tokens first: inlining
-    * `split()` here would re-run it inside every lambda element_at,
-    * turning shingling O(tokens²) per row (measured 11s → 0.3s at
-    * sf0.1).
+  /** Distinct word-trigram shingles of a token-array column — the
+    * custom codegen'd expression (graft.plans.WordShingles): one
+    * primitive-loop eval per row, replacing the HOF lambda pipeline
+    * whose per-element interpreted evaluation dominated the dedup
+    * family's runtime.
     */
-  def shinglesFromTokens(toks: Column): Column = {
-    val grams = transform(
-      sequence(lit(1), size(toks) - 2),
-      i => concat_ws(" ",
-        element_at(toks, i), element_at(toks, i + 1), element_at(toks, i + 2)))
-    array_distinct(
-      when(size(toks) < 3, array().cast("array<string>")).otherwise(grams))
-  }
+  def shinglesFromTokens(toks: Column): Column =
+    graft.plans.WordShingles.wordShingles(toks, 3)
 
-  /** doc_id + distinct shingle set per document (tokens materialized
-    * in a separate projection step — see shinglesFromTokens).
-    */
+  /** doc_id + distinct shingle set per document. */
   def docShingleSets(docs: DataFrame): DataFrame =
     docs
-      .select(col("doc_id"), split(lower(col("text")), "\\s+").as("toks"))
-      .select(col("doc_id"), shinglesFromTokens(col("toks")).as("sh"))
+      .select(col("doc_id"),
+        shinglesFromTokens(split(lower(col("text")), "\\s+")).as("sh"))
 
   /** Convenience for specs: shingles of a raw text column. */
   def shingles(text: Column): Column = shinglesFromTokens(split(lower(text), "\\s+"))
@@ -390,8 +381,99 @@ object Dedup {
     """)
   )
 
+  /** Distributed connected components by iterative minimum-label
+    * propagation: labels start as node ids and flow along edges until
+    * fixpoint; every node ends with the min doc_id of its component.
+    * Each round is one equi-join + one map-side-combined min
+    * aggregation on uniform keys; convergence is detected by the
+    * strictly-decreasing label sum (no second join). Rounds =
+    * component diameter — near-dup clusters are shallow (dup groups,
+    * not paths), so this converges in a handful of rounds at any
+    * corpus size; `maxIter` bounds pathological chains.
+    */
+  private[graft] def connectedComponents(
+      edges: DataFrame, srcCol: String, dstCol: String, maxIter: Int = 50
+  ): DataFrame = {
+    val sym = edges
+      .select(col(srcCol).cast("long").as("a"), col(dstCol).cast("long").as("b"))
+      .union(edges.select(col(dstCol).cast("long").as("a"), col(srcCol).cast("long").as("b")))
+      .distinct().cache()
+    // seed with min(self, neighbors) — the first propagation round as
+    // one aggregation, no join (identity labels make the join a no-op)
+    var labels = sym.groupBy(col("a")).agg(min(col("b")).as("nb"))
+      .select(col("a").as("node"), least(col("a"), col("nb")).as("label"))
+      .cache()
+    // one action per round (the label-sum aggregate materializes the
+    // cache as a side effect); labels only ever decrease, so an
+    // unchanged sum IS the fixpoint. AQE right-sizes each round's
+    // shuffles — dedup pair graphs are tiny next to the corpus.
+    var prevSum = -1L
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      val msgs = sym.join(labels, sym("a") === labels("node"))
+        .select(col("b").as("node"), col("label"))
+      val next = msgs.union(labels.select(col("node"), col("label")))
+        .groupBy(col("node")).agg(min(col("label")).as("label"))
+        .cache()
+      val nextSum = next.agg(sum(col("label"))).first().getLong(0)
+      labels.unpersist(false)
+      labels = next
+      converged = nextSum == prevSum
+      prevSum = nextSum
+      iter += 1
+    }
+    sym.unpersist(false)
+    labels
+  }
+
+  /** Near-dup cluster assignment: connected components over the
+    * n-gram-Jaccard pair graph — the step that turns pairwise dedup
+    * verdicts into canonical-document groups (transitive closure:
+    * A≈B and B≈C cluster A,B,C together even when A,C were never
+    * compared). Oracle: DuckDB recursive CTE over the same pair
+    * graph.
+    */
+  val dedupClusters = GraftQuery(
+    "dedup_clusters",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val sets = docShingleSets(t.documents).cache()
+      val pairs = ngramJaccardPairs(sets, MaxShingleDf)
+      sets.unpersist(false)
+      val out = connectedComponents(pairs, "ia", "ib")
+        .select(col("node").as("doc_id"), col("label").as("cluster_id"))
+        .orderBy(col("doc_id"))
+      out.persist().count()
+      pairs.unpersist(false)
+      out
+    },
+    Some("""
+      WITH RECURSIVE sh AS (
+        SELECT doc_id,
+               list_distinct(list_transform(
+                 range(1, greatest(len(string_split_regex(lower(text), '\s+')) - 1, 1)),
+                 i -> string_split_regex(lower(text), '\s+')[i] || ' ' ||
+                      string_split_regex(lower(text), '\s+')[i+1] || ' ' ||
+                      string_split_regex(lower(text), '\s+')[i+2])) AS s
+        FROM documents),
+      p AS (
+        SELECT a.doc_id AS ia, b.doc_id AS ib
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.5),
+      e AS (SELECT ia AS a, ib AS b FROM p UNION SELECT ib, ia FROM p),
+      reach(node, label) AS (
+        SELECT a, a FROM (SELECT DISTINCT a FROM e) t
+        UNION
+        SELECT e.b, r.label FROM reach r JOIN e ON e.a = r.node)
+      SELECT node AS doc_id, MIN(label) AS cluster_id
+      FROM reach GROUP BY node ORDER BY doc_id
+    """)
+  )
+
   def all: Seq[GraftQuery] = Seq(
     dedupExact, dedupNgramJaccard, dedupMinhashLsh, dedupSimhash,
-    dedupEmbeddingCosine
+    dedupEmbeddingCosine, dedupClusters
   )
 }

@@ -691,6 +691,58 @@ object Relational {
     """)
   )
 
+  /** GROUPING SETS — the generalized multi-level aggregation rollup/
+    * cube specialize. Written in the ANSI subset both engines parse,
+    * so the oracle is the identical string; null group markers are
+    * coalesced to 'ALL' (the flag columns are non-null in data).
+    * Same partial+final hash-agg shape as rollup at any scale.
+    */
+  private val q29Sql = """
+      SELECT coalesce(l_returnflag, 'ALL') AS rf,
+             coalesce(l_linestatus, 'ALL') AS ls,
+             COUNT(*) AS n,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+      FROM lineitem
+      GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+      ORDER BY rf, ls
+    """
+
+  val q29GroupingSets = GraftQuery(
+    "q29_grouping_sets",
+    (s, dir) => {
+      Tables(s, dir).registerAll()
+      s.sql(q29Sql)
+    },
+    Some(q29Sql)
+  )
+
+  /** Approximate distinct counting (HyperLogLog++): the sketch that
+    * replaces exact distinct at 100 TB — mergeable, fixed-size state,
+    * one pass, no distinct shuffle. Sketch estimates differ across
+    * engines by construction, so this is spec-pinned (relative error
+    * vs the exact count, RelationalSpec) rather than DuckDB-hashed.
+    */
+  val q30ApproxDistinct = GraftQuery(
+    "q30_approx_distinct",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      // separate aggregations: mixing distinct and non-distinct
+      // aggregates in one agg forces Expand (every input row
+      // duplicated per aggregate) — two lean passes + a 5-row join
+      // beat that by ~10× here
+      val base = t.lineitem.select(col("l_returnflag"), col("l_orderkey"))
+      val approx = base
+        .groupBy(col("l_returnflag"))
+        .agg(approx_count_distinct(col("l_orderkey"), 0.01).as("approx_orders"))
+      val exact = base.distinct()
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("exact_orders"))
+      approx.join(exact, Seq("l_returnflag"))
+        .orderBy(col("l_returnflag"))
+    },
+    None
+  )
+
   def all: Seq[GraftQuery] = Seq(
     q01PricingSummary, q02RevenueByNation, q03ShippingPriority,
     q04OrderPriorityExists, q05CustomersWithoutOrders, q06RevenueFilter,
@@ -698,6 +750,6 @@ object Relational {
     q11DistinctCounts, q12SetOps, q13StringFuncs, q14DateFuncs,
     q15CaseAgg, q16TopOrders, q17EventsJson, q18EventsHourly,
     q19EventsUserStats, q20PartRevenue, q24SqlEntry, q25Percentiles,
-    q26TopkAgg, q28Pivot
+    q26TopkAgg, q28Pivot, q29GroupingSets, q30ApproxDistinct
   )
 }

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.GraftQuery
@@ -229,6 +230,81 @@ object TextAnalysis {
     """)
   )
 
+  /** End-to-end training-set selection — the composition a real
+    * LLM-data pipeline runs: keep documents that are (a) canonical
+    * under exact dedup (min doc_id of their content-hash group),
+    * (b) language-ID'd as English, (c) above the quality floor, and
+    * (d) long enough. One scan, one hash-partitioned window for
+    * canonicalization, all filters codegen'd — at 100 TB this is a
+    * single shuffle on a uniform 128-bit key.
+    */
+  val textTrainingSet = GraftQuery(
+    "text_training_set",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val toks = tokens(col("text"))
+      val nTok = size(toks).cast("double")
+      val nStop = size(filter(toks, isStopword _)).cast("double")
+      val nPunct = length(regexp_replace(col("text"), "[^.,;:!?'\"]", "")).cast("double")
+      val nChars = length(col("text")).cast("double")
+      val quality = least(nTok / lit(100.0), lit(1.0)) * lit(0.5) +
+        least(nStop / nTok * lit(5.0), lit(1.0)) * lit(0.3) +
+        (lit(1.0) - least(nPunct / nChars * lit(10.0), lit(1.0))) * lit(0.2)
+      val normalized = trim(regexp_replace(lower(col("text")), "\\s+", " "))
+      val scored = t.documents.select(
+        col("doc_id"),
+        md5(normalized.cast("binary")).as("h"),
+        nTok.cast("long").as("n_tokens"),
+        quality.as("quality"),
+        langId(col("text")).as("lang"))
+      val w = Window.partitionBy(col("h"))
+      scored
+        .withColumn("canon", min(col("doc_id")).over(w))
+        .filter(col("doc_id") === col("canon") &&
+          col("lang") === "en" && col("quality") >= 0.5 && col("n_tokens") >= 30)
+        .select(col("doc_id"), col("n_tokens"), round(col("quality"), 6).as("quality"))
+        .orderBy(col("doc_id"))
+    },
+    Some(raw"""
+      WITH t AS (
+        SELECT doc_id, text, string_split_regex(lower(text), '\s+') AS toks,
+               md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS h
+        FROM documents),
+      lang AS (
+        SELECT doc_id,
+          list_aggregate([
+            {s: len(list_filter(toks, x -> list_contains(['der','die','das','und','ist','ein','nicht','zu','den','mit'], x))), l: 'de'},
+            {s: len(list_filter(toks, x -> list_contains(['the','and','of','is','in','to','it','that','with','as'], x))), l: 'en'},
+            {s: len(list_filter(toks, x -> list_contains(['el','la','de','que','y','en','los','se','del','las'], x))), l: 'es'},
+            {s: len(list_filter(toks, x -> list_contains(['le','la','les','de','et','un','est','que','une','dans'], x))), l: 'fr'}
+          ], 'max') AS best,
+          length(regexp_replace(text, '[^\x{4e00}-\x{9fff}]', '', 'g')) > 0 AS zh
+        FROM t),
+      q AS (
+        SELECT doc_id, h,
+               CAST(len(toks) AS DOUBLE) AS n_tok,
+               CAST(len(list_filter(toks, x -> list_contains(['the','a','of','to','and','in','is','it','that','for'], x))) AS DOUBLE) AS n_stop,
+               CAST(length(regexp_replace(text, '[^.,;:!?''"]', '', 'g')) AS DOUBLE) AS n_punct,
+               CAST(length(text) AS DOUBLE) AS n_chars
+        FROM t),
+      scored AS (
+        SELECT q.doc_id, q.h, CAST(q.n_tok AS BIGINT) AS n_tokens,
+               least(q.n_tok / 100.0, 1.0) * 0.5
+                 + least(q.n_stop / q.n_tok * 5.0, 1.0) * 0.3
+                 + (1.0 - least(q.n_punct / q.n_chars * 10.0, 1.0)) * 0.2 AS quality,
+               CASE WHEN lang.zh THEN 'zh'
+                    WHEN lang.best.s = 0 THEN 'unknown'
+                    ELSE lang.best.l END AS lang
+        FROM q JOIN lang ON q.doc_id = lang.doc_id),
+      canon AS (SELECT h AS ch, MIN(doc_id) AS canon_id FROM t GROUP BY h)
+      SELECT s.doc_id, s.n_tokens, round(s.quality, 6) AS quality
+      FROM scored s JOIN canon c ON s.h = c.ch AND s.doc_id = c.canon_id
+      WHERE s.lang = 'en' AND s.quality >= 0.5 AND s.n_tokens >= 30
+      ORDER BY s.doc_id
+    """)
+  )
+
   def all: Seq[GraftQuery] =
-    Seq(textTokens, textQuality, textLangid, textFingerprint, textTopNgrams)
+    Seq(textTokens, textQuality, textLangid, textFingerprint, textTopNgrams,
+      textTrainingSet)
 }

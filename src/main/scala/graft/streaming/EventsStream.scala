@@ -37,20 +37,33 @@ object EventsStream {
     StructField("props", StringType)
   ))
 
+  /** Stream a single parquet file as a file-source directory. The
+    * file stream source needs a directory; the sf tables are single
+    * files, so expose them through a temp-dir symlink (a real
+    * deployment points this at the landing directory the producer
+    * appends to).
+    */
+  private def fileStream(
+      s: SparkSession, dir: String, file: String, schema: StructType): DataFrame = {
+    val src = java.nio.file.Paths.get(dir, file)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_stream_src")
+    java.nio.file.Files.createSymbolicLink(tmp.resolve(file), src)
+    s.readStream.schema(schema).parquet(tmp.toString)
+  }
+
   private def eventsStream(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    // The file stream source needs a directory; events.parquet is a
-    // single file, so expose it through a temp-dir symlink (a real
-    // deployment points this at the landing directory the producer
-    // appends to).
-    val src = java.nio.file.Paths.get(dir, "events.parquet")
-    val tmp = java.nio.file.Files.createTempDirectory("graft_stream_src")
-    java.nio.file.Files.createSymbolicLink(tmp.resolve("events.parquet"), src)
-    s.readStream
-      .schema(rawSchema)
-      .parquet(tmp.toString)
+    fileStream(s, dir, "events.parquet", rawSchema)
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
+
+  private val documentsSchema = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("text", StringType),
+    StructField("lang", StringType),
+    StructField("source", StringType),
+    StructField("n_chars", LongType)
+  ))
 
   private def runToTable(df: DataFrame, mode: OutputMode): DataFrame = {
     val name = "graft_sink_" + UUID.randomUUID().toString.replace("-", "")
@@ -214,5 +227,33 @@ object EventsStream {
     None
   )
 
-  def all: Seq[GraftQuery] = Seq(streamHourlyAgg, streamSessionize, streamScore)
+  /** Streaming exact dedup: `dropDuplicates` on the normalized
+    * content hash keeps the first-seen copy of every document as the
+    * corpus streams in — the online form of `dedup_exact`. Keyed
+    * state is one 128-bit hash per distinct document (a real
+    * deployment bounds it with `dropDuplicatesWithinWatermark` over
+    * ingest time). Output is the distinct hash set, so the streaming
+    * result is deterministic and equals the batch DuckDB oracle
+    * regardless of arrival order.
+    */
+  val streamDedupExact = GraftQuery(
+    "stream_dedup_exact",
+    (s, dir) => {
+      val docs = fileStream(s, dir, "documents.parquet", documentsSchema)
+      val hashed = docs
+        .select(md5(trim(regexp_replace(lower(col("text")), "\\s+", " "))
+          .cast("binary")).as("content_hash"))
+        .dropDuplicates("content_hash")
+      runToTable(hashed, OutputMode.Append())
+        .orderBy(col("content_hash"))
+    },
+    Some("""
+      SELECT DISTINCT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS content_hash
+      FROM documents
+      ORDER BY content_hash
+    """)
+  )
+
+  def all: Seq[GraftQuery] =
+    Seq(streamHourlyAgg, streamSessionize, streamScore, streamDedupExact)
 }

@@ -114,9 +114,18 @@ class MultimodalStreamSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming dedup keeps exactly the batch-distinct hash set") {
+    val streamed = SparkEntry.queries("stream_dedup_exact")(spark, sf)
+      .collect().map(_.getString(0)).toSet
+    val batch = SparkEntry.queries("dedup_exact")(spark, sf)
+      .select("content_hash").collect().map(_.getString(0)).toSet
+    assert(streamed == batch,
+      s"streaming first-seen dedup must equal batch distinct: ${streamed.size} vs ${batch.size}")
+  }
+
   test("multimodal + streaming queries run and return rows at sf0.001") {
     Seq("mm_binary_metadata", "mm_decode_features", "mm_frame_sample",
-      "stream_hourly_agg", "stream_sessionize")
+      "stream_hourly_agg", "stream_sessionize", "stream_dedup_exact")
       .foreach { q =>
         assert(SparkEntry.queries(q)(spark, sf).count() > 0, s"$q empty")
       }

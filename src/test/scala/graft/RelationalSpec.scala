@@ -48,4 +48,41 @@ class RelationalSpec extends AnyFunSuite {
     val over = df.groupBy("l_orderkey").count().filter(col("count") > 3).count()
     assert(over == 0)
   }
+
+  test("q29 grouping sets: per-flag rows sum to the grand total") {
+    import org.apache.spark.sql.functions._
+    val df = SparkEntry.queries("q29_grouping_sets")(spark, sf).collect()
+    val grand = df.filter(r => r.getString(0) == "ALL" && r.getString(1) == "ALL")
+    assert(grand.length == 1)
+    val perFlag = df.filter(r => r.getString(0) != "ALL" && r.getString(1) == "ALL")
+    assert(perFlag.map(_.getLong(2)).sum == grand.head.getLong(2),
+      "per-returnflag counts must sum to the () grouping set's total")
+    val perPair = df.filter(r => r.getString(0) != "ALL" && r.getString(1) != "ALL")
+    assert(perPair.map(_.getLong(2)).sum == grand.head.getLong(2))
+  }
+
+  test("q30 approx_count_distinct lands within 5% of exact (HLL++ bound)") {
+    val rows = SparkEntry.queries("q30_approx_distinct")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val approx = r.getLong(1).toDouble
+      val exact = r.getLong(2).toDouble
+      assert(math.abs(approx - exact) / exact <= 0.05,
+        s"flag ${r.getString(0)}: approx $approx vs exact $exact")
+    }
+  }
+
+  test("text_training_set selects canonical English docs above the quality floor") {
+    import org.apache.spark.sql.functions._
+    val sel = SparkEntry.queries("text_training_set")(spark, sf)
+    val selIds = sel.collect().map(_.getLong(0)).toSet
+    assert(selIds.nonEmpty)
+    // subset of exact-dedup canonical ids
+    val canon = SparkEntry.queries("dedup_exact")(spark, sf)
+      .select("canonical_doc_id").collect().map(_.getLong(0)).toSet
+    assert(selIds.subsetOf(canon), "selected docs must be dedup-canonical")
+    // every selected doc meets the floors
+    val bad = sel.filter(col("quality") < 0.5 || col("n_tokens") < 30).count()
+    assert(bad == 0)
+  }
 }

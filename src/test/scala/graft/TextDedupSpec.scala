@@ -155,6 +155,40 @@ class TextDedupSpec extends AnyFunSuite {
     }
   }
 
+  test("connected components: chains, stars, disjoint clusters, min labels") {
+    // a 7-node path (needs multiple propagation rounds), a star, and
+    // an isolated pair — every node must end with its component's min
+    val edges = Seq(
+      (2L, 1L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L), (6L, 7L), // path 1..7
+      (10L, 11L), (10L, 12L), (10L, 13L),                          // star at 10
+      (20L, 21L)                                                   // pair
+    ).toDF("src", "dst")
+    val got = Dedup.connectedComponents(edges, "src", "dst")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    (1L to 7L).foreach(n => assert(got(n) == 1L, s"node $n: ${got(n)}"))
+    (10L to 13L).foreach(n => assert(got(n) == 10L))
+    assert(got(20L) == 20L && got(21L) == 20L)
+  }
+
+  test("dedup_clusters groups transitively (A~B, B~C => one cluster)") {
+    val hot = "alpha beta gamma delta epsilon kappa lambda mu nu xi"
+    // doc1~doc2 and doc2~doc3 overlap pairwise; 1 and 3 share less —
+    // clustering must still put all three together
+    val docs = Seq(
+      (1L, s"$hot one two three"),
+      (2L, s"$hot one two four"),
+      (3L, s"$hot one five four"),
+      (9L, "completely different content about gardens and tomatoes growing")
+    ).toDF("doc_id", "text")
+    val sets = Dedup.docShingleSets(docs).cache()
+    val pairs = Dedup.ngramJaccardPairs(sets, 1000)
+    val clusters = Dedup.connectedComponents(pairs, "ia", "ib")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(clusters.keySet == Set(1L, 2L, 3L), s"got $clusters")
+    assert(clusters.values.toSet == Set(1L), "all three near-dups share cluster 1")
+    sets.unpersist()
+  }
+
   test("text/dedup/sim queries all run and return rows at sf0.001") {
     Seq("text_tokens", "text_quality", "text_langid", "text_fingerprint",
       "dedup_exact", "dedup_ngram_jaccard", "dedup_minhash_lsh",
