@@ -121,13 +121,27 @@ object TextAnalysis {
     * language plus a CJK-codepoint override for zh. Returns the
     * predicted language code.
     */
-  def langId(text: Column): Column = {
-    val toks = tokens(text)
+  def langId(text: Column): Column = langIdFromTokens(text, tokens(text))
+
+  /** (score, lang) struct of the best-scoring marker language — kept
+    * separate so callers can materialize it in its own projection
+    * (the decision CASE references it twice; inlined, the whole
+    * marker scan would run twice per row).
+    */
+  def langBest(toks: Column): Column = {
     def score(lang: String): Column =
       size(filter(toks, t => t.isInCollection(markers(lang))))
+    array_max(array(
+      markers.keys.toSeq.sorted.map(l => struct(score(l).as("s"), lit(l).as("l"))): _*))
+  }
+
+  /** langId over a MATERIALIZED token array — callers doing more
+    * token work should project the tokens once and use this form so
+    * the tokenizer isn't re-inlined per lambda reference.
+    */
+  def langIdFromTokens(text: Column, toks: Column): Column = {
     val zh = length(regexp_replace(text, "[^\\u4e00-\\u9fff]", "")) > 0
-    val scored = markers.keys.toSeq.sorted.map(l => struct(score(l).as("s"), lit(l).as("l")))
-    val best = array_max(array(scored: _*))
+    val best = langBest(toks)
     when(zh, lit("zh"))
       .when(best.getField("s") === 0, lit("unknown"))
       .otherwise(best.getField("l"))
@@ -242,7 +256,11 @@ object TextAnalysis {
     "text_training_set",
     (s, dir) => {
       val t = Tables(s, dir)
-      val toks = tokens(col("text"))
+      // materialize the token array and the langid best-struct in
+      // their own projections: every lambda reference below would
+      // otherwise re-inline the tokenizer (round-1 lesson — inlining
+      // multiplies the tokenize cost by the reference count)
+      val toks = col("toks")
       val nTok = size(toks).cast("double")
       val nStop = size(filter(toks, isStopword _)).cast("double")
       val nPunct = length(regexp_replace(col("text"), "[^.,;:!?'\"]", "")).cast("double")
@@ -251,12 +269,19 @@ object TextAnalysis {
         least(nStop / nTok * lit(5.0), lit(1.0)) * lit(0.3) +
         (lit(1.0) - least(nPunct / nChars * lit(10.0), lit(1.0))) * lit(0.2)
       val normalized = trim(regexp_replace(lower(col("text")), "\\s+", " "))
-      val scored = t.documents.select(
-        col("doc_id"),
-        md5(normalized.cast("binary")).as("h"),
-        nTok.cast("long").as("n_tokens"),
-        quality.as("quality"),
-        langId(col("text")).as("lang"))
+      val zh = length(regexp_replace(col("text"), "[^\\u4e00-\\u9fff]", "")) > 0
+      val scored = t.documents
+        .select(col("doc_id"), col("text"), tokens(col("text")).as("toks"))
+        .select(col("doc_id"), col("text"), col("toks"),
+          langBest(toks).as("best"))
+        .select(
+          col("doc_id"),
+          md5(normalized.cast("binary")).as("h"),
+          nTok.cast("long").as("n_tokens"),
+          quality.as("quality"),
+          when(zh, lit("zh"))
+            .when(col("best.s") === 0, lit("unknown"))
+            .otherwise(col("best.l")).as("lang"))
       val w = Window.partitionBy(col("h"))
       scored
         .withColumn("canon", min(col("doc_id")).over(w))
