@@ -151,4 +151,13 @@ final class GraftXGBClassifier extends GraftEstimator[GraftXGBClassifier] {
 
   /** `predict_proba` (`core.py:626-631`). */
   def predictProba(df: DataFrame): DataFrame = GraftBoost.predictProba(fitted, df)
+
+  /** Platt-scale the OvR probability surface on a calibration frame
+    * (ideally held out) — after this, predictProba emits calibrated
+    * probabilities instead of softmax-of-margins.
+    */
+  def calibrateProba(df: DataFrame, labelCol: String): GraftXGBClassifier = {
+    model = Some(GraftBoost.calibrate(fitted, df, labelCol))
+    this
+  }
 }

@@ -102,7 +102,12 @@ object GraftBoost {
         */
       imputation: Option[(Double, Map[String, Double])] = None,
       /** "impute" or "sentinel" — see [[BoostParams.missingStrategy]]. */
-      missingStrategy: String = "impute"
+      missingStrategy: String = "impute",
+      /** Per-class Platt scaling (A, B) fitted by [[calibrate]]:
+        * OvR class probability = sigmoid(A·margin + B), renormalized.
+        * None → predictProba falls back to softmax-of-margins.
+        */
+      calibration: Option[Array[(Double, Double)]] = None
   )
 
   /** Assemble named feature columns into a `features` vector —
@@ -298,25 +303,73 @@ object GraftBoost {
           .withColumn("proba", vector_to_array(col("probability")))
           .drop("features", "rawPrediction", "probability")
       case m: OneVsRestModel =>
-        // per-class margins → softmax. Matches the reference's
-        // multi:softprob SHAPE contract (n × num_class, rows sum to
-        // 1); values are normalized margins, not calibrated
-        // probabilities — documented divergence. Use
-        // multiclassStrategy=rf for calibrated class frequencies.
-        // Work on a copy: mutating the shared model's output column
-        // would change later predict() calls' schema.
+        // per-class margins → probabilities. With [[calibrate]]d
+        // Platt parameters, each class gets sigmoid(A·margin + B)
+        // renormalized — real calibrated probabilities (reference
+        // multi:softprob contract). Uncalibrated fallback is softmax
+        // of margins: shape-correct, values are normalized margins
+        // (documented divergence). Work on a copy: mutating the
+        // shared model's output column would change later predict()
+        // calls' schema.
         val scorer = m.copy(org.apache.spark.ml.param.ParamMap.empty)
           .asInstanceOf[OneVsRestModel].setRawPredictionCol("rawAll")
         val raw = scorer.transform(data)
         val margins = vector_to_array(col("rawAll"))
-        val exps = transform(margins, x => exp(x))
-        val denom = aggregate(exps, lit(0.0), (acc, x) => acc + x)
+        val scores = model.calibration match {
+          case Some(ab) =>
+            array(ab.zipWithIndex.map { case ((a, b), i) =>
+              lit(1.0) / (lit(1.0) +
+                exp(-(lit(a) * element_at(margins, i + 1) + lit(b))))
+            }: _*)
+          case None => transform(margins, x => exp(x))
+        }
         raw
-          .withColumn("proba", transform(exps, x => x / denom))
-          .drop("features", "rawAll")
+          .withColumn("sc", scores)
+          .withColumn("proba", {
+            val denom = aggregate(col("sc"), lit(0.0), (acc, x) => acc + x)
+            transform(col("sc"), x => x / denom)
+          })
+          .drop("features", "rawAll", "sc")
       case m =>
         throw new IllegalStateException(s"model has no probabilities: ${m.getClass}")
     }
+  }
+
+  /** Platt-scale an OvR multiclass model's per-class margins on a
+    * calibration frame (ideally held out): per class c, fit
+    * p(y = c | margin_c) = sigmoid(A·margin_c + B) with a
+    * single-feature logistic regression, store (A, B) on the model.
+    * predictProba then renormalizes the calibrated per-class
+    * sigmoids — real probabilities in place of softmax-of-margins
+    * (reference `multi:softprob` semantics, `core.py:580-590`).
+    * One scoring pass + numClasses tiny single-feature LR fits.
+    */
+  def calibrate(
+      model: GraftBoostModel,
+      df: DataFrame,
+      labelCol: String
+  ): GraftBoostModel = model.model match {
+    case m: OneVsRestModel =>
+      import org.apache.spark.ml.classification.LogisticRegression
+      import org.apache.spark.ml.functions.array_to_vector
+      val data = assemble(df, model.featureCols, model.imputation, model.missingStrategy)
+        .withColumn("label", col(labelCol).cast("double"))
+      val scorer = m.copy(org.apache.spark.ml.param.ParamMap.empty)
+        .asInstanceOf[OneVsRestModel].setRawPredictionCol("rawAll")
+      val raw = scorer.transform(data)
+        .select(vector_to_array(col("rawAll")).as("m"), col("label"))
+        .cache()
+      val params = (0 until model.numClasses).map { c =>
+        val d = raw.select(
+          array_to_vector(array(element_at(col("m"), c + 1))).as("features"),
+          (col("label") === c).cast("double").as("label"))
+        val fit = new LogisticRegression().setMaxIter(50).fit(d)
+        (fit.coefficients(0), fit.intercept)
+      }.toArray
+      raw.unpersist(false)
+      model.copy(calibration = Some(params))
+    case m => throw new UnsupportedOperationException(
+      s"Platt calibration targets OvR multiclass models, got ${m.getClass}")
   }
 
   /** Local eager scoring of a single feature vector — the reference's

@@ -32,7 +32,9 @@ object ModelIO {
       missingStrategy: String,
       imputationMarker: Option[Double],
       imputationMeans: Map[String, Double],
-      evalsResult: Map[String, Map[String, Array[Double]]]
+      evalsResult: Map[String, Map[String, Array[Double]]],
+      calibrationA: Seq[Double] = Seq.empty,
+      calibrationB: Seq[Double] = Seq.empty
   )
 
   def save(spark: SparkSession, model: GraftBoostModel, path: String): Unit = {
@@ -53,7 +55,9 @@ object ModelIO {
       model.missingStrategy,
       model.imputation.map(_._1),
       model.imputation.map(_._2).getOrElse(Map.empty),
-      model.evalsResult
+      model.evalsResult,
+      model.calibration.map(_.map(_._1).toSeq).getOrElse(Seq.empty),
+      model.calibration.map(_.map(_._2).toSeq).getOrElse(Seq.empty)
     )
     val json = Serialization.write(meta)
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -86,7 +90,9 @@ object ModelIO {
       meta.numClasses,
       meta.evalsResult,
       meta.imputationMarker.map(m => (m, meta.imputationMeans)),
-      meta.missingStrategy
+      meta.missingStrategy,
+      if (meta.calibrationA.isEmpty) None
+      else Some(meta.calibrationA.zip(meta.calibrationB).toArray)
     )
   }
 }

@@ -255,6 +255,41 @@ class MLSpec extends AnyFunSuite {
     assert(hist("merror").last <= 0.05, s"final merror ${hist("merror").last}")
   }
 
+  test("Platt calibration turns OvR margins into better probabilities (lower mlogloss)") {
+    val df = (0 until 300).map { i =>
+      val c = i % 3
+      (c * 10.0 + (i % 5), (i % 7).toDouble, c.toDouble)
+    }.toDF("x1", "x2", "label")
+    val clf = new GraftXGBClassifier().setNEstimators(5).setMaxDepth(2)
+    clf.fit(df, Seq("x1", "x2"), "label")
+    def mlogloss(proba: org.apache.spark.sql.DataFrame): Double = {
+      val rows = proba.select("label", "proba").collect()
+      rows.map { r =>
+        val p = r.getSeq[Double](1)(r.getDouble(0).toInt)
+        -math.log(math.max(p, 1e-15))
+      }.sum / rows.length
+    }
+    val uncal = mlogloss(clf.predictProba(df))
+    clf.calibrateProba(df, "label")
+    val proba = clf.predictProba(df)
+    // validity: every row sums to 1, values in [0, 1]
+    val bad = proba.select("proba").collect().count { r =>
+      val p = r.getSeq[Double](0)
+      math.abs(p.sum - 1.0) > 1e-9 || p.exists(x => x < 0 || x > 1)
+    }
+    assert(bad == 0)
+    val cal = mlogloss(proba)
+    assert(cal < uncal,
+      s"calibrated mlogloss $cal should beat softmax-of-margins $uncal")
+    // calibration survives persistence
+    val tmp = java.nio.file.Files.createTempDirectory("graft_cal").toString + "/m"
+    ModelIO.save(spark, clf.model.get, tmp)
+    val back = ModelIO.load(spark, tmp)
+    assert(back.calibration.isDefined)
+    val calBack = mlogloss(GraftBoost.predictProba(back, df))
+    assert(math.abs(calBack - cal) < 1e-9)
+  }
+
   test("ml queries registered in SparkEntry run at sf0.001") {
     Seq("ml_binary_train_predict", "ml_regression_train_predict", "ml_multiclass_embeddings")
       .foreach { q =>
