@@ -110,6 +110,25 @@ class ScaleSpec extends AnyFunSuite {
     assert(math.abs(approx - exact) / exact < 0.05, s"exact=$exact approx=$approx")
   }
 
+  test("blocked cosine kernel never moves the corpus through the driver") {
+    // the driver's only involvement is the block-id pair list; the job
+    // plan must show the pack-and-join shape (shuffle on block id +
+    // serialized flatMap kernel) and no broadcast of corpus data from
+    // a driver-side collect (no LocalTableScan of vectors, no
+    // BroadcastNestedLoop over the corpus side)
+    val t = Tables(spark, sf)
+    val vecs = t.embeddings
+      .select(col("vec_id"), graft.functions.GraftFunctions.toDoubleArray(col("embedding")).as("v"))
+    val out = graft.operators.Dedup.blockedCosinePairs(spark, vecs, 0.35, 16)
+    val plan = out.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      "block pairing must stay an equi-join on block id")
+    assert(plan.contains("ShuffledHashJoin") || plan.contains("SortMergeJoin"),
+      s"expected a shuffled join on block ids in:\n$plan")
+    out.unpersist()
+  }
+
   test("AQE is active in the engine session") {
     assert(spark.conf.get("spark.sql.adaptive.enabled") == "true")
     assert(spark.conf.get("spark.sql.adaptive.skewJoin.enabled") == "true")
