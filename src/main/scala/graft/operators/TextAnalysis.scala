@@ -329,7 +329,150 @@ object TextAnalysis {
     """)
   )
 
+  /** Tokens per training chunk. */
+  val ChunkTokens = 64
+
+  /** Document chunking: split each document into fixed-size token
+    * windows (the pre-tokenization step of every LLM training
+    * pipeline). Emits (doc_id, chunk_idx, chunk content hash, token
+    * count) — relational explode, no UDFs; chunk text itself stays
+    * hashed so the output is narrow.
+    */
+  val textChunk = GraftQuery(
+    "text_chunk",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      // cache the token projection: the generator child and the
+      // per-chunk slice would otherwise each re-inline split()
+      val toks = t.documents
+        .select(col("doc_id"), tokens(col("text")).as("toks"))
+        .cache()
+      val out = toks
+        .withColumn("n", size(col("toks")).cast("long"))
+        .withColumn("chunk_idx",
+          explode(sequence(lit(0L), floor((col("n") - 1) / ChunkTokens).cast("long"))))
+        .select(
+          col("doc_id"), col("chunk_idx"),
+          md5(concat_ws(" ",
+            slice(col("toks"), (col("chunk_idx") * ChunkTokens + 1).cast("int"),
+              lit(ChunkTokens))).cast("binary")).as("chunk_hash"),
+          least(col("n") - col("chunk_idx") * ChunkTokens, lit(ChunkTokens.toLong))
+            .as("chunk_tokens"))
+        .orderBy(col("doc_id"), col("chunk_idx"))
+      out.persist().count()
+      toks.unpersist(false)
+      out
+    },
+    Some(raw"""
+      WITH t AS (
+        SELECT doc_id, string_split_regex(lower(text), '\s+') AS toks,
+               CAST(len(string_split_regex(lower(text), '\s+')) AS BIGINT) AS n
+        FROM documents),
+      c AS (
+        SELECT doc_id, toks, n,
+               CAST(unnest(range(0, (n - 1) // $ChunkTokens + 1)) AS BIGINT) AS chunk_idx
+        FROM t)
+      SELECT doc_id, chunk_idx,
+             md5(array_to_string(
+               list_slice(toks, chunk_idx * $ChunkTokens + 1,
+                 least((chunk_idx + 1) * $ChunkTokens, n)), ' ')) AS chunk_hash,
+             least(n - chunk_idx * $ChunkTokens, $ChunkTokens) AS chunk_tokens
+      FROM c
+      ORDER BY doc_id, chunk_idx
+    """)
+  )
+
+  /** N-gram size for decontamination overlap (8-token spans — long
+    * enough that shared spans indicate copied text, not common
+    * phrases; the classic 13-gram check at reduced n for the
+    * synthetic corpus' shorter documents).
+    */
+  val DecontaminateN = 8
+  /** Documents whose ids are below this bound act as the held-out
+    * benchmark set for the decontamination check.
+    */
+  val BenchmarkIdBound = 20
+
+  /** Decontamination: find corpus documents sharing at least one
+    * 8-token span with the "benchmark" set — the train/test overlap
+    * scrub every LLM pipeline runs before training. The benchmark
+    * n-gram set is small by construction → broadcast inverted join;
+    * the corpus side streams map-side.
+    */
+  val textDecontaminate = GraftQuery(
+    "text_decontaminate",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val grams = t.documents
+        .select(col("doc_id"),
+          graft.plans.WordShingles.wordShingles(
+            split(lower(col("text")), "\\s+"), DecontaminateN).as("g"))
+        .cache()
+      val bench = grams.filter(col("doc_id") < BenchmarkIdBound)
+        .select(explode(col("g")).as("gram")).distinct()
+      val out = grams.filter(col("doc_id") >= BenchmarkIdBound)
+        .select(col("doc_id"), explode(col("g")).as("gram"))
+        .join(broadcast(bench), Seq("gram"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_shared_ngrams"))
+        .orderBy(col("doc_id"))
+      out.persist().count()
+      grams.unpersist(false)
+      out
+    },
+    Some(raw"""
+      WITH g AS (
+        SELECT doc_id,
+               list_distinct(list_transform(
+                 range(1, greatest(len(string_split_regex(lower(text), '\s+')) - ${DecontaminateN - 2}, 1)),
+                 i -> ${(0 until 8).map(j => s"string_split_regex(lower(text), '\\s+')[i+$j]").mkString(" || ' ' || ")}
+               )) AS grams
+        FROM documents),
+      bench AS (
+        SELECT DISTINCT unnest(grams) AS gram FROM g WHERE doc_id < $BenchmarkIdBound),
+      corpus AS (
+        SELECT doc_id, unnest(grams) AS gram FROM g WHERE doc_id >= $BenchmarkIdBound)
+      SELECT c.doc_id, COUNT(*) AS n_shared_ngrams
+      FROM corpus c JOIN bench b ON c.gram = b.gram
+      GROUP BY c.doc_id
+      ORDER BY c.doc_id
+    """)
+  )
+
+  /** Docs sampled per stratum. */
+  val SamplePerSource = 10
+
+  /** Stratified sampling: a deterministic pseudo-random K documents
+    * per `source` stratum (order by md5 of the id — reproducible
+    * across engines and runs, unlike rand()). The window shuffles
+    * once on the stratum key; at 100 TB the same plan holds with
+    * bounded-heap top-k per group.
+    */
+  val sampleStratified = GraftQuery(
+    "sample_stratified",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val w = Window.partitionBy(col("source"))
+        .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+      t.documents
+        .select(col("source"), col("doc_id"))
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .filter(col("rk") <= SamplePerSource)
+        .orderBy(col("source"), col("rk"))
+    },
+    Some(s"""
+      WITH ranked AS (
+        SELECT source, doc_id,
+               CAST(row_number() OVER (PARTITION BY source
+                 ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS rk
+        FROM documents)
+      SELECT source, doc_id, rk
+      FROM ranked WHERE rk <= $SamplePerSource
+      ORDER BY source, rk
+    """)
+  )
+
   def all: Seq[GraftQuery] =
     Seq(textTokens, textQuality, textLangid, textFingerprint, textTopNgrams,
-      textTrainingSet)
+      textTrainingSet, textChunk, textDecontaminate, sampleStratified)
 }

@@ -254,6 +254,40 @@ object EventsStream {
     """)
   )
 
+  /** Stream-static enrichment join: the event stream joined to a
+    * static per-user profile (batch-computed purchase counts) — the
+    * canonical "enrich the stream with a dimension" pipeline. The
+    * static side is built once and broadcast into every micro-batch;
+    * only the streaming aggregation keeps state. Oracle: the same
+    * join expressed in batch SQL.
+    */
+  val streamEnrichProfile = GraftQuery(
+    "stream_enrich_profile",
+    (s, dir) => {
+      val t = graft.sources.Tables(s, dir)
+      val profile = t.events.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_purchases"))
+      val enriched = eventsStream(s, dir)
+        .join(broadcast(profile), Seq("user_id"), "left")
+        .groupBy(col("event_type"),
+          coalesce(col("n_purchases") > 0, lit(false)).as("buyer"))
+        .agg(count(lit(1)).as("n"))
+      runToTable(enriched, OutputMode.Complete())
+        .orderBy(col("event_type"), col("buyer"))
+    },
+    Some("""
+      WITH prof AS (
+        SELECT user_id, COUNT(*) AS np FROM events
+        WHERE event_type = 'purchase' GROUP BY user_id)
+      SELECT e.event_type, coalesce(p.np > 0, false) AS buyer, COUNT(*) AS n
+      FROM events e LEFT JOIN prof p ON e.user_id = p.user_id
+      GROUP BY 1, 2
+      ORDER BY event_type, buyer
+    """)
+  )
+
   def all: Seq[GraftQuery] =
-    Seq(streamHourlyAgg, streamSessionize, streamScore, streamDedupExact)
+    Seq(streamHourlyAgg, streamSessionize, streamScore, streamDedupExact,
+      streamEnrichProfile)
 }

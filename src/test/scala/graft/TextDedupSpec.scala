@@ -189,6 +189,49 @@ class TextDedupSpec extends AnyFunSuite {
     sets.unpersist()
   }
 
+  test("chunking covers every token exactly once with bounded chunks") {
+    val chunks = SparkEntry.queries("text_chunk")(spark, sf)
+    val t = graft.sources.Tables(spark, sf)
+    val totalTokens = t.documents
+      .select(sum(size(split(lower($"text"), "\\s+")))).first().getLong(0)
+    val stats = chunks.agg(
+      sum($"chunk_tokens"), max($"chunk_tokens"), min($"chunk_tokens")).first()
+    assert(stats.getLong(0) == totalTokens, "chunk tokens must cover all tokens once")
+    assert(stats.getLong(1) <= TextAnalysis.ChunkTokens)
+    assert(stats.getLong(2) >= 1)
+    chunks.unpersist()
+  }
+
+  test("decontamination flags exactly the docs sharing an 8-gram with the benchmark") {
+    val span = "one two three four five six seven eight"
+    val docs = Seq(
+      (1L, s"benchmark question text $span end of prompt"),   // benchmark (id < 20)
+      (25L, s"training document that copied $span verbatim"), // contaminated
+      (26L, "clean training document with entirely different words here"),
+      (27L, s"another copy $span also leaked into training")  // contaminated
+    ).toDF("doc_id", "text")
+    import graft.plans.WordShingles.wordShingles
+    val grams = docs.select($"doc_id",
+      wordShingles(split(lower($"text"), "\\s+"), TextAnalysis.DecontaminateN).as("g"))
+    val bench = grams.filter($"doc_id" < TextAnalysis.BenchmarkIdBound)
+      .select(explode($"g").as("gram")).distinct()
+    val hits = grams.filter($"doc_id" >= TextAnalysis.BenchmarkIdBound)
+      .select($"doc_id", explode($"g").as("gram"))
+      .join(broadcast(bench), Seq("gram"))
+      .groupBy($"doc_id").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hits.keySet == Set(25L, 27L), s"got $hits")
+    assert(hits.values.forall(_ >= 1))
+  }
+
+  test("stratified sample is deterministic and bounded per stratum") {
+    val s1 = SparkEntry.queries("sample_stratified")(spark, sf).collect()
+    val s2 = SparkEntry.queries("sample_stratified")(spark, sf).collect()
+    assert(s1.map(_.toSeq).toSeq == s2.map(_.toSeq).toSeq, "sampling must be reproducible")
+    val perSource = s1.groupBy(_.getString(0)).view.mapValues(_.length)
+    assert(perSource.values.forall(_ <= TextAnalysis.SamplePerSource))
+  }
+
   test("text/dedup/sim queries all run and return rows at sf0.001") {
     Seq("text_tokens", "text_quality", "text_langid", "text_fingerprint",
       "dedup_exact", "dedup_ngram_jaccard", "dedup_minhash_lsh",
