@@ -29,7 +29,11 @@ sealed abstract class GraftEstimator[Self <: GraftEstimator[Self]] { self: Self 
   def setSubsample(s: Double): Self = { subsample = s; this }
   def setMissing(m: Double): Self = { missingValue = Some(m); this }
   /** "impute" (default) or "sentinel" — see [[GraftBoost.BoostParams.missingStrategy]]. */
-  def setMissingStrategy(s: String): Self = { missingStrat = s; this }
+  def setMissingStrategy(s: String): Self = {
+    require(s == "impute" || s == "sentinel",
+      s"unknown missingStrategy '$s' (use \"impute\" or \"sentinel\")")
+    missingStrat = s; this
+  }
   def setSeed(s: Long): Self = { seed = s; this }
 
   protected def fitted: GraftBoostModel =

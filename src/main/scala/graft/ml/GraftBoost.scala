@@ -48,9 +48,9 @@ object GraftBoost {
     * @param missing          value to treat as missing. MLlib has no
     *                         sparse-skip missing handling
     *                         (`SURVEY.md` §7.6d): occurrences are
-    *                         replaced with NaN and imputed to the
-    *                         column mean before assembly — a
-    *                         documented divergence from XGBoost.
+    *                         replaced per `missingStrategy` before
+    *                         assembly — a documented divergence from
+    *                         XGBoost.
     * @param multiclassStrategy "ovr" = OneVsRest over binary GBT
     *                         (closest to multi:softprob boosting);
     *                         "rf" = RandomForest (single model,
@@ -81,7 +81,10 @@ object GraftBoost {
         *    marker never blends into real-value statistics.
         */
       missingStrategy: String = "impute"
-  )
+  ) {
+    require(missingStrategy == "impute" || missingStrategy == "sentinel",
+      s"unknown missingStrategy '$missingStrategy' (use \"impute\" or \"sentinel\")")
+  }
 
   /** Trained model + training metadata. `numClasses` mirrors the
     * reference's `num_class` model attribute (`core.py:262-264`);
@@ -155,8 +158,7 @@ object GraftBoost {
   def assemble(
       df: DataFrame,
       featureCols: Seq[String],
-      imputation: Option[(Double, Map[String, Double])],
-      missingStrategy: String = "impute"
+      imputation: Option[(Double, Map[String, Double])]
   ): DataFrame = {
     // Pre-assembled vector column (e.g. embeddings via
     // array_to_vector) passes straight through.
@@ -206,7 +208,7 @@ object GraftBoost {
       if (params.missingStrategy == "sentinel") (m, learnSentinels(df, featureCols, m))
       else (m, learnImputation(df, featureCols, m))
     }
-    val data = assemble(df, featureCols, imputation, params.missingStrategy)
+    val data = assemble(df, featureCols, imputation)
       .withColumn("label", col(labelCol).cast("double"))
 
     params.objective match {
@@ -279,7 +281,7 @@ object GraftBoost {
     * the probability vector column; see [[predictProba]].
     */
   def predict(model: GraftBoostModel, df: DataFrame): DataFrame = {
-    val data = assemble(df, model.featureCols, model.imputation, model.missingStrategy)
+    val data = assemble(df, model.featureCols, model.imputation)
     val scored = model.model match {
       case m: GBTRegressionModel         => m.transform(data)
       case m: GBTClassificationModel     => m.transform(data)
@@ -296,7 +298,7 @@ object GraftBoost {
     * `core.py:374`).
     */
   def predictProba(model: GraftBoostModel, df: DataFrame): DataFrame = {
-    val data = assemble(df, model.featureCols, model.imputation, model.missingStrategy)
+    val data = assemble(df, model.featureCols, model.imputation)
     model.model match {
       case m: ProbabilisticClassificationModel[_, _] =>
         m.transform(data)
@@ -352,7 +354,7 @@ object GraftBoost {
     case m: OneVsRestModel =>
       import org.apache.spark.ml.classification.LogisticRegression
       import org.apache.spark.ml.functions.array_to_vector
-      val data = assemble(df, model.featureCols, model.imputation, model.missingStrategy)
+      val data = assemble(df, model.featureCols, model.imputation)
         .withColumn("label", col(labelCol).cast("double"))
       val scorer = m.copy(org.apache.spark.ml.param.ParamMap.empty)
         .asInstanceOf[OneVsRestModel].setRawPredictionCol("rawAll")
@@ -438,7 +440,7 @@ object GraftBoost {
       labelCol: String
   ): Map[String, Map[String, Array[Double]]] =
     evalSets.map { case (name, df) =>
-      val data = assemble(df, model.featureCols, model.imputation, model.missingStrategy)
+      val data = assemble(df, model.featureCols, model.imputation)
         .withColumn("label", col(labelCol).cast("double"))
       val (metric, values) = model.model match {
         case m: GBTClassificationModel => ("logloss", m.evaluateEachIteration(data))

@@ -33,8 +33,7 @@ object StagedEval {
       labelCol: String,
       weightCol: Option[String]
   ): DataFrame = {
-    val data = GraftBoost.assemble(df, model.featureCols, model.imputation,
-        model.missingStrategy)
+    val data = GraftBoost.assemble(df, model.featureCols, model.imputation)
       .withColumn("label", col(labelCol).cast("double"))
       .withColumn("w", weightCol.map(col(_).cast("double")).getOrElse(lit(1.0)))
       .select(col("features"), col("label"), col("w"))
@@ -75,8 +74,7 @@ object StagedEval {
       labelCol: String,
       weightCol: Option[String]
   ): DataFrame = {
-    val data = GraftBoost.assemble(df, model.featureCols, model.imputation,
-        model.missingStrategy)
+    val data = GraftBoost.assemble(df, model.featureCols, model.imputation)
       .withColumn("label", col(labelCol).cast("double"))
       .withColumn("w", weightCol.map(col(_).cast("double")).getOrElse(lit(1.0)))
       .select(col("features"), col("label"), col("w"))
@@ -100,6 +98,10 @@ object StagedEval {
       val nC = pc.length
       val rounds = pc.map(_._1.length).min
       it.flatMap { case (features, label, w) =>
+        val li = label.toInt
+        require(li >= 0 && li < nC && li.toDouble == label,
+          s"label $label out of range for $nC classes (eval frame contains " +
+          "a class the model was not trained on?)")
         val margins = new Array[Double](nC)
         (0 until rounds).iterator.map { r =>
           var c = 0
@@ -114,8 +116,8 @@ object StagedEval {
           var denom = 0.0
           i = 0
           while (i < nC) { denom += math.exp(margins(i) - mx); i += 1 }
-          val p = math.exp(margins(label.toInt) - mx) / denom
-          val correct = if (argmax == label.toInt) 1.0 else 0.0
+          val p = math.exp(margins(li) - mx) / denom
+          val correct = if (argmax == li) 1.0 else 0.0
           (r + 1, -math.log(math.max(p, 1e-15)), correct, w)
         }
       }

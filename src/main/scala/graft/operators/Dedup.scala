@@ -75,12 +75,20 @@ object Dedup {
     * O(d²) join pairs; without a cap one hot trigram ("of the and")
     * makes the inverted-index self-join quadratic on a single skewed
     * shuffle key. With the cap, candidate generation touches only
-    * discriminative shingles, and verification still uses FULL
-    * shingle sets, so a pair is lost only if every shingle it shares
-    * is hot — vanishingly unlikely for Jaccard ≥ 0.5 (such pairs
-    * share ~half their shingles; the sf0.01 oracle proves the cap
-    * lossless on this corpus, and TextDedupSpec plants a hot shingle
-    * to pin the bounded-pair behavior).
+    * discriminative shingles; the exact-Jaccard arithmetic is then
+    * RESTORED over the full sets (hot-array correction in
+    * ngramJaccardPairs), so results are exact for every pair sharing
+    * ≥ 1 sub-cap shingle.
+    *
+    * Known recall boundary, stated precisely: a pair ALL of whose
+    * shared shingles are hot (each in > MaxShingleDf docs) never
+    * surfaces. Such docs are pure boilerplate — every shared trigram
+    * appears in >1000 documents — and their identical-copy subcase is
+    * what dedup_exact (content-hash) catches upstream; the MinHash-LSH
+    * path is also cap-free. On the gated corpora the cap never binds
+    * (max shingle df at sf0.1 is ~25), so the oracle equivalence holds
+    * trivially there; TextDedupSpec plants a hot shingle with a low
+    * cap to exercise the capped path and its exact correction.
     */
   val MaxShingleDf = 1000
 
@@ -301,8 +309,19 @@ object Dedup {
     import s.implicits._
     val n = vecs.count()
     val nBlocks = math.max(1L, (n + blockRows - 1) / blockRows).toInt
+    // splitmix64-style finalizer: block assignment must be uniform for
+    // ARBITRARY id distributions (sparse/patterned ids under plain
+    // modulo could pile many times blockRows rows into one residue
+    // class, breaking the constant-per-task-memory guarantee)
+    def blockOf(id: Long): Int = {
+      var z = id + 0x9E3779B97F4A7C15L
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      z ^= z >>> 31
+      (((z % nBlocks) + nBlocks) % nBlocks).toInt
+    }
     val packed = vecs.as[(Long, Array[Double])]
-      .groupByKey { case (id, _) => (((id % nBlocks) + nBlocks) % nBlocks).toInt }
+      .groupByKey { case (id, _) => blockOf(id) }
       .mapGroups { (bid, it) => (bid, it.toArray.sortBy(_._1)) }
       .toDF("bid", "rows")
       .cache()
@@ -403,6 +422,9 @@ object Dedup {
     var labels = sym.groupBy(col("a")).agg(min(col("b")).as("nb"))
       .select(col("a").as("node"), least(col("a"), col("nb")).as("label"))
       .cache()
+    // empty graph: sum(label) below would be null — return the empty
+    // (node, label) frame directly
+    if (labels.isEmpty) { sym.unpersist(false); return labels }
     // one action per round (the label-sum aggregate materializes the
     // cache as a side effect); labels only ever decrease, so an
     // unchanged sum IS the fixpoint. AQE right-sizes each round's
@@ -441,10 +463,12 @@ object Dedup {
       val sets = docShingleSets(t.documents).cache()
       val pairs = ngramJaccardPairs(sets, MaxShingleDf)
       sets.unpersist(false)
-      val out = connectedComponents(pairs, "ia", "ib")
+      val cc = connectedComponents(pairs, "ia", "ib")
+      val out = cc
         .select(col("node").as("doc_id"), col("label").as("cluster_id"))
         .orderBy(col("doc_id"))
       out.persist().count()
+      cc.unpersist(false)
       pairs.unpersist(false)
       out
     },

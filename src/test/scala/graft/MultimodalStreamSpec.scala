@@ -114,6 +114,19 @@ class MultimodalStreamSpec extends AnyFunSuite {
     }
   }
 
+  test("corpus is ASCII — tripwire for the byte-arithmetic oracles") {
+    // mm_decode_features' DuckDB oracle sums per-char ascii() codes and
+    // equates them with payload bytes; that identity holds only for an
+    // ASCII corpus. If a testdata refresh introduces multi-byte text,
+    // fail HERE with a pointer instead of as an opaque hash mismatch.
+    val t = graft.sources.Tables(spark, sf)
+    val nonAscii = t.documents
+      .filter(length(encode(col("text"), "UTF-8")) =!= length(col("text"))).count()
+    assert(nonAscii == 0,
+      "documents contain multi-byte text: rewrite the mm_decode_features " +
+      "mean_byte oracle (ascii-per-char == byte identity no longer holds)")
+  }
+
   test("streaming dedup keeps exactly the batch-distinct hash set") {
     val streamed = SparkEntry.queries("stream_dedup_exact")(spark, sf)
       .collect().map(_.getString(0)).toSet
