@@ -48,29 +48,23 @@ object GraftFunctions {
     */
   def tsString(c: Column): Column = date_format(c, "yyyy-MM-dd HH:mm:ss")
 
-  /** Cosine similarity between two double-array columns, computed with
-    * sequential fold order (bit-stable across engines for identical
+  /** Cosine similarity between two double-array columns — the codegen
+    * VecMath expression; same sequential fold order as the HOF
+    * formulation it replaced (bit-stable across engines for identical
     * inputs). Arrays must be same length.
     */
-  def cosineSim(a: Column, b: Column): Column = {
-    val dot = aggregate(
-      zip_with(a, b, (x, y) => x * y),
-      lit(0.0),
-      (acc, x) => acc + x
-    )
-    val na = sqrt(aggregate(a, lit(0.0), (acc, x) => acc + x * x))
-    val nb = sqrt(aggregate(b, lit(0.0), (acc, x) => acc + x * x))
-    dot / (na * nb)
-  }
+  def cosineSim(a: Column, b: Column): Column = graft.plans.VecMath.cosine(a, b)
 
-  /** Dot product of two double-array columns (sequential fold). */
-  def dotProduct(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+  /** Dot product of two double-array columns (sequential fold,
+    * codegen'd).
+    */
+  def dotProduct(a: Column, b: Column): Column = graft.plans.VecMath.dot(a, b)
 
-  /** L2 norm of a double-array column. */
-  def l2Norm(a: Column): Column =
-    sqrt(aggregate(a, lit(0.0), (acc, x) => acc + x * x))
+  /** L2 norm of a double-array column (sequential fold, codegen'd). */
+  def l2Norm(a: Column): Column = graft.plans.VecMath.l2(a)
 
-  /** Array<float> → array<double> (exact widening, both engines). */
-  def toDoubleArray(c: Column): Column = transform(c, _.cast(DoubleType))
+  /** Array<float> → array<double> (exact widening, both engines) —
+    * a direct Cast, not a per-element transform lambda.
+    */
+  def toDoubleArray(c: Column): Column = c.cast("array<double>")
 }
