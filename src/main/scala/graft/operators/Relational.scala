@@ -743,6 +743,42 @@ object Relational {
     None
   )
 
+  /** Unpivot/melt: wide numeric columns → (metric, value) long form —
+    * Spark's native unpivot operator; the oracle is the UNION ALL
+    * formulation (identical semantics, both engines). Stacking is a
+    * pure map-side row fan-out — no shuffle beyond the final agg.
+    */
+  val q31Unpivot = GraftQuery(
+    "q31_unpivot",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      t.lineitem
+        .select(col("l_returnflag"), col("l_quantity"), col("l_discount"), col("l_tax"))
+        .unpivot(
+          Array(col("l_returnflag")),
+          Array(col("l_quantity"), col("l_discount"), col("l_tax")),
+          "metric", "value")
+        .groupBy(col("l_returnflag"), col("metric"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(dec2(col("value"))).cast("double").as("sum_value"))
+        .orderBy(col("l_returnflag"), col("metric"))
+    },
+    Some("""
+      WITH long AS (
+        SELECT l_returnflag, 'l_quantity' AS metric, l_quantity AS value FROM lineitem
+        UNION ALL
+        SELECT l_returnflag, 'l_discount', l_discount FROM lineitem
+        UNION ALL
+        SELECT l_returnflag, 'l_tax', l_tax FROM lineitem)
+      SELECT l_returnflag, metric, COUNT(*) AS n,
+             CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+      FROM long
+      GROUP BY 1, 2
+      ORDER BY l_returnflag, metric
+    """)
+  )
+
   def all: Seq[GraftQuery] = Seq(
     q01PricingSummary, q02RevenueByNation, q03ShippingPriority,
     q04OrderPriorityExists, q05CustomersWithoutOrders, q06RevenueFilter,
@@ -750,6 +786,6 @@ object Relational {
     q11DistinctCounts, q12SetOps, q13StringFuncs, q14DateFuncs,
     q15CaseAgg, q16TopOrders, q17EventsJson, q18EventsHourly,
     q19EventsUserStats, q20PartRevenue, q24SqlEntry, q25Percentiles,
-    q26TopkAgg, q28Pivot, q29GroupingSets, q30ApproxDistinct
+    q26TopkAgg, q28Pivot, q29GroupingSets, q30ApproxDistinct, q31Unpivot
   )
 }

@@ -287,7 +287,38 @@ object EventsStream {
     """)
   )
 
+  /** Sessionization via Spark's NATIVE session_window aggregation —
+    * the declarative counterpart of the flatMapGroupsWithState form
+    * (stream_sessionize): the state store merges overlapping
+    * event-gap windows per user. Complete mode emits every merged
+    * window (Spark rejects Update for session windows); per-user
+    * session stats then reduce the window rows. Both forms must agree
+    * with the relational DuckDB definition — same oracle as
+    * stream_sessionize.
+    * (Gap boundary: session_window starts a new session at
+    * diff ≥ gap, the lag-based oracle at diff > gap; the corpus'
+    * continuous timestamps never land exactly on the boundary.)
+    */
+  val streamSessionWindow = GraftQuery(
+    "stream_session_window",
+    (s, dir) => {
+      val windows = eventsStream(s, dir)
+        .withWatermark("ts", "1 hour")
+        .groupBy(session_window(col("ts"), s"$SessionGapMinutes minutes"),
+          col("user_id"))
+        .agg(count(lit(1)).as("n"))
+      runToTable(windows, OutputMode.Complete())
+        .groupBy(col("user_id"))
+        .agg(
+          count(lit(1)).as("n_sessions"),
+          sum(col("n")).cast("long").as("n_events"),
+          max(col("n")).cast("long").as("max_session_events"))
+        .orderBy(col("user_id"))
+    },
+    streamSessionize.oracle
+  )
+
   def all: Seq[GraftQuery] =
     Seq(streamHourlyAgg, streamSessionize, streamScore, streamDedupExact,
-      streamEnrichProfile)
+      streamEnrichProfile, streamSessionWindow)
 }
