@@ -17,6 +17,7 @@ sealed abstract class GraftEstimator[Self <: GraftEstimator[Self]] { self: Self 
   protected var subsample: Double = 1.0
   protected var missingValue: Option[Double] = None
   protected var missingStrat: String = "impute"
+  protected var maxBins: Int = 32
   protected var seed: Long = 42L
 
   var model: Option[GraftBoostModel] = None
@@ -35,6 +36,8 @@ sealed abstract class GraftEstimator[Self <: GraftEstimator[Self]] { self: Self 
     missingStrat = s; this
   }
   def setSeed(s: Long): Self = { seed = s; this }
+  /** MLlib histogram bins per feature (see BoostParams.maxBins). */
+  def setMaxBins(b: Int): Self = { maxBins = b; this }
 
   protected def fitted: GraftBoostModel =
     model.getOrElse(throw new IllegalStateException("call fit() first"))
@@ -65,7 +68,7 @@ final class GraftXGBRegressor extends GraftEstimator[GraftXGBRegressor] {
   ): GraftXGBRegressor = {
     val params = BoostParams("reg:squarederror", nEstimators, maxDepth,
       learningRate, 1, subsample, missingValue, seed = seed,
-      missingStrategy = missingStrat)
+      missingStrategy = missingStrat, maxBins = maxBins)
     val (data, valCol) = earlyStoppingValidation match {
       case Some(v) =>
         (df.withColumn("isVal", lit(false))
@@ -116,7 +119,7 @@ final class GraftXGBClassifier extends GraftEstimator[GraftXGBClassifier] {
 
     val params = BoostParams(effective, nEstimators, maxDepth, learningRate,
       1, subsample, missingValue, multiclassStrategy, seed,
-      missingStrategy = missingStrat)
+      missingStrategy = missingStrat, maxBins = maxBins)
     val (data, valCol) = earlyStoppingValidation match {
       case Some(v) =>
         (df.withColumn("isVal", lit(false))

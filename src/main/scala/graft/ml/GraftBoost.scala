@@ -80,7 +80,12 @@ object GraftBoost {
         *    XGBoost's learned default direction, and like XGBoost the
         *    marker never blends into real-value statistics.
         */
-      missingStrategy: String = "impute"
+      missingStrategy: String = "impute",
+      /** Histogram bins per feature (MLlib maxBins). 32 is MLlib's
+        * default; 16 measurably cuts fit time on low-cardinality
+        * numeric features with no accuracy change (MaxBinsProbe).
+        */
+      maxBins: Int = 32
   ) {
     require(missingStrategy == "impute" || missingStrategy == "sentinel",
       s"unknown missingStrategy '$missingStrategy' (use \"impute\" or \"sentinel\")")
@@ -218,6 +223,7 @@ object GraftBoost {
           .setMaxIter(params.numRound).setMaxDepth(params.maxDepth)
           .setStepSize(params.eta).setSubsamplingRate(params.subsample)
           .setMinInstancesPerNode(params.minChildWeight)
+          .setMaxBins(params.maxBins)
           .setSeed(params.seed)
         weightCol.foreach(gbt.setWeightCol)
         validationCol.foreach(gbt.setValidationIndicatorCol)
@@ -230,6 +236,7 @@ object GraftBoost {
           .setMaxIter(params.numRound).setMaxDepth(params.maxDepth)
           .setStepSize(params.eta).setSubsamplingRate(params.subsample)
           .setMinInstancesPerNode(params.minChildWeight)
+          .setMaxBins(params.maxBins)
           .setSeed(params.seed)
         weightCol.foreach(gbt.setWeightCol)
         validationCol.foreach(gbt.setValidationIndicatorCol)
@@ -250,6 +257,7 @@ object GraftBoost {
               .setNumTrees(params.numRound).setMaxDepth(params.maxDepth)
               .setSubsamplingRate(params.subsample)
               .setMinInstancesPerNode(params.minChildWeight)
+              .setMaxBins(params.maxBins)
               .setSeed(params.seed)
             weightCol.foreach(rf.setWeightCol)
             rf.fit(data)
@@ -258,6 +266,7 @@ object GraftBoost {
               .setFeaturesCol("features").setLabelCol("label")
               .setMaxIter(params.numRound).setMaxDepth(params.maxDepth)
               .setStepSize(params.eta).setSubsamplingRate(params.subsample)
+              .setMaxBins(params.maxBins)
               .setSeed(params.seed)
             weightCol.foreach(base.setWeightCol)
             validationCol.foreach(base.setValidationIndicatorCol)

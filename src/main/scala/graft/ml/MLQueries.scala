@@ -32,7 +32,8 @@ object MLQueries {
         .select((feats.map(col) :+ col("label")): _*)
         .cache()
       val model = GraftBoost.train(df, feats, "label",
-        GraftBoost.BoostParams("binary:logistic", numRound = 10, maxDepth = 3))
+        GraftBoost.BoostParams("binary:logistic", numRound = 10, maxDepth = 3,
+          maxBins = 16))
       val out = GraftBoost.predict(model, df)
         .groupBy(col("label"), col("prediction"))
         .agg(count(lit(1)).as("n"))
@@ -55,7 +56,7 @@ object MLQueries {
         .select((feats.map(col) :+ col("l_extendedprice").as("target")): _*)
         .cache()
       val reg = new GraftXGBRegressor()
-        .setNEstimators(10).setMaxDepth(3).setLearningRate(0.3)
+        .setNEstimators(10).setMaxDepth(3).setLearningRate(0.3).setMaxBins(16)
       reg.fit(df, feats, "target")
       val out = reg.predict(df)
         .agg(
