@@ -779,6 +779,41 @@ object Relational {
     """)
   )
 
+  /** JSON lines source/sink round-trip: write a projection of orders
+    * as JSONL, read it back with an explicit schema, aggregate — the
+    * whole query (including the sink+source I/O) is timed, and the
+    * result must equal the parquet-side oracle. Schema-on-read with
+    * an explicit StructType is the 100 TB posture (inference would
+    * scan twice).
+    */
+  val q32JsonRoundtrip = GraftQuery(
+    "q32_json_roundtrip",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val tmp = java.nio.file.Files.createTempDirectory("graft_json").toString
+      t.orders
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+          col("o_totalprice"))
+        .write.mode("overwrite").json(tmp)
+      val back = s.read
+        .schema("o_orderkey bigint, o_custkey bigint, o_orderstatus string, o_totalprice double")
+        .json(tmp)
+      back
+        .groupBy(col("o_orderstatus"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(dec2(col("o_totalprice"))).cast("double").as("sum_price"))
+        .orderBy(col("o_orderstatus"))
+    },
+    Some("""
+      SELECT o_orderstatus, COUNT(*) AS n,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price
+      FROM orders
+      GROUP BY o_orderstatus
+      ORDER BY o_orderstatus
+    """)
+  )
+
   def all: Seq[GraftQuery] = Seq(
     q01PricingSummary, q02RevenueByNation, q03ShippingPriority,
     q04OrderPriorityExists, q05CustomersWithoutOrders, q06RevenueFilter,
@@ -786,6 +821,7 @@ object Relational {
     q11DistinctCounts, q12SetOps, q13StringFuncs, q14DateFuncs,
     q15CaseAgg, q16TopOrders, q17EventsJson, q18EventsHourly,
     q19EventsUserStats, q20PartRevenue, q24SqlEntry, q25Percentiles,
-    q26TopkAgg, q28Pivot, q29GroupingSets, q30ApproxDistinct, q31Unpivot
+    q26TopkAgg, q28Pivot, q29GroupingSets, q30ApproxDistinct, q31Unpivot,
+    q32JsonRoundtrip
   )
 }
