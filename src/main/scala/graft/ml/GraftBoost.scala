@@ -406,6 +406,15 @@ object GraftBoost {
       case m: GBTRegressionModel              => m.predict(f)
       case m: GBTClassificationModel          => m.predict(f)
       case m: RandomForestClassificationModel => m.predict(f)
+      case m: OneVsRestModel =>
+        // same decision as the distributed OvR transform: argmax of
+        // each class model's positive raw score
+        val scores = m.models.map {
+          case g: GBTClassificationModel => g.predictRaw(f)(1)
+          case other => throw new UnsupportedOperationException(
+            s"local OvR predict needs GBT per class, got ${other.getClass}")
+        }
+        scores.indices.maxBy(scores(_)).toDouble
       case m => throw new UnsupportedOperationException(
         s"local predict unavailable for ${m.getClass}")
     }

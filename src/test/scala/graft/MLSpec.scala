@@ -255,6 +255,22 @@ class MLSpec extends AnyFunSuite {
     assert(hist("merror").last <= 0.05, s"final merror ${hist("merror").last}")
   }
 
+  test("predictLocal on an OvR multiclass model matches the distributed argmax") {
+    import org.apache.spark.ml.linalg.Vectors
+    val df = (0 until 150).map { i =>
+      val c = i % 3
+      (c * 10.0 + (i % 5), c.toDouble)
+    }.toDF("x1", "label")
+    val clf = new GraftXGBClassifier().setNEstimators(3).setMaxDepth(2)
+    clf.fit(df, Seq("x1"), "label")
+    val m = clf.model.get
+    val probes = Seq(1.0, 12.0, 23.0)
+    val dist = GraftBoost.predict(m, probes.map(Tuple1(_)).toDF("x1"))
+      .select("prediction").collect().map(_.getDouble(0)).toSeq
+    val local = probes.map(x => GraftBoost.predictLocal(m, Vectors.dense(x)))
+    assert(local == dist, s"local $local vs distributed $dist")
+  }
+
   test("Platt calibration turns OvR margins into better probabilities (lower mlogloss)") {
     val df = (0 until 300).map { i =>
       val c = i % 3
