@@ -254,10 +254,46 @@ object Dedup {
          // TextDedupSpec proves recall against dedup_ngram_jaccard
   )
 
+  /** Exact 16-bit band keys of a (doc_id, sh) signature frame. */
+  private def simhashBands(docs: DataFrame): DataFrame =
+    (0 until 4).map { b =>
+      docs.select(col("doc_id"), col("sh"), lit(b).as("band"),
+        shiftright(col("sh"), b * 16).bitwiseAND(0xffffL).as("band_key"))
+    }.reduce(_ unionByName _)
+
+  /** Candidate pairs within `maxHamming` of each other, via
+    * MULTI-PROBE banding: one side indexes exact 16-bit band keys,
+    * the probe side additionally emits every single-bit flip of each
+    * band key (17 keys per band). A pair whose 64-bit signatures
+    * differ by ≤ 1 bit inside ANY band then collides — by pigeonhole
+    * over 4 bands, every pair with Hamming distance ≤ 7 is GUARANTEED
+    * to surface (exact banding alone only guarantees ≤ 3); distance 8
+    * can split 2+2+2+2 and needs luck. Candidates are verified with
+    * the exact popcount. Probe fan-out is a fixed 17× on uniform hash
+    * keys — no skew, linear cost.
+    */
+  private[graft] def simhashCandidates(
+      sigs: DataFrame, maxHamming: Int): DataFrame = {
+    val exact = simhashBands(sigs)
+    val probeKeys = array(
+      (col("band_key") +:
+        (0 until 16).map(i => col("band_key").bitwiseXOR(lit(1L << i)))): _*)
+    val probes = simhashBands(sigs)
+      .select(col("doc_id"), col("sh"), col("band"),
+        explode(probeKeys).as("band_key"))
+    exact.as("x").join(probes.as("y"),
+        col("x.band") === col("y.band") && col("x.band_key") === col("y.band_key") &&
+        col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("ia"), col("y.doc_id").as("ib"),
+        bit_count(col("x.sh").bitwiseXOR(col("y.sh"))).cast("long").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
   /** SimHash near-dup: 64-bit signature per doc via the custom
-    * Catalyst expression, banded into 4×16-bit keys (two signatures
-    * within Hamming distance 3 share a band with high probability);
-    * candidates verified by exact Hamming distance.
+    * Catalyst expression, multi-probe banded (see simhashCandidates —
+    * guaranteed recall through Hamming 7), verified by exact Hamming
+    * distance.
     */
   val dedupSimhash = GraftQuery(
     "dedup_simhash",
@@ -266,17 +302,7 @@ object Dedup {
       val docs = t.documents
         .select(col("doc_id"), simhash64(split(lower(col("text")), "\\s+")).as("sh"))
         .cache()
-      val bands = (0 until 4).map { b =>
-        docs.select(col("doc_id"), col("sh"), lit(b).as("band"),
-          shiftright(col("sh"), b * 16).bitwiseAND(0xffffL).as("band_key"))
-      }.reduce(_ unionByName _)
-      val out = bands.as("x").join(bands.as("y"),
-          col("x.band") === col("y.band") && col("x.band_key") === col("y.band_key") &&
-          col("x.doc_id") < col("y.doc_id"))
-        .select(col("x.doc_id").as("ia"), col("y.doc_id").as("ib"),
-          bit_count(col("x.sh").bitwiseXOR(col("y.sh"))).cast("long").as("hamming"))
-        .distinct()
-        .filter(col("hamming") <= 8)
+      val out = simhashCandidates(docs, maxHamming = 8)
         .orderBy(col("ia"), col("ib"))
       out.persist().count()
       docs.unpersist(false)

@@ -75,6 +75,21 @@ class TextDedupSpec extends AnyFunSuite {
       s"near-dup ${ham(sh(1L), sh(3L))} should be closer than unrelated ${ham(sh(1L), sh(4L))}")
   }
 
+  test("simhash multi-probe banding finds pairs exact banding provably misses") {
+    // hamming 4 spread as one flipped bit PER band: no band matches
+    // exactly, so plain 4x16 banding cannot surface the pair; the
+    // single-bit-flip probes must (guarantee holds through hamming 7)
+    val shA = 0x0123456789ABCDEFL
+    val oneBitPerBand = 0x0001000100010001L
+    val shB = shA ^ oneBitPerBand
+    val far = shA ^ 0x0003000300030007L // hamming 9: must stay out
+    val sigs = Seq((1L, shA), (2L, shB), (3L, far)).toDF("doc_id", "sh")
+    val pairs = Dedup.simhashCandidates(sigs, maxHamming = 8)
+      .select("ia", "ib").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)), s"multi-probe must catch the 1-bit-per-band pair: $pairs")
+    assert(!pairs.contains((1L, 3L)), s"hamming-9 pair must be filtered: $pairs")
+  }
+
   test("ANN LSH recovers a meaningful share of exact top-5 on the real corpus") {
     val exact = SparkEntry.queries("sim_topk_bruteforce")(spark, sf)
       .select("qid", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
