@@ -31,8 +31,7 @@ sealed abstract class GraftEstimator[Self <: GraftEstimator[Self]] { self: Self 
   def setMissing(m: Double): Self = { missingValue = Some(m); this }
   /** "impute" (default) or "sentinel" — see [[GraftBoost.BoostParams.missingStrategy]]. */
   def setMissingStrategy(s: String): Self = {
-    require(s == "impute" || s == "sentinel",
-      s"unknown missingStrategy '$s' (use \"impute\" or \"sentinel\")")
+    GraftBoost.validateMissingStrategy(s)
     missingStrat = s; this
   }
   def setSeed(s: Long): Self = { seed = s; this }

@@ -87,9 +87,15 @@ object GraftBoost {
         */
       maxBins: Int = 32
   ) {
-    require(missingStrategy == "impute" || missingStrategy == "sentinel",
-      s"unknown missingStrategy '$missingStrategy' (use \"impute\" or \"sentinel\")")
+    GraftBoost.validateMissingStrategy(missingStrategy)
   }
+
+  /** Single validator shared by BoostParams and the estimator setter
+    * — one place to extend when a new strategy is added.
+    */
+  def validateMissingStrategy(s: String): Unit =
+    require(s == "impute" || s == "sentinel",
+      s"unknown missingStrategy '$s' (use \"impute\" or \"sentinel\")")
 
   /** Trained model + training metadata. `numClasses` mirrors the
     * reference's `num_class` model attribute (`core.py:262-264`);

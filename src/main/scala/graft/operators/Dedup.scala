@@ -270,15 +270,18 @@ object Dedup {
     * to surface (exact banding alone only guarantees ≤ 3); distance 8
     * can split 2+2+2+2 and needs luck. Candidates are verified with
     * the exact popcount. Probe fan-out is a fixed 17× on uniform hash
-    * keys — no skew, linear cost.
+    * keys — no skew, linear cost. `sigs` should be cached by the
+    * caller: both join sides derive from it (like ngramJaccardPairs'
+    * `sets` contract).
     */
   private[graft] def simhashCandidates(
       sigs: DataFrame, maxHamming: Int): DataFrame = {
-    val exact = simhashBands(sigs)
+    val bands = simhashBands(sigs)
+    val exact = bands
     val probeKeys = array(
       (col("band_key") +:
         (0 until 16).map(i => col("band_key").bitwiseXOR(lit(1L << i)))): _*)
-    val probes = simhashBands(sigs)
+    val probes = bands
       .select(col("doc_id"), col("sh"), col("band"),
         explode(probeKeys).as("band_key"))
     exact.as("x").join(probes.as("y"),

@@ -790,20 +790,28 @@ object Relational {
     "q32_json_roundtrip",
     (s, dir) => {
       val t = Tables(s, dir)
-      val tmp = java.nio.file.Files.createTempDirectory("graft_json").toString
+      val tmp = java.nio.file.Files.createTempDirectory("graft_json")
       t.orders
         .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
           col("o_totalprice"))
-        .write.mode("overwrite").json(tmp)
+        .write.mode("overwrite").json(tmp.toString)
       val back = s.read
         .schema("o_orderkey bigint, o_custkey bigint, o_orderstatus string, o_totalprice double")
-        .json(tmp)
-      back
+        .json(tmp.toString)
+      val out = back
         .groupBy(col("o_orderstatus"))
         .agg(
           count(lit(1)).as("n"),
           sum(dec2(col("o_totalprice"))).cast("double").as("sum_price"))
         .orderBy(col("o_orderstatus"))
+      // materialize, then remove the JSON staging copy — repeated gate
+      // runs must not accumulate table-sized temp directories
+      out.persist().count()
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm); f.delete()
+      }
+      rm(tmp.toFile)
+      out
     },
     Some("""
       SELECT o_orderstatus, COUNT(*) AS n,

@@ -87,6 +87,15 @@ object VecMath {
       org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
         s"$name needs array<double>, got $other")
   }
+
+  /** Both operands must be array<double> — an unvalidated side would
+    * read doubles out of differently-sized slots at runtime (garbage,
+    * not an error).
+    */
+  private[plans] def checkBoth(l: DataType, r: DataType, name: String) = {
+    val first = checkArray(l, name)
+    if (first.isSuccess) checkArray(r, name) else first
+  }
 }
 
 case class DotProductExpr(left: Expression, right: Expression)
@@ -94,7 +103,7 @@ case class DotProductExpr(left: Expression, right: Expression)
   override def dataType: DataType = DoubleType
   override def nullable: Boolean = true
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
-    VecMath.checkArray(left.dataType, "vec_dot")
+    VecMath.checkBoth(left.dataType, right.dataType, "vec_dot")
   override protected def nullSafeEval(a: Any, b: Any): Any =
     VecMath.evalDot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
   override protected def withNewChildrenInternal(
@@ -117,7 +126,7 @@ case class CosineSimExpr(left: Expression, right: Expression)
   override def dataType: DataType = DoubleType
   override def nullable: Boolean = true
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
-    VecMath.checkArray(left.dataType, "vec_cosine")
+    VecMath.checkBoth(left.dataType, right.dataType, "vec_cosine")
   override protected def nullSafeEval(a: Any, b: Any): Any =
     VecMath.evalCosine(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
   override protected def withNewChildrenInternal(
