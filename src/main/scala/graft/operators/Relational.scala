@@ -822,6 +822,31 @@ object Relational {
     """)
   )
 
+  /** Approximate percentiles (Greenwald-Khanna mergeable sketch) next
+    * to the exact order statistics — the quantile counterpart of
+    * q30's HLL: at 100 TB the sketch replaces the exact sort-based
+    * aggregate (fixed-size mergeable state, one pass). Sketch values
+    * differ across engines by construction → rows-only, spec-bounded
+    * against the exact side (accuracy 10000 ⇒ rank error ≤ 0.01 %).
+    */
+  val q33ApproxPercentile = GraftQuery(
+    "q33_approx_percentile",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      t.lineitem
+        .groupBy(col("l_returnflag"))
+        .agg(
+          percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000))
+            .as("approx_p50"),
+          percentile(col("l_extendedprice"), lit(0.5)).as("exact_p50"),
+          percentile_approx(col("l_extendedprice"), lit(0.95), lit(10000))
+            .as("approx_p95"),
+          percentile(col("l_extendedprice"), lit(0.95)).as("exact_p95"))
+        .orderBy(col("l_returnflag"))
+    },
+    None
+  )
+
   def all: Seq[GraftQuery] = Seq(
     q01PricingSummary, q02RevenueByNation, q03ShippingPriority,
     q04OrderPriorityExists, q05CustomersWithoutOrders, q06RevenueFilter,
@@ -830,6 +855,6 @@ object Relational {
     q15CaseAgg, q16TopOrders, q17EventsJson, q18EventsHourly,
     q19EventsUserStats, q20PartRevenue, q24SqlEntry, q25Percentiles,
     q26TopkAgg, q28Pivot, q29GroupingSets, q30ApproxDistinct, q31Unpivot,
-    q32JsonRoundtrip
+    q32JsonRoundtrip, q33ApproxPercentile
   )
 }

@@ -215,7 +215,7 @@ object EventsStream {
         .withColumn("k", get_json_object(col("props"), "$.k").cast("double"))
         .withColumn("label", (col("event_type") === "purchase").cast("double"))
       val model = GraftBoost.train(batch, feats, "label",
-        GraftBoost.BoostParams(numRound = 5, maxDepth = 3))
+        GraftBoost.BoostParams(numRound = 5, maxDepth = 3, maxBins = 16))
       val stream = eventsStream(s, dir)
         .withColumn("k", get_json_object(col("props"), "$.k").cast("double"))
       val scored = GraftBoost.predict(model, stream)

@@ -72,6 +72,19 @@ class RelationalSpec extends AnyFunSuite {
     }
   }
 
+  test("q33 approx percentiles track exact within 1% relative error") {
+    val rows = SparkEntry.queries("q33_approx_percentile")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      for ((a, e) <- Seq((1, 2), (3, 4))) {
+        val approx = r.getDouble(a)
+        val exact = r.getDouble(e)
+        assert(math.abs(approx - exact) / exact <= 0.01,
+          s"flag ${r.getString(0)}: approx $approx vs exact $exact")
+      }
+    }
+  }
+
   test("text_training_set selects canonical English docs above the quality floor") {
     import org.apache.spark.sql.functions._
     val sel = SparkEntry.queries("text_training_set")(spark, sf)
