@@ -1,0 +1,124 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalatest.funsuite.AnyFunSuite
+
+
+import graft.operators.Dedup
+import graft.plans.{AsOf, VecMath, WordShingles}
+
+/** Property-based equivalence oracles for the custom Catalyst
+  * expressions and operators: each custom kernel must agree with the
+  * built-in (slower) Spark formulation it replaced, on arbitrary
+  * generated inputs — not just the corpus the gates exercise.
+  */
+class PropertySpec extends AnyFunSuite {
+  import TestSession._
+  import spark.implicits._
+
+  // magnitudes bounded away from 0 so no generated vector has zero
+  // norm (cosine is undefined there; ANSI divide would throw in the
+  // reference formulation while the kernel yields NaN)
+  private val smallDouble =
+    Gen.oneOf(Gen.chooseNum(0.1, 100.0), Gen.chooseNum(-100.0, -0.1))
+
+  test("VecMath dot/cosine/l2 ≡ HOF fold formulations on arbitrary vectors") {
+    val vecPair = for {
+      n <- Gen.chooseNum(1, 16)
+      a <- Gen.listOfN(n, smallDouble)
+      b <- Gen.listOfN(n, smallDouble)
+    } yield (a.toArray, b.toArray)
+    val cases = Gen.listOfN(30, vecPair).sample.get
+    val df = cases.zipWithIndex.map { case ((a, b), i) => (i.toLong, a, b) }
+      .toDF("id", "a", "b").cache()
+    val hofDot = aggregate(zip_with($"a", $"b", (x, y) => x * y), lit(0.0), (s, x) => s + x)
+    val hofNa = sqrt(aggregate($"a", lit(0.0), (s, x) => s + x * x))
+    val hofNb = sqrt(aggregate($"b", lit(0.0), (s, x) => s + x * x))
+    val rows = df.select(
+      VecMath.dot($"a", $"b").as("d1"), hofDot.as("d2"),
+      VecMath.cosine($"a", $"b").as("c1"), (hofDot / (hofNa * hofNb)).as("c2"),
+      VecMath.l2($"a").as("l1"), hofNa.as("l2")).collect()
+    rows.foreach { r =>
+      assert(r.getDouble(0) == r.getDouble(1), "dot must be bit-identical")
+      assert(r.getDouble(2) == r.getDouble(3), "cosine must be bit-identical")
+      assert(r.getDouble(4) == r.getDouble(5), "l2 must be bit-identical")
+    }
+    df.unpersist()
+  }
+
+  test("WordShingles ≡ transform/sequence HOF formulation on arbitrary token lists") {
+    val token = Gen.oneOf("a", "b", "cd", "efg", "x1", "zz")
+    val doc = for {
+      n <- Gen.chooseNum(0, 12)
+      ts <- Gen.listOfN(n, token)
+    } yield ts
+    val cases = Gen.listOfN(40, doc).sample.get
+    val df = cases.zipWithIndex.map { case (ts, i) => (i.toLong, ts) }
+      .toDF("id", "toks").cache()
+    val hof = {
+      val grams = transform(
+        sequence(lit(1), size($"toks") - 2),
+        i => concat_ws(" ",
+          element_at($"toks", i), element_at($"toks", i + 1), element_at($"toks", i + 2)))
+      array_distinct(
+        when(size($"toks") < 3, array().cast("array<string>")).otherwise(grams))
+    }
+    val rows = df.select(
+      WordShingles.wordShingles($"toks", 3).as("fast"), hof.as("ref")).collect()
+    rows.foreach { r =>
+      assert(r.getSeq[String](0) == r.getSeq[String](1),
+        s"shingles diverge: ${r.getSeq[String](0)} vs ${r.getSeq[String](1)}")
+    }
+    df.unpersist()
+  }
+
+  test("AsOfJoin ≡ groupBy-max driver reference on arbitrary key/time data") {
+    val gen = for {
+      np <- Gen.chooseNum(1, 40)
+      nr <- Gen.chooseNum(0, 40)
+      probes <- Gen.listOfN(np, Gen.zip(Gen.chooseNum(0L, 4L), Gen.chooseNum(0L, 100L)))
+      refs <- Gen.listOfN(nr, Gen.zip(Gen.chooseNum(0L, 4L), Gen.chooseNum(0L, 100L)))
+    } yield (probes, refs)
+    // a handful of generated datasets (each exercises the full
+    // sort-merge path end-to-end; Spark jobs are too slow for 100s)
+    for (seed <- 1 to 4) {
+      val (probes, refs) = gen.pureApply(Gen.Parameters.default, org.scalacheck.rng.Seed(seed.toLong))
+      val probeDf = probes.zipWithIndex.map { case ((k, t), i) => (i.toLong, k, t) }
+        .toDF("pid", "k", "t")
+      // unique (rk, rt) per row so the expected "latest" is well-defined
+      val refsU = refs.zipWithIndex.map { case ((k, t), i) => (k, t * 100L + i, i.toDouble) }
+      val refDf = refsU.toDF("rk", "rt", "v")
+      val got = AsOf.join(probeDf, refDf, Seq("k"), Seq("rk"), "t", "rt")
+        .select($"pid", $"rt").collect()
+        .map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+      probes.zipWithIndex.foreach { case ((k, t), i) =>
+        val expected = refsU.filter(r => r._1 == k && r._2 <= t).map(_._2).maxOption.getOrElse(-1L)
+        assert(got(i.toLong) == expected,
+          s"seed=$seed probe($k,$t): got ${got(i.toLong)}, want $expected")
+      }
+    }
+  }
+
+  test("blocked cosine ≡ brute force for arbitrary block sizes and corpora") {
+    val gen = for {
+      n <- Gen.chooseNum(2, 20)
+      vecs <- Gen.listOfN(n, Gen.listOfN(4, smallDouble))
+    } yield vecs
+    val vecs = gen.pureApply(Gen.Parameters.default, org.scalacheck.rng.Seed(99L))
+      .zipWithIndex.map { case (v, i) => (i.toLong * 7L + 3L, v.toArray) } // sparse ids
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val expected = (for {
+      i <- vecs.indices; j <- (i + 1) until vecs.length
+      if cos(vecs(i)._2, vecs(j)._2) >= 0.2
+    } yield (vecs(i)._1, vecs(j)._1)).toSet
+    val df = vecs.toDF("vec_id", "v")
+    val got = Dedup.blockedCosinePairs(spark, df, 0.2, blockRows = 5)
+    assert(got.collect().map(r => (r.getLong(0), r.getLong(1))).toSet == expected)
+    got.unpersist()
+  }
+}
