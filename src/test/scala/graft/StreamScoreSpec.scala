@@ -14,8 +14,9 @@ class StreamScoreSpec extends AnyFunSuite {
     val batch = t.events
       .withColumn("k", get_json_object(col("props"), "$.k").cast("double"))
       .withColumn("label", (col("event_type") === "purchase").cast("double"))
+    // params must mirror stream_score's training exactly (incl. bins)
     val model = GraftBoost.train(batch, feats, "label",
-      GraftBoost.BoostParams(numRound = 5, maxDepth = 3))
+      GraftBoost.BoostParams(numRound = 5, maxDepth = 3, maxBins = 16))
     val batchCounts = GraftBoost.predict(model, batch)
       .groupBy(col("event_type"), col("prediction")).agg(count(lit(1)).as("n"))
       .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2))).toSet
