@@ -472,7 +472,52 @@ object TextAnalysis {
     """)
   )
 
+  /** Token budget of one packed training sequence. */
+  val PackBudget = 2048L
+
+  /** Sequence packing: assign documents to fixed-token-budget packs —
+    * the step that turns a filtered corpus into training sequences.
+    * Contiguous packing per `source` shard: docs in doc_id order,
+    * pack = floor(preceding-cumulative-tokens / budget), i.e. each
+    * doc joins the pack where its first token lands (docs may span a
+    * boundary, as concatenate-and-split training pipelines do). The
+    * running sum is a window per shard, so shards pack in parallel —
+    * at 100 TB packing is per-shard by construction and this is one
+    * shuffle on the shard key.
+    */
+  val textPackSequences = GraftQuery(
+    "text_pack_sequences",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t.documents
+        .select(col("source"), col("doc_id"),
+          size(tokens(col("text"))).cast("long").as("n_tok"))
+        .withColumn("cum", sum(col("n_tok")).over(w))
+        .select(col("source"), col("doc_id"), col("n_tok"),
+          floor((col("cum") - col("n_tok")) / PackBudget).cast("long").as("pack_seq"))
+        .orderBy(col("source"), col("doc_id"))
+    },
+    Some(raw"""
+      WITH t AS (
+        SELECT doc_id, source,
+               CAST(len(string_split_regex(lower(text), '\s+')) AS BIGINT) AS n_tok
+        FROM documents),
+      c AS (
+        SELECT doc_id, source, n_tok,
+               SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+                 ROWS UNBOUNDED PRECEDING) AS cum
+        FROM t)
+      SELECT source, doc_id, n_tok,
+             CAST((cum - n_tok) // $PackBudget AS BIGINT) AS pack_seq
+      FROM c
+      ORDER BY source, doc_id
+    """)
+  )
+
   def all: Seq[GraftQuery] =
     Seq(textTokens, textQuality, textLangid, textFingerprint, textTopNgrams,
-      textTrainingSet, textChunk, textDecontaminate, sampleStratified)
+      textTrainingSet, textChunk, textDecontaminate, sampleStratified,
+      textPackSequences)
 }

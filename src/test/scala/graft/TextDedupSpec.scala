@@ -247,6 +247,27 @@ class TextDedupSpec extends AnyFunSuite {
     assert(perSource.values.forall(_ <= TextAnalysis.SamplePerSource))
   }
 
+  test("sequence packing: packs are contiguous, ordered, and start within budget") {
+    val rows = SparkEntry.queries("text_pack_sequences")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (src, docs) =>
+      val sorted = docs.sortBy(_._2)
+      // pack ids are non-decreasing in doc order and start at 0
+      assert(sorted.head._4 == 0L, s"$src first pack")
+      sorted.sliding(2).foreach { case Array(a, b) =>
+        assert(b._4 >= a._4, s"$src pack ids must be non-decreasing")
+      }
+      // each doc STARTS in the pack holding its first token: the sum
+      // of tokens before it, divided by the budget
+      var cum = 0L
+      sorted.foreach { case (_, id, n, pack) =>
+        assert(pack == cum / TextAnalysis.PackBudget, s"$src doc $id pack $pack cum $cum")
+        cum += n
+      }
+    }
+  }
+
   test("text/dedup/sim queries all run and return rows at sf0.001") {
     Seq("text_tokens", "text_quality", "text_langid", "text_fingerprint",
       "dedup_exact", "dedup_ngram_jaccard", "dedup_minhash_lsh",
