@@ -12,7 +12,9 @@ object ExplainMain {
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
     val names = if (args.nonEmpty) args.toSeq else Seq(
       "q01_pricing_summary", "q02_revenue_by_nation", "q06_revenue_filter",
-      "q20_part_revenue", "dedup_ngram_jaccard", "sim_topk_bruteforce")
+      "q20_part_revenue", "dedup_ngram_jaccard", "sim_topk_bruteforce",
+      "q29_grouping_sets", "q31_unpivot", "text_training_set",
+      "text_pack_sequences", "dedup_clusters")
     names.foreach { n =>
       println(s"\n================ $n ================")
       println(SparkEntry.queries(n)(spark, dir).queryExecution.explainString(
