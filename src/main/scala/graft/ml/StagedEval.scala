@@ -158,26 +158,79 @@ object StagedEval {
       case "rmse" =>
         staged.groupBy(col("round"))
           .agg(sqrt(sum(pow(col("margin") - col("label"), 2) * col("w")) / sum(col("w"))).as("m"))
-      case "auc" =>
-        // Mann-Whitney U from margin midranks (ties are common with
-        // shallow trees, so average tied ranks), per round
-        val w = org.apache.spark.sql.expressions.Window
-          .partitionBy(col("round")).orderBy(col("margin"))
-        val tieW = org.apache.spark.sql.expressions.Window
-          .partitionBy(col("round"), col("margin"))
-        val ranked = staged
-          .withColumn("rk0", row_number().over(w))
-          .withColumn("rk", avg(col("rk0")).over(tieW))
-        ranked.groupBy(col("round")).agg(
-          ((sum(when(col("label") === 1.0, col("rk"))) -
-            (count(when(col("label") === 1.0, 1)) *
-              (count(when(col("label") === 1.0, 1)) + 1)) / 2.0) /
-            (count(when(col("label") === 1.0, 1)) *
-              count(when(col("label") === 0.0, 1)))).as("m"))
+      case "auc" => aucByRound(staged)
       case other =>
         throw new IllegalArgumentException(s"unknown metric: $other")
     }
     byRound.orderBy(col("round")).collect().map(_.getAs[Double]("m"))
+  }
+
+  /** Exact per-round Mann-Whitney AUC with midrank tie handling,
+    * computed without any per-round single-reducer window.
+    *
+    * U = #{(pos, neg) pairs with pos.margin > neg.margin}
+    *     + ½·#{tied pairs};  AUC = U / (nPos · nNeg)
+    *
+    * Shape: (1) collapse ties into (round, margin) groups with
+    * positive/negative counts — one hash aggregation; (2) range-
+    * partition the groups on (round, margin) and sort within
+    * partitions, so every round's margins ascend across partition
+    * boundaries; (3) one small pass collects per-(partition, round)
+    * negative totals (O(partitions × rounds) values on the driver —
+    * the only driver data); (4) one distributed pass walks each
+    * partition with a running negatives-below counter seeded from the
+    * prefix offsets and sums p_g · (negBelow + n_g/2) per round.
+    * Identical midrank math to a global rank window, but every stage
+    * is a hash agg or a per-partition scan — no round lands on a
+    * single reducer, so the same code holds on a full corpus.
+    */
+  private[graft] def aucByRound(staged: DataFrame): DataFrame = {
+    val spark = staged.sparkSession
+    import spark.implicits._
+    val grouped = staged.groupBy(col("round"), col("margin")).agg(
+        sum(when(col("label") === 1.0, 1L).otherwise(0L)).as("p"),
+        sum(when(col("label") === 0.0, 1L).otherwise(0L)).as("n"))
+      .as[(Int, Double, Long, Long)]
+    val nParts = math.max(2, spark.sessionState.conf.numShufflePartitions)
+    val sorted = grouped
+      .repartitionByRange(nParts, col("round"), col("margin"))
+      .sortWithinPartitions(col("round"), col("margin"))
+      .persist()
+    try {
+      // pass 1: per-(partition, round) negative totals -> prefix offsets
+      val partNeg = sorted.mapPartitions { it =>
+        val pid = org.apache.spark.TaskContext.getPartitionId()
+        val acc = scala.collection.mutable.LinkedHashMap.empty[Int, Long]
+        it.foreach { case (r, _, _, n) => acc(r) = acc.getOrElse(r, 0L) + n }
+        acc.iterator.map { case (r, n) => (pid, r, n) }
+      }.collect()
+      val offsets: Map[(Int, Int), Long] = partNeg.groupBy(_._2).flatMap {
+        case (r, arr) =>
+          var cum = 0L
+          arr.sortBy(_._1).map { case (pid, _, n) =>
+            val o = ((pid, r), cum); cum += n; o
+          }
+      }
+      val bOff = spark.sparkContext.broadcast(offsets)
+      // pass 2: running negBelow per round within each sorted partition
+      val contrib = sorted.mapPartitions { it =>
+        val pid = org.apache.spark.TaskContext.getPartitionId()
+        val off = bOff.value
+        val negBelow = scala.collection.mutable.HashMap.empty[Int, Long]
+        val u = scala.collection.mutable.LinkedHashMap.empty[Int, (Double, Long, Long)]
+        it.foreach { case (r, _, p, n) =>
+          val below = negBelow.getOrElse(r, off.getOrElse((pid, r), 0L))
+          val (u0, p0, n0) = u.getOrElse(r, (0.0, 0L, 0L))
+          u(r) = (u0 + p * (below + n / 2.0), p0 + p, n0 + n)
+          negBelow(r) = below + n
+        }
+        u.iterator.map { case (r, (uu, pp, nn)) => (r, uu, pp, nn) }
+      }.toDF("round", "u", "np", "nn")
+      contrib.groupBy(col("round"))
+        .agg((sum(col("u")) / (sum(col("np")) * sum(col("nn")))).as("m"))
+        .orderBy(col("round"))
+        .localCheckpoint(true)
+    } finally sorted.unpersist()
   }
 
   /** Best round under the metric (1-based, like `best_iteration`+1 in

@@ -94,6 +94,33 @@ class StagedEvalSpec extends AnyFunSuite {
     }
   }
 
+  test("aucByRound matches brute-force pair counting, ties included") {
+    // hand-built (round, label, margin) frame with deliberate ties,
+    // both within and across labels, spread over two rounds
+    val rows = Seq(
+      (1, 1.0, 0.9), (1, 1.0, 0.5), (1, 0.0, 0.5), (1, 0.0, 0.1),
+      (1, 1.0, 0.1), (1, 0.0, 0.9), (1, 0.0, 0.3), (1, 1.0, 0.3),
+      (2, 1.0, 0.8), (2, 0.0, 0.2), (2, 1.0, 0.2), (2, 0.0, 0.8),
+      (2, 1.0, 0.7), (2, 0.0, 0.4)
+    )
+    val df = rows.toDF("round", "label", "margin")
+    val got = StagedEval.aucByRound(df).collect()
+      .map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    // brute force: U = #{pos>neg} + 0.5*#{ties}; AUC = U/(nPos*nNeg)
+    val expected = rows.groupBy(_._1).map { case (round, rs) =>
+      val pos = rs.filter(_._2 == 1.0).map(_._3)
+      val neg = rs.filter(_._2 == 0.0).map(_._3)
+      val u = (for (p <- pos; n <- neg) yield {
+        if (p > n) 1.0 else if (p == n) 0.5 else 0.0
+      }).sum
+      round -> u / (pos.size * neg.size)
+    }
+    expected.foreach { case (round, e) =>
+      assert(math.abs(got(round) - e) < 1e-12,
+        s"round $round: got ${got(round)}, expected $e")
+    }
+  }
+
   test("staged rmse works for regression models") {
     val df = (0 until 400).map { i =>
       val x = (i % 25).toDouble
