@@ -109,6 +109,17 @@ object Dedup {
     val hot = ds.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
       .filter(col("df") > dfCap).select(col("shingle")).cache()
     val nHot = hot.count()
+    if (nHot > 0)
+      // loud diagnostic: when the df cap binds, the recall boundary in
+      // the MaxShingleDf scaladoc is live — a pair ALL of whose shared
+      // shingles are hot never surfaces, so an all-pairs oracle can
+      // hash-mismatch here. Surface the cause by name instead of
+      // letting it show up as an opaque t2 failure.
+      System.err.println(
+        s"[dedup] WARNING: $nHot shingle(s) exceed MaxShingleDf=$dfCap; " +
+        "pairs whose shared shingles are ALL hot will not surface " +
+        "(see Dedup.MaxShingleDf scaladoc). If this is an oracle-gated " +
+        "corpus, expect divergence from the all-pairs oracle.")
     val rare = ds.join(broadcast(hot), Seq("shingle"), "left_anti")
     val a = rare.select(col("doc_id").as("ia"), col("n_sh").as("na"), col("shingle"))
     val b = rare.select(col("doc_id").as("ib"), col("n_sh").as("nb"), col("shingle"))
@@ -429,19 +440,31 @@ object Dedup {
     """)
   )
 
-  /** Distributed connected components by iterative minimum-label
-    * propagation: labels start as node ids and flow along edges until
-    * fixpoint; every node ends with the min doc_id of its component.
-    * Each round is one equi-join + one map-side-combined min
-    * aggregation on uniform keys; convergence is detected by the
-    * strictly-decreasing label sum (no second join). Rounds =
-    * component diameter — near-dup clusters are shallow (dup groups,
-    * not paths), so this converges in a handful of rounds at any
-    * corpus size; `maxIter` bounds pathological chains.
+  /** Distributed connected components: minimum-label propagation with
+    * POINTER JUMPING. Labels start as node ids; each round (1) flows
+    * the min label along edges (one equi-join + one map-side-combined
+    * min aggregation on uniform keys), then (2) shortcuts every label
+    * through its own label (`label(x) ← label(label(x))` — one more
+    * equi-join). Propagation alone needs diameter rounds; the jump
+    * doubles the distance a min has travelled each round, so chains
+    * converge in O(log diameter) rounds — the shape that holds when a
+    * boilerplate-linked dup chain spans thousands of docs. Labels are
+    * monotonically non-increasing (a node's label is always ≤ its id,
+    * so the shortcut can only decrease), hence the strictly-decreasing
+    * label sum detects the fixpoint with no second join.
     */
   private[graft] def connectedComponents(
       edges: DataFrame, srcCol: String, dstCol: String, maxIter: Int = 50
-  ): DataFrame = {
+  ): DataFrame = connectedComponentsWithStats(edges, srcCol, dstCol, maxIter)._1
+
+  /** As [[connectedComponents]], returning (labels, rounds, converged)
+    * so callers and specs can observe the round count. Exhausting
+    * `maxIter` without convergence would silently emit wrong
+    * (unconverged) labels — fail loudly instead.
+    */
+  private[graft] def connectedComponentsWithStats(
+      edges: DataFrame, srcCol: String, dstCol: String, maxIter: Int = 50
+  ): (DataFrame, Int, Boolean) = {
     val sym = edges
       .select(col(srcCol).cast("long").as("a"), col(dstCol).cast("long").as("b"))
       .union(edges.select(col(dstCol).cast("long").as("a"), col(srcCol).cast("long").as("b")))
@@ -453,7 +476,7 @@ object Dedup {
       .cache()
     // empty graph: sum(label) below would be null — return the empty
     // (node, label) frame directly
-    if (labels.isEmpty) { sym.unpersist(false); return labels }
+    if (labels.isEmpty) { sym.unpersist(false); return (labels, 0, true) }
     // one action per round (the label-sum aggregate materializes the
     // cache as a side effect); labels only ever decrease, so an
     // unchanged sum IS the fixpoint. AQE right-sizes each round's
@@ -462,11 +485,29 @@ object Dedup {
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
-      val msgs = sym.join(labels, sym("a") === labels("node"))
+      val cur = labels.toDF("node", "label")
+      val msgs = sym.join(cur, sym("a") === cur("node"))
         .select(col("b").as("node"), col("label"))
-      val next = msgs.union(labels.select(col("node"), col("label")))
+      // eager localCheckpoint, twice a round, instead of cache:
+      // (1) the jump self-join references `prop` twice, so without
+      // lineage truncation the logical plan QUADRUPLES per round —
+      // O(4^rounds) plan nodes OOM the driver on plan stringification
+      // alone; (2) checkpointing `prop` first makes the self-joined
+      // subtree a flat LogicalRDD, keeping the unions out of it
+      // (Catalyst's union constraint rewrite trips on the duplicate
+      // attribute ids a self-joined union subtree produces).
+      val prop = msgs.union(cur.select(col("node"), col("label")))
         .groupBy(col("node")).agg(min(col("label")).as("label"))
-        .cache()
+        .localCheckpoint(true)
+      // pointer jump: label(x) ← label(label(x)). Every label IS a
+      // node id present in `prop` (labels only ever hold node ids and
+      // every node has a row), so the lookup always hits; left join +
+      // coalesce keeps the frame total regardless.
+      val p2 = prop.toDF("jn", "jl")
+      val next = prop
+        .join(p2, col("label") === col("jn"), "left")
+        .select(col("node"), coalesce(col("jl"), col("label")).as("label"))
+        .localCheckpoint(true)
       val nextSum = next.agg(sum(col("label"))).first().getLong(0)
       labels.unpersist(false)
       labels = next
@@ -475,7 +516,11 @@ object Dedup {
       iter += 1
     }
     sym.unpersist(false)
-    labels
+    require(converged,
+      s"connectedComponents did not converge in $maxIter rounds — " +
+      "labels would be silently wrong; raise maxIter (rounds grow " +
+      "~log2(component diameter) with pointer jumping)")
+    (labels, iter, converged)
   }
 
   /** Near-dup cluster assignment: connected components over the

@@ -185,6 +185,26 @@ class TextDedupSpec extends AnyFunSuite {
     assert(got(20L) == 20L && got(21L) == 20L)
   }
 
+  test("connected components: 64-node chain converges in O(log) rounds") {
+    // pure path graph of diameter 63 — min-propagation alone needs
+    // ~63 rounds; pointer jumping must land it within ~2*log2(64)+2
+    val edges = (1L until 64L).map(i => (i, i + 1)).toDF("src", "dst")
+    val (labels, rounds, converged) =
+      Dedup.connectedComponentsWithStats(edges, "src", "dst", maxIter = 16)
+    assert(converged)
+    assert(rounds <= 14, s"chain of 64 took $rounds rounds (expected ~log2)")
+    val got = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    (1L to 64L).foreach(n => assert(got(n) == 1L, s"node $n: ${got(n)}"))
+  }
+
+  test("connected components fails loudly when maxIter is exhausted") {
+    val edges = (1L until 40L).map(i => (i, i + 1)).toDF("src", "dst")
+    val ex = intercept[IllegalArgumentException] {
+      Dedup.connectedComponentsWithStats(edges, "src", "dst", maxIter = 2)
+    }
+    assert(ex.getMessage.contains("did not converge"))
+  }
+
   test("dedup_clusters groups transitively (A~B, B~C => one cluster)") {
     val hot = "alpha beta gamma delta epsilon kappa lambda mu nu xi"
     // doc1~doc2 and doc2~doc3 overlap pairwise; 1 and 3 share less —
