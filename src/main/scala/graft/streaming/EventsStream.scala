@@ -122,20 +122,11 @@ object EventsStream {
   val SessionGapMinutes = 30L
   private val GapMicros = SessionGapMinutes * 60L * 1000000L
 
-  /** The flatMapGroupsWithState function: merges this trigger's
-    * (time-sorted) events into the accrued GroupState, so sessions
-    * spanning trigger boundaries are counted once, and emits the
-    * user's updated summary. Within a trigger events are sorted by
-    * event time; across triggers arrival order must follow event time
-    * (the file-replay and append-log case — reordering ACROSS
-    * triggers would need event-time timeouts and a reorder buffer).
-    * Exposed for the multi-trigger spec.
+  /** Fold an ascending-sorted batch of event times into the running
+    * session bookkeeping. The shared kernel of both sessionization
+    * state functions.
     */
-  def sessionFn(user: Long, rows: Iterator[Ev], state: GroupState[SessState])
-      : Iterator[SessionSummary] = {
-    val ts = rows.map(_.tsMicros).toArray.sorted
-    if (ts.isEmpty) return Iterator.empty
-    val st = state.getOption.getOrElse(SessState(Long.MinValue, 0L, 0L, 0L, 0L))
+  private def mergeSorted(st: SessState, ts: Array[Long]): SessState = {
     var last = st.lastTs
     var sessions = st.sessions
     var cur = st.cur
@@ -150,8 +141,74 @@ object EventsStream {
       total += 1
       i += 1
     }
-    state.update(SessState(last, sessions, cur, maxEv, total))
-    Iterator.single(SessionSummary(user, sessions, total, maxEv))
+    SessState(last, sessions, cur, maxEv, total)
+  }
+
+  /** The flatMapGroupsWithState function: merges this trigger's
+    * (time-sorted) events into the accrued GroupState, so sessions
+    * spanning trigger boundaries are counted once, and emits the
+    * user's updated summary. Within a trigger events are sorted by
+    * event time; across triggers arrival order must follow event time
+    * (the file-replay and append-log case — reordering ACROSS
+    * triggers is [[sessionFnEventTime]]'s job). Exposed for the
+    * multi-trigger spec.
+    */
+  def sessionFn(user: Long, rows: Iterator[Ev], state: GroupState[SessState])
+      : Iterator[SessionSummary] = {
+    val ts = rows.map(_.tsMicros).toArray.sorted
+    if (ts.isEmpty) return Iterator.empty
+    val st = mergeSorted(
+      state.getOption.getOrElse(SessState(Long.MinValue, 0L, 0L, 0L, 0L)), ts)
+    state.update(st)
+    Iterator.single(SessionSummary(user, st.sessions, st.total, st.maxEv))
+  }
+
+  /** Reorder-buffer state for [[sessionFnEventTime]]: `pending` holds
+    * event times newer than the watermark (bounded by what can arrive
+    * inside the watermark delay — O(events per user per delay), never
+    * the full history), `frontier` is the watermark up to which the
+    * summary has been finalized, `dropped` counts events that arrived
+    * later than the frontier (late beyond watermark — the same events
+    * a watermarked aggregation would discard).
+    */
+  case class ReorderState(
+      pending: Seq[Long], frontier: Long, st: SessState, dropped: Long)
+
+  /** Out-of-order-tolerant sessionization: events buffer in GroupState
+    * until the watermark passes them, then merge into the summary in
+    * EVENT-TIME order — so arrival order across triggers no longer
+    * matters, the production shape for sources that deliver late data
+    * (the documented limitation of [[sessionFn]]). An event-time
+    * timeout re-fires the group whenever the watermark overtakes the
+    * oldest buffered event, so summaries advance on no-data batches
+    * too. Requires `withWatermark` upstream and
+    * `GroupStateTimeout.EventTimeTimeout`.
+    */
+  def sessionFnEventTime(
+      user: Long, rows: Iterator[Ev], state: GroupState[ReorderState])
+      : Iterator[SessionSummary] = {
+    val prior = state.getOption.getOrElse(
+      ReorderState(Seq.empty, Long.MinValue, SessState(Long.MinValue, 0L, 0L, 0L, 0L), 0L))
+    val wmMicros = state.getCurrentWatermarkMs() * 1000L
+    val incoming = rows.map(_.tsMicros).toArray
+    // later than the finalized frontier they are not: merging them now
+    // would rewind already-emitted sessions — drop, like a watermarked
+    // aggregation drops late rows, and keep the count observable
+    val (late, ok) = incoming.partition(_ <= prior.frontier)
+    val (ready, hold) = (prior.pending ++ ok).partition(_ <= wmMicros)
+    val merged =
+      if (ready.nonEmpty) mergeSorted(prior.st, ready.toArray.sorted) else prior.st
+    val frontier =
+      if (ready.nonEmpty) math.max(prior.frontier, wmMicros) else prior.frontier
+    state.update(ReorderState(hold, frontier, merged, prior.dropped + late.length))
+    if (hold.nonEmpty)
+      // fire when the watermark passes the oldest buffered event (must
+      // be strictly ahead of the current watermark to be settable)
+      state.setTimeoutTimestamp(
+        math.max(hold.min / 1000L, state.getCurrentWatermarkMs() + 1L))
+    if (ready.nonEmpty)
+      Iterator.single(SessionSummary(user, merged.sessions, merged.total, merged.maxEv))
+    else Iterator.empty
   }
 
   /** Arbitrary-stateful sessionization via flatMapGroupsWithState:

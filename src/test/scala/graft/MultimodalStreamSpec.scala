@@ -66,6 +66,55 @@ class MultimodalStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("event-time sessionize merges out-of-order events across triggers") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    import graft.streaming.EventsStream
+    import graft.streaming.EventsStream.{Ev, SessionSummary}
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val minute = 60L * 1000000L
+    val base = 1700000000L * 1000000L // real epoch so watermarks behave
+
+    val src = MemoryStream[Ev]
+    val summarized = src.toDS()
+      .withColumn("eventTime", timestamp_micros(col("tsMicros")))
+      .withWatermark("eventTime", "120 minutes")
+      .as[Ev]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Update(),
+        GroupStateTimeout.EventTimeTimeout)(EventsStream.sessionFnEventTime _)
+    val name = "graft_sess_ooo"
+    val q = summarized.toDF().writeStream
+      .outputMode(OutputMode.Update()).format("memory").queryName(name).start()
+    try {
+      // batch 1: user 1 at minutes 100, 101
+      src.addData(Ev(1L, base + 100 * minute, 0.0), Ev(1L, base + 101 * minute, 0.0))
+      q.processAllAvailable()
+      // batch 2: minute 20 arrives AFTER minutes 100/101 — out of
+      // order across the trigger boundary — plus minute 150.
+      // Arrival-order processing would fold 20 into the {100,101}
+      // session (2 sessions, max 3); event-time order gives
+      // {20} {100,101} {150} = 3 sessions, max 2.
+      src.addData(Ev(1L, base + 20 * minute, 0.0), Ev(1L, base + 150 * minute, 0.0))
+      q.processAllAvailable()
+      // batch 3: sentinel user pushes the watermark past every user-1
+      // event so all buffered events finalize; also a genuinely-late
+      // user-1 event (minute 25 < the frontier by then) must be
+      // dropped, not rewound into the summary
+      src.addData(Ev(99L, base + 400 * minute, 0.0))
+      q.processAllAvailable()
+      src.addData(Ev(1L, base + 25 * minute, 0.0))
+      q.processAllAvailable()
+      val rows = spark.table(name).as[SessionSummary].collect()
+        .filter(_.user_id == 1L)
+      assert(rows.nonEmpty, "no user-1 summaries emitted")
+      assert(rows.last == SessionSummary(1L, 3L, 4L, 2L),
+        s"event-time order must yield 3 sessions of {20} {100,101} {150}: " +
+        s"got ${rows.last} (all: ${rows.toSeq})")
+    } finally q.stop()
+  }
+
   test("streaming hourly agg equals the batch aggregation") {
     val streamed = SparkEntry.queries("stream_hourly_agg")(spark, sf)
     val batch = SparkEntry.queries("q18_events_hourly")(spark, sf)
