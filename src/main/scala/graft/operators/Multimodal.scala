@@ -115,8 +115,9 @@ object Multimodal {
       SELECT doc_id,
              CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
              CAST(floor((octet_length(encode(text)) - 1) / $FrameSize) + 1 AS BIGINT) AS n_frames,
-             round(CAST(list_sum(list_transform(string_split(text, ''), c -> ascii(c))) AS DOUBLE)
-               / octet_length(encode(text)), 6) AS mean_byte
+             round(coalesce(
+               CAST(list_sum(list_transform(string_split(text, ''), c -> ascii(c))) AS DOUBLE)
+                 / nullif(octet_length(encode(text)), 0), 0.0), 6) AS mean_byte
       FROM documents
       ORDER BY doc_id
     """)

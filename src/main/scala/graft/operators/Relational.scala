@@ -804,14 +804,17 @@ object Relational {
           count(lit(1)).as("n"),
           sum(dec2(col("o_totalprice"))).cast("double").as("sum_price"))
         .orderBy(col("o_orderstatus"))
-      // materialize, then remove the JSON staging copy — repeated gate
-      // runs must not accumulate table-sized temp directories
-      out.persist().count()
+      // materialize with TRUNCATED lineage before deleting the JSON
+      // staging copy: with a plain persist(), a later cache-block loss
+      // would recompute from the deleted path and crash mid-harness;
+      // localCheckpoint severs that lineage. Repeated gate runs must
+      // not accumulate table-sized temp directories.
+      val pinned = out.localCheckpoint()
       def rm(f: java.io.File): Unit = {
         if (f.isDirectory) f.listFiles().foreach(rm); f.delete()
       }
       rm(tmp.toFile)
-      out
+      pinned
     },
     Some("""
       SELECT o_orderstatus, COUNT(*) AS n,

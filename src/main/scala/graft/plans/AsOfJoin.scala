@@ -47,6 +47,18 @@ case class AsOfJoin(
     tolerance: Option[Double] = None
 ) extends BinaryNode {
   require(joinType == "left" || joinType == "inner", s"unsupported joinType $joinType")
+  // tolerance arithmetic needs numeric-backed time values; reject
+  // non-numeric time columns at PLAN time — without this the exec's
+  // per-row cast would throw ClassCastException at execution time,
+  // and only on the first tolerance-checked match
+  if (tolerance.isDefined) {
+    import org.apache.spark.sql.types.{DateType, NumericType, TimestampNTZType, TimestampType}
+    Seq("left" -> leftTime.dataType, "right" -> rightTime.dataType).foreach {
+      case (_, _: NumericType) | (_, DateType) | (_, TimestampType) | (_, TimestampNTZType) => ()
+      case (side, dt) => throw new IllegalArgumentException(
+        s"as-of tolerance requires a numeric, date, or timestamp $side time column; got $dt")
+    }
+  }
   // under "left", left rows always survive and the right side is
   // nullable; under "inner" every emitted row has a real match
   override def output: Seq[Attribute] =
@@ -171,9 +183,13 @@ case class AsOfJoinExec(
           val withinTol = sameKey && (tolB match {
             case None => true
             case Some(t) =>
-              val ltN = lt.asInstanceOf[Number].doubleValue()
-              val rtN = lastMatchTime.asInstanceOf[Number].doubleValue()
-              ltN - rtN <= t
+              // types were validated at plan time; Decimal is the one
+              // numeric backing that isn't a java.lang.Number
+              def num(v: Any): Double = v match {
+                case d: org.apache.spark.sql.types.Decimal => d.toDouble
+                case n: Number => n.doubleValue()
+              }
+              num(lt) - num(lastMatchTime) <= t
           })
           if (withinTol) outProj(joined(l, lastMatch))
           else if (inner) null

@@ -65,16 +65,40 @@ object EventsStream {
     StructField("n_chars", LongType)
   ))
 
+  /** State-store partition count for the replay queries.
+    *
+    * Structured Streaming pins state partitioning at the first
+    * checkpoint from `spark.sql.shuffle.partitions`, so it is a
+    * deliberate sizing decision, not an inherited default: it scales
+    * with keyed-state volume and ingest throughput, NOT with the
+    * batch shuffle width. Per-trigger overhead (one state-store
+    * provider + checkpoint per partition per trigger) is linear in
+    * the partition count whether or not a partition holds state —
+    * measured at sf0.1, 32 → 8 partitions halves replay wall time
+    * (sessionize 4.7 → 2.3s, hourly agg 5.4 → 2.7s) with identical
+    * results (keyed aggregation is partition-count-agnostic). At real
+    * scale this knob goes UP — thousands of partitions for billions
+    * of keys; here it is sized to the test corpus' keyspace.
+    */
+  val StatePartitions = 8
+
   private def runToTable(df: DataFrame, mode: OutputMode): DataFrame = {
     val name = "graft_sink_" + UUID.randomUUID().toString.replace("-", "")
-    val q = df.writeStream
-      .outputMode(mode)
-      .format("memory")
-      .queryName(name)
-      .start()
-    try q.processAllAvailable()
-    finally q.stop()
-    df.sparkSession.table(name)
+    val s = df.sparkSession
+    // the streaming query snapshots the conf at start(); restore the
+    // batch shuffle width for everything that runs after the replay
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", StatePartitions.toString)
+    try {
+      val q = df.writeStream
+        .outputMode(mode)
+        .format("memory")
+        .queryName(name)
+        .start()
+      try q.processAllAvailable()
+      finally q.stop()
+    } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+    s.table(name)
   }
 
   /** Watermarked tumbling-window aggregation (1h windows by event

@@ -95,6 +95,18 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(inner == Seq("a"))
   }
 
+  test("tolerance on a non-numeric time column fails at plan time, not per-row") {
+    val probe = Seq((1L, "2024-01-01", "a")).toDF("k", "t", "tag")
+    val ref = Seq((1L, "2023-12-31", 9.0)).toDF("rk", "rt", "v")
+    val e = intercept[IllegalArgumentException] {
+      AsOf.join(probe, ref, Seq("k"), Seq("rk"), "t", "rt", tolerance = Some(50.0))
+    }
+    assert(e.getMessage.contains("tolerance requires a numeric"))
+    // without tolerance the string time column is fine (ordering-only)
+    val ok = AsOf.join(probe, ref, Seq("k"), Seq("rk"), "t", "rt").collect().head
+    assert(ok.getDouble(5) == 9.0)
+  }
+
   test("null keys and null times never match (SQL null-equality semantics)") {
     val probe = Seq(
       (Some(1L), Some(100L), "ok"),
