@@ -5,6 +5,46 @@ import org.apache.spark.sql.functions._
 
 import GraftBoost._
 
+/** Companion utilities for the estimator surface. */
+object Estimators {
+
+  /** Positional eval sets packaged into the named form `fit` takes:
+    * `validation_0 .. validation_{n-1}`, exactly the reference's
+    * naming (`core.py:147`).
+    */
+  case class PackagedEvals(
+      sets: Map[String, DataFrame], weights: Map[String, String])
+
+  /** Reference `_package_evals` parity (`core.py:138-151`): pair
+    * positionally-given eval frames with optional per-set weight
+    * columns. `None` for `sampleWeightEvalSet` means every set is
+    * unweighted (the reference's `[None] * len(eval_set)` branch).
+    *
+    * DELIBERATE DIVERGENCE, pinned by MLSpec: when
+    * `sample_weight_eval_set` is SHORTER than `eval_set`, the
+    * reference's Python `zip` silently truncates — two eval sets plus
+    * a one-element weight list yields ONE packaged set
+    * (`tests/test_core.py:149-170` pins `len == 1`), dropping a
+    * validation set the caller explicitly passed. Silently discarding
+    * requested evaluation is the wrong contract for an engine, so a
+    * length mismatch fails loudly here instead, naming the quirk.
+    */
+  def packageEvals(
+      evalSet: Seq[DataFrame],
+      sampleWeightEvalSet: Option[Seq[Option[String]]] = None
+  ): PackagedEvals = {
+    val weights = sampleWeightEvalSet.getOrElse(Seq.fill(evalSet.length)(None))
+    require(weights.length == evalSet.length,
+      s"sample_weight_eval_set has ${weights.length} entries for " +
+      s"${evalSet.length} eval sets. The reference zip-truncates to the " +
+      "shorter list (core.py:144-146), silently dropping eval sets; pass " +
+      "exactly one weight column (or None) per eval set instead.")
+    val named = evalSet.zipWithIndex.map { case (df, i) => s"validation_$i" -> df }
+    val w = named.zip(weights).collect { case ((n, _), Some(c)) => n -> c }
+    PackagedEvals(named.toMap, w.toMap)
+  }
+}
+
 /** Sklearn-style estimator surface — the Spark-native restatement of
   * the reference's `XGBRegressor`/`XGBClassifier` wrappers
   * (`core.py:387-631`). Mutable-builder style mirrors sklearn's
@@ -55,7 +95,12 @@ final class GraftXGBRegressor extends GraftEstimator[GraftXGBRegressor] {
     * reference's eval_set history; unlike the reference — which
     * forbids lazy collections in eval sets (`core.py:154-161`) —
     * DataFrames are naturally fine here, so that restriction
-    * disappears (SURVEY §2.2 `_has_dask_collections`).
+    * disappears (SURVEY §2.2 `_has_dask_collections`). `evalWeights`
+    * maps an eval-set name to its weight column
+    * (`sample_weight_eval_set`, `core.py:138-151`; package positional
+    * sets with [[Estimators.packageEvals]]) — weighted sets get a
+    * staged weighted-rmse history, unweighted ones MLlib's
+    * squared-error history.
     */
   def fit(
       df: DataFrame,
@@ -63,7 +108,8 @@ final class GraftXGBRegressor extends GraftEstimator[GraftXGBRegressor] {
       labelCol: String,
       weightCol: Option[String] = None,
       evalSets: Map[String, DataFrame] = Map.empty,
-      earlyStoppingValidation: Option[DataFrame] = None
+      earlyStoppingValidation: Option[DataFrame] = None,
+      evalWeights: Map[String, String] = Map.empty
   ): GraftXGBRegressor = {
     val params = BoostParams("reg:squarederror", nEstimators, maxDepth,
       learningRate, 1, subsample, missingValue, seed = seed,
@@ -75,8 +121,14 @@ final class GraftXGBRegressor extends GraftEstimator[GraftXGBRegressor] {
       case None => (df, None)
     }
     model = Some(GraftBoost.train(data, featureCols, labelCol, params, weightCol, valCol))
-    if (evalSets.nonEmpty)
-      evalsResult = GraftBoost.evalHistory(fitted, evalSets, labelCol)
+    if (evalSets.nonEmpty) {
+      val (weighted, plain) = evalSets.partition { case (n, _) => evalWeights.contains(n) }
+      evalsResult = GraftBoost.evalHistory(fitted, plain, labelCol) ++
+        weighted.map { case (n, d) =>
+          n -> Map("rmse" ->
+            StagedEval.history(fitted, d, labelCol, "rmse", evalWeights.get(n)))
+        }
+    }
     this
   }
 
@@ -106,7 +158,8 @@ final class GraftXGBClassifier extends GraftEstimator[GraftXGBClassifier] {
       labelCol: String,
       weightCol: Option[String] = None,
       evalSets: Map[String, DataFrame] = Map.empty,
-      earlyStoppingValidation: Option[DataFrame] = None
+      earlyStoppingValidation: Option[DataFrame] = None,
+      evalWeights: Map[String, String] = Map.empty
   ): GraftXGBClassifier = {
     val inferred = df.select(col(labelCol).cast("double"))
       .distinct().collect().map(_.getDouble(0)).sorted
@@ -128,7 +181,15 @@ final class GraftXGBClassifier extends GraftEstimator[GraftXGBClassifier] {
     model = Some(GraftBoost.train(data, featureCols, labelCol, params, weightCol, valCol))
     if (evalSets.nonEmpty) {
       if (effective == "binary:logistic") {
-        evalsResult = GraftBoost.evalHistory(fitted, evalSets, labelCol)
+        // weighted sets (`sample_weight_eval_set`) go through the
+        // staged weighted-logloss path; unweighted keep MLlib's
+        // per-iteration logloss
+        val (weighted, plain) = evalSets.partition { case (n, _) => evalWeights.contains(n) }
+        evalsResult = GraftBoost.evalHistory(fitted, plain, labelCol) ++
+          weighted.map { case (n, d) =>
+            n -> Map("logloss" ->
+              StagedEval.history(fitted, d, labelCol, "logloss", evalWeights.get(n)))
+          }
       } else {
         // multiclass history via staged OvR margins (reference
         // `multi:softprob` evals_result, `core.py:120, 580-590`);
@@ -138,9 +199,10 @@ final class GraftXGBClassifier extends GraftEstimator[GraftXGBClassifier] {
           "eval-set history needs per-round models (multiclassStrategy=ovr); " +
           "RandomForest multiclass has no boosting rounds")
         evalsResult = evalSets.map { case (name, d) =>
+          val w = evalWeights.get(name)
           name -> Map(
-            "mlogloss" -> StagedEval.history(fitted, d, labelCol, "mlogloss"),
-            "merror"   -> StagedEval.history(fitted, d, labelCol, "merror"))
+            "mlogloss" -> StagedEval.history(fitted, d, labelCol, "mlogloss", w),
+            "merror"   -> StagedEval.history(fitted, d, labelCol, "merror", w))
         }
       }
     }
@@ -155,8 +217,18 @@ final class GraftXGBClassifier extends GraftEstimator[GraftXGBClassifier] {
     GraftBoost.predict(fitted, df)
       .withColumn("prediction", col("prediction").cast("long"))
 
-  /** `predict_proba` (`core.py:626-631`). */
-  def predictProba(df: DataFrame): DataFrame = GraftBoost.predictProba(fitted, df)
+  /** `predict_proba` (`core.py:626-631`). The reference raises
+    * `NotImplementedError` for `ntree_limit`; mirrored here as a loud
+    * reject with a pointer at the SUPPORTED way to score with fewer
+    * trees — [[StagedEval.truncateToBest]] physically truncates the
+    * model, which exceeds the reference's capability.
+    */
+  def predictProba(df: DataFrame, ntreeLimit: Option[Int] = None): DataFrame = {
+    require(ntreeLimit.isEmpty,
+      "'ntree_limit' is not supported (reference parity, core.py:626-631); " +
+      "truncate the model physically with StagedEval.truncateToBest instead")
+    GraftBoost.predictProba(fitted, df)
+  }
 
   /** Platt-scale the OvR probability surface on a calibration frame
     * (ideally held out) — after this, predictProba emits calibrated
@@ -165,5 +237,24 @@ final class GraftXGBClassifier extends GraftEstimator[GraftXGBClassifier] {
   def calibrateProba(df: DataFrame, labelCol: String): GraftXGBClassifier = {
     model = Some(GraftBoost.calibrate(fitted, df, labelCol))
     this
+  }
+
+  /** Fit-then-calibrate with a deterministic held-out calibration
+    * split — the misuse-proof convenience: Platt-scaling on the SAME
+    * rows the trees were fit to sees overconfident margins (the trees
+    * have partially memorized them) and learns too-sharp sigmoids
+    * that overstate confidence on fresh data. This fits on
+    * (1 − calFraction) of `df` and calibrates on the held-out rest
+    * (split via [[GraftBoost.calibrationSplit]]).
+    */
+  def fitCalibrated(
+      df: DataFrame,
+      featureCols: Seq[String],
+      labelCol: String,
+      calFraction: Double = 0.2
+  ): GraftXGBClassifier = {
+    val (train, cal) = GraftBoost.calibrationSplit(df, calFraction, seed)
+    fit(train, featureCols, labelCol)
+    calibrateProba(cal, labelCol)
   }
 }

@@ -352,6 +352,28 @@ object GraftBoost {
     }
   }
 
+  /** Deterministic (train, calibration) split for [[calibrate]]:
+    * rows are bucketed by a content hash over every column, so the
+    * split is reproducible regardless of partitioning or row order —
+    * no shuffle, no sampling state, identical on re-read. Returns
+    * (trainDf, calDf) with ≈ calFraction of rows in the calibration
+    * side. Calibrating on training rows reuses margins the trees
+    * partially memorized and yields overconfident probabilities on
+    * fresh data — always calibrate on the held-out side.
+    */
+  def calibrationSplit(
+      df: DataFrame,
+      calFraction: Double = 0.2,
+      seed: Long = 42L
+  ): (DataFrame, DataFrame) = {
+    require(calFraction > 0 && calFraction < 1,
+      s"calFraction must be in (0, 1), got $calFraction")
+    val bucket = pmod(
+      xxhash64(struct(df.columns.map(col).toIndexedSeq: _*), lit(seed)), lit(1000L))
+    val cut = math.max(1L, math.round(calFraction * 1000))
+    (df.filter(bucket >= cut), df.filter(bucket < cut))
+  }
+
   /** Platt-scale an OvR multiclass model's per-class margins on a
     * calibration frame (ideally held out): per class c, fit
     * p(y = c | margin_c) = sigmoid(A·margin_c + B) with a

@@ -306,6 +306,103 @@ class MLSpec extends AnyFunSuite {
     assert(math.abs(calBack - cal) < 1e-9)
   }
 
+  test("packageEvals mirrors _package_evals naming; length mismatch fails loudly (test_core.py:149-170)") {
+    val a = Seq((1.0, 0.0)).toDF("x", "label")
+    val b = Seq((2.0, 1.0), (3.0, 0.0)).toDF("x", "label")
+    // 2 sets, no weights → 2 packaged sets named validation_0/1
+    val p0 = Estimators.packageEvals(Seq(a, b))
+    assert(p0.sets.keySet == Set("validation_0", "validation_1"))
+    assert(p0.weights.isEmpty)
+    assert(p0.sets("validation_1").count() == 2)
+    // 2 sets, 2 weights → both weighted
+    val p1 = Estimators.packageEvals(Seq(a, b), Some(Seq(Some("w"), Some("w2"))))
+    assert(p1.weights == Map("validation_0" -> "w", "validation_1" -> "w2"))
+    // 2 sets, 1 weight: the reference zip-truncates to ONE set
+    // (test_core.py:166-170 asserts len == 1) — silent data loss we
+    // deliberately reject; the error names the quirk
+    val e = intercept[IllegalArgumentException] {
+      Estimators.packageEvals(Seq(a, b), Some(Seq(Some("w"))))
+    }
+    assert(e.getMessage.contains("zip-truncates"))
+  }
+
+  test("weighted eval history: weights move the metric, uniform scaling doesn't") {
+    val df = separable
+      .withColumn("w", when(col("x1") < 5, 100.0).otherwise(1.0))
+      .withColumn("w2", (when(col("x1") < 5, 100.0).otherwise(1.0)) * 3.0)
+    val pkg = Estimators.packageEvals(Seq(df, df, df),
+      Some(Seq(None, Some("w"), Some("w2"))))
+    val clf = new GraftXGBClassifier().setNEstimators(3).setMaxDepth(2)
+    clf.fit(df, Seq("x1", "x2"), "label",
+      evalSets = pkg.sets, evalWeights = pkg.weights)
+    val plain = clf.evalsResult("validation_0")("logloss")
+    val wtd = clf.evalsResult("validation_1")("logloss")
+    val wtd3 = clf.evalsResult("validation_2")("logloss")
+    assert(plain.length == 3 && wtd.length == 3)
+    assert(plain.zip(wtd).exists { case (p, w) => math.abs(p - w) > 1e-12 },
+      "skewed weights must change the weighted logloss history")
+    wtd.zip(wtd3).foreach { case (w, w3) =>
+      assert(math.abs(w - w3) < 1e-9, "weighted metrics are scale-invariant")
+    }
+  }
+
+  test("predict_proba rejects ntree_limit loudly (core.py:626-631 parity)") {
+    val clf = new GraftXGBClassifier().setNEstimators(2).setMaxDepth(2)
+    clf.fit(separable, Seq("x1", "x2"), "label")
+    val e = intercept[IllegalArgumentException] {
+      clf.predictProba(separable, ntreeLimit = Some(1))
+    }
+    assert(e.getMessage.contains("ntree_limit"))
+    assert(e.getMessage.contains("truncateToBest"),
+      "the reject must point at the supported truncation path")
+  }
+
+  test("calibrationSplit is deterministic, disjoint, and ≈ the asked fraction") {
+    val df = (0 until 1000).map(i => (i.toLong, (i % 37).toDouble)).toDF("id", "x")
+    val (tr1, cal1) = GraftBoost.calibrationSplit(df, 0.2)
+    val (tr2, cal2) = GraftBoost.calibrationSplit(df.repartition(7), 0.2)
+    val c1 = cal1.select("id").collect().map(_.getLong(0)).toSet
+    val c2 = cal2.select("id").collect().map(_.getLong(0)).toSet
+    assert(c1 == c2, "split must not depend on partitioning")
+    assert(tr1.count() + cal1.count() == 1000)
+    assert(tr1.select("id").collect().map(_.getLong(0)).toSet.intersect(c1).isEmpty)
+    assert(c1.size > 120 && c1.size < 280, s"cal fraction off: ${c1.size}/1000")
+  }
+
+  test("held-out calibration beats calibrate-on-train on fresh data (test mlogloss)") {
+    // noisy data + deep trees: the fit memorizes label noise, so
+    // TRAIN margins look far more separable than fresh-data margins —
+    // exactly the regime where calibrate-on-train learns too-steep
+    // sigmoids and held-out calibration must win
+    val rnd = new scala.util.Random(7)
+    def mk(n: Int) = (0 until n).map { _ =>
+      val c = rnd.nextInt(3)
+      val label = if (rnd.nextDouble() < 0.3) rnd.nextInt(3) else c
+      (c * 3.0 + rnd.nextGaussian() * 2.5, rnd.nextDouble() * 5.0, label.toDouble)
+    }.toDF("x1", "x2", "label")
+    val fitDf = mk(500).cache()
+    val testDf = mk(600).cache()
+    val (train, cal) = GraftBoost.calibrationSplit(fitDf, 0.3)
+    val clf = new GraftXGBClassifier().setNEstimators(12).setMaxDepth(5)
+    clf.fit(train, Seq("x1", "x2"), "label")
+    val base = clf.model.get
+    def mlogloss(m: GraftBoostModel): Double = {
+      val rows = GraftBoost.predictProba(m, testDf).select("label", "proba").collect()
+      rows.map { r =>
+        -math.log(math.max(r.getSeq[Double](1)(r.getDouble(0).toInt), 1e-15))
+      }.sum / rows.length
+    }
+    val onTrain = mlogloss(GraftBoost.calibrate(base, train, "label"))
+    val heldOut = mlogloss(GraftBoost.calibrate(base, cal, "label"))
+    assert(heldOut <= onTrain + 1e-9,
+      s"held-out calibration ($heldOut) should not lose to " +
+      s"calibrate-on-train ($onTrain) on fresh data")
+    // the convenience wrapper produces a calibrated model end-to-end
+    val viaHelper = new GraftXGBClassifier().setNEstimators(6).setMaxDepth(3)
+      .fitCalibrated(fitDf, Seq("x1", "x2"), "label", calFraction = 0.3)
+    assert(viaHelper.model.get.calibration.isDefined)
+  }
+
   test("ml queries registered in SparkEntry run at sf0.001") {
     Seq("ml_binary_train_predict", "ml_regression_train_predict", "ml_multiclass_embeddings")
       .foreach { q =>
