@@ -850,6 +850,56 @@ object Relational {
     None
   )
 
+  /** Bucketed-warehouse join: both fact and dimension are written
+    * `bucketBy(custkey)` + sorted into a warehouse database, then
+    * joined and aggregated ON THE BUCKET KEY — the whole read side
+    * runs with ZERO shuffle exchanges (scan → sort-merge join →
+    * partial+final agg, all satisfied by the bucketing;
+    * BucketedJoinSpec pins the no-Exchange plan). This is the
+    * co-located-join posture for 100 TB: pay one bucketed ETL write,
+    * then every custkey join/agg over the warehouse is shuffle-free.
+    * The merge hint keeps the static planner from broadcasting the
+    * dimension — the point is the co-location, and with no exchange
+    * in the plan AQE has no stage boundary at which to re-plan it.
+    * Bucket count is sized to the test corpus; at scale it rises with
+    * data volume (buckets ≈ target partition count).
+    */
+  val q34BucketedJoin = GraftQuery(
+    "q34_bucketed_join",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      // one-time ETL into a bucketed warehouse (temp location; the
+      // database survives within the session so repeated runs reuse it)
+      if (!s.catalog.databaseExists("graft_bucket_wh")) {
+        val wh = java.nio.file.Files.createTempDirectory("graft_bucket_wh")
+        s.sql(s"CREATE DATABASE graft_bucket_wh LOCATION '${wh.toUri}'")
+      }
+      t.orders.select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        .write.format("parquet").mode("overwrite")
+        .bucketBy(8, "o_custkey").sortBy("o_custkey")
+        .saveAsTable("graft_bucket_wh.orders_b")
+      t.customer.select(col("c_custkey"), col("c_mktsegment"))
+        .write.format("parquet").mode("overwrite")
+        .bucketBy(8, "c_custkey").sortBy("c_custkey")
+        .saveAsTable("graft_bucket_wh.customer_b")
+      val o = s.table("graft_bucket_wh.orders_b")
+      val c = s.table("graft_bucket_wh.customer_b")
+      o.hint("merge").join(c, o("o_custkey") === c("c_custkey"))
+        .groupBy(col("c_custkey"), col("c_mktsegment"))
+        .agg(
+          count(lit(1)).as("n_orders"),
+          sum(dec2(col("o_totalprice"))).cast("double").as("sum_price"))
+      // no orderBy: the harness compares sorted rows, and a sort here
+      // would add the range exchange this query exists to not have
+    },
+    Some("""
+      SELECT c_custkey, c_mktsegment, COUNT(*) AS n_orders,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      GROUP BY c_custkey, c_mktsegment
+    """)
+  )
+
   def all: Seq[GraftQuery] = Seq(
     q01PricingSummary, q02RevenueByNation, q03ShippingPriority,
     q04OrderPriorityExists, q05CustomersWithoutOrders, q06RevenueFilter,
@@ -858,6 +908,6 @@ object Relational {
     q15CaseAgg, q16TopOrders, q17EventsJson, q18EventsHourly,
     q19EventsUserStats, q20PartRevenue, q24SqlEntry, q25Percentiles,
     q26TopkAgg, q28Pivot, q29GroupingSets, q30ApproxDistinct, q31Unpivot,
-    q32JsonRoundtrip, q33ApproxPercentile
+    q32JsonRoundtrip, q33ApproxPercentile, q34BucketedJoin
   )
 }
