@@ -850,6 +850,36 @@ object Relational {
     None
   )
 
+  /** Engine-owned KLL quantile sketch next to the exact percentiles —
+    * the custom-sketch counterpart of q33 (which uses Spark's built-in
+    * GK): a TypedImperativeAggregate whose buffer is the sketch and
+    * whose partials merge as binary sketch unions, the aggregation
+    * shape that replaces exact sort-based quantiles at 100 TB. Sketch
+    * values are engine-specific by construction → rows-only;
+    * KLLQuantileSpec bounds the rank error against the exact side
+    * (k = 200 ⇒ observed ≤ ~1.5 % rank error) and pins mergeability.
+    */
+  val q35KllQuantiles = GraftQuery(
+    "q35_kll_quantiles",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val kll = graft.plans.KLLQuantiles.agg(
+        col("l_extendedprice"), Seq(0.5, 0.95), k = 200)
+      t.lineitem
+        .groupBy(col("l_returnflag"))
+        .agg(
+          kll.as("kll_p50_p95"),
+          percentile(col("l_extendedprice"), lit(0.5)).as("exact_p50"),
+          percentile(col("l_extendedprice"), lit(0.95)).as("exact_p95"))
+        .select(col("l_returnflag"),
+          element_at(col("kll_p50_p95"), 1).as("kll_p50"),
+          element_at(col("kll_p50_p95"), 2).as("kll_p95"),
+          col("exact_p50"), col("exact_p95"))
+        .orderBy(col("l_returnflag"))
+    },
+    None
+  )
+
   /** Bucketed-warehouse join: both fact and dimension are written
     * `bucketBy(custkey)` + sorted into a warehouse database, then
     * joined and aggregated ON THE BUCKET KEY — the whole read side
@@ -908,6 +938,6 @@ object Relational {
     q15CaseAgg, q16TopOrders, q17EventsJson, q18EventsHourly,
     q19EventsUserStats, q20PartRevenue, q24SqlEntry, q25Percentiles,
     q26TopkAgg, q28Pivot, q29GroupingSets, q30ApproxDistinct, q31Unpivot,
-    q32JsonRoundtrip, q33ApproxPercentile, q34BucketedJoin
+    q32JsonRoundtrip, q33ApproxPercentile, q34BucketedJoin, q35KllQuantiles
   )
 }
