@@ -3,13 +3,14 @@ package graft.plans
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{
-  Ascending, Attribute, BindReferences, Expression, GenericInternalRow,
-  JoinedRow, SortOrder, UnsafeProjection
+  Ascending, Attribute, BindReferences, BoundReference, Expression,
+  GenericInternalRow, JoinedRow, RowOrdering, SortOrder, UnsafeProjection
 }
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
 import org.apache.spark.sql.catalyst.util.TypeUtils
-import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
+import org.apache.spark.sql.execution.{BinaryExecNode, CodegenSupport, SparkPlan, SparkStrategy}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Native as-of join — the operator Spark's relational algebra lacks
@@ -77,6 +78,109 @@ object AsOfJoinStrategy extends SparkStrategy {
   }
 }
 
+/** Serializable recipe for building the per-partition matcher on the
+  * executor (generated classes and projections don't serialize).
+  */
+case class AsOfMatcherFactory(
+    leftKeys: Seq[Expression],
+    rightKeys: Seq[Expression],
+    leftTime: Expression,
+    rightTime: Expression,
+    lOut: Seq[Attribute],
+    rOut: Seq[Attribute],
+    joinType: String,
+    tolerance: Option[Double]
+) extends Serializable {
+  def create(rIt: Iterator[InternalRow]): AsOfMatcher =
+    new AsOfMatcher(rIt, this)
+}
+
+/** One-pass sort-merge as-of matcher over a co-partitioned, sorted
+  * right iterator: `matchLeft` consumes right rows up to each probe's
+  * (key, time) frontier with O(1) state and returns the right row to
+  * join — the null-filled row for an unmatched probe under "left",
+  * or null (drop the probe) under "inner". Shared verbatim by the
+  * interpreted path and the whole-stage-codegen path, so the two
+  * cannot diverge. Key comparison uses a codegen'd natural ordering.
+  */
+final class AsOfMatcher(
+    rIt: Iterator[InternalRow], f: AsOfMatcherFactory) {
+  private val inner = f.joinType == "inner"
+  private val lKey = UnsafeProjection.create(f.leftKeys, f.lOut)
+  private val rKey = UnsafeProjection.create(f.rightKeys, f.rOut)
+  private val rTimeBound = BindReferences.bindReference(f.rightTime, f.rOut)
+  private val lTimeEval = BindReferences.bindReference(f.leftTime, f.lOut)
+  private val keyOrdering =
+    RowOrdering.createNaturalAscendingOrdering(f.leftKeys.map(_.dataType))
+  private val timeOrdering = TypeUtils.getInterpretedOrdering(f.leftTime.dataType)
+    .asInstanceOf[Ordering[Any]]
+  private val nullRight = new GenericInternalRow(f.rOut.length)
+
+  private var rHead: InternalRow = _
+  private var rHeadKey: InternalRow = _
+  private var lastMatch: InternalRow = _
+  private var lastMatchKey: InternalRow = _
+  private var lastMatchTime: Any = _
+  advanceRight()
+
+  private def advanceRight(): Unit = {
+    rHead = null; rHeadKey = null
+    // right rows with null keys or null time can never match
+    while (rHead == null && rIt.hasNext) {
+      val r = rIt.next()
+      val k = rKey(r)
+      if (!k.anyNull && rTimeBound.eval(r) != null) {
+        rHead = r
+        rHeadKey = k.copy()
+      }
+    }
+  }
+
+  /** Right row to join with `l`, or null to DROP `l` (inner join,
+    * no qualifying match).
+    */
+  def matchLeft(l: InternalRow): InternalRow = {
+    val lk = lKey(l).copy()
+    val lt = lTimeEval.eval(l)
+    // null key / null time on the left never matches
+    if (lk.anyNull || lt == null)
+      return if (inner) null else nullRight
+    // consume right rows that are (earlier key) or (same key,
+    // time <= left time); remember the last same-key one
+    var continue = true
+    while (continue && rHead != null) {
+      val c = keyOrdering.compare(rHeadKey, lk)
+      if (c < 0) {
+        advanceRight()
+      } else if (c == 0) {
+        val rt = rTimeBound.eval(rHead)
+        if (timeOrdering.compare(rt, lt) <= 0) {
+          lastMatch = rHead.copy()
+          lastMatchKey = rHeadKey
+          lastMatchTime = rt
+          advanceRight()
+        } else continue = false
+      } else continue = false
+    }
+    val sameKey = lastMatch != null && lastMatchKey != null &&
+      keyOrdering.compare(lastMatchKey, lk) == 0
+    val withinTol = sameKey && (f.tolerance match {
+      case None => true
+      case Some(t) =>
+        // types were validated at plan time; Decimal is the one
+        // numeric backing that isn't a java.lang.Number
+        def num(v: Any): Double = v match {
+          case d: org.apache.spark.sql.types.Decimal => d.toDouble
+          case n: Number => n.doubleValue()
+        }
+        num(lt) - num(lastMatchTime) <= t
+    })
+    if (withinTol) lastMatch
+    else if (inner) null
+    else nullRight
+  }
+}
+
 case class AsOfJoinExec(
     left: SparkPlan,
     right: SparkPlan,
@@ -86,7 +190,7 @@ case class AsOfJoinExec(
     rightTime: Expression,
     joinType: String,
     tolerance: Option[Double]
-) extends BinaryExecNode {
+) extends BinaryExecNode with CodegenSupport {
 
   override def output: Seq[Attribute] =
     if (joinType == "left") left.output ++ right.output.map(_.withNullability(true))
@@ -102,113 +206,71 @@ case class AsOfJoinExec(
     (rightKeys :+ rightTime).map(SortOrder(_, Ascending))
   )
 
+  private def matcherFactory = AsOfMatcherFactory(
+    leftKeys, rightKeys, leftTime, rightTime,
+    left.output, right.output, joinType, tolerance)
+
   override protected def doExecute(): RDD[InternalRow] = {
-    // capture only serializable pieces; projections/orderings are
-    // built per-partition (generated classes don't serialize)
-    val lKeysB = leftKeys
-    val rKeysB = rightKeys
-    val lTimeB = leftTime
-    val rTimeB = rightTime
-    val lOut = left.output
-    val rOut = right.output
-    val keySchema = org.apache.spark.sql.types.StructType(
-      leftKeys.zipWithIndex.map { case (e, i) =>
-        org.apache.spark.sql.types.StructField(s"k$i", e.dataType) })
-    val nRight = right.output.length
-    val inner = joinType == "inner"
-    val tolB = tolerance
-
+    val factory = matcherFactory
     left.execute().zipPartitions(right.execute()) { (lIt, rIt) =>
+      val matcher = factory.create(rIt)
       val joined = new JoinedRow
-      val nullRight = new GenericInternalRow(nRight)
-      val lKey = UnsafeProjection.create(lKeysB, lOut)
-      val rKey = UnsafeProjection.create(rKeysB, rOut)
-      val rTimeBound = BindReferences.bindReference(rTimeB, rOut)
-      val lTimeEval = BindReferences.bindReference(lTimeB, lOut)
-      val keyOrdering = TypeUtils.getInterpretedOrdering(keySchema)
-        .asInstanceOf[Ordering[Any]]
-      val timeOrdering = TypeUtils.getInterpretedOrdering(lTimeB.dataType)
-        .asInstanceOf[Ordering[Any]]
       // downstream consumers (collect, shuffle) require UnsafeRow
-      val outProj = UnsafeProjection.create((lOut ++ rOut).map(_.dataType).toArray)
-
-      new Iterator[InternalRow] {
-        private var rHead: InternalRow = _
-        private var rHeadKey: InternalRow = _
-        private var lastMatch: InternalRow = _
-        private var lastMatchKey: InternalRow = _
-        private var lastMatchTime: Any = _
-        private var pending: InternalRow = _
-        advanceRight()
-
-        private def advanceRight(): Unit = {
-          rHead = null; rHeadKey = null
-          // right rows with null keys or null time can never match
-          while (rHead == null && rIt.hasNext) {
-            val r = rIt.next()
-            val k = rKey(r)
-            if (!k.anyNull && rTimeBound.eval(r) != null) {
-              rHead = r
-              rHeadKey = k.copy()
-            }
-          }
-        }
-
-        /** Join one left row; null result = unmatched (inner drops it). */
-        private def matchLeft(l: InternalRow): InternalRow = {
-          val lk = lKey(l).copy()
-          val lt = lTimeEval.eval(l)
-          // null key / null time on the left never matches
-          if (lk.anyNull || lt == null)
-            return if (inner) null else outProj(joined(l, nullRight))
-          // consume right rows that are (earlier key) or (same key,
-          // time <= left time); remember the last same-key one
-          var continue = true
-          while (continue && rHead != null) {
-            val c = keyOrdering.compare(rHeadKey, lk)
-            if (c < 0) {
-              advanceRight()
-            } else if (c == 0) {
-              val rt = rTimeBound.eval(rHead)
-              if (timeOrdering.compare(rt, lt) <= 0) {
-                lastMatch = rHead.copy()
-                lastMatchKey = rHeadKey
-                lastMatchTime = rt
-                advanceRight()
-              } else continue = false
-            } else continue = false
-          }
-          val sameKey = lastMatch != null && lastMatchKey != null &&
-            keyOrdering.compare(lastMatchKey, lk) == 0
-          val withinTol = sameKey && (tolB match {
-            case None => true
-            case Some(t) =>
-              // types were validated at plan time; Decimal is the one
-              // numeric backing that isn't a java.lang.Number
-              def num(v: Any): Double = v match {
-                case d: org.apache.spark.sql.types.Decimal => d.toDouble
-                case n: Number => n.doubleValue()
-              }
-              num(lt) - num(lastMatchTime) <= t
-          })
-          if (withinTol) outProj(joined(l, lastMatch))
-          else if (inner) null
-          else outProj(joined(l, nullRight))
-        }
-
-        override def hasNext: Boolean = {
-          while (pending == null && lIt.hasNext) pending = matchLeft(lIt.next())
-          pending != null
-        }
-
-        override def next(): InternalRow = {
-          if (!hasNext) throw new NoSuchElementException
-          val out = pending
-          pending = null
-          out
-        }
+      val outProj = UnsafeProjection.create(
+        (left.output ++ right.output).map(_.dataType).toArray)
+      lIt.flatMap { l =>
+        val r = matcher.matchLeft(l)
+        if (r == null) None else Some(outProj(joined(l, r)))
       }
     }
+  }
+
+  // ---- whole-stage codegen: the probe loop + output projection fuse
+  // with downstream operators; the O(1)-state merge walk stays in
+  // AsOfMatcher (shared with the interpreted path), invoked once per
+  // probe row from generated code — the same split SortMergeJoin uses
+  // for its buffered-side scanner.
+
+  override def inputRDDs(): Seq[RDD[InternalRow]] =
+    Seq(left.execute(), right.execute())
+
+  // rows returned by the matcher are buffered/reused instances
+  override def needCopyResult: Boolean = true
+
+  override protected def doProduce(ctx: CodegenContext): String = {
+    val leftInput = ctx.addMutableState("scala.collection.Iterator", "leftInput",
+      v => s"$v = inputs[0];", forceInline = true)
+    val matcherCls = classOf[AsOfMatcher].getName
+    val factoryCls = classOf[AsOfMatcherFactory].getName
+    val factoryRef = ctx.addReferenceObj("asOfFactory", matcherFactory, factoryCls)
+    val matcher = ctx.addMutableState(matcherCls, "asOfMatcher",
+      v => s"$v = $factoryRef.create(inputs[1]);", forceInline = true)
+
+    val leftRow = ctx.freshName("leftRow")
+    val rightRow = ctx.freshName("rightRow")
+    val rowCls = classOf[InternalRow].getName
+
+    // output columns evaluated straight off the two row variables
+    ctx.currentVars = null
+    ctx.INPUT_ROW = leftRow
+    val leftVars = left.output.zipWithIndex.map { case (a, i) =>
+      BoundReference(i, a.dataType, a.nullable).genCode(ctx)
+    }
+    ctx.INPUT_ROW = rightRow
+    val rightVars = output.drop(left.output.length).zipWithIndex.map {
+      case (a, i) => BoundReference(i, a.dataType, a.nullable).genCode(ctx)
+    }
+    val outVars: Seq[ExprCode] = leftVars ++ rightVars
+
+    s"""
+       |while ($leftInput.hasNext()) {
+       |  $rowCls $leftRow = ($rowCls) $leftInput.next();
+       |  $rowCls $rightRow = $matcher.matchLeft($leftRow);
+       |  if ($rightRow == null) continue;
+       |  ${consume(ctx, outVars)}
+       |  if (shouldStop()) return;
+       |}
+     """.stripMargin
   }
 
   override protected def withNewChildrenInternal(

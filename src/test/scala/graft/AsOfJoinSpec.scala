@@ -44,6 +44,28 @@ class AsOfJoinSpec extends AnyFunSuite {
       .explainString(org.apache.spark.sql.execution.FormattedMode)
       .contains("AsOfJoin"))
     assert(df.count() == clicks.count(), "left-outer: every probe row survives")
+    // the exec participates in whole-stage codegen: after execution
+    // the final plan shows a codegen span (*(n)) over the as-of node
+    df.collect()
+    val planStr = df.queryExecution.executedPlan.toString
+    assert("""\*\(\d+\) AsOfJoin""".r.findFirstIn(planStr).isDefined,
+      s"AsOfJoin not inside a WholeStageCodegen span:\n$planStr")
+  }
+
+  test("codegen and interpreted paths agree") {
+    val probe = Seq(
+      (1L, 100L, "a"), (1L, 200L, "b"), (2L, 150L, "c"), (3L, 50L, "d")
+    ).toDF("k", "t", "tag")
+    val ref = Seq(
+      (1L, 90L, 9.0), (1L, 150L, 15.0), (1L, 300L, 30.0), (2L, 100L, 10.0)
+    ).toDF("rk", "rt", "v")
+    def run(): Set[Seq[Any]] =
+      AsOf.join(probe, ref, Seq("k"), Seq("rk"), "t", "rt")
+        .collect().map(_.toSeq.toVector: Seq[Any]).toSet
+    val withCodegen = run()
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    try assert(run() == withCodegen)
+    finally spark.conf.set("spark.sql.codegen.wholeStage", "true")
   }
 
   test("matches the window-trick formulation on the real corpus") {
