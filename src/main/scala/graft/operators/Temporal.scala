@@ -154,7 +154,55 @@ object Temporal {
     """)
   )
 
+  /** Time-series resample + gap fill: per user, an hourly grid spanning
+    * that user's activity, hourly value sums, and forward-fill of empty
+    * hours from the last observed hour. The grid is generated per key
+    * with `sequence` (narrow — no join product), the fill is one
+    * ignore-nulls window scan; the only shuffles are the hourly
+    * pre-aggregation and the per-user window, both on user_id. At
+    * scale the grid explode is bounded by span/granularity per key,
+    * never by corpus size.
+    */
+  val q36GapfillResample = GraftQuery(
+    "q36_gapfill_resample",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val hourly = t.events
+        .groupBy(col("user_id"), date_trunc("hour", col("ts")).as("hour"))
+        .agg(sumDec(col("value")).as("hour_value"))
+      val grid = hourly
+        .groupBy(col("user_id"))
+        .agg(min(col("hour")).as("h0"), max(col("hour")).as("h1"))
+        .select(col("user_id"),
+          explode(sequence(col("h0"), col("h1"),
+            make_dt_interval(lit(0), lit(1), lit(0), lit(0)))).as("hour"))
+      val w = Window.partitionBy(col("user_id")).orderBy(col("hour"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      grid.join(hourly, Seq("user_id", "hour"), "left")
+        .select(col("user_id"), tsString(col("hour")).as("hour_s"),
+          last(col("hour_value"), ignoreNulls = true).over(w).as("filled_value"),
+          col("hour_value").isNull.cast("long").as("is_gap"))
+        .orderBy(col("user_id"), col("hour_s"))
+    },
+    Some("""
+      WITH hourly AS (
+        SELECT user_id, date_trunc('hour', ts) AS hour,
+               CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS hour_value
+        FROM events GROUP BY 1, 2),
+      grid AS (
+        SELECT user_id, unnest(generate_series(min(hour), max(hour), INTERVAL 1 HOUR)) AS hour
+        FROM hourly GROUP BY user_id)
+      SELECT g.user_id, strftime(g.hour, '%Y-%m-%d %H:%M:%S') AS hour_s,
+             last_value(h.hour_value IGNORE NULLS) OVER (
+               PARTITION BY g.user_id ORDER BY g.hour
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_value,
+             CAST(CASE WHEN h.hour_value IS NULL THEN 1 ELSE 0 END AS BIGINT) AS is_gap
+      FROM grid g LEFT JOIN hourly h ON g.user_id = h.user_id AND g.hour = h.hour
+      ORDER BY g.user_id, hour_s
+    """)
+  )
+
   def all: Seq[GraftQuery] =
     Seq(q21AsofPrevError, q22RangeJoinNeighbors, q23CustomVariance,
-      q27AsofJoinNative)
+      q27AsofJoinNative, q36GapfillResample)
 }

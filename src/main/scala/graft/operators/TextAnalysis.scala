@@ -516,8 +516,64 @@ object TextAnalysis {
     """)
   )
 
+  /** TF-IDF top terms per document: term frequency within each doc ×
+    * ln(N/df) over the corpus, top 3 terms per doc. Two shuffles carry
+    * the whole thing — (doc_id, term) counts (map-side combined) and
+    * the vocabulary-keyed df join — then one per-doc window; the corpus
+    * document count joins in as a broadcast single row, never a driver
+    * constant baked into the plan. Scores are rounded to 6 digits
+    * BEFORE ranking so ordering is identical across engines (ln is the
+    * only non-exactly-rounded step; at 6 digits both engines agree).
+    */
+  val textTfidf = GraftQuery(
+    "text_tfidf",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val terms = t.documents
+        .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+        .filter(length(col("term")) >= 3 && !isStopword(col("term")))
+      val tf = terms.groupBy(col("doc_id"), col("term"))
+        .agg(count(lit(1)).as("tf"))
+      val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      val nDocs = t.documents.agg(count(lit(1)).as("n_docs"))
+      val w = Window.partitionBy(col("doc_id"))
+        .orderBy(col("tfidf").desc, col("term"))
+      tf.join(df, Seq("term"))
+        .join(broadcast(nDocs))
+        .withColumn("tfidf",
+          round(col("tf") * log(col("n_docs").cast("double") / col("df")), 6))
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= 3)
+        .select(col("doc_id"), col("rank"), col("term"), col("tfidf"))
+        .orderBy(col("doc_id"), col("rank"))
+    },
+    Some("""
+      WITH terms AS (
+        SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS term
+        FROM documents),
+      filtered AS (
+        SELECT doc_id, term FROM terms
+        WHERE length(term) >= 3
+          AND NOT list_contains(['the','a','of','to','and','in','is','it','that','for'], term)),
+      tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM filtered GROUP BY 1, 2),
+      dfq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+      n AS (SELECT COUNT(*) AS n_docs FROM documents),
+      scored AS (
+        SELECT tf.doc_id, tf.term,
+               round(tf.tf * ln(CAST(n_docs AS DOUBLE) / df), 6) AS tfidf
+        FROM tf JOIN dfq USING (term) CROSS JOIN n),
+      ranked AS (
+        SELECT doc_id, term, tfidf,
+               CAST(row_number() OVER (PARTITION BY doc_id
+                 ORDER BY tfidf DESC, term) AS BIGINT) AS rank
+        FROM scored)
+      SELECT doc_id, rank, term, tfidf FROM ranked WHERE rank <= 3
+      ORDER BY doc_id, rank
+    """)
+  )
+
   def all: Seq[GraftQuery] =
     Seq(textTokens, textQuality, textLangid, textFingerprint, textTopNgrams,
       textTrainingSet, textChunk, textDecontaminate, sampleStratified,
-      textPackSequences)
+      textPackSequences, textTfidf)
 }
