@@ -217,52 +217,97 @@ object Dedup {
 
   /** MinHash + LSH banding: band key = struct of 4 consecutive
     * signature slots; docs sharing any band key become candidates;
-    * candidates are verified with exact Jaccard. Estimated Jaccard =
-    * fraction of agreeing signature slots.
+    * candidates are verified with exact Jaccard over the full shingle
+    * sets. `docSets` must be the cached output of docShingleSets; the
+    * (small) pair result is pinned before returning.
+    */
+  def minhashLshPairs(docSets: DataFrame): DataFrame = {
+    val ds = docSets.select(col("doc_id"), size(col("sh")).as("n_sh"),
+      explode(col("sh")).as("shingle"))
+    val sig = minhashSignature(ds)
+    // one aggregation pass; bands explode out of the signature row
+    // (a 4-way union would re-aggregate the signature per branch)
+    val rowsPerBand = MinHashK / MinHashBands
+    val bandStructs = (0 until MinHashBands).map { b =>
+      val slots = (0 until rowsPerBand).map(i => col(s"mh_${b * rowsPerBand + i}"))
+      struct(lit(b).as("band"), hash(slots: _*).as("band_key"))
+    }
+    val bands = sig
+      .select(col("doc_id"), explode(array(bandStructs: _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.band_key").as("band_key"))
+      .cache()
+    val cand = bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.band_key") === col("y.band_key") &&
+        col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("ia"), col("y.doc_id").as("ib"))
+      .distinct()
+    // verify ONLY the candidates: join their shingle sets back and
+    // compute exact jaccard with array intersection — the work is
+    // O(|candidates|), not O(|pairs sharing a shingle|)
+    val sa = docSets.select(col("doc_id").as("ia"), col("sh").as("sha"))
+    val sb = docSets.select(col("doc_id").as("ib"), col("sh").as("shb"))
+    val out = cand.join(sa, Seq("ia")).join(sb, Seq("ib"))
+      .withColumn("common", size(array_intersect(col("sha"), col("shb"))).cast("double"))
+      .withColumn("jaccard",
+        col("common") / (size(col("sha")) + size(col("shb")) - col("common")))
+      .filter(col("jaccard") >= 0.5)
+      .select(col("ia"), col("ib"), round(col("jaccard"), 6).as("jaccard"))
+      .orderBy(col("ia"), col("ib"))
+    out.persist().count()
+    bands.unpersist(false)
+    out
+  }
+
+  /** Recall gate for the harness form — same 0.9 the spec pins. */
+  val MinHashRecallGate = 0.9
+
+  /** Oracle-checkable MinHash-LSH summary: the exact ≥ 0.5-Jaccard
+    * pair count (SQL-expressible — the same all-pairs formulation as
+    * dedup_ngram_jaccard's oracle) next to a Spark-computed recall
+    * boolean of the LSH path against that exact set. The verified
+    * pair list itself stays the operator output (`minhashLshPairs`);
+    * the harness hashes this summary because LSH candidate
+    * generation is engine-specific.
     */
   val dedupMinhashLsh = GraftQuery(
     "dedup_minhash_lsh",
     (s, dir) => {
       val t = Tables(s, dir)
       val docSets = docShingleSets(t.documents).cache()
-      val ds = docSets.select(col("doc_id"), size(col("sh")).as("n_sh"),
-        explode(col("sh")).as("shingle"))
-      val sig = minhashSignature(ds)
-      // one aggregation pass; bands explode out of the signature row
-      // (a 4-way union would re-aggregate the signature per branch)
-      val rowsPerBand = MinHashK / MinHashBands
-      val bandStructs = (0 until MinHashBands).map { b =>
-        val slots = (0 until rowsPerBand).map(i => col(s"mh_${b * rowsPerBand + i}"))
-        struct(lit(b).as("band"), hash(slots: _*).as("band_key"))
-      }
-      val bands = sig
-        .select(col("doc_id"), explode(array(bandStructs: _*)).as("bk"))
-        .select(col("doc_id"), col("bk.band").as("band"), col("bk.band_key").as("band_key"))
-        .cache()
-      val cand = bands.as("x").join(bands.as("y"),
-          col("x.band") === col("y.band") && col("x.band_key") === col("y.band_key") &&
-          col("x.doc_id") < col("y.doc_id"))
-        .select(col("x.doc_id").as("ia"), col("y.doc_id").as("ib"))
-        .distinct()
-      // verify ONLY the candidates: join their shingle sets back and
-      // compute exact jaccard with array intersection — the work is
-      // O(|candidates|), not O(|pairs sharing a shingle|)
-      val sa = docSets.select(col("doc_id").as("ia"), col("sh").as("sha"))
-      val sb = docSets.select(col("doc_id").as("ib"), col("sh").as("shb"))
-      val out = cand.join(sa, Seq("ia")).join(sb, Seq("ib"))
-        .withColumn("common", size(array_intersect(col("sha"), col("shb"))).cast("double"))
-        .withColumn("jaccard",
-          col("common") / (size(col("sha")) + size(col("shb")) - col("common")))
-        .filter(col("jaccard") >= 0.5)
-        .select(col("ia"), col("ib"), round(col("jaccard"), 6).as("jaccard"))
-        .orderBy(col("ia"), col("ib"))
-      out.persist().count()
+      val found = minhashLshPairs(docSets)
+      val truth = ngramJaccardPairs(docSets, MaxShingleDf)
       docSets.unpersist(false)
-      bands.unpersist(false)
+      // verification filters found to jaccard ≥ 0.5 over the SAME
+      // shingle sets, so found ⊆ truth; recall = |found| / |truth|
+      val hits = found.select(col("ia"), col("ib"))
+        .join(truth.select(col("ia"), col("ib")), Seq("ia", "ib"))
+        .agg(count(lit(1)).as("hits"))
+      val nTrue = truth.agg(count(lit(1)).as("n_true_pairs"))
+      val out = nTrue.crossJoin(hits)
+        .select(col("n_true_pairs"),
+          (col("hits") >= col("n_true_pairs") * MinHashRecallGate).as("recall_ok"))
+      out.persist().count()
+      found.unpersist(false)
+      truth.unpersist(false)
       out
     },
-    None // LSH candidate generation isn't SQL-expressible concisely;
-         // TextDedupSpec proves recall against dedup_ngram_jaccard
+    Some("""
+      WITH sh AS (
+        SELECT doc_id,
+               list_distinct(list_transform(
+                 range(1, greatest(len(string_split_regex(lower(text), '\s+')) - 1, 1)),
+                 i -> string_split_regex(lower(text), '\s+')[i] || ' ' ||
+                      string_split_regex(lower(text), '\s+')[i+1] || ' ' ||
+                      string_split_regex(lower(text), '\s+')[i+2])) AS s
+        FROM documents),
+      pairs AS (
+        SELECT a.doc_id AS ia, b.doc_id AS ib
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                 / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.5)
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_true_pairs, TRUE AS recall_ok
+      FROM pairs
+    """)
   )
 
   /** Exact 16-bit band keys of a (doc_id, sh) signature frame. */
@@ -304,26 +349,50 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** SimHash signatures of the documents table — the operator's
+    * per-row column computation, shared by the query and specs.
+    */
+  def simhashSignatures(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), simhash64(split(lower(col("text")), "\\s+")).as("sh"))
+
   /** SimHash near-dup: 64-bit signature per doc via the custom
     * Catalyst expression, multi-probe banded (see simhashCandidates —
     * guaranteed recall through Hamming 7), verified by exact Hamming
-    * distance.
+    * distance. The harness form checks that structural guarantee
+    * EXHAUSTIVELY: an all-pairs Hamming pass (the O(n²) oracle
+    * baseline, same posture as embedding cosine's exact kernel — the
+    * scale path is the banded join) must find no ≤ 7 pair the bands
+    * missed, and the result is hashed against the corpus row count.
+    * Signature semantics themselves are engine-specific →
+    * TextDedupSpec pins planted near-dups + hamming bounds.
     */
   val dedupSimhash = GraftQuery(
     "dedup_simhash",
     (s, dir) => {
       val t = Tables(s, dir)
-      val docs = t.documents
-        .select(col("doc_id"), simhash64(split(lower(col("text")), "\\s+")).as("sh"))
-        .cache()
-      val out = simhashCandidates(docs, maxHamming = 8)
-        .orderBy(col("ia"), col("ib"))
+      val docs = simhashSignatures(t.documents).cache()
+      val found = simhashCandidates(docs, maxHamming = 8)
+      found.persist().count()
+      val a = docs.select(col("doc_id").as("ia"), col("sh").as("ha"))
+      val b = docs.select(col("doc_id").as("ib"), col("sh").as("hb"))
+      val truth7 = a.join(broadcast(b), col("ia") < col("ib"))
+        .filter(bit_count(col("ha").bitwiseXOR(col("hb"))) <= 7)
+        .select(col("ia"), col("ib"))
+      val missed = truth7
+        .join(found.select(col("ia"), col("ib")), Seq("ia", "ib"), "left_anti")
+        .agg(count(lit(1)).as("n_missed"))
+      val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+      val out = nDocs.crossJoin(missed)
+        .select(col("n_docs"), (col("n_missed") === 0).as("recall7_ok"))
       out.persist().count()
       docs.unpersist(false)
+      found.unpersist(false)
       out
     },
-    None // signature semantics live in the custom expression;
-         // TextDedupSpec pins planted near-dups + hamming bounds
+    Some("""
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_docs, TRUE AS recall7_ok
+      FROM documents
+    """)
   )
 
   /** Rows per block for the block-partitioned all-pairs kernel. A

@@ -718,29 +718,48 @@ object Relational {
 
   /** Approximate distinct counting (HyperLogLog++): the sketch that
     * replaces exact distinct at 100 TB — mergeable, fixed-size state,
-    * one pass, no distinct shuffle. Sketch estimates differ across
-    * engines by construction, so this is spec-pinned (relative error
-    * vs the exact count, RelationalSpec) rather than DuckDB-hashed.
+    * one pass, no distinct shuffle. Detail frame (approx next to
+    * exact) for the spec's 5 % HLL bound; the registered query folds
+    * the sketch estimate into a Spark-computed bounded-error boolean
+    * next to the exact counts so the DuckDB oracle can hash-check it
+    * (sketch values themselves are engine-specific by construction).
     */
+  def approxDistinctDetail(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables(s, dir)
+    // separate aggregations: mixing distinct and non-distinct
+    // aggregates in one agg forces Expand (every input row
+    // duplicated per aggregate) — two lean passes + a 5-row join
+    // beat that by ~10× here
+    val base = t.lineitem.select(col("l_returnflag"), col("l_orderkey"))
+    val approx = base
+      .groupBy(col("l_returnflag"))
+      .agg(approx_count_distinct(col("l_orderkey"), 0.01).as("approx_orders"))
+    val exact = base.distinct()
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("exact_orders"))
+    approx.join(exact, Seq("l_returnflag"))
+      .orderBy(col("l_returnflag"))
+  }
+
   val q30ApproxDistinct = GraftQuery(
     "q30_approx_distinct",
     (s, dir) => {
-      val t = Tables(s, dir)
-      // separate aggregations: mixing distinct and non-distinct
-      // aggregates in one agg forces Expand (every input row
-      // duplicated per aggregate) — two lean passes + a 5-row join
-      // beat that by ~10× here
-      val base = t.lineitem.select(col("l_returnflag"), col("l_orderkey"))
-      val approx = base
-        .groupBy(col("l_returnflag"))
-        .agg(approx_count_distinct(col("l_orderkey"), 0.01).as("approx_orders"))
-      val exact = base.distinct()
-        .groupBy(col("l_returnflag"))
-        .agg(count(lit(1)).as("exact_orders"))
-      approx.join(exact, Seq("l_returnflag"))
+      // rsd 0.01 ⇒ a 5 % gate is a 5-sigma bound — deterministic in
+      // practice for any corpus the harness points at
+      approxDistinctDetail(s, dir)
+        .select(col("l_returnflag"), col("exact_orders"),
+          (abs(col("approx_orders") - col("exact_orders")) <=
+            col("exact_orders") * 0.05).as("approx_ok"))
         .orderBy(col("l_returnflag"))
     },
-    None
+    Some("""
+      SELECT l_returnflag,
+             CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS exact_orders,
+             TRUE AS approx_ok
+      FROM lineitem
+      GROUP BY l_returnflag
+      ORDER BY l_returnflag
+    """)
   )
 
   /** Unpivot/melt: wide numeric columns → (metric, value) long form —
@@ -832,22 +851,59 @@ object Relational {
     * differ across engines by construction → rows-only, spec-bounded
     * against the exact side (accuracy 10000 ⇒ rank error ≤ 0.01 %).
     */
+  def approxPercentileDetail(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables(s, dir)
+    t.lineitem
+      .groupBy(col("l_returnflag"))
+      .agg(
+        percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000))
+          .as("approx_p50"),
+        percentile(col("l_extendedprice"), lit(0.5)).as("exact_p50"),
+        percentile_approx(col("l_extendedprice"), lit(0.95), lit(10000))
+          .as("approx_p95"),
+        percentile(col("l_extendedprice"), lit(0.95)).as("exact_p95"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  /** Oracle-checkable form: exact percentiles (quantile_cont parity,
+    * as q25) + a RANK-error check of the GK sketch values — a second
+    * pass computes the empirical CDF position of each sketch estimate
+    * and bounds |rank − φ| ≤ 0.005 (the GK guarantee at accuracy
+    * 10000 is 1e-4; 50× headroom absorbs value-tie discreteness).
+    * Rank error is the sketch's actual contract, so the gate is
+    * scale-independent where a value-error gate would not be.
+    */
   val q33ApproxPercentile = GraftQuery(
     "q33_approx_percentile",
     (s, dir) => {
       val t = Tables(s, dir)
-      t.lineitem
+      val detail = approxPercentileDetail(s, dir)
+      t.lineitem.select(col("l_returnflag"), col("l_extendedprice"))
+        .join(broadcast(detail), Seq("l_returnflag"))
         .groupBy(col("l_returnflag"))
         .agg(
-          percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000))
-            .as("approx_p50"),
-          percentile(col("l_extendedprice"), lit(0.5)).as("exact_p50"),
-          percentile_approx(col("l_extendedprice"), lit(0.95), lit(10000))
-            .as("approx_p95"),
-          percentile(col("l_extendedprice"), lit(0.95)).as("exact_p95"))
+          (sum(when(col("l_extendedprice") <= col("approx_p50"), 1L).otherwise(0L))
+            / count(lit(1))).as("f50"),
+          (sum(when(col("l_extendedprice") <= col("approx_p95"), 1L).otherwise(0L))
+            / count(lit(1))).as("f95"),
+          first(col("exact_p50")).as("ep50"),
+          first(col("exact_p95")).as("ep95"))
+        .select(col("l_returnflag"),
+          round(col("ep50"), 6).as("exact_p50"),
+          round(col("ep95"), 6).as("exact_p95"),
+          (abs(col("f50") - 0.5) <= 0.005 && abs(col("f95") - 0.95) <= 0.005)
+            .as("approx_ok"))
         .orderBy(col("l_returnflag"))
     },
-    None
+    Some("""
+      SELECT l_returnflag,
+             round(quantile_cont(l_extendedprice, 0.5), 6) AS exact_p50,
+             round(quantile_cont(l_extendedprice, 0.95), 6) AS exact_p95,
+             TRUE AS approx_ok
+      FROM lineitem
+      GROUP BY l_returnflag
+      ORDER BY l_returnflag
+    """)
   )
 
   /** Engine-owned KLL quantile sketch next to the exact percentiles —
@@ -859,25 +915,60 @@ object Relational {
     * KLLQuantileSpec bounds the rank error against the exact side
     * (k = 200 ⇒ observed ≤ ~1.5 % rank error) and pins mergeability.
     */
+  def kllQuantilesDetail(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables(s, dir)
+    val kll = graft.plans.KLLQuantiles.agg(
+      col("l_extendedprice"), Seq(0.5, 0.95), k = 200)
+    t.lineitem
+      .groupBy(col("l_returnflag"))
+      .agg(
+        kll.as("kll_p50_p95"),
+        percentile(col("l_extendedprice"), lit(0.5)).as("exact_p50"),
+        percentile(col("l_extendedprice"), lit(0.95)).as("exact_p95"))
+      .select(col("l_returnflag"),
+        element_at(col("kll_p50_p95"), 1).as("kll_p50"),
+        element_at(col("kll_p50_p95"), 2).as("kll_p95"),
+        col("exact_p50"), col("exact_p95"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  /** Oracle-checkable form, same rank-check shape as q33: KLL k=200
+    * has observed rank error ≤ ~1.5 % (KLLQuantileSpec pins the tight
+    * bound); the harness gate allows 3 % so the boolean is
+    * deterministic across corpora while still catching a broken
+    * sketch outright.
+    */
   val q35KllQuantiles = GraftQuery(
     "q35_kll_quantiles",
     (s, dir) => {
       val t = Tables(s, dir)
-      val kll = graft.plans.KLLQuantiles.agg(
-        col("l_extendedprice"), Seq(0.5, 0.95), k = 200)
-      t.lineitem
+      val detail = kllQuantilesDetail(s, dir)
+      t.lineitem.select(col("l_returnflag"), col("l_extendedprice"))
+        .join(broadcast(detail), Seq("l_returnflag"))
         .groupBy(col("l_returnflag"))
         .agg(
-          kll.as("kll_p50_p95"),
-          percentile(col("l_extendedprice"), lit(0.5)).as("exact_p50"),
-          percentile(col("l_extendedprice"), lit(0.95)).as("exact_p95"))
+          (sum(when(col("l_extendedprice") <= col("kll_p50"), 1L).otherwise(0L))
+            / count(lit(1))).as("f50"),
+          (sum(when(col("l_extendedprice") <= col("kll_p95"), 1L).otherwise(0L))
+            / count(lit(1))).as("f95"),
+          first(col("exact_p50")).as("ep50"),
+          first(col("exact_p95")).as("ep95"))
         .select(col("l_returnflag"),
-          element_at(col("kll_p50_p95"), 1).as("kll_p50"),
-          element_at(col("kll_p50_p95"), 2).as("kll_p95"),
-          col("exact_p50"), col("exact_p95"))
+          round(col("ep50"), 6).as("exact_p50"),
+          round(col("ep95"), 6).as("exact_p95"),
+          (abs(col("f50") - 0.5) <= 0.03 && abs(col("f95") - 0.95) <= 0.03)
+            .as("sketch_ok"))
         .orderBy(col("l_returnflag"))
     },
-    None
+    Some("""
+      SELECT l_returnflag,
+             round(quantile_cont(l_extendedprice, 0.5), 6) AS exact_p50,
+             round(quantile_cont(l_extendedprice, 0.95), 6) AS exact_p95,
+             TRUE AS sketch_ok
+      FROM lineitem
+      GROUP BY l_returnflag
+      ORDER BY l_returnflag
+    """)
   )
 
   /** Bucketed-warehouse join: both fact and dimension are written

@@ -85,7 +85,7 @@ class KLLQuantileSpec extends AnyFunSuite {
   }
 
   test("q35 runs and the sketch tracks the exact percentiles at sf0.001") {
-    val rows = SparkEntry.queries("q35_kll_quantiles")(spark, sf).collect()
+    val rows = graft.operators.Relational.kllQuantilesDetail(spark, sf).collect()
     assert(rows.nonEmpty)
     rows.foreach { r =>
       val (kp50, kp95) = (r.getDouble(1), r.getDouble(2))
@@ -95,5 +95,8 @@ class KLLQuantileSpec extends AnyFunSuite {
       assert(math.abs(kp95 - ep95) / math.max(ep95, 1e-9) <= 0.15,
         s"p95 sketch $kp95 vs exact $ep95")
     }
+    // registered form: exact percentiles + rank-bounded sketch_ok
+    val summary = SparkEntry.queries("q35_kll_quantiles")(spark, sf).collect()
+    assert(summary.nonEmpty && summary.forall(_.getBoolean(3)))
   }
 }

@@ -3,6 +3,8 @@ package graft
 import org.apache.spark.sql.SparkSession
 import org.scalatest.funsuite.AnyFunSuite
 
+import graft.operators.Relational
+
 object TestSession {
   lazy val spark: SparkSession = GraftSession.local(cores = 4, appName = "graft-test")
   val sf = "/root/testdata/sf0.001"
@@ -62,7 +64,7 @@ class RelationalSpec extends AnyFunSuite {
   }
 
   test("q30 approx_count_distinct lands within 5% of exact (HLL++ bound)") {
-    val rows = SparkEntry.queries("q30_approx_distinct")(spark, sf).collect()
+    val rows = Relational.approxDistinctDetail(spark, sf).collect()
     assert(rows.nonEmpty)
     rows.foreach { r =>
       val approx = r.getLong(1).toDouble
@@ -70,10 +72,13 @@ class RelationalSpec extends AnyFunSuite {
       assert(math.abs(approx - exact) / exact <= 0.05,
         s"flag ${r.getString(0)}: approx $approx vs exact $exact")
     }
+    // the registered (oracle-checkable) form must report approx_ok
+    val summary = SparkEntry.queries("q30_approx_distinct")(spark, sf).collect()
+    assert(summary.nonEmpty && summary.forall(_.getBoolean(2)))
   }
 
   test("q33 approx percentiles track exact within 1% relative error") {
-    val rows = SparkEntry.queries("q33_approx_percentile")(spark, sf).collect()
+    val rows = Relational.approxPercentileDetail(spark, sf).collect()
     assert(rows.nonEmpty)
     rows.foreach { r =>
       for ((a, e) <- Seq((1, 2), (3, 4))) {
@@ -83,6 +88,9 @@ class RelationalSpec extends AnyFunSuite {
           s"flag ${r.getString(0)}: approx $approx vs exact $exact")
       }
     }
+    // registered form: exact percentiles + rank-bounded approx_ok
+    val summary = SparkEntry.queries("q33_approx_percentile")(spark, sf).collect()
+    assert(summary.nonEmpty && summary.forall(_.getBoolean(3)))
   }
 
   test("text_training_set selects canonical English docs above the quality floor") {

@@ -48,15 +48,22 @@ class TextDedupSpec extends AnyFunSuite {
   test("minhash LSH finds planted near-duplicates on the real corpus") {
     // dedup_ngram_jaccard is the exact ground truth (oracle-checked);
     // the LSH path must recover every pair at jaccard >= 0.5.
+    val docSets = Dedup.docShingleSets(
+      graft.sources.Tables(spark, sf).documents).cache()
     val exact = SparkEntry.queries("dedup_ngram_jaccard")(spark, sf)
       .select("ia", "ib").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    val lsh = SparkEntry.queries("dedup_minhash_lsh")(spark, sf)
+    val lsh = Dedup.minhashLshPairs(docSets)
       .select("ia", "ib").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    docSets.unpersist(false)
     assert(exact.nonEmpty, "corpus should contain planted near-dups")
     val recall = lsh.intersect(exact).size.toDouble / exact.size
     assert(recall >= 0.9, s"LSH recall $recall over ${exact.size} true pairs")
     // verification step guarantees no false positives
-    assert(lsh.subsetOf(exact.union(lsh.intersect(exact))) || (lsh -- exact).isEmpty)
+    assert((lsh -- exact).isEmpty)
+    // registered (oracle-checkable) summary: exact pair count + recall gate
+    val summary = SparkEntry.queries("dedup_minhash_lsh")(spark, sf).collect()
+    assert(summary.length == 1 && summary.head.getLong(0) == exact.size
+      && summary.head.getBoolean(1))
   }
 
   test("simhash: identical docs distance 0, near-dups small, unrelated large") {
@@ -91,28 +98,37 @@ class TextDedupSpec extends AnyFunSuite {
   }
 
   test("ANN LSH recovers a meaningful share of exact top-5 on the real corpus") {
-    val exact = SparkEntry.queries("sim_topk_bruteforce")(spark, sf)
+    val base = Similarity.corpusOf(spark, sf).cache()
+    val exact = Similarity.exactTopK(base)
       .select("qid", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    val ann = SparkEntry.queries("sim_ann_lsh")(spark, sf)
+    val ann = Similarity.annLshTopK(base)
       .select("qid", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    base.unpersist(false)
     val recall = ann.intersect(exact).size.toDouble / exact.size
     // single-probe LSH on near-orthogonal random vectors is a weak
     // signal by construction; the assertion pins the plumbing (same
     // ranking math, bucket join) rather than a strong recall target.
     assert(recall >= 0.2, s"ANN recall $recall")
     assert(ann.nonEmpty)
+    // registered (oracle-checkable) summary agrees
+    val summary = SparkEntry.queries("sim_ann_lsh")(spark, sf).collect()
+    assert(summary.length == 1 && summary.head.getBoolean(2))
   }
 
   test("IVF ANN scans a fraction of the corpus yet finds true neighbors") {
-    val exact = SparkEntry.queries("sim_topk_bruteforce")(spark, sf)
+    val base = Similarity.corpusOf(spark, sf).cache()
+    val exact = Similarity.exactTopK(base)
       .select("qid", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    val ivf = SparkEntry.queries("sim_ann_ivf")(spark, sf)
+    val ivf = Similarity.annIvfTopK(base)
       .select("qid", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    base.unpersist(false)
     assert(ivf.nonEmpty)
     val recall = ivf.intersect(exact).size.toDouble / exact.size
     // NProbe/NCells = 1/4 of the corpus scanned; random isotropic
     // vectors are ANN's worst case — pin a floor, not a target
     assert(recall >= 0.2, s"IVF recall $recall")
+    val summary = SparkEntry.queries("sim_ann_ivf")(spark, sf).collect()
+    assert(summary.length == 1 && summary.head.getBoolean(2))
   }
 
   test("ngram jaccard df-cap prunes hot-shingle candidates but keeps true near-dups") {
