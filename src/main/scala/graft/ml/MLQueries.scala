@@ -1,6 +1,7 @@
 package graft.ml
 
 import org.apache.spark.ml.functions.array_to_vector
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.GraftQuery
@@ -9,92 +10,166 @@ import graft.functions.GraftFunctions._
 
 /** Verify-harness entries for the ML surface (SURVEY §2.2-§2.3).
   *
-  * Model outputs aren't SQL-expressible, so these are rows-only
-  * checks in the driver harness; the behavioral guarantees live in
-  * MLSpec (oracle-equivalence analog of the reference's
-  * `test_core.py` suite). Each query aggregates predictions so the
-  * output stays small at every scale factor.
+  * Model outputs aren't SQL-expressible, so each registered query
+  * emits columns DuckDB CAN compute exactly (row/label counts from
+  * the input data) next to a Spark-computed model-quality boolean
+  * with a deliberately generous floor — the t2 gate then hash-checks
+  * the whole lifecycle (assemble → fit → broadcast transform →
+  * aggregate) while the behavioral guarantees stay in MLSpec (the
+  * oracle-equivalence analog of the reference's `test_core.py`).
+  * The confusion-matrix / error-stat detail frames remain available
+  * as the `*Detail` functions.
   */
 object MLQueries {
 
+  /** Confusion-matrix detail of the binary lifecycle. */
+  def binaryDetail(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables(s, dir)
+    val feats = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+    val df = t.lineitem
+      .withColumn("label", (col("l_returnflag") === "R").cast("double"))
+      .select((feats.map(col) :+ col("label")): _*)
+      .cache()
+    val model = GraftBoost.train(df, feats, "label",
+      GraftBoost.BoostParams("binary:logistic", numRound = 10, maxDepth = 3,
+        maxBins = 16))
+    val out = GraftBoost.predict(model, df)
+      .groupBy(col("label"), col("prediction"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("label"), col("prediction"))
+    out.persist().count()
+    df.unpersist()
+    out
+  }
+
   /** End-to-end binary train+score on the fact table — the reference
-    * lifecycle (`core.py` §3.1-3.3) in one query: derive label,
-    * assemble features, distributed fit, broadcast-model transform,
-    * confusion-matrix aggregate.
+    * lifecycle (`core.py` §3.1-3.3) in one query. Gate: train-set
+    * accuracy within 2 % of (or above) the majority-class baseline —
+    * boosting from the log-odds prior can't land below it, while
+    * feature misalignment / a scrambled model drops to ~coin-flip and
+    * trips the gate.
     */
   val mlBinary = GraftQuery(
     "ml_binary_train_predict",
     (s, dir) => {
-      val t = Tables(s, dir)
-      val feats = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
-      val df = t.lineitem
-        .withColumn("label", (col("l_returnflag") === "R").cast("double"))
-        .select((feats.map(col) :+ col("label")): _*)
-        .cache()
-      val model = GraftBoost.train(df, feats, "label",
-        GraftBoost.BoostParams("binary:logistic", numRound = 10, maxDepth = 3,
-          maxBins = 16))
-      val out = GraftBoost.predict(model, df)
-        .groupBy(col("label"), col("prediction"))
-        .agg(count(lit(1)).as("n"))
-        .orderBy(col("label"), col("prediction"))
-      df.unpersist()
+      val cm = binaryDetail(s, dir)
+      val out = cm.agg(
+          sum(col("n")).as("n_rows"),
+          sum(when(col("label") === 1.0, col("n")).otherwise(0L)).as("n_pos"),
+          sum(when(col("label") === col("prediction"), col("n")).otherwise(0L))
+            .as("n_correct"))
+        .select(col("n_rows").cast("long").as("n_rows"),
+          col("n_pos").cast("long").as("n_pos"),
+          (col("n_correct") >=
+            greatest(col("n_pos"), col("n_rows") - col("n_pos")) * 0.98)
+            .as("acc_ok"))
+      out.persist().count()
+      cm.unpersist(false)
       out
     },
-    None
+    Some("""
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+             CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+             TRUE AS acc_ok
+      FROM lineitem
+    """)
   )
 
-  /** Regression train+score (`XGBRegressor` lifecycle): predict
-    * price from the other numerics, report grouped error stats.
+  /** Error-stat detail of the regression lifecycle. */
+  def regressionDetail(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables(s, dir)
+    val feats = Seq("l_quantity", "l_discount", "l_tax")
+    val df = t.lineitem
+      .select((feats.map(col) :+ col("l_extendedprice").as("target")): _*)
+      .cache()
+    val reg = new GraftXGBRegressor()
+      .setNEstimators(10).setMaxDepth(3).setLearningRate(0.3).setMaxBins(16)
+    reg.fit(df, feats, "target")
+    val out = reg.predict(df)
+      .agg(
+        count(lit(1)).as("n"),
+        count(when(col("prediction") > col("target"), 1)).as("n_over"),
+        count(when(abs(col("prediction") - col("target")) < 20000, 1)).as("n_close"),
+        sum(pow(col("prediction") - col("target"), 2)).as("sse_model"),
+        (var_pop(col("target")) * count(lit(1))).as("sse_mean"))
+    val pinned = out.persist()
+    pinned.count()
+    df.unpersist()
+    pinned
+  }
+
+  /** Regression train+score (`XGBRegressor` lifecycle). Gate: the
+    * fitted model beats the constant-mean predictor on its own train
+    * set (R² > 0) — the first boosting step already guarantees it.
     */
   val mlRegression = GraftQuery(
     "ml_regression_train_predict",
     (s, dir) => {
-      val t = Tables(s, dir)
-      val feats = Seq("l_quantity", "l_discount", "l_tax")
-      val df = t.lineitem
-        .select((feats.map(col) :+ col("l_extendedprice").as("target")): _*)
-        .cache()
-      val reg = new GraftXGBRegressor()
-        .setNEstimators(10).setMaxDepth(3).setLearningRate(0.3).setMaxBins(16)
-      reg.fit(df, feats, "target")
-      val out = reg.predict(df)
-        .agg(
-          count(lit(1)).as("n"),
-          count(when(col("prediction") > col("target"), 1)).as("n_over"),
-          count(when(abs(col("prediction") - col("target")) < 20000, 1)).as("n_close")
-        )
-      df.unpersist()
+      val d = regressionDetail(s, dir)
+      val out = d.select(col("n"),
+        (col("sse_model") <= col("sse_mean")).as("fit_ok"))
+      out.persist().count()
+      d.unpersist(false)
       out
     },
-    None
+    Some("""
+      SELECT CAST(COUNT(*) AS BIGINT) AS n, TRUE AS fit_ok FROM lineitem
+    """)
   )
 
+  /** Confusion-matrix detail of the multiclass lifecycle. */
+  def multiclassDetail(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables(s, dir)
+    val df = t.embeddings
+      .select(
+        array_to_vector(toDoubleArray(col("embedding"))).as("features"),
+        col("label").cast("double").as("label"))
+      .cache()
+    val model = GraftBoost.train(df, Seq("features"), "label",
+      GraftBoost.BoostParams("multi:softprob", numRound = 20, maxDepth = 5,
+        multiclassStrategy = "rf"))
+    val out = GraftBoost.predict(model, df)
+      .groupBy(col("label"), col("prediction"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("label"), col("prediction"))
+    out.persist().count()
+    df.unpersist()
+    out
+  }
+
   /** Multiclass train+score over the embeddings table (10 classes,
-    * 64-dim float vectors). Uses the RandomForest multiclass strategy
-    * (single model, native probabilities) — the scale path; the
-    * OneVsRest boosting path is covered in MLSpec.
+    * 64-dim float vectors), RandomForest strategy (single model,
+    * native probabilities — the scale path; OvR boosting is covered
+    * in MLSpec). Gate: train accuracy ≥ 2.5× the majority-class rate
+    * (measured 0.50-0.79 across sf0.001-0.1 vs ~0.10 base; a broken
+    * feature path lands at base rate and trips it).
     */
   val mlMulticlass = GraftQuery(
     "ml_multiclass_embeddings",
     (s, dir) => {
-      val t = Tables(s, dir)
-      val df = t.embeddings
-        .select(
-          array_to_vector(toDoubleArray(col("embedding"))).as("features"),
-          col("label").cast("double").as("label"))
-        .cache()
-      val model = GraftBoost.train(df, Seq("features"), "label",
-        GraftBoost.BoostParams("multi:softprob", numRound = 20, maxDepth = 5,
-          multiclassStrategy = "rf"))
-      val out = GraftBoost.predict(model, df)
-        .groupBy(col("label"), col("prediction"))
-        .agg(count(lit(1)).as("n"))
-        .orderBy(col("label"), col("prediction"))
-      df.unpersist()
+      val cm = multiclassDetail(s, dir)
+      val perLabel = cm.groupBy(col("label")).agg(
+        sum(col("n")).as("cn"),
+        sum(when(col("label") === col("prediction"), col("n")).otherwise(0L))
+          .as("corr"))
+      val out = perLabel.agg(
+          sum(col("cn")).as("n_rows"),
+          count(lit(1)).as("n_classes"),
+          sum(col("corr")).as("n_correct"),
+          max(col("cn")).as("max_class"))
+        .select(col("n_rows").cast("long").as("n_rows"),
+          col("n_classes").cast("long").as("n_classes"),
+          (col("n_correct") >= col("max_class") * 2.5).as("acc_ok"))
+      out.persist().count()
+      cm.unpersist(false)
       out
     },
-    None
+    Some("""
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+             CAST(COUNT(DISTINCT label) AS BIGINT) AS n_classes,
+             TRUE AS acc_ok
+      FROM embeddings
+    """)
   )
 
   def all: Seq[GraftQuery] = Seq(mlBinary, mlRegression, mlMulticlass)

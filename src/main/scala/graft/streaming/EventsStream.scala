@@ -290,27 +290,76 @@ object EventsStream {
     * stream-vs-batch scoring equality with the identically-trained
     * model, which also makes this deterministic (fixed seed).
     */
+  /** The streamed (event_type, prediction, n) counts — the operator
+    * output StreamScoreSpec compares against batch scoring.
+    */
+  def streamScoreCounts(s: SparkSession, dir: String): DataFrame = {
+    import graft.ml.GraftBoost
+    val t = graft.sources.Tables(s, dir)
+    val feats = Seq("value", "k")
+    val batch = t.events
+      .filter(pmod(col("event_id"), lit(4)) === 0)
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("double"))
+      .withColumn("label", (col("event_type") === "purchase").cast("double"))
+    val model = GraftBoost.train(batch, feats, "label",
+      GraftBoost.BoostParams(numRound = 5, maxDepth = 3, maxBins = 16))
+    val stream = eventsStream(s, dir)
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("double"))
+    val scored = GraftBoost.predict(model, stream)
+      .groupBy(col("event_type"), col("prediction"))
+      .agg(count(lit(1)).as("n"))
+    runToTable(scored, OutputMode.Complete())
+      .orderBy(col("event_type"), col("prediction"))
+  }
+
+  /** Oracle-checkable form: per-event_type totals (exact — every
+    * event is scored exactly once regardless of prediction) + a
+    * parity boolean asserting the streamed counts equal batch scoring
+    * with the identically-trained model (the StreamScoreSpec
+    * equivalence, embedded in the gated query itself).
+    */
   val streamScore = GraftQuery(
     "stream_score",
     (s, dir) => {
       import graft.ml.GraftBoost
+      val streamed = streamScoreCounts(s, dir)
+      streamed.persist().count()
       val t = graft.sources.Tables(s, dir)
       val feats = Seq("value", "k")
-      val batch = t.events
+      val all = t.events
+        .withColumn("k", get_json_object(col("props"), "$.k").cast("double"))
+      val trainDf = all
         .filter(pmod(col("event_id"), lit(4)) === 0)
-        .withColumn("k", get_json_object(col("props"), "$.k").cast("double"))
         .withColumn("label", (col("event_type") === "purchase").cast("double"))
-      val model = GraftBoost.train(batch, feats, "label",
+      val model = GraftBoost.train(trainDf, feats, "label",
         GraftBoost.BoostParams(numRound = 5, maxDepth = 3, maxBins = 16))
-      val stream = eventsStream(s, dir)
-        .withColumn("k", get_json_object(col("props"), "$.k").cast("double"))
-      val scored = GraftBoost.predict(model, stream)
+      val batchCounts = GraftBoost.predict(model, all)
         .groupBy(col("event_type"), col("prediction"))
         .agg(count(lit(1)).as("n"))
-      runToTable(scored, OutputMode.Complete())
-        .orderBy(col("event_type"), col("prediction"))
+      val keys = Seq("event_type", "prediction", "n")
+      val sOnly = streamed.join(batchCounts, keys, "left_anti")
+        .agg(count(lit(1)).as("a"))
+      val bOnly = batchCounts.join(streamed, keys, "left_anti")
+        .agg(count(lit(1)).as("b"))
+      val diffs = sOnly.crossJoin(bOnly)
+        .select((col("a") + col("b")).as("n_diff"))
+      val out = streamed
+        .groupBy(col("event_type"))
+        .agg(sum(col("n")).cast("long").as("n_events"))
+        .crossJoin(diffs)
+        .select(col("event_type"), col("n_events"),
+          (col("n_diff") === 0).as("parity_ok"))
+        .orderBy(col("event_type"))
+      out.persist().count()
+      streamed.unpersist(false)
+      out
     },
-    None
+    Some("""
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events, TRUE AS parity_ok
+      FROM events
+      GROUP BY event_type
+      ORDER BY event_type
+    """)
   )
 
   /** Streaming exact dedup: `dropDuplicates` on the normalized

@@ -25,10 +25,13 @@ class StreamScoreSpec extends AnyFunSuite {
       .groupBy(col("event_type"), col("prediction")).agg(count(lit(1)).as("n"))
       .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2))).toSet
 
-    val streamed = SparkEntry.queries("stream_score")(spark, sf)
+    val streamed = graft.streaming.EventsStream.streamScoreCounts(spark, sf)
       .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2))).toSet
     assert(streamed == batchCounts,
       s"stream scoring diverges: ${streamed.diff(batchCounts)} / ${batchCounts.diff(streamed)}")
+    // registered (oracle-checkable) form: per-type totals + parity bit
+    val summary = SparkEntry.queries("stream_score")(spark, sf).collect()
+    assert(summary.nonEmpty && summary.forall(_.getBoolean(2)))
   }
 
   test("q24 raw-SQL entry runs through spark.sql") {
