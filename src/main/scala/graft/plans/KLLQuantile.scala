@@ -48,13 +48,24 @@ final class KLLSketch(val k: Int) extends Serializable {
     while (i < levels.length) { s += levels(i).length; i += 1 }
     s
   }
-  private def totalCapacity: Int =
-    (0 until levels.length).map(capacity).sum
+  // both are consulted on EVERY update — recomputing them per row
+  // (range-map + math.pow per level) dominated the whole aggregation,
+  // so they are tracked incrementally and refreshed only when a
+  // compaction/merge/deserialize restructures the levels
+  private var curSize: Int = 0
+  private var totalCap: Int = -1
+  private[graft] def refreshCaches(): Unit = {
+    curSize = size
+    totalCap = { var c = 0; var i = 0
+      while (i < levels.length) { c += capacity(i); i += 1 }; c }
+  }
+  refreshCaches()
 
   def update(v: Double): Unit = {
     levels(0) += v
     n += 1L
-    if (size > totalCapacity) compress()
+    curSize += 1
+    if (curSize > totalCap) compress()
   }
 
   def merge(o: KLLSketch): Unit = {
@@ -65,7 +76,8 @@ final class KLLSketch(val k: Int) extends Serializable {
       i += 1
     }
     n += o.n
-    while (size > totalCapacity) compress()
+    refreshCaches()
+    while (curSize > totalCap) compress()
   }
 
   private def compress(): Unit = {
@@ -98,6 +110,7 @@ final class KLLSketch(val k: Int) extends Serializable {
     while (j < sorted.length) { levels(i + 1) += sorted(j); j += 2 }
     levels(i).clear()
     if (start == 1) levels(i) += sorted(0)
+    refreshCaches() // level sizes (and possibly level count) changed
   }
 
   /** Smallest value whose cumulative weight reaches q of the total —
@@ -160,6 +173,7 @@ object KLLSketch {
       while (j < len) { sk.levels(i) += in.readDouble(); j += 1 }
       i += 1
     }
+    sk.refreshCaches()
     sk
   }
 }
