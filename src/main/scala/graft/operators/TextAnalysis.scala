@@ -572,8 +572,191 @@ object TextAnalysis {
     """)
   )
 
+  /** Gopher-style repetition gates. The thresholds are engine
+    * parameters; both engines compute the identical exact ratios, so
+    * the keep bit hashes regardless of where the bar sits.
+    */
+  val TopWordFracMax = 0.2
+  val Dup2gramFracMax = 0.6
+
+  /** Repetition-based quality filtering (the Gopher/C4 rules family):
+    * most-frequent-word fraction and duplicate-2-gram fraction per
+    * document, plus the keep/drop decision. Everything is per-row
+    * array math inside whole-stage codegen — the most-frequent-word
+    * count is a fold over the SORTED token array (longest equal run),
+    * so no (doc, word) explode/shuffle exists at any scale; distinct
+    * 2-grams come from the WordShingles codegen expression.
+    */
+  /** Per-doc repetition metrics over a (doc_id, text) frame. */
+  def repetitionMetrics(docs: DataFrame): DataFrame = {
+    // tokens materialized once; referencing split() inside the HOF
+    // lambdas would re-tokenize per array element (CLAUDE.md rule)
+    val toksDf = docs.select(col("doc_id"), tokens(col("text")).as("toks"))
+    val maxRun = aggregate(
+      array_sort(col("toks")),
+      struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
+      (acc, x) => {
+        val run = when(acc.getField("prev") === x, acc.getField("run") + 1L)
+          .otherwise(lit(1L))
+        struct(x.as("prev"), run.as("run"),
+          greatest(acc.getField("best"), run).as("best"))
+      },
+      acc => acc.getField("best"))
+    toksDf
+      .select(col("doc_id"),
+        size(col("toks")).cast("long").as("n_words"),
+        maxRun.as("max_word_n"),
+        size(graft.plans.WordShingles.wordShingles(col("toks"), 2))
+          .cast("long").as("n_distinct_2grams"))
+      .select(col("doc_id"), col("n_words"),
+        round(col("max_word_n").cast("double") / col("n_words"), 6)
+          .as("top_word_frac"),
+        when(col("n_words") >= 2,
+          round(lit(1.0) - col("n_distinct_2grams").cast("double")
+            / (col("n_words") - 1), 6)).otherwise(0.0).as("dup_2gram_frac"))
+      .withColumn("keep",
+        col("top_word_frac") <= TopWordFracMax &&
+        col("dup_2gram_frac") <= Dup2gramFracMax)
+      .orderBy(col("doc_id"))
+  }
+
+  val textRepetition = GraftQuery(
+    "text_repetition",
+    (s, dir) => repetitionMetrics(Tables(s, dir).documents),
+    Some(s"""
+      WITH t AS (
+        SELECT doc_id, string_split_regex(lower(text), '\\s+') AS toks
+        FROM documents),
+      w AS (
+        SELECT doc_id, unnest(toks) AS tok, len(toks) AS n FROM t),
+      tw AS (
+        SELECT doc_id, MAX(c) AS max_c, ANY_VALUE(n) AS n_words FROM (
+          SELECT doc_id, tok, COUNT(*) AS c, ANY_VALUE(n) AS n
+          FROM w GROUP BY doc_id, tok)
+        GROUP BY doc_id),
+      g AS (
+        SELECT doc_id,
+               CASE WHEN len(toks) >= 2 THEN
+                 round(1.0 - CAST(len(list_distinct(list_transform(
+                   range(1, len(toks)),
+                   i -> toks[i] || ' ' || toks[i+1]))) AS DOUBLE)
+                   / (len(toks) - 1), 6)
+               ELSE 0.0 END AS dup_2gram_frac
+        FROM t)
+      SELECT tw.doc_id,
+             CAST(tw.n_words AS BIGINT) AS n_words,
+             round(CAST(tw.max_c AS DOUBLE) / tw.n_words, 6) AS top_word_frac,
+             g.dup_2gram_frac,
+             round(CAST(tw.max_c AS DOUBLE) / tw.n_words, 6) <= $TopWordFracMax
+               AND g.dup_2gram_frac <= $Dup2gramFracMax AS keep
+      FROM tw JOIN g ON g.doc_id = tw.doc_id
+      ORDER BY tw.doc_id
+    """)
+  )
+
+  /** Temperature-weighted domain mixture (alpha = 0.5): keep
+    * floor(sqrt(count_d)) documents of each source — the sqrt
+    * tempering that flattens domain skew in training mixtures
+    * (heavy domains are down-sampled hardest). Selection is the same
+    * deterministic md5 order as sample_stratified. The per-source
+    * target deliberately avoids a global weight NORMALIZATION sum:
+    * sqrt is correctly rounded in every IEEE engine so the allocation
+    * hashes bit-identically, while a cross-source float sum would be
+    * addition-order-dependent. One count pass + one stratum shuffle.
+    */
+  val sampleMixture = GraftQuery(
+    "sample_mixture",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val counts = t.documents.groupBy(col("source"))
+        .agg(count(lit(1)).as("c"))
+        .select(col("source"), floor(sqrt(col("c"))).cast("long").as("n_take"))
+      val w = Window.partitionBy(col("source"))
+        .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+      t.documents
+        .select(col("source"), col("doc_id"))
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .join(broadcast(counts), Seq("source"))
+        .filter(col("rk") <= col("n_take"))
+        .select(col("source"), col("doc_id"), col("rk"))
+        .orderBy(col("source"), col("rk"))
+    },
+    Some("""
+      WITH cnt AS (
+        SELECT source, CAST(floor(sqrt(COUNT(*))) AS BIGINT) AS n_take
+        FROM documents GROUP BY source),
+      ranked AS (
+        SELECT source, doc_id,
+               CAST(row_number() OVER (PARTITION BY source
+                 ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS rk
+        FROM documents)
+      SELECT r.source, r.doc_id, r.rk
+      FROM ranked r JOIN cnt ON cnt.source = r.source
+      WHERE r.rk <= cnt.n_take
+      ORDER BY r.source, r.rk
+    """)
+  )
+
+  /** Cross-source contamination matrix: for every source pair, the
+    * number of distinct word-trigram shingles they share and the
+    * shingle-set Jaccard — the corpus-level view of decontamination
+    * (text_decontaminate is the doc-level form). The inverted-index
+    * shape scales: one distinct on (source, shingle), one self-join
+    * keyed on the shingle, pair fan-out bounded by sources² per
+    * shingle — never documents².
+    */
+  val textSourceOverlap = GraftQuery(
+    "text_source_overlap",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val sh = t.documents
+        .select(col("source"),
+          explode(graft.plans.WordShingles.wordShingles(tokens(col("text")), 3))
+            .as("shingle"))
+        .distinct()
+        .cache()
+      val cnt = sh.groupBy(col("source")).agg(count(lit(1)).as("n"))
+      val ov = sh.as("a").join(sh.as("b"),
+          col("a.shingle") === col("b.shingle") && col("a.source") < col("b.source"))
+        .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+        .agg(count(lit(1)).as("n_shared"))
+      val out = ov
+        .join(broadcast(cnt.select(col("source").as("src_a"), col("n").as("na"))), Seq("src_a"))
+        .join(broadcast(cnt.select(col("source").as("src_b"), col("n").as("nb"))), Seq("src_b"))
+        .select(col("src_a"), col("src_b"), col("n_shared"),
+          round(col("n_shared").cast("double")
+            / (col("na") + col("nb") - col("n_shared")), 6).as("jaccard"))
+        .orderBy(col("src_a"), col("src_b"))
+      out.persist().count()
+      sh.unpersist(false)
+      out
+    },
+    Some("""
+      WITH sh AS (
+        SELECT DISTINCT source, shingle FROM (
+          SELECT source,
+                 unnest(list_distinct(list_transform(
+                   range(1, greatest(len(toks) - 1, 1)),
+                   i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS shingle
+          FROM (SELECT source, string_split_regex(lower(text), '\s+') AS toks
+                FROM documents))),
+      cnt AS (SELECT source, COUNT(*) AS n FROM sh GROUP BY source),
+      ov AS (
+        SELECT a.source AS src_a, b.source AS src_b, COUNT(*) AS n_shared
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.source < b.source
+        GROUP BY 1, 2)
+      SELECT src_a, src_b, CAST(n_shared AS BIGINT) AS n_shared,
+             round(CAST(n_shared AS DOUBLE) / (ca.n + cb.n - n_shared), 6) AS jaccard
+      FROM ov
+      JOIN cnt ca ON ca.source = src_a
+      JOIN cnt cb ON cb.source = src_b
+      ORDER BY src_a, src_b
+    """)
+  )
+
   def all: Seq[GraftQuery] =
     Seq(textTokens, textQuality, textLangid, textFingerprint, textTopNgrams,
       textTrainingSet, textChunk, textDecontaminate, sampleStratified,
-      textPackSequences, textTfidf)
+      textPackSequences, textTfidf, textRepetition, sampleMixture,
+      textSourceOverlap)
 }

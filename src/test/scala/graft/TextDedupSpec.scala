@@ -304,6 +304,45 @@ class TextDedupSpec extends AnyFunSuite {
     }
   }
 
+  test("repetition metrics: repetitive doc dropped, diverse doc kept") {
+    val df = Seq(
+      (1L, "a a a a b"), // top_word 4/5, dup2 = 1 - 2/4
+      (2L, "one two three four five six")
+    ).toDF("doc_id", "text")
+    val m = TextAnalysis.repetitionMetrics(df).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(m(1L).getLong(1) == 5L)
+    assert(m(1L).getDouble(2) == 0.8 && m(1L).getDouble(3) == 0.5)
+    assert(!m(1L).getBoolean(4), "repetitive doc must be dropped")
+    assert(m(2L).getDouble(2) == 0.166667 && m(2L).getDouble(3) == 0.0)
+    assert(m(2L).getBoolean(4), "diverse doc must be kept")
+  }
+
+  test("sample_mixture keeps floor(sqrt(count)) docs per source") {
+    val sel = SparkEntry.queries("sample_mixture")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val perSource = graft.sources.Tables(spark, sf).documents
+      .groupBy($"source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val bySource = sel.groupBy(_._1)
+    assert(bySource.keySet == perSource.keySet)
+    bySource.foreach { case (src, rows) =>
+      val want = math.floor(math.sqrt(perSource(src).toDouble)).toLong
+      assert(rows.length == want, s"$src: ${rows.length} != $want")
+      assert(rows.map(_._3).max <= want)
+    }
+  }
+
+  test("source overlap matrix is upper-triangular with jaccard in [0,1]") {
+    val rows = SparkEntry.queries("text_source_overlap")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (a, b, n, j) =>
+      assert(a < b, s"pair ($a,$b) not canonical")
+      assert(n > 0 && j > 0.0 && j <= 1.0, s"($a,$b) n=$n j=$j")
+    }
+  }
+
   test("text/dedup/sim queries all run and return rows at sf0.001") {
     Seq("text_tokens", "text_quality", "text_langid", "text_fingerprint",
       "dedup_exact", "dedup_ngram_jaccard", "dedup_minhash_lsh",
