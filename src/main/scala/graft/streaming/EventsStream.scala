@@ -290,19 +290,28 @@ object EventsStream {
     * stream-vs-batch scoring equality with the identically-trained
     * model, which also makes this deterministic (fixed seed).
     */
-  /** The streamed (event_type, prediction, n) counts — the operator
-    * output StreamScoreSpec compares against batch scoring.
-    */
-  def streamScoreCounts(s: SparkSession, dir: String): DataFrame = {
+  /** The deterministic 1-in-4 training fit stream_score uses. */
+  private def scoreModel(s: SparkSession, dir: String): graft.ml.GraftBoost.GraftBoostModel = {
     import graft.ml.GraftBoost
     val t = graft.sources.Tables(s, dir)
-    val feats = Seq("value", "k")
     val batch = t.events
       .filter(pmod(col("event_id"), lit(4)) === 0)
       .withColumn("k", get_json_object(col("props"), "$.k").cast("double"))
       .withColumn("label", (col("event_type") === "purchase").cast("double"))
-    val model = GraftBoost.train(batch, feats, "label",
+    GraftBoost.train(batch, Seq("value", "k"), "label",
       GraftBoost.BoostParams(numRound = 5, maxDepth = 3, maxBins = 16))
+  }
+
+  /** The streamed (event_type, prediction, n) counts — the operator
+    * output StreamScoreSpec compares against batch scoring.
+    */
+  def streamScoreCounts(s: SparkSession, dir: String): DataFrame =
+    streamScoreCountsWith(scoreModel(s, dir), s, dir)
+
+  private def streamScoreCountsWith(
+      model: graft.ml.GraftBoost.GraftBoostModel,
+      s: SparkSession, dir: String): DataFrame = {
+    import graft.ml.GraftBoost
     val stream = eventsStream(s, dir)
       .withColumn("k", get_json_object(col("props"), "$.k").cast("double"))
     val scored = GraftBoost.predict(model, stream)
@@ -322,17 +331,14 @@ object EventsStream {
     "stream_score",
     (s, dir) => {
       import graft.ml.GraftBoost
-      val streamed = streamScoreCounts(s, dir)
+      // ONE fit shared by the streaming and batch-parity paths — the
+      // parity check must compare scoring, not re-train
+      val model = scoreModel(s, dir)
+      val streamed = streamScoreCountsWith(model, s, dir)
       streamed.persist().count()
       val t = graft.sources.Tables(s, dir)
-      val feats = Seq("value", "k")
       val all = t.events
         .withColumn("k", get_json_object(col("props"), "$.k").cast("double"))
-      val trainDf = all
-        .filter(pmod(col("event_id"), lit(4)) === 0)
-        .withColumn("label", (col("event_type") === "purchase").cast("double"))
-      val model = GraftBoost.train(trainDf, feats, "label",
-        GraftBoost.BoostParams(numRound = 5, maxDepth = 3, maxBins = 16))
       val batchCounts = GraftBoost.predict(model, all)
         .groupBy(col("event_type"), col("prediction"))
         .agg(count(lit(1)).as("n"))

@@ -14,7 +14,8 @@ object ExplainMain {
       "q01_pricing_summary", "q02_revenue_by_nation", "q06_revenue_filter",
       "q20_part_revenue", "dedup_ngram_jaccard", "sim_topk_bruteforce",
       "q29_grouping_sets", "q31_unpivot", "text_training_set",
-      "text_pack_sequences", "dedup_clusters", "q34_bucketed_join")
+      "text_pack_sequences", "dedup_clusters", "q34_bucketed_join",
+      "text_repetition", "sample_mixture", "text_source_overlap")
     names.foreach { n =>
       println(s"\n================ $n ================")
       println(SparkEntry.queries(n)(spark, dir).queryExecution.explainString(
