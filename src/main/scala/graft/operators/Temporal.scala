@@ -202,7 +202,46 @@ object Temporal {
     """)
   )
 
+  /** Rolling time-series features per user — the feature-engineering
+    * window family (moving average/max over the last 4 observations,
+    * delta vs the previous one). One shuffle on user_id serves every
+    * frame; order is (ts, event_id) so ties are deterministic. The
+    * frame sum goes through an exact decimal: DuckDB evaluates
+    * sliding frames with a segment tree whose addition order differs
+    * from a running sum, so double accumulation would drift in the
+    * last ulp — decimal arithmetic is order-free.
+    */
+  val q37RollingFeatures = GraftQuery(
+    "q37_rolling_features",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val ord = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val frame = ord.rowsBetween(-3, Window.currentRow)
+      t.events
+        .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+        .select(col("event_id"), col("user_id"), tsString(col("ts")).as("ts_s"),
+          round(sum(dec6(col("value"))).over(frame).cast("double")
+            / count(lit(1)).over(frame), 6).as("roll_avg_4"),
+          round(max(col("value")).over(frame), 6).as("roll_max_4"),
+          round(col("value") - lag(col("value"), 1, 0.0).over(ord), 6)
+            .as("delta_prev"))
+        .orderBy(col("event_id"))
+    },
+    Some("""
+      SELECT event_id, user_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
+             round(CAST(SUM(CAST(value AS DECIMAL(25,6))) OVER w AS DOUBLE)
+               / COUNT(*) OVER w, 6) AS roll_avg_4,
+             round(MAX(value) OVER w, 6) AS roll_max_4,
+             round(value - COALESCE(lag(value) OVER o, 0.0), 6) AS delta_prev
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN 3 PRECEDING AND CURRENT ROW),
+             o AS (PARTITION BY user_id ORDER BY ts, event_id)
+      ORDER BY event_id
+    """)
+  )
+
   def all: Seq[GraftQuery] =
     Seq(q21AsofPrevError, q22RangeJoinNeighbors, q23CustomVariance,
-      q27AsofJoinNative, q36GapfillResample)
+      q27AsofJoinNative, q36GapfillResample, q37RollingFeatures)
 }

@@ -133,4 +133,27 @@ class ScaleSpec extends AnyFunSuite {
     assert(spark.conf.get("spark.sql.adaptive.enabled") == "true")
     assert(spark.conf.get("spark.sql.adaptive.skewJoin.enabled") == "true")
   }
+
+  test("text_repetition is map-side: no exchange before the output sort") {
+    val plan = planOf("text_repetition")
+    // exactly one Exchange — the rangepartitioning for the final
+    // ORDER BY — and no aggregate: the per-doc metrics never shuffle
+    val exchanges = "\\(\\d+\\) Exchange".r.findAllIn(plan).length
+    assert(exchanges == 1, s"expected only the output-sort exchange:\n$plan")
+    assert(!plan.contains("HashAggregate"),
+      "repetition metrics must not be computed via explode+aggregate")
+  }
+
+  test("sample_mixture broadcasts the per-source allocation") {
+    val plan = planOf("sample_mixture")
+    assert(plan.contains("BroadcastExchange") || plan.contains("BroadcastHashJoin"),
+      s"per-source n_take must broadcast, not shuffle the corpus:\n$plan")
+  }
+
+  test("rolling features reuse ONE user_id shuffle for all window frames") {
+    val plan = planOf("q37_rolling_features")
+    val partitionings = "hashpartitioning\\(user_id".r.findAllIn(plan).length
+    assert(partitionings <= 1,
+      s"both window specs must share the user_id partitioning:\n$plan")
+  }
 }

@@ -34,6 +34,24 @@ class TemporalSpec extends AnyFunSuite {
     assert(diff == 0, s"bucketed range join diverges from naive in $diff rows")
   }
 
+  test("rolling features: frame avg/max and lag delta match hand math") {
+    val rows = SparkEntry.queries("q37_rolling_features")(spark, sf)
+      .orderBy($"user_id", $"ts_s", $"event_id").collect()
+    assert(rows.nonEmpty)
+    // recompute per user with a plain scala fold over the same order
+    rows.groupBy(_.getLong(1)).foreach { case (_, rs) =>
+      val got = rs.sortBy(r => (r.getString(2), r.getLong(0)))
+      // reconstruct values from delta_prev: v_i = delta_i + v_{i-1}, v_0 = delta_0
+      val vals = got.scanLeft(0.0)((prev, r) => r.getDouble(5) + prev).tail
+      got.zipWithIndex.foreach { case (r, i) =>
+        val frame = vals.slice(math.max(0, i - 3), i + 1)
+        assert(math.abs(r.getDouble(3) - frame.sum / frame.length) < 1e-3,
+          s"roll_avg_4 at $i")
+        assert(math.abs(r.getDouble(4) - frame.max) < 1e-3, s"roll_max_4 at $i")
+      }
+    }
+  }
+
   test("custom variance UDAF matches built-in var_samp within fp tolerance") {
     val t = graft.sources.Tables(spark, sf)
     val builtin = t.orders.groupBy("o_orderstatus")
