@@ -439,6 +439,92 @@ object TextAnalysis {
     """)
   )
 
+  /** Bloom sizing for the sketch-based decontamination path: the
+    * benchmark n-gram set is claimed at 64k items over 1M bits
+    * (~128 KB serialized) — at the gated corpora the real item count
+    * is far below the claim, so the realized false-positive rate is
+    * effectively zero while the structure is the one that scales: at
+    * 100 TB the benchmark suite's n-grams stop being broadcastable as
+    * an exact set, but a fixed-size mergeable Bloom build (one
+    * aggregation) + a literal probe inside codegen still works.
+    */
+  val BloomItems = 1L << 16
+  val BloomBits = 1L << 20
+
+  /** Sketch-based decontamination: same benchmark/corpus split as
+    * text_decontaminate, but membership goes through Spark's internal
+    * BloomFilterAggregate / BloomFilterMightContain pair (bridged —
+    * the machinery behind runtime row-group filters). The summary is
+    * oracle-hashed: exact hit counts DuckDB recomputes, a
+    * no-false-negatives bit (structural Bloom guarantee — trips only
+    * if the build/probe plumbing breaks), and a false-positive budget
+    * gate. The collected filter is KB-sized driver state, the same
+    * pattern as df.stat.bloomFilter.
+    */
+  val textDecontaminateBloom = GraftQuery(
+    "text_decontaminate_bloom",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val grams = t.documents
+        .select(col("doc_id"),
+          graft.plans.WordShingles.wordShingles(
+            split(lower(col("text")), "\\s+"), DecontaminateN).as("g"))
+        .cache()
+      val benchGrams = grams.filter(col("doc_id") < BenchmarkIdBound)
+        .select(explode(col("g")).as("gram")).distinct()
+      val bloomBytes = benchGrams
+        .agg(org.apache.spark.sql.GraftSketchBridge
+          .bloomAgg(col("gram"), BloomItems, BloomBits).as("bf"))
+        .head.getAs[Array[Byte]](0)
+      val corpus = grams.filter(col("doc_id") >= BenchmarkIdBound)
+      // per-doc: any gram in the bloom / any gram in the exact set
+      val bloomHits = corpus
+        .select(col("doc_id"), explode(col("g")).as("gram"))
+        .filter(org.apache.spark.sql.GraftSketchBridge
+          .bloomMightContain(bloomBytes, col("gram")))
+        .select(col("doc_id")).distinct()
+      val exactHits = corpus
+        .select(col("doc_id"), explode(col("g")).as("gram"))
+        .join(broadcast(benchGrams), Seq("gram"))
+        .select(col("doc_id")).distinct()
+      val missed = exactHits.join(bloomHits, Seq("doc_id"), "left_anti")
+        .agg(count(lit(1)).as("n_missed"))
+      val counts = corpus.agg(count(lit(1)).as("n_corpus_docs"))
+        .crossJoin(exactHits.agg(count(lit(1)).as("n_exact_hit_docs")))
+        .crossJoin(bloomHits.agg(count(lit(1)).as("n_bloom")))
+        .crossJoin(missed)
+      val out = counts.select(
+        col("n_corpus_docs"), col("n_exact_hit_docs"),
+        (col("n_missed") === 0).as("no_false_negatives"),
+        (col("n_bloom") - col("n_exact_hit_docs") <=
+          greatest(lit(10L), (col("n_corpus_docs") * 0.02).cast("long")))
+          .as("fp_ok"))
+      out.persist().count()
+      grams.unpersist(false)
+      out
+    },
+    Some(raw"""
+      WITH g AS (
+        SELECT doc_id,
+               list_distinct(list_transform(
+                 range(1, greatest(len(string_split_regex(lower(text), '\s+')) - ${DecontaminateN - 2}, 1)),
+                 i -> ${(0 until 8).map(j => s"string_split_regex(lower(text), '\\s+')[i+$j]").mkString(" || ' ' || ")}
+               )) AS grams
+        FROM documents),
+      bench AS (
+        SELECT DISTINCT unnest(grams) AS gram FROM g WHERE doc_id < $BenchmarkIdBound),
+      hits AS (
+        SELECT DISTINCT c.doc_id
+        FROM (SELECT doc_id, unnest(grams) AS gram FROM g
+              WHERE doc_id >= $BenchmarkIdBound) c
+        JOIN bench b ON c.gram = b.gram)
+      SELECT CAST((SELECT COUNT(*) FROM documents WHERE doc_id >= $BenchmarkIdBound) AS BIGINT) AS n_corpus_docs,
+             CAST((SELECT COUNT(*) FROM hits) AS BIGINT) AS n_exact_hit_docs,
+             TRUE AS no_false_negatives,
+             TRUE AS fp_ok
+    """)
+  )
+
   /** Docs sampled per stratum. */
   val SamplePerSource = 10
 
@@ -758,5 +844,5 @@ object TextAnalysis {
     Seq(textTokens, textQuality, textLangid, textFingerprint, textTopNgrams,
       textTrainingSet, textChunk, textDecontaminate, sampleStratified,
       textPackSequences, textTfidf, textRepetition, sampleMixture,
-      textSourceOverlap)
+      textSourceOverlap, textDecontaminateBloom)
 }

@@ -343,6 +343,24 @@ class TextDedupSpec extends AnyFunSuite {
     }
   }
 
+  test("bloom bridge: no false negatives, false positives inside budget") {
+    import org.apache.spark.sql.GraftSketchBridge
+    val members = (0 until 1000).map(i => s"item_$i").toDF("v")
+    val bytes = members
+      .agg(GraftSketchBridge.bloomAgg($"v", 4096L, 1L << 16).as("bf"))
+      .head.getAs[Array[Byte]](0)
+    assert(bytes.length < 16 * 1024, "filter must stay KB-sized")
+    val inHits = members
+      .filter(GraftSketchBridge.bloomMightContain(bytes, $"v")).count()
+    assert(inHits == 1000L, "bloom filters never produce false negatives")
+    val outHits = (0 until 1000).map(i => s"other_$i").toDF("v")
+      .filter(GraftSketchBridge.bloomMightContain(bytes, $"v")).count()
+    assert(outHits <= 20L, s"false-positive rate blew the budget: $outHits/1000")
+    // registered query's gates hold on the corpus
+    val q = SparkEntry.queries("text_decontaminate_bloom")(spark, sf).collect()
+    assert(q.length == 1 && q.head.getBoolean(2) && q.head.getBoolean(3))
+  }
+
   test("text/dedup/sim queries all run and return rows at sf0.001") {
     Seq("text_tokens", "text_quality", "text_langid", "text_fingerprint",
       "dedup_exact", "dedup_ngram_jaccard", "dedup_minhash_lsh",
