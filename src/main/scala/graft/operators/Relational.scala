@@ -971,6 +971,58 @@ object Relational {
     """)
   )
 
+  /** Theta/KMV distinct sketch with SET-UNION rollup: per-flag
+    * sketches of l_orderkey built in one aggregation, then the
+    * group sketches — KB-sized binaries, not data — union into a
+    * global distinct estimate. The same order appears under several
+    * return flags, so the union is genuinely smaller than the sum of
+    * the group counts: the set algebra is what's under test, and at
+    * 100 TB it is what lets per-day/per-source sketches roll up into
+    * "distinct over any slice" without re-scanning (q30's HLL++
+    * estimates one slice; theta sketches COMPOSE). Oracle hashes the
+    * exact per-group and global distincts plus 5 % error gates
+    * (k = 4096 ⇒ RSE ≈ 1.6 %, deterministic for a fixed corpus).
+    */
+  val q38ThetaDistinct = GraftQuery(
+    "q38_theta_distinct",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val perFlag = t.lineitem.groupBy(col("l_returnflag"))
+        .agg(
+          graft.plans.ThetaSketch.sketchAgg(col("l_orderkey")).as("sk"),
+          graft.plans.ThetaSketch.distinctAgg(col("l_orderkey")).as("theta_est"),
+          countDistinct(col("l_orderkey")).as("exact_distinct"))
+        .cache() // one row per flag; consumed by both branches below
+      val unionEst = perFlag.agg(
+        graft.plans.ThetaSketch.unionAgg(col("sk")).as("union_est"))
+      val globalExact = t.lineitem.agg(
+        countDistinct(col("l_orderkey")).as("union_exact"))
+      perFlag
+        .select(col("l_returnflag"), col("exact_distinct"),
+          (abs(col("theta_est") - col("exact_distinct")) <=
+            greatest(lit(2L), (col("exact_distinct") * 0.05).cast("long")))
+            .as("sketch_ok"))
+        .crossJoin(broadcast(globalExact))
+        .crossJoin(broadcast(unionEst))
+        .select(col("l_returnflag"), col("exact_distinct"), col("sketch_ok"),
+          col("union_exact"),
+          (abs(col("union_est") - col("union_exact")) <=
+            greatest(lit(2L), (col("union_exact") * 0.05).cast("long")))
+            .as("union_ok"))
+        .orderBy(col("l_returnflag"))
+    },
+    Some("""
+      SELECT l_returnflag,
+             CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS exact_distinct,
+             TRUE AS sketch_ok,
+             (SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) FROM lineitem) AS union_exact,
+             TRUE AS union_ok
+      FROM lineitem
+      GROUP BY l_returnflag
+      ORDER BY l_returnflag
+    """)
+  )
+
   /** Bucketed-warehouse join: both fact and dimension are written
     * `bucketBy(custkey)` + sorted into a warehouse database, then
     * joined and aggregated ON THE BUCKET KEY — the whole read side
@@ -1029,6 +1081,7 @@ object Relational {
     q15CaseAgg, q16TopOrders, q17EventsJson, q18EventsHourly,
     q19EventsUserStats, q20PartRevenue, q24SqlEntry, q25Percentiles,
     q26TopkAgg, q28Pivot, q29GroupingSets, q30ApproxDistinct, q31Unpivot,
-    q32JsonRoundtrip, q33ApproxPercentile, q34BucketedJoin, q35KllQuantiles
+    q32JsonRoundtrip, q33ApproxPercentile, q34BucketedJoin, q35KllQuantiles,
+    q38ThetaDistinct
   )
 }
