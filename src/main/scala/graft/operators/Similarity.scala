@@ -274,6 +274,144 @@ object Similarity {
     """)
   )
 
+  /** Semantic-dedup clustering: a KMeans coarse quantizer partitions
+    * the corpus, then near-dup pairs (cosine ≥ threshold) are found
+    * WITHIN cells only — the composition that turns O(n²) all-pairs
+    * semantic dedup into Σ n_c² work, the standard scale path for
+    * embedding dedup at 100 TB (cluster → shuffle once on cell id →
+    * per-cell pairwise; a cell that outgrows memory recursively feeds
+    * the blocked kernel dedup_embedding_cosine uses). Each vector is
+    * soft-assigned to its `SoftAssign` nearest cells so pairs
+    * straddling a cell boundary still meet; candidate pairs dedup on
+    * ids before counting.
+    */
+  val DedupK = 16
+  val SoftAssign = 2
+  val DedupCosine = 0.35
+
+  /** Recall gate vs the exact all-pairs baseline. Near-dup pairs at
+    * threshold 0.35 include borderline pairs whose members can land
+    * in disjoint cells even with soft assignment; the floor is a
+    * regression tripwire (measured ≈ 0.68 at sf0.001 — this corpus
+    * is isotropic random, the clustering worst case; real embedding
+    * spaces cluster, which is the regime the composition exists
+    * for), deterministic for a fixed corpus + seed.
+    */
+  val ClusterRecallGate = 0.5
+
+  /** (cell, secondCell, id, v) soft assignment against fixed
+    * centroids, computed with primitive loops (no per-row HOFs).
+    */
+  private[graft] def softAssign(
+      base: DataFrame, centroids: Array[Array[Double]]): DataFrame = {
+    val s = base.sparkSession
+    import s.implicits._
+    base.as[(Long, Array[Double])].map { case (id, v) =>
+      var best = -1; var bestD = Double.MaxValue
+      var second = -1; var secondD = Double.MaxValue
+      var c = 0
+      while (c < centroids.length) {
+        val ct = centroids(c)
+        var d = 0.0; var i = 0
+        while (i < v.length) { val t = v(i) - ct(i); d += t * t; i += 1 }
+        if (d < bestD) { second = best; secondD = bestD; best = c; bestD = d }
+        else if (d < secondD) { second = c; secondD = d }
+        c += 1
+      }
+      (best, second, id, v)
+    }.toDF("cell", "cell2", "vec_id", "v")
+  }
+
+  /** Within-cell near-dup pairs: one shuffle on cell id, then a
+    * primitive pairwise kernel per cell (norms precomputed once).
+    */
+  private[graft] def withinCellPairs(soft: DataFrame, threshold: Double): DataFrame = {
+    val s = soft.sparkSession
+    import s.implicits._
+    val exploded = soft.select(col("vec_id"), col("v"),
+        explode(array(col("cell"), col("cell2"))).as("c"))
+      .as[(Long, Array[Double], Int)]
+    exploded.groupByKey(_._3).flatMapGroups { (_, it) =>
+      val arr = it.map { case (id, v, _) => (id, v) }.toArray.sortBy(_._1)
+      val norms = arr.map { case (_, v) =>
+        var s2 = 0.0; var i = 0
+        while (i < v.length) { s2 += v(i) * v(i); i += 1 }
+        math.sqrt(s2)
+      }
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+      var i = 0
+      while (i < arr.length) {
+        val (ida, va) = arr(i)
+        var j = i + 1
+        while (j < arr.length) {
+          val (idb, vb) = arr(j)
+          var dot = 0.0; var k = 0
+          while (k < va.length) { dot += va(k) * vb(k); k += 1 }
+          if (dot / (norms(i) * norms(j)) >= threshold) out += ((ida, idb))
+          j += 1
+        }
+        i += 1
+      }
+      out
+    }.toDF("ia", "ib").distinct()
+  }
+
+  /** Oracle-checkable summary: exact corpus/pair counts DuckDB
+    * recomputes + two Spark-verified gates — assignment parity
+    * (MLlib's transform equals a direct argmin over the centroids)
+    * and recall of the within-cell pairs vs the exact all-pairs
+    * baseline.
+    */
+  val clusterSemanticDedup = GraftQuery(
+    "cluster_semantic_dedup",
+    (s, dir) => {
+      import org.apache.spark.ml.clustering.KMeans
+      import org.apache.spark.ml.functions.array_to_vector
+      val base = corpus(Tables(s, dir)).cache()
+      val featured = base.withColumn("features", array_to_vector(col("v")))
+      val km = new KMeans().setK(DedupK).setSeed(42L).setMaxIter(10)
+        .setFeaturesCol("features").setPredictionCol("cell")
+      val model = km.fit(featured)
+      val centroids = model.clusterCenters.map(_.toArray)
+      val soft = softAssign(base, centroids).cache()
+      // assignment parity: the quantizer's own transform must agree
+      // with the direct argmin (ties are measure-zero on this corpus)
+      val mismatches = model.transform(featured)
+        .select(col("vec_id"), col("cell").as("ml_cell"))
+        .join(soft.select(col("vec_id"), col("cell")), Seq("vec_id"))
+        .filter(col("ml_cell") =!= col("cell"))
+        .agg(count(lit(1)).as("n_mismatch"))
+      val clustered = withinCellPairs(soft, DedupCosine)
+      val exact = Dedup.blockedCosinePairs(s, base, DedupCosine, Dedup.BlockRows)
+        .select(col("ia"), col("ib"))
+      val hits = clustered.join(exact, Seq("ia", "ib"))
+        .agg(count(lit(1)).as("n_hit"))
+      val out = base.agg(count(lit(1)).as("n_vectors"))
+        .crossJoin(exact.agg(count(lit(1)).as("n_exact_pairs")))
+        .crossJoin(mismatches).crossJoin(hits)
+        .select(
+          col("n_vectors"), col("n_exact_pairs"),
+          (col("n_mismatch") === 0).as("assign_ok"),
+          (col("n_hit") >= col("n_exact_pairs") * ClusterRecallGate)
+            .as("recall_ok"))
+      out.persist().count()
+      soft.unpersist(false)
+      base.unpersist(false)
+      out
+    },
+    Some(s"""
+      SELECT CAST((SELECT COUNT(*) FROM embeddings) AS BIGINT) AS n_vectors,
+             CAST((SELECT COUNT(*)
+                   FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+                   WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                                CAST(b.embedding AS DOUBLE[])) >= $DedupCosine)
+                  AS BIGINT) AS n_exact_pairs,
+             TRUE AS assign_ok,
+             TRUE AS recall_ok
+    """)
+  )
+
   def all: Seq[GraftQuery] =
-    Seq(simTopkBruteforce, simAnnLsh, simAnnIvf, simNormStats)
+    Seq(simTopkBruteforce, simAnnLsh, simAnnIvf, simNormStats,
+      clusterSemanticDedup)
 }
