@@ -115,6 +115,79 @@ class MultimodalStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("randomized out-of-order replay matches the batch sessionization oracle") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    import graft.streaming.EventsStream
+    import graft.streaming.EventsStream.{Ev, SessionSummary}
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val minute = 60L * 1000000L
+    val base = 1700000000L * 1000000L
+
+    for (seed <- Seq(17, 23)) {
+      val rnd = new scala.util.Random(seed)
+      // 5 users x ~30 events over 10 hours: 30-min-gap sessions form
+      // naturally; arrival disorder bounded at 90 min < the 120-min
+      // watermark delay, so no event is ever late-beyond-watermark
+      val events = for {
+        u <- 1L to 5L
+        _ <- 0 until (20 + rnd.nextInt(20))
+      } yield Ev(u, base + rnd.nextInt(600).toLong * minute, 0.0)
+      val arrival = events
+        .map(e => (e, e.tsMicros + rnd.nextInt(90).toLong * minute))
+        .sortBy(_._2).map(_._1)
+      val batches = {
+        var rest = arrival
+        val out = scala.collection.mutable.ArrayBuffer.empty[Seq[Ev]]
+        while (rest.nonEmpty) {
+          val n = math.min(rest.length, 1 + rnd.nextInt(15))
+          out += rest.take(n); rest = rest.drop(n)
+        }
+        out.toSeq
+      }
+      val src = MemoryStream[Ev]
+      val summarized = src.toDS()
+        .withColumn("eventTime", timestamp_micros(col("tsMicros")))
+        .withWatermark("eventTime", "120 minutes")
+        .as[Ev]
+        .groupByKey(_.user_id)
+        .flatMapGroupsWithState(OutputMode.Update(),
+          GroupStateTimeout.EventTimeTimeout)(EventsStream.sessionFnEventTime _)
+      val name = s"graft_sess_fuzz_$seed"
+      val q = summarized.toDF().writeStream
+        .outputMode(OutputMode.Update()).format("memory").queryName(name).start()
+      try {
+        batches.foreach { b => src.addData(b); q.processAllAvailable() }
+        // two sentinel batches: the first advances the watermark past
+        // every real event, the second runs with that watermark so
+        // the event-time timeouts flush all reorder buffers
+        val flushTs = events.map(_.tsMicros).max + 400 * minute
+        src.addData(Ev(99L, flushTs, 0.0)); q.processAllAvailable()
+        src.addData(Ev(99L, flushTs + minute, 0.0)); q.processAllAvailable()
+        val got = spark.table(name).as[SessionSummary].collect()
+          .filter(_.user_id <= 5L)
+          .groupBy(_.user_id).map { case (u, rows) => u -> rows.last }
+        // batch oracle: fold each user's fully time-sorted events
+        // through the same session kernel via the arrival-ordered fn
+        val expected = events.groupBy(_.user_id).map { case (u, evs) =>
+          // sessionFn on a single all-events trigger IS the batch fold
+          val out = EventsStream.sessionFn(u, evs.sortBy(_.tsMicros).iterator,
+            org.apache.spark.sql.streaming.TestGroupState.create(
+              org.apache.spark.api.java.Optional.empty[graft.streaming.EventsStream.SessState](),
+              GroupStateTimeout.NoTimeout, 0L,
+              org.apache.spark.api.java.Optional.empty[Long](), false))
+          u -> out.next()
+        }
+        assert(got.keySet == expected.keySet, s"seed=$seed users differ")
+        expected.foreach { case (u, exp) =>
+          assert(got(u) == exp,
+            s"seed=$seed user $u: stream ${got(u)} != batch $exp")
+        }
+      } finally q.stop()
+    }
+  }
+
   test("streaming hourly agg equals the batch aggregation") {
     val streamed = SparkEntry.queries("stream_hourly_agg")(spark, sf)
     val batch = SparkEntry.queries("q18_events_hourly")(spark, sf)

@@ -100,6 +100,49 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("AsOfJoin inner/tolerance variants ≡ driver reference on arbitrary data") {
+    val gen = for {
+      np <- Gen.chooseNum(1, 40)
+      nr <- Gen.chooseNum(0, 40)
+      probes <- Gen.listOfN(np, Gen.zip(Gen.chooseNum(0L, 4L), Gen.chooseNum(0L, 100L)))
+      refs <- Gen.listOfN(nr, Gen.zip(Gen.chooseNum(0L, 4L), Gen.chooseNum(0L, 100L)))
+    } yield (probes, refs)
+    for {
+      seed <- 1 to 3
+      tol <- Seq(None, Some(7.0), Some(0.0))
+      joinType <- Seq("left", "inner")
+    } {
+      val (probes, refs) = gen.pureApply(Gen.Parameters.default,
+        org.scalacheck.rng.Seed(seed.toLong * 31L))
+      val probeDf = probes.zipWithIndex.map { case ((k, t), i) => (i.toLong, k, t) }
+        .toDF("pid", "k", "t")
+      // unique (rk, rt) per row so the expected "latest" is well-defined
+      val refsU = refs.zipWithIndex.map { case ((k, t), i) => (k, t * 100L + i, i.toDouble) }
+      val refDf = refsU.toDF("rk", "rt", "v")
+      val got = AsOf.join(probeDf, refDf, Seq("k"), Seq("rk"), "t", "rt",
+          joinType = joinType, tolerance = tol)
+        .select($"pid", $"rt").collect()
+        .map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+      probes.zipWithIndex.foreach { case ((k, t), i) =>
+        val matched = refsU
+          .filter(r => r._1 == k && r._2 <= t)
+          .filter(r => tol.forall(d => (t - r._2).toDouble <= d))
+          .map(_._2).maxOption
+        (joinType, matched) match {
+          case ("left", None) =>
+            assert(got(i.toLong) == -1L,
+              s"seed=$seed tol=$tol left probe($k,$t): want null, got ${got(i.toLong)}")
+          case ("inner", None) =>
+            assert(!got.contains(i.toLong),
+              s"seed=$seed tol=$tol inner probe($k,$t): row should be dropped")
+          case (_, Some(rt)) =>
+            assert(got(i.toLong) == rt,
+              s"seed=$seed tol=$tol $joinType probe($k,$t): got ${got(i.toLong)}, want $rt")
+        }
+      }
+    }
+  }
+
   test("blocked cosine ≡ brute force for arbitrary block sizes and corpora") {
     val gen = for {
       n <- Gen.chooseNum(2, 20)
