@@ -525,6 +525,127 @@ object TextAnalysis {
     """)
   )
 
+  /** PII redaction patterns — portable between Java regex (Spark) and
+    * RE2 (DuckDB): character classes, bounded repetition and \b only.
+    */
+  val EmailRe = "[a-z0-9._]+@[a-z0-9.]+\\.[a-z]{2,}"
+  val PhoneRe = "\\b555-[0-9]{4}\\b"
+  val Ipv4Re = "\\b[0-9]{1,3}(\\.[0-9]{1,3}){3}\\b"
+
+  /** PII scrubbing: the corpus is synthetic word-salad with no real
+    * PII, so the query PLANTS deterministic PII derived from corpus
+    * columns (email/phone/IPv4 built from source + doc_id), then
+    * redacts it — the full redaction semantics (pattern match,
+    * replacement, ordering so an email's dotted domain is gone before
+    * the IPv4 pass) run end-to-end and the oracle hashes per-doc
+    * match counts AND the redacted text length, which disagrees on
+    * any divergence in match boundaries. All per-row regex work in
+    * whole-stage codegen — at 100 TB this is a map-only scan, no
+    * shuffle. Patterns go through typed functions + lit (CLAUDE.md:
+    * the SQL parser path eats backslashes).
+    */
+  val textPiiRedact = GraftQuery(
+    "text_pii_redact",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val poisoned = t.documents.select(
+        col("doc_id"), col("source"),
+        concat(
+          col("text"), lit(" email "),
+          col("source"), lit("_"), col("doc_id"), lit("@example.com"),
+          lit(" call 555-"), lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+          lit(" host 10."), (col("doc_id") % 256), lit("."),
+          ((col("doc_id") * 7) % 256), lit(".1")).as("ptext"))
+      poisoned.select(
+          col("doc_id"),
+          size(regexp_extract_all(col("ptext"), lit(EmailRe), lit(0)))
+            .cast("long").as("n_emails"),
+          size(regexp_extract_all(col("ptext"), lit(PhoneRe), lit(0)))
+            .cast("long").as("n_phones"),
+          size(regexp_extract_all(col("ptext"), lit(Ipv4Re), lit(0)))
+            .cast("long").as("n_ips"),
+          length(
+            regexp_replace(
+              regexp_replace(
+                regexp_replace(col("ptext"), lit(EmailRe), lit("<EMAIL>")),
+                lit(Ipv4Re), lit("<IP>")),
+              lit(PhoneRe), lit("<PHONE>"))).cast("long").as("redacted_len"))
+        .orderBy(col("doc_id"))
+    },
+    Some(raw"""
+      WITH p AS (
+        SELECT doc_id,
+               text || ' email ' || source || '_' || CAST(doc_id AS VARCHAR)
+                    || '@example.com'
+                    || ' call 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                    || ' host 10.' || CAST(doc_id % 256 AS VARCHAR) || '.'
+                    || CAST((doc_id * 7) % 256 AS VARCHAR) || '.1' AS ptext
+        FROM documents)
+      SELECT doc_id,
+             CAST(len(regexp_extract_all(ptext, '$EmailRe')) AS BIGINT) AS n_emails,
+             CAST(len(regexp_extract_all(ptext, '$PhoneRe')) AS BIGINT) AS n_phones,
+             CAST(len(regexp_extract_all(ptext, '$Ipv4Re')) AS BIGINT) AS n_ips,
+             CAST(length(
+               regexp_replace(
+                 regexp_replace(
+                   regexp_replace(ptext, '$EmailRe', '<EMAIL>', 'g'),
+                   '$Ipv4Re', '<IP>', 'g'),
+                 '$PhoneRe', '<PHONE>', 'g')) AS BIGINT) AS redacted_len
+      FROM p
+      ORDER BY doc_id
+    """)
+  )
+
+  /** Per-source vocabulary statistics (the Zipf / type-token-ratio
+    * family corpus analyses use to spot low-diversity or boilerplate
+    * sources before training): token and type counts, TTR, and the
+    * head token's frequency share. Two map-side-combined aggregations
+    * — one on (source, term), one on source — so the shuffle carries
+    * distinct (source, term) pairs, never token instances.
+    */
+  val textZipfStats = GraftQuery(
+    "text_zipf_stats",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val toks = t.documents
+        .select(col("source"), explode(tokens(col("text"))).as("term"))
+        .filter(col("term") =!= "")
+      val byTerm = toks.groupBy(col("source"), col("term"))
+        .agg(count(lit(1)).as("cnt"))
+      val bySource = byTerm.groupBy(col("source"))
+        .agg(
+          sum(col("cnt")).as("n_tokens"),
+          count(lit(1)).as("n_types"),
+          max(col("cnt")).as("top_cnt"))
+      val docs = t.documents.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"))
+      docs.join(bySource, Seq("source"))
+        .select(
+          col("source"), col("n_docs"), col("n_tokens"), col("n_types"),
+          round(col("n_types").cast("double") / col("n_tokens"), 6).as("ttr"),
+          round(col("top_cnt").cast("double") / col("n_tokens"), 6).as("top_share"))
+        .orderBy(col("source"))
+    },
+    Some(raw"""
+      WITH toks AS (
+        SELECT source, unnest(string_split_regex(lower(text), '\s+')) AS term
+        FROM documents),
+      by_term AS (
+        SELECT source, term, COUNT(*) AS cnt FROM toks
+        WHERE term <> '' GROUP BY 1, 2),
+      by_source AS (
+        SELECT source, CAST(SUM(cnt) AS BIGINT) AS n_tokens,
+               COUNT(*) AS n_types, MAX(cnt) AS top_cnt
+        FROM by_term GROUP BY 1),
+      docs AS (SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY 1)
+      SELECT source, n_docs, n_tokens, n_types,
+             round(CAST(n_types AS DOUBLE) / n_tokens, 6) AS ttr,
+             round(CAST(top_cnt AS DOUBLE) / n_tokens, 6) AS top_share
+      FROM docs JOIN by_source USING (source)
+      ORDER BY source
+    """)
+  )
+
   /** Docs sampled per stratum. */
   val SamplePerSource = 10
 
@@ -844,5 +965,6 @@ object TextAnalysis {
     Seq(textTokens, textQuality, textLangid, textFingerprint, textTopNgrams,
       textTrainingSet, textChunk, textDecontaminate, sampleStratified,
       textPackSequences, textTfidf, textRepetition, sampleMixture,
-      textSourceOverlap, textDecontaminateBloom)
+      textSourceOverlap, textDecontaminateBloom, textPiiRedact,
+      textZipfStats)
 }

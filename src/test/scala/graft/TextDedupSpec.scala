@@ -365,9 +365,48 @@ class TextDedupSpec extends AnyFunSuite {
     Seq("text_tokens", "text_quality", "text_langid", "text_fingerprint",
       "dedup_exact", "dedup_ngram_jaccard", "dedup_minhash_lsh",
       "dedup_simhash", "dedup_embedding_cosine",
-      "sim_topk_bruteforce", "sim_ann_lsh", "sim_norm_stats")
+      "sim_topk_bruteforce", "sim_ann_lsh", "sim_norm_stats",
+      "text_pii_redact", "text_zipf_stats")
       .foreach { q =>
         assert(SparkEntry.queries(q)(spark, sf).count() > 0, s"$q empty")
       }
+  }
+
+  test("pii redaction: every planted email/phone/ip is found and scrubbed") {
+    import graft.operators.TextAnalysis
+    val rows = SparkEntry.queries("text_pii_redact")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(1) == 1L, s"doc ${r.getLong(0)}: emails ${r.getLong(1)}")
+      assert(r.getLong(2) == 1L, s"doc ${r.getLong(0)}: phones ${r.getLong(2)}")
+      assert(r.getLong(3) == 1L, s"doc ${r.getLong(0)}: ips ${r.getLong(3)}")
+    }
+    // redaction really removes the PII: no pattern survives a pass
+    val t = graft.sources.Tables(spark, sf)
+    val scrubbed = t.documents.select(
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(
+              concat(col("text"), lit(" email x_1@example.com call 555-0001 host 10.1.2.1")),
+              lit(TextAnalysis.EmailRe), lit("<EMAIL>")),
+            lit(TextAnalysis.Ipv4Re), lit("<IP>")),
+          lit(TextAnalysis.PhoneRe), lit("<PHONE>")).as("clean"))
+    val leftover = scrubbed.filter(
+      size(regexp_extract_all(col("clean"), lit(TextAnalysis.EmailRe), lit(0))) > 0 ||
+      size(regexp_extract_all(col("clean"), lit(TextAnalysis.PhoneRe), lit(0))) > 0 ||
+      size(regexp_extract_all(col("clean"), lit(TextAnalysis.Ipv4Re), lit(0))) > 0).count()
+    assert(leftover == 0L, "PII pattern survived redaction")
+  }
+
+  test("zipf stats: identities hold (ttr in (0,1], top_share >= 1/n_types)") {
+    val rows = SparkEntry.queries("text_zipf_stats")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (nTokens, nTypes) = (r.getLong(2), r.getLong(3))
+      val (ttr, topShare) = (r.getDouble(4), r.getDouble(5))
+      assert(nTypes <= nTokens, s"${r.getString(0)}: types > tokens")
+      assert(ttr > 0.0 && ttr <= 1.0)
+      assert(topShare >= 1.0 / nTypes && topShare <= 1.0)
+    }
   }
 }
