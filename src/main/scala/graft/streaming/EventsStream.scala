@@ -459,7 +459,68 @@ object EventsStream {
     streamSessionize.oracle
   )
 
+  /** Theta-sketch k for the streaming distinct state (~32 KB/key max). */
+  val StreamThetaK = 4096
+
+  /** Streaming approximate distinct: a theta/KMV sketch carried in
+    * GroupState per event type, updated with codegen-hashed user ids
+    * (xxhash64 runs in the stream's select, the state fn only folds
+    * pre-hashed longs). The state per key is the serialized sketch —
+    * BOUNDED at k·8 bytes no matter how many distinct users flow
+    * through, which is the whole point: exact streaming distinct
+    * state grows with the key universe, sketch state does not. At the
+    * test corpora the user space is under k, so the sketch is in its
+    * exact regime and the estimate equals the true distinct; the gate
+    * still allows the ≥k estimation error so a corpus refresh cannot
+    * flip the hash. Oracle: exact batch distinct per event type.
+    */
+  val streamThetaDistinct = GraftQuery(
+    "stream_theta_distinct",
+    (s, dir) => {
+      import s.implicits._
+      import graft.plans.ThetaSketch
+      val hashed = eventsStream(s, dir)
+        .select(col("event_type"), xxhash64(col("user_id")).as("h"))
+        .as[(String, Long)]
+      val estimates = hashed
+        .groupByKey(_._1)
+        .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+          (et: String, rows: Iterator[(String, Long)],
+           state: GroupState[Array[Byte]]) =>
+            val sk = state.getOption.map(ThetaSketch.deserialize)
+              .getOrElse(new ThetaSketch(StreamThetaK))
+            rows.foreach(r => sk.update(r._2))
+            state.update(sk.serialize())
+            (et, sk.estimate())
+        }
+        .toDF("event_type", "theta_est")
+      // the memory sink keeps one row per trigger update; the running
+      // estimate is monotone non-decreasing, so the final value per
+      // key is its max — robust to multi-batch replays
+      val streamed = runToTable(estimates.toDF(), OutputMode.Update())
+        .groupBy(col("event_type"))
+        .agg(max(col("theta_est")).as("theta_est"))
+      val t = graft.sources.Tables(s, dir)
+      val exact = t.events.groupBy(col("event_type"))
+        .agg(countDistinct(col("user_id")).as("exact_distinct"))
+      exact.join(broadcast(streamed), Seq("event_type"))
+        .select(col("event_type"), col("exact_distinct"),
+          (abs(col("theta_est") - col("exact_distinct")) <=
+            greatest(lit(2L), (col("exact_distinct") * 0.05).cast("long")))
+            .as("sketch_ok"))
+        .orderBy(col("event_type"))
+    },
+    Some("""
+      SELECT event_type,
+             CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_distinct,
+             TRUE AS sketch_ok
+      FROM events
+      GROUP BY event_type
+      ORDER BY event_type
+    """)
+  )
+
   def all: Seq[GraftQuery] =
     Seq(streamHourlyAgg, streamSessionize, streamScore, streamDedupExact,
-      streamEnrichProfile, streamSessionWindow)
+      streamEnrichProfile, streamSessionWindow, streamThetaDistinct)
 }

@@ -265,4 +265,20 @@ class MultimodalStreamSpec extends AnyFunSuite {
         assert(SparkEntry.queries(q)(spark, sf).count() > 0, s"$q empty")
       }
   }
+
+  test("stream_theta_distinct: estimate is exact below k and gates hold") {
+    val rows = SparkEntry.queries("stream_theta_distinct")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getBoolean(2), s"sketch_ok false for ${r.getString(0)}"))
+    // below-k regime on the test corpus: the sketch IS exact, so the
+    // estimate must equal the batch distinct (not merely within 5%)
+    val t = graft.sources.Tables(spark, sf)
+    val exact = t.events.groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("d")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    rows.foreach { r =>
+      assert(r.getLong(1) == exact(r.getString(0)),
+        s"${r.getString(0)}: summary exact_distinct drifted from batch")
+    }
+  }
 }
