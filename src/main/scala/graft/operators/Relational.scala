@@ -1023,6 +1023,51 @@ object Relational {
     """)
   )
 
+  /** Skew-mitigated join under the harness: 1/4 of lineitem lands on
+    * one derived hot key (the pathological-sentinel shape AQE's
+    * skew handling won't always catch — e.g. a null-ish default
+    * holding 10% of 100 TB), and the join runs through
+    * SaltedJoin.saltedEquiJoin: the hot key spreads over 8 salt
+    * buckets, the dimension replicates across the salt domain, and
+    * the result must be IDENTICAL to the plain join — which is
+    * exactly what the DuckDB oracle computes. The shuffle_hash hint
+    * keeps the (small at test scale) dimension off the broadcast
+    * path so the salted shuffle shape actually executes.
+    */
+  val q39SaltedSkewJoin = GraftQuery(
+    "q39_salted_skew_join",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val fact = t.lineitem.select(
+        when(col("l_orderkey") % 4 === 0, 0L)
+          .otherwise(col("l_orderkey") % 1000).as("k"),
+        col("l_quantity"))
+      val dim = fact.select(col("k")).distinct()
+        .select(col("k").as("dk"), (col("k") * 3 + 1).as("attr"))
+        .hint("shuffle_hash")
+      graft.functions.SaltedJoin.saltedEquiJoin(fact, dim, "k", "dk", 8)
+        .groupBy(col("k"))
+        .agg(
+          count(lit(1)).as("n"),
+          min(col("attr")).as("attr"),
+          sum(dec2(col("l_quantity"))).cast("double").as("sum_qty"))
+        .orderBy(col("k"))
+    },
+    Some("""
+      WITH fact AS (
+        SELECT CASE WHEN l_orderkey % 4 = 0 THEN 0
+                    ELSE l_orderkey % 1000 END AS k,
+               l_quantity
+        FROM lineitem),
+      dim AS (SELECT DISTINCT k AS dk, k * 3 + 1 AS attr FROM fact)
+      SELECT k, COUNT(*) AS n, MIN(attr) AS attr,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+      FROM fact JOIN dim ON k = dk
+      GROUP BY k
+      ORDER BY k
+    """)
+  )
+
   /** Bucketed-warehouse join: both fact and dimension are written
     * `bucketBy(custkey)` + sorted into a warehouse database, then
     * joined and aggregated ON THE BUCKET KEY — the whole read side
@@ -1082,6 +1127,6 @@ object Relational {
     q19EventsUserStats, q20PartRevenue, q24SqlEntry, q25Percentiles,
     q26TopkAgg, q28Pivot, q29GroupingSets, q30ApproxDistinct, q31Unpivot,
     q32JsonRoundtrip, q33ApproxPercentile, q34BucketedJoin, q35KllQuantiles,
-    q38ThetaDistinct
+    q38ThetaDistinct, q39SaltedSkewJoin
   )
 }

@@ -78,6 +78,15 @@ class ScaleSpec extends AnyFunSuite {
     assert(salted == plain)
   }
 
+  test("q39 executes the salted shuffle shape: salt in the join key, no broadcast") {
+    val df = SparkEntry.queries("q39_salted_skew_join")(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("__salt"), s"salt column missing from plan:\n$plan")
+    assert(!plan.contains("BroadcastHashJoin"),
+      s"dimension was broadcast — the salted shuffle path never ran:\n$plan")
+  }
+
   test("partitioned write enables partition pruning on read") {
     val t = Tables(spark, sf)
     val tmp = java.nio.file.Files.createTempDirectory("graft_part").toString
