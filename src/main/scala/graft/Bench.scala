@@ -42,15 +42,23 @@ object Bench {
     // (substring match); the driver never sets it, so the graded run
     // always times the full set
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSeq)
+    // SPARK_GRAFT_REPEAT=n times each query n times and reports the
+    // MINIMUM — the run-to-run variance killer for round-over-round
+    // comparisons (the ML group alone swings ±5s at sf0.1). The
+    // driver never sets it, so graded runs stay single-pass.
+    val repeat = sys.env.get("SPARK_GRAFT_REPEAT").map(_.toInt).getOrElse(1)
     val selected = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => only.forall(_.exists(n.contains)))
     val results = selected.map { name =>
-      val t0 = System.nanoTime()
-      val ok = try { materialize(name, sfDir); true }
-               catch { case e: Throwable =>
-                 System.err.println(s"[bench] $name failed: ${e.getMessage}"); false }
-      val secs = (System.nanoTime() - t0) / 1e9
-      name -> (if (ok) secs else -1.0)
+      val times = (1 to repeat).map { _ =>
+        val t0 = System.nanoTime()
+        val ok = try { materialize(name, sfDir); true }
+                 catch { case e: Throwable =>
+                   System.err.println(s"[bench] $name failed: ${e.getMessage}"); false }
+        val secs = (System.nanoTime() - t0) / 1e9
+        if (ok) secs else -1.0
+      }
+      name -> (if (times.exists(_ < 0)) -1.0 else times.min)
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -292,7 +292,12 @@ object Dedup {
       val t = Tables(s, dir)
       val docSets = docShingleSets(t.documents).cache()
       val found = minhashLshPairs(docSets)
-      val truth = ngramJaccardPairs(docSets, MaxShingleDf)
+      // truth comes from the SHARED memoized pair graph (also feeding
+      // dedup_ngram_jaccard / dedup_clusters). Do not unpersist it —
+      // Spark's cache manager is plan-based, so unpersisting an
+      // equivalent plan would evict the shared entry under the
+      // sibling queries
+      val truth = jaccardPairsShared(s, dir, MaxShingleDf)
       docSets.unpersist(false)
       // verification filters found to jaccard ≥ 0.5 over the SAME
       // shingle sets, so found ⊆ truth; recall = |found| / |truth|
@@ -305,7 +310,6 @@ object Dedup {
           (col("hits") >= col("n_true_pairs") * MinHashRecallGate).as("recall_ok"))
       out.persist().count()
       found.unpersist(false)
-      truth.unpersist(false)
       out
     },
     Some("""
