@@ -511,14 +511,28 @@ object Dedup {
     * 0.35 sits above the corpus' 99.9th-percentile background
     * similarity (calibrated on sf0.01).
     */
+  /** Cosine threshold of the semantic near-dup edge set. */
+  val CosineThreshold = 0.35
+
+  /** Memoized semantic (embedding-cosine) pair graph per (session,
+    * dir, threshold) — shared by dedup_embedding_cosine and
+    * dedup_multisignal the same way [[jaccardPairsShared]] is shared
+    * by the lexical queries.
+    */
+  private val cosCache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, String, Double), DataFrame]()
+  private[graft] def cosinePairsShared(
+      s: org.apache.spark.sql.SparkSession, dir: String, threshold: Double): DataFrame =
+    cosCache.computeIfAbsent(
+      (System.identityHashCode(s), dir, threshold), _ => {
+        val vecs = Tables(s, dir).embeddings
+          .select(col("vec_id"), toDoubleArray(col("embedding")).as("v"))
+        blockedCosinePairs(s, vecs, threshold, BlockRows)
+      })
+
   val dedupEmbeddingCosine = GraftQuery(
     "dedup_embedding_cosine",
-    (s, dir) => {
-      val t = Tables(s, dir)
-      val vecs = t.embeddings
-        .select(col("vec_id"), toDoubleArray(col("embedding")).as("v"))
-      blockedCosinePairs(s, vecs, 0.35, BlockRows)
-    },
+    (s, dir) => cosinePairsShared(s, dir, CosineThreshold),
     Some("""
       SELECT a.vec_id AS ia, b.vec_id AS ib,
              round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
@@ -659,8 +673,65 @@ object Dedup {
     """)
   )
 
+  /** Multi-signal dedup: a document pair is near-dup if EITHER the
+    * lexical signal (n-gram Jaccard ≥ 0.5) OR the semantic signal
+    * (embedding cosine ≥ 0.35, vec_id ≡ doc_id) fires — the
+    * production composition, since boilerplate rewrites dodge lexical
+    * matching and translated/templated text dodges embedding
+    * matching. The union graph is transitively closed with the same
+    * pointer-jumping components; BOTH edge sets come from the shared
+    * memoized pair graphs, so composed with their base queries this
+    * adds one union + one CC, not two more corpus scans. Oracle:
+    * DuckDB recursive CTE over the union of both pair predicates.
+    */
+  val dedupMultisignal = GraftQuery(
+    "dedup_multisignal",
+    (s, dir) => {
+      val jac = jaccardPairsShared(s, dir, MaxShingleDf)
+        .select(col("ia"), col("ib"))
+      val cos = cosinePairsShared(s, dir, CosineThreshold)
+        .select(col("ia"), col("ib"))
+      val edges = jac.union(cos).distinct()
+      val cc = connectedComponents(edges, "ia", "ib")
+      val out = cc
+        .select(col("node").as("doc_id"), col("label").as("cluster_id"))
+        .orderBy(col("doc_id"))
+      out.persist().count()
+      cc.unpersist(false)
+      out
+    },
+    Some("""
+      WITH RECURSIVE sh AS (
+        SELECT doc_id,
+               list_distinct(list_transform(
+                 range(1, greatest(len(string_split_regex(lower(text), '\s+')) - 1, 1)),
+                 i -> string_split_regex(lower(text), '\s+')[i] || ' ' ||
+                      string_split_regex(lower(text), '\s+')[i+1] || ' ' ||
+                      string_split_regex(lower(text), '\s+')[i+2])) AS s
+        FROM documents),
+      jp AS (
+        SELECT a.doc_id AS ia, b.doc_id AS ib
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.5),
+      cp AS (
+        SELECT a.vec_id AS ia, b.vec_id AS ib
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                     CAST(b.embedding AS DOUBLE[])) >= 0.35),
+      p AS (SELECT ia, ib FROM jp UNION SELECT ia, ib FROM cp),
+      e AS (SELECT ia AS a, ib AS b FROM p UNION SELECT ib, ia FROM p),
+      reach(node, label) AS (
+        SELECT a, a FROM (SELECT DISTINCT a FROM e) t
+        UNION
+        SELECT e.b, r.label FROM reach r JOIN e ON e.a = r.node)
+      SELECT node AS doc_id, MIN(label) AS cluster_id
+      FROM reach GROUP BY node ORDER BY doc_id
+    """)
+  )
+
   def all: Seq[GraftQuery] = Seq(
     dedupExact, dedupNgramJaccard, dedupMinhashLsh, dedupSimhash,
-    dedupEmbeddingCosine, dedupClusters
+    dedupEmbeddingCosine, dedupClusters, dedupMultisignal
   )
 }

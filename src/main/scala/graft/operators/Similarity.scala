@@ -382,7 +382,9 @@ object Similarity {
         .filter(col("ml_cell") =!= col("cell"))
         .agg(count(lit(1)).as("n_mismatch"))
       val clustered = withinCellPairs(soft, DedupCosine)
-      val exact = Dedup.blockedCosinePairs(s, base, DedupCosine, Dedup.BlockRows)
+      // shared memoized cosine pair graph (same frame as
+      // dedup_embedding_cosine / dedup_multisignal)
+      val exact = Dedup.cosinePairsShared(s, dir, DedupCosine)
         .select(col("ia"), col("ib"))
       val hits = clustered.join(exact, Seq("ia", "ib"))
         .agg(count(lit(1)).as("n_hit"))

@@ -372,6 +372,24 @@ class TextDedupSpec extends AnyFunSuite {
       }
   }
 
+  test("multisignal clusters: both signals' pairs land in one cluster") {
+    import graft.operators.Dedup
+    val labels = SparkEntry.queries("dedup_multisignal")(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val jac = Dedup.jaccardPairsShared(spark, sf, Dedup.MaxShingleDf)
+      .select("ia", "ib").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val cos = Dedup.cosinePairsShared(spark, sf, Dedup.CosineThreshold)
+      .select("ia", "ib").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(jac.nonEmpty && cos.nonEmpty, "both signals must contribute edges")
+    (jac ++ cos).foreach { case (a, b) =>
+      assert(labels(a) == labels(b),
+        s"pair ($a,$b) split across clusters ${labels(a)}/${labels(b)}")
+    }
+    // the node set is exactly the union of both edge sets' endpoints
+    val nodes = (jac ++ cos).flatMap(p => Seq(p._1, p._2)).toSet
+    assert(labels.keySet == nodes)
+  }
+
   test("pii redaction: every planted email/phone/ip is found and scrubbed") {
     import graft.operators.TextAnalysis
     val rows = SparkEntry.queries("text_pii_redact")(spark, sf).collect()
