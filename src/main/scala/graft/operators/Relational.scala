@@ -1023,6 +1023,104 @@ object Relational {
     """)
   )
 
+  /** Sliding-window distinct via sketch rollup: per-day theta
+    * sketches of the user id, then each day's trailing-7-day distinct
+    * comes from UNIONING the 7 daily sketches — KB-sized merges, no
+    * second scan of the events. This is the canonical theta-sketch
+    * deployment at 100 TB: exact sliding distinct must either rescan
+    * every window (7× read amplification) or carry per-window distinct
+    * state; per-day sketches are built once and every window, backfill
+    * or ad-hoc slice is a rollup. The exact per-day and per-window
+    * distincts ride along as the oracle-hashed columns (the in-query
+    * exact window side IS the 7× fan-out this sketch path avoids);
+    * the gate allows the ≥k estimation error, and at the test corpora
+    * (users ≪ k) the union is in its exact regime.
+    */
+  val q40SlidingDistinct = GraftQuery(
+    "q40_sliding_distinct",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val days = t.events.select(to_date(col("ts")).as("day"), col("user_id"))
+      val perDay = days.groupBy(col("day"))
+        .agg(
+          graft.plans.ThetaSketch.sketchAgg(col("user_id")).as("sk"),
+          countDistinct(col("user_id")).as("n_day_users"))
+        .cache()
+      val anchors = perDay.select(col("day").as("wday"))
+      val est7 = perDay.join(broadcast(anchors),
+          datediff(col("wday"), col("day")).between(0, 6))
+        .groupBy(col("wday"))
+        .agg(graft.plans.ThetaSketch.unionAgg(col("sk")).as("est7"))
+      val exact7 = days.join(broadcast(anchors),
+          datediff(col("wday"), col("day")).between(0, 6))
+        .groupBy(col("wday"))
+        .agg(countDistinct(col("user_id")).as("n_7d_users"))
+      perDay.select(col("day"), col("n_day_users"))
+        .join(est7, col("day") === est7("wday")).drop("wday")
+        .join(exact7, col("day") === exact7("wday")).drop("wday")
+        .select(
+          date_format(col("day"), "yyyy-MM-dd").as("day"),
+          col("n_day_users"), col("n_7d_users"),
+          (abs(col("est7") - col("n_7d_users")) <=
+            greatest(lit(2L), (col("n_7d_users") * 0.05).cast("long")))
+            .as("sketch7_ok"))
+        .orderBy(col("day"))
+    },
+    Some("""
+      WITH d AS (
+        SELECT CAST(date_trunc('day', ts) AS DATE) AS day, user_id FROM events),
+      per_day AS (
+        SELECT day, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_day_users
+        FROM d GROUP BY 1),
+      anchors AS (SELECT DISTINCT day AS wday FROM d),
+      w AS (
+        SELECT a.wday, CAST(COUNT(DISTINCT d.user_id) AS BIGINT) AS n_7d_users
+        FROM anchors a JOIN d ON d.day BETWEEN a.wday - 6 AND a.wday
+        GROUP BY 1)
+      SELECT strftime(p.day, '%Y-%m-%d') AS day, p.n_day_users, w.n_7d_users,
+             TRUE AS sketch7_ok
+      FROM per_day p JOIN w ON p.day = w.wday
+      ORDER BY day
+    """)
+  )
+
+  /** Source/sink breadth: the same roundtrip-through-a-second-format
+    * check as q32, over ORC — columnar with its own predicate-pushdown
+    * and encoding stack (Spark's second first-class columnar format).
+    */
+  val q41OrcRoundtrip = GraftQuery(
+    "q41_orc_roundtrip",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val tmp = java.nio.file.Files.createTempDirectory("graft_orc")
+      t.orders
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+          col("o_totalprice"))
+        .write.mode("overwrite").orc(tmp.toString)
+      val back = s.read.orc(tmp.toString)
+      val out = back
+        .groupBy(col("o_orderstatus"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(dec2(col("o_totalprice"))).cast("double").as("sum_price"))
+        .orderBy(col("o_orderstatus"))
+      // same staging-dir discipline as q32: sever lineage before rm
+      val pinned = out.localCheckpoint()
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm); f.delete()
+      }
+      rm(tmp.toFile)
+      pinned
+    },
+    Some("""
+      SELECT o_orderstatus, COUNT(*) AS n,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price
+      FROM orders
+      GROUP BY o_orderstatus
+      ORDER BY o_orderstatus
+    """)
+  )
+
   /** Skew-mitigated join under the harness: 1/4 of lineitem lands on
     * one derived hot key (the pathological-sentinel shape AQE's
     * skew handling won't always catch — e.g. a null-ish default
@@ -1127,6 +1225,6 @@ object Relational {
     q19EventsUserStats, q20PartRevenue, q24SqlEntry, q25Percentiles,
     q26TopkAgg, q28Pivot, q29GroupingSets, q30ApproxDistinct, q31Unpivot,
     q32JsonRoundtrip, q33ApproxPercentile, q34BucketedJoin, q35KllQuantiles,
-    q38ThetaDistinct, q39SaltedSkewJoin
+    q38ThetaDistinct, q39SaltedSkewJoin, q40SlidingDistinct, q41OrcRoundtrip
   )
 }

@@ -25,6 +25,16 @@ class RelationalSpec extends AnyFunSuite {
     }
   }
 
+  test("q40 sliding distinct: window >= day, sketch union inside gate") {
+    val rows = SparkEntry.queries("q40_sliding_distinct")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(2) >= r.getLong(1),
+        s"${r.getString(0)}: 7d distinct below the day's distinct")
+      assert(r.getBoolean(3), s"${r.getString(0)}: sketch union outside gate")
+    }
+  }
+
   test("q01 aggregates are consistent") {
     import org.apache.spark.sql.functions._
     val df = SparkEntry.queries("q01_pricing_summary")(spark, sf)
