@@ -1084,6 +1084,55 @@ object Relational {
     """)
   )
 
+  /** Theta-sketch INTERSECTION: audience-overlap between event types
+    * from the per-type sketches alone — the third leg of the sketch
+    * set algebra (build → union → intersect). The pairwise overlap of
+    * 5 types needs only the 5 KB-sized sketches, not 10 re-scans of
+    * the events; at 100 TB "users who did A and B" for every pair of
+    * segments is a sketch-frame self-join. Estimates are exact below
+    * k (the test regime); the gate allows the saturated-regime error.
+    * The exact overlaps ride along as the oracle-hashed columns.
+    */
+  val q42ThetaIntersect = GraftQuery(
+    "q42_theta_intersect",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val perType = t.events.groupBy(col("event_type"))
+        .agg(graft.plans.ThetaSketch.sketchAgg(col("user_id")).as("sk"))
+        .cache()
+      val a = perType.select(col("event_type").as("type_a"), col("sk").as("ska"))
+      val b = perType.select(col("event_type").as("type_b"), col("sk").as("skb"))
+      val est = a.join(b, col("type_a") < col("type_b"))
+        .select(col("type_a"), col("type_b"),
+          graft.plans.ThetaSketch.intersectEstimate(col("ska"), col("skb"))
+            .as("est"))
+      val d = t.events.select(col("event_type"), col("user_id")).distinct()
+      val exact = d.select(col("event_type").as("type_a"), col("user_id"))
+        .join(d.select(col("event_type").as("type_b"), col("user_id")),
+          Seq("user_id"))
+        .filter(col("type_a") < col("type_b"))
+        .groupBy(col("type_a"), col("type_b"))
+        .agg(countDistinct(col("user_id")).as("exact_overlap"))
+      est.join(exact, Seq("type_a", "type_b"))
+        .select(col("type_a"), col("type_b"), col("exact_overlap"),
+          (abs(col("est") - col("exact_overlap")) <=
+            greatest(lit(2L), (col("exact_overlap") * 0.10).cast("long")))
+            .as("overlap_ok"))
+        .orderBy(col("type_a"), col("type_b"))
+    },
+    Some("""
+      WITH d AS (SELECT DISTINCT event_type, user_id FROM events),
+      x AS (
+        SELECT a.event_type AS type_a, b.event_type AS type_b,
+               CAST(COUNT(DISTINCT a.user_id) AS BIGINT) AS exact_overlap
+        FROM d a JOIN d b
+          ON a.user_id = b.user_id AND a.event_type < b.event_type
+        GROUP BY 1, 2)
+      SELECT type_a, type_b, exact_overlap, TRUE AS overlap_ok
+      FROM x ORDER BY type_a, type_b
+    """)
+  )
+
   /** Source/sink breadth: the same roundtrip-through-a-second-format
     * check as q32, over ORC — columnar with its own predicate-pushdown
     * and encoding stack (Spark's second first-class columnar format).
@@ -1225,6 +1274,7 @@ object Relational {
     q19EventsUserStats, q20PartRevenue, q24SqlEntry, q25Percentiles,
     q26TopkAgg, q28Pivot, q29GroupingSets, q30ApproxDistinct, q31Unpivot,
     q32JsonRoundtrip, q33ApproxPercentile, q34BucketedJoin, q35KllQuantiles,
-    q38ThetaDistinct, q39SaltedSkewJoin, q40SlidingDistinct, q41OrcRoundtrip
+    q38ThetaDistinct, q39SaltedSkewJoin, q40SlidingDistinct, q41OrcRoundtrip,
+    q42ThetaIntersect
   )
 }

@@ -646,6 +646,67 @@ object TextAnalysis {
     """)
   )
 
+  /** Misra–Gries capacity and reported head size. */
+  val MGCapacity = 64
+  val HeavyTopN = 10
+
+  /** Frequent-token screening via the Misra–Gries summary: one
+    * map-side pass + KB-sized merges hold a fixed 64-counter summary
+    * with the guarantee that every token with true frequency >
+    * n/(k+1) is present (undercount ≤ n/(k+1), never a silent drop).
+    * At 100 TB this replaces the exact vocabulary shuffle for
+    * head-of-distribution screening (stopword discovery, boilerplate
+    * tokens). Summary contents below the guarantee line are merge-
+    * order dependent, so the oracle hashes the EXACT top-10 (computed
+    * alongside) plus a boolean that no guaranteed-heavy token is
+    * missing from the sketch.
+    */
+  val textHeavyHitters = GraftQuery(
+    "text_heavy_hitters",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val toks = t.documents
+        .select(explode(tokens(col("text"))).as("term"))
+        .filter(col("term") =!= "").cache()
+      val mg = toks.agg(
+        graft.plans.MGSketch.agg(col("term"), MGCapacity).as("summary"))
+      val exact = toks.groupBy(col("term")).agg(count(lit(1)).as("cnt"))
+      val total = toks.agg(count(lit(1)).as("n_tokens"))
+      val heavy = exact.crossJoin(broadcast(total))
+        .filter(col("cnt") * (MGCapacity + 1) > col("n_tokens"))
+      val missing = heavy.join(
+          mg.select(explode(col("summary")).as("e"))
+            .select(col("e.term").as("term")),
+          Seq("term"), "left_anti")
+        .agg(count(lit(1)).as("n_missing"))
+      // vocabulary-sized frame: the single-reducer rank is over
+      // distinct terms, not tokens
+      val w = Window.orderBy(col("cnt").desc, col("term"))
+      val out = exact.withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= HeavyTopN)
+        .crossJoin(broadcast(missing))
+        .select(col("rank"), col("term"), col("cnt"),
+          (col("n_missing") === 0).as("mg_ok"))
+        .orderBy(col("rank"))
+      out.persist().count()
+      toks.unpersist(false)
+      out
+    },
+    Some(raw"""
+      WITH toks AS (
+        SELECT unnest(string_split_regex(lower(text), '\s+')) AS term
+        FROM documents),
+      ex AS (SELECT term, COUNT(*) AS cnt FROM toks WHERE term <> '' GROUP BY 1),
+      ranked AS (
+        SELECT term, cnt,
+               CAST(row_number() OVER (ORDER BY cnt DESC, term) AS BIGINT) AS rank
+        FROM ex)
+      SELECT rank, term, cnt, TRUE AS mg_ok
+      FROM ranked WHERE rank <= $HeavyTopN
+      ORDER BY rank
+    """)
+  )
+
   /** Docs sampled per stratum. */
   val SamplePerSource = 10
 
@@ -966,5 +1027,5 @@ object TextAnalysis {
       textTrainingSet, textChunk, textDecontaminate, sampleStratified,
       textPackSequences, textTfidf, textRepetition, sampleMixture,
       textSourceOverlap, textDecontaminateBloom, textPiiRedact,
-      textZipfStats)
+      textZipfStats, textHeavyHitters)
 }

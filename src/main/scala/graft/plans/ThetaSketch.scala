@@ -76,6 +76,41 @@ final class ThetaSketch(val k: Int) extends Serializable {
     out.flush()
     bos.toByteArray
   }
+
+  /** Unsigned θ boundary: the k-th retained min when saturated, else
+    * "no boundary" (all observed hashes retained).
+    */
+  private def thetaBound: Option[Long] =
+    if (mins.size < k) None else Some(mins.last)
+
+  /** Intersection-size estimate (the θ-algebra counterpart of the
+    * union): common retained hashes below the TIGHTER of the two θ
+    * boundaries, scaled by that θ. Exact when both sketches are below
+    * capacity (all hashes retained); RSE grows as the intersection
+    * shrinks relative to 1/θ — the standard KMV intersection caveat.
+    */
+  def intersectEstimate(o: ThetaSketch): Long = {
+    val cut = (thetaBound, o.thetaBound) match {
+      case (None, None)       => None
+      case (Some(a), None)    => Some(a)
+      case (None, Some(b))    => Some(b)
+      case (Some(a), Some(b)) =>
+        Some(if (java.lang.Long.compareUnsigned(a, b) <= 0) a else b)
+    }
+    var common = 0L
+    val it = mins.iterator()
+    while (it.hasNext) {
+      val h = it.next()
+      val inRegion = cut.forall(c => java.lang.Long.compareUnsigned(h, c) < 0)
+      if (inRegion && o.mins.contains(h)) common += 1L
+    }
+    cut match {
+      case None => common
+      case Some(c) =>
+        val theta = (c >>> 11).toDouble / (1L << 53).toDouble
+        math.rint(common / theta).toLong
+    }
+  }
 }
 
 object ThetaSketch {
@@ -112,6 +147,34 @@ object ThetaSketch {
     GraftColumnBridge.column(
       ThetaUnionAgg(GraftColumnBridge.expression(sketches))
         .toAggregateExpression())
+
+  /** Intersection-size estimate of two serialized sketches (long) —
+    * evaluated row-at-a-time (CodegenFallback): the inputs are
+    * GROUP-level sketch binaries (a handful of rows), never raw data.
+    */
+  def intersectEstimate(a: Column, b: Column): Column =
+    GraftColumnBridge.column(ThetaIntersectEstimate(
+      GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
+}
+
+/** Row-eval expression over two serialized sketches. Deliberately not
+  * codegen'd: it runs on sketch-count-sized frames (pairs of groups),
+  * not on data rows.
+  */
+case class ThetaIntersectEstimate(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "theta_intersect_estimate"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    ThetaSketch.deserialize(a.asInstanceOf[Array[Byte]])
+      .intersectEstimate(ThetaSketch.deserialize(b.asInstanceOf[Array[Byte]]))
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): ThetaIntersectEstimate =
+    copy(left = newLeft, right = newRight)
 }
 
 /** Build aggregate: input rows are pre-hashed longs (xxhash64 runs in

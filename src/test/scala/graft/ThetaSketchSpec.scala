@@ -72,6 +72,33 @@ class ThetaSketchSpec extends AnyFunSuite {
     assert(empty == 0L)
   }
 
+  test("intersection: exact below k, within 10% when saturated, identity on equal sets") {
+    val rnd = new java.util.Random(29)
+    // exact regime
+    val shared = Array.fill(500)(rnd.nextLong())
+    val a = new ThetaSketch(4096); val b = new ThetaSketch(4096)
+    (shared ++ Array.fill(300)(rnd.nextLong())).foreach(a.update)
+    (shared ++ Array.fill(200)(rnd.nextLong())).foreach(b.update)
+    assert(a.intersectEstimate(b) == 500L, "below k the intersection is exact")
+    // saturated regime
+    val bigShared = Array.fill(40000)(rnd.nextLong())
+    val a2 = new ThetaSketch(4096); val b2 = new ThetaSketch(4096)
+    (bigShared ++ Array.fill(20000)(rnd.nextLong())).foreach(a2.update)
+    (bigShared ++ Array.fill(30000)(rnd.nextLong())).foreach(b2.update)
+    val est = a2.intersectEstimate(b2)
+    assert(relErr(est, 40000L) <= 0.10, s"saturated intersect $est vs 40000")
+    // identical saturated sets: intersection == union == cardinality
+    val c = ThetaSketch.deserialize(a2.serialize())
+    assert(relErr(a2.intersectEstimate(c), a2.estimate()) == 0.0)
+  }
+
+  test("q42 registered query gates hold at sf0.001") {
+    val rows = SparkEntry.queries("q42_theta_intersect")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getBoolean(3),
+      s"overlap_ok false for ${r.getString(0)}/${r.getString(1)}"))
+  }
+
   test("q38 registered query gates hold at sf0.001") {
     val rows = SparkEntry.queries("q38_theta_distinct")(spark, sf).collect()
     assert(rows.nonEmpty)
