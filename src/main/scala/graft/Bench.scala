@@ -51,6 +51,10 @@ object Bench {
       .filter(n => only.forall(_.exists(n.contains)))
     val results = selected.map { name =>
       val times = (1 to repeat).map { _ =>
+        // cold-per-run: the dedup family memoizes its pair graphs per
+        // session, so without clearing, runs 2..n would time the memo
+        // hit (~0s) and min-of-n would stop measuring the query
+        if (repeat > 1) graft.operators.Dedup.clearSharedCaches()
         val t0 = System.nanoTime()
         val ok = try { materialize(name, sfDir); true }
                  catch { case e: Throwable =>

@@ -169,12 +169,25 @@ object Dedup {
     * unpersists it, reuse degrades to recompute (correctness
     * unaffected).
     */
+  // weak identity keying on the session: entries die with the session
+  // (no stale stopped-context frames, no cross-session collisions);
+  // SparkSession does not override equals, so WeakHashMap's
+  // equals-based lookup IS identity here
   private val pairCache =
-    new java.util.concurrent.ConcurrentHashMap[(Int, String, Int), DataFrame]()
+    new java.util.WeakHashMap[org.apache.spark.sql.SparkSession,
+      scala.collection.mutable.Map[(String, Int), DataFrame]]()
   private[graft] def jaccardPairsShared(
       s: org.apache.spark.sql.SparkSession, dir: String, dfCap: Int): DataFrame =
-    pairCache.computeIfAbsent(
-      (System.identityHashCode(s), dir, dfCap), _ => {
+    pairCache.synchronized {
+      val perSession = {
+        val cur = pairCache.get(s)
+        if (cur != null) cur
+        else {
+          val m = scala.collection.mutable.Map.empty[(String, Int), DataFrame]
+          pairCache.put(s, m); m
+        }
+      }
+      perSession.getOrElseUpdate((dir, dfCap), {
         // cache the SETS (pre-explode): exploding off the raw
         // projection would re-inline the tokenizer per generated row
         val sets = docShingleSets(Tables(s, dir).documents).cache()
@@ -184,6 +197,7 @@ object Dedup {
         sets.unpersist(false)
         out
       })
+    }
 
   /** N-gram Jaccard near-dup via shingle inverted index: explode
     * shingles, self-join on a document-frequency-capped shingle key
@@ -422,6 +436,39 @@ object Dedup {
     */
   val BlockRows = 8192
 
+  /** The ONE primitive upper-triangle cosine kernel: all (ida, idb,
+    * cos) with cos ≥ threshold over an id-sorted array (so ida < idb
+    * holds structurally). Shared by the same-block branch of the
+    * blocked all-pairs kernel and Similarity's within-cell dedup —
+    * any change to the arithmetic (zero-norm handling, accumulation
+    * order, which matters for oracle parity) lands in both.
+    */
+  private[graft] def cosinePairsUpper(
+      arr: Array[(Long, Array[Double])], threshold: Double
+  ): scala.collection.mutable.ArrayBuffer[(Long, Long, Double)] = {
+    val norms = arr.map { case (_, v) =>
+      var s2 = 0.0; var i = 0
+      while (i < v.length) { s2 += v(i) * v(i); i += 1 }
+      math.sqrt(s2)
+    }
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+    var i = 0
+    while (i < arr.length) {
+      val (ida, va) = arr(i)
+      var j = i + 1
+      while (j < arr.length) {
+        val (idb, vb) = arr(j)
+        var dot = 0.0; var k = 0
+        while (k < va.length) { dot += va(k) * vb(k); k += 1 }
+        val cos = dot / (norms(i) * norms(j))
+        if (cos >= threshold) out += ((ida, idb, cos))
+        j += 1
+      }
+      i += 1
+    }
+    out
+  }
+
   /** Block-partitioned exact all-pairs cosine: assign vectors to
     * ceil(n/BlockRows) blocks, pack each block into one row, join a
     * driver-built (bx ≤ by) block-pair frame against the packed
@@ -464,36 +511,40 @@ object Dedup {
       .select(col("bx"), col("by"), col("rx"), col("ry"))
       .as[(Int, Int, Array[(Long, Array[Double])], Array[(Long, Array[Double])])]
     val pairs = joined.flatMap { case (bx, by, rx, ry) =>
-      val normsY = ry.map { case (_, v) =>
-        var s2 = 0.0; var i = 0
-        while (i < v.length) { s2 += v(i) * v(i); i += 1 }
-        math.sqrt(s2)
-      }
-      val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
-      var i = 0
-      while (i < rx.length) {
-        val (ida, va) = rx(i)
-        var na = 0.0
-        var k = 0
-        while (k < va.length) { na += va(k) * va(k); k += 1 }
-        na = math.sqrt(na)
-        // same block: strictly-upper triangle; cross block: all pairs
-        // (each unordered vector pair lives in exactly one bx≤by cell)
-        var j = if (bx == by) i + 1 else 0
-        while (j < ry.length) {
-          val (idb, vb) = ry(j)
-          var dot = 0.0
-          var k2 = 0
-          while (k2 < va.length) { dot += va(k2) * vb(k2); k2 += 1 }
-          val cos = dot / (na * normsY(j))
-          if (cos >= threshold) {
-            if (ida < idb) out += ((ida, idb, cos)) else out += ((idb, ida, cos))
-          }
-          j += 1
+      // same block: the shared upper-triangle kernel; cross block:
+      // all pairs (each unordered vector pair lives in exactly one
+      // bx≤by cell)
+      if (bx == by) cosinePairsUpper(rx, threshold)
+      else {
+        val normsY = ry.map { case (_, v) =>
+          var s2 = 0.0; var i = 0
+          while (i < v.length) { s2 += v(i) * v(i); i += 1 }
+          math.sqrt(s2)
         }
-        i += 1
+        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+        var i = 0
+        while (i < rx.length) {
+          val (ida, va) = rx(i)
+          var na = 0.0
+          var k = 0
+          while (k < va.length) { na += va(k) * va(k); k += 1 }
+          na = math.sqrt(na)
+          var j = 0
+          while (j < ry.length) {
+            val (idb, vb) = ry(j)
+            var dot = 0.0
+            var k2 = 0
+            while (k2 < va.length) { dot += va(k2) * vb(k2); k2 += 1 }
+            val cos = dot / (na * normsY(j))
+            if (cos >= threshold) {
+              if (ida < idb) out += ((ida, idb, cos)) else out += ((idb, ida, cos))
+            }
+            j += 1
+          }
+          i += 1
+        }
+        out
       }
-      out
     }.toDF("ia", "ib", "cos")
     val res = pairs
       .select(col("ia"), col("ib"), round(col("cos"), 6).as("cos"))
@@ -519,16 +570,49 @@ object Dedup {
     * dedup_multisignal the same way [[jaccardPairsShared]] is shared
     * by the lexical queries.
     */
+  // same weak identity keying as pairCache
   private val cosCache =
-    new java.util.concurrent.ConcurrentHashMap[(Int, String, Double), DataFrame]()
+    new java.util.WeakHashMap[org.apache.spark.sql.SparkSession,
+      scala.collection.mutable.Map[(String, Double), DataFrame]]()
   private[graft] def cosinePairsShared(
       s: org.apache.spark.sql.SparkSession, dir: String, threshold: Double): DataFrame =
-    cosCache.computeIfAbsent(
-      (System.identityHashCode(s), dir, threshold), _ => {
+    cosCache.synchronized {
+      val perSession = {
+        val cur = cosCache.get(s)
+        if (cur != null) cur
+        else {
+          val m = scala.collection.mutable.Map.empty[(String, Double), DataFrame]
+          cosCache.put(s, m); m
+        }
+      }
+      perSession.getOrElseUpdate((dir, threshold), {
         val vecs = Tables(s, dir).embeddings
           .select(col("vec_id"), toDoubleArray(col("embedding")).as("v"))
         blockedCosinePairs(s, vecs, threshold, BlockRows)
       })
+    }
+
+  /** Drop every memoized pair graph (unpersisting live entries).
+    * Bench repeat mode calls this between timed runs so each run
+    * measures the query cold instead of the memo hit. Session death
+    * itself is handled by the weak keys.
+    */
+  def clearSharedCaches(): Unit = {
+    def drain[K](
+        m: java.util.WeakHashMap[org.apache.spark.sql.SparkSession,
+          scala.collection.mutable.Map[K, DataFrame]]): Unit =
+      m.synchronized {
+        m.values().forEach { inner =>
+          inner.values.foreach { df =>
+            try if (!df.sparkSession.sparkContext.isStopped) df.unpersist(false)
+            catch { case _: Throwable => () }
+          }
+        }
+        m.clear()
+      }
+    drain(pairCache)
+    drain(cosCache)
+  }
 
   val dedupEmbeddingCosine = GraftQuery(
     "dedup_embedding_cosine",

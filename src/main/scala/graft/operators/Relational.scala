@@ -997,7 +997,7 @@ object Relational {
         graft.plans.ThetaSketch.unionAgg(col("sk")).as("union_est"))
       val globalExact = t.lineitem.agg(
         countDistinct(col("l_orderkey")).as("union_exact"))
-      perFlag
+      val out = perFlag
         .select(col("l_returnflag"), col("exact_distinct"),
           (abs(col("theta_est") - col("exact_distinct")) <=
             greatest(lit(2L), (col("exact_distinct") * 0.05).cast("long")))
@@ -1010,6 +1010,9 @@ object Relational {
             greatest(lit(2L), (col("union_exact") * 0.05).cast("long")))
             .as("union_ok"))
         .orderBy(col("l_returnflag"))
+      out.persist().count()
+      perFlag.unpersist(false)
+      out
     },
     Some("""
       SELECT l_returnflag,
@@ -1055,7 +1058,7 @@ object Relational {
           datediff(col("wday"), col("day")).between(0, 6))
         .groupBy(col("wday"))
         .agg(countDistinct(col("user_id")).as("n_7d_users"))
-      perDay.select(col("day"), col("n_day_users"))
+      val out = perDay.select(col("day"), col("n_day_users"))
         .join(est7, col("day") === est7("wday")).drop("wday")
         .join(exact7, col("day") === exact7("wday")).drop("wday")
         .select(
@@ -1065,6 +1068,9 @@ object Relational {
             greatest(lit(2L), (col("n_7d_users") * 0.05).cast("long")))
             .as("sketch7_ok"))
         .orderBy(col("day"))
+      out.persist().count()
+      perDay.unpersist(false)
+      out
     },
     Some("""
       WITH d AS (
@@ -1113,12 +1119,15 @@ object Relational {
         .filter(col("type_a") < col("type_b"))
         .groupBy(col("type_a"), col("type_b"))
         .agg(countDistinct(col("user_id")).as("exact_overlap"))
-      est.join(exact, Seq("type_a", "type_b"))
+      val out = est.join(exact, Seq("type_a", "type_b"))
         .select(col("type_a"), col("type_b"), col("exact_overlap"),
           (abs(col("est") - col("exact_overlap")) <=
             greatest(lit(2L), (col("exact_overlap") * 0.10).cast("long")))
             .as("overlap_ok"))
         .orderBy(col("type_a"), col("type_b"))
+      out.persist().count()
+      perType.unpersist(false)
+      out
     },
     Some("""
       WITH d AS (SELECT DISTINCT event_type, user_id FROM events),
@@ -1142,24 +1151,26 @@ object Relational {
     (s, dir) => {
       val t = Tables(s, dir)
       val tmp = java.nio.file.Files.createTempDirectory("graft_orc")
-      t.orders
-        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
-          col("o_totalprice"))
-        .write.mode("overwrite").orc(tmp.toString)
-      val back = s.read.orc(tmp.toString)
-      val out = back
-        .groupBy(col("o_orderstatus"))
-        .agg(
-          count(lit(1)).as("n"),
-          sum(dec2(col("o_totalprice"))).cast("double").as("sum_price"))
-        .orderBy(col("o_orderstatus"))
-      // same staging-dir discipline as q32: sever lineage before rm
-      val pinned = out.localCheckpoint()
       def rm(f: java.io.File): Unit = {
         if (f.isDirectory) f.listFiles().foreach(rm); f.delete()
       }
-      rm(tmp.toFile)
-      pinned
+      // same staging-dir discipline as q32 (sever lineage before rm),
+      // plus cleanup on ANY failure so failed runs don't accumulate
+      // staging directories
+      try {
+        t.orders
+          .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+            col("o_totalprice"))
+          .write.mode("overwrite").orc(tmp.toString)
+        val back = s.read.orc(tmp.toString)
+        back
+          .groupBy(col("o_orderstatus"))
+          .agg(
+            count(lit(1)).as("n"),
+            sum(dec2(col("o_totalprice"))).cast("double").as("sum_price"))
+          .orderBy(col("o_orderstatus"))
+          .localCheckpoint()
+      } finally rm(tmp.toFile)
     },
     Some("""
       SELECT o_orderstatus, COUNT(*) AS n,

@@ -332,27 +332,10 @@ object Similarity {
         explode(array(col("cell"), col("cell2"))).as("c"))
       .as[(Long, Array[Double], Int)]
     exploded.groupByKey(_._3).flatMapGroups { (_, it) =>
+      // the shared upper-triangle kernel (Dedup.cosinePairsUpper) —
+      // one implementation of the primitive cosine math
       val arr = it.map { case (id, v, _) => (id, v) }.toArray.sortBy(_._1)
-      val norms = arr.map { case (_, v) =>
-        var s2 = 0.0; var i = 0
-        while (i < v.length) { s2 += v(i) * v(i); i += 1 }
-        math.sqrt(s2)
-      }
-      val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
-      var i = 0
-      while (i < arr.length) {
-        val (ida, va) = arr(i)
-        var j = i + 1
-        while (j < arr.length) {
-          val (idb, vb) = arr(j)
-          var dot = 0.0; var k = 0
-          while (k < va.length) { dot += va(k) * vb(k); k += 1 }
-          if (dot / (norms(i) * norms(j)) >= threshold) out += ((ida, idb))
-          j += 1
-        }
-        i += 1
-      }
-      out
+      Dedup.cosinePairsUpper(arr, threshold).map { case (ia, ib, _) => (ia, ib) }
     }.toDF("ia", "ib").distinct()
   }
 

@@ -425,7 +425,7 @@ object TextAnalysis {
         SELECT doc_id,
                list_distinct(list_transform(
                  range(1, greatest(len(string_split_regex(lower(text), '\s+')) - ${DecontaminateN - 2}, 1)),
-                 i -> ${(0 until 8).map(j => s"string_split_regex(lower(text), '\\s+')[i+$j]").mkString(" || ' ' || ")}
+                 i -> ${(0 until DecontaminateN).map(j => s"string_split_regex(lower(text), '\\s+')[i+$j]").mkString(" || ' ' || ")}
                )) AS grams
         FROM documents),
       bench AS (
@@ -508,7 +508,7 @@ object TextAnalysis {
         SELECT doc_id,
                list_distinct(list_transform(
                  range(1, greatest(len(string_split_regex(lower(text), '\s+')) - ${DecontaminateN - 2}, 1)),
-                 i -> ${(0 until 8).map(j => s"string_split_regex(lower(text), '\\s+')[i+$j]").mkString(" || ' ' || ")}
+                 i -> ${(0 until DecontaminateN).map(j => s"string_split_regex(lower(text), '\\s+')[i+$j]").mkString(" || ' ' || ")}
                )) AS grams
         FROM documents),
       bench AS (

@@ -92,7 +92,11 @@ final class MGSketch(val k: Int) extends Serializable {
     val it = counters.entrySet().iterator()
     while (it.hasNext) {
       val e = it.next()
-      out.writeUTF(e.getKey); out.writeLong(e.getValue)
+      // length-prefixed raw UTF-8, not writeUTF: a pathological >64KB
+      // token (nothing upstream bounds token length) must degrade the
+      // summary, not throw UTFDataFormatException mid-shuffle
+      val b = e.getKey.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      out.writeInt(b.length); out.write(b); out.writeLong(e.getValue)
     }
     out.flush()
     bos.toByteArray
@@ -106,7 +110,14 @@ object MGSketch {
     sk.n = in.readLong()
     val m = in.readInt()
     var i = 0
-    while (i < m) { sk.counters.put(in.readUTF(), in.readLong()); i += 1 }
+    while (i < m) {
+      val len = in.readInt()
+      val b = new Array[Byte](len)
+      in.readFully(b)
+      sk.counters.put(
+        new String(b, java.nio.charset.StandardCharsets.UTF_8), in.readLong())
+      i += 1
+    }
     sk
   }
 
