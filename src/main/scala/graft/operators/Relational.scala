@@ -1090,6 +1090,47 @@ object Relational {
     """)
   )
 
+  /** Quantile binning (feature-engineering staple: equal-frequency
+    * discretization of a numeric feature, per group). ntile is
+    * SQL-standard and deterministic once the ORDER BY is a total
+    * order — the (price, orderkey, linenumber) tie-break is the
+    * CLAUDE.md rule in action. One shuffle on the group key; the
+    * window's per-group sort is the inherent cost of exact quantile
+    * binning (at 100 TB the approximate path is binning by
+    * q35-style sketch quantile boundaries instead).
+    */
+  val q43QuantileBinning = GraftQuery(
+    "q43_quantile_binning",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val w = Window.partitionBy(col("l_returnflag"))
+        .orderBy(col("l_extendedprice"), col("l_orderkey"), col("l_linenumber"))
+      t.lineitem
+        .withColumn("bin", ntile(10).over(w).cast("long"))
+        .groupBy(col("l_returnflag"), col("bin"))
+        .agg(
+          count(lit(1)).as("n"),
+          min(col("l_extendedprice")).as("bin_min"),
+          max(col("l_extendedprice")).as("bin_max"),
+          sumMoney(col("l_extendedprice")).as("bin_sum"))
+        .orderBy(col("l_returnflag"), col("bin"))
+    },
+    Some("""
+      WITH binned AS (
+        SELECT l_returnflag, l_extendedprice,
+               CAST(ntile(10) OVER (PARTITION BY l_returnflag
+                 ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS BIGINT) AS bin
+        FROM lineitem)
+      SELECT l_returnflag, bin, COUNT(*) AS n,
+             MIN(l_extendedprice) AS bin_min,
+             MAX(l_extendedprice) AS bin_max,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS bin_sum
+      FROM binned
+      GROUP BY 1, 2
+      ORDER BY l_returnflag, bin
+    """)
+  )
+
   /** Theta-sketch INTERSECTION: audience-overlap between event types
     * from the per-type sketches alone — the third leg of the sketch
     * set algebra (build → union → intersect). The pairwise overlap of
@@ -1286,6 +1327,6 @@ object Relational {
     q26TopkAgg, q28Pivot, q29GroupingSets, q30ApproxDistinct, q31Unpivot,
     q32JsonRoundtrip, q33ApproxPercentile, q34BucketedJoin, q35KllQuantiles,
     q38ThetaDistinct, q39SaltedSkewJoin, q40SlidingDistinct, q41OrcRoundtrip,
-    q42ThetaIntersect
+    q42ThetaIntersect, q43QuantileBinning
   )
 }

@@ -707,6 +707,63 @@ object TextAnalysis {
     """)
   )
 
+  /** Unigram LM scoring — the classic cheap LM-quality filter (docs
+    * whose tokens are improbable under the corpus unigram model are
+    * noise candidates). Two aggregations: corpus term counts (the
+    * "model"), then per-doc exact-decimal sums of per-token log
+    * probabilities. Each log-prob is rounded to 6 digits BEFORE the
+    * sum and the sum runs in decimal, so the result is independent of
+    * Spark's partial-aggregation order — the same exactness policy as
+    * GraftFunctions.sumDec (a raw double sum of logs would be
+    * add-order-dependent and flake the hash gate). At 100 TB the
+    * model is a broadcast vocabulary (or an MG summary for the head +
+    * an OOV floor), and scoring stays one map-side join + one
+    * combine-enabled aggregation.
+    */
+  val textUnigramLm = GraftQuery(
+    "text_unigram_lm",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val toks = t.documents
+        .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+        .filter(col("term") =!= "").cache()
+      val vocab = toks.groupBy(col("term")).agg(count(lit(1)).as("cnt"))
+      val total = toks.agg(count(lit(1)).as("n_total"))
+      val logp = vocab.crossJoin(broadcast(total))
+        .select(col("term"),
+          round(log(col("cnt").cast("double") / col("n_total")), 6).as("logp"))
+      val out = toks.join(broadcast(logp), Seq("term"))
+        .groupBy(col("doc_id"))
+        .agg(
+          count(lit(1)).as("n_tokens"),
+          graft.functions.GraftFunctions.sumDec(col("logp")).as("sum_logp"))
+        .select(col("doc_id"), col("n_tokens"),
+          col("sum_logp"),
+          round(col("sum_logp") / col("n_tokens"), 6).as("avg_logp"))
+        .orderBy(col("doc_id"))
+      out.persist().count()
+      toks.unpersist(false)
+      out
+    },
+    Some(raw"""
+      WITH toks AS (
+        SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS term
+        FROM documents),
+      tk AS (SELECT doc_id, term FROM toks WHERE term <> ''),
+      vocab AS (SELECT term, COUNT(*) AS cnt FROM tk GROUP BY 1),
+      total AS (SELECT COUNT(*) AS n_total FROM tk),
+      logp AS (
+        SELECT term, round(ln(CAST(cnt AS DOUBLE) / n_total), 6) AS logp
+        FROM vocab CROSS JOIN total)
+      SELECT doc_id, COUNT(*) AS n_tokens,
+             CAST(SUM(CAST(logp AS DECIMAL(25,6))) AS DOUBLE) AS sum_logp,
+             round(CAST(SUM(CAST(logp AS DECIMAL(25,6))) AS DOUBLE) / COUNT(*), 6) AS avg_logp
+      FROM tk JOIN logp USING (term)
+      GROUP BY doc_id
+      ORDER BY doc_id
+    """)
+  )
+
   /** Docs sampled per stratum. */
   val SamplePerSource = 10
 
@@ -1027,5 +1084,5 @@ object TextAnalysis {
       textTrainingSet, textChunk, textDecontaminate, sampleStratified,
       textPackSequences, textTfidf, textRepetition, sampleMixture,
       textSourceOverlap, textDecontaminateBloom, textPiiRedact,
-      textZipfStats, textHeavyHitters)
+      textZipfStats, textHeavyHitters, textUnigramLm)
 }

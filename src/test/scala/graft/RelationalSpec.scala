@@ -35,6 +35,33 @@ class RelationalSpec extends AnyFunSuite {
     }
   }
 
+  test("q43 quantile bins: 10 per flag, near-equal sizes, ordered ranges") {
+    val rows = SparkEntry.queries("q43_quantile_binning")(spark, sf).collect()
+    rows.groupBy(_.getString(0)).foreach { case (flag, bins) =>
+      assert(bins.length == 10, s"$flag: ${bins.length} bins")
+      val ns = bins.map(_.getLong(2))
+      assert(ns.max - ns.min <= 1, s"$flag: ntile sizes differ by >1: ${ns.toSeq}")
+      val sorted = bins.sortBy(_.getLong(1))
+      sorted.sliding(2).foreach { case Array(a, b) =>
+        assert(a.getDouble(4) <= b.getDouble(3) ||
+               a.getDouble(4) == b.getDouble(3) || a.getDouble(4) <= b.getDouble(4),
+          s"$flag: bin ranges out of order")
+      }
+    }
+  }
+
+  test("text_unigram_lm: log-probs negative, doc of common tokens outscores rare") {
+    val rows = SparkEntry.queries("text_unigram_lm")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(1) > 0)
+      assert(r.getDouble(3) < 0.0, s"doc ${r.getLong(0)}: avg_logp must be < 0")
+      // sum consistency: avg * n within rounding slack of sum
+      assert(math.abs(r.getDouble(2) - r.getDouble(3) * r.getLong(1)) <=
+        0.000001 * r.getLong(1) + 1e-9)
+    }
+  }
+
   test("q01 aggregates are consistent") {
     import org.apache.spark.sql.functions._
     val df = SparkEntry.queries("q01_pricing_summary")(spark, sf)
