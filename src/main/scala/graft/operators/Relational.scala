@@ -1131,6 +1131,55 @@ object Relational {
     """)
   )
 
+  /** Upsert/merge maintenance (the CDC-apply shape: base snapshot +
+    * change batch → new snapshot, emulated engine-side with a left
+    * join + coalesce + union since vanilla Spark has no MERGE INTO).
+    * The change batch is derived deterministically from orders
+    * (updated balances) plus synthetic inserts keyed beyond the base
+    * key space; the full post-merge snapshot is oracle-hashed. At
+    * 100 TB the same plan applies with the change batch broadcast
+    * (CDC batches are small relative to snapshots) and the snapshot
+    * co-partitioned on the merge key — one shuffle-free pass per
+    * apply when the warehouse is bucketed (q34's layout).
+    */
+  val q44UpsertSnapshot = GraftQuery(
+    "q44_upsert_snapshot",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val base = t.customer
+        .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"))
+      val updates = t.orders
+        .groupBy(col("o_custkey").as("custkey"))
+        .agg((sum(dec2(col("o_totalprice"))) % 10000).cast("double").as("new_bal"))
+      val inserts = t.customer
+        .orderBy(col("c_custkey")).limit(10)
+        .select((col("c_custkey") + 1000000L).as("custkey"),
+          lit("NEW").as("mktsegment"), lit(0.0).as("acctbal"))
+      base.join(broadcast(updates),
+          base("c_custkey") === updates("custkey"), "left")
+        .select(col("c_custkey").as("custkey"),
+          col("c_mktsegment").as("mktsegment"),
+          coalesce(col("new_bal"), col("c_acctbal")).as("acctbal"))
+        .unionByName(inserts)
+        .orderBy(col("custkey"))
+    },
+    Some("""
+      WITH upd AS (
+        SELECT o_custkey AS custkey,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) % 10000 AS DOUBLE) AS new_bal
+        FROM orders GROUP BY 1),
+      ins AS (
+        SELECT c_custkey + 1000000 AS custkey, 'NEW' AS mktsegment, 0.0 AS acctbal
+        FROM customer ORDER BY c_custkey LIMIT 10)
+      SELECT c_custkey AS custkey, c_mktsegment AS mktsegment,
+             COALESCE(new_bal, c_acctbal) AS acctbal
+      FROM customer LEFT JOIN upd ON c_custkey = upd.custkey
+      UNION ALL
+      SELECT * FROM ins
+      ORDER BY custkey
+    """)
+  )
+
   /** Theta-sketch INTERSECTION: audience-overlap between event types
     * from the per-type sketches alone — the third leg of the sketch
     * set algebra (build → union → intersect). The pairwise overlap of
@@ -1327,6 +1376,6 @@ object Relational {
     q26TopkAgg, q28Pivot, q29GroupingSets, q30ApproxDistinct, q31Unpivot,
     q32JsonRoundtrip, q33ApproxPercentile, q34BucketedJoin, q35KllQuantiles,
     q38ThetaDistinct, q39SaltedSkewJoin, q40SlidingDistinct, q41OrcRoundtrip,
-    q42ThetaIntersect, q43QuantileBinning
+    q42ThetaIntersect, q43QuantileBinning, q44UpsertSnapshot
   )
 }

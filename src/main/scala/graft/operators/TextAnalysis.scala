@@ -764,6 +764,48 @@ object TextAnalysis {
     """)
   )
 
+  /** Training-shard export: the terminal step of the text pipeline —
+    * write the corpus PARTITIONED BY source (the layout trainers and
+    * downstream jobs prune on), read it back, and verify per-shard
+    * manifest counts against the oracle. The read-back proves the
+    * partitioned layout round-trips (partition column reconstructed
+    * from directory names, per-partition files readable); ScaleSpec's
+    * partition-pruning test proves the layout is actually prunable.
+    * Staging is removed after a severed-lineage checkpoint, as in the
+    * format roundtrips.
+    */
+  val textExportShards = GraftQuery(
+    "text_export_shards",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val tmp = java.nio.file.Files.createTempDirectory("graft_shards")
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm); f.delete()
+      }
+      try {
+        t.documents
+          .select(col("doc_id"), col("text"), col("n_chars"), col("source"))
+          .write.mode("overwrite").partitionBy("source").parquet(tmp.toString)
+        s.read.parquet(tmp.toString)
+          .groupBy(col("source"))
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum(col("n_chars")).as("sum_chars"),
+            countDistinct(col("doc_id")).as("n_distinct_docs"))
+          .orderBy(col("source"))
+          .localCheckpoint()
+      } finally rm(tmp.toFile)
+    },
+    Some("""
+      SELECT source, COUNT(*) AS n_docs,
+             CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+             CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_distinct_docs
+      FROM documents
+      GROUP BY source
+      ORDER BY source
+    """)
+  )
+
   /** Docs sampled per stratum. */
   val SamplePerSource = 10
 
@@ -1084,5 +1126,5 @@ object TextAnalysis {
       textTrainingSet, textChunk, textDecontaminate, sampleStratified,
       textPackSequences, textTfidf, textRepetition, sampleMixture,
       textSourceOverlap, textDecontaminateBloom, textPiiRedact,
-      textZipfStats, textHeavyHitters, textUnigramLm)
+      textZipfStats, textHeavyHitters, textUnigramLm, textExportShards)
 }
