@@ -1131,6 +1131,46 @@ object Relational {
     """)
   )
 
+  /** Third leg of the format-roundtrip family: CSV — the text format
+    * whose parse path (schema application, quoting, floating-point
+    * rendering) is entirely unlike the columnar readers'. Prices ride
+    * as exact decimals through the text roundtrip so re-parsed sums
+    * hash identically.
+    */
+  val q45CsvRoundtrip = GraftQuery(
+    "q45_csv_roundtrip",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val tmp = java.nio.file.Files.createTempDirectory("graft_csv")
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm); f.delete()
+      }
+      try {
+        t.orders
+          .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+            dec2(col("o_totalprice")).as("o_totalprice"))
+          .write.mode("overwrite").option("header", "true").csv(tmp.toString)
+        s.read
+          .option("header", "true")
+          .schema("o_orderkey bigint, o_custkey bigint, o_orderstatus string, o_totalprice decimal(12,2)")
+          .csv(tmp.toString)
+          .groupBy(col("o_orderstatus"))
+          .agg(
+            count(lit(1)).as("n"),
+            sum(col("o_totalprice")).cast("double").as("sum_price"))
+          .orderBy(col("o_orderstatus"))
+          .localCheckpoint()
+      } finally rm(tmp.toFile)
+    },
+    Some("""
+      SELECT o_orderstatus, COUNT(*) AS n,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price
+      FROM orders
+      GROUP BY o_orderstatus
+      ORDER BY o_orderstatus
+    """)
+  )
+
   /** Upsert/merge maintenance (the CDC-apply shape: base snapshot +
     * change batch → new snapshot, emulated engine-side with a left
     * join + coalesce + union since vanilla Spark has no MERGE INTO).
@@ -1376,6 +1416,7 @@ object Relational {
     q26TopkAgg, q28Pivot, q29GroupingSets, q30ApproxDistinct, q31Unpivot,
     q32JsonRoundtrip, q33ApproxPercentile, q34BucketedJoin, q35KllQuantiles,
     q38ThetaDistinct, q39SaltedSkewJoin, q40SlidingDistinct, q41OrcRoundtrip,
-    q42ThetaIntersect, q43QuantileBinning, q44UpsertSnapshot
+    q42ThetaIntersect, q43QuantileBinning, q44UpsertSnapshot,
+    q45CsvRoundtrip
   )
 }
