@@ -839,6 +839,51 @@ object TextAnalysis {
     """)
   )
 
+  /** Picks per source for the PPS sampler. */
+  val PpsK = 5L
+
+  /** Weighted (probability-proportional-to-size) sampling via
+    * SYSTEMATIC selection over the exact cumulative weight: per
+    * source, doc i is picked ⌊cum_i·K/total⌋ − ⌊cum_{i−1}·K/total⌋
+    * times — longer documents proportionally more often, exactly K
+    * picks per source, and EVERY quantity is BIGINT arithmetic, so
+    * the sample is bit-identical across engines (the float-key A-Res
+    * formulation would hinge on cross-engine pow/ln rounding at
+    * orderings near ties; integer systematic PPS has no such edge).
+    * One shuffle on the stratum key; strata sample in parallel.
+    */
+  val samplePps = GraftQuery(
+    "sample_pps",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val wAll = Window.partitionBy(col("source"))
+      t.documents
+        .select(col("source"), col("doc_id"), col("n_chars"))
+        .withColumn("cum", sum(col("n_chars")).over(w))
+        .withColumn("total", sum(col("n_chars")).over(wAll))
+        .withColumn("picks",
+          expr(s"((cum * $PpsK) div total) - (((cum - n_chars) * $PpsK) div total)"))
+        .filter(col("picks") > 0)
+        .select(col("source"), col("doc_id"), col("n_chars"), col("picks"))
+        .orderBy(col("source"), col("doc_id"))
+    },
+    Some(s"""
+      WITH c AS (
+        SELECT source, doc_id, n_chars,
+               SUM(n_chars) OVER (PARTITION BY source ORDER BY doc_id
+                 ROWS UNBOUNDED PRECEDING) AS cum,
+               SUM(n_chars) OVER (PARTITION BY source) AS total
+        FROM documents)
+      SELECT source, doc_id, n_chars,
+             ((cum * $PpsK) // total) - (((cum - n_chars) * $PpsK) // total) AS picks
+      FROM c
+      WHERE ((cum * $PpsK) // total) - (((cum - n_chars) * $PpsK) // total) > 0
+      ORDER BY source, doc_id
+    """)
+  )
+
   /** Token budget of one packed training sequence. */
   val PackBudget = 2048L
 
@@ -1126,5 +1171,6 @@ object TextAnalysis {
       textTrainingSet, textChunk, textDecontaminate, sampleStratified,
       textPackSequences, textTfidf, textRepetition, sampleMixture,
       textSourceOverlap, textDecontaminateBloom, textPiiRedact,
-      textZipfStats, textHeavyHitters, textUnigramLm, textExportShards)
+      textZipfStats, textHeavyHitters, textUnigramLm, textExportShards,
+      samplePps)
 }

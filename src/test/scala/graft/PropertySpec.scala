@@ -143,6 +143,36 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("connected components ≡ driver union-find on random graphs") {
+    for (seed <- Seq(41, 43, 47)) {
+      val rnd = new java.util.Random(seed)
+      val nNodes = 30 + rnd.nextInt(50)
+      val nEdges = rnd.nextInt(60)
+      val edges = Seq.fill(nEdges)(
+        (rnd.nextInt(nNodes).toLong, rnd.nextInt(nNodes).toLong))
+        .filter { case (a, b) => a != b }
+      if (edges.nonEmpty) {
+        // driver reference: plain union-find with min-label roots
+        val parent = scala.collection.mutable.Map.empty[Long, Long]
+        def find(x: Long): Long = {
+          val p = parent.getOrElse(x, x)
+          if (p == x) x else { val r = find(p); parent(x) = r; r }
+        }
+        def union(a: Long, b: Long): Unit = {
+          val (ra, rb) = (find(a), find(b))
+          if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+        }
+        edges.foreach { case (a, b) => union(a, b) }
+        val expected = edges.flatMap(e => Seq(e._1, e._2)).distinct
+          .map(n => n -> find(n)).toMap
+        val got = Dedup.connectedComponents(
+            edges.toDF("ia", "ib"), "ia", "ib")
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        assert(got == expected, s"seed=$seed: labels diverge from union-find")
+      }
+    }
+  }
+
   test("blocked cosine ≡ brute force for arbitrary block sizes and corpora") {
     val gen = for {
       n <- Gen.chooseNum(2, 20)
