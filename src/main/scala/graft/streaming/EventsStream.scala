@@ -520,7 +520,59 @@ object EventsStream {
     """)
   )
 
+  /** Attribution window for the stream-stream join. */
+  val AttributionMinutes = 30L
+
+  /** Stream-STREAM watermarked interval join: two independent event
+    * streams (clicks, purchases) joined on user within a bounded
+    * event-time window — the click-to-purchase attribution pipeline.
+    * The interval condition (`p_ts` in `[c_ts, c_ts + 30 min]`) plus
+    * the watermarks is what lets Spark BOUND the join state: each
+    * side's buffered rows are evicted once the other side's watermark
+    * passes the window, so state is (ingest rate × window), never the
+    * full history. The joined pairs land in the sink append-only;
+    * per-user attribution counts then reduce them in batch. Oracle:
+    * the identical interval join in batch SQL — streaming and batch
+    * must agree row-for-row.
+    */
+  val streamStreamJoin = GraftQuery(
+    "stream_stream_join",
+    (s, dir) => {
+      val clicks = eventsStream(s, dir)
+        .filter(col("event_type") === "click")
+        .select(col("event_id").as("c_id"), col("user_id").as("c_user"),
+          col("ts").as("c_ts"))
+        .withWatermark("c_ts", "1 hour")
+      val purchases = eventsStream(s, dir)
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+          col("value").as("p_value"))
+        .withWatermark("p_ts", "1 hour")
+      val joined = clicks.join(purchases,
+        col("c_user") === col("p_user") &&
+          col("p_ts") >= col("c_ts") &&
+          col("p_ts") <= col("c_ts") + expr(s"INTERVAL $AttributionMinutes MINUTES"))
+      runToTable(joined, OutputMode.Append())
+        .groupBy(col("c_user").as("user_id"))
+        .agg(count(lit(1)).as("n_attributed"),
+          sum(dec2(col("p_value"))).cast("double").as("attributed_value"))
+        .orderBy(col("user_id"))
+    },
+    Some(s"""
+      SELECT c.user_id AS user_id,
+             COUNT(*) AS n_attributed,
+             CAST(SUM(CAST(p.value AS DECIMAL(12,2))) AS DOUBLE) AS attributed_value
+      FROM events c JOIN events p
+        ON c.event_type = 'click' AND p.event_type = 'purchase'
+       AND p.user_id = c.user_id
+       AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL $AttributionMinutes MINUTE
+      GROUP BY 1
+      ORDER BY user_id
+    """)
+  )
+
   def all: Seq[GraftQuery] =
     Seq(streamHourlyAgg, streamSessionize, streamScore, streamDedupExact,
-      streamEnrichProfile, streamSessionWindow, streamThetaDistinct)
+      streamEnrichProfile, streamSessionWindow, streamThetaDistinct,
+      streamStreamJoin)
 }
