@@ -13,9 +13,10 @@ import graft.operators._
 object SparkEntry {
 
   private def modules: Seq[GraftQuery] =
-    Relational.all ++ Temporal.all ++ graft.ml.MLQueries.all ++
-      TextAnalysis.all ++ Dedup.all ++ Similarity.all ++
-      Multimodal.all ++ graft.streaming.EventsStream.all
+    Relational.all ++ Temporal.all ++ Analytics.all ++ Graph.all ++
+      graft.ml.MLQueries.all ++ TextAnalysis.all ++ Dedup.all ++
+      Similarity.all ++ Multimodal.all ++ graft.streaming.EventsStream.all ++
+      graft.streaming.KafkaShape.all
 
   private lazy val (queryMap, oracleMap) = GraftQuery.toMaps(modules)
 

@@ -1,0 +1,337 @@
+package graft.operators
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
+
+import graft.GraftQuery
+import graft.sources.Tables
+import graft.functions.GraftFunctions._
+
+/** Product/behavioral analytics operators over the events and orders
+  * streams: funnel conversion, cohort retention, exact-arithmetic
+  * anomaly flagging, and SCD2 dimension versioning. The reference
+  * engine delegates this entire surface to its host dataframe library
+  * (reference `README.rst:36-39`); here each shape is expressed so one
+  * key shuffle serves every window/aggregation of the query.
+  */
+object Analytics {
+
+  /** Staged funnel per user (view → click → purchase, each stage
+    * strictly after the previous): three chained whole-partition
+    * conditional MINs over the SAME window spec, so Catalyst plans a
+    * single user_id exchange + sort for all of them — no self-joins,
+    * no re-scans. funnel_depth counts completed stages; timestamps of
+    * each stage ride along for the hash.
+    */
+  val q46Funnel = GraftQuery(
+    "q46_funnel",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val w = Window.partitionBy(col("user_id"))
+      t.events
+        .select(col("user_id"), col("event_type"), col("ts"))
+        .withColumn("t_view",
+          min(when(col("event_type") === "view", col("ts"))).over(w))
+        .withColumn("t_click",
+          min(when(col("event_type") === "click" && col("ts") > col("t_view"),
+            col("ts"))).over(w))
+        .withColumn("t_purchase",
+          min(when(col("event_type") === "purchase" && col("ts") > col("t_click"),
+            col("ts"))).over(w))
+        .groupBy(col("user_id"))
+        .agg(
+          tsString(first(col("t_view"))).as("t_view_s"),
+          tsString(first(col("t_click"))).as("t_click_s"),
+          tsString(first(col("t_purchase"))).as("t_purchase_s"),
+          (first(col("t_view")).isNotNull.cast("long")
+            + first(col("t_click")).isNotNull.cast("long")
+            + first(col("t_purchase")).isNotNull.cast("long")).as("funnel_depth"))
+        .orderBy(col("user_id"))
+    },
+    Some("""
+      WITH staged AS (
+        SELECT user_id, event_type, ts,
+               MIN(CASE WHEN event_type = 'view' THEN ts END)
+                 OVER (PARTITION BY user_id) AS t_view
+        FROM events),
+      staged2 AS (
+        SELECT *, MIN(CASE WHEN event_type = 'click' AND ts > t_view THEN ts END)
+                 OVER (PARTITION BY user_id) AS t_click
+        FROM staged),
+      staged3 AS (
+        SELECT *, MIN(CASE WHEN event_type = 'purchase' AND ts > t_click THEN ts END)
+                 OVER (PARTITION BY user_id) AS t_purchase
+        FROM staged2)
+      SELECT user_id,
+             strftime(MIN(t_view), '%Y-%m-%d %H:%M:%S') AS t_view_s,
+             strftime(MIN(t_click), '%Y-%m-%d %H:%M:%S') AS t_click_s,
+             strftime(MIN(t_purchase), '%Y-%m-%d %H:%M:%S') AS t_purchase_s,
+             CAST(CASE WHEN MIN(t_view) IS NULL THEN 0 ELSE 1 END
+                + CASE WHEN MIN(t_click) IS NULL THEN 0 ELSE 1 END
+                + CASE WHEN MIN(t_purchase) IS NULL THEN 0 ELSE 1 END AS BIGINT)
+               AS funnel_depth
+      FROM staged3
+      GROUP BY user_id
+      ORDER BY user_id
+    """)
+  )
+
+  /** Cohort retention: users grouped by first-active day, distinct
+    * active users per (cohort_day, day_offset). Two aggregations on
+    * the same user_id key — the cohort frame is users-sized (tiny
+    * next to events) so its join back is broadcast; the retention
+    * count shuffles once on the composite day key.
+    */
+  val q47CohortRetention = GraftQuery(
+    "q47_cohort_retention",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val days = t.events
+        .select(col("user_id"), to_date(col("ts")).as("day"))
+        .distinct()
+      val cohort = days.groupBy(col("user_id"))
+        .agg(min(col("day")).as("cohort_day"))
+      days.join(broadcast(cohort), Seq("user_id"))
+        .groupBy(col("cohort_day"),
+          datediff(col("day"), col("cohort_day")).cast("long").as("day_offset"))
+        .agg(count_distinct(col("user_id")).as("n_users"))
+        .select(date_format(col("cohort_day"), "yyyy-MM-dd").as("cohort_day_s"),
+          col("day_offset"), col("n_users"))
+        .orderBy(col("cohort_day_s"), col("day_offset"))
+    },
+    Some("""
+      WITH days AS (
+        SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+      cohort AS (
+        SELECT user_id, MIN(day) AS cohort_day FROM days GROUP BY user_id)
+      SELECT strftime(c.cohort_day, '%Y-%m-%d') AS cohort_day_s,
+             CAST(date_diff('day', c.cohort_day, d.day) AS BIGINT) AS day_offset,
+             COUNT(DISTINCT d.user_id) AS n_users
+      FROM days d JOIN cohort c ON d.user_id = c.user_id
+      GROUP BY 1, 2
+      ORDER BY cohort_day_s, day_offset
+    """)
+  )
+
+  /** Exact-arithmetic anomaly flags: a lineitem is anomalous if its
+    * extended price deviates from its part's mean by more than two
+    * population standard deviations. The test is evaluated WITHOUT
+    * floating point: prices become integer cents, and
+    * (x−μ)² > 4σ²  ⟺  (n·x − S)² > 4·(n·Q − S²)
+    * with S = Σcents, Q = Σcents² — all BIGINT, so the flag is
+    * bit-identical across engines (no sqrt, no division). Magnitude
+    * bound: |terms| ≤ n·max_cents² ≈ group_size · 10^14 — safe in
+    * BIGINT through group sizes ~10⁴; the per-part stats frame is
+    * dimension-sized and broadcast back onto the fact scan.
+    */
+  val q48AnomalyExact = GraftQuery(
+    "q48_anomaly_exact",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val cents = round(col("l_extendedprice") * 100).cast("long")
+      val li = t.lineitem
+        .select(col("l_orderkey"), col("l_linenumber").cast("long").as("l_linenumber"),
+          col("l_partkey"), cents.as("cents"))
+      val stats = li.groupBy(col("l_partkey"))
+        .agg(count(lit(1)).as("n_part"),
+          sum(col("cents")).as("s"),
+          sum(col("cents") * col("cents")).as("q"))
+      li.join(broadcast(stats), Seq("l_partkey"))
+        .withColumn("dev_cents", col("n_part") * col("cents") - col("s"))
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+          col("n_part"), col("dev_cents"),
+          (col("dev_cents") * col("dev_cents") >
+            lit(4L) * (col("n_part") * col("q") - col("s") * col("s")))
+            .as("is_anomaly"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    },
+    Some("""
+      WITH li AS (
+        SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber, l_partkey,
+               CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+        FROM lineitem),
+      stats AS (
+        SELECT l_partkey, COUNT(*) AS n_part,
+               CAST(SUM(cents) AS BIGINT) AS s,
+               CAST(SUM(cents * cents) AS BIGINT) AS q
+        FROM li GROUP BY l_partkey)
+      SELECT li.l_orderkey, li.l_linenumber, li.l_partkey,
+             st.n_part,
+             st.n_part * li.cents - st.s AS dev_cents,
+             (st.n_part * li.cents - st.s) * (st.n_part * li.cents - st.s)
+               > 4 * (st.n_part * st.q - st.s * st.s) AS is_anomaly
+      FROM li JOIN stats st ON li.l_partkey = st.l_partkey
+      ORDER BY li.l_orderkey, li.l_linenumber
+    """)
+  )
+
+  /** SCD2 dimension versioning: each order opens a customer version
+    * valid until the next order (tie-broken by order key for
+    * determinism), the latest version flagged current with an open-end
+    * sentinel. One window over the natural key — the standard
+    * warehouse "type 2" maintenance shape, expressible without MERGE.
+    */
+  val q49Scd2Versions = GraftQuery(
+    "q49_scd2_versions",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      t.orders
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+          col("o_orderdate"))
+        .withColumn("valid_to", lead(col("o_orderdate"), 1).over(w))
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+          tsString(col("o_orderdate")).as("valid_from_s"),
+          coalesce(tsString(col("valid_to")), lit("9999-12-31 00:00:00")).as("valid_to_s"),
+          col("valid_to").isNull.as("is_current"))
+        .orderBy(col("o_custkey"), col("valid_from_s"), col("o_orderkey"))
+    },
+    Some("""
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS valid_from_s,
+             COALESCE(strftime(lead(o_orderdate) OVER w, '%Y-%m-%d %H:%M:%S'),
+                      '9999-12-31 00:00:00') AS valid_to_s,
+             lead(o_orderdate) OVER w IS NULL AS is_current
+      FROM orders
+      WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+      ORDER BY o_custkey, valid_from_s, o_orderkey
+    """)
+  )
+
+  /** Statistical profile with EXACT moment arithmetic: Pearson
+    * correlation and OLS slope of extendedprice on quantity per
+    * return flag. Both engines accumulate the raw moments as integer
+    * cents (Σx, Σy, Σxy BIGINT-exact; Σx², Σy² through DECIMAL(38,0)
+    * — Σy² exceeds 2⁶³ at scale) and only then evaluate the formula
+    * in double. Every double op in that tail (cast of an exact
+    * integer, multiply, subtract, divide, sqrt) is correctly rounded
+    * under IEEE 754, so the emitted correlation/slope are
+    * bit-identical across engines — no rounding epsilon needed.
+    */
+  val q51StatsProfile = GraftQuery(
+    "q51_stats_profile",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val xc = round(col("l_quantity") * 100).cast("long")
+      val yc = round(col("l_extendedprice") * 100).cast("long")
+      val li = t.lineitem.select(col("l_returnflag"), xc.as("x"), yc.as("y"))
+      val dec = DecimalType(38, 0)
+      li.groupBy(col("l_returnflag"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(col("x")).as("sx"),
+          sum(col("y")).as("sy"),
+          sum((col("x") * col("y")).cast(dec)).as("sxy"),
+          sum((col("x") * col("x")).cast(dec)).as("sx2"),
+          sum((col("y") * col("y")).cast(dec)).as("sy2"))
+        .select(col("l_returnflag"), col("n"), col("sx"), col("sy"),
+          // products of the component sums overflow 64-bit — the
+          // formula tail runs on double-cast components (each < 2⁵³,
+          // so the casts are exact and every op correctly rounded)
+          col("sx").cast(DoubleType).as("sx_d"),
+          col("sy").cast(DoubleType).as("sy_d"),
+          col("sxy").cast(DoubleType).as("sxy_d"),
+          col("sx2").cast(DoubleType).as("sx2_d"),
+          col("sy2").cast(DoubleType).as("sy2_d"))
+        .select(col("l_returnflag"), col("n"), col("sx"), col("sy"),
+          ((col("n") * col("sxy_d") - col("sx_d") * col("sy_d")) /
+            sqrt((col("n") * col("sx2_d") - col("sx_d") * col("sx_d")) *
+                 (col("n") * col("sy2_d") - col("sy_d") * col("sy_d"))))
+            .as("corr_qty_price"),
+          ((col("n") * col("sxy_d") - col("sx_d") * col("sy_d")) /
+            (col("n") * col("sx2_d") - col("sx_d") * col("sx_d")))
+            .as("slope_cents"))
+        .orderBy(col("l_returnflag"))
+    },
+    Some("""
+      WITH m AS (
+        SELECT l_returnflag,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS sx,
+               CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sy,
+               CAST(SUM(CAST(round(l_quantity * 100) AS BIGINT)
+                      * CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) AS sxy_d,
+               CAST(SUM(CAST(round(l_quantity * 100) AS BIGINT)
+                      * CAST(round(l_quantity * 100) AS BIGINT)) AS DOUBLE) AS sx2_d,
+               CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
+                      * CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) AS sy2_d
+        FROM lineitem GROUP BY l_returnflag),
+      d AS (
+        SELECT *, CAST(sx AS DOUBLE) AS sx_d, CAST(sy AS DOUBLE) AS sy_d FROM m)
+      SELECT l_returnflag, n, sx, sy,
+             (n * sxy_d - sx_d * sy_d) /
+               sqrt((n * sx2_d - sx_d * sx_d) * (n * sy2_d - sy_d * sy_d)) AS corr_qty_price,
+             (n * sxy_d - sx_d * sy_d) / (n * sx2_d - sx_d * sx_d) AS slope_cents
+      FROM d
+      ORDER BY l_returnflag
+    """)
+  )
+
+  /** Data-quality column profiling: per-column null count, distinct
+    * count, and min/max rendered through type-stable casts (strings
+    * direct, integers via string cast, money via DECIMAL(12,2),
+    * timestamps via the shared formatter) — the "profile this table"
+    * operator every ingestion pipeline runs first. One pass per
+    * profiled column, unioned; at scale the distinct counts switch to
+    * the theta sketch (q38) — here they stay exact so the oracle can
+    * hash them.
+    */
+  val q52ColumnProfile = GraftQuery(
+    "q52_column_profile",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val o = t.orders
+      def prof(name: String, c: Column, minMax: Column => Column) =
+        o.agg(
+          count(lit(1)).as("n_rows"),
+          sum(c.isNull.cast("long")).as("n_null"),
+          count_distinct(c).as("n_distinct"),
+          minMax(min(c)).as("min_s"),
+          minMax(max(c)).as("max_s"))
+          .select(lit(name).as("column_name"), col("n_rows"), col("n_null"),
+            col("n_distinct"), col("min_s"), col("max_s"))
+      prof("o_custkey", col("o_custkey"), _.cast("string"))
+        .unionByName(prof("o_orderdate", col("o_orderdate"), tsString))
+        .unionByName(prof("o_orderstatus", col("o_orderstatus"), identity))
+        .unionByName(prof("o_totalprice", col("o_totalprice"),
+          _.cast(DecimalType(12, 2)).cast("string")))
+        .orderBy(col("column_name"))
+    },
+    Some("""
+      SELECT 'o_custkey' AS column_name, COUNT(*) AS n_rows,
+             CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+             COUNT(DISTINCT o_custkey) AS n_distinct,
+             CAST(MIN(o_custkey) AS VARCHAR) AS min_s,
+             CAST(MAX(o_custkey) AS VARCHAR) AS max_s
+      FROM orders
+      UNION ALL
+      SELECT 'o_orderdate', COUNT(*),
+             CAST(SUM(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+             COUNT(DISTINCT o_orderdate),
+             strftime(MIN(o_orderdate), '%Y-%m-%d %H:%M:%S'),
+             strftime(MAX(o_orderdate), '%Y-%m-%d %H:%M:%S')
+      FROM orders
+      UNION ALL
+      SELECT 'o_orderstatus', COUNT(*),
+             CAST(SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+             COUNT(DISTINCT o_orderstatus),
+             MIN(o_orderstatus), MAX(o_orderstatus)
+      FROM orders
+      UNION ALL
+      SELECT 'o_totalprice', COUNT(*),
+             CAST(SUM(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+             COUNT(DISTINCT o_totalprice),
+             CAST(CAST(MIN(o_totalprice) AS DECIMAL(12,2)) AS VARCHAR),
+             CAST(CAST(MAX(o_totalprice) AS DECIMAL(12,2)) AS VARCHAR)
+      FROM orders
+      ORDER BY column_name
+    """)
+  )
+
+  def all: Seq[GraftQuery] =
+    Seq(q46Funnel, q47CohortRetention, q48AnomalyExact, q49Scd2Versions,
+      q51StatsProfile, q52ColumnProfile)
+}

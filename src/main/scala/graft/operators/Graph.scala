@@ -1,0 +1,305 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
+
+import graft.GraftQuery
+import graft.sources.Tables
+
+/** Graph analytics over the co-purchase graph (parts sharing an
+  * order): degree statistics, degree-ordered triangle counting, and
+  * PageRank. Complements the connected-components operator the dedup
+  * family owns (`Dedup.connectedComponents`) — together they are the
+  * graph surface a relational engine can ship without a graph runtime.
+  *
+  * Scale design: the edge list is derived relationally (per-order
+  * self-join — bounded by order size, never corpus size), triangles
+  * are enumerated with the degree-orientation trick so a hub vertex
+  * cannot create a quadratic wedge set (work is O(Σ d_out²) with
+  * d_out ≤ its degree-order rank — the O(m^{3/2}) bound of
+  * Chiba–Nishizeki / Schank–Wagner), and PageRank's per-round messages
+  * flow through one equi-join + one map-side-combined aggregation on
+  * uniform keys.
+  */
+object Graph {
+
+  /** Distinct undirected co-purchase edges (pa < pb): parts appearing
+    * in the same order. The self-join key is the order key — per-key
+    * fan-out is order size (single digits), so the join is uniform and
+    * the edge distinct is the only graph-sized shuffle.
+    */
+  private[graft] def copurchaseEdges(t: Tables): DataFrame = {
+    val items = t.lineitem
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+      .distinct()
+    items.as("a").join(items.as("b"),
+        col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+      .select(col("a.p").as("pa"), col("b.p").as("pb"))
+      .distinct()
+  }
+
+  /** Symmetric (both directions) edge view, for degrees/messages. */
+  private def symmetric(edges: DataFrame): DataFrame =
+    edges.select(col("pa").as("u"), col("pb").as("v"))
+      .union(edges.select(col("pb").as("u"), col("pa").as("v")))
+
+  /** Degree histogram of the co-purchase graph: how many parts have
+    * each co-purchase degree. Two aggregations on uniform keys.
+    */
+  val graphDegreeStats = GraftQuery(
+    "graph_degree_stats",
+    (s, dir) => {
+      val edges = copurchaseEdges(Tables(s, dir))
+      symmetric(edges)
+        .groupBy(col("u")).agg(count(lit(1)).as("degree"))
+        .groupBy(col("degree")).agg(count(lit(1)).as("n_nodes"))
+        .orderBy(col("degree"))
+    },
+    Some("""
+      WITH items AS (
+        SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+      e AS (
+        SELECT DISTINCT a.p AS pa, b.p AS pb
+        FROM items a JOIN items b ON a.o = b.o AND a.p < b.p),
+      sym AS (SELECT pa AS u, pb AS v FROM e UNION ALL SELECT pb, pa FROM e),
+      deg AS (SELECT u, COUNT(*) AS degree FROM sym GROUP BY u)
+      SELECT degree, COUNT(*) AS n_nodes
+      FROM deg GROUP BY degree ORDER BY degree
+    """)
+  )
+
+  /** Exact triangle count + wedge count + global clustering
+    * coefficient density ratio, via DEGREE-ORDERED orientation: each
+    * undirected edge points from its lower-(degree, id) endpoint to
+    * the higher, wedges are enumerated only at a triangle's LOWEST
+    * vertex in that order (out-degree there is bounded by its
+    * degree-order rank — the skew-proof bound), and each wedge is
+    * closed by probing the oriented edge set. The closing probe is a
+    * broadcast hash join here (the oriented edge set is MB-sized —
+    * wedges stream map-side and never shuffle); at a scale where edges
+    * outgrow broadcast it becomes a shuffle join on the canonical
+    * pair, still O(wedges). The DuckDB oracle counts the same
+    * triangles with the simpler id-ordering — the count is invariant
+    * to orientation, which is exactly what makes it a good
+    * cross-engine check.
+    */
+  val graphTriangles = GraftQuery(
+    "graph_triangles",
+    (s, dir) => {
+      val edges = copurchaseEdges(Tables(s, dir)).cache()
+      val deg = symmetric(edges)
+        .groupBy(col("u")).agg(count(lit(1)).as("d"))
+      // orient every edge by (degree, id) lexicographic order
+      val withDeg = edges
+        .join(deg.select(col("u").as("pa"), col("d").as("da")), Seq("pa"))
+        .join(deg.select(col("u").as("pb"), col("d").as("db")), Seq("pb"))
+      val oriented = withDeg.select(
+        when(col("da") < col("db") || (col("da") === col("db") && col("pa") < col("pb")),
+          struct(col("pa").as("s"), col("pb").as("t"), col("db").as("dt")))
+          .otherwise(struct(col("pb").as("s"), col("pa").as("t"), col("da").as("dt")))
+          .as("e"))
+        .select(col("e.s").as("s"), col("e.t").as("t"), col("e.dt").as("dt"))
+        .cache()
+      // wedges at the lowest vertex: pairs of out-neighbors, canonical
+      // (x ≺ y) by the same (degree, id) order the edges use
+      val e1 = oriented.select(col("s"), col("t").as("v"), col("dt").as("dv"))
+      val e2 = oriented.select(col("s"), col("t").as("w"), col("dt").as("dw"))
+      val wedges = e1.join(e2, Seq("s"))
+        .filter(col("dv") < col("dw") || (col("dv") === col("dw") && col("v") < col("w")))
+        .select(col("v").as("s"), col("w").as("t"))
+      val tri = wedges
+        .join(broadcast(oriented.select(col("s"), col("t"))), Seq("s", "t"))
+        .agg(count(lit(1)).as("n_triangles"))
+      val nNodes = deg.agg(count(lit(1)).as("n_nodes"),
+        sum(col("d") * (col("d") - 1) / 2).cast("long").as("n_wedges"))
+      val nEdges = edges.agg(count(lit(1)).as("n_edges"))
+      val out = nNodes.crossJoin(nEdges).crossJoin(tri)
+        .select(col("n_nodes"), col("n_edges"), col("n_wedges"), col("n_triangles"))
+      out.persist().count()
+      edges.unpersist(false)
+      oriented.unpersist(false)
+      out
+    },
+    Some("""
+      WITH items AS (
+        SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+      e AS (
+        SELECT DISTINCT a.p AS pa, b.p AS pb
+        FROM items a JOIN items b ON a.o = b.o AND a.p < b.p),
+      sym AS (SELECT pa AS u, pb AS v FROM e UNION ALL SELECT pb, pa FROM e),
+      deg AS (SELECT u, COUNT(*) AS d FROM sym GROUP BY u),
+      tri AS (
+        SELECT COUNT(*) AS n_triangles
+        FROM e e1 JOIN e e2 ON e2.pa = e1.pa AND e2.pb > e1.pb
+                  JOIN e e3 ON e3.pa = e1.pb AND e3.pb = e2.pb)
+      SELECT (SELECT COUNT(*) FROM deg) AS n_nodes,
+             (SELECT COUNT(*) FROM e) AS n_edges,
+             (SELECT CAST(SUM(d * (d - 1) / 2) AS BIGINT) FROM deg) AS n_wedges,
+             (SELECT n_triangles FROM tri) AS n_triangles
+    """)
+  )
+
+  /** Damping factor and iteration count for graph_pagerank. */
+  val PageRankDamping = 0.85
+  val PageRankIters = 5
+
+  /** PageRank over a symmetric edge frame: ranks start at 1/n; each
+    * round flows rank/degree along edges and sums the messages. The
+    * per-edge contribution is computed in IEEE double (deterministic
+    * scalar ops) but SUMMED as an exact decimal — decimal addition is
+    * order-free, so the ranks are bit-stable run-to-run regardless of
+    * how Spark partitions the message shuffle. One equi-join + one
+    * map-side-combined aggregation per round; the degree frame is
+    * dimension-sized and reused across rounds.
+    */
+  private[graft] def pageRank(
+      s: SparkSession, sym: DataFrame, iters: Int, damping: Double): DataFrame = {
+    val deg = sym.groupBy(col("u")).agg(count(lit(1)).as("deg")).cache()
+    val n = deg.count()
+    var ranks = deg.select(col("u").as("node"), lit(1.0 / n).as("rank"))
+    val base = (1.0 - damping) / n
+    for (_ <- 1 to iters) {
+      val contribs = ranks
+        .join(deg, ranks("node") === deg("u"))
+        .select(col("node"), (col("rank") / col("deg")).as("c"))
+      val msgs = sym
+        .join(contribs, sym("u") === contribs("node"))
+        .select(sym("v").as("node"), col("c").cast(DecimalType(38, 18)).as("c"))
+      ranks = msgs.groupBy(col("node"))
+        .agg((lit(base) + lit(damping) * sum(col("c")).cast(DoubleType)).as("rank"))
+    }
+    // every node has degree ≥ 1 (symmetric edge frame), so the message
+    // aggregation is total — no rank-starved nodes to re-attach
+    val out = ranks.cache()
+    out.count()
+    deg.unpersist(false)
+    out
+  }
+
+  /** PageRank on the co-purchase graph with invariant gates: the
+    * oracle hashes the EXACT graph shape (node/edge counts, max
+    * degree, the deterministic hub part) while rank correctness rides
+    * as Spark-verified booleans — total rank conserved at 1 (the
+    * stochastic-matrix invariant) and all ranks positive ≥ base. Rank
+    * VALUES are pinned by GraphSpec against an independent dense
+    * in-memory iteration on small graphs (cycle/star/clique analytic
+    * cases) — the same gate pattern as the ANN recall queries, since
+    * no SQL engine can restate the fixpoint.
+    */
+  val graphPagerank = GraftQuery(
+    "graph_pagerank",
+    (s, dir) => {
+      val edges = copurchaseEdges(Tables(s, dir)).cache()
+      val sym = symmetric(edges).cache()
+      val ranks = pageRank(s, sym, PageRankIters, PageRankDamping)
+      val deg = sym.groupBy(col("u")).agg(count(lit(1)).as("deg"))
+      val n = deg.count()
+      val base = (1.0 - PageRankDamping) / n
+      val hub = deg
+        .orderBy(col("deg").desc, col("u"))
+        .limit(1)
+        .select(col("u").as("hub_part"), col("deg").as("hub_degree"))
+      val gates = ranks.agg(
+        (abs(sum(col("rank")) - 1.0) < lit(1e-9)).as("rank_sum_ok"),
+        (min(col("rank")) >= lit(base)).as("rank_positive_ok"))
+      val shape = edges.agg(count(lit(1)).as("n_edges"))
+        .crossJoin(deg.agg(count(lit(1)).as("n_nodes")))
+      val out = shape.crossJoin(hub).crossJoin(gates)
+        .select(col("n_nodes"), col("n_edges"), col("hub_part"),
+          col("hub_degree"), col("rank_sum_ok"), col("rank_positive_ok"))
+      out.persist().count()
+      edges.unpersist(false)
+      sym.unpersist(false)
+      ranks.unpersist(false)
+      out
+    },
+    Some("""
+      WITH items AS (
+        SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+      e AS (
+        SELECT DISTINCT a.p AS pa, b.p AS pb
+        FROM items a JOIN items b ON a.o = b.o AND a.p < b.p),
+      sym AS (SELECT pa AS u, pb AS v FROM e UNION ALL SELECT pb, pa FROM e),
+      deg AS (SELECT u, COUNT(*) AS deg FROM sym GROUP BY u),
+      hub AS (SELECT u AS hub_part, deg AS hub_degree
+              FROM deg ORDER BY deg DESC, u LIMIT 1)
+      SELECT (SELECT COUNT(*) FROM deg) AS n_nodes,
+             (SELECT COUNT(*) FROM e) AS n_edges,
+             (SELECT hub_part FROM hub) AS hub_part,
+             (SELECT hub_degree FROM hub) AS hub_degree,
+             TRUE AS rank_sum_ok,
+             TRUE AS rank_positive_ok
+    """)
+  )
+
+  /** Number of recommendations per part. */
+  val RecsPerItem = 3
+
+  /** Item-to-item recommendations from co-purchase counts: weighted
+    * edges (how many orders share the pair), cosine-normalized score
+    * cnt / √(Σcnt_u · Σcnt_v), top-3 per part. The classic
+    * "customers also bought" batch job: two joins against a
+    * dimension-sized weighted-degree frame and one per-key window.
+    * Scores are bit-identical across engines — integer counts into
+    * correctly-rounded double ops (÷, √), no accumulation order in
+    * sight.
+    */
+  val graphItemRecs = GraftQuery(
+    "graph_item_recs",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val items = t.lineitem
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+        .distinct()
+      val weighted = items.as("a").join(items.as("b"),
+          col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+        .groupBy(col("a.p").as("pa"), col("b.p").as("pb"))
+        .agg(count(lit(1)).as("cnt"))
+      val sym = weighted.select(col("pa").as("u"), col("pb").as("v"), col("cnt"))
+        .union(weighted.select(col("pb").as("u"), col("pa").as("v"), col("cnt")))
+      val degw = sym.groupBy(col("u")).agg(sum(col("cnt")).as("dw"))
+      val scored = sym
+        .join(degw.select(col("u"), col("dw").as("dwu")), Seq("u"))
+        .join(degw.select(col("u").as("v"), col("dw").as("dwv")), Seq("v"))
+        .select(col("u"), col("v"), col("cnt"),
+          (col("cnt") / sqrt((col("dwu") * col("dwv")).cast(DoubleType)))
+            .as("score"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("u")).orderBy(col("score").desc, col("v"))
+      scored
+        .withColumn("rec_rank", row_number().over(w).cast("long"))
+        .filter(col("rec_rank") <= RecsPerItem)
+        .select(col("u").as("part"), col("rec_rank"), col("v").as("rec_part"),
+          col("cnt").as("n_co_orders"), col("score"))
+        .orderBy(col("part"), col("rec_rank"))
+    },
+    Some("""
+      WITH items AS (
+        SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+      we AS (
+        SELECT a.p AS pa, b.p AS pb, COUNT(*) AS cnt
+        FROM items a JOIN items b ON a.o = b.o AND a.p < b.p
+        GROUP BY 1, 2),
+      sym AS (
+        SELECT pa AS u, pb AS v, cnt FROM we
+        UNION ALL SELECT pb, pa, cnt FROM we),
+      degw AS (SELECT u, CAST(SUM(cnt) AS BIGINT) AS dw FROM sym GROUP BY u),
+      scored AS (
+        SELECT s.u, s.v, s.cnt,
+               s.cnt / sqrt(CAST(du.dw * dv.dw AS DOUBLE)) AS score
+        FROM sym s JOIN degw du ON s.u = du.u JOIN degw dv ON s.v = dv.u),
+      ranked AS (
+        SELECT u, v, cnt, score,
+               CAST(row_number() OVER (PARTITION BY u ORDER BY score DESC, v)
+                 AS BIGINT) AS rec_rank
+        FROM scored)
+      SELECT u AS part, rec_rank, v AS rec_part, cnt AS n_co_orders, score
+      FROM ranked WHERE rec_rank <= 3
+      ORDER BY part, rec_rank
+    """)
+  )
+
+  def all: Seq[GraftQuery] =
+    Seq(graphDegreeStats, graphTriangles, graphPagerank, graphItemRecs)
+}

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
@@ -1406,6 +1406,212 @@ object Relational {
     """)
   )
 
+  /** Weighted theta/KMV sketch: one-pass estimate of Σ weight over
+    * DISTINCT keys ("total list price of the distinct parts that
+    * actually sold"), per brand and globally, with the per-brand
+    * sketches ROLLING UP by set union — the weight of a part sold
+    * under many flags is counted once, which no additive aggregate
+    * composes. The oracle hashes the exact distinct-weighted sum
+    * (decimal arithmetic); sketch accuracy rides as gate booleans
+    * (±5 %, RSE at k=4096 is ~1.6 %). The dimension join is a
+    * broadcast; the sketch build is the only fact-table aggregation.
+    */
+  val q50WeightedTheta = GraftQuery(
+    "q50_weighted_theta",
+    (s, dir) => {
+      import graft.plans.WeightedTheta
+      val t = Tables(s, dir)
+      val fact = t.lineitem.select(col("l_partkey"))
+        .join(broadcast(t.part.select(col("p_partkey"), col("p_retailprice"), col("p_brand"))),
+          col("l_partkey") === col("p_partkey"))
+      val perBrand = fact.groupBy(col("p_brand"))
+        .agg(WeightedTheta.sketchAgg(col("l_partkey"), col("p_retailprice")).as("sk"))
+      val rollup = perBrand.agg(WeightedTheta.unionAgg(col("sk")).as("roll_est"))
+      val globalEst = fact.agg(
+        WeightedTheta.estimateAgg(col("l_partkey"), col("p_retailprice")).as("g_est"))
+      val exact = fact.select(col("l_partkey"), col("p_retailprice")).distinct()
+        .agg(count(lit(1)).as("n_distinct_parts"),
+          sumMoney(col("p_retailprice")).as("total_retail_exact"))
+      exact.crossJoin(globalEst).crossJoin(rollup)
+        .select(col("n_distinct_parts"), col("total_retail_exact"),
+          (abs(col("g_est") - col("total_retail_exact")) <=
+            col("total_retail_exact") * 0.05).as("global_ok"),
+          (abs(col("roll_est") - col("total_retail_exact")) <=
+            col("total_retail_exact") * 0.05).as("rollup_ok"))
+    },
+    Some("""
+      WITH dp AS (SELECT DISTINCT l_partkey FROM lineitem)
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_distinct_parts,
+             CAST(SUM(CAST(p_retailprice AS DECIMAL(12,2))) AS DOUBLE) AS total_retail_exact,
+             TRUE AS global_ok,
+             TRUE AS rollup_ok
+      FROM dp JOIN part ON p_partkey = l_partkey
+    """)
+  )
+
+  /** Rows-per-file divisor for the z-order layout demo: z ∈ [0, 2¹⁶)
+    * split into 64 z-ranges.
+    */
+  val ZFileShift = 10 // 2^16 z-values / 2^10 = 64 files
+
+  /** Z-ORDER (Morton) data layout for multi-dimensional pruning: the
+    * fact table is laid out in 64 "files" two ways — clustered by the
+    * bit-interleaved z-value of (part, order) — both dimensions span
+    * the full 8-bit range at every test SF, unlike suppkey whose
+    * keyspace collapses at sf0.001 — vs the natural arrival order,
+    * and a 2-D box predicate is evaluated against
+    * each file's min/max column statistics, exactly the way a data
+    * lake prunes parquet row groups. Z-clustering bounds BOTH
+    * dimensions per file, so most files fall wholly outside the box
+    * and are skipped; the natural layout spreads every dimension over
+    * every file and prunes nothing. File assignment is a pure z-range
+    * computation (a range partitioner at scale — no global sort, no
+    * single-reducer window), and the whole comparison is exact
+    * integer algebra the oracle restates verbatim: the query's result
+    * IS the pruning-effectiveness report.
+    */
+  val q53ZorderLayout = GraftQuery(
+    "q53_zorder_layout",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      // 8-bit → 16-bit Morton bit spreading, exact integer algebra
+      // (shifts + masks are identical BIGINT ops on both engines)
+      def spread(c: Column): Column = {
+        val x1 = (c.bitwiseOR(shiftleft(c, 4))).bitwiseAND(lit(0x0F0FL))
+        val x2 = (x1.bitwiseOR(shiftleft(x1, 2))).bitwiseAND(lit(0x3333L))
+        x2.bitwiseOR(shiftleft(x2, 1)).bitwiseAND(lit(0x5555L))
+      }
+      val li = t.lineitem
+        .select(col("l_orderkey"),
+          pmod(col("l_partkey"), lit(256L)).as("px"),
+          pmod(col("l_orderkey"), lit(256L)).as("sx"))
+        .withColumn("z",
+          shiftleft(spread(col("sx")), 1).bitwiseOR(spread(col("px"))))
+        .withColumn("fid_z", shiftright(col("z"), ZFileShift))
+        .withColumn("fid_nat", pmod(col("l_orderkey"), lit(64L)))
+      def stats(fidCol: String) = li.groupBy(col(fidCol).as("fid"))
+        .agg(min(col("px")).as("px_lo"), max(col("px")).as("px_hi"),
+          min(col("sx")).as("sx_lo"), max(col("sx")).as("sx_hi"))
+      // box predicate: px ∈ [64, 127], sx ∈ [32, 95]
+      def pruned(st: org.apache.spark.sql.DataFrame) = st.agg(
+        count(lit(1)).as("n_files"),
+        sum((col("px_hi") < 64 || col("px_lo") > 127 ||
+          col("sx_hi") < 32 || col("sx_lo") > 95).cast("long")).as("n_pruned"))
+      val z = pruned(stats("fid_z"))
+        .select(col("n_files").as("n_files_z"), col("n_pruned").as("n_pruned_z"))
+      val nat = pruned(stats("fid_nat"))
+        .select(col("n_files").as("n_files_nat"), col("n_pruned").as("n_pruned_nat"))
+      val boxRows = li.filter(col("px").between(64, 127) && col("sx").between(32, 95))
+        .agg(count(lit(1)).as("box_rows"))
+      z.crossJoin(nat).crossJoin(boxRows)
+        .select(col("n_files_z"), col("n_pruned_z"),
+          col("n_files_nat"), col("n_pruned_nat"), col("box_rows"),
+          (col("n_pruned_z") > col("n_pruned_nat")).as("zorder_wins"))
+    },
+    Some("""
+      WITH li AS (
+        SELECT l_orderkey, l_partkey % 256 AS px, l_orderkey % 256 AS sx
+        FROM lineitem),
+      z1 AS (
+        SELECT l_orderkey, px, sx,
+               ((px | (px << 4)) & 3855) AS pa1,
+               ((sx | (sx << 4)) & 3855) AS sa1
+        FROM li),
+      z2 AS (
+        SELECT l_orderkey, px, sx,
+               ((pa1 | (pa1 << 2)) & 13107) AS pa2,
+               ((sa1 | (sa1 << 2)) & 13107) AS sa2
+        FROM z1),
+      z3 AS (
+        SELECT l_orderkey, px, sx,
+               ((pa2 | (pa2 << 1)) & 21845) AS pz,
+               ((sa2 | (sa2 << 1)) & 21845) AS sz
+        FROM z2),
+      zz AS (
+        SELECT px, sx,
+               ((sz << 1) | pz) // 1024 AS fid_z,
+               l_orderkey % 64 AS fid_nat
+        FROM z3),
+      stz AS (
+        SELECT fid_z, MIN(px) AS px_lo, MAX(px) AS px_hi,
+               MIN(sx) AS sx_lo, MAX(sx) AS sx_hi
+        FROM zz GROUP BY fid_z),
+      stn AS (
+        SELECT fid_nat, MIN(px) AS px_lo, MAX(px) AS px_hi,
+               MIN(sx) AS sx_lo, MAX(sx) AS sx_hi
+        FROM zz GROUP BY fid_nat),
+      pz AS (
+        SELECT COUNT(*) AS n_files_z,
+               CAST(SUM(CASE WHEN px_hi < 64 OR px_lo > 127
+                              OR sx_hi < 32 OR sx_lo > 95
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_pruned_z
+        FROM stz),
+      pn AS (
+        SELECT COUNT(*) AS n_files_nat,
+               CAST(SUM(CASE WHEN px_hi < 64 OR px_lo > 127
+                              OR sx_hi < 32 OR sx_lo > 95
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_pruned_nat
+        FROM stn),
+      br AS (
+        SELECT COUNT(*) AS box_rows FROM zz
+        WHERE px BETWEEN 64 AND 127 AND sx BETWEEN 32 AND 95)
+      SELECT n_files_z, n_pruned_z, n_files_nat, n_pruned_nat, box_rows,
+             n_pruned_z > n_pruned_nat AS zorder_wins
+      FROM pz, pn, br
+    """)
+  )
+
+  /** Incremental aggregate maintenance: the running per-flag revenue
+    * aggregate is SPLIT as base (all but the last shipping day) plus
+    * that day's delta, merged by key — and the merged result must
+    * equal the from-scratch recompute EXACTLY, which only holds
+    * because the sums are decimal (double addition isn't associative,
+    * so a double-summed base+delta would drift from the full rescan).
+    * This is the nightly-ETL shape: at 100 TB the base never rescans;
+    * only the new partition aggregates, and the merge is
+    * dimension-sized. The oracle hashes the full recompute plus the
+    * equality bit.
+    */
+  val q54IncrementalAgg = GraftQuery(
+    "q54_incremental_agg",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val li = t.lineitem.select(col("l_returnflag"), col("l_shipdate"),
+        col("l_extendedprice"), col("l_quantity"))
+      val cut = li.agg(date_trunc("day", max(col("l_shipdate"))).as("d")).first()
+        .getTimestamp(0)
+      def agg(df: org.apache.spark.sql.DataFrame) = df
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          sum(dec2(col("l_extendedprice"))).as("rev"),
+          sum(dec2(col("l_quantity"))).as("qty"))
+      val base = agg(li.filter(col("l_shipdate") < lit(cut)))
+      val delta = agg(li.filter(col("l_shipdate") >= lit(cut)))
+      val merged = base.select(col("l_returnflag"), col("n"), col("rev"), col("qty"))
+        .unionByName(delta)
+        .groupBy(col("l_returnflag"))
+        .agg(sum(col("n")).cast("long").as("n"),
+          sum(col("rev")).as("rev"), sum(col("qty")).as("qty"))
+      val full = agg(li)
+      merged.as("m").join(full.as("f"), Seq("l_returnflag"))
+        .select(col("l_returnflag"), col("m.n").as("n"),
+          col("m.rev").cast("double").as("revenue"),
+          col("m.qty").cast("double").as("quantity"),
+          (col("m.n") === col("f.n") && col("m.rev") === col("f.rev") &&
+            col("m.qty") === col("f.qty")).as("merge_exact"))
+        .orderBy(col("l_returnflag"))
+    },
+    Some("""
+      SELECT l_returnflag, COUNT(*) AS n,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS quantity,
+             TRUE AS merge_exact
+      FROM lineitem
+      GROUP BY l_returnflag
+      ORDER BY l_returnflag
+    """)
+  )
+
   def all: Seq[GraftQuery] = Seq(
     q01PricingSummary, q02RevenueByNation, q03ShippingPriority,
     q04OrderPriorityExists, q05CustomersWithoutOrders, q06RevenueFilter,
@@ -1417,6 +1623,6 @@ object Relational {
     q32JsonRoundtrip, q33ApproxPercentile, q34BucketedJoin, q35KllQuantiles,
     q38ThetaDistinct, q39SaltedSkewJoin, q40SlidingDistinct, q41OrcRoundtrip,
     q42ThetaIntersect, q43QuantileBinning, q44UpsertSnapshot,
-    q45CsvRoundtrip
+    q45CsvRoundtrip, q50WeightedTheta, q53ZorderLayout, q54IncrementalAgg
   )
 }

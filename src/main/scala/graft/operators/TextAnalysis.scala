@@ -1166,11 +1166,78 @@ object TextAnalysis {
     """)
   )
 
+  /** Token window for passage-level dedup (finer than ChunkTokens —
+    * boilerplate spans are shorter than training chunks).
+    */
+  val PassageTokens = 20
+
+  /** Passage-level dedup (CCNet/RefinedWeb "remove duplicated spans"):
+    * split every document into fixed token windows, hash each window,
+    * and measure per document what fraction of its passages also occur
+    * elsewhere in the corpus; documents above 50 % duplicated passage
+    * mass are dropped. Catches partial-overlap duplication that
+    * document-level hashing (dedup_exact) misses and page-level
+    * Jaccard underweights. One explode + one hash-key aggregation —
+    * the shuffle carries 16-byte hashes, never text.
+    */
+  val textPassageDedup = GraftQuery(
+    "text_passage_dedup",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val toks = t.documents
+        .select(col("doc_id"), tokens(col("text")).as("toks"))
+        .cache()
+      val passages = toks
+        .withColumn("n", size(col("toks")).cast("long"))
+        .withColumn("p_idx",
+          explode(sequence(lit(0L), floor((col("n") - 1) / PassageTokens).cast("long"))))
+        .select(col("doc_id"),
+          md5(concat_ws(" ",
+            slice(col("toks"), (col("p_idx") * PassageTokens + 1).cast("int"),
+              lit(PassageTokens))).cast("binary")).as("p_hash"))
+      val df = passages.groupBy(col("p_hash"))
+        .agg(count(lit(1)).as("occurrences"))
+      val out = passages.join(df, Seq("p_hash"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_passages"),
+          sum(when(col("occurrences") > 1, 1L).otherwise(0L)).as("n_dup"))
+        .select(col("doc_id"), col("n_passages"), col("n_dup"),
+          (col("n_dup") * 2 < col("n_passages")).as("keep"))
+        .orderBy(col("doc_id"))
+      out.persist().count()
+      toks.unpersist(false)
+      out
+    },
+    Some(raw"""
+      WITH t AS (
+        SELECT doc_id, string_split_regex(lower(text), '\s+') AS toks,
+               CAST(len(string_split_regex(lower(text), '\s+')) AS BIGINT) AS n
+        FROM documents),
+      p AS (
+        SELECT doc_id,
+               md5(array_to_string(
+                 list_slice(toks, pi * $PassageTokens + 1,
+                   least((pi + 1) * $PassageTokens, n)), ' ')) AS p_hash
+        FROM (SELECT doc_id, toks, n,
+                     CAST(unnest(range(0, (n - 1) // $PassageTokens + 1)) AS BIGINT) AS pi
+              FROM t)),
+      df AS (SELECT p_hash, COUNT(*) AS occurrences FROM p GROUP BY p_hash)
+      SELECT p.doc_id,
+             COUNT(*) AS n_passages,
+             CAST(SUM(CASE WHEN df.occurrences > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+             CAST(SUM(CASE WHEN df.occurrences > 1 THEN 1 ELSE 0 END) AS BIGINT) * 2
+               < COUNT(*) AS keep
+      FROM p JOIN df ON p.p_hash = df.p_hash
+      GROUP BY p.doc_id
+      ORDER BY p.doc_id
+    """)
+  )
+
   def all: Seq[GraftQuery] =
     Seq(textTokens, textQuality, textLangid, textFingerprint, textTopNgrams,
       textTrainingSet, textChunk, textDecontaminate, sampleStratified,
       textPackSequences, textTfidf, textRepetition, sampleMixture,
       textSourceOverlap, textDecontaminateBloom, textPiiRedact,
       textZipfStats, textHeavyHitters, textUnigramLm, textExportShards,
-      samplePps)
+      samplePps, textPassageDedup)
 }

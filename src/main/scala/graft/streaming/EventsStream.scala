@@ -571,8 +571,172 @@ object EventsStream {
     """)
   )
 
+  /** Reservoir size for the streaming weighted sampler. */
+  val SampleR = 10
+
+  case class DocKey(source: String, doc_id: Long, akey: Double)
+  case class SampleState(topR: Seq[(Double, Long)], nSeen: Long)
+  case class SampleOut(source: String, n_seen: Long, sample_ids: Seq[Long])
+
+  /** Streaming weighted reservoir (Efraimidis–Spirakis A-ES) state
+    * fn: keep the R largest (key, doc) pairs per source, where
+    * key = ln(u)/w with u a deterministic per-doc uniform and w the
+    * doc's weight — a streaming one-pass weighted sample without
+    * replacement. State is O(R) per source no matter how much flows
+    * through; because u derives from the doc id (not a runtime RNG),
+    * the sample is a pure function of the data set — arrival order,
+    * triggers, and partitioning cannot change it, which is what lets
+    * the batch path verify the stream path exactly.
+    */
+  def weightedSampleFn(
+      src: String, rows: Iterator[DocKey], state: GroupState[SampleState])
+      : Iterator[SampleOut] = {
+    val prior = state.getOption.getOrElse(SampleState(Seq.empty, 0L))
+    var n = prior.nSeen
+    val buf = scala.collection.mutable.ArrayBuffer[(Double, Long)](prior.topR: _*)
+    rows.foreach { r => n += 1; buf += ((r.akey, r.doc_id)) }
+    val top = buf.sortBy { case (k, id) => (-k, id) }.take(SampleR).toSeq
+    state.update(SampleState(top, n))
+    Iterator.single(SampleOut(src, n, top.map(_._2).sorted.toSeq))
+  }
+
+  /** The A-ES key column: ln(u)/weight, u = (hash >>> 11 + 1)/2^53 —
+    * a deterministic uniform in (0, 1] derived from the doc id.
+    * Computed with the SAME Spark expression on the stream and batch
+    * sides, so both paths compare bit-identical doubles.
+    */
+  private def aesKey(idCol: org.apache.spark.sql.Column,
+      weightCol: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    log((shiftrightunsigned(xxhash64(idCol), 11) + 1).cast("double")
+      / lit((1L << 53).toDouble)) / weightCol
+
+  /** Streaming weighted sampling: a per-source A-ES reservoir (longer
+    * documents proportionally likelier, w = n_chars) maintained in
+    * bounded GroupState while the corpus streams in — the online form
+    * of the batch temperature/PPS samplers. The embedded parity gate
+    * recomputes the same top-R selection relationally over the batch
+    * table; stream and batch must pick the IDENTICAL sample. Oracle:
+    * exact per-source counts (the sample itself is engine-specific —
+    * the parity bit pins it).
+    */
+  val streamWeightedSample = GraftQuery(
+    "stream_weighted_sample",
+    (s, dir) => {
+      import s.implicits._
+      val keyed = fileStream(s, dir, "documents.parquet", documentsSchema)
+        .select(col("source"), col("doc_id"),
+          aesKey(col("doc_id"), col("n_chars").cast("double")).as("akey"))
+        .as[DocKey]
+      val sampled = keyed
+        .groupByKey(_.source)
+        .flatMapGroupsWithState(OutputMode.Update(), GroupStateTimeout.NoTimeout)(
+          weightedSampleFn _)
+      // one row per trigger per source; n_seen is monotone, so the
+      // final reservoir is the row with max n_seen
+      val streamed = runToTable(sampled.toDF(), OutputMode.Update())
+        .groupBy(col("source"))
+        .agg(max(struct(col("n_seen"), col("sample_ids"))).as("m"))
+        .select(col("source"), col("m.n_seen").as("n_docs"),
+          col("m.sample_ids").as("stream_sample"))
+      val t = graft.sources.Tables(s, dir)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("source"))
+        .orderBy(col("akey").desc, col("doc_id"))
+      val batchTop = t.documents
+        .select(col("source"), col("doc_id"),
+          aesKey(col("doc_id"), col("n_chars").cast("double")).as("akey"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= SampleR)
+        .groupBy(col("source"))
+        .agg(sort_array(collect_list(col("doc_id"))).as("batch_sample"))
+      streamed.join(batchTop, Seq("source"))
+        .select(col("source"), col("n_docs"),
+          size(col("stream_sample")).cast("long").as("sample_size"),
+          (col("stream_sample") === col("batch_sample")).as("parity_ok"))
+        .orderBy(col("source"))
+    },
+    Some("""
+      SELECT source, COUNT(*) AS n_docs,
+             LEAST(10, COUNT(*)) AS sample_size,
+             TRUE AS parity_ok
+      FROM documents
+      GROUP BY source
+      ORDER BY source
+    """)
+  )
+
+  case class KeyedEv(user_id: Long, tsMicros: Long, event_id: Long, value: Double)
+  case class LatestState(tsMicros: Long, event_id: Long, value: Double, n: Long)
+  case class LatestOut(
+      user_id: Long, n_events: Long, last_event_id: Long, last_value: Double)
+
+  /** Changelog materialization state fn: latest value per key by
+    * (event time, event id) — O(1) state per key, the streaming MERGE
+    * that keeps a serving table current from an event feed. The
+    * ordering is by EVENT time with a total tie-break, so the
+    * materialized row is a pure function of the data set, not of
+    * arrival order.
+    */
+  def latestFn(user: Long, rows: Iterator[KeyedEv], state: GroupState[LatestState])
+      : Iterator[LatestOut] = {
+    var st = state.getOption.getOrElse(LatestState(Long.MinValue, Long.MinValue, 0.0, 0L))
+    rows.foreach { r =>
+      val newer = r.tsMicros > st.tsMicros ||
+        (r.tsMicros == st.tsMicros && r.event_id > st.event_id)
+      st = LatestState(
+        if (newer) r.tsMicros else st.tsMicros,
+        if (newer) r.event_id else st.event_id,
+        if (newer) r.value else st.value,
+        st.n + 1)
+    }
+    state.update(st)
+    Iterator.single(LatestOut(user, st.n, st.event_id, st.value))
+  }
+
+  /** Streaming changelog → serving snapshot: per-user latest purchase
+    * value materialized in O(1) keyed state as events stream in (the
+    * online counterpart of q44's batch CDC upsert). Oracle: the batch
+    * last-per-key window over the same feed — stream and batch
+    * snapshots must agree row-for-row.
+    */
+  val streamUpsertLatest = GraftQuery(
+    "stream_upsert_latest",
+    (s, dir) => {
+      import s.implicits._
+      val purchases = eventsStream(s, dir)
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id"), unix_micros(col("ts")).as("tsMicros"),
+          col("event_id"), col("value"))
+        .as[KeyedEv]
+      val latest = purchases
+        .groupByKey(_.user_id)
+        .flatMapGroupsWithState(OutputMode.Update(), GroupStateTimeout.NoTimeout)(
+          latestFn _)
+      // n_events is monotone per user: the final snapshot row wins
+      runToTable(latest.toDF(), OutputMode.Update())
+        .groupBy(col("user_id"))
+        .agg(max(struct(col("n_events"), col("last_event_id"), col("last_value")))
+          .as("m"))
+        .select(col("user_id"), col("m.n_events").as("n_events"),
+          col("m.last_event_id").as("last_event_id"),
+          col("m.last_value").as("last_value"))
+        .orderBy(col("user_id"))
+    },
+    Some("""
+      WITH ranked AS (
+        SELECT user_id, event_id, value,
+               row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC)
+                 AS rn,
+               COUNT(*) OVER (PARTITION BY user_id) AS n_events
+        FROM events WHERE event_type = 'purchase')
+      SELECT user_id, n_events, event_id AS last_event_id, value AS last_value
+      FROM ranked WHERE rn = 1
+      ORDER BY user_id
+    """)
+  )
+
   def all: Seq[GraftQuery] =
     Seq(streamHourlyAgg, streamSessionize, streamScore, streamDedupExact,
       streamEnrichProfile, streamSessionWindow, streamThetaDistinct,
-      streamStreamJoin)
+      streamStreamJoin, streamWeightedSample, streamUpsertLatest)
 }

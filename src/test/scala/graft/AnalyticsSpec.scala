@@ -1,0 +1,141 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class AnalyticsSpec extends AnyFunSuite {
+  import TestSession._
+  import spark.implicits._
+
+  test("funnel: depth counts stages in strict temporal order") {
+    val rows = SparkEntry.queries("q46_funnel")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (tv, tc, tp, depth) =
+        (r.getString(1), r.getString(2), r.getString(3), r.getLong(4))
+      // each later stage requires the earlier one
+      if (tc != null) assert(tv != null, "click stage without view stage")
+      if (tp != null) assert(tc != null, "purchase stage without click stage")
+      val want = Seq(tv, tc, tp).count(_ != null)
+      assert(depth == want)
+      // strict ordering of the stage timestamps (string-sortable format)
+      if (tc != null) assert(tv < tc)
+      if (tp != null) assert(tc < tp)
+    }
+  }
+
+  test("cohort retention: offset-0 cell covers every cohort member") {
+    val rows = SparkEntry.queries("q47_cohort_retention")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val byCohort = rows.groupBy(_.getString(0))
+    byCohort.foreach { case (day, rs) =>
+      val zero = rs.filter(_.getLong(1) == 0L)
+      assert(zero.length == 1, s"cohort $day missing its offset-0 cell")
+      val day0 = zero.head.getLong(2)
+      rs.foreach { r =>
+        assert(r.getLong(2) <= day0,
+          s"cohort $day offset ${r.getLong(1)}: retention above cohort size")
+        assert(r.getLong(1) >= 0L)
+      }
+    }
+  }
+
+  test("anomaly flags agree with a double-precision z-score on planted data") {
+    // one wild outlier in a tight cluster: must be flagged; the
+    // cluster must not be. The cluster needs enough members: in a
+    // sample of n, no point can sit beyond (n−1)/√n population SDs,
+    // so tiny groups (n ≤ 5) can never flag at the 2σ threshold.
+    val cluster = (1L to 15L).map(i => (i, 1L, 100L, 10.0 + (i % 5) * 0.05))
+    val df = (cluster :+ ((16L, 1L, 100L, 500.00)))
+      .toDF("l_orderkey", "l_linenumber", "l_partkey", "l_extendedprice")
+    val cents = round($"l_extendedprice" * 100).cast("long")
+    val li = df.select($"l_orderkey", $"l_linenumber", $"l_partkey", cents.as("cents"))
+    val stats = li.groupBy($"l_partkey")
+      .agg(count(lit(1)).as("n_part"), sum($"cents").as("s"),
+        sum($"cents" * $"cents").as("q"))
+    val out = li.join(stats, Seq("l_partkey"))
+      .withColumn("dev", $"n_part" * $"cents" - $"s")
+      .withColumn("flag",
+        $"dev" * $"dev" > lit(4L) * ($"n_part" * $"q" - $"s" * $"s"))
+      .select($"l_orderkey", $"flag").collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(out(16L), "the 500.00 outlier must be flagged")
+    (1L to 15L).foreach(k => assert(!out(k), s"row $k wrongly flagged"))
+  }
+
+  test("anomaly query: flag matches the algebraic definition at sf0.001") {
+    val rows = SparkEntry.queries("q48_anomaly_exact")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // single-member parts can never be anomalous (dev = 0, var = 0)
+    rows.filter(_.getLong(3) == 1L).foreach { r =>
+      assert(r.getLong(4) == 0L && !r.getBoolean(5))
+    }
+  }
+
+  test("stats profile: exact-moment corr/slope agree with Spark's built-ins") {
+    val t = graft.sources.Tables(spark, sf)
+    val got = SparkEntry.queries("q51_stats_profile")(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getDouble(4), r.getDouble(5))).toMap
+    val ref = t.lineitem.groupBy($"l_returnflag")
+      .agg(corr($"l_quantity", $"l_extendedprice").as("c"),
+        (covar_pop($"l_quantity", $"l_extendedprice") / var_pop($"l_quantity")).as("b"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(got.keySet == ref.keySet)
+    got.foreach { case (flag, (c, b)) =>
+      assert(math.abs(c - ref(flag)._1) < 1e-6, s"$flag corr: $c vs ${ref(flag)._1}")
+      // slope is in cents/cents == price-units/qty-units: same scale
+      assert(math.abs(b - ref(flag)._2) < 1e-4, s"$flag slope: $b vs ${ref(flag)._2}")
+      // the synthetic generator draws qty and price independently —
+      // the check is exactness vs the built-ins, not a sign claim
+      assert(math.abs(c) < 1.0 && !c.isNaN)
+    }
+  }
+
+  test("column profile: counts agree with direct aggregation") {
+    val t = graft.sources.Tables(spark, sf)
+    val rows = SparkEntry.queries("q52_column_profile")(spark, sf).collect()
+    assert(rows.map(_.getString(0)).sorted.toSeq ==
+      Seq("o_custkey", "o_orderdate", "o_orderstatus", "o_totalprice"))
+    val nRows = t.orders.count()
+    rows.foreach { r =>
+      assert(r.getLong(1) == nRows)
+      assert(r.getLong(2) == 0L, "no nulls in the synthetic tables")
+      assert(r.getLong(3) > 0L && r.getLong(3) <= nRows)
+      assert(r.getString(4) <= r.getString(5) || r.getString(0) == "o_custkey",
+        s"${r.getString(0)}: min_s > max_s") // custkey strings sort lexically
+    }
+  }
+
+  test("k-fold CV: folds partition the sample; gates hold") {
+    // sf0.01: folds are above the gate's 500-row activation floor,
+    // so this exercises the REAL accuracy gate, not the vacuous branch
+    val rows = SparkEntry.queries("ml_cv_kfold")(spark, "/root/testdata/sf0.01").collect()
+    assert(rows.length == 3)
+    val total = rows.map(_.getLong(2)).sum
+    rows.foreach { r =>
+      assert(r.getLong(1) + r.getLong(2) == total, "train+test must cover the sample")
+      assert(r.getBoolean(3), s"fold ${r.getLong(0)}: acc gate failed")
+    }
+  }
+
+  test("scd2: per-customer intervals tile without overlap; one current row") {
+    val rows = SparkEntry.queries("q49_scd2_versions")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getLong(0)).foreach { case (cust, rs) =>
+      assert(rs.count(_.getBoolean(5)) == 1, s"cust $cust: exactly one current")
+      // sorted by valid_from, each valid_to equals or precedes the
+      // successor's valid_from (equal dates legal: same-day orders)
+      val sorted = rs.sortBy(r => (r.getString(3), r.getLong(1)))
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          // each version closes exactly where the next one opens
+          assert(a.getString(4) == b.getString(3),
+            s"cust $cust: interval chain broken (${a.getString(4)} vs ${b.getString(3)})")
+        case _ => ()
+      }
+      assert(sorted.last.getString(4) == "9999-12-31 00:00:00")
+    }
+  }
+}

@@ -1,0 +1,124 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Graph
+
+class GraphSpec extends AnyFunSuite {
+  import TestSession._
+  import spark.implicits._
+
+  /** Dense in-memory PageRank reference: same recurrence as the
+    * distributed operator, computed with plain arrays.
+    */
+  private def densePageRank(
+      edges: Seq[(Long, Long)], iters: Int, damping: Double): Map[Long, Double] = {
+    val sym = edges.flatMap { case (a, b) => Seq((a, b), (b, a)) }.distinct
+    val nodes = sym.map(_._1).distinct.sorted
+    val idx = nodes.zipWithIndex.toMap
+    val deg = sym.groupBy(_._1).view.mapValues(_.size.toDouble).toMap
+    val n = nodes.size
+    var r = Array.fill(n)(1.0 / n)
+    for (_ <- 1 to iters) {
+      val next = Array.fill(n)((1.0 - damping) / n)
+      sym.foreach { case (u, v) =>
+        next(idx(v)) += damping * r(idx(u)) / deg(u)
+      }
+      r = next
+    }
+    nodes.map(nd => nd -> r(idx(nd))).toMap
+  }
+
+  private def runPageRank(edges: Seq[(Long, Long)], iters: Int = 5): Map[Long, Double] = {
+    val e = edges.toDF("pa", "pb")
+    val sym = e.select($"pa".as("u"), $"pb".as("v"))
+      .union(e.select($"pb".as("u"), $"pa".as("v")))
+    val out = Graph.pageRank(spark, sym, iters, 0.85)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    out
+  }
+
+  test("pagerank matches dense reference on a star graph") {
+    // star: hub 0, leaves 1..6 — hub must dominate
+    val edges = (1L to 6L).map(i => (0L, i))
+    val got = runPageRank(edges)
+    val want = densePageRank(edges, 5, 0.85)
+    assert(got.keySet == want.keySet)
+    got.foreach { case (k, v) =>
+      assert(math.abs(v - want(k)) < 1e-9, s"node $k: $v vs ${want(k)}")
+    }
+    assert(got(0L) > got(1L) * 3, "hub rank should dominate leaf rank")
+  }
+
+  test("pagerank on a cycle is uniform") {
+    val edges = (0L until 8L).map(i => (i, (i + 1) % 8))
+    val got = runPageRank(edges)
+    got.values.foreach(v => assert(math.abs(v - 1.0 / 8) < 1e-12))
+  }
+
+  test("pagerank matches dense reference on a random graph") {
+    val rnd = new scala.util.Random(42)
+    // canonical (min < max) distinct edges — the operator contract
+    // (copurchaseEdges emits pa < pb distinct)
+    val edges = (0 until 60)
+      .map(_ => (rnd.nextInt(20).toLong, rnd.nextInt(20).toLong))
+      .filter { case (a, b) => a != b }
+      .map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+      .distinct
+    val got = runPageRank(edges)
+    val want = densePageRank(edges, 5, 0.85)
+    assert(got.keySet == want.keySet)
+    got.foreach { case (k, v) =>
+      assert(math.abs(v - want(k)) < 1e-9, s"node $k: $v vs ${want(k)}")
+    }
+    assert(math.abs(got.values.sum - 1.0) < 1e-9, "total rank must be conserved")
+  }
+
+  test("triangle query gates hold and counts are consistent at sf0.001") {
+    val r = SparkEntry.queries("graph_triangles")(spark, sf).head()
+    val (nodes, edges, wedges, tris) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    assert(nodes > 0 && edges > 0)
+    assert(tris <= wedges, "every triangle closes a wedge")
+    // each triangle contributes 3 closed wedges among the wedge count
+    assert(3 * tris <= wedges)
+  }
+
+  test("triangles: known graphs (triangle, square, K4)") {
+    def countTris(edges: Seq[(Long, Long)]): Long = {
+      val e = edges.toDF("pa", "pb").distinct()
+      val sym = e.select($"pa".as("u"), $"pb".as("v"))
+        .union(e.select($"pb".as("u"), $"pa".as("v")))
+      val deg = sym.groupBy($"u").agg(count(lit(1)).as("d"))
+      val withDeg = e
+        .join(deg.select($"u".as("pa"), $"d".as("da")), Seq("pa"))
+        .join(deg.select($"u".as("pb"), $"d".as("db")), Seq("pb"))
+      val oriented = withDeg.select(
+        when($"da" < $"db" || ($"da" === $"db" && $"pa" < $"pb"),
+          struct($"pa".as("s"), $"pb".as("t"), $"db".as("dt")))
+          .otherwise(struct($"pb".as("s"), $"pa".as("t"), $"da".as("dt")))
+          .as("e"))
+        .select($"e.s".as("s"), $"e.t".as("t"), $"e.dt".as("dt"))
+      val e1 = oriented.select($"s", $"t".as("v"), $"dt".as("dv"))
+      val e2 = oriented.select($"s", $"t".as("w"), $"dt".as("dw"))
+      e1.join(e2, Seq("s"))
+        .filter($"dv" < $"dw" || ($"dv" === $"dw" && $"v" < $"w"))
+        .select($"v".as("s"), $"w".as("t"))
+        .join(oriented.select($"s", $"t"), Seq("s", "t"))
+        .count()
+    }
+    assert(countTris(Seq((1L, 2L), (2L, 3L), (1L, 3L))) == 1L)
+    assert(countTris(Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L))) == 0L)
+    // K4 has 4 triangles
+    val k4 = for { a <- 1L to 4L; b <- (a + 1) to 4L } yield (a, b)
+    assert(countTris(k4) == 4L)
+  }
+
+  test("pagerank query gates hold at sf0.001") {
+    val r = SparkEntry.queries("graph_pagerank")(spark, sf).head()
+    assert(r.getBoolean(4), "rank_sum_ok must hold")
+    assert(r.getBoolean(5), "rank_positive_ok must hold")
+    assert(r.getLong(3) > 0, "hub degree positive")
+  }
+}

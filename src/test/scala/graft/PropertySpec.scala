@@ -194,4 +194,60 @@ class PropertySpec extends AnyFunSuite {
     assert(got.collect().map(r => (r.getLong(0), r.getLong(1))).toSet == expected)
     got.unpersist()
   }
+
+  test("weighted theta ≡ exact distinct-weighted sum across regimes and k") {
+    for (seed <- Seq(3, 5); k <- Seq(64, 512)) {
+      val rnd = new java.util.Random(seed)
+      // distinct count sweeps below/around/above k; weights from a
+      // skewed law; every key repeated up to 3 times
+      for (nDistinct <- Seq(k / 2, k, k * 8)) {
+        val sk = new graft.plans.WeightedThetaSketch(k)
+        var exact = 0.0
+        (0 until nDistinct).foreach { _ =>
+          val key = rnd.nextLong()
+          val w = math.exp(rnd.nextGaussian()) // lognormal skew
+          exact += w
+          val reps = 1 + rnd.nextInt(3)
+          (0 until reps).foreach(_ => sk.update(key, w))
+        }
+        val est = sk.estimateSum()
+        val tol = if (nDistinct < k) 1e-9 else 4.0 / math.sqrt(k) * exact
+        assert(math.abs(est - exact) <= tol,
+          s"seed=$seed k=$k n=$nDistinct: est $est vs exact $exact")
+      }
+    }
+  }
+
+  test("morton z-order round-trips: bit de-interleave recovers both dims") {
+    // the same spreading algebra q53 uses, checked against direct bit
+    // interleaving for every 8-bit pair on a sampled grid
+    def spread(x: Long): Long = {
+      val x1 = (x | (x << 4)) & 0x0F0FL
+      val x2 = (x1 | (x1 << 2)) & 0x3333L
+      (x2 | (x2 << 1)) & 0x5555L
+    }
+    def reference(px: Long, sx: Long): Long = {
+      var z = 0L
+      (0 until 8).foreach { i =>
+        z |= ((px >> i) & 1L) << (2 * i)
+        z |= ((sx >> i) & 1L) << (2 * i + 1)
+      }
+      z
+    }
+    for (px <- 0L until 256L by 7L; sx <- 0L until 256L by 11L) {
+      val z = (spread(sx) << 1) | spread(px)
+      assert(z == reference(px, sx), s"($px, $sx)")
+      // locality: the top 6 bits (q53's file id) fix both
+      // coordinates' top 3 bits — de-interleave and compare
+      val fileOf = z >> 10
+      val pxBlock = px >> 5; val sxBlock = sx >> 5
+      // reconstruct blocks from the file id by de-interleaving 6 bits
+      var rp = 0L; var rs = 0L
+      (0 until 3).foreach { i =>
+        rp |= ((fileOf >> (2 * i)) & 1L) << i
+        rs |= ((fileOf >> (2 * i + 1)) & 1L) << i
+      }
+      assert(rp == pxBlock && rs == sxBlock, s"block mismatch at ($px, $sx)")
+    }
+  }
 }

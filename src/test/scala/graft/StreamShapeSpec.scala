@@ -1,0 +1,191 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.{EventsStream, KafkaShape}
+
+class StreamShapeSpec extends AnyFunSuite {
+  import TestSession._
+  import spark.implicits._
+
+  test("weighted reservoir: multi-trigger shuffled arrival matches batch top-R") {
+    implicit val sqlCtx = spark.sqlContext
+    // 60 docs across 2 sources with varied weights, delivered over 3
+    // triggers in an order unrelated to doc id
+    val docs = (1L to 60L).map(d =>
+      (if (d % 2 == 0) "a" else "b", d, 10.0 + (d % 7) * 25.0))
+    val df = docs.toDF("source", "doc_id", "w")
+      .select(col("source"), col("doc_id"),
+        (log((shiftrightunsigned(xxhash64(col("doc_id")), 11) + 1).cast("double")
+          / lit((1L << 53).toDouble)) / col("w")).as("akey"))
+    val all = df.as[EventsStream.DocKey].collect()
+    val shuffled = new scala.util.Random(5).shuffle(all.toSeq)
+    val stream = MemoryStream[EventsStream.DocKey]
+    val q = stream.toDS()
+      .groupByKey(_.source)
+      .flatMapGroupsWithState(OutputMode.Update(), GroupStateTimeout.NoTimeout)(
+        EventsStream.weightedSampleFn _)
+      .toDF()
+      .writeStream.outputMode(OutputMode.Update())
+      .format("memory").queryName("wsample_test").start()
+    try {
+      shuffled.grouped(20).foreach { batch =>
+        stream.addData(batch); q.processAllAvailable()
+      }
+    } finally q.stop()
+    val finalRows = spark.table("wsample_test")
+      .groupBy(col("source"))
+      .agg(max(struct(col("n_seen"), col("sample_ids"))).as("m"))
+      .select(col("source"), col("m.n_seen"), col("m.sample_ids"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getSeq[Long](2))).toMap
+    // batch reference: top-R by (akey desc, id) per source
+    val batch = all.groupBy(_.source).view.mapValues { rows =>
+      rows.sortBy(r => (-r.akey, r.doc_id)).take(EventsStream.SampleR)
+        .map(_.doc_id).sorted.toSeq
+    }.toMap
+    assert(finalRows.keySet == batch.keySet)
+    batch.foreach { case (src, want) =>
+      val (n, got) = finalRows(src)
+      assert(n == all.count(_.source == src))
+      assert(got == want, s"source $src: $got vs $want")
+    }
+  }
+
+  test("weighted reservoir: heavier docs are sampled more often") {
+    // two weight classes; across many independent id-universes the
+    // heavy class must win proportionally more slots
+    val heavyIds = (1L to 50L); val lightIds = (51L to 100L)
+    val df = (heavyIds.map((_, 1000.0)) ++ lightIds.map((_, 1.0)))
+      .toDF("doc_id", "w")
+      .select(col("doc_id"),
+        (log((shiftrightunsigned(xxhash64(col("doc_id")), 11) + 1).cast("double")
+          / lit((1L << 53).toDouble)) / col("w")).as("akey"))
+    val top = df.orderBy(col("akey").desc, col("doc_id"))
+      .limit(10).select(col("doc_id")).as[Long].collect()
+    val heavy = top.count(_ <= 50L)
+    assert(heavy >= 8, s"heavy class won only $heavy of 10 slots")
+  }
+
+  test("changelog latest: out-of-order delivery across triggers still converges") {
+    implicit val sqlCtx = spark.sqlContext
+    // 3 users × 10 events in REVERSE event-time order across triggers:
+    // the materialized latest must still be the max-(ts, id) event
+    val evs = for { u <- 1L to 3L; i <- 1L to 10L } yield
+      EventsStream.KeyedEv(u, 1000000L * i, u * 100 + i, i * 1.5)
+    val reversed = evs.sortBy(e => -e.tsMicros)
+    val stream = MemoryStream[EventsStream.KeyedEv]
+    val q = stream.toDS()
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Update(), GroupStateTimeout.NoTimeout)(
+        EventsStream.latestFn _)
+      .toDF()
+      .writeStream.outputMode(OutputMode.Update())
+      .format("memory").queryName("latest_test").start()
+    try {
+      reversed.grouped(10).foreach { b => stream.addData(b); q.processAllAvailable() }
+    } finally q.stop()
+    val got = spark.table("latest_test")
+      .groupBy(col("user_id"))
+      .agg(max(struct(col("n_events"), col("last_event_id"), col("last_value"))).as("m"))
+      .select(col("user_id"), col("m.n_events"), col("m.last_event_id"), col("m.last_value"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toMap
+    (1L to 3L).foreach { u =>
+      assert(got(u) == ((10L, u * 100 + 10, 15.0)), s"user $u: ${got(u)}")
+    }
+  }
+
+  test("zorder layout: z-clustering prunes the box, natural layout does not") {
+    val r = SparkEntry.queries("q53_zorder_layout")(spark, sf).head()
+    val (nz, pz, nn, pn) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    assert(r.getBoolean(5), "zorder_wins must hold")
+    // the box spans 2 of 8 px blocks × 2 of 8 sx blocks = at most 4
+    // of the (up to) 64 z-files survive
+    assert(nz - pz <= 4, s"z-layout left ${nz - pz} unpruned files")
+    assert(pn == 0L, s"natural layout should prune nothing, pruned $pn of $nn")
+  }
+
+  test("incremental aggregate merge is exact") {
+    val rows = SparkEntry.queries("q54_incremental_agg")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getBoolean(4), s"${r.getString(0)}: merge drifted"))
+  }
+
+  test("item recs: scores normalized, ranked, self-free") {
+    val rows = SparkEntry.queries("graph_item_recs")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getLong(0)).foreach { case (part, rs) =>
+      val ranks = rs.map(_.getLong(1)).sorted
+      assert(ranks.zipWithIndex.forall { case (rk, i) => rk == i + 1 },
+        s"part $part: ranks not 1..k")
+      val scores = rs.sortBy(_.getLong(1)).map(_.getDouble(4))
+      assert(scores.zip(scores.tail).forall { case (a, b) => a >= b },
+        s"part $part: scores not non-increasing")
+      rs.foreach { r =>
+        assert(r.getLong(2) != part, "self-recommendation")
+        assert(r.getDouble(4) > 0.0 && r.getDouble(4) <= 1.0)
+      }
+    }
+  }
+
+  test("passage dedup: identical docs are fully duplicated passages") {
+    val rows = SparkEntry.queries("text_passage_dedup")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(1), "dup passages bounded by total")
+      assert(r.getBoolean(3) == (r.getLong(2) * 2 < r.getLong(1)))
+    }
+    // the corpus has exact duplicate docs (dedup_exact finds them):
+    // every passage of a duplicated doc is duplicated ⇒ keep = false
+    val t = graft.sources.Tables(spark, sf)
+    val dupDocs = t.documents
+      .groupBy(lower(col("text")).as("k"))
+      .agg(count(lit(1)).as("c"), min(col("doc_id")).as("d0"))
+      .filter(col("c") > 1).count()
+    if (dupDocs > 0) {
+      assert(rows.exists(!_.getBoolean(3)), "no doc crossed the 50% drop rule")
+    }
+  }
+
+  test("kafka shape: staged topic has contiguous offsets and key-stable partitions") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_kafka_spec")
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm); f.delete()
+    }
+    try {
+      val df = (1L to 200L).map(i => (i % 17, i, s"payload-$i",
+        new java.sql.Timestamp(1700000000000L + i * 1000)))
+        .toDF("k", "event_id", "payload", "ts")
+      KafkaShape.stageTopic(df, "k", "payload", "ts", "event_id",
+        topic = "t", nPartitions = 4, path = tmp.toString)
+      val staged = spark.read.schema(KafkaShape.kafkaSchema).parquet(tmp.toString)
+      assert(staged.count() == 200)
+      // per-partition offsets are 0..n-1 with no gaps
+      staged.groupBy(col("partition"))
+        .agg(count(lit(1)).as("n"), min(col("offset")).as("lo"),
+          max(col("offset")).as("hi"),
+          countDistinct(col("offset")).as("nd"))
+        .collect().foreach { r =>
+          val (n, lo, hi, nd) =
+            (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+          assert(lo == 0L, "offsets start at 0")
+          assert(hi == n - 1, "offsets contiguous")
+          assert(nd == n, "offsets distinct")
+        }
+      // all messages of one key land in one partition
+      val spread = staged
+        .select(col("key").cast("string").as("k"), col("partition"))
+        .groupBy(col("k")).agg(countDistinct(col("partition")).as("np"))
+        .agg(max(col("np"))).head.getLong(0)
+      assert(spread == 1L, "a key spread across partitions")
+      // payload round-trips through the binary value column
+      val back = staged.select(col("value").cast("string").as("p"))
+        .orderBy(col("p")).as[String].collect().toSet
+      assert(back == (1L to 200L).map(i => s"payload-$i").toSet)
+    } finally rm(tmp.toFile)
+  }
+}
