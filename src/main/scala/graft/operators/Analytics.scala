@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DecimalType, DoubleType}
@@ -331,7 +331,192 @@ object Analytics {
     """)
   )
 
+  /** Session gap for q54 — shares the streaming family's definition
+    * (EventsStream.SessionGapMinutes) so batch funnels and streaming
+    * sessions agree on what a "session" is.
+    */
+  private val SessionGapMicros =
+    graft.streaming.EventsStream.SessionGapMinutes * 60L * 1000000L
+
+  /** Funnel conversion WITHIN session boundaries: events are first
+    * sessionized (30-minute silence closes a session — the same gap
+    * rule the streaming family uses), then the view → click → purchase
+    * staged funnel runs per (user, session) instead of per user. This
+    * is the composition ROADMAP named: a user who views today and
+    * purchases next week no longer converts.
+    *
+    * Plan shape: ONE user_id exchange serves everything — the lag
+    * window, the running-sum session id, the three chained conditional
+    * MINs (their (user_id, session_id) partition is satisfied by the
+    * user_id hash partitioning — Spark only adds a sort), and the
+    * final per-session aggregation. No self-joins, no re-scans.
+    */
+  val q56SessionizedFunnel = GraftQuery(
+    "q56_sessionized_funnel",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val wOrd = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val wRun = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val sess = t.events
+        .select(col("user_id"), col("event_id"), col("event_type"), col("ts"))
+        .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(wOrd))
+        .withColumn("new_session",
+          (col("prev_us").isNull ||
+            unix_micros(col("ts")) - col("prev_us") > SessionGapMicros)
+            .cast("long"))
+        .withColumn("session_id", sum(col("new_session")).over(wRun))
+      val wSess = Window.partitionBy(col("user_id"), col("session_id"))
+      sess
+        .withColumn("t_view",
+          min(when(col("event_type") === "view", col("ts"))).over(wSess))
+        .withColumn("t_click",
+          min(when(col("event_type") === "click" && col("ts") > col("t_view"),
+            col("ts"))).over(wSess))
+        .withColumn("t_purchase",
+          min(when(col("event_type") === "purchase" && col("ts") > col("t_click"),
+            col("ts"))).over(wSess))
+        .groupBy(col("user_id"), col("session_id"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          tsString(min(col("ts"))).as("session_start_s"),
+          (first(col("t_view")).isNotNull.cast("long")
+            + first(col("t_click")).isNotNull.cast("long")
+            + first(col("t_purchase")).isNotNull.cast("long")).as("funnel_depth"))
+        .orderBy(col("user_id"), col("session_id"))
+    },
+    Some(s"""
+      WITH e AS (
+        SELECT user_id, event_id, event_type, ts,
+               lag(epoch_us(ts)) OVER w AS prev_us
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      sess AS (
+        SELECT *, CAST(SUM(CASE WHEN prev_us IS NULL
+                      OR epoch_us(ts) - prev_us > $SessionGapMicros
+                    THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+        FROM e),
+      st1 AS (
+        SELECT *, MIN(CASE WHEN event_type = 'view' THEN ts END)
+                 OVER (PARTITION BY user_id, session_id) AS t_view
+        FROM sess),
+      st2 AS (
+        SELECT *, MIN(CASE WHEN event_type = 'click' AND ts > t_view THEN ts END)
+                 OVER (PARTITION BY user_id, session_id) AS t_click
+        FROM st1),
+      st3 AS (
+        SELECT *, MIN(CASE WHEN event_type = 'purchase' AND ts > t_click THEN ts END)
+                 OVER (PARTITION BY user_id, session_id) AS t_purchase
+        FROM st2)
+      SELECT user_id, session_id,
+             COUNT(*) AS n_events,
+             strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start_s,
+             CAST(CASE WHEN MIN(t_view) IS NULL THEN 0 ELSE 1 END
+                + CASE WHEN MIN(t_click) IS NULL THEN 0 ELSE 1 END
+                + CASE WHEN MIN(t_purchase) IS NULL THEN 0 ELSE 1 END AS BIGINT)
+               AS funnel_depth
+      FROM st3
+      GROUP BY user_id, session_id
+      ORDER BY user_id, session_id
+    """)
+  )
+
+  /** Declarative data-quality constraint suite (the Deequ shape): each
+    * constraint is one row — name, exact metric, pass flag — so a
+    * pipeline can gate ingestion on `bool_and(passed)`. Metrics are
+    * ratios of exact BIGINT counts evaluated in one correctly-rounded
+    * double division, so they hash identically across engines.
+    *
+    * Scale shape: completeness/uniqueness/range/accepted-values are
+    * single map-side-combined scans of one table each; referential
+    * integrity is the only join (left-anti on the key, AQE-handled).
+    * The union of six 1-row frames is driver-free.
+    */
+  val q55DqConstraints = GraftQuery(
+    "q55_dq_constraints",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      def ratio(num: Column, den: Column): Column =
+        (num.cast("long").cast(DoubleType) / den.cast("long").cast(DoubleType))
+      def row(name: String, df: DataFrame): DataFrame =
+        df.select(lit(name).as("constraint_name"), col("metric"), col("passed"))
+      val completeness = row("completeness:o_custkey",
+        t.orders.agg(
+          ratio(count(col("o_custkey")), count(lit(1))).as("metric"),
+          (count(col("o_custkey")) === count(lit(1))).as("passed")))
+      val uniqueness = row("uniqueness:o_orderkey",
+        t.orders.agg(
+          ratio(count_distinct(col("o_orderkey")), count(lit(1))).as("metric"),
+          (count_distinct(col("o_orderkey")) === count(lit(1))).as("passed")))
+      val orphans = t.lineitem.select(col("l_orderkey"))
+        .join(t.orders.select(col("o_orderkey")),
+          col("l_orderkey") === col("o_orderkey"), "left_anti")
+      val refIntegrity = row("fk:lineitem.l_orderkey->orders",
+        orphans.agg(
+          count(lit(1)).cast(DoubleType).as("metric"),
+          (count(lit(1)) === 0).as("passed")))
+      val range = row("range:l_discount[0,0.1]",
+        t.lineitem.agg(
+          ratio(sum((col("l_discount") >= 0 && col("l_discount") <= 0.1)
+            .cast("long")), count(lit(1))).as("metric"),
+          (sum((col("l_discount") >= 0 && col("l_discount") <= 0.1)
+            .cast("long")) === count(lit(1))).as("passed")))
+      val accepted = row("accepted:o_orderstatus{F,O,P}",
+        t.orders.agg(
+          ratio(sum(col("o_orderstatus").isin("F", "O", "P").cast("long")),
+            count(lit(1))).as("metric"),
+          (sum(col("o_orderstatus").isin("F", "O", "P").cast("long"))
+            === count(lit(1))).as("passed")))
+      val positive = row("positive:l_quantity>0",
+        t.lineitem.agg(
+          ratio(sum((col("l_quantity") > 0).cast("long")), count(lit(1)))
+            .as("metric"),
+          (sum((col("l_quantity") > 0).cast("long")) === count(lit(1)))
+            .as("passed")))
+      completeness.unionByName(uniqueness).unionByName(refIntegrity)
+        .unionByName(range).unionByName(accepted).unionByName(positive)
+        .orderBy(col("constraint_name"))
+    },
+    Some("""
+      SELECT 'completeness:o_custkey' AS constraint_name,
+             CAST(COUNT(o_custkey) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS metric,
+             COUNT(o_custkey) = COUNT(*) AS passed
+      FROM orders
+      UNION ALL
+      SELECT 'uniqueness:o_orderkey',
+             CAST(COUNT(DISTINCT o_orderkey) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE),
+             COUNT(DISTINCT o_orderkey) = COUNT(*)
+      FROM orders
+      UNION ALL
+      SELECT 'fk:lineitem.l_orderkey->orders',
+             CAST(COUNT(*) AS DOUBLE),
+             COUNT(*) = 0
+      FROM lineitem WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)
+      UNION ALL
+      SELECT 'range:l_discount[0,0.1]',
+             CAST(SUM(CASE WHEN l_discount BETWEEN 0 AND 0.1 THEN 1 ELSE 0 END) AS DOUBLE)
+               / CAST(COUNT(*) AS DOUBLE),
+             SUM(CASE WHEN l_discount BETWEEN 0 AND 0.1 THEN 1 ELSE 0 END) = COUNT(*)
+      FROM lineitem
+      UNION ALL
+      SELECT 'accepted:o_orderstatus{F,O,P}',
+             CAST(SUM(CASE WHEN o_orderstatus IN ('F','O','P') THEN 1 ELSE 0 END) AS DOUBLE)
+               / CAST(COUNT(*) AS DOUBLE),
+             SUM(CASE WHEN o_orderstatus IN ('F','O','P') THEN 1 ELSE 0 END) = COUNT(*)
+      FROM orders
+      UNION ALL
+      SELECT 'positive:l_quantity>0',
+             CAST(SUM(CASE WHEN l_quantity > 0 THEN 1 ELSE 0 END) AS DOUBLE)
+               / CAST(COUNT(*) AS DOUBLE),
+             SUM(CASE WHEN l_quantity > 0 THEN 1 ELSE 0 END) = COUNT(*)
+      FROM lineitem
+      ORDER BY constraint_name
+    """)
+  )
+
   def all: Seq[GraftQuery] =
     Seq(q46Funnel, q47CohortRetention, q48AnomalyExact, q49Scd2Versions,
-      q51StatsProfile, q52ColumnProfile)
+      q51StatsProfile, q52ColumnProfile, q56SessionizedFunnel, q55DqConstraints)
 }

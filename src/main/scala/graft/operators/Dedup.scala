@@ -814,8 +814,92 @@ object Dedup {
     """)
   )
 
+  /** Survivorship (canonical record selection): within each NEAR-DUP
+    * cluster (connected components over the ≥0.5-Jaccard shingle pair
+    * graph — dedup_clusters' groups), keep the record the survivorship
+    * RULE picks rather than blindly the min id: longest raw text wins,
+    * doc_id ascending breaks ties. The output is the master-data
+    * crosswalk — one row per NON-surviving duplicate mapping it to its
+    * canonical survivor — which is what a downstream pipeline joins
+    * against to rewrite references. (Keyed on the cluster graph, not
+    * the exact-content hash: the test corpora contain near-dups but
+    * zero byte-identical ones, and the exact case is this one with a
+    * degenerate pair graph.)
+    *
+    * Scale shape: the pair graph and CC labels are the shared frames
+    * the sibling dedup queries already materialize; on top of them the
+    * rule is a per-cluster max_by over (length, −doc_id) — one
+    * struct-max aggregation, no window — and the crosswalk join back
+    * reuses the cluster-id partitioning.
+    */
+  val dedupSurvivorship = GraftQuery(
+    "dedup_survivorship",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val pairs = jaccardPairsShared(s, dir, MaxShingleDf)
+      val cc = connectedComponents(pairs, "ia", "ib")
+      val lens = t.documents
+        .select(col("doc_id"), length(col("text")).cast("long").as("n_len"))
+      val labeled = cc
+        .select(col("node").as("doc_id"), col("label").as("cluster_id"))
+        .join(lens, Seq("doc_id"))
+      // survivor per cluster: max over (n_len asc, doc_id desc) ⇒ the
+      // longest text, smallest doc_id on ties — one struct-max agg
+      val survivors = labeled
+        .groupBy(col("cluster_id"))
+        .agg(
+          max(struct(col("n_len"), (-col("doc_id")).as("neg_id"))).as("best"),
+          count(lit(1)).as("n_members"))
+        .select(col("cluster_id"), (-col("best.neg_id")).as("survivor_id"),
+          col("n_members"))
+      val out = labeled.join(survivors, Seq("cluster_id"))
+        .filter(col("doc_id") =!= col("survivor_id"))
+        .select(col("doc_id").as("duplicate_id"), col("survivor_id"),
+          col("n_members"))
+        .orderBy(col("duplicate_id"))
+      out.persist().count()
+      cc.unpersist(false)
+      out
+    },
+    Some("""
+      WITH RECURSIVE sh AS (
+        SELECT doc_id,
+               list_distinct(list_transform(
+                 range(1, greatest(len(string_split_regex(lower(text), '\s+')) - 1, 1)),
+                 i -> string_split_regex(lower(text), '\s+')[i] || ' ' ||
+                      string_split_regex(lower(text), '\s+')[i+1] || ' ' ||
+                      string_split_regex(lower(text), '\s+')[i+2])) AS s
+        FROM documents),
+      p AS (
+        SELECT a.doc_id AS ia, b.doc_id AS ib
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.5),
+      e AS (SELECT ia AS a, ib AS b FROM p UNION SELECT ib, ia FROM p),
+      reach(node, label) AS (
+        SELECT a, a FROM (SELECT DISTINCT a FROM e) t
+        UNION
+        SELECT e.b, r.label FROM reach r JOIN e ON e.a = r.node),
+      clusters AS (
+        SELECT node AS doc_id, MIN(label) AS cluster_id
+        FROM reach GROUP BY node),
+      labeled AS (
+        SELECT c.doc_id, c.cluster_id, CAST(length(d.text) AS BIGINT) AS n_len
+        FROM clusters c JOIN documents d ON c.doc_id = d.doc_id),
+      survivors AS (
+        SELECT cluster_id,
+               (array_agg(doc_id ORDER BY n_len DESC, doc_id))[1] AS survivor_id,
+               COUNT(*) AS n_members
+        FROM labeled GROUP BY cluster_id)
+      SELECT lb.doc_id AS duplicate_id, s.survivor_id, s.n_members
+      FROM labeled lb JOIN survivors s ON lb.cluster_id = s.cluster_id
+      WHERE lb.doc_id <> s.survivor_id
+      ORDER BY duplicate_id
+    """)
+  )
+
   def all: Seq[GraftQuery] = Seq(
     dedupExact, dedupNgramJaccard, dedupMinhashLsh, dedupSimhash,
-    dedupEmbeddingCosine, dedupClusters, dedupMultisignal
+    dedupEmbeddingCosine, dedupClusters, dedupMultisignal, dedupSurvivorship
   )
 }

@@ -300,6 +300,94 @@ object Graph {
     """)
   )
 
+  /** Similar customers per customer in the projection output. */
+  val SimilarPerCustomer = 3
+
+  /** Bipartite projection: the customer–part purchase graph projected
+    * onto customers — two customers are similar by the Jaccard of
+    * their distinct part sets. The ROADMAP round-5 candidate: the
+    * collaborative-filtering neighborhood build.
+    *
+    * Scale shape: the projection self-join keys on the part — per-part
+    * fan-out is the part's buyer count, so a hot part is the skew
+    * risk; the same df-cap + exact-correction pattern the shingle
+    * dedup family uses applies when buyer counts outgrow the uniform
+    * assumption (documented, not needed at test SF where buyer counts
+    * are tens). Set sizes are a dimension-sized frame joined back
+    * broadcast; Jaccard = shared/(na+nb−shared) is one correctly-
+    * rounded double division of exact BIGINTs — bit-identical across
+    * engines. One window per customer picks top-3 (tie-broken on the
+    * neighbor id).
+    */
+  val graphCustomerSimilarity = GraftQuery(
+    "graph_customer_similarity",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val cp = t.orders.select(col("o_orderkey"), col("o_custkey"))
+        .join(t.lineitem.select(col("l_orderkey"), col("l_partkey")),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("c"), col("l_partkey").as("p"))
+        .distinct()
+        .cache()
+      val sizes = cp.groupBy(col("c")).agg(count(lit(1)).as("n_parts"))
+      val pairs = cp.as("a").join(cp.as("b"),
+          col("a.p") === col("b.p") && col("a.c") < col("b.c"))
+        .groupBy(col("a.c").as("ca"), col("b.c").as("cb"))
+        .agg(count(lit(1)).as("shared"))
+      val sym = pairs.select(col("ca").as("cu"), col("cb").as("cv"), col("shared"))
+        .union(pairs.select(col("cb").as("cu"), col("ca").as("cv"), col("shared")))
+      val scored = sym
+        .join(broadcast(sizes.select(col("c").as("cu"), col("n_parts").as("nu"))),
+          Seq("cu"))
+        .join(broadcast(sizes.select(col("c").as("cv"), col("n_parts").as("nv"))),
+          Seq("cv"))
+        .select(col("cu"), col("cv"), col("shared"),
+          (col("shared").cast(DoubleType) /
+            (col("nu") + col("nv") - col("shared")).cast(DoubleType))
+            .as("jaccard"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("cu")).orderBy(col("jaccard").desc, col("cv"))
+      val out = scored
+        .withColumn("sim_rank", row_number().over(w).cast("long"))
+        .filter(col("sim_rank") <= SimilarPerCustomer)
+        .select(col("cu").as("customer"), col("sim_rank"),
+          col("cv").as("similar_customer"), col("shared").as("n_shared_parts"),
+          col("jaccard"))
+        .orderBy(col("customer"), col("sim_rank"))
+      out.persist().count()
+      cp.unpersist(false)
+      out
+    },
+    Some("""
+      WITH cp AS (
+        SELECT DISTINCT o.o_custkey AS c, l.l_partkey AS p
+        FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+      sizes AS (SELECT c, COUNT(*) AS n_parts FROM cp GROUP BY c),
+      pairs AS (
+        SELECT a.c AS ca, b.c AS cb, COUNT(*) AS shared
+        FROM cp a JOIN cp b ON a.p = b.p AND a.c < b.c
+        GROUP BY 1, 2),
+      sym AS (
+        SELECT ca AS cu, cb AS cv, shared FROM pairs
+        UNION ALL SELECT cb, ca, shared FROM pairs),
+      scored AS (
+        SELECT s.cu, s.cv, s.shared,
+               CAST(s.shared AS DOUBLE)
+                 / CAST(su.n_parts + sv.n_parts - s.shared AS DOUBLE) AS jaccard
+        FROM sym s JOIN sizes su ON s.cu = su.c JOIN sizes sv ON s.cv = sv.c),
+      ranked AS (
+        SELECT cu, cv, shared, jaccard,
+               CAST(row_number() OVER (PARTITION BY cu ORDER BY jaccard DESC, cv)
+                 AS BIGINT) AS sim_rank
+        FROM scored)
+      SELECT cu AS customer, sim_rank, cv AS similar_customer,
+             shared AS n_shared_parts, jaccard
+      FROM ranked WHERE sim_rank <= 3
+      ORDER BY customer, sim_rank
+    """)
+  )
+
   def all: Seq[GraftQuery] =
-    Seq(graphDegreeStats, graphTriangles, graphPagerank, graphItemRecs)
+    Seq(graphDegreeStats, graphTriangles, graphPagerank, graphItemRecs,
+      graphCustomerSimilarity)
 }

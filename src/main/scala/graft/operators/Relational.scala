@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.DoubleType
 
 import graft.GraftQuery
 import graft.sources.Tables
@@ -1612,6 +1613,133 @@ object Relational {
     """)
   )
 
+  /** Top-k JOIN with candidate pruning (the ROADMAP "approximate
+    * top-k join" in its exact form): find the top-10 customers by
+    * lifetime revenue WITH their customer/nation attributes. The
+    * naive plan joins the full fact table through two dimensions and
+    * aggregates last; this plan inverts it — aggregate the fact table
+    * FIRST (map-side-combined, one shuffle on o_custkey), take the
+    * bounded top-k, and only then join the 10-row candidate frame
+    * (broadcast) against the dimensions. The dimension join cost goes
+    * from |fact| to k. When even the pre-aggregation's key domain is
+    * too hot to hold, a frequent-items sketch (text_heavy_hitters'
+    * MGHeavyHitters) supplies the candidate set with the same
+    * prune-then-verify shape and an n/k frequency guarantee.
+    *
+    * The revenue rides as DECIMAL through the top-k comparison, so
+    * candidate selection has no float ambiguity; ties broken by
+    * custkey.
+    */
+  val q57TopkJoinPushdown = GraftQuery(
+    "q57_topk_join_pushdown",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val topk = t.orders
+        .groupBy(col("o_custkey"))
+        .agg(sum(dec2(col("o_totalprice"))).as("revenue_dec"),
+          count(lit(1)).as("n_orders"))
+        .orderBy(col("revenue_dec").desc, col("o_custkey"))
+        .limit(10)
+      broadcast(topk)
+        .join(t.customer, col("o_custkey") === col("c_custkey"))
+        .join(t.nation, col("c_nationkey") === col("n_nationkey"))
+        .select(col("o_custkey").as("custkey"), col("c_name"),
+          col("n_name").as("nation"), col("n_orders"),
+          col("revenue_dec").cast(DoubleType).as("revenue"))
+        .orderBy(col("revenue").desc, col("custkey"))
+    },
+    Some("""
+      WITH topk AS (
+        SELECT o_custkey,
+               SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS revenue_dec,
+               COUNT(*) AS n_orders
+        FROM orders
+        GROUP BY o_custkey
+        ORDER BY revenue_dec DESC, o_custkey
+        LIMIT 10)
+      SELECT t.o_custkey AS custkey, c.c_name, n.n_name AS nation,
+             t.n_orders, CAST(t.revenue_dec AS DOUBLE) AS revenue
+      FROM topk t
+      JOIN customer c ON t.o_custkey = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      ORDER BY revenue DESC, custkey
+    """)
+  )
+
+  /** Per-user EWMA of event values with EXACT arithmetic: the
+    * exponentially-weighted moving average (α = 1/2) over the trailing
+    * 8 events, computed as a ratio of BIGINTs — value cents weighted
+    * by powers of two (128, 64, …, 1), denominator the sum of weights
+    * actually present — finished by ONE correctly-rounded double
+    * division. No accumulation-order float drift, so the smoothed
+    * series hashes identically across engines (same discipline as
+    * q48/q51). The trailing-window truncation is what makes exactness
+    * possible: an unbounded recursive EWMA would compound rounding,
+    * and weights below 2⁻⁸ are sub-cent noise anyway.
+    *
+    * Plan shape: 8 lag()s over one (user_id, ts, event_id) window —
+    * a single exchange + sort, map-side arithmetic after.
+    */
+  val q58EwmaSmoothing = GraftQuery(
+    "q58_ewma_smoothing",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val base = t.events
+        .select(col("user_id"), col("event_id"), col("ts"),
+          round(col("value") * 100).cast("long").as("cents"))
+      val lags = (0 until 8).map(j => lag(col("cents"), j).over(w).as(s"c$j"))
+      val lagged = base.select((col("user_id") +: col("event_id") +:
+        col("cents").as("cents") +: lags): _*)
+      val num = (0 until 8).map(j =>
+        when(col(s"c$j").isNotNull, col(s"c$j") * lit(1L << (7 - j)))
+          .otherwise(lit(0L))).reduce(_ + _)
+      val den = (0 until 8).map(j =>
+        when(col(s"c$j").isNotNull, lit(1L << (7 - j)))
+          .otherwise(lit(0L))).reduce(_ + _)
+      // nullif-guard: an all-null trailing window (possible only for a
+      // null-value event) must yield NULL on both engines, not
+      // Spark-NaN-vs-DuckDB-NULL
+      lagged
+        .select(col("user_id"), col("event_id"), col("cents"),
+          (num.cast(DoubleType) / nullif(den, lit(0L)).cast(DoubleType))
+            .as("ewma_cents"))
+        .orderBy(col("user_id"), col("event_id"))
+    },
+    Some("""
+      WITH base AS (
+        SELECT user_id, event_id, ts,
+               CAST(round(value * 100) AS BIGINT) AS cents
+        FROM events),
+      lagged AS (
+        SELECT user_id, event_id, cents,
+               lag(cents, 0) OVER w AS c0, lag(cents, 1) OVER w AS c1,
+               lag(cents, 2) OVER w AS c2, lag(cents, 3) OVER w AS c3,
+               lag(cents, 4) OVER w AS c4, lag(cents, 5) OVER w AS c5,
+               lag(cents, 6) OVER w AS c6, lag(cents, 7) OVER w AS c7
+        FROM base
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+      SELECT user_id, event_id, cents,
+             CAST(COALESCE(c0 * 128, 0) + COALESCE(c1 * 64, 0)
+                + COALESCE(c2 * 32, 0) + COALESCE(c3 * 16, 0)
+                + COALESCE(c4 * 8, 0) + COALESCE(c5 * 4, 0)
+                + COALESCE(c6 * 2, 0) + COALESCE(c7 * 1, 0) AS DOUBLE)
+             / CAST(NULLIF(
+                    CASE WHEN c0 IS NULL THEN 0 ELSE 128 END
+                  + CASE WHEN c1 IS NULL THEN 0 ELSE 64 END
+                  + CASE WHEN c2 IS NULL THEN 0 ELSE 32 END
+                  + CASE WHEN c3 IS NULL THEN 0 ELSE 16 END
+                  + CASE WHEN c4 IS NULL THEN 0 ELSE 8 END
+                  + CASE WHEN c5 IS NULL THEN 0 ELSE 4 END
+                  + CASE WHEN c6 IS NULL THEN 0 ELSE 2 END
+                  + CASE WHEN c7 IS NULL THEN 0 ELSE 1 END, 0) AS DOUBLE)
+               AS ewma_cents
+      FROM lagged
+      ORDER BY user_id, event_id
+    """)
+  )
+
   def all: Seq[GraftQuery] = Seq(
     q01PricingSummary, q02RevenueByNation, q03ShippingPriority,
     q04OrderPriorityExists, q05CustomersWithoutOrders, q06RevenueFilter,
@@ -1623,6 +1751,7 @@ object Relational {
     q32JsonRoundtrip, q33ApproxPercentile, q34BucketedJoin, q35KllQuantiles,
     q38ThetaDistinct, q39SaltedSkewJoin, q40SlidingDistinct, q41OrcRoundtrip,
     q42ThetaIntersect, q43QuantileBinning, q44UpsertSnapshot,
-    q45CsvRoundtrip, q50WeightedTheta, q53ZorderLayout, q54IncrementalAgg
+    q45CsvRoundtrip, q50WeightedTheta, q53ZorderLayout, q54IncrementalAgg,
+    q57TopkJoinPushdown, q58EwmaSmoothing
   )
 }

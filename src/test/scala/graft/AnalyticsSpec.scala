@@ -138,4 +138,102 @@ class AnalyticsSpec extends AnyFunSuite {
       assert(sorted.last.getString(4) == "9999-12-31 00:00:00")
     }
   }
+
+  test("sessionized funnel ≡ driver-side sessionize+funnel oracle at sf0.001") {
+    val rows = SparkEntry.queries("q56_sessionized_funnel")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // independent oracle: collect the raw events, sessionize and
+    // compute funnel depths imperatively
+    val gapUs = 30L * 60L * 1000000L
+    val evs = graft.sources.Tables(spark, sf).events
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    val expected = evs.groupBy(_._1).toSeq.flatMap { case (user, es) =>
+      val sorted = es.sortBy(e => (e._4, e._2))
+      val sessions = scala.collection.mutable.ArrayBuffer(
+        scala.collection.mutable.ArrayBuffer[(Long, String)]())
+      var prevUs = Long.MinValue
+      sorted.foreach { case (_, _, typ, us) =>
+        if (prevUs != Long.MinValue && us - prevUs > gapUs)
+          sessions += scala.collection.mutable.ArrayBuffer[(Long, String)]()
+        sessions.last += ((us, typ))
+        prevUs = us
+      }
+      sessions.zipWithIndex.map { case (s, i) =>
+        val tView = s.collectFirst { case (us, "view") => us }
+        val tClick = tView.flatMap(tv =>
+          s.collectFirst { case (us, "click") if us > tv => us })
+        val tPurch = tClick.flatMap(tc =>
+          s.collectFirst { case (us, "purchase") if us > tc => us })
+        ((user, (i + 1).toLong),
+          (s.size.toLong, Seq(tView, tClick, tPurch).count(_.isDefined).toLong))
+      }
+    }.toMap
+    assert(rows.length == expected.size, "session count mismatch")
+    rows.foreach { r =>
+      val key = (r.getLong(0), r.getLong(1))
+      val (nEvents, depth) = expected(key)
+      assert(r.getLong(2) == nEvents, s"$key: n_events")
+      assert(r.getLong(4) == depth, s"$key: funnel_depth")
+    }
+  }
+
+  test("dq constraints: clean tables pass; planted violations fail precisely") {
+    import spark.implicits._
+    // clean corpus: all six constraints green
+    val clean = SparkEntry.queries("q55_dq_constraints")(spark, sf).collect()
+    assert(clean.length == 6)
+    clean.foreach(r => assert(r.getBoolean(2), s"${r.getString(0)} failed on sf0.001"))
+    // planted corpus: null custkey, duplicate orderkey, an orphan
+    // lineitem, an out-of-range discount, a bad status, a zero quantity
+    val tmp = java.nio.file.Files.createTempDirectory("graft_dq").toString
+    Seq(
+      (Some(1L), 100L, "F", 10.0), (None, 101L, "O", 11.0),
+      (Some(3L), 101L, "X", 12.0)
+    ).toDF("o_custkey", "o_orderkey", "o_orderstatus", "o_totalprice")
+      .write.parquet(s"$tmp/orders.parquet")
+    Seq(
+      (100L, 0.05, 5.0), (101L, 0.5, 3.0), (999L, 0.02, 0.0)
+    ).toDF("l_orderkey", "l_discount", "l_quantity")
+      .write.parquet(s"$tmp/lineitem.parquet")
+    val planted = SparkEntry.queries("q55_dq_constraints")(spark, tmp)
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getBoolean(2))).toMap
+    assert(!planted("completeness:o_custkey")._2)
+    assert(math.abs(planted("completeness:o_custkey")._1 - 2.0 / 3.0) < 1e-12)
+    assert(!planted("uniqueness:o_orderkey")._2)
+    assert(!planted("fk:lineitem.l_orderkey->orders")._2)
+    assert(planted("fk:lineitem.l_orderkey->orders")._1 == 1.0) // one orphan
+    assert(!planted("range:l_discount[0,0.1]")._2)
+    assert(!planted("accepted:o_orderstatus{F,O,P}")._2)
+    assert(!planted("positive:l_quantity>0")._2)
+  }
+
+  test("ewma smoothing ≡ driver recompute at sf0.001") {
+    val rows = SparkEntry.queries("q58_ewma_smoothing")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val evs = graft.sources.Tables(spark, sf).events
+      .select(col("user_id"), col("event_id"),
+        round(col("value") * 100).cast("long").as("cents"),
+        unix_micros(col("ts")).as("us"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val expected = evs.groupBy(_._1).toSeq.flatMap { case (_, es) =>
+      val sorted = es.sortBy(e => (e._4, e._2))
+      sorted.zipWithIndex.map { case ((_, eid, _, _), i) =>
+        val window = sorted.slice(math.max(0, i - 7), i + 1).reverse
+        val num = window.zipWithIndex.map { case ((_, _, c, _), j) =>
+          c * (1L << (7 - j))
+        }.sum
+        val den = window.indices.map(j => 1L << (7 - j)).sum
+        eid -> num.toDouble / den.toDouble
+      }
+    }.toMap
+    rows.foreach { r =>
+      val want = expected(r.getLong(1))
+      assert(r.getDouble(3) == want, // bit-exact, no epsilon
+        s"event ${r.getLong(1)}: ${r.getDouble(3)} vs $want")
+    }
+  }
 }

@@ -121,4 +121,30 @@ class GraphSpec extends AnyFunSuite {
     assert(r.getBoolean(5), "rank_positive_ok must hold")
     assert(r.getLong(3) > 0, "hub degree positive")
   }
+
+  test("bipartite projection: hand-computed Jaccard on a tiny purchase graph") {
+    // cust 1 buys parts {1,2,3}; cust 2 {2,3}; cust 3 {3,4}
+    // jaccard(1,2) = 2/3, jaccard(1,3) = 1/4, jaccard(2,3) = 1/3
+    val tmp = java.nio.file.Files.createTempDirectory("graft_bip").toString
+    Seq((10L, 1L), (11L, 1L), (20L, 2L), (30L, 3L))
+      .toDF("o_orderkey", "o_custkey")
+      .write.parquet(s"$tmp/orders.parquet")
+    Seq(
+      (10L, 1L), (10L, 2L), (11L, 3L), (11L, 2L), // cust 1 (part 2 twice)
+      (20L, 2L), (20L, 3L),                       // cust 2
+      (30L, 3L), (30L, 4L)                        // cust 3
+    ).toDF("l_orderkey", "l_partkey")
+      .write.parquet(s"$tmp/lineitem.parquet")
+    val rows = SparkEntry.queries("graph_customer_similarity")(spark, tmp)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    assert(rows.size == 6, "each of 3 customers has 2 neighbors")
+    assert(rows((1L, 1L)) == ((2L, 2L, 2.0 / 3.0)))
+    assert(rows((1L, 2L)) == ((3L, 1L, 1.0 / 4.0)))
+    assert(rows((2L, 1L)) == ((1L, 2L, 2.0 / 3.0)))
+    assert(rows((2L, 2L)) == ((3L, 1L, 1.0 / 3.0)))
+    assert(rows((3L, 1L)) == ((2L, 1L, 1.0 / 3.0)))
+    assert(rows((3L, 2L)) == ((1L, 1L, 1.0 / 4.0)))
+  }
 }

@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.operators.Relational
@@ -142,5 +143,32 @@ class RelationalSpec extends AnyFunSuite {
     // every selected doc meets the floors
     val bad = sel.filter(col("quality") < 0.5 || col("n_tokens") < 30).count()
     assert(bad == 0)
+  }
+
+  test("q57 top-k pushdown ≡ naive join-then-aggregate; dims join broadcast") {
+    import TestSession.spark.implicits._
+    val df = SparkEntry.queries("q57_topk_join_pushdown")(spark, sf)
+    // the candidate frame is 10 rows, so BOTH dimension joins must be
+    // broadcast — no shuffle of customer/nation
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), "dim joins must broadcast")
+    assert(!plan.contains("SortMergeJoin"), "no shuffled dim join")
+    val got = df.collect().map(r =>
+      (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3), r.getDouble(4)))
+    // naive plan: join everything first, aggregate last
+    val t = graft.sources.Tables(spark, sf)
+    val naive = t.orders
+      .join(t.customer, col("o_custkey") === col("c_custkey"))
+      .join(t.nation, col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("o_custkey"), col("c_name"), col("n_name"))
+      .agg(
+        sum(col("o_totalprice").cast("decimal(12,2)")).as("rev"),
+        count(lit(1)).as("n_orders"))
+      .orderBy(col("rev").desc, col("o_custkey"))
+      .limit(10)
+      .collect().map(r =>
+        (r.getLong(0), r.getString(1), r.getString(2), r.getLong(4),
+          r.getDecimal(3).doubleValue))
+    assert(got.toSeq == naive.toSeq, "pushdown changed the answer")
   }
 }

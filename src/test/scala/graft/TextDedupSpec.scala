@@ -427,4 +427,26 @@ class TextDedupSpec extends AnyFunSuite {
       assert(topShare >= 1.0 / nTypes && topShare <= 1.0)
     }
   }
+
+  test("survivorship: longest raw text wins its cluster, min id on ties") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_surv").toString
+    // docs 1-3 share their only shingle ("a b c" — whitespace variants
+    // tokenize identically), so they form one Jaccard-1.0 cluster; doc
+    // 2 has the longest raw text and must survive. docs 4-5 are
+    // byte-identical (tie on length → min id 4 survives). doc 6 shares
+    // no shingle with anyone → no crosswalk row.
+    Seq(
+      (1L, "a b c"), (2L, "a  b   c"), (3L, "a b  c"),
+      (4L, "x y z w"), (5L, "x y z w"),
+      (6L, "totally different content here")
+    ).toDF("doc_id", "text")
+      .write.parquet(s"$tmp/documents.parquet")
+    val rows = SparkEntry.queries("dedup_survivorship")(spark, tmp)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(rows.size == 3, s"expected 3 non-survivors, got ${rows.keySet}")
+    assert(rows(1L) == ((2L, 3L)), "doc 1 maps to longest-text survivor 2")
+    assert(rows(3L) == ((2L, 3L)), "doc 3 maps to longest-text survivor 2")
+    assert(rows(5L) == ((4L, 2L)), "tie on length: min doc_id survives")
+  }
 }
