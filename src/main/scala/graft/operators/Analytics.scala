@@ -516,7 +516,88 @@ object Analytics {
     """)
   )
 
+  /** Winsorization (robust stats): per return flag, clip extended
+    * prices at the exact 1st/99th percentile and report how much mass
+    * the tails carried. Percentile thresholds are EXACT and integer —
+    * the value at sorted position ⌈p·n⌉ — but computed WITHOUT sorting
+    * the fact table: a per-(flag, cents) histogram first (one
+    * map-side-combined shuffle), then the cumulative window runs over
+    * the histogram's distinct values — domain-sized, orders of
+    * magnitude smaller than the rows. Clipped sums ride as DECIMAL.
+    * At 100 TB the same query swaps the exact histogram CDF for the
+    * KLL sketch (q35) with a rank-error bound; the histogram form is
+    * the oracle baseline.
+    */
+  val q59Winsorize = GraftQuery(
+    "q59_winsorize",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val li = t.lineitem.select(col("l_returnflag"),
+        round(col("l_extendedprice") * 100).cast("long").as("cents"))
+      val hist = li.groupBy(col("l_returnflag"), col("cents"))
+        .agg(count(lit(1)).as("cnt"))
+      val wCdf = Window.partitionBy(col("l_returnflag")).orderBy(col("cents"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cdf = hist
+        .withColumn("cum", sum(col("cnt")).over(wCdf))
+        .withColumn("n", sum(col("cnt")).over(Window.partitionBy(col("l_returnflag"))))
+      // value at sorted position ⌈p·n⌉: smallest cents with cum ≥ ⌈p·n⌉
+      val lo = cdf.filter(col("cum") >= ceil(col("n") * 0.01))
+        .groupBy(col("l_returnflag")).agg(min(col("cents")).as("p01"))
+      val hi = cdf.filter(col("cum") >= ceil(col("n") * 0.99))
+        .groupBy(col("l_returnflag")).agg(min(col("cents")).as("p99"))
+      val thresholds = lo.join(hi, Seq("l_returnflag"))
+      li.join(broadcast(thresholds), Seq("l_returnflag"))
+        .groupBy(col("l_returnflag"))
+        .agg(
+          count(lit(1)).as("n"),
+          first(col("p01")).as("p01_cents"),
+          first(col("p99")).as("p99_cents"),
+          sum((col("cents") < col("p01")).cast("long")).as("n_clipped_low"),
+          sum((col("cents") > col("p99")).cast("long")).as("n_clipped_high"),
+          sum(greatest(least(col("cents"), col("p99")), col("p01"))
+            .cast(DecimalType(38, 0))).cast("long").as("winsorized_cents"))
+        .orderBy(col("l_returnflag"))
+    },
+    Some("""
+      WITH li AS (
+        SELECT l_returnflag,
+               CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+        FROM lineitem),
+      hist AS (
+        SELECT l_returnflag, cents, COUNT(*) AS cnt
+        FROM li GROUP BY 1, 2),
+      cdf AS (
+        SELECT l_returnflag, cents,
+               SUM(cnt) OVER (PARTITION BY l_returnflag ORDER BY cents
+                              ROWS UNBOUNDED PRECEDING) AS cum,
+               SUM(cnt) OVER (PARTITION BY l_returnflag) AS n
+        FROM hist),
+      lo AS (
+        SELECT l_returnflag, MIN(cents) AS p01 FROM cdf
+        WHERE cum >= ceil(n * 0.01) GROUP BY 1),
+      hi AS (
+        SELECT l_returnflag, MIN(cents) AS p99 FROM cdf
+        WHERE cum >= ceil(n * 0.99) GROUP BY 1),
+      th AS (SELECT lo.l_returnflag, p01, p99 FROM lo JOIN hi USING (l_returnflag))
+      SELECT li.l_returnflag,
+             COUNT(*) AS n,
+             MIN(th.p01) AS p01_cents,
+             MIN(th.p99) AS p99_cents,
+             CAST(SUM(CASE WHEN li.cents < th.p01 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_clipped_low,
+             CAST(SUM(CASE WHEN li.cents > th.p99 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_clipped_high,
+             CAST(SUM(greatest(least(li.cents, th.p99), th.p01)) AS BIGINT)
+               AS winsorized_cents
+      FROM li JOIN th ON li.l_returnflag = th.l_returnflag
+      GROUP BY li.l_returnflag
+      ORDER BY li.l_returnflag
+    """)
+  )
+
   def all: Seq[GraftQuery] =
     Seq(q46Funnel, q47CohortRetention, q48AnomalyExact, q49Scd2Versions,
-      q51StatsProfile, q52ColumnProfile, q56SessionizedFunnel, q55DqConstraints)
+      q51StatsProfile, q52ColumnProfile, q56SessionizedFunnel, q55DqConstraints,
+      q59Winsorize)
 }

@@ -241,7 +241,69 @@ object Temporal {
     """)
   )
 
+  /** OHLC candle resampling: per calendar day, the open (first value
+    * by (ts, event_id)), high, low, close (last value) and volume of
+    * the event value stream — the market-data downsampling shape, in
+    * integer cents so all five numbers hash exactly. Open/close are
+    * picked by two row_number windows over the SAME (day) exchange —
+    * tie-broken on event_id, so first/last are well-defined under
+    * timestamp collisions — then everything reduces in one final
+    * aggregation. The window partitions on the day key (thousands of
+    * partitions, bounded per-day row counts); no whole-table sort.
+    */
+  val q60OhlcResample = GraftQuery(
+    "q60_ohlc_resample",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val ev = t.events.select(
+        to_date(col("ts")).as("day"),
+        col("ts"), col("event_id"),
+        round(col("value") * 100).cast("long").as("cents"))
+      val wAsc = Window.partitionBy(col("day"))
+        .orderBy(col("ts"), col("event_id"))
+      val wDesc = Window.partitionBy(col("day"))
+        .orderBy(col("ts").desc, col("event_id").desc)
+      ev
+        .withColumn("rn_first", row_number().over(wAsc))
+        .withColumn("rn_last", row_number().over(wDesc))
+        .groupBy(col("day"))
+        .agg(
+          min(when(col("rn_first") === 1, col("cents"))).as("open_cents"),
+          max(col("cents")).as("high_cents"),
+          min(col("cents")).as("low_cents"),
+          min(when(col("rn_last") === 1, col("cents"))).as("close_cents"),
+          count(lit(1)).as("volume"))
+        .select(date_format(col("day"), "yyyy-MM-dd").as("day_s"),
+          col("open_cents"), col("high_cents"), col("low_cents"),
+          col("close_cents"), col("volume"))
+        .orderBy(col("day_s"))
+    },
+    Some("""
+      WITH ev AS (
+        SELECT CAST(ts AS DATE) AS day, ts, event_id,
+               CAST(round(value * 100) AS BIGINT) AS cents
+        FROM events),
+      rn AS (
+        SELECT day, cents,
+               row_number() OVER (PARTITION BY day ORDER BY ts, event_id)
+                 AS rn_first,
+               row_number() OVER (PARTITION BY day ORDER BY ts DESC, event_id DESC)
+                 AS rn_last
+        FROM ev)
+      SELECT strftime(day, '%Y-%m-%d') AS day_s,
+             MIN(CASE WHEN rn_first = 1 THEN cents END) AS open_cents,
+             MAX(cents) AS high_cents,
+             MIN(cents) AS low_cents,
+             MIN(CASE WHEN rn_last = 1 THEN cents END) AS close_cents,
+             COUNT(*) AS volume
+      FROM rn
+      GROUP BY day
+      ORDER BY day_s
+    """)
+  )
+
   def all: Seq[GraftQuery] =
     Seq(q21AsofPrevError, q22RangeJoinNeighbors, q23CustomVariance,
-      q27AsofJoinNative, q36GapfillResample, q37RollingFeatures)
+      q27AsofJoinNative, q36GapfillResample, q37RollingFeatures,
+      q60OhlcResample)
 }

@@ -735,8 +735,104 @@ object EventsStream {
     """)
   )
 
+  /** Misra-Gries capacity for stream_heavy_hitters: small on purpose
+    * so the n/(k+1) heavy-item guarantee BINDS on the test stream (the
+    * derived key below concentrates ~25% of each type's arrivals on
+    * one item — far above 1/9).
+    */
+  val StreamMGCapacity = 8
+
+  /** Top users reported per event type. */
+  val StreamHeavyTopN = 5
+
+  /** Streaming frequent items: a Misra-Gries sketch per event type as
+    * bounded GroupState (k counters = k strings + k longs per key, the
+    * streaming analog of text_heavy_hitters). The item key is derived
+    * 25%-hot (q39's skew trick) so the MG guarantee — any item with
+    * frequency > n/(k+1) survives in the summary — is exercised for
+    * real, not vacuously. Each trigger emits the running candidate
+    * set; the last emission (max rows seen, monotone) is checked
+    * against the exact batch counts: every provably-heavy item must
+    * appear among the candidates (mg_ok). The hashable output is the
+    * exact per-type top-5 — which the sketch's candidates must cover
+    * for heavy items — with the coverage gate riding as a boolean.
+    */
+  val streamHeavyHitters = GraftQuery(
+    "stream_heavy_hitters",
+    (s, dir) => {
+      import s.implicits._
+      import graft.plans.MGSketch
+      val itemCol = when(pmod(col("user_id"), lit(4)) === 0, lit("hot_user"))
+        .otherwise(concat(lit("u"), col("user_id")))
+      val typed = eventsStream(s, dir)
+        .select(col("event_type"), itemCol.as("item"))
+        .as[(String, String)]
+      val perTrigger = typed
+        .groupByKey(_._1)
+        .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+          (et: String, rows: Iterator[(String, String)],
+           state: GroupState[(Long, Array[Byte])]) =>
+            val (seen0, bytes) = state.getOption.getOrElse((0L, null))
+            val sk = if (bytes == null) new MGSketch(StreamMGCapacity)
+                     else MGSketch.deserialize(bytes)
+            var seen = seen0
+            rows.foreach { r => sk.update(r._2); seen += 1 }
+            state.update((seen, sk.serialize()))
+            (et, seen, sk.items().map(_._1))
+        }
+        .toDF("event_type", "n_seen", "candidates")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("event_type")).orderBy(col("n_seen").desc)
+      val lastTrigger = runToTable(perTrigger, OutputMode.Update())
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("event_type"), explode(col("candidates")).as("item"))
+      val t = graft.sources.Tables(s, dir)
+      val exact = t.events
+        .select(col("event_type"), itemCol.as("item"))
+        .groupBy(col("event_type"), col("item"))
+        .agg(count(lit(1)).as("cnt")).cache()
+      val totals = exact.groupBy(col("event_type"))
+        .agg(sum(col("cnt")).as("n_type"))
+      val heavy = exact.join(broadcast(totals), Seq("event_type"))
+        .filter(col("cnt") * (StreamMGCapacity + 1) > col("n_type"))
+      val missing = heavy
+        .join(lastTrigger, Seq("event_type", "item"), "left_anti")
+        .agg(count(lit(1)).as("n_missing"))
+      val wTop = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("event_type")).orderBy(col("cnt").desc, col("item"))
+      val out = exact
+        .withColumn("rank", row_number().over(wTop).cast("long"))
+        .filter(col("rank") <= StreamHeavyTopN)
+        .crossJoin(broadcast(missing))
+        .select(col("event_type"), col("rank"), col("item"), col("cnt"),
+          (col("n_missing") === 0).as("mg_ok"))
+        .orderBy(col("event_type"), col("rank"))
+      out.persist().count()
+      exact.unpersist(false)
+      out
+    },
+    Some(s"""
+      WITH ev AS (
+        SELECT event_type,
+               CASE WHEN user_id % 4 = 0 THEN 'hot_user'
+                    ELSE 'u' || CAST(user_id AS VARCHAR) END AS item
+        FROM events),
+      ex AS (SELECT event_type, item, COUNT(*) AS cnt FROM ev GROUP BY 1, 2),
+      ranked AS (
+        SELECT event_type, item, cnt,
+               CAST(row_number() OVER (PARTITION BY event_type
+                 ORDER BY cnt DESC, item) AS BIGINT) AS rank
+        FROM ex)
+      SELECT event_type, rank, item, cnt, TRUE AS mg_ok
+      FROM ranked WHERE rank <= $StreamHeavyTopN
+      ORDER BY event_type, rank
+    """)
+  )
+
   def all: Seq[GraftQuery] =
     Seq(streamHourlyAgg, streamSessionize, streamScore, streamDedupExact,
       streamEnrichProfile, streamSessionWindow, streamThetaDistinct,
-      streamStreamJoin, streamWeightedSample, streamUpsertLatest)
+      streamStreamJoin, streamWeightedSample, streamUpsertLatest,
+      streamHeavyHitters)
 }

@@ -210,6 +210,30 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(!planted("positive:l_quantity>0")._2)
   }
 
+  test("winsorize ≡ driver sort-and-clip recompute at sf0.001") {
+    val rows = SparkEntry.queries("q59_winsorize")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val li = graft.sources.Tables(spark, sf).lineitem
+      .select(col("l_returnflag"), round(col("l_extendedprice") * 100)
+        .cast("long").as("cents"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val byFlag = li.groupBy(_._1)
+    rows.foreach { r =>
+      val flag = r.getString(0)
+      val cents = byFlag(flag).map(_._2).sorted
+      val n = cents.length
+      val p01 = cents(math.ceil(n * 0.01).toInt - 1)
+      val p99 = cents(math.ceil(n * 0.99).toInt - 1)
+      assert(r.getLong(1) == n.toLong)
+      assert(r.getLong(2) == p01, s"$flag p01")
+      assert(r.getLong(3) == p99, s"$flag p99")
+      assert(r.getLong(4) == cents.count(_ < p01).toLong, s"$flag low")
+      assert(r.getLong(5) == cents.count(_ > p99).toLong, s"$flag high")
+      assert(r.getLong(6) == cents.map(c => math.max(math.min(c, p99), p01)).sum,
+        s"$flag winsorized sum")
+    }
+  }
+
   test("ewma smoothing ≡ driver recompute at sf0.001") {
     val rows = SparkEntry.queries("q58_ewma_smoothing")(spark, sf).collect()
     assert(rows.nonEmpty)

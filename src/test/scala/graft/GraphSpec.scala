@@ -122,6 +122,52 @@ class GraphSpec extends AnyFunSuite {
     assert(r.getLong(3) > 0, "hub degree positive")
   }
 
+  /** Dense in-memory label propagation: same recurrence as the
+    * distributed operator (sync updates, max label count over
+    * neighbors + self-vote, min label on ties), plain maps.
+    */
+  private def denseLpa(edges: Seq[(Long, Long)], rounds: Int): Map[Long, Long] = {
+    val sym = edges.flatMap { case (a, b) => Seq((a, b), (b, a)) }.distinct
+    val nbrs = sym.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    var labels = nbrs.keys.map(n => n -> n).toMap
+    for (_ <- 1 to rounds) {
+      labels = nbrs.map { case (n, ns) =>
+        val counts = (n +: ns).groupBy(labels).view.mapValues(_.size).toMap
+        val maxCnt = counts.values.max
+        n -> counts.filter(_._2 == maxCnt).keys.min
+      }
+    }
+    labels
+  }
+
+  test("label propagation ≡ dense reference; two cliques stay two communities") {
+    def runLpa(edges: Seq[(Long, Long)], rounds: Int = 5): Map[Long, Long] = {
+      val e = edges.toDF("pa", "pb")
+      val sym = e.select($"pa".as("u"), $"pb".as("v"))
+        .union(e.select($"pb".as("u"), $"pa".as("v")))
+      Graph.labelPropagation(sym, rounds)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    }
+    // two 4-cliques bridged by one edge (4-8)
+    val cliqueA = for { a <- 1L to 4L; b <- (a + 1) to 4L } yield (a, b)
+    val cliqueB = for { a <- 5L to 8L; b <- (a + 1) to 8L } yield (a, b)
+    val g = cliqueA ++ cliqueB :+ ((4L, 8L))
+    val got = runLpa(g)
+    assert(got == denseLpa(g, 5), "distributed LPA diverged from dense reference")
+    val comms = got.groupBy(_._2).values.map(_.keys.toSet).toSet
+    assert(comms == Set((1L to 4L).toSet, (5L to 8L).toSet),
+      s"expected the two cliques as communities, got $comms")
+    // a path graph also agrees with the reference
+    val path = (1L until 6L).map(i => (i, i + 1))
+    assert(runLpa(path) == denseLpa(path, 5))
+  }
+
+  test("communities query gates hold at sf0.001") {
+    val r = SparkEntry.queries("graph_communities")(spark, sf).head()
+    assert(r.getLong(0) > 0 && r.getLong(1) > 0)
+    assert(r.getBoolean(2) && r.getBoolean(3) && r.getBoolean(4))
+  }
+
   test("bipartite projection: hand-computed Jaccard on a tiny purchase graph") {
     // cust 1 buys parts {1,2,3}; cust 2 {2,3}; cust 3 {3,4}
     // jaccard(1,2) = 2/3, jaccard(1,3) = 1/4, jaccard(2,3) = 1/3

@@ -188,4 +188,20 @@ class StreamShapeSpec extends AnyFunSuite {
       assert(back == (1L to 200L).map(i => s"payload-$i").toSet)
     } finally rm(tmp.toFile)
   }
+
+  test("stream heavy hitters: hot item leads every type; MG coverage gate holds") {
+    val rows = SparkEntry.queries("stream_heavy_hitters")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getBoolean(4), "MG candidate set missed a heavy item"))
+    // the derived key concentrates ~25% of each type's arrivals on
+    // 'hot_user' — with the next-heaviest single user at ~1/150 it must
+    // be rank 1 everywhere; counts descend within each type
+    rows.groupBy(_.getString(0)).foreach { case (et, rs) =>
+      val sorted = rs.sortBy(_.getLong(1))
+      assert(sorted.head.getString(2) == "hot_user", s"$et: rank-1 not the hot item")
+      val cnts = sorted.map(_.getLong(3))
+      assert(cnts.zip(cnts.tail).forall { case (a, b) => a >= b },
+        s"$et: counts not descending")
+    }
+  }
 }

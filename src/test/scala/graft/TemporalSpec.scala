@@ -63,4 +63,26 @@ class TemporalSpec extends AnyFunSuite {
       assert(math.abs(custom(k) - v) / v < 1e-6, s"$k: ${custom(k)} vs $v")
     }
   }
+
+  test("ohlc resample ≡ driver recompute at sf0.001") {
+    val rows = SparkEntry.queries("q60_ohlc_resample")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val evs = graft.sources.Tables(spark, sf).events
+      .select(date_format(to_date(col("ts")), "yyyy-MM-dd").as("day"),
+        unix_micros(col("ts")).as("us"), col("event_id"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val byDay = evs.groupBy(_._1)
+    assert(rows.length == byDay.size)
+    rows.foreach { r =>
+      val day = r.getString(0)
+      val es = byDay(day).sortBy(e => (e._2, e._3))
+      assert(r.getLong(1) == es.head._4, s"$day open")
+      assert(r.getLong(2) == es.map(_._4).max, s"$day high")
+      assert(r.getLong(3) == es.map(_._4).min, s"$day low")
+      assert(r.getLong(4) == es.last._4, s"$day close")
+      assert(r.getLong(5) == es.length.toLong, s"$day volume")
+    }
+  }
 }
