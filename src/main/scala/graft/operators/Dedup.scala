@@ -176,6 +176,33 @@ object Dedup {
   private val pairCache =
     new java.util.WeakHashMap[org.apache.spark.sql.SparkSession,
       scala.collection.mutable.Map[(String, Int), DataFrame]]()
+
+  // CC labels over the shared Jaccard pair graph, memoized like the
+  // pair graph itself: dedup_clusters and dedup_survivorship consume
+  // the SAME fixpoint — one iterative computation per (session, dir)
+  private val ccCache =
+    new java.util.WeakHashMap[org.apache.spark.sql.SparkSession,
+      scala.collection.mutable.Map[(String, Int), DataFrame]]()
+
+  /** Memoized connected components of the shared ≥0.5-Jaccard pair
+    * graph. The returned frame is cached for the session's life —
+    * callers must NOT unpersist it.
+    */
+  private[graft] def jaccardClustersShared(
+      s: org.apache.spark.sql.SparkSession, dir: String, dfCap: Int): DataFrame =
+    ccCache.synchronized {
+      val perSession = {
+        val cur = ccCache.get(s)
+        if (cur != null) cur
+        else {
+          val m = scala.collection.mutable.Map.empty[(String, Int), DataFrame]
+          ccCache.put(s, m); m
+        }
+      }
+      perSession.getOrElseUpdate((dir, dfCap), {
+        connectedComponents(jaccardPairsShared(s, dir, dfCap), "ia", "ib")
+      })
+    }
   private[graft] def jaccardPairsShared(
       s: org.apache.spark.sql.SparkSession, dir: String, dfCap: Int): DataFrame =
     pairCache.synchronized {
@@ -721,16 +748,14 @@ object Dedup {
   val dedupClusters = GraftQuery(
     "dedup_clusters",
     (s, dir) => {
-      // shared upstream with dedup_ngram_jaccard: the pair graph is
-      // computed once per (session, dir) and reused here persisted —
-      // do NOT unpersist it, the sibling query may still need it
-      val pairs = jaccardPairsShared(s, dir, MaxShingleDf)
-      val cc = connectedComponents(pairs, "ia", "ib")
+      // shared upstream with dedup_ngram_jaccard/dedup_survivorship:
+      // pair graph AND its CC labels are computed once per (session,
+      // dir) and reused persisted — do NOT unpersist either
+      val cc = jaccardClustersShared(s, dir, MaxShingleDf)
       val out = cc
         .select(col("node").as("doc_id"), col("label").as("cluster_id"))
         .orderBy(col("doc_id"))
       out.persist().count()
-      cc.unpersist(false)
       out
     },
     Some("""
@@ -836,8 +861,7 @@ object Dedup {
     "dedup_survivorship",
     (s, dir) => {
       val t = Tables(s, dir)
-      val pairs = jaccardPairsShared(s, dir, MaxShingleDf)
-      val cc = connectedComponents(pairs, "ia", "ib")
+      val cc = jaccardClustersShared(s, dir, MaxShingleDf)
       val lens = t.documents
         .select(col("doc_id"), length(col("text")).cast("long").as("n_len"))
       val labeled = cc
@@ -858,7 +882,6 @@ object Dedup {
           col("n_members"))
         .orderBy(col("duplicate_id"))
       out.persist().count()
-      cc.unpersist(false)
       out
     },
     Some("""

@@ -191,27 +191,23 @@ object Graph {
     val deg = sym.groupBy(col("u")).agg(count(lit(1)).as("deg")).cache()
     val n = deg.count()
     var ranks = deg.select(col("u").as("node"), lit(1.0 / n).as("rank"))
-    var prevCached: DataFrame = null
     val base = (1.0 - damping) / n
     for (_ <- 1 to iters) {
       // the rank frame is node-dimension-sized — BROADCAST it into the
       // edge-sized message join (an SMJ here would re-sort the whole
-      // edge frame every round), and materialize each round so round
-      // k+1's broadcast builds from k's cached result, not a k-deep
-      // lineage
+      // edge frame every round); localCheckpoint (not cache) truncates
+      // each round's lineage to a materialized RDD — a cached
+      // hint-bearing iterative plan defeats CacheManager matching and
+      // every downstream action silently recomputes the fixpoint
       val contribs = ranks
         .join(deg, ranks("node") === deg("u"))
         .select(col("node"), (col("rank") / col("deg")).as("c"))
       val msgs = sym
         .join(broadcast(contribs), sym("u") === contribs("node"))
         .select(sym("v").as("node"), col("c").cast(DecimalType(38, 18)).as("c"))
-      val next = msgs.groupBy(col("node"))
+      ranks = msgs.groupBy(col("node"))
         .agg((lit(base) + lit(damping) * sum(col("c")).cast(DoubleType)).as("rank"))
-        .cache()
-      next.count()
-      if (prevCached != null) prevCached.unpersist(false)
-      prevCached = next
-      ranks = next
+        .localCheckpoint()
     }
     // every node has degree ≥ 1 (symmetric edge frame), so the message
     // aggregation is total — no rank-starved nodes to re-attach
@@ -446,7 +442,6 @@ object Graph {
       sym: DataFrame, rounds: Int): DataFrame = {
     var labels = sym.select(col("u").as("node")).distinct()
       .select(col("node"), col("node").as("label"))
-    var prevCached: DataFrame = null
     for (_ <- 1 to rounds) {
       // node-dimension-sized label frame broadcasts into the edge-
       // sized message join; materialize per round (same shape as
@@ -455,17 +450,17 @@ object Graph {
         .join(broadcast(labels), sym("u") === labels("node"))
         .select(sym("v").as("n2"), col("label"))
       val selfVotes = labels.select(col("node").as("n2"), col("label"))
-      val next = nbrVotes.union(selfVotes)
+      // localCheckpoint (not cache): truncates the round's lineage to
+      // a materialized RDD. A cache here leaves a hint-bearing 5-round
+      // plan that defeats CacheManager plan matching — every
+      // downstream action silently recomputed the whole fixpoint
+      labels = nbrVotes.union(selfVotes)
         .groupBy(col("n2"), col("label"))
         .agg(count(lit(1)).as("cnt"))
         .groupBy(col("n2"))
         .agg(max(struct(col("cnt"), (-col("label")).as("neg"))).as("best"))
         .select(col("n2").as("node"), (-col("best.neg")).as("label"))
-        .cache()
-      next.count()
-      if (prevCached != null) prevCached.unpersist(false)
-      prevCached = next
-      labels = next
+        .localCheckpoint()
     }
     labels
   }
