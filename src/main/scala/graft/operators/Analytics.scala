@@ -596,8 +596,108 @@ object Analytics {
     """)
   )
 
+  /** Approximate group-by via deterministic systematic sampling (the
+    * AQP shape): per return flag, estimate total revenue from the 5%
+    * of ORDERS with l_orderkey ≡ 0 (mod 20), scale by 20, and report
+    * the exact total, the estimate, and the relative error side by
+    * side. Everything is exact integer arithmetic plus ONE correctly-
+    * rounded double division, so even the ESTIMATE and its error
+    * hash-match across engines — the sample is a pure function of the
+    * key, not an RNG. One scan: the sampled sum is a conditional
+    * aggregate riding the exact aggregate's shuffle. At 100 TB this is
+    * the "answer in 1/20th the IO" dashboard query; sampling by the
+    * JOIN KEY (order, not row) keeps correlated lineitems together so
+    * per-order math stays valid.
+    */
+  val q61ApproxGroupbySample = GraftQuery(
+    "q61_approx_groupby_sample",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val cents = round(col("l_extendedprice") * 100).cast("long")
+      t.lineitem
+        .select(col("l_returnflag"), col("l_orderkey"), cents.as("cents"))
+        .groupBy(col("l_returnflag"))
+        .agg(
+          count(lit(1)).as("n_rows"),
+          sum(col("cents").cast(DecimalType(38, 0))).cast("long")
+            .as("exact_cents"),
+          (sum(when(pmod(col("l_orderkey"), lit(20L)) === 0, col("cents"))
+            .otherwise(lit(0L)).cast(DecimalType(38, 0))).cast("long") * 20L)
+            .as("est_cents"))
+        .select(col("l_returnflag"), col("n_rows"), col("exact_cents"),
+          col("est_cents"),
+          (abs(col("est_cents") - col("exact_cents")).cast(DoubleType) /
+            col("exact_cents").cast(DoubleType)).as("rel_err"))
+        .orderBy(col("l_returnflag"))
+    },
+    Some("""
+      SELECT l_returnflag,
+             COUNT(*) AS n_rows,
+             CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+               AS exact_cents,
+             CAST(SUM(CASE WHEN l_orderkey % 20 = 0
+                           THEN CAST(round(l_extendedprice * 100) AS BIGINT)
+                           ELSE 0 END) AS BIGINT) * 20 AS est_cents,
+             CAST(abs(CAST(SUM(CASE WHEN l_orderkey % 20 = 0
+                                    THEN CAST(round(l_extendedprice * 100) AS BIGINT)
+                                    ELSE 0 END) AS BIGINT) * 20
+                      - CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT))
+                  AS DOUBLE)
+               / CAST(CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+                  AS DOUBLE) AS rel_err
+      FROM lineitem
+      GROUP BY l_returnflag
+      ORDER BY l_returnflag
+    """)
+  )
+
+  /** Periodic-behavior profile: each user's modal hour of day (ties →
+    * earliest hour) and how concentrated their activity is in it —
+    * the "when does this user act" feature a personalization pipeline
+    * derives. Two aggregations on the user key; the modal pick is one
+    * struct-max (no window), the share one correctly-rounded double
+    * division of exact BIGINTs.
+    */
+  val q62PeriodicProfile = GraftQuery(
+    "q62_periodic_profile",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val hourly = t.events
+        .select(col("user_id"), hour(col("ts")).cast("long").as("hod"))
+        .groupBy(col("user_id"), col("hod"))
+        .agg(count(lit(1)).as("cnt"))
+      hourly
+        .groupBy(col("user_id"))
+        .agg(
+          sum(col("cnt")).as("n_events"),
+          count(lit(1)).as("n_active_hours"),
+          max(struct(col("cnt"), (-col("hod")).as("neg"))).as("best"))
+        .select(col("user_id"), col("n_events"), col("n_active_hours"),
+          (-col("best.neg")).as("modal_hour"),
+          (col("best.cnt").cast(DoubleType) / col("n_events").cast(DoubleType))
+            .as("modal_share"))
+        .orderBy(col("user_id"))
+    },
+    Some("""
+      WITH hourly AS (
+        SELECT user_id, CAST(hour(ts) AS BIGINT) AS hod, COUNT(*) AS cnt
+        FROM events GROUP BY 1, 2),
+      best AS (
+        SELECT user_id,
+               CAST(SUM(cnt) AS BIGINT) AS n_events,
+               COUNT(*) AS n_active_hours,
+               (array_agg(hod ORDER BY cnt DESC, hod))[1] AS modal_hour,
+               (array_agg(cnt ORDER BY cnt DESC, hod))[1] AS modal_cnt
+        FROM hourly GROUP BY user_id)
+      SELECT user_id, n_events, n_active_hours, modal_hour,
+             CAST(modal_cnt AS DOUBLE) / CAST(n_events AS DOUBLE) AS modal_share
+      FROM best
+      ORDER BY user_id
+    """)
+  )
+
   def all: Seq[GraftQuery] =
     Seq(q46Funnel, q47CohortRetention, q48AnomalyExact, q49Scd2Versions,
       q51StatsProfile, q52ColumnProfile, q56SessionizedFunnel, q55DqConstraints,
-      q59Winsorize)
+      q59Winsorize, q61ApproxGroupbySample, q62PeriodicProfile)
 }

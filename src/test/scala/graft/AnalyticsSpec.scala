@@ -234,6 +234,46 @@ class AnalyticsSpec extends AnyFunSuite {
     }
   }
 
+  test("approx group-by sample: estimate formula exact; error sane at sf0.001") {
+    val rows = SparkEntry.queries("q61_approx_groupby_sample")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val li = graft.sources.Tables(spark, sf).lineitem
+      .select(col("l_returnflag"), col("l_orderkey"),
+        round(col("l_extendedprice") * 100).cast("long").as("cents"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val byFlag = li.groupBy(_._1)
+    rows.foreach { r =>
+      val flag = r.getString(0)
+      val exact = byFlag(flag).map(_._3).sum
+      val est = byFlag(flag).filter(_._2 % 20 == 0).map(_._3).sum * 20L
+      assert(r.getLong(2) == exact, s"$flag exact")
+      assert(r.getLong(3) == est, s"$flag estimate")
+      // 5% systematic sample on ~2k rows/flag: comfortably inside 25%
+      assert(r.getDouble(4) < 0.25, s"$flag rel_err ${r.getDouble(4)}")
+    }
+  }
+
+  test("periodic profile: modal hour is the user's argmax hour, min on ties") {
+    val rows = SparkEntry.queries("q62_periodic_profile")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val evs = graft.sources.Tables(spark, sf).events
+      .select(col("user_id"), hour(col("ts")).cast("long").as("hod"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val byUser = evs.groupBy(_._1)
+    rows.foreach { r =>
+      val user = r.getLong(0)
+      val counts = byUser(user).groupBy(_._2).view.mapValues(_.size.toLong).toMap
+      val maxCnt = counts.values.max
+      val modal = counts.filter(_._2 == maxCnt).keys.min
+      assert(r.getLong(1) == byUser(user).length.toLong, s"$user n_events")
+      assert(r.getLong(2) == counts.size.toLong, s"$user n_active_hours")
+      assert(r.getLong(3) == modal, s"$user modal hour")
+      assert(r.getDouble(4) == maxCnt.toDouble / byUser(user).length.toDouble,
+        s"$user modal share")
+      assert(r.getLong(3) >= 0L && r.getLong(3) <= 23L)
+    }
+  }
+
   test("ewma smoothing ≡ driver recompute at sf0.001") {
     val rows = SparkEntry.queries("q58_ewma_smoothing")(spark, sf).collect()
     assert(rows.nonEmpty)
