@@ -429,10 +429,11 @@ object Analytics {
     * ratios of exact BIGINT counts evaluated in one correctly-rounded
     * double division, so they hash identically across engines.
     *
-    * Scale shape: completeness/uniqueness/range/accepted-values are
-    * single map-side-combined scans of one table each; referential
-    * integrity is the only join (left-anti on the key, AQE-handled).
-    * The union of six 1-row frames is driver-free.
+    * Scale shape: ONE map-side-combined aggregation per table computes
+    * every per-table counter (three orders metrics share one scan,
+    * two lineitem metrics share another); referential integrity is the
+    * only join (left-anti on the key, AQE-handled). The six constraint
+    * rows unpivot from the three 1-row frames driver-free.
     */
   val q55DqConstraints = GraftQuery(
     "q55_dq_constraints",
@@ -440,43 +441,43 @@ object Analytics {
       val t = Tables(s, dir)
       def ratio(num: Column, den: Column): Column =
         (num.cast("long").cast(DoubleType) / den.cast("long").cast(DoubleType))
-      def row(name: String, df: DataFrame): DataFrame =
-        df.select(lit(name).as("constraint_name"), col("metric"), col("passed"))
-      val completeness = row("completeness:o_custkey",
-        t.orders.agg(
-          ratio(count(col("o_custkey")), count(lit(1))).as("metric"),
-          (count(col("o_custkey")) === count(lit(1))).as("passed")))
-      val uniqueness = row("uniqueness:o_orderkey",
-        t.orders.agg(
-          ratio(count_distinct(col("o_orderkey")), count(lit(1))).as("metric"),
-          (count_distinct(col("o_orderkey")) === count(lit(1))).as("passed")))
+      // one aggregation per table: every counter in a single scan
+      val o = t.orders.agg(
+        count(lit(1)).as("o_n"),
+        count(col("o_custkey")).as("o_custkey_nn"),
+        count_distinct(col("o_orderkey")).as("o_orderkey_dist"),
+        sum(col("o_orderstatus").isin("F", "O", "P").cast("long")).as("o_status_ok"))
+      val l = t.lineitem.agg(
+        count(lit(1)).as("l_n"),
+        sum((col("l_discount") >= 0 && col("l_discount") <= 0.1).cast("long"))
+          .as("l_disc_ok"),
+        sum((col("l_quantity") > 0).cast("long")).as("l_qty_ok"))
       val orphans = t.lineitem.select(col("l_orderkey"))
         .join(t.orders.select(col("o_orderkey")),
           col("l_orderkey") === col("o_orderkey"), "left_anti")
-      val refIntegrity = row("fk:lineitem.l_orderkey->orders",
-        orphans.agg(
-          count(lit(1)).cast(DoubleType).as("metric"),
-          (count(lit(1)) === 0).as("passed")))
-      val range = row("range:l_discount[0,0.1]",
-        t.lineitem.agg(
-          ratio(sum((col("l_discount") >= 0 && col("l_discount") <= 0.1)
-            .cast("long")), count(lit(1))).as("metric"),
-          (sum((col("l_discount") >= 0 && col("l_discount") <= 0.1)
-            .cast("long")) === count(lit(1))).as("passed")))
-      val accepted = row("accepted:o_orderstatus{F,O,P}",
-        t.orders.agg(
-          ratio(sum(col("o_orderstatus").isin("F", "O", "P").cast("long")),
-            count(lit(1))).as("metric"),
-          (sum(col("o_orderstatus").isin("F", "O", "P").cast("long"))
-            === count(lit(1))).as("passed")))
-      val positive = row("positive:l_quantity>0",
-        t.lineitem.agg(
-          ratio(sum((col("l_quantity") > 0).cast("long")), count(lit(1)))
-            .as("metric"),
-          (sum((col("l_quantity") > 0).cast("long")) === count(lit(1)))
-            .as("passed")))
-      completeness.unionByName(uniqueness).unionByName(refIntegrity)
-        .unionByName(range).unionByName(accepted).unionByName(positive)
+        .agg(count(lit(1)).as("n_orphans"))
+      val wide = o.crossJoin(l).crossJoin(orphans)
+      def row(name: String, metric: Column, passed: Column): DataFrame =
+        wide.select(lit(name).as("constraint_name"), metric.as("metric"),
+          passed.as("passed"))
+      row("completeness:o_custkey",
+          ratio(col("o_custkey_nn"), col("o_n")),
+          col("o_custkey_nn") === col("o_n"))
+        .unionByName(row("uniqueness:o_orderkey",
+          ratio(col("o_orderkey_dist"), col("o_n")),
+          col("o_orderkey_dist") === col("o_n")))
+        .unionByName(row("fk:lineitem.l_orderkey->orders",
+          col("n_orphans").cast(DoubleType),
+          col("n_orphans") === 0))
+        .unionByName(row("range:l_discount[0,0.1]",
+          ratio(col("l_disc_ok"), col("l_n")),
+          col("l_disc_ok") === col("l_n")))
+        .unionByName(row("accepted:o_orderstatus{F,O,P}",
+          ratio(col("o_status_ok"), col("o_n")),
+          col("o_status_ok") === col("o_n")))
+        .unionByName(row("positive:l_quantity>0",
+          ratio(col("l_qty_ok"), col("l_n")),
+          col("l_qty_ok") === col("l_n")))
         .orderBy(col("constraint_name"))
     },
     Some("""
@@ -523,10 +524,12 @@ object Analytics {
     * the fact table: a per-(flag, cents) histogram first (one
     * map-side-combined shuffle), then the cumulative window runs over
     * the histogram's distinct values — domain-sized, orders of
-    * magnitude smaller than the rows. Clipped sums ride as DECIMAL.
-    * At 100 TB the same query swaps the exact histogram CDF for the
-    * KLL sketch (q35) with a rank-error bound; the histogram form is
-    * the oracle baseline.
+    * magnitude smaller than the rows — and EVERYTHING downstream
+    * (thresholds, clip counts, the winsorized sum as Σ cnt·clip(v))
+    * reduces over that same histogram: the fact table is scanned
+    * exactly once. At 100 TB the same query swaps the exact histogram
+    * CDF for the KLL sketch (q35) with a rank-error bound; the
+    * histogram form is the oracle baseline.
     */
   val q59Winsorize = GraftQuery(
     "q59_winsorize",
@@ -541,23 +544,28 @@ object Analytics {
       val cdf = hist
         .withColumn("cum", sum(col("cnt")).over(wCdf))
         .withColumn("n", sum(col("cnt")).over(Window.partitionBy(col("l_returnflag"))))
+        .cache()
       // value at sorted position ⌈p·n⌉: smallest cents with cum ≥ ⌈p·n⌉
-      val lo = cdf.filter(col("cum") >= ceil(col("n") * 0.01))
-        .groupBy(col("l_returnflag")).agg(min(col("cents")).as("p01"))
-      val hi = cdf.filter(col("cum") >= ceil(col("n") * 0.99))
-        .groupBy(col("l_returnflag")).agg(min(col("cents")).as("p99"))
-      val thresholds = lo.join(hi, Seq("l_returnflag"))
-      li.join(broadcast(thresholds), Seq("l_returnflag"))
+      // — both thresholds from ONE pass over the cached histogram CDF
+      val thresholds = cdf.groupBy(col("l_returnflag")).agg(
+        min(when(col("cum") >= ceil(col("n") * 0.01), col("cents"))).as("p01"),
+        min(when(col("cum") >= ceil(col("n") * 0.99), col("cents"))).as("p99"))
+      val out = cdf.join(broadcast(thresholds), Seq("l_returnflag"))
         .groupBy(col("l_returnflag"))
         .agg(
-          count(lit(1)).as("n"),
+          sum(col("cnt")).as("n"),
           first(col("p01")).as("p01_cents"),
           first(col("p99")).as("p99_cents"),
-          sum((col("cents") < col("p01")).cast("long")).as("n_clipped_low"),
-          sum((col("cents") > col("p99")).cast("long")).as("n_clipped_high"),
-          sum(greatest(least(col("cents"), col("p99")), col("p01"))
+          sum(when(col("cents") < col("p01"), col("cnt")).otherwise(lit(0L)))
+            .as("n_clipped_low"),
+          sum(when(col("cents") > col("p99"), col("cnt")).otherwise(lit(0L)))
+            .as("n_clipped_high"),
+          sum((col("cnt") * greatest(least(col("cents"), col("p99")), col("p01")))
             .cast(DecimalType(38, 0))).cast("long").as("winsorized_cents"))
         .orderBy(col("l_returnflag"))
+      out.persist().count()
+      cdf.unpersist(false)
+      out
     },
     Some("""
       WITH li AS (
