@@ -704,8 +704,165 @@ object Analytics {
     """)
   )
 
+  /** Gaps-and-islands: per-customer runs of CONSECUTIVE order days.
+    * The classic streak detection — the island key is
+    * day − row_number() (constant within a consecutive run), so the
+    * whole operator is one customer-key window plus one island-key
+    * aggregation: a single exchange serves both (the island key is a
+    * function of the window's own partition+order). No self-joins, no
+    * per-day grids; at 100 TB the state per customer is its distinct
+    * order days — dimension-sized against the fact table.
+    */
+  val q63OrderStreaks = GraftQuery(
+    "q63_order_streaks",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val days = t.orders
+        .select(col("o_custkey"), to_date(col("o_orderdate")).as("d"))
+        .distinct()
+      val w = Window.partitionBy(col("o_custkey")).orderBy(col("d"))
+      val islands = days
+        .withColumn("grp", date_sub(col("d"), row_number().over(w)))
+        .groupBy(col("o_custkey"), col("grp"))
+        .agg(count(lit(1)).as("len"))
+      islands
+        .groupBy(col("o_custkey"))
+        .agg(
+          sum(col("len")).as("n_active_days"),
+          count(lit(1)).cast("long").as("n_streaks"),
+          max(col("len")).as("max_streak"))
+        .orderBy(col("o_custkey"))
+    },
+    Some("""
+      WITH days AS (
+        SELECT DISTINCT o_custkey, CAST(o_orderdate AS DATE) AS d FROM orders),
+      islands AS (
+        SELECT o_custkey,
+               d - CAST(row_number() OVER (PARTITION BY o_custkey ORDER BY d)
+                        AS INTEGER) AS grp
+        FROM days),
+      runs AS (
+        SELECT o_custkey, grp, COUNT(*) AS len
+        FROM islands GROUP BY o_custkey, grp)
+      SELECT o_custkey,
+             CAST(SUM(len) AS BIGINT) AS n_active_days,
+             CAST(COUNT(*) AS BIGINT) AS n_streaks,
+             CAST(MAX(len) AS BIGINT) AS max_streak
+      FROM runs
+      GROUP BY o_custkey
+      ORDER BY o_custkey
+    """)
+  )
+
+  /** Smoothing pseudo-count for q64's leave-one-out target encoding. */
+  val TargetEncodingSmoothing = 10.0
+
+  /** Leave-one-out target encoding of o_orderpriority against
+    * o_totalprice — the categorical-feature encoding a training
+    * pipeline derives without label leakage: each row's own label is
+    * excluded from its group mean, shrunk toward the global prior by
+    * `TargetEncodingSmoothing` pseudo-observations.
+    *
+    * Exactness: group and global sums ride as DECIMAL(12,2) (the data
+    * is 2-decimal money) and convert to double once; the per-row
+    * encoding is then a FIXED chain of correctly-rounded IEEE ops —
+    * ((S_g − x) + m·prior) / ((n_g − 1) + m) with this exact
+    * parenthesization on both engines — so the doubles hash
+    * bit-identically.
+    *
+    * Scale shape: the group frame is category-cardinality-sized
+    * (5 rows here); it broadcasts back onto the fact scan. Two scans
+    * of orders, zero shuffles of fact-table width.
+    */
+  val q64TargetEncoding = GraftQuery(
+    "q64_target_encoding",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val m = TargetEncodingSmoothing
+      val groups = t.orders
+        .groupBy(col("o_orderpriority"))
+        .agg(sumMoney(col("o_totalprice")).as("s_g"),
+          count(lit(1)).as("n_g"))
+      val prior = t.orders
+        .agg((sumMoney(col("o_totalprice")) /
+          count(lit(1)).cast(DoubleType)).as("prior"))
+      val enc = t.orders
+        .join(broadcast(groups), Seq("o_orderpriority"))
+        .crossJoin(broadcast(prior))
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          (((col("s_g") - col("o_totalprice")) + lit(m) * col("prior")) /
+            ((col("n_g") - lit(1L)).cast(DoubleType) + lit(m)))
+            .as("loo_enc"))
+      enc.orderBy(col("o_orderkey"))
+    },
+    Some("""
+      WITH g AS (
+        SELECT o_orderpriority,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS s_g,
+               COUNT(*) AS n_g
+        FROM orders GROUP BY o_orderpriority),
+      p AS (
+        SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
+                 / CAST(COUNT(*) AS DOUBLE) AS prior
+        FROM orders)
+      SELECT o.o_orderkey, o.o_orderpriority,
+             ((g.s_g - o.o_totalprice) + (10.0 * p.prior))
+               / (CAST(g.n_g - 1 AS DOUBLE) + 10.0) AS loo_enc
+      FROM orders o JOIN g USING (o_orderpriority) CROSS JOIN p
+      ORDER BY o.o_orderkey
+    """)
+  )
+
+  /** Pareto frontier (skyline) of parts: minimize retail price,
+    * maximize size; a part is dominated if some part is no more
+    * expensive AND no smaller, strictly better in at least one.
+    * Naive dominance is O(n²); here the frontier falls out of the
+    * price-DOMAIN frame: per distinct price keep the max size, then a
+    * running max over prices sorted ascending gives "best size among
+    * strictly cheaper" — a part survives iff it has the max size at
+    * its own price AND beats that running max. One domain-sized
+    * window (distinct prices ≪ rows) + a broadcast join back to the
+    * scan; equal (price, size) pairs survive together, as dominance
+    * requires strictness.
+    */
+  val q66ParetoFrontier = GraftQuery(
+    "q66_pareto_frontier",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val byPrice = t.part
+        .groupBy(col("p_retailprice"))
+        .agg(max(col("p_size")).as("pmax"))
+      val w = Window.orderBy(col("p_retailprice"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val levels = byPrice
+        .withColumn("prevmax", max(col("pmax")).over(w))
+      t.part
+        .join(broadcast(levels), Seq("p_retailprice"))
+        .filter(col("p_size") === col("pmax") &&
+          (col("prevmax").isNull || col("p_size") > col("prevmax")))
+        .select(col("p_partkey"), col("p_retailprice"), col("p_size"))
+        .orderBy(col("p_partkey"))
+    },
+    Some("""
+      WITH lvl AS (
+        SELECT p_retailprice, MAX(p_size) AS pmax
+        FROM part GROUP BY p_retailprice),
+      lvl2 AS (
+        SELECT p_retailprice, pmax,
+               MAX(pmax) OVER (ORDER BY p_retailprice
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prevmax
+        FROM lvl)
+      SELECT p.p_partkey, p.p_retailprice, p.p_size
+      FROM part p JOIN lvl2 l USING (p_retailprice)
+      WHERE p.p_size = l.pmax
+        AND (l.prevmax IS NULL OR p.p_size > l.prevmax)
+      ORDER BY p.p_partkey
+    """)
+  )
+
   def all: Seq[GraftQuery] =
     Seq(q46Funnel, q47CohortRetention, q48AnomalyExact, q49Scd2Versions,
       q51StatsProfile, q52ColumnProfile, q56SessionizedFunnel, q55DqConstraints,
-      q59Winsorize, q61ApproxGroupbySample, q62PeriodicProfile)
+      q59Winsorize, q61ApproxGroupbySample, q62PeriodicProfile, q63OrderStreaks,
+      q64TargetEncoding, q66ParetoFrontier)
 }

@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
 
 import graft.GraftQuery
 import graft.sources.Tables
@@ -302,8 +303,68 @@ object Temporal {
     """)
   )
 
+  /** Time-weighted average value per user over the irregular event
+    * stream — the TWAP/step-function mean a metering or pricing
+    * pipeline computes: each observation holds until the next one,
+    * so its weight is the gap to the successor (the user's last
+    * event carries no interval and is excluded).
+    *
+    * Exactness: the value is 2-decimal data → exact cents BIGINT; the
+    * microsecond gap is an exact BIGINT; the weighted numerator stays
+    * int64 cents·µs (order-free addition; bounded by
+    * max_cents · stream_period_µs ≈ 2e4 · 2.6e12 ≪ 2⁶³, overflowing
+    * only past a ~14-year stream). int64→double conversion is
+    * correctly rounded per IEEE in both engines — unlike wide
+    * DECIMAL→double, which DuckDB rounds twice — so the final fixed
+    * division chain is bit-identical. One user-key exchange serves
+    * the lead() AND the aggregation; nothing else shuffles.
+    */
+  val q65Twap = GraftQuery(
+    "q65_twap",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("us"), col("event_id"))
+      val spans = t.events
+        .select(col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("us"),
+          round(col("value") * 100).cast("long").as("cents"))
+        .withColumn("dur_us", lead(col("us"), 1).over(w) - col("us"))
+        .filter(col("dur_us").isNotNull)
+      spans
+        .groupBy(col("user_id"))
+        .agg(
+          count(lit(1)).as("n_spans"),
+          sum(col("dur_us")).as("total_dur_us"),
+          sum(col("cents") * col("dur_us")).as("num_cents_us"))
+        .select(col("user_id"), col("n_spans"), col("total_dur_us"),
+          ((col("num_cents_us").cast(DoubleType) /
+            col("total_dur_us").cast(DoubleType)) / lit(100.0)).as("twap"))
+        .orderBy(col("user_id"))
+    },
+    Some("""
+      WITH spans AS (
+        SELECT user_id, CAST(round(value * 100) AS BIGINT) AS cents,
+               lead(epoch_us(ts)) OVER (PARTITION BY user_id
+                 ORDER BY ts, event_id) - epoch_us(ts) AS dur_us
+        FROM events),
+      agg AS (
+        SELECT user_id,
+               COUNT(*) AS n_spans,
+               CAST(SUM(dur_us) AS BIGINT) AS total_dur_us,
+               CAST(SUM(cents * dur_us) AS BIGINT) AS num_cents_us
+        FROM spans WHERE dur_us IS NOT NULL
+        GROUP BY user_id)
+      SELECT user_id, n_spans, total_dur_us,
+             (CAST(num_cents_us AS DOUBLE) / CAST(total_dur_us AS DOUBLE))
+               / 100.0 AS twap
+      FROM agg
+      ORDER BY user_id
+    """)
+  )
+
   def all: Seq[GraftQuery] =
     Seq(q21AsofPrevError, q22RangeJoinNeighbors, q23CustomVariance,
       q27AsofJoinNative, q36GapfillResample, q37RollingFeatures,
-      q60OhlcResample)
+      q60OhlcResample, q65Twap)
 }

@@ -300,4 +300,63 @@ class AnalyticsSpec extends AnyFunSuite {
         s"event ${r.getLong(1)}: ${r.getDouble(3)} vs $want")
     }
   }
+
+  test("order streaks: brute-force recompute of islands per customer") {
+    val days = spark.read.parquet(s"$sf/orders.parquet")
+      .select($"o_custkey", to_date($"o_orderdate").as("d")).distinct()
+      .collect().map(r => (r.getLong(0), r.getDate(1).toLocalDate))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    val want = days.map { case (c, ds) =>
+      val streaks = ds.foldLeft(List.empty[Long]) { (acc, d) =>
+        acc match {
+          case h :: t if ds.contains(d.minusDays(1)) => (h + 1) :: t
+          case _ => 1L :: acc
+        }
+      }
+      c -> ((ds.size.toLong, streaks.size.toLong, streaks.max))
+    }
+    val rows = SparkEntry.queries("q63_order_streaks")(spark, sf).collect()
+    assert(rows.length == want.size)
+    rows.foreach { r =>
+      val (n, k, m) = want(r.getLong(0))
+      assert(r.getLong(1) == n && r.getLong(2) == k && r.getLong(3) == m,
+        s"customer ${r.getLong(0)}")
+    }
+  }
+
+  test("target encoding: leave-one-out mean matches a direct recompute") {
+    val raw = spark.read.parquet(s"$sf/orders.parquet")
+      .select($"o_orderkey", $"o_orderpriority", $"o_totalprice")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    def decSum(xs: Iterable[Double]): Double =
+      xs.map(x => BigDecimal(x).setScale(2, BigDecimal.RoundingMode.HALF_UP))
+        .sum.toDouble
+    val groups = raw.groupBy(_._2).map { case (g, rs) =>
+      g -> ((decSum(rs.map(_._3)), rs.length.toLong))
+    }
+    val prior = decSum(raw.map(_._3)) / raw.length.toDouble
+    val rows = SparkEntry.queries("q64_target_encoding")(spark, sf).collect()
+    assert(rows.length == raw.length)
+    val byKey = raw.map(r => r._1 -> r).toMap
+    rows.foreach { r =>
+      val (_, g, x) = byKey(r.getLong(0))
+      val (sg, ng) = groups(g)
+      val want = ((sg - x) + 10.0 * prior) / ((ng - 1).toDouble + 10.0)
+      assert(r.getDouble(2) == want, s"order ${r.getLong(0)}") // bit-exact
+    }
+  }
+
+  test("pareto frontier: exactly the non-dominated parts") {
+    val parts = spark.read.parquet(s"$sf/part.parquet")
+      .select($"p_partkey", $"p_retailprice", $"p_size")
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getInt(2)))
+    val want = parts.filter { case (k, p, sz) =>
+      !parts.exists { case (k2, p2, sz2) =>
+        k2 != k && p2 <= p && sz2 >= sz && (p2 < p || sz2 > sz)
+      }
+    }.map(_._1).toSet
+    val got = SparkEntry.queries("q66_pareto_frontier")(spark, sf)
+      .collect().map(_.getLong(0)).toSet
+    assert(got == want)
+  }
 }

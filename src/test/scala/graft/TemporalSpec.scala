@@ -85,4 +85,28 @@ class TemporalSpec extends AnyFunSuite {
       assert(r.getLong(5) == es.length.toLong, s"$day volume")
     }
   }
+
+  test("twap: exact integer recompute per user") {
+    val ev = graft.sources.Tables(spark, sf).events
+      .select($"user_id", $"event_id", unix_micros($"ts").as("us"),
+        round($"value" * 100).cast("long").as("cents"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val want = ev.groupBy(_._1).flatMap { case (u, rs) =>
+      val sorted = rs.sortBy(r => (r._3, r._2))
+      val spans = sorted.zip(sorted.tail).map { case (a, b) => (a._4, b._3 - a._3) }
+      if (spans.isEmpty) None
+      else {
+        val dur = spans.map(_._2).sum
+        val num = spans.map(s => s._1 * s._2).sum
+        Some(u -> ((spans.length.toLong, dur, (num.toDouble / dur.toDouble) / 100.0)))
+      }
+    }
+    val rows = SparkEntry.queries("q65_twap")(spark, sf).collect()
+    assert(rows.length == want.size)
+    rows.foreach { r =>
+      val (n, dur, twap) = want(r.getLong(0))
+      assert(r.getLong(1) == n && r.getLong(2) == dur, s"user ${r.getLong(0)}")
+      assert(r.getDouble(3) == twap, s"user ${r.getLong(0)} twap") // bit-exact
+    }
+  }
 }
