@@ -78,6 +78,46 @@ object Graph {
       })
     }
 
+  private val weightedCache =
+    new java.util.WeakHashMap[SparkSession,
+      scala.collection.mutable.Map[String, DataFrame]]()
+
+  /** Memoized WEIGHTED symmetric co-purchase edges per (session, dir):
+    * (u, v, cnt) with cnt = number of orders sharing the pair, both
+    * directions. Shared by graph_item_recs and the weighted PageRank —
+    * the weighted edge build is the same per-order self-join as the
+    * unweighted one and was previously duplicated per query. Callers
+    * must NOT unpersist the returned frame.
+    */
+  private[graft] def copurchaseWeightedShared(
+      s: SparkSession, dir: String): DataFrame =
+    weightedCache.synchronized {
+      val perSession = {
+        val cur = weightedCache.get(s)
+        if (cur != null) cur
+        else {
+          val m = scala.collection.mutable.Map.empty[String, DataFrame]
+          weightedCache.put(s, m); m
+        }
+      }
+      perSession.getOrElseUpdate(dir, {
+        val t = Tables(s, dir)
+        val items = t.lineitem
+          .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+          .distinct()
+        val weighted = items.as("a").join(items.as("b"),
+            col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+          .groupBy(col("a.p").as("pa"), col("b.p").as("pb"))
+          .agg(count(lit(1)).as("cnt"))
+        val symW = weighted
+          .select(col("pa").as("u"), col("pb").as("v"), col("cnt"))
+          .union(weighted.select(col("pb").as("u"), col("pa").as("v"), col("cnt")))
+          .cache()
+        symW.count()
+        symW
+      })
+    }
+
   /** Degree histogram of the co-purchase graph: how many parts have
     * each co-purchase degree. Two aggregations on uniform keys.
     */
@@ -177,18 +217,32 @@ object Graph {
   val PageRankDamping = 0.85
   val PageRankIters = 5
 
-  /** PageRank over a symmetric edge frame: ranks start at 1/n; each
-    * round flows rank/degree along edges and sums the messages. The
-    * per-edge contribution is computed in IEEE double (deterministic
-    * scalar ops) but SUMMED as an exact decimal — decimal addition is
-    * order-free, so the ranks are bit-stable run-to-run regardless of
-    * how Spark partitions the message shuffle. One equi-join + one
-    * map-side-combined aggregation per round; the degree frame is
-    * dimension-sized and reused across rounds.
+  /** Fixed-point scale for PageRank message accumulation: messages
+    * (each ≤ 1) are quantized to units of 10⁻¹⁸ and summed as TWO
+    * long limbs — low 30 bits and high bits separately — then
+    * recombined exactly. Long addition is order-free like the decimal
+    * sum it replaces, but stays inside whole-stage codegen with no
+    * per-row BigDecimal allocation. Limb headroom: lo ≤ 2³⁰ and
+    * hi ≤ 10¹⁸/2³⁰ ≈ 9.3·10⁸ per message, so ~9·10⁹ messages per
+    * node fit before either limb sum could overflow — beyond any
+    * real per-node degree. Per-message error (double product + ½-unit
+    * quantization) is ≤ ~10⁻¹⁶ relative — ≪ the spec's 1e-9 rank
+    * tolerance even accumulated over huge-degree hubs.
     */
-  private[graft] def pageRank(
-      s: SparkSession, sym: DataFrame, iters: Int, damping: Double): DataFrame = {
-    val deg = sym.groupBy(col("u")).agg(count(lit(1)).as("deg")).cache()
+  private val PrScale = 1e18
+  private val PrLimb = 1L << 30
+
+  /** PageRank over a symmetric WEIGHTED edge frame (u, v, w): ranks
+    * start at 1/n; each round flows rank·w/Σw along edges and sums
+    * the messages with the exact two-limb long accumulator above, so
+    * the ranks are bit-stable run-to-run regardless of how Spark
+    * partitions the message shuffle. One broadcast join + one
+    * map-side-combined aggregation per round; the weighted-degree
+    * frame is dimension-sized and reused across rounds.
+    */
+  private[graft] def pageRankWeighted(
+      s: SparkSession, symW: DataFrame, iters: Int, damping: Double): DataFrame = {
+    val deg = symW.groupBy(col("u")).agg(sum(col("w")).as("wdeg")).cache()
     val n = deg.count()
     var ranks = deg.select(col("u").as("node"), lit(1.0 / n).as("rank"))
     val base = (1.0 - damping) / n
@@ -201,12 +255,16 @@ object Graph {
       // every downstream action silently recomputes the fixpoint
       val contribs = ranks
         .join(deg, ranks("node") === deg("u"))
-        .select(col("node"), (col("rank") / col("deg")).as("c"))
-      val msgs = sym
-        .join(broadcast(contribs), sym("u") === contribs("node"))
-        .select(sym("v").as("node"), col("c").cast(DecimalType(38, 18)).as("c"))
+        .select(col("node"), (col("rank") / col("wdeg")).as("c"))
+      val q = round(col("c") * col("w") * PrScale).cast("long")
+      val msgs = symW
+        .join(broadcast(contribs), symW("u") === contribs("node"))
+        .select(symW("v").as("node"),
+          shiftright(q, 30).as("hi"), (q % PrLimb).as("lo"))
       ranks = msgs.groupBy(col("node"))
-        .agg((lit(base) + lit(damping) * sum(col("c")).cast(DoubleType)).as("rank"))
+        .agg((lit(base) + lit(damping) *
+          ((sum(col("hi")) * PrLimb + sum(col("lo"))).cast(DoubleType) / PrScale))
+          .as("rank"))
         .localCheckpoint()
     }
     // every node has degree ≥ 1 (symmetric edge frame), so the message
@@ -214,6 +272,11 @@ object Graph {
     deg.unpersist(false)
     ranks
   }
+
+  /** Unweighted PageRank = weighted PageRank with unit weights. */
+  private[graft] def pageRank(
+      s: SparkSession, sym: DataFrame, iters: Int, damping: Double): DataFrame =
+    pageRankWeighted(s, sym.withColumn("w", lit(1L)), iters, damping)
 
   /** PageRank on the co-purchase graph with invariant gates: the
     * oracle hashes the EXACT graph shape (node/edge counts, max
@@ -283,16 +346,7 @@ object Graph {
   val graphItemRecs = GraftQuery(
     "graph_item_recs",
     (s, dir) => {
-      val t = Tables(s, dir)
-      val items = t.lineitem
-        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
-        .distinct()
-      val weighted = items.as("a").join(items.as("b"),
-          col("a.o") === col("b.o") && col("a.p") < col("b.p"))
-        .groupBy(col("a.p").as("pa"), col("b.p").as("pb"))
-        .agg(count(lit(1)).as("cnt"))
-      val sym = weighted.select(col("pa").as("u"), col("pb").as("v"), col("cnt"))
-        .union(weighted.select(col("pb").as("u"), col("pa").as("v"), col("cnt")))
+      val sym = copurchaseWeightedShared(s, dir)
       val degw = sym.groupBy(col("u")).agg(sum(col("cnt")).as("dw"))
       val scored = sym
         .join(degw.select(col("u"), col("dw").as("dwu")), Seq("u"))
@@ -513,7 +567,69 @@ object Graph {
     """)
   )
 
+  /** Weighted PageRank on the co-purchase graph: rank flows along
+    * each edge proportionally to its co-purchase count (cnt/Σcnt of
+    * the source) — frequently-co-bought pairs pull rank harder than
+    * one-off pairings, the importance measure a recommender actually
+    * wants. Same oracle pattern as graph_pagerank: the DuckDB side
+    * hashes the exact WEIGHTED graph shape (node/edge counts, total
+    * weight, the top weighted-degree hub) while the stochastic-matrix
+    * invariants (Σrank = 1, rank ≥ base) ride as Spark-verified
+    * booleans; rank VALUES are pinned by GraphSpec against a dense
+    * weighted reference iteration.
+    */
+  val graphPagerankWeighted = GraftQuery(
+    "graph_pagerank_weighted",
+    (s, dir) => {
+      val symW = copurchaseWeightedShared(s, dir)
+        .select(col("u"), col("v"), col("cnt").as("w"))
+      val ranks = pageRankWeighted(s, symW, PageRankIters, PageRankDamping)
+      val deg = symW.groupBy(col("u"))
+        .agg(sum(col("w")).as("wdeg"))
+      val n = deg.count()
+      val base = (1.0 - PageRankDamping) / n
+      val hub = deg
+        .orderBy(col("wdeg").desc, col("u"))
+        .limit(1)
+        .select(col("u").as("hub_part"), col("wdeg").cast("long").as("hub_wdegree"))
+      val gates = ranks.agg(
+        (abs(sum(col("rank")) - 1.0) < lit(1e-9)).as("rank_sum_ok"),
+        (min(col("rank")) >= lit(base)).as("rank_positive_ok"))
+      val shape = symW.agg((count(lit(1)) / 2).cast("long").as("n_edges"),
+          (sum(col("w")) / 2).cast("long").as("total_weight"))
+        .crossJoin(deg.agg(count(lit(1)).as("n_nodes")))
+      val out = shape.crossJoin(hub).crossJoin(gates)
+        .select(col("n_nodes"), col("n_edges"), col("total_weight"),
+          col("hub_part"), col("hub_wdegree"),
+          col("rank_sum_ok"), col("rank_positive_ok"))
+      out.persist().count()
+      ranks.unpersist(false)
+      out
+    },
+    Some("""
+      WITH items AS (
+        SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+      we AS (
+        SELECT a.p AS pa, b.p AS pb, COUNT(*) AS cnt
+        FROM items a JOIN items b ON a.o = b.o AND a.p < b.p
+        GROUP BY 1, 2),
+      sym AS (
+        SELECT pa AS u, pb AS v, cnt FROM we
+        UNION ALL SELECT pb, pa, cnt FROM we),
+      deg AS (SELECT u, SUM(cnt) AS wdeg FROM sym GROUP BY u),
+      hub AS (SELECT u AS hub_part, CAST(wdeg AS BIGINT) AS hub_wdegree
+              FROM deg ORDER BY wdeg DESC, u LIMIT 1)
+      SELECT (SELECT COUNT(*) FROM deg) AS n_nodes,
+             (SELECT COUNT(*) FROM we) AS n_edges,
+             (SELECT CAST(SUM(cnt) AS BIGINT) FROM we) AS total_weight,
+             (SELECT hub_part FROM hub) AS hub_part,
+             (SELECT hub_wdegree FROM hub) AS hub_wdegree,
+             TRUE AS rank_sum_ok,
+             TRUE AS rank_positive_ok
+    """)
+  )
+
   def all: Seq[GraftQuery] =
     Seq(graphDegreeStats, graphTriangles, graphPagerank, graphItemRecs,
-      graphCustomerSimilarity, graphCommunities)
+      graphPagerankWeighted, graphCustomerSimilarity, graphCommunities)
 }

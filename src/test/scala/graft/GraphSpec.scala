@@ -193,4 +193,71 @@ class GraphSpec extends AnyFunSuite {
     assert(rows((3L, 1L)) == ((2L, 1L, 1.0 / 3.0)))
     assert(rows((3L, 2L)) == ((1L, 1L, 1.0 / 4.0)))
   }
+
+  /** Dense weighted PageRank reference (rank flows ∝ edge weight). */
+  private def densePageRankWeighted(
+      edges: Seq[(Long, Long, Long)], iters: Int, damping: Double): Map[Long, Double] = {
+    val sym = edges.flatMap { case (a, b, w) => Seq((a, b, w), (b, a, w)) }
+    val nodes = sym.map(_._1).distinct.sorted
+    val idx = nodes.zipWithIndex.toMap
+    val wdeg = sym.groupBy(_._1).view.mapValues(_.map(_._3).sum.toDouble).toMap
+    val n = nodes.size
+    var r = Array.fill(n)(1.0 / n)
+    for (_ <- 1 to iters) {
+      val next = Array.fill(n)((1.0 - damping) / n)
+      sym.foreach { case (u, v, w) =>
+        next(idx(v)) += damping * r(idx(u)) * w / wdeg(u)
+      }
+      r = next
+    }
+    nodes.map(nd => nd -> r(idx(nd))).toMap
+  }
+
+  private def runPageRankWeighted(
+      edges: Seq[(Long, Long, Long)], iters: Int = 5): Map[Long, Double] = {
+    val e = edges.toDF("pa", "pb", "w")
+    val sym = e.select($"pa".as("u"), $"pb".as("v"), $"w")
+      .union(e.select($"pb".as("u"), $"pa".as("v"), $"w"))
+    Graph.pageRankWeighted(spark, sym, iters, 0.85)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+  }
+
+  test("weighted pagerank: unit weights reproduce plain pagerank") {
+    val edges = Seq((0L, 1L), (1L, 2L), (0L, 2L), (2L, 3L))
+    val plain = runPageRank(edges)
+    val unit = runPageRankWeighted(edges.map { case (a, b) => (a, b, 1L) })
+    assert(plain.keySet == unit.keySet)
+    plain.foreach { case (k, v) => assert(math.abs(v - unit(k)) < 1e-12) }
+  }
+
+  test("weighted pagerank matches dense reference on a skewed-weight graph") {
+    val rnd = new scala.util.Random(7)
+    val edges = (0 until 60)
+      .map(_ => (rnd.nextInt(20).toLong, rnd.nextInt(20).toLong))
+      .filter { case (a, b) => a != b }
+      .map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+      .distinct
+      .map { case (a, b) => (a, b, 1L + rnd.nextInt(50).toLong) }
+    val got = runPageRankWeighted(edges)
+    val want = densePageRankWeighted(edges, 5, 0.85)
+    assert(got.keySet == want.keySet)
+    got.foreach { case (k, v) =>
+      assert(math.abs(v - want(k)) < 1e-9, s"node $k: $v vs ${want(k)}")
+    }
+    assert(math.abs(got.values.sum - 1.0) < 1e-9, "total rank conserved")
+  }
+
+  test("weighted pagerank: heavy edge pulls rank toward its endpoint") {
+    // path 0-1-2 where edge (1,2) is 50x heavier than (0,1)
+    val got = runPageRankWeighted(Seq((0L, 1L, 1L), (1L, 2L, 50L)))
+    assert(got(2L) > got(0L), "heavy-edge endpoint must outrank light one")
+  }
+
+  test("weighted pagerank query gates hold at sf0.001") {
+    val r = SparkEntry.queries("graph_pagerank_weighted")(spark, sf).head()
+    assert(r.getBoolean(5), "rank_sum_ok must hold")
+    assert(r.getBoolean(6), "rank_positive_ok must hold")
+    assert(r.getLong(4) > 0, "hub weighted degree positive")
+    assert(r.getLong(2) >= r.getLong(1), "total weight >= edge count")
+  }
 }
