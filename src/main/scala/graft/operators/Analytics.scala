@@ -860,9 +860,106 @@ object Analytics {
     """)
   )
 
+  /** Robust outlier profile per return flag: median and MAD (median
+    * absolute deviation) of the price in exact cents, plus the count
+    * beyond 3 MADs — the robust alternative to q48's z-score flags
+    * (one wild value cannot drag the threshold). Median is the
+    * type-1 quantile (smallest value whose CDF reaches ⌈n/2⌉),
+    * stated identically in the oracle.
+    *
+    * Scale shape: ONE scan of the fact table builds the per-(flag,
+    * cents) histogram; the median, the deviation histogram (a
+    * regroup of the value histogram by |cents − med|), the MAD, and
+    * the outlier count are all domain-sized reductions over it —
+    * the q59 histogram-CDF pattern, reused end to end.
+    */
+  val q68MadOutliers = GraftQuery(
+    "q68_mad_outliers",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val cents = round(col("l_extendedprice") * 100).cast("long")
+      val hist = t.lineitem
+        .select(col("l_returnflag"), cents.as("cents"))
+        .groupBy(col("l_returnflag"), col("cents"))
+        .agg(count(lit(1)).as("cnt"))
+        .cache()
+      def typed1Median(h: DataFrame, vcol: String): DataFrame = {
+        val wCdf = Window.partitionBy(col("l_returnflag")).orderBy(col(vcol))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        h.withColumn("cum", sum(col("cnt")).over(wCdf))
+          .withColumn("n", sum(col("cnt"))
+            .over(Window.partitionBy(col("l_returnflag"))))
+          .groupBy(col("l_returnflag"))
+          .agg(min(when(col("cum") >= ceil(col("n") / 2.0), col(vcol)))
+            .as("med"), first(col("n")).as("n"))
+      }
+      val med = typed1Median(hist, "cents")
+        .select(col("l_returnflag"), col("med").as("median_cents"), col("n"))
+      val devHist = hist.join(broadcast(med), Seq("l_returnflag"))
+        .groupBy(col("l_returnflag"),
+          abs(col("cents") - col("median_cents")).as("dev"))
+        .agg(sum(col("cnt")).as("cnt"))
+      val mad = typed1Median(devHist, "dev")
+        .select(col("l_returnflag"), col("med").as("mad_cents"))
+      val out = devHist.join(broadcast(mad), Seq("l_returnflag"))
+        .groupBy(col("l_returnflag"))
+        .agg(first(col("mad_cents")).as("mad_cents"),
+          sum(when(col("dev") > lit(3) * col("mad_cents"), col("cnt"))
+            .otherwise(lit(0L))).as("n_outliers"))
+        .join(med.select(col("l_returnflag"), col("median_cents"), col("n")),
+          Seq("l_returnflag"))
+        .select(col("l_returnflag"), col("n"), col("median_cents"),
+          col("mad_cents"), col("n_outliers"))
+        .orderBy(col("l_returnflag"))
+      out.persist().count()
+      hist.unpersist(false)
+      out
+    },
+    Some("""
+      WITH hist AS (
+        SELECT l_returnflag, CAST(round(l_extendedprice * 100) AS BIGINT) AS cents,
+               COUNT(*) AS cnt
+        FROM lineitem GROUP BY 1, 2),
+      cdf AS (
+        SELECT l_returnflag, cents, cnt,
+               SUM(cnt) OVER (PARTITION BY l_returnflag ORDER BY cents
+                              ROWS UNBOUNDED PRECEDING) AS cum,
+               SUM(cnt) OVER (PARTITION BY l_returnflag) AS n
+        FROM hist),
+      med AS (
+        SELECT l_returnflag, MIN(cents) AS median_cents, MIN(n) AS n
+        FROM cdf WHERE cum >= ceil(n / 2.0) GROUP BY 1),
+      dev AS (
+        SELECT h.l_returnflag, abs(h.cents - m.median_cents) AS d,
+               SUM(h.cnt) AS cnt
+        FROM hist h JOIN med m USING (l_returnflag)
+        GROUP BY 1, 2),
+      dcdf AS (
+        SELECT l_returnflag, d, cnt,
+               SUM(cnt) OVER (PARTITION BY l_returnflag ORDER BY d
+                              ROWS UNBOUNDED PRECEDING) AS cum,
+               SUM(cnt) OVER (PARTITION BY l_returnflag) AS n
+        FROM dev),
+      mad AS (
+        SELECT l_returnflag, MIN(d) AS mad_cents
+        FROM dcdf WHERE cum >= ceil(n / 2.0) GROUP BY 1)
+      SELECT m.l_returnflag,
+             CAST(m.n AS BIGINT) AS n,
+             m.median_cents,
+             x.mad_cents,
+             CAST(SUM(CASE WHEN dev.d > 3 * x.mad_cents THEN dev.cnt
+                           ELSE 0 END) AS BIGINT) AS n_outliers
+      FROM med m
+      JOIN mad x USING (l_returnflag)
+      JOIN dev USING (l_returnflag)
+      GROUP BY 1, 2, 3, 4
+      ORDER BY m.l_returnflag
+    """)
+  )
+
   def all: Seq[GraftQuery] =
     Seq(q46Funnel, q47CohortRetention, q48AnomalyExact, q49Scd2Versions,
       q51StatsProfile, q52ColumnProfile, q56SessionizedFunnel, q55DqConstraints,
       q59Winsorize, q61ApproxGroupbySample, q62PeriodicProfile, q63OrderStreaks,
-      q64TargetEncoding, q66ParetoFrontier)
+      q64TargetEncoding, q66ParetoFrontier, q68MadOutliers)
 }

@@ -1740,6 +1740,39 @@ object Relational {
     """)
   )
 
+  /** Ranking-function completeness: percent_rank, cume_dist, and
+    * ntile over one window spec — the remaining SQL ranking functions
+    * the window family (q07/q08) didn't exercise. The order column
+    * set ends in the unique o_orderkey (oracle rule: windows need a
+    * total order), so every rank is deterministic; percent_rank and
+    * cume_dist are single correctly-rounded divisions of exact row
+    * counts. One exchange on the partition key serves all three.
+    */
+  val q67WindowRanks = GraftQuery(
+    "q67_window_ranks",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val w = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(col("o_totalprice"), col("o_orderkey"))
+      t.orders
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          percent_rank().over(w).as("pct_rank"),
+          cume_dist().over(w).as("cume"),
+          ntile(4).over(w).cast("long").as("quartile"))
+        .orderBy(col("o_orderkey"))
+    },
+    Some("""
+      SELECT o_orderkey, o_orderpriority,
+             percent_rank() OVER w AS pct_rank,
+             cume_dist() OVER w AS cume,
+             CAST(ntile(4) OVER w AS BIGINT) AS quartile
+      FROM orders
+      WINDOW w AS (PARTITION BY o_orderpriority
+                   ORDER BY o_totalprice, o_orderkey)
+      ORDER BY o_orderkey
+    """)
+  )
+
   def all: Seq[GraftQuery] = Seq(
     q01PricingSummary, q02RevenueByNation, q03ShippingPriority,
     q04OrderPriorityExists, q05CustomersWithoutOrders, q06RevenueFilter,
@@ -1752,6 +1785,6 @@ object Relational {
     q38ThetaDistinct, q39SaltedSkewJoin, q40SlidingDistinct, q41OrcRoundtrip,
     q42ThetaIntersect, q43QuantileBinning, q44UpsertSnapshot,
     q45CsvRoundtrip, q50WeightedTheta, q53ZorderLayout, q54IncrementalAgg,
-    q57TopkJoinPushdown, q58EwmaSmoothing
+    q57TopkJoinPushdown, q58EwmaSmoothing, q67WindowRanks
   )
 }

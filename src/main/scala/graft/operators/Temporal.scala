@@ -363,8 +363,58 @@ object Temporal {
     """)
   )
 
+  /** Seasonal-naive forecast backtest: predict each hour's event
+    * count per type as the count 24 hours earlier, and score the
+    * forecast with MAE over every hour that HAS a day-old
+    * counterpart (both hours observed — gaps carry no forecast, the
+    * standard backtest convention). The simplest competitive
+    * baseline every forecasting pipeline must beat, and the
+    * evaluation harness is the operator: exact BIGINT hour numbers,
+    * exact count deltas, one correctly-rounded division for the MAE.
+    * Scale shape: the hourly rollup is one map-side-combined
+    * aggregation; the seasonal lag is a self-join on (type, hour−24)
+    * over the DOMAIN-sized hourly frame, not the events.
+    */
+  val q69SeasonalNaive = GraftQuery(
+    "q69_seasonal_naive",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val hourly = t.events
+        .select(col("event_type"),
+          floor(unix_micros(col("ts")) / 3600000000L).as("hr"))
+        .groupBy(col("event_type"), col("hr"))
+        .agg(count(lit(1)).as("cnt"))
+      val lagged = hourly.select(col("event_type"),
+        (col("hr") + 24).as("hr"), col("cnt").as("forecast"))
+      hourly.join(lagged, Seq("event_type", "hr"))
+        .groupBy(col("event_type"))
+        .agg(
+          count(lit(1)).as("n_eval_hours"),
+          sum(abs(col("cnt") - col("forecast"))).as("total_abs_err"),
+          (sum(abs(col("cnt") - col("forecast"))).cast(DoubleType) /
+            count(lit(1)).cast(DoubleType)).as("mae"))
+        .orderBy(col("event_type"))
+    },
+    Some("""
+      WITH hourly AS (
+        SELECT event_type,
+               CAST(floor(epoch_us(ts) / 3600000000) AS BIGINT) AS hr,
+               COUNT(*) AS cnt
+        FROM events GROUP BY 1, 2)
+      SELECT h.event_type,
+             COUNT(*) AS n_eval_hours,
+             CAST(SUM(abs(h.cnt - f.cnt)) AS BIGINT) AS total_abs_err,
+             CAST(SUM(abs(h.cnt - f.cnt)) AS DOUBLE)
+               / CAST(COUNT(*) AS DOUBLE) AS mae
+      FROM hourly h
+      JOIN hourly f ON f.event_type = h.event_type AND f.hr = h.hr - 24
+      GROUP BY h.event_type
+      ORDER BY h.event_type
+    """)
+  )
+
   def all: Seq[GraftQuery] =
     Seq(q21AsofPrevError, q22RangeJoinNeighbors, q23CustomVariance,
       q27AsofJoinNative, q36GapfillResample, q37RollingFeatures,
-      q60OhlcResample, q65Twap)
+      q60OhlcResample, q65Twap, q69SeasonalNaive)
 }

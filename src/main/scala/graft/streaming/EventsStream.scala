@@ -571,6 +571,80 @@ object EventsStream {
     """)
   )
 
+  /** Watermarked stream-stream LEFT OUTER join — the click-attribution
+    * join of stream_stream_join plus the rows an inner join silently
+    * drops: clicks with NO purchase in their attribution window.
+    * Outer semantics in Structured Streaming are watermark-driven: an
+    * unmatched click's null-padded row emits only when the global
+    * watermark (min over both inputs of max-event-time − 1h) passes
+    * the end of its match window and its state is evicted — Spark
+    * runs a final no-data micro-batch for exactly this eviction.
+    * Clicks still inside the watermark horizon at end of replay
+    * remain in state and do NOT emit, and the DuckDB oracle states
+    * that exact cutoff: an unmatched click counts iff
+    * c.ts + attribution window < min(max click ts, max purchase ts) − 1h.
+    * That a batch engine can restate the cutoff in closed form is the
+    * point of the check: emission is a pure function of the data, not
+    * of trigger timing.
+    */
+  val streamStreamLeftOuter = GraftQuery(
+    "stream_stream_left_outer",
+    (s, dir) => {
+      val clicks = eventsStream(s, dir)
+        .filter(col("event_type") === "click")
+        .select(col("event_id").as("c_id"), col("user_id").as("c_user"),
+          col("ts").as("c_ts"))
+        .withWatermark("c_ts", "1 hour")
+      val purchases = eventsStream(s, dir)
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+          col("value").as("p_value"))
+        .withWatermark("p_ts", "1 hour")
+      val joined = clicks.join(purchases,
+        col("c_user") === col("p_user") &&
+          col("p_ts") >= col("c_ts") &&
+          col("p_ts") <= col("c_ts") + expr(s"INTERVAL $AttributionMinutes MINUTES"),
+        "leftOuter")
+      runToTable(joined, OutputMode.Append())
+        .groupBy(col("c_user").as("user_id"))
+        .agg(
+          sum(when(col("p_user").isNotNull, 1L).otherwise(0L)).as("n_attributed"),
+          sum(when(col("p_user").isNull, 1L).otherwise(0L)).as("n_unattributed"))
+        .orderBy(col("user_id"))
+    },
+    Some(s"""
+      WITH wm AS (
+        SELECT least(
+          (SELECT max(ts) FROM events WHERE event_type = 'click'),
+          (SELECT max(ts) FROM events WHERE event_type = 'purchase'))
+          - INTERVAL 1 HOUR AS w),
+      matched AS (
+        SELECT c.user_id, COUNT(*) AS n_attributed
+        FROM events c JOIN events p
+          ON c.event_type = 'click' AND p.event_type = 'purchase'
+         AND p.user_id = c.user_id
+         AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL $AttributionMinutes MINUTE
+        GROUP BY 1),
+      expired_unmatched AS (
+        SELECT c.user_id, COUNT(*) AS n_unattributed
+        FROM events c, wm
+        WHERE c.event_type = 'click'
+          AND c.ts + INTERVAL $AttributionMinutes MINUTE < wm.w
+          AND NOT EXISTS (
+            SELECT 1 FROM events p
+            WHERE p.event_type = 'purchase' AND p.user_id = c.user_id
+              AND p.ts >= c.ts
+              AND p.ts <= c.ts + INTERVAL $AttributionMinutes MINUTE)
+        GROUP BY 1)
+      SELECT COALESCE(m.user_id, e.user_id) AS user_id,
+             CAST(COALESCE(m.n_attributed, 0) AS BIGINT) AS n_attributed,
+             CAST(COALESCE(e.n_unattributed, 0) AS BIGINT) AS n_unattributed
+      FROM matched m FULL OUTER JOIN expired_unmatched e
+        ON e.user_id = m.user_id
+      ORDER BY user_id
+    """)
+  )
+
   /** Reservoir size for the streaming weighted sampler. */
   val SampleR = 10
 
@@ -833,6 +907,6 @@ object EventsStream {
   def all: Seq[GraftQuery] =
     Seq(streamHourlyAgg, streamSessionize, streamScore, streamDedupExact,
       streamEnrichProfile, streamSessionWindow, streamThetaDistinct,
-      streamStreamJoin, streamWeightedSample, streamUpsertLatest,
-      streamHeavyHitters)
+      streamStreamJoin, streamStreamLeftOuter, streamWeightedSample,
+      streamUpsertLatest, streamHeavyHitters)
 }

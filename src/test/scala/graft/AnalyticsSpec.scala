@@ -359,4 +359,26 @@ class AnalyticsSpec extends AnyFunSuite {
       .collect().map(_.getLong(0)).toSet
     assert(got == want)
   }
+
+  test("MAD outliers: brute-force recompute of median/MAD per flag") {
+    val rows = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select($"l_returnflag", round($"l_extendedprice" * 100).cast("long"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    def med1(xs: Seq[Long]): Long = { // type-1: value at ceil(n/2)
+      val s = xs.sorted; s((math.ceil(s.size / 2.0) - 1).toInt)
+    }
+    val want = rows.groupBy(_._1).map { case (f, rs) =>
+      val vs = rs.map(_._2).toSeq
+      val m = med1(vs)
+      val mad = med1(vs.map(v => math.abs(v - m)))
+      f -> ((vs.size.toLong, m, mad, vs.count(v => math.abs(v - m) > 3 * mad).toLong))
+    }
+    val got = SparkEntry.queries("q68_mad_outliers")(spark, sf).collect()
+    assert(got.length == want.size)
+    got.foreach { r =>
+      val (n, m, mad, out) = want(r.getString(0))
+      assert(r.getLong(1) == n && r.getLong(2) == m &&
+        r.getLong(3) == mad && r.getLong(4) == out, s"flag ${r.getString(0)}")
+    }
+  }
 }

@@ -204,4 +204,23 @@ class StreamShapeSpec extends AnyFunSuite {
         s"$et: counts not descending")
     }
   }
+
+  test("stream-stream left outer: matched side equals the inner join; " +
+      "unmatched side obeys the watermark cutoff") {
+    val outer = SparkEntry.queries("stream_stream_left_outer")(spark, sf)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val inner = SparkEntry.queries("stream_stream_join")(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // every inner-join user appears with the same attributed count
+    inner.foreach { case (u, n) =>
+      assert(outer.contains(u), s"user $u missing from outer result")
+      assert(outer(u)._1 == n, s"user $u attributed count differs")
+    }
+    // outer-only users carry only unattributed clicks
+    (outer.keySet -- inner.keySet).foreach { u =>
+      assert(outer(u)._1 == 0L && outer(u)._2 > 0L, s"user $u")
+    }
+    // the watermark cutoff actually emitted something at sf0.001
+    assert(outer.values.map(_._2).sum > 0L, "no unmatched clicks emitted")
+  }
 }
