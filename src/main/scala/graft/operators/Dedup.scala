@@ -921,8 +921,103 @@ object Dedup {
     """)
   )
 
+  /** Containment threshold for dedup_containment. */
+  val ContainmentMin = 0.8
+
+  /** Shingle-containment near-dup: pairs where one document's shingle
+    * set is ≥80% inside the other's — the SUPERSET/quote/expansion
+    * relation a symmetric Jaccard threshold structurally misses (a
+    * 100-shingle doc embedded in a 10000-shingle doc has Jaccard
+    * ≈ 0.01 but containment 1.0). This is the dedup rule that
+    * catches boilerplate-wrapped reposts and doc-in-doc quoting in a
+    * training corpus.
+    *
+    * Same inverted-index shape as [[ngramJaccardPairs]]: explode
+    * shingles, df-cap the join key (one hot shingle cannot create a
+    * quadratic product — same warning when the cap binds), count
+    * shared shingles per candidate pair, keep pairs whose
+    * common/min(n_a, n_b) clears the threshold. The hot-shingle
+    * prefilter bound uses min-side containment — valid for both
+    * directions — and the exact hot-array correction restores
+    * losslessness, mirroring the Jaccard path.
+    */
+  val dedupContainment = GraftQuery(
+    "dedup_containment",
+    (s, dir) => {
+      val sets = docShingleSets(Tables(s, dir).documents).cache()
+      val ds = sets.select(col("doc_id"), size(col("sh")).as("n_sh"),
+        explode(col("sh")).as("shingle"))
+      val dfCap = MaxShingleDf
+      val hot = ds.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+        .filter(col("df") > dfCap).select(col("shingle")).cache()
+      val nHot = hot.count()
+      if (nHot > 0)
+        System.err.println(
+          s"[dedup] WARNING: $nHot shingle(s) exceed MaxShingleDf=$dfCap; " +
+          "containment pairs whose shared shingles are ALL hot will not " +
+          "surface (see Dedup.MaxShingleDf scaladoc).")
+      val rare = ds.join(broadcast(hot), Seq("shingle"), "left_anti")
+      val a = rare.select(col("doc_id").as("ia"), col("n_sh").as("na"), col("shingle"))
+      val b = rare.select(col("doc_id").as("ib"), col("n_sh").as("nb"), col("shingle"))
+      val counted = a.join(b, Seq("shingle"))
+        .filter(col("ia") < col("ib"))
+        .groupBy(col("ia"), col("ib"), col("na"), col("nb"))
+        .agg(count(lit(1)).as("common_rare"))
+      val scored =
+        if (nHot == 0L) counted.withColumn("common", col("common_rare").cast("double"))
+        else {
+          val cmax = least(col("common_rare") + lit(nHot.toDouble),
+            least(col("na"), col("nb")).cast("double"))
+          val docHot = ds.join(broadcast(hot), Seq("shingle"))
+            .groupBy(col("doc_id")).agg(collect_list(col("shingle")).as("hot_sh"))
+          counted
+            .filter(cmax / least(col("na"), col("nb")) >= ContainmentMin)
+            .join(docHot.select(col("doc_id").as("ia"), col("hot_sh").as("hot_a")),
+              Seq("ia"), "left")
+            .join(docHot.select(col("doc_id").as("ib"), col("hot_sh").as("hot_b")),
+              Seq("ib"), "left")
+            .withColumn("common", col("common_rare").cast("double") +
+              size(array_intersect(
+                coalesce(col("hot_a"), array().cast("array<string>")),
+                coalesce(col("hot_b"), array().cast("array<string>")))))
+        }
+      val out = scored
+        .withColumn("containment",
+          col("common") / least(col("na"), col("nb")).cast("double"))
+        .filter(col("containment") >= ContainmentMin)
+        .select(col("ia"), col("ib"),
+          round(col("common") / col("na"), 6).as("containment_ab"),
+          round(col("common") / col("nb"), 6).as("containment_ba"))
+        .orderBy(col("ia"), col("ib"))
+      out.persist().count()
+      sets.unpersist(false)
+      hot.unpersist(false)
+      out
+    },
+    Some("""
+      WITH sh AS (
+        SELECT doc_id,
+               list_distinct(list_transform(
+                 range(1, greatest(len(string_split_regex(lower(text), '\s+')) - 1, 1)),
+                 i -> string_split_regex(lower(text), '\s+')[i] || ' ' ||
+                      string_split_regex(lower(text), '\s+')[i+1] || ' ' ||
+                      string_split_regex(lower(text), '\s+')[i+2])) AS s
+        FROM documents)
+      SELECT a.doc_id AS ia, b.doc_id AS ib,
+             round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(a.s), 6)
+               AS containment_ab,
+             round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(b.s), 6)
+               AS containment_ba
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+              / least(len(a.s), len(b.s)) >= 0.8
+      ORDER BY ia, ib
+    """)
+  )
+
   def all: Seq[GraftQuery] = Seq(
     dedupExact, dedupNgramJaccard, dedupMinhashLsh, dedupSimhash,
-    dedupEmbeddingCosine, dedupClusters, dedupMultisignal, dedupSurvivorship
+    dedupEmbeddingCosine, dedupClusters, dedupMultisignal, dedupSurvivorship,
+    dedupContainment
   )
 }

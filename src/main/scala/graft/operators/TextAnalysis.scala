@@ -1233,11 +1233,89 @@ object TextAnalysis {
     """)
   )
 
+  /** Count-min sketch geometry: depth (independent hash rows) and
+    * width (buckets per row). ε = e/width ≈ 0.0106, δ = e^−depth ≈
+    * 0.018: estimates overshoot the true count by more than ε·N with
+    * probability < δ per query.
+    */
+  val CmsDepth = 4
+  val CmsWidth = 256
+
+  /** Count-min sketch of corpus token frequencies, audited against
+    * exact counts — the fixed-memory frequency summary that, unlike
+    * Misra–Gries (text_heavy_hitters), supports point queries for ANY
+    * term, not just the heavy head. The sketch is depth×width = 1024
+    * counters regardless of vocabulary size; each token increments
+    * one bucket per row (seeded xxhash64), and a point estimate is
+    * the MIN of its row buckets.
+    *
+    * Spark shape: building the sketch is ONE map-side-combined
+    * aggregation over (row, bucket) — posexplode of the depth hash
+    * array, no UDFs, fully codegen'd. The audit joins the top-20
+    * exact counts against the domain-sized sketch frame broadcast.
+    * The CMS guarantees ride as Spark-verified booleans: est ≥ exact
+    * always (one-sided error, a hard invariant), and est ≤ exact +
+    * ε·N per audited term (binding here: no δ slack is consumed at
+    * this vocabulary). The oracle hashes the exact counts + ranks —
+    * seeded xxhash64 bucketing isn't portable SQL — same gate
+    * pattern as graph_pagerank.
+    */
+  val textCmsFreq = GraftQuery(
+    "text_cms_freq",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val toks = t.documents
+        .select(explode(tokens(col("text"))).as("term"))
+        .filter(col("term") =!= "").cache()
+      val hashes = array((0 until CmsDepth).map(r =>
+        pmod(xxhash64(lit(r), col("term")), lit(CmsWidth)).cast("int")): _*)
+      val sketch = toks
+        .select(posexplode(hashes).as(Seq("row", "bucket")))
+        .groupBy(col("row"), col("bucket"))
+        .agg(count(lit(1)).as("c"))
+        .cache()
+      val total = toks.count()
+      val eps = math.E / CmsWidth
+      val exact = toks.groupBy(col("term")).agg(count(lit(1)).as("cnt"))
+      val w = Window.orderBy(col("cnt").desc, col("term"))
+      val top = exact.withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= 20)
+      val probes = top
+        .select(col("rank"), col("term"), col("cnt"),
+          posexplode(hashes).as(Seq("row", "bucket")))
+        .join(broadcast(sketch), Seq("row", "bucket"))
+        .groupBy(col("rank"), col("term"), col("cnt"))
+        .agg(min(col("c")).as("est"))
+      val out = probes
+        .select(col("rank"), col("term"), col("cnt"),
+          (col("est") >= col("cnt")).as("overcount_ok"),
+          (col("est") <= col("cnt") + lit(eps * total)).as("eps_bound_ok"))
+        .orderBy(col("rank"))
+      out.persist().count()
+      toks.unpersist(false)
+      sketch.unpersist(false)
+      out
+    },
+    Some(raw"""
+      WITH toks AS (
+        SELECT unnest(string_split_regex(lower(text), '\s+')) AS term
+        FROM documents),
+      ex AS (SELECT term, COUNT(*) AS cnt FROM toks WHERE term <> '' GROUP BY 1),
+      ranked AS (
+        SELECT term, cnt,
+               CAST(row_number() OVER (ORDER BY cnt DESC, term) AS BIGINT) AS rank
+        FROM ex)
+      SELECT rank, term, cnt, TRUE AS overcount_ok, TRUE AS eps_bound_ok
+      FROM ranked WHERE rank <= 20
+      ORDER BY rank
+    """)
+  )
+
   def all: Seq[GraftQuery] =
     Seq(textTokens, textQuality, textLangid, textFingerprint, textTopNgrams,
       textTrainingSet, textChunk, textDecontaminate, sampleStratified,
       textPackSequences, textTfidf, textRepetition, sampleMixture,
       textSourceOverlap, textDecontaminateBloom, textPiiRedact,
       textZipfStats, textHeavyHitters, textUnigramLm, textExportShards,
-      samplePps, textPassageDedup)
+      samplePps, textPassageDedup, textCmsFreq)
 }

@@ -78,4 +78,16 @@ class FreqSketchSpec extends AnyFunSuite {
     assert(cnts.zip(cnts.tail).forall { case (a, b) => a >= b })
     rows.foreach(r => assert(r.getBoolean(3), "mg_ok false"))
   }
+
+  test("CMS: one-sided overcount and eps bound hold on the corpus audit") {
+    val rows = SparkEntry.queries("text_cms_freq")(spark, sf).collect()
+    assert(rows.length == 20)
+    rows.foreach { r =>
+      assert(r.getBoolean(3), s"term ${r.getString(1)}: CMS undercounted")
+      assert(r.getBoolean(4), s"term ${r.getString(1)}: eps bound broken")
+    }
+    // ranks are 1..20 with exact counts non-increasing
+    val cnts = rows.sortBy(_.getLong(0)).map(_.getLong(2))
+    assert(cnts.zip(cnts.tail).forall { case (a, b) => a >= b })
+  }
 }

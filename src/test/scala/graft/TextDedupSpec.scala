@@ -449,4 +449,31 @@ class TextDedupSpec extends AnyFunSuite {
     assert(rows(3L) == ((2L, 3L)), "doc 3 maps to longest-text survivor 2")
     assert(rows(5L) == ((4L, 2L)), "tie on length: min doc_id survives")
   }
+
+  test("containment: every emitted pair matches brute-force shingle containment") {
+    val sets = graft.operators.Dedup
+      .docShingleSets(graft.sources.Tables(spark, sf).documents)
+      .collect().map(r => r.getLong(0) ->
+        r.getSeq[String](1).toSet).toMap
+    val rows = SparkEntry.queries("dedup_containment")(spark, sf).collect()
+    // emitted pairs carry exact one-sided containments
+    rows.foreach { r =>
+      val (ia, ib) = (r.getLong(0), r.getLong(1))
+      val common = (sets(ia) intersect sets(ib)).size.toDouble
+      def r6(x: Double) = BigDecimal(x)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(r.getDouble(2) == r6(common / sets(ia).size), s"($ia,$ib) ab")
+      assert(r.getDouble(3) == r6(common / sets(ib).size), s"($ia,$ib) ba")
+      assert(math.max(r.getDouble(2), r.getDouble(3)) >= 0.8 - 1e-9)
+    }
+    // and no qualifying pair is missed (brute force over all pairs)
+    val ids = sets.keys.toSeq.sorted
+    val want = (for {
+      i <- ids.indices; j <- (i + 1) until ids.size
+      a = sets(ids(i)); b = sets(ids(j))
+      c = (a intersect b).size.toDouble
+      if c / math.min(a.size, b.size) >= 0.8
+    } yield (ids(i), ids(j))).toSet
+    assert(rows.map(r => (r.getLong(0), r.getLong(1))).toSet == want)
+  }
 }
