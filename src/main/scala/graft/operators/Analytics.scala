@@ -957,9 +957,188 @@ object Analytics {
     """)
   )
 
+  /** Two-sample Welch t-test: does mean extended price differ between
+    * returned ('R') and acknowledged ('A') lineitems? The standard
+    * A/B-test primitive, computed entirely from per-group exact
+    * moments: n (BIGINT), Σcents (BIGINT), Σcents² (DECIMAL(38) —
+    * cents² alone reaches 10¹⁴, so the sum overflows BIGINT at sf≥1).
+    * One map-side-combined aggregation over the fact scan; the t
+    * statistic and Welch–Satterthwaite df are a fixed correctly-
+    * rounded double op chain over those exact moments (sqrt is
+    * IEEE-correctly-rounded in both engines), so the doubles hash
+    * identically. No sort, no window, no second pass.
+    */
+  val q71WelchTtest = GraftQuery(
+    "q71_welch_ttest",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val m = t.lineitem
+        .filter(col("l_returnflag").isin("R", "A"))
+        .select(col("l_returnflag"),
+          round(col("l_extendedprice") * 100).cast("long").as("cents"))
+        .groupBy(col("l_returnflag"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(col("cents")).as("s"),
+          sum((col("cents") * col("cents")).cast(DecimalType(38, 0))).as("q"))
+      // pivot the two groups side by side (tiny frame: 2 rows)
+      val r = m.filter(col("l_returnflag") === "R")
+        .select(col("n").as("n1"), col("s").as("s1"), col("q").as("q1"))
+      val a = m.filter(col("l_returnflag") === "A")
+        .select(col("n").as("n2"), col("s").as("s2"), col("q").as("q2"))
+      val j = r.crossJoin(a)
+      def dbl(c: Column): Column = c.cast(DoubleType)
+      def meanC(sc: Column, nc: Column): Column = dbl(sc) / dbl(nc)
+      def varC(qc: Column, sc: Column, nc: Column): Column =
+        (dbl(qc) - dbl(sc) * dbl(sc) / dbl(nc)) / (dbl(nc) - lit(1.0))
+      val se1 = varC(col("q1"), col("s1"), col("n1")) / dbl(col("n1"))
+      val se2 = varC(col("q2"), col("s2"), col("n2")) / dbl(col("n2"))
+      val se = se1 + se2
+      j.select(
+        col("n1"), col("n2"),
+        (meanC(col("s1"), col("n1")) / lit(100.0)).as("mean_r"),
+        (meanC(col("s2"), col("n2")) / lit(100.0)).as("mean_a"),
+        ((meanC(col("s1"), col("n1")) - meanC(col("s2"), col("n2"))) /
+          sqrt(se)).as("t_stat"),
+        ((se * se) /
+          (se1 * se1 / (dbl(col("n1")) - lit(1.0)) +
+            se2 * se2 / (dbl(col("n2")) - lit(1.0)))).as("welch_df"))
+    },
+    Some("""
+      WITH m AS (
+        SELECT l_returnflag,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS s,
+               SUM(CAST(round(l_extendedprice * 100) AS HUGEINT)
+                   * CAST(round(l_extendedprice * 100) AS HUGEINT)) AS q
+        FROM lineitem WHERE l_returnflag IN ('R', 'A')
+        GROUP BY 1),
+      j AS (
+        SELECT r.n AS n1, CAST(r.s AS DOUBLE) AS s1, CAST(r.q AS DOUBLE) AS q1,
+               a.n AS n2, CAST(a.s AS DOUBLE) AS s2, CAST(a.q AS DOUBLE) AS q2
+        FROM (SELECT * FROM m WHERE l_returnflag = 'R') r,
+             (SELECT * FROM m WHERE l_returnflag = 'A') a),
+      v AS (
+        SELECT n1, n2, s1, s2,
+               (q1 - s1 * s1 / CAST(n1 AS DOUBLE)) / (CAST(n1 AS DOUBLE) - 1.0)
+                 / CAST(n1 AS DOUBLE) AS se1,
+               (q2 - s2 * s2 / CAST(n2 AS DOUBLE)) / (CAST(n2 AS DOUBLE) - 1.0)
+                 / CAST(n2 AS DOUBLE) AS se2
+        FROM j)
+      SELECT n1, n2,
+             s1 / CAST(n1 AS DOUBLE) / 100.0 AS mean_r,
+             s2 / CAST(n2 AS DOUBLE) / 100.0 AS mean_a,
+             (s1 / CAST(n1 AS DOUBLE) - s2 / CAST(n2 AS DOUBLE))
+               / sqrt(se1 + se2) AS t_stat,
+             ((se1 + se2) * (se1 + se2))
+               / (se1 * se1 / (CAST(n1 AS DOUBLE) - 1.0)
+                  + se2 * se2 / (CAST(n2 AS DOUBLE) - 1.0)) AS welch_df
+      FROM v
+    """)
+  )
+
+  /** RFM customer segmentation: score every customer 1–5 on Recency
+    * (days since last order), Frequency (order count), and Monetary
+    * (lifetime spend), then profile the resulting segments. Scores
+    * come from exact quintile THRESHOLDS (the `percentile` aggregate
+    * over the customer-metric frame — same type-7 interpolation as
+    * DuckDB's `quantile_cont`, the q25-proven pairing) rather than a
+    * global ntile window: a whole-table ntile is one reducer, while
+    * thresholds are one aggregate + a broadcast of 12 doubles, so the
+    * scoring pass stays embarrassingly parallel at any customer
+    * count. Ties at a threshold share a score (standard quantile-RFM
+    * semantics, identical in both engines over identical doubles).
+    * All metrics are exact integers (epoch-day, counts, cents) before
+    * the one cast into the comparison.
+    */
+  val q73RfmSegments = GraftQuery(
+    "q73_rfm_segments",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val rfm = t.orders
+        .groupBy(col("o_custkey"))
+        .agg(
+          max(unix_date(col("o_orderdate").cast("date"))).cast("long").as("last_day"),
+          count(lit(1)).as("freq"),
+          sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
+      val th = rfm.agg(
+        expr("percentile(last_day, 0.2)").as("r20"),
+        expr("percentile(last_day, 0.4)").as("r40"),
+        expr("percentile(last_day, 0.6)").as("r60"),
+        expr("percentile(last_day, 0.8)").as("r80"),
+        expr("percentile(freq, 0.2)").as("f20"),
+        expr("percentile(freq, 0.4)").as("f40"),
+        expr("percentile(freq, 0.6)").as("f60"),
+        expr("percentile(freq, 0.8)").as("f80"),
+        expr("percentile(cents, 0.2)").as("m20"),
+        expr("percentile(cents, 0.4)").as("m40"),
+        expr("percentile(cents, 0.6)").as("m60"),
+        expr("percentile(cents, 0.8)").as("m80"))
+      def score(v: Column, q1: Column, q2: Column, q3: Column, q4: Column) =
+        (lit(1L) + (v > q1).cast("long") + (v > q2).cast("long") +
+          (v > q3).cast("long") + (v > q4).cast("long"))
+      val scored = rfm.crossJoin(broadcast(th))
+        .select(col("o_custkey"), col("cents"),
+          score(col("last_day").cast(DoubleType),
+            col("r20"), col("r40"), col("r60"), col("r80")).as("r_score"),
+          score(col("freq").cast(DoubleType),
+            col("f20"), col("f40"), col("f60"), col("f80")).as("f_score"),
+          score(col("cents").cast(DoubleType),
+            col("m20"), col("m40"), col("m60"), col("m80")).as("m_score"))
+      scored
+        .groupBy(col("r_score"), col("f_score"), col("m_score"))
+        .agg(count(lit(1)).as("n_customers"),
+          sum(col("cents")).as("seg_cents"))
+        .select(col("r_score"), col("f_score"), col("m_score"),
+          col("n_customers"),
+          (col("seg_cents").cast(DoubleType) / lit(100.0)).as("seg_revenue"))
+        .orderBy(col("r_score"), col("f_score"), col("m_score"))
+    },
+    Some("""
+      WITH rfm2 AS (
+        SELECT o_custkey,
+               CAST(MAX(datediff('day', DATE '1970-01-01',
+                                 CAST(o_orderdate AS DATE))) AS BIGINT) AS last_day,
+               COUNT(*) AS freq,
+               CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+        FROM orders GROUP BY o_custkey
+      ), th AS (
+        SELECT quantile_cont(last_day, 0.2) AS r20, quantile_cont(last_day, 0.4) AS r40,
+               quantile_cont(last_day, 0.6) AS r60, quantile_cont(last_day, 0.8) AS r80,
+               quantile_cont(freq, 0.2) AS f20, quantile_cont(freq, 0.4) AS f40,
+               quantile_cont(freq, 0.6) AS f60, quantile_cont(freq, 0.8) AS f80,
+               quantile_cont(cents, 0.2) AS m20, quantile_cont(cents, 0.4) AS m40,
+               quantile_cont(cents, 0.6) AS m60, quantile_cont(cents, 0.8) AS m80
+        FROM rfm2
+      ), scored AS (
+        SELECT o_custkey, cents,
+               1 + CAST(CAST(last_day AS DOUBLE) > r20 AS BIGINT)
+                 + CAST(CAST(last_day AS DOUBLE) > r40 AS BIGINT)
+                 + CAST(CAST(last_day AS DOUBLE) > r60 AS BIGINT)
+                 + CAST(CAST(last_day AS DOUBLE) > r80 AS BIGINT) AS r_score,
+               1 + CAST(CAST(freq AS DOUBLE) > f20 AS BIGINT)
+                 + CAST(CAST(freq AS DOUBLE) > f40 AS BIGINT)
+                 + CAST(CAST(freq AS DOUBLE) > f60 AS BIGINT)
+                 + CAST(CAST(freq AS DOUBLE) > f80 AS BIGINT) AS f_score,
+               1 + CAST(CAST(cents AS DOUBLE) > m20 AS BIGINT)
+                 + CAST(CAST(cents AS DOUBLE) > m40 AS BIGINT)
+                 + CAST(CAST(cents AS DOUBLE) > m60 AS BIGINT)
+                 + CAST(CAST(cents AS DOUBLE) > m80 AS BIGINT) AS m_score
+        FROM rfm2 CROSS JOIN th
+      )
+      SELECT r_score, f_score, m_score,
+             COUNT(*) AS n_customers,
+             CAST(SUM(cents) AS DOUBLE) / 100.0 AS seg_revenue
+      FROM scored
+      GROUP BY 1, 2, 3
+      ORDER BY 1, 2, 3
+    """)
+  )
+
   def all: Seq[GraftQuery] =
     Seq(q46Funnel, q47CohortRetention, q48AnomalyExact, q49Scd2Versions,
       q51StatsProfile, q52ColumnProfile, q56SessionizedFunnel, q55DqConstraints,
       q59Winsorize, q61ApproxGroupbySample, q62PeriodicProfile, q63OrderStreaks,
-      q64TargetEncoding, q66ParetoFrontier, q68MadOutliers)
+      q64TargetEncoding, q66ParetoFrontier, q68MadOutliers, q71WelchTtest,
+      q73RfmSegments)
 }

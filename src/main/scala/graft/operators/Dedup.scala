@@ -1015,9 +1015,59 @@ object Dedup {
     """)
   )
 
+  /** Fuzzy record linkage: part names within edit distance ≤ 2 of each
+    * other inside the same brand — the entity-resolution primitive
+    * (typo'd product feeds, OCR'd catalogs) that token-set dedup
+    * misses because ONE character edit changes the whole token.
+    *
+    * Scale design — compound blocking, no all-pairs product: the join
+    * key is (brand, ⌊len/3⌋), with the right side exploded to its
+    * three neighbor length bands. Lossless: dist ≤ 2 ⇒ |len_a−len_b|
+    * ≤ 2 < 3 ⇒ bands differ by ≤ 1, and each qualifying pair meets on
+    * exactly ONE key (a's own band), so no dedup pass is needed. The
+    * cheap |len diff| ≤ 2 guard runs before the O(len²) levenshtein
+    * (both codegen'd built-ins). Blocking on brand alone would give
+    * |brands| reducers at 100 TB; the length band multiplies the key
+    * domain, and any higher-cardinality trusted attribute composes
+    * the same way. The DuckDB oracle is the plain quadratic
+    * within-brand join — proving the banded plan loses no pair.
+    */
+  val dedupFuzzyNames = GraftQuery(
+    "dedup_fuzzy_names",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val base = t.part.select(col("p_partkey"), col("p_brand"), col("p_name"))
+        .withColumn("len", length(col("p_name")))
+      val a = base.select(col("p_partkey").as("ia"), col("p_brand"),
+        col("p_name").as("na"), col("len").as("la"),
+        (col("len") / 3).cast("long").as("band"))
+      val b = base.select(col("p_partkey").as("ib"), col("p_brand"),
+        col("p_name").as("nb"), col("len").as("lb"))
+        .withColumn("band", explode(array(
+          (col("lb") / 3).cast("long") - 1,
+          (col("lb") / 3).cast("long"),
+          (col("lb") / 3).cast("long") + 1)))
+      a.join(b, Seq("p_brand", "band"))
+        .filter(col("ia") < col("ib") &&
+          abs(col("la") - col("lb")) <= 2 &&
+          levenshtein(col("na"), col("nb")) <= 2)
+        .select(col("ia"), col("ib"), col("p_brand"),
+          levenshtein(col("na"), col("nb")).cast("long").as("dist"))
+        .orderBy(col("ia"), col("ib"))
+    },
+    Some("""
+      SELECT a.p_partkey AS ia, b.p_partkey AS ib, a.p_brand,
+             CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist
+      FROM part a JOIN part b
+        ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+      WHERE levenshtein(a.p_name, b.p_name) <= 2
+      ORDER BY ia, ib
+    """)
+  )
+
   def all: Seq[GraftQuery] = Seq(
     dedupExact, dedupNgramJaccard, dedupMinhashLsh, dedupSimhash,
     dedupEmbeddingCosine, dedupClusters, dedupMultisignal, dedupSurvivorship,
-    dedupContainment
+    dedupContainment, dedupFuzzyNames
   )
 }

@@ -1773,6 +1773,126 @@ object Relational {
     """)
   )
 
+  /** Full-outer-join reconciliation — the missing join type in the
+    * surface, in its canonical use: compare two independently derived
+    * ledgers (order headers vs. lineitem detail rollups, each
+    * restricted by its own date predicate so BOTH sides have
+    * exclusive keys) and classify every order key as matched /
+    * header-only / detail-only with money-exact totals per class.
+    * Scale shape: the detail side is aggregated to order grain
+    * BEFORE the join (map-side combine collapses ~4 lineitems per
+    * key), so the full outer join is key-vs-key, and the final
+    * classification agg is over join output already partitioned by
+    * the join key — one exchange per side, three rows out.
+    */
+  val q72ReconcileFullOuter = GraftQuery(
+    "q72_reconcile_full_outer",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val headers = t.orders
+        .filter(col("o_orderdate") < lit("1997-07-01").cast("timestamp"))
+        .select(col("o_orderkey").as("okey"),
+          round(col("o_totalprice") * 100).cast("long").as("header_cents"))
+      val details = t.lineitem
+        .filter(col("l_shipdate") < lit("1997-07-01").cast("timestamp"))
+        .groupBy(col("l_orderkey").as("okey"))
+        .agg(sum(round(col("l_extendedprice") * 100).cast("long")).as("detail_cents"))
+      headers.join(details, Seq("okey"), "full_outer")
+        .select(
+          when(col("header_cents").isNotNull && col("detail_cents").isNotNull,
+            "matched")
+            .when(col("header_cents").isNotNull, "header_only")
+            .otherwise("detail_only").as("class"),
+          coalesce(col("header_cents"), lit(0L)).as("hc"),
+          coalesce(col("detail_cents"), lit(0L)).as("dc"))
+        .groupBy(col("class"))
+        .agg(
+          count(lit(1)).as("n_orders"),
+          (sum(col("hc")).cast(DoubleType) / lit(100.0)).as("header_total"),
+          (sum(col("dc")).cast(DoubleType) / lit(100.0)).as("detail_total"),
+          (sum(abs(col("hc") - col("dc"))).cast(DoubleType) / lit(100.0))
+            .as("abs_diff"))
+        .orderBy(col("class"))
+    },
+    Some("""
+      WITH headers AS (
+        SELECT o_orderkey AS okey,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS header_cents
+        FROM orders WHERE o_orderdate < TIMESTAMP '1997-07-01'),
+      details AS (
+        SELECT l_orderkey AS okey,
+               CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+                 AS detail_cents
+        FROM lineitem WHERE l_shipdate < TIMESTAMP '1997-07-01'
+        GROUP BY 1),
+      rec AS (
+        SELECT CASE
+                 WHEN h.header_cents IS NOT NULL AND d.detail_cents IS NOT NULL
+                   THEN 'matched'
+                 WHEN h.header_cents IS NOT NULL THEN 'header_only'
+                 ELSE 'detail_only' END AS class,
+               COALESCE(h.header_cents, 0) AS hc,
+               COALESCE(d.detail_cents, 0) AS dc
+        FROM headers h FULL OUTER JOIN details d ON h.okey = d.okey)
+      SELECT class, COUNT(*) AS n_orders,
+             CAST(SUM(hc) AS DOUBLE) / 100.0 AS header_total,
+             CAST(SUM(dc) AS DOUBLE) / 100.0 AS detail_total,
+             CAST(SUM(abs(hc - dc)) AS DOUBLE) / 100.0 AS abs_diff
+      FROM rec
+      GROUP BY class
+      ORDER BY class
+    """)
+  )
+
+  /** Schema-evolution read: two parquet batches of the SAME logical
+    * feed written with drifted schemas (v2 adds a column), read back
+    * as one frame via `mergeSchema` — the standard data-lake posture
+    * for additive drift (v1 rows surface NULL for the new column; no
+    * rewrite of historical files). Schema-on-read with explicit
+    * merge beats re-staging 100 TB of history for every added
+    * column. The aggregate proves both the union and the NULL
+    * semantics; staging is lineage-severed before cleanup (q32's
+    * rule).
+    */
+  val q74SchemaEvolution = GraftQuery(
+    "q74_schema_evolution",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val tmp = java.nio.file.Files.createTempDirectory("graft_evo")
+      val v1 = t.orders.filter(col("o_orderkey") % 2 === 0)
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      val v2 = t.orders.filter(col("o_orderkey") % 2 === 1)
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
+          col("o_orderpriority"))
+      v1.write.mode("overwrite").parquet(s"$tmp/batch=1")
+      v2.write.mode("overwrite").parquet(s"$tmp/batch=2")
+      val back = s.read.option("mergeSchema", "true").parquet(
+        s"$tmp/batch=1", s"$tmp/batch=2")
+      val out = back
+        .groupBy(coalesce(col("o_orderpriority"), lit("<pre-drift>"))
+          .as("priority"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(dec2(col("o_totalprice"))).cast(DoubleType).as("sum_price"))
+        .orderBy(col("priority"))
+      val pinned = out.localCheckpoint()
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm); f.delete()
+      }
+      rm(tmp.toFile)
+      pinned
+    },
+    Some("""
+      SELECT CASE WHEN o_orderkey % 2 = 1 THEN o_orderpriority
+                  ELSE '<pre-drift>' END AS priority,
+             COUNT(*) AS n,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price
+      FROM orders
+      GROUP BY 1
+      ORDER BY priority
+    """)
+  )
+
   def all: Seq[GraftQuery] = Seq(
     q01PricingSummary, q02RevenueByNation, q03ShippingPriority,
     q04OrderPriorityExists, q05CustomersWithoutOrders, q06RevenueFilter,
@@ -1785,6 +1905,7 @@ object Relational {
     q38ThetaDistinct, q39SaltedSkewJoin, q40SlidingDistinct, q41OrcRoundtrip,
     q42ThetaIntersect, q43QuantileBinning, q44UpsertSnapshot,
     q45CsvRoundtrip, q50WeightedTheta, q53ZorderLayout, q54IncrementalAgg,
-    q57TopkJoinPushdown, q58EwmaSmoothing, q67WindowRanks
+    q57TopkJoinPushdown, q58EwmaSmoothing, q67WindowRanks,
+    q72ReconcileFullOuter, q74SchemaEvolution
   )
 }

@@ -413,8 +413,99 @@ object Temporal {
     """)
   )
 
+  /** Linear interpolation onto an hourly grid: for each user, resample
+    * the irregular `value` series to whole-hour points, each grid
+    * value linearly interpolated between its bracketing samples
+    * (complementing q36's LOCF gap-fill — LOCF is a step function,
+    * this is the piecewise-linear resample every feature pipeline
+    * needs for rate-like signals). Duplicate-timestamp samples
+    * resolve to the highest event_id (the "latest write wins" rule,
+    * stated identically in the oracle).
+    *
+    * Exactness: sample times are integer micros, values integer
+    * cents; each grid value is ONE double op chain
+    * `c0 + (c1−c0)·((g−t0)/(t1−t0))` over exactly-representable
+    * integers, then one division by 100 — both engines run the same
+    * correctly-rounded IEEE chain, so the doubles hash identically.
+    * The grid-start index is exact integer ceil-div (no float floor).
+    *
+    * Scale shape: one user_id exchange serves the dedup window AND
+    * the bracketing lead(); grid points explode from a `sequence()`
+    * bounded per span — no join against a generated calendar frame,
+    * no global window. Per-user output is bounded by the user's time
+    * span, so the explode is as partitioned as the input.
+    */
+  val q70InterpLinear = GraftQuery(
+    "q70_interp_linear",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val H = 3600000000L
+      val wDup = Window.partitionBy(col("user_id"), col("us"))
+        .orderBy(col("event_id").desc)
+      val wLead = Window.partitionBy(col("user_id"))
+        .orderBy(col("us"))
+      val samples = t.events
+        .filter(col("user_id") < 20)
+        .select(col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("us"),
+          round(col("value") * 100).cast("long").as("cents"))
+        .withColumn("rn", row_number().over(wDup))
+        .filter(col("rn") === 1)
+      val spans = samples
+        .withColumn("t1", lead(col("us"), 1).over(wLead))
+        .withColumn("c1", lead(col("cents"), 1).over(wLead))
+        .filter(col("t1").isNotNull)
+      // grid hours g with t0 <= g·H < t1 (half-open: each grid point
+      // belongs to exactly one span); gLo = ceilDiv(t0, H) exactly.
+      // Guard gLo <= gHi BEFORE sequence(): Spark's sequence(a, b)
+      // with a > b yields a DESCENDING range (bogus grid points),
+      // where DuckDB's generate_series is empty.
+      val gLo = ((col("us") + (H - 1) - pmod(col("us") + (H - 1), lit(H))) / H)
+        .cast("long")
+      val gHi = (((col("t1") - 1) - pmod(col("t1") - 1, lit(H))) / H)
+        .cast("long")
+      spans
+        .withColumn("g_lo", gLo).withColumn("g_hi", gHi)
+        .filter(col("g_lo") <= col("g_hi"))
+        .withColumn("g", explode(sequence(col("g_lo"), col("g_hi"))))
+        .select(col("user_id"), col("g").as("grid_hr"),
+          ((col("cents").cast(DoubleType) +
+            (col("c1") - col("cents")).cast(DoubleType) *
+              ((col("g") * H - col("us")).cast(DoubleType) /
+                (col("t1") - col("us")).cast(DoubleType))) /
+            lit(100.0)).as("v_interp"))
+        .orderBy(col("user_id"), col("grid_hr"))
+    },
+    Some("""
+      WITH s AS (
+        SELECT user_id, epoch_us(ts) AS us,
+               CAST(round(value * 100) AS BIGINT) AS cents,
+               row_number() OVER (PARTITION BY user_id, epoch_us(ts)
+                                  ORDER BY event_id DESC) AS rn
+        FROM events WHERE user_id < 20),
+      spans AS (
+        SELECT user_id, us, cents,
+               lead(us) OVER (PARTITION BY user_id ORDER BY us) AS t1,
+               lead(cents) OVER (PARTITION BY user_id ORDER BY us) AS c1
+        FROM s WHERE rn = 1),
+      grid AS (
+        SELECT user_id, us, cents, t1, c1,
+               unnest(generate_series(
+                 (us + 3599999999) // 3600000000,
+                 ((t1 - 1) - ((t1 - 1) % 3600000000)) // 3600000000)) AS g
+        FROM spans WHERE t1 IS NOT NULL)
+      SELECT user_id, CAST(g AS BIGINT) AS grid_hr,
+             (CAST(cents AS DOUBLE) + CAST(c1 - cents AS DOUBLE)
+               * (CAST(g * 3600000000 - us AS DOUBLE)
+                  / CAST(t1 - us AS DOUBLE))) / 100.0 AS v_interp
+      FROM grid
+      WHERE g * 3600000000 >= us
+      ORDER BY user_id, grid_hr
+    """)
+  )
+
   def all: Seq[GraftQuery] =
     Seq(q21AsofPrevError, q22RangeJoinNeighbors, q23CustomVariance,
       q27AsofJoinNative, q36GapfillResample, q37RollingFeatures,
-      q60OhlcResample, q65Twap, q69SeasonalNaive)
+      q60OhlcResample, q65Twap, q69SeasonalNaive, q70InterpLinear)
 }

@@ -1311,11 +1311,87 @@ object TextAnalysis {
     """)
   )
 
+  /** Bigram language-model scoring with add-one smoothing — the
+    * context-aware upgrade of text_unigram_lm: per-doc mean
+    * log P(wᵢ | wᵢ₋₁) where P = (c(w₁,w₂)+1)/(c(w₁·)+V). Word-order
+    * scrambles that unigram perplexity cannot see drop straight out
+    * of this score, which is why C4/CCNet-style quality filters run
+    * an n-gram LM, not a bag of words.
+    *
+    * Shapes: ONE doc_id exchange serves both the bigram lag window
+    * and the final per-doc aggregation; the model build is two
+    * chained combine-enabled aggregations (bigram counts, then prefix
+    * counts as a regroup of the bigram frame — the corpus is NOT
+    * rescanned for c(w₁·)); scoring joins doc bigrams to the model on
+    * the bigram key — a plain shuffle join that scales with corpus
+    * size, where a broadcast would cap the model at driver memory.
+    * Each logp is rounded to 6dp then summed as DECIMAL(25,6):
+    * order-free, so the double at the end is bit-stable.
+    */
+  val textBigramLm = GraftQuery(
+    "text_bigram_lm",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      val toks = t.documents
+        .select(col("doc_id"),
+          posexplode(filter(tokens(col("text")), _ =!= "")).as(Seq("pos", "w2")))
+      val big = toks
+        .withColumn("w1", lag(col("w2"), 1).over(w))
+        .filter(col("w1").isNotNull)
+        .select(col("doc_id"), col("w1"), col("w2"))
+        .cache()
+      val cnt2 = big.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
+      val cnt1 = cnt2.groupBy(col("w1")).agg(sum(col("c2")).as("c1"))
+      val vocab = toks.agg(countDistinct(col("w2")).as("vsz"))
+      val model = cnt2.join(cnt1, Seq("w1")).crossJoin(broadcast(vocab))
+        .select(col("w1"), col("w2"),
+          round(log((col("c2").cast("double") + lit(1.0)) /
+            (col("c1").cast("double") + col("vsz").cast("double"))), 6).as("logp"))
+      val out = big.join(model, Seq("w1", "w2"))
+        .groupBy(col("doc_id"))
+        .agg(
+          count(lit(1)).as("n_bigrams"),
+          graft.functions.GraftFunctions.sumDec(col("logp")).as("sum_logp"))
+        .select(col("doc_id"), col("n_bigrams"), col("sum_logp"),
+          round(col("sum_logp") / col("n_bigrams"), 6).as("avg_logp"))
+        .orderBy(col("doc_id"))
+      out.persist().count()
+      big.unpersist(false)
+      out
+    },
+    Some(raw"""
+      WITH tl AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '\s+'),
+                           x -> x <> '') AS l
+        FROM documents),
+      b0 AS (SELECT doc_id, l, unnest(range(1, len(l))) AS i FROM tl),
+      big AS (SELECT doc_id, l[i] AS w1, l[i+1] AS w2 FROM b0),
+      cnt2 AS (SELECT w1, w2, COUNT(*) AS c2 FROM big GROUP BY 1, 2),
+      cnt1 AS (SELECT w1, SUM(c2) AS c1 FROM cnt2 GROUP BY 1),
+      v AS (SELECT COUNT(DISTINCT term) AS vsz
+            FROM (SELECT unnest(l) AS term FROM tl)),
+      model AS (
+        SELECT w1, w2,
+               round(ln((CAST(c2 AS DOUBLE) + 1.0)
+                 / (CAST(c1 AS DOUBLE) + CAST(vsz AS DOUBLE))), 6) AS logp
+        FROM cnt2 JOIN cnt1 USING (w1) CROSS JOIN v)
+      SELECT doc_id, COUNT(*) AS n_bigrams,
+             CAST(SUM(CAST(logp AS DECIMAL(25,6))) AS DOUBLE) AS sum_logp,
+             round(CAST(SUM(CAST(logp AS DECIMAL(25,6))) AS DOUBLE)
+               / COUNT(*), 6) AS avg_logp
+      FROM big JOIN model USING (w1, w2)
+      GROUP BY doc_id
+      ORDER BY doc_id
+    """)
+  )
+
   def all: Seq[GraftQuery] =
     Seq(textTokens, textQuality, textLangid, textFingerprint, textTopNgrams,
       textTrainingSet, textChunk, textDecontaminate, sampleStratified,
       textPackSequences, textTfidf, textRepetition, sampleMixture,
       textSourceOverlap, textDecontaminateBloom, textPiiRedact,
       textZipfStats, textHeavyHitters, textUnigramLm, textExportShards,
-      samplePps, textPassageDedup, textCmsFreq)
+      samplePps, textPassageDedup, textCmsFreq, textBigramLm)
 }

@@ -381,4 +381,67 @@ class AnalyticsSpec extends AnyFunSuite {
         r.getLong(3) == mad && r.getLong(4) == out, s"flag ${r.getString(0)}")
     }
   }
+
+  test("welch t-test ≡ driver moment recompute; sign tracks the means") {
+    val t = graft.sources.Tables(spark, sf)
+    val groups = t.lineitem.filter(col("l_returnflag").isin("R", "A"))
+      .select(col("l_returnflag"),
+        round(col("l_extendedprice") * 100).cast("long").as("cents"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(_._1).map { case (f, rs) => f -> rs.map(_._2) }
+    def moments(cs: Array[Long]) = {
+      val n = cs.length.toDouble
+      val s = cs.sum.toDouble
+      val q = cs.map(c => BigInt(c) * BigInt(c)).sum.toDouble
+      (n, s, (q - s * s / n) / (n - 1.0))
+    }
+    val (n1, s1, v1) = moments(groups("R"))
+    val (n2, s2, v2) = moments(groups("A"))
+    val se1 = v1 / n1; val se2 = v2 / n2; val se = se1 + se2
+    val wantT = (s1 / n1 - s2 / n2) / math.sqrt(se)
+    val wantDf = se * se / (se1 * se1 / (n1 - 1.0) + se2 * se2 / (n2 - 1.0))
+    val r = SparkEntry.queries("q71_welch_ttest")(spark, sf).collect().head
+    assert(r.getLong(0) == n1.toLong && r.getLong(1) == n2.toLong)
+    assert(math.abs(r.getDouble(4) - wantT) < 1e-9, s"t ${r.getDouble(4)} vs $wantT")
+    assert(math.abs(r.getDouble(5) - wantDf) < 1e-6, s"df ${r.getDouble(5)} vs $wantDf")
+    assert((r.getDouble(4) > 0) == (r.getDouble(2) > r.getDouble(3)),
+      "t sign must track mean difference")
+    // Welch df is bounded by min(n1,n2)-1 below and n1+n2-2 above
+    assert(r.getDouble(5) >= math.min(n1, n2) - 1 - 1e-6 &&
+      r.getDouble(5) <= n1 + n2 - 2 + 1e-6)
+  }
+
+  test("rfm segments: threshold scoring recomputed from raw quintiles") {
+    val t = graft.sources.Tables(spark, sf)
+    val rfm = t.orders
+      .groupBy(col("o_custkey"))
+      .agg(max(unix_date(col("o_orderdate").cast("date"))).cast("long").as("last_day"),
+        count(lit(1)).as("freq"),
+        sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // type-7 (linear-interpolation) quantile, the `percentile` agg's rule
+    def q7(xs: Array[Double], p: Double): Double = {
+      val s = xs.sorted
+      val rank = p * (s.length - 1)
+      val lo = rank.toInt
+      if (lo == s.length - 1) s(lo)
+      else s(lo) + (s(lo + 1) - s(lo)) * (rank - lo)
+    }
+    def score(v: Double, xs: Array[Double]): Long =
+      1L + Seq(0.2, 0.4, 0.6, 0.8).count(p => v > q7(xs, p))
+    val rDim = rfm.map(_._2.toDouble); val fDim = rfm.map(_._3.toDouble)
+    val mDim = rfm.map(_._4.toDouble)
+    val want = rfm.groupBy(c =>
+        (score(c._2.toDouble, rDim), score(c._3.toDouble, fDim),
+          score(c._4.toDouble, mDim)))
+      .map { case (k, cs) => k -> ((cs.length.toLong, cs.map(_._4).sum)) }
+    val got = SparkEntry.queries("q73_rfm_segments")(spark, sf).collect()
+    assert(got.length == want.size)
+    got.foreach { r =>
+      val k = (r.getLong(0), r.getLong(1), r.getLong(2))
+      val (n, cents) = want(k)
+      assert(r.getLong(3) == n, s"segment $k count")
+      assert(r.getDouble(4) == cents.toDouble / 100.0, s"segment $k revenue")
+    }
+  }
 }

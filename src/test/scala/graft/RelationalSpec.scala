@@ -171,4 +171,41 @@ class RelationalSpec extends AnyFunSuite {
           r.getDecimal(3).doubleValue))
     assert(got.toSeq == naive.toSeq, "pushdown changed the answer")
   }
+
+  test("full-outer reconciliation: classes partition both ledgers exactly") {
+    val t = graft.sources.Tables(spark, sf)
+    val cutoff = lit("1997-07-01").cast("timestamp")
+    val nHeaders = t.orders.filter(col("o_orderdate") < cutoff).count()
+    val nDetails = t.lineitem.filter(col("l_shipdate") < cutoff)
+      .select(col("l_orderkey")).distinct().count()
+    val rows = SparkEntry.queries("q72_reconcile_full_outer")(spark, sf)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))).toMap
+    def n(c: String) = rows.get(c).map(_._1).getOrElse(0L)
+    assert(n("matched") + n("header_only") == nHeaders,
+      "matched + header_only must cover the header ledger")
+    assert(n("matched") + n("detail_only") == nDetails,
+      "matched + detail_only must cover the detail ledger")
+    // exclusive classes carry zero from the absent side, so their
+    // abs_diff equals the present side's total
+    rows.get("header_only").foreach { case (_, ht, dt, ad) =>
+      assert(dt == 0.0 && ad == ht)
+    }
+    rows.get("detail_only").foreach { case (_, ht, dt, ad) =>
+      assert(ht == 0.0 && ad == dt)
+    }
+  }
+
+  test("schema evolution: pre-drift rows are exactly the v1 batch") {
+    val t = graft.sources.Tables(spark, sf)
+    val nEven = t.orders.filter(col("o_orderkey") % 2 === 0).count()
+    val nAll = t.orders.count()
+    val rows = SparkEntry.queries("q74_schema_evolution")(spark, sf).collect()
+    val pre = rows.filter(_.getString(0) == "<pre-drift>")
+    assert(pre.length == 1 && pre.head.getLong(1) == nEven,
+      "v1 rows must all surface with NULL drift column")
+    assert(rows.map(_.getLong(1)).sum == nAll,
+      "merged read must cover every order exactly once")
+    assert(rows.length > 1, "v2 rows must group by their real priority")
+  }
 }

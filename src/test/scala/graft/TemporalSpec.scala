@@ -109,4 +109,43 @@ class TemporalSpec extends AnyFunSuite {
       assert(r.getDouble(3) == twap, s"user ${r.getLong(0)} twap") // bit-exact
     }
   }
+
+  test("linear interpolation ≡ driver recompute; exact at on-grid samples") {
+    val H = 3600000000L
+    val t = graft.sources.Tables(spark, sf)
+    val ev = t.events.filter(col("user_id") < 20)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // latest-write-wins per (user, us), then piecewise-linear over spans
+    val want = ev.groupBy(_._1).flatMap { case (u, rs) =>
+      val dedup = rs.groupBy(_._3).map { case (us, dups) =>
+        us -> dups.maxBy(_._2)._4
+      }.toSeq.sortBy(_._1)
+      dedup.zip(dedup.tail).flatMap { case ((t0, c0), (t1, c1)) =>
+        val gLo = (t0 + H - 1) / H
+        val gHi = (t1 - 1) / H
+        (gLo to gHi).map { g =>
+          (u, g) -> ((c0.toDouble + (c1 - c0).toDouble *
+            ((g * H - t0).toDouble / (t1 - t0).toDouble)) / 100.0)
+        }
+      }
+    }
+    val got = SparkEntry.queries("q70_interp_linear")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(got.size == want.size, s"${got.size} grid points vs ${want.size}")
+    want.foreach { case (k, v) =>
+      assert(got(k) == v, s"grid point $k") // bit-exact: same IEEE op chain
+    }
+    // half-open boundary: a grid point exactly AT a sample time takes
+    // that sample's value (frac = 0 in the span it starts)
+    val onGrid = ev.groupBy(e => (e._1, e._3)).map { case ((u, us), dups) =>
+      (u, us, dups.maxBy(_._2)._4)
+    }.filter(e => e._2 % H == 0)
+    onGrid.foreach { case (u, us, c) =>
+      got.get((u, us / H)).foreach { v =>
+        assert(v == c.toDouble / 100.0, s"on-grid sample ($u, $us)")
+      }
+    }
+  }
 }

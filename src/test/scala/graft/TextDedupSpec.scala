@@ -476,4 +476,66 @@ class TextDedupSpec extends AnyFunSuite {
     } yield (ids(i), ids(j))).toSet
     assert(rows.map(r => (r.getLong(0), r.getLong(1))).toSet == want)
   }
+
+  test("fuzzy names: banded blocking loses no pair vs brute force") {
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0
+      }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val parts = graft.sources.Tables(spark, sf).part
+      .select(org.apache.spark.sql.functions.col("p_partkey"),
+        org.apache.spark.sql.functions.col("p_brand"),
+        org.apache.spark.sql.functions.col("p_name"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val want = (for {
+      i <- parts.indices; j <- (i + 1) until parts.length
+      if parts(i)._2 == parts(j)._2
+      d = lev(parts(i)._3, parts(j)._3) if d <= 2
+      ks = Seq(parts(i)._1, parts(j)._1).sorted
+    } yield (ks.head, ks.last, d.toLong)).toSet
+    val got = SparkEntry.queries("dedup_fuzzy_names")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).toSet
+    assert(got == want, s"banded ${got.size} pairs vs brute ${want.size}")
+  }
+
+  test("bigram LM: scoring is the smoothed model, scrambles score lower") {
+    import org.apache.spark.sql.functions._
+    val t = graft.sources.Tables(spark, sf)
+    val docs = t.documents.select(col("doc_id"), col("text"))
+      .collect().map(r => r.getLong(0) ->
+        r.getString(1).toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq).toMap
+    val bigrams = docs.values.flatMap(ts => ts.zip(ts.tail))
+    val c2 = bigrams.groupBy(identity).map { case (k, v) => k -> v.size }
+    val c1 = c2.groupBy(_._1._1).map { case (w, m) => w -> m.values.sum }
+    val v = docs.values.flatten.toSet.size
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val rows = SparkEntry.queries("text_bigram_lm")(spark, sf).collect()
+    rows.foreach { r =>
+      val ts = docs(r.getLong(0))
+      val want = ts.zip(ts.tail).map { bg =>
+        BigDecimal(r6(math.log((c2(bg) + 1.0) / (c1(bg._1) + v.toDouble))))
+      }.sum
+      assert(r.getLong(1) == ts.length - 1, s"doc ${r.getLong(0)} n_bigrams")
+      assert(r.getDouble(2) == want.toDouble, s"doc ${r.getLong(0)} sum_logp")
+    }
+    // word-order sensitivity: a scrambled doc must not outscore the
+    // original under the same model (unigram LM cannot distinguish)
+    val sample = docs.toSeq.sortBy(_._1).take(10)
+    val scrambleBeats = sample.count { case (_, ts) =>
+      val rev = ts.reverse
+      def score(seq: Seq[String]) = seq.zip(seq.tail).map { bg =>
+        math.log((c2.getOrElse(bg, 0) + 1.0) /
+          (c1.getOrElse(bg._1, 0) + v.toDouble))
+      }.sum
+      score(rev) > score(ts)
+    }
+    assert(scrambleBeats <= 2,
+      s"reversed docs outscored originals $scrambleBeats/10 times")
+  }
 }
