@@ -148,7 +148,9 @@ object Similarity {
     * output (`annLshTopK`/`annIvfTopK`) while the harness hashes this
     * summary.
     */
-  private def recallSummary(base: DataFrame, ann: DataFrame): DataFrame = {
+  private def recallSummary(
+      base: DataFrame, ann: DataFrame,
+      gate: Double = AnnRecallGate): DataFrame = {
     val exact = exactTopK(base).select(col("qid"), col("vec_id"))
     val hits = ann.select(col("qid"), col("vec_id"))
       .join(exact, Seq("qid", "vec_id"))
@@ -159,7 +161,7 @@ object Similarity {
     nq.crossJoin(nExact).crossJoin(hits)
       .select(col("n_queries"),
         lit(TopK).cast("long").as("k"),
-        (col("hits") >= col("n_exact") * AnnRecallGate).as("recall_ok"))
+        (col("hits") >= col("n_exact") * gate).as("recall_ok"))
   }
 
   private val annOracleSql = s"""
@@ -462,7 +464,75 @@ object Similarity {
     """)
   )
 
+  /** Scalar (int8) quantization recall gate: SQ stores each dimension
+    * as one byte against per-dimension [min, max] — 8× smaller than
+    * the float64 working set (4× vs float32), the memory/IO lever
+    * that lets a 100 TB embedding corpus fit a scan budget (and the
+    * building block FAISS-style indexes combine with IVF). Distance
+    * is computed against the DEQUANTIZED vector (asymmetric distance
+    * computation: the query stays full-precision), so the only error
+    * is the ≤ (hi−lo)/510 per-dim rounding. On this corpus recall vs
+    * exact top-k must clear 0.8 (measured ~1.0; the LSH/IVF queries
+    * gate at 0.2 because bucketing, not precision, bounds them).
+    *
+    * Scale shape: per-dim ranges are one combine-enabled aggregate
+    * (64 rows to the driver — model-sized, like imputation stats);
+    * quantize + dequantize are one codegen projection each; scoring
+    * is the same broadcast-queries single-scan as the exact baseline.
+    */
+  val SqRecallGate = 0.8
+
+  def sqQuantTopK(base: DataFrame): DataFrame = {
+    val s = base.sparkSession
+    val ranges = base
+      .select(posexplode(col("v")).as(Seq("d", "x")))
+      .groupBy(col("d"))
+      .agg(min(col("x")).as("lo"), max(col("x")).as("hi"))
+      .orderBy(col("d"))
+      .collect().map(r => (r.getDouble(1), r.getDouble(2)))
+    val losC = array(ranges.map(r => lit(r._1)): _*)
+    val hisC = array(ranges.map(r => lit(r._2)): _*)
+    // codes: byte per dim; constant dims (hi == lo) pin to code 0 so
+    // the 0/0 division can never emit NaN
+    val codes = transform(col("v"), (x, i) => {
+      val lo = element_at(losC, (i + 1).cast("int"))
+      val hi = element_at(hisC, (i + 1).cast("int"))
+      when(hi === lo, lit(0))
+        .otherwise(round((x - lo) * 255.0 / (hi - lo)).cast("int"))
+    })
+    val recon = transform(col("codes"), (c, i) => {
+      val lo = element_at(losC, (i + 1).cast("int"))
+      val hi = element_at(hisC, (i + 1).cast("int"))
+      lo + c.cast("double") * (hi - lo) / 255.0
+    })
+    // the "index at rest" carries only (vec_id, codes); vectors are
+    // reconstructed per scan, queries ride a broadcast at full precision
+    val index = base.select(col("vec_id"), codes.as("codes"))
+      .withColumn("rv", recon)
+    val queries = base.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("qid"), col("v").as("qv"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))
+    index.join(broadcast(queries), col("vec_id") =!= col("qid"))
+      .withColumn("cos", cosineSim(col("qv"), col("rv")))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= TopK)
+      .select(col("qid"), col("rank"), col("vec_id"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
+  val simSqQuant = GraftQuery(
+    "sim_sq_quant",
+    (s, dir) => {
+      val base = corpus(Tables(s, dir)).cache()
+      val out = recallSummary(base, sqQuantTopK(base), SqRecallGate)
+      out.persist().count()
+      base.unpersist(false)
+      out
+    },
+    Some(annOracleSql)
+  )
+
   def all: Seq[GraftQuery] =
     Seq(simTopkBruteforce, simAnnLsh, simAnnIvf, simNormStats,
-      clusterSemanticDedup, simPcaReduce)
+      clusterSemanticDedup, simPcaReduce, simSqQuant)
 }

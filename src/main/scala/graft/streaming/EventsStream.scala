@@ -904,9 +904,134 @@ object EventsStream {
     """)
   )
 
+  case class TypedEv(
+      user_id: Long, event_id: Long, tsMicros: Long, event_type: String)
+
+  /** Pattern-automaton state carried per user: the latest view time,
+    * the latest click together with the view that preceded it, and
+    * the match bookkeeping. O(1) per user — the automaton never
+    * retains event history, only the frontier the pattern semantics
+    * need (Long.MinValue = "none yet").
+    */
+  case class PatternState(
+      lastView: Long, pairTv: Long, pairTc: Long,
+      nPurchases: Long, nMatches: Long, firstMatch: Long)
+
+  case class PatternSummary(
+      user_id: Long, n_purchases: Long, n_matches: Long,
+      first_match_us: Option[Long])
+
+  /** view→click→purchase completion window (purchase-anchored; sized
+    * to the corpus' per-user event cadence — ~7% of purchases
+    * complete the funnel, so both outcomes are exercised).
+    */
+  val PatternWindowMicros = 24L * 3600L * 1000000L
+
+  /** CEP fold for [[streamPatternMatch]]: within a trigger, events
+    * are processed in (event-time, event_id) order; a purchase
+    * matches iff the latest prior click exists and the latest view
+    * preceding THAT click falls within the pattern window before
+    * the purchase (so view < click < purchase all inside the window —
+    * the MATCH_RECOGNIZE `V any* C any* P` shape with LAST-per-stage
+    * binding, which is exactly SQL-expressible for the oracle).
+    * Cross-trigger arrival must follow event time (the replay/
+    * append-log case, as [[sessionFn]]; the reorder-buffer upgrade is
+    * [[sessionFnEventTime]]'s pattern).
+    */
+  def patternFn(
+      user: Long, rows: Iterator[TypedEv], state: GroupState[PatternState])
+      : Iterator[PatternSummary] = {
+    val evs = rows.toArray.sortBy(e => (e.tsMicros, e.event_id))
+    if (evs.isEmpty) return Iterator.empty
+    var st = state.getOption.getOrElse(PatternState(
+      Long.MinValue, Long.MinValue, Long.MinValue, 0L, 0L, Long.MinValue))
+    var i = 0
+    while (i < evs.length) {
+      val e = evs(i)
+      e.event_type match {
+        case "view" =>
+          st = st.copy(lastView = e.tsMicros)
+        case "click" =>
+          st = st.copy(pairTv = st.lastView, pairTc = e.tsMicros)
+        case "purchase" =>
+          val matched = st.pairTc != Long.MinValue &&
+            st.pairTv != Long.MinValue &&
+            st.pairTv >= e.tsMicros - PatternWindowMicros
+          st = st.copy(
+            nPurchases = st.nPurchases + 1,
+            nMatches = st.nMatches + (if (matched) 1 else 0),
+            firstMatch = if (matched && st.firstMatch == Long.MinValue)
+              e.tsMicros else st.firstMatch)
+        case _ => ()
+      }
+      i += 1
+    }
+    state.update(st)
+    Iterator.single(PatternSummary(user, st.nPurchases, st.nMatches,
+      if (st.firstMatch == Long.MinValue) None else Some(st.firstMatch)))
+  }
+
+  /** Streaming complex-event-processing: per-user funnel-pattern
+    * completion (view→click→purchase within the pattern window) as an O(1)
+    * keyed automaton — the streaming form of MATCH_RECOGNIZE that
+    * engines bolt on as a separate CEP library, here a
+    * flatMapGroupsWithState fold whose semantics the DuckDB oracle
+    * restates with two chained window passes (latest-view-before-
+    * each-click, then latest-click-before-each-purchase). State is
+    * three timestamps + three counters per user regardless of event
+    * volume or window length.
+    */
+  val streamPatternMatch = GraftQuery(
+    "stream_pattern_match",
+    (s, dir) => {
+      import s.implicits._
+      val evs = eventsStream(s, dir)
+        .select(col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("tsMicros"), col("event_type"))
+        .as[TypedEv]
+      val out = evs.groupByKey(_.user_id)
+        .flatMapGroupsWithState(
+          OutputMode.Update(), GroupStateTimeout.NoTimeout)(patternFn _)
+      runToTable(out.toDF(), OutputMode.Update())
+        .select(col("user_id"), col("n_purchases"), col("n_matches"),
+          tsString(timestamp_micros(col("first_match_us"))).as("first_match_s"))
+        .orderBy(col("user_id"))
+    },
+    Some(s"""
+      WITH base AS (
+        SELECT user_id, event_id, event_type, ts,
+               max(CASE WHEN event_type = 'view' THEN ts END)
+                 OVER (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                 AS last_view
+        FROM events),
+      p2 AS (
+        SELECT user_id, event_type, ts,
+               last_value(CASE WHEN event_type = 'click'
+                               THEN {'tc': ts, 'tv': last_view} END IGNORE NULLS)
+                 OVER (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                 AS pair
+        FROM base)
+      SELECT user_id,
+             COUNT(*) FILTER (WHERE event_type = 'purchase') AS n_purchases,
+             COUNT(*) FILTER (WHERE event_type = 'purchase'
+               AND pair.tv IS NOT NULL
+               AND epoch_us(pair.tv) >= epoch_us(ts) - $PatternWindowMicros)
+               AS n_matches,
+             strftime(MIN(ts) FILTER (WHERE event_type = 'purchase'
+               AND pair.tv IS NOT NULL
+               AND epoch_us(pair.tv) >= epoch_us(ts) - $PatternWindowMicros),
+               '%Y-%m-%d %H:%M:%S') AS first_match_s
+      FROM p2
+      GROUP BY user_id
+      ORDER BY user_id
+    """)
+  )
+
   def all: Seq[GraftQuery] =
     Seq(streamHourlyAgg, streamSessionize, streamScore, streamDedupExact,
       streamEnrichProfile, streamSessionWindow, streamThetaDistinct,
       streamStreamJoin, streamStreamLeftOuter, streamWeightedSample,
-      streamUpsertLatest, streamHeavyHitters)
+      streamUpsertLatest, streamHeavyHitters, streamPatternMatch)
 }

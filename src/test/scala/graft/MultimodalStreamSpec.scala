@@ -281,4 +281,117 @@ class MultimodalStreamSpec extends AnyFunSuite {
         s"${r.getString(0)}: summary exact_distinct drifted from batch")
     }
   }
+
+  test("CEP pattern: automaton state carries matches across triggers") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    import graft.streaming.EventsStream
+    import graft.streaming.EventsStream.{TypedEv, PatternSummary}
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val hour = 3600L * 1000000L
+
+    val src = MemoryStream[TypedEv]
+    val out = src.toDS()
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Update(),
+        org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout)(
+        EventsStream.patternFn _)
+    val name = "graft_cep_multibatch"
+    val q = out.toDF().writeStream
+      .outputMode(OutputMode.Update()).format("memory").queryName(name).start()
+    try {
+      // trigger 1: view then click — no purchase yet, nothing matches
+      src.addData(TypedEv(1L, 1L, 0L, "view"), TypedEv(1L, 2L, 1 * hour, "click"))
+      q.processAllAvailable()
+      assert(spark.table(name).as[PatternSummary].collect().last ==
+        PatternSummary(1L, 0L, 0L, None))
+      // trigger 2: purchase 2h after the view — completes the funnel
+      // ONLY because the (view, click) frontier survived the trigger
+      // boundary; then a second purchase 30h later (window expired)
+      src.addData(TypedEv(1L, 3L, 2 * hour, "purchase"),
+        TypedEv(1L, 4L, 32 * hour, "purchase"))
+      q.processAllAvailable()
+      val fin = spark.table(name).as[PatternSummary].collect().last
+      assert(fin == PatternSummary(1L, 2L, 1L, Some(2 * hour)),
+        s"cross-trigger CEP state: got $fin")
+    } finally q.stop()
+  }
+
+  test("CEP pattern: hand-checked policies (last-click binding, stale view)") {
+    import graft.streaming.EventsStream
+    import graft.streaming.EventsStream.{PatternState, PatternSummary, TypedEv}
+    import org.apache.spark.sql.streaming.TestGroupState
+    val hour = 3600L * 1000000L
+    def run(evs: Seq[TypedEv]): PatternSummary = {
+      val state = TestGroupState.create[PatternState](
+        optionalState = org.apache.spark.api.java.Optional.empty(),
+        timeoutConf = org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout,
+        batchProcessingTimeMs = 0L,
+        eventTimeWatermarkMs = org.apache.spark.api.java.Optional.empty(),
+        hasTimedOut = false)
+      EventsStream.patternFn(1L, evs.iterator, state).toSeq.last
+    }
+    def ev(id: Long, us: Long, tp: String) = TypedEv(1L, id, us, tp)
+    // last-click binding: view@0, click@1h, view@26h, click@27h,
+    // purchase@28h — the LAST click's view (26h) is in-window even
+    // though the first (view, click) pair is stale: must match
+    assert(run(Seq(ev(1, 0, "view"), ev(2, 1 * hour, "click"),
+      ev(3, 26 * hour, "view"), ev(4, 27 * hour, "click"),
+      ev(5, 28 * hour, "purchase"))) ==
+      PatternSummary(1L, 1L, 1L, Some(28 * hour)))
+    // stale view under the last click: view@0, click@27h, purchase@28h
+    // — the click exists but its view predates the 24h window: no match
+    assert(run(Seq(ev(1, 0, "view"), ev(2, 27 * hour, "click"),
+      ev(3, 28 * hour, "purchase"))) ==
+      PatternSummary(1L, 1L, 0L, None))
+    // order matters: click before view never forms a pair
+    assert(run(Seq(ev(1, 0, "click"), ev(2, 1 * hour, "view"),
+      ev(3, 2 * hour, "purchase"))) ==
+      PatternSummary(1L, 1L, 0L, None))
+    // purchase without any click
+    assert(run(Seq(ev(1, 0, "view"), ev(2, 1 * hour, "purchase"))) ==
+      PatternSummary(1L, 1L, 0L, None))
+  }
+
+  test("CEP pattern query equals a batch recompute at sf0.001") {
+    import org.apache.spark.sql.functions._
+    val t = graft.sources.Tables(spark, sf)
+    val evs = t.events
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"),
+        col("event_type"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val w = EventsStream_PatternWindow
+    val want = evs.groupBy(_._1).map { case (u, rs) =>
+      var lastView, pairTv, pairTc = Long.MinValue
+      var nP, nM = 0L
+      var first = Long.MinValue
+      rs.sortBy(e => (e._3, e._2)).foreach { e =>
+        e._4 match {
+          case "view" => lastView = e._3
+          case "click" => pairTv = lastView; pairTc = e._3
+          case "purchase" =>
+            nP += 1
+            if (pairTc != Long.MinValue && pairTv != Long.MinValue &&
+              pairTv >= e._3 - w) {
+              nM += 1
+              if (first == Long.MinValue) first = e._3
+            }
+          case _ =>
+        }
+      }
+      u -> ((nP, nM, first))
+    }
+    val got = SparkEntry.queries("stream_pattern_match")(spark, sf).collect()
+    assert(got.length == want.size)
+    got.foreach { r =>
+      val (np, nm, first) = want(r.getLong(0))
+      assert(r.getLong(1) == np && r.getLong(2) == nm, s"user ${r.getLong(0)}")
+      if (first == Long.MinValue) assert(r.isNullAt(3))
+      else assert(!r.isNullAt(3), s"user ${r.getLong(0)} first match")
+    }
+  }
+
+  private val EventsStream_PatternWindow =
+    graft.streaming.EventsStream.PatternWindowMicros
 }

@@ -115,6 +115,38 @@ class TextDedupSpec extends AnyFunSuite {
     assert(summary.length == 1 && summary.head.getBoolean(2))
   }
 
+  test("SQ int8 quantization: near-perfect recall, bounded recon error") {
+    import org.apache.spark.sql.functions._
+    val base = Similarity.corpusOf(spark, sf).cache()
+    val exact = Similarity.exactTopK(base)
+      .select("qid", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sq = Similarity.sqQuantTopK(base)
+      .select("qid", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = sq.intersect(exact).size.toDouble / exact.size
+    // 8-bit scalar quantization error is tiny relative to cosine gaps
+    // between random vectors — recall must clear the registered gate
+    // comfortably, unlike the bucketing-bound LSH/IVF paths
+    assert(recall >= Similarity.SqRecallGate, s"SQ recall $recall")
+    // per-dim reconstruction error is bounded by half a quantization
+    // step: |x − recon(x)| ≤ (hi−lo)/510 for every dim of every vector
+    val ranges = base.select(posexplode(col("v")).as(Seq("d", "x")))
+      .groupBy("d").agg(min(col("x")).as("lo"), max(col("x")).as("hi"))
+      .collect().map(r => r.getInt(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    base.collect().foreach { r =>
+      val v = r.getSeq[Double](1)
+      v.indices.foreach { d =>
+        val (lo, hi) = ranges(d)
+        val code = math.round((v(d) - lo) * 255.0 / (hi - lo))
+        val recon = lo + code * (hi - lo) / 255.0
+        assert(math.abs(v(d) - recon) <= (hi - lo) / 510.0 + 1e-12,
+          s"dim $d of vec ${r.getLong(0)}")
+      }
+    }
+    base.unpersist(false)
+    val summary = SparkEntry.queries("sim_sq_quant")(spark, sf).collect()
+    assert(summary.length == 1 && summary.head.getBoolean(2), "gate row")
+  }
+
   test("IVF ANN scans a fraction of the corpus yet finds true neighbors") {
     val base = Similarity.corpusOf(spark, sf).cache()
     val exact = Similarity.exactTopK(base)
