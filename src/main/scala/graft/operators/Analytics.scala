@@ -1135,10 +1135,90 @@ object Analytics {
     """)
   )
 
+  /** PSI drift parameters: equal-width bins over the price domain,
+    * reference period = orders before [[PsiPivotYear]], Laplace +1
+    * smoothing so empty bins stay finite, and the conventional 0.1
+    * "investigate" threshold.
+    */
+  val PsiPivotYear = 1998
+  val PsiBinWidth = 50000.0
+  val PsiBins = 10
+  val PsiThreshold = 0.1
+
+  /** Population-stability-index drift monitor — the numeric complement
+    * of q74's schema drift: bucket a metric (order value) into fixed
+    * equal-width bins, compare the reference-period distribution to
+    * the current period, and report per-bin PSI terms plus the total
+    * and the alert bit. PSI = Σ (p_cur − p_ref)·ln(p_cur/p_ref) with
+    * Laplace-smoothed proportions.
+    *
+    * Scale: one scan + one partial-aggregated group-by on a 10-value
+    * key; the totals and the PSI sum ride broadcast cross joins of
+    * single-row frames. Fixed bin EDGES (not quantiles) keep the
+    * monitor O(scan) and make bucket ids bit-identical across
+    * engines; per-bin terms are rounded then decimal-summed so the
+    * total is add-order-free.
+    */
+  val q75PsiDrift = GraftQuery(
+    "q75_psi_drift",
+    (s, dir) => {
+      import graft.functions.GraftFunctions.sumDec
+      val t = Tables(s, dir)
+      val o = t.orders.select(
+        (year(col("o_orderdate")) >= PsiPivotYear).as("cur"),
+        least(floor(col("o_totalprice") / PsiBinWidth), lit(PsiBins - 1.0))
+          .cast("long").as("bucket"))
+      val counts = o.groupBy(col("bucket")).agg(
+        count(when(!col("cur"), 1)).as("n_ref"),
+        count(when(col("cur"), 1)).as("n_cur"))
+      val tot = counts.agg(sum(col("n_ref")).as("nr"), sum(col("n_cur")).as("nc"))
+      val pc = (col("n_cur") + 1).cast("double") /
+        (col("nc") + PsiBins).cast("double")
+      val pr = (col("n_ref") + 1).cast("double") /
+        (col("nr") + PsiBins).cast("double")
+      val terms = counts.crossJoin(broadcast(tot))
+        .select(col("bucket"), col("n_ref"), col("n_cur"),
+          round((pc - pr) * log(pc / pr), 6).as("psi_term"))
+      val total = terms.agg(sumDec(col("psi_term")).as("psi_total"))
+      terms.crossJoin(broadcast(total))
+        .select(col("bucket"), col("n_ref"), col("n_cur"), col("psi_term"),
+          col("psi_total"), (col("psi_total") >= PsiThreshold).as("drifted"))
+        .orderBy(col("bucket"))
+    },
+    Some(s"""
+      WITH o AS (
+        SELECT year(o_orderdate) >= $PsiPivotYear AS cur,
+               CAST(least(floor(o_totalprice / $PsiBinWidth),
+                          ${PsiBins - 1}.0) AS BIGINT) AS bucket
+        FROM orders),
+      counts AS (
+        SELECT bucket,
+               COUNT(*) FILTER (WHERE NOT cur) AS n_ref,
+               COUNT(*) FILTER (WHERE cur) AS n_cur
+        FROM o GROUP BY bucket),
+      tot AS (SELECT SUM(n_ref) AS nr, SUM(n_cur) AS nc FROM counts),
+      terms AS (
+        SELECT bucket, n_ref, n_cur,
+               round((CAST(n_cur + 1 AS DOUBLE) / CAST(nc + $PsiBins AS DOUBLE)
+                      - CAST(n_ref + 1 AS DOUBLE) / CAST(nr + $PsiBins AS DOUBLE))
+                 * ln((CAST(n_cur + 1 AS DOUBLE) / CAST(nc + $PsiBins AS DOUBLE))
+                      / (CAST(n_ref + 1 AS DOUBLE) / CAST(nr + $PsiBins AS DOUBLE))), 6)
+                 AS psi_term
+        FROM counts CROSS JOIN tot),
+      total AS (SELECT CAST(SUM(CAST(psi_term AS DECIMAL(25,6))) AS DOUBLE)
+                  AS psi_total FROM terms)
+      SELECT bucket, CAST(n_ref AS BIGINT) AS n_ref,
+             CAST(n_cur AS BIGINT) AS n_cur, psi_term, psi_total,
+             psi_total >= $PsiThreshold AS drifted
+      FROM terms CROSS JOIN total
+      ORDER BY bucket
+    """)
+  )
+
   def all: Seq[GraftQuery] =
     Seq(q46Funnel, q47CohortRetention, q48AnomalyExact, q49Scd2Versions,
       q51StatsProfile, q52ColumnProfile, q56SessionizedFunnel, q55DqConstraints,
       q59Winsorize, q61ApproxGroupbySample, q62PeriodicProfile, q63OrderStreaks,
       q64TargetEncoding, q66ParetoFrontier, q68MadOutliers, q71WelchTtest,
-      q73RfmSegments)
+      q73RfmSegments, q75PsiDrift)
 }

@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DecimalType, DoubleType}
 
 import graft.GraftQuery
+import graft.functions.GraftFunctions.sumMoney
 import graft.sources.Tables
 
 /** Graph analytics over the co-purchase graph (parts sharing an
@@ -629,7 +630,80 @@ object Graph {
     """)
   )
 
+  /** Recursive-hierarchy rollup — the WITH RECURSIVE workload (BOM
+    * explosion, org charts, account trees) Spark SQL lacks a keyword
+    * for, shipped as an iterative closure build. The hierarchy is the
+    * binary-heap parent function over suppliers (`parent(s) =
+    * (s−1)/2`, root 0 — deterministic from real keys, no synthetic
+    * table), and the output is the full recursive surface at once:
+    * per-node depth, root, and SUBTREE rollups (count + exact decimal
+    * balance sum), none of which a fixed-depth join chain can express.
+    *
+    * Scale: each round extends the ancestor frontier by ONE broadcast
+    * join against the parent map (hierarchies are dimension-sized —
+    * the fact-side rollup joins the closure once at the end), rounds =
+    * tree depth (log n here), and `localCheckpoint` truncates lineage
+    * per round as the other iterative operators do. Closure size is
+    * n·depth rows — the same closure WITH RECURSIVE materializes.
+    * Empty-frontier detection is the loop's only action per round.
+    */
+  val graphHierarchyRollup = GraftQuery(
+    "graph_hierarchy_rollup",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val sup = t.supplier
+        .select(col("s_suppkey").cast("long").as("node"), col("s_acctbal"))
+      val parents = sup.filter(col("node") > 0)
+        .select(col("node").as("child"),
+          ((col("node") - 1) / 2).cast("long").as("parent"))
+      var frontier = sup
+        .select(col("node"), col("node").as("anc"), lit(0L).as("steps"))
+        .localCheckpoint(true)
+      var closure = frontier
+      var more = true
+      while (more) {
+        frontier = frontier.join(broadcast(parents),
+            frontier("anc") === parents("child"))
+          .select(col("node"), col("parent").as("anc"),
+            (col("steps") + 1L).as("steps"))
+          .localCheckpoint(true)
+        more = !frontier.isEmpty
+        if (more) closure = closure.union(frontier)
+      }
+      val stats = closure.join(sup.withColumnRenamed("node", "d"),
+          closure("node") === col("d"))
+        .groupBy(col("anc"))
+        .agg(count(lit(1)).as("subtree_n"),
+          sumMoney(col("s_acctbal")).as("subtree_acctbal"))
+      val depthRoot = closure.groupBy(col("node"))
+        .agg(max(col("steps")).as("depth"), min(col("anc")).as("root"))
+      depthRoot.join(stats, depthRoot("node") === stats("anc"))
+        .select(col("node"), col("depth"), col("root"),
+          col("subtree_n"), col("subtree_acctbal"))
+        .orderBy(col("node"))
+    },
+    Some("""
+      WITH RECURSIVE a AS (
+        SELECT s_suppkey AS node, s_suppkey AS anc, CAST(0 AS BIGINT) AS steps
+        FROM supplier
+        UNION ALL
+        SELECT node, (anc - 1) // 2, steps + 1 FROM a WHERE anc > 0),
+      stats AS (
+        SELECT anc, COUNT(*) AS subtree_n,
+               CAST(SUM(CAST(s_acctbal AS DECIMAL(12,2))) AS DOUBLE)
+                 AS subtree_acctbal
+        FROM a JOIN supplier s ON s.s_suppkey = a.node
+        GROUP BY anc),
+      dr AS (SELECT node, MAX(steps) AS depth, MIN(anc) AS root
+             FROM a GROUP BY node)
+      SELECT dr.node, depth, root, subtree_n, subtree_acctbal
+      FROM dr JOIN stats ON stats.anc = dr.node
+      ORDER BY dr.node
+    """)
+  )
+
   def all: Seq[GraftQuery] =
     Seq(graphDegreeStats, graphTriangles, graphPagerank, graphItemRecs,
-      graphPagerankWeighted, graphCustomerSimilarity, graphCommunities)
+      graphPagerankWeighted, graphCustomerSimilarity, graphCommunities,
+      graphHierarchyRollup)
 }

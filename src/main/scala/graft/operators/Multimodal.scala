@@ -155,5 +155,84 @@ object Multimodal {
     """)
   )
 
-  def all: Seq[GraftQuery] = Seq(mmBinaryMetadata, mmDecodeFeatures, mmFrameSample)
+  /** Perceptual-hash blocks over the first frame: 16 blocks of 16
+    * bytes each (aHash geometry — a real image pipeline feeds pixel
+    * blocks of the decoded thumbnail through the identical shape).
+    */
+  val PhashBlocks = 16
+  val PhashBlockLen = 16
+
+  /** Perceptual-hash duplicate candidates: an aHash-style 16-bit
+    * signature of each asset's first frame (bit b = "block b's mean
+    * byte exceeds the frame mean"), grouped to emit candidate
+    * duplicate sets — the image-dedup front end (exact-signature
+    * grouping; the Hamming-tolerant upgrade is the SimHash multi-probe
+    * banding already shipped in [[graft.operators.Dedup]]).
+    *
+    * Exactness: the mean comparison is done in INTEGER cross-products
+    * (`bsum·flen > fsum·blen` ⇔ `bsum/blen > fsum/flen`) so no float
+    * division exists on either engine and the hash is bit-identical
+    * by construction. Scale: hashing is one codegen projection over
+    * the asset scan (no decode fan-out leaves the map side); the only
+    * shuffle is the group-by on the 16-bit signature — uniform,
+    * bounded key domain.
+    */
+  val mmPhashDupes = GraftQuery(
+    "mm_phash_dupes",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      // Spark's split(_, "") keeps a trailing "" (Java split limit -1)
+      // that DuckDB's string_split drops — filter before ascii()
+      val codes = transform(
+        filter(
+          split(substring(col("text"), 1, PhashBlocks * PhashBlockLen), ""),
+          c => c =!= lit("")),
+        c => ascii(c))
+      val withCodes = t.documents.select(col("doc_id"), codes.as("codes"))
+        .select(col("doc_id"), col("codes"),
+          aggregate(col("codes"), lit(0L), (a, x) => a + x).as("fsum"),
+          size(col("codes")).cast("long").as("flen"))
+      val bits = (0 until PhashBlocks).map { i =>
+        val block = slice(col("codes"), i * PhashBlockLen + 1, PhashBlockLen)
+        val bsum = aggregate(block, lit(0L), (a, x) => a + x)
+        val blen = size(block).cast("long")
+        when(bsum * col("flen") > col("fsum") * blen, lit(1L << i))
+          .otherwise(lit(0L))
+      }
+      withCodes
+        .select(col("doc_id"), bits.reduce(_ + _).as("phash"))
+        .groupBy(col("phash"))
+        .agg(count(lit(1)).as("n_assets"),
+          min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"))
+        .filter(col("n_assets") > 1)
+        .orderBy(col("phash"))
+    },
+    Some {
+      val terms = (0 until PhashBlocks).map { i =>
+        val lo = i * PhashBlockLen + 1
+        val hi = i * PhashBlockLen + PhashBlockLen
+        s"""CASE WHEN coalesce(list_sum(codes[$lo:$hi]), 0) * flen
+           |  > fsum * len(codes[$lo:$hi]) THEN ${1L << i} ELSE 0 END"""
+          .stripMargin
+      }.mkString(" + ")
+      s"""
+      WITH c AS (
+        SELECT doc_id,
+               list_transform(string_split(substr(text, 1, ${PhashBlocks * PhashBlockLen}), ''),
+                              ch -> ascii(ch)) AS codes
+        FROM documents),
+      f AS (SELECT doc_id, codes,
+                   coalesce(list_sum(codes), 0) AS fsum, len(codes) AS flen
+            FROM c),
+      sigs AS (SELECT doc_id, CAST($terms AS BIGINT) AS phash FROM f)
+      SELECT phash, COUNT(*) AS n_assets,
+             MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+      FROM sigs GROUP BY phash HAVING COUNT(*) > 1
+      ORDER BY phash
+      """
+    }
+  )
+
+  def all: Seq[GraftQuery] =
+    Seq(mmBinaryMetadata, mmDecodeFeatures, mmFrameSample, mmPhashDupes)
 }

@@ -532,7 +532,53 @@ object Similarity {
     Some(annOracleSql)
   )
 
+  /** Embedding-decontamination threshold and benchmark slice size.
+    * Complements the n-gram decontamination in TextAnalysis: lexical
+    * overlap misses paraphrases; cosine against the benchmark's
+    * embeddings is the semantic net (the shape used to scrub eval
+    * sets out of pretraining corpora).
+    */
+  val DecontamThreshold = 0.35
+  val BenchmarkSize = 25
+
+  /** Semantic (embedding-level) train/benchmark decontamination: for
+    * every corpus vector, its max cosine against ANY benchmark vector
+    * and the keep/drop flag. The benchmark set (eval suites — always
+    * tiny next to a training corpus) BROADCASTS; the corpus streams
+    * through one scan with a map-side-combinable max — no shuffle
+    * keyed on the benchmark, no pair materialization. At 100 TB this
+    * is scan-bound, the same posture as [[exactTopK]].
+    */
+  val simEmbedDecontam = GraftQuery(
+    "sim_embed_decontam",
+    (s, dir) => {
+      val e = corpus(Tables(s, dir))
+      val bench = e.filter(col("vec_id") < BenchmarkSize)
+        .select(col("vec_id").as("bid"), col("v").as("bv"))
+      e.filter(col("vec_id") >= BenchmarkSize)
+        .crossJoin(broadcast(bench))
+        .groupBy(col("vec_id"))
+        .agg(max(cosineSim(col("v"), col("bv"))).as("mc"))
+        .select(col("vec_id"),
+          round(col("mc"), 6).as("max_cos"),
+          (col("mc") >= DecontamThreshold).as("contaminated"))
+        .orderBy(col("vec_id"))
+    },
+    Some(s"""
+      WITH mc AS (
+        SELECT c.vec_id,
+               MAX(list_cosine_similarity(CAST(c.embedding AS DOUBLE[]),
+                                          CAST(b.embedding AS DOUBLE[]))) AS mc
+        FROM embeddings c JOIN embeddings b ON b.vec_id < $BenchmarkSize
+        WHERE c.vec_id >= $BenchmarkSize
+        GROUP BY c.vec_id)
+      SELECT vec_id, round(mc, 6) AS max_cos,
+             mc >= $DecontamThreshold AS contaminated
+      FROM mc ORDER BY vec_id
+    """)
+  )
+
   def all: Seq[GraftQuery] =
     Seq(simTopkBruteforce, simAnnLsh, simAnnIvf, simNormStats,
-      clusterSemanticDedup, simPcaReduce, simSqQuant)
+      clusterSemanticDedup, simPcaReduce, simSqQuant, simEmbedDecontam)
 }

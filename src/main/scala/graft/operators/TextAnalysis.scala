@@ -1387,11 +1387,128 @@ object TextAnalysis {
     """)
   )
 
+  /** BM25 parameters (the Robertson/Okapi defaults). */
+  val Bm25K1 = 1.2
+  val Bm25B = 0.75
+  val Bm25TopK = 10L
+
+  /** The retrieval query set: fixed multi-term queries over the
+    * corpus vocabulary (a search workload is data, not schema — real
+    * deployments stream these in; three literals keep the oracle
+    * self-contained).
+    */
+  val Bm25Queries: Seq[(Long, String)] = Seq(
+    1L -> "hash join merge",
+    2L -> "window agg stream",
+    3L -> "vector scan filter sort")
+
+  /** BM25 ranked retrieval: inverted index (postings = the (term,
+    * doc, tf) frame) + Okapi BM25 scoring + per-query top-k — the
+    * full-text-search shape engines ship as a separate FTS extension,
+    * here three relational aggregates. Scale: the postings build is
+    * one explode + one (doc,term) shuffle over the corpus; df/avgdl
+    * are small rollups; query terms BROADCAST into the postings scan
+    * (a 100 TB corpus is scanned once, no shuffle keyed on query);
+    * and the per-query top-k is the bounded-heap [[TopKAgg]] —
+    * map-side combined, so no reducer ever holds a query's full
+    * candidate list. Per-term contributions are rounded then
+    * decimal-summed (order-free) for cross-engine hash parity.
+    */
+  val textBm25 = GraftQuery(
+    "text_bm25",
+    (s, dir) => {
+      import graft.functions.TopKAgg
+      import graft.functions.GraftFunctions.sumDec
+      import s.implicits._
+      val t = Tables(s, dir)
+      val terms = t.documents
+        .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+        .filter(length(col("term")) >= 3 && !isStopword(col("term")))
+      val tf = terms.groupBy(col("doc_id"), col("term"))
+        .agg(count(lit(1)).as("tf"))
+        .persist()
+      val dfq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+      val stats = tf.agg(
+        count_distinct(col("doc_id")).as("n_docs"),
+        (sum(col("tf")).cast("double") /
+          count_distinct(col("doc_id")).cast("double")).as("avgdl"))
+      val qterms = Bm25Queries.toDF("qid", "qtext")
+        .select(col("qid"), explode(tokens(col("qtext"))).as("term"))
+      val idf = log(lit(1.0) +
+        (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+      val tfc = col("tf").cast("double") * lit(Bm25K1 + 1.0) /
+        (col("tf").cast("double") + lit(Bm25K1) *
+          (lit(1.0) - lit(Bm25B) +
+            lit(Bm25B) * (col("dl").cast("double") / col("avgdl"))))
+      val contrib = round(idf * tfc, 6)
+      val topk = udaf(new TopKAgg(Bm25TopK.toInt))
+      val scored = tf
+        .join(broadcast(qterms.join(dfq, Seq("term"))), Seq("term"))
+        .join(dl, Seq("doc_id"))
+        .crossJoin(broadcast(stats))
+        .groupBy(col("qid"), col("doc_id"))
+        .agg(sumDec(contrib).as("score"))
+      val out = scored
+        .groupBy(col("qid"))
+        .agg(topk(col("score"), col("doc_id"), col("doc_id")).as("top"))
+        .select(col("qid"), posexplode(col("top")))
+        .select(col("qid"), (col("pos") + 1).cast("long").as("rank"),
+          col("col.payload").as("doc_id"), col("col.sortKey").as("score"))
+        .orderBy(col("qid"), col("rank"))
+      out.persist().count()
+      tf.unpersist(false)
+      out
+    },
+    Some(raw"""
+      WITH terms AS (
+        SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS term
+        FROM documents),
+      filtered AS (
+        SELECT doc_id, term FROM terms
+        WHERE length(term) >= 3
+          AND NOT list_contains(['the','a','of','to','and','in','is','it','that','for'], term)),
+      tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM filtered GROUP BY 1, 2),
+      dfq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+      dl AS (SELECT doc_id, SUM(tf) AS dl FROM tf GROUP BY 1),
+      stats AS (SELECT COUNT(DISTINCT doc_id) AS n_docs,
+                       CAST(SUM(tf) AS DOUBLE)
+                         / CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS avgdl
+                FROM tf),
+      qterms AS (
+        SELECT qid, unnest(string_split_regex(lower(qtext), '\s+')) AS term
+        FROM (VALUES (1, 'hash join merge'), (2, 'window agg stream'),
+                     (3, 'vector scan filter sort')) q(qid, qtext)),
+      contribs AS (
+        SELECT q.qid, tf.doc_id,
+               round(ln(1.0 + (CAST(n_docs AS BIGINT) - df + 0.5) / (df + 0.5))
+                 * (CAST(tf AS DOUBLE) * 2.2
+                    / (CAST(tf AS DOUBLE) + 1.2 * (1.0 - 0.75
+                       + 0.75 * (CAST(dl AS DOUBLE) / avgdl)))), 6) AS contrib
+        FROM tf
+        JOIN qterms q USING (term)
+        JOIN dfq USING (term)
+        JOIN dl ON dl.doc_id = tf.doc_id
+        CROSS JOIN stats),
+      scored AS (
+        SELECT qid, doc_id,
+               CAST(SUM(CAST(contrib AS DECIMAL(25,6))) AS DOUBLE) AS score
+        FROM contribs GROUP BY 1, 2),
+      ranked AS (
+        SELECT CAST(qid AS BIGINT) AS qid, doc_id, score,
+               CAST(row_number() OVER (PARTITION BY qid
+                 ORDER BY score DESC, doc_id) AS BIGINT) AS rank
+        FROM scored)
+      SELECT qid, rank, doc_id, score FROM ranked WHERE rank <= $Bm25TopK
+      ORDER BY qid, rank
+    """)
+  )
+
   def all: Seq[GraftQuery] =
     Seq(textTokens, textQuality, textLangid, textFingerprint, textTopNgrams,
       textTrainingSet, textChunk, textDecontaminate, sampleStratified,
       textPackSequences, textTfidf, textRepetition, sampleMixture,
       textSourceOverlap, textDecontaminateBloom, textPiiRedact,
       textZipfStats, textHeavyHitters, textUnigramLm, textExportShards,
-      samplePps, textPassageDedup, textCmsFreq, textBigramLm)
+      samplePps, textPassageDedup, textCmsFreq, textBigramLm, textBm25)
 }

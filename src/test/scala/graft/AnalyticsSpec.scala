@@ -444,4 +444,39 @@ class AnalyticsSpec extends AnyFunSuite {
       assert(r.getDouble(4) == cents.toDouble / 100.0, s"segment $k revenue")
     }
   }
+
+  test("PSI drift equals a local recompute, bit for bit") {
+    import graft.operators.Analytics._
+    val orders = graft.sources.Tables(spark, sf).orders
+      .select(year(col("o_orderdate")), col("o_totalprice"))
+      .collect().map(r => (r.getInt(0), r.getDouble(1)))
+    def bucket(p: Double): Long =
+      math.min(math.floor(p / PsiBinWidth), PsiBins - 1.0).toLong
+    val byBucket = orders.groupBy(o => bucket(o._2))
+    val counts = byBucket.map { case (b, os) =>
+      b -> (os.count(_._1 < PsiPivotYear).toLong,
+        os.count(_._1 >= PsiPivotYear).toLong)
+    }
+    val nr = counts.values.map(_._1).sum
+    val nc = counts.values.map(_._2).sum
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val terms = counts.map { case (b, (ref, cur)) =>
+      val pc = (cur + 1).toDouble / (nc + PsiBins).toDouble
+      val pr = (ref + 1).toDouble / (nr + PsiBins).toDouble
+      b -> r6((pc - pr) * math.log(pc / pr))
+    }
+    val total = terms.values
+      .map(BigDecimal(_).setScale(6, BigDecimal.RoundingMode.HALF_UP))
+      .sum.toDouble
+    val rows = SparkEntry.queries("q75_psi_drift")(spark, sf).collect()
+    assert(rows.length == counts.size)
+    rows.foreach { r =>
+      val b = r.getLong(0)
+      assert((r.getLong(1), r.getLong(2)) == counts(b), s"counts of bin $b")
+      assert(r.getDouble(3) == terms(b), s"psi term of bin $b")
+      assert(r.getDouble(4) == total, "psi total")
+      assert(r.getBoolean(5) == (total >= PsiThreshold), "drift flag")
+    }
+  }
 }

@@ -260,4 +260,28 @@ class GraphSpec extends AnyFunSuite {
     assert(r.getLong(4) > 0, "hub weighted degree positive")
     assert(r.getLong(2) >= r.getLong(1), "total weight >= edge count")
   }
+
+  test("hierarchy rollup equals a dense recursive recompute") {
+    val sup = graft.sources.Tables(spark, sf).supplier
+      .select(col("s_suppkey").cast("long"), col("s_acctbal"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    def parent(s: Long): Long = (s - 1) / 2
+    def depth(s: Long): Long =
+      if (s == 0) 0L else 1L + depth(parent(s))
+    // descendants of a: nodes whose ancestor chain passes through a
+    def isUnder(d: Long, a: Long): Boolean =
+      d == a || (d > 0 && isUnder(parent(d), a))
+    val rows = SparkEntry.queries("graph_hierarchy_rollup")(spark, sf).collect()
+    assert(rows.length == sup.size, "one row per node")
+    rows.foreach { r =>
+      val node = r.getLong(0)
+      assert(r.getLong(1) == depth(node), s"depth of $node")
+      assert(r.getLong(2) == 0L, s"root of $node")
+      val subtree = sup.keys.filter(isUnder(_, node)).toSeq
+      assert(r.getLong(3) == subtree.size, s"subtree_n of $node")
+      val want = subtree.map(d => BigDecimal(sup(d)).setScale(2,
+        BigDecimal.RoundingMode.HALF_UP)).sum.toDouble
+      assert(r.getDouble(4) == want, s"subtree_acctbal of $node")
+    }
+  }
 }

@@ -394,4 +394,32 @@ class MultimodalStreamSpec extends AnyFunSuite {
 
   private val EventsStream_PatternWindow =
     graft.streaming.EventsStream.PatternWindowMicros
+
+  test("perceptual hash groups equal a byte-level recompute") {
+    import graft.operators.Multimodal.{PhashBlockLen, PhashBlocks}
+    val docs = graft.sources.Tables(spark, sf).documents
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.col("text"))
+      .collect().map(r => r.getLong(0) -> r.getString(1))
+    def phash(text: String): Long = {
+      val codes = text.take(PhashBlocks * PhashBlockLen).map(_.toInt)
+      val fsum = codes.map(_.toLong).sum
+      val flen = codes.length.toLong
+      (0 until PhashBlocks).map { i =>
+        val block = codes.slice(i * PhashBlockLen, i * PhashBlockLen + PhashBlockLen)
+        val bsum = block.map(_.toLong).sum
+        if (bsum * flen > fsum * block.length) 1L << i else 0L
+      }.sum
+    }
+    val groups = docs.groupBy(d => phash(d._2)).view
+      .mapValues(_.map(_._1)).filter(_._2.length > 1).toMap
+    val rows = SparkEntry.queries("mm_phash_dupes")(spark, sf).collect()
+    assert(rows.length == groups.size, "candidate group count")
+    rows.foreach { r =>
+      val ids = groups(r.getLong(0))
+      assert(r.getLong(1) == ids.length, s"group size of ${r.getLong(0)}")
+      assert(r.getLong(2) == ids.min && r.getLong(3) == ids.max)
+    }
+    assert(groups.nonEmpty, "corpus should contain phash collisions")
+  }
 }

@@ -570,4 +570,72 @@ class TextDedupSpec extends AnyFunSuite {
     assert(scrambleBeats <= 2,
       s"reversed docs outscored originals $scrambleBeats/10 times")
   }
+
+  test("BM25 retrieval equals an in-memory Okapi recompute") {
+    import TextAnalysis.{Bm25B, Bm25K1, Bm25Queries, Bm25TopK}
+    val stop = Set("the", "a", "of", "to", "and", "in", "is", "it", "that", "for")
+    def toks(t: String): Seq[String] =
+      t.toLowerCase.split("\\s+").toSeq.filter(w => w.length >= 3 && !stop(w))
+    val docs = graft.sources.Tables(spark, sf).documents
+      .select(col("doc_id"), col("text"))
+      .collect().map(r => r.getLong(0) -> toks(r.getString(1)))
+    val tf = docs.flatMap { case (d, ts) =>
+      ts.groupBy(identity).map { case (t, o) => ((d, t), o.size.toLong) } }.toMap
+    val df = tf.keys.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val dl = tf.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
+    val n = dl.size.toLong
+    val avgdl = dl.values.sum.toDouble / n.toDouble
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val want = Bm25Queries.flatMap { case (qid, qtext) =>
+      val scored = docs.map(_._1).distinct.flatMap { d =>
+        val contribs = toks(qtext).flatMap { term =>
+          tf.get((d, term)).map { f =>
+            val idf = math.log(1.0 + (n - df(term) + 0.5) / (df(term) + 0.5))
+            val tfc = f.toDouble * (Bm25K1 + 1.0) /
+              (f.toDouble + Bm25K1 *
+                (1.0 - Bm25B + Bm25B * (dl(d).toDouble / avgdl)))
+            // snap to 6-digit decimal exactly as sumDec's decimal cast
+            BigDecimal(r6(idf * tfc))
+              .setScale(6, BigDecimal.RoundingMode.HALF_UP)
+          }
+        }
+        if (contribs.isEmpty) None else Some(d -> contribs.sum.toDouble)
+      }
+      scored.sortBy { case (d, sc) => (-sc, d) }.take(Bm25TopK.toInt)
+        .zipWithIndex.map { case ((d, sc), i) => (qid, i + 1L, d, sc) }
+    }
+    val got = SparkEntry.queries("text_bm25")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.toSeq == want, "BM25 top-k mismatch vs dense recompute")
+  }
+
+  test("embedding decontamination flags exactly the cosine hits") {
+    import Similarity.{BenchmarkSize, DecontamThreshold}
+    val vecs = Similarity.corpusOf(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    // same sequential fold as the VecMath codegen expression
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val bench = vecs.filter(_._1 < BenchmarkSize)
+    val rows = SparkEntry.queries("sim_embed_decontam")(spark, sf).collect()
+    assert(rows.length == vecs.size - bench.size)
+    var flagged = 0
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      val mc = bench.values.map(cos(vecs(id), _)).max
+      assert(r.getDouble(1) ==
+        BigDecimal(mc).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble,
+        s"max_cos of $id")
+      assert(r.getBoolean(2) == (mc >= DecontamThreshold), s"flag of $id")
+      if (r.getBoolean(2)) flagged += 1
+    }
+    assert(flagged > 0 && flagged < rows.length,
+      "threshold should split the corpus into both classes")
+  }
 }
