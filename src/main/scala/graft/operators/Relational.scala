@@ -1893,6 +1893,43 @@ object Relational {
     """)
   )
 
+  /** Correlated-scalar-subquery shape (TPC-H Q17): revenue that would
+    * be lost by dropping "small" line items — those below 20% of
+    * their part's average quantity. The subquery decorrelates into a
+    * per-part aggregate joined back on the part key (what Catalyst's
+    * RewriteCorrelatedScalarSubquery does to the SQL spelling); the
+    * oracle keeps the correlated spelling to pin the semantics. The
+    * per-part frame is fact-derived but part-sized, so at scale the
+    * join shuffles on the uniform part key (AQE-eligible); the
+    * threshold arithmetic is one exact-decimal sum + one
+    * correctly-rounded division, so the small-line predicate is
+    * bit-identical across engines.
+    */
+  val q77SmallQtyRevenue = GraftQuery(
+    "q77_small_qty_revenue",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val perPart = t.lineitem.groupBy(col("l_partkey").as("pk"))
+        .agg(((sum(dec2(col("l_quantity"))).cast(DoubleType) /
+          count(lit(1))) * 0.2).as("qty_bar"))
+      t.lineitem
+        .join(perPart, col("l_partkey") === col("pk"))
+        .filter(col("l_quantity") < col("qty_bar"))
+        .agg(count(lit(1)).as("n_small_lines"),
+          (sumMoney(col("l_extendedprice")) / 7.0).as("avg_yearly"))
+    },
+    Some("""
+      SELECT COUNT(*) AS n_small_lines,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / 7.0
+               AS avg_yearly
+      FROM lineitem l
+      WHERE l_quantity < (
+        SELECT (CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)
+                / COUNT(*)) * 0.2
+        FROM lineitem i WHERE i.l_partkey = l.l_partkey)
+    """)
+  )
+
   def all: Seq[GraftQuery] = Seq(
     q01PricingSummary, q02RevenueByNation, q03ShippingPriority,
     q04OrderPriorityExists, q05CustomersWithoutOrders, q06RevenueFilter,
@@ -1906,6 +1943,6 @@ object Relational {
     q42ThetaIntersect, q43QuantileBinning, q44UpsertSnapshot,
     q45CsvRoundtrip, q50WeightedTheta, q53ZorderLayout, q54IncrementalAgg,
     q57TopkJoinPushdown, q58EwmaSmoothing, q67WindowRanks,
-    q72ReconcileFullOuter, q74SchemaEvolution
+    q72ReconcileFullOuter, q74SchemaEvolution, q77SmallQtyRevenue
   )
 }

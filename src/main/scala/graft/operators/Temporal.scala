@@ -504,8 +504,48 @@ object Temporal {
     """)
   )
 
+  /** RANGE-interval window frame — the time-based sliding frame
+    * (`RANGE BETWEEN INTERVAL ... PRECEDING`) that row-count frames
+    * cannot express when observations are irregular: each order sees
+    * the customer's trailing-30-day order count and spend. One
+    * exchange on the customer key serves the whole frame; the sum
+    * runs over exact decimals inside the window (order-free), and
+    * Spark's numeric `rangeBetween` over epoch seconds is the same
+    * frame DuckDB derives from the INTERVAL bound.
+    */
+  val RangeWindowDays = 30L
+
+  val q76RangeWindow = GraftQuery(
+    "q76_range_window",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(unix_timestamp(col("o_orderdate")))
+        .rangeBetween(-RangeWindowDays * 86400L, 0L)
+      t.orders.select(
+          col("o_custkey"), col("o_orderkey"),
+          tsString(col("o_orderdate")).as("od"),
+          count(lit(1)).over(w).as("n_30d"),
+          sum(dec2(col("o_totalprice"))).over(w).cast(DoubleType).as("spend_30d"))
+        .orderBy(col("o_custkey"), col("o_orderkey"))
+    },
+    Some(s"""
+      SELECT o_custkey, o_orderkey,
+             strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS od,
+             COUNT(*) OVER w AS n_30d,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) OVER w AS DOUBLE)
+               AS spend_30d
+      FROM orders
+      WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate
+                   RANGE BETWEEN INTERVAL $RangeWindowDays DAYS PRECEDING
+                   AND CURRENT ROW)
+      ORDER BY o_custkey, o_orderkey
+    """)
+  )
+
   def all: Seq[GraftQuery] =
     Seq(q21AsofPrevError, q22RangeJoinNeighbors, q23CustomVariance,
       q27AsofJoinNative, q36GapfillResample, q37RollingFeatures,
-      q60OhlcResample, q65Twap, q69SeasonalNaive, q70InterpLinear)
+      q60OhlcResample, q65Twap, q69SeasonalNaive, q70InterpLinear,
+      q76RangeWindow)
 }

@@ -1504,11 +1504,117 @@ object TextAnalysis {
     """)
   )
 
+  /** DSIR selection size and the target-defining token (the planted
+    * near-dup family shares content, so its unigram distribution is
+    * genuinely distinct from the corpus — the property importance
+    * weighting exploits).
+    */
+  val DsirSelectK = 50L
+  val DsirTargetToken = "dup"
+
+  /** Importance-weighted domain selection (the DSIR shape: score
+    * corpus documents by the log-likelihood ratio of a target-domain
+    * unigram LM vs the corpus LM, keep the top-scoring slice). Target
+    * membership here is a token predicate; in production it's "docs
+    * from the domain you want more of". Both LMs are add-one
+    * smoothed over the CORPUS vocabulary, so every corpus token has a
+    * finite ratio; per-doc score = length-normalized mean log-ratio.
+    *
+    * Scale: two token-level aggregates (corpus and target counts —
+    * the target side aggregates only the target slice), a broadcast
+    * of the term→ratio map back into one corpus scan, and the global
+    * top-k through the bounded-heap [[TopKAgg]] (map-side combined —
+    * no global sort, no single reducer holding the corpus).
+    */
+  val textDsirSelect = GraftQuery(
+    "text_dsir_select",
+    (s, dir) => {
+      import graft.functions.TopKAgg
+      import graft.functions.GraftFunctions.sumDec
+      val t = Tables(s, dir)
+      val toks = t.documents
+        .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+        .filter(col("term") =!= "").persist()
+      val targetIds = toks.filter(col("term") === DsirTargetToken)
+        .select(col("doc_id")).distinct()
+      val corpusCnt = toks.groupBy(col("term")).agg(count(lit(1)).as("cc"))
+      val targetCnt = toks.join(broadcast(targetIds), Seq("doc_id"))
+        .groupBy(col("term")).agg(count(lit(1)).as("tc"))
+      val totals = corpusCnt.agg(
+        sum(col("cc")).as("corpus_total"),
+        count(lit(1)).as("vocab"))
+      val targetTotal = targetCnt.agg(sum(col("tc")).as("target_total"))
+      val pt = (coalesce(col("tc"), lit(0L)) + 1).cast("double") /
+        (col("target_total") + col("vocab")).cast("double")
+      val pc = (col("cc") + 1).cast("double") /
+        (col("corpus_total") + col("vocab")).cast("double")
+      val ratios = corpusCnt
+        .join(targetCnt, Seq("term"), "left_outer")
+        .crossJoin(broadcast(totals)).crossJoin(broadcast(targetTotal))
+        .select(col("term"), round(log(pt / pc), 6).as("lr"))
+      val weights = toks.join(broadcast(ratios), Seq("term"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_tokens"), sumDec(col("lr")).as("sum_lr"))
+        .select(col("doc_id"),
+          round(col("sum_lr") / col("n_tokens"), 6).as("w"))
+      val topk = udaf(new TopKAgg(DsirSelectK.toInt))
+      val out = weights
+        .agg(topk(col("w"), col("doc_id"), col("doc_id")).as("top"))
+        .select(posexplode(col("top")))
+        .select((col("pos") + 1).cast("long").as("rank"),
+          col("col.payload").as("doc_id"), col("col.sortKey").as("weight"))
+        .join(targetIds.withColumn("is_target", lit(true)), Seq("doc_id"), "left_outer")
+        .select(col("rank"), col("doc_id"),
+          col("weight"), coalesce(col("is_target"), lit(false)).as("is_target"))
+        .orderBy(col("rank"))
+      out.persist().count()
+      toks.unpersist(false)
+      out
+    },
+    Some(raw"""
+      WITH toks AS (
+        SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS term
+        FROM documents),
+      tk AS (SELECT doc_id, term FROM toks WHERE term <> ''),
+      target_ids AS (
+        SELECT DISTINCT doc_id FROM tk WHERE term = '$DsirTargetToken'),
+      cc AS (SELECT term, COUNT(*) AS cc FROM tk GROUP BY 1),
+      tc AS (SELECT term, COUNT(*) AS tc FROM tk
+             WHERE doc_id IN (SELECT doc_id FROM target_ids) GROUP BY 1),
+      totals AS (SELECT SUM(cc) AS corpus_total, COUNT(*) AS vocab FROM cc),
+      tt AS (SELECT SUM(tc) AS target_total FROM tc),
+      ratios AS (
+        SELECT cc.term,
+               round(ln((CAST(coalesce(tc, 0) + 1 AS DOUBLE)
+                           / CAST(target_total + vocab AS DOUBLE))
+                        / (CAST(cc + 1 AS DOUBLE)
+                           / CAST(corpus_total + vocab AS DOUBLE))), 6) AS lr
+        FROM cc LEFT JOIN tc ON cc.term = tc.term
+        CROSS JOIN totals CROSS JOIN tt),
+      weights AS (
+        SELECT doc_id,
+               round(CAST(SUM(CAST(lr AS DECIMAL(25,6))) AS DOUBLE)
+                 / COUNT(*), 6) AS w
+        FROM tk JOIN ratios USING (term)
+        GROUP BY doc_id),
+      ranked AS (
+        SELECT doc_id, w,
+               CAST(row_number() OVER (ORDER BY w DESC, doc_id) AS BIGINT)
+                 AS rank
+        FROM weights)
+      SELECT rank, r.doc_id, w AS weight,
+             r.doc_id IN (SELECT doc_id FROM target_ids) AS is_target
+      FROM ranked r WHERE rank <= $DsirSelectK
+      ORDER BY rank
+    """)
+  )
+
   def all: Seq[GraftQuery] =
     Seq(textTokens, textQuality, textLangid, textFingerprint, textTopNgrams,
       textTrainingSet, textChunk, textDecontaminate, sampleStratified,
       textPackSequences, textTfidf, textRepetition, sampleMixture,
       textSourceOverlap, textDecontaminateBloom, textPiiRedact,
       textZipfStats, textHeavyHitters, textUnigramLm, textExportShards,
-      samplePps, textPassageDedup, textCmsFreq, textBigramLm, textBm25)
+      samplePps, textPassageDedup, textCmsFreq, textBigramLm, textBm25,
+      textDsirSelect)
 }

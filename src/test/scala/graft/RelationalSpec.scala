@@ -208,4 +208,20 @@ class RelationalSpec extends AnyFunSuite {
       "merged read must cover every order exactly once")
     assert(rows.length > 1, "v2 rows must group by their real priority")
   }
+
+  test("Q17-shape small-quantity revenue equals a local recompute") {
+    val li = graft.sources.Tables(spark, sf).lineitem
+      .select(col("l_partkey"), col("l_quantity"), col("l_extendedprice"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+    def d2(x: Double): BigDecimal =
+      BigDecimal(x).setScale(2, BigDecimal.RoundingMode.HALF_UP)
+    val bar = li.groupBy(_._1).map { case (pk, rs) =>
+      pk -> (rs.map(r => d2(r._2)).sum.toDouble / rs.length) * 0.2
+    }
+    val small = li.filter(r => r._2 < bar(r._1))
+    val row = SparkEntry.queries("q77_small_qty_revenue")(spark, sf).collect().head
+    assert(row.getLong(0) == small.length, "small-line count")
+    assert(row.getDouble(1) ==
+      small.map(r => d2(r._3)).sum.toDouble / 7.0, "avg yearly revenue")
+  }
 }

@@ -148,4 +148,26 @@ class TemporalSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("range-interval window equals a per-row trailing-30d recompute") {
+    import graft.operators.Temporal.RangeWindowDays
+    val orders = graft.sources.Tables(spark, sf).orders
+      .select(col("o_custkey"), col("o_orderkey"),
+        unix_timestamp(col("o_orderdate")).as("sec"), col("o_totalprice"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val byCust = orders.groupBy(_._1)
+    val rows = SparkEntry.queries("q76_range_window")(spark, sf).collect()
+    assert(rows.length == orders.length)
+    rows.foreach { r =>
+      val (cust, okey) = (r.getLong(0), r.getLong(1))
+      val me = orders.find(o => o._1 == cust && o._2 == okey).get
+      val inFrame = byCust(cust).filter(o =>
+        o._3 >= me._3 - RangeWindowDays * 86400L && o._3 <= me._3)
+      assert(r.getLong(3) == inFrame.length, s"count for order $okey")
+      val cents = inFrame.map(o => BigDecimal(o._4).setScale(2,
+        BigDecimal.RoundingMode.HALF_UP)).sum.toDouble
+      assert(r.getDouble(4) == cents, s"spend for order $okey")
+    }
+  }
 }
