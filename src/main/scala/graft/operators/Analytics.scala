@@ -520,16 +520,17 @@ object Analytics {
   /** Winsorization (robust stats): per return flag, clip extended
     * prices at the exact 1st/99th percentile and report how much mass
     * the tails carried. Percentile thresholds are EXACT and integer —
-    * the value at sorted position ⌈p·n⌉ — but computed WITHOUT sorting
-    * the fact table: a per-(flag, cents) histogram first (one
-    * map-side-combined shuffle), then the cumulative window runs over
-    * the histogram's distinct values — domain-sized, orders of
-    * magnitude smaller than the rows — and EVERYTHING downstream
-    * (thresholds, clip counts, the winsorized sum as Σ cnt·clip(v))
-    * reduces over that same histogram: the fact table is scanned
-    * exactly once. At 100 TB the same query swaps the exact histogram
-    * CDF for the KLL sketch (q35) with a rank-error bound; the
-    * histogram form is the oracle baseline.
+    * the value at sorted position ⌈p·n⌉ — computed with the q68
+    * bucket drill-down (near-unique prices make a (flag, cents)
+    * histogram row-sized, so neither a histogram group-by nor a
+    * per-flag CDF window may materialize): coarse 4096-cent bucket
+    * counts map-side, locate the bucket straddling ⌈p·n⌉ from the
+    * tiny bucket CDF, exact ordered walk only inside that bucket.
+    * Clip counts and the winsorized sum are one conditional aggregate
+    * over the cached fact projection under broadcast thresholds — no
+    * row-sized shuffle at any step. At 100 TB the same query swaps
+    * the exact drill-down for the KLL sketch (q35) with a rank-error
+    * bound; the exact form is the oracle baseline.
     */
   val q59Winsorize = GraftQuery(
     "q59_winsorize",
@@ -537,34 +538,50 @@ object Analytics {
       val t = Tables(s, dir)
       val li = t.lineitem.select(col("l_returnflag"),
         round(col("l_extendedprice") * 100).cast("long").as("cents"))
-      val hist = li.groupBy(col("l_returnflag"), col("cents"))
-        .agg(count(lit(1)).as("cnt"))
-      val wCdf = Window.partitionBy(col("l_returnflag")).orderBy(col("cents"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val cdf = hist
-        .withColumn("cum", sum(col("cnt")).over(wCdf))
-        .withColumn("n", sum(col("cnt")).over(Window.partitionBy(col("l_returnflag"))))
         .cache()
-      // value at sorted position ⌈p·n⌉: smallest cents with cum ≥ ⌈p·n⌉
-      // — both thresholds from ONE pass over the cached histogram CDF
-      val thresholds = cdf.groupBy(col("l_returnflag")).agg(
-        min(when(col("cum") >= ceil(col("n") * 0.01), col("cents"))).as("p01"),
-        min(when(col("cum") >= ceil(col("n") * 0.99), col("cents"))).as("p99"))
-      val out = cdf.join(broadcast(thresholds), Seq("l_returnflag"))
+      // smallest cents whose CDF reaches ⌈p·n⌉, via bucket drill-down
+      def valueAtQ(p: Double, name: String): DataFrame = {
+        val bucket = (col("cents") / 4096L).cast("long")
+        val bucketed = li.groupBy(col("l_returnflag"), bucket.as("b"))
+          .agg(count(lit(1)).as("bcnt"))
+        val wB = Window.partitionBy(col("l_returnflag")).orderBy(col("b"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val target = bucketed
+          .withColumn("cumB", sum(col("bcnt")).over(wB))
+          .withColumn("n", sum(col("bcnt"))
+            .over(Window.partitionBy(col("l_returnflag"))))
+          .filter(col("cumB") >= ceil(col("n") * p))
+          .groupBy(col("l_returnflag"))
+          .agg(min(struct(col("b"), (col("cumB") - col("bcnt")).as("below"),
+            col("n"))).as("t"))
+          .select(col("l_returnflag"), col("t.b").as("b"),
+            col("t.below").as("below"), col("t.n").as("n"))
+        val wIn = Window.partitionBy(col("l_returnflag")).orderBy(col("cents"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        li.withColumn("b", bucket)
+          .join(broadcast(target), Seq("l_returnflag", "b"))
+          .withColumn("cum", col("below") + sum(lit(1L)).over(wIn))
+          .groupBy(col("l_returnflag"))
+          .agg(min(when(col("cum") >= ceil(col("n") * p), col("cents")))
+            .as(name))
+      }
+      val thresholds = valueAtQ(0.01, "p01")
+        .join(valueAtQ(0.99, "p99"), Seq("l_returnflag"))
+      val out = li.join(broadcast(thresholds), Seq("l_returnflag"))
         .groupBy(col("l_returnflag"))
         .agg(
-          sum(col("cnt")).as("n"),
+          count(lit(1)).as("n"),
           first(col("p01")).as("p01_cents"),
           first(col("p99")).as("p99_cents"),
-          sum(when(col("cents") < col("p01"), col("cnt")).otherwise(lit(0L)))
+          sum(when(col("cents") < col("p01"), lit(1L)).otherwise(lit(0L)))
             .as("n_clipped_low"),
-          sum(when(col("cents") > col("p99"), col("cnt")).otherwise(lit(0L)))
+          sum(when(col("cents") > col("p99"), lit(1L)).otherwise(lit(0L)))
             .as("n_clipped_high"),
-          sum((col("cnt") * greatest(least(col("cents"), col("p99")), col("p01")))
+          sum(greatest(least(col("cents"), col("p99")), col("p01"))
             .cast(DecimalType(38, 0))).cast("long").as("winsorized_cents"))
         .orderBy(col("l_returnflag"))
       out.persist().count()
-      cdf.unpersist(false)
+      li.unpersist(false)
       out
     },
     Some("""
@@ -867,44 +884,64 @@ object Analytics {
     * type-1 quantile (smallest value whose CDF reaches ⌈n/2⌉),
     * stated identically in the oracle.
     *
-    * Scale shape: ONE scan of the fact table builds the per-(flag,
-    * cents) histogram; the median, the deviation histogram (a
-    * regroup of the value histogram by |cents − med|), the MAD, and
-    * the outlier count are all domain-sized reductions over it —
-    * the q59 histogram-CDF pattern, reused end to end.
+    * Scale shape: near-unique prices make a (flag, cents) histogram
+    * row-sized (594k distinct at sf0.1), so neither a histogram
+    * group-by nor a per-flag CDF window may ever materialize — the
+    * median comes from a two-level drill-down straight off the
+    * cached fact projection: count coarse 4096-cent buckets
+    * (domain-sized, map-side combined), find the bucket straddling
+    * ⌈n/2⌉ from the tiny bucket CDF, then run the exact ordered walk
+    * only over the rows INSIDE that bucket (~1/2600 of the data).
+    * The MAD reuses the same drill-down over |cents − med| computed
+    * map-side under a broadcast of the medians; the outlier count is
+    * one conditional aggregate. No row-sized shuffle exists at any
+    * step, and no reducer sorts more than one bucket.
     */
   val q68MadOutliers = GraftQuery(
     "q68_mad_outliers",
     (s, dir) => {
       val t = Tables(s, dir)
       val cents = round(col("l_extendedprice") * 100).cast("long")
-      val hist = t.lineitem
+      val li = t.lineitem
         .select(col("l_returnflag"), cents.as("cents"))
-        .groupBy(col("l_returnflag"), col("cents"))
-        .agg(count(lit(1)).as("cnt"))
         .cache()
-      def typed1Median(h: DataFrame, vcol: String): DataFrame = {
-        val wCdf = Window.partitionBy(col("l_returnflag")).orderBy(col(vcol))
+      // exact type-1 median of `vcol` per flag via bucket drill-down
+      def typed1Median(rows: DataFrame, vcol: String): DataFrame = {
+        val bucket = (col(vcol) / 4096L).cast("long")
+        val bucketed = rows.groupBy(col("l_returnflag"), bucket.as("b"))
+          .agg(count(lit(1)).as("bcnt"))
+        val wB = Window.partitionBy(col("l_returnflag")).orderBy(col("b"))
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        h.withColumn("cum", sum(col("cnt")).over(wCdf))
-          .withColumn("n", sum(col("cnt"))
+        val target = bucketed
+          .withColumn("cumB", sum(col("bcnt")).over(wB))
+          .withColumn("n", sum(col("bcnt"))
             .over(Window.partitionBy(col("l_returnflag"))))
+          .filter(col("cumB") >= ceil(col("n") / 2.0))
+          .groupBy(col("l_returnflag"))
+          .agg(min(struct(col("b"), (col("cumB") - col("bcnt")).as("below"),
+            col("n"))).as("t"))
+          .select(col("l_returnflag"), col("t.b").as("b"),
+            col("t.below").as("below"), col("t.n").as("n"))
+        val wIn = Window.partitionBy(col("l_returnflag")).orderBy(col(vcol))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        rows.withColumn("b", bucket)
+          .join(broadcast(target), Seq("l_returnflag", "b"))
+          .withColumn("cum", col("below") + sum(lit(1L)).over(wIn))
           .groupBy(col("l_returnflag"))
           .agg(min(when(col("cum") >= ceil(col("n") / 2.0), col(vcol)))
             .as("med"), first(col("n")).as("n"))
       }
-      val med = typed1Median(hist, "cents")
+      val med = typed1Median(li, "cents")
         .select(col("l_returnflag"), col("med").as("median_cents"), col("n"))
-      val devHist = hist.join(broadcast(med), Seq("l_returnflag"))
-        .groupBy(col("l_returnflag"),
+      val devRows = li.join(broadcast(med), Seq("l_returnflag"))
+        .select(col("l_returnflag"),
           abs(col("cents") - col("median_cents")).as("dev"))
-        .agg(sum(col("cnt")).as("cnt"))
-      val mad = typed1Median(devHist, "dev")
+      val mad = typed1Median(devRows, "dev")
         .select(col("l_returnflag"), col("med").as("mad_cents"))
-      val out = devHist.join(broadcast(mad), Seq("l_returnflag"))
+      val out = devRows.join(broadcast(mad), Seq("l_returnflag"))
         .groupBy(col("l_returnflag"))
         .agg(first(col("mad_cents")).as("mad_cents"),
-          sum(when(col("dev") > lit(3) * col("mad_cents"), col("cnt"))
+          sum(when(col("dev") > lit(3) * col("mad_cents"), lit(1L))
             .otherwise(lit(0L))).as("n_outliers"))
         .join(med.select(col("l_returnflag"), col("median_cents"), col("n")),
           Seq("l_returnflag"))
@@ -912,7 +949,7 @@ object Analytics {
           col("mad_cents"), col("n_outliers"))
         .orderBy(col("l_returnflag"))
       out.persist().count()
-      hist.unpersist(false)
+      li.unpersist(false)
       out
     },
     Some("""
