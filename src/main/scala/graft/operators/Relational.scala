@@ -1095,19 +1095,44 @@ object Relational {
     * discretization of a numeric feature, per group). ntile is
     * SQL-standard and deterministic once the ORDER BY is a total
     * order — the (price, orderkey, linenumber) tie-break is the
-    * CLAUDE.md rule in action. One shuffle on the group key; the
-    * window's per-group sort is the inherent cost of exact quantile
-    * binning (at 100 TB the approximate path is binning by
-    * q35-style sketch quantile boundaries instead).
+    * CLAUDE.md rule in action. The per-group ntile window would sort
+    * each flag's full slice on ONE reducer, so the exact rank comes
+    * from the q68 bucket drill-down instead: coarse 4096-cent bucket
+    * counts give each bucket's rank offset (domain-sized CDF), a
+    * row_number PER (flag, bucket) gives the within-bucket position,
+    * and their sum is the global tie-broken rank — every sort is
+    * bucket-local. The ntile bucket then follows from (rank, n) in
+    * closed form (first n mod t bins take ⌈n/t⌉ — ntile's exact
+    * front-loaded split, NOT floor(rank·t/n) which spreads extras
+    * Bresenham-style). At 100 TB the approximate path is binning by
+    * q35-style sketch quantile boundaries instead.
     */
   val q43QuantileBinning = GraftQuery(
     "q43_quantile_binning",
     (s, dir) => {
       val t = Tables(s, dir)
-      val w = Window.partitionBy(col("l_returnflag"))
+      val li = t.lineitem.select(col("l_returnflag"), col("l_orderkey"),
+        col("l_linenumber"), col("l_extendedprice"),
+        round(col("l_extendedprice") * 100).cast("long").as("cents"))
+      val bucket = (col("cents") / 4096L).cast("long")
+      val wB = Window.partitionBy(col("l_returnflag")).orderBy(col("b"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val offsets = li.groupBy(col("l_returnflag"), bucket.as("b"))
+        .agg(count(lit(1)).as("bcnt"))
+        .withColumn("below", sum(col("bcnt")).over(wB) - col("bcnt"))
+        .withColumn("n", sum(col("bcnt"))
+          .over(Window.partitionBy(col("l_returnflag"))))
+        .select(col("l_returnflag"), col("b"), col("below"), col("n"))
+      val wIn = Window.partitionBy(col("l_returnflag"), col("b"))
         .orderBy(col("l_extendedprice"), col("l_orderkey"), col("l_linenumber"))
-      t.lineitem
-        .withColumn("bin", ntile(10).over(w).cast("long"))
+      val k = (col("n") / 10L).cast("long")
+      val r = col("n") % 10L
+      val i = col("below") + row_number().over(wIn)
+      val bin = when(i <= r * (k + 1L), ((i - 1L) / (k + 1L)).cast("long"))
+        .otherwise(r + ((i - r * (k + 1L) - 1L) / k).cast("long")) + 1L
+      li.withColumn("b", bucket)
+        .join(broadcast(offsets), Seq("l_returnflag", "b"))
+        .withColumn("bin", bin)
         .groupBy(col("l_returnflag"), col("bin"))
         .agg(
           count(lit(1)).as("n"),

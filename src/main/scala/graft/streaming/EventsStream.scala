@@ -1029,9 +1029,80 @@ object EventsStream {
     """)
   )
 
+  /** KLL accuracy budget: k=200 ⇒ one-sided rank error well under 3%
+    * at this stream size; the audit gate asserts the realized rank of
+    * each estimate, which is the guarantee KLL actually makes.
+    */
+  val StreamKllK = 200
+  val StreamKllRankEps = 0.03
+
+  /** Streaming percentile monitor: a per-event-type KLL sketch lives
+    * in GroupState and absorbs each trigger's values — the latency-
+    * dashboard shape (p50/p95 per service, continuously updated).
+    * State is the KB-sized sketch binary regardless of stream length
+    * (vs exact quantiles' unbounded buffer), updates are O(1)
+    * amortized, and sketches would MERGE across repartitions or
+    * window closes (same property the batch q35 aggregate uses).
+    * The registered output audits the final-trigger estimates
+    * against the exact batch distribution: realized rank within
+    * [[StreamKllRankEps]] of target, plus a completeness bit proving
+    * the sketch saw every event exactly once across triggers.
+    */
+  val streamQuantiles = GraftQuery(
+    "stream_quantiles",
+    (s, dir) => {
+      import s.implicits._
+      import graft.plans.KLLSketch
+      val typed = eventsStream(s, dir)
+        .select(col("event_type"), col("value")).as[(String, Double)]
+      val perTrigger = typed.groupByKey(_._1)
+        .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+          (et: String, rows: Iterator[(String, Double)],
+           state: GroupState[(Long, Array[Byte])]) =>
+            val (seen0, bytes) = state.getOption.getOrElse((0L, null))
+            val sk = if (bytes == null) new KLLSketch(StreamKllK)
+                     else KLLSketch.deserialize(bytes)
+            var seen = seen0
+            rows.foreach { r => sk.update(r._2); seen += 1 }
+            state.update((seen, sk.serialize()))
+            (et, seen, sk.quantile(0.5), sk.quantile(0.95))
+        }
+        .toDF("event_type", "n_seen", "kll_p50", "kll_p95")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("event_type")).orderBy(col("n_seen").desc)
+      val last = runToTable(perTrigger, OutputMode.Update())
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("event_type"), col("n_seen"),
+          col("kll_p50"), col("kll_p95"))
+      val t = graft.sources.Tables(s, dir)
+      t.events.select(col("event_type"), col("value"))
+        .join(broadcast(last), Seq("event_type"))
+        .groupBy(col("event_type"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          first(col("n_seen")).as("n_seen"),
+          (sum(when(col("value") <= col("kll_p50"), 1L).otherwise(0L))
+            / count(lit(1))).as("f50"),
+          (sum(when(col("value") <= col("kll_p95"), 1L).otherwise(0L))
+            / count(lit(1))).as("f95"))
+        .select(col("event_type"), col("n_events"),
+          (col("n_seen") === col("n_events")).as("complete"),
+          (abs(col("f50") - 0.5) <= StreamKllRankEps &&
+            abs(col("f95") - 0.95) <= StreamKllRankEps).as("sketch_ok"))
+        .orderBy(col("event_type"))
+    },
+    Some("""
+      SELECT event_type, COUNT(*) AS n_events,
+             TRUE AS complete, TRUE AS sketch_ok
+      FROM events GROUP BY event_type ORDER BY event_type
+    """)
+  )
+
   def all: Seq[GraftQuery] =
     Seq(streamHourlyAgg, streamSessionize, streamScore, streamDedupExact,
       streamEnrichProfile, streamSessionWindow, streamThetaDistinct,
       streamStreamJoin, streamStreamLeftOuter, streamWeightedSample,
-      streamUpsertLatest, streamHeavyHitters, streamPatternMatch)
+      streamUpsertLatest, streamHeavyHitters, streamPatternMatch,
+      streamQuantiles)
 }

@@ -395,6 +395,46 @@ class MultimodalStreamSpec extends AnyFunSuite {
   private val EventsStream_PatternWindow =
     graft.streaming.EventsStream.PatternWindowMicros
 
+  test("streaming KLL: sketch state accumulates across triggers within rank error") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    import graft.plans.KLLSketch
+    import graft.streaming.EventsStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val src = MemoryStream[(String, Double)]
+    val q = src.toDS().groupByKey(_._1)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (et: String, rows: Iterator[(String, Double)],
+         state: org.apache.spark.sql.streaming.GroupState[(Long, Array[Byte])]) =>
+          val (seen0, bytes) = state.getOption.getOrElse((0L, null))
+          val sk = if (bytes == null) new KLLSketch(EventsStream.StreamKllK)
+                   else KLLSketch.deserialize(bytes)
+          var seen = seen0
+          rows.foreach { r => sk.update(r._2); seen += 1 }
+          state.update((seen, sk.serialize()))
+          (et, seen, sk.quantile(0.5))
+      }.toDF("k", "n", "p50")
+      .writeStream.outputMode(OutputMode.Update())
+      .format("memory").queryName("graft_kll_stream").start()
+    try {
+      // values 1..4000 split across two triggers, shuffled so neither
+      // trigger is an ordered prefix of the distribution
+      val all = new scala.util.Random(7).shuffle((1 to 4000).toVector)
+      src.addData(all.take(2000).map(v => ("lat", v.toDouble)): _*)
+      q.processAllAvailable()
+      src.addData(all.drop(2000).map(v => ("lat", v.toDouble)): _*)
+      q.processAllAvailable()
+      val fin = spark.table("graft_kll_stream")
+        .orderBy(col("n").desc).collect().head
+      assert(fin.getLong(1) == 4000L, "sketch must have absorbed both triggers")
+      val p50 = fin.getDouble(2)
+      // realized rank of the estimate within the k=200 error budget
+      assert(math.abs(p50 / 4000.0 - 0.5) <= EventsStream.StreamKllRankEps,
+        s"p50 estimate $p50 outside rank budget")
+    } finally q.stop()
+  }
+
   test("perceptual hash groups equal a byte-level recompute") {
     import graft.operators.Multimodal.{PhashBlockLen, PhashBlocks}
     val docs = graft.sources.Tables(spark, sf).documents
