@@ -1047,12 +1047,15 @@ object Dedup {
           (col("lb") / 3).cast("long") - 1,
           (col("lb") / 3).cast("long"),
           (col("lb") / 3).cast("long") + 1)))
+      // thresholded levenshtein (banded DP, O(len·k) with early
+      // abandon, -1 when above the bound) computed ONCE in its own
+      // projection — the candidate volume is the blocks' cross
+      // product, so the per-pair kernel cost is the whole query
       a.join(b, Seq("p_brand", "band"))
-        .filter(col("ia") < col("ib") &&
-          abs(col("la") - col("lb")) <= 2 &&
-          levenshtein(col("na"), col("nb")) <= 2)
+        .filter(col("ia") < col("ib") && abs(col("la") - col("lb")) <= 2)
         .select(col("ia"), col("ib"), col("p_brand"),
-          levenshtein(col("na"), col("nb")).cast("long").as("dist"))
+          levenshtein(col("na"), col("nb"), 2).cast("long").as("dist"))
+        .filter(col("dist") >= 0)
         .orderBy(col("ia"), col("ib"))
     },
     Some("""
