@@ -1609,6 +1609,172 @@ object TextAnalysis {
     """)
   )
 
+  /** The pretraining-pipeline FUNNEL — the capstone composition: one
+    * scan computes every per-document signal (normalized-text hash,
+    * language, quality, token count, benchmark 8-gram overlap), and
+    * the registered output is the per-stage survivor counts and token
+    * mass of the standard corpus-prep sequence
+    * raw → exact-dedup → language → quality → decontamination —
+    * exactly the report a data-curation run publishes. Stage
+    * predicates are the SAME expressions the component queries
+    * register (text_training_set, text_decontaminate), so this query
+    * pins their composition, not new semantics.
+    *
+    * Scale: one corpus scan + one md5-keyed window (uniform keys) +
+    * the broadcast benchmark-gram join; the funnel itself is a single
+    * aggregate with conditional sums — adding a stage costs one
+    * column, not one pass.
+    */
+  val pipelineFunnel = GraftQuery(
+    "pipeline_pretrain_funnel",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val toks = col("toks")
+      val nTok = size(toks).cast("double")
+      val nStop = size(filter(toks, isStopword _)).cast("double")
+      val nPunct = length(regexp_replace(col("text"), "[^.,;:!?'\"]", "")).cast("double")
+      val nChars = length(col("text")).cast("double")
+      val quality = least(nTok / lit(100.0), lit(1.0)) * lit(0.5) +
+        least(nStop / nTok * lit(5.0), lit(1.0)) * lit(0.3) +
+        (lit(1.0) - least(nPunct / nChars * lit(10.0), lit(1.0))) * lit(0.2)
+      val normalized = trim(regexp_replace(lower(col("text")), "\\s+", " "))
+      val zh = length(regexp_replace(col("text"), "[^\\u4e00-\\u9fff]", "")) > 0
+      val base = t.documents
+        .select(col("doc_id"), col("text"), tokens(col("text")).as("toks"))
+        .select(col("doc_id"), col("text"), col("toks"), langBest(toks).as("best"))
+        .select(col("doc_id"),
+          md5(normalized.cast("binary")).as("h"),
+          nTok.cast("long").as("n_tokens"),
+          quality.as("quality"),
+          when(zh, lit("zh")).when(col("best.s") === 0, lit("unknown"))
+            .otherwise(col("best.l")).as("lang"),
+          graft.plans.WordShingles.wordShingles(
+            split(lower(col("text")), "\\s+"), DecontaminateN).as("g"))
+        .cache()
+      val bench = base.filter(col("doc_id") < BenchmarkIdBound)
+        .select(explode(col("g")).as("gram")).distinct()
+      val contaminated = base.filter(col("doc_id") >= BenchmarkIdBound)
+        .select(col("doc_id"), explode(col("g")).as("gram"))
+        .join(broadcast(bench), Seq("gram"))
+        .select(col("doc_id")).distinct()
+        .withColumn("contam", lit(true))
+      val w = Window.partitionBy(col("h"))
+      val flags = base
+        .withColumn("canon", min(col("doc_id")).over(w))
+        .join(broadcast(contaminated), Seq("doc_id"), "left_outer")
+        .select(col("doc_id"), col("n_tokens"),
+          (col("doc_id") === col("canon")).as("k1"),
+          (col("lang") === "en").as("k2"),
+          (col("quality") >= 0.5 && col("n_tokens") >= 30).as("k3"),
+          (col("doc_id") >= BenchmarkIdBound &&
+            !coalesce(col("contam"), lit(false))).as("k4"))
+      def cnt(c: Column) = sum(when(c, 1L).otherwise(0L))
+      def tokc(c: Column) = sum(when(c, col("n_tokens")).otherwise(0L))
+      val s12 = col("k1")
+      val s123 = s12 && col("k2")
+      val s1234 = s123 && col("k3")
+      val s12345 = s1234 && col("k4")
+      val aggd = flags.agg(
+        count(lit(1)).as("c1"), sum(col("n_tokens")).as("t1"),
+        cnt(s12).as("c2"), tokc(s12).as("t2"),
+        cnt(s123).as("c3"), tokc(s123).as("t3"),
+        cnt(s1234).as("c4"), tokc(s1234).as("t4"),
+        cnt(s12345).as("c5"), tokc(s12345).as("t5"))
+      def stageStruct(ord: Long, name: String, c: String, tk: String) =
+        struct(lit(ord).as("stage_ord"), lit(name).as("stage"),
+          col(c).as("n_docs"), col(tk).as("n_tokens"))
+      val out = aggd.select(explode(array(
+          stageStruct(1L, "raw", "c1", "t1"),
+          stageStruct(2L, "exact_dedup", "c2", "t2"),
+          stageStruct(3L, "lang_en", "c3", "t3"),
+          stageStruct(4L, "quality", "c4", "t4"),
+          stageStruct(5L, "decontaminated", "c5", "t5"))).as("s"))
+        .select(col("s.stage_ord").as("stage_ord"), col("s.stage").as("stage"),
+          col("s.n_docs").as("n_docs"), col("s.n_tokens").as("n_tokens"))
+        .orderBy(col("stage_ord"))
+      out.persist().count()
+      base.unpersist(false)
+      out
+    },
+    Some(raw"""
+      WITH t AS (
+        SELECT doc_id, text, string_split_regex(lower(text), '\s+') AS toks,
+               md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS h
+        FROM documents),
+      lang AS (
+        SELECT doc_id,
+          list_aggregate([
+            {s: len(list_filter(toks, x -> list_contains(['der','die','das','und','ist','ein','nicht','zu','den','mit'], x))), l: 'de'},
+            {s: len(list_filter(toks, x -> list_contains(['the','and','of','is','in','to','it','that','with','as'], x))), l: 'en'},
+            {s: len(list_filter(toks, x -> list_contains(['el','la','de','que','y','en','los','se','del','las'], x))), l: 'es'},
+            {s: len(list_filter(toks, x -> list_contains(['le','la','les','de','et','un','est','que','une','dans'], x))), l: 'fr'}
+          ], 'max') AS best,
+          length(regexp_replace(text, '[^\x{4e00}-\x{9fff}]', '', 'g')) > 0 AS zh
+        FROM t),
+      q AS (
+        SELECT doc_id, h,
+               CAST(len(toks) AS DOUBLE) AS n_tok,
+               CAST(len(list_filter(toks, x -> list_contains(['the','a','of','to','and','in','is','it','that','for'], x))) AS DOUBLE) AS n_stop,
+               CAST(length(regexp_replace(text, '[^.,;:!?''"]', '', 'g')) AS DOUBLE) AS n_punct,
+               CAST(length(text) AS DOUBLE) AS n_chars
+        FROM t),
+      scored AS (
+        SELECT q.doc_id, q.h, CAST(q.n_tok AS BIGINT) AS n_tokens,
+               least(q.n_tok / 100.0, 1.0) * 0.5
+                 + least(q.n_stop / q.n_tok * 5.0, 1.0) * 0.3
+                 + (1.0 - least(q.n_punct / q.n_chars * 10.0, 1.0)) * 0.2 AS quality,
+               CASE WHEN lang.zh THEN 'zh'
+                    WHEN lang.best.s = 0 THEN 'unknown'
+                    ELSE lang.best.l END AS lang
+        FROM q JOIN lang ON q.doc_id = lang.doc_id),
+      canon AS (SELECT h AS ch, MIN(doc_id) AS canon_id FROM t GROUP BY h),
+      g AS (
+        SELECT doc_id,
+               list_distinct(list_transform(
+                 range(1, greatest(len(string_split_regex(lower(text), '\s+')) - ${DecontaminateN - 2}, 1)),
+                 i -> ${(0 until DecontaminateN).map(j => s"string_split_regex(lower(text), '\\s+')[i+$j]").mkString(" || ' ' || ")}
+               )) AS grams
+        FROM documents),
+      bench AS (
+        SELECT DISTINCT unnest(grams) AS gram FROM g WHERE doc_id < $BenchmarkIdBound),
+      contaminated AS (
+        SELECT DISTINCT c.doc_id
+        FROM (SELECT doc_id, unnest(grams) AS gram FROM g
+              WHERE doc_id >= $BenchmarkIdBound) c
+        JOIN bench b ON c.gram = b.gram),
+      flags AS (
+        SELECT s.doc_id, s.n_tokens,
+               (s.doc_id = c.canon_id) AS k1,
+               (s.lang = 'en') AS k2,
+               (s.quality >= 0.5 AND s.n_tokens >= 30) AS k3,
+               (s.doc_id >= $BenchmarkIdBound AND s.doc_id NOT IN
+                 (SELECT doc_id FROM contaminated)) AS k4
+        FROM scored s JOIN canon c ON s.h = c.ch)
+      SELECT * FROM (
+        SELECT CAST(1 AS BIGINT) AS stage_ord, 'raw' AS stage,
+               COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
+        FROM flags
+        UNION ALL
+        SELECT 2, 'exact_dedup', COUNT(*) FILTER (WHERE k1),
+               CAST(coalesce(SUM(n_tokens) FILTER (WHERE k1), 0) AS BIGINT)
+        FROM flags
+        UNION ALL
+        SELECT 3, 'lang_en', COUNT(*) FILTER (WHERE k1 AND k2),
+               CAST(coalesce(SUM(n_tokens) FILTER (WHERE k1 AND k2), 0) AS BIGINT)
+        FROM flags
+        UNION ALL
+        SELECT 4, 'quality', COUNT(*) FILTER (WHERE k1 AND k2 AND k3),
+               CAST(coalesce(SUM(n_tokens) FILTER (WHERE k1 AND k2 AND k3), 0) AS BIGINT)
+        FROM flags
+        UNION ALL
+        SELECT 5, 'decontaminated',
+               COUNT(*) FILTER (WHERE k1 AND k2 AND k3 AND k4),
+               CAST(coalesce(SUM(n_tokens) FILTER (WHERE k1 AND k2 AND k3 AND k4), 0) AS BIGINT)
+        FROM flags)
+      ORDER BY stage_ord
+    """)
+  )
+
   def all: Seq[GraftQuery] =
     Seq(textTokens, textQuality, textLangid, textFingerprint, textTopNgrams,
       textTrainingSet, textChunk, textDecontaminate, sampleStratified,
@@ -1616,5 +1782,5 @@ object TextAnalysis {
       textSourceOverlap, textDecontaminateBloom, textPiiRedact,
       textZipfStats, textHeavyHitters, textUnigramLm, textExportShards,
       samplePps, textPassageDedup, textCmsFreq, textBigramLm, textBm25,
-      textDsirSelect)
+      textDsirSelect, pipelineFunnel)
 }

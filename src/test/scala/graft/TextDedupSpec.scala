@@ -691,6 +691,23 @@ class TextDedupSpec extends AnyFunSuite {
     assert(ws.zip(ws.tail).forall { case (a, b) => a >= b })
   }
 
+  test("pipeline funnel: monotone stages, consistent with the component queries") {
+    val rows = SparkEntry.queries("pipeline_pretrain_funnel")(spark, sf)
+      .collect().sortBy(_.getLong(0))
+    assert(rows.map(_.getString(1)).toSeq ==
+      Seq("raw", "exact_dedup", "lang_en", "quality", "decontaminated"))
+    val docs = rows.map(_.getLong(2))
+    val toks = rows.map(_.getLong(3))
+    assert(docs.zip(docs.tail).forall { case (a, b) => a >= b }, "doc funnel monotone")
+    assert(toks.zip(toks.tail).forall { case (a, b) => a >= b }, "token funnel monotone")
+    assert(docs.last > 0, "pipeline must not filter everything out")
+    // stage 4 (dedup ∧ lang ∧ quality ∧ length) IS text_training_set's
+    // selection — the funnel must agree with the component query
+    val trainingSet = SparkEntry.queries("text_training_set")(spark, sf).count()
+    assert(docs(3) == trainingSet,
+      s"funnel quality stage ${docs(3)} != text_training_set $trainingSet")
+  }
+
   test("embedding decontamination flags exactly the cosine hits") {
     import Similarity.{BenchmarkSize, DecontamThreshold}
     val vecs = Similarity.corpusOf(spark, sf)
