@@ -539,34 +539,40 @@ object Analytics {
       val li = t.lineitem.select(col("l_returnflag"),
         round(col("l_extendedprice") * 100).cast("long").as("cents"))
         .cache()
-      // smallest cents whose CDF reaches ⌈p·n⌉, via bucket drill-down
-      def valueAtQ(p: Double, name: String): DataFrame = {
-        val bucket = (col("cents") / 4096L).cast("long")
-        val bucketed = li.groupBy(col("l_returnflag"), bucket.as("b"))
-          .agg(count(lit(1)).as("bcnt"))
-        val wB = Window.partitionBy(col("l_returnflag")).orderBy(col("b"))
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        val target = bucketed
-          .withColumn("cumB", sum(col("bcnt")).over(wB))
-          .withColumn("n", sum(col("bcnt"))
-            .over(Window.partitionBy(col("l_returnflag"))))
-          .filter(col("cumB") >= ceil(col("n") * p))
-          .groupBy(col("l_returnflag"))
-          .agg(min(struct(col("b"), (col("cumB") - col("bcnt")).as("below"),
-            col("n"))).as("t"))
-          .select(col("l_returnflag"), col("t.b").as("b"),
-            col("t.below").as("below"), col("t.n").as("n"))
-        val wIn = Window.partitionBy(col("l_returnflag")).orderBy(col("cents"))
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        li.withColumn("b", bucket)
-          .join(broadcast(target), Seq("l_returnflag", "b"))
-          .withColumn("cum", col("below") + sum(lit(1L)).over(wIn))
-          .groupBy(col("l_returnflag"))
-          .agg(min(when(col("cum") >= ceil(col("n") * p), col("cents")))
-            .as(name))
-      }
-      val thresholds = valueAtQ(0.01, "p01")
-        .join(valueAtQ(0.99, "p99"), Seq("l_returnflag"))
+      // shared bucket CDF (built once) and ONE drill-down join for
+      // BOTH thresholds: each p contributes its target bucket with a
+      // marker column, the in-bucket walk partitions by (flag, b,
+      // marker), and the final agg pivots the two markers back to
+      // columns. The fact side is touched twice total (bucket counts
+      // + the joined walk), not twice per threshold.
+      val bucket = (col("cents") / 4096L).cast("long")
+      val wB = Window.partitionBy(col("l_returnflag")).orderBy(col("b"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cdf = li.groupBy(col("l_returnflag"), bucket.as("b"))
+        .agg(count(lit(1)).as("bcnt"))
+        .withColumn("cumB", sum(col("bcnt")).over(wB))
+        .withColumn("n", sum(col("bcnt"))
+          .over(Window.partitionBy(col("l_returnflag"))))
+      def targetOf(p: Double): DataFrame = cdf
+        .filter(col("cumB") >= ceil(col("n") * p))
+        .groupBy(col("l_returnflag"))
+        .agg(min(struct(col("b"), (col("cumB") - col("bcnt")).as("below"),
+          col("n"))).as("t"))
+        .select(col("l_returnflag"), col("t.b").as("b"),
+          col("t.below").as("below"), col("t.n").as("n"), lit(p).as("p"))
+      val targets = targetOf(0.01).union(targetOf(0.99))
+      val wIn = Window.partitionBy(col("l_returnflag"), col("b"), col("p"))
+        .orderBy(col("cents"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val thresholds = li.withColumn("b", bucket)
+        .join(broadcast(targets), Seq("l_returnflag", "b"))
+        .withColumn("cum", col("below") + sum(lit(1L)).over(wIn))
+        .groupBy(col("l_returnflag"))
+        .agg(
+          min(when(col("p") === 0.01 &&
+            col("cum") >= ceil(col("n") * 0.01), col("cents"))).as("p01"),
+          min(when(col("p") === 0.99 &&
+            col("cum") >= ceil(col("n") * 0.99), col("cents"))).as("p99"))
       val out = li.join(broadcast(thresholds), Seq("l_returnflag"))
         .groupBy(col("l_returnflag"))
         .agg(
@@ -1205,9 +1211,18 @@ object Analytics {
         (year(col("o_orderdate")) >= PsiPivotYear).as("cur"),
         least(floor(col("o_totalprice") / PsiBinWidth), lit(PsiBins - 1.0))
           .cast("long").as("bucket"))
-      val counts = o.groupBy(col("bucket")).agg(
-        count(when(!col("cur"), 1)).as("n_ref"),
-        count(when(col("cur"), 1)).as("n_cur"))
+      // full bin spine: a bin empty in BOTH periods still carries a
+      // (smoothed) PSI term whenever the period sizes differ, and the
+      // monitor's row count must be PsiBins regardless of the data
+      val spine = s.range(PsiBins.toLong).select(col("id").as("bucket"))
+      val counts = spine.join(
+        o.groupBy(col("bucket")).agg(
+          count(when(!col("cur"), 1)).as("r0"),
+          count(when(col("cur"), 1)).as("c0")),
+        Seq("bucket"), "left_outer")
+        .select(col("bucket"),
+          coalesce(col("r0"), lit(0L)).as("n_ref"),
+          coalesce(col("c0"), lit(0L)).as("n_cur"))
       val tot = counts.agg(sum(col("n_ref")).as("nr"), sum(col("n_cur")).as("nc"))
       val pc = (col("n_cur") + 1).cast("double") /
         (col("nc") + PsiBins).cast("double")
@@ -1228,11 +1243,15 @@ object Analytics {
                CAST(least(floor(o_totalprice / $PsiBinWidth),
                           ${PsiBins - 1}.0) AS BIGINT) AS bucket
         FROM orders),
-      counts AS (
+      observed AS (
         SELECT bucket,
                COUNT(*) FILTER (WHERE NOT cur) AS n_ref,
                COUNT(*) FILTER (WHERE cur) AS n_cur
         FROM o GROUP BY bucket),
+      counts AS (
+        SELECT r.range AS bucket,
+               coalesce(n_ref, 0) AS n_ref, coalesce(n_cur, 0) AS n_cur
+        FROM range(0, $PsiBins) r LEFT JOIN observed ON observed.bucket = r.range),
       tot AS (SELECT SUM(n_ref) AS nr, SUM(n_cur) AS nc FROM counts),
       terms AS (
         SELECT bucket, n_ref, n_cur,

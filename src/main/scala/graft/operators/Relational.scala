@@ -1987,6 +1987,39 @@ object Relational {
     """)
   )
 
+  /** Multiple COUNT(DISTINCT) over different columns in ONE aggregate
+    * — the plan Catalyst rewrites through Expand (each input row
+    * fans out once per distinct group, then a two-phase aggregate
+    * dedups each). One pass over the fact side, no self-joins —
+    * the shape naive engines execute as N separate scans. At scale
+    * the Expand multiplies shuffle volume by the distinct-column
+    * count; the sketch family (q30/q38 HLL/theta) is the documented
+    * fallback when that multiplier bites.
+    */
+  val q79MultiDistinct = GraftQuery(
+    "q79_multi_distinct",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      t.orders.groupBy(col("o_orderpriority"))
+        .agg(
+          countDistinct(col("o_custkey")).as("n_cust"),
+          countDistinct(year(col("o_orderdate")).cast("long")).as("n_years"),
+          countDistinct(col("o_orderstatus")).as("n_status"),
+          count(lit(1)).as("n_orders"))
+        .orderBy(col("o_orderpriority"))
+    },
+    Some("""
+      SELECT o_orderpriority,
+             COUNT(DISTINCT o_custkey) AS n_cust,
+             COUNT(DISTINCT year(o_orderdate)) AS n_years,
+             COUNT(DISTINCT o_orderstatus) AS n_status,
+             COUNT(*) AS n_orders
+      FROM orders
+      GROUP BY o_orderpriority
+      ORDER BY o_orderpriority
+    """)
+  )
+
   /** Correlated-scalar-subquery shape (TPC-H Q17): revenue that would
     * be lost by dropping "small" line items — those below 20% of
     * their part's average quantity. The subquery decorrelates into a
@@ -2038,6 +2071,6 @@ object Relational {
     q45CsvRoundtrip, q50WeightedTheta, q53ZorderLayout, q54IncrementalAgg,
     q57TopkJoinPushdown, q58EwmaSmoothing, q67WindowRanks,
     q72ReconcileFullOuter, q74SchemaEvolution, q77SmallQtyRevenue,
-    q78CompactFiles
+    q78CompactFiles, q79MultiDistinct
   )
 }

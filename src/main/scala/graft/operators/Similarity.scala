@@ -620,22 +620,17 @@ object Similarity {
     base.select(col("vec_id"), col("v"), l2Norm(col("v")).as("n"))
       .select(col("vec_id"), transform(col("v"), x => x / col("n")).as("u"))
 
-  /** PQ ANN top-k by asymmetric distance computation: encode the
-    * corpus to 4-bit codes (broadcast codebooks + primitive loops,
-    * map-side), build per-query LUTs `lut[m][k] = ⟨q_m, c_mk⟩`
-    * (query-count × M × K doubles — model-sized, driver-built like
-    * the imputation stats), then score every vector in O(M) table
-    * adds instead of O(Dim) multiplies. One corpus scan, no shuffle
-    * before the per-query top-k window.
+  /** Nearest-codeword PQ encode of the unit corpus: (vec_id, codes)
+    * via broadcast codebooks + primitive loops, map-side. Shared by
+    * the PQ and IVF-PQ paths — the encode math must never diverge
+    * between the two gated queries.
     */
-  def pqTopK(base: DataFrame): DataFrame = {
-    val s = base.sparkSession
+  private def pqEncode(unit: DataFrame, cbs: Array[Array[Array[Double]]]): DataFrame = {
+    val s = unit.sparkSession
     import s.implicits._
     val subDim = Dim / PqSubspaces
-    val unit = unitCorpus(base).cache()
-    val cbs = pqCodebooks(unit)
     val bc = s.sparkContext.broadcast(cbs)
-    val encoded = unit.as[(Long, Array[Double])].map { case (id, u) =>
+    unit.as[(Long, Array[Double])].map { case (id, u) =>
       val codes = new Array[Int](PqSubspaces)
       var m = 0
       while (m < PqSubspaces) {
@@ -653,7 +648,18 @@ object Similarity {
       }
       (id, codes)
     }.toDF("vec_id", "codes")
-    val queryLuts = unit.filter(col("vec_id") < NumQueries)
+  }
+
+  /** Per-query ADC lookup tables `lut[m][k] = ⟨q_m, c_mk⟩`, driver-
+    * built (query-count × M × K doubles — model-sized, like the
+    * imputation stats). Shared by the PQ and IVF-PQ paths.
+    */
+  private def pqQueryLuts(
+      unit: DataFrame, cbs: Array[Array[Array[Double]]]): Array[(Long, Array[Array[Double]])] = {
+    val s = unit.sparkSession
+    import s.implicits._
+    val subDim = Dim / PqSubspaces
+    unit.filter(col("vec_id") < NumQueries)
       .as[(Long, Array[Double])].collect().sortBy(_._1)
       .map { case (qid, qu) =>
         val lut = Array.ofDim[Double](PqSubspaces, PqCodebook)
@@ -669,7 +675,23 @@ object Similarity {
         }
         (qid, lut)
       }
-    val bl = s.sparkContext.broadcast(queryLuts)
+  }
+
+  /** PQ ANN top-k by asymmetric distance computation: encode the
+    * corpus to 4-bit codes (broadcast codebooks + primitive loops,
+    * map-side), build per-query LUTs `lut[m][k] = ⟨q_m, c_mk⟩`
+    * (query-count × M × K doubles — model-sized, driver-built like
+    * the imputation stats), then score every vector in O(M) table
+    * adds instead of O(Dim) multiplies. One corpus scan, no shuffle
+    * before the per-query top-k window.
+    */
+  def pqTopK(base: DataFrame): DataFrame = {
+    val s = base.sparkSession
+    import s.implicits._
+    val unit = unitCorpus(base).cache()
+    val cbs = pqCodebooks(unit)
+    val encoded = pqEncode(unit, cbs)
+    val bl = s.sparkContext.broadcast(pqQueryLuts(unit, cbs))
     val scored = encoded.as[(Long, Array[Int])].mapPartitions { it =>
       it.flatMap { case (id, codes) =>
         bl.value.iterator.filter(_._1 != id).map { case (qid, lut) =>
@@ -713,7 +735,6 @@ object Similarity {
     import org.apache.spark.ml.functions.array_to_vector
     val s = base.sparkSession
     import s.implicits._
-    val subDim = Dim / PqSubspaces
     // coarse quantizer: same seeded fit as the IVF query
     val featured = base.withColumn("features", array_to_vector(col("v")))
     val km = new KMeans().setK(NCells).setSeed(42L).setMaxIter(5)
@@ -724,25 +745,7 @@ object Similarity {
     // fine quantizer: PQ codes over the unit-normalized corpus
     val unit = unitCorpus(base).cache()
     val cbs = pqCodebooks(unit)
-    val bc = s.sparkContext.broadcast(cbs)
-    val encoded = unit.as[(Long, Array[Double])].map { case (id, u) =>
-      val codes = new Array[Int](PqSubspaces)
-      var m = 0
-      while (m < PqSubspaces) {
-        val cb = bc.value(m)
-        var best = 0; var bestD = Double.MaxValue; var k = 0
-        while (k < cb.length) {
-          var d = 0.0; var i = 0
-          while (i < subDim) {
-            val t = u(m * subDim + i) - cb(k)(i); d += t * t; i += 1
-          }
-          if (d < bestD) { bestD = d; best = k }
-          k += 1
-        }
-        codes(m) = best; m += 1
-      }
-      (id, codes)
-    }.toDF("vec_id", "codes").join(cells, Seq("vec_id"))
+    val encoded = pqEncode(unit, cbs).join(cells, Seq("vec_id"))
     // probe cells per query (raw-space centroid distances, as IVF)
     val queryCells = base.filter(col("vec_id") < NumQueries)
       .select(col("vec_id").as("qid"), col("v").as("qv"))
@@ -758,23 +761,7 @@ object Similarity {
       })
       .select(col("qid"), explode(col("cells.cell")).as("cell"))
     // per-query ADC lookup tables, driver-built (model-sized)
-    val queryLuts = unit.filter(col("vec_id") < NumQueries)
-      .as[(Long, Array[Double])].collect().sortBy(_._1)
-      .map { case (qid, qu) =>
-        val lut = Array.ofDim[Double](PqSubspaces, PqCodebook)
-        var m = 0
-        while (m < PqSubspaces) {
-          var k = 0
-          while (k < PqCodebook) {
-            var d = 0.0; var i = 0
-            while (i < subDim) { d += qu(m * subDim + i) * cbs(m)(k)(i); i += 1 }
-            lut(m)(k) = d; k += 1
-          }
-          m += 1
-        }
-        qid -> lut
-      }.toMap
-    val bl = s.sparkContext.broadcast(queryLuts)
+    val bl = s.sparkContext.broadcast(pqQueryLuts(unit, cbs).toMap)
     val scored = encoded.join(broadcast(queryCells), Seq("cell"))
       .filter(col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id"), col("codes"))

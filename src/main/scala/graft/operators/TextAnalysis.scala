@@ -252,46 +252,48 @@ object TextAnalysis {
     * canonicalization, all filters codegen'd — at 100 TB this is a
     * single shuffle on a uniform 128-bit key.
     */
-  val textTrainingSet = GraftQuery(
-    "text_training_set",
-    (s, dir) => {
-      val t = Tables(s, dir)
-      // materialize the token array and the langid best-struct in
-      // their own projections: every lambda reference below would
-      // otherwise re-inline the tokenizer (round-1 lesson — inlining
-      // multiplies the tokenize cost by the reference count)
-      val toks = col("toks")
-      val nTok = size(toks).cast("double")
-      val nStop = size(filter(toks, isStopword _)).cast("double")
-      val nPunct = length(regexp_replace(col("text"), "[^.,;:!?'\"]", "")).cast("double")
-      val nChars = length(col("text")).cast("double")
-      val quality = least(nTok / lit(100.0), lit(1.0)) * lit(0.5) +
-        least(nStop / nTok * lit(5.0), lit(1.0)) * lit(0.3) +
-        (lit(1.0) - least(nPunct / nChars * lit(10.0), lit(1.0))) * lit(0.2)
-      val normalized = trim(regexp_replace(lower(col("text")), "\\s+", " "))
-      val zh = length(regexp_replace(col("text"), "[^\\u4e00-\\u9fff]", "")) > 0
-      val scored = t.documents
-        .select(col("doc_id"), col("text"), tokens(col("text")).as("toks"))
-        .select(col("doc_id"), col("text"), col("toks"),
-          langBest(toks).as("best"))
-        .select(
-          col("doc_id"),
-          md5(normalized.cast("binary")).as("h"),
-          nTok.cast("long").as("n_tokens"),
-          quality.as("quality"),
-          when(zh, lit("zh"))
-            .when(col("best.s") === 0, lit("unknown"))
-            .otherwise(col("best.l")).as("lang"))
-      val w = Window.partitionBy(col("h"))
-      scored
-        .withColumn("canon", min(col("doc_id")).over(w))
-        .filter(col("doc_id") === col("canon") &&
-          col("lang") === "en" && col("quality") >= 0.5 && col("n_tokens") >= 30)
-        .select(col("doc_id"), col("n_tokens"), round(col("quality"), 6).as("quality"))
-        .orderBy(col("doc_id"))
-    },
-    Some(raw"""
-      WITH t AS (
+  /** The shared per-document scoring projection — normalized-text
+    * md5, whitespace token count, quality score, language — used by
+    * BOTH text_training_set and pipeline_pretrain_funnel so the
+    * funnel's stage predicates can never diverge from the component
+    * query's. Also emits the decontamination n-gram set (`g`);
+    * callers that don't reference it get it pruned by Catalyst.
+    * Tokens and the langid struct are materialized in their own
+    * projections: every lambda reference would otherwise re-inline
+    * the tokenizer (round-1 lesson).
+    */
+  private def scoredDocs(t: Tables): DataFrame = {
+    val toks = col("toks")
+    val nTok = size(toks).cast("double")
+    val nStop = size(filter(toks, isStopword _)).cast("double")
+    val nPunct = length(regexp_replace(col("text"), "[^.,;:!?'\"]", "")).cast("double")
+    val nChars = length(col("text")).cast("double")
+    val quality = least(nTok / lit(100.0), lit(1.0)) * lit(0.5) +
+      least(nStop / nTok * lit(5.0), lit(1.0)) * lit(0.3) +
+      (lit(1.0) - least(nPunct / nChars * lit(10.0), lit(1.0))) * lit(0.2)
+    val normalized = trim(regexp_replace(lower(col("text")), "\\s+", " "))
+    val zh = length(regexp_replace(col("text"), "[^\\u4e00-\\u9fff]", "")) > 0
+    t.documents
+      .select(col("doc_id"), col("text"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"), col("text"), col("toks"),
+        langBest(toks).as("best"))
+      .select(
+        col("doc_id"),
+        md5(normalized.cast("binary")).as("h"),
+        nTok.cast("long").as("n_tokens"),
+        quality.as("quality"),
+        when(zh, lit("zh"))
+          .when(col("best.s") === 0, lit("unknown"))
+          .otherwise(col("best.l")).as("lang"),
+        graft.plans.WordShingles.wordShingles(
+          split(lower(col("text")), "\\s+"), DecontaminateN).as("g"))
+  }
+
+  /** DuckDB restatement of [[scoredDocs]] (t/lang/q/scored CTEs) plus
+    * the exact-dedup canon CTE — interpolated into every oracle that
+    * consumes the shared projection.
+    */
+  private val ScoredSqlCtes = raw"""t AS (
         SELECT doc_id, text, string_split_regex(lower(text), '\s+') AS toks,
                md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS h
         FROM documents),
@@ -321,7 +323,22 @@ object TextAnalysis {
                     WHEN lang.best.s = 0 THEN 'unknown'
                     ELSE lang.best.l END AS lang
         FROM q JOIN lang ON q.doc_id = lang.doc_id),
-      canon AS (SELECT h AS ch, MIN(doc_id) AS canon_id FROM t GROUP BY h)
+      canon AS (SELECT h AS ch, MIN(doc_id) AS canon_id FROM t GROUP BY h)"""
+
+  val textTrainingSet = GraftQuery(
+    "text_training_set",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val w = Window.partitionBy(col("h"))
+      scoredDocs(t)
+        .withColumn("canon", min(col("doc_id")).over(w))
+        .filter(col("doc_id") === col("canon") &&
+          col("lang") === "en" && col("quality") >= 0.5 && col("n_tokens") >= 30)
+        .select(col("doc_id"), col("n_tokens"), round(col("quality"), 6).as("quality"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""
+      WITH $ScoredSqlCtes
       SELECT s.doc_id, s.n_tokens, round(s.quality, 6) AS quality
       FROM scored s JOIN canon c ON s.h = c.ch AND s.doc_id = c.canon_id
       WHERE s.lang = 'en' AND s.quality >= 0.5 AND s.n_tokens >= 30
@@ -1629,28 +1646,7 @@ object TextAnalysis {
     "pipeline_pretrain_funnel",
     (s, dir) => {
       val t = Tables(s, dir)
-      val toks = col("toks")
-      val nTok = size(toks).cast("double")
-      val nStop = size(filter(toks, isStopword _)).cast("double")
-      val nPunct = length(regexp_replace(col("text"), "[^.,;:!?'\"]", "")).cast("double")
-      val nChars = length(col("text")).cast("double")
-      val quality = least(nTok / lit(100.0), lit(1.0)) * lit(0.5) +
-        least(nStop / nTok * lit(5.0), lit(1.0)) * lit(0.3) +
-        (lit(1.0) - least(nPunct / nChars * lit(10.0), lit(1.0))) * lit(0.2)
-      val normalized = trim(regexp_replace(lower(col("text")), "\\s+", " "))
-      val zh = length(regexp_replace(col("text"), "[^\\u4e00-\\u9fff]", "")) > 0
-      val base = t.documents
-        .select(col("doc_id"), col("text"), tokens(col("text")).as("toks"))
-        .select(col("doc_id"), col("text"), col("toks"), langBest(toks).as("best"))
-        .select(col("doc_id"),
-          md5(normalized.cast("binary")).as("h"),
-          nTok.cast("long").as("n_tokens"),
-          quality.as("quality"),
-          when(zh, lit("zh")).when(col("best.s") === 0, lit("unknown"))
-            .otherwise(col("best.l")).as("lang"),
-          graft.plans.WordShingles.wordShingles(
-            split(lower(col("text")), "\\s+"), DecontaminateN).as("g"))
-        .cache()
+      val base = scoredDocs(t).cache()
       val bench = base.filter(col("doc_id") < BenchmarkIdBound)
         .select(explode(col("g")).as("gram")).distinct()
       val contaminated = base.filter(col("doc_id") >= BenchmarkIdBound)
@@ -1697,37 +1693,7 @@ object TextAnalysis {
       out
     },
     Some(raw"""
-      WITH t AS (
-        SELECT doc_id, text, string_split_regex(lower(text), '\s+') AS toks,
-               md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS h
-        FROM documents),
-      lang AS (
-        SELECT doc_id,
-          list_aggregate([
-            {s: len(list_filter(toks, x -> list_contains(['der','die','das','und','ist','ein','nicht','zu','den','mit'], x))), l: 'de'},
-            {s: len(list_filter(toks, x -> list_contains(['the','and','of','is','in','to','it','that','with','as'], x))), l: 'en'},
-            {s: len(list_filter(toks, x -> list_contains(['el','la','de','que','y','en','los','se','del','las'], x))), l: 'es'},
-            {s: len(list_filter(toks, x -> list_contains(['le','la','les','de','et','un','est','que','une','dans'], x))), l: 'fr'}
-          ], 'max') AS best,
-          length(regexp_replace(text, '[^\x{4e00}-\x{9fff}]', '', 'g')) > 0 AS zh
-        FROM t),
-      q AS (
-        SELECT doc_id, h,
-               CAST(len(toks) AS DOUBLE) AS n_tok,
-               CAST(len(list_filter(toks, x -> list_contains(['the','a','of','to','and','in','is','it','that','for'], x))) AS DOUBLE) AS n_stop,
-               CAST(length(regexp_replace(text, '[^.,;:!?''"]', '', 'g')) AS DOUBLE) AS n_punct,
-               CAST(length(text) AS DOUBLE) AS n_chars
-        FROM t),
-      scored AS (
-        SELECT q.doc_id, q.h, CAST(q.n_tok AS BIGINT) AS n_tokens,
-               least(q.n_tok / 100.0, 1.0) * 0.5
-                 + least(q.n_stop / q.n_tok * 5.0, 1.0) * 0.3
-                 + (1.0 - least(q.n_punct / q.n_chars * 10.0, 1.0)) * 0.2 AS quality,
-               CASE WHEN lang.zh THEN 'zh'
-                    WHEN lang.best.s = 0 THEN 'unknown'
-                    ELSE lang.best.l END AS lang
-        FROM q JOIN lang ON q.doc_id = lang.doc_id),
-      canon AS (SELECT h AS ch, MIN(doc_id) AS canon_id FROM t GROUP BY h),
+      WITH $ScoredSqlCtes,
       g AS (
         SELECT doc_id,
                list_distinct(list_transform(

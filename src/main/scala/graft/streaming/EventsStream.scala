@@ -915,11 +915,12 @@ object EventsStream {
     */
   case class PatternState(
       lastView: Long, pairTv: Long, pairTc: Long,
-      nPurchases: Long, nMatches: Long, firstMatch: Long)
+      nPurchases: Long, nMatches: Long, firstMatch: Long,
+      nEvents: Long = 0L)
 
   case class PatternSummary(
       user_id: Long, n_purchases: Long, n_matches: Long,
-      first_match_us: Option[Long])
+      first_match_us: Option[Long], n_events: Long = 0L)
 
   /** view→click→purchase completion window (purchase-anchored; sized
     * to the corpus' per-user event cadence — ~7% of purchases
@@ -944,7 +945,8 @@ object EventsStream {
     val evs = rows.toArray.sortBy(e => (e.tsMicros, e.event_id))
     if (evs.isEmpty) return Iterator.empty
     var st = state.getOption.getOrElse(PatternState(
-      Long.MinValue, Long.MinValue, Long.MinValue, 0L, 0L, Long.MinValue))
+      Long.MinValue, Long.MinValue, Long.MinValue, 0L, 0L, Long.MinValue, 0L))
+    st = st.copy(nEvents = st.nEvents + evs.length)
     var i = 0
     while (i < evs.length) {
       val e = evs(i)
@@ -968,7 +970,8 @@ object EventsStream {
     }
     state.update(st)
     Iterator.single(PatternSummary(user, st.nPurchases, st.nMatches,
-      if (st.firstMatch == Long.MinValue) None else Some(st.firstMatch)))
+      if (st.firstMatch == Long.MinValue) None else Some(st.firstMatch),
+      st.nEvents))
   }
 
   /** Streaming complex-event-processing: per-user funnel-pattern
@@ -992,7 +995,14 @@ object EventsStream {
       val out = evs.groupByKey(_.user_id)
         .flatMapGroupsWithState(
           OutputMode.Update(), GroupStateTimeout.NoTimeout)(patternFn _)
+      // Update mode emits one cumulative row per (user, trigger);
+      // keep only each user's FINAL-trigger row (max n_events — the
+      // monotone per-user event counter), as streamQuantiles does
+      val wLast = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("n_events").desc)
       runToTable(out.toDF(), OutputMode.Update())
+        .withColumn("rn", row_number().over(wLast))
+        .filter(col("rn") === 1)
         .select(col("user_id"), col("n_purchases"), col("n_matches"),
           tsString(timestamp_micros(col("first_match_us"))).as("first_match_s"))
         .orderBy(col("user_id"))

@@ -453,10 +453,12 @@ class AnalyticsSpec extends AnyFunSuite {
     def bucket(p: Double): Long =
       math.min(math.floor(p / PsiBinWidth), PsiBins - 1.0).toLong
     val byBucket = orders.groupBy(o => bucket(o._2))
-    val counts = byBucket.map { case (b, os) =>
+    // full spine: empty bins still carry smoothed terms
+    val counts = (0L until PsiBins).map { b =>
+      val os = byBucket.getOrElse(b, Array.empty[(Int, Double)])
       b -> (os.count(_._1 < PsiPivotYear).toLong,
         os.count(_._1 >= PsiPivotYear).toLong)
-    }
+    }.toMap
     val nr = counts.values.map(_._1).sum
     val nc = counts.values.map(_._2).sum
     def r6(x: Double): Double =

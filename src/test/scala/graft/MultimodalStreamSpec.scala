@@ -305,15 +305,16 @@ class MultimodalStreamSpec extends AnyFunSuite {
       src.addData(TypedEv(1L, 1L, 0L, "view"), TypedEv(1L, 2L, 1 * hour, "click"))
       q.processAllAvailable()
       assert(spark.table(name).as[PatternSummary].collect().last ==
-        PatternSummary(1L, 0L, 0L, None))
+        PatternSummary(1L, 0L, 0L, None, 2L))
       // trigger 2: purchase 2h after the view — completes the funnel
       // ONLY because the (view, click) frontier survived the trigger
       // boundary; then a second purchase 30h later (window expired)
       src.addData(TypedEv(1L, 3L, 2 * hour, "purchase"),
         TypedEv(1L, 4L, 32 * hour, "purchase"))
       q.processAllAvailable()
-      val fin = spark.table(name).as[PatternSummary].collect().last
-      assert(fin == PatternSummary(1L, 2L, 1L, Some(2 * hour)),
+      val fin = spark.table(name).as[PatternSummary]
+        .collect().maxBy(_.n_events)
+      assert(fin == PatternSummary(1L, 2L, 1L, Some(2 * hour), 4L),
         s"cross-trigger CEP state: got $fin")
     } finally q.stop()
   }
@@ -339,19 +340,19 @@ class MultimodalStreamSpec extends AnyFunSuite {
     assert(run(Seq(ev(1, 0, "view"), ev(2, 1 * hour, "click"),
       ev(3, 26 * hour, "view"), ev(4, 27 * hour, "click"),
       ev(5, 28 * hour, "purchase"))) ==
-      PatternSummary(1L, 1L, 1L, Some(28 * hour)))
+      PatternSummary(1L, 1L, 1L, Some(28 * hour), 5L))
     // stale view under the last click: view@0, click@27h, purchase@28h
     // — the click exists but its view predates the 24h window: no match
     assert(run(Seq(ev(1, 0, "view"), ev(2, 27 * hour, "click"),
       ev(3, 28 * hour, "purchase"))) ==
-      PatternSummary(1L, 1L, 0L, None))
+      PatternSummary(1L, 1L, 0L, None, 3L))
     // order matters: click before view never forms a pair
     assert(run(Seq(ev(1, 0, "click"), ev(2, 1 * hour, "view"),
       ev(3, 2 * hour, "purchase"))) ==
-      PatternSummary(1L, 1L, 0L, None))
+      PatternSummary(1L, 1L, 0L, None, 3L))
     // purchase without any click
     assert(run(Seq(ev(1, 0, "view"), ev(2, 1 * hour, "purchase"))) ==
-      PatternSummary(1L, 1L, 0L, None))
+      PatternSummary(1L, 1L, 0L, None, 2L))
   }
 
   test("CEP pattern query equals a batch recompute at sf0.001") {

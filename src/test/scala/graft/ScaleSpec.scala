@@ -165,4 +165,39 @@ class ScaleSpec extends AnyFunSuite {
     assert(partitionings <= 1,
       s"both window specs must share the user_id partitioning:\n$plan")
   }
+
+  test("BM25: query terms broadcast into the postings scan, top-k is the bounded agg") {
+    val plan = planOf("text_bm25")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"query-term frame must broadcast, not shuffle the postings:\n$plan")
+    assert(plan.contains("TopKAgg") || plan.contains("topkagg"),
+      s"per-query top-k must be the bounded-heap aggregate, not a rank window:\n$plan")
+  }
+
+  test("embedding decontamination broadcasts the benchmark set") {
+    val plan = planOf("sim_embed_decontam")
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
+      s"benchmark vectors must broadcast — the corpus scans once:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"no unbroadcast cartesian against the corpus:\n$plan")
+  }
+
+  test("exact quantile drill-down: the fact-side walk is bucket-scoped") {
+    // the drill-down's defining physical feature: the fact projection
+    // joins the broadcast target frame ON (flag, bucket) before any
+    // flag-ordered walk, so no reducer ever sorts more than one
+    // bucket's rows. If that join key degenerates to flag alone the
+    // row-sized one-reducer CDF is back.
+    val plan = planOf("q68_mad_outliers")
+    val joinOnBucket = "\\[l_returnflag#\\d+, b#\\d+L?\\]".r
+    assert(joinOnBucket.findFirstIn(plan).isDefined,
+      s"expected a broadcast join keyed on (l_returnflag, b):\n$plan")
+  }
+
+  test("multi-distinct aggregate plans through Expand (one scan, no self-joins)") {
+    val plan = planOf("q79_multi_distinct")
+    assert(plan.contains("Expand"), s"expected Expand-based rewrite:\n$plan")
+    assert(!plan.contains("Join"),
+      s"distinct columns must not become self-joins:\n$plan")
+  }
 }
