@@ -702,8 +702,78 @@ object Graph {
     """)
   )
 
+  /** BFS depth cap: levels beyond it report as unreached — both
+    * engines state the same bounded-exploration semantics, so the
+    * output is well-defined even on a disconnected graph.
+    */
+  val MaxBfsDepth = 3
+
+  /** Single-source shortest paths (unweighted BFS) from the smallest
+    * part in the co-purchase graph: level sizes + per-level id range
+    * + the unreached count. Frontier expansion is one equi-join + one
+    * distinct + one anti-join against the visited set per round —
+    * each on uniform keys, rounds = min(diameter, cap); frontiers
+    * and the visited set are node-dimension frames, localCheckpointed
+    * per round like every iterative operator here. The DuckDB oracle
+    * is the textbook WITH RECURSIVE bfs + MIN(dist) spelling.
+    */
+  val graphBfsLevels = GraftQuery(
+    "graph_bfs_levels",
+    (s, dir) => {
+      val (_, sym) = copurchaseGraphShared(s, dir)
+      val nodes = sym.select(col("u").as("node")).distinct()
+      val srcId = nodes.agg(min(col("node"))).head().getLong(0)
+      var frontier = nodes.filter(col("node") === srcId)
+        .select(col("node"), lit(0L).as("dist"))
+        .localCheckpoint(true)
+      var visited = frontier
+      var depth = 0L
+      var more = true
+      while (more && depth < MaxBfsDepth) {
+        depth += 1
+        frontier = frontier.join(sym, frontier("node") === sym("u"))
+          .select(sym("v").as("node")).distinct()
+          .join(visited, Seq("node"), "left_anti")
+          .select(col("node"), lit(depth).as("dist"))
+          .localCheckpoint(true)
+        more = !frontier.isEmpty
+        if (more) visited = visited.union(frontier).localCheckpoint(true)
+      }
+      val unreached = nodes.join(visited, Seq("node"), "left_anti")
+        .agg(count(lit(1)).as("n_unreached"))
+      visited.groupBy(col("dist"))
+        .agg(count(lit(1)).as("n_nodes"),
+          min(col("node")).as("min_node"), max(col("node")).as("max_node"))
+        .crossJoin(broadcast(unreached))
+        .orderBy(col("dist"))
+    },
+    Some(s"""
+      WITH RECURSIVE items AS (
+        SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+      e AS (SELECT a.p AS pa, b.p AS pb FROM items a
+            JOIN items b ON a.o = b.o AND a.p < b.p GROUP BY 1, 2),
+      sym AS (SELECT pa AS u, pb AS v FROM e UNION ALL SELECT pb, pa FROM e),
+      src AS (SELECT MIN(u) AS s FROM sym),
+      bfs AS (
+        SELECT s AS node, CAST(0 AS BIGINT) AS dist FROM src
+        UNION
+        SELECT v, dist + 1 FROM bfs JOIN sym ON sym.u = bfs.node
+        WHERE dist < $MaxBfsDepth),
+      d AS (SELECT node, MIN(dist) AS dist FROM bfs GROUP BY node),
+      unreached AS (
+        SELECT COUNT(*) AS n_unreached
+        FROM (SELECT DISTINCT u FROM sym) n
+        WHERE u NOT IN (SELECT node FROM d))
+      SELECT dist, COUNT(*) AS n_nodes,
+             MIN(node) AS min_node, MAX(node) AS max_node, n_unreached
+      FROM d CROSS JOIN unreached
+      GROUP BY dist, n_unreached
+      ORDER BY dist
+    """)
+  )
+
   def all: Seq[GraftQuery] =
     Seq(graphDegreeStats, graphTriangles, graphPagerank, graphItemRecs,
       graphPagerankWeighted, graphCustomerSimilarity, graphCommunities,
-      graphHierarchyRollup)
+      graphHierarchyRollup, graphBfsLevels)
 }

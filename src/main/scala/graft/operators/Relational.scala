@@ -1987,6 +1987,66 @@ object Relational {
     """)
   )
 
+  /** Right-to-be-forgotten deletion cascade — the governance
+    * operation every data platform must implement: given a deletion
+    * set of customers (here a deterministic 1-in-97 key predicate
+    * standing in for a request table), cascade through the FK chain
+    * (customer → orders → lineitem) and PROVE referential closure:
+    * the per-level deleted/remaining counts plus no-orphan bits
+    * (no surviving order references a deleted customer, no surviving
+    * line references a deleted order). Each cascade level is one
+    * anti/semi join on the parent's key set — at 100 TB the deletion
+    * set rides a broadcast (or a runtime bloom filter when it
+    * outgrows one) and the fact tables are scanned once each; the
+    * no-orphan audit reuses the same joins.
+    */
+  val q80DeleteCascade = GraftQuery(
+    "q80_delete_cascade",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val delCust = t.customer.filter(col("c_custkey") % 97 === 0)
+        .select(col("c_custkey")).cache()
+      val delOrders = t.orders
+        .join(broadcast(delCust), col("o_custkey") === col("c_custkey"))
+        .select(col("o_orderkey")).cache()
+      val liLeft = t.lineitem
+        .join(broadcast(delOrders), col("l_orderkey") === col("o_orderkey"),
+          "left_anti")
+      val ordLeft = t.orders
+        .join(broadcast(delCust), col("o_custkey") === col("c_custkey"),
+          "left_anti")
+      val orphanOrders = ordLeft
+        .join(broadcast(delCust), col("o_custkey") === col("c_custkey"))
+        .agg(count(lit(1)).as("n")).select((col("n") === 0).as("no_orphan_orders"))
+      val orphanLines = liLeft
+        .join(broadcast(delOrders), col("l_orderkey") === col("o_orderkey"))
+        .agg(count(lit(1)).as("n")).select((col("n") === 0).as("no_orphan_lines"))
+      val out = delCust.agg(count(lit(1)).as("n_cust_deleted"))
+        .crossJoin(delOrders.agg(count(lit(1)).as("n_orders_deleted")))
+        .crossJoin(ordLeft.agg(count(lit(1)).as("n_orders_left")))
+        .crossJoin(liLeft.agg(count(lit(1)).as("n_lines_left")))
+        .crossJoin(orphanOrders).crossJoin(orphanLines)
+      out.persist().count()
+      delCust.unpersist(false); delOrders.unpersist(false)
+      out
+    },
+    Some("""
+      WITH dc AS (SELECT c_custkey FROM customer WHERE c_custkey % 97 = 0),
+      do_ AS (SELECT o_orderkey FROM orders
+              WHERE o_custkey IN (SELECT c_custkey FROM dc))
+      SELECT (SELECT COUNT(*) FROM dc) AS n_cust_deleted,
+             (SELECT COUNT(*) FROM do_) AS n_orders_deleted,
+             (SELECT COUNT(*) FROM orders
+              WHERE o_custkey NOT IN (SELECT c_custkey FROM dc))
+               AS n_orders_left,
+             (SELECT COUNT(*) FROM lineitem
+              WHERE l_orderkey NOT IN (SELECT o_orderkey FROM do_))
+               AS n_lines_left,
+             TRUE AS no_orphan_orders,
+             TRUE AS no_orphan_lines
+    """)
+  )
+
   /** Multiple COUNT(DISTINCT) over different columns in ONE aggregate
     * — the plan Catalyst rewrites through Expand (each input row
     * fans out once per distinct group, then a two-phase aggregate
@@ -2071,6 +2131,6 @@ object Relational {
     q45CsvRoundtrip, q50WeightedTheta, q53ZorderLayout, q54IncrementalAgg,
     q57TopkJoinPushdown, q58EwmaSmoothing, q67WindowRanks,
     q72ReconcileFullOuter, q74SchemaEvolution, q77SmallQtyRevenue,
-    q78CompactFiles, q79MultiDistinct
+    q78CompactFiles, q79MultiDistinct, q80DeleteCascade
   )
 }

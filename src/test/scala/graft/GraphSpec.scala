@@ -261,6 +261,32 @@ class GraphSpec extends AnyFunSuite {
     assert(r.getLong(2) >= r.getLong(1), "total weight >= edge count")
   }
 
+  test("BFS levels equal a dense breadth-first recompute") {
+    import graft.operators.Graph
+    val (_, sym) = Graph.copurchaseGraphShared(spark, sf)
+    val edges = sym.select("u", "v").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val adj = edges.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val nodes = adj.keySet
+    val src = nodes.min
+    var dist = Map(src -> 0L)
+    var frontier = Set(src)
+    var d = 0L
+    while (frontier.nonEmpty && d < Graph.MaxBfsDepth) {
+      d += 1
+      frontier = frontier.flatMap(adj(_)).diff(dist.keySet)
+      dist ++= frontier.map(_ -> d)
+    }
+    val want = dist.groupBy(_._2).view.mapValues(_.keys).toMap
+    val rows = SparkEntry.queries("graph_bfs_levels")(spark, sf).collect()
+    assert(rows.length == want.size)
+    rows.foreach { r =>
+      val ids = want(r.getLong(0))
+      assert(r.getLong(1) == ids.size, s"level ${r.getLong(0)} size")
+      assert(r.getLong(2) == ids.min && r.getLong(3) == ids.max)
+      assert(r.getLong(4) == nodes.size - dist.size, "unreached count")
+    }
+  }
+
   test("hierarchy rollup equals a dense recursive recompute") {
     val sup = graft.sources.Tables(spark, sf).supplier
       .select(col("s_suppkey").cast("long"), col("s_acctbal"))
