@@ -14,6 +14,7 @@ object SparkEntry {
 
   private def modules: Seq[GraftQuery] =
     Relational.all ++ Temporal.all ++ Analytics.all ++ Graph.all ++
+      Mining.all ++
       graft.ml.MLQueries.all ++ TextAnalysis.all ++ Dedup.all ++
       Similarity.all ++ Multimodal.all ++ graft.streaming.EventsStream.all ++
       graft.streaming.KafkaShape.all

@@ -1271,10 +1271,115 @@ object Analytics {
     """)
   )
 
+  /** Marketing attribution over sessionized events: each converting
+    * session (one with a purchase) credits its purchase revenue to a
+    * channel under TWO models computed from one session frame —
+    * first-touch (the session's opening event type) and last-touch
+    * (the last event type strictly before the first purchase;
+    * 'direct' when the purchase opens the session). Output is one row
+    * per (model, channel): conversions + money-exact attributed
+    * revenue. Plan shape: the same single user_id exchange as the
+    * sessionized funnel feeds the lag window, the session-id running
+    * sum, both per-session windows, and the per-session rollup; the
+    * two model aggregations then reduce a session-grain frame (tiny)
+    * and union. Nothing scans events twice.
+    */
+  val q83Attribution = GraftQuery(
+    "q83_attribution",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val wOrd = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val wRun = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val sess = t.events
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          col("ts"), col("value"))
+        .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(wOrd))
+        .withColumn("new_session",
+          (col("prev_us").isNull ||
+            unix_micros(col("ts")) - col("prev_us") > SessionGapMicros)
+            .cast("long"))
+        .withColumn("session_id", sum(col("new_session")).over(wRun))
+      val wSess = Window.partitionBy(col("user_id"), col("session_id"))
+      val wSessOrd = wSess.orderBy(col("ts"), col("event_id"))
+      val perSession = sess
+        .withColumn("first_ch", first(col("event_type")).over(
+          wSessOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("t_fp",
+          min(when(col("event_type") === "purchase", col("ts"))).over(wSess))
+        .withColumn("last_pre", max(when(col("ts") < col("t_fp"),
+          struct(col("ts"), col("event_id"), col("event_type")))).over(wSess))
+        .filter(col("t_fp").isNotNull)
+        .groupBy(col("user_id"), col("session_id"))
+        .agg(
+          first(col("first_ch")).as("first_touch"),
+          coalesce(first(col("last_pre.event_type")), lit("direct"))
+            .as("last_touch"),
+          sum(when(col("event_type") === "purchase", dec2(col("value"))))
+            .as("rev"))
+      val byFirst = perSession.groupBy(col("first_touch").as("channel"))
+        .agg(count(lit(1)).as("n_conv"),
+          sum(col("rev")).cast(DoubleType).as("revenue"))
+        .withColumn("model", lit("first_touch"))
+      val byLast = perSession.groupBy(col("last_touch").as("channel"))
+        .agg(count(lit(1)).as("n_conv"),
+          sum(col("rev")).cast(DoubleType).as("revenue"))
+        .withColumn("model", lit("last_touch"))
+      byFirst.unionByName(byLast)
+        .select(col("model"), col("channel"), col("n_conv"), col("revenue"))
+        .orderBy(col("model"), col("channel"))
+    },
+    Some(s"""
+      WITH e AS (
+        SELECT user_id, event_id, event_type, ts, value,
+               lag(epoch_us(ts)) OVER w AS prev_us
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      sess AS (
+        SELECT *, CAST(SUM(CASE WHEN prev_us IS NULL
+                      OR epoch_us(ts) - prev_us > $SessionGapMicros
+                    THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+        FROM e),
+      marked AS (
+        SELECT *,
+               first_value(event_type) OVER (
+                 PARTITION BY user_id, session_id
+                 ORDER BY ts, event_id) AS first_ch,
+               MIN(CASE WHEN event_type = 'purchase' THEN ts END) OVER (
+                 PARTITION BY user_id, session_id) AS t_fp,
+               max(CASE WHEN ts < t_fp_pre THEN
+                     {t: ts, i: event_id, c: event_type} END) OVER (
+                 PARTITION BY user_id, session_id) AS last_pre
+        FROM (SELECT *, MIN(CASE WHEN event_type = 'purchase' THEN ts END)
+                OVER (PARTITION BY user_id, session_id) AS t_fp_pre
+              FROM sess)),
+      per_session AS (
+        SELECT user_id, session_id,
+               MIN(first_ch) AS first_touch,
+               coalesce(MIN(last_pre.c), 'direct') AS last_touch,
+               SUM(CASE WHEN event_type = 'purchase'
+                   THEN CAST(value AS DECIMAL(12,2)) END) AS rev
+        FROM marked
+        WHERE t_fp IS NOT NULL
+        GROUP BY 1, 2)
+      SELECT model, channel, n_conv, revenue FROM (
+        SELECT 'first_touch' AS model, first_touch AS channel,
+               COUNT(*) AS n_conv, CAST(SUM(rev) AS DOUBLE) AS revenue
+        FROM per_session GROUP BY 2
+        UNION ALL
+        SELECT 'last_touch', last_touch,
+               COUNT(*), CAST(SUM(rev) AS DOUBLE)
+        FROM per_session GROUP BY 2)
+      ORDER BY model, channel
+    """)
+  )
+
   def all: Seq[GraftQuery] =
     Seq(q46Funnel, q47CohortRetention, q48AnomalyExact, q49Scd2Versions,
       q51StatsProfile, q52ColumnProfile, q56SessionizedFunnel, q55DqConstraints,
       q59Winsorize, q61ApproxGroupbySample, q62PeriodicProfile, q63OrderStreaks,
       q64TargetEncoding, q66ParetoFrontier, q68MadOutliers, q71WelchTtest,
-      q73RfmSegments, q75PsiDrift)
+      q73RfmSegments, q75PsiDrift, q83Attribution)
 }

@@ -2117,6 +2117,98 @@ object Relational {
     """)
   )
 
+  /** ARGMAX/ARGMIN aggregates (`max_by`/`min_by` ≡ DuckDB
+    * `arg_max`/`arg_min`): per nation, the customers holding the
+    * highest and lowest account balance. Both engines leave ties
+    * implementation-defined, so the ordering value is made UNIQUE by
+    * packing (balance-in-cents, custkey) into one long — exact while
+    * custkey < 10^8 (sf ≥ ~600); past that, widen to a struct
+    * ordering (Spark) / tuple arg (DuckDB). One hash aggregate on
+    * the nation key, map-side combinable — the arg pair rides the
+    * combiner instead of a per-nation sort, which is the whole point
+    * of argmax over row_number()-and-filter at scale.
+    */
+  val q81ArgmaxGroups = GraftQuery(
+    "q81_argmax_groups",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val ord = (round(col("c_acctbal") * 100).cast("long") *
+        lit(100000000L)) + col("c_custkey")
+      t.customer
+        .join(t.nation, col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(
+          max_by(col("c_name"), ord).as("richest"),
+          max(col("c_acctbal")).cast("double").as("max_bal"),
+          min_by(col("c_name"), ord).as("poorest"),
+          min(col("c_acctbal")).cast("double").as("min_bal"),
+          count(lit(1)).as("n_cust"))
+        .orderBy(col("n_name"))
+    },
+    Some("""
+      SELECT n_name,
+             arg_max(c_name, CAST(round(c_acctbal * 100) AS BIGINT)
+               * 100000000 + c_custkey) AS richest,
+             CAST(MAX(c_acctbal) AS DOUBLE) AS max_bal,
+             arg_min(c_name, CAST(round(c_acctbal * 100) AS BIGINT)
+               * 100000000 + c_custkey) AS poorest,
+             CAST(MIN(c_acctbal) AS DOUBLE) AS min_bal,
+             COUNT(*) AS n_cust
+      FROM customer JOIN nation ON c_nationkey = n_nationkey
+      GROUP BY n_name
+      ORDER BY n_name
+    """)
+  )
+
+  /** Running DISTINCT count over a window — a frame Spark's window
+    * engine cannot express directly (no DISTINCT aggregates over
+    * windows), decomposed into two windows that CAN pipeline: a
+    * first-occurrence flag (row_number over (user, type) == 1) and a
+    * running sum of flags over (user, time). The per-user rollup then
+    * reports event breadth and the time the 3rd distinct behavior
+    * appeared (time-to-breadth — the activation metric this shape
+    * exists for). The oracle states the intent form, DuckDB's native
+    * COUNT(DISTINCT …) OVER. Scale: both windows partition by
+    * user_id, so ONE exchange feeds both sorts plus the final
+    * aggregate; nothing is user-count-bounded on a single reducer.
+    */
+  val q82RunningDistinct = GraftQuery(
+    "q82_running_distinct",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val wFirst = Window.partitionBy(col("user_id"), col("event_type"))
+        .orderBy(col("ts"), col("event_id"))
+      val wRun = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t.events
+        .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+        .withColumn("first_seen",
+          when(row_number().over(wFirst) === 1, 1L).otherwise(0L))
+        .withColumn("d", sum(col("first_seen")).over(wRun))
+        .groupBy(col("user_id"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          max(col("d")).as("n_types"),
+          date_format(min(when(col("d") >= 3, col("ts"))),
+            "yyyy-MM-dd HH:mm:ss").as("third_type_at"))
+        .orderBy(col("user_id"))
+    },
+    Some("""
+      WITH r AS (
+        SELECT user_id, ts,
+               COUNT(DISTINCT event_type) OVER (
+                 PARTITION BY user_id ORDER BY ts, event_id) AS d
+        FROM events)
+      SELECT user_id, COUNT(*) AS n_events, MAX(d) AS n_types,
+             strftime(MIN(ts) FILTER (WHERE d >= 3),
+                      '%Y-%m-%d %H:%M:%S') AS third_type_at
+      FROM r
+      GROUP BY user_id
+      ORDER BY user_id
+    """)
+  )
+
   def all: Seq[GraftQuery] = Seq(
     q01PricingSummary, q02RevenueByNation, q03ShippingPriority,
     q04OrderPriorityExists, q05CustomersWithoutOrders, q06RevenueFilter,
@@ -2131,6 +2223,7 @@ object Relational {
     q45CsvRoundtrip, q50WeightedTheta, q53ZorderLayout, q54IncrementalAgg,
     q57TopkJoinPushdown, q58EwmaSmoothing, q67WindowRanks,
     q72ReconcileFullOuter, q74SchemaEvolution, q77SmallQtyRevenue,
-    q78CompactFiles, q79MultiDistinct, q80DeleteCascade
+    q78CompactFiles, q79MultiDistinct, q80DeleteCascade,
+    q81ArgmaxGroups, q82RunningDistinct
   )
 }

@@ -1431,9 +1431,12 @@ object TextAnalysis {
     * candidate list. Per-term contributions are rounded then
     * decimal-summed (order-free) for cross-engine hash parity.
     */
-  val textBm25 = GraftQuery(
-    "text_bm25",
-    (s, dir) => {
+  /** The BM25 ranked frame (qid, rank, doc_id, score) — the body of
+    * text_bm25, shared with the hybrid-RRF fusion query. Result is
+    * persisted (30 rows); the postings intermediate is released.
+    */
+  private[operators] def bm25RankedFrame(
+      s: SparkSession, dir: String): DataFrame = {
       import graft.functions.TopKAgg
       import graft.functions.GraftFunctions.sumDec
       import s.implicits._
@@ -1476,9 +1479,13 @@ object TextAnalysis {
       out.persist().count()
       tf.unpersist(false)
       out
-    },
-    Some(raw"""
-      WITH terms AS (
+  }
+
+  /** DuckDB restatement of [[bm25RankedFrame]] — CTEs through
+    * `ranked` (qid, doc_id, score, rank), interpolated into both the
+    * text_bm25 oracle and the hybrid-RRF oracle.
+    */
+  private val Bm25SqlCtes: String = raw"""terms AS (
         SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS term
         FROM documents),
       filtered AS (
@@ -1515,7 +1522,13 @@ object TextAnalysis {
         SELECT CAST(qid AS BIGINT) AS qid, doc_id, score,
                CAST(row_number() OVER (PARTITION BY qid
                  ORDER BY score DESC, doc_id) AS BIGINT) AS rank
-        FROM scored)
+        FROM scored)"""
+
+  val textBm25 = GraftQuery(
+    "text_bm25",
+    (s, dir) => bm25RankedFrame(s, dir),
+    Some(s"""
+      WITH $Bm25SqlCtes
       SELECT qid, rank, doc_id, score FROM ranked WHERE rank <= $Bm25TopK
       ORDER BY qid, rank
     """)
@@ -1741,6 +1754,135 @@ object TextAnalysis {
     """)
   )
 
+  /** RRF constant (Cormack et al.'s k=60) and fusion depth. */
+  val RrfK = 60
+  val RrfDepth = 10L
+
+  /** Hybrid retrieval via Reciprocal Rank Fusion: the lexical arm is
+    * the shared BM25 ranked frame (query text), the semantic arm is
+    * exact-cosine ranking treating embedding vec_id = qid as a
+    * query-by-example vector, and fusion scores each candidate
+    * sum(1/(k + rank)) over the arms that surfaced it — the standard
+    * way production search fuses FTS with vector search, rank-only so
+    * the arms' incomparable score scales never touch. Each arm's
+    * contribution is rounded then the two are added as decimals
+    * (exact, order-free); candidates ride a full outer join on
+    * (qid, id). Scale: each arm is already top-[[RrfDepth]] per
+    * query, so fusion joins two query-count-sized frames — the
+    * corpus-sized work lives (once) inside the arms, which at 100 TB
+    * are the BM25 postings scan and the ANN index respectively.
+    */
+  val retrievalHybridRrf = GraftQuery(
+    "retrieval_hybrid_rrf",
+    (s, dir) => {
+      import graft.functions.GraftFunctions.cosineSim
+      val lex = bm25RankedFrame(s, dir)
+        .filter(col("rank") <= RrfDepth)
+        .select(col("qid"), col("doc_id").as("id"), col("rank").as("lex_rank"))
+      val base = Similarity.corpusOf(s, dir)
+      val qv = base.filter(col("vec_id").isin(1L, 2L, 3L))
+        .select(col("vec_id").as("qid"), col("v").as("qv"))
+      val w = Window.partitionBy(col("qid"))
+        .orderBy(col("cos").desc, col("vec_id"))
+      val sem = base.join(broadcast(qv), col("vec_id") =!= col("qid"))
+        .withColumn("cos", cosineSim(col("qv"), col("v")))
+        .withColumn("sem_rank", row_number().over(w).cast("long"))
+        .filter(col("sem_rank") <= RrfDepth)
+        .select(col("qid"), col("vec_id").as("id"), col("sem_rank"))
+      val contrib = (r: Column) =>
+        coalesce(round(lit(1.0) / (lit(RrfK.toDouble) + r.cast("double")), 9)
+          .cast("decimal(25,9)"), lit(0).cast("decimal(25,9)"))
+      val wOut = Window.partitionBy(col("qid"))
+        .orderBy(col("rrf").desc, col("id"))
+      lex.join(sem, Seq("qid", "id"), "full_outer")
+        .withColumn("rrf",
+          (contrib(col("lex_rank")) + contrib(col("sem_rank"))).cast("double"))
+        .withColumn("rank", row_number().over(wOut).cast("long"))
+        .filter(col("rank") <= RrfDepth)
+        .select(col("qid"), col("rank"), col("id"), col("rrf"),
+          col("lex_rank"), col("sem_rank"))
+        .orderBy(col("qid"), col("rank"))
+    },
+    Some(s"""
+      WITH $Bm25SqlCtes,
+      lex AS (
+        SELECT qid, doc_id AS id, rank AS lex_rank
+        FROM ranked WHERE rank <= $RrfDepth),
+      sem0 AS (
+        SELECT CAST(q.vec_id AS BIGINT) AS qid, e.vec_id AS id,
+               CAST(row_number() OVER (PARTITION BY q.vec_id
+                 ORDER BY list_cosine_similarity(
+                   CAST(q.embedding AS DOUBLE[]),
+                   CAST(e.embedding AS DOUBLE[])) DESC, e.vec_id)
+                 AS BIGINT) AS sem_rank
+        FROM embeddings q JOIN embeddings e ON e.vec_id <> q.vec_id
+        WHERE q.vec_id IN (1, 2, 3)),
+      sem AS (SELECT * FROM sem0 WHERE sem_rank <= $RrfDepth),
+      fused AS (
+        SELECT coalesce(lex.qid, sem.qid) AS qid,
+               coalesce(lex.id, sem.id) AS id,
+               lex_rank, sem_rank,
+               CAST(coalesce(CAST(round(1.0 / ($RrfK.0 + CAST(lex_rank AS DOUBLE)), 9)
+                      AS DECIMAL(25,9)), 0)
+                 + coalesce(CAST(round(1.0 / ($RrfK.0 + CAST(sem_rank AS DOUBLE)), 9)
+                      AS DECIMAL(25,9)), 0) AS DOUBLE) AS rrf
+        FROM lex FULL OUTER JOIN sem
+          ON lex.qid = sem.qid AND lex.id = sem.id),
+      fin AS (
+        SELECT *, CAST(row_number() OVER (PARTITION BY qid
+                 ORDER BY rrf DESC, id) AS BIGINT) AS rank
+        FROM fused)
+      SELECT qid, rank, id, rrf, lex_rank, sem_rank
+      FROM fin WHERE rank <= $RrfDepth
+      ORDER BY qid, rank
+    """)
+  )
+
+  /** Feature-hashing bucket count. */
+  val HashingDim = 64
+
+  /** Hashing-trick featurization (the HashingVectorizer /
+    * hashingTF shape): token → bucket via the first 8 hex digits of
+    * md5 mod [[HashingDim]] — collision-accepting, vocabulary-free,
+    * so the featurizer needs NO fitted dictionary and a 100 TB corpus
+    * featurizes in one embarrassingly-parallel pass (explode →
+    * per-(doc, bucket) count; the aggregate's key space is bounded by
+    * docs × [[HashingDim]]). The same md5 spelling backs both
+    * engines, so the sparse vectors are bit-identical — the
+    * train/serve skew check a real feature platform runs.
+    */
+  val featHashingTrick = GraftQuery(
+    "feat_hashing_trick",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val term = col("term")
+      val bucket = pmod(
+        conv(substring(md5(term.cast("binary")), 1, 8), 16, 10).cast("long"),
+        lit(HashingDim.toLong))
+      t.documents
+        .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+        .filter(term =!= "")
+        .groupBy(col("doc_id"), bucket.as("bucket"))
+        .agg(count(lit(1)).as("tf"))
+        .orderBy(col("doc_id"), col("bucket"))
+    },
+    Some(s"""
+      WITH toks AS (
+        SELECT doc_id,
+               unnest(string_split_regex(lower(text), '\\s+')) AS term
+        FROM documents),
+      b AS (
+        SELECT doc_id,
+               CAST(concat('0x', substr(md5(term), 1, 8)) AS BIGINT)
+                 % $HashingDim AS bucket
+        FROM toks WHERE term <> '')
+      SELECT doc_id, bucket, COUNT(*) AS tf
+      FROM b
+      GROUP BY 1, 2
+      ORDER BY doc_id, bucket
+    """)
+  )
+
   def all: Seq[GraftQuery] =
     Seq(textTokens, textQuality, textLangid, textFingerprint, textTopNgrams,
       textTrainingSet, textChunk, textDecontaminate, sampleStratified,
@@ -1748,5 +1890,5 @@ object TextAnalysis {
       textSourceOverlap, textDecontaminateBloom, textPiiRedact,
       textZipfStats, textHeavyHitters, textUnigramLm, textExportShards,
       samplePps, textPassageDedup, textCmsFreq, textBigramLm, textBm25,
-      textDsirSelect, pipelineFunnel)
+      textDsirSelect, pipelineFunnel, retrievalHybridRrf, featHashingTrick)
 }

@@ -481,4 +481,24 @@ class AnalyticsSpec extends AnyFunSuite {
       assert(r.getBoolean(5) == (total >= PsiThreshold), "drift flag")
     }
   }
+
+  test("attribution: both models conserve conversions and revenue") {
+    val rows = SparkEntry.queries("q83_attribution")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val (f, l) = rows.partition(_.getString(0) == "first_touch")
+    assert(f.nonEmpty && l.nonEmpty)
+    // the two models credit the SAME converting-session set, so
+    // totals must agree exactly (revenue is decimal-exact per model)
+    assert(f.map(_.getLong(2)).sum == l.map(_.getLong(2)).sum,
+      "conversion totals differ across models")
+    assert(math.abs(f.map(_.getDouble(3)).sum - l.map(_.getDouble(3)).sum) < 1e-6,
+      "revenue totals differ across models")
+    val channels = Set("view", "click", "signup", "error", "purchase", "direct")
+    rows.foreach { r =>
+      assert(channels.contains(r.getString(1)), s"unknown channel ${r.getString(1)}")
+      assert(r.getLong(2) > 0 && r.getDouble(3) > 0.0)
+    }
+    // 'direct' can only appear under last-touch (purchase opens session)
+    assert(!f.exists(_.getString(1) == "direct"))
+  }
 }

@@ -736,4 +736,52 @@ class TextDedupSpec extends AnyFunSuite {
     assert(flagged > 0 && flagged < rows.length,
       "threshold should split the corpus into both classes")
   }
+
+  test("hybrid RRF: fusion scores derive exactly from the arm ranks") {
+    import graft.operators.TextAnalysis.{RrfK, RrfDepth}
+    def r9(x: Double): BigDecimal =
+      BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP)
+    val rows = SparkEntry.queries("retrieval_hybrid_rrf")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getLong(0)).foreach { case (qid, rs) =>
+      val sorted = rs.sortBy(_.getLong(1))
+      assert(sorted.map(_.getLong(1)).toSeq == (1L to sorted.length).toSeq,
+        s"ranks of qid $qid not contiguous")
+      assert(sorted.length <= RrfDepth, s"qid $qid over depth")
+      // rrf non-increasing in rank
+      sorted.map(_.getDouble(3)).toSeq.sliding(2).foreach { w =>
+        if (w.length == 2) assert(w(0) >= w(1), s"qid $qid fusion order")
+      }
+    }
+    rows.foreach { r =>
+      val lex = if (r.isNullAt(4)) None else Some(r.getLong(4))
+      val sem = if (r.isNullAt(5)) None else Some(r.getLong(5))
+      assert(lex.nonEmpty || sem.nonEmpty, "candidate from neither arm")
+      (lex.toSeq ++ sem.toSeq).foreach(k => assert(k >= 1 && k <= RrfDepth))
+      val want = (lex.map(k => r9(1.0 / (RrfK + k))).getOrElse(BigDecimal(0))
+        + sem.map(k => r9(1.0 / (RrfK + k))).getOrElse(BigDecimal(0))).toDouble
+      assert(r.getDouble(3) == want, s"rrf of (${r.getLong(0)}, ${r.getLong(2)})")
+    }
+  }
+
+  test("hashing trick: bucket mass conserves tokens; buckets in range") {
+    import graft.operators.TextAnalysis.HashingDim
+    val rows = SparkEntry.queries("feat_hashing_trick")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(1) >= 0 && r.getLong(1) < HashingDim,
+        s"bucket ${r.getLong(1)} out of range")
+      assert(r.getLong(2) > 0)
+    }
+    val mass = rows.groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(2)).sum)
+    val want = graft.sources.Tables(spark, sf).documents
+      .select(col("doc_id"),
+        size(filter(graft.operators.TextAnalysis.tokens(col("text")),
+          t => t =!= "")).cast("long").as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(mass.keySet == want.keySet.filter(want(_) > 0))
+    mass.foreach { case (d, m) =>
+      assert(m == want(d), s"token mass of doc $d")
+    }
+  }
 }
