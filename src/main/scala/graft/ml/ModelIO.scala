@@ -34,8 +34,38 @@ object ModelIO {
       imputationMeans: Map[String, Double],
       evalsResult: Map[String, Map[String, Array[Double]]],
       calibrationA: Seq[Double] = Seq.empty,
-      calibrationB: Seq[Double] = Seq.empty
+      calibrationB: Seq[Double] = Seq.empty,
+      // documented behavioral deviations from the reference engine,
+      // stamped on the artifact so a loaded model STATES how it was
+      // trained instead of relying on out-of-band docs (VERDICT r4 §8)
+      divergences: Seq[String] = Seq.empty
   )
+
+  /** The divergence notes a given model carries (reference:
+    * `core.py:370-377` sparse-skip missing; `core.py:580-590`
+    * multi:softprob single-model multiclass).
+    */
+  private[ml] def divergenceNotes(model: GraftBoostModel): Seq[String] = {
+    val missing = model.missingStrategy match {
+      case "impute" =>
+        Some("missing-marker: marker values are MEAN-IMPUTED per feature " +
+          "(XGBoost routes missings along the learned default branch; " +
+          "reference core.py:370-377). Scores differ on rows with missings.")
+      case "sentinel" =>
+        Some("missing-marker: marker values mapped to a learned out-of-range " +
+          "sentinel so tree splits isolate them (XGBoost uses sparse default-" +
+          "branch routing; reference core.py:370-377).")
+      case _ => None
+    }
+    val multi =
+      if (model.numClasses > 2)
+        Some("multiclass: one-vs-rest / RF ensemble, per-class scores " +
+          "normalized (+ optional Platt calibration) — NOT XGBoost " +
+          "multi:softprob single-model probabilities (core.py:580-590); " +
+          "argmax classes agree, probability vectors are approximate.")
+      else None
+    missing.toSeq ++ multi.toSeq
+  }
 
   def save(spark: SparkSession, model: GraftBoostModel, path: String): Unit = {
     val inner = model.model match {
@@ -57,7 +87,8 @@ object ModelIO {
       model.imputation.map(_._2).getOrElse(Map.empty),
       model.evalsResult,
       model.calibration.map(_.map(_._1).toSeq).getOrElse(Seq.empty),
-      model.calibration.map(_.map(_._2).toSeq).getOrElse(Seq.empty)
+      model.calibration.map(_.map(_._2).toSeq).getOrElse(Seq.empty),
+      divergenceNotes(model)
     )
     val json = Serialization.write(meta)
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)

@@ -889,12 +889,13 @@ object TextAnalysis {
     Some(s"""
       WITH c AS (
         SELECT source, doc_id, n_chars,
-               SUM(n_chars) OVER (PARTITION BY source ORDER BY doc_id
-                 ROWS UNBOUNDED PRECEDING) AS cum,
-               SUM(n_chars) OVER (PARTITION BY source) AS total
+               CAST(SUM(n_chars) OVER (PARTITION BY source ORDER BY doc_id
+                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+               CAST(SUM(n_chars) OVER (PARTITION BY source) AS BIGINT) AS total
         FROM documents)
       SELECT source, doc_id, n_chars,
-             ((cum * $PpsK) // total) - (((cum - n_chars) * $PpsK) // total) AS picks
+             CAST(((cum * $PpsK) // total)
+               - (((cum - n_chars) * $PpsK) // total) AS BIGINT) AS picks
       FROM c
       WHERE ((cum * $PpsK) // total) - (((cum - n_chars) * $PpsK) // total) > 0
       ORDER BY source, doc_id

@@ -25,17 +25,9 @@ import graft.functions.GraftFunctions._
   */
 object EventsStream {
 
-  /** Raw parquet schema of events (ts read as nanos long — see
-    * Tables' nanosAsLong note).
-    */
-  private val rawSchema = StructType(Seq(
-    StructField("event_id", LongType),
-    StructField("ts", LongType),
-    StructField("user_id", LongType),
-    StructField("event_type", StringType),
-    StructField("value", DoubleType),
-    StructField("props", StringType)
-  ))
+  // (events stream schema is derived from the actual parquet footer —
+  // see eventsStream below — so a testdata regeneration that changes
+  // the ts physical type cannot silently skew the stream.)
 
   /** Stream a single parquet file as a file-source directory. The
     * file stream source needs a directory; the sf tables are single
@@ -51,10 +43,19 @@ object EventsStream {
     s.readStream.schema(schema).parquet(tmp.toString)
   }
 
+  /** Stream events with the SAME schema + ts normalization the batch
+    * reader uses ([[graft.sources.Tables.normalizeEventsTs]]): the
+    * stream schema comes from the real parquet footer (batch schema
+    * probe, with the nanos legacy fallback), then the conditional ts
+    * rebuild makes nanos-as-long, micros-NTZ and plain timestamp files
+    * all land on micro-precision TimestampType. Batch and stream
+    * surfaces therefore agree by construction, whatever the producer
+    * wrote.
+    */
   private def eventsStream(s: SparkSession, dir: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    fileStream(s, dir, "events.parquet", rawSchema)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val schema = graft.sources.Tables.eventsRawSchema(s, dir)
+    graft.sources.Tables.normalizeEventsTs(
+      fileStream(s, dir, "events.parquet", schema))
   }
 
   private val documentsSchema = StructType(Seq(
