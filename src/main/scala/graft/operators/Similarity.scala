@@ -807,8 +807,111 @@ object Similarity {
     Some(annOracleSql)
   )
 
+  /** Corpus-side predicate for the filtered search (serving systems
+    * call this "pre-filtering": the metadata constraint applies BEFORE
+    * the vector kernel, not to its results).
+    */
+  val FilterLabel = 1
+
+  /** Filtered vector search: exact cosine top-k restricted to corpus
+    * rows satisfying a metadata predicate (`label = FilterLabel`) —
+    * the "vector search with filters" serving shape (find similar
+    * docs *within a language/license/domain slice*). The predicate is
+    * a plain column filter on the scan side, so Catalyst pushes it
+    * into the parquet reader (PushedFilters on `label`) and the
+    * broadcast nested-loop kernel only ever sees the surviving slice.
+    * At 100 TB the same query runs against the IVF index with the
+    * filter applied inside probed cells (post-filter per cell, union,
+    * re-rank) — selective filters make brute-force-over-the-slice the
+    * FASTER plan, which is exactly what this shape is: scan-prune +
+    * kernel, no index required.
+    */
+  val simAnnFiltered = GraftQuery(
+    "sim_ann_filtered",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val e = t.embeddings
+      val queries = e.filter(col("vec_id") < NumQueries)
+        .select(col("vec_id").as("qid"), toDoubleArray(col("embedding")).as("qv"))
+      val slice = e.filter(col("label") === FilterLabel)
+        .select(col("vec_id"), toDoubleArray(col("embedding")).as("v"))
+      val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))
+      slice.join(broadcast(queries), col("vec_id") =!= col("qid"))
+        .withColumn("cos", cosineSim(col("qv"), col("v")))
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= TopK)
+        .select(col("qid"), col("rank"), col("vec_id"), round(col("cos"), 6).as("cos"))
+        .orderBy(col("qid"), col("rank"))
+    },
+    Some(s"""
+      WITH pairs AS (
+        SELECT q.vec_id AS qid, e.vec_id,
+               list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                      CAST(e.embedding AS DOUBLE[])) AS cos
+        FROM embeddings q JOIN embeddings e
+          ON e.vec_id <> q.vec_id AND e.label = $FilterLabel
+        WHERE q.vec_id < $NumQueries),
+      ranked AS (
+        SELECT qid, vec_id, cos,
+               CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS BIGINT) AS rank
+        FROM pairs)
+      SELECT qid, rank, vec_id, round(cos, 6) AS cos
+      FROM ranked WHERE rank <= $TopK
+      ORDER BY qid, rank
+    """)
+  )
+
+  /** Hard-negative mining for contrastive training: per anchor (the
+    * first NumQueries vectors), the k most-similar vectors carrying a
+    * DIFFERENT label — the near-miss examples a bi-encoder trains
+    * against. Same kernel as the filtered search with the predicate
+    * now anchor-relative (`label <> anchor.label`), evaluated inside
+    * the broadcast join — still one corpus scan, no shuffle of the
+    * corpus. At 100 TB mining runs per anchor-batch against the ANN
+    * index (probe → drop same-label → keep top-k), and this exact
+    * kernel is both the verify baseline and the fallback for small
+    * label slices.
+    */
+  val retrievalHardNegatives = GraftQuery(
+    "retrieval_hard_negatives",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val e = t.embeddings
+      val queries = e.filter(col("vec_id") < NumQueries)
+        .select(col("vec_id").as("qid"), col("label").as("q_label"),
+          toDoubleArray(col("embedding")).as("qv"))
+      val cand = e.select(col("vec_id"), col("label"),
+        toDoubleArray(col("embedding")).as("v"))
+      val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))
+      cand.join(broadcast(queries), col("label") =!= col("q_label"))
+        .withColumn("cos", cosineSim(col("qv"), col("v")))
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= TopK)
+        .select(col("qid"), col("rank"), col("vec_id"),
+          col("label").cast("long").as("neg_label"),
+          round(col("cos"), 6).as("cos"))
+        .orderBy(col("qid"), col("rank"))
+    },
+    Some(s"""
+      WITH pairs AS (
+        SELECT q.vec_id AS qid, e.vec_id, e.label,
+               list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                      CAST(e.embedding AS DOUBLE[])) AS cos
+        FROM embeddings q JOIN embeddings e ON e.label <> q.label
+        WHERE q.vec_id < $NumQueries),
+      ranked AS (
+        SELECT qid, vec_id, label, cos,
+               CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS BIGINT) AS rank
+        FROM pairs)
+      SELECT qid, rank, vec_id, CAST(label AS BIGINT) AS neg_label,
+             round(cos, 6) AS cos
+      FROM ranked WHERE rank <= $TopK
+      ORDER BY qid, rank
+    """)
+  )
+
   def all: Seq[GraftQuery] =
     Seq(simTopkBruteforce, simAnnLsh, simAnnIvf, simNormStats,
       clusterSemanticDedup, simPcaReduce, simSqQuant, simEmbedDecontam,
-      simAnnPq, simAnnIvfPq)
+      simAnnPq, simAnnIvfPq, simAnnFiltered, retrievalHardNegatives)
 }

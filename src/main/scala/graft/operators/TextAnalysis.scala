@@ -781,6 +781,89 @@ object TextAnalysis {
     """)
   )
 
+  /** Number of perplexity buckets (CCNet's head/middle/tail). */
+  val CcnetBuckets = 3
+
+  /** CCNet-style perplexity bucketing: score every document under a
+    * PER-LANGUAGE unigram LM, then split each language into
+    * equal-count buckets by score (head = most probable). This is the
+    * canonical web-corpus triage step (CCNet: per-language LM +
+    * perplexity tertiles decide keep/review/drop). Shapes: the LM is
+    * two aggregations (per-(lang,term) counts joined to per-lang
+    * totals); scoring is one broadcast join + one combine-enabled
+    * aggregation — identical cost class to text_unigram_lm; the
+    * bucket split is ntile over a per-language window (one shuffle on
+    * lang; at 100 TB the ntile becomes the quantile-sketch cutpoints
+    * + a map-side bucket assignment, same outputs). Per-token log
+    * probs are rounded to 6 digits before a decimal sum (add-order
+    * independent), and ntile ties break on doc_id, so the bucket
+    * assignment is bit-stable across engines.
+    */
+  val textCcnetBuckets = GraftQuery(
+    "text_ccnet_buckets",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val toks = t.documents
+        .select(col("lang"), col("doc_id"), explode(tokens(col("text"))).as("term"))
+        .filter(col("term") =!= "").cache()
+      val vocab = toks.groupBy(col("lang"), col("term")).agg(count(lit(1)).as("cnt"))
+      val total = toks.groupBy(col("lang")).agg(count(lit(1)).as("n_total"))
+      val logp = vocab.join(broadcast(total), Seq("lang"))
+        .select(col("lang"), col("term"),
+          round(log(col("cnt").cast("double") / col("n_total")), 6).as("logp"))
+      val scored = toks.join(broadcast(logp), Seq("lang", "term"))
+        .groupBy(col("lang"), col("doc_id"))
+        .agg(count(lit(1)).as("n_tokens"),
+          graft.functions.GraftFunctions.sumDec(col("logp")).as("sum_logp"))
+        .select(col("lang"), col("doc_id"),
+          round(col("sum_logp") / col("n_tokens"), 6).as("avg_logp"))
+      val w = Window.partitionBy(col("lang"))
+        .orderBy(col("avg_logp").desc, col("doc_id"))
+      val out = scored
+        .withColumn("bucket", ntile(CcnetBuckets).over(w).cast("long"))
+        .groupBy(col("lang"), col("bucket"))
+        .agg(count(lit(1)).as("n_docs"),
+          round(graft.functions.GraftFunctions.sumDec(col("avg_logp"))
+            / count(lit(1)), 6).as("mean_avg_logp"),
+          min(col("avg_logp")).as("worst_logp"),
+          max(col("avg_logp")).as("best_logp"))
+        .orderBy(col("lang"), col("bucket"))
+      out.persist().count()
+      toks.unpersist(false)
+      out
+    },
+    Some(raw"""
+      WITH toks AS (
+        SELECT lang, doc_id, unnest(string_split_regex(lower(text), '\s+')) AS term
+        FROM documents),
+      tk AS (SELECT lang, doc_id, term FROM toks WHERE term <> ''),
+      vocab AS (SELECT lang, term, COUNT(*) AS cnt FROM tk GROUP BY 1, 2),
+      total AS (SELECT lang, COUNT(*) AS n_total FROM tk GROUP BY 1),
+      logp AS (
+        SELECT lang, term, round(ln(CAST(cnt AS DOUBLE) / n_total), 6) AS logp
+        FROM vocab JOIN total USING (lang)),
+      scored AS (
+        SELECT lang, doc_id,
+               round(CAST(SUM(CAST(logp AS DECIMAL(25,6))) AS DOUBLE)
+                 / COUNT(*), 6) AS avg_logp
+        FROM tk JOIN logp USING (lang, term)
+        GROUP BY lang, doc_id),
+      bucketed AS (
+        SELECT lang, avg_logp,
+               CAST(ntile($CcnetBuckets) OVER (PARTITION BY lang
+                 ORDER BY avg_logp DESC, doc_id) AS BIGINT) AS bucket
+        FROM scored)
+      SELECT lang, bucket, COUNT(*) AS n_docs,
+             round(CAST(SUM(CAST(avg_logp AS DECIMAL(25,6))) AS DOUBLE)
+               / COUNT(*), 6) AS mean_avg_logp,
+             MIN(avg_logp) AS worst_logp,
+             MAX(avg_logp) AS best_logp
+      FROM bucketed
+      GROUP BY lang, bucket
+      ORDER BY lang, bucket
+    """)
+  )
+
   /** Training-shard export: the terminal step of the text pipeline —
     * write the corpus PARTITIONED BY source (the layout trainers and
     * downstream jobs prune on), read it back, and verify per-shard
@@ -1891,5 +1974,6 @@ object TextAnalysis {
       textSourceOverlap, textDecontaminateBloom, textPiiRedact,
       textZipfStats, textHeavyHitters, textUnigramLm, textExportShards,
       samplePps, textPassageDedup, textCmsFreq, textBigramLm, textBm25,
-      textDsirSelect, pipelineFunnel, retrievalHybridRrf, featHashingTrick)
+      textDsirSelect, pipelineFunnel, retrievalHybridRrf, featHashingTrick,
+      textCcnetBuckets)
 }
