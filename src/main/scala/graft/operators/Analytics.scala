@@ -1376,10 +1376,57 @@ object Analytics {
     """)
   )
 
+  /** User-journey Markov transitions: per-user event streams (ordered
+    * by ts with event_id tie-break) yield (state → next-state) pairs
+    * via one lead window; transition counts and row-normalized
+    * probabilities follow from two hash aggregations. The transition
+    * matrix is the input to journey simulation, removal-effect
+    * attribution, and next-event prediction. One shuffle on user_id
+    * for the window, then aggregation on the (from,to) pair — at
+    * 100 TB both keys are low-cardinality relative to events, so the
+    * second agg is map-side-combined to almost nothing. Probabilities
+    * are exact-integer counts divided once and rounded — bit-stable.
+    */
+  val q84MarkovTransitions = GraftQuery(
+    "q84_markov_transitions",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val pairs = t.events
+        .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+        .withColumn("to_type", lead(col("event_type"), 1).over(w))
+        .filter(col("to_type").isNotNull)
+      val counts = pairs.groupBy(col("event_type").as("from_type"), col("to_type"))
+        .agg(count(lit(1)).as("n"))
+      val wFrom = Window.partitionBy(col("from_type"))
+      counts
+        .withColumn("n_from", sum(col("n")).over(wFrom))
+        .select(col("from_type"), col("to_type"), col("n"),
+          round(col("n").cast(DoubleType) / col("n_from"), 6).as("p"))
+        .orderBy(col("from_type"), col("to_type"))
+    },
+    Some("""
+      WITH seq AS (
+        SELECT event_type,
+               lead(event_type) OVER (PARTITION BY user_id
+                 ORDER BY ts, event_id) AS to_type
+        FROM events),
+      c AS (
+        SELECT event_type AS from_type, to_type, COUNT(*) AS n
+        FROM seq WHERE to_type IS NOT NULL
+        GROUP BY 1, 2)
+      SELECT from_type, to_type, n,
+             round(CAST(n AS DOUBLE) /
+               SUM(n) OVER (PARTITION BY from_type), 6) AS p
+      FROM c
+      ORDER BY from_type, to_type
+    """)
+  )
+
   def all: Seq[GraftQuery] =
     Seq(q46Funnel, q47CohortRetention, q48AnomalyExact, q49Scd2Versions,
       q51StatsProfile, q52ColumnProfile, q56SessionizedFunnel, q55DqConstraints,
       q59Winsorize, q61ApproxGroupbySample, q62PeriodicProfile, q63OrderStreaks,
       q64TargetEncoding, q66ParetoFrontier, q68MadOutliers, q71WelchTtest,
-      q73RfmSegments, q75PsiDrift, q83Attribution)
+      q73RfmSegments, q75PsiDrift, q83Attribution, q84MarkovTransitions)
 }

@@ -910,8 +910,103 @@ object Similarity {
     """)
   )
 
+  /** Truncated ("Matryoshka") prefix dimensionality for the first-
+    * stage ranking, and the candidate pool the second stage re-ranks.
+    */
+  val MrlDim = 16
+  val MrlCandidates = 50
+
+  /** Two-stage retrieval with dimension truncation (the MRL serving
+    * trick): stage 1 ranks by cosine over the first MrlDim of Dim
+    * coordinates — 4× less arithmetic and memory traffic per
+    * candidate — keeps MrlCandidates per query; stage 2 re-ranks ONLY
+    * that pool at full dimension and emits the final top-k, plus a
+    * per-query bit for whether the two-stage result equals the exact
+    * full-dim top-k. Everything is exact arithmetic over deterministic
+    * candidate sets, so the whole output (including the quality bit)
+    * is DuckDB-expressible and hashed. At 100 TB stage 1 is where the
+    * index lives (IVF/PQ over truncated vectors — a 4× smaller
+    * index); stage 2's pool is per-query-bounded, so re-ranking cost
+    * is independent of corpus size.
+    */
+  val simTwoStageMrl = GraftQuery(
+    "sim_two_stage_mrl",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val e = t.embeddings
+      val queries = e.filter(col("vec_id") < NumQueries)
+        .select(col("vec_id").as("qid"),
+          toDoubleArray(col("embedding")).as("qv"),
+          toDoubleArray(slice(col("embedding"), 1, MrlDim)).as("qv_lo"))
+      val corpus = e.select(col("vec_id"),
+        toDoubleArray(col("embedding")).as("v"),
+        toDoubleArray(slice(col("embedding"), 1, MrlDim)).as("v_lo"))
+      val wLo = Window.partitionBy(col("qid")).orderBy(col("cos_lo").desc, col("vec_id"))
+      // stage 1: truncated-dim ranking over the full corpus
+      val pool = corpus.join(broadcast(queries), col("vec_id") =!= col("qid"))
+        .withColumn("cos_lo", cosineSim(col("qv_lo"), col("v_lo")))
+        .withColumn("rk_lo", row_number().over(wLo))
+        .filter(col("rk_lo") <= MrlCandidates)
+      // stage 2: full-dim re-rank of the bounded pool
+      val wHi = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))
+      val twoStage = pool
+        .withColumn("cos", cosineSim(col("qv"), col("v")))
+        .withColumn("rank", row_number().over(wHi).cast("long"))
+        .filter(col("rank") <= TopK)
+        .select(col("qid"), col("rank"), col("vec_id"), round(col("cos"), 6).as("cos"))
+      // quality bit: does the two-stage top-k set equal the exact one?
+      val exact = exactTopK(corpus.select(col("vec_id"), col("v")))
+        .select(col("qid"), col("vec_id"))
+      val misses = twoStage.join(exact, Seq("qid", "vec_id"), "left_anti")
+        .groupBy(col("qid")).agg(count(lit(1)).as("n_miss"))
+      twoStage.join(broadcast(misses), Seq("qid"), "left")
+        .select(col("qid"), col("rank"), col("vec_id"), col("cos"),
+          (coalesce(col("n_miss"), lit(0L)) === 0).as("matches_exact"))
+        .orderBy(col("qid"), col("rank"))
+    },
+    Some(s"""
+      WITH q AS (
+        SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv,
+               CAST(embedding[1:$MrlDim] AS DOUBLE[]) AS qv_lo
+        FROM embeddings WHERE vec_id < $NumQueries),
+      c AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+               CAST(embedding[1:$MrlDim] AS DOUBLE[]) AS v_lo
+        FROM embeddings),
+      lo AS (
+        SELECT q.qid, c.vec_id, c.v, q.qv,
+               row_number() OVER (PARTITION BY q.qid
+                 ORDER BY list_cosine_similarity(q.qv_lo, c.v_lo) DESC, c.vec_id) AS rk_lo
+        FROM q JOIN c ON c.vec_id <> q.qid),
+      pool AS (SELECT * FROM lo WHERE rk_lo <= $MrlCandidates),
+      two AS (
+        SELECT qid, vec_id,
+               round(list_cosine_similarity(qv, v), 6) AS cos,
+               CAST(row_number() OVER (PARTITION BY qid
+                 ORDER BY list_cosine_similarity(qv, v) DESC, vec_id) AS BIGINT) AS rank
+        FROM pool),
+      two_k AS (SELECT * FROM two WHERE rank <= $TopK),
+      exact AS (
+        SELECT q.qid, c.vec_id,
+               row_number() OVER (PARTITION BY q.qid
+                 ORDER BY list_cosine_similarity(q.qv, c.v) DESC, c.vec_id) AS rk
+        FROM q JOIN c ON c.vec_id <> q.qid),
+      exact_k AS (SELECT qid, vec_id FROM exact WHERE rk <= $TopK),
+      miss AS (
+        SELECT t.qid, COUNT(*) AS n_miss
+        FROM two_k t LEFT JOIN exact_k e
+          ON e.qid = t.qid AND e.vec_id = t.vec_id
+        WHERE e.vec_id IS NULL GROUP BY t.qid)
+      SELECT t.qid, t.rank, t.vec_id, t.cos,
+             (COALESCE(m.n_miss, 0) = 0) AS matches_exact
+      FROM two_k t LEFT JOIN miss m ON m.qid = t.qid
+      ORDER BY t.qid, t.rank
+    """)
+  )
+
   def all: Seq[GraftQuery] =
     Seq(simTopkBruteforce, simAnnLsh, simAnnIvf, simNormStats,
       clusterSemanticDedup, simPcaReduce, simSqQuant, simEmbedDecontam,
-      simAnnPq, simAnnIvfPq, simAnnFiltered, retrievalHardNegatives)
+      simAnnPq, simAnnIvfPq, simAnnFiltered, retrievalHardNegatives,
+      simTwoStageMrl)
 }

@@ -864,6 +864,57 @@ object TextAnalysis {
     """)
   )
 
+  /** Merge-candidate pairs to emit. */
+  val BpeTopPairs = 30L
+
+  /** BPE vocabulary induction, step one: count adjacent symbol pairs
+    * (here: character bigrams inside whitespace tokens — every 2-char
+    * substring) and rank merge candidates by frequency. This is the
+    * inner loop of byte-pair-encoding training; one iteration is
+    * representative of the shape (the full trainer repeats it on the
+    * merged corpus — same plan each round). One explode over
+    * in-token positions + one map-side-combined count: positions per
+    * token = len−1, so the fan-out is bounded by corpus characters,
+    * and nothing shuffles except (pair, count) partials. At 100 TB
+    * this is exactly how distributed BPE/WordPiece trainers compute
+    * their merge tables.
+    */
+  val textBpeMerges = GraftQuery(
+    "text_bpe_merges",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val pairs = t.documents
+        .select(explode(tokens(col("text"))).as("term"))
+        .filter(length(col("term")) >= 2)
+        .select(col("term"),
+          explode(sequence(lit(1), length(col("term")) - 1)).as("pos"))
+        .select(col("term").substr(col("pos"), lit(2)).as("pair"))
+      val w = Window.orderBy(col("cnt").desc, col("pair"))
+      pairs.groupBy(col("pair")).agg(count(lit(1)).as("cnt"))
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= BpeTopPairs)
+        .select(col("rank"), col("pair"), col("cnt"))
+        .orderBy(col("rank"))
+    },
+    Some(raw"""
+      WITH toks AS (
+        SELECT unnest(string_split_regex(lower(text), '\s+')) AS term
+        FROM documents),
+      pairs AS (
+        SELECT substr(term, CAST(i AS INTEGER), 2) AS pair
+        FROM toks, LATERAL unnest(range(1, CAST(length(term) AS BIGINT))) AS t(i)
+        WHERE length(term) >= 2),
+      c AS (SELECT pair, COUNT(*) AS cnt FROM pairs GROUP BY 1),
+      ranked AS (
+        SELECT pair, cnt,
+               CAST(row_number() OVER (ORDER BY cnt DESC, pair) AS BIGINT) AS rank
+        FROM c)
+      SELECT rank, pair, cnt FROM ranked
+      WHERE rank <= $BpeTopPairs
+      ORDER BY rank
+    """)
+  )
+
   /** Training-shard export: the terminal step of the text pipeline —
     * write the corpus PARTITIONED BY source (the layout trainers and
     * downstream jobs prune on), read it back, and verify per-shard
@@ -1975,5 +2026,5 @@ object TextAnalysis {
       textZipfStats, textHeavyHitters, textUnigramLm, textExportShards,
       samplePps, textPassageDedup, textCmsFreq, textBigramLm, textBm25,
       textDsirSelect, pipelineFunnel, retrievalHybridRrf, featHashingTrick,
-      textCcnetBuckets)
+      textCcnetBuckets, textBpeMerges)
 }

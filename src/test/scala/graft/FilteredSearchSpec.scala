@@ -42,6 +42,46 @@ class FilteredSearchSpec extends AnyFunSuite {
     assert(clashes == 0, s"$clashes hard negatives share the anchor label")
   }
 
+  test("sim_two_stage_mrl: dense ranks, non-increasing cosine, quality bit present") {
+    val rows = SparkEntry.queries("sim_two_stage_mrl")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getLong(0)).foreach { case (qid, rs) =>
+      val sorted = rs.sortBy(_.getLong(1))
+      assert(sorted.map(_.getLong(1)).toSeq == (1L to sorted.length).toSeq,
+        s"qid $qid: ranks not dense")
+      sorted.map(_.getDouble(3)).sliding(2).foreach {
+        case Array(a, b) => assert(a >= b, s"qid $qid: cos not non-increasing")
+        case _ => ()
+      }
+      // the bit is per-query constant
+      assert(rs.map(_.getBoolean(4)).distinct.length == 1)
+    }
+  }
+
+  test("q84_markov_transitions: rows normalize to 1 and pair mass equals transitions") {
+    val out = SparkEntry.queries("q84_markov_transitions")(spark, sf).collect()
+    assert(out.nonEmpty)
+    out.groupBy(_.getString(0)).foreach { case (from, rs) =>
+      val pSum = rs.map(_.getDouble(3)).sum
+      assert(math.abs(pSum - 1.0) < 1e-4, s"$from: probabilities sum to $pSum")
+    }
+    val ev = Tables(spark, sf).events
+    val nTransitions = ev.count() -
+      ev.select(col("user_id")).distinct().count()
+    assert(out.map(_.getLong(2)).sum == nTransitions,
+      "pair mass != events - users (one lead per user stream)")
+  }
+
+  test("text_bpe_merges: 2-char pairs, non-increasing counts") {
+    val rows = SparkEntry.queries("text_bpe_merges")(spark, sf).collect()
+    assert(rows.length == TextAnalysis.BpeTopPairs)
+    rows.foreach(r => assert(r.getString(1).length == 2, s"bad pair '${r.getString(1)}'"))
+    rows.sortBy(_.getLong(0)).map(_.getLong(2)).sliding(2).foreach {
+      case Array(a, b) => assert(a >= b, "counts not non-increasing by rank")
+      case _ => ()
+    }
+  }
+
   test("text_ccnet_buckets: per-language tertiles are balanced and ordered") {
     val rows = SparkEntry.queries("text_ccnet_buckets")(spark, sf).collect()
     assert(rows.nonEmpty)
