@@ -1068,9 +1068,97 @@ object Dedup {
     """)
   )
 
+  /** Modulo split standing in for the arrival boundary: docs with
+    * `doc_id % IncrMod == IncrRem` are "today's crawl increment", the
+    * rest are the existing corpus.
+    */
+  val IncrMod = 5
+  val IncrRem = 4
+
+  /** Incremental dedup — the shape a DAILY ingest actually runs: a
+    * small increment screened against the standing corpus, never
+    * corpus-vs-corpus. Each increment doc gets a verdict with
+    * precedence exact > near > new:
+    *   - `exact_dup`: normalized-content hash already in the corpus
+    *     (semi-join on a 128-bit key; at scale the increment's hash
+    *     set is the BROADCAST side — the corpus is never shuffled);
+    *   - `near_dup`: shares a ≥ 0.5-Jaccard shingle pair with a
+    *     corpus doc. Here the pair frame is the memoized shared
+    *     Jaccard graph (same frame dedup_ngram_jaccard/clusters
+    *     consume — compose-don't-recompute), filtered to cross-split
+    *     pairs; at 100 TB the same semantics run DIRECTIONALLY —
+    *     increment shingles probe the standing inverted index, so
+    *     per-day cost is O(increment), not O(corpus);
+    *   - `new`: neither — admitted to the corpus.
+    */
+  val dedupIncremental = GraftQuery(
+    "dedup_incremental",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val isInc = col("doc_id") % IncrMod === IncrRem
+      val normalized = trim(regexp_replace(lower(col("text")), "\\s+", " "))
+      val hashed = t.documents
+        .select(col("doc_id"), md5(normalized.cast("binary")).as("h"))
+      val corpusHashes = hashed.filter(!isInc).select(col("h")).distinct()
+      val exactDup = hashed.filter(isInc)
+        .join(corpusHashes, Seq("h"), "left_semi")
+        .select(col("doc_id"))
+      val pairs = jaccardPairsShared(s, dir, MaxShingleDf)
+      val nearIds = pairs
+        .select(col("ia"), col("ib"),
+          (col("ia") % IncrMod === IncrRem).as("a_inc"),
+          (col("ib") % IncrMod === IncrRem).as("b_inc"))
+        .filter(col("a_inc") =!= col("b_inc"))
+        .select(when(col("a_inc"), col("ia")).otherwise(col("ib")).as("doc_id"))
+        .distinct()
+      t.documents.filter(isInc)
+        .select(col("doc_id"))
+        .join(exactDup.withColumn("is_exact", lit(true)), Seq("doc_id"), "left")
+        .join(nearIds.withColumn("is_near", lit(true)), Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          when(col("is_exact"), lit("exact_dup"))
+            .when(col("is_near"), lit("near_dup"))
+            .otherwise(lit("new")).as("status"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""
+      WITH h AS (
+        SELECT doc_id,
+               md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS h
+        FROM documents),
+      corpus_h AS (
+        SELECT DISTINCT h FROM h WHERE doc_id % $IncrMod <> $IncrRem),
+      sh AS (
+        SELECT doc_id,
+               list_distinct(list_transform(
+                 range(1, greatest(len(string_split_regex(lower(text), '\\s+')) - 1, 1)),
+                 i -> string_split_regex(lower(text), '\\s+')[i] || ' ' ||
+                      string_split_regex(lower(text), '\\s+')[i+1] || ' ' ||
+                      string_split_regex(lower(text), '\\s+')[i+2])) AS s
+        FROM documents),
+      near AS (
+        SELECT DISTINCT i.doc_id
+        FROM sh i JOIN sh c
+          ON i.doc_id % $IncrMod = $IncrRem
+         AND c.doc_id % $IncrMod <> $IncrRem
+         AND CAST(len(list_intersect(i.s, c.s)) AS DOUBLE)
+               / (len(i.s) + len(c.s) - len(list_intersect(i.s, c.s))) >= 0.5)
+      SELECT d.doc_id,
+             CASE WHEN eh.h IS NOT NULL THEN 'exact_dup'
+                  WHEN nr.doc_id IS NOT NULL THEN 'near_dup'
+                  ELSE 'new' END AS status
+      FROM documents d
+      JOIN h ON h.doc_id = d.doc_id
+      LEFT JOIN corpus_h eh ON eh.h = h.h
+      LEFT JOIN near nr ON nr.doc_id = d.doc_id
+      WHERE d.doc_id % $IncrMod = $IncrRem
+      ORDER BY d.doc_id
+    """)
+  )
+
   def all: Seq[GraftQuery] = Seq(
     dedupExact, dedupNgramJaccard, dedupMinhashLsh, dedupSimhash,
     dedupEmbeddingCosine, dedupClusters, dedupMultisignal, dedupSurvivorship,
-    dedupContainment, dedupFuzzyNames
+    dedupContainment, dedupFuzzyNames, dedupIncremental
   )
 }

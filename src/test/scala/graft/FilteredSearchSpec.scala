@@ -82,6 +82,25 @@ class FilteredSearchSpec extends AnyFunSuite {
     }
   }
 
+  test("dedup_incremental: one verdict per increment doc, exact beats near") {
+    import graft.operators.Dedup
+    val out = SparkEntry.queries("dedup_incremental")(spark, sf)
+    val docs = Tables(spark, sf).documents
+    val nInc = docs.filter(col("doc_id") % Dedup.IncrMod === Dedup.IncrRem).count()
+    assert(out.count() == nInc, "not exactly one verdict per increment doc")
+    val statuses = out.select(col("status")).distinct().collect().map(_.getString(0)).toSet
+    assert(statuses.subsetOf(Set("exact_dup", "near_dup", "new")))
+    // every exact_dup has a byte-identical (normalized) corpus twin
+    val norm = trim(regexp_replace(lower(col("text")), lit("\\s+"), lit(" ")))
+    val hashed = docs.select(col("doc_id"), md5(norm.cast("binary")).as("h"))
+    val corpus = hashed.filter(col("doc_id") % Dedup.IncrMod =!= Dedup.IncrRem)
+      .select(col("h")).distinct()
+    val exacts = out.filter(col("status") === "exact_dup").select(col("doc_id"))
+    val unmatched = exacts.join(hashed, Seq("doc_id"))
+      .join(corpus, Seq("h"), "left_anti").count()
+    assert(unmatched == 0, s"$unmatched exact_dup rows lack a corpus twin")
+  }
+
   test("text_ccnet_buckets: per-language tertiles are balanced and ordered") {
     val rows = SparkEntry.queries("text_ccnet_buckets")(spark, sf).collect()
     assert(rows.nonEmpty)
