@@ -39,6 +39,14 @@ class ScaleSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin"), "part dim should broadcast")
   }
 
+  test("filtered vector search pushes the metadata predicate into the scan") {
+    val plan = planOf("sim_ann_filtered")
+    assert(plan.contains(s"EqualTo(label,${operators.Similarity.FilterLabel})"),
+      "label predicate must reach the parquet scan (pre-filtering, not post)")
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"),
+      "query side must broadcast — the corpus never shuffles")
+  }
+
   test("bucketed fact-fact join plans without a shuffle exchange") {
     val t = Tables(spark, sf)
     spark.sql("DROP TABLE IF EXISTS li_b")
