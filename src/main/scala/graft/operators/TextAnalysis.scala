@@ -915,6 +915,111 @@ object TextAnalysis {
     """)
   )
 
+  /** Tokenizer fertility audit: per-source pieces-per-word and
+    * chars-per-piece under the BPE-ish segmentation — the statistic
+    * that drives tokenizer/vocab choice (high fertility = the
+    * tokenizer fragments this domain; budget-per-document shrinks).
+    * Exact integer sums, one map-side-combined aggregation; ratios
+    * are a single division of exact longs, so the output is
+    * bit-stable. At 100 TB this is one scan next to the other
+    * per-source profiles.
+    */
+  val textTokenizerFertility = GraftQuery(
+    "text_tokenizer_fertility",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      t.documents
+        .select(col("source"),
+          size(tokens(col("text"))).cast("long").as("words"),
+          size(regexp_extract_all(col("text"), lit(bpeishPattern), lit(0)))
+            .cast("long").as("pieces"),
+          length(col("text")).cast("long").as("chars"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("words")).as("n_words"),
+          sum(col("pieces")).as("n_pieces"),
+          sum(col("chars")).as("n_chars"))
+        .select(col("source"), col("n_docs"), col("n_words"), col("n_pieces"),
+          round(col("n_pieces").cast("double") / col("n_words"), 6).as("fertility"),
+          round(col("n_chars").cast("double") / col("n_pieces"), 6).as("chars_per_piece"))
+        .orderBy(col("source"))
+    },
+    Some(s"""
+      WITH d AS (
+        SELECT source,
+               CAST(len(string_split_regex(lower(text), '\\s+')) AS BIGINT) AS words,
+               CAST(len(regexp_extract_all(text, '$bpeishPattern')) AS BIGINT) AS pieces,
+               CAST(length(text) AS BIGINT) AS chars
+        FROM documents)
+      SELECT source, COUNT(*) AS n_docs,
+             CAST(SUM(words) AS BIGINT) AS n_words,
+             CAST(SUM(pieces) AS BIGINT) AS n_pieces,
+             round(CAST(SUM(pieces) AS DOUBLE) / CAST(SUM(words) AS BIGINT), 6) AS fertility,
+             round(CAST(SUM(chars) AS DOUBLE) / CAST(SUM(pieces) AS BIGINT), 6) AS chars_per_piece
+      FROM d
+      GROUP BY source
+      ORDER BY source
+    """)
+  )
+
+  /** Global token budget the epoch allocator fills. */
+  val EpochBudgetTokens = 500000L
+
+  /** Epoch allocation under a token budget (the data-constrained
+    * mixing computation): each source's share of the budget is
+    * proportional to an integer sqrt-temperature weight
+    * (w = floor(sqrt(available_tokens)) — same damping convention as
+    * sample_mixture), target tokens follow by INTEGER proration
+    * (budget·w div Σw — no cross-source float sum anywhere, the
+    * samplePps discipline), and epochs = ceil(target/available) says
+    * how many times the source must repeat to fill its share. This is
+    * the planning step for "how many epochs of each domain do we
+    * train on" when data, not compute, binds. Two tiny aggregations;
+    * everything after the per-source token count is arithmetic on a
+    * sources-sized frame.
+    */
+  val sampleEpochAllocation = GraftQuery(
+    "sample_epoch_allocation",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val avail = t.documents
+        .select(col("source"), size(tokens(col("text"))).cast("long").as("w"))
+        .groupBy(col("source")).agg(sum(col("w")).as("avail_tokens"))
+        .withColumn("weight", floor(sqrt(col("avail_tokens"))).cast("long"))
+      val totalW = avail.agg(sum(col("weight")).as("total_w"))
+      avail.crossJoin(broadcast(totalW))
+        .select(col("source"), col("avail_tokens"), col("weight"),
+          // integer div (the samplePps discipline) — a float divide +
+          // floor would lose exactness past 2^53 at real token scales
+          expr(s"(weight * $EpochBudgetTokens) div total_w").as("target_tokens"))
+        .select(col("source"), col("avail_tokens"), col("weight"), col("target_tokens"),
+          expr("(target_tokens + avail_tokens - 1) div avail_tokens").as("epochs"),
+          round(col("target_tokens").cast("double") / col("avail_tokens"), 6)
+            .as("repeat_frac"))
+        .orderBy(col("source"))
+    },
+    Some(s"""
+      WITH avail AS (
+        SELECT source,
+               CAST(SUM(len(string_split_regex(lower(text), '\\s+'))) AS BIGINT)
+                 AS avail_tokens
+        FROM documents GROUP BY source),
+      wt AS (
+        SELECT source, avail_tokens,
+               CAST(floor(sqrt(avail_tokens)) AS BIGINT) AS weight
+        FROM avail),
+      tot AS (SELECT CAST(SUM(weight) AS BIGINT) AS total_w FROM wt)
+      SELECT source, avail_tokens, weight,
+             CAST((weight * $EpochBudgetTokens) // total_w AS BIGINT) AS target_tokens,
+             CAST(((weight * $EpochBudgetTokens) // total_w + avail_tokens - 1)
+               // avail_tokens AS BIGINT) AS epochs,
+             round(CAST((weight * $EpochBudgetTokens) // total_w AS DOUBLE)
+               / avail_tokens, 6) AS repeat_frac
+      FROM wt CROSS JOIN tot
+      ORDER BY source
+    """)
+  )
+
   /** Training-shard export: the terminal step of the text pipeline —
     * write the corpus PARTITIONED BY source (the layout trainers and
     * downstream jobs prune on), read it back, and verify per-shard
@@ -2026,5 +2131,6 @@ object TextAnalysis {
       textZipfStats, textHeavyHitters, textUnigramLm, textExportShards,
       samplePps, textPassageDedup, textCmsFreq, textBigramLm, textBm25,
       textDsirSelect, pipelineFunnel, retrievalHybridRrf, featHashingTrick,
-      textCcnetBuckets, textBpeMerges)
+      textCcnetBuckets, textBpeMerges, textTokenizerFertility,
+      sampleEpochAllocation)
 }

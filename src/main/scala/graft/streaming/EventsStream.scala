@@ -1110,10 +1110,54 @@ object EventsStream {
     """)
   )
 
+  /** Streaming incremental dedup: the arriving crawl increment (the
+    * same modulo split dedup_incremental uses) screened per-document
+    * against the STANDING corpus's content-hash set — batch-built
+    * once, broadcast into every micro-batch (stream-static join, no
+    * state store at all: the verdict needs no cross-batch memory
+    * because the reference set is static within the run). This is the
+    * streaming face of dedup_incremental's exact leg: at 100 TB the
+    * broadcast set becomes a Bloom filter (exactly the
+    * text_decontaminate_bloom build) with hash-set fallback on
+    * probable hits. Append mode — each doc's verdict emits once.
+    */
+  val streamIncrementalDedup = GraftQuery(
+    "stream_incremental_dedup",
+    (s, dir) => {
+      import graft.operators.Dedup.{IncrMod, IncrRem}
+      val t = graft.sources.Tables(s, dir)
+      val norm = trim(regexp_replace(lower(col("text")), "\\s+", " "))
+      val corpusHashes = t.documents
+        .filter(!(col("doc_id") % IncrMod === IncrRem))
+        .select(md5(norm.cast("binary")).as("h")).distinct()
+        .withColumn("in_corpus", lit(true))
+      val verdicts = fileStream(s, dir, "documents.parquet", documentsSchema)
+        .filter(col("doc_id") % IncrMod === IncrRem)
+        .select(col("doc_id"), md5(norm.cast("binary")).as("h"))
+        .join(broadcast(corpusHashes), Seq("h"), "left")
+        .select(col("doc_id"), coalesce(col("in_corpus"), lit(false)).as("exact_dup"))
+      runToTable(verdicts, OutputMode.Append())
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""
+      WITH h AS (
+        SELECT doc_id,
+               md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS h
+        FROM documents),
+      corpus AS (
+        SELECT DISTINCT h FROM h
+        WHERE doc_id % ${graft.operators.Dedup.IncrMod} <> ${graft.operators.Dedup.IncrRem})
+      SELECT i.doc_id, (c.h IS NOT NULL) AS exact_dup
+      FROM h i LEFT JOIN corpus c ON c.h = i.h
+      WHERE i.doc_id % ${graft.operators.Dedup.IncrMod} = ${graft.operators.Dedup.IncrRem}
+      ORDER BY i.doc_id
+    """)
+  )
+
   def all: Seq[GraftQuery] =
     Seq(streamHourlyAgg, streamSessionize, streamScore, streamDedupExact,
       streamEnrichProfile, streamSessionWindow, streamThetaDistinct,
       streamStreamJoin, streamStreamLeftOuter, streamWeightedSample,
       streamUpsertLatest, streamHeavyHitters, streamPatternMatch,
-      streamQuantiles)
+      streamQuantiles, streamIncrementalDedup)
 }

@@ -101,6 +101,31 @@ class FilteredSearchSpec extends AnyFunSuite {
     assert(unmatched == 0, s"$unmatched exact_dup rows lack a corpus twin")
   }
 
+  test("sample_epoch_allocation: integer proration under-fills, epochs are exact ceils") {
+    val rows = SparkEntry.queries("sample_epoch_allocation")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val targetSum = rows.map(_.getLong(3)).sum
+    assert(targetSum <= TextAnalysis.EpochBudgetTokens,
+      s"flooring proration must never over-allocate ($targetSum)")
+    rows.foreach { r =>
+      val (avail, target, epochs) = (r.getLong(1), r.getLong(3), r.getLong(4))
+      val ceil = (target + avail - 1) / avail
+      assert(epochs == ceil, s"${r.getString(0)}: epochs $epochs != ceil $ceil")
+      assert(r.getDouble(5) > 0 && r.getDouble(5) <= epochs)
+    }
+  }
+
+  test("stream_incremental_dedup verdicts equal dedup_incremental's exact leg") {
+    val streamed = SparkEntry.queries("stream_incremental_dedup")(spark, sf)
+      .select(col("doc_id"), col("exact_dup"))
+    val batch = SparkEntry.queries("dedup_incremental")(spark, sf)
+      .select(col("doc_id"), (col("status") === "exact_dup").as("exact_dup"))
+    assert(streamed.count() == batch.count())
+    val disagree = streamed.join(batch.withColumnRenamed("exact_dup", "b"), Seq("doc_id"))
+      .filter(col("exact_dup") =!= col("b")).count()
+    assert(disagree == 0, s"$disagree stream≠batch exact verdicts")
+  }
+
   test("text_ccnet_buckets: per-language tertiles are balanced and ordered") {
     val rows = SparkEntry.queries("text_ccnet_buckets")(spark, sf).collect()
     assert(rows.nonEmpty)
