@@ -1423,10 +1423,172 @@ object Analytics {
     """)
   )
 
+  /** Point-in-time (PIT) SCD2 dimension lookup: every lineitem (fact,
+    * keyed by ship date) is joined to the customer dimension VERSION
+    * that was open at that instant — the version chain being the q49
+    * SCD2 frame (one version per order, tie-broken by order key, so
+    * the dimension is deduped to one row per (custkey, valid_from)
+    * with the max order key winning the tie). This is the warehouse
+    * "repeatable training snapshot" join — a feature-store
+    * point-in-time lookup is exactly this shape — and it runs on the
+    * engine's NATIVE as-of operator ([[graft.plans.AsOfJoin]]): both
+    * sides hash-partition by customer and sort by time once, then a
+    * single merge pass carries O(1) state; no interval blow-up, no
+    * window over the fact table. DuckDB's built-in ASOF LEFT JOIN is
+    * the oracle.
+    */
+  val q86PitScd2Join = GraftQuery(
+    "q86_pit_scd2_join",
+    (s, dir) => {
+      import graft.plans.AsOf
+      val t = Tables(s, dir)
+      val dim = t.orders
+        .groupBy(col("o_custkey").as("v_custkey"),
+          col("o_orderdate").as("valid_from"))
+        .agg(max(col("o_orderkey")).as("version_order"))
+      val fact = t.lineitem
+        .join(t.orders.select(col("o_orderkey"), col("o_custkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey"), col("l_orderkey"),
+          col("l_linenumber").cast("long").as("l_linenumber"),
+          col("l_shipdate"))
+      AsOf.join(fact, dim,
+        leftKeys = Seq("o_custkey"), rightKeys = Seq("v_custkey"),
+        leftTime = "l_shipdate", rightTime = "valid_from")
+        .select(col("l_orderkey"), col("l_linenumber"), col("o_custkey"),
+          tsString(col("l_shipdate")).as("ship_s"),
+          col("version_order"),
+          tsString(col("valid_from")).as("valid_from_s"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    },
+    Some("""
+      WITH dim AS (
+        SELECT o_custkey AS v_custkey, o_orderdate AS valid_from,
+               MAX(o_orderkey) AS version_order
+        FROM orders GROUP BY 1, 2),
+      fact AS (
+        SELECT o.o_custkey, l.l_orderkey,
+               CAST(l.l_linenumber AS BIGINT) AS l_linenumber, l.l_shipdate
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey)
+      SELECT f.l_orderkey, f.l_linenumber, f.o_custkey,
+             strftime(f.l_shipdate, '%Y-%m-%d %H:%M:%S') AS ship_s,
+             d.version_order,
+             strftime(d.valid_from, '%Y-%m-%d %H:%M:%S') AS valid_from_s
+      FROM fact f ASOF LEFT JOIN dim d
+        ON f.o_custkey = d.v_custkey AND f.l_shipdate >= d.valid_from
+      ORDER BY f.l_orderkey, f.l_linenumber
+    """)
+  )
+
+  /** CUPED variance-reduced experiment readout (Deng et al. 2013):
+    * users are split into deterministic arms (user_id parity), the
+    * pre-period covariate is each user's spend before the cutoff and
+    * the outcome their spend after it. θ = cov(pre, post)/var(pre)
+    * comes from EXACT integer-cent moments accumulated in one pass
+    * (the q51 discipline: Σx, Σy BIGINT; Σxy, Σx² through
+    * DECIMAL(38,0); doubles only in the closed-form tail, where both
+    * engines evaluate the identical correctly-rounded expression), so
+    * the adjusted effect
+    * `(post̄_T − post̄_C) − θ·(prē_T − prē_C)` is bit-identical
+    * across engines. Shape at 100 TB: one user-keyed partial
+    * aggregation then a single-row reduce — no second scan, no
+    * per-user double arithmetic.
+    */
+  val q87Cuped = GraftQuery(
+    "q87_cuped",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val cutoff = lit("2024-01-15 00:00:00").cast("timestamp")
+      val cents = round(col("value") * 100).cast("long")
+      val perUser = t.events
+        .select(col("user_id"), cents.as("cents"),
+          (col("ts") < cutoff).as("is_pre"))
+        .groupBy(col("user_id"))
+        .agg(
+          sum(when(col("is_pre"), col("cents")).otherwise(0L)).as("pre"),
+          sum(when(!col("is_pre"), col("cents")).otherwise(0L)).as("post"))
+        .withColumn("arm", pmod(col("user_id"), lit(2L)))
+      val dec = DecimalType(38, 0)
+      val m = perUser.agg(
+        count(lit(1)).as("n"),
+        sum(col("pre")).as("spre"),
+        sum(col("post")).as("spost"),
+        sum((col("pre") * col("post")).cast(dec)).as("spp"),
+        sum((col("pre") * col("pre")).cast(dec)).as("spre2"),
+        sum(when(col("arm") === 1, 1L).otherwise(0L)).as("n_t"),
+        sum(when(col("arm") === 0, 1L).otherwise(0L)).as("n_c"),
+        sum(when(col("arm") === 1, col("post")).otherwise(0L)).as("spost_t"),
+        sum(when(col("arm") === 0, col("post")).otherwise(0L)).as("spost_c"),
+        sum(when(col("arm") === 1, col("pre")).otherwise(0L)).as("spre_t"),
+        sum(when(col("arm") === 0, col("pre")).otherwise(0L)).as("spre_c"))
+      val d = DoubleType
+      m.select(col("n_t"), col("n_c"), col("spost_t"), col("spost_c"),
+          col("spre_t"), col("spre_c"),
+          col("n").cast(d).as("n_d"),
+          col("spre").cast(d).as("spre_d"), col("spost").cast(d).as("spost_d"),
+          col("spp").cast(d).as("spp_d"), col("spre2").cast(d).as("spre2_d"))
+        .withColumn("theta",
+          (col("n_d") * col("spp_d") - col("spre_d") * col("spost_d")) /
+          (col("n_d") * col("spre2_d") - col("spre_d") * col("spre_d")))
+        .withColumn("effect_raw",
+          col("spost_t").cast(d) / col("n_t").cast(d) -
+          col("spost_c").cast(d) / col("n_c").cast(d))
+        .withColumn("effect_cuped",
+          col("effect_raw") - col("theta") *
+            (col("spre_t").cast(d) / col("n_t").cast(d) -
+             col("spre_c").cast(d) / col("n_c").cast(d)))
+        .select(col("n_t"), col("n_c"), col("spost_t"), col("spost_c"),
+          col("spre_t"), col("spre_c"), col("theta"),
+          col("effect_raw"), col("effect_cuped"))
+    },
+    Some("""
+      WITH e AS (
+        SELECT user_id, CAST(round(value * 100) AS BIGINT) AS cents,
+               ts < TIMESTAMP '2024-01-15 00:00:00' AS is_pre
+        FROM events),
+      u AS (
+        SELECT user_id,
+               CAST(SUM(CASE WHEN is_pre THEN cents ELSE 0 END) AS BIGINT) AS pre,
+               CAST(SUM(CASE WHEN NOT is_pre THEN cents ELSE 0 END) AS BIGINT) AS post,
+               user_id % 2 AS arm
+        FROM e GROUP BY user_id),
+      m AS (
+        SELECT COUNT(*) AS n,
+               CAST(SUM(pre) AS BIGINT) AS spre,
+               CAST(SUM(post) AS BIGINT) AS spost,
+               SUM(pre * post) AS spp,
+               SUM(pre * pre) AS spre2,
+               CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_t,
+               CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_c,
+               CAST(SUM(CASE WHEN arm = 1 THEN post ELSE 0 END) AS BIGINT) AS spost_t,
+               CAST(SUM(CASE WHEN arm = 0 THEN post ELSE 0 END) AS BIGINT) AS spost_c,
+               CAST(SUM(CASE WHEN arm = 1 THEN pre ELSE 0 END) AS BIGINT) AS spre_t,
+               CAST(SUM(CASE WHEN arm = 0 THEN pre ELSE 0 END) AS BIGINT) AS spre_c
+        FROM u)
+      SELECT n_t, n_c, spost_t, spost_c, spre_t, spre_c,
+             (CAST(n AS DOUBLE) * CAST(spp AS DOUBLE)
+                - CAST(spre AS DOUBLE) * CAST(spost AS DOUBLE)) /
+             (CAST(n AS DOUBLE) * CAST(spre2 AS DOUBLE)
+                - CAST(spre AS DOUBLE) * CAST(spre AS DOUBLE)) AS theta,
+             CAST(spost_t AS DOUBLE) / CAST(n_t AS DOUBLE)
+               - CAST(spost_c AS DOUBLE) / CAST(n_c AS DOUBLE) AS effect_raw,
+             (CAST(spost_t AS DOUBLE) / CAST(n_t AS DOUBLE)
+                - CAST(spost_c AS DOUBLE) / CAST(n_c AS DOUBLE))
+             - ((CAST(n AS DOUBLE) * CAST(spp AS DOUBLE)
+                  - CAST(spre AS DOUBLE) * CAST(spost AS DOUBLE)) /
+                (CAST(n AS DOUBLE) * CAST(spre2 AS DOUBLE)
+                  - CAST(spre AS DOUBLE) * CAST(spre AS DOUBLE)))
+               * (CAST(spre_t AS DOUBLE) / CAST(n_t AS DOUBLE)
+                  - CAST(spre_c AS DOUBLE) / CAST(n_c AS DOUBLE)) AS effect_cuped
+      FROM m
+    """)
+  )
+
   def all: Seq[GraftQuery] =
     Seq(q46Funnel, q47CohortRetention, q48AnomalyExact, q49Scd2Versions,
       q51StatsProfile, q52ColumnProfile, q56SessionizedFunnel, q55DqConstraints,
       q59Winsorize, q61ApproxGroupbySample, q62PeriodicProfile, q63OrderStreaks,
       q64TargetEncoding, q66ParetoFrontier, q68MadOutliers, q71WelchTtest,
-      q73RfmSegments, q75PsiDrift, q83Attribution, q84MarkovTransitions)
+      q73RfmSegments, q75PsiDrift, q83Attribution, q84MarkovTransitions,
+      q86PitScd2Join, q87Cuped)
 }

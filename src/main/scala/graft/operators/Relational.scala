@@ -2209,6 +2209,60 @@ object Relational {
     """)
   )
 
+  /** TPC-H Q21 shape (suppliers who kept orders waiting), adapted to
+    * this schema's columns: suppliers that were the SOLE
+    * returned-line supplier in a finalized multi-supplier order. The
+    * textbook formulation is two correlated EXISTS / NOT EXISTS
+    * self-joins on lineitem (the DuckDB oracle keeps that spelling);
+    * the engine rewrites both subqueries into ONE per-order partial
+    * aggregation — `n_supp = countDistinct(suppkey)`,
+    * `n_bad_supp = countDistinct(suppkey | returned)` — because
+    * EXISTS(other supplier) ⟺ n_supp > 1 and NOT EXISTS(other bad
+    * supplier) ⟺ n_bad_supp = 1 when the probe row is itself bad.
+    * At 100 TB that replaces two shuffled self-joins of the fact
+    * table with one map-side-combined groupBy co-partitioned with the
+    * probe join on l_orderkey; the supplier dimension broadcasts.
+    */
+  val q85BlameSuppliers = GraftQuery(
+    "q85_blame_suppliers",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val li = t.lineitem.select(col("l_orderkey"), col("l_suppkey"),
+        col("l_returnflag"))
+      val stats = li.groupBy(col("l_orderkey")).agg(
+        countDistinct(col("l_suppkey")).as("n_supp"),
+        countDistinct(when(col("l_returnflag") === "R", col("l_suppkey")))
+          .as("n_bad_supp"))
+      li.where(col("l_returnflag") === "R")
+        .join(stats.where(col("n_supp") > 1 && col("n_bad_supp") === 1)
+          .select(col("l_orderkey")), Seq("l_orderkey"))
+        .join(t.orders.where(col("o_orderstatus") === "F")
+          .select(col("o_orderkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(t.supplier.select(col("s_suppkey"), col("s_name"))),
+          col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("s_name"))
+        .agg(count(lit(1)).as("numwait"))
+        .orderBy(col("numwait").desc, col("s_name"))
+    },
+    Some("""
+      SELECT s.s_name, COUNT(*) AS numwait
+      FROM lineitem l1
+      JOIN orders o ON o.o_orderkey = l1.l_orderkey AND o.o_orderstatus = 'F'
+      JOIN supplier s ON s.s_suppkey = l1.l_suppkey
+      WHERE l1.l_returnflag = 'R'
+        AND EXISTS (SELECT 1 FROM lineitem l2
+                    WHERE l2.l_orderkey = l1.l_orderkey
+                      AND l2.l_suppkey <> l1.l_suppkey)
+        AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                        WHERE l3.l_orderkey = l1.l_orderkey
+                          AND l3.l_suppkey <> l1.l_suppkey
+                          AND l3.l_returnflag = 'R')
+      GROUP BY s.s_name
+      ORDER BY numwait DESC, s_name
+    """)
+  )
+
   def all: Seq[GraftQuery] = Seq(
     q01PricingSummary, q02RevenueByNation, q03ShippingPriority,
     q04OrderPriorityExists, q05CustomersWithoutOrders, q06RevenueFilter,
@@ -2224,6 +2278,6 @@ object Relational {
     q57TopkJoinPushdown, q58EwmaSmoothing, q67WindowRanks,
     q72ReconcileFullOuter, q74SchemaEvolution, q77SmallQtyRevenue,
     q78CompactFiles, q79MultiDistinct, q80DeleteCascade,
-    q81ArgmaxGroups, q82RunningDistinct
+    q81ArgmaxGroups, q82RunningDistinct, q85BlameSuppliers
   )
 }

@@ -2123,6 +2123,114 @@ object TextAnalysis {
     """)
   )
 
+  /** Gram length (in tokens) for exact-substring dedup. Real corpus
+    * dedup uses ~50-token grams (Lee et al., "Deduplicating Training
+    * Data Makes Language Models Better"); the fixtures' documents are
+    * short, so a smaller window exercises the same machinery.
+    */
+  val SubstringGramTokens = 8
+
+  /** Exact-substring duplicated-span stats per document: every
+    * overlapping [[SubstringGramTokens]]-token gram is hashed, grams
+    * occurring more than once in the corpus mark their start
+    * positions as duplicated, and per document the duplicated
+    * positions are merged into MAXIMAL spans (two grams merge when
+    * their covered token intervals overlap or touch, i.e. start
+    * distance <= k). This is the suffix-array exact-substring dedup
+    * shape re-expressed as dataflow: instead of a monolithic suffix
+    * array over the concatenated corpus, an inverted gram index (one
+    * hash-partitioned groupBy) finds repeats, and a per-doc window
+    * pass merges them into maximal islands — every stage is a plain
+    * shuffle-or-window over linear-in-token data, so it runs at
+    * corpus scale where a single suffix array cannot.
+    *
+    * All arithmetic is integer (positions, counts), so the DuckDB
+    * restatement is bit-identical.
+    */
+  def substringDedupStats(docs: DataFrame, k: Int): DataFrame = {
+    val toks = docs
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"), col("toks"),
+        size(col("toks")).cast("long").as("n_tokens"))
+    val grams = toks
+      .where(col("n_tokens") >= k)
+      .select(col("doc_id"),
+        explode(sequence(lit(1L), col("n_tokens") - (k - 1))).as("pos"),
+        col("toks"))
+      .select(col("doc_id"), col("pos"),
+        md5(concat_ws(" ", slice(col("toks"), col("pos").cast("int"), lit(k)))
+          .cast("binary")).as("g_hash"))
+    // Duplicated grams are typically a small fraction of all grams, so
+    // the filter-then-join-back keeps the second shuffle narrow; at
+    // 100 TB the duplicated-hash set can additionally seed a Bloom
+    // filter pushed into the gram scan (same pattern as
+    // textDecontaminateBloom).
+    val dupHashes = grams.groupBy(col("g_hash"))
+      .agg(count(lit(1)).as("occ"))
+      .where(col("occ") > 1)
+      .select(col("g_hash"))
+    val dupPos = grams.join(dupHashes, Seq("g_hash")).select(col("doc_id"), col("pos"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val islands = dupPos
+      .withColumn("brk",
+        when(col("pos") - lag(col("pos"), 1).over(w) > k, 1L).otherwise(lit(0L)))
+      .withColumn("island", sum(col("brk")).over(w))
+    val spans = islands.groupBy(col("doc_id"), col("island"))
+      .agg((max(col("pos")) - min(col("pos")) + k).as("covered"))
+    val perDoc = spans.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_spans"), sum(col("covered")).as("dup_tokens"))
+    toks.select(col("doc_id"), col("n_tokens"))
+      .join(perDoc, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"),
+        (coalesce(col("dup_tokens"), lit(0L)) * 5 < col("n_tokens")).as("keep"))
+      .orderBy(col("doc_id"))
+  }
+
+  val textSubstringDedup = GraftQuery(
+    "text_substring_dedup",
+    (s, dir) => substringDedupStats(Tables(s, dir).documents, SubstringGramTokens),
+    Some(raw"""
+      WITH t AS (
+        SELECT doc_id, string_split_regex(lower(text), '\s+') AS toks,
+               CAST(len(string_split_regex(lower(text), '\s+')) AS BIGINT) AS n_tokens
+        FROM documents),
+      g AS (
+        SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+               md5(array_to_string(
+                 list_slice(toks, pos, pos + $SubstringGramTokens - 1), ' ')) AS g_hash
+        FROM (SELECT doc_id, toks,
+                     unnest(range(1, CAST(n_tokens - ($SubstringGramTokens - 1) AS BIGINT) + 1)) AS pos
+              FROM t WHERE n_tokens >= $SubstringGramTokens)),
+      dup_hashes AS (SELECT g_hash FROM g GROUP BY g_hash HAVING COUNT(*) > 1),
+      dup_pos AS (SELECT doc_id, pos FROM g JOIN dup_hashes USING (g_hash)),
+      isl AS (
+        SELECT doc_id, pos,
+               CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+                      > $SubstringGramTokens THEN 1 ELSE 0 END AS brk
+        FROM dup_pos),
+      isl2 AS (
+        SELECT doc_id, pos,
+               CAST(SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS BIGINT) AS island
+        FROM isl),
+      spans AS (
+        SELECT doc_id, island,
+               MAX(pos) - MIN(pos) + $SubstringGramTokens AS covered
+        FROM isl2 GROUP BY doc_id, island),
+      per_doc AS (
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_spans,
+               CAST(SUM(covered) AS BIGINT) AS dup_tokens
+        FROM spans GROUP BY doc_id)
+      SELECT t.doc_id, t.n_tokens,
+             COALESCE(p.n_spans, 0) AS n_spans,
+             COALESCE(p.dup_tokens, 0) AS dup_tokens,
+             COALESCE(p.dup_tokens, 0) * 5 < t.n_tokens AS keep
+      FROM t LEFT JOIN per_doc p ON t.doc_id = p.doc_id
+      ORDER BY t.doc_id
+    """)
+  )
+
   def all: Seq[GraftQuery] =
     Seq(textTokens, textQuality, textLangid, textFingerprint, textTopNgrams,
       textTrainingSet, textChunk, textDecontaminate, sampleStratified,
@@ -2132,5 +2240,5 @@ object TextAnalysis {
       samplePps, textPassageDedup, textCmsFreq, textBigramLm, textBm25,
       textDsirSelect, pipelineFunnel, retrievalHybridRrf, featHashingTrick,
       textCcnetBuckets, textBpeMerges, textTokenizerFertility,
-      sampleEpochAllocation)
+      sampleEpochAllocation, textSubstringDedup)
 }

@@ -784,4 +784,26 @@ class TextDedupSpec extends AnyFunSuite {
       assert(m == want(d), s"token mass of doc $d")
     }
   }
+
+  test("substring dedup merges overlapping grams into maximal spans") {
+    // k=3 grams. Docs 1 and 2 share the run "a b c d e" (5 tokens ->
+    // gram starts 1..3 overlap -> ONE maximal span covering 5 tokens).
+    // Doc 3 shares a disjoint 3-token run "x y z" with doc 4 AND the
+    // 5-token run, separated by unique filler -> two islands.
+    val docs = Seq(
+      (1L, "a b c d e u1 u2 u3 u4 u5"),
+      (2L, "v1 v2 a b c d e v3 v4"),
+      (3L, "a b c d e f1 f2 f3 f4 x y z"),
+      (4L, "w1 x y z w2 w3 w4 w5"),
+      (5L, "solo document with no repeats at all here")
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.substringDedupStats(docs, 3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(2), r.getLong(3), r.getBoolean(4)))).toMap
+    assert(got(1L) == ((1L, 5L, false)), "doc1: one 5-token span, 5*5 >= 10")
+    assert(got(2L) == ((1L, 5L, false)))
+    assert(got(3L) == ((2L, 8L, false)), "doc3: 5-token + 3-token islands")
+    assert(got(4L) == ((1L, 3L, false)), "doc4: 3*5 >= 8 tokens -> drop")
+    assert(got(5L) == ((0L, 0L, true)), "clean doc kept")
+  }
 }
