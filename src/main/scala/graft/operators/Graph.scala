@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DecimalType, DoubleType}
 
@@ -772,8 +773,81 @@ object Graph {
     """)
   )
 
+  /** Link prediction by common-neighbor counting for a QUERY set of
+    * parts (every 100th part id): candidate b scores cn = |Γ(a)∩Γ(b)|
+    * wedges through shared neighbors, already-adjacent pairs are
+    * anti-joined away, and the top-5 per query (cn desc, id
+    * tie-break) ship with their neighborhood-Jaccard overlap. The
+    * co-purchase graph is DENSE (min degree ≈ 87 even at sf0.01), so
+    * all-pairs wedge enumeration is Σd² ≈ quadratic — instead this is
+    * the SERVING shape: per-query work is O(d̄²) through one
+    * wedge join that starts from the query rows, independent of
+    * corpus size, exactly how a candidate-generation stage runs next
+    * to a recommender. The full-corpus variant needs hub-capped wedge
+    * centers (the dedup df-cap move) and is documented, not shipped.
+    */
+  val graphLinkPrediction = GraftQuery(
+    "graph_link_prediction",
+    (s, dir) => {
+      val (edges, sym) = copurchaseGraphShared(s, dir)
+      val deg = sym.groupBy(col("u")).agg(count(lit(1)).as("d"))
+      val qs = sym.where(pmod(col("u"), lit(100L)) === 0)
+        .select(col("u").as("a"), col("v").as("z"))
+      val wedges = qs
+        .join(sym.select(col("u").as("z"), col("v").as("b")), Seq("z"))
+        .where(col("b") =!= col("a"))
+        .groupBy(col("a"), col("b")).agg(count(lit(1)).as("cn"))
+      val nonAdj = wedges.join(edges,
+        least(col("a"), col("b")) === col("pa") &&
+          greatest(col("a"), col("b")) === col("pb"), "left_anti")
+      val w = Window.partitionBy(col("a")).orderBy(col("cn").desc, col("b"))
+      nonAdj
+        .join(deg.select(col("u").as("a"), col("d").as("da")), Seq("a"))
+        .join(deg.select(col("u").as("b"), col("d").as("db")), Seq("b"))
+        .withColumn("rnk", row_number().over(w).cast("long"))
+        .where(col("rnk") <= 5)
+        .select(col("a"), col("b"), col("cn"), col("da"), col("db"),
+          (col("cn").cast(DoubleType) /
+            (col("da") + col("db") - col("cn")).cast(DoubleType)).as("jaccard"),
+          col("rnk"))
+        .orderBy(col("a"), col("rnk"))
+    },
+    Some("""
+      WITH items AS (
+        SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+      e AS (
+        SELECT DISTINCT a.p AS pa, b.p AS pb
+        FROM items a JOIN items b ON a.o = b.o AND a.p < b.p),
+      sym AS (SELECT pa AS u, pb AS v FROM e UNION ALL SELECT pb, pa FROM e),
+      deg AS (SELECT u, COUNT(*) AS d FROM sym GROUP BY u),
+      qs AS (SELECT u AS a, v AS z FROM sym WHERE u % 100 = 0),
+      wedges AS (
+        SELECT q.a, s.v AS b, COUNT(*) AS cn
+        FROM qs q JOIN sym s ON q.z = s.u
+        WHERE s.v <> q.a
+        GROUP BY q.a, s.v),
+      nonadj AS (
+        SELECT w.* FROM wedges w
+        WHERE NOT EXISTS (SELECT 1 FROM e
+                          WHERE e.pa = least(w.a, w.b)
+                            AND e.pb = greatest(w.a, w.b))),
+      wd AS (
+        SELECT n.a, n.b, n.cn, da.d AS da, db.d AS db
+        FROM nonadj n JOIN deg da ON n.a = da.u JOIN deg db ON n.b = db.u),
+      r AS (
+        SELECT a, b, cn, da, db,
+               CAST(row_number() OVER (PARTITION BY a ORDER BY cn DESC, b)
+                 AS BIGINT) AS rnk
+        FROM wd)
+      SELECT a, b, cn, da, db,
+             CAST(cn AS DOUBLE) / CAST(da + db - cn AS DOUBLE) AS jaccard, rnk
+      FROM r WHERE rnk <= 5
+      ORDER BY a, rnk
+    """)
+  )
+
   def all: Seq[GraftQuery] =
     Seq(graphDegreeStats, graphTriangles, graphPagerank, graphItemRecs,
       graphPagerankWeighted, graphCustomerSimilarity, graphCommunities,
-      graphHierarchyRollup, graphBfsLevels)
+      graphHierarchyRollup, graphBfsLevels, graphLinkPrediction)
 }

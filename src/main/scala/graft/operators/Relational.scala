@@ -2263,6 +2263,62 @@ object Relational {
     """)
   )
 
+  /** Salt prefix for [[q89Pseudonymize]]. In production this is a
+    * vaulted secret rotated per release; a checked-in constant keeps
+    * the oracle deterministic.
+    */
+  private val PseudoSalt = "graft-salt-2026:"
+
+  /** Governance: key pseudonymization with cross-table referential
+    * integrity. Natural customer keys are replaced by a salted-hash
+    * surrogate (64-bit hex — irreversible without the salt), applied
+    * CONSISTENTLY to both the dimension (customer) and the fact
+    * referencing it (orders), and the output is the re-keyed
+    * per-customer order mart: identical analytics remain possible on
+    * the pseudonymized keys (the group-by reproduces exact
+    * per-customer stats) while raw ids never appear. The hash is a
+    * per-row projection — no shuffle beyond the join the mart needs
+    * anyway, and the join key distribution is untouched (bijective
+    * rename), so partitioning strategies survive pseudonymization at
+    * 100 TB. Complements q80's right-to-be-forgotten cascade.
+    */
+  val q89Pseudonymize = GraftQuery(
+    "q89_pseudonymize",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      def pseudo(c: Column): Column =
+        substring(md5(concat(lit(PseudoSalt), c.cast("string")).cast("binary")), 1, 16)
+      val cust = t.customer.select(
+        pseudo(col("c_custkey")).as("pseudo_id"), col("c_mktsegment"))
+      val ords = t.orders.select(
+        pseudo(col("o_custkey")).as("pseudo_id"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      cust.join(ords, Seq("pseudo_id"), "left_outer")
+        .groupBy(col("pseudo_id"), col("c_mktsegment"))
+        .agg(count(col("cents")).as("n_orders"),
+          coalesce(sum(col("cents")), lit(0L)).as("total_cents"))
+        .orderBy(col("pseudo_id"))
+    },
+    Some(s"""
+      WITH cust AS (
+        SELECT substr(md5('$PseudoSalt' || CAST(c_custkey AS VARCHAR)), 1, 16)
+                 AS pseudo_id,
+               c_mktsegment
+        FROM customer),
+      ords AS (
+        SELECT substr(md5('$PseudoSalt' || CAST(o_custkey AS VARCHAR)), 1, 16)
+                 AS pseudo_id,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders)
+      SELECT c.pseudo_id, c.c_mktsegment,
+             COUNT(o.cents) AS n_orders,
+             COALESCE(CAST(SUM(o.cents) AS BIGINT), 0) AS total_cents
+      FROM cust c LEFT JOIN ords o ON c.pseudo_id = o.pseudo_id
+      GROUP BY c.pseudo_id, c.c_mktsegment
+      ORDER BY c.pseudo_id
+    """)
+  )
+
   def all: Seq[GraftQuery] = Seq(
     q01PricingSummary, q02RevenueByNation, q03ShippingPriority,
     q04OrderPriorityExists, q05CustomersWithoutOrders, q06RevenueFilter,
@@ -2278,6 +2334,6 @@ object Relational {
     q57TopkJoinPushdown, q58EwmaSmoothing, q67WindowRanks,
     q72ReconcileFullOuter, q74SchemaEvolution, q77SmallQtyRevenue,
     q78CompactFiles, q79MultiDistinct, q80DeleteCascade,
-    q81ArgmaxGroups, q82RunningDistinct, q85BlameSuppliers
+    q81ArgmaxGroups, q82RunningDistinct, q85BlameSuppliers, q89Pseudonymize
   )
 }

@@ -1154,10 +1154,90 @@ object EventsStream {
     """)
   )
 
+  /** Streaming anomaly detection against a trailing EWMA baseline:
+    * per user, each event's integer-cent value is compared to the
+    * truncated power-of-2 EWMA of its PREVIOUS seven values (the
+    * q58_ewma_smoothing discipline — weights 64..1, numerator and
+    * denominator both exact integers), and flagged when it exceeds
+    * 2× the baseline, as an integer cross-product compare
+    * (`cents·den > 2·num`) so stream and batch agree bit-for-bit.
+    * State per user is the last-7 ring (7 longs — O(keys) state, no
+    * growth with stream length); rows are event-time-ordered inside
+    * each micro-batch, and the ring carries ordering across batches,
+    * so replay ≡ the batch lag-window oracle. The first events of a
+    * user (empty baseline, den = 0) are never flagged — on both
+    * engines.
+    */
+  val streamEwmaAnomaly = GraftQuery(
+    "stream_ewma_anomaly",
+    (s, dir) => {
+      import s.implicits._
+      val typed = eventsStream(s, dir)
+        .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"),
+          round(col("value") * 100).cast("long").as("cents"))
+        .as[(Long, Long, Long, Long)]
+      val flagged = typed.groupByKey(_._1)
+        .flatMapGroupsWithState[Array[Long], (Long, Long, Long, Long, Long, Boolean)](
+          OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+          (uid: Long, rows: Iterator[(Long, Long, Long, Long)],
+           state: GroupState[Array[Long]]) =>
+            var hist = state.getOption.getOrElse(Array.empty[Long]) // most recent first
+            val out = rows.toArray.sortBy(r => (r._3, r._2)).map { r =>
+              var num = 0L; var den = 0L
+              var j = 0
+              while (j < hist.length) {
+                val wgt = 1L << (6 - j); num += hist(j) * wgt; den += wgt; j += 1
+              }
+              val anom = den > 0 && r._4 * den > 2L * num
+              hist = (r._4 +: hist).take(7)
+              (r._2, uid, r._4, num, den, anom)
+            }
+            state.update(hist)
+            out.iterator
+        }
+        .toDF("event_id", "user_id", "cents", "base_num", "base_den", "is_anomaly")
+      runToTable(flagged, OutputMode.Append()).orderBy(col("event_id"))
+    },
+    Some("""
+      WITH base AS (
+        SELECT user_id, event_id, ts,
+               CAST(round(value * 100) AS BIGINT) AS cents
+        FROM events),
+      lagged AS (
+        SELECT user_id, event_id, cents,
+               lag(cents, 1) OVER w AS c1, lag(cents, 2) OVER w AS c2,
+               lag(cents, 3) OVER w AS c3, lag(cents, 4) OVER w AS c4,
+               lag(cents, 5) OVER w AS c5, lag(cents, 6) OVER w AS c6,
+               lag(cents, 7) OVER w AS c7
+        FROM base
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      flags AS (
+        SELECT event_id, user_id, cents,
+               COALESCE(c1 * 64, 0) + COALESCE(c2 * 32, 0)
+                 + COALESCE(c3 * 16, 0) + COALESCE(c4 * 8, 0)
+                 + COALESCE(c5 * 4, 0) + COALESCE(c6 * 2, 0)
+                 + COALESCE(c7, 0) AS num,
+               CASE WHEN c1 IS NULL THEN 0 ELSE 64 END
+                 + CASE WHEN c2 IS NULL THEN 0 ELSE 32 END
+                 + CASE WHEN c3 IS NULL THEN 0 ELSE 16 END
+                 + CASE WHEN c4 IS NULL THEN 0 ELSE 8 END
+                 + CASE WHEN c5 IS NULL THEN 0 ELSE 4 END
+                 + CASE WHEN c6 IS NULL THEN 0 ELSE 2 END
+                 + CASE WHEN c7 IS NULL THEN 0 ELSE 1 END AS den
+        FROM lagged)
+      SELECT event_id, user_id, cents,
+             CAST(num AS BIGINT) AS base_num,
+             CAST(den AS BIGINT) AS base_den,
+             den > 0 AND cents * den > 2 * num AS is_anomaly
+      FROM flags
+      ORDER BY event_id
+    """)
+  )
+
   def all: Seq[GraftQuery] =
     Seq(streamHourlyAgg, streamSessionize, streamScore, streamDedupExact,
       streamEnrichProfile, streamSessionWindow, streamThetaDistinct,
       streamStreamJoin, streamStreamLeftOuter, streamWeightedSample,
       streamUpsertLatest, streamHeavyHitters, streamPatternMatch,
-      streamQuantiles, streamIncrementalDedup)
+      streamQuantiles, streamIncrementalDedup, streamEwmaAnomaly)
 }
