@@ -237,5 +237,70 @@ object MLQueries {
     """)
   )
 
-  def all: Seq[GraftQuery] = Seq(mlBinary, mlRegression, mlMulticlass, mlCvKfold)
+  /** Classifier distillation — the fastText-style bootstrap a
+    * training-data pipeline runs at corpus scale (CCNet / LLaMA-2
+    * data work: an expensive or seed rule labels a corpus slice, a
+    * cheap linear model learns to reproduce it and then scores
+    * everything): the rule here is a keyword-frequency filter
+    * (`count('spark') ≥ 2`, ~47 % base rate — the corpus' lang/source
+    * columns are NOT reflected in its synthetic token stream, so the
+    * distillable signal must come from the text itself), features are
+    * hashed bag-of-tokens (HashingTF, 16384 buckets — the
+    * feat_hashing_trick move with MLlib's murmur hash), the model is
+    * logistic regression fit on the even-doc_id split and evaluated
+    * on the held-out odd split. The label is a threshold on one
+    * feature, so the task is linearly separable BY CONSTRUCTION —
+    * the gate (held-out accuracy ≥ 0.95) tests the pipeline
+    * (tokenize → hash → fit → broadcast-score), not model luck. The
+    * oracle recomputes the SPLIT LABEL COUNTS independently in DuckDB
+    * (list_filter over the same tokenization), so tokenizer parity is
+    * hash-checked, not assumed. Scoring is a broadcast model
+    * transform: linear in corpus size, no shuffle.
+    */
+  val mlTextClassifier = GraftQuery(
+    "ml_text_classifier",
+    (s, dir) => {
+      import org.apache.spark.ml.classification.LogisticRegression
+      import org.apache.spark.ml.feature.{HashingTF, Tokenizer}
+      val t = Tables(s, dir)
+      val toksRule = split(lower(col("text")), "\\s+")
+      val docs = t.documents.select(col("doc_id"), col("text"),
+        (size(filter(toksRule, x => x === "spark")) >= 2).cast("double")
+          .as("label"),
+        (pmod(col("doc_id"), lit(2L)) === 0).as("is_train"))
+      val tok = new Tokenizer().setInputCol("text").setOutputCol("toks")
+      val tf = new HashingTF().setInputCol("toks").setOutputCol("features")
+        .setNumFeatures(16384)
+      val feats = tf.transform(tok.transform(docs)).cache()
+      val model = new LogisticRegression()
+        .setMaxIter(50).setRegParam(0.001)
+        .fit(feats.filter(col("is_train")))
+      val out = model.transform(feats)
+        .groupBy(col("is_train")).agg(
+          count(lit(1)).as("n"),
+          sum(col("label")).cast("long").as("n_pos"),
+          sum(when(col("prediction") === col("label"), 1L).otherwise(0L))
+            .as("n_correct"))
+        .select(col("is_train"), col("n"), col("n_pos"),
+          (col("n_correct").cast("double") >= col("n") * 0.95).as("acc_ok"))
+        .orderBy(col("is_train"))
+      out.persist().count()
+      feats.unpersist(false)
+      out
+    },
+    Some(raw"""
+      SELECT (doc_id % 2 = 0) AS is_train, COUNT(*) AS n,
+             CAST(SUM(CASE WHEN len(list_filter(
+                      string_split_regex(lower(text), '\s+'),
+                      x -> x = 'spark')) >= 2
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+             TRUE AS acc_ok
+      FROM documents
+      GROUP BY 1
+      ORDER BY is_train
+    """)
+  )
+
+  def all: Seq[GraftQuery] =
+    Seq(mlBinary, mlRegression, mlMulticlass, mlCvKfold, mlTextClassifier)
 }

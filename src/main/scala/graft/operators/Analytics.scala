@@ -1584,11 +1584,139 @@ object Analytics {
     """)
   )
 
+  /** Model-eval gains/lift curve over a deterministic propensity
+    * score: users are scored by pre-cutoff activity (event count),
+    * labelled by whether they purchased after the cutoff, and the
+    * curve reports, AT EACH DISTINCT SCORE THRESHOLD walking down the
+    * score, the cumulative population, captured positives, capture
+    * rate and lift vs the base rate. The scale shape matters: a
+    * global ntile window is one reducer over every user, so instead
+    * users partial-aggregate BY SCORE LEVEL (map-side combined) and
+    * the running sums run over the distinct score levels — a frame
+    * whose size is the score cardinality (dozens), not the user
+    * count. All counts integer; lift/capture are single divisions of
+    * exact integer products, bit-identical across engines.
+    */
+  val q88ScoreLift = GraftQuery(
+    "q88_score_lift",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val cutoff = lit("2024-01-15 00:00:00").cast("timestamp")
+      val perUser = t.events.groupBy(col("user_id")).agg(
+        sum(when(col("ts") < cutoff, 1L).otherwise(0L)).as("score"),
+        max(when(col("ts") >= cutoff && col("event_type") === "purchase", 1L)
+          .otherwise(0L)).as("label"))
+      val byScore = perUser.groupBy(col("score")).agg(
+        count(lit(1)).as("n_at"), sum(col("label")).as("pos_at"))
+      val tot = perUser.agg(count(lit(1)).as("n_total"),
+        sum(col("label")).as("pos_total"))
+      // unpartitioned window is safe HERE: its input is one row per
+      // distinct score level, already aggregated
+      val w = Window.orderBy(col("score").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      byScore
+        .withColumn("cum_n", sum(col("n_at")).over(w))
+        .withColumn("cum_pos", sum(col("pos_at")).over(w))
+        .crossJoin(tot)
+        .select(col("score"), col("n_at"), col("pos_at"),
+          col("cum_n"), col("cum_pos"),
+          (col("cum_pos").cast(DoubleType) / col("pos_total").cast(DoubleType))
+            .as("capture"),
+          ((col("cum_pos") * col("n_total")).cast(DoubleType) /
+            (col("cum_n") * col("pos_total")).cast(DoubleType)).as("lift"))
+        .orderBy(col("score").desc)
+    },
+    Some("""
+      WITH u AS (
+        SELECT user_id,
+               CAST(SUM(CASE WHEN ts < TIMESTAMP '2024-01-15 00:00:00'
+                             THEN 1 ELSE 0 END) AS BIGINT) AS score,
+               CAST(MAX(CASE WHEN ts >= TIMESTAMP '2024-01-15 00:00:00'
+                              AND event_type = 'purchase'
+                             THEN 1 ELSE 0 END) AS BIGINT) AS label
+        FROM events GROUP BY user_id),
+      by_score AS (
+        SELECT score, COUNT(*) AS n_at, CAST(SUM(label) AS BIGINT) AS pos_at
+        FROM u GROUP BY score),
+      tot AS (
+        SELECT COUNT(*) AS n_total, CAST(SUM(label) AS BIGINT) AS pos_total
+        FROM u),
+      c AS (
+        SELECT score, n_at, pos_at,
+               CAST(SUM(n_at) OVER (ORDER BY score DESC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_n,
+               CAST(SUM(pos_at) OVER (ORDER BY score DESC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_pos
+        FROM by_score)
+      SELECT c.score, c.n_at, c.pos_at, c.cum_n, c.cum_pos,
+             CAST(c.cum_pos AS DOUBLE) / CAST(t.pos_total AS DOUBLE) AS capture,
+             CAST(c.cum_pos * t.n_total AS DOUBLE) /
+               CAST(c.cum_n * t.pos_total AS DOUBLE) AS lift
+      FROM c CROSS JOIN tot t
+      ORDER BY c.score DESC
+    """)
+  )
+
+  /** Weighted percentiles (median and p90 of price, weighted by
+    * quantity) per return flag, EXACT and integer end-to-end: weights
+    * aggregate per distinct cent level (map-side combined), the
+    * cumulative weight runs over the per-group LEVEL frame — sized by
+    * value cardinality, not row count — and the selected value is the
+    * smallest level whose scaled cumulative weight crosses the
+    * threshold (`2·cum ≥ tot` for the median, `10·cum ≥ 9·tot` for
+    * p90), an integer compare with no interpolation ambiguity. The
+    * same lower-weighted-quantile definition both engines state
+    * directly, so no float ever appears.
+    */
+  val q90WeightedMedian = GraftQuery(
+    "q90_weighted_median",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val levels = t.lineitem
+        .select(col("l_returnflag"),
+          round(col("l_extendedprice") * 100).cast("long").as("cents"),
+          round(col("l_quantity")).cast("long").as("wgt"))
+        .groupBy(col("l_returnflag"), col("cents"))
+        .agg(sum(col("wgt")).as("w_at"))
+      val w = Window.partitionBy(col("l_returnflag")).orderBy(col("cents"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      levels
+        .withColumn("cum", sum(col("w_at")).over(w))
+        .withColumn("tot",
+          sum(col("w_at")).over(Window.partitionBy(col("l_returnflag"))))
+        .groupBy(col("l_returnflag"))
+        .agg(max(col("tot")).as("total_weight"),
+          min(when(col("cum") * 2 >= col("tot"), col("cents"))).as("median_cents"),
+          min(when(col("cum") * 10 >= col("tot") * 9, col("cents"))).as("p90_cents"))
+        .orderBy(col("l_returnflag"))
+    },
+    Some("""
+      WITH levels AS (
+        SELECT l_returnflag,
+               CAST(round(l_extendedprice * 100) AS BIGINT) AS cents,
+               CAST(SUM(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS w_at
+        FROM lineitem GROUP BY 1, 2),
+      c AS (
+        SELECT l_returnflag, cents, w_at,
+               CAST(SUM(w_at) OVER (PARTITION BY l_returnflag ORDER BY cents
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+               CAST(SUM(w_at) OVER (PARTITION BY l_returnflag) AS BIGINT) AS tot
+        FROM levels)
+      SELECT l_returnflag,
+             MAX(tot) AS total_weight,
+             MIN(CASE WHEN cum * 2 >= tot THEN cents END) AS median_cents,
+             MIN(CASE WHEN cum * 10 >= tot * 9 THEN cents END) AS p90_cents
+      FROM c
+      GROUP BY l_returnflag
+      ORDER BY l_returnflag
+    """)
+  )
+
   def all: Seq[GraftQuery] =
     Seq(q46Funnel, q47CohortRetention, q48AnomalyExact, q49Scd2Versions,
       q51StatsProfile, q52ColumnProfile, q56SessionizedFunnel, q55DqConstraints,
       q59Winsorize, q61ApproxGroupbySample, q62PeriodicProfile, q63OrderStreaks,
       q64TargetEncoding, q66ParetoFrontier, q68MadOutliers, q71WelchTtest,
       q73RfmSegments, q75PsiDrift, q83Attribution, q84MarkovTransitions,
-      q86PitScd2Join, q87Cuped)
+      q86PitScd2Join, q87Cuped, q88ScoreLift, q90WeightedMedian)
 }
