@@ -1658,37 +1658,75 @@ object Analytics {
   )
 
   /** Weighted percentiles (median and p90 of price, weighted by
-    * quantity) per return flag, EXACT and integer end-to-end: weights
-    * aggregate per distinct cent level (map-side combined), the
-    * cumulative weight runs over the per-group LEVEL frame — sized by
-    * value cardinality, not row count — and the selected value is the
-    * smallest level whose scaled cumulative weight crosses the
-    * threshold (`2·cum ≥ tot` for the median, `10·cum ≥ 9·tot` for
-    * p90), an integer compare with no interpolation ambiguity. The
-    * same lower-weighted-quantile definition both engines state
-    * directly, so no float ever appears.
+    * quantity) per return flag, EXACT and integer end-to-end — the
+    * lower weighted quantile: the smallest cent value whose
+    * cumulative weight crosses the threshold (`2·cum ≥ tot` for the
+    * median, `10·cum ≥ 9·tot` for p90), an integer compare with no
+    * interpolation ambiguity. Near-unique prices make a (flag, cents)
+    * level frame row-sized (~198k levels PER FLAG at sf0.1), so a
+    * per-flag CDF window is one reducer over the partition — instead
+    * this runs the WEIGHTED analog of q68's bucket drill-down: coarse
+    * 4096-cent buckets accumulate weight MASS (domain-sized,
+    * map-side combined), the tiny bucket CDF locates the straddling
+    * bucket per flag, and the exact ordered walk runs only over the
+    * rows inside that bucket (~1/2600 of the data), seeded with the
+    * mass below it. No reducer ever sorts more than one bucket. The
+    * crossing value is order-stable under ties (the cumulative weight
+    * after a run of equal cents is permutation-invariant, and the
+    * crossing row always lies inside the crossing value's run), so
+    * the oracle can state the plain level-CDF definition.
     */
   val q90WeightedMedian = GraftQuery(
     "q90_weighted_median",
     (s, dir) => {
       val t = Tables(s, dir)
-      val levels = t.lineitem
+      val li = t.lineitem
         .select(col("l_returnflag"),
           round(col("l_extendedprice") * 100).cast("long").as("cents"),
           round(col("l_quantity")).cast("long").as("wgt"))
-        .groupBy(col("l_returnflag"), col("cents"))
-        .agg(sum(col("wgt")).as("w_at"))
-      val w = Window.partitionBy(col("l_returnflag")).orderBy(col("cents"))
+        .cache()
+      // ONE bucket CDF serves both quantiles: each (num, den)
+      // threshold contributes a tagged target-bucket row, and the
+      // in-bucket exact walks run in one window partitioned by
+      // (quantile tag, flag)
+      val bucket = (col("cents") / 4096L).cast("long")
+      val bucketed = li.groupBy(col("l_returnflag"), bucket.as("b"))
+        .agg(sum(col("wgt")).as("bw"))
+      val wB = Window.partitionBy(col("l_returnflag")).orderBy(col("b"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      levels
-        .withColumn("cum", sum(col("w_at")).over(w))
-        .withColumn("tot",
-          sum(col("w_at")).over(Window.partitionBy(col("l_returnflag"))))
+      val cdf = bucketed
+        .withColumn("cumB", sum(col("bw")).over(wB))
+        .withColumn("tot", sum(col("bw"))
+          .over(Window.partitionBy(col("l_returnflag"))))
+        .persist()
+      def target(num: Int, den: Int): DataFrame = cdf
+        .filter(col("cumB") * den >= col("tot") * num)
         .groupBy(col("l_returnflag"))
-        .agg(max(col("tot")).as("total_weight"),
-          min(when(col("cum") * 2 >= col("tot"), col("cents"))).as("median_cents"),
-          min(when(col("cum") * 10 >= col("tot") * 9, col("cents"))).as("p90_cents"))
+        .agg(min(struct(col("b"), (col("cumB") - col("bw")).as("below"),
+          col("tot"))).as("t"))
+        .select(col("l_returnflag"), col("t.b").as("b"),
+          col("t.below").as("below"), col("t.tot").as("tot"),
+          lit(num.toLong).as("qnum"), lit(den.toLong).as("qden"))
+      val targets = target(1, 2).union(target(9, 10))
+      val wIn = Window.partitionBy(col("qnum"), col("l_returnflag"))
+        .orderBy(col("cents"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val crossings = li.withColumn("b", bucket)
+        .join(broadcast(targets), Seq("l_returnflag", "b"))
+        .withColumn("cum", col("below") + sum(col("wgt")).over(wIn))
+        .groupBy(col("l_returnflag"), col("qnum"))
+        .agg(min(when(col("cum") * col("qden") >= col("tot") * col("qnum"),
+          col("cents"))).as("v"), first(col("tot")).as("tot"))
+      val out = crossings
+        .groupBy(col("l_returnflag"))
+        .agg(first(col("tot")).as("total_weight"),
+          min(when(col("qnum") === 1, col("v"))).as("median_cents"),
+          min(when(col("qnum") === 9, col("v"))).as("p90_cents"))
         .orderBy(col("l_returnflag"))
+      out.persist().count()
+      cdf.unpersist(false)
+      li.unpersist(false)
+      out
     },
     Some("""
       WITH levels AS (

@@ -1234,10 +1234,54 @@ object EventsStream {
     """)
   )
 
+  /** Windowed top-k on a stream: 6-hour tumbling windows, top-3 event
+    * types per window by count (count desc, type tie-break). The
+    * streaming leg carries only the windowed counts (watermarked
+    * state, |windows|·|types| rows); the rank is a post-pass over the
+    * emitted aggregate — at scale that is the dashboard query over
+    * the sink table, windows-sized, never stream-sized. Oracle: the
+    * identical batch window-rank over date_trunc'd 6h buckets (epoch
+    * alignment on both engines).
+    */
+  val streamWindowedTopk = GraftQuery(
+    "stream_windowed_topk",
+    (s, dir) => {
+      val agg = eventsStream(s, dir)
+        .withWatermark("ts", "1 hour")
+        .groupBy(window(col("ts"), "6 hours"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+      val out = runToTable(agg, OutputMode.Complete())
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("win_start")).orderBy(col("n").desc, col("event_type"))
+      out.select(tsString(col("window.start")).as("win_start"),
+          col("event_type"), col("n"))
+        .withColumn("rnk", row_number().over(w).cast("long"))
+        .filter(col("rnk") <= 3)
+        .orderBy(col("win_start"), col("rnk"))
+    },
+    Some("""
+      WITH c AS (
+        SELECT strftime(to_timestamp(
+                 (epoch(ts)::BIGINT // 21600) * 21600),
+                 '%Y-%m-%d %H:%M:%S') AS win_start,
+               event_type, COUNT(*) AS n
+        FROM events GROUP BY 1, 2),
+      r AS (
+        SELECT win_start, event_type, n,
+               CAST(row_number() OVER (PARTITION BY win_start
+                 ORDER BY n DESC, event_type) AS BIGINT) AS rnk
+        FROM c)
+      SELECT win_start, event_type, n, rnk
+      FROM r WHERE rnk <= 3
+      ORDER BY win_start, rnk
+    """)
+  )
+
   def all: Seq[GraftQuery] =
     Seq(streamHourlyAgg, streamSessionize, streamScore, streamDedupExact,
       streamEnrichProfile, streamSessionWindow, streamThetaDistinct,
       streamStreamJoin, streamStreamLeftOuter, streamWeightedSample,
       streamUpsertLatest, streamHeavyHitters, streamPatternMatch,
-      streamQuantiles, streamIncrementalDedup, streamEwmaAnomaly)
+      streamQuantiles, streamIncrementalDedup, streamEwmaAnomaly,
+      streamWindowedTopk)
 }

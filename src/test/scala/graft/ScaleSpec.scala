@@ -208,4 +208,46 @@ class ScaleSpec extends AnyFunSuite {
     assert(!plan.contains("Join"),
       s"distinct columns must not become self-joins:\n$plan")
   }
+
+  test("q85 rewrites EXISTS/NOT-EXISTS into one aggregation: no semi/anti joins") {
+    // the textbook Q21 plan carries a LeftSemi and a LeftAnti self-join
+    // of the fact table; the aggregation rewrite must show neither,
+    // and lineitem is scanned exactly twice (probe + per-order stats)
+    val plan = planOf("q85_blame_suppliers")
+    assert(!plan.contains("LeftSemi") && !plan.contains("LeftAnti"),
+      s"correlated subqueries must fold into the per-order aggregate:\n$plan")
+    val liScans = "Location[^\\n]*lineitem\\.parquet".r.findAllIn(plan).size
+    assert(liScans == 2, s"expected 2 lineitem scans, got $liScans")
+  }
+
+  test("q86 point-in-time lookup runs on the native AsOfJoin operator") {
+    val plan = planOf("q86_pit_scd2_join")
+    assert(plan.contains("AsOfJoin"),
+      s"PIT lookup must plan the native as-of operator, not a fallback:\n$plan")
+  }
+
+  test("q88 gains curve: the running-sum window sits above an aggregate") {
+    // the window's input must be the per-score-level aggregate, never
+    // the raw per-user frame (a global window over users is one
+    // reducer over the whole population)
+    val df = SparkEntry.queries("q88_score_lift")(spark, sf)
+    val analyzed = df.queryExecution.analyzed
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow}
+    val windows = analyzed.collect { case w: LWindow => w }
+    assert(windows.nonEmpty, "expected a window for the running sums")
+    windows.foreach { w =>
+      val aggBelow = w.child.collectFirst { case a: Aggregate => a }
+      assert(aggBelow.nonEmpty,
+        s"running-sum window must consume an aggregated frame:\n$w")
+    }
+  }
+
+  test("substring dedup: duplicated-gram filter precedes the join-back") {
+    // the join back to gram positions must be against the FILTERED
+    // (occ > 1) hash set, so the second shuffle carries only
+    // duplicated grams — at 100 TB this is the difference between
+    // re-shuffling every token and re-shuffling the dup tail
+    val plan = planOf("text_substring_dedup")
+    assert(plan.contains("(occ"), s"expected occ > 1 filter in plan:\n$plan")
+  }
 }
