@@ -278,7 +278,7 @@ object MLQueries {
       val out = model.transform(feats)
         .groupBy(col("is_train")).agg(
           count(lit(1)).as("n"),
-          sum(col("label")).cast("long").as("n_pos"),
+          sum(when(col("label") === 1.0, 1L).otherwise(0L)).as("n_pos"),
           sum(when(col("prediction") === col("label"), 1L).otherwise(0L))
             .as("n_correct"))
         .select(col("is_train"), col("n"), col("n_pos"),

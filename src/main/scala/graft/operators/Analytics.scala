@@ -1513,8 +1513,11 @@ object Analytics {
         count(lit(1)).as("n"),
         sum(col("pre")).as("spre"),
         sum(col("post")).as("spost"),
-        sum((col("pre") * col("post")).cast(dec)).as("spp"),
-        sum((col("pre") * col("pre")).cast(dec)).as("spre2"),
+        // cast an operand BEFORE the multiply: a long·long product
+        // wraps silently past 2⁶³ (per-user cent sums at real scale),
+        // while decimal·long widens exactly
+        sum(col("pre").cast(dec) * col("post")).as("spp"),
+        sum(col("pre").cast(dec) * col("pre")).as("spre2"),
         sum(when(col("arm") === 1, 1L).otherwise(0L)).as("n_t"),
         sum(when(col("arm") === 0, 1L).otherwise(0L)).as("n_c"),
         sum(when(col("arm") === 1, col("post")).otherwise(0L)).as("spost_t"),
@@ -1556,8 +1559,8 @@ object Analytics {
         SELECT COUNT(*) AS n,
                CAST(SUM(pre) AS BIGINT) AS spre,
                CAST(SUM(post) AS BIGINT) AS spost,
-               SUM(pre * post) AS spp,
-               SUM(pre * pre) AS spre2,
+               SUM(CAST(pre AS DECIMAL(38,0)) * post) AS spp,
+               SUM(CAST(pre AS DECIMAL(38,0)) * pre) AS spre2,
                CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_t,
                CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_c,
                CAST(SUM(CASE WHEN arm = 1 THEN post ELSE 0 END) AS BIGINT) AS spost_t,

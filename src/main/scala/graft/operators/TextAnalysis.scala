@@ -2148,10 +2148,14 @@ object TextAnalysis {
     * restatement is bit-identical.
     */
   def substringDedupStats(docs: DataFrame, k: Int): DataFrame = {
+    // cached: both the gram explode and the final per-doc join read
+    // it — without the cache the corpus is scanned and re-tokenized
+    // twice
     val toks = docs
       .select(col("doc_id"), tokens(col("text")).as("toks"))
       .select(col("doc_id"), col("toks"),
         size(col("toks")).cast("long").as("n_tokens"))
+      .cache()
     val grams = toks
       .where(col("n_tokens") >= k)
       .select(col("doc_id"),
@@ -2179,13 +2183,16 @@ object TextAnalysis {
       .agg((max(col("pos")) - min(col("pos")) + k).as("covered"))
     val perDoc = spans.groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_spans"), sum(col("covered")).as("dup_tokens"))
-    toks.select(col("doc_id"), col("n_tokens"))
+    val out = toks.select(col("doc_id"), col("n_tokens"))
       .join(perDoc, Seq("doc_id"), "left_outer")
       .select(col("doc_id"), col("n_tokens"),
         coalesce(col("n_spans"), lit(0L)).as("n_spans"),
         coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"),
         (coalesce(col("dup_tokens"), lit(0L)) * 5 < col("n_tokens")).as("keep"))
       .orderBy(col("doc_id"))
+    out.persist().count()
+    toks.unpersist(false)
+    out
   }
 
   val textSubstringDedup = GraftQuery(

@@ -1261,8 +1261,12 @@ object EventsStream {
     },
     Some("""
       WITH c AS (
+        -- epoch_us keeps the bucket math in exact integer micros:
+        -- epoch(ts)::BIGINT would ROUND sub-second parts and push
+        -- events in the 0.5s band below a boundary into the next
+        -- window, diverging from Spark's flooring window()
         SELECT strftime(to_timestamp(
-                 (epoch(ts)::BIGINT // 21600) * 21600),
+                 (epoch_us(ts) // 21600000000) * 21600),
                  '%Y-%m-%d %H:%M:%S') AS win_start,
                event_type, COUNT(*) AS n
         FROM events GROUP BY 1, 2),

@@ -246,8 +246,21 @@ class ScaleSpec extends AnyFunSuite {
     // the join back to gram positions must be against the FILTERED
     // (occ > 1) hash set, so the second shuffle carries only
     // duplicated grams — at 100 TB this is the difference between
-    // re-shuffling every token and re-shuffling the dup tail
-    val plan = planOf("text_substring_dedup")
-    assert(plan.contains("(occ"), s"expected occ > 1 filter in plan:\n$plan")
+    // re-shuffling every token and re-shuffling the dup tail. The
+    // assertion walks the optimized tree: some join must carry the
+    // occ filter BELOW it (string presence alone wouldn't catch a
+    // regression that filters after the join).
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter, Join}
+    val df = SparkEntry.queries("text_substring_dedup")(spark, sf)
+    // analyzed, not optimizedPlan: the query self-persists, and cache
+    // substitution would fold the whole subtree into InMemoryRelation
+    val plan = df.queryExecution.analyzed
+    val joins = plan.collect { case j: Join => j }
+    val filteredSideExists = joins.exists(j => Seq(j.left, j.right).exists(
+      _.collectFirst {
+        case f: Filter if f.condition.toString.contains("occ") => f
+      }.nonEmpty))
+    assert(filteredSideExists,
+      s"expected an occ-filtered join input below a join:\n$plan")
   }
 }
