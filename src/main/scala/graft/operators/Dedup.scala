@@ -1156,9 +1156,98 @@ object Dedup {
     """)
   )
 
+  /** Absolute distinct-token overlap threshold for the prefix-filter
+    * set-similarity join. The fixture corpus is degenerately similar
+    * (docs hold ~25-31 distinct tokens of a tiny pool, so at
+    * overlap ≥ 28 HALF A MILLION pairs qualify at sf0.1 — the output
+    * itself is the cost, not the algorithm); 30 selects the
+    * near-identical tail (~35k pairs at sf0.1, 437 at sf0.01, all
+    * sitting exactly at the threshold — which pins the prefix-length
+    * off-by-one). The ALGORITHM is threshold-agnostic.
+    */
+  val SetSimOverlap = 30
+
+  /** Set-similarity self-join by PREFIX FILTERING (the ppjoin/AllPairs
+    * candidate rule, Chaudhuri et al. ICDE'06 / Xiao et al. WWW'08):
+    * pairs of documents whose DISTINCT-token sets share at least
+    * [[SetSimOverlap]] tokens. Tokens get a global total order by
+    * ascending document frequency (rarest first); a document of set
+    * size s only indexes its first `s − O + 1` tokens in that order —
+    * the prefix — because two sets with |x∩y| ≥ O MUST share a token
+    * inside both prefixes (pigeonhole on the sorted tails). The
+    * inverted index therefore carries a few tokens per document
+    * instead of all of them, candidate generation joins on the RARE
+    * end of the vocabulary (small postings by construction), and the
+    * exact overlap is verified only for candidates via one
+    * array_intersect over the paired token sets. This is the third
+    * candidate-pruning family in the dedup module, orthogonal to
+    * LSH banding (probabilistic) and the df-capped shingle index
+    * (frequency cutoff): prefix filtering is EXACT — no recall gate
+    * needed, the oracle is the full all-pairs co-occurrence count.
+    * The global token ranking is a vocabulary-sized window (one
+    * reducer over |vocab| rows — domain-sized, not corpus-sized).
+    */
+  val dedupSetsimPrefix = GraftQuery(
+    "dedup_setsim_prefix",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val O = SetSimOverlap
+      val t = Tables(s, dir)
+      val tset = array_distinct(
+        filter(split(lower(col("text")), "\\s+"), x => x =!= ""))
+      val docs = t.documents
+        .select(col("doc_id"), tset.as("tset"))
+        .select(col("doc_id"), col("tset"),
+          size(col("tset")).cast("long").as("sz"))
+        .where(col("sz") >= O)
+        .cache()
+      val dfRank = docs.select(explode(col("tset")).as("tok"))
+        .groupBy(col("tok")).agg(count(lit(1)).as("df"))
+        .withColumn("r",
+          row_number().over(Window.orderBy(col("df"), col("tok"))).cast("long"))
+        .select(col("tok"), col("r"))
+      val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("r"))
+      val prefix = docs
+        .select(col("doc_id"), col("sz"), explode(col("tset")).as("tok"))
+        .join(broadcast(dfRank), Seq("tok"))
+        .withColumn("pos", row_number().over(wDoc))
+        .where(col("pos") <= col("sz") - (O - 1))
+        .select(col("doc_id"), col("tok"))
+      val cand = prefix.as("a").join(prefix.as("b"),
+          col("a.tok") === col("b.tok") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("ia"), col("b.doc_id").as("ib"))
+        .distinct()
+      val out = cand
+        .join(docs.select(col("doc_id").as("ia"), col("tset").as("ta")), Seq("ia"))
+        .join(docs.select(col("doc_id").as("ib"), col("tset").as("tb")), Seq("ib"))
+        .select(col("ia"), col("ib"),
+          size(array_intersect(col("ta"), col("tb"))).cast("long").as("overlap"))
+        .where(col("overlap") >= O)
+        .orderBy(col("ia"), col("ib"))
+      out.persist().count()
+      docs.unpersist(false)
+      out
+    },
+    Some(s"""
+      WITH d AS (
+        SELECT doc_id,
+               unnest(list_filter(
+                 list_distinct(string_split_regex(lower(text), '\\s+')),
+                 x -> x <> '')) AS tok
+        FROM documents),
+      p AS (
+        SELECT a.doc_id AS ia, b.doc_id AS ib, COUNT(*) AS overlap
+        FROM d a JOIN d b ON a.tok = b.tok AND a.doc_id < b.doc_id
+        GROUP BY 1, 2)
+      SELECT ia, ib, overlap FROM p
+      WHERE overlap >= $SetSimOverlap
+      ORDER BY ia, ib
+    """)
+  )
+
   def all: Seq[GraftQuery] = Seq(
     dedupExact, dedupNgramJaccard, dedupMinhashLsh, dedupSimhash,
     dedupEmbeddingCosine, dedupClusters, dedupMultisignal, dedupSurvivorship,
-    dedupContainment, dedupFuzzyNames, dedupIncremental
+    dedupContainment, dedupFuzzyNames, dedupIncremental, dedupSetsimPrefix
   )
 }

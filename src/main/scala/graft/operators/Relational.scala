@@ -2319,6 +2319,54 @@ object Relational {
     """)
   )
 
+  /** Incremental JOIN maintenance — the delta algebra a materialized
+    * join view runs on every refresh:
+    * `(A∪ΔA)⋈(B∪ΔB) = A⋈B ∪ ΔA⋈B ∪ A⋈ΔB ∪ ΔA⋈ΔB`.
+    * Orders and lineitem each receive an independent delta slice
+    * (different modulo splits, so deltas land on BOTH sides at once —
+    * the hard case); the maintained revenue mart is the union of the
+    * four partial-aggregate marts re-merged by summing partials
+    * (exact integer cents, the q54 incremental-aggregate discipline
+    * applied across a join). The DuckDB oracle is the FULL RECOMPUTE
+    * over the un-split tables, so the hash gate itself proves the
+    * delta algebra — no embedded equality bit needed. At scale A⋈B
+    * is the stored view (never re-executed; here it must run once to
+    * exist) and each delta term joins a day-sized increment against a
+    * bucketed base — O(Δ) refresh work, the point of the algebra.
+    */
+  val q91IncrementalJoin = GraftQuery(
+    "q91_incremental_join",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val cents = round(col("l_extendedprice") * 100).cast("long")
+      val o = t.orders.select(col("o_orderkey"), col("o_orderpriority"),
+        (col("o_orderkey") % 7 === 0).as("o_new"))
+      val l = t.lineitem.select(col("l_orderkey"), cents.as("cents"),
+        (col("l_orderkey") % 5 === 0).as("l_new"))
+      def mart(oNew: Boolean, lNew: Boolean): DataFrame =
+        o.where(col("o_new") === oNew)
+          .join(l.where(col("l_new") === lNew),
+            col("o_orderkey") === col("l_orderkey"))
+          .groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("pn"), sum(col("cents")).as("pcents"))
+      mart(false, false)
+        .union(mart(true, false))
+        .union(mart(false, true))
+        .union(mart(true, true))
+        .groupBy(col("o_orderpriority"))
+        .agg(sum(col("pn")).as("n_lines"), sum(col("pcents")).as("total_cents"))
+        .orderBy(col("o_orderpriority"))
+    },
+    Some("""
+      SELECT o.o_orderpriority, COUNT(*) AS n_lines,
+             CAST(SUM(CAST(round(l.l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+               AS total_cents
+      FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+      GROUP BY o.o_orderpriority
+      ORDER BY o.o_orderpriority
+    """)
+  )
+
   def all: Seq[GraftQuery] = Seq(
     q01PricingSummary, q02RevenueByNation, q03ShippingPriority,
     q04OrderPriorityExists, q05CustomersWithoutOrders, q06RevenueFilter,
@@ -2334,6 +2382,7 @@ object Relational {
     q57TopkJoinPushdown, q58EwmaSmoothing, q67WindowRanks,
     q72ReconcileFullOuter, q74SchemaEvolution, q77SmallQtyRevenue,
     q78CompactFiles, q79MultiDistinct, q80DeleteCascade,
-    q81ArgmaxGroups, q82RunningDistinct, q85BlameSuppliers, q89Pseudonymize
+    q81ArgmaxGroups, q82RunningDistinct, q85BlameSuppliers, q89Pseudonymize,
+    q91IncrementalJoin
   )
 }
