@@ -1753,11 +1753,270 @@ object Analytics {
     """)
   )
 
+  /** Kaplan-Meier life table for repeat-purchase survival: per market
+    * segment, time-to-second-order in days from each customer's first
+    * order, right-censored at the global last order date for one-time
+    * buyers. The life table is the survival computation proper — at
+    * each observed event time t: n_risk (customers still un-converted
+    * and un-censored at t), d_events (conversions at exactly t),
+    * n_censored (censoring at t), hazard d/n (a single integer-ratio
+    * division, so the doubles agree bit-for-bit with the oracle; the
+    * KM product over these rows is a trivial client-side fold of the
+    * emitted hazards). Shapes: ONE o_custkey exchange extracts the
+    * (first, second) distinct order dates via a sorted collect_set
+    * head (bounded by orders-per-customer, partial-aggregated
+    * map-side); the life table itself is domain-sized (segments ×
+    * distinct days), so the descending-cumulative n_risk window runs
+    * over a tiny frame. At 100 TB only the per-customer head
+    * extraction touches data scale, and it is a single shuffle.
+    */
+  val q92SurvivalKm = GraftQuery(
+    "q92_survival_km",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      // ONE o_custkey exchange: the distinct-date head is a sorted
+      // collect_set (bounded by orders-per-customer, partial-
+      // aggregated map-side) instead of distinct + row_number window
+      // (two exchanges over the same key)
+      val firstTwo = t.orders
+        .select(col("o_custkey"), to_date(col("o_orderdate")).as("od"))
+        .groupBy(col("o_custkey"))
+        .agg(sort_array(collect_set(col("od"))).as("ds"))
+        .select(col("o_custkey"), col("ds").getItem(0).as("d1"),
+          when(size(col("ds")) >= 2, col("ds").getItem(1)).as("d2"))
+      val maxD = t.orders.agg(to_date(max(col("o_orderdate"))).as("dmax"))
+      val times = firstTwo.crossJoin(broadcast(maxD))
+        .join(t.customer.select(col("c_custkey"), col("c_mktsegment")),
+          col("o_custkey") === col("c_custkey"))
+        .select(col("c_mktsegment").as("segment"),
+          when(col("d2").isNotNull, datediff(col("d2"), col("d1")))
+            .otherwise(datediff(col("dmax"), col("d1")))
+            .cast("long").as("t_days"),
+          col("d2").isNotNull.cast("long").as("is_event"))
+      val life = times.groupBy(col("segment"), col("t_days"))
+        .agg(sum(col("is_event")).as("d_events"),
+          sum(lit(1L) - col("is_event")).as("n_censored"))
+      // n_risk: everyone whose (event or censor) time is >= t — a
+      // descending cumulative over the domain-sized life table
+      val wDesc = Window.partitionBy(col("segment"))
+        .orderBy(col("t_days").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      life
+        .withColumn("n_risk",
+          sum(col("d_events") + col("n_censored")).over(wDesc))
+        .filter(col("d_events") > 0)
+        .select(col("segment"), col("t_days"), col("n_risk"),
+          col("d_events"), col("n_censored"),
+          round(col("d_events").cast(DoubleType) /
+            col("n_risk").cast(DoubleType), 6).as("hazard"))
+        .orderBy(col("segment"), col("t_days"))
+    },
+    Some("""
+      WITH od AS (
+        SELECT DISTINCT o_custkey, CAST(o_orderdate AS DATE) AS od FROM orders),
+      r AS (
+        SELECT o_custkey, od,
+               row_number() OVER (PARTITION BY o_custkey ORDER BY od) AS rn
+        FROM od),
+      ft AS (
+        SELECT o_custkey,
+               MIN(CASE WHEN rn = 1 THEN od END) AS d1,
+               MIN(CASE WHEN rn = 2 THEN od END) AS d2
+        FROM r WHERE rn <= 2 GROUP BY 1),
+      mx AS (SELECT CAST(MAX(o_orderdate) AS DATE) AS dmax FROM orders),
+      times AS (
+        SELECT c.c_mktsegment AS segment,
+               CAST(CASE WHEN f.d2 IS NOT NULL
+                         THEN date_diff('day', f.d1, f.d2)
+                         ELSE date_diff('day', f.d1, mx.dmax) END AS BIGINT)
+                 AS t_days,
+               CASE WHEN f.d2 IS NOT NULL THEN 1 ELSE 0 END AS is_event
+        FROM ft f CROSS JOIN mx
+        JOIN customer c ON c.c_custkey = f.o_custkey),
+      life AS (
+        SELECT segment, t_days,
+               CAST(SUM(is_event) AS BIGINT) AS d_events,
+               CAST(SUM(1 - is_event) AS BIGINT) AS n_censored
+        FROM times GROUP BY 1, 2),
+      cum AS (
+        SELECT segment, t_days, d_events, n_censored,
+               CAST(SUM(d_events + n_censored) OVER (
+                 PARTITION BY segment ORDER BY t_days DESC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                 AS n_risk
+        FROM life)
+      SELECT segment, t_days, n_risk, d_events, n_censored,
+             round(CAST(d_events AS DOUBLE) / CAST(n_risk AS DOUBLE), 6)
+               AS hazard
+      FROM cum WHERE d_events > 0
+      ORDER BY segment, t_days
+    """)
+  )
+
+  /** Exact ROC AUC (Mann-Whitney rank-sum with tie correction) for a
+    * heavy-buyer scorer: score = pre-cutoff purchase count per user,
+    * label = (post-cutoff purchases ≥ [[HeavyBuyerMin]]) — a label
+    * with real class balance (the q88 any-purchase label saturates:
+    * every user purchases in a 15-day window). The whole statistic
+    * stays in
+    * integers until ONE final division: group users by score level,
+    * take the ascending cumulative count window over the tiny
+    * score-level frame, and accumulate 2×(sum of average ranks of
+    * positives) as Σ pos_at·(2·below + n_at + 1) — the ×2 keeps the
+    * tie-averaged half-ranks integral. AUC = (rank2 − n_pos(n_pos+1))
+    * / (2·n_pos·n_neg), bit-identical across engines. Scale: one
+    * user_id exchange; everything after is score-domain-sized.
+    */
+  val HeavyBuyerMin = 8L
+
+  val q93RocAuc = GraftQuery(
+    "q93_roc_auc",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val cutoff = lit("2024-01-15 00:00:00").cast("timestamp")
+      val isPurch = col("event_type") === "purchase"
+      val perUser = t.events.groupBy(col("user_id")).agg(
+        sum(when(col("ts") < cutoff && isPurch, 1L).otherwise(0L)).as("score"),
+        (sum(when(col("ts") >= cutoff && isPurch, 1L).otherwise(0L)) >=
+          HeavyBuyerMin).cast("long").as("label"))
+      val byScore = perUser.groupBy(col("score")).agg(
+        count(lit(1)).as("n_at"), sum(col("label")).as("pos_at"))
+      // unpartitioned window is safe HERE: one row per score level
+      val w = Window.orderBy(col("score"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val ranked = byScore
+        .withColumn("below", sum(col("n_at")).over(w) - col("n_at"))
+      val agg = ranked.agg(
+        sum(col("pos_at") * (lit(2L) * col("below") + col("n_at") + lit(1L)))
+          .as("rank2"),
+        sum(col("pos_at")).as("n_pos"),
+        sum(col("n_at")).as("n_total"))
+      val auc = (col("rank2") - col("n_pos") * (col("n_pos") + lit(1L)))
+        .cast(DoubleType) /
+        (lit(2L) * col("n_pos") * (col("n_total") - col("n_pos")))
+          .cast(DoubleType)
+      agg.select(
+        col("n_pos"),
+        (col("n_total") - col("n_pos")).as("n_neg"),
+        auc.as("auc"),
+        (lit(2.0) * auc - lit(1.0)).as("gini"))
+    },
+    Some("""
+      WITH u AS (
+        SELECT user_id,
+               CAST(SUM(CASE WHEN ts < TIMESTAMP '2024-01-15 00:00:00'
+                              AND event_type = 'purchase'
+                             THEN 1 ELSE 0 END) AS BIGINT) AS score,
+               CASE WHEN SUM(CASE WHEN ts >= TIMESTAMP '2024-01-15 00:00:00'
+                                   AND event_type = 'purchase'
+                                  THEN 1 ELSE 0 END) >= 8
+                    THEN 1 ELSE 0 END AS label
+        FROM events GROUP BY user_id),
+      by_score AS (
+        SELECT score, COUNT(*) AS n_at, CAST(SUM(label) AS BIGINT) AS pos_at
+        FROM u GROUP BY score),
+      r AS (
+        SELECT score, n_at, pos_at,
+               CAST(SUM(n_at) OVER (ORDER BY score
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_at
+                 AS BIGINT) AS below
+        FROM by_score),
+      a AS (
+        SELECT CAST(SUM(pos_at * (2 * below + n_at + 1)) AS BIGINT) AS rank2,
+               CAST(SUM(pos_at) AS BIGINT) AS n_pos,
+               CAST(SUM(n_at) AS BIGINT) AS n_total
+        FROM r)
+      SELECT n_pos, n_total - n_pos AS n_neg,
+             CAST(rank2 - n_pos * (n_pos + 1) AS DOUBLE)
+               / CAST(2 * n_pos * (n_total - n_pos) AS DOUBLE) AS auc,
+             2.0 * (CAST(rank2 - n_pos * (n_pos + 1) AS DOUBLE)
+               / CAST(2 * n_pos * (n_total - n_pos) AS DOUBLE)) - 1.0 AS gini
+      FROM a
+    """)
+  )
+
+  /** Chi-square test of independence between customer market segment
+    * and order priority: the full contingency-table readout — observed
+    * counts, row/col marginals, expected counts, per-cell
+    * contributions, and the chi-square statistic. Expected = row·col/N
+    * is one integer-ratio division; per-cell contribution is the same
+    * (obs − exp)²/exp IEEE chain both engines evaluate on identical
+    * inputs; the statistic total crosses engines through the
+    * decimal-sum rule (contributions rounded to 6, decimal-summed).
+    * Scale: the only data-scale operation is the orders⋈customer
+    * count aggregation; the contingency frame is |segments|×|priorities|
+    * rows, so every window here is domain-sized.
+    */
+  val q96ChiSquare = GraftQuery(
+    "q96_chi_square",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val cells = t.orders
+        .join(t.customer.select(col("c_custkey"), col("c_mktsegment")),
+          col("o_custkey") === col("c_custkey"))
+        .select(col("c_mktsegment").as("segment"),
+          col("o_orderpriority").as("priority"))
+        .groupBy(col("segment"), col("priority"))
+        .agg(count(lit(1)).as("obs"))
+      // windows below run over the ~25-cell contingency frame
+      val withTot = cells
+        .withColumn("row_tot",
+          sum(col("obs")).over(Window.partitionBy(col("segment"))))
+        .withColumn("col_tot",
+          sum(col("obs")).over(Window.partitionBy(col("priority"))))
+        .withColumn("n_tot", sum(col("obs")).over(Window.partitionBy()))
+      val expRaw = (col("row_tot") * col("col_tot")).cast(DoubleType) /
+        col("n_tot").cast(DoubleType)
+      val contrib = round(
+        (col("obs").cast(DoubleType) - expRaw) *
+          (col("obs").cast(DoubleType) - expRaw) / expRaw, 6)
+      withTot
+        .withColumn("expected", round(expRaw, 6))
+        .withColumn("contrib", contrib)
+        .withColumn("chi2",
+          sum(dec6(col("contrib"))).over(Window.partitionBy())
+            .cast(DoubleType))
+        .select(col("segment"), col("priority"), col("obs"), col("row_tot"),
+          col("col_tot"), col("expected"), col("contrib"), col("chi2"))
+        .orderBy(col("segment"), col("priority"))
+    },
+    Some("""
+      WITH cells AS (
+        SELECT c.c_mktsegment AS segment, o.o_orderpriority AS priority,
+               COUNT(*) AS obs
+        FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+        GROUP BY 1, 2),
+      tot AS (
+        SELECT segment, priority, CAST(obs AS BIGINT) AS obs,
+               CAST(SUM(obs) OVER (PARTITION BY segment) AS BIGINT) AS row_tot,
+               CAST(SUM(obs) OVER (PARTITION BY priority) AS BIGINT) AS col_tot,
+               CAST(SUM(obs) OVER () AS BIGINT) AS n_tot
+        FROM cells),
+      e AS (
+        SELECT segment, priority, obs, row_tot, col_tot,
+               CAST(row_tot * col_tot AS DOUBLE) / CAST(n_tot AS DOUBLE)
+                 AS exp_raw
+        FROM tot),
+      f AS (
+        SELECT segment, priority, obs, row_tot, col_tot,
+               round(exp_raw, 6) AS expected,
+               round((CAST(obs AS DOUBLE) - exp_raw)
+                 * (CAST(obs AS DOUBLE) - exp_raw) / exp_raw, 6) AS contrib
+        FROM e)
+      SELECT segment, priority, obs, row_tot, col_tot, expected, contrib,
+             CAST(SUM(CAST(contrib AS DECIMAL(25,6))) OVER () AS DOUBLE)
+               AS chi2
+      FROM f
+      ORDER BY segment, priority
+    """)
+  )
+
   def all: Seq[GraftQuery] =
     Seq(q46Funnel, q47CohortRetention, q48AnomalyExact, q49Scd2Versions,
       q51StatsProfile, q52ColumnProfile, q56SessionizedFunnel, q55DqConstraints,
       q59Winsorize, q61ApproxGroupbySample, q62PeriodicProfile, q63OrderStreaks,
       q64TargetEncoding, q66ParetoFrontier, q68MadOutliers, q71WelchTtest,
       q73RfmSegments, q75PsiDrift, q83Attribution, q84MarkovTransitions,
-      q86PitScd2Join, q87Cuped, q88ScoreLift, q90WeightedMedian)
+      q86PitScd2Join, q87Cuped, q88ScoreLift, q90WeightedMedian,
+      q92SurvivalKm, q93RocAuc, q96ChiSquare)
 }

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DecimalType, DoubleType}
@@ -846,8 +846,172 @@ object Graph {
     """)
   )
 
+  /** Degree threshold for the k-core peel. The co-purchase graph is
+    * dense and near-regular (min degree ≈ 40-50 at every SF, sharp
+    * core transition near the median), so 60 sits in the band where
+    * peeling removes a real-but-bounded fringe at sf0.001/0.01/0.1
+    * instead of either no-op'ing or cascading to empty.
+    */
+  val KcoreK = 60L
+
+  /** Simultaneous-removal peel rounds both engines run. The peel is
+    * loud-fail on non-convergence (below), so the fixed cap in the
+    * recursive oracle and the Spark loop always describe the SAME
+    * fixpoint.
+    */
+  val KcoreMaxIter = 8
+
+  /** k-core decomposition of the co-purchase graph: iteratively
+    * delete every vertex whose CURRENT degree is below [[KcoreK]]
+    * (simultaneous removal per round) until a fixpoint; emit the
+    * surviving vertices with their within-core degree. The classic
+    * iterative-peel graph operator, re-expressed as dataflow: each
+    * round is one degree aggregation over the live symmetric edge
+    * frame plus two broadcast semijoins against the (node-sized)
+    * survivor set, with localCheckpoint truncating round lineage —
+    * the connectedComponents discipline. Convergence within
+    * [[KcoreMaxIter]] is `require`d, mirroring the CC guard: an
+    * unconverged peel would silently emit a non-core. The DuckDB
+    * oracle restates the peel as a WITH RECURSIVE iteration whose
+    * recursive term recomputes both endpoint degrees with window
+    * functions over a single self-reference — full engine parity for
+    * a fixpoint, like graph_bfs_levels. At 100 TB the per-round cost
+    * is one map-side-combined aggregation + broadcast filters; the
+    * survivor set is vertex-dimension-sized.
+    */
+  /** Iterative simultaneous-removal peel: live symmetric edges of the
+    * k-core of `sym` (columns u, v, both directions). Loud-fails if
+    * the peel hasn't reached a fixpoint within `maxIter` rounds.
+    */
+  private[graft] def kcorePeel(
+      sym: DataFrame, k: Long, maxIter: Int): DataFrame = {
+    var alive = sym.select(col("u"), col("v")).localCheckpoint()
+    var aliveCnt = alive.count()
+    var converged = false
+    var rounds = 0
+    while (!converged && rounds < maxIter) {
+      val keep = alive.groupBy(col("u"))
+        .agg(count(lit(1)).as("du"))
+        .filter(col("du") >= k)
+      val next = alive
+        .join(broadcast(keep.select(col("u").as("ku"))),
+          col("u") === col("ku")).drop("ku")
+        .join(broadcast(keep.select(col("u").as("kv"))),
+          col("v") === col("kv")).drop("kv")
+        .localCheckpoint()
+      val nextCnt = next.count()
+      converged = nextCnt == aliveCnt
+      alive = next
+      aliveCnt = nextCnt
+      rounds += 1
+    }
+    require(converged,
+      s"k-core peel did not converge within $maxIter rounds")
+    alive
+  }
+
+  val graphKcore = GraftQuery(
+    "graph_kcore",
+    (s, dir) => {
+      val (_, sym) = copurchaseGraphShared(s, dir)
+      kcorePeel(sym, KcoreK, KcoreMaxIter)
+        .groupBy(col("u").as("node"))
+        .agg(count(lit(1)).as("core_degree"))
+        .orderBy(col("node"))
+    },
+    Some(s"""
+      WITH items AS (
+        SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+      e AS (
+        SELECT DISTINCT a.p AS pa, b.p AS pb
+        FROM items a JOIN items b ON a.o = b.o AND a.p < b.p),
+      sym AS (SELECT pa AS u, pb AS v FROM e
+              UNION ALL SELECT pb, pa FROM e)
+      SELECT node, core_degree FROM (
+        WITH RECURSIVE alive(iter, u, v) AS (
+          SELECT 0, u, v FROM sym
+          UNION ALL
+          SELECT iter + 1, u, v FROM (
+            SELECT a.iter, a.u, a.v,
+                   COUNT(*) OVER (PARTITION BY a.u) AS du,
+                   COUNT(*) OVER (PARTITION BY a.v) AS dv
+            FROM alive a WHERE a.iter < $KcoreMaxIter
+          ) WHERE du >= $KcoreK AND dv >= $KcoreK)
+        SELECT u AS node, COUNT(*) AS core_degree
+        FROM alive WHERE iter = $KcoreMaxIter
+        GROUP BY 1)
+      ORDER BY node
+    """)
+  )
+
+  /** Degree assortativity (Newman): the Pearson correlation of
+    * endpoint degrees over every directed edge — do hubs attach to
+    * hubs (r > 0) or to the periphery (r < 0)? All moments accumulate
+    * as EXACT longs in one pass over the symmetric edge frame (two
+    * broadcast joins against the node-sized degree frame attach the
+    * endpoint degrees; degree products stay far under 2⁶³ through
+    * SF100's edge counts); the closed-form tail then runs entirely in
+    * doubles — identical IEEE ops on identical long sums in both
+    * engines, rounded to 6. No shuffle beyond the degree aggregation.
+    */
+  val graphAssortativity = GraftQuery(
+    "graph_assortativity",
+    (s, dir) => {
+      val (_, sym) = copurchaseGraphShared(s, dir)
+      val deg = sym.groupBy(col("u")).agg(count(lit(1)).as("d"))
+      val pairs = sym
+        .join(broadcast(deg.select(col("u").as("ju"), col("d").as("du"))),
+          col("u") === col("ju"))
+        .join(broadcast(deg.select(col("u").as("jv"), col("d").as("dv"))),
+          col("v") === col("jv"))
+        .select(col("du"), col("dv"))
+      val m = pairs.agg(
+        count(lit(1)).as("n"),
+        sum(col("du")).as("sx"), sum(col("dv")).as("sy"),
+        sum(col("du") * col("dv")).as("sxy"),
+        sum(col("du") * col("du")).as("sxx"),
+        sum(col("dv") * col("dv")).as("syy"))
+      def dbl(c: Column): Column = c.cast(DoubleType)
+      m.select(col("n").as("n_directed_edges"),
+        round((dbl(col("n")) * dbl(col("sxy")) - dbl(col("sx")) * dbl(col("sy"))) /
+          (sqrt(dbl(col("n")) * dbl(col("sxx")) - dbl(col("sx")) * dbl(col("sx"))) *
+           sqrt(dbl(col("n")) * dbl(col("syy")) - dbl(col("sy")) * dbl(col("sy")))),
+          6).as("assortativity"))
+    },
+    Some("""
+      WITH items AS (
+        SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+      e AS (
+        SELECT DISTINCT a.p AS pa, b.p AS pb
+        FROM items a JOIN items b ON a.o = b.o AND a.p < b.p),
+      sym AS (SELECT pa AS u, pb AS v FROM e
+              UNION ALL SELECT pb, pa FROM e),
+      deg AS (SELECT u, COUNT(*) AS d FROM sym GROUP BY 1),
+      p AS (
+        SELECT a.d AS du, b.d AS dv
+        FROM sym s JOIN deg a ON a.u = s.u JOIN deg b ON b.u = s.v),
+      m AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(du) AS BIGINT) AS sx, CAST(SUM(dv) AS BIGINT) AS sy,
+               CAST(SUM(du * dv) AS BIGINT) AS sxy,
+               CAST(SUM(du * du) AS BIGINT) AS sxx,
+               CAST(SUM(dv * dv) AS BIGINT) AS syy
+        FROM p)
+      SELECT n AS n_directed_edges,
+             round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                    - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+               / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                  * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                    - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
+               AS assortativity
+      FROM m
+    """)
+  )
+
   def all: Seq[GraftQuery] =
     Seq(graphDegreeStats, graphTriangles, graphPagerank, graphItemRecs,
       graphPagerankWeighted, graphCustomerSimilarity, graphCommunities,
-      graphHierarchyRollup, graphBfsLevels, graphLinkPrediction)
+      graphHierarchyRollup, graphBfsLevels, graphLinkPrediction,
+      graphKcore, graphAssortativity)
 }

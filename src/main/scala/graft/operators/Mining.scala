@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 import graft.GraftQuery
@@ -99,5 +99,95 @@ object Mining {
     """)
   )
 
-  def all: Seq[GraftQuery] = Seq(miningAssocRules)
+  /** Sequential pattern mining over per-user event streams:
+    * consecutive event-type bigrams AND trigrams (k = 2, 3), each with
+    * count, chain-rule prefix count, support (share of all k-grams)
+    * and confidence (P(last | prefix) = cnt / prefix_cnt). ONE
+    * user_id exchange + sort serves both lead() offsets; the k-gram
+    * frames are event-type-domain-sized (|types|^k rows), so the
+    * prefix/total windows and the union are near-free at any SF. All
+    * rule math is exact-integer-derived with one division per ratio,
+    * rounded to 6 — the mining_assoc_rules numeric policy.
+    */
+  val miningSeqPatterns = GraftQuery(
+    "mining_seq_patterns",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val seq = t.events
+        .select(col("user_id"), col("ts"), col("event_id"),
+          col("event_type").as("e0"))
+        .withColumn("e1", lead(col("e0"), 1).over(w))
+        .withColumn("e2", lead(col("e0"), 2).over(w))
+      // ONE pass over the data: both lead() offsets ride the same
+      // exchange+sort, and a single (e0, e1, e2) aggregation (domain-
+      // sized: ≤ |types|³ + null-e2 rows) feeds both k-gram frames —
+      // the bigram/trigram split never re-touches the events scan
+      val base = seq.filter(col("e1").isNotNull)
+        .groupBy(col("e0"), col("e1"), col("e2"))
+        .agg(count(lit(1)).as("cnt"))
+        .persist()
+      def grams(k: Int, src: DataFrame, pattern: Column,
+          prefix: Column): DataFrame =
+        src.groupBy(pattern.as("pattern"), prefix.as("prefix"))
+          .agg(sum(col("cnt")).as("cnt"))
+          .withColumn("k", lit(k.toLong))
+      val bi = grams(2, base, concat_ws(">", col("e0"), col("e1")),
+        col("e0"))
+      val tri = grams(3, base.filter(col("e2").isNotNull),
+        concat_ws(">", col("e0"), col("e1"), col("e2")),
+        concat_ws(">", col("e0"), col("e1")))
+      val all = bi.unionByName(tri)
+      // domain-sized frame: |event_types|^k rows
+      val wk = org.apache.spark.sql.expressions.Window.partitionBy(col("k"))
+      val wp = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("k"), col("prefix"))
+      val out = all
+        .withColumn("total_k", sum(col("cnt")).over(wk))
+        .withColumn("prefix_cnt", sum(col("cnt")).over(wp))
+        .select(col("k"), col("pattern"), col("cnt"), col("prefix_cnt"),
+          round(col("cnt").cast("double") / col("total_k").cast("double"), 6)
+            .as("support"),
+          round(col("cnt").cast("double") / col("prefix_cnt").cast("double"), 6)
+            .as("confidence"))
+        .orderBy(col("k"), col("cnt").desc, col("pattern"))
+      out.persist().count()
+      base.unpersist(false)
+      out
+    },
+    Some("""
+      WITH seq AS (
+        SELECT event_type AS e0,
+               lead(event_type, 1) OVER
+                 (PARTITION BY user_id ORDER BY ts, event_id) AS e1,
+               lead(event_type, 2) OVER
+                 (PARTITION BY user_id ORDER BY ts, event_id) AS e2
+        FROM events),
+      bi AS (
+        SELECT 2 AS k, e0 || '>' || e1 AS pattern, e0 AS prefix,
+               COUNT(*) AS cnt
+        FROM seq WHERE e1 IS NOT NULL GROUP BY 2, 3),
+      tri AS (
+        SELECT 3 AS k, e0 || '>' || e1 || '>' || e2 AS pattern,
+               e0 || '>' || e1 AS prefix, COUNT(*) AS cnt
+        FROM seq WHERE e2 IS NOT NULL GROUP BY 2, 3),
+      u AS (SELECT * FROM bi UNION ALL SELECT * FROM tri),
+      tot AS (
+        SELECT CAST(k AS BIGINT) AS k, pattern, CAST(cnt AS BIGINT) AS cnt,
+               CAST(SUM(cnt) OVER (PARTITION BY k) AS BIGINT) AS total_k,
+               CAST(SUM(cnt) OVER (PARTITION BY k, prefix) AS BIGINT)
+                 AS prefix_cnt
+        FROM u)
+      SELECT k, pattern, cnt, prefix_cnt,
+             round(CAST(cnt AS DOUBLE) / CAST(total_k AS DOUBLE), 6)
+               AS support,
+             round(CAST(cnt AS DOUBLE) / CAST(prefix_cnt AS DOUBLE), 6)
+               AS confidence
+      FROM tot
+      ORDER BY k, cnt DESC, pattern
+    """)
+  )
+
+  def all: Seq[GraftQuery] = Seq(miningAssocRules, miningSeqPatterns)
 }

@@ -2367,6 +2367,115 @@ object Relational {
     """)
   )
 
+  /** TPC-H Q11 shape ("important stock"): per supplier-nation, the
+    * parts whose revenue exceeds a fixed fraction (0.1%) of that
+    * nation's total revenue — the group-HAVING-scalar-subquery
+    * pattern. The threshold compare stays in EXACT decimal
+    * (value·1000 > total — an integer-scaled decimal inequality, no
+    * float boundary), and only the emitted columns cast to double.
+    * Shapes: lineitem joins the two SF-small dims broadcast, ONE
+    * (nation, part) aggregation feeds both sides of the comparison —
+    * the nation totals re-aggregate the already-aggregated frame
+    * (domain-sized) rather than re-scanning the fact, and the final
+    * filter joins threshold-to-groups on nation (broadcastable: one
+    * row per nation). At 100 TB: one fact shuffle, everything
+    * downstream domain-sized.
+    */
+  val q94ImportantParts = GraftQuery(
+    "q94_important_parts",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val perPart = t.lineitem
+        .join(broadcast(t.supplier.select(col("s_suppkey"), col("s_nationkey"))),
+          col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(t.nation.select(col("n_nationkey"), col("n_name"))),
+          col("s_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"), col("l_partkey"))
+        .agg(sum(dec2(col("l_extendedprice")) * oneMinus(col("l_discount")))
+          .as("value_dec"))
+      val perNation = perPart.groupBy(col("n_name"))
+        .agg(sum(col("value_dec")).as("total_dec"))
+      perPart
+        .join(broadcast(perNation), Seq("n_name"))
+        .filter(col("value_dec") * lit(1000) > col("total_dec"))
+        .select(col("n_name"), col("l_partkey"),
+          col("value_dec").cast(DoubleType).as("value"),
+          round(col("value_dec").cast(DoubleType) * lit(100.0) /
+            col("total_dec").cast(DoubleType), 6).as("share_pct"))
+        .orderBy(col("n_name"), col("value").desc, col("l_partkey"))
+    },
+    Some("""
+      WITH per_part AS (
+        SELECT n.n_name, l.l_partkey,
+               SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                 * (CAST(1 AS DECIMAL(4,2)) - CAST(l.l_discount AS DECIMAL(4,2))))
+                 AS value_dec
+        FROM lineitem l
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        JOIN nation n ON n.n_nationkey = s.s_nationkey
+        GROUP BY 1, 2),
+      per_nation AS (
+        SELECT n_name, SUM(value_dec) AS total_dec
+        FROM per_part GROUP BY 1)
+      SELECT p.n_name, p.l_partkey,
+             CAST(p.value_dec AS DOUBLE) AS value,
+             round(CAST(p.value_dec AS DOUBLE) * 100.0
+               / CAST(t.total_dec AS DOUBLE), 6) AS share_pct
+      FROM per_part p JOIN per_nation t ON t.n_name = p.n_name
+      WHERE p.value_dec * 1000 > t.total_dec
+      ORDER BY p.n_name, value DESC, p.l_partkey
+    """)
+  )
+
+  /** TPC-H Q22 shape ("global sales opportunity" → dormant high-value
+    * customers): customers whose balance exceeds the average POSITIVE
+    * balance (scalar aggregate subquery) and who placed no order since
+    * a cutoff (anti-join on a filtered fact), rolled up per nation.
+    * The threshold is decimal-sum / count — ONE division, so the
+    * double both engines compare against is bit-identical. Shapes:
+    * the scalar threshold is a 1-row broadcast gate frame; the
+    * anti-join's right side is pre-filtered AND pre-distinct-ed to
+    * customer keys (SF-small vs the fact), and the nation rollup is
+    * domain-sized. At 100 TB the anti-join shuffles only customer
+    * keys with recent orders, not the order fact.
+    */
+  val q95DormantCustomers = GraftQuery(
+    "q95_dormant_customers",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val cutoff = lit("2000-01-01 00:00:00").cast("timestamp")
+      val thr = t.customer.filter(col("c_acctbal") > 0.0)
+        .agg((sum(dec2(col("c_acctbal"))).cast(DoubleType) /
+          count(lit(1)).cast(DoubleType)).as("thr"))
+      val recent = t.orders.filter(col("o_orderdate") >= cutoff)
+        .select(col("o_custkey")).distinct()
+      t.customer.crossJoin(broadcast(thr))
+        .filter(col("c_acctbal") > col("thr"))
+        .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).as("numcust"),
+          sumMoney(col("c_acctbal")).as("totacctbal"))
+        .orderBy(col("c_nationkey"))
+    },
+    Some("""
+      WITH thr AS (
+        SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE)
+                 / CAST(COUNT(*) AS DOUBLE) AS thr
+        FROM customer WHERE c_acctbal > 0.0)
+      SELECT c.c_nationkey, COUNT(*) AS numcust,
+             CAST(SUM(CAST(c.c_acctbal AS DECIMAL(12,2))) AS DOUBLE)
+               AS totacctbal
+      FROM customer c, thr
+      WHERE c.c_acctbal > thr.thr
+        AND NOT EXISTS (
+          SELECT 1 FROM orders o
+          WHERE o.o_custkey = c.c_custkey
+            AND o.o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+      GROUP BY 1
+      ORDER BY 1
+    """)
+  )
+
   def all: Seq[GraftQuery] = Seq(
     q01PricingSummary, q02RevenueByNation, q03ShippingPriority,
     q04OrderPriorityExists, q05CustomersWithoutOrders, q06RevenueFilter,
@@ -2383,6 +2492,6 @@ object Relational {
     q72ReconcileFullOuter, q74SchemaEvolution, q77SmallQtyRevenue,
     q78CompactFiles, q79MultiDistinct, q80DeleteCascade,
     q81ArgmaxGroups, q82RunningDistinct, q85BlameSuppliers, q89Pseudonymize,
-    q91IncrementalJoin
+    q91IncrementalJoin, q94ImportantParts, q95DormantCustomers
   )
 }

@@ -1004,9 +1004,50 @@ object Similarity {
     """)
   )
 
+  /** Cosine radius for the range search: on this isotropic corpus
+    * (cos ~ N(0, 1/√64)) 0.25 sits ≈ 2σ out — ~10 neighbors per
+    * query, non-empty at every SF.
+    */
+  val RangeTau = 0.25
+
+  /** Range (radius) search: ALL corpus vectors within cosine ≥
+    * [[RangeTau]] of each query — the fixed-threshold companion to
+    * top-k that near-duplicate sweeps and dense-retrieval recall
+    * audits use (FAISS `range_search`). Same serving shape as the
+    * exact top-k: the query set broadcasts, the corpus scans ONCE
+    * through the codegen'd cosine kernel, and the threshold filter
+    * replaces the rank window — no shuffle of the corpus at all. At
+    * 100 TB the IVF cell prune (sim_ann_ivf) bounds the scanned
+    * fraction; the result-size asymmetry vs top-k (unbounded per
+    * query) is the caller's contract, not a shuffle concern.
+    */
+  val simRangeSearch = GraftQuery(
+    "sim_range_search",
+    (s, dir) => {
+      val e = corpus(Tables(s, dir))
+      val queries = e.filter(col("vec_id") < NumQueries)
+        .select(col("vec_id").as("qid"), col("v").as("qv"))
+      e.join(broadcast(queries), col("vec_id") =!= col("qid"))
+        .withColumn("cos", cosineSim(col("qv"), col("v")))
+        .filter(col("cos") >= RangeTau)
+        .select(col("qid"), col("vec_id"), round(col("cos"), 6).as("cos"))
+        .orderBy(col("qid"), col("vec_id"))
+    },
+    Some(s"""
+      SELECT q.vec_id AS qid, e.vec_id,
+             round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                   CAST(e.embedding AS DOUBLE[])), 6) AS cos
+      FROM embeddings q JOIN embeddings e ON e.vec_id <> q.vec_id
+      WHERE q.vec_id < $NumQueries
+        AND list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+              CAST(e.embedding AS DOUBLE[])) >= $RangeTau
+      ORDER BY qid, e.vec_id
+    """)
+  )
+
   def all: Seq[GraftQuery] =
     Seq(simTopkBruteforce, simAnnLsh, simAnnIvf, simNormStats,
       clusterSemanticDedup, simPcaReduce, simSqQuant, simEmbedDecontam,
       simAnnPq, simAnnIvfPq, simAnnFiltered, retrievalHardNegatives,
-      simTwoStageMrl)
+      simTwoStageMrl, simRangeSearch)
 }

@@ -2238,6 +2238,68 @@ object TextAnalysis {
     """)
   )
 
+  /** N-gram size for the novelty scorer: 5-token spans — short enough
+    * that cross-document phrase reuse registers, long enough that
+    * novelty isn't saturated by function-word runs.
+    */
+  val NoveltyN = 5
+
+  /** Per-document n-gram novelty: the fraction of a document's
+    * distinct [[NoveltyN]]-token shingles whose FIRST corpus
+    * occurrence (minimum doc_id over every document containing the
+    * shingle) is the document itself — the "how much does this doc
+    * add" signal curriculum ordering and crawl-increment triage rank
+    * by. ONE gram-keyed exchange serves both sides: a window MIN over
+    * the gram partition pins first occurrence on the same shuffle
+    * that carries membership, then a doc_id aggregation folds the
+    * flags; counts stay integral and the score is one division. At
+    * 100 TB the gram exchange is the linear-in-tokens cost every
+    * inverted-index dedup already pays; no joins, no second scan.
+    */
+  val textGramNovelty = GraftQuery(
+    "text_gram_novelty",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val grams = t.documents
+        .select(col("doc_id"),
+          explode(graft.plans.WordShingles.wordShingles(
+            tokens(col("text")), NoveltyN)).as("gram"))
+      val w = Window.partitionBy(col("gram"))
+      grams
+        .withColumn("first_doc", min(col("doc_id")).over(w))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_grams"),
+          sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
+            .as("n_novel"))
+        .select(col("doc_id"), col("n_grams"), col("n_novel"),
+          round(col("n_novel").cast("double") / col("n_grams").cast("double"),
+            6).as("novelty"))
+        .orderBy(col("doc_id"))
+    },
+    Some(raw"""
+      WITH g AS (
+        SELECT doc_id,
+               unnest(list_distinct(list_transform(
+                 range(1, greatest(len(string_split_regex(lower(text), '\s+')) - ${NoveltyN - 2}, 1)),
+                 i -> ${(0 until NoveltyN).map(j => s"string_split_regex(lower(text), '\\s+')[i+$j]").mkString(" || ' ' || ")}
+               ))) AS gram
+        FROM documents),
+      f AS (
+        SELECT doc_id, gram,
+               MIN(doc_id) OVER (PARTITION BY gram) AS first_doc
+        FROM g)
+      SELECT doc_id,
+             COUNT(*) AS n_grams,
+             CAST(SUM(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_novel,
+             round(CAST(SUM(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END)
+                 AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) AS novelty
+      FROM f
+      GROUP BY doc_id
+      ORDER BY doc_id
+    """)
+  )
+
   def all: Seq[GraftQuery] =
     Seq(textTokens, textQuality, textLangid, textFingerprint, textTopNgrams,
       textTrainingSet, textChunk, textDecontaminate, sampleStratified,
@@ -2247,5 +2309,5 @@ object TextAnalysis {
       samplePps, textPassageDedup, textCmsFreq, textBigramLm, textBm25,
       textDsirSelect, pipelineFunnel, retrievalHybridRrf, featHashingTrick,
       textCcnetBuckets, textBpeMerges, textTokenizerFertility,
-      sampleEpochAllocation, textSubstringDedup)
+      sampleEpochAllocation, textSubstringDedup, textGramNovelty)
 }

@@ -646,6 +646,54 @@ object EventsStream {
     """)
   )
 
+  /** Watermarked stream-stream LEFT SEMI join — "which clicks
+    * converted": each click emits AT MOST ONCE, as soon as any
+    * purchase lands in its attribution window, regardless of how many
+    * purchases match — the dedup the inner join can't express without
+    * a post-aggregate. Same interval condition + watermarks as
+    * stream_stream_join, so state stays (rate × window)-bounded; the
+    * semi side's state entry is retired on first match instead of
+    * fanning out. Emission is match-driven (not eviction-driven): a
+    * purchase always arrives before its click's state expires (the
+    * match window is 30 min, the watermark 1 h), so the batch oracle
+    * is a plain EXISTS with no watermark-cutoff clause.
+    */
+  val streamStreamSemi = GraftQuery(
+    "stream_stream_semi",
+    (s, dir) => {
+      val clicks = eventsStream(s, dir)
+        .filter(col("event_type") === "click")
+        .select(col("event_id").as("c_id"), col("user_id").as("c_user"),
+          col("ts").as("c_ts"))
+        .withWatermark("c_ts", "1 hour")
+      val purchases = eventsStream(s, dir)
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user"), col("ts").as("p_ts"))
+        .withWatermark("p_ts", "1 hour")
+      val joined = clicks.join(purchases,
+        col("c_user") === col("p_user") &&
+          col("p_ts") >= col("c_ts") &&
+          col("p_ts") <= col("c_ts") + expr(s"INTERVAL $AttributionMinutes MINUTES"),
+        "left_semi")
+      runToTable(joined, OutputMode.Append())
+        .groupBy(col("c_user").as("user_id"))
+        .agg(count(lit(1)).as("n_converting_clicks"))
+        .orderBy(col("user_id"))
+    },
+    Some(s"""
+      SELECT c.user_id AS user_id, COUNT(*) AS n_converting_clicks
+      FROM events c
+      WHERE c.event_type = 'click'
+        AND EXISTS (
+          SELECT 1 FROM events p
+          WHERE p.event_type = 'purchase' AND p.user_id = c.user_id
+            AND p.ts >= c.ts
+            AND p.ts <= c.ts + INTERVAL $AttributionMinutes MINUTE)
+      GROUP BY 1
+      ORDER BY user_id
+    """)
+  )
+
   /** Reservoir size for the streaming weighted sampler. */
   val SampleR = 10
 
@@ -1284,7 +1332,8 @@ object EventsStream {
   def all: Seq[GraftQuery] =
     Seq(streamHourlyAgg, streamSessionize, streamScore, streamDedupExact,
       streamEnrichProfile, streamSessionWindow, streamThetaDistinct,
-      streamStreamJoin, streamStreamLeftOuter, streamWeightedSample,
+      streamStreamJoin, streamStreamLeftOuter, streamStreamSemi,
+      streamWeightedSample,
       streamUpsertLatest, streamHeavyHitters, streamPatternMatch,
       streamQuantiles, streamIncrementalDedup, streamEwmaAnomaly,
       streamWindowedTopk)

@@ -141,4 +141,29 @@ class FilteredSearchSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("range search equals a dense cosine sweep at the radius") {
+    val vecs = Similarity.corpusOf(spark, sf)
+      .collect().map(r => r.getLong(0) ->
+        r.getSeq[Double](1).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val want = (for {
+      q <- vecs.keys.filter(_ < Similarity.NumQueries)
+      c <- vecs.keys if c != q
+      s = cos(vecs(q), vecs(c)) if s >= Similarity.RangeTau
+    } yield (q, c) -> s).toMap
+    val got = SparkEntry.queries("sim_range_search")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // guard the only approximation: no pair may sit so close to the
+    // radius that engine-order float differences could flip it
+    want.values.foreach(s => assert(math.abs(s - Similarity.RangeTau) > 1e-9))
+    assert(got.keySet == want.keySet, "neighbor set differs from dense sweep")
+    got.foreach { case (k, v) =>
+      assert(math.abs(v - want(k)) < 1e-6, s"cos of $k drifted")
+    }
+  }
 }

@@ -310,4 +310,58 @@ class GraphSpec extends AnyFunSuite {
       assert(r.getDouble(4) == want, s"subtree_acctbal of $node")
     }
   }
+
+  test("k-core peel: planted graph peels the cascade, keeps the clique") {
+    import spark.implicits._
+    // 4-clique {1,2,3,4} plus a chain 4-5-6: for k=2 the chain must
+    // peel in TWO rounds (6 first, then 5 — degree only drops after
+    // 6 leaves), proving the iteration; the clique survives with
+    // within-core degree 3
+    val und = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (4L, 5L), (5L, 6L))
+    val sym = und.flatMap { case (a, b) => Seq((a, b), (b, a)) }
+      .toDF("u", "v")
+    val core = graft.operators.Graph.kcorePeel(sym, 2L, 8)
+      .groupBy($"u").agg(count(lit(1)).as("d"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(core == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+    // non-convergence is loud: a long cycle with k above its degree
+    // peels everything in round one and converges; but an impossible
+    // round cap trips the guard
+    val cyc = (1L to 5L).map(i => (i, i % 5 + 1))
+      .flatMap { case (a, b) => Seq((a, b), (b, a)) }.toDF("u", "v")
+    intercept[IllegalArgumentException] {
+      graft.operators.Graph.kcorePeel(cyc, 3L, 0)
+    }
+  }
+
+  test("assortativity equals a dense moment recompute") {
+    val edges = graft.operators.Graph
+      .copurchaseGraphShared(spark, sf)._2
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val deg = edges.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    val (n, sx, sxy, sxx) = edges.foldLeft((0L, 0L, 0L, 0L)) {
+      case ((cn, csx, csxy, csxx), (u, v)) =>
+        (cn + 1, csx + deg(u), csxy + deg(u) * deg(v), csxx + deg(u) * deg(u))
+    }
+    // symmetric frame: x and y moments coincide
+    val num = n.toDouble * sxy.toDouble - sx.toDouble * sx.toDouble
+    val den = n.toDouble * sxx.toDouble - sx.toDouble * sx.toDouble
+    val want = BigDecimal(num / (math.sqrt(den) * math.sqrt(den)))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val row = SparkEntry.queries("graph_assortativity")(spark, sf)
+      .collect().head
+    assert(row.getLong(0) == n, "directed edge count")
+    assert(math.abs(row.getDouble(1) - want) < 1e-6,
+      s"assortativity ${row.getDouble(1)} != dense $want")
+    assert(row.getDouble(1) >= -1.0 && row.getDouble(1) <= 1.0)
+  }
+
+  test("graph_kcore query: every survivor meets the threshold in-core") {
+    val rows = SparkEntry.queries("graph_kcore")(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rows.nonEmpty)
+    rows.values.foreach(d =>
+      assert(d >= graft.operators.Graph.KcoreK, "survivor below k in core"))
+  }
 }

@@ -224,4 +224,47 @@ class RelationalSpec extends AnyFunSuite {
     assert(row.getDouble(1) ==
       small.map(r => d2(r._3)).sum.toDouble / 7.0, "avg yearly revenue")
   }
+
+  test("Q11-shape important parts: exactly the above-threshold groups") {
+    val t = graft.sources.Tables(spark, sf)
+    def d(x: Double, s: Int = 2): BigDecimal =
+      BigDecimal(x).setScale(s, BigDecimal.RoundingMode.HALF_UP)
+    val suppNation = t.supplier
+      .join(t.nation, col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val vals = t.lineitem
+      .select(col("l_suppkey"), col("l_partkey"), col("l_extendedprice"),
+        col("l_discount")).collect()
+      .map(r => ((suppNation(r.getLong(0)), r.getLong(1)),
+        d(r.getDouble(2)) * (BigDecimal(1).setScale(2) - d(r.getDouble(3)))))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    val nationTot = vals.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
+    val want = vals.filter { case ((n, _), v) => v * 1000 > nationTot(n) }
+    val got = SparkEntry.queries("q94_important_parts")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(got.keySet == want.keySet, "kept (nation, part) set differs")
+    got.foreach { case (k, v) => assert(v == want(k).toDouble, s"value of $k") }
+  }
+
+  test("Q22-shape dormant customers: threshold + anti-join recompute") {
+    val t = graft.sources.Tables(spark, sf)
+    def d2(x: Double): BigDecimal =
+      BigDecimal(x).setScale(2, BigDecimal.RoundingMode.HALF_UP)
+    val cust = t.customer
+      .select(col("c_custkey"), col("c_nationkey"), col("c_acctbal"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
+    val posBals = cust.filter(_._3 > 0.0)
+    val thr = posBals.map(r => d2(r._3)).sum.toDouble / posBals.length
+    val cutoff = java.sql.Timestamp.valueOf("2000-01-01 00:00:00")
+    val recent = t.orders.filter(col("o_orderdate") >= lit(cutoff))
+      .select(col("o_custkey")).distinct().collect().map(_.getLong(0)).toSet
+    val keep = cust.filter(c => c._3 > thr && !recent.contains(c._1))
+    val want = keep.groupBy(_._2).view.mapValues { rs =>
+      (rs.length.toLong, rs.map(r => d2(r._3)).sum.toDouble)
+    }.toMap
+    val got = SparkEntry.queries("q95_dormant_customers")(spark, sf).collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(got == want, "dormant-customer rollup differs from recompute")
+  }
 }

@@ -263,4 +263,41 @@ class ScaleSpec extends AnyFunSuite {
     assert(filteredSideExists,
       s"expected an occ-filtered join input below a join:\n$plan")
   }
+
+  test("gram novelty: first-occurrence rides ONE gram exchange") {
+    val plan = planOf("text_gram_novelty")
+    val gramParts = "hashpartitioning\\(gram".r.findAllIn(plan).length
+    assert(gramParts <= 1,
+      s"window MIN and membership must share the gram partitioning:\n$plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("BroadcastHashJoin"),
+      s"novelty is window-only — a join means the groupBy+join-back shape crept in:\n$plan")
+  }
+
+  test("q94 important parts: dims broadcast, nation threshold broadcast") {
+    val plan = planOf("q94_important_parts")
+    val bcasts = "BroadcastHashJoin".r.findAllIn(plan).length
+    assert(bcasts >= 3,
+      s"supplier, nation, and the per-nation totals must all broadcast:\n$plan")
+    val lineitemRead = plan.linesIterator
+      .filter(_.contains("ReadSchema")).find(_.contains("l_extendedprice"))
+      .getOrElse("")
+    assert(!lineitemRead.contains("l_quantity") && !lineitemRead.contains("l_shipdate"),
+      s"lineitem scan must prune to the join/agg columns:\n$lineitemRead")
+  }
+
+  test("q95 dormant customers: recent-order keys anti-join without a fact shuffle") {
+    val plan = planOf("q95_dormant_customers")
+    assert(plan.contains("LeftAnti"),
+      s"the no-recent-orders predicate must plan as an anti-join:\n$plan")
+    assert(plan.contains("PushedFilters: [IsNotNull(o_orderdate), GreaterThanOrEqual(o_orderdate")
+      || plan.contains("GreaterThanOrEqual(o_orderdate"),
+      s"the cutoff must reach the orders scan:\n$plan")
+  }
+
+  test("survival KM: head extraction and life table share the o_custkey exchange") {
+    val plan = planOf("q92_survival_km")
+    val custParts = "hashpartitioning\\(o_custkey".r.findAllIn(plan).length
+    assert(custParts <= 1,
+      s"row_number window and first/second-date aggregate must share one exchange:\n$plan")
+  }
 }

@@ -223,4 +223,20 @@ class StreamShapeSpec extends AnyFunSuite {
     // the watermark cutoff actually emitted something at sf0.001
     assert(outer.values.map(_._2).sum > 0L, "no unmatched clicks emitted")
   }
+
+  test("stream-stream semi: once per converting click, bounded by the inner join") {
+    val semi = SparkEntry.queries("stream_stream_semi")(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val inner = SparkEntry.queries("stream_stream_join")(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(semi.nonEmpty)
+    // semi emits each click at most once, so per user:
+    // 0 < converting clicks <= attributed (click, purchase) pairs,
+    // and semi's user set is exactly the inner join's
+    assert(semi.keySet == inner.keySet, "semi and inner user sets differ")
+    semi.foreach { case (u, n) =>
+      assert(n >= 1L && n <= inner(u),
+        s"user $u: semi count $n outside [1, inner ${inner(u)}]")
+    }
+  }
 }

@@ -806,4 +806,34 @@ class TextDedupSpec extends AnyFunSuite {
     assert(got(4L) == ((1L, 3L, false)), "doc4: 3*5 >= 8 tokens -> drop")
     assert(got(5L) == ((0L, 0L, true)), "clean doc kept")
   }
+
+  test("gram novelty equals a dense first-occurrence recompute") {
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val docs = graft.sources.Tables(spark, sf).documents
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val n = graft.operators.TextAnalysis.NoveltyN
+    val docGrams = docs.map { case (id, text) =>
+      val toks = text.toLowerCase.split("\\s+", -1)
+      val grams = toks.sliding(n).filter(_.length == n)
+        .map(_.mkString(" ")).toSeq.distinct
+      id -> grams
+    }
+    val firstDoc = scala.collection.mutable.Map.empty[String, Long]
+    docGrams.sortBy(_._1).foreach { case (id, gs) =>
+      gs.foreach(g => if (!firstDoc.contains(g)) firstDoc(g) = id)
+    }
+    val want = docGrams.filter(_._2.nonEmpty).map { case (id, gs) =>
+      val novel = gs.count(firstDoc(_) == id).toLong
+      id -> ((gs.length.toLong, novel, r6(novel.toDouble / gs.length)))
+    }.toMap
+    val got = SparkEntry.queries("text_gram_novelty")(spark, sf).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(got == want, "novelty table differs from dense recompute")
+    // the earliest doc is fully novel by construction
+    val minDoc = want.keys.min
+    assert(want(minDoc)._1 == want(minDoc)._2)
+  }
 }
