@@ -2011,6 +2011,155 @@ object Analytics {
     """)
   )
 
+  /** Maximum drawdown of the daily-revenue series, per year: running
+    * peak minus current value, all in EXACT integer cents over the
+    * date-domain-sized daily frame (~350 rows/year — the windows here
+    * never see row-scale data; the only data-scale operation is the
+    * day-level cents aggregation, one map-side-combined shuffle).
+    * The peak-to-trough readout (worst day, depth, peak it fell
+    * from) is the classic risk/health metric over any KPI series.
+    */
+  val q97MaxDrawdown = GraftQuery(
+    "q97_max_drawdown",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val daily = t.orders
+        .groupBy(year(col("o_orderdate")).cast("long").as("yr"),
+          to_date(col("o_orderdate")).as("day"))
+        .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
+      val wRun = Window.partitionBy(col("yr")).orderBy(col("day"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val dd = daily
+        .withColumn("peak", max(col("cents")).over(wRun))
+        .withColumn("drawdown", col("peak") - col("cents"))
+      dd.groupBy(col("yr"))
+        .agg(count(lit(1)).as("n_days"),
+          max(col("cents")).as("best_day_cents"),
+          max(col("drawdown")).as("max_drawdown_cents"),
+          min(when(col("drawdown") > 0, col("cents"))).as("worst_below_peak_cents"))
+        .orderBy(col("yr"))
+    },
+    Some("""
+      WITH daily AS (
+        SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
+               CAST(o_orderdate AS DATE) AS day,
+               CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                 AS cents
+        FROM orders GROUP BY 1, 2),
+      dd AS (
+        SELECT yr, day, cents,
+               CAST(MAX(cents) OVER (PARTITION BY yr ORDER BY day
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                 AS peak
+        FROM daily)
+      SELECT yr, COUNT(*) AS n_days,
+             MAX(cents) AS best_day_cents,
+             MAX(peak - cents) AS max_drawdown_cents,
+             MIN(CASE WHEN peak - cents > 0 THEN cents END)
+               AS worst_below_peak_cents
+      FROM dd
+      GROUP BY yr
+      ORDER BY yr
+    """)
+  )
+
+  /** Lorenz curve / grouped Gini of customer lifetime revenue per
+    * market segment, at 2¹⁶-cent bucket granularity: cumulative
+    * customer share vs cumulative revenue share along the sorted
+    * bucket spine, plus the exact trapezoid Gini OVER THE BUCKETED
+    * distribution. Bucketing is what keeps this 100 TB-shaped: the
+    * per-customer rollup is one shuffle, the bucket frame is
+    * domain-sized (value range / 2¹⁶), and no window ever sees a
+    * row-scale partition — the q90 drill-down lesson applied to
+    * inequality profiling. Shares and the Gini tail are single
+    * divisions / fixed IEEE chains over exact longs, rounded to 6.
+    */
+  val q98LorenzGini = GraftQuery(
+    "q98_lorenz_gini",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val perCust = t.orders
+        .groupBy(col("o_custkey"))
+        .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
+        .join(t.customer.select(col("c_custkey"), col("c_mktsegment")),
+          col("o_custkey") === col("c_custkey"))
+      val bucket = (col("cents") / 65536L).cast("long")
+      val buckets = perCust
+        .groupBy(col("c_mktsegment").as("segment"), bucket.as("b"))
+        .agg(count(lit(1)).as("n_cust"), sum(col("cents")).as("mass"))
+      val wCum = Window.partitionBy(col("segment")).orderBy(col("b"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wTot = Window.partitionBy(col("segment"))
+      val cum = buckets
+        .withColumn("cum_n", sum(col("n_cust")).over(wCum))
+        .withColumn("cum_mass", sum(col("mass")).over(wCum))
+        .withColumn("tot_n", sum(col("n_cust")).over(wTot))
+        .withColumn("tot_mass", sum(col("mass")).over(wTot))
+      // trapezoid Gini over the bucketed distribution:
+      // G = 1 - Σ Δpop·(L(i-1)+L(i)) with everything scaled through
+      // exact longs; the only doubles are the final divisions
+      // decimal-widened: n·(L(i-1)+L(i)) sums overflow 2⁶³ around
+      // SF100 (the CUPED-moments lesson), so the accumulator is
+      // DECIMAL(38,0) and the denominator multiplies as doubles
+      val prevMass = col("cum_mass") - col("mass")
+      val gTerm = (col("n_cust") * (prevMass + col("cum_mass")))
+        .cast(DecimalType(38, 0))
+      val cum2 = cum.withColumn("g_sum", sum(gTerm).over(wTot))
+      cum2.select(col("segment"), col("b"), col("n_cust"),
+          col("cum_n"), col("cum_mass"),
+          round(col("cum_n").cast(DoubleType) / col("tot_n").cast(DoubleType), 6)
+            .as("pop_share"),
+          round(col("cum_mass").cast(DoubleType) / col("tot_mass").cast(DoubleType), 6)
+            .as("revenue_share"),
+          round(lit(1.0) - col("g_sum").cast(DoubleType) /
+            (col("tot_n").cast(DoubleType) * col("tot_mass").cast(DoubleType)),
+            6).as("gini_grouped"))
+        .orderBy(col("segment"), col("b"))
+    },
+    Some("""
+      WITH per_cust AS (
+        SELECT o.o_custkey,
+               CAST(SUM(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                 AS cents
+        FROM orders o GROUP BY 1),
+      joined AS (
+        SELECT c.c_mktsegment AS segment, p.cents,
+               CAST(p.cents // 65536 AS BIGINT) AS b
+        FROM per_cust p JOIN customer c ON c.c_custkey = p.o_custkey),
+      buckets AS (
+        SELECT segment, b, COUNT(*) AS n_cust,
+               CAST(SUM(cents) AS BIGINT) AS mass
+        FROM joined GROUP BY 1, 2),
+      cum AS (
+        SELECT segment, b, n_cust, mass,
+               CAST(SUM(n_cust) OVER (PARTITION BY segment ORDER BY b
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                 AS cum_n,
+               CAST(SUM(mass) OVER (PARTITION BY segment ORDER BY b
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                 AS cum_mass,
+               CAST(SUM(n_cust) OVER (PARTITION BY segment) AS BIGINT) AS tot_n,
+               CAST(SUM(mass) OVER (PARTITION BY segment) AS BIGINT) AS tot_mass
+        FROM buckets),
+      g AS (
+        SELECT *,
+               CAST(SUM(CAST(n_cust * ((cum_mass - mass) + cum_mass)
+                 AS DECIMAL(38,0)))
+                 OVER (PARTITION BY segment) AS DECIMAL(38,0)) AS g_sum
+        FROM cum)
+      SELECT segment, b, n_cust, cum_n, cum_mass,
+             round(CAST(cum_n AS DOUBLE) / CAST(tot_n AS DOUBLE), 6)
+               AS pop_share,
+             round(CAST(cum_mass AS DOUBLE) / CAST(tot_mass AS DOUBLE), 6)
+               AS revenue_share,
+             round(1.0 - CAST(g_sum AS DOUBLE)
+               / (CAST(tot_n AS DOUBLE) * CAST(tot_mass AS DOUBLE)), 6)
+               AS gini_grouped
+      FROM g
+      ORDER BY segment, b
+    """)
+  )
+
   def all: Seq[GraftQuery] =
     Seq(q46Funnel, q47CohortRetention, q48AnomalyExact, q49Scd2Versions,
       q51StatsProfile, q52ColumnProfile, q56SessionizedFunnel, q55DqConstraints,
@@ -2018,5 +2167,6 @@ object Analytics {
       q64TargetEncoding, q66ParetoFrontier, q68MadOutliers, q71WelchTtest,
       q73RfmSegments, q75PsiDrift, q83Attribution, q84MarkovTransitions,
       q86PitScd2Join, q87Cuped, q88ScoreLift, q90WeightedMedian,
-      q92SurvivalKm, q93RocAuc, q96ChiSquare)
+      q92SurvivalKm, q93RocAuc, q96ChiSquare, q97MaxDrawdown,
+      q98LorenzGini)
 }

@@ -944,6 +944,108 @@ object Graph {
     """)
   )
 
+  /** Truss order: edges must sit in ≥ TrussK−2 triangles to survive. */
+  val TrussK = 3L
+  /** Peel-round cap shared with the recursive oracle (k-core rule). */
+  val TrussMaxIter = 8
+
+  /** Per-edge triangle support within `alive` (symmetric edge frame):
+    * |N(u) ∩ N(v)| via the two-hop wedge join. Shared by the peel
+    * rounds and the final readout.
+    */
+  private def edgeSupport(alive: DataFrame): DataFrame =
+    alive
+      .join(alive.select(col("u").as("xu"), col("v").as("w")),
+        col("u") === col("xu"))
+      .join(alive.select(col("u").as("yu"), col("v").as("yw")),
+        col("v") === col("yu") && col("w") === col("yw"))
+      .groupBy(col("u"), col("v"))
+      .agg(count(lit(1)).as("support"))
+
+  /** Iterative k-truss peel on a symmetric edge frame: drop every
+    * edge in fewer than k−2 triangles, recompute, repeat to fixpoint
+    * (simultaneous removal per round, convergence `require`d within
+    * `maxIter` — the kcorePeel discipline). Returns the surviving
+    * symmetric edges.
+    */
+  private[graft] def kTrussPeel(
+      sym: DataFrame, k: Long, maxIter: Int): DataFrame = {
+    var alive = sym.select(col("u"), col("v")).localCheckpoint()
+    var aliveCnt = alive.count()
+    var converged = false
+    var rounds = 0
+    while (!converged && rounds < maxIter) {
+      val next = edgeSupport(alive)
+        .filter(col("support") >= k - 2L)
+        .select(col("u"), col("v"))
+        .localCheckpoint()
+      val nextCnt = next.count()
+      converged = nextCnt == aliveCnt
+      alive = next
+      aliveCnt = nextCnt
+      rounds += 1
+    }
+    require(converged,
+      s"k-truss peel did not converge within $maxIter rounds")
+    alive
+  }
+
+  /** k-truss decomposition of the support-pruned co-purchase graph:
+    * the maximal subgraph where every edge closes at least
+    * [[TrussK]]−2 triangles — the cohesion mining step above k-core
+    * (a k-truss is a (k−1)-core of reliably-triangulated edges;
+    * Cohen 2008). Peel rounds are one wedge self-join + aggregation
+    * each over the (support-pruned, hence sparse) edge frame, with
+    * localCheckpoint lineage and loud non-convergence; the emitted
+    * rows are the undirected surviving edges with their within-truss
+    * support, recomputed once on the fixpoint — exactly what the
+    * WITH RECURSIVE oracle (triple self-reference: the edge plus its
+    * two wedge arms) states. At 100 TB the wedge join runs on the
+    * degree-ORIENTED half frame (graph_triangles' trick) so a hub
+    * cannot quadratically explode a round.
+    */
+  val graphKtruss = GraftQuery(
+    "graph_ktruss",
+    (s, dir) => {
+      val symPruned = copurchaseWeightedShared(s, dir)
+        .filter(col("cnt") >= Mining.MinPairOrders)
+        .select(col("u"), col("v"))
+      val truss = kTrussPeel(symPruned, TrussK, TrussMaxIter)
+      edgeSupport(truss)
+        .filter(col("u") < col("v"))
+        .orderBy(col("u"), col("v"))
+    },
+    Some(s"""
+      WITH items AS (
+        SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+      e AS (
+        SELECT a.p AS pa, b.p AS pb, COUNT(*) AS cnt
+        FROM items a JOIN items b ON a.o = b.o AND a.p < b.p
+        GROUP BY 1, 2),
+      sym AS (SELECT pa AS u, pb AS v FROM e WHERE cnt >= ${Mining.MinPairOrders}
+              UNION ALL SELECT pb, pa FROM e WHERE cnt >= ${Mining.MinPairOrders})
+      SELECT u, v, support FROM (
+        WITH RECURSIVE alive(iter, u, v) AS (
+          SELECT 0, u, v FROM sym
+          UNION ALL
+          SELECT t.iter + 1, t.u, t.v FROM (
+            SELECT a.iter, a.u, a.v, COUNT(*) AS supp
+            FROM alive a
+            JOIN alive x ON x.iter = a.iter AND x.u = a.u
+            JOIN alive y ON y.iter = a.iter AND y.u = a.v AND y.v = x.v
+            WHERE a.iter < $TrussMaxIter
+            GROUP BY 1, 2, 3) t
+          WHERE t.supp >= ${TrussK - 2})
+        SELECT f.u, f.v, CAST(COUNT(*) AS BIGINT) AS support
+        FROM alive f
+        JOIN alive x ON x.iter = $TrussMaxIter AND x.u = f.u
+        JOIN alive y ON y.iter = $TrussMaxIter AND y.u = f.v AND y.v = x.v
+        WHERE f.iter = $TrussMaxIter AND f.u < f.v
+        GROUP BY 1, 2)
+      ORDER BY u, v
+    """)
+  )
+
   /** Degree assortativity (Newman): the Pearson correlation of
     * endpoint degrees over every directed edge — do hubs attach to
     * hubs (r > 0) or to the periphery (r < 0)? All moments accumulate
@@ -1013,5 +1115,5 @@ object Graph {
     Seq(graphDegreeStats, graphTriangles, graphPagerank, graphItemRecs,
       graphPagerankWeighted, graphCustomerSimilarity, graphCommunities,
       graphHierarchyRollup, graphBfsLevels, graphLinkPrediction,
-      graphKcore, graphAssortativity)
+      graphKcore, graphAssortativity, graphKtruss)
 }

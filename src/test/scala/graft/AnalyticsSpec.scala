@@ -568,6 +568,49 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(math.abs(gini - (2.0 * auc - 1.0)) < 1e-15)
   }
 
+  test("max drawdown equals a dense daily walk") {
+    def cents(x: Double): Long =
+      BigDecimal(x * 100).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    val daily = spark.read.parquet(s"$sf/orders.parquet")
+      .select(year($"o_orderdate").cast("long").as("yr"),
+        to_date($"o_orderdate").as("day"), $"o_totalprice")
+      .collect()
+      .map(r => ((r.getLong(0), r.getDate(1).toString), cents(r.getDouble(2))))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    val want = daily.keys.groupBy(_._1).map { case (yr, ks) =>
+      val series = ks.toSeq.sortBy(_._2).map(daily(_))
+      var peak = Long.MinValue; var maxDd = Long.MinValue
+      series.foreach { c => peak = math.max(peak, c); maxDd = math.max(maxDd, peak - c) }
+      yr -> ((series.length.toLong, series.max, maxDd))
+    }
+    val got = SparkEntry.queries("q97_max_drawdown")(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got == want, "drawdown table differs from dense walk")
+  }
+
+  test("lorenz curve: monotone shares ending at 1; grouped gini in range") {
+    val rows = SparkEntry.queries("q98_lorenz_gini")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5), r.getDouble(6), r.getDouble(7)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (seg, rs) =>
+      val byB = rs.sortBy(_._2)
+      byB.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a._6 <= b._6 && a._7 <= b._7, s"$seg: shares not monotone")
+          // Lorenz convexity: sorted-ascending buckets mean the
+          // revenue share always trails the population share
+          assert(b._7 <= b._6 + 1e-9, s"$seg: L above the diagonal")
+        case _ =>
+      }
+      assert(math.abs(byB.last._6 - 1.0) < 1e-9, s"$seg: pop share != 1")
+      assert(math.abs(byB.last._7 - 1.0) < 1e-9, s"$seg: revenue share != 1")
+      val gini = rs.head._8
+      assert(rs.forall(_._8 == gini), s"$seg: gini differs across rows")
+      assert(gini >= 0.0 && gini < 1.0, s"$seg: gini $gini out of range")
+    }
+  }
+
   test("chi-square: marginals consistent, statistic matches recompute") {
     val rows = SparkEntry.queries("q96_chi_square")(spark, sf).collect()
       .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),

@@ -364,4 +364,45 @@ class GraphSpec extends AnyFunSuite {
     rows.values.foreach(d =>
       assert(d >= graft.operators.Graph.KcoreK, "survivor below k in core"))
   }
+
+  test("k-truss peel matches an in-memory fixpoint on a cascading strip") {
+    import spark.implicits._
+    // triangle strip on 1..6 (edges (i,i+1), (i,i+2)) plus a K4 on
+    // 7..10. For k=4 (support >= 2) the strip unravels over multiple
+    // rounds — ends first, then the surviving path — while every K4
+    // edge sits in exactly 2 triangles and must survive: a real
+    // cascade with a non-empty fixpoint, verified densely
+    val und = (1L to 5L).map(i => (i, i + 1)) ++
+      (1L to 4L).map(i => (i, i + 2)) ++
+      (for (a <- 7L to 10L; b <- (a + 1) to 10L) yield (a, b))
+    def fixpoint(edges: Set[(Long, Long)], k: Long): Set[(Long, Long)] = {
+      val nbrs = (edges ++ edges.map(_.swap)).groupBy(_._1)
+        .view.mapValues(_.map(_._2).toSet).toMap
+      val keep = edges.filter { case (a, b) =>
+        (nbrs.getOrElse(a, Set.empty) & nbrs.getOrElse(b, Set.empty)).size >= k - 2
+      }
+      if (keep == edges) edges else fixpoint(keep, k)
+    }
+    val want = fixpoint(und.toSet, 4L)
+    val k4 = (for (a <- 7L to 10L; b <- (a + 1) to 10L) yield (a, b)).toSet
+    assert(want == k4, "dense fixpoint should be exactly the K4 clique")
+    val sym = und.flatMap { case (a, b) => Seq((a, b), (b, a)) }.toDF("u", "v")
+    val got = graft.operators.Graph.kTrussPeel(sym, 4L, 8)
+      .filter($"u" < $"v").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == want, s"truss edges $got != dense fixpoint $want")
+    intercept[IllegalArgumentException] {
+      graft.operators.Graph.kTrussPeel(sym, 4L, 0)
+    }
+  }
+
+  test("graph_ktruss query: supports meet the threshold, edges undirected") {
+    val rows = SparkEntry.queries("graph_ktruss")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (u, v, s) =>
+      assert(u < v, "edges must be emitted once, canonical direction")
+      assert(s >= graft.operators.Graph.TrussK - 2L, "support below k-2")
+    }
+  }
 }
