@@ -1935,6 +1935,99 @@ object Analytics {
     """)
   )
 
+  /** Precision-recall curve + average precision for the q93 scorer,
+    * one row per distinct score threshold (predict positive when
+    * score ≥ t, thresholds descending): tp/fp/fn from ONE descending
+    * cumulative window over the score-level frame, precision/recall/
+    * F1 as fixed IEEE chains on exact integers, and AP as the
+    * step-integral Σ Δrecall·precision — per-term doubles rounded to
+    * 6 and decimal-summed (the chi2 rule), replicated on every row.
+    * Scale: identical to q93 — one user exchange, then score-domain-
+    * sized everything.
+    */
+  val q99PrCurve = GraftQuery(
+    "q99_pr_curve",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val cutoff = lit("2024-01-15 00:00:00").cast("timestamp")
+      val isPurch = col("event_type") === "purchase"
+      val perUser = t.events.groupBy(col("user_id")).agg(
+        sum(when(col("ts") < cutoff && isPurch, 1L).otherwise(0L)).as("score"),
+        (sum(when(col("ts") >= cutoff && isPurch, 1L).otherwise(0L)) >=
+          HeavyBuyerMin).cast("long").as("label"))
+      val byScore = perUser.groupBy(col("score")).agg(
+        count(lit(1)).as("n_at"), sum(col("label")).as("pos_at"))
+      // unpartitioned windows are safe HERE: one row per score level
+      val wDesc = Window.orderBy(col("score").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wAll = Window.partitionBy()
+      val cum = byScore
+        .withColumn("tp", sum(col("pos_at")).over(wDesc))
+        .withColumn("pp", sum(col("n_at")).over(wDesc))
+        .withColumn("pos_total", sum(col("pos_at")).over(wAll))
+      val precision = col("tp").cast(DoubleType) / col("pp").cast(DoubleType)
+      val recall = col("tp").cast(DoubleType) / col("pos_total").cast(DoubleType)
+      val prevRecall = (col("tp") - col("pos_at")).cast(DoubleType) /
+        col("pos_total").cast(DoubleType)
+      val apTerm = round((recall - prevRecall) * precision, 6)
+      cum
+        .withColumn("ap_term", apTerm)
+        .withColumn("avg_precision",
+          sum(dec6(col("ap_term"))).over(wAll).cast(DoubleType))
+        .select(col("score").as("threshold"),
+          col("tp"), (col("pp") - col("tp")).as("fp"),
+          (col("pos_total") - col("tp")).as("fn"),
+          round(precision, 6).as("precision"),
+          round(recall, 6).as("recall"),
+          when(col("tp") > 0,
+            round(lit(2.0) * precision * recall / (precision + recall), 6))
+            .as("f1"),
+          col("avg_precision"))
+        .orderBy(col("threshold").desc)
+    },
+    Some("""
+      WITH u AS (
+        SELECT user_id,
+               CAST(SUM(CASE WHEN ts < TIMESTAMP '2024-01-15 00:00:00'
+                              AND event_type = 'purchase'
+                             THEN 1 ELSE 0 END) AS BIGINT) AS score,
+               CASE WHEN SUM(CASE WHEN ts >= TIMESTAMP '2024-01-15 00:00:00'
+                                   AND event_type = 'purchase'
+                                  THEN 1 ELSE 0 END) >= 8
+                    THEN 1 ELSE 0 END AS label
+        FROM events GROUP BY user_id),
+      by_score AS (
+        SELECT score, COUNT(*) AS n_at, CAST(SUM(label) AS BIGINT) AS pos_at
+        FROM u GROUP BY score),
+      c AS (
+        SELECT score, n_at, pos_at,
+               CAST(SUM(pos_at) OVER (ORDER BY score DESC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                 AS tp,
+               CAST(SUM(n_at) OVER (ORDER BY score DESC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                 AS pp,
+               CAST(SUM(pos_at) OVER () AS BIGINT) AS pos_total
+        FROM by_score),
+      d AS (
+        SELECT score, pos_at, tp, pp, pos_total,
+               CAST(tp AS DOUBLE) / CAST(pp AS DOUBLE) AS prec,
+               CAST(tp AS DOUBLE) / CAST(pos_total AS DOUBLE) AS rec,
+               CAST(tp - pos_at AS DOUBLE) / CAST(pos_total AS DOUBLE)
+                 AS prev_rec
+        FROM c)
+      SELECT score AS threshold, tp, pp - tp AS fp, pos_total - tp AS fn,
+             round(prec, 6) AS precision,
+             round(rec, 6) AS recall,
+             CASE WHEN tp > 0
+                  THEN round(2.0 * prec * rec / (prec + rec), 6) END AS f1,
+             CAST(SUM(CAST(round((rec - prev_rec) * prec, 6)
+               AS DECIMAL(25,6))) OVER () AS DOUBLE) AS avg_precision
+      FROM d
+      ORDER BY threshold DESC
+    """)
+  )
+
   /** Chi-square test of independence between customer market segment
     * and order priority: the full contingency-table readout — observed
     * counts, row/col marginals, expected counts, per-cell
@@ -2168,5 +2261,5 @@ object Analytics {
       q73RfmSegments, q75PsiDrift, q83Attribution, q84MarkovTransitions,
       q86PitScd2Join, q87Cuped, q88ScoreLift, q90WeightedMedian,
       q92SurvivalKm, q93RocAuc, q96ChiSquare, q97MaxDrawdown,
-      q98LorenzGini)
+      q98LorenzGini, q99PrCurve)
 }

@@ -611,6 +611,41 @@ class AnalyticsSpec extends AnyFunSuite {
     }
   }
 
+  test("PR curve: confusion counts exact per threshold, AP is the step integral") {
+    val rows = SparkEntry.queries("q99_pr_curve")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5)))
+      .sortBy(-_._1)
+    assert(rows.nonEmpty)
+    val posTotal = rows.head._2 + rows.head._4 // tp + fn constant
+    rows.foreach { case (_, tp, fp, fn, p, r) =>
+      assert(tp + fn == posTotal, "tp+fn must be the positive total")
+      // emitted values are rounded to 6 decimals
+      assert(math.abs(p - tp.toDouble / (tp + fp)) < 5e-7, "precision")
+      assert(math.abs(r - tp.toDouble / posTotal) < 5e-7, "recall")
+    }
+    // recall monotone non-decreasing as the threshold drops;
+    // the last (lowest) threshold captures everything
+    rows.map(_._6).sliding(2).foreach {
+      case Array(a, b) => assert(a <= b + 1e-12, "recall not monotone")
+      case _ =>
+    }
+    assert(math.abs(rows.last._6 - 1.0) < 5e-7, "lowest threshold recall != 1")
+    // AP from the emitted steps matches the replicated column
+    val ap = rows.map { case (_, tp, fp, _, _, _) =>
+      val p = tp.toDouble / (tp + fp); val r = tp.toDouble / posTotal
+      (r, p)
+    }.foldLeft((0.0, BigDecimal(0))) { case ((prevR, acc), (r, p)) =>
+      (r, acc + BigDecimal((r - prevR) * p)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP))
+    }._2.toDouble
+    val gotAp = SparkEntry.queries("q99_pr_curve")(spark, sf)
+      .select(col("avg_precision")).distinct().collect()
+    assert(gotAp.length == 1, "AP must be one value replicated")
+    assert(math.abs(gotAp.head.getDouble(0) - ap) < 1e-6,
+      s"AP ${gotAp.head.getDouble(0)} != step integral $ap")
+  }
+
   test("chi-square: marginals consistent, statistic matches recompute") {
     val rows = SparkEntry.queries("q96_chi_square")(spark, sf).collect()
       .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
