@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DecimalType, DoubleType}
@@ -1869,18 +1869,49 @@ object Analytics {
     */
   val HeavyBuyerMin = 8L
 
-  val q93RocAuc = GraftQuery(
-    "q93_roc_auc",
-    (s, dir) => {
-      val t = Tables(s, dir)
-      val cutoff = lit("2024-01-15 00:00:00").cast("timestamp")
-      val isPurch = col("event_type") === "purchase"
-      val perUser = t.events.groupBy(col("user_id")).agg(
+  /** Cutoff splitting the scorer's observation and outcome windows —
+    * shared by q93 and q99 (and aligned with q88's gains curve).
+    */
+  private val ScorerCutoff = "2024-01-15 00:00:00"
+
+  /** Shared heavy-buyer scorer: per-score-level (n_at, pos_at) counts
+    * — score = pre-cutoff purchases, label = post-cutoff purchases ≥
+    * [[HeavyBuyerMin]]. ONE user_id exchange; the returned frame is
+    * score-domain-sized. q93 (ROC AUC) and q99 (PR curve) both rank
+    * THIS frame, so the scorer cannot drift between them.
+    */
+  private def heavyBuyerScoreLevels(
+      s: SparkSession, dir: String): DataFrame = {
+    val cutoff = lit(ScorerCutoff).cast("timestamp")
+    val isPurch = col("event_type") === "purchase"
+    Tables(s, dir).events.groupBy(col("user_id")).agg(
         sum(when(col("ts") < cutoff && isPurch, 1L).otherwise(0L)).as("score"),
         (sum(when(col("ts") >= cutoff && isPurch, 1L).otherwise(0L)) >=
           HeavyBuyerMin).cast("long").as("label"))
-      val byScore = perUser.groupBy(col("score")).agg(
-        count(lit(1)).as("n_at"), sum(col("label")).as("pos_at"))
+      .groupBy(col("score"))
+      .agg(count(lit(1)).as("n_at"), sum(col("label")).as("pos_at"))
+  }
+
+  /** Shared oracle CTE prefix for the heavy-buyer score levels. */
+  private val ScoreLevelsSql = s"""
+      u AS (
+        SELECT user_id,
+               CAST(SUM(CASE WHEN ts < TIMESTAMP '$ScorerCutoff'
+                              AND event_type = 'purchase'
+                             THEN 1 ELSE 0 END) AS BIGINT) AS score,
+               CASE WHEN SUM(CASE WHEN ts >= TIMESTAMP '$ScorerCutoff'
+                                   AND event_type = 'purchase'
+                                  THEN 1 ELSE 0 END) >= $HeavyBuyerMin
+                    THEN 1 ELSE 0 END AS label
+        FROM events GROUP BY user_id),
+      by_score AS (
+        SELECT score, COUNT(*) AS n_at, CAST(SUM(label) AS BIGINT) AS pos_at
+        FROM u GROUP BY score)"""
+
+  val q93RocAuc = GraftQuery(
+    "q93_roc_auc",
+    (s, dir) => {
+      val byScore = heavyBuyerScoreLevels(s, dir)
       // unpartitioned window is safe HERE: one row per score level
       val w = Window.orderBy(col("score"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -1891,30 +1922,23 @@ object Analytics {
           .as("rank2"),
         sum(col("pos_at")).as("n_pos"),
         sum(col("n_at")).as("n_total"))
-      val auc = (col("rank2") - col("n_pos") * (col("n_pos") + lit(1L)))
-        .cast(DoubleType) /
-        (lit(2L) * col("n_pos") * (col("n_total") - col("n_pos")))
-          .cast(DoubleType)
+      // degenerate-label guard: a saturated label (all-positive or
+      // all-negative after a data refresh) must yield NULL, not a
+      // Spark ANSI divide-by-zero vs DuckDB inf mismatch
+      val defined = col("n_pos") > 0 && col("n_total") > col("n_pos")
+      val auc = when(defined,
+        (col("rank2") - col("n_pos") * (col("n_pos") + lit(1L)))
+          .cast(DoubleType) /
+          (lit(2L) * col("n_pos") * (col("n_total") - col("n_pos")))
+            .cast(DoubleType))
       agg.select(
         col("n_pos"),
         (col("n_total") - col("n_pos")).as("n_neg"),
         auc.as("auc"),
         (lit(2.0) * auc - lit(1.0)).as("gini"))
     },
-    Some("""
-      WITH u AS (
-        SELECT user_id,
-               CAST(SUM(CASE WHEN ts < TIMESTAMP '2024-01-15 00:00:00'
-                              AND event_type = 'purchase'
-                             THEN 1 ELSE 0 END) AS BIGINT) AS score,
-               CASE WHEN SUM(CASE WHEN ts >= TIMESTAMP '2024-01-15 00:00:00'
-                                   AND event_type = 'purchase'
-                                  THEN 1 ELSE 0 END) >= 8
-                    THEN 1 ELSE 0 END AS label
-        FROM events GROUP BY user_id),
-      by_score AS (
-        SELECT score, COUNT(*) AS n_at, CAST(SUM(label) AS BIGINT) AS pos_at
-        FROM u GROUP BY score),
+    Some(s"""
+      WITH $ScoreLevelsSql,
       r AS (
         SELECT score, n_at, pos_at,
                CAST(SUM(n_at) OVER (ORDER BY score
@@ -1927,10 +1951,13 @@ object Analytics {
                CAST(SUM(n_at) AS BIGINT) AS n_total
         FROM r)
       SELECT n_pos, n_total - n_pos AS n_neg,
-             CAST(rank2 - n_pos * (n_pos + 1) AS DOUBLE)
-               / CAST(2 * n_pos * (n_total - n_pos) AS DOUBLE) AS auc,
-             2.0 * (CAST(rank2 - n_pos * (n_pos + 1) AS DOUBLE)
-               / CAST(2 * n_pos * (n_total - n_pos) AS DOUBLE)) - 1.0 AS gini
+             CASE WHEN n_pos > 0 AND n_total > n_pos
+                  THEN CAST(rank2 - n_pos * (n_pos + 1) AS DOUBLE)
+                    / CAST(2 * n_pos * (n_total - n_pos) AS DOUBLE) END AS auc,
+             2.0 * (CASE WHEN n_pos > 0 AND n_total > n_pos
+                  THEN CAST(rank2 - n_pos * (n_pos + 1) AS DOUBLE)
+                    / CAST(2 * n_pos * (n_total - n_pos) AS DOUBLE) END)
+               - 1.0 AS gini
       FROM a
     """)
   )
@@ -1948,15 +1975,7 @@ object Analytics {
   val q99PrCurve = GraftQuery(
     "q99_pr_curve",
     (s, dir) => {
-      val t = Tables(s, dir)
-      val cutoff = lit("2024-01-15 00:00:00").cast("timestamp")
-      val isPurch = col("event_type") === "purchase"
-      val perUser = t.events.groupBy(col("user_id")).agg(
-        sum(when(col("ts") < cutoff && isPurch, 1L).otherwise(0L)).as("score"),
-        (sum(when(col("ts") >= cutoff && isPurch, 1L).otherwise(0L)) >=
-          HeavyBuyerMin).cast("long").as("label"))
-      val byScore = perUser.groupBy(col("score")).agg(
-        count(lit(1)).as("n_at"), sum(col("label")).as("pos_at"))
+      val byScore = heavyBuyerScoreLevels(s, dir)
       // unpartitioned windows are safe HERE: one row per score level
       val wDesc = Window.orderBy(col("score").desc)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -1966,9 +1985,13 @@ object Analytics {
         .withColumn("pp", sum(col("n_at")).over(wDesc))
         .withColumn("pos_total", sum(col("pos_at")).over(wAll))
       val precision = col("tp").cast(DoubleType) / col("pp").cast(DoubleType)
-      val recall = col("tp").cast(DoubleType) / col("pos_total").cast(DoubleType)
-      val prevRecall = (col("tp") - col("pos_at")).cast(DoubleType) /
-        col("pos_total").cast(DoubleType)
+      // degenerate-label guard, as in q93: all-negative data would
+      // make every recall a div-by-zero under ANSI
+      val recall = when(col("pos_total") > 0,
+        col("tp").cast(DoubleType) / col("pos_total").cast(DoubleType))
+      val prevRecall = when(col("pos_total") > 0,
+        (col("tp") - col("pos_at")).cast(DoubleType) /
+          col("pos_total").cast(DoubleType))
       val apTerm = round((recall - prevRecall) * precision, 6)
       cum
         .withColumn("ap_term", apTerm)
@@ -1985,20 +2008,8 @@ object Analytics {
           col("avg_precision"))
         .orderBy(col("threshold").desc)
     },
-    Some("""
-      WITH u AS (
-        SELECT user_id,
-               CAST(SUM(CASE WHEN ts < TIMESTAMP '2024-01-15 00:00:00'
-                              AND event_type = 'purchase'
-                             THEN 1 ELSE 0 END) AS BIGINT) AS score,
-               CASE WHEN SUM(CASE WHEN ts >= TIMESTAMP '2024-01-15 00:00:00'
-                                   AND event_type = 'purchase'
-                                  THEN 1 ELSE 0 END) >= 8
-                    THEN 1 ELSE 0 END AS label
-        FROM events GROUP BY user_id),
-      by_score AS (
-        SELECT score, COUNT(*) AS n_at, CAST(SUM(label) AS BIGINT) AS pos_at
-        FROM u GROUP BY score),
+    Some(s"""
+      WITH $ScoreLevelsSql,
       c AS (
         SELECT score, n_at, pos_at,
                CAST(SUM(pos_at) OVER (ORDER BY score DESC
@@ -2012,8 +2023,10 @@ object Analytics {
       d AS (
         SELECT score, pos_at, tp, pp, pos_total,
                CAST(tp AS DOUBLE) / CAST(pp AS DOUBLE) AS prec,
-               CAST(tp AS DOUBLE) / CAST(pos_total AS DOUBLE) AS rec,
-               CAST(tp - pos_at AS DOUBLE) / CAST(pos_total AS DOUBLE)
+               CASE WHEN pos_total > 0 THEN
+                 CAST(tp AS DOUBLE) / CAST(pos_total AS DOUBLE) END AS rec,
+               CASE WHEN pos_total > 0 THEN
+                 CAST(tp - pos_at AS DOUBLE) / CAST(pos_total AS DOUBLE) END
                  AS prev_rec
         FROM c)
       SELECT score AS threshold, tp, pp - tp AS fp, pos_total - tp AS fn,
@@ -2191,12 +2204,13 @@ object Analytics {
       // trapezoid Gini over the bucketed distribution:
       // G = 1 - Σ Δpop·(L(i-1)+L(i)) with everything scaled through
       // exact longs; the only doubles are the final divisions
-      // decimal-widened: n·(L(i-1)+L(i)) sums overflow 2⁶³ around
-      // SF100 (the CUPED-moments lesson), so the accumulator is
-      // DECIMAL(38,0) and the denominator multiplies as doubles
+      // decimal-widened: the n·(L(i-1)+L(i)) PRODUCT (not just its
+      // sum) overflows 2⁶³ around SF100 (the CUPED-moments lesson),
+      // so the operands widen to decimal BEFORE the multiply and the
+      // denominator multiplies as doubles
       val prevMass = col("cum_mass") - col("mass")
-      val gTerm = (col("n_cust") * (prevMass + col("cum_mass")))
-        .cast(DecimalType(38, 0))
+      val gTerm = col("n_cust").cast(DecimalType(19, 0)) *
+        (prevMass + col("cum_mass")).cast(DecimalType(19, 0))
       val cum2 = cum.withColumn("g_sum", sum(gTerm).over(wTot))
       cum2.select(col("segment"), col("b"), col("n_cust"),
           col("cum_n"), col("cum_mass"),
@@ -2236,8 +2250,8 @@ object Analytics {
         FROM buckets),
       g AS (
         SELECT *,
-               CAST(SUM(CAST(n_cust * ((cum_mass - mass) + cum_mass)
-                 AS DECIMAL(38,0)))
+               CAST(SUM(CAST(n_cust AS DECIMAL(19,0))
+                   * CAST((cum_mass - mass) + cum_mass AS DECIMAL(19,0)))
                  OVER (PARTITION BY segment) AS DECIMAL(38,0)) AS g_sum
         FROM cum)
       SELECT segment, b, n_cust, cum_n, cum_mass,

@@ -950,17 +950,45 @@ object Graph {
   val TrussMaxIter = 8
 
   /** Per-edge triangle support within `alive` (symmetric edge frame):
-    * |N(u) ∩ N(v)| via the two-hop wedge join. Shared by the peel
-    * rounds and the final readout.
+    * triangles are enumerated on the DEGREE-ORIENTED half frame
+    * (graph_triangles' Chiba–Nishizeki trick — wedges open only at
+    * each triangle's lowest-ranked vertex, so a hub cannot explode a
+    * round quadratically), then each triangle credits its three
+    * edges. Edges in zero triangles are absent from the result —
+    * exactly the rows a ≥ k−2 (k ≥ 3) peel filter drops anyway.
+    * Shared by the peel rounds and the final readout.
     */
-  private def edgeSupport(alive: DataFrame): DataFrame =
-    alive
-      .join(alive.select(col("u").as("xu"), col("v").as("w")),
-        col("u") === col("xu"))
-      .join(alive.select(col("u").as("yu"), col("v").as("yw")),
-        col("v") === col("yu") && col("w") === col("yw"))
-      .groupBy(col("u"), col("v"))
-      .agg(count(lit(1)).as("support"))
+  private def edgeSupport(alive: DataFrame): DataFrame = {
+    val deg = alive.groupBy(col("u")).agg(count(lit(1)).as("d"))
+    val withDeg = alive.filter(col("u") < col("v"))
+      .join(deg.select(col("u").as("ju"), col("d").as("dU")),
+        col("u") === col("ju")).drop("ju")
+      .join(deg.select(col("u").as("jv"), col("d").as("dV")),
+        col("v") === col("jv")).drop("jv")
+    val oriented = withDeg.select(
+      when(col("dU") < col("dV") ||
+          (col("dU") === col("dV") && col("u") < col("v")),
+        struct(col("u").as("s"), col("v").as("t"), col("dV").as("dt")))
+        .otherwise(struct(col("v").as("s"), col("u").as("t"), col("dU").as("dt")))
+        .as("e"))
+      .select(col("e.s").as("s"), col("e.t").as("t"), col("e.dt").as("dt"))
+    val e1 = oriented.select(col("s"), col("t").as("x"), col("dt").as("dx"))
+    val e2 = oriented.select(col("s"), col("t").as("y"), col("dt").as("dy"))
+    val tris = e1.join(e2, Seq("s"))
+      .filter(col("dx") < col("dy") ||
+        (col("dx") === col("dy") && col("x") < col("y")))
+      .join(oriented.select(col("s").as("x"), col("t").as("y")), Seq("x", "y"))
+      .select(col("s"), col("x"), col("y"))
+    val triEdges = tris.select(col("s").as("a"), col("x").as("b"))
+      .unionAll(tris.select(col("s").as("a"), col("y").as("b")))
+      .unionAll(tris.select(col("x").as("a"), col("y").as("b")))
+    val und = triEdges
+      .select(least(col("a"), col("b")).as("u"),
+        greatest(col("a"), col("b")).as("v"))
+      .groupBy(col("u"), col("v")).agg(count(lit(1)).as("support"))
+    und.unionAll(
+      und.select(col("v").as("u"), col("u").as("v"), col("support")))
+  }
 
   /** Iterative k-truss peel on a symmetric edge frame: drop every
     * edge in fewer than k−2 triangles, recompute, repeat to fixpoint
@@ -1000,9 +1028,10 @@ object Graph {
     * rows are the undirected surviving edges with their within-truss
     * support, recomputed once on the fixpoint — exactly what the
     * WITH RECURSIVE oracle (triple self-reference: the edge plus its
-    * two wedge arms) states. At 100 TB the wedge join runs on the
-    * degree-ORIENTED half frame (graph_triangles' trick) so a hub
-    * cannot quadratically explode a round.
+    * two wedge arms) states. The wedge join runs on the
+    * degree-ORIENTED half frame (graph_triangles' trick, inside
+    * [[edgeSupport]]) so a hub cannot quadratically explode a round —
+    * the property that keeps per-round cost O(m^{3/2}) at 100 TB.
     */
   val graphKtruss = GraftQuery(
     "graph_ktruss",
@@ -1049,10 +1078,11 @@ object Graph {
   /** Degree assortativity (Newman): the Pearson correlation of
     * endpoint degrees over every directed edge — do hubs attach to
     * hubs (r > 0) or to the periphery (r < 0)? All moments accumulate
-    * as EXACT longs in one pass over the symmetric edge frame (two
+    * EXACTLY in one pass over the symmetric edge frame (two
     * broadcast joins against the node-sized degree frame attach the
-    * endpoint degrees; degree products stay far under 2⁶³ through
-    * SF100's edge counts); the closed-form tail then runs entirely in
+    * endpoint degrees; the product sums widen through decimal so even
+    * far past SF100's edge counts nothing wraps); the closed-form
+    * tail then runs entirely in
     * doubles — identical IEEE ops on identical long sums in both
     * engines, rounded to 6. No shuffle beyond the degree aggregation.
     */
@@ -1067,12 +1097,16 @@ object Graph {
         .join(broadcast(deg.select(col("u").as("jv"), col("d").as("dv"))),
           col("v") === col("jv"))
         .select(col("du"), col("dv"))
+      // product sums widen through decimal (operands first — the
+      // repo's exact-moment rule): Σ du·dv scales linearly with edge
+      // count and leaves no 2⁶³ headroom past SF100 as raw longs
+      def dd(c: Column): Column = c.cast(DecimalType(19, 0))
       val m = pairs.agg(
         count(lit(1)).as("n"),
         sum(col("du")).as("sx"), sum(col("dv")).as("sy"),
-        sum(col("du") * col("dv")).as("sxy"),
-        sum(col("du") * col("du")).as("sxx"),
-        sum(col("dv") * col("dv")).as("syy"))
+        sum(dd(col("du")) * dd(col("dv"))).as("sxy"),
+        sum(dd(col("du")) * dd(col("du"))).as("sxx"),
+        sum(dd(col("dv")) * dd(col("dv"))).as("syy"))
       def dbl(c: Column): Column = c.cast(DoubleType)
       m.select(col("n").as("n_directed_edges"),
         round((dbl(col("n")) * dbl(col("sxy")) - dbl(col("sx")) * dbl(col("sy"))) /
@@ -1095,9 +1129,12 @@ object Graph {
       m AS (
         SELECT CAST(COUNT(*) AS BIGINT) AS n,
                CAST(SUM(du) AS BIGINT) AS sx, CAST(SUM(dv) AS BIGINT) AS sy,
-               CAST(SUM(du * dv) AS BIGINT) AS sxy,
-               CAST(SUM(du * du) AS BIGINT) AS sxx,
-               CAST(SUM(dv * dv) AS BIGINT) AS syy
+               CAST(SUM(CAST(du AS DECIMAL(19,0)) * CAST(dv AS DECIMAL(19,0)))
+                 AS DECIMAL(38,0)) AS sxy,
+               CAST(SUM(CAST(du AS DECIMAL(19,0)) * CAST(du AS DECIMAL(19,0)))
+                 AS DECIMAL(38,0)) AS sxx,
+               CAST(SUM(CAST(dv AS DECIMAL(19,0)) * CAST(dv AS DECIMAL(19,0)))
+                 AS DECIMAL(38,0)) AS syy
         FROM p)
       SELECT n AS n_directed_edges,
              round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
