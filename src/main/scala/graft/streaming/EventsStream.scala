@@ -694,6 +694,97 @@ object EventsStream {
     """)
   )
 
+  /** Watermarked stream-stream FULL OUTER join — the complete
+    * attribution ledger: matched (click, purchase) pairs, clicks that
+    * never converted, AND purchases with no preceding click ("organic"
+    * conversions the left join hides). Null-padded rows on EACH side
+    * emit when the global watermark proves no future partner can
+    * match: an unmatched click once wm passes the END of its forward
+    * window (c_ts + attribution window), an unmatched purchase once
+    * wm passes its own timestamp (its candidate clicks all have
+    * c_ts ≤ p_ts, and rows below wm are no longer admitted). Both
+    * cutoffs are stated in closed form by the DuckDB oracle — the
+    * left-outer discipline extended to the symmetric case, proving
+    * emission is a pure function of the data on both sides at once.
+    */
+  val streamStreamFullOuter = GraftQuery(
+    "stream_stream_full_outer",
+    (s, dir) => {
+      val clicks = eventsStream(s, dir)
+        .filter(col("event_type") === "click")
+        .select(col("event_id").as("c_id"), col("user_id").as("c_user"),
+          col("ts").as("c_ts"))
+        .withWatermark("c_ts", "1 hour")
+      val purchases = eventsStream(s, dir)
+        .filter(col("event_type") === "purchase")
+        .select(col("event_id").as("p_id"), col("user_id").as("p_user"),
+          col("ts").as("p_ts"))
+        .withWatermark("p_ts", "1 hour")
+      val joined = clicks.join(purchases,
+        col("c_user") === col("p_user") &&
+          col("p_ts") >= col("c_ts") &&
+          col("p_ts") <= col("c_ts") + expr(s"INTERVAL $AttributionMinutes MINUTES"),
+        "fullOuter")
+      runToTable(joined, OutputMode.Append())
+        .groupBy(coalesce(col("c_user"), col("p_user")).as("user_id"))
+        .agg(
+          sum(when(col("c_user").isNotNull && col("p_user").isNotNull, 1L)
+            .otherwise(0L)).as("n_attributed"),
+          sum(when(col("p_user").isNull, 1L).otherwise(0L))
+            .as("n_unmatched_clicks"),
+          sum(when(col("c_user").isNull, 1L).otherwise(0L))
+            .as("n_organic_purchases"))
+        .orderBy(col("user_id"))
+    },
+    Some(s"""
+      WITH wm AS (
+        SELECT least(
+          (SELECT max(ts) FROM events WHERE event_type = 'click'),
+          (SELECT max(ts) FROM events WHERE event_type = 'purchase'))
+          - INTERVAL 1 HOUR AS w),
+      matched AS (
+        SELECT c.user_id, COUNT(*) AS n_attributed
+        FROM events c JOIN events p
+          ON c.event_type = 'click' AND p.event_type = 'purchase'
+         AND p.user_id = c.user_id
+         AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL $AttributionMinutes MINUTE
+        GROUP BY 1),
+      expired_clicks AS (
+        SELECT c.user_id, COUNT(*) AS n_unmatched_clicks
+        FROM events c, wm
+        WHERE c.event_type = 'click'
+          AND c.ts + INTERVAL $AttributionMinutes MINUTE < wm.w
+          AND NOT EXISTS (
+            SELECT 1 FROM events p
+            WHERE p.event_type = 'purchase' AND p.user_id = c.user_id
+              AND p.ts >= c.ts
+              AND p.ts <= c.ts + INTERVAL $AttributionMinutes MINUTE)
+        GROUP BY 1),
+      expired_purchases AS (
+        SELECT p.user_id, COUNT(*) AS n_organic_purchases
+        FROM events p, wm
+        WHERE p.event_type = 'purchase'
+          AND p.ts < wm.w
+          AND NOT EXISTS (
+            SELECT 1 FROM events c
+            WHERE c.event_type = 'click' AND c.user_id = p.user_id
+              AND p.ts >= c.ts
+              AND p.ts <= c.ts + INTERVAL $AttributionMinutes MINUTE)
+        GROUP BY 1)
+      SELECT COALESCE(m.user_id, ec.user_id, ep.user_id) AS user_id,
+             CAST(COALESCE(m.n_attributed, 0) AS BIGINT) AS n_attributed,
+             CAST(COALESCE(ec.n_unmatched_clicks, 0) AS BIGINT)
+               AS n_unmatched_clicks,
+             CAST(COALESCE(ep.n_organic_purchases, 0) AS BIGINT)
+               AS n_organic_purchases
+      FROM matched m
+      FULL OUTER JOIN expired_clicks ec ON ec.user_id = m.user_id
+      FULL OUTER JOIN expired_purchases ep
+        ON ep.user_id = COALESCE(m.user_id, ec.user_id)
+      ORDER BY user_id
+    """)
+  )
+
   /** Reservoir size for the streaming weighted sampler. */
   val SampleR = 10
 
@@ -1333,7 +1424,7 @@ object EventsStream {
     Seq(streamHourlyAgg, streamSessionize, streamScore, streamDedupExact,
       streamEnrichProfile, streamSessionWindow, streamThetaDistinct,
       streamStreamJoin, streamStreamLeftOuter, streamStreamSemi,
-      streamWeightedSample,
+      streamStreamFullOuter, streamWeightedSample,
       streamUpsertLatest, streamHeavyHitters, streamPatternMatch,
       streamQuantiles, streamIncrementalDedup, streamEwmaAnomaly,
       streamWindowedTopk)

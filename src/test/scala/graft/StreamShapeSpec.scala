@@ -224,6 +224,27 @@ class StreamShapeSpec extends AnyFunSuite {
     assert(outer.values.map(_._2).sum > 0L, "no unmatched clicks emitted")
   }
 
+  test("stream-stream full outer: agrees with left outer on the click side; " +
+      "organic purchases emitted") {
+    val full = SparkEntry.queries("stream_stream_full_outer")(spark, sf)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    val left = SparkEntry.queries("stream_stream_left_outer")(spark, sf)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // the click-side story must be IDENTICAL to the left outer join
+    left.foreach { case (u, (att, unm)) =>
+      assert(full.contains(u), s"user $u missing from full outer")
+      assert(full(u)._1 == att, s"user $u: attributed differs from left outer")
+      assert(full(u)._2 == unm, s"user $u: unmatched clicks differ")
+    }
+    (full.keySet -- left.keySet).foreach { u =>
+      assert(full(u)._1 == 0L && full(u)._2 == 0L && full(u)._3 > 0L,
+        s"user $u: full-outer-only row must be organic-purchase-only")
+    }
+    assert(full.values.map(_._3).sum > 0L, "no organic purchases emitted")
+  }
+
   test("stream-stream semi: once per converting click, bounded by the inner join") {
     val semi = SparkEntry.queries("stream_stream_semi")(spark, sf)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
