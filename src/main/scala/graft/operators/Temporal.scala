@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DecimalType, DoubleType}
@@ -543,9 +543,78 @@ object Temporal {
     """)
   )
 
+  /** Trailing window for the PIT feature backfill. */
+  val PitWindowDays = 7L
+
+  /** Leakage-free point-in-time feature backfill: for every purchase
+    * (the training label row), the user's view/click counts and spend
+    * over the STRICTLY-PRIOR trailing [[PitWindowDays]] — the feature-
+    * store backfill that trains "will they buy" models without future
+    * leakage. One user_id exchange serves everything: label rows and
+    * feature rows ride the SAME sorted partition, and three RANGE
+    * windows ([-7d, -1 µs] over epoch micros — the −1 bound IS the
+    * leakage guard) compute the trailing aggregates in place. No
+    * self-join, no per-probe scan; at 100 TB this is one shuffle of
+    * the event log, which a range-join formulation would pay anyway
+    * before the O(|probe|·|window|) product this avoids. Spend stays
+    * in cents (exact); the oracle states the identical RANGE frame.
+    */
+  val featPitBackfill = GraftQuery(
+    "feat_pit_backfill",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val ev = t.events.select(col("event_id"), col("user_id"),
+        col("event_type"), col("ts"), unix_micros(col("ts")).as("us"),
+        round(col("value") * 100).cast("long").as("cents"))
+      val horizon = PitWindowDays * 86400L * 1000000L
+      val w = Window.partitionBy(col("user_id")).orderBy(col("us"))
+        .rangeBetween(-horizon, -1L)
+      def trailing(c: Column): Column = coalesce(sum(c).over(w), lit(0L))
+      ev
+        .withColumn("n_views_7d",
+          trailing(when(col("event_type") === "view", 1L).otherwise(0L)))
+        .withColumn("n_clicks_7d",
+          trailing(when(col("event_type") === "click", 1L).otherwise(0L)))
+        .withColumn("spend_7d_cents",
+          trailing(when(col("event_type") === "purchase", col("cents"))
+            .otherwise(0L)))
+        .filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), tsString(col("ts")).as("ts_s"),
+          col("n_views_7d"), col("n_clicks_7d"), col("spend_7d_cents"))
+        .orderBy(col("event_id"))
+    },
+    Some(s"""
+      WITH ev AS (
+        SELECT event_id, user_id, event_type, ts,
+               epoch_us(ts) AS us,
+               CAST(round(value * 100) AS BIGINT) AS cents
+        FROM events),
+      f AS (
+        SELECT event_id, user_id, event_type, ts,
+               CAST(COALESCE(SUM(CASE WHEN event_type = 'view' THEN 1
+                                      ELSE 0 END) OVER w, 0) AS BIGINT)
+                 AS n_views_7d,
+               CAST(COALESCE(SUM(CASE WHEN event_type = 'click' THEN 1
+                                      ELSE 0 END) OVER w, 0) AS BIGINT)
+                 AS n_clicks_7d,
+               CAST(COALESCE(SUM(CASE WHEN event_type = 'purchase'
+                                      THEN cents ELSE 0 END) OVER w, 0)
+                 AS BIGINT) AS spend_7d_cents
+        FROM ev
+        WINDOW w AS (PARTITION BY user_id ORDER BY us
+          RANGE BETWEEN ${PitWindowDays * 86400L * 1000000L} PRECEDING
+                    AND 1 PRECEDING))
+      SELECT event_id, user_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
+             n_views_7d, n_clicks_7d, spend_7d_cents
+      FROM f
+      WHERE event_type = 'purchase'
+      ORDER BY event_id
+    """)
+  )
+
   def all: Seq[GraftQuery] =
     Seq(q21AsofPrevError, q22RangeJoinNeighbors, q23CustomVariance,
       q27AsofJoinNative, q36GapfillResample, q37RollingFeatures,
       q60OhlcResample, q65Twap, q69SeasonalNaive, q70InterpLinear,
-      q76RangeWindow)
+      q76RangeWindow, featPitBackfill)
 }

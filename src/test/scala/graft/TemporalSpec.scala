@@ -149,6 +149,34 @@ class TemporalSpec extends AnyFunSuite {
     }
   }
 
+  test("PIT backfill: strictly-prior trailing window, no same-instant leakage") {
+    import graft.operators.Temporal.PitWindowDays
+    val t = graft.sources.Tables(spark, sf)
+    val ev = t.events
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3),
+        r.getLong(4)))
+    val byUser = ev.groupBy(_._2)
+    val horizon = PitWindowDays * 86400L * 1000000L
+    val rows = SparkEntry.queries("feat_pit_backfill")(spark, sf).collect()
+    val purchases = ev.count(_._3 == "purchase")
+    assert(rows.length == purchases, "one feature row per purchase")
+    rows.foreach { r =>
+      val (eid, uid) = (r.getLong(0), r.getLong(1))
+      val me = ev.find(_._1 == eid).get
+      // frame is [us - 7d, us - 1]: strictly prior, never the label row
+      val frame = byUser(uid).filter(e =>
+        e._4 >= me._4 - horizon && e._4 < me._4)
+      assert(r.getLong(3) == frame.count(_._3 == "view"), s"views for $eid")
+      assert(r.getLong(4) == frame.count(_._3 == "click"), s"clicks for $eid")
+      assert(r.getLong(5) == frame.filter(_._3 == "purchase").map(_._5).sum,
+        s"spend for $eid")
+    }
+  }
+
   test("range-interval window equals a per-row trailing-30d recompute") {
     import graft.operators.Temporal.RangeWindowDays
     val orders = graft.sources.Tables(spark, sf).orders
