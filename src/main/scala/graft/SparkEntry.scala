@@ -13,7 +13,7 @@ import graft.operators._
 object SparkEntry {
 
   private def modules: Seq[GraftQuery] =
-    Relational.all ++ Temporal.all ++ Analytics.all ++ Graph.all ++
+    Relational.all ++ TpchShapes.all ++ Temporal.all ++ Analytics.all ++ Graph.all ++
       Mining.all ++
       graft.ml.MLQueries.all ++ TextAnalysis.all ++ Dedup.all ++
       Similarity.all ++ Multimodal.all ++ graft.streaming.EventsStream.all ++

@@ -2267,6 +2267,90 @@ object Analytics {
     """)
   )
 
+  /** Two-sample Kolmogorov-Smirnov test (distribution drift between
+    * two customer segments' order values) — EXACT, via the integer
+    * rational: at every distinct value v, the ECDF gap is
+    * |c1·n2 − c2·n1| / (n1·n2), so the max is found over pure long
+    * arithmetic and the statistic is ONE double division at the end.
+    * No log/exp, no float accumulation — bit-stable vs the oracle.
+    *
+    * Scale shape: the global ordered cumsum is the q68/q90 bucket
+    * drill-down, not a one-reducer window — per-(bucket,value) counts
+    * first, a cumsum over the ≤500 fixed-width bucket totals (the
+    * only single-partition step, O(buckets)), then a within-bucket
+    * cumsum on the bucket-partitioned exchange. At 100 TB every
+    * sample-sized stage is hash- or range-parallel. The oracle states
+    * the naive one-window spelling — same rationals.
+    */
+  val q105KsTest = GraftQuery(
+    "q105_ks_test",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val samples = t.orders
+        .join(t.customer.select(col("c_custkey"), col("c_mktsegment")),
+          col("o_custkey") === col("c_custkey"))
+        .filter(col("c_mktsegment").isin("BUILDING", "AUTOMOBILE"))
+        .select(col("o_totalprice").as("v"),
+          when(col("c_mktsegment") === "BUILDING", 1L).otherwise(0L).as("is1"))
+      val perValue = samples.groupBy(col("v"))
+        .agg(sum(col("is1")).as("cnt1"),
+          (count(lit(1)) - sum(col("is1"))).as("cnt2"))
+        .withColumn("b", floor(col("v") / 1000.0).cast("long"))
+      val bucketPrefix = perValue.groupBy(col("b"))
+        .agg(sum(col("cnt1")).as("bt1"), sum(col("cnt2")).as("bt2"))
+        .select(col("b"),
+          coalesce(sum(col("bt1")).over(Window.orderBy(col("b"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)).as("p1"),
+          coalesce(sum(col("bt2")).over(Window.orderBy(col("b"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)).as("p2"))
+      val within = Window.partitionBy(col("b")).orderBy(col("v"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cum = perValue.join(bucketPrefix, Seq("b"))
+        .select(col("v"),
+          (col("p1") + sum(col("cnt1")).over(within)).as("c1"),
+          (col("p2") + sum(col("cnt2")).over(within)).as("c2"))
+      val totals = perValue.agg(sum(col("cnt1")).as("n1"),
+        sum(col("cnt2")).as("n2"))
+      val diffs = cum.crossJoin(broadcast(totals))
+        .withColumn("dnum", abs(col("c1") * col("n2") - col("c2") * col("n1")))
+      val dmax = diffs.agg(max(col("dnum")).as("d_num"))
+      diffs.crossJoin(broadcast(dmax))
+        .filter(col("dnum") === col("d_num"))
+        .groupBy(col("n1"), col("n2"), col("d_num"))
+        .agg(min(col("v")).as("ks_at"))
+        .select(col("n1"), col("n2"), col("d_num"),
+          (col("d_num").cast(DoubleType) /
+            (col("n1") * col("n2")).cast(DoubleType)).as("d_stat"),
+          col("ks_at"))
+    },
+    Some("""
+      WITH s AS (
+        SELECT o_totalprice AS v,
+               CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END AS is1
+        FROM orders JOIN customer ON c_custkey = o_custkey
+        WHERE c_mktsegment IN ('BUILDING', 'AUTOMOBILE')),
+      pv AS (
+        SELECT v, CAST(SUM(is1) AS BIGINT) AS cnt1,
+               CAST(COUNT(*) - SUM(is1) AS BIGINT) AS cnt2
+        FROM s GROUP BY 1),
+      cum AS (
+        SELECT v,
+               CAST(SUM(cnt1) OVER (ORDER BY v) AS BIGINT) AS c1,
+               CAST(SUM(cnt2) OVER (ORDER BY v) AS BIGINT) AS c2
+        FROM pv),
+      tot AS (
+        SELECT CAST(SUM(cnt1) AS BIGINT) AS n1,
+               CAST(SUM(cnt2) AS BIGINT) AS n2
+        FROM pv),
+      d AS (SELECT c.v, abs(c.c1 * t.n2 - c.c2 * t.n1) AS dnum FROM cum c, tot t),
+      m AS (SELECT MAX(dnum) AS d_num FROM d)
+      SELECT t.n1, t.n2, m.d_num,
+             CAST(m.d_num AS DOUBLE) / CAST(t.n1 * t.n2 AS DOUBLE) AS d_stat,
+             (SELECT MIN(v) FROM d WHERE d.dnum = m.d_num) AS ks_at
+      FROM tot t, m
+    """)
+  )
+
   def all: Seq[GraftQuery] =
     Seq(q46Funnel, q47CohortRetention, q48AnomalyExact, q49Scd2Versions,
       q51StatsProfile, q52ColumnProfile, q56SessionizedFunnel, q55DqConstraints,
@@ -2275,5 +2359,5 @@ object Analytics {
       q73RfmSegments, q75PsiDrift, q83Attribution, q84MarkovTransitions,
       q86PitScd2Join, q87Cuped, q88ScoreLift, q90WeightedMedian,
       q92SurvivalKm, q93RocAuc, q96ChiSquare, q97MaxDrawdown,
-      q98LorenzGini, q99PrCurve)
+      q98LorenzGini, q99PrCurve, q105KsTest)
 }

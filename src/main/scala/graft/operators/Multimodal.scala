@@ -233,6 +233,80 @@ object Multimodal {
     }
   )
 
+  /** Typed per-frame record from the audio-style decode. */
+  final case class FrameEnergy(
+      doc_id: Long,
+      frame_idx: Long,
+      n_samples: Long,
+      energy: Long
+  )
+
+  /** Per-frame signal energy — the VAD/silence-detection front end of
+    * an audio pipeline, over the same stubbed decode (payload bytes
+    * read as 8-bit PCM centered at 128; a real codec swap changes
+    * only the byte source). One row per frame via a typed
+    * mapPartitions flatMap — the decode fan-out stays map-side, no
+    * asset bytes ever shuffle; only the (doc, frame, energy) rows
+    * flow on. Energy is an exact LONG sum of squared deviations, and
+    * rms = sqrt(energy/n) uses only correctly-rounded IEEE ops, so
+    * the doubles hash-match the oracle bit-for-bit.
+    */
+  val mmAudioEnergy = GraftQuery(
+    "mm_audio_energy",
+    (s, dir) => {
+      import s.implicits._
+      val t = Tables(s, dir)
+      t.documents
+        .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+        .as[(Long, Array[Byte])]
+        .mapPartitions(_.flatMap { case (id, bytes) =>
+          val nFrames = if (bytes.isEmpty) 0L else (bytes.length - 1L) / FrameSize + 1
+          (0L until nFrames).iterator.map { fi =>
+            val from = (fi * FrameSize).toInt
+            val until = math.min(from + FrameSize, bytes.length)
+            var energy = 0L
+            var i = from
+            while (i < until) {
+              val d = (bytes(i) & 0xff) - 128L
+              energy += d * d
+              i += 1
+            }
+            FrameEnergy(id, fi, until - from, energy)
+          }
+        })
+        .toDF()
+        .select(col("doc_id"), col("frame_idx"), col("n_samples"), col("energy"),
+          sqrt(col("energy").cast("double") / col("n_samples").cast("double"))
+            .as("rms"))
+        .orderBy(col("doc_id"), col("frame_idx"))
+    },
+    Some(s"""
+      WITH b AS (
+        SELECT doc_id,
+               list_transform(string_split(text, ''), c -> ascii(c)) AS bytes
+        FROM documents),
+      f AS (
+        SELECT doc_id, bytes,
+               unnest(range(0, CAST(floor((len(bytes) - 1) / $FrameSize) + 1
+                 AS BIGINT))) AS frame_idx
+        FROM b WHERE len(bytes) > 0),
+      e AS (
+        SELECT doc_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+               CAST(len(list_slice(bytes, frame_idx * $FrameSize + 1,
+                 frame_idx * $FrameSize + $FrameSize)) AS BIGINT) AS n_samples,
+               CAST(list_sum(list_transform(
+                 list_slice(bytes, frame_idx * $FrameSize + 1,
+                   frame_idx * $FrameSize + $FrameSize),
+                 x -> (x - 128) * (x - 128))) AS BIGINT) AS energy
+        FROM f)
+      SELECT doc_id, frame_idx, n_samples, energy,
+             sqrt(CAST(energy AS DOUBLE) / CAST(n_samples AS DOUBLE)) AS rms
+      FROM e
+      ORDER BY doc_id, frame_idx
+    """)
+  )
+
   def all: Seq[GraftQuery] =
-    Seq(mmBinaryMetadata, mmDecodeFeatures, mmFrameSample, mmPhashDupes)
+    Seq(mmBinaryMetadata, mmDecodeFeatures, mmFrameSample, mmPhashDupes,
+      mmAudioEnergy)
 }

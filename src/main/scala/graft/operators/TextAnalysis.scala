@@ -2300,6 +2300,81 @@ object TextAnalysis {
     """)
   )
 
+  /** Minimum corpus count for a bigram to be scored as a collocation
+    * (standard PMI small-count guard).
+    */
+  val PmiMinCount = 20L
+
+  /** PMI collocation mining: the token bigrams whose corpus frequency
+    * most exceeds what their unigram frequencies predict — the
+    * classic phrase-detection signal (word2vec-style phrase merging,
+    * tokenizer vocab curation). Ranking is by the LIFT RATIO
+    * P(x,y)/(P(x)·P(y)) = (c_xy·N1·N1)/(c_x·c_y·N2), monotone in PMI
+    * (log of it) but free of cross-engine log rounding: counts stay
+    * exact longs and the ratio is an explicitly-parenthesized double
+    * chain both engines state identically. Shapes: tokens
+    * materialize in their own projection (the split-re-inline
+    * lesson), bigrams explode once, pair counts prune on
+    * [[PmiMinCount]] BEFORE the marginal joins, and both marginal
+    * joins broadcast the vocab-sized unigram frame. At 100 TB the
+    * only data-scale exchanges are the two count aggregations.
+    */
+  val textPmiCollocations = GraftQuery(
+    "text_pmi_collocations",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val toks = t.documents.select(tokens(col("text")).as("toks"))
+      val pairs = toks
+        .select(slice(col("toks"), lit(1), size(col("toks")) - 1).as("xs"),
+          slice(col("toks"), lit(2), size(col("toks")) - 1).as("ys"))
+        .select(explode(arrays_zip(col("xs"), col("ys"))).as("p"))
+        .select(col("p.xs").as("x"), col("p.ys").as("y"))
+      val uni = toks.select(explode(col("toks")).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as("c"))
+      val n1 = uni.agg(sum(col("c")).as("n1"))
+      val bc = pairs.groupBy(col("x"), col("y"))
+        .agg(count(lit(1)).as("cxy"))
+        .filter(col("cxy") >= PmiMinCount)
+      val n2 = pairs.agg(count(lit(1)).as("n2"))
+      bc
+        .join(broadcast(uni.select(col("w").as("x"), col("c").as("cx"))), Seq("x"))
+        .join(broadcast(uni.select(col("w").as("y"), col("c").as("cy"))), Seq("y"))
+        .crossJoin(broadcast(n1)).crossJoin(broadcast(n2))
+        .select(col("x"), col("y"), col("cxy"), col("cx"), col("cy"),
+          (((col("cxy").cast("double") * col("n1")) * col("n1")) /
+            ((col("cx").cast("double") * col("cy")) * col("n2")))
+            .as("pmi_ratio"))
+        .orderBy(col("pmi_ratio").desc, col("x"), col("y"))
+        .limit(30)
+    },
+    Some(s"""
+      WITH toks AS (
+        SELECT string_split_regex(lower(text), '\\s+') AS tk FROM documents),
+      uni AS (SELECT unnest(tk) AS w FROM toks),
+      uc AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS c FROM uni GROUP BY 1),
+      bi AS (
+        SELECT unnest(list_transform(range(1, greatest(len(tk), 1)),
+                 i -> tk[i])) AS x,
+               unnest(list_transform(range(1, greatest(len(tk), 1)),
+                 i -> tk[i + 1])) AS y
+        FROM toks),
+      bc AS (
+        SELECT x, y, CAST(COUNT(*) AS BIGINT) AS cxy
+        FROM bi GROUP BY 1, 2
+        HAVING COUNT(*) >= ${PmiMinCount}),
+      n1 AS (SELECT CAST(SUM(c) AS BIGINT) AS n1 FROM uc),
+      n2 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n2 FROM bi)
+      SELECT b.x, b.y, b.cxy, ux.c AS cx, uy.c AS cy,
+             ((CAST(b.cxy AS DOUBLE) * n1.n1) * n1.n1)
+               / ((CAST(ux.c AS DOUBLE) * uy.c) * n2.n2) AS pmi_ratio
+      FROM bc b
+      JOIN uc ux ON ux.w = b.x
+      JOIN uc uy ON uy.w = b.y, n1, n2
+      ORDER BY pmi_ratio DESC, b.x, b.y
+      LIMIT 30
+    """)
+  )
+
   def all: Seq[GraftQuery] =
     Seq(textTokens, textQuality, textLangid, textFingerprint, textTopNgrams,
       textTrainingSet, textChunk, textDecontaminate, sampleStratified,
@@ -2309,5 +2384,6 @@ object TextAnalysis {
       samplePps, textPassageDedup, textCmsFreq, textBigramLm, textBm25,
       textDsirSelect, pipelineFunnel, retrievalHybridRrf, featHashingTrick,
       textCcnetBuckets, textBpeMerges, textTokenizerFertility,
-      sampleEpochAllocation, textSubstringDedup, textGramNovelty)
+      sampleEpochAllocation, textSubstringDedup, textGramNovelty,
+      textPmiCollocations)
 }

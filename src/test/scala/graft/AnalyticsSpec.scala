@@ -673,4 +673,34 @@ class AnalyticsSpec extends AnyFunSuite {
     rows.foreach(r => assert(r._8 == total, "chi2 statistic"))
     assert(total >= 0.0)
   }
+
+  test("q105 KS: integer-rational D matches a dense two-sample recompute") {
+    val t = graft.sources.Tables(spark, sf)
+    val seg = t.customer.select(col("c_custkey"), col("c_mktsegment")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val labeled = t.orders.select(col("o_custkey"), col("o_totalprice"))
+      .collect()
+      .flatMap { r =>
+        seg(r.getLong(0)) match {
+          case "BUILDING"   => Some((r.getDouble(1), 1))
+          case "AUTOMOBILE" => Some((r.getDouble(1), 0))
+          case _            => None
+        }
+      }
+    val n1 = labeled.count(_._2 == 1).toLong
+    val n2 = labeled.count(_._2 == 0).toLong
+    val grid = labeled.map(_._1).distinct.sorted
+    val ds = grid.map { v =>
+      val c1 = labeled.count(p => p._2 == 1 && p._1 <= v).toLong
+      val c2 = labeled.count(p => p._2 == 0 && p._1 <= v).toLong
+      (v, math.abs(c1 * n2 - c2 * n1))
+    }
+    val dNum = ds.map(_._2).max
+    val ksAt = ds.filter(_._2 == dNum).map(_._1).min
+    val r = SparkEntry.queries("q105_ks_test")(spark, sf).collect().head
+    assert(r.getLong(0) == n1 && r.getLong(1) == n2, "sample sizes")
+    assert(r.getLong(2) == dNum, "integer D numerator")
+    assert(r.getDouble(3) == dNum.toDouble / (n1 * n2).toDouble, "one division")
+    assert(r.getDouble(4) == ksAt, "argmax value (min tie-break)")
+  }
 }

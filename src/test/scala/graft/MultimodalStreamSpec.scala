@@ -463,4 +463,27 @@ class MultimodalStreamSpec extends AnyFunSuite {
     }
     assert(groups.nonEmpty, "corpus should contain phash collisions")
   }
+
+  test("mm_audio_energy: frame energies match a per-byte dense recompute") {
+    import graft.operators.Multimodal.FrameSize
+    val docs = graft.sources.Tables(spark, sf).documents
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.col("text"))
+      .collect().map(r => r.getLong(0) -> r.getString(1))
+    val want = docs.flatMap { case (id, text) =>
+      val bytes = text.getBytes("UTF-8")
+      bytes.grouped(FrameSize).zipWithIndex.map { case (frame, fi) =>
+        val energy = frame.map(b => { val d = (b & 0xff) - 128L; d * d }).sum
+        (id, fi.toLong) -> ((frame.length.toLong, energy,
+          math.sqrt(energy.toDouble / frame.length)))
+      }
+    }.toMap
+    val got = SparkEntry.queries("mm_audio_energy")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(got == want, "frame energy table differs from dense recompute")
+    // all-lowercase-ascii corpus: no frame is pure silence (e=0 means
+    // every byte equals 128, impossible for ascii text)
+    got.values.foreach { case (_, e, _) => assert(e > 0L) }
+  }
 }

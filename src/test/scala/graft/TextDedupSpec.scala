@@ -836,4 +836,38 @@ class TextDedupSpec extends AnyFunSuite {
     val minDoc = want.keys.min
     assert(want(minDoc)._1 == want(minDoc)._2)
   }
+
+  test("PMI collocations: top-30 lift ratios match a dense recompute") {
+    import graft.operators.TextAnalysis.PmiMinCount
+    val docs = graft.sources.Tables(spark, sf).documents
+      .select(col("text")).collect().map(_.getString(0))
+    val tokss = docs.map(_.toLowerCase.split("\\s+").toSeq)
+    val uni = scala.collection.mutable.Map.empty[String, Long]
+    val bi = scala.collection.mutable.Map.empty[(String, String), Long]
+    tokss.foreach { tk =>
+      tk.foreach(w => uni(w) = uni.getOrElse(w, 0L) + 1)
+      tk.sliding(2).foreach {
+        case Seq(x, y) => bi((x, y)) = bi.getOrElse((x, y), 0L) + 1
+        case _         =>
+      }
+    }
+    val nUni = uni.values.sum
+    val nBi = bi.values.sum
+    val want = bi.toSeq
+      .filter(_._2 >= PmiMinCount)
+      .map { case ((x, y), cxy) =>
+        val ratio = ((cxy.toDouble * nUni) * nUni) /
+          ((uni(x).toDouble * uni(y)) * nBi)
+        (x, y, cxy, uni(x), uni(y), ratio)
+      }
+      .sortBy { case (x, y, _, _, _, r) => (-r, x, y) }
+      .take(30)
+    val got = SparkEntry.queries("text_pmi_collocations")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5)))
+    assert(got.length == want.length)
+    got.zip(want).foreach { case (g, w) => assert(g == w, s"row $w") }
+    // a collocation's pair count can never exceed either marginal
+    got.foreach(g => assert(g._3 <= g._4 && g._3 <= g._5))
+  }
 }
