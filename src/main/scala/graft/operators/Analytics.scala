@@ -2292,10 +2292,14 @@ object Analytics {
         .filter(col("c_mktsegment").isin("BUILDING", "AUTOMOBILE"))
         .select(col("o_totalprice").as("v"),
           when(col("c_mktsegment") === "BUILDING", 1L).otherwise(0L).as("is1"))
+      // persist the distinct-value aggregate: totals, the bucket
+      // prefix, AND the final argmax gate all re-reference it — without
+      // the cache each gate frame would re-run the fact join
       val perValue = samples.groupBy(col("v"))
         .agg(sum(col("is1")).as("cnt1"),
           (count(lit(1)) - sum(col("is1"))).as("cnt2"))
         .withColumn("b", floor(col("v") / 1000.0).cast("long"))
+        .persist()
       val bucketPrefix = perValue.groupBy(col("b"))
         .agg(sum(col("cnt1")).as("bt1"), sum(col("cnt2")).as("bt2"))
         .select(col("b"),
@@ -2314,7 +2318,7 @@ object Analytics {
       val diffs = cum.crossJoin(broadcast(totals))
         .withColumn("dnum", abs(col("c1") * col("n2") - col("c2") * col("n1")))
       val dmax = diffs.agg(max(col("dnum")).as("d_num"))
-      diffs.crossJoin(broadcast(dmax))
+      val out = diffs.crossJoin(broadcast(dmax))
         .filter(col("dnum") === col("d_num"))
         .groupBy(col("n1"), col("n2"), col("d_num"))
         .agg(min(col("v")).as("ks_at"))
@@ -2322,6 +2326,9 @@ object Analytics {
           (col("d_num").cast(DoubleType) /
             (col("n1") * col("n2")).cast(DoubleType)).as("d_stat"),
           col("ks_at"))
+      out.persist().count()
+      perValue.unpersist(false)
+      out
     },
     Some("""
       WITH s AS (

@@ -70,7 +70,7 @@ object TpchShapes {
         .join(broadcast(suppR), col("l_suppkey") === col("s_suppkey"))
         .join(t.orders.select(col("o_orderkey"), col("o_custkey")),
           col("l_orderkey") === col("o_orderkey"))
-        .join(custR, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(custR), col("o_custkey") === col("c_custkey"))
         .filter(col("supp_region") =!= col("cust_region"))
         .groupBy(col("supp_region"), col("cust_region"),
           year(col("l_shipdate")).cast("long").as("l_year"))

@@ -300,4 +300,40 @@ class ScaleSpec extends AnyFunSuite {
     assert(custParts <= 1,
       s"row_number window and first/second-date aggregate must share one exchange:\n$plan")
   }
+
+  test("q100 volume shipping: facts SMJ, every dim broadcast, slice pushed") {
+    val plan = planOf("q100_volume_shipping")
+    assert(plan.contains("GreaterThanOrEqual(l_shipdate,1996-01-01"),
+      "ship-year slice must reach the lineitem scan")
+    val smj = plan.linesIterator.count(_.contains("SortMergeJoin"))
+    assert(smj <= 1, s"only lineitem-orders may merge-join, saw $smj")
+    assert(plan.contains("BroadcastHashJoin"), "dim paths must broadcast")
+  }
+
+  test("q105 KS: fact join runs once into cache; gates read the cache") {
+    val plan = planOf("q105_ks_test")
+    // both the cumsum branch and the dmax/totals gate branches must
+    // read the persisted frames, not re-run the orders-customer join:
+    // the executed TREE (everything before the first node detail) may
+    // contain cache scans but no fact-fact join
+    assert(plan.contains("InMemoryTableScan") || plan.contains("TableCacheQueryStage"),
+      "per-value frame must be cached")
+    // the cache dedups the fact pipeline: each fact file appears as
+    // exactly ONE scan node in the whole executed graph, instead of
+    // once per gate-frame branch
+    def scansOf(file: String): Int = plan.linesIterator
+      .count(l => l.contains("Location") && l.contains(file))
+    assert(scansOf("orders.parquet") == 1,
+      s"orders scanned ${scansOf("orders.parquet")}x — gates must read the cache")
+    assert(scansOf("customer.parquet") == 1,
+      s"customer scanned ${scansOf("customer.parquet")}x — gates must read the cache")
+  }
+
+  test("PMI collocations: marginal joins broadcast the vocab frame") {
+    val plan = planOf("text_pmi_collocations")
+    val bhj = plan.linesIterator.count(_.contains("BroadcastHashJoin"))
+    assert(bhj >= 2, s"both unigram marginal joins must broadcast, saw $bhj")
+    assert(!plan.contains("SortMergeJoin"),
+      "no data-scale shuffle join should exist in the collocation plan")
+  }
 }
