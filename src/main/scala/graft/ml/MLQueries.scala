@@ -301,6 +301,92 @@ object MLQueries {
     """)
   )
 
+  /** Rolling-origin fold count and stride/horizon in months. */
+  val RollingFolds = 4L
+  val RollingStrideMonths = 6
+
+  /** Rolling-origin (forward-chaining) cross-validation folds — the
+    * temporal counterpart of ml_cv_kfold: each fold trains on
+    * EVERYTHING strictly before its origin and tests on the next
+    * 6-month horizon, so no fold ever sees the future (the leakage
+    * discipline feat_pit_backfill applies per-row, applied at the
+    * split level). Emits the per-fold accounting a forecasting
+    * pipeline audits — split sizes plus train-vs-horizon mean order
+    * value (the drift a rolling evaluation exists to expose). One
+    * fact scan cross-joined with the broadcast 4-row fold spine;
+    * conditional aggregation does the rest — no per-fold rescans.
+    */
+  val mlCvRollingOrigin = GraftQuery(
+    "ml_cv_rolling_origin",
+    (s, dir) => {
+      import org.apache.spark.sql.functions._
+      val t = Tables(s, dir)
+      val spine = s.range(1, RollingFolds + 1).toDF("fold")
+        .withColumn("origin", to_timestamp(add_months(
+          to_date(lit("1998-01-01")),
+          ((col("fold") - 1) * RollingStrideMonths).cast("int"))))
+        .withColumn("horizon_end",
+          to_timestamp(add_months(col("origin").cast("date"),
+            RollingStrideMonths)))
+      def inTrain = col("o_orderdate") < col("origin")
+      def inTest = col("o_orderdate") >= col("origin") &&
+        col("o_orderdate") < col("horizon_end")
+      t.orders.select(col("o_orderdate"), col("o_totalprice"))
+        .crossJoin(broadcast(spine))
+        .groupBy(col("fold"), col("origin"))
+        .agg(
+          sum(when(inTrain, 1L).otherwise(0L)).as("n_train"),
+          sum(when(inTest, 1L).otherwise(0L)).as("n_test"),
+          (sum(when(inTrain, graft.functions.GraftFunctions.dec2(col("o_totalprice"))))
+            .cast("double") /
+            sum(when(inTrain, 1L).otherwise(0L)).cast("double"))
+            .as("train_avg_price"),
+          (sum(when(inTest, graft.functions.GraftFunctions.dec2(col("o_totalprice"))))
+            .cast("double") /
+            sum(when(inTest, 1L).otherwise(0L)).cast("double"))
+            .as("test_avg_price"))
+        .select(col("fold"),
+          graft.functions.GraftFunctions.tsString(col("origin")).as("origin_s"),
+          col("n_train"), col("n_test"),
+          col("train_avg_price"), col("test_avg_price"))
+        .orderBy(col("fold"))
+    },
+    Some(s"""
+      WITH spine AS (
+        SELECT unnest(range(1, ${RollingFolds + 1})) AS fold),
+      f AS (
+        SELECT fold,
+               TIMESTAMP '1998-01-01'
+                 + ((fold - 1) * $RollingStrideMonths) * INTERVAL '1 month'
+                 AS origin,
+               TIMESTAMP '1998-01-01'
+                 + (fold * $RollingStrideMonths) * INTERVAL '1 month'
+                 AS horizon_end
+        FROM spine)
+      SELECT f.fold,
+             strftime(f.origin, '%Y-%m-%d %H:%M:%S') AS origin_s,
+             CAST(SUM(CASE WHEN o.o_orderdate < f.origin THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_train,
+             CAST(SUM(CASE WHEN o.o_orderdate >= f.origin
+               AND o.o_orderdate < f.horizon_end THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_test,
+             CAST(SUM(CASE WHEN o.o_orderdate < f.origin
+                 THEN CAST(o.o_totalprice AS DECIMAL(12,2)) END) AS DOUBLE)
+               / CAST(SUM(CASE WHEN o.o_orderdate < f.origin THEN 1 ELSE 0 END)
+                 AS DOUBLE) AS train_avg_price,
+             CAST(SUM(CASE WHEN o.o_orderdate >= f.origin
+                 AND o.o_orderdate < f.horizon_end
+                 THEN CAST(o.o_totalprice AS DECIMAL(12,2)) END) AS DOUBLE)
+               / CAST(SUM(CASE WHEN o.o_orderdate >= f.origin
+                 AND o.o_orderdate < f.horizon_end THEN 1 ELSE 0 END)
+                 AS DOUBLE) AS test_avg_price
+      FROM orders o, f
+      GROUP BY 1, 2
+      ORDER BY 1
+    """)
+  )
+
   def all: Seq[GraftQuery] =
-    Seq(mlBinary, mlRegression, mlMulticlass, mlCvKfold, mlTextClassifier)
+    Seq(mlBinary, mlRegression, mlMulticlass, mlCvKfold, mlTextClassifier,
+      mlCvRollingOrigin)
 }

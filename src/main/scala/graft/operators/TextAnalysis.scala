@@ -2375,6 +2375,49 @@ object TextAnalysis {
     """)
   )
 
+  /** Knuth multiplicative-hash constant for the holdout split (public
+    * 2^32 golden-ratio multiplier) and permille cutoffs.
+    */
+  val SplitMultiplier = 2654435761L
+  val TrainPermille = 800L
+  val ValPermille = 900L
+
+  /** Deterministic train/val/test holdout split — the assignment
+    * every training pipeline needs to be REPRODUCIBLE and portable
+    * across engines: bucket = (id · 2654435761) mod 2³² mod 1000,
+    * split by permille cutoffs (80/10/10). Pure BIGINT arithmetic —
+    * no engine-specific hash function — so any system (Spark, DuckDB,
+    * a feature store) derives the identical assignment from the key
+    * alone; adding documents never reshuffles existing ones
+    * (stable splits across corpus refreshes). One codegen projection,
+    * no shuffle at all except the presentation sort.
+    */
+  val sampleHoldoutSplit = GraftQuery(
+    "sample_holdout_split",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val bucket = ((col("doc_id") * SplitMultiplier) % 4294967296L) % 1000L
+      t.documents
+        .select(col("doc_id"), bucket.as("bucket"))
+        .withColumn("split",
+          when(col("bucket") < TrainPermille, "train")
+            .when(col("bucket") < ValPermille, "val")
+            .otherwise("test"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""
+      SELECT doc_id,
+             ((doc_id * $SplitMultiplier) % 4294967296) % 1000 AS bucket,
+             CASE WHEN ((doc_id * $SplitMultiplier) % 4294967296) % 1000
+                    < $TrainPermille THEN 'train'
+                  WHEN ((doc_id * $SplitMultiplier) % 4294967296) % 1000
+                    < $ValPermille THEN 'val'
+                  ELSE 'test' END AS split
+      FROM documents
+      ORDER BY doc_id
+    """)
+  )
+
   def all: Seq[GraftQuery] =
     Seq(textTokens, textQuality, textLangid, textFingerprint, textTopNgrams,
       textTrainingSet, textChunk, textDecontaminate, sampleStratified,
@@ -2385,5 +2428,5 @@ object TextAnalysis {
       textDsirSelect, pipelineFunnel, retrievalHybridRrf, featHashingTrick,
       textCcnetBuckets, textBpeMerges, textTokenizerFertility,
       sampleEpochAllocation, textSubstringDedup, textGramNovelty,
-      textPmiCollocations)
+      textPmiCollocations, sampleHoldoutSplit)
 }

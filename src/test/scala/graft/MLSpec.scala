@@ -409,4 +409,36 @@ class MLSpec extends AnyFunSuite {
         assert(SparkEntry.queries(q)(spark, sf).count() > 0, s"$q empty")
       }
   }
+
+  test("rolling-origin CV: forward-chaining discipline and dense recompute") {
+    import graft.ml.MLQueries.{RollingFolds, RollingStrideMonths}
+    val orders = graft.sources.Tables(spark, sf).orders
+      .select(col("o_orderdate"), col("o_totalprice"))
+      .collect()
+      .map(r => (r.getAs[java.time.LocalDateTime](0), r.getDouble(1)))
+    val cal = java.time.LocalDateTime.of(1998, 1, 1, 0, 0)
+    val rows = SparkEntry.queries("ml_cv_rolling_origin")(spark, sf).collect()
+    assert(rows.length == RollingFolds)
+    var prevTrain = -1L
+    rows.foreach { r =>
+      val fold = r.getLong(0)
+      val origin = cal.plusMonths((fold - 1) * RollingStrideMonths)
+      val hEnd = cal.plusMonths(fold * RollingStrideMonths)
+      val train = orders.filter(_._1.isBefore(origin))
+      val test = orders.filter(o =>
+        !o._1.isBefore(origin) && o._1.isBefore(hEnd))
+      assert(r.getLong(2) == train.length, s"fold $fold n_train")
+      assert(r.getLong(3) == test.length, s"fold $fold n_test")
+      def avg(xs: Array[(java.time.LocalDateTime, Double)]): Double =
+        xs.map(x => BigDecimal(x._2).setScale(2, BigDecimal.RoundingMode.HALF_UP))
+          .sum.toDouble / xs.length
+      assert(r.getDouble(4) == avg(train), s"fold $fold train avg")
+      assert(r.getDouble(5) == avg(test), s"fold $fold test avg")
+      // forward chaining: train sets strictly grow, never see the horizon
+      assert(train.length > prevTrain, "train must grow with the origin")
+      prevTrain = train.length
+      assert(train.forall(_._1.isBefore(origin)) &&
+        test.forall(o => !o._1.isBefore(origin)))
+    }
+  }
 }

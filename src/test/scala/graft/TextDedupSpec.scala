@@ -870,4 +870,23 @@ class TextDedupSpec extends AnyFunSuite {
     // a collocation's pair count can never exceed either marginal
     got.foreach(g => assert(g._3 <= g._4 && g._3 <= g._5))
   }
+
+  test("holdout split: portable hash assignment, 80/10/10 within tolerance") {
+    import graft.operators.TextAnalysis.{SplitMultiplier, TrainPermille, ValPermille}
+    val rows = SparkEntry.queries("sample_holdout_split")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (id, bucket, split) =>
+      val want = ((id * SplitMultiplier) % 4294967296L) % 1000L
+      assert(bucket == want, s"bucket of doc $id")
+      val wantSplit = if (bucket < TrainPermille) "train"
+        else if (bucket < ValPermille) "val" else "test"
+      assert(split == wantSplit, s"split of doc $id")
+    }
+    val n = rows.length.toDouble
+    val frac = rows.groupBy(_._3).view.mapValues(_.length / n).toMap
+    assert(math.abs(frac("train") - 0.8) < 0.08, s"train frac ${frac("train")}")
+    assert(math.abs(frac.getOrElse("val", 0.0) - 0.1) < 0.06)
+    assert(math.abs(frac.getOrElse("test", 0.0) - 0.1) < 0.06)
+  }
 }
