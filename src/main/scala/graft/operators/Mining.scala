@@ -189,5 +189,106 @@ object Mining {
     """)
   )
 
-  def all: Seq[GraftQuery] = Seq(miningAssocRules, miningSeqPatterns)
+  /** Train/test boundary for the Markov backtest (mid-corpus; aligned
+    * with the q88/q93/q99 scorer cutoff).
+    */
+  val BacktestCutoff = "2024-01-15 00:00:00"
+
+  /** Temporal backtest of the first-order Markov next-event model:
+    * fit transition argmaxes on pre-cutoff bigrams, score top-1
+    * next-event accuracy on post-cutoff bigrams — the evaluation a
+    * sequence model actually gets in production, with the rolling-
+    * origin leakage discipline (boundary-crossing pairs belong to
+    * neither side). Both eras' bigrams ride ONE user_id exchange
+    * (the mining_seq_patterns lesson: a single lead() pass feeds two
+    * domain-sized aggregates); the fitted model is a ≤|types| row
+    * broadcast, the argmax rank runs on the ≤|types|² transition
+    * frame, and accuracy is exact integers until one division.
+    */
+  val mlMarkovBacktest = GraftQuery(
+    "ml_markov_backtest",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val cutoff = lit(BacktestCutoff).cast("timestamp")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val pairs = t.events
+        .select(col("user_id"), col("ts"), col("event_id"),
+          col("event_type").as("e0"))
+        .withColumn("e1", lead(col("e0"), 1).over(w))
+        .withColumn("ts1", lead(col("ts"), 1).over(w))
+        .filter(col("e1").isNotNull)
+        // one domain-sized aggregate carries both eras
+        .groupBy(col("e0"), col("e1"),
+          when(col("ts1") < cutoff, "train")
+            .when(col("ts") >= cutoff, "test").as("era"))
+        .agg(count(lit(1)).as("cnt"))
+        .filter(col("era").isNotNull) // boundary-crossing pairs: neither era
+      val rk = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("e0")).orderBy(col("cnt").desc, col("e1"))
+      val model = pairs.filter(col("era") === "train")
+        .withColumn("r", row_number().over(rk))
+        .filter(col("r") === 1)
+        .select(col("e0"), col("e1").as("predicted_next"),
+          col("cnt").as("train_cnt"))
+      val trainN = pairs.filter(col("era") === "train")
+        .groupBy(col("e0")).agg(sum(col("cnt")).as("n_train"))
+      pairs.filter(col("era") === "test")
+        .join(broadcast(model), Seq("e0"))
+        .join(broadcast(trainN), Seq("e0"))
+        .groupBy(col("e0").as("prev_type"), col("predicted_next"),
+          col("n_train"))
+        .agg(sum(col("cnt")).as("n_test"),
+          sum(when(col("e1") === col("predicted_next"), col("cnt"))
+            .otherwise(0L)).as("n_correct"))
+        .select(col("prev_type"), col("predicted_next"), col("n_train"),
+          col("n_test"), col("n_correct"),
+          when(col("n_test") > 0, col("n_correct").cast("double") /
+            col("n_test").cast("double")).as("acc"))
+        .orderBy(col("prev_type"))
+    },
+    Some(s"""
+      WITH seq AS (
+        SELECT event_type AS e0,
+               lead(event_type) OVER w AS e1,
+               ts, lead(ts) OVER w AS ts1
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      pairs AS (
+        SELECT e0, e1,
+               CASE WHEN ts1 < TIMESTAMP '$BacktestCutoff' THEN 'train'
+                    WHEN ts >= TIMESTAMP '$BacktestCutoff' THEN 'test'
+               END AS era,
+               CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM seq WHERE e1 IS NOT NULL
+        GROUP BY 1, 2, 3
+        HAVING era IS NOT NULL),
+      model AS (
+        SELECT e0, e1 AS predicted_next
+        FROM (SELECT e0, e1, row_number() OVER (PARTITION BY e0
+                ORDER BY cnt DESC, e1) AS r
+              FROM pairs WHERE era = 'train')
+        WHERE r = 1),
+      train_n AS (
+        SELECT e0, CAST(SUM(cnt) AS BIGINT) AS n_train
+        FROM pairs WHERE era = 'train' GROUP BY 1)
+      SELECT p.e0 AS prev_type, m.predicted_next, t.n_train,
+             CAST(SUM(p.cnt) AS BIGINT) AS n_test,
+             CAST(SUM(CASE WHEN p.e1 = m.predicted_next THEN p.cnt
+                           ELSE 0 END) AS BIGINT) AS n_correct,
+             CASE WHEN SUM(p.cnt) > 0
+                  THEN CAST(SUM(CASE WHEN p.e1 = m.predicted_next
+                         THEN p.cnt ELSE 0 END) AS DOUBLE)
+                    / CAST(SUM(p.cnt) AS DOUBLE) END AS acc
+      FROM pairs p
+      JOIN model m ON m.e0 = p.e0
+      JOIN train_n t ON t.e0 = p.e0
+      WHERE p.era = 'test'
+      GROUP BY 1, 2, 3
+      ORDER BY 1
+    """)
+  )
+
+  def all: Seq[GraftQuery] =
+    Seq(miningAssocRules, miningSeqPatterns, mlMarkovBacktest)
 }

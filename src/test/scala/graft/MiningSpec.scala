@@ -84,4 +84,50 @@ class MiningSpec extends AnyFunSuite {
       assert(conf == r6(cnt.toDouble / pfx.toDouble), "confidence")
     }
   }
+
+  test("Markov backtest: model fit on train era only, accuracy recomputed densely") {
+    import graft.operators.Mining.BacktestCutoff
+    val cutoff = java.time.LocalDateTime.parse(
+      BacktestCutoff.replace(" ", "T"))
+    val ev = graft.sources.Tables(spark, sf).events
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .collect()
+      .map(r => (r.getLong(0),
+        r.getAs[java.sql.Timestamp](1).toLocalDateTime,
+        r.getLong(2), r.getString(3)))
+    val pairs = ev.groupBy(_._1).values.flatMap { es =>
+      es.sortBy(e => (e._2, e._3)).sliding(2).collect {
+        case Array(a, b) => (a._4, b._4, a._2, b._2)
+      }
+    }.toSeq
+    val train = pairs.filter(_._4.isBefore(cutoff))
+    val test = pairs.filter(p => !p._3.isBefore(cutoff))
+    val model = train.groupBy(_._1).map { case (e0, ps) =>
+      val byNext = ps.groupBy(_._2).view.mapValues(_.size).toMap
+      val best = byNext.toSeq.sortBy { case (e1, c) => (-c, e1) }.head._1
+      e0 -> ((best, ps.size.toLong))
+    }
+    val rows = SparkEntry.queries("ml_markov_backtest")(spark, sf).collect()
+    rows.foreach { r =>
+      val prev = r.getString(0)
+      val (wantNext, nTrain) = model(prev)
+      assert(r.getString(1) == wantNext, s"prediction for $prev")
+      assert(r.getLong(2) == nTrain, s"n_train for $prev")
+      val te = test.filter(_._1 == prev)
+      assert(r.getLong(3) == te.size, s"n_test for $prev")
+      val correct = te.count(_._2 == wantNext).toLong
+      assert(r.getLong(4) == correct, s"n_correct for $prev")
+      assert(r.getDouble(5) == correct.toDouble / te.size, s"acc for $prev")
+    }
+    // boundary-crossing pairs belong to neither era
+    assert(train.size + test.size < pairs.size,
+      "corpus must contain boundary-crossing pairs for the exclusion to bite")
+    // sanity gate, not a model claim: the synthetic transitions are
+    // near-independent (measured aggregate acc ≈ 0.185 — the train-
+    // majority class's share in the drifted test era); a scrambled
+    // join or era mixup lands far below the majority-class floor
+    val totCorrect = rows.map(_.getLong(4)).sum.toDouble
+    val totTest = rows.map(_.getLong(3)).sum.toDouble
+    assert(totCorrect / totTest > 0.15, s"aggregate acc ${totCorrect / totTest}")
+  }
 }
