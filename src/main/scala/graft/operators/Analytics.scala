@@ -2270,8 +2270,10 @@ object Analytics {
   /** Two-sample Kolmogorov-Smirnov test (distribution drift between
     * two customer segments' order values) — EXACT, via the integer
     * rational: at every distinct value v, the ECDF gap is
-    * |c1·n2 − c2·n1| / (n1·n2), so the max is found over pure long
-    * arithmetic and the statistic is ONE double division at the end.
+    * |c1·n2 − c2·n1| / (n1·n2), so the max is found over exact
+    * integer arithmetic (cross-products widened through
+    * DECIMAL(38,0)/HUGEINT — long would wrap past ~3·10⁹-row
+    * samples) and the statistic is ONE double division at the end.
     * No log/exp, no float accumulation — bit-stable vs the oracle.
     *
     * Scale shape: the global ordered cumsum is the q68/q90 bucket
@@ -2315,16 +2317,21 @@ object Analytics {
           (col("p2") + sum(col("cnt2")).over(within)).as("c2"))
       val totals = perValue.agg(sum(col("cnt1")).as("n1"),
         sum(col("cnt2")).as("n2"))
+      // cross-products widen through DECIMAL(38,0) (the q98 rule):
+      // c1·n2 wraps Long silently once a sample passes ~3e9 rows —
+      // exactly the scale this operator claims to survive
+      def d38(c: Column): Column = c.cast(DecimalType(38, 0))
       val diffs = cum.crossJoin(broadcast(totals))
-        .withColumn("dnum", abs(col("c1") * col("n2") - col("c2") * col("n1")))
+        .withColumn("dnum",
+          abs(d38(col("c1")) * col("n2") - d38(col("c2")) * col("n1")))
       val dmax = diffs.agg(max(col("dnum")).as("d_num"))
       val out = diffs.crossJoin(broadcast(dmax))
         .filter(col("dnum") === col("d_num"))
         .groupBy(col("n1"), col("n2"), col("d_num"))
         .agg(min(col("v")).as("ks_at"))
-        .select(col("n1"), col("n2"), col("d_num"),
+        .select(col("n1"), col("n2"), col("d_num").cast("long").as("d_num"),
           (col("d_num").cast(DoubleType) /
-            (col("n1") * col("n2")).cast(DoubleType)).as("d_stat"),
+            (d38(col("n1")) * col("n2")).cast(DoubleType)).as("d_stat"),
           col("ks_at"))
       out.persist().count()
       perValue.unpersist(false)
@@ -2349,10 +2356,14 @@ object Analytics {
         SELECT CAST(SUM(cnt1) AS BIGINT) AS n1,
                CAST(SUM(cnt2) AS BIGINT) AS n2
         FROM pv),
-      d AS (SELECT c.v, abs(c.c1 * t.n2 - c.c2 * t.n1) AS dnum FROM cum c, tot t),
+      d AS (SELECT c.v,
+                   abs(CAST(c.c1 AS HUGEINT) * t.n2
+                     - CAST(c.c2 AS HUGEINT) * t.n1) AS dnum
+            FROM cum c, tot t),
       m AS (SELECT MAX(dnum) AS d_num FROM d)
-      SELECT t.n1, t.n2, m.d_num,
-             CAST(m.d_num AS DOUBLE) / CAST(t.n1 * t.n2 AS DOUBLE) AS d_stat,
+      SELECT t.n1, t.n2, CAST(m.d_num AS BIGINT) AS d_num,
+             CAST(m.d_num AS DOUBLE)
+               / CAST(CAST(t.n1 AS HUGEINT) * t.n2 AS DOUBLE) AS d_stat,
              (SELECT MIN(v) FROM d WHERE d.dnum = m.d_num) AS ks_at
       FROM tot t, m
     """)

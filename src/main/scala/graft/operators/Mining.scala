@@ -229,8 +229,7 @@ object Mining {
       val model = pairs.filter(col("era") === "train")
         .withColumn("r", row_number().over(rk))
         .filter(col("r") === 1)
-        .select(col("e0"), col("e1").as("predicted_next"),
-          col("cnt").as("train_cnt"))
+        .select(col("e0"), col("e1").as("predicted_next"))
       val trainN = pairs.filter(col("era") === "train")
         .groupBy(col("e0")).agg(sum(col("cnt")).as("n_train"))
       pairs.filter(col("era") === "test")

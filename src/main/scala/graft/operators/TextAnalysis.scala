@@ -2391,14 +2391,32 @@ object TextAnalysis {
     * alone; adding documents never reshuffles existing ones
     * (stable splits across corpus refreshes). One codegen projection,
     * no shuffle at all except the presentation sort.
+    *
+    * The mod-2³² product is computed via 16-bit limbs of the id —
+    * `M·id ≡ M·lo + (M·hi mod 2³²)·2¹⁶ (mod 2³²)` — so every
+    * intermediate stays ≤ ~6·10¹⁴: a naive `(id·M) % 2³²` silently
+    * wraps Long in Spark (negative buckets → everything lands in
+    * 'train') and overflow-ERRORS in DuckDB once ids pass ~3.5·10⁹,
+    * exactly the corpus sizes the split exists for.
     */
+  /** (id·M mod 2³²) mod 1000 in wrap-free 16-bit-limb arithmetic —
+    * every intermediate ≤ ~6·10¹⁴. See [[sampleHoldoutSplit]].
+    */
+  def holdoutBucket(id: Column): Column = {
+    val id32 = id % 4294967296L
+    val lo = id32.bitwiseAND(lit(65535L))
+    val hi = shiftright(id32, 16)
+    (((lo * SplitMultiplier) +
+      (((hi * SplitMultiplier) % 4294967296L) * 65536L)) %
+      4294967296L) % 1000L
+  }
+
   val sampleHoldoutSplit = GraftQuery(
     "sample_holdout_split",
     (s, dir) => {
       val t = Tables(s, dir)
-      val bucket = ((col("doc_id") * SplitMultiplier) % 4294967296L) % 1000L
       t.documents
-        .select(col("doc_id"), bucket.as("bucket"))
+        .select(col("doc_id"), holdoutBucket(col("doc_id")).as("bucket"))
         .withColumn("split",
           when(col("bucket") < TrainPermille, "train")
             .when(col("bucket") < ValPermille, "val")
@@ -2406,14 +2424,18 @@ object TextAnalysis {
         .orderBy(col("doc_id"))
     },
     Some(s"""
-      SELECT doc_id,
-             ((doc_id * $SplitMultiplier) % 4294967296) % 1000 AS bucket,
-             CASE WHEN ((doc_id * $SplitMultiplier) % 4294967296) % 1000
-                    < $TrainPermille THEN 'train'
-                  WHEN ((doc_id * $SplitMultiplier) % 4294967296) % 1000
-                    < $ValPermille THEN 'val'
+      WITH h AS (
+        SELECT doc_id,
+               ((((doc_id % 4294967296) % 65536) * $SplitMultiplier
+                 + ((((doc_id % 4294967296) // 65536) * $SplitMultiplier)
+                    % 4294967296) * 65536)
+                % 4294967296) % 1000 AS bucket
+        FROM documents)
+      SELECT doc_id, bucket,
+             CASE WHEN bucket < $TrainPermille THEN 'train'
+                  WHEN bucket < $ValPermille THEN 'val'
                   ELSE 'test' END AS split
-      FROM documents
+      FROM h
       ORDER BY doc_id
     """)
   )

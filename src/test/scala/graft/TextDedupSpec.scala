@@ -877,7 +877,9 @@ class TextDedupSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
     assert(rows.nonEmpty)
     rows.foreach { case (id, bucket, split) =>
-      val want = ((id * SplitMultiplier) % 4294967296L) % 1000L
+      // the mathematical definition, wrap-free: (id·M mod 2³²) mod 1000
+      val want = (((BigInt(id) * SplitMultiplier) mod BigInt(4294967296L))
+        mod BigInt(1000)).toLong
       assert(bucket == want, s"bucket of doc $id")
       val wantSplit = if (bucket < TrainPermille) "train"
         else if (bucket < ValPermille) "val" else "test"
@@ -888,5 +890,22 @@ class TextDedupSpec extends AnyFunSuite {
     assert(math.abs(frac("train") - 0.8) < 0.08, s"train frac ${frac("train")}")
     assert(math.abs(frac.getOrElse("val", 0.0) - 0.1) < 0.06)
     assert(math.abs(frac.getOrElse("test", 0.0) - 0.1) < 0.06)
+  }
+
+  test("holdout bucket survives ids past the long-wrap point (limb arithmetic)") {
+    import graft.operators.TextAnalysis.{holdoutBucket, SplitMultiplier}
+    // ids where the naive (id * M) product wraps 2^63 — a plain
+    // multiply goes negative in Spark and errors in DuckDB
+    val ids = Seq(3_500_000_000L, 4_294_967_295L, 8_589_934_591L,
+      1_000_000_000_000L, Long.MaxValue / SplitMultiplier + 7L)
+    val got = ids.toDF("doc_id")
+      .select(col("doc_id"), holdoutBucket(col("doc_id")).as("b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    ids.foreach { id =>
+      val want = (((BigInt(id) * SplitMultiplier) mod BigInt(4294967296L))
+        mod BigInt(1000)).toLong
+      assert(got(id) == want, s"bucket of large id $id")
+      assert(got(id) >= 0L, s"bucket of $id must not wrap negative")
+    }
   }
 }
