@@ -2369,6 +2369,75 @@ object Analytics {
     """)
   )
 
+  /** Benford first-digit expectations log10(1+1/d), d=1..9, as FIXED
+    * double literals — computing them via log10 at runtime would race
+    * two libm implementations (log10 is not required to be correctly
+    * rounded); literals are bit-identical by construction.
+    */
+  val BenfordP: Seq[(Long, Double)] = Seq(
+    1L -> 0.3010299956639812, 2L -> 0.17609125905568124,
+    3L -> 0.12493873660829993, 4L -> 0.09691001300805642,
+    5L -> 0.07918124604762482, 6L -> 0.06694678963061322,
+    7L -> 0.05799194697768673, 8L -> 0.05115252244738129,
+    9L -> 0.04575749056067514)
+
+  /** Benford first-digit profile of order values — the
+    * fraud/synthetic-data screen auditors run on financial columns.
+    * The first significant digit comes from the DECIMAL string render
+    * (both engines print "1001.91" identically; no log10/pow float
+    * path), counts are exact longs, the observed share is ONE
+    * division, and the Benford expectation joins as a broadcast
+    * 9-row literal spine. One scan, digit-domain-sized everything.
+    */
+  val q106BenfordProfile = GraftQuery(
+    "q106_benford",
+    (s, dir) => {
+      import s.implicits._
+      val t = Tables(s, dir)
+      val spine = BenfordP.toDF("digit", "benford_p")
+      val counts = t.orders
+        .select(substring(dec2(col("o_totalprice")).cast("string"), 1, 1)
+          .cast("long").as("digit"))
+        .groupBy(col("digit")).agg(count(lit(1)).as("obs"))
+      val total = counts.agg(sum(col("obs")).as("n_total"))
+      broadcast(spine).join(counts, Seq("digit"), "left")
+        .na.fill(0L, Seq("obs"))
+        .crossJoin(broadcast(total))
+        .select(col("digit"), col("obs"), col("n_total"),
+          (col("obs").cast(DoubleType) / col("n_total").cast(DoubleType))
+            .as("share"),
+          col("benford_p"))
+        .withColumn("excess", col("share") - col("benford_p"))
+        .orderBy(col("digit"))
+    },
+    Some("""
+      -- e-notation: DuckDB types bare decimal literals as DECIMAL and
+      -- its DECIMAL→DOUBLE conversion lands 1 ulp off the IEEE string
+      -- parse Spark does; scientific literals are DOUBLE directly
+      WITH spine(digit, benford_p) AS (VALUES
+        (1, 0.3010299956639812e0), (2, 0.17609125905568124e0),
+        (3, 0.12493873660829993e0), (4, 0.09691001300805642e0),
+        (5, 0.07918124604762482e0), (6, 0.06694678963061322e0),
+        (7, 0.05799194697768673e0), (8, 0.05115252244738129e0),
+        (9, 0.04575749056067514e0)),
+      c AS (
+        SELECT CAST(substr(CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS VARCHAR),
+                 1, 1) AS BIGINT) AS digit,
+               CAST(COUNT(*) AS BIGINT) AS obs
+        FROM orders GROUP BY 1),
+      tot AS (SELECT CAST(SUM(obs) AS BIGINT) AS n_total FROM c)
+      SELECT CAST(s.digit AS BIGINT) AS digit,
+             COALESCE(c.obs, 0) AS obs, t.n_total,
+             CAST(COALESCE(c.obs, 0) AS DOUBLE) / CAST(t.n_total AS DOUBLE)
+               AS share,
+             s.benford_p,
+             CAST(COALESCE(c.obs, 0) AS DOUBLE) / CAST(t.n_total AS DOUBLE)
+               - s.benford_p AS excess
+      FROM spine s LEFT JOIN c ON c.digit = s.digit, tot t
+      ORDER BY 1
+    """)
+  )
+
   def all: Seq[GraftQuery] =
     Seq(q46Funnel, q47CohortRetention, q48AnomalyExact, q49Scd2Versions,
       q51StatsProfile, q52ColumnProfile, q56SessionizedFunnel, q55DqConstraints,
@@ -2377,5 +2446,5 @@ object Analytics {
       q73RfmSegments, q75PsiDrift, q83Attribution, q84MarkovTransitions,
       q86PitScd2Join, q87Cuped, q88ScoreLift, q90WeightedMedian,
       q92SurvivalKm, q93RocAuc, q96ChiSquare, q97MaxDrawdown,
-      q98LorenzGini, q99PrCurve, q105KsTest)
+      q98LorenzGini, q99PrCurve, q105KsTest, q106BenfordProfile)
 }

@@ -2440,6 +2440,83 @@ object TextAnalysis {
     """)
   )
 
+  /** Token budget for the greedy curriculum selection. */
+  val TokenBudget = 15000L
+
+  /** Quality buckets for the selection drill-down (floor(q·32)). */
+  val BudgetBuckets = 32
+
+  /** Token-budget curriculum selection: greedily take the
+    * highest-quality documents (the text_quality score, doc_id
+    * tie-break) until the running token total would exceed
+    * [[TokenBudget]] — the "best N tokens" cut every pretraining data
+    * budget ends in. The global quality-ordered cumsum uses the
+    * q68/q90/q105 bucket drill-down: per-quality-bucket token totals
+    * (≤33 rows) take the only single-partition window; per-document
+    * cumsums run bucket-partitioned. Bucketing is order-compatible
+    * because floor(q·32) is monotone in q. Output is the selected
+    * set — output-sized by definition; counts stay exact longs.
+    */
+  val sampleTokenBudget = GraftQuery(
+    "sample_token_budget",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val toksDf = t.documents.select(col("doc_id"), tokens(col("text")).as("toks"),
+        col("text"))
+      val nTok = size(col("toks")).cast("double")
+      val nStop = size(filter(col("toks"), isStopword _)).cast("double")
+      val nPunct = length(regexp_replace(col("text"), "[^.,;:!?'\"]", "")).cast("double")
+      val nChars = length(col("text")).cast("double")
+      val scored = toksDf.select(
+        col("doc_id"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        (least(nTok / lit(100.0), lit(1.0)) * lit(0.5)
+          + least(nStop / nTok * lit(5.0), lit(1.0)) * lit(0.3)
+          + (lit(1.0) - least(nPunct / nChars * lit(10.0), lit(1.0))) * lit(0.2)
+        ).as("q"))
+        .withColumn("b", floor(col("q") * BudgetBuckets).cast("long"))
+      val bucketPrefix = scored.groupBy(col("b"))
+        .agg(sum(col("n_tokens")).as("bt"))
+        .select(col("b"),
+          coalesce(sum(col("bt")).over(Window.orderBy(col("b").desc)
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)).as("p"))
+      val within = Window.partitionBy(col("b"))
+        .orderBy(col("q").desc, col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      scored.join(bucketPrefix, Seq("b"))
+        .withColumn("cum_tokens", col("p") + sum(col("n_tokens")).over(within))
+        .filter(col("cum_tokens") <= TokenBudget)
+        .select(col("doc_id"), col("n_tokens"), col("q"), col("cum_tokens"))
+        .orderBy(col("cum_tokens"))
+    },
+    Some(s"""
+      WITH q AS (
+        SELECT doc_id,
+               CAST(len(string_split_regex(lower(text), '\\s+')) AS DOUBLE) AS n_tok,
+               CAST(len(list_filter(string_split_regex(lower(text), '\\s+'),
+                    t -> list_contains(['the','a','of','to','and','in','is','it','that','for'], t))) AS DOUBLE) AS n_stop,
+               CAST(length(regexp_replace(text, '[^.,;:!?''"]', '', 'g')) AS DOUBLE) AS n_punct,
+               CAST(length(text) AS DOUBLE) AS n_chars
+        FROM documents),
+      scored AS (
+        SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tokens,
+               least(n_tok / 100.0, 1.0) * 0.5
+                 + least(n_stop / n_tok * 5.0, 1.0) * 0.3
+                 + (1.0 - least(n_punct / n_chars * 10.0, 1.0)) * 0.2 AS q
+        FROM q),
+      cum AS (
+        SELECT doc_id, n_tokens, q,
+               CAST(SUM(n_tokens) OVER (ORDER BY q DESC, doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS BIGINT) AS cum_tokens
+        FROM scored)
+      SELECT doc_id, n_tokens, q, cum_tokens
+      FROM cum
+      WHERE cum_tokens <= $TokenBudget
+      ORDER BY cum_tokens
+    """)
+  )
+
   def all: Seq[GraftQuery] =
     Seq(textTokens, textQuality, textLangid, textFingerprint, textTopNgrams,
       textTrainingSet, textChunk, textDecontaminate, sampleStratified,
@@ -2450,5 +2527,5 @@ object TextAnalysis {
       textDsirSelect, pipelineFunnel, retrievalHybridRrf, featHashingTrick,
       textCcnetBuckets, textBpeMerges, textTokenizerFertility,
       sampleEpochAllocation, textSubstringDedup, textGramNovelty,
-      textPmiCollocations, sampleHoldoutSplit)
+      textPmiCollocations, sampleHoldoutSplit, sampleTokenBudget)
 }

@@ -703,4 +703,24 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(r.getDouble(3) == dNum.toDouble / (n1 * n2).toDouble, "one division")
     assert(r.getDouble(4) == ksAt, "argmax value (min tie-break)")
   }
+
+  test("q106 Benford: digit counts recomputed from decimal renders") {
+    val prices = graft.sources.Tables(spark, sf).orders
+      .select(col("o_totalprice")).collect().map(_.getDouble(0))
+    val wantCounts = prices
+      .map(p => BigDecimal(p).setScale(2, BigDecimal.RoundingMode.HALF_UP)
+        .toString.head.asDigit.toLong)
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val rows = SparkEntry.queries("q106_benford")(spark, sf).collect()
+    assert(rows.map(_.getLong(0)).toSeq == (1L to 9L))
+    val n = prices.length.toLong
+    rows.foreach { r =>
+      val d = r.getLong(0)
+      assert(r.getLong(1) == wantCounts.getOrElse(d, 0L), s"obs of digit $d")
+      assert(r.getLong(2) == n)
+      assert(r.getDouble(3) == wantCounts.getOrElse(d, 0L).toDouble / n)
+      assert(r.getDouble(5) == r.getDouble(3) - r.getDouble(4), s"excess of $d")
+    }
+    assert(rows.map(_.getLong(1)).sum == n, "digit counts partition the rows")
+  }
 }

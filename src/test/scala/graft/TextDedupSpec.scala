@@ -908,4 +908,27 @@ class TextDedupSpec extends AnyFunSuite {
       assert(got(id) >= 0L, s"bucket of $id must not wrap negative")
     }
   }
+
+  test("token budget selection: greedy maximal prefix of the quality order") {
+    import graft.operators.TextAnalysis.TokenBudget
+    val scored = SparkEntry.queries("text_quality")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(5)))
+    val order = scored.sortBy { case (id, _, q) => (-q, id) }
+    var cum = 0L
+    val want = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double, Long)]
+    var stopped = false
+    order.foreach { case (id, nTok, q) =>
+      if (!stopped && cum + nTok <= TokenBudget) {
+        cum += nTok; want += ((id, nTok, q, cum))
+      } else stopped = true // prefix cut, not knapsack: first overflow ends it
+    }
+    val got = SparkEntry.queries("sample_token_budget")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    assert(got.toSeq == want.toSeq, "selected prefix differs")
+    assert(got.last._4 <= TokenBudget)
+    // maximality: the next doc in quality order would break the budget
+    val nextIdx = got.length
+    assert(nextIdx >= order.length ||
+      got.last._4 + order(nextIdx)._2 > TokenBudget)
+  }
 }
