@@ -1049,5 +1049,64 @@ object Similarity {
     Seq(simTopkBruteforce, simAnnLsh, simAnnIvf, simNormStats,
       clusterSemanticDedup, simPcaReduce, simSqQuant, simEmbedDecontam,
       simAnnPq, simAnnIvfPq, simAnnFiltered, retrievalHardNegatives,
-      simTwoStageMrl, simRangeSearch)
+      simTwoStageMrl, simRangeSearch, simCentroidDrift)
+
+  /** Per-label centroid separation audit: the mean vector of every
+    * label and the cosine between every centroid pair — the embedding
+    * drift / class-collapse monitor a retrieval pipeline tracks
+    * across re-embeddings (two sources whose centroids drift toward
+    * cosine 1 have stopped being distinguishable). Exactness: per-dim
+    * means go through the decimal-sum rule (exact sums, ONE division
+    * per dim → bit-identical doubles), centroids assemble with an
+    * explicit dim sort, and the pair cosine is rounded 6 like every
+    * cosine oracle in this repo (absorbing fold-order ulps). Scale:
+    * the explode+aggregate is one shuffle of |rows|·dim value pairs
+    * with map-side combine; everything after is |labels|²-sized.
+    */
+  val simCentroidDrift = GraftQuery(
+    "sim_centroid_drift",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val dims = t.embeddings
+        .select(col("label").cast("long").as("label"),
+          posexplode(toDoubleArray(col("embedding"))).as(Seq("d", "x")))
+        .groupBy(col("label"), col("d"))
+        .agg((sumDec(col("x")) / count(lit(1))).as("m"),
+          count(lit(1)).as("n"))
+      val centroids = dims
+        .groupBy(col("label"))
+        .agg(
+          transform(sort_array(collect_list(struct(col("d"), col("m")))),
+            e => e.getField("m")).as("c"),
+          max(col("n")).as("n"))
+      val a = centroids.select(col("label").as("la"), col("c").as("ca"),
+        col("n").as("n_a"))
+      val b = centroids.select(col("label").as("lb"), col("c").as("cb"),
+        col("n").as("n_b"))
+      a.join(b, col("la") < col("lb"))
+        .select(col("la"), col("lb"), col("n_a"), col("n_b"),
+          round(cosineSim(col("ca"), col("cb")), 6).as("centroid_cos"))
+        .orderBy(col("la"), col("lb"))
+    },
+    Some("""
+      WITH ex AS (
+        SELECT CAST(label AS BIGINT) AS label,
+               unnest(range(1, len(embedding) + 1)) AS i,
+               CAST(embedding AS DOUBLE[]) AS e
+        FROM embeddings),
+      dims AS (
+        SELECT label, i - 1 AS d,
+               CAST(SUM(CAST(e[i] AS DECIMAL(25,6))) AS DOUBLE) / COUNT(*) AS m,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM ex
+        GROUP BY 1, 2),
+      cent AS (
+        SELECT label, list(m ORDER BY d) AS c, MAX(n) AS n
+        FROM dims GROUP BY 1)
+      SELECT a.label AS la, b.label AS lb, a.n AS n_a, b.n AS n_b,
+             round(list_cosine_similarity(a.c, b.c), 6) AS centroid_cos
+      FROM cent a JOIN cent b ON a.label < b.label
+      ORDER BY la, lb
+    """)
+  )
 }

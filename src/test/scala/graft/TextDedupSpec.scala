@@ -931,4 +931,37 @@ class TextDedupSpec extends AnyFunSuite {
     assert(nextIdx >= order.length ||
       got.last._4 + order(nextIdx)._2 > TokenBudget)
   }
+
+  test("centroid drift: per-label means and pair cosines match dense recompute") {
+    val vecs = graft.sources.Tables(spark, sf).embeddings
+      .select(col("label").cast("long"), graft.functions.GraftFunctions.toDoubleArray(col("embedding")))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val cents = vecs.groupBy(_._1).view.mapValues { vs =>
+      val n = vs.length
+      val dim = vs.head._2.length
+      (0 until dim).map { d =>
+        vs.map(v => BigDecimal(v._2(d)).setScale(6,
+          BigDecimal.RoundingMode.HALF_UP)).sum.toDouble / n
+      }.toArray
+    }.toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val rows = SparkEntry.queries("sim_centroid_drift")(spark, sf).collect()
+    val labels = cents.keySet.toSeq.sorted
+    assert(rows.length == labels.size * (labels.size - 1) / 2, "pair count")
+    rows.foreach { r =>
+      val (la, lb) = (r.getLong(0), r.getLong(1))
+      assert(r.getLong(2) == vecs.count(_._1 == la))
+      assert(r.getLong(3) == vecs.count(_._1 == lb))
+      assert(math.abs(r.getDouble(4) - r6(cos(cents(la), cents(lb)))) <= 1e-6,
+        s"cosine of ($la,$lb)")
+      // random N(0,1) label clouds: no two centroids may collapse
+      assert(r.getDouble(4) < 0.999, s"labels $la,$lb collapsed")
+    }
+  }
 }
