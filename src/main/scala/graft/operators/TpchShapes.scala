@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DoubleType
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
 
 import graft.GraftQuery
 import graft.sources.Tables
@@ -322,7 +322,281 @@ object TpchShapes {
     """)
   )
 
+  /** TPC-H Q9 shape (product-type profit): per supplier nation per
+    * order year, the margin on a name-sliced part family. The
+    * generated schema has no `partsupp`, so supply cost is proxied as
+    * 60% of `p_retailprice` — the SHAPE (fact joined to two broadcast
+    * dims + the orders time axis, profit = revenue − cost inside one
+    * aggregation) is Q9's. Exactness: every term stays decimal —
+    * revenue (12,2)×(4,2), cost (12,2)×(4,1)×(2,1) — summed exactly
+    * and cast to double ONCE, so fold order can't skew the compare.
+    * Scale: the part slice prunes the fact at its first (broadcast)
+    * join; the only data-scale shuffle is lineitem⋈orders on
+    * orderkey; nation/supplier are broadcast.
+    */
+  val q107ProductProfit = GraftQuery(
+    "q107_product_profit",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val widgetParts = t.part.filter(col("p_name").contains("widget"))
+        .select(col("p_partkey"), col("p_retailprice"))
+      val suppNation = t.supplier
+        .join(broadcast(t.nation.select(col("n_nationkey"),
+          col("n_name").as("nation"))),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("nation"))
+      val cost = dec2(col("p_retailprice")) *
+        col("l_quantity").cast(DecimalType(4, 1)) *
+        lit(new java.math.BigDecimal("0.6"))
+      t.lineitem
+        .join(broadcast(widgetParts), col("l_partkey") === col("p_partkey"))
+        .join(broadcast(suppNation), col("l_suppkey") === col("s_suppkey"))
+        .join(t.orders.select(col("o_orderkey"), col("o_orderdate")),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("nation"), year(col("o_orderdate")).cast("long").as("o_year"))
+        .agg(sum(dec2(col("l_extendedprice")) * oneMinus(col("l_discount")) - cost)
+          .cast(DoubleType).as("sum_profit"))
+        .orderBy(col("nation"), col("o_year").desc)
+    },
+    Some("""
+      SELECT n.n_name AS nation,
+             CAST(EXTRACT(year FROM o.o_orderdate) AS BIGINT) AS o_year,
+             CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                 * (CAST(1 AS DECIMAL(4,2)) - CAST(l.l_discount AS DECIMAL(4,2)))
+               - CAST(p.p_retailprice AS DECIMAL(12,2))
+                 * CAST(l.l_quantity AS DECIMAL(4,1))
+                 * CAST(0.6 AS DECIMAL(2,1))) AS DOUBLE) AS sum_profit
+      FROM lineitem l
+      JOIN part p ON p.p_partkey = l.l_partkey AND p.p_name LIKE '%widget%'
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation n ON n.n_nationkey = s.s_nationkey
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      GROUP BY 1, 2
+      ORDER BY nation, o_year DESC
+    """)
+  )
+
+  /** TPC-H Q12 shape (shipping-delay vs order priority): lines
+    * bucketed by ship lag (shipdate − orderdate > 90 days = LATE),
+    * counting critical-priority vs other orders per bucket — the
+    * "does slow shipping hit urgent orders" audit. The schema has no
+    * l_shipmode/l_commitdate, so the lag bucket stands in for ship
+    * mode; the priority-split conditional count is Q12's verbatim.
+    * Scale: ONE orderkey shuffle join carrying only (priority, two
+    * dates); counts combine map-side into a 2-row result.
+    */
+  val q108ShipDelayPriority = GraftQuery(
+    "q108_ship_delay_priority",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val critical = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+      t.lineitem.select(col("l_orderkey"), col("l_shipdate"))
+        .join(t.orders.select(col("o_orderkey"), col("o_orderdate"),
+          col("o_orderpriority")), col("l_orderkey") === col("o_orderkey"))
+        .withColumn("delay_class",
+          when(datediff(col("l_shipdate"), col("o_orderdate")) > 90, "LATE")
+            .otherwise("ONTIME"))
+        .groupBy(col("delay_class"))
+        .agg(count(when(critical, lit(1))).as("critical_count"),
+          count(when(!critical, lit(1))).as("other_count"))
+        .orderBy(col("delay_class"))
+    },
+    Some("""
+      SELECT CASE WHEN date_diff('day', CAST(o.o_orderdate AS DATE),
+                    CAST(l.l_shipdate AS DATE)) > 90
+                  THEN 'LATE' ELSE 'ONTIME' END AS delay_class,
+             CAST(COUNT(*) FILTER (WHERE o.o_orderpriority IN ('1-URGENT', '2-HIGH'))
+               AS BIGINT) AS critical_count,
+             CAST(COUNT(*) FILTER (WHERE o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH'))
+               AS BIGINT) AS other_count
+      FROM lineitem l
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      GROUP BY 1
+      ORDER BY delay_class
+    """)
+  )
+
+  /** TPC-H Q13 shape (customer order-count distribution): how many
+    * customers placed 0, 1, 2, … qualifying orders — the two-level
+    * aggregation with the zero bucket only a LEFT join preserves.
+    * The textbook's comment-pattern exclusion becomes a priority
+    * exclusion (the schema has no o_comment). Scale: orders
+    * pre-aggregate to (custkey, count) BEFORE touching customer, so
+    * the left join carries one row per active customer, not one per
+    * order; the second aggregation is |distinct counts|-sized.
+    */
+  val q109CustOrderDist = GraftQuery(
+    "q109_cust_order_dist",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val perCust = t.orders
+        .filter(col("o_orderpriority") =!= "4-NOT SPECIFIED")
+        .groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n"))
+      t.customer.select(col("c_custkey"))
+        .join(perCust, col("c_custkey") === col("o_custkey"), "left")
+        .select(coalesce(col("n"), lit(0L)).as("c_count"))
+        .groupBy(col("c_count"))
+        .agg(count(lit(1)).as("custdist"))
+        .orderBy(col("custdist").desc, col("c_count").desc)
+    },
+    Some("""
+      SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+      FROM (
+        SELECT c.c_custkey,
+               CAST(COUNT(o.o_orderkey) AS BIGINT) AS c_count
+        FROM customer c
+        LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+          AND o.o_orderpriority <> '4-NOT SPECIFIED'
+        GROUP BY 1)
+      GROUP BY 1
+      ORDER BY custdist DESC, c_count DESC
+    """)
+  )
+
+  /** TPC-H Q18 shape (large-volume orders): orders whose total line
+    * quantity clears a high threshold, enriched with their customer —
+    * the group-filter-join-back pattern. Threshold 300 sits near the
+    * order-quantity p99.9, so the survivor set is small at every SF.
+    * Exactness: the quantity sum stays DECIMAL through the HAVING
+    * compare and casts to double only in the output; the LIMIT is
+    * pinned by (totalprice DESC, orderkey). Scale: the lineitem
+    * aggregation combines map-side; the join-back carries only
+    * surviving orderkeys, and AQE broadcasts the survivor frame.
+    */
+  val q110LargeOrders = GraftQuery(
+    "q110_large_orders",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val big = t.lineitem
+        .groupBy(col("l_orderkey"))
+        .agg(sum(col("l_quantity").cast(DecimalType(4, 1))).as("qty_dec"))
+        .filter(col("qty_dec") > lit(300))
+      t.orders
+        .join(big, col("o_orderkey") === col("l_orderkey"))
+        .join(broadcast(t.customer.select(col("c_custkey"), col("c_name"))),
+          col("o_custkey") === col("c_custkey"))
+        .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+          tsString(col("o_orderdate")).as("o_orderdate"), col("o_totalprice"),
+          col("qty_dec").cast(DoubleType).as("total_qty"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(100)
+    },
+    Some("""
+      WITH big AS (
+        SELECT l_orderkey, SUM(CAST(l_quantity AS DECIMAL(4,1))) AS qty_dec
+        FROM lineitem
+        GROUP BY 1
+        HAVING SUM(CAST(l_quantity AS DECIMAL(4,1))) > 300)
+      SELECT c.c_name, c.c_custkey, o.o_orderkey,
+             strftime(o.o_orderdate, '%Y-%m-%d %H:%M:%S') AS o_orderdate,
+             o.o_totalprice, CAST(b.qty_dec AS DOUBLE) AS total_qty
+      FROM big b
+      JOIN orders o ON o.o_orderkey = b.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      ORDER BY o.o_totalprice DESC, o.o_orderkey
+      LIMIT 100
+    """)
+  )
+
+  /** TPC-H Q19 shape (disjunctive predicate revenue): revenue from
+    * three OR'd brand/size/quantity branches — the classic test of
+    * whether an engine pushes anything useful out of a disjunction.
+    * The schema has no p_container, so size ranges stand in. Scale:
+    * Catalyst will NOT derive per-side implied predicates from an OR
+    * that spans the join, so both are stated explicitly — part
+    * pre-filters to the brand∪size envelope (broadcast), lineitem to
+    * the quantity envelope (pushes to the parquet scan) — and the
+    * exact disjunction applies after the join. The fact scan reads
+    * only the envelope's rows instead of the full table.
+    */
+  val q111DisjunctiveRevenue = GraftQuery(
+    "q111_disjunctive_revenue",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val parts = t.part
+        .filter(col("p_brand").isin("Brand#3", "Brand#15", "Brand#24") &&
+          col("p_size").between(1, 30))
+        .select(col("p_partkey"), col("p_brand"), col("p_size"))
+      val branch =
+        (col("p_brand") === "Brand#3" && col("p_size").between(1, 10) &&
+          col("l_quantity").between(1, 11)) ||
+        (col("p_brand") === "Brand#15" && col("p_size").between(1, 20) &&
+          col("l_quantity").between(10, 20)) ||
+        (col("p_brand") === "Brand#24" && col("p_size").between(1, 30) &&
+          col("l_quantity").between(20, 30))
+      t.lineitem
+        .filter(col("l_quantity").between(1, 30))
+        .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
+        .filter(branch)
+        .agg(sum(dec2(col("l_extendedprice")) * oneMinus(col("l_discount")))
+          .cast(DoubleType).as("revenue"))
+    },
+    Some("""
+      SELECT CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))
+          * (CAST(1 AS DECIMAL(4,2)) - CAST(l.l_discount AS DECIMAL(4,2))))
+        AS DOUBLE) AS revenue
+      FROM lineitem l
+      JOIN part p ON p.p_partkey = l.l_partkey
+      WHERE (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 1 AND 10
+             AND l.l_quantity BETWEEN 1 AND 11)
+         OR (p.p_brand = 'Brand#15' AND p.p_size BETWEEN 1 AND 20
+             AND l.l_quantity BETWEEN 10 AND 20)
+         OR (p.p_brand = 'Brand#24' AND p.p_size BETWEEN 1 AND 30
+             AND l.l_quantity BETWEEN 20 AND 30)
+    """)
+  )
+
+  /** TPC-H Q16 shape (supplier counts by part attributes): distinct
+    * suppliers per (brand, type, size) cell for a size slice,
+    * excluding a brand/type and suppliers with complaints (here:
+    * negative account balance). `partsupp` doesn't exist, so the
+    * observed supplier-part relation is distilled from lineitem —
+    * ONE (partkey, suppkey) distinct, which at 100 TB is the
+    * standard pre-aggregation that turns a fact table into a
+    * many-to-many dim. Scale: the distinct is the only data-scale
+    * shuffle; part and the excluded-supplier list are broadcast
+    * (anti-join), and the count-distinct runs on the cell-sized
+    * frame.
+    */
+  val q112SupplierPartCounts = GraftQuery(
+    "q112_supplier_part_counts",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val pairs = t.lineitem.select(col("l_partkey"), col("l_suppkey")).distinct()
+      val partSlice = t.part
+        .filter(col("p_brand") =!= "Brand#5" && col("p_type") =!= "PROMO" &&
+          col("p_size").between(1, 8))
+        .select(col("p_partkey"), col("p_brand"), col("p_type"), col("p_size"))
+      val complained = t.supplier.filter(col("s_acctbal") < 0)
+        .select(col("s_suppkey"))
+      pairs
+        .join(broadcast(partSlice), col("l_partkey") === col("p_partkey"))
+        .join(broadcast(complained), col("l_suppkey") === col("s_suppkey"),
+          "left_anti")
+        .groupBy(col("p_brand"), col("p_type"),
+          col("p_size").cast("long").as("p_size"))
+        .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+        .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"),
+          col("p_size"))
+    },
+    Some("""
+      SELECT p.p_brand, p.p_type, CAST(p.p_size AS BIGINT) AS p_size,
+             CAST(COUNT(DISTINCT ps.l_suppkey) AS BIGINT) AS supplier_cnt
+      FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps
+      JOIN part p ON p.p_partkey = ps.l_partkey
+      WHERE p.p_brand <> 'Brand#5' AND p.p_type <> 'PROMO'
+        AND p.p_size BETWEEN 1 AND 8
+        AND ps.l_suppkey NOT IN (
+          SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+      GROUP BY 1, 2, 3
+      ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+    """)
+  )
+
   def all: Seq[GraftQuery] =
     Seq(q100VolumeShipping, q101MarketShare, q102ReturnedItems,
-      q103PromoRevenue, q104TopSupplier)
+      q103PromoRevenue, q104TopSupplier, q107ProductProfit,
+      q108ShipDelayPriority, q109CustOrderDist, q110LargeOrders,
+      q111DisjunctiveRevenue, q112SupplierPartCounts)
 }

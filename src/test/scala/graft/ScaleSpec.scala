@@ -336,4 +336,29 @@ class ScaleSpec extends AnyFunSuite {
     assert(!plan.contains("SortMergeJoin"),
       "no data-scale shuffle join should exist in the collocation plan")
   }
+
+  test("q111 disjunction: envelope AND residual OR push to both scans") {
+    val plan = planOf("q111_disjunctive_revenue")
+    // lineitem scan: quantity envelope [1,30] plus the derived
+    // quantity-only OR residual — the fact never reads full-table
+    assert(plan.contains("LessThanOrEqual(l_quantity,30.0)"),
+      "quantity envelope must reach the fact scan")
+    assert(plan.contains("Or(Or(And(GreaterThanOrEqual(l_quantity,1.0)"),
+      "per-branch quantity OR residual must reach the fact scan")
+    // part scan: brand IN-list + size envelope; part side broadcasts
+    assert(plan.contains("In(p_brand"), "brand IN-list must reach the part scan")
+    assert(plan.contains("BroadcastHashJoin"), "part side must broadcast")
+    assert(!plan.contains("SortMergeJoin"), "no fact shuffle join")
+  }
+
+  test("q110 large orders: map-side partial agg, top-k without global sort") {
+    val plan = planOf("q110_large_orders")
+    assert(plan.contains("TakeOrderedAndProject"),
+      "LIMIT must plan as distributed top-k, not a global Sort")
+    // the quantity rollup must partially aggregate before its exchange
+    // (map-side combine — at 100 TB this is the difference between
+    // shuffling |lineitem| rows and |orderkeys| rows)
+    assert(plan.contains("partial_sum"),
+      "quantity rollup must combine map-side before the shuffle")
+  }
 }
