@@ -2438,6 +2438,88 @@ object Analytics {
     """)
   )
 
+  /** k threshold for the anonymity audit (HIPAA-style small-cell
+    * suppression commonly uses k = 5).
+    */
+  val AnonymityK = 5L
+
+  /** Width of the n_chars quasi-identifier bucket. */
+  val AnonymityCharsBucket = 100L
+
+  /** k-anonymity audit over the documents table — the privacy gate a
+    * training-data release runs before publishing: group by the
+    * quasi-identifier tuple (lang, source, size bucket) and flag every
+    * cell smaller than k, since those records are re-identifiable by
+    * their QI combination alone. Pure integer arithmetic (the bucket
+    * is an integer floor-divide, the flag an integer compare).
+    * Scale: ONE hash aggregation with map-side combine; the output is
+    * |QI cells|-sized, never |documents|-sized. The remediation path
+    * (suppress or generalize flagged cells) is a broadcast semi-join
+    * of this frame back onto the corpus.
+    */
+  val q113KAnonymity = GraftQuery(
+    "q113_k_anonymity",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      t.documents
+        .select(col("lang"), col("source"),
+          floor(col("n_chars") / AnonymityCharsBucket).cast("long")
+            .as("chars_bucket"))
+        .groupBy(col("lang"), col("source"), col("chars_bucket"))
+        .agg(count(lit(1)).as("group_n"))
+        .withColumn("at_risk", col("group_n") < AnonymityK)
+        .orderBy(col("lang"), col("source"), col("chars_bucket"))
+    },
+    Some(s"""
+      SELECT lang, source, n_chars // $AnonymityCharsBucket AS chars_bucket,
+             CAST(COUNT(*) AS BIGINT) AS group_n,
+             CAST(COUNT(*) AS BIGINT) < $AnonymityK AS at_risk
+      FROM documents
+      GROUP BY 1, 2, 3
+      ORDER BY 1, 2, 3
+    """)
+  )
+
+  /** Calendar seasonality heatmap over events: ISO-weekday × hour
+    * cell counts plus each cell's load relative to a uniform week
+    * (ratio = n·168 / total — busier-than-average cells exceed 1).
+    * The capacity-planning / traffic-shaping readout. Exactness:
+    * counts are integers, the ratio is ONE division of two exactly-
+    * rounded doubles (n·168 fits long trivially). Spark's `weekday`
+    * is 0=Monday, so +1 aligns it with DuckDB's isodow. Scale: one
+    * map-side-combined aggregation to ≤168 cells; the total joins
+    * back as a broadcast 1-row frame, never a global window.
+    */
+  val q114DowHourHeatmap = GraftQuery(
+    "q114_dow_hour_heatmap",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val cells = t.events
+        .select((weekday(col("ts")) + 1).cast("long").as("dow"),
+          hour(col("ts")).cast("long").as("hr"))
+        .groupBy(col("dow"), col("hr"))
+        .agg(count(lit(1)).as("n"))
+      val total = cells.agg(sum(col("n")).as("total"))
+      cells.crossJoin(broadcast(total))
+        .select(col("dow"), col("hr"), col("n"),
+          ((col("n") * lit(168L)).cast(DoubleType) /
+            col("total").cast(DoubleType)).as("load_vs_uniform"))
+        .orderBy(col("dow"), col("hr"))
+    },
+    Some("""
+      WITH cells AS (
+        SELECT isodow(ts) AS dow, CAST(EXTRACT(hour FROM ts) AS BIGINT) AS hr,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM events
+        GROUP BY 1, 2),
+      tot AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM cells)
+      SELECT CAST(dow AS BIGINT) AS dow, hr, n,
+             CAST(n * 168 AS DOUBLE) / CAST(total AS DOUBLE) AS load_vs_uniform
+      FROM cells, tot
+      ORDER BY 1, 2
+    """)
+  )
+
   def all: Seq[GraftQuery] =
     Seq(q46Funnel, q47CohortRetention, q48AnomalyExact, q49Scd2Versions,
       q51StatsProfile, q52ColumnProfile, q56SessionizedFunnel, q55DqConstraints,
@@ -2446,5 +2528,6 @@ object Analytics {
       q73RfmSegments, q75PsiDrift, q83Attribution, q84MarkovTransitions,
       q86PitScd2Join, q87Cuped, q88ScoreLift, q90WeightedMedian,
       q92SurvivalKm, q93RocAuc, q96ChiSquare, q97MaxDrawdown,
-      q98LorenzGini, q99PrCurve, q105KsTest, q106BenfordProfile)
+      q98LorenzGini, q99PrCurve, q105KsTest, q106BenfordProfile,
+      q113KAnonymity, q114DowHourHeatmap)
 }

@@ -288,6 +288,82 @@ object Mining {
     """)
   )
 
+  /** Minimum gap count for a defined regularity score (one gap has
+    * zero variance by construction).
+    */
+  val MinGaps = 2L
+
+  /** Squared-CV threshold below which an inter-purchase pattern
+    * counts as periodic (a Poisson process has cv² ≈ 1; strictly
+    * regular arrivals have cv² ≈ 0).
+    */
+  val PeriodicCv2 = 0.5
+
+  /** Inter-purchase interval regularity per user — the periodic-
+    * pattern miner: users whose purchases recur at near-constant
+    * intervals (subscriptions, bots, replenishment cycles) separate
+    * from Poisson-like browsers by the squared coefficient of
+    * variation of their gap sequence. Exactness: cv² is computed via
+    * the integer identity cv² = (n·Σg² − (Σg)²)/(Σg)² — gaps stay in
+    * raw MICROS (no truncation), squares ride DECIMAL(38) (HUGEINT on
+    * the oracle side), and the ONLY float op is the final division of
+    * two exactly-rounded doubles, so both engines emit bit-identical
+    * results. Scale: one user_id exchange for the lag window, then a
+    * map-side-combined aggregate; output is |users|-sized.
+    */
+  val miningPeriodicIntervals = GraftQuery(
+    "mining_periodic_intervals",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.types.{DecimalType, DoubleType}
+      val t = Tables(s, dir)
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("us"), col("event_id"))
+      val dec38 = DecimalType(38, 0)
+      val gaps = t.events.filter(col("event_type") === "purchase")
+        .select(col("user_id"), unix_micros(col("ts")).as("us"), col("event_id"))
+        .withColumn("prev", lag(col("us"), 1).over(w))
+        .filter(col("prev").isNotNull)
+        .select(col("user_id"), (col("us") - col("prev")).as("g"))
+      gaps.groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_gaps"),
+          sum(col("g").cast(dec38)).as("sg"),
+          sum(col("g").cast(dec38) * col("g")).as("sg2"))
+        .filter(col("n_gaps") >= MinGaps)
+        .select(col("user_id"), col("n_gaps"),
+          ((col("n_gaps").cast(dec38) * col("sg2") - col("sg") * col("sg"))
+            .cast(DoubleType) /
+            (col("sg") * col("sg")).cast(DoubleType)).as("cv2"))
+        .withColumn("periodic", col("cv2") < PeriodicCv2)
+        .orderBy(col("user_id"))
+    },
+    Some(s"""
+      WITH p AS (
+        SELECT user_id, epoch_us(ts) AS us, event_id
+        FROM events WHERE event_type = 'purchase'),
+      g AS (
+        SELECT user_id,
+               us - lag(us) OVER (PARTITION BY user_id
+                                  ORDER BY us, event_id) AS g
+        FROM p),
+      a AS (
+        SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_gaps,
+               SUM(CAST(g AS HUGEINT)) AS sg,
+               SUM(CAST(g AS HUGEINT) * g) AS sg2
+        FROM g WHERE g IS NOT NULL
+        GROUP BY 1
+        HAVING COUNT(*) >= $MinGaps)
+      SELECT user_id, n_gaps,
+             CAST(n_gaps * sg2 - sg * sg AS DOUBLE)
+               / CAST(sg * sg AS DOUBLE) AS cv2,
+             CAST(n_gaps * sg2 - sg * sg AS DOUBLE)
+               / CAST(sg * sg AS DOUBLE) < $PeriodicCv2 AS periodic
+      FROM a
+      ORDER BY user_id
+    """)
+  )
+
   def all: Seq[GraftQuery] =
-    Seq(miningAssocRules, miningSeqPatterns, mlMarkovBacktest)
+    Seq(miningAssocRules, miningSeqPatterns, mlMarkovBacktest,
+      miningPeriodicIntervals)
 }

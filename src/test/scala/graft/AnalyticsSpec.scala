@@ -723,4 +723,37 @@ class AnalyticsSpec extends AnyFunSuite {
     }
     assert(rows.map(_.getLong(1)).sum == n, "digit counts partition the rows")
   }
+
+  test("k-anonymity: cell sizes partition the corpus, flags follow k") {
+    val t = graft.sources.Tables(spark, sf)
+    val docs = t.documents.select(col("lang"), col("source"), col("n_chars"))
+      .collect().map(r => (r.getString(0), r.getString(1),
+        r.getLong(2) / operators.Analytics.AnonymityCharsBucket))
+    val want = docs.groupBy(identity).map { case (k, vs) => k -> vs.length.toLong }
+    val rows = SparkEntry.queries("q113_k_anonymity")(spark, sf).collect()
+    val got = rows.map(r => (r.getString(0), r.getString(1), r.getLong(2)) ->
+      (r.getLong(3), r.getBoolean(4))).toMap
+    assert(got.keySet == want.keySet, "QI cell set")
+    want.foreach { case (k, n) =>
+      assert(got(k)._1 == n, s"cell size for $k")
+      assert(got(k)._2 == (n < operators.Analytics.AnonymityK), s"flag for $k")
+    }
+    assert(rows.map(_.getLong(3)).sum == docs.length.toLong,
+      "cells partition the corpus")
+  }
+
+  test("dow-hour heatmap: cells partition events, load ratio is the identity") {
+    val t = graft.sources.Tables(spark, sf)
+    val total = t.events.count()
+    val rows = SparkEntry.queries("q114_dow_hour_heatmap")(spark, sf).collect()
+    assert(rows.map(_.getLong(2)).sum == total, "cells partition the events")
+    rows.foreach { r =>
+      assert(r.getLong(0) >= 1 && r.getLong(0) <= 7, "ISO dow range")
+      assert(r.getLong(1) >= 0 && r.getLong(1) <= 23, "hour range")
+      assert(r.getDouble(3) == (r.getLong(2) * 168L).toDouble / total.toDouble,
+        "load identity")
+    }
+    // a month of events touches every weekday
+    assert(rows.map(_.getLong(0)).distinct.length == 7, "all weekdays present")
+  }
 }

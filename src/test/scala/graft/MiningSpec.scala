@@ -130,4 +130,32 @@ class MiningSpec extends AnyFunSuite {
     val totTest = rows.map(_.getLong(3)).sum.toDouble
     assert(totCorrect / totTest > 0.15, s"aggregate acc ${totCorrect / totTest}")
   }
+
+  test("periodic intervals: exact-rational cv2 matches dense recompute") {
+    val t = graft.sources.Tables(spark, sf)
+    val ev = t.events.filter(col("event_type") === "purchase")
+      .select(col("user_id"), unix_micros(col("ts")), col("event_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val want = ev.groupBy(_._1).flatMap { case (u, es) =>
+      val sorted = es.sortBy(e => (e._2, e._3)).map(_._2)
+      val gaps = sorted.sliding(2).map(p => BigInt(p(1) - p(0))).toSeq
+      if (gaps.length < operators.Mining.MinGaps) None
+      else {
+        val n = BigInt(gaps.length)
+        val sg = gaps.sum
+        val sg2 = gaps.map(g => g * g).sum
+        val cv2 = (n * sg2 - sg * sg).toDouble / (sg * sg).toDouble
+        Some(u -> (gaps.length.toLong, cv2))
+      }
+    }
+    val got = SparkEntry.queries("mining_periodic_intervals")(spark, sf)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2), r.getBoolean(3)))
+      .toMap
+    assert(got.keySet == want.keySet, "user set")
+    want.foreach { case (u, (n, cv2)) =>
+      assert(got(u)._1 == n, s"gap count for $u")
+      assert(got(u)._2 == cv2, s"cv2 for $u")
+      assert(got(u)._3 == (cv2 < operators.Mining.PeriodicCv2), s"flag for $u")
+    }
+  }
 }
