@@ -2494,11 +2494,14 @@ object Analytics {
     "q114_dow_hour_heatmap",
     (s, dir) => {
       val t = Tables(s, dir)
+      // cache the ≤168-row cell frame: without it the broadcast total
+      // re-scans and re-aggregates the whole events fact a second time
       val cells = t.events
         .select((weekday(col("ts")) + 1).cast("long").as("dow"),
           hour(col("ts")).cast("long").as("hr"))
         .groupBy(col("dow"), col("hr"))
         .agg(count(lit(1)).as("n"))
+        .cache()
       val total = cells.agg(sum(col("n")).as("total"))
       cells.crossJoin(broadcast(total))
         .select(col("dow"), col("hr"), col("n"),

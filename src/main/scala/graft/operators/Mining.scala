@@ -329,7 +329,10 @@ object Mining {
         .agg(count(lit(1)).as("n_gaps"),
           sum(col("g").cast(dec38)).as("sg"),
           sum(col("g").cast(dec38) * col("g")).as("sg2"))
-        .filter(col("n_gaps") >= MinGaps)
+        // sg > 0 guards the 0/0 cell: all-zero gaps (co-timestamped
+        // purchases) would give Spark NaN but DuckDB NULL — a silent
+        // cross-engine divergence, not just an edge case
+        .filter(col("n_gaps") >= MinGaps && col("sg") > 0)
         .select(col("user_id"), col("n_gaps"),
           ((col("n_gaps").cast(dec38) * col("sg2") - col("sg") * col("sg"))
             .cast(DoubleType) /
@@ -352,7 +355,7 @@ object Mining {
                SUM(CAST(g AS HUGEINT) * g) AS sg2
         FROM g WHERE g IS NOT NULL
         GROUP BY 1
-        HAVING COUNT(*) >= $MinGaps)
+        HAVING COUNT(*) >= $MinGaps AND SUM(CAST(g AS HUGEINT)) > 0)
       SELECT user_id, n_gaps,
              CAST(n_gaps * sg2 - sg * sg AS DOUBLE)
                / CAST(sg * sg AS DOUBLE) AS cv2,

@@ -1045,12 +1045,6 @@ object Similarity {
     """)
   )
 
-  def all: Seq[GraftQuery] =
-    Seq(simTopkBruteforce, simAnnLsh, simAnnIvf, simNormStats,
-      clusterSemanticDedup, simPcaReduce, simSqQuant, simEmbedDecontam,
-      simAnnPq, simAnnIvfPq, simAnnFiltered, retrievalHardNegatives,
-      simTwoStageMrl, simRangeSearch, simCentroidDrift)
-
   /** Per-label centroid separation audit: the mean vector of every
     * label and the cosine between every centroid pair — the embedding
     * drift / class-collapse monitor a retrieval pipeline tracks
@@ -1073,12 +1067,17 @@ object Similarity {
         .groupBy(col("label"), col("d"))
         .agg((sumDec(col("x")) / count(lit(1))).as("m"),
           count(lit(1)).as("n"))
+      // cache the |labels|-sized frame: without it the self-join
+      // re-runs the whole explode+aggregate pipeline (two corpus
+      // scans, two |rows|·dim shuffles) — with it the docstring's
+      // "one shuffle" claim is the executed plan
       val centroids = dims
         .groupBy(col("label"))
         .agg(
           transform(sort_array(collect_list(struct(col("d"), col("m")))),
             e => e.getField("m")).as("c"),
           max(col("n")).as("n"))
+        .cache()
       val a = centroids.select(col("label").as("la"), col("c").as("ca"),
         col("n").as("n_a"))
       val b = centroids.select(col("label").as("lb"), col("c").as("cb"),
@@ -1109,4 +1108,10 @@ object Similarity {
       ORDER BY la, lb
     """)
   )
+
+  def all: Seq[GraftQuery] =
+    Seq(simTopkBruteforce, simAnnLsh, simAnnIvf, simNormStats,
+      clusterSemanticDedup, simPcaReduce, simSqQuant, simEmbedDecontam,
+      simAnnPq, simAnnIvfPq, simAnnFiltered, retrievalHardNegatives,
+      simTwoStageMrl, simRangeSearch, simCentroidDrift)
 }

@@ -139,10 +139,11 @@ class MiningSpec extends AnyFunSuite {
     val want = ev.groupBy(_._1).flatMap { case (u, es) =>
       val sorted = es.sortBy(e => (e._2, e._3)).map(_._2)
       val gaps = sorted.sliding(2).map(p => BigInt(p(1) - p(0))).toSeq
-      if (gaps.length < operators.Mining.MinGaps) None
+      val sg0 = gaps.sum
+      if (gaps.length < operators.Mining.MinGaps || sg0 <= 0) None
       else {
         val n = BigInt(gaps.length)
-        val sg = gaps.sum
+        val sg = sg0
         val sg2 = gaps.map(g => g * g).sum
         val cv2 = (n * sg2 - sg * sg).toDouble / (sg * sg).toDouble
         Some(u -> (gaps.length.toLong, cv2))

@@ -186,10 +186,14 @@ class TpchShapesSpec extends AnyFunSuite {
     assert(survivors.size <= 100, "limit must not truncate at this SF")
     assert(rows.map(_.getLong(2)).toSet == survivors, "survivor orderkeys")
     rows.foreach(r => assert(r.getDouble(5) == qty(r.getLong(2)).toDouble))
-    rows.sliding(2).foreach { case Array(a, b) =>
-      assert(a.getDouble(4) > b.getDouble(4) ||
-        (a.getDouble(4) == b.getDouble(4) && a.getLong(2) < b.getLong(2)),
-        "sort order broken")
+    // sliding(2) emits a 1-element window on a 1-row result — only
+    // pattern-match full pairs
+    rows.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(a.getDouble(4) > b.getDouble(4) ||
+          (a.getDouble(4) == b.getDouble(4) && a.getLong(2) < b.getLong(2)),
+          "sort order broken")
+      case _ => ()
     }
   }
 
