@@ -1148,9 +1148,78 @@ object Graph {
     """)
   )
 
+  /** Max degree a wedge CENTER may have in the full-corpus link
+    * prediction. Bounds the wedge product at Σ_{d(z)≤cap} d(z)² ≤
+    * |V|·cap² — the same df-cap move the n-gram dedup uses — and
+    * sits in the low-degree fringe band every SF has (see KcoreK).
+    */
+  val LinkHubCap = 60L
+
+  /** Pairs reported by the full-corpus prediction. */
+  val LinkTopPairs = 50
+
+  /** Full-corpus link prediction with HUB-CAPPED wedge centers — the
+    * scale path graph_link_prediction's scaladoc promises: instead of
+    * a query set, score EVERY non-adjacent pair, but count only
+    * common neighbors whose degree ≤ [[LinkHubCap]]. On a dense graph
+    * all-pairs wedge enumeration is Σd² (quadratic in the hub
+    * degrees); capping the centers bounds it at |V|·cap² — linear in
+    * vertices — while keeping exactly the discriminative wedges (a
+    * shared neighbor of degree 5000 carries no signal; a shared
+    * neighbor of degree 20 does). The cap is part of the operator's
+    * SEMANTICS, stated identically in both engines, so the gate hash
+    * proves the capped score — not an approximation of the uncapped
+    * one. Scale: centers resolve from the degree frame (broadcast
+    * semi-join), the wedge self-join fans out ≤ cap per center row,
+    * and the global top-k is TakeOrdered, never a full sort.
+    */
+  val graphLinkPredictionGlobal = GraftQuery(
+    "graph_link_prediction_global",
+    (s, dir) => {
+      val (edges, sym) = copurchaseGraphShared(s, dir)
+      val deg = sym.groupBy(col("u")).agg(count(lit(1)).as("d"))
+      val centers = deg.filter(col("d") <= LinkHubCap).select(col("u").as("z"))
+      val cs = sym.join(broadcast(centers), col("u") === col("z"))
+        .select(col("u").as("z"), col("v").as("n"))
+      val wedges = cs.as("x")
+        .join(cs.as("y"),
+          col("x.z") === col("y.z") && col("x.n") < col("y.n"))
+        .groupBy(col("x.n").as("a"), col("y.n").as("b"))
+        .agg(count(lit(1)).as("cn"))
+      wedges
+        .join(edges, col("a") === col("pa") && col("b") === col("pb"),
+          "left_anti")
+        .orderBy(col("cn").desc, col("a"), col("b"))
+        .limit(LinkTopPairs)
+    },
+    Some(s"""
+      WITH items AS (
+        SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+      e AS (
+        SELECT DISTINCT a.p AS pa, b.p AS pb
+        FROM items a JOIN items b ON a.o = b.o AND a.p < b.p),
+      sym AS (SELECT pa AS u, pb AS v FROM e UNION ALL SELECT pb, pa FROM e),
+      deg AS (SELECT u, COUNT(*) AS d FROM sym GROUP BY u),
+      centers AS (SELECT u AS z FROM deg WHERE d <= $LinkHubCap),
+      cs AS (SELECT s.u AS z, s.v AS n FROM sym s JOIN centers c ON s.u = c.z),
+      wedges AS (
+        SELECT x.n AS a, y.n AS b, CAST(COUNT(*) AS BIGINT) AS cn
+        FROM cs x JOIN cs y ON x.z = y.z AND x.n < y.n
+        GROUP BY 1, 2),
+      nonadj AS (
+        SELECT w.* FROM wedges w
+        WHERE NOT EXISTS (SELECT 1 FROM e
+                          WHERE e.pa = w.a AND e.pb = w.b))
+      SELECT a, b, cn FROM nonadj
+      ORDER BY cn DESC, a, b
+      LIMIT $LinkTopPairs
+    """)
+  )
+
   def all: Seq[GraftQuery] =
     Seq(graphDegreeStats, graphTriangles, graphPagerank, graphItemRecs,
       graphPagerankWeighted, graphCustomerSimilarity, graphCommunities,
       graphHierarchyRollup, graphBfsLevels, graphLinkPrediction,
-      graphKcore, graphAssortativity, graphKtruss)
+      graphKcore, graphAssortativity, graphKtruss,
+      graphLinkPredictionGlobal)
 }

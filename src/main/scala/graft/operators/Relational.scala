@@ -2476,7 +2476,50 @@ object Relational {
     """)
   )
 
+  /** Distribution-position window functions — percent_rank and
+    * cume_dist of each customer's total spend within their market
+    * segment (the "you're in the top X% of your segment" readout,
+    * and the remaining SURVEY §2.6 window-function subfamily after
+    * rank/dense_rank/row_number/lag/lead/range frames). Exactness:
+    * the ordering key is the exact-DECIMAL spend sum, so ranks (and
+    * therefore both ratios — single divisions of exact integers) are
+    * deterministic; ties share a rank identically in both engines
+    * with no tie-breaker needed. Scale: orders pre-aggregate to one
+    * row per customer BEFORE the window; the window partitions by
+    * segment — five balanced partitions of customer-sized rows, no
+    * global single-partition window.
+    */
+  val q115SpendPercentile = GraftQuery(
+    "q115_spend_percentile",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val spend = t.orders.groupBy(col("o_custkey"))
+        .agg(sum(dec2(col("o_totalprice"))).as("sp"))
+      val w = Window.partitionBy(col("c_mktsegment")).orderBy(col("sp"))
+      t.customer.select(col("c_custkey"), col("c_mktsegment"))
+        .join(spend, col("c_custkey") === col("o_custkey"))
+        .select(col("c_custkey"), col("c_mktsegment"),
+          col("sp").cast(DoubleType).as("spend"),
+          percent_rank().over(w).as("pr"),
+          cume_dist().over(w).as("cd"))
+        .orderBy(col("c_mktsegment"), col("c_custkey"))
+    },
+    Some("""
+      WITH spend AS (
+        SELECT o_custkey, SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS sp
+        FROM orders GROUP BY 1)
+      SELECT c.c_custkey, c.c_mktsegment, CAST(s.sp AS DOUBLE) AS spend,
+             percent_rank() OVER (PARTITION BY c.c_mktsegment ORDER BY s.sp)
+               AS pr,
+             cume_dist() OVER (PARTITION BY c.c_mktsegment ORDER BY s.sp)
+               AS cd
+      FROM customer c JOIN spend s ON s.o_custkey = c.c_custkey
+      ORDER BY c.c_mktsegment, c.c_custkey
+    """)
+  )
+
   def all: Seq[GraftQuery] = Seq(
+    q115SpendPercentile,
     q01PricingSummary, q02RevenueByNation, q03ShippingPriority,
     q04OrderPriorityExists, q05CustomersWithoutOrders, q06RevenueFilter,
     q07WindowTopkPerOrder, q08RunningTotal, q09Rollup, q10Cube,

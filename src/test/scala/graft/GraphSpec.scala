@@ -405,4 +405,33 @@ class GraphSpec extends AnyFunSuite {
       assert(s >= graft.operators.Graph.TrussK - 2L, "support below k-2")
     }
   }
+
+  test("global link prediction: hub-capped wedge recompute, top-k discipline") {
+    val t = graft.sources.Tables(spark, sf)
+    val items = t.lineitem.select(col("l_orderkey"), col("l_partkey"))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+    val edges = items.groupBy(_._1).values.flatMap { os =>
+      val ps = os.map(_._2).distinct.sorted
+      for (i <- ps.indices; j <- (i + 1) until ps.length) yield (ps(i), ps(j))
+    }.toSet
+    val sym = edges.toSeq.flatMap { case (a, b) => Seq((a, b), (b, a)) }
+    val deg = sym.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val centers = deg.filter(_._2 <= Graph.LinkHubCap).keySet
+    val wedge = scala.collection.mutable.Map.empty[(Long, Long), Long]
+    sym.groupBy(_._1).foreach { case (z, nbrs) =>
+      if (centers(z)) {
+        val ns = nbrs.map(_._2).distinct.sorted
+        for (i <- ns.indices; j <- (i + 1) until ns.length)
+          wedge((ns(i), ns(j))) = wedge.getOrElse((ns(i), ns(j)), 0L) + 1L
+      }
+    }
+    val want = wedge.toSeq.collect {
+      case ((a, b), cn) if !edges((a, b)) => (a, b, cn)
+    }.sortBy { case (a, b, cn) => (-cn, a, b) }
+      .take(Graph.LinkTopPairs)
+    val got = SparkEntry.queries("graph_link_prediction_global")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == want, "capped common-neighbor top pairs")
+    assert(centers.nonEmpty, "hub cap must admit some centers at this SF")
+  }
 }

@@ -267,4 +267,32 @@ class RelationalSpec extends AnyFunSuite {
       .map(r => r.getInt(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
     assert(got == want, "dormant-customer rollup differs from recompute")
   }
+
+  test("spend percentile: percent_rank and cume_dist match dense recompute") {
+    val t = graft.sources.Tables(spark, sf)
+    val spend = t.orders.select(col("o_custkey"), col("o_totalprice")).collect()
+      .groupBy(_.getLong(0))
+      .view.mapValues(_.map(r => BigDecimal(r.getDouble(1))
+        .setScale(2, BigDecimal.RoundingMode.HALF_UP)).sum).toMap
+    val seg = t.customer.select(col("c_custkey"), col("c_mktsegment"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val rows = SparkEntry.queries("q115_spend_percentile")(spark, sf).collect()
+    val bySeg = rows.groupBy(_.getString(1))
+    bySeg.foreach { case (_, rs) =>
+      val n = rs.length
+      val sorted = rs.map(r => spend(r.getLong(0))).sorted
+      rs.foreach { r =>
+        val sp = spend(r.getLong(0))
+        assert(r.getString(1) == seg(r.getLong(0)), "segment join")
+        assert(r.getDouble(2) == sp.toDouble, "spend render")
+        val below = sorted.count(_ < sp)
+        val leq = sorted.count(_ <= sp)
+        val pr = if (n == 1) 0.0 else below.toDouble / (n - 1).toDouble
+        assert(r.getDouble(3) == pr, s"percent_rank of ${r.getLong(0)}")
+        assert(r.getDouble(4) == leq.toDouble / n.toDouble,
+          s"cume_dist of ${r.getLong(0)}")
+      }
+    }
+    assert(rows.length == spend.keySet.count(seg.contains), "one row per buyer")
+  }
 }
