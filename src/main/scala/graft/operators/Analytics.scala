@@ -2523,6 +2523,170 @@ object Analytics {
     """)
   )
 
+  /** Pairwise Pearson correlation + sample covariance matrix over the
+    * four numeric lineitem measures — the dataframe `corr()` parity
+    * op every feature-engineering pass runs. Exactness: ALL moments
+    * (Σx, Σx², Σxy per pair) accumulate as exact decimals in ONE
+    * scan; each is cast to double once and the corr/cov formulas are
+    * spelled with identical parenthesization in both engines, so
+    * every float op is the same IEEE instruction on the same operands
+    * (sqrt is correctly rounded per IEEE-754 — deterministic).
+    * Scale: one map-side-combined aggregation to a single moment row;
+    * the 6-pair matrix assembles driver-free via inline() over that
+    * row. At 100 TB nothing changes — the scan dominates and the
+    * moment row is constant-sized.
+    */
+  val q116CorrMatrix = GraftQuery(
+    "q116_corr_matrix",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+      val moments = t.lineitem.agg(
+        count(lit(1)).as("n"),
+        cols.flatMap(c => Seq(
+          sum(dec2(col(c))).as(s"s_$c"),
+          sum(dec2(col(c)) * dec2(col(c))).as(s"s2_$c"))) ++
+        cols.combinations(2).toSeq.map { case Seq(x, y) =>
+          sum(dec2(col(x)) * dec2(col(y))).as(s"sp_${x}_$y")
+        }: _*)
+      val nD = col("n").cast(DoubleType)
+      def sD(c: String) = col(s"s_$c").cast(DoubleType)
+      def s2D(c: String) = col(s"s2_$c").cast(DoubleType)
+      val pairs = cols.combinations(2).toSeq.map { case Seq(x, y) =>
+        val num = nD * col(s"sp_${x}_$y").cast(DoubleType) - sD(x) * sD(y)
+        val den = sqrt(nD * s2D(x) - sD(x) * sD(x)) *
+          sqrt(nD * s2D(y) - sD(y) * sD(y))
+        struct(lit(x).as("col_x"), lit(y).as("col_y"),
+          (num / den).as("corr"),
+          (num / (nD * (nD - lit(1.0)))).as("cov_sample"))
+      }
+      moments.select(inline(array(pairs: _*)))
+        .orderBy(col("col_x"), col("col_y"))
+    },
+    Some("""
+      WITH m AS (
+        SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+               CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS s_q,
+               CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS s_e,
+               CAST(CAST(SUM(CAST(l_discount AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS s_d,
+               CAST(CAST(SUM(CAST(l_tax AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS s_t,
+               CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS s2_q,
+               CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS s2_e,
+               CAST(CAST(SUM(CAST(l_discount AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS s2_d,
+               CAST(CAST(SUM(CAST(l_tax AS DECIMAL(12,2)) * CAST(l_tax AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS s2_t,
+               CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS sp_qe,
+               CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS sp_qd,
+               CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_tax AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS sp_qt,
+               CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS sp_ed,
+               CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_tax AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS sp_et,
+               CAST(CAST(SUM(CAST(l_discount AS DECIMAL(12,2)) * CAST(l_tax AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS sp_dt
+        FROM lineitem)
+      SELECT col_x, col_y,
+             ((n * sp) - (sx * sy))
+               / (sqrt((n * s2x) - (sx * sx)) * sqrt((n * s2y) - (sy * sy)))
+               AS corr,
+             ((n * sp) - (sx * sy)) / (n * (n - 1.0)) AS cov_sample
+      FROM (
+        SELECT 'l_quantity' AS col_x, 'l_extendedprice' AS col_y,
+               n, sp_qe AS sp, s_q AS sx, s_e AS sy, s2_q AS s2x, s2_e AS s2y FROM m
+        UNION ALL
+        SELECT 'l_quantity', 'l_discount', n, sp_qd, s_q, s_d, s2_q, s2_d FROM m
+        UNION ALL
+        SELECT 'l_quantity', 'l_tax', n, sp_qt, s_q, s_t, s2_q, s2_t FROM m
+        UNION ALL
+        SELECT 'l_extendedprice', 'l_discount', n, sp_ed, s_e, s_d, s2_e, s2_d FROM m
+        UNION ALL
+        SELECT 'l_extendedprice', 'l_tax', n, sp_et, s_e, s_t, s2_e, s2_t FROM m
+        UNION ALL
+        SELECT 'l_discount', 'l_tax', n, sp_dt, s_d, s_t, s2_d, s2_t FROM m)
+      ORDER BY col_x, col_y
+    """)
+  )
+
+  /** Closed-form OLS trend of daily order revenue on the epoch-day
+    * index — slope, intercept and R² from exact moments: the
+    * `lstsq` / trend-line parity op, done as ONE aggregation instead
+    * of an iterative solver. x is an exact integer (epoch day), y an
+    * exact-decimal daily sum; Σx/Σx² stay in longs, Σy/Σxy/Σy² in
+    * decimals, and the slope/intercept/R² formulas run on doubles
+    * cast once from exact values with engine-identical
+    * parenthesization. Scale: the day rollup is the only data-scale
+    * stage (map-side combined); the regression itself reads one
+    * |days|-sized frame and emits one row.
+    */
+  val q117OlsTrend = GraftQuery(
+    "q117_ols_trend",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val daily = t.orders
+        // o_orderdate reads as TIMESTAMP_NTZ; cast to TimestampType is
+        // a wall-clock no-op under the pinned-UTC session
+        .select(floor(unix_micros(col("o_orderdate").cast("timestamp"))
+            / 86400000000L)
+          .cast("long").as("x"), dec2(col("o_totalprice")).as("yd"))
+        .groupBy(col("x")).agg(sum(col("yd")).as("y"))
+      val m = daily.agg(
+        count(lit(1)).as("n"),
+        sum(col("x")).as("sx"),
+        sum(col("x") * col("x")).as("sx2"),
+        sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("y") * col("y")).as("sy2"))
+      val nD = col("n").cast(DoubleType)
+      val sxD = col("sx").cast(DoubleType)
+      val sx2D = col("sx2").cast(DoubleType)
+      val syD = col("sy").cast(DoubleType)
+      val sxyD = col("sxy").cast(DoubleType)
+      val sy2D = col("sy2").cast(DoubleType)
+      val num = nD * sxyD - sxD * syD
+      val denX = nD * sx2D - sxD * sxD
+      val denY = nD * sy2D - syD * syD
+      m.select(
+        col("n").as("n_days"),
+        (num / denX).as("slope"),
+        ((syD - (num / denX) * sxD) / nD).as("intercept"),
+        ((num * num) / (denX * denY)).as("r2"))
+    },
+    Some("""
+      WITH daily AS (
+        -- y re-narrowed to DECIMAL(19,2): DuckDB's SUM widens to
+        -- DECIMAL(38,2) and the x*y / y*y products would overflow the
+        -- 38-digit cap at plan time; daily totals fit (19,2) with room
+        SELECT epoch_us(o_orderdate) // 86400000000 AS x,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2)))
+                 AS DECIMAL(19,2)) AS y
+        FROM orders GROUP BY 1),
+      m AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(x) AS BIGINT) AS sx,
+               CAST(SUM(x * x) AS BIGINT) AS sx2,
+               SUM(y) AS sy,
+               SUM(CAST(x AS DECIMAL(17,0)) * y) AS sxy,
+               SUM(y * y) AS sy2
+        FROM daily)
+      SELECT n AS n_days,
+             ((CAST(n AS DOUBLE) * CAST(CAST(sxy AS VARCHAR) AS DOUBLE))
+               - (CAST(sx AS DOUBLE) * CAST(CAST(sy AS VARCHAR) AS DOUBLE)))
+               / ((CAST(n AS DOUBLE) * CAST(sx2 AS DOUBLE))
+                  - (CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))) AS slope,
+             (CAST(CAST(sy AS VARCHAR) AS DOUBLE)
+               - (((CAST(n AS DOUBLE) * CAST(CAST(sxy AS VARCHAR) AS DOUBLE))
+                    - (CAST(sx AS DOUBLE) * CAST(CAST(sy AS VARCHAR) AS DOUBLE)))
+                  / ((CAST(n AS DOUBLE) * CAST(sx2 AS DOUBLE))
+                     - (CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))))
+                 * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE) AS intercept,
+             (((CAST(n AS DOUBLE) * CAST(CAST(sxy AS VARCHAR) AS DOUBLE))
+                - (CAST(sx AS DOUBLE) * CAST(CAST(sy AS VARCHAR) AS DOUBLE)))
+              * ((CAST(n AS DOUBLE) * CAST(CAST(sxy AS VARCHAR) AS DOUBLE))
+                 - (CAST(sx AS DOUBLE) * CAST(CAST(sy AS VARCHAR) AS DOUBLE))))
+               / (((CAST(n AS DOUBLE) * CAST(sx2 AS DOUBLE))
+                   - (CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+                  * ((CAST(n AS DOUBLE) * CAST(CAST(sy2 AS VARCHAR) AS DOUBLE))
+                     - (CAST(CAST(sy AS VARCHAR) AS DOUBLE) * CAST(CAST(sy AS VARCHAR) AS DOUBLE)))) AS r2
+      FROM m
+    """)
+  )
+
   def all: Seq[GraftQuery] =
     Seq(q46Funnel, q47CohortRetention, q48AnomalyExact, q49Scd2Versions,
       q51StatsProfile, q52ColumnProfile, q56SessionizedFunnel, q55DqConstraints,
@@ -2532,5 +2696,5 @@ object Analytics {
       q86PitScd2Join, q87Cuped, q88ScoreLift, q90WeightedMedian,
       q92SurvivalKm, q93RocAuc, q96ChiSquare, q97MaxDrawdown,
       q98LorenzGini, q99PrCurve, q105KsTest, q106BenfordProfile,
-      q113KAnonymity, q114DowHourHeatmap)
+      q113KAnonymity, q114DowHourHeatmap, q116CorrMatrix, q117OlsTrend)
 }

@@ -756,4 +756,55 @@ class AnalyticsSpec extends AnyFunSuite {
     // a month of events touches every weekday
     assert(rows.map(_.getLong(0)).distinct.length == 7, "all weekdays present")
   }
+
+  test("corr matrix: exact-moment Pearson/covariance recompute") {
+    val t = graft.sources.Tables(spark, sf)
+    val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+    val rowsIn = t.lineitem.select(cols.map(col): _*).collect()
+      .map(r => cols.indices.map(i => BigDecimal(r.getDouble(i))
+        .setScale(2, BigDecimal.RoundingMode.HALF_UP)).toArray)
+    val n = rowsIn.length.toDouble
+    def mom(f: Array[BigDecimal] => BigDecimal): Double =
+      rowsIn.map(f).sum.toDouble
+    val want = cols.indices.combinations(2).map { case Seq(i, j) =>
+      val (sx, sy) = (mom(_(i)), mom(_(j)))
+      val (sx2, sy2) = (mom(r => r(i) * r(i)), mom(r => r(j) * r(j)))
+      val sxy = mom(r => r(i) * r(j))
+      val num = n * sxy - sx * sy
+      (cols(i), cols(j)) -> (
+        num / (math.sqrt(n * sx2 - sx * sx) * math.sqrt(n * sy2 - sy * sy)),
+        num / (n * (n - 1.0)))
+    }.toMap
+    val got = SparkEntry.queries("q116_corr_matrix")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getDouble(2), r.getDouble(3))).toMap
+    assert(got.keySet == want.keySet, "pair set")
+    want.foreach { case (k, v) => assert(got(k) == v, s"corr/cov for $k") }
+    // qty and price are generated independently: |corr| must be small
+    assert(math.abs(got(("l_quantity", "l_extendedprice"))._1) < 0.2)
+  }
+
+  test("OLS trend: slope/intercept/r2 from exact moments") {
+    val t = graft.sources.Tables(spark, sf)
+    val daily = t.orders.select(col("o_orderdate").cast("timestamp"),
+        col("o_totalprice")).collect()
+      .groupBy(r => r.getTimestamp(0).getTime / 86400000L)
+      .map { case (d, rs) => (BigInt(d), rs.map(r => BigDecimal(r.getDouble(1))
+        .setScale(2, BigDecimal.RoundingMode.HALF_UP)).sum) }.toSeq
+    val n = daily.length.toDouble
+    val sx = daily.map(_._1).sum.toDouble
+    val sx2 = daily.map(d => d._1 * d._1).sum.toDouble
+    val sy = daily.map(_._2).sum.toDouble
+    val sxy = daily.map(d => BigDecimal(d._1) * d._2).sum.toDouble
+    val sy2 = daily.map(d => d._2 * d._2).sum.toDouble
+    val num = n * sxy - sx * sy
+    val denX = n * sx2 - sx * sx
+    val denY = n * sy2 - sy * sy
+    val r = SparkEntry.queries("q117_ols_trend")(spark, sf).collect().head
+    assert(r.getLong(0) == daily.length.toLong, "day count")
+    assert(r.getDouble(1) == num / denX, "slope")
+    assert(r.getDouble(2) == (sy - (num / denX) * sx) / n, "intercept")
+    assert(r.getDouble(3) == (num * num) / (denX * denY), "r2")
+    assert(r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0, "r2 range")
+  }
 }
