@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
 
 import graft.GraftQuery
 import graft.sources.Tables
@@ -1109,9 +1110,88 @@ object Similarity {
     """)
   )
 
+  /** Gram / scatter matrix X^T X of the embedding corpus — the
+    * dask.array building block behind covariance, PCA and linear
+    * models, computed the way a 100 TB deployment must: a PRIMITIVE
+    * per-partition kernel (mapPartitions over scaled-long components,
+    * d·(d+1)/2 local accumulators, zero allocation in the row loop)
+    * emitting one partial triangle per partition, then a d²-sized
+    * merge — the classic local-Gram + tree-combine, NOT an
+    * O(|rows|·d²) explode join. Exactness: components quantize to
+    * 1e-6 (the repo dec6 rule) and become LONGS, so every product and
+    * sum is exact integer arithmetic (|x|≤5 ⇒ partial sums < 2⁶³
+    * until ~10⁹ rows, where the two-limb trick takes over); the
+    * double render divides the exact BIGINT by 1e12 — both ops
+    * correctly rounded, engine-identical.
+    */
+  val simGramMatrix = GraftQuery(
+    "sim_gram_matrix",
+    (s, dir) => {
+      val d = Dim
+      val scaled = corpus(Tables(s, dir)).select(
+        transform(col("v"),
+          x => (x.cast(DecimalType(14, 6)) * lit(1000000L)).cast("long"))
+          .as("q"))
+      val partials = scaled.rdd.mapPartitions { it =>
+        val acc = new Array[Long](d * (d + 1) / 2)
+        var any = false
+        while (it.hasNext) {
+          val a = it.next().getSeq[Long](0)
+          any = true
+          var i = 0
+          var k = 0
+          while (i < d) {
+            val ai = a(i)
+            var j = i
+            while (j < d) { acc(k) += ai * a(j); j += 1; k += 1 }
+            i += 1
+          }
+        }
+        if (!any) Iterator.empty
+        else {
+          val out = Array.newBuilder[(Int, Int, Long)]
+          var i = 0
+          var k = 0
+          while (i < d) {
+            var j = i
+            while (j < d) { out += ((i, j, acc(k))); j += 1; k += 1 }
+            i += 1
+          }
+          out.result().iterator
+        }
+      }
+      import s.implicits._
+      partials.toDF("i", "j", "p")
+        .groupBy(col("i"), col("j"))
+        .agg(sum(col("p")).as("s"))
+        .select(col("i").cast("long").as("i"), col("j").cast("long").as("j"),
+          col("s"),
+          (col("s").cast(DoubleType) / lit(1.0e12)).as("g"))
+        .orderBy(col("i"), col("j"))
+    },
+    Some("""
+      WITH ex AS (
+        SELECT vec_id, unnest(range(1, len(embedding) + 1)) AS i,
+               CAST(embedding AS DOUBLE[]) AS e
+        FROM embeddings),
+      comp AS (
+        SELECT vec_id, i - 1 AS d,
+               CAST(CAST(e[i] AS DECIMAL(14,6)) * 1000000 AS BIGINT) AS x
+        FROM ex),
+      cells AS (
+        SELECT a.d AS i, b.d AS j, CAST(SUM(a.x * b.x) AS BIGINT) AS s
+        FROM comp a JOIN comp b ON a.vec_id = b.vec_id AND a.d <= b.d
+        GROUP BY 1, 2)
+      SELECT CAST(i AS BIGINT) AS i, CAST(j AS BIGINT) AS j, s,
+             CAST(s AS DOUBLE) / 1000000000000.0 AS g
+      FROM cells
+      ORDER BY i, j
+    """)
+  )
+
   def all: Seq[GraftQuery] =
     Seq(simTopkBruteforce, simAnnLsh, simAnnIvf, simNormStats,
       clusterSemanticDedup, simPcaReduce, simSqQuant, simEmbedDecontam,
       simAnnPq, simAnnIvfPq, simAnnFiltered, retrievalHardNegatives,
-      simTwoStageMrl, simRangeSearch, simCentroidDrift)
+      simTwoStageMrl, simRangeSearch, simCentroidDrift, simGramMatrix)
 }

@@ -964,4 +964,30 @@ class TextDedupSpec extends AnyFunSuite {
       assert(r.getDouble(4) < 0.999, s"labels $la,$lb collapsed")
     }
   }
+
+  test("gram matrix: scaled-long kernel matches dense recompute exactly") {
+    val d = graft.operators.Similarity.Dim
+    val vecs = graft.operators.Similarity.corpusOf(spark, sf)
+      .collect().map(_.getSeq[Double](1).toArray)
+    def q6(x: Double): Long =
+      (BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+        * BigDecimal(1000000)).toLongExact
+    val scaled = vecs.map(_.map(q6))
+    val want = scala.collection.mutable.Map.empty[(Long, Long), Long]
+    scaled.foreach { a =>
+      for (i <- 0 until d; j <- i until d)
+        want((i.toLong, j.toLong)) = want.getOrElse((i.toLong, j.toLong), 0L) +
+          a(i) * a(j)
+    }
+    val rows = SparkEntry.queries("sim_gram_matrix")(spark, sf).collect()
+    assert(rows.length == d * (d + 1) / 2, "triangle size")
+    rows.foreach { r =>
+      val k = (r.getLong(0), r.getLong(1))
+      assert(r.getLong(2) == want(k), s"cell $k")
+      assert(r.getDouble(3) == r.getLong(2).toDouble / 1.0e12, s"render $k")
+    }
+    // diagonal of a Gram matrix is a sum of squares
+    rows.filter(r => r.getLong(0) == r.getLong(1))
+      .foreach(r => assert(r.getLong(2) >= 0L, "diagonal nonneg"))
+  }
 }
