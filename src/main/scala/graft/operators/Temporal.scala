@@ -612,9 +612,114 @@ object Temporal {
     """)
   )
 
+  /** FORWARD as-of join on the native operator: every purchase joined
+    * to the user's NEXT error at/after it — time-to-next-failure, the
+    * direction pandas `merge_asof(direction="forward")` ships and the
+    * backward-only q27 couldn't express. Same one-pass sort-merge
+    * exec, mirrored walk: the matcher parks on the earliest same-key
+    * row at/after the probe instead of consuming through it. The
+    * right side dedups to unique (user, ts) first so the "earliest
+    * at/after" row is well-defined in BOTH engines (DuckDB's ASOF
+    * with `<=` is the oracle — the same operator, independently
+    * implemented). Scale: identical to q27 — co-partition by user,
+    * sort, stream once, O(1) state.
+    */
+  val q118AsofForward = GraftQuery(
+    "q118_asof_forward",
+    (s, dir) => {
+      import graft.plans.AsOf
+      val t = Tables(s, dir)
+      val purchases = t.events.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val errs = t.events.filter(col("event_type") === "error")
+        .groupBy(col("user_id").as("e_user"), col("ts").as("e_ts"))
+        .agg(max(col("event_id")).as("err_id"))
+      AsOf.join(purchases, errs,
+        leftKeys = Seq("user_id"), rightKeys = Seq("e_user"),
+        leftTime = "ts", rightTime = "e_ts", direction = "forward")
+        .select(col("event_id"), col("user_id"),
+          tsString(col("ts")).as("ts_s"),
+          tsString(col("e_ts")).as("next_error_ts_s"),
+          col("err_id"),
+          (unix_micros(col("e_ts")) - unix_micros(col("ts"))).as("wait_us"))
+        .orderBy(col("event_id"))
+    },
+    Some("""
+      WITH p AS (
+        SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+      e AS (
+        SELECT user_id AS e_user, ts AS e_ts, MAX(event_id) AS err_id
+        FROM events WHERE event_type = 'error' GROUP BY 1, 2)
+      SELECT p.event_id, p.user_id,
+             strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
+             strftime(e.e_ts, '%Y-%m-%d %H:%M:%S') AS next_error_ts_s,
+             e.err_id,
+             epoch_us(e.e_ts) - epoch_us(p.ts) AS wait_us
+      FROM p ASOF LEFT JOIN e
+        ON p.user_id = e.e_user AND p.ts <= e.e_ts
+      ORDER BY p.event_id
+    """)
+  )
+
+  /** Tolerance for the nearest-direction as-of: candidates beyond 6h
+    * on either side are rejected (micros).
+    */
+  val NearestTolUs = 21600000000L
+
+  /** NEAREST as-of join on the native operator: each purchase joined
+    * to the error with the smallest |Δt| within ±6h, ties resolved
+    * backward — pandas `merge_asof(direction="nearest",
+    * tolerance=…)`. The matcher keeps BOTH frontier candidates (last
+    * consumed ≤ probe, parked head > probe), tolerance-filters each,
+    * and picks by distance; DuckDB has no nearest ASOF, so the oracle
+    * states the same rule as a window over the ±tolerance band. Right
+    * side deduped to unique (user, ts) — Δt ties between two distinct
+    * same-side rows are then impossible, and the cross-side tie rule
+    * is stated identically in both engines.
+    */
+  val q119AsofNearest = GraftQuery(
+    "q119_asof_nearest",
+    (s, dir) => {
+      import graft.plans.AsOf
+      val t = Tables(s, dir)
+      val purchases = t.events.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val errs = t.events.filter(col("event_type") === "error")
+        .groupBy(col("user_id").as("e_user"), col("ts").as("e_ts"))
+        .agg(max(col("event_id")).as("err_id"))
+      AsOf.join(purchases, errs,
+        leftKeys = Seq("user_id"), rightKeys = Seq("e_user"),
+        leftTime = "ts", rightTime = "e_ts",
+        tolerance = Some(NearestTolUs.toDouble), direction = "nearest")
+        .select(col("event_id"), col("user_id"),
+          col("err_id"),
+          (unix_micros(col("e_ts")) - unix_micros(col("ts"))).as("gap_us"))
+        .orderBy(col("event_id"))
+    },
+    Some(s"""
+      WITH p AS (
+        SELECT event_id, user_id, epoch_us(ts) AS us
+        FROM events WHERE event_type = 'purchase'),
+      e AS (
+        SELECT user_id AS e_user, epoch_us(ts) AS eus, MAX(event_id) AS err_id
+        FROM events WHERE event_type = 'error' GROUP BY 1, 2),
+      cand AS (
+        SELECT p.event_id, e.err_id, e.eus - p.us AS gap_us,
+               row_number() OVER (PARTITION BY p.event_id
+                 ORDER BY abs(e.eus - p.us),
+                          CASE WHEN e.eus <= p.us THEN 0 ELSE 1 END) AS rn
+        FROM p JOIN e ON e.e_user = p.user_id
+          AND abs(e.eus - p.us) <= $NearestTolUs)
+      SELECT p.event_id, p.user_id, c.err_id, c.gap_us
+      FROM p LEFT JOIN (SELECT * FROM cand WHERE rn = 1) c
+        ON c.event_id = p.event_id
+      ORDER BY p.event_id
+    """)
+  )
+
   def all: Seq[GraftQuery] =
     Seq(q21AsofPrevError, q22RangeJoinNeighbors, q23CustomVariance,
       q27AsofJoinNative, q36GapfillResample, q37RollingFeatures,
       q60OhlcResample, q65Twap, q69SeasonalNaive, q70InterpLinear,
-      q76RangeWindow, featPitBackfill)
+      q76RangeWindow, featPitBackfill, q118AsofForward, q119AsofNearest)
 }

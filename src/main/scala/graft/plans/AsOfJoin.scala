@@ -45,19 +45,23 @@ case class AsOfJoin(
     leftTime: Expression,
     rightTime: Expression,
     joinType: String = "left",
-    tolerance: Option[Double] = None
+    tolerance: Option[Double] = None,
+    direction: String = "backward"
 ) extends BinaryNode {
   require(joinType == "left" || joinType == "inner", s"unsupported joinType $joinType")
-  // tolerance arithmetic needs numeric-backed time values; reject
-  // non-numeric time columns at PLAN time — without this the exec's
-  // per-row cast would throw ClassCastException at execution time,
-  // and only on the first tolerance-checked match
-  if (tolerance.isDefined) {
+  require(direction == "backward" || direction == "forward" || direction == "nearest",
+    s"unsupported direction $direction")
+  // tolerance (and nearest's distance compare) need numeric-backed
+  // time values; reject non-numeric time columns at PLAN time —
+  // without this the exec's per-row cast would throw
+  // ClassCastException at execution time, and only on the first
+  // tolerance-checked match
+  if (tolerance.isDefined || direction == "nearest") {
     import org.apache.spark.sql.types.{DateType, NumericType, TimestampNTZType, TimestampType}
     Seq("left" -> leftTime.dataType, "right" -> rightTime.dataType).foreach {
       case (_, _: NumericType) | (_, DateType) | (_, TimestampType) | (_, TimestampNTZType) => ()
       case (side, dt) => throw new IllegalArgumentException(
-        s"as-of tolerance requires a numeric, date, or timestamp $side time column; got $dt")
+        s"as-of tolerance/nearest requires a numeric, date, or timestamp $side time column; got $dt")
     }
   }
   // under "left", left rows always survive and the right side is
@@ -72,8 +76,8 @@ case class AsOfJoin(
 
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoin(l, r, lk, rk, lt, rt, jt, tol) =>
-      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, jt, tol) :: Nil
+    case AsOfJoin(l, r, lk, rk, lt, rt, jt, tol, dir) =>
+      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, jt, tol, dir) :: Nil
     case _ => Nil
   }
 }
@@ -89,7 +93,8 @@ case class AsOfMatcherFactory(
     lOut: Seq[Attribute],
     rOut: Seq[Attribute],
     joinType: String,
-    tolerance: Option[Double]
+    tolerance: Option[Double],
+    direction: String
 ) extends Serializable {
   def create(rIt: Iterator[InternalRow]): AsOfMatcher =
     new AsOfMatcher(rIt, this)
@@ -136,8 +141,28 @@ final class AsOfMatcher(
     }
   }
 
+  private val forward = f.direction == "forward"
+  private val nearest = f.direction == "nearest"
+
+  // types were validated at plan time for tolerance/nearest; Decimal
+  // is the one numeric backing that isn't a java.lang.Number
+  private def num(v: Any): Double = v match {
+    case d: org.apache.spark.sql.types.Decimal => d.toDouble
+    case n: Number => n.doubleValue()
+  }
+
   /** Right row to join with `l`, or null to DROP `l` (inner join,
     * no qualifying match).
+    *
+    * The walk consumes right rows strictly behind the probe frontier:
+    * under backward/nearest that is (same key, time ≤ probe time) —
+    * the last consumed row IS the backward candidate; under forward
+    * it is (same key, time < probe time), leaving `rHead` parked on
+    * the earliest same-key row at/after the probe — the forward
+    * candidate, NOT consumed because it may serve later probes too.
+    * Nearest compares the two candidates by |Δt| (tolerance-filtered
+    * on each side) with ties resolved backward — the rule both the
+    * oracle SQL and the spec recompute state.
     */
   def matchLeft(l: InternalRow): InternalRow = {
     val lk = lKey(l).copy()
@@ -145,8 +170,6 @@ final class AsOfMatcher(
     // null key / null time on the left never matches
     if (lk.anyNull || lt == null)
       return if (inner) null else nullRight
-    // consume right rows that are (earlier key) or (same key,
-    // time <= left time); remember the last same-key one
     var continue = true
     while (continue && rHead != null) {
       val c = keyOrdering.compare(rHeadKey, lk)
@@ -154,28 +177,43 @@ final class AsOfMatcher(
         advanceRight()
       } else if (c == 0) {
         val rt = rTimeBound.eval(rHead)
-        if (timeOrdering.compare(rt, lt) <= 0) {
-          lastMatch = rHead.copy()
-          lastMatchKey = rHeadKey
-          lastMatchTime = rt
+        val cmp = timeOrdering.compare(rt, lt)
+        val consume = if (forward) cmp < 0 else cmp <= 0
+        if (consume) {
+          if (!forward) {
+            lastMatch = rHead.copy()
+            lastMatchKey = rHeadKey
+            lastMatchTime = rt
+          }
           advanceRight()
         } else continue = false
       } else continue = false
     }
-    val sameKey = lastMatch != null && lastMatchKey != null &&
-      keyOrdering.compare(lastMatchKey, lk) == 0
-    val withinTol = sameKey && (f.tolerance match {
-      case None => true
-      case Some(t) =>
-        // types were validated at plan time; Decimal is the one
-        // numeric backing that isn't a java.lang.Number
-        def num(v: Any): Double = v match {
-          case d: org.apache.spark.sql.types.Decimal => d.toDouble
-          case n: Number => n.doubleValue()
-        }
-        num(lt) - num(lastMatchTime) <= t
-    })
-    if (withinTol) lastMatch
+    val tol = f.tolerance
+    // backward candidate: last consumed same-key row at/before lt
+    val backOk = !forward && lastMatch != null && lastMatchKey != null &&
+      keyOrdering.compare(lastMatchKey, lk) == 0 &&
+      (tol.isEmpty || num(lt) - num(lastMatchTime) <= tol.get)
+    // forward candidate: rHead parked on the first same-key row
+    // at/after (forward) or strictly after (nearest) lt
+    val fwdSameKey = (forward || nearest) && rHead != null &&
+      keyOrdering.compare(rHeadKey, lk) == 0
+    lazy val fwdTime = rTimeBound.eval(rHead)
+    val fwdOk = fwdSameKey &&
+      (tol.isEmpty || num(fwdTime) - num(lt) <= tol.get)
+    val chosen: InternalRow =
+      if (forward) { if (fwdOk) rHead else null }
+      else if (!nearest) { if (backOk) lastMatch else null }
+      else {
+        if (backOk && fwdOk) {
+          // tie breaks backward (<=)
+          if (num(lt) - num(lastMatchTime) <= num(fwdTime) - num(lt)) lastMatch
+          else rHead
+        } else if (backOk) lastMatch
+        else if (fwdOk) rHead
+        else null
+      }
+    if (chosen != null) chosen
     else if (inner) null
     else nullRight
   }
@@ -189,7 +227,8 @@ case class AsOfJoinExec(
     leftTime: Expression,
     rightTime: Expression,
     joinType: String,
-    tolerance: Option[Double]
+    tolerance: Option[Double],
+    direction: String = "backward"
 ) extends BinaryExecNode with CodegenSupport {
 
   override def output: Seq[Attribute] =
@@ -208,7 +247,7 @@ case class AsOfJoinExec(
 
   private def matcherFactory = AsOfMatcherFactory(
     leftKeys, rightKeys, leftTime, rightTime,
-    left.output, right.output, joinType, tolerance)
+    left.output, right.output, joinType, tolerance, direction)
 
   override protected def doExecute(): RDD[InternalRow] = {
     val factory = matcherFactory
@@ -297,9 +336,14 @@ object AsOf {
     *                  `merge_asof` default drops them only under
     *                  tolerance misses; DuckDB ASOF INNER drops all
     *                  unmatched)
-    * @param tolerance maximum allowed leftTime − rightTime, in the
+    * @param tolerance maximum allowed |leftTime − rightTime|, in the
     *                  time column's native units (microseconds for
     *                  timestamps) — pandas `merge_asof(tolerance=…)`
+    * @param direction "backward" (default — most recent right row at
+    *                  or before the probe), "forward" (earliest right
+    *                  row at or after), or "nearest" (smaller |Δt|,
+    *                  ties resolved backward) — pandas
+    *                  `merge_asof(direction=…)`
     */
   def join(
       left: DataFrame,
@@ -309,7 +353,8 @@ object AsOf {
       leftTime: String,
       rightTime: String,
       joinType: String = "left",
-      tolerance: Option[Double] = None
+      tolerance: Option[Double] = None,
+      direction: String = "backward"
   ): DataFrame = {
     val spark = left.sparkSession
     install(spark)
@@ -324,7 +369,7 @@ object AsOf {
       rightKeys.map(resolve(rPlan, _)),
       resolve(lPlan, leftTime),
       resolve(rPlan, rightTime),
-      joinType, tolerance)
+      joinType, tolerance, direction)
     GraftColumnBridge.ofRows(spark, node)
   }
 }

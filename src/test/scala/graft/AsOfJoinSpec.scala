@@ -123,7 +123,13 @@ class AsOfJoinSpec extends AnyFunSuite {
     val e = intercept[IllegalArgumentException] {
       AsOf.join(probe, ref, Seq("k"), Seq("rk"), "t", "rt", tolerance = Some(50.0))
     }
-    assert(e.getMessage.contains("tolerance requires a numeric"))
+    assert(e.getMessage.contains("tolerance/nearest requires a numeric"))
+    // nearest needs distance arithmetic, so it hits the same gate
+    val e2 = intercept[IllegalArgumentException] {
+      AsOf.join(probe, ref, Seq("k"), Seq("rk"), "t", "rt",
+        direction = "nearest")
+    }
+    assert(e2.getMessage.contains("tolerance/nearest requires a numeric"))
     // without tolerance the string time column is fine (ordering-only)
     val ok = AsOf.join(probe, ref, Seq("k"), Seq("rk"), "t", "rt").collect().head
     assert(ok.getDouble(5) == 9.0)
@@ -167,6 +173,116 @@ class AsOfJoinSpec extends AnyFunSuite {
     expected match {
       case Some(e) => assert(sample.getLong(3) == e)
       case None    => assert(sample.isNullAt(3))
+    }
+  }
+
+  test("forward direction picks the earliest row at/after the probe") {
+    val probe = Seq(
+      (1L, 100L, "a"), (1L, 200L, "b"), (2L, 150L, "c"), (3L, 50L, "d")
+    ).toDF("k", "t", "tag")
+    val ref = Seq(
+      (1L, 90L, 9.0), (1L, 150L, 15.0), (1L, 300L, 30.0), (2L, 100L, 10.0)
+    ).toDF("rk", "rt", "v")
+    val out = AsOf.join(probe, ref, Seq("k"), Seq("rk"), "t", "rt",
+        direction = "forward")
+      .select($"tag", $"rt", $"v").collect()
+      .map(r => r.getString(0) ->
+        (if (r.isNullAt(1)) null else (r.getLong(1), r.getDouble(2))))
+      .toMap
+    assert(out("a") == ((150L, 15.0))) // earliest ref >= 100 is 150
+    assert(out("b") == ((300L, 30.0))) // earliest ref >= 200 is 300
+    assert(out("c") == null)           // key 2 has nothing at/after 150
+    assert(out("d") == null)           // key 3 has no ref rows
+  }
+
+  test("forward: equal timestamps are inclusive, same row can serve many probes") {
+    val probe = Seq((1L, 100L, "x"), (1L, 100L, "y"), (1L, 80L, "z"))
+      .toDF("k", "t", "tag")
+    val ref = Seq((1L, 100L, 1.0)).toDF("rk", "rt", "v")
+    val out = AsOf.join(probe, ref, Seq("k"), Seq("rk"), "t", "rt",
+        direction = "forward")
+      .select($"tag", $"v").collect()
+      .map(r => r.getString(0) -> (if (r.isNullAt(1)) null else r.getDouble(1)))
+      .toMap
+    assert(out("x") == 1.0 && out("y") == 1.0 && out("z") == 1.0,
+      "parked head must serve every earlier/equal probe")
+  }
+
+  test("forward tolerance rejects matches beyond rightTime - leftTime") {
+    val probe = Seq((1L, 100L)).toDF("k", "t")
+    val ref = Seq((1L, 180L, 1.0)).toDF("rk", "rt", "v")
+    val hit = AsOf.join(probe, ref, Seq("k"), Seq("rk"), "t", "rt",
+      tolerance = Some(100.0), direction = "forward").collect().head
+    assert(!hit.isNullAt(3), "within tolerance")
+    val miss = AsOf.join(probe, ref, Seq("k"), Seq("rk"), "t", "rt",
+      tolerance = Some(50.0), direction = "forward").collect().head
+    assert(miss.isNullAt(3), "beyond tolerance")
+  }
+
+  test("nearest picks the smaller |dt|, ties resolve backward") {
+    val probe = Seq(
+      (1L, 100L, "near_back"),  // back 90 (d10) vs fwd 150 (d50) -> 90
+      (1L, 130L, "near_fwd"),   // back 90 (d40) vs fwd 150 (d20) -> 150
+      (1L, 120L, "tie"),        // back 90 (d30) vs fwd 150 (d30) -> 90
+      (2L, 500L, "only_back"),  // only 100 before
+      (3L, 10L, "only_fwd")     // only 40 after
+    ).toDF("k", "t", "tag")
+    val ref = Seq(
+      (1L, 90L, 9.0), (1L, 150L, 15.0), (2L, 100L, 10.0), (3L, 40L, 4.0)
+    ).toDF("rk", "rt", "v")
+    val out = AsOf.join(probe, ref, Seq("k"), Seq("rk"), "t", "rt",
+        direction = "nearest")
+      .select($"tag", $"rt").collect()
+      .map(r => r.getString(0) -> (if (r.isNullAt(1)) null else r.getLong(1)))
+      .toMap
+    assert(out("near_back") == 90L)
+    assert(out("near_fwd") == 150L)
+    assert(out("tie") == 90L, "equal distance must resolve backward")
+    assert(out("only_back") == 100L)
+    assert(out("only_fwd") == 40L)
+  }
+
+  test("nearest tolerance filters each side independently") {
+    val probe = Seq((1L, 100L)).toDF("k", "t")
+    val ref = Seq((1L, 10L, 1.0), (1L, 140L, 2.0)).toDF("rk", "rt", "v")
+    // back is 90 away, fwd is 40 away; tol 50 kills back, keeps fwd
+    val r = AsOf.join(probe, ref, Seq("k"), Seq("rk"), "t", "rt",
+      tolerance = Some(50.0), direction = "nearest").collect().head
+    assert(r.getLong(3) == 140L && r.getDouble(4) == 2.0)
+    // tol 20 kills both
+    val none = AsOf.join(probe, ref, Seq("k"), Seq("rk"), "t", "rt",
+      tolerance = Some(20.0), direction = "nearest").collect().head
+    assert(none.isNullAt(3))
+  }
+
+  test("forward/nearest agree with a window recompute on the real corpus") {
+    val t = graft.sources.Tables(spark, sf)
+    val p = t.events.filter($"event_type" === "purchase")
+      .select($"event_id", $"user_id", unix_micros($"ts").as("us"))
+    val e = t.events.filter($"event_type" === "error")
+      .groupBy($"user_id".as("eu"), unix_micros($"ts").as("eus"))
+      .agg(max($"event_id").as("eid"))
+    val errByUser = e.collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted.toSeq).toMap
+    val fwd = AsOf.join(p, e, Seq("user_id"), Seq("eu"), "us", "eus",
+        direction = "forward")
+      .select($"event_id", $"us", $"user_id", $"eus").collect()
+    fwd.foreach { r =>
+      val want = errByUser.getOrElse(r.getLong(2), Seq.empty)
+        .find(_ >= r.getLong(1))
+      val got = if (r.isNullAt(3)) None else Some(r.getLong(3))
+      assert(got == want, s"forward for event ${r.getLong(0)}")
+    }
+    val near = AsOf.join(p, e, Seq("user_id"), Seq("eu"), "us", "eus",
+        direction = "nearest")
+      .select($"event_id", $"us", $"user_id", $"eus").collect()
+    near.foreach { r =>
+      val cands = errByUser.getOrElse(r.getLong(2), Seq.empty)
+      val want = if (cands.isEmpty) None
+        else Some(cands.minBy(c =>
+          (math.abs(c - r.getLong(1)), if (c <= r.getLong(1)) 0 else 1)))
+      val got = if (r.isNullAt(3)) None else Some(r.getLong(3))
+      assert(got == want, s"nearest for event ${r.getLong(0)}")
     }
   }
 }
