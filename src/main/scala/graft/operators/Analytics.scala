@@ -2480,6 +2480,45 @@ object Analytics {
     """)
   )
 
+  /** l threshold for the diversity audit. */
+  val DiversityL = 2L
+
+  /** l-diversity audit — k-anonymity's complement: a QI cell can be
+    * large (k-safe) yet still leak if every member shares the same
+    * SENSITIVE value, so per (source, size-bucket) cell this reports
+    * the number of DISTINCT sensitive values (lang) and flags cells
+    * below l. Pure integer arithmetic; scale: one aggregation with
+    * map-side partial count-distinct, |cells|-sized output — at
+    * larger sensitive domains the exact count-distinct swaps for the
+    * theta sketch (q38) with the flag compared against the estimate's
+    * lower bound.
+    */
+  val q120LDiversity = GraftQuery(
+    "q120_l_diversity",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      t.documents
+        .select(col("source"),
+          floor(col("n_chars") / AnonymityCharsBucket).cast("long")
+            .as("chars_bucket"),
+          col("lang"))
+        .groupBy(col("source"), col("chars_bucket"))
+        .agg(count(lit(1)).as("group_n"),
+          countDistinct(col("lang")).as("distinct_sensitive"))
+        .withColumn("below_l", col("distinct_sensitive") < DiversityL)
+        .orderBy(col("source"), col("chars_bucket"))
+    },
+    Some(s"""
+      SELECT source, n_chars // $AnonymityCharsBucket AS chars_bucket,
+             CAST(COUNT(*) AS BIGINT) AS group_n,
+             CAST(COUNT(DISTINCT lang) AS BIGINT) AS distinct_sensitive,
+             CAST(COUNT(DISTINCT lang) AS BIGINT) < $DiversityL AS below_l
+      FROM documents
+      GROUP BY 1, 2
+      ORDER BY 1, 2
+    """)
+  )
+
   /** Calendar seasonality heatmap over events: ISO-weekday × hour
     * cell counts plus each cell's load relative to a uniform week
     * (ratio = n·168 / total — busier-than-average cells exceed 1).
@@ -2696,5 +2735,6 @@ object Analytics {
       q86PitScd2Join, q87Cuped, q88ScoreLift, q90WeightedMedian,
       q92SurvivalKm, q93RocAuc, q96ChiSquare, q97MaxDrawdown,
       q98LorenzGini, q99PrCurve, q105KsTest, q106BenfordProfile,
-      q113KAnonymity, q114DowHourHeatmap, q116CorrMatrix, q117OlsTrend)
+      q113KAnonymity, q114DowHourHeatmap, q116CorrMatrix, q117OlsTrend,
+      q120LDiversity)
 }

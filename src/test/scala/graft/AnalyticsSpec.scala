@@ -807,4 +807,21 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(r.getDouble(3) == (num * num) / (denX * denY), "r2")
     assert(r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0, "r2 range")
   }
+
+  test("l-diversity: distinct-sensitive counts and flags match dense recompute") {
+    val t = graft.sources.Tables(spark, sf)
+    val docs = t.documents.select(col("source"), col("n_chars"), col("lang"))
+      .collect().map(r => ((r.getString(0),
+        r.getLong(1) / operators.Analytics.AnonymityCharsBucket), r.getString(2)))
+    val want = docs.groupBy(_._1).map { case (k, vs) =>
+      k -> (vs.length.toLong, vs.map(_._2).distinct.length.toLong) }
+    val rows = SparkEntry.queries("q120_l_diversity")(spark, sf).collect()
+    val got = rows.map(r => (r.getString(0), r.getLong(1)) ->
+      (r.getLong(2), r.getLong(3), r.getBoolean(4))).toMap
+    assert(got.keySet == want.keySet, "cell set")
+    want.foreach { case (k, (n, d)) =>
+      assert(got(k)._1 == n && got(k)._2 == d, s"counts for $k")
+      assert(got(k)._3 == (d < operators.Analytics.DiversityL), s"flag for $k")
+    }
+  }
 }

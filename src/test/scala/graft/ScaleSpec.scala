@@ -351,6 +351,17 @@ class ScaleSpec extends AnyFunSuite {
     assert(!plan.contains("SortMergeJoin"), "no fact shuffle join")
   }
 
+  test("as-of directions plan on the native exec, not a fallback") {
+    Seq("q118_asof_forward", "q119_asof_nearest").foreach { q =>
+      val plan = planOf(q)
+      assert(plan.contains("AsOfJoin"),
+        s"$q must run the O(1)-state native operator")
+      assert(!plan.contains("CartesianProduct") &&
+        !plan.contains("BroadcastNestedLoopJoin"),
+        s"$q must not fall back to a product join")
+    }
+  }
+
   test("q110 large orders: map-side partial agg, top-k without global sort") {
     val plan = planOf("q110_large_orders")
     assert(plan.contains("TakeOrderedAndProject"),
