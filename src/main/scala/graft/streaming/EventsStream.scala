@@ -1420,6 +1420,114 @@ object EventsStream {
     """)
   )
 
+  case class EvT(user_id: Long, tsMicros: Long, event_type: String)
+  case class SessTop(
+      user_id: Long, session_start_us: Long, n_events: Long,
+      top_type: String, top_n: Long)
+
+  /** Open-session payload for [[sessionTopFn]]: last event time, the
+    * session's start, and the per-type counts of the session in
+    * flight. State is O(|types|) per user — bounded by the type
+    * domain, not the stream.
+    */
+  case class TopState(lastTs: Long, start: Long, counts: Map[String, Long])
+
+  /** Per-SESSION modal event type via custom state — the session-
+    * window top-k the two-level-aggregation formulation can't express
+    * in Structured Streaming (no aggregate-above-aggregate on a
+    * stream): one stateful pass assigns sessions AND folds the
+    * per-type counts, emitting a session's row when the gap closes it
+    * and a snapshot of the open session each trigger (counts only
+    * grow, so "latest per (user, start)" — realized as max n_events —
+    * is the final answer under any trigger slicing). Modal ties break
+    * lexicographically; both engines state the rule.
+    */
+  def sessionTopFn(
+      user: Long, rows: Iterator[EvT], state: GroupState[TopState])
+      : Iterator[SessTop] = {
+    val evs = rows.toArray.sortBy(_.tsMicros)
+    if (evs.isEmpty) return Iterator.empty
+    var st = state.getOption.getOrElse(TopState(Long.MinValue, 0L, Map.empty))
+    val out = Seq.newBuilder[SessTop]
+    def snapshot(s: TopState): SessTop = {
+      val (tt, tn) = s.counts.toSeq.minBy { case (t, n) => (-n, t) }
+      SessTop(user, s.start, s.counts.valuesIterator.sum, tt, tn)
+    }
+    evs.foreach { e =>
+      if (st.lastTs == Long.MinValue)
+        st = TopState(e.tsMicros, e.tsMicros, Map(e.event_type -> 1L))
+      else if (e.tsMicros - st.lastTs > GapMicros) {
+        out += snapshot(st)
+        st = TopState(e.tsMicros, e.tsMicros, Map(e.event_type -> 1L))
+      } else st = TopState(e.tsMicros, st.start,
+        st.counts + (e.event_type -> (st.counts.getOrElse(e.event_type, 0L) + 1L)))
+    }
+    out += snapshot(st) // open session's current answer
+    state.update(st)
+    out.result().iterator
+  }
+
+  /** Session-window top type per user session (30-min gap), checked
+    * against the batch sessionization + modal-count oracle.
+    */
+  val streamSessionTopk = GraftQuery(
+    "stream_session_topk",
+    (s, dir) => {
+      import s.implicits._
+      val evs = eventsStream(s, dir)
+        .select(col("user_id"), unix_micros(col("ts")).as("tsMicros"),
+          col("event_type"))
+        .as[EvT]
+      val summ = evs.groupByKey(_.user_id)
+        .flatMapGroupsWithState(
+          OutputMode.Update(), GroupStateTimeout.NoTimeout)(sessionTopFn _)
+      val raw = runToTable(summ.toDF(), OutputMode.Update())
+      // latest-per-session dedup (multi-trigger replays emit open-
+      // session snapshots; n_events is monotone within a session)
+      raw.groupBy(col("user_id"), col("session_start_us"))
+        .agg(max(struct(col("n_events"), col("top_n"), col("top_type"))).as("m"))
+        .select(col("user_id"),
+          tsString(timestamp_micros(col("session_start_us"))).as("session_start_s"),
+          col("m.n_events").as("n_events"),
+          col("m.top_type").as("top_type"),
+          col("m.top_n").as("top_n"))
+        .orderBy(col("user_id"), col("session_start_s"))
+    },
+    Some(s"""
+      WITH e AS (
+        SELECT user_id, ts, event_type,
+               CASE WHEN lag(ts) OVER w IS NULL
+                      OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                         > ${SessionGapMinutes * 60L * 1000000L}
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+      s AS (
+        SELECT user_id, ts, event_type,
+               SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                 ROWS UNBOUNDED PRECEDING) AS sid
+        FROM e),
+      per AS (
+        SELECT user_id, sid, event_type, COUNT(*) AS n
+        FROM s GROUP BY 1, 2, 3),
+      st AS (
+        SELECT user_id, sid, MIN(ts) AS start_ts,
+               CAST(COUNT(*) AS BIGINT) AS n_events
+        FROM s GROUP BY 1, 2),
+      top AS (
+        SELECT user_id, sid, event_type AS top_type, CAST(n AS BIGINT) AS top_n,
+               row_number() OVER (PARTITION BY user_id, sid
+                 ORDER BY n DESC, event_type) AS rn
+        FROM per)
+      SELECT st.user_id,
+             strftime(st.start_ts, '%Y-%m-%d %H:%M:%S') AS session_start_s,
+             st.n_events, t.top_type, t.top_n
+      FROM st JOIN top t ON t.user_id = st.user_id AND t.sid = st.sid
+      WHERE t.rn = 1
+      ORDER BY st.user_id, session_start_s
+    """)
+  )
+
   def all: Seq[GraftQuery] =
     Seq(streamHourlyAgg, streamSessionize, streamScore, streamDedupExact,
       streamEnrichProfile, streamSessionWindow, streamThetaDistinct,
@@ -1427,5 +1535,5 @@ object EventsStream {
       streamStreamFullOuter, streamWeightedSample,
       streamUpsertLatest, streamHeavyHitters, streamPatternMatch,
       streamQuantiles, streamIncrementalDedup, streamEwmaAnomaly,
-      streamWindowedTopk)
+      streamWindowedTopk, streamSessionTopk)
 }

@@ -260,4 +260,39 @@ class StreamShapeSpec extends AnyFunSuite {
         s"user $u: semi count $n outside [1, inner ${inner(u)}]")
     }
   }
+
+  test("session top-k state fn: splits, modal tie rule, cross-trigger growth") {
+    import graft.streaming.EventsStream.{EvT, SessTop, TopState, sessionTopFn}
+    import org.apache.spark.sql.streaming.TestGroupState
+    def mkState(prior: Option[TopState]) = TestGroupState.create[TopState](
+      optionalState = prior.map(org.apache.spark.api.java.Optional.of(_))
+        .getOrElse(org.apache.spark.api.java.Optional.empty()),
+      timeoutConf = org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout,
+      batchProcessingTimeMs = 0L,
+      eventTimeWatermarkMs = org.apache.spark.api.java.Optional.empty(),
+      hasTimedOut = false)
+    val gap = 30L * 60L * 1000000L
+    val t0 = 1000000L
+    // trigger 1: one session [t0, t0+2] with a,b,a -> top a(2); a
+    // second session opens gap+ later with a single b
+    val gs1 = mkState(None)
+    val out1 = sessionTopFn(7L, Iterator(
+      EvT(7L, t0, "a"), EvT(7L, t0 + 1, "b"), EvT(7L, t0 + 2, "a"),
+      EvT(7L, t0 + gap + 10, "b")), gs1).toSeq
+    assert(out1.map(s => (s.session_start_us, s.n_events, s.top_type, s.top_n)) ==
+      Seq((t0, 3L, "a", 2L), (t0 + gap + 10, 1L, "b", 1L)))
+    // trigger 2: the open session grows by c then b -> counts b:2, c:1
+    val gs2 = mkState(Some(gs1.get))
+    val out2 = sessionTopFn(7L, Iterator(
+      EvT(7L, t0 + gap + 11, "c"), EvT(7L, t0 + gap + 12, "b")), gs2).toSeq
+    assert(out2 == Seq(SessTop(7L, t0 + gap + 10, 3L, "b", 2L)))
+    // dedup rule: the final answer per session is its max-n snapshot
+    val fin = (out1 ++ out2).groupBy(_.session_start_us).view
+      .mapValues(_.maxBy(_.n_events)).toMap
+    assert(fin(t0 + gap + 10).n_events == 3L)
+    // pure modal tie: a and b once each -> lexicographically 'a'
+    val out3 = sessionTopFn(9L, Iterator(
+      EvT(9L, t0, "b"), EvT(9L, t0 + 1, "a")), mkState(None)).toSeq
+    assert(out3.head.top_type == "a" && out3.head.top_n == 1L)
+  }
 }
