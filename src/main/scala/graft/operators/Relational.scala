@@ -2508,7 +2508,8 @@ object Relational {
       WITH spend AS (
         SELECT o_custkey, SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS sp
         FROM orders GROUP BY 1)
-      SELECT c.c_custkey, c.c_mktsegment, CAST(s.sp AS DOUBLE) AS spend,
+      SELECT c.c_custkey, c.c_mktsegment,
+             CAST(CAST(s.sp AS VARCHAR) AS DOUBLE) AS spend,
              percent_rank() OVER (PARTITION BY c.c_mktsegment ORDER BY s.sp)
                AS pr,
              cume_dist() OVER (PARTITION BY c.c_mktsegment ORDER BY s.sp)

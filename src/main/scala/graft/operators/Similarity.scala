@@ -1110,34 +1110,62 @@ object Similarity {
     """)
   )
 
+  /** Rows folded into the primitive long accumulators between
+    * flushes of the Gram kernel — sized so a partial cell stays
+    * ≤ 2048·(5·10⁶)² ≈ 5·10¹⁶, wrap-free by construction.
+    */
+  val GramFlushRows = 2048
+
   /** Gram / scatter matrix X^T X of the embedding corpus — the
     * dask.array building block behind covariance, PCA and linear
     * models, computed the way a 100 TB deployment must: a PRIMITIVE
     * per-partition kernel (mapPartitions over scaled-long components,
     * d·(d+1)/2 local accumulators, zero allocation in the row loop)
-    * emitting one partial triangle per partition, then a d²-sized
-    * merge — the classic local-Gram + tree-combine, NOT an
-    * O(|rows|·d²) explode join. Exactness: components quantize to
-    * 1e-6 (the repo dec6 rule) and become LONGS, so every product and
-    * sum is exact integer arithmetic (|x|≤5 ⇒ partial sums < 2⁶³
-    * until ~10⁹ rows, where the two-limb trick takes over); the
-    * double render divides the exact BIGINT by 1e12 — both ops
-    * correctly rounded, engine-identical.
+    * emitting partial triangles, then a d²-sized merge — the classic
+    * local-Gram + tree-combine, NOT an O(|rows|·d²) explode join.
+    * Exactness AND overflow discipline: components quantize to 1e-6
+    * (the repo dec6 rule) and become LONGS; a per-cell product is
+    * ≤ 2.5e13 at the |x| ≤ 5 component bound, so the primitive long
+    * accumulators are flushed every [[GramFlushRows]] rows (partial
+    * ≤ 2048·2.5e13 ≈ 5e16 ≪ 2⁶³ — guaranteed wrap-free, not
+    * probabilistic), and the flushed partials merge in DECIMAL(38,0)
+    * (exact to ~10²⁴ rows). The BIGINT render of the merged cell is
+    * the gate artifact (exact while the total fits int64 — ~9e6 rows
+    * per unit E[x²], far above every verify SF); the double render
+    * divides that exact integer by 1e12 — correctly rounded in both
+    * engines.
     */
   val simGramMatrix = GraftQuery(
     "sim_gram_matrix",
     (s, dir) => {
       val d = Dim
+      val flushEvery = GramFlushRows
       val scaled = corpus(Tables(s, dir)).select(
         transform(col("v"),
           x => (x.cast(DecimalType(14, 6)) * lit(1000000L)).cast("long"))
           .as("q"))
       val partials = scaled.rdd.mapPartitions { it =>
         val acc = new Array[Long](d * (d + 1) / 2)
-        var any = false
+        val out = Array.newBuilder[(Int, Int, Long)]
+        var pending = 0
+        def flush(): Unit = {
+          if (pending > 0) {
+            var i = 0
+            var k = 0
+            while (i < d) {
+              var j = i
+              while (j < d) {
+                if (acc(k) != 0L) out += ((i, j, acc(k)))
+                acc(k) = 0L
+                j += 1; k += 1
+              }
+              i += 1
+            }
+            pending = 0
+          }
+        }
         while (it.hasNext) {
           val a = it.next().getSeq[Long](0)
-          any = true
           var i = 0
           var k = 0
           while (i < d) {
@@ -1146,27 +1174,19 @@ object Similarity {
             while (j < d) { acc(k) += ai * a(j); j += 1; k += 1 }
             i += 1
           }
+          pending += 1
+          if (pending >= flushEvery) flush()
         }
-        if (!any) Iterator.empty
-        else {
-          val out = Array.newBuilder[(Int, Int, Long)]
-          var i = 0
-          var k = 0
-          while (i < d) {
-            var j = i
-            while (j < d) { out += ((i, j, acc(k))); j += 1; k += 1 }
-            i += 1
-          }
-          out.result().iterator
-        }
+        flush()
+        out.result().iterator
       }
       import s.implicits._
       partials.toDF("i", "j", "p")
         .groupBy(col("i"), col("j"))
-        .agg(sum(col("p")).as("s"))
+        .agg(sum(col("p").cast(DecimalType(38, 0))).as("sdec"))
         .select(col("i").cast("long").as("i"), col("j").cast("long").as("j"),
-          col("s"),
-          (col("s").cast(DoubleType) / lit(1.0e12)).as("g"))
+          col("sdec").cast("long").as("s"),
+          (col("sdec").cast(DoubleType) / lit(1.0e12)).as("g"))
         .orderBy(col("i"), col("j"))
     },
     Some("""

@@ -624,16 +624,26 @@ object Temporal {
     * implemented). Scale: identical to q27 — co-partition by user,
     * sort, stream once, O(1) state.
     */
+  /** Shared probe/reference frames of the direction queries: the
+    * purchase probes and the error reference deduped to unique
+    * (user, ts) — the dedup makes "earliest at/after" and the nearest
+    * tie rule total in both engines. One definition so q118/q119
+    * cannot drift apart.
+    */
+  private def purchasesAndErrors(t: Tables): (DataFrame, DataFrame) = {
+    val purchases = t.events.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val errs = t.events.filter(col("event_type") === "error")
+      .groupBy(col("user_id").as("e_user"), col("ts").as("e_ts"))
+      .agg(max(col("event_id")).as("err_id"))
+    (purchases, errs)
+  }
+
   val q118AsofForward = GraftQuery(
     "q118_asof_forward",
     (s, dir) => {
       import graft.plans.AsOf
-      val t = Tables(s, dir)
-      val purchases = t.events.filter(col("event_type") === "purchase")
-        .select(col("event_id"), col("user_id"), col("ts"))
-      val errs = t.events.filter(col("event_type") === "error")
-        .groupBy(col("user_id").as("e_user"), col("ts").as("e_ts"))
-        .agg(max(col("event_id")).as("err_id"))
+      val (purchases, errs) = purchasesAndErrors(Tables(s, dir))
       AsOf.join(purchases, errs,
         leftKeys = Seq("user_id"), rightKeys = Seq("e_user"),
         leftTime = "ts", rightTime = "e_ts", direction = "forward")
@@ -681,12 +691,7 @@ object Temporal {
     "q119_asof_nearest",
     (s, dir) => {
       import graft.plans.AsOf
-      val t = Tables(s, dir)
-      val purchases = t.events.filter(col("event_type") === "purchase")
-        .select(col("event_id"), col("user_id"), col("ts"))
-      val errs = t.events.filter(col("event_type") === "error")
-        .groupBy(col("user_id").as("e_user"), col("ts").as("e_ts"))
-        .agg(max(col("event_id")).as("err_id"))
+      val (purchases, errs) = purchasesAndErrors(Tables(s, dir))
       AsOf.join(purchases, errs,
         leftKeys = Seq("user_id"), rightKeys = Seq("e_user"),
         leftTime = "ts", rightTime = "e_ts",

@@ -151,6 +151,37 @@ final class AsOfMatcher(
     case n: Number => n.doubleValue()
   }
 
+  // timestamps/dates/long epochs back onto integral types whose values
+  // exceed double's 2^53 exact range (nanos epochs are ~1.7e18), so
+  // distance/tolerance arithmetic runs in exact LONGS whenever both
+  // operands are integral — a double path there can round two distinct
+  // distances equal and pick the farther candidate
+  private def isIntegral(v: Any): Boolean = v match {
+    case _: java.lang.Long | _: java.lang.Integer |
+         _: java.lang.Short | _: java.lang.Byte => true
+    case _ => false
+  }
+
+  /** Exact-when-integral distance b − a, as a comparison-safe pair:
+    * returns Right(long) for integral operands, Left(double) else.
+    */
+  private def dist(a: Any, b: Any): Either[Double, Long] =
+    if (isIntegral(a) && isIntegral(b))
+      Right(b.asInstanceOf[Number].longValue() - a.asInstanceOf[Number].longValue())
+    else Left(num(b) - num(a))
+
+  private def withinTol(d: Either[Double, Long], t: Double): Boolean = d match {
+    case Right(l) => l <= t
+    case Left(x) => x <= t
+  }
+
+  private def distLeq(a: Either[Double, Long], b: Either[Double, Long]): Boolean =
+    (a, b) match {
+      case (Right(x), Right(y)) => x <= y
+      case _ => (a match { case Right(l) => l.toDouble; case Left(x) => x }) <=
+        (b match { case Right(l) => l.toDouble; case Left(x) => x })
+    }
+
   /** Right row to join with `l`, or null to DROP `l` (inner join,
     * no qualifying match).
     *
@@ -191,23 +222,26 @@ final class AsOfMatcher(
     }
     val tol = f.tolerance
     // backward candidate: last consumed same-key row at/before lt
+    lazy val backDist = dist(lastMatchTime, lt) // lt − matchTime ≥ 0
     val backOk = !forward && lastMatch != null && lastMatchKey != null &&
       keyOrdering.compare(lastMatchKey, lk) == 0 &&
-      (tol.isEmpty || num(lt) - num(lastMatchTime) <= tol.get)
+      (tol.isEmpty || withinTol(backDist, tol.get))
     // forward candidate: rHead parked on the first same-key row
     // at/after (forward) or strictly after (nearest) lt
     val fwdSameKey = (forward || nearest) && rHead != null &&
       keyOrdering.compare(rHeadKey, lk) == 0
     lazy val fwdTime = rTimeBound.eval(rHead)
+    lazy val fwdDist = dist(lt, fwdTime) // fwdTime − lt ≥ 0
     val fwdOk = fwdSameKey &&
-      (tol.isEmpty || num(fwdTime) - num(lt) <= tol.get)
+      (tol.isEmpty || withinTol(fwdDist, tol.get))
     val chosen: InternalRow =
       if (forward) { if (fwdOk) rHead else null }
       else if (!nearest) { if (backOk) lastMatch else null }
       else {
         if (backOk && fwdOk) {
-          // tie breaks backward (<=)
-          if (num(lt) - num(lastMatchTime) <= num(fwdTime) - num(lt)) lastMatch
+          // tie breaks backward (<=); exact long compare when the
+          // time type is integral-backed
+          if (distLeq(backDist, fwdDist)) lastMatch
           else rHead
         } else if (backOk) lastMatch
         else if (fwdOk) rHead
