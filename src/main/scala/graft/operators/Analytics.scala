@@ -2519,6 +2519,93 @@ object Analytics {
     """)
   )
 
+  /** Numerator threshold for the t-closeness flag: tvd > 1/5. */
+  val ClosenessT5: Long = 5L
+
+  /** t-closeness audit — the third leg of the release-privacy triple
+    * (k-anonymity q113, l-diversity q120): a QI cell can be k-large
+    * AND l-diverse yet still leak if its sensitive-value DISTRIBUTION
+    * differs sharply from the corpus-wide one (e.g. a cell that is 95%
+    * one language in a 50/50 corpus). Per (source, size-bucket) cell
+    * this reports the total-variation distance ½·Σ|p_i − q_i| between
+    * the cell's lang distribution and the global one — the categorical
+    * EMD under uniform ground distance, which is the t-closeness
+    * metric for unordered sensitive attributes — and flags cells with
+    * tvd > 1/5. Exactness: both distributions stay rational over the
+    * common denominator cell_n·N, so each term is the INTEGER
+    * |cnt_i·N − g_i·cell_n|; the statistic is one double division of
+    * the integer sum by 2·cell_n·N, and the flag compares
+    * 5·Σ > 2·cell_n·N in pure integers — engine-identical. Scale: the
+    * (cell × lang) spine is |cells|·|langs|-sized (domain, not data);
+    * the only data-scale work is the one map-side-combined
+    * (source, bucket, lang) count, and the global lang frame
+    * broadcasts.
+    */
+  val q121TCloseness = GraftQuery(
+    "q121_t_closeness",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val cellLang = t.documents
+        .select(col("source"),
+          floor(col("n_chars") / AnonymityCharsBucket).cast("long")
+            .as("chars_bucket"),
+          col("lang"))
+        .groupBy(col("source"), col("chars_bucket"), col("lang"))
+        .agg(count(lit(1)).as("cnt"))
+        .cache()
+      val cells = cellLang.groupBy(col("source"), col("chars_bucket"))
+        .agg(sum(col("cnt")).as("group_n"))
+      val globLang = cellLang.groupBy(col("lang"))
+        .agg(sum(col("cnt")).as("g_cnt"))
+      val totalN = cellLang.agg(sum(col("cnt")).as("n_total"))
+      cells
+        .crossJoin(broadcast(globLang))
+        .crossJoin(broadcast(totalN))
+        .join(cellLang, Seq("source", "chars_bucket", "lang"), "left")
+        .select(col("source"), col("chars_bucket"), col("group_n"),
+          col("n_total"),
+          abs(coalesce(col("cnt"), lit(0L)) * col("n_total") -
+            col("g_cnt") * col("group_n")).as("term"))
+        .groupBy(col("source"), col("chars_bucket"))
+        .agg(first(col("group_n")).as("group_n"),
+          sum(col("term")).as("num"),
+          (lit(2L) * first(col("group_n")) * first(col("n_total")))
+            .as("den"))
+        .select(col("source"), col("chars_bucket"), col("group_n"),
+          (col("num").cast(DoubleType) / col("den").cast(DoubleType))
+            .as("tvd"),
+          (col("num") * ClosenessT5 > col("den")).as("above_t"))
+        .orderBy(col("source"), col("chars_bucket"))
+    },
+    Some(s"""
+      WITH cl AS (
+        SELECT source, n_chars // $AnonymityCharsBucket AS chars_bucket,
+               lang, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM documents GROUP BY 1, 2, 3),
+      cells AS (
+        SELECT source, chars_bucket, CAST(SUM(cnt) AS BIGINT) AS group_n
+        FROM cl GROUP BY 1, 2),
+      gl AS (SELECT lang, CAST(SUM(cnt) AS BIGINT) AS g_cnt
+             FROM cl GROUP BY 1),
+      tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n_total FROM cl),
+      terms AS (
+        SELECT c.source, c.chars_bucket, c.group_n, t.n_total,
+               ABS(COALESCE(x.cnt, 0) * t.n_total - g.g_cnt * c.group_n)
+                 AS term
+        FROM cells c CROSS JOIN gl g CROSS JOIN tot t
+        LEFT JOIN cl x ON x.source = c.source
+          AND x.chars_bucket = c.chars_bucket AND x.lang = g.lang)
+      SELECT source, chars_bucket, group_n,
+             CAST(CAST(SUM(term) AS BIGINT) AS DOUBLE)
+               / CAST(2 * group_n * n_total AS DOUBLE) AS tvd,
+             CAST(SUM(term) AS BIGINT) * $ClosenessT5
+               > 2 * group_n * n_total AS above_t
+      FROM terms
+      GROUP BY source, chars_bucket, group_n, n_total
+      ORDER BY 1, 2
+    """)
+  )
+
   /** Calendar seasonality heatmap over events: ISO-weekday × hour
     * cell counts plus each cell's load relative to a uniform week
     * (ratio = n·168 / total — busier-than-average cells exceed 1).
@@ -2736,5 +2823,5 @@ object Analytics {
       q92SurvivalKm, q93RocAuc, q96ChiSquare, q97MaxDrawdown,
       q98LorenzGini, q99PrCurve, q105KsTest, q106BenfordProfile,
       q113KAnonymity, q114DowHourHeatmap, q116CorrMatrix, q117OlsTrend,
-      q120LDiversity)
+      q120LDiversity, q121TCloseness)
 }

@@ -824,4 +824,32 @@ class AnalyticsSpec extends AnyFunSuite {
       assert(got(k)._3 == (d < operators.Analytics.DiversityL), s"flag for $k")
     }
   }
+
+  test("t-closeness: tvd matches dense rational recompute, flags exact") {
+    val t = graft.sources.Tables(spark, sf)
+    val docs = t.documents.select(col("source"), col("n_chars"), col("lang"))
+      .collect().map(r => ((r.getString(0),
+        r.getLong(1) / operators.Analytics.AnonymityCharsBucket), r.getString(2)))
+    val n = docs.length.toLong
+    val glob = docs.groupBy(_._2).map { case (l, vs) => l -> vs.length.toLong }
+    val want = docs.groupBy(_._1).map { case (k, vs) =>
+      val cellN = vs.length.toLong
+      val byLang = vs.groupBy(_._2).map { case (l, xs) => l -> xs.length.toLong }
+      val num = glob.keys.map { l =>
+        math.abs(byLang.getOrElse(l, 0L) * n - glob(l) * cellN)
+      }.sum
+      k -> (cellN, num, 2L * cellN * n)
+    }
+    val rows = SparkEntry.queries("q121_t_closeness")(spark, sf).collect()
+    val got = rows.map(r => (r.getString(0), r.getLong(1)) ->
+      (r.getLong(2), r.getDouble(3), r.getBoolean(4))).toMap
+    assert(got.keySet == want.keySet, "cell set")
+    want.foreach { case (k, (cellN, num, den)) =>
+      assert(got(k)._1 == cellN, s"group_n for $k")
+      assert(got(k)._2 == num.toDouble / den.toDouble, s"tvd for $k")
+      assert(got(k)._3 ==
+        (num * operators.Analytics.ClosenessT5 > den), s"flag for $k")
+      assert(got(k)._2 >= 0.0 && got(k)._2 <= 1.0, s"tvd range for $k")
+    }
+  }
 }
