@@ -2169,6 +2169,174 @@ object Analytics {
     """)
   )
 
+  /** CUSUM changepoint screen over the per-year daily-revenue series:
+    * the classic drift detector for KPI monitoring — cumulative sum of
+    * deviations from the year mean, its peak |CUSUM| with the day it
+    * occurs (the changepoint candidate), and how many days breach a
+    * 5%-of-annual-revenue band. Exactness: with S_t the cents prefix
+    * sum, T the year total and n the day count, n·CUSUM_t = n·S_t −
+    * t·T is a pure LONG, so the argmax, the flag count
+    * (20·|num| > n·T) and the tie-break (earliest day) are integer
+    * compares; the readout is one double division by n. Scale: the
+    * only data-scale work is the day-level cents aggregation
+    * (map-side combined); every window is partitioned by year over
+    * the ~365-row daily frame, and the year-totals join is a
+    * broadcast of a years-sized frame.
+    */
+  val q122CusumChangepoint = GraftQuery(
+    "q122_cusum_changepoint",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val daily = t.orders
+        .groupBy(year(col("o_orderdate")).cast("long").as("yr"),
+          to_date(col("o_orderdate")).as("day"))
+        .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
+      val tot = daily.groupBy(col("yr"))
+        .agg(count(lit(1)).as("n_days"), sum(col("cents")).as("total_cents"))
+      val wRun = Window.partitionBy(col("yr")).orderBy(col("day"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val num = daily
+        .join(broadcast(tot), Seq("yr"))
+        .withColumn("t", row_number().over(
+          Window.partitionBy(col("yr")).orderBy(col("day"))).cast("long"))
+        .withColumn("s", sum(col("cents")).over(wRun))
+        .withColumn("num",
+          col("n_days") * col("s") - col("t") * col("total_cents"))
+        .cache()
+      val peaks = num.groupBy(col("yr"))
+        .agg(first(col("n_days")).as("n_days"),
+          first(col("total_cents")).as("total_cents"),
+          max(abs(col("num"))).as("max_abs_num"),
+          sum(when(abs(col("num")) * 20L > col("n_days") * col("total_cents"),
+            1L).otherwise(0L)).as("n_breach_days"))
+      peaks
+        .join(num.select(col("yr"), col("day"), abs(col("num")).as("a")),
+          Seq("yr"))
+        .filter(col("a") === col("max_abs_num"))
+        .groupBy(col("yr"), col("n_days"), col("total_cents"),
+          col("max_abs_num"), col("n_breach_days"))
+        .agg(min(col("day")).as("cpd"))
+        .select(col("yr"), col("n_days"), col("total_cents"),
+          (col("max_abs_num").cast(DoubleType) /
+            col("n_days").cast(DoubleType)).as("max_abs_cusum"),
+          date_format(col("cpd"), "yyyy-MM-dd").as("changepoint_day"),
+          col("n_breach_days"))
+        .orderBy(col("yr"))
+    },
+    Some("""
+      WITH daily AS (
+        SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
+               CAST(o_orderdate AS DATE) AS day,
+               CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                 AS cents
+        FROM orders GROUP BY 1, 2),
+      tot AS (
+        SELECT yr, CAST(COUNT(*) AS BIGINT) AS n_days,
+               CAST(SUM(cents) AS BIGINT) AS total_cents
+        FROM daily GROUP BY 1),
+      c AS (
+        SELECT d.yr, d.day, t.n_days, t.total_cents,
+               CAST(row_number() OVER (PARTITION BY d.yr ORDER BY d.day)
+                 AS BIGINT) AS t,
+               CAST(SUM(d.cents) OVER (PARTITION BY d.yr ORDER BY d.day
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                 AS s
+        FROM daily d JOIN tot t ON t.yr = d.yr),
+      n AS (
+        SELECT yr, day, n_days, total_cents,
+               ABS(n_days * s - t * total_cents) AS a
+        FROM c),
+      p AS (
+        SELECT yr, n_days, total_cents,
+               CAST(MAX(a) AS BIGINT) AS max_abs_num,
+               CAST(SUM(CASE WHEN a * 20 > n_days * total_cents
+                 THEN 1 ELSE 0 END) AS BIGINT) AS n_breach_days
+        FROM n GROUP BY 1, 2, 3)
+      SELECT p.yr, p.n_days, p.total_cents,
+             CAST(p.max_abs_num AS DOUBLE) / CAST(p.n_days AS DOUBLE)
+               AS max_abs_cusum,
+             CAST(MIN(n.day) AS VARCHAR) AS changepoint_day,
+             p.n_breach_days
+      FROM p JOIN n ON n.yr = p.yr AND n.a = p.max_abs_num
+      GROUP BY p.yr, p.n_days, p.total_cents, p.max_abs_num, p.n_breach_days
+      ORDER BY 1
+    """)
+  )
+
+  /** Top-k customers counted into the concentration ratio. */
+  val ConcentrationTopK = 4
+
+  /** Market-concentration profile per customer segment: the
+    * Herfindahl–Hirschman index Σ shareᵢ² of lifetime revenue across a
+    * segment's customers plus the CR-k concentration ratio (revenue
+    * share of the top-k customers) — the antitrust/portfolio
+    * concentration readout, and the "is one customer carrying this
+    * segment" health check. Exactness: HHI = Σ centsᵢ² / T² with the
+    * numerator summed in DECIMAL(38,0) (cents² ≈ 10¹⁴ per customer —
+    * far inside 38 digits at any segment size) and ONE double division
+    * of two exactly-rendered operands; CR-k's top-k is integer-ranked
+    * with custkey tie-break, its share one division of exact longs.
+    * Scale: per-customer rollup is the one data-scale shuffle
+    * (map-side combined); the rank window runs per segment over the
+    * customer-sized aggregate, and the segment totals re-aggregate
+    * that same frame — nothing row-scale crosses an executor twice.
+    */
+  val q123HhiConcentration = GraftQuery(
+    "q123_hhi_concentration",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val perCust = t.orders
+        .join(broadcast(t.customer.select(col("c_custkey"),
+          col("c_mktsegment"))), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment"), col("o_custkey"))
+        .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
+      val ranked = perCust.withColumn("rk", row_number().over(
+        Window.partitionBy(col("c_mktsegment"))
+          .orderBy(col("cents").desc, col("o_custkey"))))
+      ranked
+        .groupBy(col("c_mktsegment").as("segment"))
+        .agg(count(lit(1)).as("n_customers"),
+          sum(col("cents")).as("total_cents"),
+          sum(col("cents").cast(DecimalType(38, 0)) * col("cents"))
+            .as("sum_sq"),
+          sum(when(col("rk") <= ConcentrationTopK, col("cents"))
+            .otherwise(0L)).as("topk_cents"))
+        .select(col("segment"), col("n_customers"), col("total_cents"),
+          (col("sum_sq").cast(DoubleType) /
+            (col("total_cents").cast(DecimalType(38, 0)) *
+              col("total_cents")).cast(DoubleType)).as("hhi"),
+          (col("topk_cents").cast(DoubleType) /
+            col("total_cents").cast(DoubleType)).as(s"cr$ConcentrationTopK"))
+        .orderBy(col("segment"))
+    },
+    Some(s"""
+      WITH pc AS (
+        SELECT c.c_mktsegment AS segment, o.o_custkey,
+               CAST(SUM(CAST(round(o.o_totalprice * 100) AS BIGINT))
+                 AS BIGINT) AS cents
+        FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+        GROUP BY 1, 2),
+      rk AS (
+        SELECT segment, cents,
+               row_number() OVER (PARTITION BY segment
+                 ORDER BY cents DESC, o_custkey) AS rk
+        FROM pc)
+      SELECT segment, CAST(COUNT(*) AS BIGINT) AS n_customers,
+             CAST(SUM(cents) AS BIGINT) AS total_cents,
+             CAST(CAST(SUM(CAST(cents AS HUGEINT) * cents)
+                 AS VARCHAR) AS DOUBLE)
+               / CAST(CAST(CAST(SUM(cents) AS HUGEINT)
+                   * SUM(cents) AS VARCHAR) AS DOUBLE)
+               AS hhi,
+             CAST(SUM(CASE WHEN rk <= $ConcentrationTopK THEN cents
+                 ELSE 0 END) AS DOUBLE)
+               / CAST(SUM(cents) AS DOUBLE) AS cr$ConcentrationTopK
+      FROM rk
+      GROUP BY segment
+      ORDER BY segment
+    """)
+  )
+
   /** Lorenz curve / grouped Gini of customer lifetime revenue per
     * market segment, at 2¹⁶-cent bucket granularity: cumulative
     * customer share vs cumulative revenue share along the sorted
@@ -2823,5 +2991,6 @@ object Analytics {
       q92SurvivalKm, q93RocAuc, q96ChiSquare, q97MaxDrawdown,
       q98LorenzGini, q99PrCurve, q105KsTest, q106BenfordProfile,
       q113KAnonymity, q114DowHourHeatmap, q116CorrMatrix, q117OlsTrend,
-      q120LDiversity, q121TCloseness)
+      q120LDiversity, q121TCloseness, q122CusumChangepoint,
+      q123HhiConcentration)
 }

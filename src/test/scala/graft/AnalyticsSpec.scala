@@ -852,4 +852,71 @@ class AnalyticsSpec extends AnyFunSuite {
       assert(got(k)._2 >= 0.0 && got(k)._2 <= 1.0, s"tvd range for $k")
     }
   }
+
+  test("cusum changepoint: peak and breach count match dense walk") {
+    val t = graft.sources.Tables(spark, sf)
+    val daily = t.orders
+      .select(year(col("o_orderdate")).as("yr"),
+        to_date(col("o_orderdate")).as("day"),
+        round(col("o_totalprice") * 100).cast("long").as("c"))
+      .collect()
+      .groupBy(r => (r.getInt(0), r.getDate(1)))
+      .map { case ((yr, d), rs) => (yr, d, rs.map(_.getLong(2)).sum) }
+      .toSeq
+    val want = daily.groupBy(_._1).map { case (yr, ds) =>
+      val sorted = ds.sortBy(_._2.toString)
+      val n = sorted.length.toLong
+      val tot = sorted.map(_._3).sum
+      var s = 0L
+      val nums = sorted.zipWithIndex.map { case ((_, d, c), i) =>
+        s += c; (d, math.abs(n * s - (i + 1).toLong * tot))
+      }
+      val maxAbs = nums.map(_._2).max
+      val cpDay = nums.filter(_._2 == maxAbs).map(_._1.toString).min
+      val breaches = nums.count { case (_, a) => a * 20L > n * tot }
+      yr.toLong -> (n, tot, maxAbs.toDouble / n.toDouble, cpDay, breaches.toLong)
+    }
+    val rows = SparkEntry.queries("q122_cusum_changepoint")(spark, sf).collect()
+    assert(rows.map(_.getLong(0)).toSet == want.keySet, "year set")
+    rows.foreach { r =>
+      val (n, tot, mx, cp, br) = want(r.getLong(0))
+      assert(r.getLong(1) == n && r.getLong(2) == tot, s"totals yr ${r.getLong(0)}")
+      assert(r.getDouble(3) == mx, s"peak cusum yr ${r.getLong(0)}")
+      assert(r.getString(4) == cp, s"changepoint day yr ${r.getLong(0)}")
+      assert(r.getLong(5) == br, s"breach count yr ${r.getLong(0)}")
+    }
+  }
+
+  test("hhi concentration: dense BigInt recompute, bounds and CR-k") {
+    val t = graft.sources.Tables(spark, sf)
+    val seg = t.customer.select(col("c_custkey"), col("c_mktsegment"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val perCust = t.orders
+      .select(col("o_custkey"), round(col("o_totalprice") * 100)
+        .cast("long").as("c"))
+      .collect()
+      .groupBy(r => (seg(r.getLong(0)), r.getLong(0)))
+      .map { case ((sg, ck), rs) => (sg, ck, rs.map(_.getLong(1)).sum) }
+      .toSeq
+    val want = perCust.groupBy(_._1).map { case (sg, cs) =>
+      val tot = cs.map(_._3).sum
+      val sumSq = cs.map(c => BigInt(c._3) * BigInt(c._3)).sum
+      val topk = cs.sortBy(c => (-c._3, c._2))
+        .take(operators.Analytics.ConcentrationTopK).map(_._3).sum
+      sg -> (cs.length.toLong, tot,
+        BigDecimal(sumSq).toDouble / BigDecimal(BigInt(tot) * BigInt(tot)).toDouble,
+        topk.toDouble / tot.toDouble)
+    }
+    val rows = SparkEntry.queries("q123_hhi_concentration")(spark, sf).collect()
+    assert(rows.map(_.getString(0)).toSet == want.keySet, "segment set")
+    rows.foreach { r =>
+      val (n, tot, hhi, crk) = want(r.getString(0))
+      assert(r.getLong(1) == n && r.getLong(2) == tot, s"totals ${r.getString(0)}")
+      assert(r.getDouble(3) == hhi, s"hhi ${r.getString(0)}")
+      assert(r.getDouble(4) == crk, s"cr-k ${r.getString(0)}")
+      // 1/n ≤ HHI ≤ 1, CR-k within (0, 1]
+      assert(hhi >= 1.0 / n && hhi <= 1.0, s"hhi bounds ${r.getString(0)}")
+      assert(crk > 0.0 && crk <= 1.0, s"cr-k bounds ${r.getString(0)}")
+    }
+  }
 }
