@@ -386,7 +386,93 @@ object MLQueries {
     """)
   )
 
+  /** Quantization denominator for the calibration score (1e-6 grid). */
+  val CalibScale = 1000000L
+
+  /** Number of reliability-diagram bins. */
+  val CalibBins = 10L
+
+  /** Reliability diagram + per-bin Brier score — the model-evaluation
+    * op every scored pipeline needs (sklearn's `calibration_curve` /
+    * `brier_score_loss`, binned): a per-user propensity score
+    * (clicks / (views+1), the add-one CTR) against the observed
+    * purchase outcome, bucketed into deciles of predicted probability.
+    * A calibrated score has mean_pred ≈ obs_rate per bin; the Brier
+    * column decomposes the gap. Exactness: the score is quantized to
+    * the 1e-6 integer grid with a TRUE integer division (`div`, never
+    * floor-of-double), so bins, Σpred, and the squared-error sums are
+    * pure integers — DECIMAL(38)-summed against overflow at corpus
+    * user counts — and each output is ONE double division of
+    * correctly-rounded operands. Scale: one map-side-combined
+    * per-user aggregation (the only data-scale shuffle) then a
+    * ≤10-row bin rollup.
+    */
+  val mlCalibrationBins = GraftQuery(
+    "ml_calibration_bins",
+    (s, dir) => {
+      import org.apache.spark.sql.types.{DecimalType, DoubleType}
+      val t = Tables(s, dir)
+      val binWidth = CalibScale / CalibBins
+      val perUser = t.events
+        .groupBy(col("user_id"))
+        .agg(
+          sum(when(col("event_type") === "view", 1L).otherwise(0L)).as("v"),
+          sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("c"),
+          max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+            .as("y"))
+        .withColumn("pred_q",
+          least(expr(s"($CalibScale * c) div (v + 1)"), lit(CalibScale)))
+        .withColumn("bin",
+          least(expr(s"pred_q div $binWidth"), lit(CalibBins - 1L)))
+        .withColumn("err", col("pred_q") - lit(CalibScale) * col("y"))
+      perUser.groupBy(col("bin"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("pred_q")).as("sum_pred_q"),
+          sum(col("y")).as("n_pos"),
+          sum(col("err").cast(DecimalType(38, 0)) * col("err")).as("sq"))
+        .select(col("bin"), col("n"),
+          (col("sum_pred_q").cast(DoubleType) /
+            (col("n").cast(DecimalType(38, 0)) * lit(CalibScale))
+              .cast(DoubleType)).as("mean_pred"),
+          (col("n_pos").cast(DoubleType) / col("n").cast(DoubleType))
+            .as("obs_rate"),
+          (col("sq").cast(DoubleType) /
+            (col("n").cast(DecimalType(38, 0)) * lit(CalibScale) *
+              lit(CalibScale)).cast(DoubleType)).as("brier"))
+        .orderBy(col("bin"))
+    },
+    Some(s"""
+      WITH pu AS (
+        SELECT user_id,
+               CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                 AS BIGINT) AS v,
+               CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                 AS BIGINT) AS c,
+               CAST(MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                 AS BIGINT) AS y
+        FROM events GROUP BY 1),
+      q AS (
+        SELECT LEAST(($CalibScale * c) // (v + 1), $CalibScale) AS pred_q, y
+        FROM pu),
+      b AS (
+        SELECT LEAST(pred_q // ${CalibScale / CalibBins}, ${CalibBins - 1})
+                 AS bin,
+               pred_q, y
+        FROM q)
+      SELECT CAST(bin AS BIGINT) AS bin, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(CAST(SUM(pred_q) AS VARCHAR) AS DOUBLE)
+               / CAST(CAST(CAST(COUNT(*) AS HUGEINT) * $CalibScale
+                   AS VARCHAR) AS DOUBLE) AS mean_pred,
+             CAST(SUM(y) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS obs_rate,
+             CAST(CAST(SUM(CAST(pred_q - $CalibScale * y AS HUGEINT)
+                   * (pred_q - $CalibScale * y)) AS VARCHAR) AS DOUBLE)
+               / CAST(CAST(CAST(COUNT(*) AS HUGEINT) * $CalibScale
+                   * $CalibScale AS VARCHAR) AS DOUBLE) AS brier
+      FROM b GROUP BY 1 ORDER BY 1
+    """)
+  )
+
   def all: Seq[GraftQuery] =
     Seq(mlBinary, mlRegression, mlMulticlass, mlCvKfold, mlTextClassifier,
-      mlCvRollingOrigin)
+      mlCvRollingOrigin, mlCalibrationBins)
 }

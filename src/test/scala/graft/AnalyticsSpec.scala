@@ -919,4 +919,41 @@ class AnalyticsSpec extends AnyFunSuite {
       assert(crk > 0.0 && crk <= 1.0, s"cr-k bounds ${r.getString(0)}")
     }
   }
+
+  test("calibration bins: integer-grid recompute, Brier and rates exact") {
+    import graft.ml.MLQueries.{CalibBins, CalibScale}
+    val t = graft.sources.Tables(spark, sf)
+    val perUser = t.events.select(col("user_id"), col("event_type"))
+      .collect().groupBy(_.getLong(0)).map { case (_, rs) =>
+        val tys = rs.map(_.getString(1))
+        val v = tys.count(_ == "view").toLong
+        val c = tys.count(_ == "click").toLong
+        val y = if (tys.contains("purchase")) 1L else 0L
+        val predQ = math.min(CalibScale * c / (v + 1), CalibScale)
+        val bin = math.min(predQ / (CalibScale / CalibBins), CalibBins - 1)
+        (bin, predQ, y)
+      }.toSeq
+    val want = perUser.groupBy(_._1).map { case (bin, us) =>
+      val n = us.length.toLong
+      val sumPred = us.map(_._2).sum
+      val nPos = us.map(_._3).sum
+      val sq = us.map(u => BigInt(u._2 - CalibScale * u._3).pow(2)).sum
+      bin -> (n,
+        sumPred.toDouble / BigDecimal(BigInt(n) * CalibScale).toDouble,
+        nPos.toDouble / n.toDouble,
+        BigDecimal(sq).toDouble /
+          BigDecimal(BigInt(n) * CalibScale * CalibScale).toDouble)
+    }
+    val rows = SparkEntry.queries("ml_calibration_bins")(spark, sf).collect()
+    assert(rows.map(_.getLong(0)).toSet == want.keySet, "bin set")
+    rows.foreach { r =>
+      val (n, mp, or_, br) = want(r.getLong(0))
+      assert(r.getLong(1) == n, s"n bin ${r.getLong(0)}")
+      assert(r.getDouble(2) == mp, s"mean_pred bin ${r.getLong(0)}")
+      assert(r.getDouble(3) == or_, s"obs_rate bin ${r.getLong(0)}")
+      assert(r.getDouble(4) == br, s"brier bin ${r.getLong(0)}")
+      assert(mp >= 0.0 && mp <= 1.0 && or_ >= 0.0 && or_ <= 1.0 &&
+        br >= 0.0 && br <= 1.0, s"ranges bin ${r.getLong(0)}")
+    }
+  }
 }
