@@ -434,4 +434,37 @@ class GraphSpec extends AnyFunSuite {
     assert(got == want, "capped common-neighbor top pairs")
     assert(centers.nonEmpty, "hub cap must admit some centers at this SF")
   }
+
+  test("clustering coefficient: per-node triangles match dense recompute") {
+    val t = graft.sources.Tables(spark, sf)
+    val items = t.lineitem.select(col("l_orderkey"), col("l_partkey"))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+    val edges = items.groupBy(_._1).values.flatMap { os =>
+      val ps = os.map(_._2).distinct.sorted
+      for (i <- ps.indices; j <- (i + 1) until ps.length) yield (ps(i), ps(j))
+    }.toSet
+    val adj = scala.collection.mutable.Map.empty[Long, Set[Long]]
+      .withDefaultValue(Set.empty)
+    edges.foreach { case (a, b) => adj(a) += b; adj(b) += a }
+    val want = adj.map { case (v, ns) =>
+      val nbrs = ns.toSeq.sorted
+      var tri = 0L
+      for (i <- nbrs.indices; j <- (i + 1) until nbrs.length)
+        if (adj(nbrs(i))(nbrs(j))) tri += 1L
+      val d = ns.size.toLong
+      val cc = if (d < 2) 0.0 else (2L * tri).toDouble / (d * (d - 1)).toDouble
+      v -> (d, tri, cc)
+    }.toMap
+    val rows = SparkEntry.queries("graph_clustering_coeff")(spark, sf).collect()
+    assert(rows.map(_.getLong(0)).toSet == want.keySet, "node set")
+    rows.foreach { r =>
+      val (d, tri, cc) = want(r.getLong(0))
+      assert(r.getLong(1) == d, s"degree node ${r.getLong(0)}")
+      assert(r.getLong(2) == tri, s"triangles node ${r.getLong(0)}")
+      assert(r.getDouble(3) == cc, s"local_cc node ${r.getLong(0)}")
+    }
+    // triangle-sum identity vs the global count: Σ_v T_v = 3·triangles
+    val totalTri = want.values.map(_._2).sum
+    assert(totalTri % 3 == 0, "corner counts come in threes")
+  }
 }
