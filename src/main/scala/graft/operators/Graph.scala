@@ -1230,6 +1230,113 @@ object Graph {
     """)
   )
 
+  /** HITS iteration count. */
+  val HitsIters = 4
+
+  /** HITS (hubs & authorities) over a BIPARTITE edge frame (c, p):
+    * hub(c) and auth(p) start uniform; each round flows hub mass along
+    * edges into raw authority scores, L1-normalizes, then flows back.
+    * Exactness discipline matches PageRank: every message is quantized
+    * to 10⁻¹⁸ and accumulated as two long limbs (order-free, codegen-
+    * friendly), per-node raw scores stay ≤ 10¹⁸ because the source
+    * vector is L1-normalized, the global normalizer is a DECIMAL(38)
+    * sum of those exact longs (Σ_c hub·deg can pass 2⁶³), and each
+    * score is ONE division of exact operands — bit-stable regardless
+    * of partition count. One broadcast join + one map-side-combined
+    * aggregation per direction per round; localCheckpoint truncates
+    * the iterative lineage.
+    */
+  private[graft] def hits(
+      s: SparkSession, edges: DataFrame, iters: Int): (DataFrame, DataFrame) = {
+    val nC = edges.select(col("c")).distinct().count()
+    var hub = edges.select(col("c")).distinct()
+      .select(col("c"), lit(1.0 / nC).as("score"))
+    var auth: DataFrame = null
+    def flow(src: DataFrame, from: String, to: String): DataFrame = {
+      val q = round(col("score") * PrScale).cast("long")
+      val raw = edges
+        .join(broadcast(src), Seq(from))
+        .select(col(to), shiftright(q, 30).as("hi"), (q % PrLimb).as("lo"))
+        .groupBy(col(to))
+        .agg((sum(col("hi")) * PrLimb + sum(col("lo"))).as("raw"))
+        .cache()
+      val tot = raw.agg(sum(col("raw").cast(DecimalType(38, 0))).as("t"))
+      val out = raw.crossJoin(broadcast(tot))
+        .select(col(to),
+          (col("raw").cast(DoubleType) / col("t").cast(DoubleType))
+            .as("score"))
+        .localCheckpoint()
+      raw.unpersist(false)
+      out
+    }
+    for (_ <- 1 to iters) {
+      auth = flow(hub, "c", "p")
+      hub = flow(auth, "p", "c")
+    }
+    (hub, auth)
+  }
+
+  /** HITS on the customer→part purchase bipartite graph, gate-hashed
+    * like graph_pagerank: the oracle pins the exact graph shape
+    * (customer/part/edge counts, the max-degree customer with id
+    * tie-break) while the score vectors' invariants ride as
+    * Spark-verified booleans (both L1 sums at 1 within 1e-9, strict
+    * positivity — every node touches ≥1 edge). Score VALUES are
+    * pinned by GraphSpec against a dense in-memory iteration and an
+    * analytic star case, since no SQL engine can restate the
+    * fixpoint.
+    */
+  val graphHits = GraftQuery(
+    "graph_hits",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val edges = t.orders.select(col("o_orderkey"), col("o_custkey"))
+        .join(t.lineitem.select(col("l_orderkey"), col("l_partkey")),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("c"), col("l_partkey").as("p"))
+        .distinct()
+        .cache()
+      val (hub, auth) = hits(s, edges, HitsIters)
+      val shape = edges.agg(count(lit(1)).as("n_edges"),
+        countDistinct(col("c")).as("n_custs"),
+        countDistinct(col("p")).as("n_parts"))
+      val topCust = edges.groupBy(col("c")).agg(count(lit(1)).as("cdeg"))
+        .orderBy(col("cdeg").desc, col("c"))
+        .limit(1)
+        .select(col("c").as("top_cust"), col("cdeg").as("top_cust_degree"))
+      val gates = hub.agg(
+          (abs(sum(col("score")) - 1.0) < lit(1e-9)).as("hub_sum_ok"),
+          (min(col("score")) > lit(0.0)).as("hub_positive_ok"))
+        .crossJoin(auth.agg(
+          (abs(sum(col("score")) - 1.0) < lit(1e-9)).as("auth_sum_ok"),
+          (min(col("score")) > lit(0.0)).as("auth_positive_ok")))
+      val out = shape.crossJoin(broadcast(topCust)).crossJoin(gates)
+        .select(col("n_custs"), col("n_parts"), col("n_edges"),
+          col("top_cust"), col("top_cust_degree"),
+          col("hub_sum_ok"), col("hub_positive_ok"),
+          col("auth_sum_ok"), col("auth_positive_ok"))
+      out.persist().count()
+      edges.unpersist(false)
+      out
+    },
+    Some("""
+      WITH ed AS (
+        SELECT DISTINCT o.o_custkey AS c, l.l_partkey AS p
+        FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey),
+      cd AS (SELECT c, COUNT(*) AS cdeg FROM ed GROUP BY c),
+      top AS (SELECT c AS top_cust, cdeg AS top_cust_degree
+              FROM cd ORDER BY cdeg DESC, c LIMIT 1)
+      SELECT (SELECT CAST(COUNT(DISTINCT c) AS BIGINT) FROM ed) AS n_custs,
+             (SELECT CAST(COUNT(DISTINCT p) AS BIGINT) FROM ed) AS n_parts,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM ed) AS n_edges,
+             (SELECT top_cust FROM top) AS top_cust,
+             (SELECT CAST(top_cust_degree AS BIGINT) FROM top)
+               AS top_cust_degree,
+             TRUE AS hub_sum_ok, TRUE AS hub_positive_ok,
+             TRUE AS auth_sum_ok, TRUE AS auth_positive_ok
+    """)
+  )
+
   /** Max degree a wedge CENTER may have in the full-corpus link
     * prediction. Bounds the wedge product at Σ_{d(z)≤cap} d(z)² ≤
     * |V|·cap² — the same df-cap move the n-gram dedup uses — and
@@ -1303,5 +1410,5 @@ object Graph {
       graphPagerankWeighted, graphCustomerSimilarity, graphCommunities,
       graphHierarchyRollup, graphBfsLevels, graphLinkPrediction,
       graphKcore, graphAssortativity, graphKtruss,
-      graphLinkPredictionGlobal, graphClusteringCoeff)
+      graphLinkPredictionGlobal, graphClusteringCoeff, graphHits)
 }

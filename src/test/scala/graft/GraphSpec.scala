@@ -467,4 +467,50 @@ class GraphSpec extends AnyFunSuite {
     val totalTri = want.values.map(_._2).sum
     assert(totalTri % 3 == 0, "corner counts come in threes")
   }
+
+  test("HITS: star case analytic; corpus scores match dense iteration") {
+    // one customer buying 4 parts: hub = 1, each auth = 1/4, stable
+    val star = Seq((1L, 10L), (1L, 11L), (1L, 12L), (1L, 13L)).toDF("c", "p")
+    val (hubS, authS) = Graph.hits(spark, star, Graph.HitsIters)
+    val hs = hubS.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val as0 = authS.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(hs.keySet == Set(1L) && math.abs(hs(1L) - 1.0) < 1e-12, "star hub")
+    assert(as0.size == 4 && as0.values.forall(v => math.abs(v - 0.25) < 1e-12),
+      "star auths")
+
+    val t = graft.sources.Tables(spark, sf)
+    val edges = t.orders.select(col("o_orderkey"), col("o_custkey"))
+      .join(t.lineitem.select(col("l_orderkey"), col("l_partkey")),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey"), col("l_partkey")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val custs = edges.map(_._1).distinct
+    var hub = custs.map(_ -> 1.0 / custs.length).toMap
+    var auth = Map.empty[Long, Double]
+    for (_ <- 1 to Graph.HitsIters) {
+      val araw = edges.groupBy(_._2).map { case (p, es) =>
+        p -> es.map(e => hub(e._1)).sum }
+      val at = araw.values.sum
+      auth = araw.map { case (p, v) => p -> v / at }
+      val hraw = edges.groupBy(_._1).map { case (c, es) =>
+        c -> es.map(e => auth(e._2)).sum }
+      val ht = hraw.values.sum
+      hub = hraw.map { case (c, v) => c -> v / ht }
+    }
+    val df = t.orders.select(col("o_orderkey"), col("o_custkey"))
+      .join(t.lineitem.select(col("l_orderkey"), col("l_partkey")),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("c"), col("l_partkey").as("p")).distinct()
+    val (hubG, authG) = Graph.hits(spark, df, Graph.HitsIters)
+    val gh = hubG.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val ga = authG.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(gh.keySet == hub.keySet && ga.keySet == auth.keySet, "node sets")
+    hub.foreach { case (c, v) =>
+      assert(math.abs(gh(c) - v) < 1e-9, s"hub $c") }
+    auth.foreach { case (p, v) =>
+      assert(math.abs(ga(p) - v) < 1e-9, s"auth $p") }
+    // L1 invariants after the final normalization
+    assert(math.abs(gh.values.sum - 1.0) < 1e-9, "hub L1")
+    assert(math.abs(ga.values.sum - 1.0) < 1e-9, "auth L1")
+  }
 }
