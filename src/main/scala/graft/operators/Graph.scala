@@ -855,6 +855,85 @@ object Graph {
     """)
   )
 
+  /** Landmarks scored by the closeness query (top-degree, id
+    * tie-break). */
+  val ClosenessLandmarks = 4
+
+  /** Hop horizon for bounded closeness — both engines state the same
+    * bounded-exploration semantics (the graph_bfs_levels discipline).
+    */
+  val ClosenessHorizon = 4L
+
+  /** Bounded-horizon closeness centrality from the top-degree
+    * landmarks: multi-source BFS carrying a landmark column, closeness
+    * = (reached−1)/Σdist over everything within [[ClosenessHorizon]]
+    * hops. Horizon-bounded closeness is the variant that actually runs
+    * at scale (exact closeness needs diameter rounds of global
+    * frontier expansion per source; landmark services bound the
+    * radius), and on this dense co-purchase graph (min degree ≈ 87)
+    * the horizon covers the giant component anyway. Per round: one
+    * frontier⋈edges equi-join + distinct + anti-join against the
+    * (|landmarks|·|V|)-bounded visited frame, localCheckpointed. The
+    * readout is ONE division of exact longs. The DuckDB oracle is the
+    * WITH RECURSIVE bfs + MIN(dist) spelling with the same horizon.
+    */
+  val graphCloseness = GraftQuery(
+    "graph_closeness",
+    (s, dir) => {
+      val (_, sym) = copurchaseGraphShared(s, dir)
+      val deg = sym.groupBy(col("u")).agg(count(lit(1)).as("d"))
+      val lms = deg.orderBy(col("d").desc, col("u"))
+        .limit(ClosenessLandmarks).select(col("u").as("lm"))
+      var frontier = lms
+        .select(col("lm"), col("lm").as("node"), lit(0L).as("dist"))
+        .localCheckpoint(true)
+      var visited = frontier
+      var depth = 0L
+      var more = true
+      while (more && depth < ClosenessHorizon) {
+        depth += 1
+        frontier = frontier.join(sym, frontier("node") === sym("u"))
+          .select(col("lm"), sym("v").as("node")).distinct()
+          .join(visited.select(col("lm"), col("node")),
+            Seq("lm", "node"), "left_anti")
+          .select(col("lm"), col("node"), lit(depth).as("dist"))
+          .localCheckpoint(true)
+        more = !frontier.isEmpty
+        if (more) visited = visited.union(frontier).localCheckpoint(true)
+      }
+      visited.groupBy(col("lm").as("landmark"))
+        .agg(count(lit(1)).as("n_reached"), sum(col("dist")).as("sum_dist"))
+        .select(col("landmark"), col("n_reached"), col("sum_dist"),
+          when(col("sum_dist") === 0L, lit(0.0)).otherwise(
+            (col("n_reached") - 1).cast(DoubleType) /
+              col("sum_dist").cast(DoubleType)).as("closeness"))
+        .orderBy(col("landmark"))
+    },
+    Some(s"""
+      WITH RECURSIVE items AS (
+        SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+      e AS (SELECT a.p AS pa, b.p AS pb FROM items a
+            JOIN items b ON a.o = b.o AND a.p < b.p GROUP BY 1, 2),
+      sym AS (SELECT pa AS u, pb AS v FROM e UNION ALL SELECT pb, pa FROM e),
+      deg AS (SELECT u, COUNT(*) AS d FROM sym GROUP BY u),
+      lm AS (SELECT u AS lm FROM deg ORDER BY d DESC, u
+             LIMIT $ClosenessLandmarks),
+      bfs AS (
+        SELECT lm, lm AS node, CAST(0 AS BIGINT) AS dist FROM lm
+        UNION
+        SELECT b.lm, s.v, b.dist + 1
+        FROM bfs b JOIN sym s ON s.u = b.node
+        WHERE b.dist < $ClosenessHorizon),
+      d AS (SELECT lm, node, MIN(dist) AS dist FROM bfs GROUP BY 1, 2)
+      SELECT lm AS landmark, CAST(COUNT(*) AS BIGINT) AS n_reached,
+             CAST(SUM(dist) AS BIGINT) AS sum_dist,
+             CASE WHEN SUM(dist) = 0 THEN 0.0
+                  ELSE CAST(COUNT(*) - 1 AS DOUBLE)
+                       / CAST(SUM(dist) AS DOUBLE) END AS closeness
+      FROM d GROUP BY lm ORDER BY lm
+    """)
+  )
+
   /** Link prediction by common-neighbor counting for a QUERY set of
     * parts (every 100th part id): candidate b scores cn = |Γ(a)∩Γ(b)|
     * wedges through shared neighbors, already-adjacent pairs are
@@ -1410,5 +1489,6 @@ object Graph {
       graphPagerankWeighted, graphCustomerSimilarity, graphCommunities,
       graphHierarchyRollup, graphBfsLevels, graphLinkPrediction,
       graphKcore, graphAssortativity, graphKtruss,
-      graphLinkPredictionGlobal, graphClusteringCoeff, graphHits)
+      graphLinkPredictionGlobal, graphClusteringCoeff, graphHits,
+      graphCloseness)
 }

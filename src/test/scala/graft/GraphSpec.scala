@@ -513,4 +513,41 @@ class GraphSpec extends AnyFunSuite {
     assert(math.abs(gh.values.sum - 1.0) < 1e-9, "hub L1")
     assert(math.abs(ga.values.sum - 1.0) < 1e-9, "auth L1")
   }
+
+  test("closeness: bounded BFS distances match dense recompute") {
+    val t = graft.sources.Tables(spark, sf)
+    val items = t.lineitem.select(col("l_orderkey"), col("l_partkey"))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+    val edges = items.groupBy(_._1).values.flatMap { os =>
+      val ps = os.map(_._2).distinct.sorted
+      for (i <- ps.indices; j <- (i + 1) until ps.length) yield (ps(i), ps(j))
+    }.toSet
+    val adj = scala.collection.mutable.Map.empty[Long, Set[Long]]
+      .withDefaultValue(Set.empty)
+    edges.foreach { case (a, b) => adj(a) += b; adj(b) += a }
+    val lms = adj.toSeq.map { case (u, ns) => (u, ns.size) }
+      .sortBy { case (u, d) => (-d, u) }.take(Graph.ClosenessLandmarks)
+      .map(_._1)
+    val want = lms.map { lm =>
+      var dist = Map(lm -> 0L)
+      var frontier = Set(lm)
+      var d = 0L
+      while (frontier.nonEmpty && d < Graph.ClosenessHorizon) {
+        d += 1
+        frontier = frontier.flatMap(adj(_)).diff(dist.keySet)
+        dist ++= frontier.map(_ -> d)
+      }
+      val sumD = dist.values.sum
+      lm -> (dist.size.toLong, sumD,
+        if (sumD == 0L) 0.0 else (dist.size - 1).toDouble / sumD.toDouble)
+    }.toMap
+    val rows = SparkEntry.queries("graph_closeness")(spark, sf).collect()
+    assert(rows.map(_.getLong(0)).toSet == want.keySet, "landmark set")
+    rows.foreach { r =>
+      val (nr, sd, cl) = want(r.getLong(0))
+      assert(r.getLong(1) == nr, s"n_reached lm ${r.getLong(0)}")
+      assert(r.getLong(2) == sd, s"sum_dist lm ${r.getLong(0)}")
+      assert(r.getDouble(3) == cl, s"closeness lm ${r.getLong(0)}")
+    }
+  }
 }
