@@ -594,9 +594,66 @@ object TpchShapes {
     """)
   )
 
+  /** TPC-H Q20 shape (potential part promotion → restock candidates):
+    * suppliers whose 1997 shipped quantity of a name-sliced part
+    * family exceeds half their all-time shipped quantity of that part
+    * — the textbook's nested `IN (… IN (… correlated scalar agg))`
+    * chain, adapted to this schema (no partsupp: lineitem itself
+    * provides both sides of the correlated threshold, period vs
+    * all-time). The DuckDB oracle keeps the nested-IN spelling; the
+    * engine rewrites it into ONE conditional aggregation per
+    * (supplier, part) — both qty sums fall out of the same map-side-
+    * combined groupBy, the threshold is a pure-integer compare
+    * (quantities are integral by construction, 2·q97 > qtot), and the
+    * part slice broadcasts into the fact scan so non-matching rows
+    * drop at the first join. At 100 TB that's one shuffle on
+    * (suppkey, partkey) instead of the textbook's three correlated
+    * passes over the fact.
+    */
+  val q124RestockCandidates = GraftQuery(
+    "q124_restock_candidates",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val partSlice = t.part.filter(col("p_name").startsWith("small"))
+        .select(col("p_partkey"))
+      val sp = t.lineitem
+        .join(broadcast(partSlice), col("l_partkey") === col("p_partkey"))
+        .groupBy(col("l_suppkey"), col("l_partkey"))
+        .agg(
+          sum(when(year(col("l_shipdate")) === 1997,
+            col("l_quantity").cast("long")).otherwise(0L)).as("q97"),
+          sum(col("l_quantity").cast("long")).as("qtot"))
+        .filter(lit(2L) * col("q97") > col("qtot"))
+      sp.groupBy(col("l_suppkey"))
+        .agg(count(lit(1)).as("n_parts"), sum(col("q97")).as("qty_1997"))
+        .join(broadcast(t.supplier.select(col("s_suppkey"), col("s_name"))),
+          col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"), col("n_parts"),
+          col("qty_1997"))
+        .orderBy(col("s_suppkey"))
+    },
+    Some("""
+      SELECT s.s_suppkey, s.s_name, CAST(COUNT(*) AS BIGINT) AS n_parts,
+             CAST(SUM(sp.q97) AS BIGINT) AS qty_1997
+      FROM supplier s JOIN (
+        SELECT l_suppkey, l_partkey,
+               SUM(CASE WHEN year(l_shipdate) = 1997
+                   THEN CAST(l_quantity AS BIGINT) ELSE 0 END) AS q97,
+               SUM(CAST(l_quantity AS BIGINT)) AS qtot
+        FROM lineitem
+        WHERE l_partkey IN (
+          SELECT p_partkey FROM part WHERE p_name LIKE 'small%')
+        GROUP BY 1, 2) sp ON sp.l_suppkey = s.s_suppkey
+      WHERE 2 * sp.q97 > sp.qtot
+      GROUP BY 1, 2
+      ORDER BY 1
+    """)
+  )
+
   def all: Seq[GraftQuery] =
     Seq(q100VolumeShipping, q101MarketShare, q102ReturnedItems,
       q103PromoRevenue, q104TopSupplier, q107ProductProfit,
       q108ShipDelayPriority, q109CustOrderDist, q110LargeOrders,
-      q111DisjunctiveRevenue, q112SupplierPartCounts)
+      q111DisjunctiveRevenue, q112SupplierPartCounts,
+      q124RestockCandidates)
 }

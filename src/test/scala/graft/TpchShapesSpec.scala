@@ -243,4 +243,33 @@ class TpchShapesSpec extends AnyFunSuite {
     // oracle gate; this SF may have no negative balances)
     assert(got == want, "supplier counts")
   }
+
+  test("Q20 restock candidates: correlated threshold recompute") {
+    val t = graft.sources.Tables(spark, sf)
+    val slice = t.part.filter(col("p_name").startsWith("small"))
+      .collect().map(_.getAs[Long]("p_partkey")).toSet
+    val names = t.supplier.collect()
+      .map(r => r.getAs[Long]("s_suppkey") -> r.getAs[String]("s_name")).toMap
+    val want = t.lineitem
+      .select(col("l_suppkey"), col("l_partkey"),
+        col("l_quantity").cast("long").as("q"), year(col("l_shipdate")).as("y"))
+      .collect()
+      .filter(r => slice(r.getLong(1)))
+      .groupBy(r => (r.getLong(0), r.getLong(1)))
+      .map { case ((sk, _), rs) =>
+        val q97 = rs.filter(_.getInt(3) == 1997).map(_.getLong(2)).sum
+        val qtot = rs.map(_.getLong(2)).sum
+        (sk, q97, qtot)
+      }
+      .filter { case (_, q97, qtot) => 2L * q97 > qtot }
+      .groupBy(_._1)
+      .map { case (sk, ps) =>
+        sk -> (names(sk), ps.size.toLong, ps.map(_._2).sum) }
+    val got = SparkEntry.queries("q124_restock_candidates")(spark, sf)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(got == want, "restock candidate set")
+    assert(want.nonEmpty, "slice must qualify some suppliers at this SF")
+  }
 }
