@@ -2774,6 +2774,158 @@ object Analytics {
     """)
   )
 
+  /** Distribution-free 95% confidence interval for the MEDIAN of
+    * customer lifetime revenue per market segment, from order
+    * statistics: ranks l = ⌊(n − 1.96√n)/2⌋ and u = ⌈1 + (n +
+    * 1.96√n)/2⌉ (clamped to [1, n]) bracket the median with ≥95%
+    * coverage by the binomial argument — no distributional assumption,
+    * the way a data profiler should report "the median is X ± what?".
+    * Exactness: cents are exact longs, the rank formulas are a fixed
+    * IEEE chain (sqrt/·/÷ all correctly rounded, so both engines floor
+    * the SAME double), and the three order statistics are picked by
+    * integer rank compares; the even-n median is (a+b)/2 of exact
+    * longs. Scale: one per-customer rollup (the only data-scale
+    * shuffle), then the rank window runs per segment over the
+    * customer-DIMENSION frame; at corpus scale the same three ranks
+    * come out of the q90 bucket drill-down instead of a sort.
+    */
+  val q125MedianCi = GraftQuery(
+    "q125_median_ci",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val perCust = t.orders
+        .join(broadcast(t.customer.select(col("c_custkey"),
+          col("c_mktsegment"))), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment").as("segment"), col("o_custkey"))
+        .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
+      val withN = perCust
+        .join(broadcast(perCust.groupBy(col("segment"))
+          .agg(count(lit(1)).as("n"))), Seq("segment"))
+        .withColumn("r", row_number().over(
+          Window.partitionBy(col("segment"))
+            .orderBy(col("cents"), col("o_custkey"))).cast("long"))
+      val nD = col("n").cast(DoubleType)
+      val lo = greatest(lit(1L),
+        floor((nD - lit(1.96) * sqrt(nD)) / lit(2.0)))
+      val hi = least(col("n"),
+        ceil(lit(1.0) + (nD + lit(1.96) * sqrt(nD)) / lit(2.0)))
+      withN
+        .withColumn("lo_rank", lo).withColumn("hi_rank", hi)
+        .groupBy(col("segment"))
+        .agg(first(col("n")).as("n_customers"),
+          sum(when(col("r") === col("lo_rank"), col("cents"))).as("ci_lo"),
+          sum(when(col("r") === col("hi_rank"), col("cents"))).as("ci_hi"),
+          (sum(when(col("r") === ((col("n") + 1L) / lit(2L)).cast("long"),
+            col("cents"))).cast(DoubleType) / lit(2.0) +
+            sum(when(col("r") === (col("n") / lit(2L)).cast("long") + 1L,
+              col("cents"))).cast(DoubleType) / lit(2.0)).as("median_cents"))
+        .select(col("segment"), col("n_customers"), col("median_cents"),
+          col("ci_lo"), col("ci_hi"))
+        .orderBy(col("segment"))
+    },
+    Some("""
+      WITH pc AS (
+        SELECT c.c_mktsegment AS segment, o.o_custkey,
+               CAST(SUM(CAST(round(o.o_totalprice * 100) AS BIGINT))
+                 AS BIGINT) AS cents
+        FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+        GROUP BY 1, 2),
+      rk AS (
+        SELECT segment, o_custkey, cents,
+               CAST(COUNT(*) OVER (PARTITION BY segment) AS BIGINT) AS n,
+               CAST(row_number() OVER (PARTITION BY segment
+                 ORDER BY cents, o_custkey) AS BIGINT) AS r
+        FROM pc),
+      b AS (
+        SELECT segment, cents, n, r,
+               GREATEST(1, CAST(FLOOR((CAST(n AS DOUBLE)
+                 - 1.96 * sqrt(CAST(n AS DOUBLE))) / 2.0) AS BIGINT))
+                 AS lo_rank,
+               LEAST(n, CAST(CEIL(1.0 + (CAST(n AS DOUBLE)
+                 + 1.96 * sqrt(CAST(n AS DOUBLE))) / 2.0) AS BIGINT))
+                 AS hi_rank
+        FROM rk)
+      SELECT segment, n AS n_customers,
+             CAST(SUM(CASE WHEN r = (n + 1) // 2 THEN cents END) AS DOUBLE)
+               / 2.0
+               + CAST(SUM(CASE WHEN r = n // 2 + 1 THEN cents END) AS DOUBLE)
+               / 2.0 AS median_cents,
+             CAST(SUM(CASE WHEN r = lo_rank THEN cents END) AS BIGINT)
+               AS ci_lo,
+             CAST(SUM(CASE WHEN r = hi_rank THEN cents END) AS BIGINT)
+               AS ci_hi
+      FROM b
+      GROUP BY segment, n
+      ORDER BY segment
+    """)
+  )
+
+  /** Two-proportion z-test between order cohorts — the A/B readout
+    * every experimentation pipeline ships: does the URGENT-priority
+    * cohort finalize (status F) at a different rate than the rest?
+    * z = (p₁ − p₂)/√(p̂(1−p̂)(1/n₁ + 1/n₂)) with p̂ the pooled rate.
+    * Exactness: the four cell counts are integers from ONE map-side-
+    * combined conditional aggregation; everything after is a fixed
+    * IEEE chain on those integers (÷, √, ×, − are all correctly
+    * rounded, so both engines produce the bit-identical z), and the
+    * significance flag compares that identical double against 1.96.
+    * Scale: one aggregation to a 1-row frame — nothing else.
+    */
+  val q126AbProportions = GraftQuery(
+    "q126_ab_proportions",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val cells = t.orders.agg(
+        sum(when(col("o_orderpriority") === "1-URGENT", 1L).otherwise(0L))
+          .as("n1"),
+        sum(when(col("o_orderpriority") === "1-URGENT" &&
+          col("o_orderstatus") === "F", 1L).otherwise(0L)).as("s1"),
+        sum(when(col("o_orderpriority") =!= "1-URGENT", 1L).otherwise(0L))
+          .as("n2"),
+        sum(when(col("o_orderpriority") =!= "1-URGENT" &&
+          col("o_orderstatus") === "F", 1L).otherwise(0L)).as("s2"))
+      def d(c: Column): Column = c.cast(DoubleType)
+      val p1 = d(col("s1")) / d(col("n1"))
+      val p2 = d(col("s2")) / d(col("n2"))
+      val pPool = d(col("s1") + col("s2")) / d(col("n1") + col("n2"))
+      val z = (p1 - p2) /
+        sqrt(pPool * (lit(1.0) - pPool) *
+          (lit(1.0) / d(col("n1")) + lit(1.0) / d(col("n2"))))
+      cells.select(col("n1"), col("s1"), col("n2"), col("s2"),
+        p1.as("p1"), p2.as("p2"), z.as("z"),
+        (abs(z) > lit(1.96)).as("significant"))
+    },
+    Some("""
+      WITH c AS (
+        SELECT
+          CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT'
+              THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+          CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT'
+              AND o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS s1,
+          CAST(SUM(CASE WHEN o_orderpriority <> '1-URGENT'
+              THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+          CAST(SUM(CASE WHEN o_orderpriority <> '1-URGENT'
+              AND o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS s2
+        FROM orders)
+      SELECT n1, s1, n2, s2,
+             CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE) AS p1,
+             CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE) AS p2,
+             (CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+              - CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE))
+             / sqrt((CAST(s1 + s2 AS DOUBLE) / CAST(n1 + n2 AS DOUBLE))
+                 * (1.0 - CAST(s1 + s2 AS DOUBLE) / CAST(n1 + n2 AS DOUBLE))
+                 * (1.0 / CAST(n1 AS DOUBLE) + 1.0 / CAST(n2 AS DOUBLE)))
+               AS z,
+             ABS((CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+              - CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE))
+             / sqrt((CAST(s1 + s2 AS DOUBLE) / CAST(n1 + n2 AS DOUBLE))
+                 * (1.0 - CAST(s1 + s2 AS DOUBLE) / CAST(n1 + n2 AS DOUBLE))
+                 * (1.0 / CAST(n1 AS DOUBLE) + 1.0 / CAST(n2 AS DOUBLE))))
+               > 1.96 AS significant
+      FROM c
+    """)
+  )
+
   /** Calendar seasonality heatmap over events: ISO-weekday × hour
     * cell counts plus each cell's load relative to a uniform week
     * (ratio = n·168 / total — busier-than-average cells exceed 1).
@@ -2992,5 +3144,5 @@ object Analytics {
       q98LorenzGini, q99PrCurve, q105KsTest, q106BenfordProfile,
       q113KAnonymity, q114DowHourHeatmap, q116CorrMatrix, q117OlsTrend,
       q120LDiversity, q121TCloseness, q122CusumChangepoint,
-      q123HhiConcentration)
+      q123HhiConcentration, q125MedianCi, q126AbProportions)
 }

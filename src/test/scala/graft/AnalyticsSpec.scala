@@ -956,4 +956,61 @@ class AnalyticsSpec extends AnyFunSuite {
         br >= 0.0 && br <= 1.0, s"ranges bin ${r.getLong(0)}")
     }
   }
+
+  test("median CI: order-statistic ranks match dense recompute") {
+    val t = graft.sources.Tables(spark, sf)
+    val seg = t.customer.select(col("c_custkey"), col("c_mktsegment"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val perCust = t.orders
+      .select(col("o_custkey"),
+        round(col("o_totalprice") * 100).cast("long").as("c"))
+      .collect()
+      .groupBy(r => (seg(r.getLong(0)), r.getLong(0)))
+      .map { case ((sg, ck), rs) => (sg, ck, rs.map(_.getLong(1)).sum) }
+      .toSeq
+    val want = perCust.groupBy(_._1).map { case (sg, cs) =>
+      val sorted = cs.sortBy(c => (c._3, c._2)).map(_._3)
+      val n = sorted.length.toLong
+      val lo = math.max(1L,
+        math.floor((n.toDouble - 1.96 * math.sqrt(n.toDouble)) / 2.0).toLong)
+      val hi = math.min(n,
+        math.ceil(1.0 + (n.toDouble + 1.96 * math.sqrt(n.toDouble)) / 2.0)
+          .toLong)
+      val med = sorted(((n + 1) / 2 - 1).toInt).toDouble / 2.0 +
+        sorted((n / 2 + 1 - 1).toInt).toDouble / 2.0
+      sg -> (n, med, sorted((lo - 1).toInt), sorted((hi - 1).toInt))
+    }
+    val rows = SparkEntry.queries("q125_median_ci")(spark, sf).collect()
+    assert(rows.map(_.getString(0)).toSet == want.keySet, "segment set")
+    rows.foreach { r =>
+      val (n, med, lo, hi) = want(r.getString(0))
+      assert(r.getLong(1) == n, s"n ${r.getString(0)}")
+      assert(r.getDouble(2) == med, s"median ${r.getString(0)}")
+      assert(r.getLong(3) == lo && r.getLong(4) == hi, s"ci ${r.getString(0)}")
+      assert(lo <= med && med <= hi, s"bracket ${r.getString(0)}")
+    }
+  }
+
+  test("two-proportion z-test: fixed IEEE chain matches dense recompute") {
+    val rows = SparkEntry.queries("q126_ab_proportions")(spark, sf).collect()
+    assert(rows.length == 1)
+    val r = rows.head
+    val orders = graft.sources.Tables(spark, sf).orders
+      .select(col("o_orderpriority"), col("o_orderstatus")).collect()
+    val n1 = orders.count(_.getString(0) == "1-URGENT").toLong
+    val s1 = orders.count(x => x.getString(0) == "1-URGENT" &&
+      x.getString(1) == "F").toLong
+    val n2 = orders.length - n1
+    val s2 = orders.count(x => x.getString(0) != "1-URGENT" &&
+      x.getString(1) == "F").toLong
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      ((n1, s1, n2, s2)), "cells")
+    val p1 = s1.toDouble / n1; val p2 = s2.toDouble / n2
+    val pp = (s1 + s2).toDouble / (n1 + n2)
+    val z = (p1 - p2) /
+      math.sqrt(pp * (1.0 - pp) * (1.0 / n1 + 1.0 / n2))
+    assert(r.getDouble(4) == p1 && r.getDouble(5) == p2, "rates")
+    assert(r.getDouble(6) == z, "z")
+    assert(r.getBoolean(7) == (math.abs(z) > 1.96), "flag")
+  }
 }
