@@ -949,6 +949,92 @@ object EventsStream {
     """)
   )
 
+  case class CdcEv(user_id: Long, tsMicros: Long, event_id: Long,
+      value: Double, isDelete: Boolean)
+  case class CdcState(tsMicros: Long, event_id: Long, value: Double,
+      isDelete: Boolean, n: Long)
+  case class CdcOut(user_id: Long, n_ops: Long, last_event_id: Long,
+      last_value: Double, is_deleted: Boolean)
+
+  /** CDC apply with TOMBSTONES: latest op per key by (event time, id)
+    * where a delete op suppresses the serving row instead of updating
+    * it — the semantics stream_upsert_latest can't express, and the
+    * half of changelog materialization (Debezium-style op streams,
+    * compacted-topic replication) that actually bites in production.
+    * A later upsert resurrects the key, so the snapshot is a pure
+    * function of the data set regardless of arrival order. State is
+    * O(1) per key; the tombstone marker itself must be RETAINED (not
+    * dropped on delete) so late out-of-order upserts older than the
+    * delete stay suppressed — at scale it ages out by event-time
+    * timeout once the watermark passes it.
+    */
+  def cdcFn(user: Long, rows: Iterator[CdcEv], state: GroupState[CdcState])
+      : Iterator[CdcOut] = {
+    var st = state.getOption.getOrElse(
+      CdcState(Long.MinValue, Long.MinValue, 0.0, isDelete = true, 0L))
+    rows.foreach { r =>
+      val newer = r.tsMicros > st.tsMicros ||
+        (r.tsMicros == st.tsMicros && r.event_id > st.event_id)
+      st = CdcState(
+        if (newer) r.tsMicros else st.tsMicros,
+        if (newer) r.event_id else st.event_id,
+        if (newer) r.value else st.value,
+        if (newer) r.isDelete else st.isDelete,
+        st.n + 1)
+    }
+    state.update(st)
+    Iterator.single(CdcOut(user, st.n, st.event_id, st.value, st.isDelete))
+  }
+
+  /** Streaming CDC snapshot with deletes: purchases upsert a user's
+    * serving row, errors tombstone it; the materialized table contains
+    * exactly the users whose LATEST op (event-time order, id
+    * tie-break) was an upsert. Final snapshot = last emission per key
+    * (n_ops is monotone) with tombstoned keys filtered — the batch
+    * oracle is the same last-op-wins window with the delete rows
+    * dropping out of the final WHERE.
+    */
+  val streamCdcTombstones = GraftQuery(
+    "stream_cdc_tombstones",
+    (s, dir) => {
+      import s.implicits._
+      val ops = eventsStream(s, dir)
+        .filter(col("event_type").isin("purchase", "error"))
+        .select(col("user_id"), unix_micros(col("ts")).as("tsMicros"),
+          col("event_id"), col("value"),
+          (col("event_type") === "error").as("isDelete"))
+        .as[CdcEv]
+      val applied = ops
+        .groupByKey(_.user_id)
+        .flatMapGroupsWithState(OutputMode.Update(), GroupStateTimeout.NoTimeout)(
+          cdcFn _)
+      runToTable(applied.toDF(), OutputMode.Update())
+        .groupBy(col("user_id"))
+        .agg(max(struct(col("n_ops"), col("last_event_id"),
+          col("last_value"), col("is_deleted"))).as("m"))
+        .filter(!col("m.is_deleted"))
+        .select(col("user_id"), col("m.n_ops").as("n_ops"),
+          col("m.last_event_id").as("last_event_id"),
+          col("m.last_value").as("last_value"))
+        .orderBy(col("user_id"))
+    },
+    Some("""
+      WITH ops AS (
+        SELECT user_id, ts, event_id, value, event_type
+        FROM events WHERE event_type IN ('purchase', 'error')),
+      ranked AS (
+        SELECT user_id, event_id, value, event_type,
+               row_number() OVER (PARTITION BY user_id
+                 ORDER BY ts DESC, event_id DESC) AS rn,
+               COUNT(*) OVER (PARTITION BY user_id) AS n_ops
+        FROM ops)
+      SELECT user_id, CAST(n_ops AS BIGINT) AS n_ops,
+             event_id AS last_event_id, value AS last_value
+      FROM ranked WHERE rn = 1 AND event_type = 'purchase'
+      ORDER BY user_id
+    """)
+  )
+
   /** Misra-Gries capacity for stream_heavy_hitters: small on purpose
     * so the n/(k+1) heavy-item guarantee BINDS on the test stream (the
     * derived key below concentrates ~25% of each type's arrivals on
@@ -1535,5 +1621,5 @@ object EventsStream {
       streamStreamFullOuter, streamWeightedSample,
       streamUpsertLatest, streamHeavyHitters, streamPatternMatch,
       streamQuantiles, streamIncrementalDedup, streamEwmaAnomaly,
-      streamWindowedTopk, streamSessionTopk)
+      streamWindowedTopk, streamSessionTopk, streamCdcTombstones)
 }

@@ -261,6 +261,40 @@ class StreamShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("cdc tombstones: delete suppresses, late upsert stays dead, resurrect works") {
+    import graft.streaming.EventsStream.{CdcEv, CdcState, cdcFn}
+    import org.apache.spark.sql.streaming.TestGroupState
+    def mkState(prior: Option[CdcState]) = TestGroupState.create[CdcState](
+      optionalState = prior.map(org.apache.spark.api.java.Optional.of(_))
+        .getOrElse(org.apache.spark.api.java.Optional.empty()),
+      timeoutConf = org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout,
+      batchProcessingTimeMs = 0L,
+      eventTimeWatermarkMs = org.apache.spark.api.java.Optional.empty(),
+      hasTimedOut = false)
+    // trigger 1: upsert t=10, delete t=20 → dead
+    val gs1 = mkState(None)
+    val o1 = cdcFn(1L, Iterator(
+      CdcEv(1L, 10L, 100L, 5.0, isDelete = false),
+      CdcEv(1L, 20L, 101L, 0.0, isDelete = true)), gs1).toSeq
+    assert(o1.head.is_deleted && o1.head.n_ops == 2L, "delete wins")
+    // trigger 2: LATE upsert t=15 (older than the tombstone) → stays dead
+    val gs2 = mkState(Some(gs1.get))
+    val o2 = cdcFn(1L, Iterator(
+      CdcEv(1L, 15L, 102L, 7.0, isDelete = false)), gs2).toSeq
+    assert(o2.head.is_deleted && o2.head.n_ops == 3L, "late upsert suppressed")
+    // trigger 3: upsert t=30 → resurrected with the new value
+    val gs3 = mkState(Some(gs2.get))
+    val o3 = cdcFn(1L, Iterator(
+      CdcEv(1L, 30L, 103L, 9.0, isDelete = false)), gs3).toSeq
+    assert(!o3.head.is_deleted && o3.head.last_event_id == 103L &&
+      o3.head.last_value == 9.0, "resurrect")
+    // same-ts tie: higher event_id wins
+    val gs4 = mkState(Some(gs3.get))
+    val o4 = cdcFn(1L, Iterator(
+      CdcEv(1L, 30L, 104L, 0.0, isDelete = true)), gs4).toSeq
+    assert(o4.head.is_deleted, "same-ts id tie-break lets the delete win")
+  }
+
   test("session top-k state fn: splits, modal tie rule, cross-trigger growth") {
     import graft.streaming.EventsStream.{EvT, SessTop, TopState, sessionTopFn}
     import org.apache.spark.sql.streaming.TestGroupState
