@@ -2926,6 +2926,91 @@ object Analytics {
     """)
   )
 
+  /** Pixel-width of the M4 downsample (number of time buckets). */
+  val M4Buckets = 50L
+
+  /** M4 time-series downsampling of the daily-revenue series — the
+    * published error-free line-chart reduction (min, max, first, last
+    * per pixel-bucket reproduces the exact rendered polyline at any
+    * corpus size): the serving op between a 100 TB time series and a
+    * dashboard. Exactness: the bucket index is a TRUE integer
+    * division over epoch-day offsets, and all four witnesses are
+    * picked by integer struct/tuple ordering with the EARLIEST day
+    * breaking value ties — every output is an exact long or a date
+    * string. Scale: the day-level cents rollup is the only data-scale
+    * shuffle; the bucket spine is ≤ [[M4Buckets]] rows and the global
+    * day range joins as a broadcast 1-row frame.
+    */
+  val q127M4Downsample = GraftQuery(
+    "q127_m4_downsample",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val daily = t.orders
+        .groupBy(to_date(col("o_orderdate")).as("day"))
+        .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
+        .select(col("day"), col("cents"),
+          datediff(col("day"), lit("1970-01-01").cast("date"))
+            .cast("long").as("ed"),
+          date_format(col("day"), "yyyy-MM-dd").as("ds"))
+      val span = daily.agg(min(col("ed")).as("mn"), max(col("ed")).as("mx"))
+      val bucketed = daily.crossJoin(broadcast(span))
+        .withColumn("bucket",
+          expr(s"((ed - mn) * $M4Buckets) div (mx - mn + 1)"))
+      bucketed.groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_days"),
+          min(struct(col("ed"), col("cents"), col("ds"))).as("f"),
+          max(struct(col("ed"), col("cents"), col("ds"))).as("l"),
+          min(struct(col("cents"), col("ed"), col("ds"))).as("lo"),
+          min(struct((-col("cents")).as("negc"), col("ed"), col("ds")))
+            .as("hi"))
+        .select(col("bucket"), col("n_days"),
+          col("f.ds").as("t_first"), col("f.cents").as("v_first"),
+          col("l.ds").as("t_last"), col("l.cents").as("v_last"),
+          col("lo.ds").as("t_min"), col("lo.cents").as("v_min"),
+          col("hi.ds").as("t_max"), (-col("hi.negc")).as("v_max"))
+        .orderBy(col("bucket"))
+    },
+    Some(s"""
+      WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS day,
+               CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                 AS cents
+        FROM orders GROUP BY 1),
+      sp AS (
+        SELECT MIN(day - DATE '1970-01-01') AS mn,
+               MAX(day - DATE '1970-01-01') AS mx
+        FROM daily),
+      b AS (
+        SELECT d.day, d.cents,
+               ((day - DATE '1970-01-01' - mn) * $M4Buckets) // (mx - mn + 1)
+                 AS bucket
+        FROM daily d, sp),
+      r AS (
+        SELECT bucket, day, cents,
+               row_number() OVER (PARTITION BY bucket ORDER BY day) AS rf,
+               row_number() OVER (PARTITION BY bucket ORDER BY day DESC)
+                 AS rl,
+               row_number() OVER (PARTITION BY bucket ORDER BY cents, day)
+                 AS rmin,
+               row_number() OVER (PARTITION BY bucket
+                 ORDER BY cents DESC, day) AS rmax,
+               CAST(COUNT(*) OVER (PARTITION BY bucket) AS BIGINT) AS n_days
+        FROM b)
+      SELECT CAST(bucket AS BIGINT) AS bucket, n_days,
+             MAX(CASE WHEN rf = 1 THEN CAST(day AS VARCHAR) END) AS t_first,
+             MAX(CASE WHEN rf = 1 THEN cents END) AS v_first,
+             MAX(CASE WHEN rl = 1 THEN CAST(day AS VARCHAR) END) AS t_last,
+             MAX(CASE WHEN rl = 1 THEN cents END) AS v_last,
+             MAX(CASE WHEN rmin = 1 THEN CAST(day AS VARCHAR) END) AS t_min,
+             MAX(CASE WHEN rmin = 1 THEN cents END) AS v_min,
+             MAX(CASE WHEN rmax = 1 THEN CAST(day AS VARCHAR) END) AS t_max,
+             MAX(CASE WHEN rmax = 1 THEN cents END) AS v_max
+      FROM r
+      GROUP BY bucket, n_days
+      ORDER BY bucket
+    """)
+  )
+
   /** Calendar seasonality heatmap over events: ISO-weekday × hour
     * cell counts plus each cell's load relative to a uniform week
     * (ratio = n·168 / total — busier-than-average cells exceed 1).
@@ -3144,5 +3229,6 @@ object Analytics {
       q98LorenzGini, q99PrCurve, q105KsTest, q106BenfordProfile,
       q113KAnonymity, q114DowHourHeatmap, q116CorrMatrix, q117OlsTrend,
       q120LDiversity, q121TCloseness, q122CusumChangepoint,
-      q123HhiConcentration, q125MedianCi, q126AbProportions)
+      q123HhiConcentration, q125MedianCi, q126AbProportions,
+      q127M4Downsample)
 }

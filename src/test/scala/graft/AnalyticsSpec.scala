@@ -1013,4 +1013,37 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(r.getDouble(6) == z, "z")
     assert(r.getBoolean(7) == (math.abs(z) > 1.96), "flag")
   }
+
+  test("m4 downsample: per-bucket witnesses match dense recompute") {
+    val t = graft.sources.Tables(spark, sf)
+    val daily = t.orders
+      .select(to_date(col("o_orderdate")).as("day"),
+        round(col("o_totalprice") * 100).cast("long").as("c"))
+      .collect()
+      .groupBy(_.getDate(0).toString)
+      .map { case (d, rs) => d -> rs.map(_.getLong(1)).sum }.toSeq
+    def ed(d: String): Long =
+      java.time.LocalDate.parse(d).toEpochDay
+    val mn = daily.map(x => ed(x._1)).min
+    val mx = daily.map(x => ed(x._1)).max
+    val byBucket = daily.groupBy(x =>
+      (ed(x._1) - mn) * operators.Analytics.M4Buckets / (mx - mn + 1))
+    val rows = SparkEntry.queries("q127_m4_downsample")(spark, sf).collect()
+    assert(rows.map(_.getLong(0)).toSet == byBucket.keySet, "bucket set")
+    rows.foreach { r =>
+      val ds = byBucket(r.getLong(0))
+      assert(r.getLong(1) == ds.size.toLong, s"n_days b${r.getLong(0)}")
+      val first = ds.minBy(x => ed(x._1))
+      val last = ds.maxBy(x => ed(x._1))
+      val lo = ds.minBy(x => (x._2, ed(x._1)))
+      val hi = ds.minBy(x => (-x._2, ed(x._1)))
+      assert((r.getString(2), r.getLong(3)) == first, s"first b${r.getLong(0)}")
+      assert((r.getString(4), r.getLong(5)) == last, s"last b${r.getLong(0)}")
+      assert((r.getString(6), r.getLong(7)) == lo, s"min b${r.getLong(0)}")
+      assert((r.getString(8), r.getLong(9)) == hi, s"max b${r.getLong(0)}")
+      // the rendered polyline invariants
+      assert(lo._2 <= first._2 && lo._2 <= last._2 && hi._2 >= first._2 &&
+        hi._2 >= last._2, s"envelope b${r.getLong(0)}")
+    }
+  }
 }

@@ -990,4 +990,50 @@ class TextDedupSpec extends AnyFunSuite {
     rows.filter(r => r.getLong(0) == r.getLong(1))
       .foreach(r => assert(r.getLong(2) >= 0L, "diagonal nonneg"))
   }
+
+  test("top eigen: power iteration matches dense recompute; analytic diag") {
+    import graft.operators.Similarity
+    // analytic: diag(3, 1) → λ = 3, v = ±e0
+    val (l0, v0) = Similarity.topEigen(
+      Seq((0, 0, 3000000000000L), (1, 1, 1000000000000L)), 2,
+      Similarity.EigenIters)
+    assert(math.abs(l0 - 3.0) < 1e-12, "diag eigenvalue")
+    assert(math.abs(math.abs(v0(0)) - 1.0) < 1e-9 &&
+      math.abs(v0(1)) < 1e-9, "diag eigenvector")
+
+    // corpus: independent dense recompute from raw embeddings
+    val d = Similarity.Dim
+    val vecs = Similarity.corpusOf(spark, sf).collect()
+      .map(_.getSeq[Double](1).map(x =>
+        BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+          .*(BigDecimal(1000000)).toLongExact).toArray)
+    val gram = Array.ofDim[Double](d, d)
+    for (i <- 0 until d; j <- i until d) {
+      var s0 = BigInt(0)
+      vecs.foreach(v => s0 += BigInt(v(i)) * BigInt(v(j)))
+      val g = BigDecimal(s0).toDouble / 1.0e12
+      gram(i)(j) = g; gram(j)(i) = g
+    }
+    // reference power iteration (independent loop structure)
+    var v = Array.fill(d)(1.0 / math.sqrt(d.toDouble))
+    for (_ <- 1 to Similarity.EigenIters) {
+      val w = (0 until d).map(i =>
+        (0 until d).map(j => gram(i)(j) * v(j)).sum).toArray
+      val n = math.sqrt(w.map(x => x * x).sum)
+      v = w.map(_ / n)
+    }
+    val lam = (0 until d).map(i => v(i) *
+      (0 until d).map(j => gram(i)(j) * v(j)).sum).sum
+    val cells = Similarity.gramCells(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2))).toSeq
+    val (lamGot, vGot) = Similarity.topEigen(cells, d, Similarity.EigenIters)
+    assert(math.abs(lamGot - lam) < 1e-6 * lam, "corpus eigenvalue")
+    // eigenvector parity up to sign
+    val dot = (0 until d).map(i => v(i) * vGot(i)).sum
+    assert(math.abs(math.abs(dot) - 1.0) < 1e-6, "corpus eigenvector")
+    // gates as emitted by the query
+    val row = SparkEntry.queries("sim_top_eigen")(spark, sf).collect().head
+    assert(row.getBoolean(3) && row.getBoolean(4) && row.getBoolean(5),
+      "eigen gates")
+  }
 }
