@@ -3011,6 +3011,180 @@ object Analytics {
     """)
   )
 
+  /** Capped (floored-at-zero) running balance per segment — the
+    * inventory-position / cash-balance fold b_t = max(0, b_{t-1} +
+    * revenue_t − burn) that NO window function can express (the clamp
+    * makes each step depend on the clamped previous step, not on a
+    * prefix aggregate — the classic "running sum with reset"). The
+    * engine runs it as a true SECONDARY SORT: repartition by segment,
+    * sortWithinPartitions by (segment, day), one mapPartitions fold
+    * with O(1) state per segment and segment-change detection — no
+    * in-memory group materialization, the 100 TB shape for any keyed
+    * sequential fold. Burn = ⌊segment total / days⌋ so the clamp
+    * genuinely engages. All arithmetic is exact longs; the DuckDB
+    * oracle restates the fold as a WITH RECURSIVE chain over the
+    * day-ranked frame — full cross-engine parity for a stateful
+    * recurrence.
+    */
+  val q128CappedRunningSum = GraftQuery(
+    "q128_capped_running_sum",
+    (s, dir) => {
+      import s.implicits._
+      val t = Tables(s, dir)
+      val daily = t.orders
+        .join(broadcast(t.customer.select(col("c_custkey"),
+          col("c_mktsegment"))), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment").as("segment"),
+          to_date(col("o_orderdate")).as("day"))
+        .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
+      val withBurn = daily
+        .join(broadcast(daily.groupBy(col("segment"))
+          .agg(sum(col("cents")).as("sc"), count(lit(1)).as("nd"))
+          .select(col("segment"), expr("sc div nd").as("burn"))),
+          Seq("segment"))
+        .select(col("segment"),
+          datediff(col("day"), lit("1970-01-01").cast("date")).cast("long")
+            .as("ed"),
+          col("cents"), col("burn"))
+      val folded = withBurn
+        .repartition(col("segment"))
+        .sortWithinPartitions(col("segment"), col("ed"))
+        .as[(String, Long, Long, Long)]
+        .mapPartitions { it =>
+          val out = Seq.newBuilder[(String, Long, Long, Long, Long, Long)]
+          var seg: String = null
+          var n = 0L; var burn = 0L; var bal = 0L; var mx = 0L; var hits = 0L
+          def emit(): Unit =
+            if (seg != null) out += ((seg, n, burn, bal, mx, hits))
+          while (it.hasNext) {
+            val (sg, _, cents, b) = it.next()
+            if (sg != seg) { emit(); seg = sg; n = 0L; burn = b
+              bal = 0L; mx = 0L; hits = 0L }
+            val raw = bal + cents - burn
+            bal = if (raw < 0L) { hits += 1L; 0L } else raw
+            if (bal > mx) mx = bal
+            n += 1L
+          }
+          emit()
+          out.result().iterator
+        }
+        .toDF("segment", "n_days", "burn", "final_balance", "max_balance",
+          "n_floor_hits")
+      folded.orderBy(col("segment"))
+    },
+    Some("""
+      WITH RECURSIVE daily AS (
+        SELECT c.c_mktsegment AS segment, CAST(o_orderdate AS DATE) AS day,
+               CAST(SUM(CAST(round(o.o_totalprice * 100) AS BIGINT))
+                 AS BIGINT) AS cents
+        FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+        GROUP BY 1, 2),
+      k AS (
+        SELECT segment, CAST(SUM(cents) // COUNT(*) AS BIGINT) AS burn,
+               CAST(COUNT(*) AS BIGINT) AS n_days
+        FROM daily GROUP BY 1),
+      r AS (
+        SELECT d.segment, d.cents, k.burn, k.n_days,
+               CAST(row_number() OVER (PARTITION BY d.segment ORDER BY d.day)
+                 AS BIGINT) AS rn
+        FROM daily d JOIN k ON k.segment = d.segment),
+      rec AS (
+        SELECT segment, rn, n_days, burn,
+               GREATEST(0, cents - burn) AS bal,
+               GREATEST(0, cents - burn) AS mx,
+               CASE WHEN cents - burn < 0 THEN 1 ELSE 0 END AS hits
+        FROM r WHERE rn = 1
+        UNION ALL
+        SELECT r.segment, r.rn, r.n_days, r.burn,
+               GREATEST(0, rec.bal + r.cents - r.burn),
+               GREATEST(rec.mx, GREATEST(0, rec.bal + r.cents - r.burn)),
+               rec.hits + CASE WHEN rec.bal + r.cents - r.burn < 0
+                 THEN 1 ELSE 0 END
+        FROM rec JOIN r ON r.segment = rec.segment AND r.rn = rec.rn + 1)
+      SELECT segment, n_days, burn,
+             CAST(bal AS BIGINT) AS final_balance,
+             CAST(mx AS BIGINT) AS max_balance,
+             CAST(hits AS BIGINT) AS n_floor_hits
+      FROM rec WHERE rn = n_days
+      ORDER BY segment
+    """)
+  )
+
+  /** Cohort LTV accumulation curves — q47's retention counts upgraded
+    * to the revenue readout growth teams actually plot: customers
+    * cohorted by first-order month, each cohort's revenue accumulated
+    * by month-age, normalized per cohort member. Exactness: month age
+    * is pure integer calendar arithmetic, revenue stays cents-exact
+    * through the cumulative window, and the per-member curve is one
+    * division of exact longs. Scale: the first-order rollup and the
+    * order join are the two custkey exchanges; the cumulative window
+    * runs over the |cohorts|·|ages| DOMAIN frame, never rows.
+    */
+  val q129CohortLtvCurve = GraftQuery(
+    "q129_cohort_ltv_curve",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val first = t.orders.groupBy(col("o_custkey"))
+        .agg(min(to_date(col("o_orderdate"))).as("fd"))
+        .select(col("o_custkey").as("ck"),
+          (year(col("fd")) * 12 + month(col("fd"))).cast("long").as("cm"),
+          date_format(col("fd"), "yyyy-MM").as("cohort_month"))
+      val sizes = first.groupBy(col("cohort_month"))
+        .agg(count(lit(1)).as("cohort_size"))
+      val cells = t.orders
+        .join(first, col("o_custkey") === col("ck"))
+        .groupBy(col("cohort_month"),
+          ((year(col("o_orderdate")) * 12 + month(col("o_orderdate")))
+            .cast("long") - col("cm")).as("age_months"))
+        .agg(countDistinct(col("o_custkey")).as("n_active"),
+          sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
+      val wCum = Window.partitionBy(col("cohort_month"))
+        .orderBy(col("age_months"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      cells
+        .join(broadcast(sizes), Seq("cohort_month"))
+        .withColumn("cum_cents", sum(col("cents")).over(wCum))
+        .select(col("cohort_month"), col("age_months"), col("n_active"),
+          col("cents"), col("cum_cents"), col("cohort_size"),
+          (col("cum_cents").cast(DoubleType) /
+            col("cohort_size").cast(DoubleType)).as("ltv_per_member"))
+        .orderBy(col("cohort_month"), col("age_months"))
+    },
+    Some("""
+      WITH f AS (
+        SELECT o_custkey, MIN(CAST(o_orderdate AS DATE)) AS fd
+        FROM orders GROUP BY 1),
+      fc AS (
+        SELECT o_custkey, strftime(fd, '%Y-%m') AS cohort_month,
+               year(fd) * 12 + month(fd) AS cm
+        FROM f),
+      cells AS (
+        SELECT fc.cohort_month,
+               CAST(year(o.o_orderdate) * 12 + month(o.o_orderdate)
+                 - fc.cm AS BIGINT) AS age_months,
+               CAST(COUNT(DISTINCT o.o_custkey) AS BIGINT) AS n_active,
+               CAST(SUM(CAST(round(o.o_totalprice * 100) AS BIGINT))
+                 AS BIGINT) AS cents
+        FROM orders o JOIN fc ON fc.o_custkey = o.o_custkey
+        GROUP BY 1, 2),
+      sz AS (
+        SELECT cohort_month, CAST(COUNT(*) AS BIGINT) AS cohort_size
+        FROM fc GROUP BY 1)
+      SELECT c.cohort_month, c.age_months, c.n_active, c.cents,
+             CAST(SUM(c.cents) OVER (PARTITION BY c.cohort_month
+               ORDER BY c.age_months
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS cum_cents,
+             s.cohort_size,
+             CAST(CAST(SUM(c.cents) OVER (PARTITION BY c.cohort_month
+               ORDER BY c.age_months
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS DOUBLE) / CAST(s.cohort_size AS DOUBLE) AS ltv_per_member
+      FROM cells c JOIN sz s ON s.cohort_month = c.cohort_month
+      ORDER BY 1, 2
+    """)
+  )
+
   /** Calendar seasonality heatmap over events: ISO-weekday × hour
     * cell counts plus each cell's load relative to a uniform week
     * (ratio = n·168 / total — busier-than-average cells exceed 1).
@@ -3230,5 +3404,5 @@ object Analytics {
       q113KAnonymity, q114DowHourHeatmap, q116CorrMatrix, q117OlsTrend,
       q120LDiversity, q121TCloseness, q122CusumChangepoint,
       q123HhiConcentration, q125MedianCi, q126AbProportions,
-      q127M4Downsample)
+      q127M4Downsample, q128CappedRunningSum, q129CohortLtvCurve)
 }

@@ -1046,4 +1046,60 @@ class AnalyticsSpec extends AnyFunSuite {
         hi._2 >= last._2, s"envelope b${r.getLong(0)}")
     }
   }
+
+  test("capped running sum: sequential fold matches dense walk") {
+    val t = graft.sources.Tables(spark, sf)
+    val seg = t.customer.select(col("c_custkey"), col("c_mktsegment"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val daily = t.orders
+      .select(col("o_custkey"), to_date(col("o_orderdate")).as("day"),
+        round(col("o_totalprice") * 100).cast("long").as("c"))
+      .collect()
+      .groupBy(r => (seg(r.getLong(0)), r.getDate(1).toString))
+      .map { case ((sg, d), rs) => (sg, d, rs.map(_.getLong(2)).sum) }.toSeq
+    val want = daily.groupBy(_._1).map { case (sg, ds) =>
+      val sorted = ds.sortBy(_._2).map(_._3)
+      val burn = sorted.sum / sorted.length
+      var bal = 0L; var mx = 0L; var hits = 0L
+      sorted.foreach { c =>
+        val raw = bal + c - burn
+        bal = if (raw < 0L) { hits += 1; 0L } else raw
+        if (bal > mx) mx = bal
+      }
+      sg -> (sorted.length.toLong, burn, bal, mx, hits)
+    }
+    val rows = SparkEntry.queries("q128_capped_running_sum")(spark, sf)
+      .collect()
+    assert(rows.map(_.getString(0)).toSet == want.keySet, "segment set")
+    rows.foreach { r =>
+      val (n, burn, bal, mx, hits) = want(r.getString(0))
+      assert(r.getLong(1) == n && r.getLong(2) == burn, s"shape ${r.getString(0)}")
+      assert(r.getLong(3) == bal, s"final ${r.getString(0)}")
+      assert(r.getLong(4) == mx, s"max ${r.getString(0)}")
+      assert(r.getLong(5) == hits, s"floor hits ${r.getString(0)}")
+    }
+    // the clamp must actually engage somewhere at this SF
+    assert(want.values.exists(_._5 > 0L), "no floor hits — burn miscalibrated")
+  }
+
+  test("cohort LTV curve: cumulative cents and identities") {
+    val rows = SparkEntry.queries("q129_cohort_ltv_curve")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val byCohort = rows.groupBy(_.getString(0))
+    byCohort.foreach { case (cm, rs) =>
+      val sorted = rs.sortBy(_.getLong(1))
+      assert(sorted.head.getLong(1) == 0L, s"cohort $cm missing age 0")
+      var cum = 0L
+      sorted.foreach { r =>
+        cum += r.getLong(3)
+        assert(r.getLong(4) == cum, s"cum mismatch $cm age ${r.getLong(1)}")
+        assert(r.getDouble(6) ==
+          cum.toDouble / r.getLong(5).toDouble, s"ltv $cm age ${r.getLong(1)}")
+        assert(r.getLong(2) <= r.getLong(5), s"active ≤ size $cm")
+      }
+      // age-0 actives = cohort size (every member orders in month 0)
+      assert(sorted.head.getLong(2) == sorted.head.getLong(5),
+        s"cohort $cm age-0 coverage")
+    }
+  }
 }
