@@ -3185,6 +3185,175 @@ object Analytics {
     """)
   )
 
+  /** Growth-accounting matrix over customer order activity — the
+    * standard MAU decomposition every growth team reports: per month,
+    * active customers split into NEW (first-ever month), RETAINED
+    * (also active the previous month), and RESURRECTED (active before
+    * but not last month), plus CHURNED (active last month, not this
+    * one). The accounting identities active = new + retained +
+    * resurrected and churned_t = active_{t-1} − retained_t hold
+    * exactly and are spec-pinned. Exactness: months are integer
+    * calendar indices, every class is an integer count from set
+    * relations on the (customer, month) activity frame. Scale: the
+    * distinct-activity rollup is the one data-scale shuffle; the
+    * self-joins run on the customer×months activity frame keyed by
+    * (customer, month) — co-partitioned, and the month spine is
+    * domain-sized.
+    */
+  val q130GrowthAccounting = GraftQuery(
+    "q130_growth_accounting",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val act = t.orders
+        .select(col("o_custkey").as("ck"),
+          (year(col("o_orderdate")) * 12 + month(col("o_orderdate")))
+            .cast("long").as("m"))
+        .distinct()
+        .cache()
+      val firstM = act.groupBy(col("ck")).agg(min(col("m")).as("fm"))
+      val prev = act.select(col("ck"), (col("m") + 1L).as("m"),
+        lit(1L).as("was_prev"))
+      val classified = act
+        .join(broadcast(firstM), Seq("ck"))
+        .join(prev, Seq("ck", "m"), "left")
+        .select(col("ck"), col("m"),
+          when(col("m") === col("fm"), "new")
+            .when(col("was_prev").isNotNull, "retained")
+            .otherwise("resurrected").as("cls"))
+      val counts = classified.groupBy(col("m"))
+        .agg(count(lit(1)).as("active"),
+          sum(when(col("cls") === "new", 1L).otherwise(0L)).as("n_new"),
+          sum(when(col("cls") === "retained", 1L).otherwise(0L))
+            .as("n_retained"),
+          sum(when(col("cls") === "resurrected", 1L).otherwise(0L))
+            .as("n_resurrected"))
+      val churn = counts.select((col("m") + 1L).as("m"),
+        (col("active")).as("prev_active"))
+      counts.join(churn, Seq("m"), "left")
+        .select(col("m"),
+          format_string("%04d-%02d", expr("(m - 1) div 12"),
+            pmod(col("m") - 1, lit(12L)) + 1).as("month"),
+          col("active"), col("n_new"), col("n_retained"),
+          col("n_resurrected"),
+          (coalesce(col("prev_active"), lit(0L)) - col("n_retained"))
+            .as("n_churned"))
+        .drop(col("m"))
+        .orderBy(col("month"))
+    },
+    Some("""
+      WITH act AS (
+        SELECT DISTINCT o_custkey AS ck,
+               CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT)
+                 AS m
+        FROM orders),
+      fm AS (SELECT ck, MIN(m) AS fm FROM act GROUP BY 1),
+      cls AS (
+        SELECT a.ck, a.m,
+               CASE WHEN a.m = f.fm THEN 'new'
+                    WHEN p.ck IS NOT NULL THEN 'retained'
+                    ELSE 'resurrected' END AS cls
+        FROM act a
+        JOIN fm f ON f.ck = a.ck
+        LEFT JOIN act p ON p.ck = a.ck AND p.m = a.m - 1),
+      cnt AS (
+        SELECT m, CAST(COUNT(*) AS BIGINT) AS active,
+               CAST(SUM(CASE WHEN cls = 'new' THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_new,
+               CAST(SUM(CASE WHEN cls = 'retained' THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_retained,
+               CAST(SUM(CASE WHEN cls = 'resurrected' THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_resurrected
+        FROM cls GROUP BY 1)
+      SELECT printf('%04d-%02d', (c.m - 1) // 12, (c.m - 1) % 12 + 1)
+               AS month,
+             c.active, c.n_new, c.n_retained, c.n_resurrected,
+             COALESCE(p.active, 0) - c.n_retained AS n_churned
+      FROM cnt c LEFT JOIN cnt p ON p.m = c.m - 1
+      ORDER BY month
+    """)
+  )
+
+  /** Difference-in-differences estimate — the workhorse quasi-
+    * experimental readout (q87's CUPED sibling): average order value
+    * for the BUILDING-segment "treatment" cohort vs the rest, before
+    * and after a 1996-01-01 policy cutoff; DiD = (T,post − T,pre) −
+    * (C,post − C,pre) nets out both the level difference between the
+    * cohorts and the common time trend. Exactness: the four cells'
+    * sums are exact decimals and their counts integers from ONE
+    * map-side-combined conditional aggregation; each mean is one
+    * division and the DiD a fixed IEEE chain on those four doubles —
+    * bit-identical cross-engine. Scale: one broadcast dim join + one
+    * aggregation to a single row.
+    */
+  val q131DidEffect = GraftQuery(
+    "q131_did_effect",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val cut = lit("1996-01-01 00:00:00").cast("timestamp")
+      val treated = col("c_mktsegment") === "BUILDING"
+      val post = col("o_orderdate") >= cut
+      def cell(p: Column, nm: String): Seq[Column] = Seq(
+        sum(when(p, 1L).otherwise(0L)).as(s"n_$nm"),
+        sum(when(p, dec2(col("o_totalprice")))).as(s"s_$nm"))
+      val cs = cell(treated && !post, "t_pre") ++
+        cell(treated && post, "t_post") ++
+        cell(!treated && !post, "c_pre") ++
+        cell(!treated && post, "c_post")
+      val cells = t.orders
+        .join(broadcast(t.customer.select(col("c_custkey"),
+          col("c_mktsegment"))), col("o_custkey") === col("c_custkey"))
+        .agg(cs.head, cs.tail: _*)
+      def mean(nm: String): Column =
+        col(s"s_$nm").cast(DoubleType) / col(s"n_$nm").cast(DoubleType)
+      cells.select(
+        col("n_t_pre"), col("n_t_post"), col("n_c_pre"), col("n_c_post"),
+        mean("t_pre").as("avg_t_pre"), mean("t_post").as("avg_t_post"),
+        mean("c_pre").as("avg_c_pre"), mean("c_post").as("avg_c_post"),
+        ((mean("t_post") - mean("t_pre")) - (mean("c_post") - mean("c_pre")))
+          .as("did"))
+    },
+    Some("""
+      WITH j AS (
+        SELECT o.o_totalprice, o.o_orderdate,
+               c.c_mktsegment = 'BUILDING' AS treated,
+               o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00' AS post
+        FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey),
+      m AS (
+        SELECT
+          CAST(SUM(CASE WHEN treated AND NOT post THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_t_pre,
+          CAST(SUM(CASE WHEN treated AND post THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_t_post,
+          CAST(SUM(CASE WHEN NOT treated AND NOT post THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_c_pre,
+          CAST(SUM(CASE WHEN NOT treated AND post THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_c_post,
+          CAST(CAST(SUM(CASE WHEN treated AND NOT post
+            THEN CAST(o_totalprice AS DECIMAL(12,2)) END) AS VARCHAR)
+            AS DOUBLE) AS s_t_pre,
+          CAST(CAST(SUM(CASE WHEN treated AND post
+            THEN CAST(o_totalprice AS DECIMAL(12,2)) END) AS VARCHAR)
+            AS DOUBLE) AS s_t_post,
+          CAST(CAST(SUM(CASE WHEN NOT treated AND NOT post
+            THEN CAST(o_totalprice AS DECIMAL(12,2)) END) AS VARCHAR)
+            AS DOUBLE) AS s_c_pre,
+          CAST(CAST(SUM(CASE WHEN NOT treated AND post
+            THEN CAST(o_totalprice AS DECIMAL(12,2)) END) AS VARCHAR)
+            AS DOUBLE) AS s_c_post
+        FROM j)
+      SELECT n_t_pre, n_t_post, n_c_pre, n_c_post,
+             s_t_pre / CAST(n_t_pre AS DOUBLE) AS avg_t_pre,
+             s_t_post / CAST(n_t_post AS DOUBLE) AS avg_t_post,
+             s_c_pre / CAST(n_c_pre AS DOUBLE) AS avg_c_pre,
+             s_c_post / CAST(n_c_post AS DOUBLE) AS avg_c_post,
+             (s_t_post / CAST(n_t_post AS DOUBLE)
+              - s_t_pre / CAST(n_t_pre AS DOUBLE))
+             - (s_c_post / CAST(n_c_post AS DOUBLE)
+                - s_c_pre / CAST(n_c_pre AS DOUBLE)) AS did
+      FROM m
+    """)
+  )
+
   /** Calendar seasonality heatmap over events: ISO-weekday × hour
     * cell counts plus each cell's load relative to a uniform week
     * (ratio = n·168 / total — busier-than-average cells exceed 1).
@@ -3404,5 +3573,6 @@ object Analytics {
       q113KAnonymity, q114DowHourHeatmap, q116CorrMatrix, q117OlsTrend,
       q120LDiversity, q121TCloseness, q122CusumChangepoint,
       q123HhiConcentration, q125MedianCi, q126AbProportions,
-      q127M4Downsample, q128CappedRunningSum, q129CohortLtvCurve)
+      q127M4Downsample, q128CappedRunningSum, q129CohortLtvCurve,
+      q130GrowthAccounting, q131DidEffect)
 }

@@ -1102,4 +1102,65 @@ class AnalyticsSpec extends AnyFunSuite {
         s"cohort $cm age-0 coverage")
     }
   }
+
+  test("growth accounting: classes match dense recompute, identities hold") {
+    val t = graft.sources.Tables(spark, sf)
+    val act = t.orders
+      .select(col("o_custkey"),
+        (year(col("o_orderdate")) * 12 + month(col("o_orderdate")))
+          .cast("long").as("m"))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+    val byCust = act.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val first = byCust.view.mapValues(_.min).toMap
+    val months = act.map(_._2).distinct.sorted
+    val want = months.map { m =>
+      val actives = byCust.filter(_._2.contains(m)).keys.toSeq
+      val nNew = actives.count(c => first(c) == m).toLong
+      val nRet = actives.count(c => first(c) != m && byCust(c)(m - 1)).toLong
+      val nRes = actives.count(c => first(c) != m && !byCust(c)(m - 1)).toLong
+      val prevActive = byCust.count(_._2.contains(m - 1)).toLong
+      val churn = prevActive - actives.count(c => byCust(c)(m - 1)).toLong
+      f"${(m - 1) / 12}%04d-${(m - 1) % 12 + 1}%02d" ->
+        (actives.length.toLong, nNew, nRet, nRes, churn)
+    }.toMap
+    val rows = SparkEntry.queries("q130_growth_accounting")(spark, sf)
+      .collect()
+    assert(rows.map(_.getString(0)).toSet == want.keySet, "month set")
+    rows.foreach { r =>
+      val (a, nw, re, rs, ch) = want(r.getString(0))
+      assert(r.getLong(1) == a && r.getLong(2) == nw && r.getLong(3) == re &&
+        r.getLong(4) == rs, s"classes ${r.getString(0)}")
+      assert(r.getLong(5) == ch, s"churn ${r.getString(0)}")
+      assert(a == nw + re + rs, s"identity ${r.getString(0)}")
+    }
+  }
+
+  test("DiD: four-cell means and the estimate match dense recompute") {
+    val t = graft.sources.Tables(spark, sf)
+    val seg = t.customer.select(col("c_custkey"), col("c_mktsegment"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val cells = t.orders
+      .select(col("o_custkey"), col("o_totalprice"),
+        (col("o_orderdate") >= lit("1996-01-01 00:00:00").cast("timestamp"))
+          .as("post"))
+      .collect()
+      .groupBy(r => (seg(r.getLong(0)) == "BUILDING", r.getBoolean(2)))
+      .view.mapValues { rs =>
+        val s0 = rs.map(r => BigDecimal(r.getDouble(1)).setScale(2,
+          BigDecimal.RoundingMode.HALF_UP)).sum
+        (rs.length.toLong, s0.toDouble)
+      }.toMap
+    def m(tr: Boolean, po: Boolean) = cells((tr, po))._2 / cells((tr, po))._1
+    val did = (m(true, true) - m(true, false)) - (m(false, true) - m(false, false))
+    val r = SparkEntry.queries("q131_did_effect")(spark, sf).collect().head
+    assert(r.getLong(0) == cells((true, false))._1 &&
+      r.getLong(1) == cells((true, true))._1 &&
+      r.getLong(2) == cells((false, false))._1 &&
+      r.getLong(3) == cells((false, true))._1, "cell counts")
+    assert(r.getDouble(4) == m(true, false) && r.getDouble(5) == m(true, true),
+      "treated means")
+    assert(r.getDouble(6) == m(false, false) && r.getDouble(7) == m(false, true),
+      "control means")
+    assert(r.getDouble(8) == did, "did")
+  }
 }
