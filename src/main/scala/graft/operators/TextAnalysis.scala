@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DoubleType
 
 import graft.GraftQuery
 import graft.sources.Tables
@@ -2440,6 +2441,106 @@ object TextAnalysis {
     """)
   )
 
+  /** Bootstrap replicates. */
+  val BootstrapReps = 50L
+
+  /** Mixing multiplier separating replicates in the bootstrap hash. */
+  val BootstrapMix = 1000003L
+
+  /** Poisson(1) inverse-CDF thresholds at permille resolution:
+    * P(≤k) ·1000 rounded — u < 368 → 0, < 736 → 1, < 920 → 2,
+    * < 981 → 3, < 996 → 4, < 999 → 5, else 6.
+    */
+  val PoissonPermille: Seq[Long] = Seq(368L, 736L, 920L, 981L, 996L, 999L)
+
+  /** Poissonized bootstrap confidence interval for the mean order
+    * value — THE distributed bootstrap: true with-replacement
+    * resampling needs global coordination, but Poisson(1) weights per
+    * (row, replicate) are independent and local, converge to the same
+    * multinomial resample, and here they are DERIVED from the same
+    * wrap-free multiplicative permille hash as sample_holdout_split
+    * (u = limbhash(key + replicate·mix)), with the Poisson inverse
+    * CDF stated as integer permille thresholds — so every engine
+    * derives the identical weights and the whole procedure is
+    * reproducible, refresh-stable, and exactly oracle-checkable (NO
+    * gates: the CI values themselves hash-match). Each replicate mean
+    * is one division of exact longs; the 95% CI takes the 2nd/49th
+    * order statistics of the 50 replicate means (replicate-id
+    * tie-break). Scale: one broadcast of the 50-row replicate spine,
+    * one map-side-combined aggregation over |rows|·B weighted
+    * contributions, then 50-row arithmetic.
+    */
+  val sampleBootstrapCi = GraftQuery(
+    "sample_bootstrap_ci",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      import s.implicits._
+      val orders = t.orders.select(col("o_orderkey").as("k"),
+        round(col("o_totalprice") * 100).cast("long").as("c"))
+      val reps = (1L to BootstrapReps).toDF("b")
+      val u = holdoutBucket(col("k") + col("b") * lit(BootstrapMix))
+      val w = PoissonPermille.zipWithIndex
+        .foldRight(lit(PoissonPermille.length.toLong)) {
+          case ((thr, k), rest) => when(u < thr, k.toLong).otherwise(rest)
+        }
+      val repMeans = orders.crossJoin(broadcast(reps))
+        .select(col("b"), (w * col("c")).as("wc"), w.as("w"))
+        .groupBy(col("b"))
+        .agg(sum(col("wc")).as("sw"), sum(col("w")).as("n"))
+        .select(col("b"),
+          (col("sw").cast(DoubleType) / col("n").cast(DoubleType)).as("m"))
+      val ranked = repMeans.withColumn("rn",
+        row_number().over(Window.orderBy(col("m"), col("b"))))
+      val point = orders.agg(count(lit(1)).as("n_orders"),
+        (sum(col("c")).cast(DoubleType) /
+          count(lit(1)).cast(DoubleType)).as("point_mean_cents"))
+      point
+        .crossJoin(broadcast(ranked.filter(col("rn") === 2)
+          .select(col("m").as("ci_lo"))))
+        .crossJoin(broadcast(ranked.filter(col("rn") === BootstrapReps - 1)
+          .select(col("m").as("ci_hi"))))
+        .select(col("n_orders"), lit(BootstrapReps).as("b_reps"),
+          col("point_mean_cents"), col("ci_lo"), col("ci_hi"))
+    },
+    Some(s"""
+      WITH o AS (
+        SELECT o_orderkey AS k,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS c
+        FROM orders),
+      reps AS (SELECT unnest(range(1, ${BootstrapReps + 1})) AS b),
+      h AS (
+        SELECT reps.b, o.c,
+               (((((o.k + reps.b * $BootstrapMix) % 4294967296) % 65536)
+                   * $SplitMultiplier
+                 + (((((o.k + reps.b * $BootstrapMix) % 4294967296) // 65536)
+                     * $SplitMultiplier) % 4294967296) * 65536)
+                % 4294967296) % 1000 AS u
+        FROM o CROSS JOIN reps),
+      w AS (
+        SELECT b, c,
+               CASE WHEN u < 368 THEN 0 WHEN u < 736 THEN 1
+                    WHEN u < 920 THEN 2 WHEN u < 981 THEN 3
+                    WHEN u < 996 THEN 4 WHEN u < 999 THEN 5
+                    ELSE 6 END AS w
+        FROM h),
+      r AS (
+        SELECT b, CAST(SUM(w * c) AS BIGINT) AS sw,
+               CAST(SUM(w) AS BIGINT) AS n
+        FROM w GROUP BY b),
+      m AS (
+        SELECT b, CAST(sw AS DOUBLE) / CAST(n AS DOUBLE) AS m
+        FROM r),
+      rk AS (
+        SELECT m, row_number() OVER (ORDER BY m, b) AS rn FROM m)
+      SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM o) AS n_orders,
+             CAST($BootstrapReps AS BIGINT) AS b_reps,
+             (SELECT CAST(SUM(c) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+              FROM o) AS point_mean_cents,
+             (SELECT m FROM rk WHERE rn = 2) AS ci_lo,
+             (SELECT m FROM rk WHERE rn = ${BootstrapReps - 1}) AS ci_hi
+    """)
+  )
+
   /** Token budget for the greedy curriculum selection. */
   val TokenBudget = 15000L
 
@@ -2527,5 +2628,6 @@ object TextAnalysis {
       textDsirSelect, pipelineFunnel, retrievalHybridRrf, featHashingTrick,
       textCcnetBuckets, textBpeMerges, textTokenizerFertility,
       sampleEpochAllocation, textSubstringDedup, textGramNovelty,
-      textPmiCollocations, sampleHoldoutSplit, sampleTokenBudget)
+      textPmiCollocations, sampleHoldoutSplit, sampleTokenBudget,
+      sampleBootstrapCi)
 }

@@ -991,6 +991,47 @@ class TextDedupSpec extends AnyFunSuite {
       .foreach(r => assert(r.getLong(2) >= 0L, "diagonal nonneg"))
   }
 
+  test("bootstrap CI: replicate means and order statistics match dense walk") {
+    import graft.operators.TextAnalysis._
+    val t = graft.sources.Tables(spark, sf)
+    val orders = t.orders
+      .select(col("o_orderkey"), round(col("o_totalprice") * 100)
+        .cast("long").as("c"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    def permille(x: Long): Long = {
+      val x32 = x % 4294967296L
+      val lo = x32 & 65535L
+      val hi = x32 >> 16
+      ((lo * SplitMultiplier +
+        ((hi * SplitMultiplier) % 4294967296L) * 65536L) % 4294967296L) % 1000L
+    }
+    def weight(u: Long): Long = {
+      val i = PoissonPermille.indexWhere(u < _)
+      if (i < 0) PoissonPermille.length.toLong else i.toLong
+    }
+    val means = (1L to BootstrapReps).map { b =>
+      var sw = 0L; var n = 0L
+      orders.foreach { case (k, c) =>
+        val w = weight(permille(k + b * BootstrapMix))
+        sw += w * c; n += w
+      }
+      (b, sw.toDouble / n.toDouble)
+    }
+    val sorted = means.sortBy { case (b, m) => (m, b) }.map(_._2)
+    val point = orders.map(_._2).sum.toDouble / orders.length.toDouble
+    val r = SparkEntry.queries("sample_bootstrap_ci")(spark, sf)
+      .collect().head
+    assert(r.getLong(0) == orders.length.toLong, "n_orders")
+    assert(r.getLong(1) == BootstrapReps, "b_reps")
+    assert(r.getDouble(2) == point, "point mean")
+    assert(r.getDouble(3) == sorted(1), "ci_lo = 2nd order statistic")
+    assert(r.getDouble(4) == sorted((BootstrapReps - 2).toInt),
+      "ci_hi = 49th order statistic")
+    // the interval brackets the point estimate and is non-degenerate
+    assert(r.getDouble(3) < r.getDouble(2) && r.getDouble(2) < r.getDouble(4),
+      "CI brackets the point mean")
+  }
+
   test("top eigen: power iteration matches dense recompute; analytic diag") {
     import graft.operators.Similarity
     // analytic: diag(3, 1) → λ = 3, v = ±e0
