@@ -3354,6 +3354,141 @@ object Analytics {
     """)
   )
 
+  /** Price-volume bridge (the FP&A revenue waterfall): per part brand,
+    * the 1996→1997 revenue change decomposed into a PRICE effect
+    * ((p̄₉₇ − p̄₉₆)·q₉₇) and a VOLUME effect (p̄₉₆·(q₉₇ − q₉₆)) with
+    * the exact algebraic identity price + volume = ΔRev (spec-pinned:
+    * rev₉₇ − rev₉₆ = (p̄₉₇−p̄₉₆)·q₉₇ + p̄₉₆·(q₉₇−q₉₆) holds for
+    * realized average prices by construction). Exactness: revenue
+    * sums are exact decimals, quantities exact longs, both from ONE
+    * conditional aggregation per brand; the effects are a fixed IEEE
+    * chain on those exact operands — bit-identical cross-engine.
+    * Scale: one broadcast part join + one map-side-combined
+    * aggregation to a |brands|-sized frame.
+    */
+  val q132PvmBridge = GraftQuery(
+    "q132_pvm_bridge",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      def yr(y: Int): Column = year(col("l_shipdate")) === y
+      val cells = t.lineitem
+        .join(broadcast(t.part.select(col("p_partkey"), col("p_brand"))),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand"))
+        .agg(
+          sum(when(yr(1996), dec2(col("l_extendedprice")))).as("r96"),
+          sum(when(yr(1996), col("l_quantity").cast("long"))
+            .otherwise(0L)).as("q96"),
+          sum(when(yr(1997), dec2(col("l_extendedprice")))).as("r97"),
+          sum(when(yr(1997), col("l_quantity").cast("long"))
+            .otherwise(0L)).as("q97"))
+      def d(c: Column): Column = c.cast(DoubleType)
+      val p96 = d(col("r96")) / d(col("q96"))
+      val p97 = d(col("r97")) / d(col("q97"))
+      cells.select(col("p_brand"),
+        d(col("r96")).as("rev_1996"), col("q96").as("qty_1996"),
+        d(col("r97")).as("rev_1997"), col("q97").as("qty_1997"),
+        ((p97 - p96) * d(col("q97"))).as("price_effect"),
+        (p96 * d(col("q97") - col("q96"))).as("volume_effect"))
+        .orderBy(col("p_brand"))
+    },
+    Some("""
+      WITH cells AS (
+        SELECT p.p_brand,
+          CAST(CAST(SUM(CASE WHEN year(l.l_shipdate) = 1996
+            THEN CAST(l.l_extendedprice AS DECIMAL(12,2)) END) AS VARCHAR)
+            AS DOUBLE) AS r96,
+          CAST(SUM(CASE WHEN year(l.l_shipdate) = 1996
+            THEN CAST(l.l_quantity AS BIGINT) ELSE 0 END) AS BIGINT) AS q96,
+          CAST(CAST(SUM(CASE WHEN year(l.l_shipdate) = 1997
+            THEN CAST(l.l_extendedprice AS DECIMAL(12,2)) END) AS VARCHAR)
+            AS DOUBLE) AS r97,
+          CAST(SUM(CASE WHEN year(l.l_shipdate) = 1997
+            THEN CAST(l.l_quantity AS BIGINT) ELSE 0 END) AS BIGINT) AS q97
+        FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        GROUP BY 1)
+      SELECT p_brand, r96 AS rev_1996, q96 AS qty_1996,
+             r97 AS rev_1997, q97 AS qty_1997,
+             (r97 / CAST(q97 AS DOUBLE) - r96 / CAST(q96 AS DOUBLE))
+               * CAST(q97 AS DOUBLE) AS price_effect,
+             (r96 / CAST(q96 AS DOUBLE)) * CAST(q97 - q96 AS DOUBLE)
+               AS volume_effect
+      FROM cells
+      ORDER BY p_brand
+    """)
+  )
+
+  /** ABC cumulative-share cutoffs (permille of total revenue). */
+  val AbcCutA = 800L
+  val AbcCutB = 950L
+
+  /** ABC inventory classification: parts ranked by lifetime revenue,
+    * class A = the head of the ranking up to 80% cumulative revenue
+    * share, B to 95%, C the tail — the Pareto workhorse of inventory
+    * and catalog management. Exactness: shares never become floats —
+    * the class compare is cum·1000 ≤ cutoff·total in exact LONGS
+    * (headroom to ~$9·10¹³ lifetime revenue; widen to decimal past
+    * that), with
+    * revenue-desc + partkey ranking making the cumulative total tie-
+    * free. Scale: the per-part rollup is the one data-scale shuffle;
+    * the cumulative window runs over the part-DIMENSION frame
+    * (bucket drill-down q90-style is the stated path when even parts
+    * outgrow a window), and the output is 3 class rows.
+    */
+  val q133AbcClassification = GraftQuery(
+    "q133_abc_classification",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val perPart = t.lineitem
+        .groupBy(col("l_partkey"))
+        .agg(sum(round(col("l_extendedprice") * 100).cast("long"))
+          .as("cents"))
+      val tot = perPart.agg(sum(col("cents")).as("total"))
+      val wCum = Window.orderBy(col("cents").desc, col("l_partkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val classed = perPart.crossJoin(broadcast(tot))
+        .withColumn("cum", sum(col("cents")).over(wCum))
+        .withColumn("cls",
+          when(col("cum") * 1000L <= lit(AbcCutA) * col("total"), "A")
+            .when(col("cum") * 1000L <= lit(AbcCutB) * col("total"), "B")
+            .otherwise("C"))
+      classed.groupBy(col("cls"))
+        .agg(count(lit(1)).as("n_parts"), sum(col("cents")).as("cents"),
+          first(col("total")).as("total"))
+        .select(col("cls"), col("n_parts"), col("cents"),
+          (col("cents").cast(DoubleType) / col("total").cast(DoubleType))
+            .as("revenue_share"))
+        .orderBy(col("cls"))
+    },
+    Some(s"""
+      WITH pp AS (
+        SELECT l_partkey,
+               CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT))
+                 AS BIGINT) AS cents
+        FROM lineitem GROUP BY 1),
+      t AS (SELECT CAST(SUM(cents) AS BIGINT) AS total FROM pp),
+      c AS (
+        SELECT pp.cents, t.total,
+               CAST(SUM(pp.cents) OVER (ORDER BY pp.cents DESC, pp.l_partkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                 AS cum
+        FROM pp, t),
+      k AS (
+        SELECT CASE WHEN cum * 1000 <= $AbcCutA * total THEN 'A'
+                    WHEN cum * 1000 <= $AbcCutB * total THEN 'B'
+                    ELSE 'C' END AS cls,
+               cents, total
+        FROM c)
+      SELECT cls, CAST(COUNT(*) AS BIGINT) AS n_parts,
+             CAST(SUM(cents) AS BIGINT) AS cents,
+             CAST(CAST(SUM(cents) AS BIGINT) AS DOUBLE)
+               / CAST(total AS DOUBLE) AS revenue_share
+      FROM k
+      GROUP BY cls, total
+      ORDER BY cls
+    """)
+  )
+
   /** Calendar seasonality heatmap over events: ISO-weekday × hour
     * cell counts plus each cell's load relative to a uniform week
     * (ratio = n·168 / total — busier-than-average cells exceed 1).
@@ -3574,5 +3709,6 @@ object Analytics {
       q120LDiversity, q121TCloseness, q122CusumChangepoint,
       q123HhiConcentration, q125MedianCi, q126AbProportions,
       q127M4Downsample, q128CappedRunningSum, q129CohortLtvCurve,
-      q130GrowthAccounting, q131DidEffect)
+      q130GrowthAccounting, q131DidEffect, q132PvmBridge,
+      q133AbcClassification)
 }

@@ -1163,4 +1163,72 @@ class AnalyticsSpec extends AnyFunSuite {
       "control means")
     assert(r.getDouble(8) == did, "did")
   }
+
+  test("PVM bridge: effects match dense recompute and sum to delta") {
+    val t = graft.sources.Tables(spark, sf)
+    val brand = t.part.select(col("p_partkey"), col("p_brand"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val cells = t.lineitem
+      .select(col("l_partkey"), col("l_extendedprice"),
+        col("l_quantity").cast("long").as("q"),
+        year(col("l_shipdate")).as("y"))
+      .collect()
+      .filter(r => r.getInt(3) == 1996 || r.getInt(3) == 1997)
+      .groupBy(r => (brand(r.getLong(0)), r.getInt(3)))
+      .view.mapValues { rs =>
+        val rev = rs.map(r => BigDecimal(r.getDouble(1)).setScale(2,
+          BigDecimal.RoundingMode.HALF_UP)).sum
+        (rev.toDouble, rs.map(_.getLong(2)).sum)
+      }.toMap
+    val rows = SparkEntry.queries("q132_pvm_bridge")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val b = r.getString(0)
+      val (r96, q96) = cells((b, 1996)); val (r97, q97) = cells((b, 1997))
+      assert(r.getDouble(1) == r96 && r.getLong(2) == q96, s"1996 $b")
+      assert(r.getDouble(3) == r97 && r.getLong(4) == q97, s"1997 $b")
+      val pe = (r97 / q97 - r96 / q96) * q97
+      val ve = (r96 / q96) * (q97 - q96)
+      assert(r.getDouble(5) == pe, s"price effect $b")
+      assert(r.getDouble(6) == ve, s"volume effect $b")
+      // the bridge identity (floating form, loose tolerance)
+      assert(math.abs((pe + ve) - (r97 - r96)) < 1e-4 * math.abs(r97),
+        s"bridge identity $b")
+    }
+  }
+
+  test("ABC classification: cumulative classes match dense recompute") {
+    val t = graft.sources.Tables(spark, sf)
+    val perPart = t.lineitem
+      .select(col("l_partkey"), round(col("l_extendedprice") * 100)
+        .cast("long").as("c"))
+      .collect().groupBy(_.getLong(0))
+      .map { case (k, rs) => (k, rs.map(_.getLong(1)).sum) }.toSeq
+    val total = perPart.map(_._2).sum
+    var cum = 0L
+    val classed = perPart.sortBy(p => (-p._2, p._1)).map { case (_, c) =>
+      cum += c
+      val cls = if (cum * 1000L <= operators.Analytics.AbcCutA * total) "A"
+        else if (cum * 1000L <= operators.Analytics.AbcCutB * total) "B"
+        else "C"
+      (cls, c)
+    }
+    val want = classed.groupBy(_._1).map { case (cls, cs) =>
+      cls -> (cs.length.toLong, cs.map(_._2).sum) }
+    val rows = SparkEntry.queries("q133_abc_classification")(spark, sf)
+      .collect()
+    assert(rows.map(_.getString(0)).toSet == want.keySet, "class set")
+    rows.foreach { r =>
+      val (n, c) = want(r.getString(0))
+      assert(r.getLong(1) == n && r.getLong(2) == c, s"class ${r.getString(0)}")
+      assert(r.getDouble(3) == c.toDouble / total.toDouble,
+        s"share ${r.getString(0)}")
+    }
+    // ranking invariant: mean revenue per part decreases A → B → C
+    // (the synthetic distribution is near-uniform, so unlike real
+    // catalogs A holds MOST parts — only the per-part ordering is
+    // structural)
+    def avg(cls: String) = want(cls)._2.toDouble / want(cls)._1
+    assert(avg("A") >= avg("B") && avg("B") >= avg("C"), "rank ordering")
+  }
 }
