@@ -3489,6 +3489,119 @@ object Analytics {
     """)
   )
 
+  /** Session gap (micros) for the concurrency sweep — 30 minutes,
+    * matching the streaming sessionization. */
+  val ConcurrencyGapMicros: Long = 30L * 60L * 1000000L
+
+  /** Peak concurrent sessions per day — the interval-overlap sweep
+    * (capacity planning's "how many users were online at once"):
+    * sessionize events per user by 30-min gaps, emit +1 at each
+    * session start and −1 just after its end, and take the daily
+    * maximum of the running boundary sum. The sweep is decomposed the
+    * way a 100 TB scan must be: per-day windows (partitioned, never a
+    * global single-partition ordered scan) plus a day-level CARRY-IN
+    * from the cumulative of per-day net sums over the day-DOMAIN
+    * frame — the classic two-phase prefix-scan. Tie discipline: at an
+    * equal microsecond, +1s order before −1s (delta DESC), which
+    * makes the daily MAX deterministic under any permutation of equal
+    * boundaries (a +1 run's intermediate values are dominated by its
+    * last, a −1 run's by its first). The day-start concurrency
+    * (carry-in itself) participates in the max. All integers.
+    */
+  val q134MaxConcurrency = GraftQuery(
+    "q134_max_concurrency",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val ev = t.events.select(col("user_id"),
+        unix_micros(col("ts")).as("us"))
+      val wU = Window.partitionBy(col("user_id")).orderBy(col("us"))
+      val sess = ev
+        .withColumn("prev", lag(col("us"), 1).over(wU))
+        .withColumn("brk",
+          when(col("prev").isNull ||
+            col("us") - col("prev") > ConcurrencyGapMicros, 1L)
+            .otherwise(0L))
+        .withColumn("sid", sum(col("brk")).over(
+          wU.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy(col("user_id"), col("sid"))
+        .agg(min(col("us")).as("start_us"), max(col("us")).as("end_us"))
+      val bounds = sess.select(col("start_us").as("us"), lit(1L).as("d"))
+        .unionAll(sess.select((col("end_us") + 1L).as("us"),
+          lit(-1L).as("d")))
+        .withColumn("day", to_date(timestamp_micros(col("us"))))
+      val wDay = Window.partitionBy(col("day"))
+        .orderBy(col("us"), col("d").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val withinMax = bounds
+        .withColumn("run", sum(col("d")).over(wDay))
+        .groupBy(col("day"))
+        .agg(max(col("run")).as("in_day_max"),
+          sum(col("d")).as("net"),
+          sum(when(col("d") === 1L, 1L).otherwise(0L)).as("n_starts"),
+          sum(when(col("d") === -1L, 1L).otherwise(0L)).as("n_ends"))
+      val carried = withinMax
+        .withColumn("carry_in",
+          coalesce(sum(col("net")).over(
+            Window.orderBy(col("day"))
+              .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      carried
+        .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+          col("n_starts"), col("n_ends"), col("carry_in"),
+          greatest(col("carry_in"),
+            col("carry_in") + col("in_day_max")).as("max_concurrency"))
+        .orderBy(col("day"))
+    },
+    Some(s"""
+      WITH ev AS (
+        SELECT user_id, epoch_us(ts) AS us FROM events),
+      m AS (
+        SELECT user_id, us,
+               CASE WHEN lag(us) OVER (PARTITION BY user_id ORDER BY us)
+                      IS NULL
+                     OR us - lag(us) OVER (PARTITION BY user_id ORDER BY us)
+                      > $ConcurrencyGapMicros
+                    THEN 1 ELSE 0 END AS brk
+        FROM ev),
+      sid AS (
+        SELECT user_id, us,
+               SUM(brk) OVER (PARTITION BY user_id ORDER BY us
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        FROM m),
+      sess AS (
+        SELECT user_id, sid, MIN(us) AS start_us, MAX(us) AS end_us
+        FROM sid GROUP BY 1, 2),
+      b AS (
+        SELECT start_us AS us, 1 AS d FROM sess
+        UNION ALL
+        SELECT end_us + 1, -1 FROM sess),
+      bd AS (
+        SELECT us, d, CAST(make_timestamp(us) AS DATE) AS day FROM b),
+      w AS (
+        SELECT day, us, d,
+               SUM(d) OVER (PARTITION BY day ORDER BY us, d DESC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
+        FROM bd),
+      dday AS (
+        SELECT day, CAST(MAX(run) AS BIGINT) AS in_day_max,
+               CAST(SUM(d) AS BIGINT) AS net,
+               CAST(SUM(CASE WHEN d = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_starts,
+               CAST(SUM(CASE WHEN d = -1 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_ends
+        FROM w GROUP BY 1),
+      c AS (
+        SELECT day, n_starts, n_ends, in_day_max,
+               CAST(COALESCE(SUM(net) OVER (ORDER BY day
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 AS BIGINT) AS carry_in
+        FROM dday)
+      SELECT CAST(day AS VARCHAR) AS day, n_starts, n_ends, carry_in,
+             GREATEST(carry_in, carry_in + in_day_max) AS max_concurrency
+      FROM c
+      ORDER BY day
+    """)
+  )
+
   /** Calendar seasonality heatmap over events: ISO-weekday × hour
     * cell counts plus each cell's load relative to a uniform week
     * (ratio = n·168 / total — busier-than-average cells exceed 1).
@@ -3710,5 +3823,5 @@ object Analytics {
       q123HhiConcentration, q125MedianCi, q126AbProportions,
       q127M4Downsample, q128CappedRunningSum, q129CohortLtvCurve,
       q130GrowthAccounting, q131DidEffect, q132PvmBridge,
-      q133AbcClassification)
+      q133AbcClassification, q134MaxConcurrency)
 }

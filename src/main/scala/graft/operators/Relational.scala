@@ -1197,6 +1197,50 @@ object Relational {
     """)
   )
 
+  /** JSON-lines source roundtrip — the fourth source format next to
+    * parquet, CSV (q45) and ORC (q41), and the interchange format
+    * LLM-corpus tooling actually ships (one JSON object per line):
+    * documents staged as JSONL with an explicit read schema (schema
+    * inference on JSON is a full extra pass at corpus scale — always
+    * declare it), digested per source with exact integer sums. Money/
+    * float-free so the roundtrip is trivially bit-stable; the lang
+    * mode column exercises string fields through the JSON encoder.
+    */
+  val q135JsonlRoundtrip = GraftQuery(
+    "q135_jsonl_roundtrip",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val tmp = java.nio.file.Files.createTempDirectory("graft_jsonl")
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm); f.delete()
+      }
+      try {
+        t.documents
+          .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+          .write.mode("overwrite").json(tmp.toString)
+        s.read
+          .schema("doc_id bigint, lang string, source string, n_chars bigint")
+          .json(tmp.toString)
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_chars")).as("total_chars"),
+            countDistinct(col("lang")).as("n_langs"),
+            min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"))
+          .orderBy(col("source"))
+          .localCheckpoint()
+      } finally rm(tmp.toFile)
+    },
+    Some("""
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+             CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+             MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+      FROM documents
+      GROUP BY source
+      ORDER BY source
+    """)
+  )
+
   /** Upsert/merge maintenance (the CDC-apply shape: base snapshot +
     * change batch → new snapshot, emulated engine-side with a left
     * join + coalesce + union since vanilla Spark has no MERGE INTO).
@@ -2531,7 +2575,8 @@ object Relational {
     q32JsonRoundtrip, q33ApproxPercentile, q34BucketedJoin, q35KllQuantiles,
     q38ThetaDistinct, q39SaltedSkewJoin, q40SlidingDistinct, q41OrcRoundtrip,
     q42ThetaIntersect, q43QuantileBinning, q44UpsertSnapshot,
-    q45CsvRoundtrip, q50WeightedTheta, q53ZorderLayout, q54IncrementalAgg,
+    q45CsvRoundtrip, q135JsonlRoundtrip, q50WeightedTheta, q53ZorderLayout,
+    q54IncrementalAgg,
     q57TopkJoinPushdown, q58EwmaSmoothing, q67WindowRanks,
     q72ReconcileFullOuter, q74SchemaEvolution, q77SmallQtyRevenue,
     q78CompactFiles, q79MultiDistinct, q80DeleteCascade,

@@ -1231,4 +1231,49 @@ class AnalyticsSpec extends AnyFunSuite {
     def avg(cls: String) = want(cls)._2.toDouble / want(cls)._1
     assert(avg("A") >= avg("B") && avg("B") >= avg("C"), "rank ordering")
   }
+
+  test("max concurrency: daily peaks match a dense global sweep") {
+    val gap = operators.Analytics.ConcurrencyGapMicros
+    val t = graft.sources.Tables(spark, sf)
+    val evs = t.events.select(col("user_id"), unix_micros(col("ts")).as("us"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // dense sessionization
+    val sessions = evs.groupBy(_._1).values.flatMap { us =>
+      val sorted = us.map(_._2).sorted
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+      var start = sorted.head; var last = sorted.head
+      sorted.tail.foreach { u =>
+        if (u - last > gap) { out += ((start, last)); start = u }
+        last = u
+      }
+      out += ((start, last))
+      out
+    }.toSeq
+    // dense GLOBAL sweep (no day decomposition — the independent path)
+    val bounds = sessions.flatMap { case (s0, e0) =>
+      Seq((s0, 1L), (e0 + 1L, -1L)) }
+      .sortBy { case (u, d) => (u, -d) }
+    var run = 0L
+    val dayMax = scala.collection.mutable.Map.empty[String, Long]
+    val dayStartRun = scala.collection.mutable.Map.empty[String, Long]
+    bounds.foreach { case (u, d) =>
+      val day = java.time.Instant.ofEpochSecond(u / 1000000L)
+        .atZone(java.time.ZoneOffset.UTC).toLocalDate.toString
+      if (!dayStartRun.contains(day)) dayStartRun(day) = run
+      run += d
+      dayMax(day) = math.max(dayMax.getOrElse(day, Long.MinValue), run)
+    }
+    val want = dayMax.map { case (day, mx) =>
+      day -> math.max(dayStartRun(day), mx) }
+    val rows = SparkEntry.queries("q134_max_concurrency")(spark, sf).collect()
+    assert(rows.map(_.getString(0)).toSet == want.keySet, "day set")
+    rows.foreach { r =>
+      assert(r.getLong(4) == want(r.getString(0)),
+        s"peak ${r.getString(0)}")
+      assert(r.getLong(1) >= 0L && r.getLong(2) >= 0L)
+    }
+    // global conservation: starts == ends over the whole timeline
+    assert(rows.map(_.getLong(1)).sum == rows.map(_.getLong(2)).sum,
+      "boundary conservation")
+  }
 }
