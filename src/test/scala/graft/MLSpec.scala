@@ -441,4 +441,16 @@ class MLSpec extends AnyFunSuite {
         test.forall(o => !o._1.isBefore(origin)))
     }
   }
+
+  test("permutation importance: gates hold and all features are scored") {
+    val rows = SparkEntry.queries("ml_permutation_importance")(spark, sf)
+      .collect()
+    assert(rows.map(_.getString(0)).toSeq ==
+      graft.ml.MLQueries.PermutationFeatures.sorted, "feature rows")
+    rows.foreach { r =>
+      assert(r.getBoolean(2), s"noise floor ${r.getString(0)}")
+      assert(r.getBoolean(3), "some feature must matter")
+      assert(r.getLong(1) > 0L)
+    }
+  }
 }
