@@ -3602,6 +3602,140 @@ object Analytics {
     """)
   )
 
+  /** Rolling window length (days) for the rolling correlation. */
+  val RollCorrDays = 30
+
+  /** 30-day rolling Pearson correlation between daily view and
+    * purchase event counts — the co-movement monitor behind "did the
+    * funnel decouple this month": per day over the trailing window,
+    * corr from the five exact-integer moments (Σx, Σy, Σxy, Σx², Σy²
+    * — daily counts are longs, products fit trivially), each readout
+    * a fixed IEEE chain on those integers, NO rounding — the q116
+    * exact-moment rule applied per window frame. Windows run over the
+    * day-DOMAIN frame (≤ a few thousand rows; single ordered spine —
+    * at corpus scale the same moments come from the q134 two-phase
+    * prefix decomposition). Degenerate frames (zero variance) emit
+    * NULL in both engines.
+    */
+  val q136RollingCorrelation = GraftQuery(
+    "q136_rolling_correlation",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val daily = t.events
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(
+          sum(when(col("event_type") === "view", 1L).otherwise(0L)).as("x"),
+          sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+            .as("y"))
+      val w = Window.orderBy(col("day"))
+        .rowsBetween(-(RollCorrDays - 1).toLong, Window.currentRow)
+      def d(c: Column): Column = c.cast(DoubleType)
+      val n = count(lit(1)).over(w).cast("long")
+      val sx = sum(col("x")).over(w)
+      val sy = sum(col("y")).over(w)
+      val sxy = sum(col("x") * col("y")).over(w)
+      val sxx = sum(col("x") * col("x")).over(w)
+      val syy = sum(col("y") * col("y")).over(w)
+      val num = d(n) * d(sxy) - d(sx) * d(sy)
+      val den = sqrt(d(n) * d(sxx) - d(sx) * d(sx)) *
+        sqrt(d(n) * d(syy) - d(sy) * d(sy))
+      daily
+        .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+          col("x").as("views"), col("y").as("purchases"),
+          n.as("win_n"),
+          when(den === 0.0, lit(null).cast(DoubleType))
+            .otherwise(num / den).as("roll_corr"))
+        .orderBy(col("day"))
+    },
+    Some(s"""
+      WITH daily AS (
+        SELECT CAST(ts AS DATE) AS day,
+               CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                 AS BIGINT) AS x,
+               CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                 AS BIGINT) AS y
+        FROM events GROUP BY 1),
+      m AS (
+        SELECT day, x, y,
+               CAST(COUNT(*) OVER w AS BIGINT) AS n,
+               CAST(SUM(x) OVER w AS BIGINT) AS sx,
+               CAST(SUM(y) OVER w AS BIGINT) AS sy,
+               CAST(SUM(x * y) OVER w AS BIGINT) AS sxy,
+               CAST(SUM(x * x) OVER w AS BIGINT) AS sxx,
+               CAST(SUM(y * y) OVER w AS BIGINT) AS syy
+        FROM daily
+        WINDOW w AS (ORDER BY day
+          ROWS BETWEEN ${RollCorrDays - 1} PRECEDING AND CURRENT ROW))
+      SELECT CAST(day AS VARCHAR) AS day, x AS views, y AS purchases,
+             n AS win_n,
+             CASE WHEN (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                    * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                      - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) = 0
+                  THEN NULL
+                  ELSE (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                    / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                      * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                        - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+             END AS roll_corr
+      FROM m
+      ORDER BY day
+    """)
+  )
+
+  /** Equi-width histogram buckets. */
+  val HistBuckets = 40L
+
+  /** Equi-width histogram of order values — dask.array.histogram /
+    * numpy.histogram parity next to the equi-DEPTH q43 binning:
+    * bucket = (cents − min)·k div (max − min + 1), a TRUE integer
+    * division on exact cents, with the (possibly empty) bucket spine
+    * densified by a sequence join so the output is always exactly k
+    * rows — absent buckets report 0, the way a plotting library
+    * expects. One aggregation to the min/max frame (broadcast), one
+    * map-side-combined bucket count, one ≤k-row spine join.
+    */
+  val q137Histogram = GraftQuery(
+    "q137_histogram",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val cents = t.orders.select(
+        round(col("o_totalprice") * 100).cast("long").as("c"))
+      val mm = cents.agg(min(col("c")).as("mn"), max(col("c")).as("mx"))
+      val counts = cents.crossJoin(broadcast(mm))
+        .select(expr(s"((c - mn) * $HistBuckets) div (mx - mn + 1)")
+          .as("bucket"))
+        .groupBy(col("bucket")).agg(count(lit(1)).as("n"))
+      val spine = s.range(0, HistBuckets).toDF("bucket")
+      spine.join(counts, Seq("bucket"), "left")
+        .crossJoin(broadcast(mm))
+        .select(col("bucket"),
+          (col("mn") + expr(s"(bucket * (mx - mn + 1)) div $HistBuckets"))
+            .as("lo_cents"),
+          coalesce(col("n"), lit(0L)).as("n"))
+        .orderBy(col("bucket"))
+    },
+    Some(s"""
+      WITH c AS (
+        SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS c FROM orders),
+      mm AS (SELECT MIN(c) AS mn, MAX(c) AS mx FROM c),
+      b AS (
+        SELECT ((c.c - mm.mn) * $HistBuckets) // (mm.mx - mm.mn + 1)
+                 AS bucket,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM c, mm GROUP BY 1),
+      spine AS (SELECT unnest(range(0, $HistBuckets)) AS bucket)
+      SELECT CAST(s.bucket AS BIGINT) AS bucket,
+             CAST(mm.mn + (s.bucket * (mm.mx - mm.mn + 1)) // $HistBuckets
+               AS BIGINT) AS lo_cents,
+             COALESCE(b.n, 0) AS n
+      FROM spine s CROSS JOIN mm LEFT JOIN b ON b.bucket = s.bucket
+      ORDER BY bucket
+    """)
+  )
+
   /** Calendar seasonality heatmap over events: ISO-weekday × hour
     * cell counts plus each cell's load relative to a uniform week
     * (ratio = n·168 / total — busier-than-average cells exceed 1).
@@ -3823,5 +3957,6 @@ object Analytics {
       q123HhiConcentration, q125MedianCi, q126AbProportions,
       q127M4Downsample, q128CappedRunningSum, q129CohortLtvCurve,
       q130GrowthAccounting, q131DidEffect, q132PvmBridge,
-      q133AbcClassification, q134MaxConcurrency)
+      q133AbcClassification, q134MaxConcurrency, q136RollingCorrelation,
+      q137Histogram)
 }

@@ -1276,4 +1276,54 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(rows.map(_.getLong(1)).sum == rows.map(_.getLong(2)).sum,
       "boundary conservation")
   }
+
+  test("rolling correlation: trailing-window moments match dense walk") {
+    val t = graft.sources.Tables(spark, sf)
+    val daily = t.events.select(to_date(col("ts")).as("d"), col("event_type"))
+      .collect().groupBy(_.getDate(0).toString)
+      .map { case (d, rs) =>
+        (d, rs.count(_.getString(1) == "view").toLong,
+          rs.count(_.getString(1) == "purchase").toLong) }
+      .toSeq.sortBy(_._1)
+    val rows = SparkEntry.queries("q136_rolling_correlation")(spark, sf)
+      .collect()
+    assert(rows.map(_.getString(0)).toSeq == daily.map(_._1), "day spine")
+    rows.zipWithIndex.foreach { case (r, i) =>
+      val frame = daily.slice(math.max(0, i - operators.Analytics.RollCorrDays + 1),
+        i + 1)
+      val n = frame.length.toLong
+      val sx = frame.map(_._2).sum; val sy = frame.map(_._3).sum
+      val sxy = frame.map(f => f._2 * f._3).sum
+      val sxx = frame.map(f => f._2 * f._2).sum
+      val syy = frame.map(f => f._3 * f._3).sum
+      val den = math.sqrt(n.toDouble * sxx - sx.toDouble * sx) *
+        math.sqrt(n.toDouble * syy - sy.toDouble * sy)
+      assert(r.getLong(3) == n, s"win_n day ${r.getString(0)}")
+      if (den == 0.0) assert(r.isNullAt(4), s"null day ${r.getString(0)}")
+      else {
+        val want = (n.toDouble * sxy - sx.toDouble * sy) / den
+        assert(r.getDouble(4) == want, s"corr day ${r.getString(0)}")
+        assert(math.abs(r.getDouble(4)) <= 1.0 + 1e-12,
+          s"corr range ${r.getString(0)}")
+      }
+    }
+  }
+
+  test("histogram: equi-width buckets match dense recompute, dense spine") {
+    val t = graft.sources.Tables(spark, sf)
+    val cents = t.orders.select(round(col("o_totalprice") * 100)
+      .cast("long")).collect().map(_.getLong(0))
+    val mn = cents.min; val mx = cents.max
+    val k = operators.Analytics.HistBuckets
+    val want = cents.groupBy(c => (c - mn) * k / (mx - mn + 1))
+      .view.mapValues(_.length.toLong).toMap
+    val rows = SparkEntry.queries("q137_histogram")(spark, sf).collect()
+    assert(rows.length == k.toInt, "dense spine")
+    rows.foreach { r =>
+      val b = r.getLong(0)
+      assert(r.getLong(1) == mn + b * (mx - mn + 1) / k, s"edge b$b")
+      assert(r.getLong(2) == want.getOrElse(b, 0L), s"count b$b")
+    }
+    assert(rows.map(_.getLong(2)).sum == cents.length.toLong, "mass")
+  }
 }
