@@ -3736,6 +3736,105 @@ object Analytics {
     """)
   )
 
+  /** One-way ANOVA across weekday groups of daily revenue — "does the
+    * day of week move revenue at all": F = (SSB/(k−1)) / (SSW/(n−k))
+    * from per-group exact moments. Completes the hypothesis-test
+    * family (Welch t q71, χ² q96, KS q105, two-proportion z q126)
+    * with the k-group omnibus test. Exactness: daily cents are exact
+    * longs; per-group Σx and Σx² widen through DECIMAL (cents² ≈ 10¹⁷
+    * per day — past 2⁶³ when summed at corpus scale); SSB/SSW are a
+    * fixed IEEE chain on the VARCHAR-routed exact renders —
+    * bit-identical cross-engine. Scale: one day rollup, one 7-row
+    * group aggregate, one 1-row readout.
+    */
+  val q138AnovaWeekday = GraftQuery(
+    "q138_anova_weekday",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val daily = t.orders
+        .groupBy(to_date(col("o_orderdate")).as("day"))
+        .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("c"))
+        .select((weekday(col("day")) + 1).cast("long").as("dow"), col("c"))
+      val g = daily.groupBy(col("dow"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("c")).as("sx"),
+          sum(col("c").cast(DecimalType(38, 0)) * col("c")).as("sxx"))
+      def d(c: Column): Column = c.cast(DoubleType)
+      // Σ_g (Σx_g)²/n_g must NOT be a floating aggregate (partition-
+      // order-dependent ulps): with exactly 7 dow groups, pivot the
+      // per-group terms into columns and add them in EXPLICIT
+      // syntactic order — the oracle spells the identical chain
+      val term = d(col("sx").cast(DecimalType(38, 0)) * col("sx")) /
+        d(col("n"))
+      val pivots = (1 to 7).map(i =>
+        sum(when(col("dow") === i.toLong, term)).as(s"t$i"))
+      val aggs = Seq(count(lit(1)).as("k"), sum(col("n")).as("n_tot"),
+        sum(col("sx")).as("sx_tot"), sum(col("sxx")).as("sxx_tot")) ++ pivots
+      val m = g.agg(aggs.head, aggs.tail: _*)
+      val sumSqOverN = (1 to 7).map(i => coalesce(col(s"t$i"), lit(0.0)))
+        .reduceLeft(_ + _)
+      val msb = (sumSqOverN -
+        d(col("sx_tot").cast(DecimalType(38, 0)) * col("sx_tot")) /
+          d(col("n_tot"))) / d(col("k") - 1)
+      val msw = (d(col("sxx_tot")) - sumSqOverN) / d(col("n_tot") - col("k"))
+      m.select(col("k"), col("n_tot"), msb.as("msb"), msw.as("msw"),
+        (msb / msw).as("f_stat"))
+    },
+    Some("""
+      WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS day,
+               CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                 AS c
+        FROM orders GROUP BY 1),
+      dw AS (SELECT isodow(day) AS dow, c FROM daily),
+      g AS (
+        SELECT dow, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(c) AS BIGINT) AS sx,
+               SUM(CAST(c AS HUGEINT) * c) AS sxx
+        FROM dw GROUP BY 1),
+      m AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS k,
+               CAST(SUM(n) AS BIGINT) AS n_tot,
+               CAST(SUM(sx) AS BIGINT) AS sx_tot,
+               CAST(CAST(SUM(sxx) AS VARCHAR) AS DOUBLE) AS sxx_tot,
+               COALESCE(MAX(CASE WHEN dow = 1 THEN
+                 CAST(CAST(CAST(sx AS HUGEINT) * sx AS VARCHAR) AS DOUBLE)
+                   / CAST(n AS DOUBLE) END), 0.0)
+               + COALESCE(MAX(CASE WHEN dow = 2 THEN
+                 CAST(CAST(CAST(sx AS HUGEINT) * sx AS VARCHAR) AS DOUBLE)
+                   / CAST(n AS DOUBLE) END), 0.0)
+               + COALESCE(MAX(CASE WHEN dow = 3 THEN
+                 CAST(CAST(CAST(sx AS HUGEINT) * sx AS VARCHAR) AS DOUBLE)
+                   / CAST(n AS DOUBLE) END), 0.0)
+               + COALESCE(MAX(CASE WHEN dow = 4 THEN
+                 CAST(CAST(CAST(sx AS HUGEINT) * sx AS VARCHAR) AS DOUBLE)
+                   / CAST(n AS DOUBLE) END), 0.0)
+               + COALESCE(MAX(CASE WHEN dow = 5 THEN
+                 CAST(CAST(CAST(sx AS HUGEINT) * sx AS VARCHAR) AS DOUBLE)
+                   / CAST(n AS DOUBLE) END), 0.0)
+               + COALESCE(MAX(CASE WHEN dow = 6 THEN
+                 CAST(CAST(CAST(sx AS HUGEINT) * sx AS VARCHAR) AS DOUBLE)
+                   / CAST(n AS DOUBLE) END), 0.0)
+               + COALESCE(MAX(CASE WHEN dow = 7 THEN
+                 CAST(CAST(CAST(sx AS HUGEINT) * sx AS VARCHAR) AS DOUBLE)
+                   / CAST(n AS DOUBLE) END), 0.0) AS sum_sq_over_n
+        FROM g)
+      SELECT k, n_tot,
+             (sum_sq_over_n
+              - CAST(CAST(CAST(sx_tot AS HUGEINT) * sx_tot AS VARCHAR)
+                  AS DOUBLE) / CAST(n_tot AS DOUBLE))
+               / CAST(k - 1 AS DOUBLE) AS msb,
+             (sxx_tot - sum_sq_over_n) / CAST(n_tot - k AS DOUBLE) AS msw,
+             ((sum_sq_over_n
+               - CAST(CAST(CAST(sx_tot AS HUGEINT) * sx_tot AS VARCHAR)
+                   AS DOUBLE) / CAST(n_tot AS DOUBLE))
+               / CAST(k - 1 AS DOUBLE))
+             / ((sxx_tot - sum_sq_over_n) / CAST(n_tot - k AS DOUBLE))
+               AS f_stat
+      FROM m
+    """)
+  )
+
   /** Calendar seasonality heatmap over events: ISO-weekday × hour
     * cell counts plus each cell's load relative to a uniform week
     * (ratio = n·168 / total — busier-than-average cells exceed 1).
@@ -3958,5 +4057,5 @@ object Analytics {
       q127M4Downsample, q128CappedRunningSum, q129CohortLtvCurve,
       q130GrowthAccounting, q131DidEffect, q132PvmBridge,
       q133AbcClassification, q134MaxConcurrency, q136RollingCorrelation,
-      q137Histogram)
+      q137Histogram, q138AnovaWeekday)
 }

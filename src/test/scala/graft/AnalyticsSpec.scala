@@ -1326,4 +1326,39 @@ class AnalyticsSpec extends AnyFunSuite {
     }
     assert(rows.map(_.getLong(2)).sum == cents.length.toLong, "mass")
   }
+
+  test("weekday ANOVA: F from exact moments matches dense recompute") {
+    val t = graft.sources.Tables(spark, sf)
+    val daily = t.orders
+      .select(to_date(col("o_orderdate")).as("day"),
+        round(col("o_totalprice") * 100).cast("long").as("c"))
+      .collect()
+      .groupBy(_.getDate(0)).toSeq
+      .map { case (d, rs) =>
+        (d.toLocalDate.getDayOfWeek.getValue.toLong,
+          rs.map(_.getLong(1)).sum) }
+    val g = daily.groupBy(_._1).map { case (dow, cs) =>
+      dow -> (cs.length.toLong, cs.map(_._2).sum,
+        cs.map(c => BigInt(c._2) * BigInt(c._2)).sum) }
+    val k = g.size.toLong
+    val nTot = g.values.map(_._1).sum
+    val sxTot = g.values.map(_._2).sum
+    val sxxTot = BigDecimal(g.values.map(_._3).sum).toDouble
+    val sumSqOverN = (1L to 7L).map { dw =>
+      g.get(dw).map { case (n, sx, _) =>
+        BigDecimal(BigInt(sx) * BigInt(sx)).toDouble / n.toDouble
+      }.getOrElse(0.0)
+    }.reduceLeft(_ + _)
+    val msb = (sumSqOverN -
+      BigDecimal(BigInt(sxTot) * BigInt(sxTot)).toDouble / nTot.toDouble) /
+      (k - 1).toDouble
+    val msw = (sxxTot - sumSqOverN) / (nTot - k).toDouble
+    val r = SparkEntry.queries("q138_anova_weekday")(spark, sf)
+      .collect().head
+    assert(r.getLong(0) == k && r.getLong(1) == nTot, "shape")
+    assert(r.getDouble(2) == msb, "msb")
+    assert(r.getDouble(3) == msw, "msw")
+    assert(r.getDouble(4) == msb / msw, "F")
+    assert(msb >= 0.0 && msw > 0.0, "nonneg mean squares")
+  }
 }
