@@ -1506,6 +1506,48 @@ object EventsStream {
     """)
   )
 
+  /** Hopping (sliding) windowed aggregation — the overlapping-window
+    * type the tumbling queries don't exercise: 6-hour windows sliding
+    * every hour over purchase events, so each event contributes to
+    * SIX windows and adjacent rows share 5/6 of their mass (the
+    * smoothed load curve dashboards want). State is |open windows| ·
+    * 1 row and each arrival updates 6 window slots — the documented
+    * write amplification of hopping windows; at scale the slide/size
+    * ratio IS the cost knob. Sums stay exact (cents longs); the batch
+    * oracle replays each event into its 6 windows via a 0..5 offset
+    * spine on the same integer-micros grid as Spark's window().
+    */
+  val streamHoppingAgg = GraftQuery(
+    "stream_hopping_agg",
+    (s, dir) => {
+      val agg = eventsStream(s, dir)
+        .filter(col("event_type") === "purchase")
+        .withWatermark("ts", "1 hour")
+        .groupBy(window(col("ts"), "6 hours", "1 hour"))
+        .agg(count(lit(1)).as("n"),
+          sum(round(col("value") * 100).cast("long")).as("cents"))
+      runToTable(agg, OutputMode.Complete())
+        .select(tsString(col("window.start")).as("win_start"),
+          col("n"), col("cents"))
+        .orderBy(col("win_start"))
+    },
+    Some("""
+      WITH k AS (SELECT unnest(range(0, 6)) AS k),
+      w AS (
+        SELECT strftime(to_timestamp(
+                 ((epoch_us(ts) // 3600000000) - k.k) * 3600),
+                 '%Y-%m-%d %H:%M:%S') AS win_start,
+               CAST(round(value * 100) AS BIGINT) AS c
+        FROM events CROSS JOIN k
+        WHERE event_type = 'purchase')
+      SELECT win_start, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(c) AS BIGINT) AS cents
+      FROM w
+      GROUP BY 1
+      ORDER BY 1
+    """)
+  )
+
   case class EvT(user_id: Long, tsMicros: Long, event_type: String)
   case class SessTop(
       user_id: Long, session_start_us: Long, n_events: Long,
@@ -1621,5 +1663,6 @@ object EventsStream {
       streamStreamFullOuter, streamWeightedSample,
       streamUpsertLatest, streamHeavyHitters, streamPatternMatch,
       streamQuantiles, streamIncrementalDedup, streamEwmaAnomaly,
-      streamWindowedTopk, streamSessionTopk, streamCdcTombstones)
+      streamWindowedTopk, streamSessionTopk, streamCdcTombstones,
+      streamHoppingAgg)
 }

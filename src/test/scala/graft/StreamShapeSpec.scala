@@ -261,6 +261,21 @@ class StreamShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("hopping windows: every purchase lands in exactly six windows") {
+    val t = graft.sources.Tables(spark, sf)
+    val purchases = t.events.filter(col("event_type") === "purchase")
+    val nP = purchases.count()
+    val cents = purchases
+      .agg(sum(round(col("value") * 100).cast("long"))).head().getLong(0)
+    val rows = SparkEntry.queries("stream_hopping_agg")(spark, sf).collect()
+    assert(rows.map(_.getLong(1)).sum == 6L * nP, "6x event mass")
+    assert(rows.map(_.getLong(2)).sum == 6L * cents, "6x cents mass")
+    // window starts sit on the hour grid and are distinct
+    assert(rows.map(_.getString(0)).distinct.length == rows.length)
+    rows.foreach(r => assert(r.getString(0).endsWith(":00:00"),
+      s"off-grid start ${r.getString(0)}"))
+  }
+
   test("cdc tombstones: delete suppresses, late upsert stays dead, resurrect works") {
     import graft.streaming.EventsStream.{CdcEv, CdcState, cdcFn}
     import org.apache.spark.sql.streaming.TestGroupState
