@@ -3835,6 +3835,134 @@ object Analytics {
     """)
   )
 
+  /** Mann-Kendall trend test on the daily-revenue series — the
+    * nonparametric "is this KPI actually trending" monitor (no
+    * linearity or normality assumption, robust to spikes — the
+    * monotone complement of the parametric q117 OLS slope):
+    * S = Σ_{i<j} sign(x_j − x_i) over the day-ordered series, tie-
+    * corrected variance, continuity-corrected z. Exactness: S and
+    * both variance terms are pure integer arithmetic (n(n−1)(2n+5)
+    * ≈ 3·10¹⁰ at a decade of days — long-safe); z is one fixed IEEE
+    * chain. Scale: the pair comparison is a self-join of the
+    * day-DOMAIN frame (days², not rows² — bounded by the calendar,
+    * ~3M pairs a decade); the tie spectrum is one value-group count.
+    */
+  val q139MannKendall = GraftQuery(
+    "q139_mann_kendall",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val daily = t.orders
+        .groupBy(to_date(col("o_orderdate")).as("day"))
+        .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("c"))
+        .cache()
+      val a = daily.select(col("day").as("di"), col("c").as("xi"))
+      val b = daily.select(col("day").as("dj"), col("c").as("xj"))
+      val sPairs = a.join(b, col("di") < col("dj"))
+        .agg(sum(signum(col("xj") - col("xi")).cast("long")).as("s_stat"))
+      val nTies = daily.groupBy(col("c")).agg(count(lit(1)).as("t"))
+        .agg(sum(col("t") * (col("t") - 1) * (lit(2L) * col("t") + 5L))
+          .as("tie_term"),
+          sum(col("t")).as("n"))
+      def d(c: Column): Column = c.cast(DoubleType)
+      val varNum = col("n") * (col("n") - 1) * (lit(2L) * col("n") + 5L) -
+        col("tie_term")
+      sPairs.crossJoin(broadcast(nTies))
+        .select(col("n").as("n_days"), col("s_stat"),
+          varNum.as("var18_num"),
+          when(col("s_stat") > 0,
+            (d(col("s_stat")) - 1.0) / sqrt(d(varNum) / 18.0))
+            .when(col("s_stat") < 0,
+              (d(col("s_stat")) + 1.0) / sqrt(d(varNum) / 18.0))
+            .otherwise(0.0).as("z"))
+    },
+    Some("""
+      WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS day,
+               CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                 AS c
+        FROM orders GROUP BY 1),
+      sp AS (
+        SELECT CAST(SUM(CASE WHEN b.c > a.c THEN 1
+                             WHEN b.c < a.c THEN -1 ELSE 0 END) AS BIGINT)
+                 AS s_stat
+        FROM daily a JOIN daily b ON a.day < b.day),
+      tt AS (
+        SELECT CAST(SUM(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tie_term,
+               CAST(SUM(t) AS BIGINT) AS n
+        FROM (SELECT CAST(COUNT(*) AS BIGINT) AS t FROM daily GROUP BY c))
+      SELECT tt.n AS n_days, sp.s_stat,
+             CAST(tt.n * (tt.n - 1) * (2 * tt.n + 5) - tt.tie_term
+               AS BIGINT) AS var18_num,
+             CASE WHEN sp.s_stat > 0 THEN
+                    (CAST(sp.s_stat AS DOUBLE) - 1.0)
+                    / sqrt(CAST(tt.n * (tt.n - 1) * (2 * tt.n + 5)
+                        - tt.tie_term AS DOUBLE) / 18.0)
+                  WHEN sp.s_stat < 0 THEN
+                    (CAST(sp.s_stat AS DOUBLE) + 1.0)
+                    / sqrt(CAST(tt.n * (tt.n - 1) * (2 * tt.n + 5)
+                        - tt.tie_term AS DOUBLE) / 18.0)
+                  ELSE 0.0 END AS z
+      FROM sp, tt
+    """)
+  )
+
+  /** Movers reported by the week-over-week screen. */
+  val TopMovers = 20
+
+  /** Week-over-week top movers: the brands whose weekly revenue moved
+    * most vs the prior week — the screening readout behind every
+    * "what changed" dashboard. Delta is exact cents via lag() over
+    * the (brand × week) DOMAIN frame (weeks are calendar-bounded);
+    * the top-k is |Δ| desc with (brand, week) tie-breaks making the
+    * LIMIT deterministic, TakeOrderedAndProject at plan level. Weeks
+    * with no prior observation are excluded (lag null) — both
+    * engines state that. Monday-start weeks via date_trunc.
+    */
+  val q140TopMovers = GraftQuery(
+    "q140_top_movers",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val weekly = t.lineitem
+        .join(broadcast(t.part.select(col("p_partkey"), col("p_brand"))),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand"),
+          date_format(date_trunc("week", col("l_shipdate")), "yyyy-MM-dd")
+            .as("week"))
+        .agg(sum(round(col("l_extendedprice") * 100).cast("long"))
+          .as("cents"))
+      val wk = Window.partitionBy(col("p_brand")).orderBy(col("week"))
+      weekly
+        .withColumn("prev", lag(col("cents"), 1).over(wk))
+        .filter(col("prev").isNotNull)
+        .withColumn("delta", col("cents") - col("prev"))
+        .select(col("p_brand"), col("week"), col("prev").as("prev_cents"),
+          col("cents"), col("delta"))
+        .orderBy(abs(col("delta")).desc, col("p_brand"), col("week"))
+        .limit(TopMovers)
+    },
+    Some(s"""
+      WITH weekly AS (
+        SELECT p.p_brand,
+               strftime(date_trunc('week', l.l_shipdate), '%Y-%m-%d')
+                 AS week,
+               CAST(SUM(CAST(round(l.l_extendedprice * 100) AS BIGINT))
+                 AS BIGINT) AS cents
+        FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        GROUP BY 1, 2),
+      d AS (
+        SELECT p_brand, week,
+               lag(cents) OVER (PARTITION BY p_brand ORDER BY week)
+                 AS prev_cents,
+               cents
+        FROM weekly)
+      SELECT p_brand, week, CAST(prev_cents AS BIGINT) AS prev_cents,
+             cents, CAST(cents - prev_cents AS BIGINT) AS delta
+      FROM d WHERE prev_cents IS NOT NULL
+      ORDER BY ABS(cents - prev_cents) DESC, p_brand, week
+      LIMIT $TopMovers
+    """)
+  )
+
   /** Calendar seasonality heatmap over events: ISO-weekday × hour
     * cell counts plus each cell's load relative to a uniform week
     * (ratio = n·168 / total — busier-than-average cells exceed 1).
@@ -4057,5 +4185,5 @@ object Analytics {
       q127M4Downsample, q128CappedRunningSum, q129CohortLtvCurve,
       q130GrowthAccounting, q131DidEffect, q132PvmBridge,
       q133AbcClassification, q134MaxConcurrency, q136RollingCorrelation,
-      q137Histogram, q138AnovaWeekday)
+      q137Histogram, q138AnovaWeekday, q139MannKendall, q140TopMovers)
 }

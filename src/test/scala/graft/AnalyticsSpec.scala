@@ -1361,4 +1361,58 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(r.getDouble(4) == msb / msw, "F")
     assert(msb >= 0.0 && msw > 0.0, "nonneg mean squares")
   }
+
+  test("Mann-Kendall: S, tie-corrected variance, z match dense recompute") {
+    val t = graft.sources.Tables(spark, sf)
+    val daily = t.orders
+      .select(to_date(col("o_orderdate")).as("day"),
+        round(col("o_totalprice") * 100).cast("long").as("c"))
+      .collect()
+      .groupBy(_.getDate(0).toString).toSeq
+      .map { case (d, rs) => (d, rs.map(_.getLong(1)).sum) }
+      .sortBy(_._1)
+    val xs = daily.map(_._2)
+    val n = xs.length.toLong
+    var sStat = 0L
+    for (i <- xs.indices; j <- (i + 1) until xs.length)
+      sStat += java.lang.Long.signum(xs(j) - xs(i)).toLong
+    val tieTerm = xs.groupBy(identity).values
+      .map(g => { val tt = g.length.toLong; tt * (tt - 1) * (2 * tt + 5) })
+      .sum
+    val varNum = n * (n - 1) * (2 * n + 5) - tieTerm
+    val z =
+      if (sStat > 0) (sStat.toDouble - 1.0) / math.sqrt(varNum.toDouble / 18.0)
+      else if (sStat < 0) (sStat.toDouble + 1.0) / math.sqrt(varNum.toDouble / 18.0)
+      else 0.0
+    val r = SparkEntry.queries("q139_mann_kendall")(spark, sf).collect().head
+    assert(r.getLong(0) == n && r.getLong(1) == sStat, "n and S")
+    assert(r.getLong(2) == varNum, "variance numerator")
+    assert(r.getDouble(3) == z, "z")
+  }
+
+  test("top movers: WoW deltas and top-k discipline match dense recompute") {
+    val t = graft.sources.Tables(spark, sf)
+    val brand = t.part.select(col("p_partkey"), col("p_brand"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val weekly = t.lineitem
+      .select(col("l_partkey"),
+        date_format(date_trunc("week", col("l_shipdate")), "yyyy-MM-dd")
+          .as("wk"),
+        round(col("l_extendedprice") * 100).cast("long").as("c"))
+      .collect()
+      .groupBy(r => (brand(r.getLong(0)), r.getString(1))).toSeq
+      .map { case ((b, w), rs) => (b, w, rs.map(_.getLong(2)).sum) }
+    val deltas = weekly.groupBy(_._1).toSeq.flatMap { case (b, ws) =>
+      val sorted = ws.sortBy(_._2)
+      sorted.sliding(2).collect { case Seq((_, _, p), (_, w, c)) =>
+        (b, w, p, c, c - p) }
+    }
+    val want = deltas
+      .sortBy { case (b, w, _, _, d) => (-math.abs(d), b, w) }
+      .take(operators.Analytics.TopMovers)
+    val got = SparkEntry.queries("q140_top_movers")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    assert(got == want, "mover list")
+  }
 }
