@@ -3963,6 +3963,138 @@ object Analytics {
     """)
   )
 
+  /** New-vs-repeat revenue split per month — the first-order BI
+    * decomposition of any revenue line (acquisition vs retention
+    * dollars), the revenue companion of q130's customer counts: an
+    * order is NEW revenue iff it falls in its customer's first-ever
+    * order month. Exactness: pure integer month indices and exact
+    * cents from one conditional aggregation. Scale: the first-month
+    * rollup and the order join are the two custkey exchanges
+    * (co-partitioned); output is month-domain-sized.
+    */
+  val q141NewVsRepeat = GraftQuery(
+    "q141_new_vs_repeat",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val first = t.orders.groupBy(col("o_custkey").as("ck"))
+        .agg(min((year(col("o_orderdate")) * 12 + month(col("o_orderdate")))
+          .cast("long")).as("fm"))
+      t.orders
+        .join(first, col("o_custkey") === col("ck"))
+        .withColumn("m", (year(col("o_orderdate")) * 12 +
+          month(col("o_orderdate"))).cast("long"))
+        .groupBy(col("m"))
+        .agg(
+          sum(when(col("m") === col("fm"),
+            round(col("o_totalprice") * 100).cast("long")).otherwise(0L))
+            .as("new_cents"),
+          sum(when(col("m") =!= col("fm"),
+            round(col("o_totalprice") * 100).cast("long")).otherwise(0L))
+            .as("repeat_cents"),
+          sum(when(col("m") === col("fm"), 1L).otherwise(0L))
+            .as("n_new_orders"),
+          sum(when(col("m") =!= col("fm"), 1L).otherwise(0L))
+            .as("n_repeat_orders"))
+        .select(
+          format_string("%04d-%02d", expr("(m - 1) div 12"),
+            pmod(col("m") - 1, lit(12L)) + 1).as("month"),
+          col("new_cents"), col("repeat_cents"),
+          col("n_new_orders"), col("n_repeat_orders"))
+        .orderBy(col("month"))
+    },
+    Some("""
+      WITH f AS (
+        SELECT o_custkey AS ck,
+               CAST(MIN(year(o_orderdate) * 12 + month(o_orderdate))
+                 AS BIGINT) AS fm
+        FROM orders GROUP BY 1),
+      j AS (
+        SELECT CAST(year(o.o_orderdate) * 12 + month(o.o_orderdate)
+                 AS BIGINT) AS m,
+               f.fm, CAST(round(o.o_totalprice * 100) AS BIGINT) AS c
+        FROM orders o JOIN f ON f.ck = o.o_custkey)
+      SELECT printf('%04d-%02d', (m - 1) // 12, (m - 1) % 12 + 1) AS month,
+             CAST(SUM(CASE WHEN m = fm THEN c ELSE 0 END) AS BIGINT)
+               AS new_cents,
+             CAST(SUM(CASE WHEN m <> fm THEN c ELSE 0 END) AS BIGINT)
+               AS repeat_cents,
+             CAST(SUM(CASE WHEN m = fm THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_new_orders,
+             CAST(SUM(CASE WHEN m <> fm THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_repeat_orders
+      FROM j
+      GROUP BY m
+      ORDER BY month
+    """)
+  )
+
+  /** Era boundary for the value-segment migration matrix. */
+  val RfmEraCutoff = "1996-01-01 00:00:00"
+
+  /** Spend-quintile migration matrix across two eras — the customer-
+    * level drift readout (which value tiers are upgrading or
+    * churning) next to q84's event-type Markov chain: customers are
+    * quintiled by exact-cents spend WITHIN each era (ntile over the
+    * customer-dimension frame, spend-desc + custkey tie-break so the
+    * bucketing is total and engine-identical), customers absent from
+    * an era carry tier 0 ("none"), and the matrix counts every
+    * (from_tier, to_tier) cell. Scale: two conditional per-customer
+    * rollups from ONE scan, a full-outer dimension join, and a
+    * 6×6-sized count — ntile's single-partition ordering runs on the
+    * customer frame with the q90 drill-down named past that.
+    */
+  val q142RfmTransition = GraftQuery(
+    "q142_rfm_transition",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val cut = lit(RfmEraCutoff).cast("timestamp")
+      val spend = t.orders.groupBy(col("o_custkey"))
+        .agg(
+          sum(when(col("o_orderdate") < cut,
+            round(col("o_totalprice") * 100).cast("long"))).as("s1"),
+          sum(when(col("o_orderdate") >= cut,
+            round(col("o_totalprice") * 100).cast("long"))).as("s2"))
+      val q1 = spend.filter(col("s1").isNotNull)
+        .withColumn("t1", ntile(5).over(
+          Window.orderBy(col("s1").desc, col("o_custkey"))).cast("long"))
+        .select(col("o_custkey"), col("t1"))
+      val q2 = spend.filter(col("s2").isNotNull)
+        .withColumn("t2", ntile(5).over(
+          Window.orderBy(col("s2").desc, col("o_custkey"))).cast("long"))
+        .select(col("o_custkey").as("ck2"), col("t2"))
+      q1.join(q2, col("o_custkey") === col("ck2"), "full_outer")
+        .select(coalesce(col("t1"), lit(0L)).as("from_tier"),
+          coalesce(col("t2"), lit(0L)).as("to_tier"))
+        .groupBy(col("from_tier"), col("to_tier"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("from_tier"), col("to_tier"))
+    },
+    Some(s"""
+      WITH sp AS (
+        SELECT o_custkey,
+               SUM(CASE WHEN o_orderdate < TIMESTAMP '$RfmEraCutoff'
+                   THEN CAST(round(o_totalprice * 100) AS BIGINT) END) AS s1,
+               SUM(CASE WHEN o_orderdate >= TIMESTAMP '$RfmEraCutoff'
+                   THEN CAST(round(o_totalprice * 100) AS BIGINT) END) AS s2
+        FROM orders GROUP BY 1),
+      q1 AS (
+        SELECT o_custkey,
+               CAST(ntile(5) OVER (ORDER BY s1 DESC, o_custkey) AS BIGINT)
+                 AS t1
+        FROM sp WHERE s1 IS NOT NULL),
+      q2 AS (
+        SELECT o_custkey,
+               CAST(ntile(5) OVER (ORDER BY s2 DESC, o_custkey) AS BIGINT)
+                 AS t2
+        FROM sp WHERE s2 IS NOT NULL)
+      SELECT COALESCE(q1.t1, 0) AS from_tier, COALESCE(q2.t2, 0) AS to_tier,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM q1 FULL OUTER JOIN q2 ON q2.o_custkey = q1.o_custkey
+      GROUP BY 1, 2
+      ORDER BY 1, 2
+    """)
+  )
+
   /** Calendar seasonality heatmap over events: ISO-weekday × hour
     * cell counts plus each cell's load relative to a uniform week
     * (ratio = n·168 / total — busier-than-average cells exceed 1).
@@ -4185,5 +4317,6 @@ object Analytics {
       q127M4Downsample, q128CappedRunningSum, q129CohortLtvCurve,
       q130GrowthAccounting, q131DidEffect, q132PvmBridge,
       q133AbcClassification, q134MaxConcurrency, q136RollingCorrelation,
-      q137Histogram, q138AnovaWeekday, q139MannKendall, q140TopMovers)
+      q137Histogram, q138AnovaWeekday, q139MannKendall, q140TopMovers,
+      q141NewVsRepeat, q142RfmTransition)
 }

@@ -1415,4 +1415,66 @@ class AnalyticsSpec extends AnyFunSuite {
         r.getLong(4))).toSeq
     assert(got == want, "mover list")
   }
+
+  test("new vs repeat: monthly split matches dense recompute") {
+    val t = graft.sources.Tables(spark, sf)
+    val orders = t.orders
+      .select(col("o_custkey"),
+        (year(col("o_orderdate")) * 12 + month(col("o_orderdate")))
+          .cast("long").as("m"),
+        round(col("o_totalprice") * 100).cast("long").as("c"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val firstM = orders.groupBy(_._1).view.mapValues(_.map(_._2).min).toMap
+    val want = orders.groupBy(_._2).map { case (m, os) =>
+      val isNew = os.partition(o => firstM(o._1) == m)
+      f"${(m - 1) / 12}%04d-${(m - 1) % 12 + 1}%02d" ->
+        (isNew._1.map(_._3).sum, isNew._2.map(_._3).sum,
+          isNew._1.length.toLong, isNew._2.length.toLong)
+    }
+    val rows = SparkEntry.queries("q141_new_vs_repeat")(spark, sf).collect()
+    assert(rows.map(_.getString(0)).toSet == want.keySet, "month set")
+    rows.foreach { r =>
+      val (nc, rc, nn, nr) = want(r.getString(0))
+      assert((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)) ==
+        ((nc, rc, nn, nr)), s"split ${r.getString(0)}")
+    }
+    // every month's revenue is fully attributed
+    assert(rows.map(r => r.getLong(1) + r.getLong(2)).sum ==
+      orders.map(_._3).sum, "revenue conservation")
+  }
+
+  test("rfm transition: quintile migration matches dense ntile recompute") {
+    val cut = java.time.LocalDateTime.parse("1996-01-01T00:00:00")
+    val t = graft.sources.Tables(spark, sf)
+    val orders = t.orders
+      .select(col("o_custkey"), col("o_orderdate"),
+        round(col("o_totalprice") * 100).cast("long").as("c"))
+      .collect().map(r => (r.getLong(0),
+        r.getAs[java.time.LocalDateTime](1), r.getLong(2)))
+    def tiers(era: ((Long, java.time.LocalDateTime, Long)) => Boolean)
+        : Map[Long, Long] = {
+      val spend = orders.filter(era).groupBy(_._1)
+        .view.mapValues(_.map(_._3).sum).toSeq
+      val sorted = spend.sortBy { case (ck, s0) => (-s0, ck) }
+      val n = sorted.length
+      sorted.zipWithIndex.map { case ((ck, _), i) =>
+        // ntile(5): first n%5 buckets hold n/5+1 rows
+        val base = n / 5; val rem = n % 5
+        val tier =
+          if (i < rem * (base + 1)) i / (base + 1) + 1
+          else (i - rem * (base + 1)) / base + rem + 1
+        ck -> tier.toLong
+      }.toMap
+    }
+    val t1 = tiers(_._2.isBefore(cut))
+    val t2 = tiers(o => !o._2.isBefore(cut))
+    val want = (t1.keySet ++ t2.keySet).toSeq
+      .map(ck => (t1.getOrElse(ck, 0L), t2.getOrElse(ck, 0L)))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val got = SparkEntry.queries("q142_rfm_transition")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got == want, "migration matrix")
+    assert(got.keys.exists(_._1 == 0L) || got.keys.exists(_._2 == 0L),
+      "some era-absent customers exist at this SF")
+  }
 }
