@@ -4095,6 +4095,69 @@ object Analytics {
     """)
   )
 
+  /** Staleness threshold (days behind the freshest table) for the
+    * freshness audit. */
+  val FreshnessSlaDays = 30L
+
+  /** Cross-table freshness audit — the data-quality gate a warehouse
+    * runs before publishing: every time-bearing table's watermark
+    * (max event/order/ship time and row count) compared against the
+    * freshest table, flagging any feed more than
+    * [[FreshnessSlaDays]] days behind (a silently-stalled upstream
+    * is the most common production data fault). Exactness: raw-micros
+    * max/count per table, day lag a true integer division, flag an
+    * integer compare. Scale: one max/count aggregation per table
+    * (map-side combined, no shuffle beyond the 1-row combines) and a
+    * 3-row union.
+    */
+  val q143FreshnessAudit = GraftQuery(
+    "q143_freshness_audit",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      def probe(df: org.apache.spark.sql.DataFrame, tsCol: String,
+          name: String) =
+        df.agg(count(lit(1)).as("n_rows"),
+          // NTZ columns (orders/lineitem) cast to TIMESTAMP first — a
+          // wall-clock no-op under the pinned UTC session
+          max(unix_micros(col(tsCol).cast("timestamp"))).as("max_us"))
+          .select(lit(name).as("table_name"), col("n_rows"), col("max_us"))
+      val probes = probe(t.events, "ts", "events")
+        .unionAll(probe(t.orders, "o_orderdate", "orders"))
+        .unionAll(probe(t.lineitem, "l_shipdate", "lineitem"))
+        .cache()
+      val freshest = probes.agg(max(col("max_us")).as("global_max_us"))
+      probes.crossJoin(broadcast(freshest))
+        .select(col("table_name"), col("n_rows"),
+          date_format(timestamp_micros(col("max_us")), "yyyy-MM-dd")
+            .as("watermark_day"),
+          expr("(global_max_us - max_us) div 86400000000").as("days_behind"),
+          (expr("(global_max_us - max_us) div 86400000000") >
+            FreshnessSlaDays).as("stale"))
+        .orderBy(col("table_name"))
+    },
+    Some(s"""
+      WITH p AS (
+        SELECT 'events' AS table_name, CAST(COUNT(*) AS BIGINT) AS n_rows,
+               MAX(epoch_us(ts)) AS max_us FROM events
+        UNION ALL
+        SELECT 'orders', CAST(COUNT(*) AS BIGINT), MAX(epoch_us(o_orderdate))
+        FROM orders
+        UNION ALL
+        SELECT 'lineitem', CAST(COUNT(*) AS BIGINT),
+               MAX(epoch_us(l_shipdate))
+        FROM lineitem),
+      g AS (SELECT MAX(max_us) AS global_max_us FROM p)
+      SELECT p.table_name, p.n_rows,
+             strftime(make_timestamp(p.max_us), '%Y-%m-%d') AS watermark_day,
+             CAST((g.global_max_us - p.max_us) // 86400000000 AS BIGINT)
+               AS days_behind,
+             (g.global_max_us - p.max_us) // 86400000000
+               > $FreshnessSlaDays AS stale
+      FROM p, g
+      ORDER BY p.table_name
+    """)
+  )
+
   /** Calendar seasonality heatmap over events: ISO-weekday × hour
     * cell counts plus each cell's load relative to a uniform week
     * (ratio = n·168 / total — busier-than-average cells exceed 1).
@@ -4318,5 +4381,5 @@ object Analytics {
       q130GrowthAccounting, q131DidEffect, q132PvmBridge,
       q133AbcClassification, q134MaxConcurrency, q136RollingCorrelation,
       q137Histogram, q138AnovaWeekday, q139MannKendall, q140TopMovers,
-      q141NewVsRepeat, q142RfmTransition)
+      q141NewVsRepeat, q142RfmTransition, q143FreshnessAudit)
 }
