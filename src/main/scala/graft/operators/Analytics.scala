@@ -4158,6 +4158,114 @@ object Analytics {
     """)
   )
 
+  /** Seasonal percentile envelope: exact p25/p50/p75 of daily revenue
+    * per ISO weekday — the control-band chart behind "is today's
+    * number normal for a Tuesday". Percentiles are TYPE-1 order
+    * statistics (rank ⌈q·n⌉, value at that rank) — pure integer rank
+    * selection, NO interpolation, so every band edge is an exact
+    * cents value both engines pick identically. Scale: one day
+    * rollup; the rank windows run per dow over the day-DOMAIN frame.
+    */
+  val q144PercentileBands = GraftQuery(
+    "q144_percentile_bands",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val daily = t.orders
+        .groupBy(to_date(col("o_orderdate")).as("day"))
+        .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("c"))
+        .select((weekday(col("day")) + 1).cast("long").as("dow"), col("c"))
+      val ranked = daily.withColumn("r", row_number().over(
+          Window.partitionBy(col("dow")).orderBy(col("c"))).cast("long"))
+        .withColumn("n", count(lit(1)).over(
+          Window.partitionBy(col("dow"))).cast("long"))
+      def pick(q25: Long): Column =
+        // rank ⌈q·n/100⌉ with integer ceiling division
+        sum(when(col("r") ===
+          expr(s"(n * $q25 + 99) div 100"), col("c"))).as(s"p$q25")
+      ranked.groupBy(col("dow"))
+        .agg(first(col("n")).as("n_days"), pick(25L), pick(50L), pick(75L))
+        .orderBy(col("dow"))
+    },
+    Some("""
+      WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS day,
+               CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                 AS c
+        FROM orders GROUP BY 1),
+      r AS (
+        SELECT isodow(day) AS dow, c,
+               CAST(row_number() OVER (PARTITION BY isodow(day) ORDER BY c)
+                 AS BIGINT) AS r,
+               CAST(COUNT(*) OVER (PARTITION BY isodow(day)) AS BIGINT) AS n
+        FROM daily)
+      SELECT CAST(dow AS BIGINT) AS dow, n AS n_days,
+             CAST(MAX(CASE WHEN r = (n * 25 + 99) // 100 THEN c END)
+               AS BIGINT) AS p25,
+             CAST(MAX(CASE WHEN r = (n * 50 + 99) // 100 THEN c END)
+               AS BIGINT) AS p50,
+             CAST(MAX(CASE WHEN r = (n * 75 + 99) // 100 THEN c END)
+               AS BIGINT) AS p75
+      FROM r
+      GROUP BY dow, n
+      ORDER BY dow
+    """)
+  )
+
+  /** DAU/MAU stickiness per month — the engagement-frequency ratio
+    * every growth report carries (what fraction of the month's users
+    * show up on an average day). Exactness: stickiness =
+    * Σ_day DAU / (n_days · MAU) — one division of exact longs
+    * (multiplying n_days into the denominator avoids averaging
+    * doubles). Scale: both distinct rollups come from the same
+    * (user, day) distinct frame — one data-scale exchange; output is
+    * month-domain-sized. Exact count-distinct at this domain; the
+    * theta sketch (q38) is the named path when user cardinality
+    * outgrows it.
+    */
+  val q145DauMau = GraftQuery(
+    "q145_dau_mau",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val userDay = t.events
+        .select(col("user_id"), to_date(col("ts")).as("day"),
+          date_format(col("ts"), "yyyy-MM").as("month"))
+        .distinct()
+        .cache()
+      val dau = userDay.groupBy(col("month"), col("day"))
+        .agg(count(lit(1)).as("dau"))
+        .groupBy(col("month"))
+        .agg(count(lit(1)).as("n_days"), sum(col("dau")).as("sum_dau"))
+      val mau = userDay.groupBy(col("month"))
+        .agg(countDistinct(col("user_id")).as("mau"))
+      dau.join(mau, Seq("month"))
+        .select(col("month"), col("n_days"), col("sum_dau"), col("mau"),
+          (col("sum_dau").cast(DoubleType) /
+            (col("n_days") * col("mau")).cast(DoubleType))
+            .as("stickiness"))
+        .orderBy(col("month"))
+    },
+    Some("""
+      WITH ud AS (
+        SELECT DISTINCT user_id, CAST(ts AS DATE) AS day,
+               strftime(ts, '%Y-%m') AS month
+        FROM events),
+      dau AS (
+        SELECT month, CAST(COUNT(*) AS BIGINT) AS n_days,
+               CAST(SUM(dau) AS BIGINT) AS sum_dau
+        FROM (SELECT month, day, CAST(COUNT(*) AS BIGINT) AS dau
+              FROM ud GROUP BY 1, 2)
+        GROUP BY 1),
+      mau AS (
+        SELECT month, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS mau
+        FROM ud GROUP BY 1)
+      SELECT d.month, d.n_days, d.sum_dau, m.mau,
+             CAST(d.sum_dau AS DOUBLE) / CAST(d.n_days * m.mau AS DOUBLE)
+               AS stickiness
+      FROM dau d JOIN mau m ON m.month = d.month
+      ORDER BY d.month
+    """)
+  )
+
   /** Calendar seasonality heatmap over events: ISO-weekday × hour
     * cell counts plus each cell's load relative to a uniform week
     * (ratio = n·168 / total — busier-than-average cells exceed 1).
@@ -4381,5 +4489,6 @@ object Analytics {
       q130GrowthAccounting, q131DidEffect, q132PvmBridge,
       q133AbcClassification, q134MaxConcurrency, q136RollingCorrelation,
       q137Histogram, q138AnovaWeekday, q139MannKendall, q140TopMovers,
-      q141NewVsRepeat, q142RfmTransition, q143FreshnessAudit)
+      q141NewVsRepeat, q142RfmTransition, q143FreshnessAudit,
+      q144PercentileBands, q145DauMau)
 }

@@ -1477,4 +1477,56 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(got.keys.exists(_._1 == 0L) || got.keys.exists(_._2 == 0L),
       "some era-absent customers exist at this SF")
   }
+
+  test("percentile bands: type-1 order statistics match dense recompute") {
+    val t = graft.sources.Tables(spark, sf)
+    val daily = t.orders
+      .select(to_date(col("o_orderdate")).as("day"),
+        round(col("o_totalprice") * 100).cast("long").as("c"))
+      .collect()
+      .groupBy(_.getDate(0).toString).toSeq
+      .map { case (d, rs) =>
+        (java.time.LocalDate.parse(d).getDayOfWeek.getValue.toLong,
+          rs.map(_.getLong(1)).sum) }
+    val want = daily.groupBy(_._1).map { case (dow, cs) =>
+      val sorted = cs.map(_._2).sorted
+      val n = sorted.length.toLong
+      def pick(q: Long) = sorted(((n * q + 99) / 100 - 1).toInt)
+      dow -> (n, pick(25), pick(50), pick(75))
+    }
+    val rows = SparkEntry.queries("q144_percentile_bands")(spark, sf)
+      .collect()
+    assert(rows.map(_.getLong(0)).toSet == want.keySet, "dow set")
+    rows.foreach { r =>
+      val (n, p25, p50, p75) = want(r.getLong(0))
+      assert((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)) ==
+        ((n, p25, p50, p75)), s"bands dow ${r.getLong(0)}")
+      assert(p25 <= p50 && p50 <= p75, s"monotone dow ${r.getLong(0)}")
+    }
+  }
+
+  test("dau/mau: stickiness matches dense recompute and stays in (0,1]") {
+    val t = graft.sources.Tables(spark, sf)
+    val ud = t.events
+      .select(col("user_id"), to_date(col("ts")).as("day"),
+        date_format(col("ts"), "yyyy-MM").as("m"))
+      .distinct().collect()
+      .map(r => (r.getLong(0), r.getDate(1).toString, r.getString(2)))
+    val want = ud.groupBy(_._3).map { case (m, rs) =>
+      val nDays = rs.map(_._2).distinct.length.toLong
+      val sumDau = rs.length.toLong
+      val mau = rs.map(_._1).distinct.length.toLong
+      m -> (nDays, sumDau, mau,
+        sumDau.toDouble / (nDays * mau).toDouble)
+    }
+    val rows = SparkEntry.queries("q145_dau_mau")(spark, sf).collect()
+    assert(rows.map(_.getString(0)).toSet == want.keySet, "month set")
+    rows.foreach { r =>
+      val (nd, sd, ma, st) = want(r.getString(0))
+      assert((r.getLong(1), r.getLong(2), r.getLong(3)) == ((nd, sd, ma)),
+        s"counts ${r.getString(0)}")
+      assert(r.getDouble(4) == st, s"stickiness ${r.getString(0)}")
+      assert(st > 0.0 && st <= 1.0, s"range ${r.getString(0)}")
+    }
+  }
 }
