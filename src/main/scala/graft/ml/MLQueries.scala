@@ -536,8 +536,9 @@ object MLQueries {
       idx.unpersist()
       keyed.unpersist()
       import s.implicits._
+      val maxDrop = rows.map(_._2).max
       rows.map { case (f, drop) =>
-        (f, n, drop > -0.02, rows.map(_._2).max > 0.0)
+        (f, n, drop > -0.02, maxDrop > 0.0)
       }.toDF("feature", "n_rows", "drop_within_noise_floor",
         "some_feature_matters")
         .orderBy(col("feature"))

@@ -18,6 +18,31 @@ import graft.functions.GraftFunctions._
   */
 object Analytics {
 
+  /** Shared day-level revenue rollup (day, cents) — the cents
+    * exactness recipe (round·100 → exact long sum) stated ONCE for
+    * the q122/q127/q138/q139/q144 family (review finding: five
+    * verbatim copies drift when the recipe changes).
+    */
+  private def dailyRevenueCents(t: Tables): DataFrame =
+    t.orders.groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
+
+  /** Shared per-(segment, customer) lifetime cents rollup — the
+    * q123/q125 block stated once.
+    */
+  private def segmentCustomerCents(t: Tables): DataFrame =
+    t.orders
+      .join(broadcast(t.customer.select(col("c_custkey"),
+        col("c_mktsegment"))), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment").as("segment"), col("o_custkey"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
+
+  /** Calendar month index (year·12 + month, long) — the cohort month
+    * arithmetic q129/q130/q141 must share exactly.
+    */
+  private def monthIndex(c: Column): Column =
+    (year(c) * 12 + month(c)).cast("long")
+
   /** Staged funnel per user (view → click → purchase, each stage
     * strictly after the previous): three chained whole-partition
     * conditional MINs over the SAME window spec, so Catalyst plans a
@@ -2187,10 +2212,8 @@ object Analytics {
     "q122_cusum_changepoint",
     (s, dir) => {
       val t = Tables(s, dir)
-      val daily = t.orders
-        .groupBy(year(col("o_orderdate")).cast("long").as("yr"),
-          to_date(col("o_orderdate")).as("day"))
-        .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
+      val daily = dailyRevenueCents(t)
+        .withColumn("yr", year(col("day")).cast("long"))
       val tot = daily.groupBy(col("yr"))
         .agg(count(lit(1)).as("n_days"), sum(col("cents")).as("total_cents"))
       val wRun = Window.partitionBy(col("yr")).orderBy(col("day"))
@@ -2285,16 +2308,12 @@ object Analytics {
     "q123_hhi_concentration",
     (s, dir) => {
       val t = Tables(s, dir)
-      val perCust = t.orders
-        .join(broadcast(t.customer.select(col("c_custkey"),
-          col("c_mktsegment"))), col("o_custkey") === col("c_custkey"))
-        .groupBy(col("c_mktsegment"), col("o_custkey"))
-        .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
+      val perCust = segmentCustomerCents(t)
       val ranked = perCust.withColumn("rk", row_number().over(
-        Window.partitionBy(col("c_mktsegment"))
+        Window.partitionBy(col("segment"))
           .orderBy(col("cents").desc, col("o_custkey"))))
       ranked
-        .groupBy(col("c_mktsegment").as("segment"))
+        .groupBy(col("segment"))
         .agg(count(lit(1)).as("n_customers"),
           sum(col("cents")).as("total_cents"),
           sum(col("cents").cast(DecimalType(38, 0)) * col("cents"))
@@ -2793,11 +2812,7 @@ object Analytics {
     "q125_median_ci",
     (s, dir) => {
       val t = Tables(s, dir)
-      val perCust = t.orders
-        .join(broadcast(t.customer.select(col("c_custkey"),
-          col("c_mktsegment"))), col("o_custkey") === col("c_custkey"))
-        .groupBy(col("c_mktsegment").as("segment"), col("o_custkey"))
-        .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
+      val perCust = segmentCustomerCents(t)
       val withN = perCust
         .join(broadcast(perCust.groupBy(col("segment"))
           .agg(count(lit(1)).as("n"))), Seq("segment"))
@@ -2945,9 +2960,7 @@ object Analytics {
     "q127_m4_downsample",
     (s, dir) => {
       val t = Tables(s, dir)
-      val daily = t.orders
-        .groupBy(to_date(col("o_orderdate")).as("day"))
-        .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
+      val daily = dailyRevenueCents(t)
         .select(col("day"), col("cents"),
           datediff(col("day"), lit("1970-01-01").cast("date"))
             .cast("long").as("ed"),
@@ -3127,15 +3140,14 @@ object Analytics {
       val first = t.orders.groupBy(col("o_custkey"))
         .agg(min(to_date(col("o_orderdate"))).as("fd"))
         .select(col("o_custkey").as("ck"),
-          (year(col("fd")) * 12 + month(col("fd"))).cast("long").as("cm"),
+          monthIndex(col("fd")).as("cm"),
           date_format(col("fd"), "yyyy-MM").as("cohort_month"))
       val sizes = first.groupBy(col("cohort_month"))
         .agg(count(lit(1)).as("cohort_size"))
       val cells = t.orders
         .join(first, col("o_custkey") === col("ck"))
         .groupBy(col("cohort_month"),
-          ((year(col("o_orderdate")) * 12 + month(col("o_orderdate")))
-            .cast("long") - col("cm")).as("age_months"))
+          (monthIndex(col("o_orderdate")) - col("cm")).as("age_months"))
         .agg(countDistinct(col("o_custkey")).as("n_active"),
           sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
       val wCum = Window.partitionBy(col("cohort_month"))
@@ -3206,8 +3218,7 @@ object Analytics {
       val t = Tables(s, dir)
       val act = t.orders
         .select(col("o_custkey").as("ck"),
-          (year(col("o_orderdate")) * 12 + month(col("o_orderdate")))
-            .cast("long").as("m"))
+          monthIndex(col("o_orderdate")).as("m"))
         .distinct()
         .cache()
       val firstM = act.groupBy(col("ck")).agg(min(col("m")).as("fm"))
@@ -3425,8 +3436,10 @@ object Analytics {
   /** ABC inventory classification: parts ranked by lifetime revenue,
     * class A = the head of the ranking up to 80% cumulative revenue
     * share, B to 95%, C the tail — the Pareto workhorse of inventory
-    * and catalog management. Exactness: shares never become floats —
-    * the class compare is cum·1000 ≤ cutoff·total in exact LONGS
+    * and catalog management (class from the cumulative BEFORE each
+    * part, so a dominant head item stays in A). Exactness: shares
+    * never become floats —
+    * the class compare is (cum−cents)·1000 < cutoff·total in exact LONGS
     * (headroom to ~$9·10¹³ lifetime revenue; widen to decimal past
     * that), with
     * revenue-desc + partkey ranking making the cumulative total tie-
@@ -3446,11 +3459,18 @@ object Analytics {
       val tot = perPart.agg(sum(col("cents")).as("total"))
       val wCum = Window.orderBy(col("cents").desc, col("l_partkey"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      // class from the cumulative BEFORE the current part (standard
+      // ABC: the head item belongs to A even when it alone carries
+      // more than the A cutoff — review finding: the
+      // cumulative-inclusive compare would push a dominant head item
+      // out of A on skewed data)
       val classed = perPart.crossJoin(broadcast(tot))
         .withColumn("cum", sum(col("cents")).over(wCum))
         .withColumn("cls",
-          when(col("cum") * 1000L <= lit(AbcCutA) * col("total"), "A")
-            .when(col("cum") * 1000L <= lit(AbcCutB) * col("total"), "B")
+          when((col("cum") - col("cents")) * 1000L <
+            lit(AbcCutA) * col("total"), "A")
+            .when((col("cum") - col("cents")) * 1000L <
+              lit(AbcCutB) * col("total"), "B")
             .otherwise("C"))
       classed.groupBy(col("cls"))
         .agg(count(lit(1)).as("n_parts"), sum(col("cents")).as("cents"),
@@ -3474,8 +3494,8 @@ object Analytics {
                  AS cum
         FROM pp, t),
       k AS (
-        SELECT CASE WHEN cum * 1000 <= $AbcCutA * total THEN 'A'
-                    WHEN cum * 1000 <= $AbcCutB * total THEN 'B'
+        SELECT CASE WHEN (cum - cents) * 1000 < $AbcCutA * total THEN 'A'
+                    WHEN (cum - cents) * 1000 < $AbcCutB * total THEN 'B'
                     ELSE 'C' END AS cls,
                cents, total
         FROM c)
@@ -3605,8 +3625,11 @@ object Analytics {
   /** Rolling window length (days) for the rolling correlation. */
   val RollCorrDays = 30
 
-  /** 30-day rolling Pearson correlation between daily view and
-    * purchase event counts — the co-movement monitor behind "did the
+  /** Rolling Pearson correlation over the trailing 30 OBSERVED days
+    * of daily view and purchase event counts (a ROWS frame over the
+    * active-day spine — on a feed with gap days it spans more than 30
+    * calendar days; a RANGE-interval frame is the calendar-strict
+    * variant) — the co-movement monitor behind "did the
     * funnel decouple this month": per day over the trailing window,
     * corr from the five exact-integer moments (Σx, Σy, Σxy, Σx², Σy²
     * — daily counts are longs, products fit trivially), each readout
@@ -3751,10 +3774,9 @@ object Analytics {
     "q138_anova_weekday",
     (s, dir) => {
       val t = Tables(s, dir)
-      val daily = t.orders
-        .groupBy(to_date(col("o_orderdate")).as("day"))
-        .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("c"))
-        .select((weekday(col("day")) + 1).cast("long").as("dow"), col("c"))
+      val daily = dailyRevenueCents(t)
+        .select((weekday(col("day")) + 1).cast("long").as("dow"),
+          col("cents").as("c"))
       val g = daily.groupBy(col("dow"))
         .agg(count(lit(1)).as("n"),
           sum(col("c")).as("sx"),
@@ -3851,9 +3873,8 @@ object Analytics {
     "q139_mann_kendall",
     (s, dir) => {
       val t = Tables(s, dir)
-      val daily = t.orders
-        .groupBy(to_date(col("o_orderdate")).as("day"))
-        .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("c"))
+      val daily = dailyRevenueCents(t)
+        .select(col("day"), col("cents").as("c"))
         .cache()
       val a = daily.select(col("day").as("di"), col("c").as("xi"))
       val b = daily.select(col("day").as("dj"), col("c").as("xj"))
@@ -3915,8 +3936,10 @@ object Analytics {
     * the (brand × week) DOMAIN frame (weeks are calendar-bounded);
     * the top-k is |Δ| desc with (brand, week) tie-breaks making the
     * LIMIT deterministic, TakeOrderedAndProject at plan level. Weeks
-    * with no prior observation are excluded (lag null) — both
-    * engines state that. Monday-start weeks via date_trunc.
+    * with no prior observation are excluded (lag null), and "prior
+    * week" means the brand's previous OBSERVED week (a zero-sale gap
+    * week makes the delta span it) — both engines state that.
+    * Monday-start weeks via date_trunc.
     */
   val q140TopMovers = GraftQuery(
     "q140_top_movers",
@@ -3977,12 +4000,10 @@ object Analytics {
     (s, dir) => {
       val t = Tables(s, dir)
       val first = t.orders.groupBy(col("o_custkey").as("ck"))
-        .agg(min((year(col("o_orderdate")) * 12 + month(col("o_orderdate")))
-          .cast("long")).as("fm"))
+        .agg(min(monthIndex(col("o_orderdate"))).as("fm"))
       t.orders
         .join(first, col("o_custkey") === col("ck"))
-        .withColumn("m", (year(col("o_orderdate")) * 12 +
-          month(col("o_orderdate"))).cast("long"))
+        .withColumn("m", monthIndex(col("o_orderdate")))
         .groupBy(col("m"))
         .agg(
           sum(when(col("m") === col("fm"),
@@ -4170,10 +4191,9 @@ object Analytics {
     "q144_percentile_bands",
     (s, dir) => {
       val t = Tables(s, dir)
-      val daily = t.orders
-        .groupBy(to_date(col("o_orderdate")).as("day"))
-        .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("c"))
-        .select((weekday(col("day")) + 1).cast("long").as("dow"), col("c"))
+      val daily = dailyRevenueCents(t)
+        .select((weekday(col("day")) + 1).cast("long").as("dow"),
+          col("cents").as("c"))
       val ranked = daily.withColumn("r", row_number().over(
           Window.partitionBy(col("dow")).orderBy(col("c"))).cast("long"))
         .withColumn("n", count(lit(1)).over(

@@ -1236,7 +1236,7 @@ object Similarity {
     */
   private[graft] def topEigen(
       cells: Seq[(Int, Int, Long)], d: Int, iters: Int)
-      : (Double, Array[Double]) = {
+      : (Double, Array[Double], Double) = {
     val g = Array.ofDim[Double](d, d)
     cells.foreach { case (i, j, sL) =>
       val v = sL.toDouble / 1.0e12
@@ -1274,7 +1274,13 @@ object Similarity {
     var lambda = 0.0
     var i = 0
     while (i < d) { lambda += v(i) * gv(i); i += 1 }
-    (lambda, v)
+    // Rayleigh residual ||Gv − λv||₂ from the SAME gv — callers need
+    // it for the convergence gate (review finding: the query body
+    // re-densified the matrix to recompute it)
+    var r2 = 0.0
+    i = 0
+    while (i < d) { val r = gv(i) - lambda * v(i); r2 += r * r; i += 1 }
+    (lambda, v, math.sqrt(r2))
   }
 
   /** Dominant principal-component energy of the embedding corpus —
@@ -1298,19 +1304,9 @@ object Similarity {
     (s, dir) => {
       val cells = gramCells(s, dir).collect()
         .map(r => (r.getInt(0), r.getInt(1), r.getLong(2))).toSeq
-      val (lambda, vec) = topEigen(cells, Dim, EigenIters)
+      val (lambda, _, resid) = topEigen(cells, Dim, EigenIters)
       val traceS = cells.collect { case (i, j, sL) if i == j => sL }.sum
       val trace = traceS.toDouble / 1.0e12
-      val g = Array.ofDim[Double](Dim, Dim)
-      cells.foreach { case (i, j, sL) =>
-        val v = sL.toDouble / 1.0e12
-        g(i)(j) = v; g(j)(i) = v
-      }
-      val resid = math.sqrt((0 until Dim).map { i =>
-        val gvi = (0 until Dim).map(j => g(i)(j) * vec(j)).sum
-        val r = gvi - lambda * vec(i)
-        r * r
-      }.sum)
       val share = lambda / trace
       val nVecs = corpus(Tables(s, dir)).count()
       import s.implicits._

@@ -1207,9 +1207,10 @@ class AnalyticsSpec extends AnyFunSuite {
     val total = perPart.map(_._2).sum
     var cum = 0L
     val classed = perPart.sortBy(p => (-p._2, p._1)).map { case (_, c) =>
+      val before = cum
       cum += c
-      val cls = if (cum * 1000L <= operators.Analytics.AbcCutA * total) "A"
-        else if (cum * 1000L <= operators.Analytics.AbcCutB * total) "B"
+      val cls = if (before * 1000L < operators.Analytics.AbcCutA * total) "A"
+        else if (before * 1000L < operators.Analytics.AbcCutB * total) "B"
         else "C"
       (cls, c)
     }

@@ -1035,9 +1035,10 @@ class TextDedupSpec extends AnyFunSuite {
   test("top eigen: power iteration matches dense recompute; analytic diag") {
     import graft.operators.Similarity
     // analytic: diag(3, 1) → λ = 3, v = ±e0
-    val (l0, v0) = Similarity.topEigen(
+    val (l0, v0, r0) = Similarity.topEigen(
       Seq((0, 0, 3000000000000L), (1, 1, 1000000000000L)), 2,
       Similarity.EigenIters)
+    assert(r0 < 1e-12, "diag residual")
     assert(math.abs(l0 - 3.0) < 1e-12, "diag eigenvalue")
     assert(math.abs(math.abs(v0(0)) - 1.0) < 1e-9 &&
       math.abs(v0(1)) < 1e-9, "diag eigenvector")
@@ -1067,7 +1068,9 @@ class TextDedupSpec extends AnyFunSuite {
       (0 until d).map(j => gram(i)(j) * v(j)).sum).sum
     val cells = Similarity.gramCells(spark, sf).collect()
       .map(r => (r.getInt(0), r.getInt(1), r.getLong(2))).toSeq
-    val (lamGot, vGot) = Similarity.topEigen(cells, d, Similarity.EigenIters)
+    val (lamGot, vGot, residGot) = Similarity.topEigen(cells, d,
+      Similarity.EigenIters)
+    assert(residGot <= 1e-3 * lamGot, "residual gate headroom")
     assert(math.abs(lamGot - lam) < 1e-6 * lam, "corpus eigenvalue")
     // eigenvector parity up to sign
     val dot = (0 until d).map(i => v(i) * vGot(i)).sum
