@@ -4286,6 +4286,64 @@ object Analytics {
     """)
   )
 
+  /** Seasonal adjustment of the daily-revenue series (X-11-lite):
+    * subtract each weekday's mean effect and re-center on the global
+    * mean, so trend/anomaly readers (q117 OLS, q48/q68 outlier
+    * screens) see the series WITHOUT the weekly cycle q138 proved is
+    * there. Exactness: dow and global means are single divisions of
+    * exact longs; the adjusted value is one fixed IEEE chain per row
+    * on those exact operands — engine-identical. Scale: one day
+    * rollup; the 7-row dow-mean frame and 1-row global mean
+    * broadcast onto the day-DOMAIN spine.
+    */
+  val q146SeasonalAdjust = GraftQuery(
+    "q146_seasonal_adjust",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val daily = dailyRevenueCents(t)
+        .withColumn("dow", (weekday(col("day")) + 1).cast("long"))
+        .cache()
+      val dowMean = daily.groupBy(col("dow"))
+        .agg(sum(col("cents")).as("sx"), count(lit(1)).as("n"))
+      val glob = daily.agg(sum(col("cents")).as("gx"),
+        count(lit(1)).as("gn"))
+      def d(c: Column): Column = c.cast(DoubleType)
+      daily
+        .join(broadcast(dowMean), Seq("dow"))
+        .crossJoin(broadcast(glob))
+        .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+          col("dow"), col("cents"),
+          (d(col("sx")) / d(col("n"))).as("dow_mean"),
+          (d(col("cents")) - d(col("sx")) / d(col("n")) +
+            d(col("gx")) / d(col("gn"))).as("deseasonalized"))
+        .orderBy(col("day"))
+    },
+    Some("""
+      WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS day,
+               CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                 AS cents
+        FROM orders GROUP BY 1),
+      dw AS (SELECT day, isodow(day) AS dow, cents FROM daily),
+      dm AS (
+        SELECT dow, CAST(SUM(cents) AS BIGINT) AS sx,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM dw GROUP BY 1),
+      g AS (SELECT CAST(SUM(cents) AS BIGINT) AS gx,
+                   CAST(COUNT(*) AS BIGINT) AS gn
+            FROM dw)
+      SELECT CAST(d.day AS VARCHAR) AS day, CAST(d.dow AS BIGINT) AS dow,
+             d.cents,
+             CAST(m.sx AS DOUBLE) / CAST(m.n AS DOUBLE) AS dow_mean,
+             CAST(d.cents AS DOUBLE)
+               - CAST(m.sx AS DOUBLE) / CAST(m.n AS DOUBLE)
+               + CAST(g.gx AS DOUBLE) / CAST(g.gn AS DOUBLE)
+               AS deseasonalized
+      FROM dw d JOIN dm m ON m.dow = d.dow, g
+      ORDER BY day
+    """)
+  )
+
   /** Calendar seasonality heatmap over events: ISO-weekday × hour
     * cell counts plus each cell's load relative to a uniform week
     * (ratio = n·168 / total — busier-than-average cells exceed 1).
@@ -4510,5 +4568,5 @@ object Analytics {
       q133AbcClassification, q134MaxConcurrency, q136RollingCorrelation,
       q137Histogram, q138AnovaWeekday, q139MannKendall, q140TopMovers,
       q141NewVsRepeat, q142RfmTransition, q143FreshnessAudit,
-      q144PercentileBands, q145DauMau)
+      q144PercentileBands, q145DauMau, q146SeasonalAdjust)
 }

@@ -2541,6 +2541,82 @@ object TextAnalysis {
     """)
   )
 
+  /** Checkpoints (doc-count deciles) for the vocabulary growth curve. */
+  val VocabCheckpoints = 10L
+
+  /** Vocabulary growth curve (Heaps' law readout): distinct-token
+    * vocabulary size vs cumulative token count at doc-id decile
+    * checkpoints — the corpus diagnostic behind "how much new
+    * vocabulary does the next 10% of crawl buy", which sizes
+    * tokenizer vocab and dedup aggressiveness. ONE pass computes
+    * everything: per token its FIRST document (min doc_id over the
+    * explode — the same shuffle carries the frequency), per doc its
+    * token count; each checkpoint then counts tokens whose first doc
+    * falls inside the prefix — no per-checkpoint rescans. Exact
+    * integers throughout. Scale: the explode+min is the one
+    * |rows|·tokens exchange; checkpoints are a 10-row broadcast
+    * spine joined against vocab-sized and doc-sized aggregates.
+    */
+  val textVocabGrowth = GraftQuery(
+    "text_vocab_growth",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val maxDoc = t.documents.agg(max(col("doc_id")).as("mx"))
+      val spine = s.range(1, VocabCheckpoints + 1).toDF("decile")
+        .crossJoin(broadcast(maxDoc))
+        .select(col("decile"),
+          expr(s"(mx * decile) div $VocabCheckpoints").as("cutoff"))
+      val tok = t.documents
+        .select(col("doc_id"), explode(tokens(col("text"))).as("tk"))
+        .filter(col("tk") =!= "")
+      val firstDoc = tok.groupBy(col("tk"))
+        .agg(min(col("doc_id")).as("fd"))
+      val docTokens = tok.groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("ntok"))
+      val vocabAt = spine.join(firstDoc, col("fd") <= col("cutoff"))
+        .groupBy(col("decile"), col("cutoff"))
+        .agg(count(lit(1)).as("vocab"))
+      val tokensAt = spine.join(docTokens, col("doc_id") <= col("cutoff"))
+        .groupBy(col("decile").as("d2"))
+        .agg(sum(col("ntok")).as("total_tokens"),
+          count(lit(1)).as("n_docs"))
+      vocabAt.join(tokensAt, col("decile") === col("d2"))
+        .select(col("decile"), col("cutoff"), col("n_docs"),
+          col("total_tokens"), col("vocab"),
+          (col("vocab").cast(DoubleType) /
+            col("total_tokens").cast(DoubleType)).as("type_token_ratio"))
+        .orderBy(col("decile"))
+    },
+    Some(s"""
+      WITH mx AS (SELECT MAX(doc_id) AS mx FROM documents),
+      spine AS (
+        SELECT d AS decile, (mx.mx * d) // $VocabCheckpoints AS cutoff
+        FROM (SELECT unnest(range(1, ${VocabCheckpoints + 1})) AS d), mx),
+      tok AS (
+        SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS tk
+        FROM documents),
+      tokf AS (SELECT doc_id, tk FROM tok WHERE tk <> ''),
+      fd AS (SELECT tk, MIN(doc_id) AS fd FROM tokf GROUP BY 1),
+      dt AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS ntok
+             FROM tokf GROUP BY 1),
+      v AS (
+        SELECT s.decile, s.cutoff, CAST(COUNT(*) AS BIGINT) AS vocab
+        FROM spine s JOIN fd ON fd.fd <= s.cutoff
+        GROUP BY 1, 2),
+      tt AS (
+        SELECT s.decile, CAST(SUM(dt.ntok) AS BIGINT) AS total_tokens,
+               CAST(COUNT(*) AS BIGINT) AS n_docs
+        FROM spine s JOIN dt ON dt.doc_id <= s.cutoff
+        GROUP BY 1)
+      SELECT v.decile, CAST(v.cutoff AS BIGINT) AS cutoff, tt.n_docs,
+             tt.total_tokens, v.vocab,
+             CAST(v.vocab AS DOUBLE) / CAST(tt.total_tokens AS DOUBLE)
+               AS type_token_ratio
+      FROM v JOIN tt ON tt.decile = v.decile
+      ORDER BY v.decile
+    """)
+  )
+
   /** Token budget for the greedy curriculum selection. */
   val TokenBudget = 15000L
 
@@ -2629,5 +2705,5 @@ object TextAnalysis {
       textCcnetBuckets, textBpeMerges, textTokenizerFertility,
       sampleEpochAllocation, textSubstringDedup, textGramNovelty,
       textPmiCollocations, sampleHoldoutSplit, sampleTokenBudget,
-      sampleBootstrapCi)
+      sampleBootstrapCi, textVocabGrowth)
 }

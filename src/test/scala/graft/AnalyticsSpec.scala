@@ -1530,4 +1530,34 @@ class AnalyticsSpec extends AnyFunSuite {
       assert(st > 0.0 && st <= 1.0, s"range ${r.getString(0)}")
     }
   }
+
+  test("seasonal adjust: dow effect removal matches dense recompute") {
+    val t = graft.sources.Tables(spark, sf)
+    val daily = t.orders
+      .select(to_date(col("o_orderdate")).as("day"),
+        round(col("o_totalprice") * 100).cast("long").as("c"))
+      .collect()
+      .groupBy(_.getDate(0).toString).toSeq
+      .map { case (d, rs) => (d, rs.map(_.getLong(1)).sum) }
+    val byDow = daily.groupBy(d =>
+      java.time.LocalDate.parse(d._1).getDayOfWeek.getValue.toLong)
+    val dowMean = byDow.view.mapValues(ds =>
+      ds.map(_._2).sum.toDouble / ds.length.toDouble).toMap
+    val globMean = daily.map(_._2).sum.toDouble / daily.length.toDouble
+    val rows = SparkEntry.queries("q146_seasonal_adjust")(spark, sf)
+      .collect()
+    assert(rows.length == daily.length, "day spine")
+    rows.foreach { r =>
+      val dow = java.time.LocalDate.parse(r.getString(0))
+        .getDayOfWeek.getValue.toLong
+      assert(r.getLong(1) == dow, s"dow ${r.getString(0)}")
+      assert(r.getDouble(3) == dowMean(dow), s"dow mean ${r.getString(0)}")
+      assert(r.getDouble(4) ==
+        r.getLong(2).toDouble - dowMean(dow) + globMean,
+        s"adjusted ${r.getString(0)}")
+    }
+    // adjustment preserves the global mean (up to float noise)
+    val adjMean = rows.map(_.getDouble(4)).sum / rows.length
+    assert(math.abs(adjMean - globMean) < 1e-6 * globMean, "mean preserved")
+  }
 }

@@ -1032,6 +1032,37 @@ class TextDedupSpec extends AnyFunSuite {
       "CI brackets the point mean")
   }
 
+  test("vocab growth: checkpoint vocabulary matches dense first-occurrence") {
+    import graft.operators.TextAnalysis.VocabCheckpoints
+    val t = graft.sources.Tables(spark, sf)
+    val docs = t.documents.select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1).toLowerCase
+        .split("\\s+").filter(_.nonEmpty)))
+    val maxDoc = docs.map(_._1).max
+    val firstDoc = scala.collection.mutable.Map.empty[String, Long]
+    docs.sortBy(_._1).foreach { case (id, tks) =>
+      tks.foreach(tk => if (!firstDoc.contains(tk)) firstDoc(tk) = id)
+    }
+    val rows = SparkEntry.queries("text_vocab_growth")(spark, sf).collect()
+    assert(rows.length == VocabCheckpoints.toInt, "checkpoint count")
+    rows.foreach { r =>
+      val cutoff = maxDoc * r.getLong(0) / VocabCheckpoints
+      assert(r.getLong(1) == cutoff, s"cutoff d${r.getLong(0)}")
+      val inPrefix = docs.filter(_._1 <= cutoff)
+      assert(r.getLong(2) == inPrefix.length.toLong, s"docs d${r.getLong(0)}")
+      assert(r.getLong(3) == inPrefix.map(_._2.length.toLong).sum,
+        s"tokens d${r.getLong(0)}")
+      assert(r.getLong(4) == firstDoc.count(_._2 <= cutoff).toLong,
+        s"vocab d${r.getLong(0)}")
+    }
+    // vocabulary and token counts are monotone along the curve
+    val sorted = rows.sortBy(_.getLong(0))
+    sorted.sliding(2).foreach { case Array(a, b) =>
+      assert(a.getLong(4) <= b.getLong(4) && a.getLong(3) <= b.getLong(3),
+        "monotone growth")
+    }
+  }
+
   test("top eigen: power iteration matches dense recompute; analytic diag") {
     import graft.operators.Similarity
     // analytic: diag(3, 1) → λ = 3, v = ±e0
