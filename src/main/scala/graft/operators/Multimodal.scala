@@ -306,7 +306,107 @@ object Multimodal {
     """)
   )
 
+  /** Typed per-frame byte-sum record for the scene-cut detector. */
+  final case class FrameSum(
+      doc_id: Long,
+      frame_idx: Long,
+      n_bytes: Long,
+      bsum: Long
+  )
+
+  /** Relative mean-level change (percent) that counts as a cut. */
+  val SceneCutPct = 3L
+
+  /** Scene-cut (shot-boundary) detection over the stubbed video
+    * decode: frames are [[FrameSize]]-byte windows of the payload, a
+    * cut fires where a frame's MEAN byte level moves more than
+    * [[SceneCutPct]] % vs the previous frame — the classic luminance-
+    * delta shot detector; a real codec swap changes only the byte
+    * source, exactly like mm_audio_energy. Exactness: means never
+    * materialize — the compare is the integer cross-product
+    * |bsumₜ·lenₜ₋₁ − bsumₜ₋₁·lenₜ|·100 > pct·bsumₜ₋₁·lenₜ (products
+    * ≤ ~10⁹, long-trivial), so the flag is bit-identical by
+    * construction. Scale: the decode fan-out stays map-side in a
+    * typed mapPartitions (no asset bytes shuffle); the lag window
+    * partitions by asset over per-asset frame counts; output is one
+    * row per asset.
+    */
+  val mmSceneCuts = GraftQuery(
+    "mm_scene_cuts",
+    (s, dir) => {
+      import s.implicits._
+      val t = Tables(s, dir)
+      val frames = t.documents
+        .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+        .as[(Long, Array[Byte])]
+        .mapPartitions(_.flatMap { case (id, bytes) =>
+          val nFrames =
+            if (bytes.isEmpty) 0L else (bytes.length - 1L) / FrameSize + 1
+          (0L until nFrames).iterator.map { fi =>
+            val from = (fi * FrameSize).toInt
+            val until = math.min(from + FrameSize, bytes.length)
+            var sum = 0L
+            var i = from
+            while (i < until) { sum += (bytes(i) & 0xff).toLong; i += 1 }
+            FrameSum(id, fi, until - from, sum)
+          }
+        })
+        .toDF()
+      val wD = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_id")).orderBy(col("frame_idx"))
+      frames
+        .withColumn("psum", lag(col("bsum"), 1).over(wD))
+        .withColumn("plen", lag(col("n_bytes"), 1).over(wD))
+        .withColumn("cut", col("psum").isNotNull &&
+          abs(col("bsum") * col("plen") - col("psum") * col("n_bytes")) *
+            100L > lit(SceneCutPct) * col("psum") * col("n_bytes"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_frames"),
+          sum(when(col("cut"), 1L).otherwise(0L)).as("n_cuts"),
+          min(when(col("cut"), col("frame_idx"))).as("first_cut_idx"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""
+      WITH b AS (
+        SELECT doc_id,
+               list_transform(string_split(text, ''), c -> ascii(c)) AS bytes
+        FROM documents),
+      f AS (
+        SELECT doc_id, bytes,
+               unnest(range(0, CAST(floor((len(bytes) - 1) / $FrameSize) + 1
+                 AS BIGINT))) AS frame_idx
+        FROM b WHERE len(bytes) > 0),
+      e AS (
+        SELECT doc_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+               CAST(len(list_slice(bytes, frame_idx * $FrameSize + 1,
+                 frame_idx * $FrameSize + $FrameSize)) AS BIGINT) AS n_bytes,
+               CAST(list_sum(list_slice(bytes, frame_idx * $FrameSize + 1,
+                 frame_idx * $FrameSize + $FrameSize)) AS BIGINT) AS bsum
+        FROM f),
+      l AS (
+        SELECT doc_id, frame_idx, n_bytes, bsum,
+               lag(bsum) OVER (PARTITION BY doc_id ORDER BY frame_idx)
+                 AS psum,
+               lag(n_bytes) OVER (PARTITION BY doc_id ORDER BY frame_idx)
+                 AS plen
+        FROM e),
+      c AS (
+        SELECT doc_id, frame_idx,
+               psum IS NOT NULL AND
+               ABS(bsum * plen - psum * n_bytes) * 100
+                 > $SceneCutPct * psum * n_bytes AS cut
+        FROM l)
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_frames,
+             CAST(SUM(CASE WHEN cut THEN 1 ELSE 0 END) AS BIGINT) AS n_cuts,
+             CAST(MIN(CASE WHEN cut THEN frame_idx END) AS BIGINT)
+               AS first_cut_idx
+      FROM c
+      GROUP BY doc_id
+      ORDER BY doc_id
+    """)
+  )
+
   def all: Seq[GraftQuery] =
     Seq(mmBinaryMetadata, mmDecodeFeatures, mmFrameSample, mmPhashDupes,
-      mmAudioEnergy)
+      mmAudioEnergy, mmSceneCuts)
 }

@@ -486,4 +486,39 @@ class MultimodalStreamSpec extends AnyFunSuite {
     // every byte equals 128, impossible for ascii text)
     got.values.foreach { case (_, e, _) => assert(e > 0L) }
   }
+
+  test("scene cuts: per-asset cut counts match dense per-byte recompute") {
+    import graft.operators.Multimodal.{FrameSize, SceneCutPct}
+    val t = graft.sources.Tables(spark, TestSession.sf)
+    val docs = t.documents.select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1).getBytes("UTF-8")))
+    val want = docs.collect { case (id, bytes) if bytes.nonEmpty =>
+      val frames = bytes.grouped(FrameSize).toSeq
+        .map(f => (f.length.toLong, f.map(b => (b & 0xff).toLong).sum))
+      var cuts = 0L
+      var first = Option.empty[Long]
+      frames.sliding(2).zipWithIndex.foreach {
+        case (Seq((plen, psum), (flen, fsum)), i) =>
+          if (math.abs(fsum * plen - psum * flen) * 100L >
+            SceneCutPct * psum * flen) {
+            cuts += 1L
+            if (first.isEmpty) first = Some(i + 1L)
+          }
+        case _ => ()
+      }
+      id -> (frames.length.toLong, cuts, first)
+    }.toMap
+    val rows = SparkEntry.queries("mm_scene_cuts")(spark, TestSession.sf)
+      .collect()
+    assert(rows.map(_.getLong(0)).toSet == want.keySet, "asset set")
+    rows.foreach { r =>
+      val (nf, nc, fc) = want(r.getLong(0))
+      assert(r.getLong(1) == nf && r.getLong(2) == nc,
+        s"cuts doc ${r.getLong(0)}")
+      assert((if (r.isNullAt(3)) None else Some(r.getLong(3))) == fc,
+        s"first cut doc ${r.getLong(0)}")
+    }
+    // the 3% threshold must actually fire somewhere at this SF
+    assert(want.values.map(_._2).sum > 0L, "no cuts — threshold dead")
+  }
 }
