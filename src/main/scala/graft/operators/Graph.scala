@@ -46,6 +46,42 @@ object Graph {
     edges.select(col("pa").as("u"), col("pb").as("v"))
       .union(edges.select(col("pb").as("u"), col("pa").as("v")))
 
+  /** Row-count guard for every broadcast whose frame scales with the
+    * GRAPH rather than with a model: the oriented-edge closing probe
+    * (data-scale) and the per-round rank/label/score vectors of the
+    * iterative algorithms (node-scale). Under the guard the broadcast
+    * is the right plan (wedges stream map-side, rounds avoid
+    * re-shuffling the edge frame); past it a forced broadcast is an
+    * OOM at 10⁸+ nodes/edges, so the join falls back to a shuffle on
+    * the join key and the iterative loops pre-partition the edge frame
+    * ONCE so only the node-sized side moves per round. Default ≈ 10⁷
+    * rows (~hundreds of MB of longs — the autoBroadcastJoinThreshold
+    * ballpark); tests force the fallback shape via the system
+    * property.
+    */
+  private[graft] def broadcastMaxRows: Long =
+    sys.props.get("graft.graph.broadcastMaxRows").map(_.toLong)
+      .getOrElse(10L * 1000 * 1000)
+
+  /** Broadcast only under [[broadcastMaxRows]]; past it the frame is
+    * returned unhinted so the planner shuffles on the join keys.
+    */
+  private[graft] def broadcastIfSmall(df: DataFrame, rows: Long): DataFrame =
+    if (rows <= broadcastMaxRows) broadcast(df) else df
+
+  /** Pre-shape the edge frame for an iterative loop whose node frame
+    * outgrew the broadcast guard: hash-partition + sort by the join
+    * key ONCE and cache, so every round's sort-merge join reuses the
+    * edge side's partitioning/order from the cache (InMemoryRelation
+    * preserves both) and only the node-sized side shuffles per round.
+    * Caller must unpersist after the loop. No-op (returns the input)
+    * when `big` is false — the broadcast path never shuffles edges.
+    */
+  private def coPartitionForRounds(
+      edges: DataFrame, key: String, big: Boolean): DataFrame =
+    if (big) edges.repartition(col(key)).sortWithinPartitions(col(key)).cache()
+    else edges
+
   // weak identity keying on the session, mirroring Dedup.pairCache:
   // entries die with the session; SparkSession doesn't override
   // equals, so WeakHashMap lookup IS identity here
@@ -83,6 +119,50 @@ object Graph {
   private val weightedCache =
     new java.util.WeakHashMap[SparkSession,
       scala.collection.mutable.Map[String, DataFrame]]()
+
+  /** Live memoized frames (for the harness's is-this-shared check —
+    * queries may RETURN a shared frame directly, and the harness must
+    * not unpersist those as query-output pins).
+    */
+  private[graft] def liveSharedFrames: Seq[DataFrame] = {
+    val g = graphCache.synchronized {
+      import scala.jdk.CollectionConverters._
+      graphCache.values().asScala.toSeq.flatMap(_.values.toSeq)
+        .flatMap { case (e, sy) => Seq(e, sy) }
+    }
+    val w = weightedCache.synchronized {
+      import scala.jdk.CollectionConverters._
+      weightedCache.values().asScala.toSeq.flatMap(_.values.toSeq)
+    }
+    g ++ w
+  }
+
+  /** Drop the memoized co-purchase frames (unpersisting live entries)
+    * — the Graph side of [[Dedup.clearSharedCaches]]'s contract.
+    * Bench's `_shared_build` row clears + rebuilds these so each timed
+    * build runs cold; session death itself is handled by weak keys.
+    */
+  def clearSharedCaches(): Unit = {
+    graphCache.synchronized {
+      graphCache.values().forEach { inner =>
+        inner.values.foreach { case (e, sy) =>
+          try if (!e.sparkSession.sparkContext.isStopped) {
+            e.unpersist(false); sy.unpersist(false)
+          } catch { case _: Throwable => () }
+        }
+      }
+      graphCache.clear()
+    }
+    weightedCache.synchronized {
+      weightedCache.values().forEach { inner =>
+        inner.values.foreach { df =>
+          try if (!df.sparkSession.sparkContext.isStopped) df.unpersist(false)
+          catch { case _: Throwable => () }
+        }
+      }
+      weightedCache.clear()
+    }
+  }
 
   /** Memoized WEIGHTED symmetric co-purchase edges per (session, dir):
     * (u, v, cnt) with cnt = number of orders sharing the pair, both
@@ -151,41 +231,59 @@ object Graph {
     * the higher, wedges are enumerated only at a triangle's LOWEST
     * vertex in that order (out-degree there is bounded by its
     * degree-order rank — the skew-proof bound), and each wedge is
-    * closed by probing the oriented edge set. The closing probe is a
-    * broadcast hash join here (the oriented edge set is MB-sized —
-    * wedges stream map-side and never shuffle); at a scale where edges
-    * outgrow broadcast it becomes a shuffle join on the canonical
-    * pair, still O(wedges). The DuckDB oracle counts the same
+    * closed by probing the oriented edge set. The closing probe is
+    * SIZE-GUARDED ([[closedWedges]]): a broadcast hash join while the
+    * oriented edge set fits [[broadcastMaxRows]] (wedges stream
+    * map-side and never shuffle), a shuffle join on the canonical
+    * pair past it — still O(wedges). The DuckDB oracle counts the same
     * triangles with the simpler id-ordering — the count is invariant
     * to orientation, which is exactly what makes it a good
     * cross-engine check.
     */
+  /** Orient every undirected edge from its lower-(degree, id) endpoint
+    * to the higher: (s, t, dt) with dt = t's degree. Shared by the
+    * triangle count and per-node clustering coefficients.
+    */
+  private[graft] def orientEdges(edges: DataFrame, deg: DataFrame): DataFrame = {
+    val withDeg = edges
+      .join(deg.select(col("u").as("pa"), col("d").as("da")), Seq("pa"))
+      .join(deg.select(col("u").as("pb"), col("d").as("db")), Seq("pb"))
+    withDeg.select(
+      when(col("da") < col("db") || (col("da") === col("db") && col("pa") < col("pb")),
+        struct(col("pa").as("s"), col("pb").as("t"), col("db").as("dt")))
+        .otherwise(struct(col("pb").as("s"), col("pa").as("t"), col("da").as("dt")))
+        .as("e"))
+      .select(col("e.s").as("s"), col("e.t").as("t"), col("e.dt").as("dt"))
+  }
+
+  /** Triangles as closed wedges: out-neighbor pairs at each triangle's
+    * lowest (degree, id) vertex, closed by probing the oriented edge
+    * set. Returns one row (s, v, w) per triangle. The closing probe is
+    * size-guarded (`nOriented` = oriented edge count): broadcast hash
+    * join while the oriented frame fits, shuffle join on the canonical
+    * (v, w) pair once it outgrows [[broadcastMaxRows]] — still
+    * O(wedges), never an executor-memory cliff.
+    */
+  private[graft] def closedWedges(oriented: DataFrame, nOriented: Long): DataFrame = {
+    val e1 = oriented.select(col("s"), col("t").as("v"), col("dt").as("dv"))
+    val e2 = oriented.select(col("s"), col("t").as("w"), col("dt").as("dw"))
+    e1.join(e2, Seq("s"))
+      .filter(col("dv") < col("dw") || (col("dv") === col("dw") && col("v") < col("w")))
+      .join(broadcastIfSmall(
+        oriented.select(col("s").as("v"), col("t").as("w")), nOriented),
+        Seq("v", "w"))
+      .select(col("s"), col("v"), col("w"))
+  }
+
   val graphTriangles = GraftQuery(
     "graph_triangles",
     (s, dir) => {
       val (edges, sym) = copurchaseGraphShared(s, dir)
       val deg = sym
         .groupBy(col("u")).agg(count(lit(1)).as("d"))
-      // orient every edge by (degree, id) lexicographic order
-      val withDeg = edges
-        .join(deg.select(col("u").as("pa"), col("d").as("da")), Seq("pa"))
-        .join(deg.select(col("u").as("pb"), col("d").as("db")), Seq("pb"))
-      val oriented = withDeg.select(
-        when(col("da") < col("db") || (col("da") === col("db") && col("pa") < col("pb")),
-          struct(col("pa").as("s"), col("pb").as("t"), col("db").as("dt")))
-          .otherwise(struct(col("pb").as("s"), col("pa").as("t"), col("da").as("dt")))
-          .as("e"))
-        .select(col("e.s").as("s"), col("e.t").as("t"), col("e.dt").as("dt"))
-        .cache()
-      // wedges at the lowest vertex: pairs of out-neighbors, canonical
-      // (x ≺ y) by the same (degree, id) order the edges use
-      val e1 = oriented.select(col("s"), col("t").as("v"), col("dt").as("dv"))
-      val e2 = oriented.select(col("s"), col("t").as("w"), col("dt").as("dw"))
-      val wedges = e1.join(e2, Seq("s"))
-        .filter(col("dv") < col("dw") || (col("dv") === col("dw") && col("v") < col("w")))
-        .select(col("v").as("s"), col("w").as("t"))
-      val tri = wedges
-        .join(broadcast(oriented.select(col("s"), col("t"))), Seq("s", "t"))
+      val oriented = orientEdges(edges, deg).cache()
+      val nOriented = oriented.count()
+      val tri = closedWedges(oriented, nOriented)
         .agg(count(lit(1)).as("n_triangles"))
       val nNodes = deg.agg(count(lit(1)).as("n_nodes"),
         sum(col("d") * (col("d") - 1) / 2).cast("long").as("n_wedges"))
@@ -225,37 +323,19 @@ object Graph {
     * counts cost the same O(wedges) join as the global count plus a
     * 3× map-side explode. local_cc = 2·T_v / (d_v·(d_v−1)) is ONE
     * IEEE division of exact longs — no rounding, engine-identical by
-    * construction (both operands ≪ 2⁵³). Scale: the oriented edge
-    * frame broadcasts at test SF and becomes a shuffle join on the
-    * canonical pair when edges outgrow it; output is node-sized.
+    * construction (both operands ≪ 2⁵³). Scale: the closing probe is
+    * size-guarded in [[closedWedges]] (broadcast under
+    * [[broadcastMaxRows]], shuffle join past it); output is node-sized.
     */
   val graphClusteringCoeff = GraftQuery(
     "graph_clustering_coeff",
     (s, dir) => {
       val (edges, sym) = copurchaseGraphShared(s, dir)
       val deg = sym.groupBy(col("u")).agg(count(lit(1)).as("d")).cache()
-      val withDeg = edges
-        .join(deg.select(col("u").as("pa"), col("d").as("da")), Seq("pa"))
-        .join(deg.select(col("u").as("pb"), col("d").as("db")), Seq("pb"))
-      val oriented = withDeg.select(
-        when(col("da") < col("db") ||
-          (col("da") === col("db") && col("pa") < col("pb")),
-          struct(col("pa").as("s"), col("pb").as("t"), col("db").as("dt")))
-          .otherwise(
-            struct(col("pb").as("s"), col("pa").as("t"), col("da").as("dt")))
-          .as("e"))
-        .select(col("e.s").as("s"), col("e.t").as("t"), col("e.dt").as("dt"))
-        .cache()
-      val e1 = oriented.select(col("s").as("s0"), col("t").as("v"),
-        col("dt").as("dv"))
-      val e2 = oriented.select(col("s").as("s0"), col("t").as("w"),
-        col("dt").as("dw"))
-      val triNodes = e1.join(e2, Seq("s0"))
-        .filter(col("dv") < col("dw") ||
-          (col("dv") === col("dw") && col("v") < col("w")))
-        .join(broadcast(oriented.select(col("s").as("v"), col("t").as("w"))),
-          Seq("v", "w"))
-        .select(explode(array(col("s0"), col("v"), col("w"))).as("u"))
+      val oriented = orientEdges(edges, deg).cache()
+      val nOriented = oriented.count()
+      val triNodes = closedWedges(oriented, nOriented)
+        .select(explode(array(col("s"), col("v"), col("w"))).as("u"))
         .groupBy(col("u")).agg(count(lit(1)).as("tri"))
       val out = deg.join(triNodes, Seq("u"), "left")
         .select(col("u").as("node"), col("d").as("degree"),
@@ -324,36 +404,59 @@ object Graph {
     * map-side-combined aggregation per round; the weighted-degree
     * frame is dimension-sized and reused across rounds.
     */
+  /** One PageRank message round: flow c·w quantized mass along the
+    * edges and reduce with the exact two-limb long accumulator.
+    * `contribs` is the node frame (node, c = rank/wdeg); `big` means
+    * it outgrew [[broadcastMaxRows]], so the join shuffles on the key
+    * instead of broadcasting — the caller pre-partitions the edge side
+    * once ([[coPartitionForRounds]]) so only the node frame moves.
+    * Factored out so ScaleSpec can pin both physical shapes.
+    */
+  private[graft] def flowMessages(
+      edgesJ: DataFrame, contribs: DataFrame, big: Boolean,
+      base: Double, damping: Double): DataFrame = {
+    val src = if (big) contribs else broadcast(contribs)
+    val q = round(col("c") * col("w") * PrScale).cast("long")
+    edgesJ
+      .join(src, edgesJ("u") === src("node"))
+      .select(edgesJ("v").as("node"),
+        shiftright(q, 30).as("hi"), (q % PrLimb).as("lo"))
+      .groupBy(col("node"))
+      .agg((lit(base) + lit(damping) *
+        ((sum(col("hi")) * PrLimb + sum(col("lo"))).cast(DoubleType) / PrScale))
+        .as("rank"))
+  }
+
   private[graft] def pageRankWeighted(
       s: SparkSession, symW: DataFrame, iters: Int, damping: Double): DataFrame = {
     val deg = symW.groupBy(col("u")).agg(sum(col("w")).as("wdeg")).cache()
     val n = deg.count()
+    // the rank frame is node-dimension-sized — while it fits the guard,
+    // BROADCAST it into the edge-sized message join (an SMJ here would
+    // re-sort the whole edge frame every round). Past the guard a
+    // per-round broadcast of 10⁸+ ranks is a memory cliff, so the edge
+    // frame is hash-partitioned + sorted on u ONCE (cached — the
+    // partitioning and order survive InMemoryRelation) and each round
+    // sort-merge-joins with only the node-sized side shuffling.
+    val big = n > broadcastMaxRows
+    val edgesJ = coPartitionForRounds(symW, "u", big)
     var ranks = deg.select(col("u").as("node"), lit(1.0 / n).as("rank"))
     val base = (1.0 - damping) / n
     for (_ <- 1 to iters) {
-      // the rank frame is node-dimension-sized — BROADCAST it into the
-      // edge-sized message join (an SMJ here would re-sort the whole
-      // edge frame every round); localCheckpoint (not cache) truncates
-      // each round's lineage to a materialized RDD — a cached
-      // hint-bearing iterative plan defeats CacheManager matching and
-      // every downstream action silently recomputes the fixpoint
+      // localCheckpoint (not cache) truncates each round's lineage to
+      // a materialized RDD — a cached hint-bearing iterative plan
+      // defeats CacheManager matching and every downstream action
+      // silently recomputes the fixpoint
       val contribs = ranks
         .join(deg, ranks("node") === deg("u"))
         .select(col("node"), (col("rank") / col("wdeg")).as("c"))
-      val q = round(col("c") * col("w") * PrScale).cast("long")
-      val msgs = symW
-        .join(broadcast(contribs), symW("u") === contribs("node"))
-        .select(symW("v").as("node"),
-          shiftright(q, 30).as("hi"), (q % PrLimb).as("lo"))
-      ranks = msgs.groupBy(col("node"))
-        .agg((lit(base) + lit(damping) *
-          ((sum(col("hi")) * PrLimb + sum(col("lo"))).cast(DoubleType) / PrScale))
-          .as("rank"))
+      ranks = flowMessages(edgesJ, contribs, big, base, damping)
         .localCheckpoint()
     }
     // every node has degree ≥ 1 (symmetric edge frame), so the message
     // aggregation is total — no rank-starved nodes to re-attach
     deg.unpersist(false)
+    if (big) edgesJ.unpersist(false)
     ranks
   }
 
@@ -578,15 +681,20 @@ object Graph {
     */
   private[graft] def labelPropagation(
       sym: DataFrame, rounds: Int): DataFrame = {
-    var labels = sym.select(col("u").as("node")).distinct()
-      .select(col("node"), col("node").as("label"))
+    val nodes = sym.select(col("u").as("node")).distinct().localCheckpoint()
+    val n = nodes.count()
+    // same size-guarded round shape as pageRankWeighted: broadcast the
+    // node-dimension label frame while it fits broadcastMaxRows; past
+    // it, hash-partition + sort the edge frame on u once (cached) and
+    // let each round sort-merge-join with only the label frame moving
+    val big = n > broadcastMaxRows
+    val edgesJ = coPartitionForRounds(sym, "u", big)
+    var labels = nodes.select(col("node"), col("node").as("label"))
     for (_ <- 1 to rounds) {
-      // node-dimension-sized label frame broadcasts into the edge-
-      // sized message join; materialize per round (same shape as
-      // pageRank — an SMJ would re-sort the edge frame every round)
-      val nbrVotes = sym
-        .join(broadcast(labels), sym("u") === labels("node"))
-        .select(sym("v").as("n2"), col("label"))
+      val nbrVotes = edgesJ
+        .join(if (big) labels else broadcast(labels),
+          edgesJ("u") === labels("node"))
+        .select(edgesJ("v").as("n2"), col("label"))
       val selfVotes = labels.select(col("node").as("n2"), col("label"))
       // localCheckpoint (not cache): truncates the round's lineage to
       // a materialized RDD. A cache here leaves a hint-bearing 5-round
@@ -600,6 +708,7 @@ object Graph {
         .select(col("n2").as("node"), (-col("best.neg")).as("label"))
         .localCheckpoint()
     }
+    if (big) edgesJ.unpersist(false)
     labels
   }
 
@@ -1054,10 +1163,13 @@ object Graph {
       val keep = alive.groupBy(col("u"))
         .agg(count(lit(1)).as("du"))
         .filter(col("du") >= k)
+      // survivor set is node-sized; guarded with the live edge count
+      // as a conservative upper bound so a billion-edge peel falls
+      // back to shuffle semi-joins instead of broadcasting
       val next = alive
-        .join(broadcast(keep.select(col("u").as("ku"))),
+        .join(broadcastIfSmall(keep.select(col("u").as("ku")), aliveCnt),
           col("u") === col("ku")).drop("ku")
-        .join(broadcast(keep.select(col("u").as("kv"))),
+        .join(broadcastIfSmall(keep.select(col("u").as("kv")), aliveCnt),
           col("v") === col("kv")).drop("kv")
         .localCheckpoint()
       val nextCnt = next.count()
@@ -1328,13 +1440,22 @@ object Graph {
   private[graft] def hits(
       s: SparkSession, edges: DataFrame, iters: Int): (DataFrame, DataFrame) = {
     val nC = edges.select(col("c")).distinct().count()
+    val nP = edges.select(col("p")).distinct().count()
+    // size-guarded rounds (pageRankWeighted's shape, one frame per
+    // flow direction): broadcast the node-side score vector while it
+    // fits broadcastMaxRows; past it, keep TWO cached edge views —
+    // partitioned+sorted on c and on p — so each direction's
+    // sort-merge join moves only the score vector
+    val big = math.max(nC, nP) > broadcastMaxRows
+    val byC = coPartitionForRounds(edges, "c", big)
+    val byP = coPartitionForRounds(edges, "p", big)
     var hub = edges.select(col("c")).distinct()
       .select(col("c"), lit(1.0 / nC).as("score"))
     var auth: DataFrame = null
     def flow(src: DataFrame, from: String, to: String): DataFrame = {
       val q = round(col("score") * PrScale).cast("long")
-      val raw = edges
-        .join(broadcast(src), Seq(from))
+      val raw = (if (from == "c") byC else byP)
+        .join(if (big) src else broadcast(src), Seq(from))
         .select(col(to), shiftright(q, 30).as("hi"), (q % PrLimb).as("lo"))
         .groupBy(col(to))
         .agg((sum(col("hi")) * PrLimb + sum(col("lo"))).as("raw"))
@@ -1352,6 +1473,7 @@ object Graph {
       auth = flow(hub, "c", "p")
       hub = flow(auth, "p", "c")
     }
+    if (big) { byC.unpersist(false); byP.unpersist(false) }
     (hub, auth)
   }
 
@@ -1484,11 +1606,214 @@ object Graph {
     """)
   )
 
+  /** Landmark sources for the sampled betweenness (top-degree, id
+    * tie-break — the closeness discipline). */
+  val BetweennessSources = 3
+  /** Hop horizon for the sampled betweenness — bounded-exploration
+    * semantics stated identically in both engines. */
+  val BetweennessHorizon = 3
+
+  /** Sampled Brandes betweenness: forward hop-bounded multi-source
+    * BFS computing per-(source, node) distance AND exact
+    * shortest-path counts σ (longs — the frontier-sum recurrence),
+    * then the standard backward dependency accumulation
+    * δ(v) = Σ_succ σ(v)/σ(w)·(1+δ(w)) level by level descending.
+    * Returns (lm, node, dist, sigma, delta). Every σ is exact; δ is
+    * the only IEEE value. Per-round cost is one equi-join + one
+    * map-side-combined aggregation on (source, node) keys — sampled
+    * sources is exactly how betweenness runs at scale (exact Brandes
+    * is one BFS per VERTEX; landmarks bound it to K).
+    */
+  private[graft] def brandesSampled(
+      sym: DataFrame, sources: DataFrame, horizon: Int): DataFrame = {
+    var frontier = sources.select(col("lm"), col("lm").as("node"),
+      lit(0L).as("dist"), lit(1L).as("sigma")).localCheckpoint(true)
+    var visited = frontier
+    for (d <- 1 to horizon) {
+      frontier = frontier.join(sym, frontier("node") === sym("u"))
+        .select(col("lm"), sym("v").as("node"), col("sigma"))
+        .join(visited.select(col("lm"), col("node")), Seq("lm", "node"), "left_anti")
+        .groupBy(col("lm"), col("node"))
+        .agg(sum(col("sigma")).as("sigma"))
+        .select(col("lm"), col("node"), lit(d.toLong).as("dist"), col("sigma"))
+        .localCheckpoint(true)
+      visited = visited.union(frontier).localCheckpoint(true)
+    }
+    var levelDelta = visited.filter(col("dist") === horizon.toLong)
+      .select(col("lm"), col("node"), col("sigma"), lit(0.0).as("delta"))
+      .localCheckpoint(true)
+    var out = visited.filter(col("dist") === horizon.toLong)
+      .select(col("lm"), col("node"), col("dist"), col("sigma"),
+        lit(0.0).as("delta"))
+    for (d <- (horizon - 1) to 0 by -1) {
+      val lower = visited.filter(col("dist") === d.toLong)
+      val up = levelDelta.select(col("lm").as("lmU"), col("node").as("succ"),
+        col("sigma").as("sigU"), col("delta").as("delU"))
+      val contrib = lower.join(sym, lower("node") === sym("u"))
+        .select(lower("lm"), lower("node"), lower("sigma"), sym("v").as("nxt"))
+        .join(up, col("lm") === col("lmU") && col("nxt") === col("succ"))
+        .groupBy(col("lm"), col("node"))
+        .agg(sum(col("sigma").cast(DoubleType) / col("sigU").cast(DoubleType)
+          * (lit(1.0) + col("delU"))).as("delta"))
+      val cur = lower.join(contrib, Seq("lm", "node"), "left")
+        .select(col("lm"), col("node"), col("dist"), col("sigma"),
+          coalesce(col("delta"), lit(0.0)).as("delta"))
+        .localCheckpoint(true)
+      out = out.union(cur)
+      levelDelta = cur.select(col("lm"), col("node"), col("sigma"), col("delta"))
+    }
+    out
+  }
+
+  /** Betweenness centrality from [[BetweennessSources]] top-degree
+    * landmarks within [[BetweennessHorizon]] hops. The oracle hashes
+    * the EXACT forward surface — per-(landmark, node) distance and
+    * shortest-path count σ, restated in DuckDB as a WALK-COUNT
+    * grouped recursion (walks of minimal length ARE shortest paths,
+    * and the per-iteration walk vector is node-sized, so the
+    * recursive CTE never enumerates paths) — while the IEEE
+    * dependency values ride as Spark-verified gates: δ ≥ 0 and the
+    * Brandes flow identity Σ_v δ(v) = Σ_w dist(w) (each target's unit
+    * splits across its shortest-path ancestors). δ VALUES are pinned
+    * by GraphSpec against dense recomputes on analytic graphs (path,
+    * diamond).
+    */
+  val graphBetweennessSampled = GraftQuery(
+    "graph_betweenness_sampled",
+    (s, dir) => {
+      val (_, sym) = copurchaseGraphShared(s, dir)
+      val deg = sym.groupBy(col("u")).agg(count(lit(1)).as("d"))
+      val lms = deg.orderBy(col("d").desc, col("u"))
+        .limit(BetweennessSources).select(col("u").as("lm"))
+      val bw = brandesSampled(sym, lms, BetweennessHorizon)
+      val gates = bw.groupBy(col("lm")).agg(
+          min(col("delta")).as("minD"),
+          sum(col("delta")).as("sumD"),
+          sum(col("dist")).cast(DoubleType).as("sumDist"))
+        .select(col("lm"),
+          (col("minD") >= 0.0).as("delta_nonneg_ok"),
+          (abs(col("sumD") - col("sumDist")) <
+            lit(1e-6) * greatest(col("sumDist"), lit(1.0)))
+            .as("brandes_identity_ok"))
+      val out = bw.join(broadcast(gates), Seq("lm"))
+        .select(col("lm").as("landmark"), col("node"), col("dist"),
+          col("sigma"), col("delta_nonneg_ok"), col("brandes_identity_ok"))
+        .orderBy(col("landmark"), col("node"))
+      out.persist().count()
+      out
+    },
+    Some(s"""
+      WITH RECURSIVE items AS (
+        SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+      e AS (
+        SELECT DISTINCT a.p AS pa, b.p AS pb
+        FROM items a JOIN items b ON a.o = b.o AND a.p < b.p),
+      sym AS (SELECT pa AS u, pb AS v FROM e UNION ALL SELECT pb, pa FROM e),
+      deg AS (SELECT u, COUNT(*) AS d FROM sym GROUP BY u),
+      lms AS (SELECT u AS lm FROM deg ORDER BY d DESC, u
+              LIMIT $BetweennessSources),
+      w(iter, lm, node, cnt) AS (
+        SELECT 0, lm, lm, CAST(1 AS BIGINT) FROM lms
+        UNION ALL
+        SELECT t.iter + 1, t.lm, t.node, t.cnt FROM (
+          SELECT p.iter, p.lm, y.v AS node, CAST(SUM(p.cnt) AS BIGINT) AS cnt
+          FROM w p JOIN sym y ON y.u = p.node
+          WHERE p.iter < $BetweennessHorizon
+          GROUP BY 1, 2, 3) t),
+      d AS (SELECT lm, node, MIN(iter) AS dist FROM w GROUP BY 1, 2),
+      sp AS (
+        SELECT w.lm, w.node, d.dist, w.cnt AS sigma
+        FROM w JOIN d ON w.lm = d.lm AND w.node = d.node AND w.iter = d.dist)
+      SELECT lm AS landmark, node, CAST(dist AS BIGINT) AS dist,
+             CAST(sigma AS BIGINT) AS sigma,
+             TRUE AS delta_nonneg_ok, TRUE AS brandes_identity_ok
+      FROM sp ORDER BY landmark, node
+    """)
+  )
+
+  /** Hop horizon for the weighted SSSP — both engines state the same
+    * bounded-relaxation semantics (the ClosenessHorizon discipline):
+    * distances are exact over paths of at most this many edges.
+    */
+  val SsspHops = 4
+  /** Numerator of the integer edge length `(C + cnt − 1) / cnt`:
+    * frequently-co-bought pairs are CLOSE (cnt=1 → 100, cnt=100 → 1),
+    * and the integer division is exact in both engines.
+    */
+  val SsspLenScale = 100L
+
+  /** Weighted single-source shortest paths (hop-bounded Bellman-Ford)
+    * from the co-purchase graph's min-id node, edge length =
+    * `(100 + cnt − 1) / cnt` (integer "rarity" cost — frequent
+    * co-purchases are short). Each round relaxes EVERY edge once and
+    * keeps the per-node MIN: state is a node-sized frame carried
+    * forward (never a path set), so round cost is one equi-join + one
+    * map-side-combined min aggregation regardless of how many paths
+    * exist — the shape that survives 100 TB, where path enumeration
+    * explodes but the distance map stays |V|. All arithmetic is exact
+    * longs. The DuckDB oracle states the SAME Bellman-Ford recursion:
+    * a recursive CTE whose step re-derives the full grouped distance
+    * map (carry ∪ relax → MIN), sidestepping the path-explosion that
+    * makes the naive bfs-style spelling infeasible on a dense graph.
+    */
+  val graphSsspWeighted = GraftQuery(
+    "graph_sssp_weighted",
+    (s, dir) => {
+      // len = ceil(100/cnt) == (100+cnt−1)//cnt for positive ints; the
+      // double ceil is provably exact here (100/cnt sits ≥ 1/cnt from
+      // any integer unless cnt divides 100, and 1/cnt ≫ ulp(100))
+      val symW = copurchaseWeightedShared(s, dir)
+        .select(col("u"), col("v"),
+          ceil(lit(SsspLenScale).cast(DoubleType) / col("cnt").cast(DoubleType))
+            .cast("long").as("len"))
+      val srcId = symW.agg(min(col("u"))).head().getLong(0)
+      var dist = symW.select(col("u").as("node")).distinct()
+        .filter(col("node") === srcId)
+        .select(col("node"), lit(0L).as("d"))
+        .localCheckpoint(true)
+      for (_ <- 1 to SsspHops) {
+        val relaxed = dist.join(symW, dist("node") === symW("u"))
+          .select(symW("v").as("node"), (dist("d") + col("len")).as("d"))
+        dist = dist.unionAll(relaxed)
+          .groupBy(col("node")).agg(min(col("d")).as("d"))
+          .localCheckpoint(true)
+      }
+      dist.select(col("node"), col("d").as("dist")).orderBy(col("node"))
+    },
+    Some(s"""
+      WITH RECURSIVE items AS (
+        SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+      we AS (
+        SELECT a.p AS pa, b.p AS pb, COUNT(*) AS cnt
+        FROM items a JOIN items b ON a.o = b.o AND a.p < b.p
+        GROUP BY 1, 2),
+      sym AS (
+        SELECT pa AS u, pb AS v, ($SsspLenScale + cnt - 1) // cnt AS len
+        FROM we
+        UNION ALL
+        SELECT pb, pa, ($SsspLenScale + cnt - 1) // cnt FROM we),
+      src AS (SELECT MIN(u) AS s FROM sym),
+      sp(iter, node, d) AS (
+        SELECT 0, s, CAST(0 AS BIGINT) FROM src
+        UNION ALL
+        SELECT t.iter + 1, t.node, t.d FROM (
+          SELECT iter, node, MIN(d) AS d FROM (
+            SELECT p.iter, p.node, p.d FROM sp p WHERE p.iter < $SsspHops
+            UNION ALL
+            SELECT p.iter, y.v AS node, p.d + y.len AS d
+            FROM sp p JOIN sym y ON y.u = p.node
+            WHERE p.iter < $SsspHops)
+          GROUP BY 1, 2) t)
+      SELECT node, d AS dist FROM sp WHERE iter = $SsspHops
+      ORDER BY node
+    """)
+  )
+
   def all: Seq[GraftQuery] =
     Seq(graphDegreeStats, graphTriangles, graphPagerank, graphItemRecs,
       graphPagerankWeighted, graphCustomerSimilarity, graphCommunities,
       graphHierarchyRollup, graphBfsLevels, graphLinkPrediction,
       graphKcore, graphAssortativity, graphKtruss,
       graphLinkPredictionGlobal, graphClusteringCoeff, graphHits,
-      graphCloseness)
+      graphCloseness, graphSsspWeighted, graphBetweennessSampled)
 }

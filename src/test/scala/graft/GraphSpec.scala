@@ -550,4 +550,36 @@ class GraphSpec extends AnyFunSuite {
       assert(r.getDouble(3) == cl, s"closeness lm ${r.getLong(0)}")
     }
   }
+
+  test("sampled Brandes: path and diamond dependencies match hand math") {
+    import spark.implicits._
+    def run(edges: Seq[(Long, Long)], src: Long) = {
+      val sym = (edges ++ edges.map(_.swap)).toDF("u", "v")
+      Graph.brandesSampled(sym, Seq(src).toDF("lm"), 3)
+        .collect()
+        .map(r => r.getLong(1) -> ((r.getLong(2), r.getLong(3), r.getDouble(4))))
+        .toMap
+    }
+    // path 1-2-3 from 1: δ(3)=0, δ(2)=1, δ(1)=2 (flow identity 0+1+2=Σdist)
+    val path = run(Seq((1L, 2L), (2L, 3L)), 1L)
+    assert(path(3L) == ((2L, 1L, 0.0)))
+    assert(path(2L) == ((1L, 1L, 1.0)))
+    assert(path(1L) == ((0L, 1L, 2.0)))
+    // diamond 1-2, 1-3, 2-4, 3-4 from 1: σ(4)=2, δ(2)=δ(3)=0.5, δ(1)=3
+    val dia = run(Seq((1L, 2L), (1L, 3L), (2L, 4L), (3L, 4L)), 1L)
+    assert(dia(4L) == ((2L, 2L, 0.0)), "two shortest paths reach the sink")
+    assert(dia(2L) == ((1L, 1L, 0.5)) && dia(3L) == ((1L, 1L, 0.5)),
+      "the sink's unit splits evenly across the two middles")
+    assert(dia(1L)._3 == 3.0)
+  }
+
+  test("betweenness query gates hold at sf0.001") {
+    val rows = SparkEntry.queries("graph_betweenness_sampled")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    assert(rows.map(_.getLong(0)).distinct.length == Graph.BetweennessSources)
+    rows.foreach { r =>
+      assert(r.getBoolean(4), s"delta_nonneg_ok lm ${r.getLong(0)}")
+      assert(r.getBoolean(5), s"brandes_identity_ok lm ${r.getLong(0)}")
+    }
+  }
 }

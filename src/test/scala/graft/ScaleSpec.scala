@@ -362,6 +362,86 @@ class ScaleSpec extends AnyFunSuite {
     }
   }
 
+  // plan text ABOVE the first cache boundary: the cached child plans
+  // were built earlier (possibly with broadcasts) and are not part of
+  // the shape under test
+  private def livePlan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+      .linesIterator.takeWhile(!_.contains("InMemoryRelation")).mkString("\n")
+
+  test("triangle probe is size-guarded: past the guard it shuffle-joins, same count") {
+    import graft.operators.Graph
+    val (edges, sym) = Graph.copurchaseGraphShared(spark, sf)
+    val deg = sym.groupBy(col("u")).agg(count(lit(1)).as("d"))
+    val oriented = Graph.orientEdges(edges, deg).cache()
+    val n = oriented.count()
+    val defTris = Graph.closedWedges(oriented, n).count()
+    val defPlan = livePlan(Graph.closedWedges(oriented, n))
+    assert(defPlan.contains("BroadcastHashJoin"),
+      s"under the guard the closing probe must broadcast:\n$defPlan")
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      System.setProperty("graft.graph.broadcastMaxRows", "0")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val guarded = Graph.closedWedges(oriented, n)
+      assert(guarded.count() == defTris,
+        "shuffle fallback must count the same triangles")
+      val plan = livePlan(guarded)
+      assert(!plan.contains("BroadcastHashJoin"),
+        s"guard=0 must remove the probe broadcast:\n$plan")
+      assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"),
+        s"probe must fall back to a shuffle join on the canonical pair:\n$plan")
+    } finally {
+      System.clearProperty("graft.graph.broadcastMaxRows")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    }
+    oriented.unpersist(false)
+  }
+
+  test("iterative graph rounds are size-guarded: shuffle rounds match broadcast rounds") {
+    import graft.operators.Graph
+    val (_, sym) = Graph.copurchaseGraphShared(spark, sf)
+    val t = Tables(spark, sf)
+    val bip = t.orders.select(col("o_orderkey"), col("o_custkey"))
+      .join(t.lineitem.select(col("l_orderkey"), col("l_partkey")),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("c"), col("l_partkey").as("p"))
+      .distinct().cache()
+    def ranksOf() = Graph.pageRank(spark, sym, 3, 0.85)
+      .collect().map(r => r.get(0) -> r.get(1)).toMap
+    def labelsOf() = Graph.labelPropagation(sym, 3)
+      .collect().map(r => r.get(0) -> r.get(1)).toMap
+    def hubsOf() = Graph.hits(spark, bip, 2)._1
+      .collect().map(r => r.get(0) -> r.get(1)).toMap
+    val (defRanks, defLabels, defHubs) = (ranksOf(), labelsOf(), hubsOf())
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      System.setProperty("graft.graph.broadcastMaxRows", "0")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      // two-limb quantized accumulation is order-free, so the shuffle
+      // path must reproduce the broadcast path BIT-identically
+      assert(ranksOf() == defRanks, "pagerank fallback diverged")
+      assert(labelsOf() == defLabels, "LPA fallback diverged")
+      assert(hubsOf() == defHubs, "HITS fallback diverged")
+      // pin the round's physical shape: node frame shuffles, never broadcasts
+      val symW = sym.withColumn("w", lit(1L))
+      val degW = symW.groupBy(col("u")).agg(sum(col("w")).as("wdeg"))
+      val contribs = degW
+        .select(col("u").as("node"), (lit(1.0) / col("wdeg")).as("c"))
+      val round = Graph.flowMessages(symW, contribs, big = true, 0.001, 0.85)
+      val plan = livePlan(round)
+      assert(!plan.contains("BroadcastHashJoin") &&
+        !plan.contains("BroadcastExchange"),
+        s"big-mode round must not broadcast the node frame:\n$plan")
+      assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"),
+        s"big-mode round must shuffle-join on the edge key:\n$plan")
+    } finally {
+      System.clearProperty("graft.graph.broadcastMaxRows")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    }
+    bip.unpersist(false)
+  }
+
   test("q110 large orders: map-side partial agg, top-k without global sort") {
     val plan = planOf("q110_large_orders")
     assert(plan.contains("TakeOrderedAndProject"),
