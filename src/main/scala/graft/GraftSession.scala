@@ -12,12 +12,35 @@ import org.apache.spark.sql.SparkSession
   */
 object GraftSession {
 
+  /** Streaming state-store provider class for `stateStore = "rocksdb"`:
+    * state lives off-heap in RocksDB instances per partition instead
+    * of the default in-memory HDFS-backed map. At 100 TB key domains
+    * (billions of session/join keys) the default provider is executor-
+    * memory-bound; RocksDB is the posture that survives, at a small
+    * constant per-access cost that only shows at tiny state sizes.
+    */
+  val RocksDbProvider =
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+
+  /** Default state-store choice: `-Dgraft.stateStore=rocksdb` or env
+    * `GRAFT_STATE_STORE=rocksdb` opts the whole session in; "hdfs"
+    * (the Spark default) otherwise, keeping small-SF benchmarks on
+    * the cheaper in-memory path. RocksDbStateStoreSpec pins that both
+    * providers produce identical stream results.
+    */
+  def defaultStateStore: String =
+    sys.props.get("graft.stateStore")
+      .orElse(sys.env.get("GRAFT_STATE_STORE"))
+      .getOrElse("hdfs")
+
   /** Build a local session. `cores` drives both task slots and the
     * shuffle-partition default so local plans don't fan into 200 tiny
-    * partitions.
+    * partitions. `stateStore` = "hdfs" | "rocksdb" (see
+    * [[defaultStateStore]]).
     */
-  def local(cores: Int = 32, appName: String = "graft"): SparkSession = {
-    val spark = SparkSession
+  def local(cores: Int = 32, appName: String = "graft",
+      stateStore: String = defaultStateStore): SparkSession = {
+    val b = SparkSession
       .builder()
       .master(s"local[$cores]")
       .appName(appName)
@@ -27,7 +50,9 @@ object GraftSession {
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    if (stateStore == "rocksdb")
+      b.config("spark.sql.streaming.stateStore.providerClass", RocksDbProvider)
+    val spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark
   }

@@ -619,6 +619,18 @@ object Dedup {
       })
     }
 
+  /** Live memoized frames (for the harness's is-this-shared check —
+    * dedup_ngram_jaccard / dedup_embedding_cosine RETURN these frames
+    * directly, and the harness must not unpersist them as output pins).
+    */
+  private[graft] def liveSharedFrames: Seq[org.apache.spark.sql.DataFrame] = {
+    import scala.jdk.CollectionConverters._
+    def vals[K](m: java.util.WeakHashMap[org.apache.spark.sql.SparkSession,
+        scala.collection.mutable.Map[K, org.apache.spark.sql.DataFrame]]) =
+      m.synchronized { m.values().asScala.toSeq.flatMap(_.values.toSeq) }
+    vals(pairCache) ++ vals(cosCache) ++ vals(ccCache)
+  }
+
   /** Drop every memoized pair graph (unpersisting live entries).
     * Bench repeat mode calls this between timed runs so each run
     * measures the query cold instead of the memo hit. Session death
@@ -639,6 +651,10 @@ object Dedup {
       }
     drain(pairCache)
     drain(cosCache)
+    // cc frames are localCheckpoint'd (unpersist is a no-op) but the
+    // memo entry must go too, or a rebuild would reuse labels derived
+    // from the dropped pair graph's timing run
+    drain(ccCache)
   }
 
   val dedupEmbeddingCosine = GraftQuery(
