@@ -63,6 +63,27 @@ sealed abstract class GraftEstimator[Self <: GraftEstimator[Self]] { self: Self 
   var model: Option[GraftBoostModel] = None
   /** Per-eval-set training history (`evals_result`, `core.py:259-260`). */
   var evalsResult: Map[String, Map[String, Array[Double]]] = Map.empty
+  /** Best round (1-based) from the last arbitrary-metric early-stopped
+    * fit (`best_iteration` copy, `core.py:476-479`). */
+  var bestIteration: Option[Int] = None
+  /** Metric value at [[bestIteration]] (`best_score`). */
+  var bestScore: Option[Double] = None
+  /** Total boosting rounds actually trained by the last early-stopped
+    * fit across its doubling chunks — the cost early stopping saved
+    * versus nEstimators. */
+  var roundsTrained: Option[Int] = None
+
+  protected def recordEarlyStop(
+      fitted: (GraftBoostModel, Int, Array[Double], Int),
+      metric: String): GraftBoostModel = {
+    val (m, k, hist, trained) = fitted
+    model = Some(m)
+    bestIteration = Some(k)
+    bestScore = Some(hist(k - 1))
+    roundsTrained = Some(trained)
+    evalsResult = Map("validation_0" -> Map(metric -> hist))
+    m
+  }
 
   def setNEstimators(n: Int): Self = { nEstimators = n; this }
   def setMaxDepth(d: Int): Self = { maxDepth = d; this }
@@ -134,6 +155,30 @@ final class GraftXGBRegressor extends GraftEstimator[GraftXGBRegressor] {
 
   /** Lazy distributed predict (`core.py:482-484`). */
   def predict(df: DataFrame): DataFrame = GraftBoost.predict(fitted, df)
+
+  /** Arbitrary-metric in-fit early stopping (`early_stopping_rounds` +
+    * `eval_metric`, `core.py:435-449`): trains in doubling chunks via
+    * [[StagedEval.fitWithEarlyStopping]], stops once `metric` (rmse
+    * here) stalls for `earlyStoppingRounds` rounds on `validation`,
+    * and keeps the model truncated at its best round. Sets
+    * [[bestIteration]]/[[bestScore]]/[[roundsTrained]]/[[evalsResult]].
+    */
+  def fitWithEarlyStopping(
+      df: DataFrame,
+      featureCols: Seq[String],
+      labelCol: String,
+      validation: DataFrame,
+      earlyStoppingRounds: Int,
+      metric: String = "rmse",
+      weightCol: Option[String] = None
+  ): GraftXGBRegressor = {
+    val params = BoostParams("reg:squarederror", nEstimators, maxDepth,
+      learningRate, 1, subsample, missingValue, seed = seed,
+      missingStrategy = missingStrat, maxBins = maxBins)
+    recordEarlyStop(StagedEval.fitWithEarlyStopping(df, validation,
+      featureCols, labelCol, params, metric, earlyStoppingRounds, weightCol), metric)
+    this
+  }
 }
 
 /** `XGBClassifier` parity (`core.py:487-631`). */
@@ -228,6 +273,37 @@ final class GraftXGBClassifier extends GraftEstimator[GraftXGBClassifier] {
       "'ntree_limit' is not supported (reference parity, core.py:626-631); " +
       "truncate the model physically with StagedEval.truncateToBest instead")
     GraftBoost.predictProba(fitted, df)
+  }
+
+  /** Arbitrary-metric in-fit early stopping — the reference's
+    * `fit(..., early_stopping_rounds=…, eval_metric="auc")`
+    * (`test_core.py:104-146`): doubling-chunk training that stops once
+    * `metric` (auc/logloss) stalls for `earlyStoppingRounds` on
+    * `validation`, keeping the model truncated at its best round.
+    * Binary objective only (OvR multiclass has no truncation). Sets
+    * [[bestIteration]]/[[bestScore]]/[[roundsTrained]]/[[evalsResult]].
+    */
+  def fitWithEarlyStopping(
+      df: DataFrame,
+      featureCols: Seq[String],
+      labelCol: String,
+      validation: DataFrame,
+      earlyStoppingRounds: Int,
+      metric: String = "auc",
+      weightCol: Option[String] = None
+  ): GraftXGBClassifier = {
+    val inferred = df.select(col(labelCol).cast("double"))
+      .distinct().collect().map(_.getDouble(0)).sorted
+    classes = Some(inferred)
+    require(inferred.length <= 2,
+      "arbitrary-metric early stopping is binary-only (OvR multiclass " +
+      "models cannot be truncated per round)")
+    val params = BoostParams("binary:logistic", nEstimators, maxDepth,
+      learningRate, 1, subsample, missingValue, multiclassStrategy, seed,
+      missingStrategy = missingStrat, maxBins = maxBins)
+    recordEarlyStop(StagedEval.fitWithEarlyStopping(df, validation,
+      featureCols, labelCol, params, metric, earlyStoppingRounds, weightCol), metric)
+    this
   }
 
   /** Platt-scale the OvR probability surface on a calibration frame

@@ -382,6 +382,17 @@ object GraftBoost {
     * sigmoids — real probabilities in place of softmax-of-margins
     * (reference `multi:softprob` semantics, `core.py:580-590`).
     * One scoring pass + numClasses tiny single-feature LR fits.
+    *
+    * The per-class fit uses Platt's OUT-OF-SAMPLE TARGET SMOOTHING
+    * (Platt 1999 §2.2): instead of hard 0/1 labels, the sigmoid is
+    * fit against t₊ = (N₊+1)/(N₊+2) and t₋ = 1/(N₋+2) — expressed
+    * here as two weighted soft-label copies per calibration row.
+    * Without it, a class whose margins separate the calibration
+    * frame drives the slope A toward ∞ and every later
+    * misclassification of that class to a ~0 probability (unbounded
+    * log-loss on one wrong row); with it the reachable probability
+    * range is bounded by the calibration counts, exactly as Platt
+    * prescribes for separable calibration sets.
     */
   def calibrate(
       model: GraftBoostModel,
@@ -398,11 +409,26 @@ object GraftBoost {
       val raw = scorer.transform(data)
         .select(vector_to_array(col("rawAll")).as("m"), col("label"))
         .cache()
+      // per-class positive counts for Platt's smoothed targets —
+      // numClasses rows, model-sized by construction
+      val classCounts = raw.groupBy(col("label")).agg(count(lit(1)).as("n"))
+        .collect().map(r => r.getDouble(0) -> r.getLong(1)).toMap
+      val nTotal = classCounts.values.sum
       val params = (0 until model.numClasses).map { c =>
+        val nPos = classCounts.getOrElse(c.toDouble, 0L)
+        val nNeg = nTotal - nPos
+        val tPos = (nPos + 1.0) / (nPos + 2.0)
+        val tNeg = 1.0 / (nNeg + 2.0)
+        // soft target t per row, expressed as two weighted hard-label
+        // copies: (label=1, w=t) + (label=0, w=1−t) — the weighted
+        // log-likelihood is identical to the soft-label fit
+        val t = when(col("label") === c, lit(tPos)).otherwise(lit(tNeg))
         val d = raw.select(
-          array_to_vector(array(element_at(col("m"), c + 1))).as("features"),
-          (col("label") === c).cast("double").as("label"))
-        val fit = new LogisticRegression().setMaxIter(50).fit(d)
+          array_to_vector(array(element_at(col("m"), c + 1))).as("features"), t.as("t"))
+        val soft = d.select(col("features"), lit(1.0).as("label"), col("t").as("w"))
+          .unionAll(d.select(col("features"), lit(0.0).as("label"),
+            (lit(1.0) - col("t")).as("w")))
+        val fit = new LogisticRegression().setMaxIter(50).setWeightCol("w").fit(soft)
         (fit.coefficients(0), fit.intercept)
       }.toArray
       raw.unpersist(false)

@@ -245,6 +245,83 @@ object StagedEval {
     idx + 1
   }
 
+  /** First STOPPED round under the reference's early-stopping rule
+    * (`core.py:435-449`): stop at round r when the best metric value
+    * so far is `patience` or more rounds behind r (strict
+    * improvement, like XGBoost). Returns the stopped round (1-based)
+    * or None if the metric never stalls within `hist`.
+    */
+  def stalledAt(hist: Array[Double], metric: String, patience: Int): Option[Int] = {
+    require(patience >= 1, s"earlyStoppingRounds must be >= 1, got $patience")
+    val better: (Double, Double) => Boolean =
+      if (metric == "auc") (v, b) => v > b else (v, b) => v < b
+    var best = hist.headOption.getOrElse(return None)
+    var bestRound = 1
+    for (r <- 2 to hist.length) {
+      if (better(hist(r - 1), best)) { best = hist(r - 1); bestRound = r }
+      if (r - bestRound >= patience) return Some(r)
+    }
+    None
+  }
+
+  /** In-fit early stopping on an ARBITRARY staged metric — the
+    * reference's `early_stopping_rounds` with `eval_metric=auc`
+    * (`core.py:435-449`, `test_core.py:104-146`), which MLlib's
+    * loss-only `validationIndicatorCol` cannot express.
+    *
+    * MLlib GBT has no warm start, so the literal round-at-a-time loop
+    * would retrain from scratch per round. Instead the fit runs in
+    * DOUBLING CHUNKS: train `chunk` rounds, compute the full per-round
+    * metric history in ONE staged pass, and stop as soon as the
+    * history shows a stall ([[stalledAt]]); otherwise double the chunk
+    * (capped at numRound) and retrain. When the metric stalls early —
+    * the case early stopping exists for — total trained rounds stay
+    * near the stall point instead of numRound; the worst case (no
+    * stall) is bounded by 2·numRound of training, the price of no
+    * warm start. The returned model is physically truncated to the
+    * best round ([[truncateToBest]]'s cut), the history is clipped at
+    * the stopped round exactly as the reference's `evals_result` is.
+    *
+    * @return (truncated model, best round (1-based), clipped history,
+    *         total rounds actually trained across chunks)
+    */
+  def fitWithEarlyStopping(
+      train: DataFrame,
+      validation: DataFrame,
+      featureCols: Seq[String],
+      labelCol: String,
+      params: GraftBoost.BoostParams,
+      metric: String,
+      earlyStoppingRounds: Int,
+      weightCol: Option[String] = None
+  ): (GraftBoost.GraftBoostModel, Int, Array[Double], Int) = {
+    import org.apache.spark.ml.classification.{GBTClassificationModel, GraftModelBridge}
+    require(params.objective == "binary:logistic" || params.objective == "reg:squarederror",
+      "arbitrary-metric early stopping needs a single GBT model " +
+      "(binary:logistic or reg:squarederror); multiclass OvR has no truncation")
+    var chunk = math.min(math.max(2 * earlyStoppingRounds, 8), params.numRound)
+    var trained = 0
+    while (true) {
+      val m = GraftBoost.train(train, featureCols, labelCol,
+        params.copy(numRound = chunk), weightCol)
+      trained += chunk
+      val hist = history(m, validation, labelCol, metric)
+      val stall = stalledAt(hist, metric, earlyStoppingRounds)
+      if (stall.isDefined || chunk >= params.numRound) {
+        val clipped = hist.take(stall.getOrElse(hist.length))
+        val k = bestIteration(clipped, metric)
+        val cut = m.model match {
+          case g: GBTClassificationModel => GraftModelBridge.truncateClassifier(g, k)
+          case g: GBTRegressionModel     => GraftModelBridge.truncateRegressor(g, k)
+          case other => throw new UnsupportedOperationException(s"${other.getClass}")
+        }
+        return (m.copy(model = cut), k, clipped, trained)
+      }
+      chunk = math.min(chunk * 2, params.numRound)
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
   /** Cut the model down to its best iteration under `metric` on a
     * validation frame — the reference's `best_ntree_limit` applied
     * physically (`core.py:476-479`): the returned model scores with

@@ -170,16 +170,27 @@ final class AsOfMatcher(
       Right(b.asInstanceOf[Number].longValue() - a.asInstanceOf[Number].longValue())
     else Left(num(b) - num(a))
 
+  // exact long-vs-double compare: promoting the long to double rounds
+  // past 2^53 (nanos-epoch distances live there) and can flip the
+  // comparison; route finite mixed compares through exact BigDecimals
+  private def longLeqDouble(l: Long, d: Double): Boolean =
+    if (d.isNaN || d.isInfinite) l.toDouble <= d
+    else BigDecimal(l) <= BigDecimal.exact(d)
+  private def doubleLeqLong(d: Double, l: Long): Boolean =
+    if (d.isNaN || d.isInfinite) d <= l.toDouble
+    else BigDecimal.exact(d) <= BigDecimal(l)
+
   private def withinTol(d: Either[Double, Long], t: Double): Boolean = d match {
-    case Right(l) => l <= t
+    case Right(l) => longLeqDouble(l, t)
     case Left(x) => x <= t
   }
 
   private def distLeq(a: Either[Double, Long], b: Either[Double, Long]): Boolean =
     (a, b) match {
       case (Right(x), Right(y)) => x <= y
-      case _ => (a match { case Right(l) => l.toDouble; case Left(x) => x }) <=
-        (b match { case Right(l) => l.toDouble; case Left(x) => x })
+      case (Left(x), Left(y)) => x <= y
+      case (Right(x), Left(y)) => longLeqDouble(x, y)
+      case (Left(x), Right(y)) => doubleLeqLong(x, y)
     }
 
   /** Right row to join with `l`, or null to DROP `l` (inner join,

@@ -255,6 +255,45 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(none.isNullAt(3))
   }
 
+  test("null-time right rows are skipped, never crash the candidate walk") {
+    // a right row with null time sorts first (NULLS FIRST) — it must
+    // never be stored as the backward candidate or parked as the
+    // forward candidate under any direction/tolerance combination
+    val probe = Seq((1L, 100L, "p")).toDF("k", "t", "tag")
+    val ref = Seq(
+      (1L, Option.empty[Long], -1.0), (1L, Some(90L), 9.0), (1L, Some(150L), 15.0)
+    ).toDF("rk", "rt", "v")
+    for (dir <- Seq("backward", "forward", "nearest");
+         tol <- Seq(None, Some(1000.0))) {
+      val r = AsOf.join(probe, ref, Seq("k"), Seq("rk"), "t", "rt",
+        tolerance = tol, direction = dir).select($"rt").collect().head
+      val expected = if (dir == "forward") 150L else 90L
+      assert(!r.isNullAt(0) && r.getLong(0) == expected, s"dir=$dir tol=$tol")
+    }
+    // only null-time rows on the right: probes survive unmatched
+    val onlyNull = Seq((1L, Option.empty[Long], -1.0)).toDF("rk", "rt", "v")
+    for (dir <- Seq("backward", "forward", "nearest")) {
+      val r = AsOf.join(probe, onlyNull, Seq("k"), Seq("rk"), "t", "rt",
+        tolerance = Some(10.0), direction = dir).select($"rt").collect().head
+      assert(r.isNullAt(0), s"dir=$dir must not match a null-time row")
+    }
+  }
+
+  test("integral tolerance compare is exact past 2^53") {
+    // distance 2^53+1 vs tolerance 2^53: the double path rounds the
+    // distance DOWN to 2^53 and accepts; the exact path must reject
+    val twoTo53 = 9007199254740992L
+    val probe = Seq((1L, twoTo53 + 1L)).toDF("k", "t")
+    val ref = Seq((1L, 0L, 1.0)).toDF("rk", "rt", "v")
+    val miss = AsOf.join(probe, ref, Seq("k"), Seq("rk"), "t", "rt",
+      tolerance = Some(twoTo53.toDouble)).collect().head
+    assert(miss.isNullAt(3), "distance 2^53+1 must exceed tolerance 2^53")
+    val probe2 = Seq((1L, twoTo53)).toDF("k", "t")
+    val hit = AsOf.join(probe2, ref, Seq("k"), Seq("rk"), "t", "rt",
+      tolerance = Some(twoTo53.toDouble)).collect().head
+    assert(!hit.isNullAt(3), "distance exactly at tolerance must match")
+  }
+
   test("forward/nearest agree with a window recompute on the real corpus") {
     val t = graft.sources.Tables(spark, sf)
     val p = t.events.filter($"event_type" === "purchase")

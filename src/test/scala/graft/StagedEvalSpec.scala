@@ -69,6 +69,62 @@ class StagedEvalSpec extends AnyFunSuite {
     assert(GraftBoost.predict(cut, valid).count() == valid.count())
   }
 
+  test("stalledAt applies the strict-improvement patience rule") {
+    // auc: best at round 2 (0.9); rounds 3,4 no improvement -> stop at 4
+    assert(StagedEval.stalledAt(Array(0.6, 0.9, 0.9, 0.85, 0.95), "auc", 2)
+      == Some(4))
+    // still improving throughout: never stalls
+    assert(StagedEval.stalledAt(Array(0.6, 0.7, 0.8, 0.9), "auc", 2).isEmpty)
+    // logloss minimizes: best 0.3 at round 2, patience 3 -> stop at 5
+    assert(StagedEval.stalledAt(Array(0.9, 0.3, 0.5, 0.4, 0.35), "logloss", 3)
+      == Some(5))
+    // ties are NOT improvement (strict rule)
+    assert(StagedEval.stalledAt(Array(0.8, 0.8, 0.8), "auc", 2) == Some(3))
+  }
+
+  test("in-fit early stopping on auc trains fewer rounds than numRound") {
+    val numRound = 64
+    val (m, best, hist, trainedRounds) = StagedEval.fitWithEarlyStopping(
+      train, valid, Seq("x1", "x2"), "label",
+      BoostParams(numRound = numRound, maxDepth = 3),
+      "auc", earlyStoppingRounds = 3)
+    // the separable toy saturates AUC within the first chunks: the fit
+    // must stop well short of numRound's training cost
+    assert(trainedRounds < numRound,
+      s"early stopping trained $trainedRounds rounds of $numRound")
+    // history is clipped at the stopped round; best sits inside it
+    assert(best >= 1 && best <= hist.length)
+    assert(hist(best - 1) == hist.max, "best round must carry the max AUC")
+    // the model is PHYSICALLY truncated to the best round
+    import org.apache.spark.ml.classification.GBTClassificationModel
+    assert(m.model.asInstanceOf[GBTClassificationModel].getNumTrees == best)
+    // and the stall is real: patience rounds after best show no improvement
+    assert(StagedEval.stalledAt(hist, "auc", 3).forall(_ == hist.length))
+    assert(GraftBoost.predict(m, valid).count() == valid.count())
+  }
+
+  test("estimator fitWithEarlyStopping records best iteration and history") {
+    val est = new GraftXGBClassifier()
+      .setNEstimators(64).setMaxDepth(3).setSeed(7L)
+    est.fitWithEarlyStopping(train, Seq("x1", "x2"), "label", valid,
+      earlyStoppingRounds = 3, metric = "auc")
+    assert(est.bestIteration.isDefined && est.bestScore.isDefined)
+    assert(est.roundsTrained.exists(_ < 64))
+    val hist = est.evalsResult("validation_0")("auc")
+    assert(est.bestScore.get == hist(est.bestIteration.get - 1))
+    // scoring works on the truncated model
+    assert(est.predict(valid).count() == valid.count())
+    // multiclass labels reject loudly (no OvR truncation)
+    val multi = valid.withColumn("label3",
+      (org.apache.spark.sql.functions.col("x1") % 3).cast("double"))
+    val e = intercept[IllegalArgumentException] {
+      new GraftXGBClassifier().setNEstimators(8)
+        .fitWithEarlyStopping(multi, Seq("x1", "x2"), "label3", multi,
+          earlyStoppingRounds = 2)
+    }
+    assert(e.getMessage.contains("binary-only"))
+  }
+
   test("weighted eval history differs when weights emphasize errors") {
     import org.apache.spark.sql.functions._
     val m = GraftBoost.train(train, Seq("x1", "x2"), "label",
