@@ -250,6 +250,12 @@ object Multimodal {
     * flow on. Energy is an exact LONG sum of squared deviations, and
     * rms = sqrt(energy/n) uses only correctly-rounded IEEE ops, so
     * the doubles hash-match the oracle bit-for-bit.
+    *
+    * Corpus invariant: the engine walks UTF-8 BYTES while the oracle
+    * walks CHARACTERS (ascii()), so the two agree iff the corpus is
+    * pure ASCII — asserted by name in TestdataSchemaSpec ("documents
+    * corpus is ASCII-only"), which fails loudly on fixture drift
+    * before any mm_* hash gate can.
     */
   val mmAudioEnergy = GraftQuery(
     "mm_audio_energy",

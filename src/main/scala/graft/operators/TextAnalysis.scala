@@ -111,6 +111,93 @@ object TextAnalysis {
     """)
   )
 
+  /** Encoding-damage metrics for one text column: counts of non-ASCII
+    * codepoints, C0 control characters (tab/newline/CR excluded),
+    * U+FFFD replacement characters, and the two classic
+    * UTF-8-read-as-Latin-1 mojibake markers ("Ã" prefix bytes, "â€"
+    * smart-punctuation wrecks). All counts are length differences
+    * after removal — exact integer arithmetic. Astral (non-BMP)
+    * codepoints count as 2 on the Spark side (UTF-16 `length`); the
+    * fixture corpus is BMP-ASCII (TestdataSchemaSpec tripwire) so the
+    * oracle never sees the divergence, and EncodingScreenSpec pins the
+    * corrupted-input behavior Spark-side.
+    */
+  def encodingScreen(df: DataFrame, textCol: String): DataFrame = {
+    val c = col(textCol)
+    def cntPat(pat: String): Column =
+      (length(c) - length(regexp_replace(c, lit(pat), lit("")))).cast("long")
+    def cntStr(s: String): Column =
+      ((length(c) - length(replace(c, lit(s), lit("")))) / s.length)
+        .cast("long")
+    // appends metric columns (keeps every input column — callers
+    // aggregate by whatever dimension they carry, no join-back)
+    df.withColumns(Map(
+        "n_chars" -> length(c).cast("long"),
+        "n_non_ascii" -> cntPat("[^\\x00-\\x7F]"),
+        "n_ctrl" -> cntPat("[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]"),
+        "n_replacement" -> cntStr("�"),
+        "n_mojibake" -> (cntStr("Ã") + cntStr("â€"))))
+      .withColumn("is_clean",
+        col("n_non_ascii") === 0L && col("n_ctrl") === 0L &&
+          col("n_replacement") === 0L && col("n_mojibake") === 0L)
+  }
+
+  /** Corpus encoding screen — the pre-training hygiene pass that
+    * quarantines mis-decoded documents before they poison a tokenizer
+    * (mojibake digraphs inflate vocab; control bytes break exporters).
+    * Degenerate-by-construction on the ASCII fixture corpus (every
+    * doc clean — exactly what the tripwire guarantees), so the oracle
+    * hashes the per-source clean-rate rollup while the non-trivial
+    * detection behavior is pinned by EncodingScreenSpec on synthetic
+    * corrupted docs through the SAME [[encodingScreen]] column logic.
+    * Map-side only: one projection + one small per-source aggregate.
+    */
+  val textEncodingScreen = GraftQuery(
+    "text_encoding_screen",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      encodingScreen(t.documents, "text")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("total_chars"),
+          sum(col("n_non_ascii")).as("total_non_ascii"),
+          sum(col("n_ctrl")).as("total_ctrl"),
+          sum(col("n_replacement")).as("total_replacement"),
+          sum(col("n_mojibake")).as("total_mojibake"),
+          sum(when(col("is_clean"), 1L).otherwise(0L)).as("n_clean"))
+        .withColumn("clean_ratio",
+          col("n_clean").cast(DoubleType) / col("n_docs").cast(DoubleType))
+        .orderBy(col("source"))
+    },
+    Some("""
+      WITH m AS (
+        SELECT source,
+               CAST(length(text) AS BIGINT) AS n_chars,
+               CAST(length(text) - length(regexp_replace(text, '[^\x00-\x7f]', '', 'g')) AS BIGINT) AS n_non_ascii,
+               CAST(length(text) - length(regexp_replace(text, '[\x00-\x08\x0b\x0c\x0e-\x1f]', '', 'g')) AS BIGINT) AS n_ctrl,
+               CAST(length(text) - length(replace(text, chr(65533), '')) AS BIGINT) AS n_replacement,
+               CAST((length(text) - length(replace(text, chr(195), ''))) AS BIGINT)
+                 + CAST((length(text) - length(replace(text, chr(226) || chr(8364), ''))) // 2 AS BIGINT) AS n_mojibake
+        FROM documents)
+      SELECT source,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+             CAST(SUM(n_non_ascii) AS BIGINT) AS total_non_ascii,
+             CAST(SUM(n_ctrl) AS BIGINT) AS total_ctrl,
+             CAST(SUM(n_replacement) AS BIGINT) AS total_replacement,
+             CAST(SUM(n_mojibake) AS BIGINT) AS total_mojibake,
+             CAST(SUM(CASE WHEN n_non_ascii = 0 AND n_ctrl = 0
+                            AND n_replacement = 0 AND n_mojibake = 0
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_clean,
+             CAST(SUM(CASE WHEN n_non_ascii = 0 AND n_ctrl = 0
+                            AND n_replacement = 0 AND n_mojibake = 0
+                       THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS clean_ratio
+      FROM m
+      GROUP BY source
+      ORDER BY source
+    """)
+  )
+
   private val markers: Map[String, Seq[String]] = Map(
     "en" -> Seq("the", "and", "of", "is", "in", "to", "it", "that", "with", "as"),
     "es" -> Seq("el", "la", "de", "que", "y", "en", "los", "se", "del", "las"),
@@ -2705,5 +2792,5 @@ object TextAnalysis {
       textCcnetBuckets, textBpeMerges, textTokenizerFertility,
       sampleEpochAllocation, textSubstringDedup, textGramNovelty,
       textPmiCollocations, sampleHoldoutSplit, sampleTokenBudget,
-      sampleBootstrapCi, textVocabGrowth)
+      sampleBootstrapCi, textVocabGrowth, textEncodingScreen)
 }

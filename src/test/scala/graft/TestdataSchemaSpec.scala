@@ -110,6 +110,25 @@ class TestdataSchemaSpec extends AnyFunSuite {
     case _ => got == want
   }
 
+  test("tripwire: documents corpus is ASCII-only (multimodal byte-oracle invariant)") {
+    // mm_audio_energy / mm_scene_cuts treat the text's UTF-8 BYTES as
+    // fake PCM samples / frame pixels on the Spark side while their
+    // DuckDB oracles walk CHARACTERS via ascii(); the two agree iff
+    // every codepoint is < 128 (1 byte == 1 char). A regenerated
+    // corpus containing any multi-byte character must fail HERE, by
+    // name, not as an opaque mm_* hash mismatch.
+    import org.apache.spark.sql.functions._
+    for (dir <- sfDirs) {
+      val bad = Tables(spark, dir).documents
+        .filter(length(col("text")) =!= octet_length(col("text")))
+        .count()
+      assert(bad == 0,
+        s"$dir: $bad non-ASCII documents — the multimodal decode stub and its " +
+          "character-walking oracle diverge on multi-byte text; either " +
+          "regenerate ASCII fixtures or move the oracle to BLOB bytes")
+    }
+  }
+
   test("tripwire: events ts physical encodings all normalize to TimestampType") {
     // the three encodings the generator has produced over time; the
     // reader must map any of them onto the same engine-facing type
