@@ -2781,6 +2781,196 @@ object TextAnalysis {
     """)
   )
 
+  /** Shannon entropy of each language's unigram distribution — the
+    * corpus-diversity readout (low entropy = repetitive/templated
+    * text; the number that moves when dedup or source mixing works).
+    * Cross-engine log parity follows the CCNet-bucket recipe
+    * ([[textCcnetBuckets]]): each term's ln(p) is rounded to 6
+    * decimals (identical IEEE doubles in both engines), the weighted
+    * sum Σ c·ln(p) runs in exact DECIMAL arithmetic, and the single
+    * closing division is one correctly-rounded IEEE op. The decimal
+    * sum is routed through VARCHAR on the DuckDB side (direct
+    * DECIMAL→DOUBLE double-rounds — CLAUDE.md q116 class). Scale:
+    * one explode exchange + vocab-sized joins; output is |langs|.
+    */
+  val textUnigramEntropy = GraftQuery(
+    "text_unigram_entropy",
+    (s, dir) => {
+      import graft.functions.GraftFunctions.dec6
+      val t = Tables(s, dir)
+      val toks = t.documents
+        .select(col("lang"), explode(tokens(col("text"))).as("term"))
+        .filter(col("term") =!= "")
+      val cnt = toks.groupBy(col("lang"), col("term"))
+        .agg(count(lit(1)).as("c"))
+      val tot = cnt.groupBy(col("lang"))
+        .agg(sum(col("c")).as("n"), count(lit(1)).as("vocab"))
+      cnt.join(broadcast(tot), Seq("lang"))
+        .select(col("lang"), col("n"), col("vocab"),
+          (dec6(round(log(col("c").cast(DoubleType) / col("n").cast(DoubleType)), 6))
+            * col("c")).as("wlp"))
+        .groupBy(col("lang"))
+        .agg(max(col("n")).as("n_tokens"),
+          max(col("vocab")).as("vocab_size"),
+          round(-(sum(col("wlp")).cast(DoubleType))
+            / max(col("n")).cast(DoubleType), 6).as("entropy"))
+        .orderBy(col("lang"))
+    },
+    Some(raw"""
+      WITH toks AS (
+        SELECT lang, unnest(string_split_regex(lower(text), '\s+')) AS term
+        FROM documents),
+      tk AS (SELECT lang, term FROM toks WHERE term <> ''),
+      cnt AS (SELECT lang, term, COUNT(*) AS c FROM tk GROUP BY 1, 2),
+      tot AS (SELECT lang, CAST(SUM(c) AS BIGINT) AS n,
+                     COUNT(*) AS vocab
+              FROM cnt GROUP BY 1)
+      SELECT lang, MAX(n) AS n_tokens, MAX(vocab) AS vocab_size,
+             round(-CAST(CAST(SUM(
+                 CAST(round(ln(CAST(c AS DOUBLE) / CAST(n AS DOUBLE)), 6)
+                   AS DECIMAL(25,6)) * c) AS VARCHAR) AS DOUBLE)
+               / CAST(MAX(n) AS DOUBLE), 6) AS entropy
+      FROM cnt JOIN tot USING (lang)
+      GROUP BY lang
+      ORDER BY lang
+    """)
+  )
+
+  /** KL divergence of each source's unigram distribution from the
+    * whole-corpus distribution — the source-drift score behind
+    * mixture rebalancing (a source whose KL spikes is feeding the
+    * model a different distribution than the blend it was tuned
+    * for). No smoothing is needed: every term a source emits exists
+    * in the corpus by construction, so both logs are finite. Each
+    * log is rounded to 6 decimals, the difference is taken in exact
+    * DECIMAL (two 6-dp doubles may differ in their double
+    * subtraction), the weighted sum is decimal-exact, and the one
+    * closing division is IEEE. Scale: vocab-sized joins, the
+    * per-source totals broadcast; output is |sources|.
+    */
+  val textKlSourceDrift = GraftQuery(
+    "text_kl_source_drift",
+    (s, dir) => {
+      import graft.functions.GraftFunctions.dec6
+      val t = Tables(s, dir)
+      val toks = t.documents
+        .select(col("source"), explode(tokens(col("text"))).as("term"))
+        .filter(col("term") =!= "").cache()
+      val cntS = toks.groupBy(col("source"), col("term"))
+        .agg(count(lit(1)).as("cs"))
+      val totS = cntS.groupBy(col("source"))
+        .agg(sum(col("cs")).as("ns"), count(lit(1)).as("terms"))
+      val cntAll = toks.groupBy(col("term")).agg(count(lit(1)).as("c"))
+      val totAll = cntAll.agg(sum(col("c")).as("n"))
+      val lpS = round(log(col("cs").cast(DoubleType) / col("ns").cast(DoubleType)), 6)
+      val lpAll = round(log(col("c").cast(DoubleType) / col("n").cast(DoubleType)), 6)
+      val out = cntS.join(cntAll, Seq("term"))
+        .join(broadcast(totS), Seq("source"))
+        .crossJoin(broadcast(totAll))
+        .select(col("source"), col("ns"), col("terms"),
+          ((dec6(lpS) - dec6(lpAll)) * col("cs")).as("wkl"))
+        .groupBy(col("source"))
+        .agg(max(col("ns")).as("n_tokens"),
+          max(col("terms")).as("n_terms"),
+          round(sum(col("wkl")).cast(DoubleType)
+            / max(col("ns")).cast(DoubleType), 6).as("kl_vs_corpus"))
+        .orderBy(col("source"))
+      out.persist().count()
+      toks.unpersist(false)
+      out
+    },
+    Some(raw"""
+      WITH toks AS (
+        SELECT source, unnest(string_split_regex(lower(text), '\s+')) AS term
+        FROM documents),
+      tk AS (SELECT source, term FROM toks WHERE term <> ''),
+      cnt_s AS (SELECT source, term, COUNT(*) AS cs FROM tk GROUP BY 1, 2),
+      tot_s AS (SELECT source, CAST(SUM(cs) AS BIGINT) AS ns,
+                       COUNT(*) AS terms
+                FROM cnt_s GROUP BY 1),
+      cnt_all AS (SELECT term, COUNT(*) AS c FROM tk GROUP BY 1),
+      tot_all AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM cnt_all)
+      SELECT source, MAX(ns) AS n_tokens, MAX(terms) AS n_terms,
+             round(CAST(CAST(SUM(
+                 (CAST(round(ln(CAST(cs AS DOUBLE) / CAST(ns AS DOUBLE)), 6)
+                    AS DECIMAL(25,6))
+                  - CAST(round(ln(CAST(c AS DOUBLE) / CAST(n AS DOUBLE)), 6)
+                    AS DECIMAL(25,6))) * cs) AS VARCHAR) AS DOUBLE)
+               / CAST(MAX(ns) AS DOUBLE), 6) AS kl_vs_corpus
+      FROM cnt_s JOIN cnt_all USING (term)
+      JOIN tot_s USING (source) CROSS JOIN tot_all
+      GROUP BY source
+      ORDER BY source
+    """)
+  )
+
+  /** Conditional bigram entropy H(w₂|w₁) per language — the
+    * predictability-given-context readout (the gap
+    * H(unigram) − H(w₂|w₁) is the information carried by one token
+    * of context; it collapses on templated/boilerplate corpora
+    * before the unigram numbers move). Bigrams are doc-local
+    * ([[textBigramLm]]'s adjacency), counts exact; each
+    * ln(c₂/c₁) rounds to 6 decimals and the weighted sum is
+    * decimal-exact, closing with one IEEE division. Scale: one
+    * posexplode + one bigram-vocab exchange; output is |langs|.
+    */
+  val textBigramCondEntropy = GraftQuery(
+    "text_bigram_cond_entropy",
+    (s, dir) => {
+      import graft.functions.GraftFunctions.dec6
+      val t = Tables(s, dir)
+      val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      val toks = t.documents
+        .select(col("lang"), col("doc_id"),
+          posexplode(filter(tokens(col("text")), _ =!= "")).as(Seq("pos", "w2")))
+      val big = toks
+        .withColumn("w1", lag(col("w2"), 1).over(w))
+        .filter(col("w1").isNotNull)
+      val cnt2 = big.groupBy(col("lang"), col("w1"), col("w2"))
+        .agg(count(lit(1)).as("c2"))
+      val cnt1 = cnt2.groupBy(col("lang"), col("w1")).agg(sum(col("c2")).as("c1"))
+      val tot = cnt2.groupBy(col("lang"))
+        .agg(sum(col("c2")).as("nb"), count(lit(1)).as("nbv"))
+      val ctx = cnt1.groupBy(col("lang")).agg(count(lit(1)).as("nctx"))
+      cnt2.join(cnt1, Seq("lang", "w1"))
+        .join(broadcast(tot), Seq("lang"))
+        .select(col("lang"), col("nb"),
+          (dec6(round(log(col("c2").cast(DoubleType) / col("c1").cast(DoubleType)), 6))
+            * col("c2")).as("wlp"))
+        .groupBy(col("lang"))
+        .agg(max(col("nb")).as("n_bigrams"),
+          round(-(sum(col("wlp")).cast(DoubleType))
+            / max(col("nb")).cast(DoubleType), 6).as("cond_entropy"))
+        .join(broadcast(ctx), Seq("lang"))
+        .select(col("lang"), col("n_bigrams"), col("nctx").as("n_contexts"),
+          col("cond_entropy"))
+        .orderBy(col("lang"))
+    },
+    Some(raw"""
+      WITH tl AS (
+        SELECT lang, doc_id,
+               list_filter(string_split_regex(lower(text), '\s+'),
+                           x -> x <> '') AS l
+        FROM documents),
+      b0 AS (SELECT lang, doc_id, l, unnest(range(1, len(l))) AS i FROM tl),
+      big AS (SELECT lang, l[i] AS w1, l[i+1] AS w2 FROM b0),
+      cnt2 AS (SELECT lang, w1, w2, COUNT(*) AS c2 FROM big GROUP BY 1, 2, 3),
+      cnt1 AS (SELECT lang, w1, CAST(SUM(c2) AS BIGINT) AS c1
+               FROM cnt2 GROUP BY 1, 2),
+      tot AS (SELECT lang, CAST(SUM(c2) AS BIGINT) AS nb FROM cnt2 GROUP BY 1),
+      ctx AS (SELECT lang, COUNT(*) AS n_contexts FROM cnt1 GROUP BY 1)
+      SELECT lang, MAX(nb) AS n_bigrams, MAX(n_contexts) AS n_contexts,
+             round(-CAST(CAST(SUM(
+                 CAST(round(ln(CAST(c2 AS DOUBLE) / CAST(c1 AS DOUBLE)), 6)
+                   AS DECIMAL(25,6)) * c2) AS VARCHAR) AS DOUBLE)
+               / CAST(MAX(nb) AS DOUBLE), 6) AS cond_entropy
+      FROM cnt2 JOIN cnt1 USING (lang, w1) JOIN tot USING (lang)
+      JOIN ctx USING (lang)
+      GROUP BY lang
+      ORDER BY lang
+    """)
+  )
+
   def all: Seq[GraftQuery] =
     Seq(textTokens, textQuality, textLangid, textFingerprint, textTopNgrams,
       textTrainingSet, textChunk, textDecontaminate, sampleStratified,
@@ -2792,5 +2982,6 @@ object TextAnalysis {
       textCcnetBuckets, textBpeMerges, textTokenizerFertility,
       sampleEpochAllocation, textSubstringDedup, textGramNovelty,
       textPmiCollocations, sampleHoldoutSplit, sampleTokenBudget,
-      sampleBootstrapCi, textVocabGrowth, textEncodingScreen)
+      sampleBootstrapCi, textVocabGrowth, textEncodingScreen,
+      textUnigramEntropy, textKlSourceDrift, textBigramCondEntropy)
 }
