@@ -2971,6 +2971,72 @@ object TextAnalysis {
     """)
   )
 
+  /** Total document budget allocated by the temperature mixture. */
+  val MixtureBudget = 1000L
+
+  /** Temperature-flattened mixture allocation — the multilingual /
+    * multi-source sampling standard (sample group g with probability
+    * ∝ n_g^α, α < 1, so head groups are downweighted and tail groups
+    * upweighted relative to natural frequency), here at α = 1/2 with
+    * a fixed total budget split by the LARGEST-REMAINDER (Hamilton)
+    * method. α = 1/2 is deliberate: n^α = sqrt(n) and IEEE-754
+    * REQUIRES sqrt to be correctly rounded, so the weight is
+    * bit-identical across engines with no log/exp parity caveat
+    * (general α would need the exp(α·ln n) route with the rounding
+    * discipline of [[textUnigramEntropy]]). Everything after the
+    * sqrt is exact integer arithmetic: weights scale to micro-units
+    * by floor(·1e6), quotas split as (B·v) div W with the remainder
+    * ranked for the leftover seats — Σ alloc = B by construction.
+    * Scale: one |groups|-sized aggregate; allocation is
+    * driver-free and the output is |groups| rows.
+    */
+  val sampleTemperatureMixture = GraftQuery(
+    "sample_temperature_mixture",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val counts = t.documents.groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"))
+        .withColumn("v", floor(sqrt(col("n_docs").cast(DoubleType)) * lit(1e6)).cast("long"))
+      val w = counts.agg(sum(col("v")).as("w_total"))
+      val quota = counts.crossJoin(broadcast(w))
+        .withColumn("num", lit(MixtureBudget) * col("v"))
+        .withColumn("rem", pmod(col("num"), col("w_total")))
+        // (num − rem) is an exact multiple of w_total and the integer
+        // quotient ≤ budget, so the IEEE division is exact
+        .withColumn("base",
+          ((col("num") - col("rem")) / col("w_total")).cast("long"))
+      val leftover = quota.agg((lit(MixtureBudget) - sum(col("base"))).as("r"))
+      val rk = Window.orderBy(col("rem").desc, col("lang"))
+      quota.crossJoin(broadcast(leftover))
+        .withColumn("seat", row_number().over(rk).cast("long"))
+        .select(col("lang"), col("n_docs"), col("v").as("weight_micro"),
+          (col("base") + when(col("seat") <= col("r"), 1L).otherwise(0L))
+            .as("alloc"))
+        .orderBy(col("lang"))
+    },
+    Some(s"""
+      WITH cnt AS (
+        SELECT lang, COUNT(*) AS n_docs,
+               CAST(floor(sqrt(CAST(COUNT(*) AS DOUBLE)) * 1e6) AS BIGINT) AS v
+        FROM documents GROUP BY lang),
+      tot AS (SELECT CAST(SUM(v) AS BIGINT) AS w_total FROM cnt),
+      quota AS (
+        SELECT lang, n_docs, v,
+               ($MixtureBudget * v) // w_total AS base,
+               ($MixtureBudget * v) % w_total AS rem
+        FROM cnt CROSS JOIN tot),
+      leftover AS (SELECT $MixtureBudget - CAST(SUM(base) AS BIGINT) AS r FROM quota),
+      seated AS (
+        SELECT lang, n_docs, v, base, rem,
+               CAST(row_number() OVER (ORDER BY rem DESC, lang) AS BIGINT) AS seat
+        FROM quota)
+      SELECT lang, n_docs, v AS weight_micro,
+             CAST(base + CASE WHEN seat <= r THEN 1 ELSE 0 END AS BIGINT) AS alloc
+      FROM seated CROSS JOIN leftover
+      ORDER BY lang
+    """)
+  )
+
   def all: Seq[GraftQuery] =
     Seq(textTokens, textQuality, textLangid, textFingerprint, textTopNgrams,
       textTrainingSet, textChunk, textDecontaminate, sampleStratified,
@@ -2983,5 +3049,6 @@ object TextAnalysis {
       sampleEpochAllocation, textSubstringDedup, textGramNovelty,
       textPmiCollocations, sampleHoldoutSplit, sampleTokenBudget,
       sampleBootstrapCi, textVocabGrowth, textEncodingScreen,
-      textUnigramEntropy, textKlSourceDrift, textBigramCondEntropy)
+      textUnigramEntropy, textKlSourceDrift, textBigramCondEntropy,
+      sampleTemperatureMixture)
 }
