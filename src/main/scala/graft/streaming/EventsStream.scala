@@ -1656,6 +1656,72 @@ object EventsStream {
     """)
   )
 
+  /** Streaming distribution-drift monitor: per-hour KL divergence of
+    * the window's event-type distribution from the global profile —
+    * the alert that fires when a producer starts emitting a different
+    * mix (an error storm, a dropped event class) before any absolute
+    * count threshold trips. The STATEFUL half runs in the stream
+    * (watermarked windowed counts — the same state machinery as
+    * [[streamHourlyAgg]]); the drift score is stateless arithmetic on
+    * the emitted window rows, joined against the profile frame. In
+    * production the profile is a broadcast static table (yesterday's
+    * counts); here it is the batch read of the same events, which
+    * also makes the whole pipeline DuckDB-expressible. Log parity
+    * follows the [[graft.operators.TextAnalysis.textKlSourceDrift]]
+    * recipe: 6-decimal-rounded logs, decimal-exact weighted sums, one
+    * IEEE division. Every window type exists in the global profile by
+    * construction, so the KL is finite without smoothing.
+    */
+  val streamCategoryDrift = GraftQuery(
+    "stream_category_drift",
+    (s, dir) => {
+      val counts = eventsStream(s, dir)
+        .withWatermark("ts", "1 hour")
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("c"))
+      val windowed = runToTable(counts, OutputMode.Complete())
+        .select(tsString(col("window.start")).as("hour_start"),
+          col("event_type"), col("c"))
+      val ref = graft.sources.Tables(s, dir).events
+        .groupBy(col("event_type")).agg(count(lit(1)).as("cr"))
+      val refTot = ref.agg(sum(col("cr")).as("nr"))
+      val wTot = windowed.groupBy(col("hour_start")).agg(sum(col("c")).as("nw"))
+      val lpW = round(log(col("c").cast(DoubleType) / col("nw").cast(DoubleType)), 6)
+      val lpR = round(log(col("cr").cast(DoubleType) / col("nr").cast(DoubleType)), 6)
+      windowed
+        .join(broadcast(ref), Seq("event_type"))
+        .join(broadcast(wTot), Seq("hour_start"))
+        .crossJoin(broadcast(refTot))
+        .select(col("hour_start"), col("nw"),
+          ((dec6(lpW) - dec6(lpR)) * col("c")).as("wkl"))
+        .groupBy(col("hour_start"))
+        .agg(max(col("nw")).as("n_events"),
+          round(sum(col("wkl")).cast(DoubleType)
+            / max(col("nw")).cast(DoubleType), 6).as("kl_vs_global"))
+        .orderBy(col("hour_start"))
+    },
+    Some("""
+      WITH w AS (
+        SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
+               event_type, COUNT(*) AS c
+        FROM events GROUP BY 1, 2),
+      wt AS (SELECT hour_start, CAST(SUM(c) AS BIGINT) AS nw FROM w GROUP BY 1),
+      r AS (SELECT event_type, COUNT(*) AS cr FROM events GROUP BY 1),
+      rt AS (SELECT CAST(SUM(cr) AS BIGINT) AS nr FROM r)
+      SELECT hour_start, MAX(nw) AS n_events,
+             round(CAST(CAST(SUM(
+                 (CAST(round(ln(CAST(c AS DOUBLE) / CAST(nw AS DOUBLE)), 6)
+                    AS DECIMAL(25,6))
+                  - CAST(round(ln(CAST(cr AS DOUBLE) / CAST(nr AS DOUBLE)), 6)
+                    AS DECIMAL(25,6))) * c) AS VARCHAR) AS DOUBLE)
+               / CAST(MAX(nw) AS DOUBLE), 6) AS kl_vs_global
+      FROM w JOIN r USING (event_type) JOIN wt USING (hour_start)
+      CROSS JOIN rt
+      GROUP BY hour_start
+      ORDER BY hour_start
+    """)
+  )
+
   def all: Seq[GraftQuery] =
     Seq(streamHourlyAgg, streamSessionize, streamScore, streamDedupExact,
       streamEnrichProfile, streamSessionWindow, streamThetaDistinct,
@@ -1664,5 +1730,5 @@ object EventsStream {
       streamUpsertLatest, streamHeavyHitters, streamPatternMatch,
       streamQuantiles, streamIncrementalDedup, streamEwmaAnomaly,
       streamWindowedTopk, streamSessionTopk, streamCdcTombstones,
-      streamHoppingAgg)
+      streamHoppingAgg, streamCategoryDrift)
 }
