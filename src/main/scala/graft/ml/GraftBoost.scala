@@ -253,36 +253,48 @@ object GraftBoost {
         // Class inference = the reference's eager distributed
         // distinct (`core.py:561-566`).
         val numClasses = data.select(max(col("label"))).first().getDouble(0).toInt + 1
-        val model: Model[_] = params.multiclassStrategy match {
-          case "rf" =>
-            require(validationCol.isEmpty,
-              "RandomForest multiclass has no validation-based early stopping; " +
-              "use multiclassStrategy=ovr for validation columns")
-            val rf = new RandomForestClassifier()
-              .setFeaturesCol("features").setLabelCol("label")
-              .setNumTrees(params.numRound).setMaxDepth(params.maxDepth)
-              .setSubsamplingRate(params.subsample)
-              .setMinInstancesPerNode(params.minChildWeight)
-              .setMaxBins(params.maxBins)
-              .setSeed(params.seed)
-            weightCol.foreach(rf.setWeightCol)
-            rf.fit(data)
-          case _ =>
-            val base = new GBTClassifier()
-              .setFeaturesCol("features").setLabelCol("label")
-              .setMaxIter(params.numRound).setMaxDepth(params.maxDepth)
-              .setStepSize(params.eta).setSubsamplingRate(params.subsample)
-              .setMaxBins(params.maxBins)
-              .setSeed(params.seed)
-            weightCol.foreach(base.setWeightCol)
-            validationCol.foreach(base.setValidationIndicatorCol)
-            val ovr = new OneVsRest().setClassifier(base)
-              .setFeaturesCol("features").setLabelCol("label")
-            weightCol.foreach(ovr.setWeightCol)
-            ovr.fit(data)
+        if (params.multiclassStrategy == "softprob") {
+          // the TRUE single-model mechanism (core.py:580-590): K trees
+          // per round on shared multinomial softmax gradients
+          require(validationCol.isEmpty,
+            "softprob multiclass records its train history itself; " +
+            "use multiclassStrategy=ovr for validation columns")
+          val (m, hist) = SoftprobBoost.train(data, params, numClasses, weightCol)
+          GraftBoostModel(m, featureCols, params.objective, numClasses,
+            Map("train" -> Map("mlogloss" -> hist)), imputation,
+            params.missingStrategy)
+        } else {
+          val model: Model[_] = params.multiclassStrategy match {
+            case "rf" =>
+              require(validationCol.isEmpty,
+                "RandomForest multiclass has no validation-based early stopping; " +
+                "use multiclassStrategy=ovr for validation columns")
+              val rf = new RandomForestClassifier()
+                .setFeaturesCol("features").setLabelCol("label")
+                .setNumTrees(params.numRound).setMaxDepth(params.maxDepth)
+                .setSubsamplingRate(params.subsample)
+                .setMinInstancesPerNode(params.minChildWeight)
+                .setMaxBins(params.maxBins)
+                .setSeed(params.seed)
+              weightCol.foreach(rf.setWeightCol)
+              rf.fit(data)
+            case _ =>
+              val base = new GBTClassifier()
+                .setFeaturesCol("features").setLabelCol("label")
+                .setMaxIter(params.numRound).setMaxDepth(params.maxDepth)
+                .setStepSize(params.eta).setSubsamplingRate(params.subsample)
+                .setMaxBins(params.maxBins)
+                .setSeed(params.seed)
+              weightCol.foreach(base.setWeightCol)
+              validationCol.foreach(base.setValidationIndicatorCol)
+              val ovr = new OneVsRest().setClassifier(base)
+                .setFeaturesCol("features").setLabelCol("label")
+              weightCol.foreach(ovr.setWeightCol)
+              ovr.fit(data)
+          }
+          GraftBoostModel(model, featureCols, params.objective, numClasses,
+            Map.empty, imputation, params.missingStrategy)
         }
-        GraftBoostModel(model, featureCols, params.objective, numClasses,
-          Map.empty, imputation, params.missingStrategy)
 
       case other =>
         throw new IllegalArgumentException(s"unsupported objective: $other")
@@ -302,6 +314,7 @@ object GraftBoost {
       case m: GBTClassificationModel     => m.transform(data)
       case m: RandomForestClassificationModel => m.transform(data)
       case m: OneVsRestModel             => m.transform(data)
+      case m: SoftprobBoost.SoftprobModel => m.transform(data).drop("margins")
       case m => throw new IllegalStateException(s"unknown model ${m.getClass}")
     }
     scored.drop("features", "rawPrediction", "probability")
@@ -315,6 +328,15 @@ object GraftBoost {
   def predictProba(model: GraftBoostModel, df: DataFrame): DataFrame = {
     val data = assemble(df, model.featureCols, model.imputation)
     model.model match {
+      case m: SoftprobBoost.SoftprobModel =>
+        // TRUE multi:softprob probabilities: softmax of the jointly
+        // boosted margins — not an OvR renormalization
+        val ex = transform(col("margins"),
+          x => exp(x - array_max(col("margins"))))
+        m.transform(data)
+          .withColumn("proba",
+            transform(ex, x => x / aggregate(ex, lit(0.0), (a, y) => a + y)))
+          .drop("features", "margins")
       case m: ProbabilisticClassificationModel[_, _] =>
         m.transform(data)
           .withColumn("proba", vector_to_array(col("probability")))
@@ -469,6 +491,9 @@ object GraftBoost {
             s"local OvR predict needs GBT per class, got ${other.getClass}")
         }
         scores.indices.maxBy(scores(_)).toDouble
+      case m: SoftprobBoost.SoftprobModel =>
+        val margins = m.marginsOf(f)
+        margins.indices.maxBy(margins(_)).toDouble
       case m => throw new UnsupportedOperationException(
         s"local predict unavailable for ${m.getClass}")
     }
@@ -488,6 +513,14 @@ object GraftBoost {
       case g: RandomForestClassificationModel => g.featureImportances.toArray
       case o: OneVsRestModel =>
         val per = o.models.map(ofModel)
+        val avg = per.head.indices.map(i => per.map(_(i)).sum / per.length).toArray
+        val total = avg.sum
+        if (total > 0) avg.map(_ / total) else avg
+      case sp: SoftprobBoost.SoftprobModel =>
+        // average the h-weighted-variance importances over the whole
+        // joint forest, renormalized — every (round, class) tree
+        // contributes equally, matching XGBoost's gain averaging
+        val per = sp.trees.flatten.map(_.featureImportances.toArray)
         val avg = per.head.indices.map(i => per.map(_(i)).sum / per.length).toArray
         val total = avg.sum
         if (total > 0) avg.map(_ / total) else avg

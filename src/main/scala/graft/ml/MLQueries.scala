@@ -554,7 +554,62 @@ object MLQueries {
     """)
   )
 
+  /** True single-model multi:softprob lifecycle (core.py:580-590
+    * MECHANISM parity — [[SoftprobBoost]]: K trees per round on
+    * shared multinomial gradients, Newton leaves) on a 4-class slice
+    * of the embeddings table. Gates: accuracy well above the majority
+    * class, train mlogloss monotone improving over rounds, and the
+    * probability rows normalized — the three things that break if the
+    * joint gradient bookkeeping is wrong. Class slice + 5 rounds keep
+    * the K·R tree-fit count bench-honest at sf0.1.
+    */
+  val mlMulticlassSoftprob = GraftQuery(
+    "ml_multiclass_softprob",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val df = t.embeddings.filter(col("label") < 4)
+        .select(
+          array_to_vector(toDoubleArray(col("embedding"))).as("features"),
+          col("label").cast("double").as("label"))
+        .cache()
+      val model = GraftBoost.train(df, Seq("features"), "label",
+        GraftBoost.BoostParams("multi:softprob", numRound = 5, maxDepth = 4,
+          multiclassStrategy = "softprob"))
+      val hist = model.evalsResult("train")("mlogloss")
+      val probaOk = GraftBoost.predictProba(model, df)
+        .select(abs(aggregate(col("proba"), lit(0.0), (a, x) => a + x) - 1.0)
+          .as("d"))
+        .agg(max(col("d")).as("maxd")).head().getDouble(0) < 1e-9
+      val perLabel = GraftBoost.predict(model, df)
+        .groupBy(col("label"), col("prediction")).agg(count(lit(1)).as("n"))
+        .groupBy(col("label")).agg(
+          sum(col("n")).as("cn"),
+          sum(when(col("label") === col("prediction"), col("n")).otherwise(0L))
+            .as("corr"))
+      val out = perLabel.agg(
+          sum(col("cn")).as("n_rows"),
+          sum(col("corr")).as("n_correct"),
+          max(col("cn")).as("mx"))
+        .select(col("n_rows").cast("long").as("n_rows"),
+          lit(4L).as("n_classes"),
+          (col("n_correct") >= col("mx") * lit(2.0)).as("acc_ok"),
+          lit(hist.last < hist.head).as("loss_improves_ok"),
+          lit(probaOk).as("proba_normalized_ok"))
+      out.persist().count()
+      df.unpersist(false)
+      out
+    },
+    Some("""
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+             CAST(4 AS BIGINT) AS n_classes,
+             TRUE AS acc_ok, TRUE AS loss_improves_ok,
+             TRUE AS proba_normalized_ok
+      FROM embeddings WHERE label < 4
+    """)
+  )
+
   def all: Seq[GraftQuery] =
     Seq(mlBinary, mlRegression, mlMulticlass, mlCvKfold, mlTextClassifier,
-      mlCvRollingOrigin, mlCalibrationBins, mlPermutationImportance)
+      mlCvRollingOrigin, mlCalibrationBins, mlPermutationImportance,
+      mlMulticlassSoftprob)
 }

@@ -35,6 +35,9 @@ object ModelIO {
       evalsResult: Map[String, Map[String, Array[Double]]],
       calibrationA: Seq[Double] = Seq.empty,
       calibrationB: Seq[Double] = Seq.empty,
+      // softprob forest shape (modelClass SoftprobModel only)
+      softprobEta: Double = 0.0,
+      softprobRounds: Int = 0,
       // documented behavioral deviations from the reference engine,
       // stamped on the artifact so a loaded model STATES how it was
       // trained instead of relying on out-of-band docs (VERDICT r4 §8)
@@ -58,21 +61,35 @@ object ModelIO {
       case _ => None
     }
     val multi =
-      if (model.numClasses > 2)
-        Some("multiclass: one-vs-rest / RF ensemble, per-class scores " +
-          "normalized (+ optional Platt calibration) — NOT XGBoost " +
-          "multi:softprob single-model probabilities (core.py:580-590); " +
-          "argmax classes agree, probability vectors are approximate.")
+      if (model.numClasses > 2) model.model match {
+        case _: SoftprobBoost.SoftprobModel =>
+          Some("multiclass: single-model softprob boosting — K trees per " +
+            "round on shared multinomial softmax gradients, Newton leaves " +
+            "via hessian-weighted least squares (core.py:580-590 mechanism " +
+            "parity up to split-finding details).")
+        case _ =>
+          Some("multiclass: one-vs-rest / RF ensemble, per-class scores " +
+            "normalized (+ optional Platt calibration) — NOT XGBoost " +
+            "multi:softprob single-model probabilities (core.py:580-590); " +
+            "argmax classes agree, probability vectors are approximate.")
+      }
       else None
     missing.toSeq ++ multi.toSeq
   }
 
   def save(spark: SparkSession, model: GraftBoostModel, path: String): Unit = {
-    val inner = model.model match {
-      case w: MLWritable => w
+    model.model match {
+      // a softprob forest is a composite: one MLlib tree writer per
+      // (round, class) under model/tree_r<r>_k<k>; shape/eta live in
+      // graft_meta.json so load can reassemble it
+      case sp: SoftprobBoost.SoftprobModel =>
+        for (r <- sp.trees.indices; k <- 0 until sp.numClasses)
+          sp.trees(r)(k).write.overwrite()
+            .save(new Path(path, s"model/tree_r${r}_k$k").toString)
+      case w: MLWritable =>
+        w.write.overwrite().save(new Path(path, "model").toString)
       case m => throw new UnsupportedOperationException(s"not writable: ${m.getClass}")
     }
-    inner.write.overwrite().save(new Path(path, "model").toString)
 
     import org.json4s.DefaultFormats
     import org.json4s.jackson.Serialization
@@ -88,7 +105,15 @@ object ModelIO {
       model.evalsResult,
       model.calibration.map(_.map(_._1).toSeq).getOrElse(Seq.empty),
       model.calibration.map(_.map(_._2).toSeq).getOrElse(Seq.empty),
-      divergenceNotes(model)
+      softprobEta = model.model match {
+        case sp: SoftprobBoost.SoftprobModel => sp.eta
+        case _ => 0.0
+      },
+      softprobRounds = model.model match {
+        case sp: SoftprobBoost.SoftprobModel => sp.trees.length
+        case _ => 0
+      },
+      divergences = divergenceNotes(model)
     )
     val json = Serialization.write(meta)
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -112,6 +137,14 @@ object ModelIO {
       case c if c.endsWith("RandomForestClassificationModel") =>
         RandomForestClassificationModel.load(modelPath)
       case c if c.endsWith("OneVsRestModel") => OneVsRestModel.load(modelPath)
+      case c if c.endsWith("SoftprobModel") =>
+        val trees = Array.tabulate(meta.softprobRounds, meta.numClasses) {
+          (r, k) =>
+            org.apache.spark.ml.regression.DecisionTreeRegressionModel
+              .load(new Path(path, s"model/tree_r${r}_k$k").toString)
+        }
+        new SoftprobBoost.SoftprobModel(
+          s"softprob_loaded", trees, meta.softprobEta, meta.numClasses)
       case c => throw new UnsupportedOperationException(s"unknown model class: $c")
     }
     GraftBoostModel(
