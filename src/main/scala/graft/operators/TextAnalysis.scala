@@ -2801,11 +2801,13 @@ object TextAnalysis {
       val toks = t.documents
         .select(col("lang"), explode(tokens(col("text"))).as("term"))
         .filter(col("term") =!= "")
+      // vocab-sized cache: tot and the weighted sum both read it —
+      // without it the corpus is scanned and re-tokenized twice
       val cnt = toks.groupBy(col("lang"), col("term"))
-        .agg(count(lit(1)).as("c"))
+        .agg(count(lit(1)).as("c")).cache()
       val tot = cnt.groupBy(col("lang"))
         .agg(sum(col("c")).as("n"), count(lit(1)).as("vocab"))
-      cnt.join(broadcast(tot), Seq("lang"))
+      val out = cnt.join(broadcast(tot), Seq("lang"))
         .select(col("lang"), col("n"), col("vocab"),
           (dec6(round(log(col("c").cast(DoubleType) / col("n").cast(DoubleType)), 6))
             * col("c")).as("wlp"))
@@ -2815,6 +2817,9 @@ object TextAnalysis {
           round(-(sum(col("wlp")).cast(DoubleType))
             / max(col("n")).cast(DoubleType), 6).as("entropy"))
         .orderBy(col("lang"))
+      out.persist().count()
+      cnt.unpersist(false)
+      out
     },
     Some(raw"""
       WITH toks AS (
@@ -2855,12 +2860,15 @@ object TextAnalysis {
       val t = Tables(s, dir)
       val toks = t.documents
         .select(col("source"), explode(tokens(col("text"))).as("term"))
-        .filter(col("term") =!= "").cache()
+        .filter(col("term") =!= "")
+      // ONE corpus pass: the (source, term) counts are cached at
+      // vocab scale and every other frame — global counts, totals —
+      // derives from them by re-aggregation, never re-scanning text
       val cntS = toks.groupBy(col("source"), col("term"))
-        .agg(count(lit(1)).as("cs"))
+        .agg(count(lit(1)).as("cs")).cache()
       val totS = cntS.groupBy(col("source"))
         .agg(sum(col("cs")).as("ns"), count(lit(1)).as("terms"))
-      val cntAll = toks.groupBy(col("term")).agg(count(lit(1)).as("c"))
+      val cntAll = cntS.groupBy(col("term")).agg(sum(col("cs")).as("c"))
       val totAll = cntAll.agg(sum(col("c")).as("n"))
       val lpS = round(log(col("cs").cast(DoubleType) / col("ns").cast(DoubleType)), 6)
       val lpAll = round(log(col("c").cast(DoubleType) / col("n").cast(DoubleType)), 6)
@@ -2876,7 +2884,7 @@ object TextAnalysis {
             / max(col("ns")).cast(DoubleType), 6).as("kl_vs_corpus"))
         .orderBy(col("source"))
       out.persist().count()
-      toks.unpersist(false)
+      cntS.unpersist(false)
       out
     },
     Some(raw"""
@@ -2926,13 +2934,16 @@ object TextAnalysis {
       val big = toks
         .withColumn("w1", lag(col("w2"), 1).over(w))
         .filter(col("w1").isNotNull)
+      // bigram-vocab cache: cnt1/tot/the weighted sum all read it —
+      // without it the posexplode+lag runs once per consumer
       val cnt2 = big.groupBy(col("lang"), col("w1"), col("w2"))
-        .agg(count(lit(1)).as("c2"))
+        .agg(count(lit(1)).as("c2")).cache()
       val cnt1 = cnt2.groupBy(col("lang"), col("w1")).agg(sum(col("c2")).as("c1"))
+        .cache()
       val tot = cnt2.groupBy(col("lang"))
         .agg(sum(col("c2")).as("nb"), count(lit(1)).as("nbv"))
       val ctx = cnt1.groupBy(col("lang")).agg(count(lit(1)).as("nctx"))
-      cnt2.join(cnt1, Seq("lang", "w1"))
+      val out = cnt2.join(cnt1, Seq("lang", "w1"))
         .join(broadcast(tot), Seq("lang"))
         .select(col("lang"), col("nb"),
           (dec6(round(log(col("c2").cast(DoubleType) / col("c1").cast(DoubleType)), 6))
@@ -2945,6 +2956,10 @@ object TextAnalysis {
         .select(col("lang"), col("n_bigrams"), col("nctx").as("n_contexts"),
           col("cond_entropy"))
         .orderBy(col("lang"))
+      out.persist().count()
+      cnt2.unpersist(false)
+      cnt1.unpersist(false)
+      out
     },
     Some(raw"""
       WITH tl AS (

@@ -1682,8 +1682,10 @@ object EventsStream {
       val windowed = runToTable(counts, OutputMode.Complete())
         .select(tsString(col("window.start")).as("hour_start"),
           col("event_type"), col("c"))
+      // category-sized cache: refTot and the join both read it —
+      // without it the events table is scanned twice for the profile
       val ref = graft.sources.Tables(s, dir).events
-        .groupBy(col("event_type")).agg(count(lit(1)).as("cr"))
+        .groupBy(col("event_type")).agg(count(lit(1)).as("cr")).cache()
       val refTot = ref.agg(sum(col("cr")).as("nr"))
       val wTot = windowed.groupBy(col("hour_start")).agg(sum(col("c")).as("nw"))
       val lpW = round(log(col("c").cast(DoubleType) / col("nw").cast(DoubleType)), 6)
