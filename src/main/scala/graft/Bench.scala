@@ -73,11 +73,20 @@ object Bench {
     // the build while its siblings time memo hits. In repeat mode the
     // build is cleared + re-timed cold per run; per-query repeats then
     // measure every query uniformly ON TOP of the shared frames.
-    val sharedBuild = "_shared_build" -> timed(() => {
-      if (repeat > 1) SharedBuilds.clearAll()
-      SharedBuilds.buildAll(spark, sfDir)
-    }, "_shared_build")
-    val results = sharedBuild +: selected.map { name =>
+    // Skipped when a SPARK_GRAFT_ONLY filter selects no query from
+    // the families that read the shared frames — a targeted ml_ or
+    // stream_ sweep must not pay tens of seconds of dedup/graph build
+    // it never uses.
+    val usesShared = selected.exists(n =>
+      n.startsWith("dedup_") || n.startsWith("graph_") ||
+        n.startsWith("cluster_"))
+    val sharedBuild =
+      if (usesShared) Seq("_shared_build" -> timed(() => {
+        if (repeat > 1) SharedBuilds.clearAll()
+        SharedBuilds.buildAll(spark, sfDir)
+      }, "_shared_build"))
+      else Seq.empty
+    val results = sharedBuild ++ selected.map { name =>
       name -> timed(() => materialize(name, sfDir), name)
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }

@@ -330,13 +330,14 @@ object GraftBoost {
     model.model match {
       case m: SoftprobBoost.SoftprobModel =>
         // TRUE multi:softprob probabilities: softmax of the jointly
-        // boosted margins — not an OvR renormalization
-        val ex = transform(col("margins"),
-          x => exp(x - array_max(col("margins"))))
+        // boosted margins — not an OvR renormalization. exp array and
+        // sum materialized before the normalizing lambda (HOF rule).
         m.transform(data)
-          .withColumn("proba",
-            transform(ex, x => x / aggregate(ex, lit(0.0), (a, y) => a + y)))
-          .drop("features", "margins")
+          .withColumn("ex", transform(col("margins"),
+            x => exp(x - array_max(col("margins")))))
+          .withColumn("exs", aggregate(col("ex"), lit(0.0), (a, y) => a + y))
+          .withColumn("proba", transform(col("ex"), x => x / col("exs")))
+          .drop("features", "margins", "ex", "exs")
       case m: ProbabilisticClassificationModel[_, _] =>
         m.transform(data)
           .withColumn("proba", vector_to_array(col("probability")))
@@ -507,23 +508,23 @@ object GraftBoost {
     * (or `f0..fn` for a pre-assembled vector).
     */
   def featureImportances(model: GraftBoostModel): Map[String, Double] = {
+    // equal-weight average over an ensemble's member importances,
+    // renormalized to sum 1 (shared by the OvR and softprob branches)
+    def avgNormalized(per: Seq[Array[Double]]): Array[Double] = {
+      val avg = per.head.indices.map(i => per.map(_(i)).sum / per.length).toArray
+      val total = avg.sum
+      if (total > 0) avg.map(_ / total) else avg
+    }
     def ofModel(m: Model[_]): Array[Double] = m match {
       case g: GBTRegressionModel              => g.featureImportances.toArray
       case g: GBTClassificationModel          => g.featureImportances.toArray
       case g: RandomForestClassificationModel => g.featureImportances.toArray
-      case o: OneVsRestModel =>
-        val per = o.models.map(ofModel)
-        val avg = per.head.indices.map(i => per.map(_(i)).sum / per.length).toArray
-        val total = avg.sum
-        if (total > 0) avg.map(_ / total) else avg
+      case o: OneVsRestModel => avgNormalized(o.models.map(ofModel))
       case sp: SoftprobBoost.SoftprobModel =>
         // average the h-weighted-variance importances over the whole
         // joint forest, renormalized — every (round, class) tree
         // contributes equally, matching XGBoost's gain averaging
-        val per = sp.trees.flatten.map(_.featureImportances.toArray)
-        val avg = per.head.indices.map(i => per.map(_(i)).sum / per.length).toArray
-        val total = avg.sum
-        if (total > 0) avg.map(_ / total) else avg
+        avgNormalized(sp.trees.flatten.map(_.featureImportances.toArray))
       case m => throw new UnsupportedOperationException(
         s"feature importances unavailable for ${m.getClass}")
     }

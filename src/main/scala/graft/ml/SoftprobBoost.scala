@@ -179,12 +179,16 @@ object SoftprobBoost {
       .withColumn("f", array_repeat(lit(0.0), K))
       .localCheckpoint()
 
-    // softmax(F) as columns: max-shifted exp, normalized
+    // softmax(F) as columns: max-shifted exp, normalized. The exp
+    // array and its sum are materialized in their own projections
+    // before the normalizing lambda references them (CLAUDE.md HOF
+    // rule — inlining re-evaluates them per element).
     def withProbs(df: DataFrame): DataFrame = {
       val mx = array_max(col("f"))
-      val ex = transform(col("f"), x => exp(x - mx))
-      df.withColumn("p",
-        transform(ex, x => x / aggregate(ex, lit(0.0), (a, y) => a + y)))
+      df.withColumn("ex", transform(col("f"), x => exp(x - mx)))
+        .withColumn("exs", aggregate(col("ex"), lit(0.0), (a, y) => a + y))
+        .withColumn("p", transform(col("ex"), x => x / col("exs")))
+        .drop("ex", "exs")
     }
     def mlogloss(df: DataFrame): Double =
       df.select(avg(-log(greatest(
@@ -193,8 +197,11 @@ object SoftprobBoost {
 
     val hist = new ArrayBuffer[Double](params.numRound)
     val forest = new ArrayBuffer[Array[DecisionTreeRegressionModel]](params.numRound)
+    // the scored (softmax'd) frame is computed ONCE per round and
+    // serves both that round's history entry and the NEXT round's
+    // gradients — no duplicate softmax scan
+    var scored = withProbs(cur).cache()
     for (r <- 1 to params.numRound) {
-      val scored = withProbs(cur).cache()
       val roundTrees = (0 until K).map { k =>
         val pk = element_at(col("p"), k + 1)
         val yk = when(col("label") === k.toDouble, lit(1.0)).otherwise(lit(0.0))
@@ -220,9 +227,11 @@ object SoftprobBoost {
       val next = cur.withColumn("f", upd(col("features"), col("f")))
         .localCheckpoint()
       scored.unpersist(false)
-      hist += mlogloss(withProbs(next))
+      scored = withProbs(next).cache()
+      hist += mlogloss(scored)
       cur = next
     }
+    scored.unpersist(false)
     (new SoftprobModel(s"softprob_${params.seed}", forest.toArray, params.eta, K),
       hist.toArray)
   }

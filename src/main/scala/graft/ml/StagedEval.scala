@@ -306,6 +306,11 @@ object StagedEval {
         params.copy(numRound = chunk), weightCol)
       trained += chunk
       val hist = history(m, validation, labelCol, metric)
+      // a one-class validation frame makes AUC 0/0 = NaN every round;
+      // indexOf on NaN would then truncate at round 0 — fail by name
+      require(!hist.exists(_.isNaN),
+        s"$metric is NaN on the validation frame (single-class validation " +
+        "set? AUC needs both labels) — early stopping cannot rank rounds")
       val stall = stalledAt(hist, metric, earlyStoppingRounds)
       if (stall.isDefined || chunk >= params.numRound) {
         val clipped = hist.take(stall.getOrElse(hist.length))

@@ -312,28 +312,14 @@ class MLSpec extends AnyFunSuite {
     // that documents OvR(GBT)+Platt as the engine's multi:softprob
     // answer (capability-equivalent to the reference's single-model
     // softprob; MLlib GBT is binary-only, SURVEY §7.6a)
-    val rows = (0 until 600).map { i =>
-      val c = i % 3
-      val noise = ((i * 7) % 11) - 5
-      (c * 10.0 + (i % 5) + noise * 0.8, ((i * 13) % 7).toDouble,
-        c.toDouble, i % 4 == 0)
-    }.toDF("x1", "x2", "label", "isTest")
-    val train = rows.filter(!$"isTest")
-    val test = rows.filter($"isTest")
-    def mlogloss(proba: org.apache.spark.sql.DataFrame): Double = {
-      val rs = proba.select("label", "proba").collect()
-      rs.map { r =>
-        val p = r.getSeq[Double](1)(r.getDouble(0).toInt)
-        -math.log(math.max(p, 1e-15))
-      }.sum / rs.length
-    }
+    import MLTestFixtures.{multiclassTrain => train, multiclassHeldOut => heldOut, mlogloss}
     val ovr = new GraftXGBClassifier().setNEstimators(8).setMaxDepth(3)
     ovr.fitCalibrated(train, Seq("x1", "x2"), "label")
     val rf = new GraftXGBClassifier().setNEstimators(8).setMaxDepth(3)
       .setMulticlassStrategy("rf")
     rf.fit(train, Seq("x1", "x2"), "label")
-    val mOvr = mlogloss(ovr.predictProba(test))
-    val mRf = mlogloss(rf.predictProba(test))
+    val mOvr = mlogloss(ovr.predictProba(heldOut))
+    val mRf = mlogloss(rf.predictProba(heldOut))
     // pinned bound: calibrated OvR held-out quality must stay within
     // 25% of the RF alternative (deterministic seeds — this is a
     // regression pin, not a flaky benchmark)

@@ -16,27 +16,9 @@ class SoftprobSpec extends AnyFunSuite {
   import TestSession._
   import spark.implicits._
 
-  // 3-class toy with class overlap (the MLSpec quality-pin fixture)
-  private lazy val rows = (0 until 600).map { i =>
-    val c = i % 3
-    val noise = ((i * 7) % 11) - 5
-    (c * 10.0 + (i % 5) + noise * 0.8, ((i * 13) % 7).toDouble,
-      c.toDouble, i % 4 == 0)
-  }.toDF("x1", "x2", "label", "isTest").cache()
-  private lazy val train = rows.filter(!$"isTest")
-  private lazy val heldOut = rows.filter($"isTest")
-
-  private def mlogloss(proba: org.apache.spark.sql.DataFrame): Double = {
-    val rs = proba.select("label", "proba").collect()
-    rs.map { r =>
-      val p = r.getSeq[Double](1)(r.getDouble(0).toInt)
-      -math.log(math.max(p, 1e-15))
-    }.sum / rs.length
-  }
-  private def accuracy(pred: org.apache.spark.sql.DataFrame): Double = {
-    val rs = pred.select("label", "prediction").collect()
-    rs.count(r => r.getDouble(0) == r.getDouble(1)).toDouble / rs.length
-  }
+  // 3-class toy with class overlap — the shared quality-pin fixture
+  import MLTestFixtures.{multiclassTrain => train, multiclassHeldOut => heldOut,
+    mlogloss, accuracy}
 
   test("softprob trains one joint forest: K trees per round, train mlogloss decreases") {
     val clf = new GraftXGBClassifier().setNEstimators(8).setMaxDepth(3)
