@@ -85,7 +85,11 @@ object GraftBoost {
         * default; 16 measurably cuts fit time on low-cardinality
         * numeric features with no accuracy change (MaxBinsProbe).
         */
-      maxBins: Int = 32
+      maxBins: Int = 32,
+      /** Target quantile for `reg:quantileerror` (XGBoost's
+        * `quantile_alpha`); ignored by other objectives.
+        */
+      quantileAlpha: Double = 0.5
   ) {
     GraftBoost.validateMissingStrategy(missingStrategy)
   }
@@ -236,6 +240,34 @@ object GraftBoost {
         val model = gbt.fit(data)
         GraftBoostModel(model, featureCols, params.objective, 0, Map.empty, imputation, params.missingStrategy)
 
+      case "reg:absoluteerror" =>
+        // XGBoost's L1 objective → MLlib's native absolute (LAD) GBT
+        // loss: median-seeking regression with the same lifecycle.
+        val gbt = new GBTRegressor()
+          .setFeaturesCol("features").setLabelCol("label")
+          .setLossType("absolute")
+          .setMaxIter(params.numRound).setMaxDepth(params.maxDepth)
+          .setStepSize(params.eta).setSubsamplingRate(params.subsample)
+          .setMinInstancesPerNode(params.minChildWeight)
+          .setMaxBins(params.maxBins)
+          .setSeed(params.seed)
+        weightCol.foreach(gbt.setWeightCol)
+        validationCol.foreach(gbt.setValidationIndicatorCol)
+        val model = gbt.fit(data)
+        GraftBoostModel(model, featureCols, params.objective, 0, Map.empty, imputation, params.missingStrategy)
+
+      case "reg:quantileerror" =>
+        // pinball-loss boosting with exact leaf-quantile line search —
+        // a custom loop (QuantileBoost), MLlib GBT has no quantile loss
+        require(validationCol.isEmpty,
+          "quantile boosting records its train history itself; " +
+          "validation-indicator early stopping is unavailable")
+        val (m, histQ) = QuantileBoost.train(data, params,
+          params.quantileAlpha, weightCol)
+        GraftBoostModel(m, featureCols, params.objective, 0,
+          Map("train" -> Map("pinball" -> histQ)), imputation,
+          params.missingStrategy)
+
       case "binary:logistic" =>
         val gbt = new GBTClassifier()
           .setFeaturesCol("features").setLabelCol("label")
@@ -315,6 +347,7 @@ object GraftBoost {
       case m: RandomForestClassificationModel => m.transform(data)
       case m: OneVsRestModel             => m.transform(data)
       case m: SoftprobBoost.SoftprobModel => m.transform(data).drop("margins")
+      case m: QuantileBoost.QuantileModel => m.transform(data)
       case m => throw new IllegalStateException(s"unknown model ${m.getClass}")
     }
     scored.drop("features", "rawPrediction", "probability")
@@ -495,6 +528,7 @@ object GraftBoost {
       case m: SoftprobBoost.SoftprobModel =>
         val margins = m.marginsOf(f)
         margins.indices.maxBy(margins(_)).toDouble
+      case m: QuantileBoost.QuantileModel => m.predictOne(f)
       case m => throw new UnsupportedOperationException(
         s"local predict unavailable for ${m.getClass}")
     }

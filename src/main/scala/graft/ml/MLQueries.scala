@@ -172,6 +172,99 @@ object MLQueries {
     """)
   )
 
+  /** Quantile-regression lifecycle (XGBoost `reg:quantileerror` via
+    * the params passthrough, `core.py:164-321`): pinball boosting with
+    * exact leaf-quantile line search ([[QuantileBoost]]) at α = 0.9
+    * over the fact table. Gates: (a) train-set coverage lands near α
+    * (a broken line search collapses to the squared-loss mean and
+    * drops to ~0.5), and (b) the model's pinball loss beats the
+    * constant global-α-quantile predictor — the base score F₀ is
+    * exactly that predictor, so any useful round must improve on it.
+    */
+  val mlQuantile = GraftQuery(
+    "ml_quantile_regression",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val feats = Seq("l_quantity", "l_discount", "l_tax")
+      val alpha = 0.9
+      val df = t.lineitem
+        .select((feats.map(col) :+ col("l_extendedprice").as("target")): _*)
+        .cache()
+      val m = GraftBoost.train(df, feats, "target",
+        GraftBoost.BoostParams("reg:quantileerror", numRound = 8,
+          maxDepth = 3, maxBins = 16, quantileAlpha = alpha))
+      def pin(pred: org.apache.spark.sql.Column) = avg(greatest(
+        (col("target") - pred) * alpha, (col("target") - pred) * (alpha - 1.0)))
+      val q90 = df.select(percentile(col("target"), lit(alpha)))
+        .head().getDouble(0)
+      val out = GraftBoost.predict(m, df)
+        .agg(
+          count(lit(1)).as("n_rows"),
+          avg((col("target") <= col("prediction")).cast("double")).as("cov"),
+          pin(col("prediction")).as("pin_model"),
+          pin(lit(q90)).as("pin_const"))
+        .select(col("n_rows").cast("long").as("n_rows"),
+          (abs(col("cov") - alpha) < 0.05).as("cov_ok"),
+          (col("pin_model") < col("pin_const")).as("pinball_ok"))
+      out.persist().count()
+      df.unpersist()
+      out
+    },
+    Some("""
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+             TRUE AS cov_ok, TRUE AS pinball_ok
+      FROM lineitem
+    """)
+  )
+
+  /** Per-prediction feature attribution ([[Contributions]], the
+    * Saabas tree-path decomposition): every scored row decomposes as
+    * bias + Σ per-feature contributions = prediction, exactly. The
+    * gate checks that additivity identity over the WHOLE table (1e-6
+    * absolute — the two sides differ only in float summation order)
+    * plus agreement between the attribution's top feature and the
+    * impurity importances' top feature on a fixture where one feature
+    * carries most of the signal.
+    */
+  val mlFeatureContribs = GraftQuery(
+    "ml_feature_contributions",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val feats = Seq("l_quantity", "l_discount", "l_tax")
+      val df = t.lineitem
+        .select((feats.map(col) :+ col("l_extendedprice").as("target")): _*)
+        .cache()
+      val m = GraftBoost.train(df, feats, "target",
+        GraftBoost.BoostParams("reg:squarederror", numRound = 5,
+          maxDepth = 3, maxBins = 16))
+      val scored = GraftBoost.predict(m, df)
+      val attributed = Contributions.transform(m, scored)
+        .withColumn("csum", aggregate(col("contribs"), lit(0.0), (a, x) => a + x))
+      val topByContrib = attributed
+        .select((0 until feats.length).map(i =>
+          avg(abs(element_at(col("contribs"), i + 1))).as(s"c$i")): _*)
+        .head()
+      val topAttr = feats((0 until feats.length).maxBy(topByContrib.getDouble))
+      val topImp = GraftBoost.featureImportances(m).maxBy(_._2)._1
+      val out = attributed.agg(
+          count(lit(1)).as("n_rows"),
+          max(abs(col("bias") + col("csum") - col("prediction"))).as("maxerr"))
+        .select(col("n_rows").cast("long").as("n_rows"),
+          lit(feats.length.toLong).as("n_features"),
+          (col("maxerr") < 1e-6).as("additivity_ok"),
+          lit(topAttr == topImp).as("top_feature_agrees"))
+      out.persist().count()
+      df.unpersist()
+      out
+    },
+    Some("""
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+             CAST(3 AS BIGINT) AS n_features,
+             TRUE AS additivity_ok, TRUE AS top_feature_agrees
+      FROM lineitem
+    """)
+  )
+
   /** Number of folds for ml_cv_kfold. */
   val CvFolds = 3
 
@@ -611,5 +704,5 @@ object MLQueries {
   def all: Seq[GraftQuery] =
     Seq(mlBinary, mlRegression, mlMulticlass, mlCvKfold, mlTextClassifier,
       mlCvRollingOrigin, mlCalibrationBins, mlPermutationImportance,
-      mlMulticlassSoftprob)
+      mlMulticlassSoftprob, mlQuantile, mlFeatureContribs)
 }

@@ -44,6 +44,21 @@ object ModelIO {
       divergences: Seq[String] = Seq.empty
   )
 
+  /** Serialized form of one [[QuantileBoost.PlainTree]] plus the
+    * booster scalars — small driver-side arrays, stored as one JSON
+    * under `model/quantile.json`.
+    */
+  private case class QuantileDoc(
+      base: Double,
+      eta: Double,
+      alpha: Double,
+      feature: Seq[Seq[Int]],
+      thresh: Seq[Seq[Double]],
+      left: Seq[Seq[Int]],
+      right: Seq[Seq[Int]],
+      value: Seq[Seq[Double]]
+  )
+
   /** The divergence notes a given model carries (reference:
     * `core.py:370-377` sparse-skip missing; `core.py:580-590`
     * multi:softprob single-model multiclass).
@@ -86,6 +101,21 @@ object ModelIO {
         for (r <- sp.trees.indices; k <- 0 until sp.numClasses)
           sp.trees(r)(k).write.overwrite()
             .save(new Path(path, s"model/tree_r${r}_k$k").toString)
+      // a quantile booster is model-sized driver arrays — one JSON
+      case qm: QuantileBoost.QuantileModel =>
+        import org.json4s.DefaultFormats
+        import org.json4s.jackson.Serialization
+        implicit val fmt: DefaultFormats.type = DefaultFormats
+        val doc = QuantileDoc(qm.base, qm.eta, qm.alpha,
+          qm.trees.map(_.feature.toSeq).toSeq,
+          qm.trees.map(_.thresh.toSeq).toSeq,
+          qm.trees.map(_.left.toSeq).toSeq,
+          qm.trees.map(_.right.toSeq).toSeq,
+          qm.trees.map(_.value.toSeq).toSeq)
+        val fsQ = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val outQ = fsQ.create(new Path(path, "model/quantile.json"), true)
+        try outQ.write(Serialization.write(doc).getBytes("UTF-8"))
+        finally outQ.close()
       case w: MLWritable =>
         w.write.overwrite().save(new Path(path, "model").toString)
       case m => throw new UnsupportedOperationException(s"not writable: ${m.getClass}")
@@ -145,6 +175,17 @@ object ModelIO {
         }
         new SoftprobBoost.SoftprobModel(
           s"softprob_loaded", trees, meta.softprobEta, meta.numClasses)
+      case c if c.endsWith("QuantileModel") =>
+        val inQ = fs.open(new Path(path, "model/quantile.json"))
+        val jsonQ = try scala.io.Source.fromInputStream(inQ, "UTF-8").mkString
+          finally inQ.close()
+        val doc = JsonMethods.parse(jsonQ).extract[QuantileDoc]
+        val trees = doc.feature.indices.map { i =>
+          QuantileBoost.PlainTree(doc.feature(i).toArray, doc.thresh(i).toArray,
+            doc.left(i).toArray, doc.right(i).toArray, doc.value(i).toArray)
+        }.toArray
+        new QuantileBoost.QuantileModel("quantile_loaded", trees,
+          doc.base, doc.eta, doc.alpha)
       case c => throw new UnsupportedOperationException(s"unknown model class: $c")
     }
     GraftBoostModel(

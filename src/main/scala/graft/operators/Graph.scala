@@ -822,6 +822,116 @@ object Graph {
     """)
   )
 
+  /** Iteration count for personalized PageRank — also the walk's
+    * reach horizon: after k rounds exactly the k-hop ball around the
+    * seed holds positive rank, which the oracle pins with a k-bounded
+    * recursive BFS.
+    */
+  val PprIters = 5
+
+  /** Personalized PageRank (random walk with restart, Jeh & Widom
+    * 2003): rank = (1−d)·restart + d·M·rank, i.e. [[pageRankWeighted]]
+    * with the teleport mass returning to the SEED distribution instead
+    * of uniformly — the measure is proximity to the seeds, the
+    * "related items from here" primitive. The rank frame stays
+    * SPARSE: only nodes the walk has reached appear, so k rounds
+    * touch the k-hop ball around the seeds rather than the whole
+    * graph — this is what makes seed-local PPR tractable on a
+    * 10⁹-node graph where global PageRank is a batch job. Messages
+    * reuse [[flowMessages]]' exact two-limb long accumulator
+    * (bit-stable under any shuffle partitioning, and subject to the
+    * same broadcast-vs-sort-merge size guard); the restart mass
+    * re-enters through a full-outer join against the seed frame,
+    * which is seed-sized and always broadcastable. Ranks quantized
+    * below 10⁻¹⁸ round to zero mass and are dropped — at that level
+    * the node is not meaningfully "reached".
+    */
+  private[graft] def personalizedPageRank(
+      s: SparkSession, sym: DataFrame, seeds: DataFrame,
+      iters: Int, damping: Double): DataFrame = {
+    val symW = sym.withColumn("w", lit(1L))
+    val deg = symW.groupBy(col("u")).agg(sum(col("w")).as("wdeg")).cache()
+    val n = deg.count()
+    val big = n > broadcastMaxRows
+    val edgesJ = coPartitionForRounds(symW, "u", big)
+    val seedsC = seeds.select(col("node").as("snode"), col("restart")).cache()
+    var ranks = seedsC.select(col("snode").as("node"), col("restart").as("rank"))
+    for (_ <- 1 to iters) {
+      val contribs = ranks
+        .join(deg, ranks("node") === deg("u"))
+        .select(col("node"), (col("rank") / col("wdeg")).as("c"))
+      val msgs = flowMessages(edgesJ, contribs, big, 0.0, damping)
+      ranks = msgs
+        .join(seedsC, msgs("node") === seedsC("snode"), "full_outer")
+        .select(coalesce(msgs("node"), col("snode")).as("node"),
+          (coalesce(col("rank"), lit(0.0)) +
+            lit(1.0 - damping) * coalesce(col("restart"), lit(0.0))).as("rank"))
+        .filter(col("rank") > 0.0)
+        .localCheckpoint()
+    }
+    deg.unpersist(false)
+    if (big) edgesJ.unpersist(false)
+    ranks
+  }
+
+  /** Personalized PageRank from the top-degree hub part of the
+    * co-purchase graph. The oracle pins the graph shape AND the
+    * walk's exact reach (n_reached = the [[PprIters]]-hop ball around
+    * the seed, a recursive-BFS fact DuckDB can restate) while the
+    * fixpoint invariants ride as Spark-verified booleans: total rank
+    * conserved at 1, and the seed holding both the max rank and at
+    * least its (1−d) restart floor. Rank VALUES are pinned by
+    * GraphSpec against a dense in-memory reference iteration.
+    */
+  val graphPersonalizedPagerank = GraftQuery(
+    "graph_personalized_pagerank",
+    (s, dir) => {
+      val (edges, sym) = copurchaseGraphShared(s, dir)
+      val deg = sym.groupBy(col("u")).agg(count(lit(1)).as("deg"))
+      val hub = deg.orderBy(col("deg").desc, col("u")).limit(1)
+        .select(col("u").as("node"), lit(1.0).as("restart"))
+      val hubId = hub.select(col("node")).head().getLong(0)
+      val ranks = personalizedPageRank(s, sym, hub, PprIters, PageRankDamping)
+      ranks.persist().count()
+      val hubRank = max(when(col("node") === hubId, col("rank")))
+      val gates = ranks.agg(
+        count(lit(1)).as("n_reached"),
+        (abs(sum(col("rank")) - 1.0) < lit(1e-9)).as("rank_sum_ok"),
+        (hubRank === max(col("rank")) &&
+          hubRank >= lit(1.0 - PageRankDamping)).as("seed_top_ok"))
+      val shape = edges.agg(count(lit(1)).as("n_edges"))
+        .crossJoin(deg.agg(count(lit(1)).as("n_nodes")))
+      val out = shape.crossJoin(broadcast(gates))
+        .select(col("n_nodes"), col("n_edges"), lit(hubId).as("seed_part"),
+          col("n_reached").cast("long").as("n_reached"),
+          col("rank_sum_ok"), col("seed_top_ok"))
+      out.persist().count()
+      ranks.unpersist(false)
+      out
+    },
+    Some(s"""
+      WITH RECURSIVE items AS (
+        SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+      e AS (SELECT a.p AS pa, b.p AS pb FROM items a
+            JOIN items b ON a.o = b.o AND a.p < b.p GROUP BY 1, 2),
+      sym AS (SELECT pa AS u, pb AS v FROM e UNION ALL SELECT pb, pa FROM e),
+      deg AS (SELECT u, COUNT(*) AS deg FROM sym GROUP BY u),
+      hub AS (SELECT u AS s FROM deg ORDER BY deg DESC, u LIMIT 1),
+      walk AS (
+        SELECT s AS node, CAST(0 AS BIGINT) AS dist FROM hub
+        UNION
+        SELECT v, dist + 1 FROM walk JOIN sym ON sym.u = walk.node
+        WHERE dist < $PprIters),
+      reach AS (SELECT COUNT(DISTINCT node) AS n_reached FROM walk)
+      SELECT (SELECT COUNT(*) FROM deg) AS n_nodes,
+             (SELECT COUNT(*) FROM e) AS n_edges,
+             (SELECT s FROM hub) AS seed_part,
+             (SELECT n_reached FROM reach) AS n_reached,
+             TRUE AS rank_sum_ok,
+             TRUE AS seed_top_ok
+    """)
+  )
+
   /** Recursive-hierarchy rollup — the WITH RECURSIVE workload (BOM
     * explosion, org charts, account trees) Spark SQL lacks a keyword
     * for, shipped as an iterative closure build. The hierarchy is the
@@ -1815,5 +1925,6 @@ object Graph {
       graphHierarchyRollup, graphBfsLevels, graphLinkPrediction,
       graphKcore, graphAssortativity, graphKtruss,
       graphLinkPredictionGlobal, graphClusteringCoeff, graphHits,
-      graphCloseness, graphSsspWeighted, graphBetweennessSampled)
+      graphCloseness, graphSsspWeighted, graphBetweennessSampled,
+      graphPersonalizedPagerank)
 }

@@ -30,6 +30,74 @@ class GraphSpec extends AnyFunSuite {
     nodes.map(nd => nd -> r(idx(nd))).toMap
   }
 
+  /** Dense in-memory personalized-PageRank reference: restart mass
+    * returns to the seed distribution each round (sparse frame in the
+    * operator ≡ zero entries here).
+    */
+  private def densePpr(
+      edges: Seq[(Long, Long)], restart: Map[Long, Double],
+      iters: Int, damping: Double): Map[Long, Double] = {
+    val sym = edges.flatMap { case (a, b) => Seq((a, b), (b, a)) }.distinct
+    val nodes = sym.map(_._1).distinct.sorted
+    val idx = nodes.zipWithIndex.toMap
+    val deg = sym.groupBy(_._1).view.mapValues(_.size.toDouble).toMap
+    var r = nodes.map(nd => restart.getOrElse(nd, 0.0)).toArray
+    for (_ <- 1 to iters) {
+      val next = nodes.map(nd => (1.0 - damping) * restart.getOrElse(nd, 0.0)).toArray
+      sym.foreach { case (u, v) =>
+        next(idx(v)) += damping * r(idx(u)) / deg(u)
+      }
+      r = next
+    }
+    nodes.map(nd => nd -> r(idx(nd))).toMap
+  }
+
+  private def runPpr(
+      edges: Seq[(Long, Long)], seeds: Map[Long, Double],
+      iters: Int = 5): Map[Long, Double] = {
+    val e = edges.toDF("pa", "pb")
+    val sym = e.select($"pa".as("u"), $"pb".as("v"))
+      .union(e.select($"pb".as("u"), $"pa".as("v")))
+    val seedDf = seeds.toSeq.toDF("node", "restart")
+    Graph.personalizedPageRank(spark, sym, seedDf, iters, 0.85)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+  }
+
+  test("personalized pagerank matches dense reference on a star graph") {
+    val edges = (1L to 6L).map(i => (0L, i))
+    val got = runPpr(edges, Map(0L -> 1.0))
+    val want = densePpr(edges, Map(0L -> 1.0), 5, 0.85)
+    want.foreach { case (k, v) =>
+      assert(math.abs(got.getOrElse(k, 0.0) - v) < 1e-9, s"node $k: ${got.get(k)} vs $v")
+    }
+    assert(got(0L) >= 0.15, "seed keeps its restart floor")
+    assert(got(0L) == got.values.max, "single seed dominates")
+  }
+
+  test("personalized pagerank matches dense reference on a random graph with 2 seeds") {
+    val rnd = new scala.util.Random(7)
+    // canonicalize (min,max) so the operator's two-direction union and
+    // the dense reference's distinct see the SAME simple graph
+    val edges = ((0 until 40).map(_ => (rnd.nextInt(12).toLong, rnd.nextInt(12).toLong))
+      .filter(p => p._1 != p._2)
+      .map(p => (math.min(p._1, p._2), math.max(p._1, p._2))) :+ (1L, 5L)).distinct
+    val seeds = Map(1L -> 0.5, 5L -> 0.5)
+    val got = runPpr(edges, seeds)
+    val want = densePpr(edges, seeds, 5, 0.85)
+    want.filter(_._2 > 0).foreach { case (k, v) =>
+      assert(math.abs(got.getOrElse(k, 0.0) - v) < 1e-9, s"node $k: ${got.get(k)} vs $v")
+    }
+    assert(math.abs(got.values.sum - 1.0) < 1e-9, "rank mass conserved")
+  }
+
+  test("personalized pagerank reach is the k-hop ball (sparse frame)") {
+    // path 0-1-2-...-10, seed at 0, 3 iterations → nodes 0..3 only
+    val edges = (0L until 10L).map(i => (i, i + 1))
+    val got = runPpr(edges, Map(0L -> 1.0), iters = 3)
+    assert(got.keySet == Set(0L, 1L, 2L, 3L),
+      s"3 rounds from node 0 must reach exactly 0..3, got ${got.keySet}")
+  }
+
   private def runPageRank(edges: Seq[(Long, Long)], iters: Int = 5): Map[Long, Double] = {
     val e = edges.toDF("pa", "pb")
     val sym = e.select($"pa".as("u"), $"pb".as("v"))
