@@ -268,6 +268,17 @@ object GraftBoost {
           Map("train" -> Map("pinball" -> histQ)), imputation,
           params.missingStrategy)
 
+      case "count:poisson" =>
+        // log-link Newton boosting — a custom loop (PoissonBoost),
+        // MLlib GBT has neither Poisson loss nor link functions
+        require(validationCol.isEmpty,
+          "poisson boosting records its train history itself; " +
+          "validation-indicator early stopping is unavailable")
+        val (m, histP) = PoissonBoost.train(data, params, weightCol)
+        GraftBoostModel(m, featureCols, params.objective, 0,
+          Map("train" -> Map("poisson-deviance" -> histP)), imputation,
+          params.missingStrategy)
+
       case "binary:logistic" =>
         val gbt = new GBTClassifier()
           .setFeaturesCol("features").setLabelCol("label")
@@ -348,6 +359,7 @@ object GraftBoost {
       case m: OneVsRestModel             => m.transform(data)
       case m: SoftprobBoost.SoftprobModel => m.transform(data).drop("margins")
       case m: QuantileBoost.QuantileModel => m.transform(data)
+      case m: PoissonBoost.PoissonModel   => m.transform(data)
       case m => throw new IllegalStateException(s"unknown model ${m.getClass}")
     }
     scored.drop("features", "rawPrediction", "probability")
@@ -529,6 +541,7 @@ object GraftBoost {
         val margins = m.marginsOf(f)
         margins.indices.maxBy(margins(_)).toDouble
       case m: QuantileBoost.QuantileModel => m.predictOne(f)
+      case m: PoissonBoost.PoissonModel   => m.predictOne(f)
       case m => throw new UnsupportedOperationException(
         s"local predict unavailable for ${m.getClass}")
     }

@@ -265,6 +265,56 @@ object MLQueries {
     """)
   )
 
+  /** Poisson count-regression lifecycle (XGBoost `count:poisson`,
+    * [[PoissonBoost]]): predict each order's LINE COUNT (a real count,
+    * 1-7) from its total quantity — qty accumulates over lines
+    * (~25.5/line), so the covariate is genuinely informative. Gates:
+    * the fitted deviance beats the constant-rate model by ≥ 50 %
+    * (measured ratio ≈ 0.27 at sf0.01; a broken link/gradient stays
+    * at ~1.0), and the count-scale predictions stay within the
+    * plausible band (0, 20).
+    */
+  val mlPoisson = GraftQuery(
+    "ml_poisson_counts",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val df = t.orders.join(
+          t.lineitem.groupBy(col("l_orderkey"))
+            .agg(count(lit(1)).cast("double").as("n_lines"),
+              sum(col("l_quantity")).cast("double").as("qty")),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(col("qty"), col("o_totalprice").cast("double").as("price"),
+          col("n_lines"))
+        .cache()
+      val m = GraftBoost.train(df, Seq("qty", "price"), "n_lines",
+        GraftBoost.BoostParams("count:poisson", numRound = 8,
+          maxDepth = 3, maxBins = 32, eta = 0.5))
+      val hist = m.evalsResult("train")("poisson-deviance")
+      val ybar = df.select(avg(col("n_lines"))).head().getDouble(0)
+      val constDev = df.select(avg(lit(2.0) *
+          (col("n_lines") * log(col("n_lines") / ybar) -
+            (col("n_lines") - ybar))))
+        .head().getDouble(0)
+      val out = GraftBoost.predict(m, df)
+        .agg(count(lit(1)).as("n_orders"),
+          min(col("prediction")).as("pmin"),
+          max(col("prediction")).as("pmax"))
+        .select(col("n_orders").cast("long").as("n_orders"),
+          lit(hist.last < constDev * 0.5).as("dev_ok"),
+          (col("pmin") > 0.0 && col("pmax") < 20.0).as("range_ok"))
+      out.persist().count()
+      df.unpersist()
+      out
+    },
+    // orders with no lineitems exist in this testdata — count the
+    // orders the inner join keeps, i.e. distinct fact-side orderkeys
+    Some("""
+      SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_orders,
+             TRUE AS dev_ok, TRUE AS range_ok
+      FROM lineitem
+    """)
+  )
+
   /** Number of folds for ml_cv_kfold. */
   val CvFolds = 3
 
@@ -704,5 +754,5 @@ object MLQueries {
   def all: Seq[GraftQuery] =
     Seq(mlBinary, mlRegression, mlMulticlass, mlCvKfold, mlTextClassifier,
       mlCvRollingOrigin, mlCalibrationBins, mlPermutationImportance,
-      mlMulticlassSoftprob, mlQuantile, mlFeatureContribs)
+      mlMulticlassSoftprob, mlQuantile, mlFeatureContribs, mlPoisson)
 }

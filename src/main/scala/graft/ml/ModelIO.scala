@@ -38,6 +38,10 @@ object ModelIO {
       // softprob forest shape (modelClass SoftprobModel only)
       softprobEta: Double = 0.0,
       softprobRounds: Int = 0,
+      // poisson booster shape (modelClass PoissonModel only)
+      poissonBase: Double = 0.0,
+      poissonEta: Double = 0.0,
+      poissonRounds: Int = 0,
       // documented behavioral deviations from the reference engine,
       // stamped on the artifact so a loaded model STATES how it was
       // trained instead of relying on out-of-band docs (VERDICT r4 §8)
@@ -101,6 +105,12 @@ object ModelIO {
         for (r <- sp.trees.indices; k <- 0 until sp.numClasses)
           sp.trees(r)(k).write.overwrite()
             .save(new Path(path, s"model/tree_r${r}_k$k").toString)
+      // a poisson booster is one MLlib tree writer per round plus the
+      // (base, eta) scalars in graft_meta.json
+      case pm: PoissonBoost.PoissonModel =>
+        for (r <- pm.trees.indices)
+          pm.trees(r).write.overwrite()
+            .save(new Path(path, s"model/ptree_r$r").toString)
       // a quantile booster is model-sized driver arrays — one JSON
       case qm: QuantileBoost.QuantileModel =>
         import org.json4s.DefaultFormats
@@ -143,6 +153,18 @@ object ModelIO {
         case sp: SoftprobBoost.SoftprobModel => sp.trees.length
         case _ => 0
       },
+      poissonBase = model.model match {
+        case pm: PoissonBoost.PoissonModel => pm.base
+        case _ => 0.0
+      },
+      poissonEta = model.model match {
+        case pm: PoissonBoost.PoissonModel => pm.eta
+        case _ => 0.0
+      },
+      poissonRounds = model.model match {
+        case pm: PoissonBoost.PoissonModel => pm.trees.length
+        case _ => 0
+      },
       divergences = divergenceNotes(model)
     )
     val json = Serialization.write(meta)
@@ -175,6 +197,13 @@ object ModelIO {
         }
         new SoftprobBoost.SoftprobModel(
           s"softprob_loaded", trees, meta.softprobEta, meta.numClasses)
+      case c if c.endsWith("PoissonModel") =>
+        val trees = Array.tabulate(meta.poissonRounds) { r =>
+          org.apache.spark.ml.regression.DecisionTreeRegressionModel
+            .load(new Path(path, s"model/ptree_r$r").toString)
+        }
+        new PoissonBoost.PoissonModel("poisson_loaded", trees,
+          meta.poissonBase, meta.poissonEta)
       case c if c.endsWith("QuantileModel") =>
         val inQ = fs.open(new Path(path, "model/quantile.json"))
         val jsonQ = try scala.io.Source.fromInputStream(inQ, "UTF-8").mkString

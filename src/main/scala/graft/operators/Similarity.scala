@@ -1299,6 +1299,99 @@ object Similarity {
     * independent dense recompute — the pagerank/HITS discipline,
     * since no SQL engine can restate an eigen fixpoint.
     */
+  /** Number of greedy k-center picks for sim_kcenter_diversity. */
+  val KCenters = 6
+
+  /** Greedy k-center (farthest-point / Gonzalez) diversity selection
+    * over the embedding corpus — the coreset primitive behind diverse
+    * training-subset curation: pick the min-id seed, then repeatedly
+    * the point FARTHEST from everything selected so far (euclidean,
+    * id tie-break). The emitted radius sequence is non-increasing and
+    * is exactly the 2-approximation certificate for the k-center
+    * cost. Deterministic, so the DuckDB oracle replays the whole
+    * selection with [[KCenters]] unrolled argmax CTEs over
+    * `list_distance`; radii compare at 6 dp (the sim-family float
+    * discipline — selection itself is robust because random corpus
+    * distances are well-separated relative to cross-engine summation
+    * error).
+    *
+    * Scale: k scans of the corpus, each a map-side distance kernel
+    * against a BROADCAST center set (k·dim doubles — model-sized)
+    * followed by a top-1 TakeOrdered; nothing data-scale touches the
+    * driver. The k passes are the textbook distributed Gonzalez; at
+    * 10⁹ vectors each pass is embarrassingly parallel.
+    */
+  val simKcenterDiversity = GraftQuery(
+    "sim_kcenter_diversity",
+    (s, dir) => {
+      import s.implicits._
+      val base = corpus(Tables(s, dir)).cache()
+      val seed = base.orderBy(col("vec_id")).limit(1)
+        .select(col("vec_id"), col("v")).head()
+      var centers = Vector(
+        (seed.getLong(0), seed.getSeq[Double](1).toArray, Option.empty[Double]))
+      for (_ <- 2 to KCenters) {
+        val cs = centers.map(_._2).toArray
+        val bc = s.sparkContext.broadcast(cs)
+        val mindU = udf((v: Seq[Double]) => {
+          val arr = v.toArray
+          var best = Double.MaxValue
+          var c = 0
+          while (c < bc.value.length) {
+            val cv = bc.value(c)
+            var d = 0.0
+            var i = 0
+            while (i < arr.length) { val t = arr(i) - cv(i); d += t * t; i += 1 }
+            if (d < best) best = d
+            c += 1
+          }
+          math.sqrt(best)
+        })
+        val next = base.withColumn("mind", mindU(col("v")))
+          .orderBy(col("mind").desc, col("vec_id")).limit(1)
+          .select(col("vec_id"), col("v"), col("mind")).head()
+        centers = centers :+
+          ((next.getLong(0), next.getSeq[Double](1).toArray,
+            Some(next.getDouble(2))))
+      }
+      base.unpersist(false)
+      centers.zipWithIndex
+        .map { case ((id, _, r), i) => ((i + 1).toLong, id, r) }
+        .toDF("step", "vec_id", "radius")
+        .select(col("step"), col("vec_id"), round(col("radius"), 6).as("radius"))
+        .orderBy(col("step"))
+    },
+    Some("""
+      WITH pts AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      c1 AS (SELECT vec_id, v FROM pts ORDER BY vec_id LIMIT 1),
+      d1 AS (SELECT p.vec_id, p.v, list_distance(p.v, c1.v) AS mind
+             FROM pts p CROSS JOIN c1),
+      c2 AS (SELECT vec_id, v, mind FROM d1 ORDER BY mind DESC, vec_id LIMIT 1),
+      d2 AS (SELECT d.vec_id, d.v, LEAST(d.mind, list_distance(d.v, c2.v)) AS mind
+             FROM d1 d CROSS JOIN c2),
+      c3 AS (SELECT vec_id, v, mind FROM d2 ORDER BY mind DESC, vec_id LIMIT 1),
+      d3 AS (SELECT d.vec_id, d.v, LEAST(d.mind, list_distance(d.v, c3.v)) AS mind
+             FROM d2 d CROSS JOIN c3),
+      c4 AS (SELECT vec_id, v, mind FROM d3 ORDER BY mind DESC, vec_id LIMIT 1),
+      d4 AS (SELECT d.vec_id, d.v, LEAST(d.mind, list_distance(d.v, c4.v)) AS mind
+             FROM d3 d CROSS JOIN c4),
+      c5 AS (SELECT vec_id, v, mind FROM d4 ORDER BY mind DESC, vec_id LIMIT 1),
+      d5 AS (SELECT d.vec_id, d.v, LEAST(d.mind, list_distance(d.v, c5.v)) AS mind
+             FROM d4 d CROSS JOIN c5),
+      c6 AS (SELECT vec_id, v, mind FROM d5 ORDER BY mind DESC, vec_id LIMIT 1)
+      SELECT CAST(1 AS BIGINT) AS step,
+             (SELECT vec_id FROM c1) AS vec_id,
+             CAST(NULL AS DOUBLE) AS radius
+      UNION ALL SELECT 2, vec_id, round(mind, 6) FROM c2
+      UNION ALL SELECT 3, vec_id, round(mind, 6) FROM c3
+      UNION ALL SELECT 4, vec_id, round(mind, 6) FROM c4
+      UNION ALL SELECT 5, vec_id, round(mind, 6) FROM c5
+      UNION ALL SELECT 6, vec_id, round(mind, 6) FROM c6
+      ORDER BY step
+    """)
+  )
+
   val simTopEigen = GraftQuery(
     "sim_top_eigen",
     (s, dir) => {
@@ -1342,5 +1435,5 @@ object Similarity {
       clusterSemanticDedup, simPcaReduce, simSqQuant, simEmbedDecontam,
       simAnnPq, simAnnIvfPq, simAnnFiltered, retrievalHardNegatives,
       simTwoStageMrl, simRangeSearch, simCentroidDrift, simGramMatrix,
-      simTopEigen)
+      simTopEigen, simKcenterDiversity)
 }
