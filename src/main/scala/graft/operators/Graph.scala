@@ -932,6 +932,99 @@ object Graph {
     """)
   )
 
+  /** Walk length for graph_random_walks. */
+  val WalkLen = 4
+
+  /** Deterministic random walks — the DeepWalk/node2vec corpus
+    * primitive: one length-[[WalkLen]] walk per node over the
+    * co-purchase graph, where step t out of node c picks neighbor
+    * rank ((c·1103515245 + t·12345) mod 2³¹−1) mod deg(c) + 1 among
+    * the id-ordered neighbors. The LCG-style hash replaces RNG state
+    * so the walk corpus is REPRODUCIBLE — the property a distributed
+    * embedding pipeline actually needs (re-runs, retries and engine
+    * changes yield the same corpus), and what lets the DuckDB oracle
+    * replay every hop exactly with a recursive CTE. All arithmetic is
+    * exact BIGINT in both engines (|c|·1103515245 ≪ 2⁶³).
+    *
+    * Scale: the ranked-neighbor frame (edge-sized, rank via one
+    * per-node window) is built once; each hop is ONE equi-join of the
+    * node-sized walk frontier against it on (node, rank) — no
+    * neighbor explosion, no per-row sampling state. WalkLen hops =
+    * WalkLen joins, the standard distributed walk-corpus shape.
+    */
+  val graphRandomWalks = GraftQuery(
+    "graph_random_walks",
+    (s, dir) => {
+      val (_, sym) = copurchaseGraphShared(s, dir)
+      val deg = sym.groupBy(col("u")).agg(count(lit(1)).as("deg"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("u")).orderBy(col("v"))
+      // everything descends from the one shared sym frame, so every
+      // join below is a self-join: qualify through per-round dataset
+      // aliases (the analyzer's sanctioned disambiguation)
+      val ranked = sym.as("sy")
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .join(deg.as("dg"), col("sy.v") === col("dg.u"))
+        .select(col("sy.u").as("u"), col("rank"), col("sy.v").as("v"),
+          col("dg.deg").as("degv"))
+        .cache()
+      var walks = deg.select(col("u").as("start"), col("u").as("cur"),
+        col("deg").as("degc"))
+      val stepCols = scala.collection.mutable.ArrayBuffer.empty[String]
+      for (t <- 1 to WalkLen) {
+        val pick = ((col("cur") * lit(1103515245L) + lit(t.toLong * 12345L))
+          % lit(2147483647L)) % col("degc") + lit(1L)
+        val wp = walks.withColumn("pick", pick).as(s"w$t")
+        val rk = ranked.as(s"r$t")
+        walks = wp
+          .join(rk, col(s"w$t.cur") === col(s"r$t.u") &&
+            col(s"w$t.pick") === col(s"r$t.rank"))
+          .select((Seq(col(s"w$t.start").as("start")) ++
+            stepCols.map(c => col(s"w$t.$c").as(c)) ++ Seq(
+            col(s"r$t.v").as(s"n$t"), col(s"r$t.v").as("cur"),
+            col(s"r$t.degv").as("degc"))): _*)
+        stepCols += s"n$t"
+      }
+      val out = walks.select((col("start") +: stepCols.map(col).toSeq): _*)
+        .orderBy(col("start"))
+      out.persist().count()
+      ranked.unpersist(false)
+      out
+    },
+    Some(s"""
+      WITH RECURSIVE items AS (
+        SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+      e AS (SELECT a.p AS pa, b.p AS pb FROM items a
+            JOIN items b ON a.o = b.o AND a.p < b.p GROUP BY 1, 2),
+      sym AS (SELECT pa AS u, pb AS v FROM e UNION ALL SELECT pb, pa FROM e),
+      deg AS (SELECT u, CAST(COUNT(*) AS BIGINT) AS deg FROM sym GROUP BY u),
+      ranked AS (
+        SELECT s.u, s.v,
+               CAST(row_number() OVER (PARTITION BY s.u ORDER BY s.v)
+                 AS BIGINT) AS rank,
+               dv.deg AS degv
+        FROM sym s JOIN deg dv ON dv.u = s.v),
+      walk AS (
+        SELECT u AS start, CAST(0 AS BIGINT) AS t, u AS cur, deg AS degc
+        FROM deg
+        UNION ALL
+        SELECT w.start, w.t + 1, r.v, r.degv
+        FROM walk w JOIN ranked r
+          ON r.u = w.cur
+         AND r.rank = ((w.cur * 1103515245 + (w.t + 1) * 12345)
+                       % 2147483647) % w.degc + 1
+        WHERE w.t < $WalkLen)
+      SELECT start,
+             MAX(CASE WHEN t = 1 THEN cur END) AS n1,
+             MAX(CASE WHEN t = 2 THEN cur END) AS n2,
+             MAX(CASE WHEN t = 3 THEN cur END) AS n3,
+             MAX(CASE WHEN t = 4 THEN cur END) AS n4
+      FROM walk
+      GROUP BY start
+      ORDER BY start
+    """)
+  )
+
   /** Recursive-hierarchy rollup — the WITH RECURSIVE workload (BOM
     * explosion, org charts, account trees) Spark SQL lacks a keyword
     * for, shipped as an iterative closure build. The hierarchy is the
@@ -1926,5 +2019,5 @@ object Graph {
       graphKcore, graphAssortativity, graphKtruss,
       graphLinkPredictionGlobal, graphClusteringCoeff, graphHits,
       graphCloseness, graphSsspWeighted, graphBetweennessSampled,
-      graphPersonalizedPagerank)
+      graphPersonalizedPagerank, graphRandomWalks)
 }

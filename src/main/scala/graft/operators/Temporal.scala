@@ -722,9 +722,112 @@ object Temporal {
     """)
   )
 
+  /** Holt double-exponential smoothing (level + linear trend) over
+    * each market segment's daily revenue — the classic trend smoother
+    * between q58's EWMA (no trend) and q146's seasonal adjustment.
+    * α = β = 1/2 makes every update a half-step, so the whole COUPLED
+    * recurrence
+    *
+    *   l_t = round((y_t + l_{t-1} + b_{t-1}) / 2)
+    *   b_t = round((l_t − l_{t-1} + b_{t-1}) / 2)
+    *
+    * runs in EXACT long cents with half-away-from-zero rounding —
+    * Spark folds it as a secondary sort (repartition by segment, sort
+    * by day, one mapPartitions with O(1) state — the q128 discipline
+    * for keyed sequential folds), DuckDB restates it as a WITH
+    * RECURSIVE chain with `round(s/2.0)` (exact: |s| ≪ 2⁵³, ties at
+    * .5 round away from zero in both engines). Readout per segment:
+    * final level/trend, the 7-day-ahead linear forecast l + 7b, and
+    * the summed |one-step error| Σ|y_t − (l_{t-1}+b_{t-1})| — the
+    * in-sample fit certificate. A float Holt would compound
+    * cross-engine rounding drift over hundreds of steps; the
+    * cents-integer form hashes identically.
+    */
+  val q147HoltTrend = GraftQuery(
+    "q147_holt_trend",
+    (s, dir) => {
+      import s.implicits._
+      val t = Tables(s, dir)
+      val daily = t.orders
+        .join(broadcast(t.customer.select(col("c_custkey"),
+          col("c_mktsegment"))), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment").as("segment"),
+          to_date(col("o_orderdate")).as("day"))
+        .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
+        .select(col("segment"),
+          datediff(col("day"), lit("1970-01-01").cast("date")).cast("long")
+            .as("ed"),
+          col("cents"))
+      def rhalf(v: Long): Long =
+        if (v % 2 == 0) v / 2 else (v + (if (v > 0) 1L else -1L)) / 2
+      val folded = daily
+        .repartition(col("segment"))
+        .sortWithinPartitions(col("segment"), col("ed"))
+        .as[(String, Long, Long)]
+        .mapPartitions { it =>
+          val out = Seq.newBuilder[(String, Long, Long, Long, Long)]
+          var seg: String = null
+          var n = 0L; var l = 0L; var b = 0L; var sae = 0L
+          def emit(): Unit = if (seg != null) out += ((seg, n, l, b, sae))
+          while (it.hasNext) {
+            val (sg, _, y) = it.next()
+            if (sg != seg) { emit(); seg = sg; n = 0L; l = y; b = 0L; sae = 0L }
+            else {
+              sae += math.abs(y - (l + b))
+              val ln = rhalf(y + l + b)
+              b = rhalf(ln - l + b)
+              l = ln
+            }
+            n += 1L
+          }
+          emit()
+          out.result().iterator
+        }
+        .toDF("segment", "n_days", "level_final", "trend_final", "sae")
+      folded
+        .select(col("segment"), col("n_days"), col("level_final"),
+          col("trend_final"),
+          (col("level_final") + lit(7L) * col("trend_final")).as("forecast_7d"),
+          col("sae"))
+        .orderBy(col("segment"))
+    },
+    Some("""
+      WITH RECURSIVE daily AS (
+        SELECT c.c_mktsegment AS segment,
+               CAST(SUM(CAST(round(o.o_totalprice * 100) AS BIGINT))
+                 AS BIGINT) AS cents,
+               CAST(o_orderdate AS DATE) AS day
+        FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+        GROUP BY 1, 3),
+      r AS (
+        SELECT segment, cents,
+               CAST(row_number() OVER (PARTITION BY segment ORDER BY day)
+                 AS BIGINT) AS rn,
+               CAST(COUNT(*) OVER (PARTITION BY segment) AS BIGINT) AS n_days
+        FROM daily),
+      rec AS (
+        SELECT segment, rn, n_days, cents AS l, CAST(0 AS BIGINT) AS b,
+               CAST(0 AS BIGINT) AS sae
+        FROM r WHERE rn = 1
+        UNION ALL
+        SELECT r.segment, r.rn, r.n_days,
+               CAST(round((r.cents + rec.l + rec.b) / 2.0) AS BIGINT),
+               CAST(round((CAST(round((r.cents + rec.l + rec.b) / 2.0)
+                 AS BIGINT) - rec.l + rec.b) / 2.0) AS BIGINT),
+               rec.sae + abs(r.cents - (rec.l + rec.b))
+        FROM rec JOIN r ON r.segment = rec.segment AND r.rn = rec.rn + 1)
+      SELECT segment, n_days,
+             l AS level_final, b AS trend_final,
+             l + 7 * b AS forecast_7d, sae
+      FROM rec WHERE rn = n_days
+      ORDER BY segment
+    """)
+  )
+
   def all: Seq[GraftQuery] =
     Seq(q21AsofPrevError, q22RangeJoinNeighbors, q23CustomVariance,
       q27AsofJoinNative, q36GapfillResample, q37RollingFeatures,
       q60OhlcResample, q65Twap, q69SeasonalNaive, q70InterpLinear,
-      q76RangeWindow, featPitBackfill, q118AsofForward, q119AsofNearest)
+      q76RangeWindow, featPitBackfill, q118AsofForward, q119AsofNearest,
+      q147HoltTrend)
 }
