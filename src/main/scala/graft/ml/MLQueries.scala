@@ -190,13 +190,21 @@ object MLQueries {
       val df = t.lineitem
         .select((feats.map(col) :+ col("l_extendedprice").as("target")): _*)
         .cache()
+      // subsample = 0.2 (XGBoost stochastic boosting): each round is
+      // an INDEPENDENT tree fit + exact leaf-percentile pass (unlike
+      // GBTRegressor, which amortizes binning across its internal
+      // iterations), so the per-round fit set is the direct cost knob
+      // — margins and gates still run over the FULL table, and the
+      // coverage/pinball gates saturate well before round 5
       val m = GraftBoost.train(df, feats, "target",
-        GraftBoost.BoostParams("reg:quantileerror", numRound = 8,
-          maxDepth = 3, maxBins = 16, quantileAlpha = alpha))
+        GraftBoost.BoostParams("reg:quantileerror", numRound = 5,
+          maxDepth = 3, maxBins = 16, quantileAlpha = alpha,
+          subsample = 0.2))
       def pin(pred: org.apache.spark.sql.Column) = avg(greatest(
         (col("target") - pred) * alpha, (col("target") - pred) * (alpha - 1.0)))
-      val q90 = df.select(percentile(col("target"), lit(alpha)))
-        .head().getDouble(0)
+      // the model's base score IS the exact global α-quantile — reuse
+      // it rather than paying the (expensive, exact) percentile twice
+      val q90 = m.model.asInstanceOf[QuantileBoost.QuantileModel].base
       val out = GraftBoost.predict(m, df)
         .agg(
           count(lit(1)).as("n_rows"),

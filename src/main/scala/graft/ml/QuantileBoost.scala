@@ -182,6 +182,16 @@ object QuantileBoost {
     val hist = new ArrayBuffer[Double](params.numRound)
     val forest = new ArrayBuffer[PlainTree](params.numRound)
     for (r <- 1 to params.numRound) {
+      // XGBoost's `subsample`: stochastic gradient boosting (Friedman
+      // 2002) — each round fits on a DETERMINISTIC hash-Bernoulli row
+      // sample keyed by (label, seed, round), so runs are reproducible
+      // with no RNG state while the sample still reshuffles per round.
+      // Margin updates and the train history stay full-data.
+      val fitBase =
+        if (params.subsample >= 1.0) cur
+        else cur.filter(
+          pmod(xxhash64(col("label"), lit(params.seed + 131L * r)), lit(1000L))
+            < lit(math.round(params.subsample * 1000)))
       // pinball negative gradient: α − 1{y ≤ F} ∈ {α−1, α}
       val g = when(col("label") <= col("f"), lit(alpha - 1.0))
         .otherwise(lit(alpha))
@@ -191,13 +201,14 @@ object QuantileBoost {
         .setMinInstancesPerNode(params.minChildWeight)
         .setSeed(params.seed + 131L * r)
       weightCol.foreach(dt.setWeightCol)
-      val fitted = dt.fit(cur.withColumn("g", g))
+      val fitted = dt.fit(fitBase.withColumn("g", g))
       val skeleton = flatten(fitted.rootNode)
 
       // line search: γ_leaf = exact α-quantile of residuals in leaf
+      // (over the same round sample the tree saw)
       val bcSkel = spark.sparkContext.broadcast(skeleton)
       val leafU = udf((v: Vector) => bcSkel.value.leafOf(v))
-      val gammas = cur
+      val gammas = fitBase
         .groupBy(leafU(col("features")).as("leaf"))
         .agg(percentile(col("label") - col("f"), lit(alpha)).as("gamma"))
         .collect()

@@ -138,6 +138,24 @@ class QuantileBoostSpec extends AnyFunSuite {
     assert(loaded.evalsResult("train")("pinball").length == 3)
   }
 
+  test("subsample < 1 is deterministic across runs and still converges") {
+    val p = BoostParams("reg:quantileerror", numRound = 6, maxDepth = 2,
+      eta = 0.5, quantileAlpha = 0.5, subsample = 0.5)
+    val m1 = GraftBoost.train(grouped, Seq("x"), "y", p)
+    val m2 = GraftBoost.train(grouped, Seq("x"), "y", p)
+    val a = GraftBoost.predict(m1, grouped).orderBy("x", "y")
+      .select("prediction").collect().map(_.getDouble(0))
+    val b = GraftBoost.predict(m2, grouped).orderBy("x", "y")
+      .select("prediction").collect().map(_.getDouble(0))
+    assert(a.sameElements(b), "hash-Bernoulli subsampling must be reproducible")
+    // still lands near the per-group medians (exact would be 49.5/1049.5)
+    val preds = GraftBoost.predict(m1, grouped)
+      .groupBy("x").agg(first("prediction").as("p"))
+      .collect().map(r => r.getDouble(0) -> r.getDouble(1)).toMap
+    assert(math.abs(preds(0.0) - 49.5) < 15, s"group0 ${preds(0.0)}")
+    assert(math.abs(preds(1.0) - 1049.5) < 15, s"group1 ${preds(1.0)}")
+  }
+
   test("weights steer the quantile tree's split search") {
     // weight group-1 rows 100x: with depth 1 the split must still find
     // x, but weighting one side changes the fitted gradient tree only
