@@ -79,6 +79,11 @@ object GraftBoost {
         *    split isolate them — the closest expressible analog of
         *    XGBoost's learned default direction, and like XGBoost the
         *    marker never blends into real-value statistics.
+        *  - "native": marker → NaN, trained by the from-scratch
+        *    sparsity-aware loop ([[SparseBoost]]) that LEARNS a
+        *    default direction per split — the actual XGBoost
+        *    mechanism (Chen & Guestrin §3.3). binary:logistic and
+        *    reg:squarederror only.
         */
       missingStrategy: String = "impute",
       /** Histogram bins per feature (MLlib maxBins). 32 is MLlib's
@@ -89,17 +94,57 @@ object GraftBoost {
       /** Target quantile for `reg:quantileerror` (XGBoost's
         * `quantile_alpha`); ignored by other objectives.
         */
-      quantileAlpha: Double = 0.5
+      quantileAlpha: Double = 0.5,
+      /** L2 leaf regularization (XGBoost's `lambda`, default 1).
+        * Used by the native sparse loop ([[SparseBoost]]); the
+        * MLlib-backed paths have no leaf shrinkage knob.
+        */
+      lambdaL2: Double = 1.0
   ) {
     GraftBoost.validateMissingStrategy(missingStrategy)
   }
+
+  /** Deterministic hash-Bernoulli row filter for stochastic-boosting
+    * rounds (XGBoost's `subsample`, Friedman 2002): keyed by the
+    * CONTENT of (features, label) mixed with the round seed, so the
+    * sample is reproducible across runs with no RNG state, reshuffles
+    * per round, and stays well-mixed even when labels take only a few
+    * distinct values (class ids, small counts — a label-only key
+    * would sample whole classes in or out). `df` must carry
+    * `features` (vector) and `label`.
+    */
+  private[ml] def roundSample(df: DataFrame, subsample: Double, seed: Long): DataFrame =
+    if (subsample >= 1.0) df
+    else {
+      val keep = math.round(subsample * 1000)
+      val hU = udf((v: Vector, label: Double) => {
+        var h = seed ^ 0x9e3779b97f4a7c15L
+        val a = v.toArray
+        var i = 0
+        while (i < a.length) {
+          h ^= java.lang.Double.doubleToLongBits(a(i))
+          h *= 0x100000001b3L
+          h ^= h >>> 33
+          i += 1
+        }
+        h ^= java.lang.Double.doubleToLongBits(label)
+        h *= 0x100000001b3L
+        h ^= h >>> 33
+        ((h % 1000) + 1000) % 1000
+      })
+      val out = df.filter(hU(col("features"), col("label").cast("double")) < lit(keep))
+      // content-identical rows sample together, so a tiny frame with
+      // few distinct rows can sample EMPTY — fall back to the full
+      // frame (deterministically) rather than hand MLlib an empty fit
+      if (out.isEmpty) df else out
+    }
 
   /** Single validator shared by BoostParams and the estimator setter
     * — one place to extend when a new strategy is added.
     */
   def validateMissingStrategy(s: String): Unit =
-    require(s == "impute" || s == "sentinel",
-      s"unknown missingStrategy '$s' (use \"impute\" or \"sentinel\")")
+    require(s == "impute" || s == "sentinel" || s == "native",
+      s"unknown missingStrategy '$s' (use \"impute\", \"sentinel\" or \"native\")")
 
   /** Trained model + training metadata. `numClasses` mirrors the
     * reference's `num_class` model attribute (`core.py:262-264`);
@@ -173,7 +218,8 @@ object GraftBoost {
   def assemble(
       df: DataFrame,
       featureCols: Seq[String],
-      imputation: Option[(Double, Map[String, Double])]
+      imputation: Option[(Double, Map[String, Double])],
+      keepNaN: Boolean = false
   ): DataFrame = {
     // Pre-assembled vector column (e.g. embeddings via
     // array_to_vector) passes straight through.
@@ -184,10 +230,9 @@ object GraftBoost {
       case None => df
       case Some((marker, repl)) =>
         // Replace the marker with the TRAINING-time replacement value
-        // (column mean or out-of-range sentinel — both learned at fit
-        // time and carried on the model for serve parity). Divergence
-        // from XGBoost sparse-skip is documented on
-        // BoostParams.missingStrategy.
+        // (column mean, out-of-range sentinel, or NaN for the native
+        // sparse path — learned/fixed at fit time and carried on the
+        // model for serve parity).
         featureCols.foldLeft(df) { case (d, c) =>
           d.withColumn(c, when(col(c) === marker, repl(c)).otherwise(col(c)))
         }
@@ -195,6 +240,10 @@ object GraftBoost {
     new VectorAssembler()
       .setInputCols(featureCols.toArray)
       .setOutputCol("features")
+      // "keep" lets NaN ride into the vector for the native
+      // sparse-skip path; MLlib-backed paths keep the erroring
+      // default so a stray NaN fails loudly instead of mistraining
+      .setHandleInvalid(if (keepNaN) "keep" else "error")
       .transform(cleaned)
   }
 
@@ -219,12 +268,31 @@ object GraftBoost {
       weightCol: Option[String] = None,
       validationCol: Option[String] = None
   ): GraftBoostModel = {
+    val native = params.missingStrategy == "native"
     val imputation = params.missing.map { m =>
-      if (params.missingStrategy == "sentinel") (m, learnSentinels(df, featureCols, m))
-      else (m, learnImputation(df, featureCols, m))
+      params.missingStrategy match {
+        case "sentinel" => (m, learnSentinels(df, featureCols, m))
+        // native: the marker becomes NaN and the sparse loop routes
+        // it along the learned default branch — nothing to learn here
+        case "native" => (m, featureCols.map(_ -> Double.NaN).toMap)
+        case _ => (m, learnImputation(df, featureCols, m))
+      }
     }
-    val data = assemble(df, featureCols, imputation)
+    val data = assemble(df, featureCols, imputation, keepNaN = native)
       .withColumn("label", col(labelCol).cast("double"))
+
+    if (native) {
+      // XGBoost's sparsity-aware mechanism — a custom histogram loop
+      // (SparseBoost) since MLlib rejects NaN features outright
+      require(validationCol.isEmpty,
+        "native sparse boosting records its train history itself; " +
+        "use StagedEval on the returned model for validation metrics")
+      val (m, histN) = SparseBoost.train(data, params, weightCol)
+      val metric = if (params.objective == "binary:logistic") "logloss" else "rmse"
+      return GraftBoostModel(m, featureCols, params.objective,
+        if (params.objective == "binary:logistic") 2 else 0,
+        Map("train" -> Map(metric -> histN)), imputation, "native")
+    }
 
     params.objective match {
       case "reg:squarederror" =>
@@ -351,8 +419,10 @@ object GraftBoost {
     * the probability vector column; see [[predictProba]].
     */
   def predict(model: GraftBoostModel, df: DataFrame): DataFrame = {
-    val data = assemble(df, model.featureCols, model.imputation)
+    val data = assemble(df, model.featureCols, model.imputation,
+      keepNaN = model.missingStrategy == "native")
     val scored = model.model match {
+      case m: SparseBoost.SparseModel     => m.transform(data)
       case m: GBTRegressionModel         => m.transform(data)
       case m: GBTClassificationModel     => m.transform(data)
       case m: RandomForestClassificationModel => m.transform(data)
@@ -371,8 +441,17 @@ object GraftBoost {
     * `core.py:374`).
     */
   def predictProba(model: GraftBoostModel, df: DataFrame): DataFrame = {
-    val data = assemble(df, model.featureCols, model.imputation)
+    val data = assemble(df, model.featureCols, model.imputation,
+      keepNaN = model.missingStrategy == "native")
     model.model match {
+      case m: SparseBoost.SparseModel if m.objective == "binary:logistic" =>
+        // sigmoid of the boosted margin — the XGBoost binary proba
+        val bc = data.sparkSession.sparkContext.broadcast(m)
+        val pU = udf((v: Vector) => {
+          val p = bc.value.probOf(v)
+          Array(1.0 - p, p)
+        })
+        data.withColumn("proba", pU(col("features"))).drop("features")
       case m: SoftprobBoost.SoftprobModel =>
         // TRUE multi:softprob probabilities: softmax of the jointly
         // boosted margins — not an OvR renormalization. exp array and
@@ -542,6 +621,7 @@ object GraftBoost {
         margins.indices.maxBy(margins(_)).toDouble
       case m: QuantileBoost.QuantileModel => m.predictOne(f)
       case m: PoissonBoost.PoissonModel   => m.predictOne(f)
+      case m: SparseBoost.SparseModel     => m.predictOne(f)
       case m => throw new UnsupportedOperationException(
         s"local predict unavailable for ${m.getClass}")
     }
@@ -572,6 +652,10 @@ object GraftBoost {
         // joint forest, renormalized — every (round, class) tree
         // contributes equally, matching XGBoost's gain averaging
         avgNormalized(sp.trees.flatten.map(_.featureImportances.toArray))
+      case sb: SparseBoost.SparseModel =>
+        // per-feature total split gain accumulated during training —
+        // XGBoost's `total_gain` importance, already normalized
+        sb.importances
       case m => throw new UnsupportedOperationException(
         s"feature importances unavailable for ${m.getClass}")
     }

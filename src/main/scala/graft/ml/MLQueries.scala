@@ -759,8 +759,75 @@ object MLQueries {
     """)
   )
 
+  /** Native sparsity-aware missing-value lifecycle ([[SparseBoost]],
+    * `missingStrategy = "native"` — XGBoost's learned default
+    * direction, Chen & Guestrin §3.3; reference `core.py:370-377`).
+    * A real missingness pattern is injected into `l_discount`
+    * (marker −999 on l_partkey ≡ 0 mod 7 — correlated with nothing,
+    * so the learned branch must come from the gradient mass, not a
+    * leak), then the booster trains WITHOUT imputation. Gates:
+    * accuracy against the majority baseline (as ml_binary), the
+    * train logloss history falling, and accuracy on the MISSING rows
+    * specifically beating their own majority share — the slice that
+    * collapses to the marginal if default-branch routing is broken.
+    * n_missing is exact SQL (the injection predicate), so the oracle
+    * hash-checks the missingness plumbing too.
+    */
+  val mlSparseNative = GraftQuery(
+    "ml_sparse_native_missing",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val feats = Seq("l_quantity", "l_extendedprice", "l_discount")
+      val df = t.lineitem
+        .withColumn("label", (col("l_returnflag") === "R").cast("double"))
+        .withColumn("l_discount",
+          when(pmod(col("l_partkey"), lit(7)) === 0, lit(-999.0))
+            .otherwise(col("l_discount")))
+        .withColumn("is_missing", pmod(col("l_partkey"), lit(7)) === 0)
+        .select((feats.map(col) :+ col("label") :+ col("is_missing")): _*)
+        .cache()
+      val model = GraftBoost.train(df, feats, "label",
+        GraftBoost.BoostParams("binary:logistic", numRound = 6, maxDepth = 3,
+          maxBins = 16, missing = Some(-999.0), missingStrategy = "native"))
+      val hist = model.evalsResult("train")("logloss")
+      val out = GraftBoost.predict(model, df)
+        .agg(
+          count(lit(1)).as("n_rows"),
+          sum(col("is_missing").cast("long")).as("n_missing"),
+          sum(col("label")).as("n_pos"),
+          sum((col("prediction") === col("label")).cast("long")).as("n_correct"),
+          sum(when(col("is_missing"),
+            (col("prediction") === col("label")).cast("long")).otherwise(0L))
+            .as("n_correct_miss"),
+          sum(when(col("is_missing"), col("label")).otherwise(0.0))
+            .as("n_pos_miss"))
+        .select(
+          col("n_rows").cast("long").as("n_rows"),
+          col("n_missing").cast("long").as("n_missing"),
+          (col("n_correct") >=
+            greatest(col("n_pos"), col("n_rows") - col("n_pos")) * 0.98)
+            .as("acc_ok"),
+          (col("n_correct_miss") >=
+            greatest(col("n_pos_miss"), col("n_missing") - col("n_pos_miss"))
+              * 0.98).as("missing_slice_ok"),
+          lit(hist.last < hist.head).as("loss_improves_ok"))
+      out.persist().count()
+      df.unpersist(false)
+      out
+    },
+    Some("""
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+             CAST(SUM(CASE WHEN l_partkey % 7 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_missing,
+             TRUE AS acc_ok, TRUE AS missing_slice_ok,
+             TRUE AS loss_improves_ok
+      FROM lineitem
+    """)
+  )
+
   def all: Seq[GraftQuery] =
     Seq(mlBinary, mlRegression, mlMulticlass, mlCvKfold, mlTextClassifier,
       mlCvRollingOrigin, mlCalibrationBins, mlPermutationImportance,
-      mlMulticlassSoftprob, mlQuantile, mlFeatureContribs, mlPoisson)
+      mlMulticlassSoftprob, mlQuantile, mlFeatureContribs, mlPoisson,
+      mlSparseNative)
 }

@@ -63,6 +63,22 @@ object ModelIO {
       value: Seq[Seq[Double]]
   )
 
+  /** Serialized form of a [[SparseBoost.SparseModel]] — model-sized
+    * driver arrays stored as one JSON under `model/sparse.json`.
+    * Thresholds/values are always finite; NaN never reaches the doc.
+    */
+  private case class SparseDoc(
+      base: Double,
+      objective: String,
+      importances: Seq[Double],
+      feature: Seq[Seq[Int]],
+      thresh: Seq[Seq[Double]],
+      left: Seq[Seq[Int]],
+      right: Seq[Seq[Int]],
+      defaultLeft: Seq[Seq[Boolean]],
+      value: Seq[Seq[Double]]
+  )
+
   /** The divergence notes a given model carries (reference:
     * `core.py:370-377` sparse-skip missing; `core.py:580-590`
     * multi:softprob single-model multiclass).
@@ -77,6 +93,12 @@ object ModelIO {
         Some("missing-marker: marker values mapped to a learned out-of-range " +
           "sentinel so tree splits isolate them (XGBoost uses sparse default-" +
           "branch routing; reference core.py:370-377).")
+      case "native" =>
+        Some("missing-marker: NATIVE sparsity-aware routing — a default " +
+          "direction is learned per split from the missing rows' gradient " +
+          "mass (Chen & Guestrin 2016 §3.3); mechanism parity with XGBoost " +
+          "sparse-skip (reference core.py:370-377), up to split-proposal " +
+          "quantile details.")
       case _ => None
     }
     val multi =
@@ -126,6 +148,22 @@ object ModelIO {
         val outQ = fsQ.create(new Path(path, "model/quantile.json"), true)
         try outQ.write(Serialization.write(doc).getBytes("UTF-8"))
         finally outQ.close()
+      // a sparse booster is model-sized driver arrays — one JSON
+      case sm: SparseBoost.SparseModel =>
+        import org.json4s.DefaultFormats
+        import org.json4s.jackson.Serialization
+        implicit val fmt: DefaultFormats.type = DefaultFormats
+        val doc = SparseDoc(sm.base, sm.objective, sm.importances.toSeq,
+          sm.trees.map(_.feature.toSeq).toSeq,
+          sm.trees.map(_.thresh.toSeq).toSeq,
+          sm.trees.map(_.left.toSeq).toSeq,
+          sm.trees.map(_.right.toSeq).toSeq,
+          sm.trees.map(_.defaultLeft.toSeq).toSeq,
+          sm.trees.map(_.value.toSeq).toSeq)
+        val fsS = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val outS = fsS.create(new Path(path, "model/sparse.json"), true)
+        try outS.write(Serialization.write(doc).getBytes("UTF-8"))
+        finally outS.close()
       case w: MLWritable =>
         w.write.overwrite().save(new Path(path, "model").toString)
       case m => throw new UnsupportedOperationException(s"not writable: ${m.getClass}")
@@ -141,7 +179,10 @@ object ModelIO {
       model.numClasses,
       model.missingStrategy,
       model.imputation.map(_._1),
-      model.imputation.map(_._2).getOrElse(Map.empty),
+      // native replacement values are NaN (not valid JSON) and fully
+      // determined by the strategy — rebuilt at load from featureCols
+      if (model.missingStrategy == "native") Map.empty
+      else model.imputation.map(_._2).getOrElse(Map.empty),
       model.evalsResult,
       model.calibration.map(_.map(_._1).toSeq).getOrElse(Seq.empty),
       model.calibration.map(_.map(_._2).toSeq).getOrElse(Seq.empty),
@@ -204,6 +245,18 @@ object ModelIO {
         }
         new PoissonBoost.PoissonModel("poisson_loaded", trees,
           meta.poissonBase, meta.poissonEta)
+      case c if c.endsWith("SparseModel") =>
+        val inS = fs.open(new Path(path, "model/sparse.json"))
+        val jsonS = try scala.io.Source.fromInputStream(inS, "UTF-8").mkString
+          finally inS.close()
+        val doc = JsonMethods.parse(jsonS).extract[SparseDoc]
+        val trees = doc.feature.indices.map { i =>
+          SparseBoost.SparseTree(doc.feature(i).toArray, doc.thresh(i).toArray,
+            doc.left(i).toArray, doc.right(i).toArray,
+            doc.defaultLeft(i).toArray, doc.value(i).toArray)
+        }.toArray
+        new SparseBoost.SparseModel("sparse_loaded", trees, doc.base,
+          doc.objective, doc.importances.toArray)
       case c if c.endsWith("QuantileModel") =>
         val inQ = fs.open(new Path(path, "model/quantile.json"))
         val jsonQ = try scala.io.Source.fromInputStream(inQ, "UTF-8").mkString
@@ -223,7 +276,11 @@ object ModelIO {
       meta.objective,
       meta.numClasses,
       meta.evalsResult,
-      meta.imputationMarker.map(m => (m, meta.imputationMeans)),
+      meta.imputationMarker.map { m =>
+        if (meta.missingStrategy == "native")
+          (m, meta.featureCols.map(_ -> Double.NaN).toMap)
+        else (m, meta.imputationMeans)
+      },
       meta.missingStrategy,
       if (meta.calibrationA.isEmpty) None
       else Some(meta.calibrationA.zip(meta.calibrationB).toArray)

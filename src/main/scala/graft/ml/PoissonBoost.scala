@@ -106,6 +106,10 @@ object PoissonBoost {
     val hist = new ArrayBuffer[Double](params.numRound)
     val forest = new ArrayBuffer[DecisionTreeRegressionModel](params.numRound)
     for (r <- 1 to params.numRound) {
+      // XGBoost's `subsample`: deterministic content-hash Bernoulli
+      // round sample ([[GraftBoost.roundSample]])
+      val fitBase = GraftBoost.roundSample(cur, params.subsample,
+        params.seed + 173L * r)
       val mu = greatest(exp(col("f")), lit(HessFloor))
       val z = least(greatest((col("label") - mu) / mu, lit(-ZClip)), lit(ZClip))
       val h = weightCol.map(w => mu * col(w)).getOrElse(mu)
@@ -114,7 +118,7 @@ object PoissonBoost {
         .setMaxDepth(params.maxDepth).setMaxBins(params.maxBins)
         .setMinInstancesPerNode(params.minChildWeight)
         .setSeed(params.seed + 173L * r)
-      val fitted = dt.fit(cur.withColumn("z", z).withColumn("h", h))
+      val fitted = dt.fit(fitBase.withColumn("z", z).withColumn("h", h))
       forest += fitted
       val bc = data.sparkSession.sparkContext.broadcast(fitted)
       val eta = params.eta

@@ -182,16 +182,11 @@ object QuantileBoost {
     val hist = new ArrayBuffer[Double](params.numRound)
     val forest = new ArrayBuffer[PlainTree](params.numRound)
     for (r <- 1 to params.numRound) {
-      // XGBoost's `subsample`: stochastic gradient boosting (Friedman
-      // 2002) — each round fits on a DETERMINISTIC hash-Bernoulli row
-      // sample keyed by (label, seed, round), so runs are reproducible
-      // with no RNG state while the sample still reshuffles per round.
-      // Margin updates and the train history stay full-data.
-      val fitBase =
-        if (params.subsample >= 1.0) cur
-        else cur.filter(
-          pmod(xxhash64(col("label"), lit(params.seed + 131L * r)), lit(1000L))
-            < lit(math.round(params.subsample * 1000)))
+      // XGBoost's `subsample`: each round fits on a deterministic
+      // content-hash Bernoulli sample ([[GraftBoost.roundSample]]);
+      // margin updates and the train history stay full-data.
+      val fitBase = GraftBoost.roundSample(cur, params.subsample,
+        params.seed + 131L * r)
       // pinball negative gradient: α − 1{y ≤ F} ∈ {α−1, α}
       val g = when(col("label") <= col("f"), lit(alpha - 1.0))
         .otherwise(lit(alpha))

@@ -202,6 +202,11 @@ object SoftprobBoost {
     // gradients — no duplicate softmax scan
     var scored = withProbs(cur).cache()
     for (r <- 1 to params.numRound) {
+      // XGBoost's `subsample`: one deterministic content-hash
+      // Bernoulli sample per round ([[GraftBoost.roundSample]]),
+      // shared by all K class trees
+      val fitBase = GraftBoost.roundSample(scored, params.subsample,
+        params.seed + 31L * r)
       val roundTrees = (0 until K).map { k =>
         val pk = element_at(col("p"), k + 1)
         val yk = when(col("label") === k.toDouble, lit(1.0)).otherwise(lit(0.0))
@@ -213,7 +218,7 @@ object SoftprobBoost {
           .setMaxDepth(params.maxDepth).setMaxBins(params.maxBins)
           .setMinInstancesPerNode(params.minChildWeight)
           .setSeed(params.seed + 31L * r + k)
-          .fit(scored.withColumn("z", z).withColumn("h", h))
+          .fit(fitBase.withColumn("z", z).withColumn("h", h))
       }.toArray
       forest += roundTrees
       val bc = spark.sparkContext.broadcast(roundTrees)

@@ -74,6 +74,29 @@ class PoissonBoostSpec extends AnyFunSuite {
       }
   }
 
+  test("subsample < 1 is deterministic and still converges near the MLEs") {
+    // a per-row-distinct jitter feature keeps the content hash
+    // well-mixed (the grouped fixture has only 6 distinct rows)
+    val jittered = (0 until 300).map { i =>
+      if (i % 2 == 0) (0.0, i.toDouble, Seq(1.0, 2.0, 3.0)(i % 3))
+      else (1.0, i.toDouble, Seq(8.0, 10.0, 12.0)(i % 3))
+    }.toDF("x", "j", "y")
+    val p = BoostParams("count:poisson", numRound = 12, maxDepth = 1,
+      eta = 0.5, subsample = 0.5)
+    val m1 = GraftBoost.train(jittered, Seq("x", "j"), "y", p)
+    val m2 = GraftBoost.train(jittered, Seq("x", "j"), "y", p)
+    val a = GraftBoost.predict(m1, jittered).orderBy("x", "j")
+      .select("prediction").collect().map(_.getDouble(0))
+    val b = GraftBoost.predict(m2, jittered).orderBy("x", "j")
+      .select("prediction").collect().map(_.getDouble(0))
+    assert(a.sameElements(b), "content-hash subsampling must be reproducible")
+    val preds = GraftBoost.predict(m1, jittered)
+      .groupBy("x").agg(avg("prediction").as("p"))
+      .collect().map(r => r.getDouble(0) -> r.getDouble(1)).toMap
+    assert(math.abs(preds(0.0) - 2.0) < 0.6, s"region 0: ${preds(0.0)}")
+    assert(math.abs(preds(1.0) - 10.0) < 2.0, s"region 1: ${preds(1.0)}")
+  }
+
   test("model sink round-trip scores identically") {
     val m = GraftBoost.train(grouped, Seq("x"), "y",
       BoostParams("count:poisson", numRound = 4, maxDepth = 1))
