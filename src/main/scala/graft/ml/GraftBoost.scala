@@ -99,7 +99,36 @@ object GraftBoost {
         * Used by the native sparse loop ([[SparseBoost]]); the
         * MLlib-backed paths have no leaf shrinkage knob.
         */
-      lambdaL2: Double = 1.0
+      lambdaL2: Double = 1.0,
+      /** Minimum loss reduction to make a split (XGBoost's `gamma` /
+        * `min_split_loss`, default 0). Native loop only.
+        */
+      gammaMinSplitLoss: Double = 0.0,
+      /** Fraction of features considered per tree (XGBoost's
+        * `colsample_bytree`). The subset is a deterministic hash
+        * ranking per round — reproducible with no RNG state. Native
+        * loop only.
+        */
+      colsampleBytree: Double = 1.0,
+      /** Gradient/hessian multiplier on positive-class rows
+        * (XGBoost's `scale_pos_weight`) — class-imbalance control for
+        * binary:logistic. Native loop only.
+        */
+      scalePosWeight: Double = 1.0,
+      /** Per-feature monotone constraints (XGBoost's
+        * `monotone_constraints`): +1 non-decreasing, −1
+        * non-increasing, 0 free. Empty = unconstrained. Native loop
+        * only; enforced by split rejection + child value-bound
+        * propagation, so the FINAL model is monotone, not just each
+        * split.
+        */
+      monotoneConstraints: Seq[Int] = Nil,
+      /** Variance power ρ ∈ (1, 2) for `reg:tweedie` (XGBoost's
+        * `tweedie_variance_power`, default 1.5): compound
+        * Poisson-gamma — point mass at zero plus positive skew, the
+        * insurance-severity shape. Ignored by other objectives.
+        */
+      tweedieVariancePower: Double = 1.5
   ) {
     GraftBoost.validateMissingStrategy(missingStrategy)
   }
@@ -138,6 +167,16 @@ object GraftBoost {
       // frame (deterministically) rather than hand MLlib an empty fit
       if (out.isEmpty) df else out
     }
+
+  /** Train-history metric name for the native sparse loop's
+    * objectives (XGBoost's default eval metric per objective).
+    */
+  private def sparseMetricName(objective: String): String = objective match {
+    case "binary:logistic" => "logloss"
+    case "reg:gamma"       => "gamma-deviance"
+    case "reg:tweedie"     => "tweedie-nloglik"
+    case _                 => "rmse"
+  }
 
   /** Single validator shared by BoostParams and the estimator setter
     * — one place to extend when a new strategy is added.
@@ -266,7 +305,11 @@ object GraftBoost {
       labelCol: String,
       params: BoostParams = BoostParams(),
       weightCol: Option[String] = None,
-      validationCol: Option[String] = None
+      validationCol: Option[String] = None,
+      /** Query/group id column for ranking objectives — the
+        * reference's DMatrix group vector.
+        */
+      groupCol: Option[String] = None
   ): GraftBoostModel = {
     val native = params.missingStrategy == "native"
     val imputation = params.missing.map { m =>
@@ -281,6 +324,21 @@ object GraftBoost {
     val data = assemble(df, featureCols, imputation, keepNaN = native)
       .withColumn("label", col(labelCol).cast("double"))
 
+    if (params.objective == "rank:pairwise") {
+      // pairwise learning-to-rank — a custom loop (RankBoost) whose
+      // tree learner is the shared sparse histogram grower, so the
+      // native NaN routing above applies to ranking too
+      require(groupCol.isDefined,
+        "rank:pairwise needs groupCol (the DMatrix group vector)")
+      require(validationCol.isEmpty,
+        "ranking records its NDCG train history itself")
+      val (m, histR) = RankBoost.train(
+        data.withColumn("group", col(groupCol.get)), params)
+      return GraftBoostModel(m, featureCols, params.objective, 0,
+        Map("train" -> Map("ndcg@10" -> histR)), imputation,
+        params.missingStrategy)
+    }
+
     if (native) {
       // XGBoost's sparsity-aware mechanism — a custom histogram loop
       // (SparseBoost) since MLlib rejects NaN features outright
@@ -288,10 +346,10 @@ object GraftBoost {
         "native sparse boosting records its train history itself; " +
         "use StagedEval on the returned model for validation metrics")
       val (m, histN) = SparseBoost.train(data, params, weightCol)
-      val metric = if (params.objective == "binary:logistic") "logloss" else "rmse"
       return GraftBoostModel(m, featureCols, params.objective,
         if (params.objective == "binary:logistic") 2 else 0,
-        Map("train" -> Map(metric -> histN)), imputation, "native")
+        Map("train" -> Map(sparseMetricName(params.objective) -> histN)),
+        imputation, "native")
     }
 
     params.objective match {
@@ -335,6 +393,16 @@ object GraftBoost {
         GraftBoostModel(m, featureCols, params.objective, 0,
           Map("train" -> Map("pinball" -> histQ)), imputation,
           params.missingStrategy)
+
+      case "reg:gamma" | "reg:tweedie" =>
+        // log-link deviance objectives — always the native histogram
+        // loop (SparseBoost); MLlib GBT has neither loss family
+        require(validationCol.isEmpty,
+          "gamma/tweedie boosting records its train history itself")
+        val (m, histG) = SparseBoost.train(data, params, weightCol)
+        GraftBoostModel(m, featureCols, params.objective, 0,
+          Map("train" -> Map(sparseMetricName(params.objective) -> histG)),
+          imputation, params.missingStrategy)
 
       case "count:poisson" =>
         // log-link Newton boosting — a custom loop (PoissonBoost),

@@ -825,9 +825,116 @@ object MLQueries {
     """)
   )
 
+  /** Pairwise learning-to-rank lifecycle ([[RankBoost]], XGBoost's
+    * `rank:pairwise` via the reference's params passthrough). Orders
+    * are the query groups (l_orderkey), graded relevance is the NET
+    * REVENUE tier — price·(1−discount) bucketed — so the ranker must
+    * learn the price×discount interaction, not copy one feature
+    * (quantity is unusable as relevance here: it is independent of
+    * every feature in this synthetic corpus, corr ≈ 0.003). Gates: the train NDCG@10 history never
+    * degrades and ends above the untrained (all-zero-margin) NDCG by
+    * a clear margin — the ordering signal must come from the learned
+    * trees, not tie-break luck. n_rows and n_groups are exact SQL, so
+    * the oracle hash-checks the grouping plumbing.
+    */
+  val mlRankPairwise = GraftQuery(
+    "ml_rank_pairwise",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val feats = Seq("l_extendedprice", "l_discount", "l_tax")
+      val df = t.lineitem
+        .withColumn("label",
+          floor(col("l_extendedprice") * (lit(1.0) - col("l_discount")) / 20000.0)
+            .cast("double"))
+        .withColumn("group", col("l_orderkey").cast("long"))
+        .select((feats.map(col) :+ col("label") :+ col("group")): _*)
+        .cache()
+      val model = GraftBoost.train(df, feats, "label",
+        GraftBoost.BoostParams("rank:pairwise", numRound = 4, maxDepth = 3,
+          maxBins = 16, eta = 0.3), groupCol = Some("group"))
+      val hist = model.evalsResult("train")("ndcg@10")
+      // the untrained baseline: all margins zero, ranking is pure
+      // content-hash tie-break
+      val ndcg0 = RankBoost.meanNdcg(
+        df.withColumn("f", lit(0.0)), "group", "label", "f", 10)
+      val out = df.agg(
+          count(lit(1)).as("n_rows"),
+          countDistinct(col("group")).as("n_groups"))
+        .select(
+          col("n_rows").cast("long").as("n_rows"),
+          col("n_groups").cast("long").as("n_groups"),
+          lit(hist.last >= hist.head - 0.01).as("ndcg_monotone_ok"),
+          lit(hist.last > ndcg0 + 0.02).as("beats_untrained_ok"))
+      out.persist().count()
+      df.unpersist(false)
+      out
+    },
+    Some("""
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+             CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_groups,
+             TRUE AS ndcg_monotone_ok, TRUE AS beats_untrained_ok
+      FROM lineitem
+    """)
+  )
+
+  /** Tweedie severity lifecycle ([[SparseBoost]] `reg:tweedie`, the
+    * XGBoost insurance objective via the reference's params
+    * passthrough). The target is zero-inflated by construction —
+    * quantity paid out only on returned lines — exactly the compound
+    * Poisson-gamma shape (point mass at zero + positive skew) that
+    * squared error mis-centers and gamma cannot touch (y > 0
+    * required). Gates: the train tweedie-nloglik history falls, every
+    * prediction is strictly positive (log link), and the model's
+    * mean absolute error beats the constant global-mean predictor —
+    * the base margin IS that predictor, so any useful round improves
+    * on it. n_rows / n_zero are exact SQL.
+    */
+  val mlTweedie = GraftQuery(
+    "ml_tweedie_severity",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val feats = Seq("l_extendedprice", "l_discount", "l_tax")
+      val df = t.lineitem
+        .withColumn("label",
+          when(col("l_returnflag") === "R", col("l_quantity").cast("double"))
+            .otherwise(lit(0.0)))
+        .select((feats.map(col) :+ col("label")): _*)
+        .cache()
+      val model = GraftBoost.train(df, feats, "label",
+        GraftBoost.BoostParams("reg:tweedie", numRound = 6, maxDepth = 3,
+          maxBins = 16, eta = 0.3, tweedieVariancePower = 1.5))
+      val hist = model.evalsResult("train")("tweedie-nloglik")
+      val yMean = df.select(avg(col("label"))).head().getDouble(0)
+      val out = GraftBoost.predict(model, df)
+        .agg(
+          count(lit(1)).as("n_rows"),
+          sum((col("label") === 0.0).cast("long")).as("n_zero"),
+          min(col("prediction")).as("min_pred"),
+          avg(abs(col("label") - col("prediction"))).as("mae_model"),
+          avg(abs(col("label") - lit(yMean))).as("mae_const"))
+        .select(
+          col("n_rows").cast("long").as("n_rows"),
+          col("n_zero").cast("long").as("n_zero"),
+          (col("min_pred") > 0.0).as("positive_ok"),
+          (col("mae_model") < col("mae_const")).as("beats_const_ok"),
+          lit(hist.last < hist.head).as("nloglik_improves_ok"))
+      out.persist().count()
+      df.unpersist(false)
+      out
+    },
+    Some("""
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+             CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 0 ELSE 1 END) AS BIGINT)
+               AS n_zero,
+             TRUE AS positive_ok, TRUE AS beats_const_ok,
+             TRUE AS nloglik_improves_ok
+      FROM lineitem
+    """)
+  )
+
   def all: Seq[GraftQuery] =
     Seq(mlBinary, mlRegression, mlMulticlass, mlCvKfold, mlTextClassifier,
       mlCvRollingOrigin, mlCalibrationBins, mlPermutationImportance,
       mlMulticlassSoftprob, mlQuantile, mlFeatureContribs, mlPoisson,
-      mlSparseNative)
+      mlSparseNative, mlRankPairwise, mlTweedie)
 }

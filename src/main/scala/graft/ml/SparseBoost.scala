@@ -38,9 +38,13 @@ import org.apache.spark.sql.types._
   *     actual semantics, where the MLlib-backed paths could only
   *     approximate it with minInstancesPerNode.
   *
-  * Objectives: `binary:logistic` (g = p − y, h = p(1−p)) and
-  * `reg:squarederror` (g = f − y, h = 1), selected by
-  * `BoostParams.objective` under `missingStrategy = "native"`.
+  * Objectives: `binary:logistic` (g = p − y, h = p(1−p)),
+  * `reg:squarederror` (g = f − y, h = 1), and the log-link deviance
+  * pair `reg:gamma` / `reg:tweedie` (XGBoost's insurance-severity
+  * objectives; exact Newton g/h on the margin scale, predictions on
+  * the response scale e^f). binary/squared are reached under
+  * `missingStrategy = "native"`; gamma/tweedie ALWAYS train here —
+  * MLlib GBT has neither loss family.
   *
   * Determinism: histogram partials are folded on the driver in
   * partition-index order (float addition order is fixed), split ties
@@ -112,9 +116,12 @@ object SparseBoost {
 
     def probOf(v: Vector): Double = 1.0 / (1.0 + math.exp(-marginOf(v)))
 
-    def predictOne(v: Vector): Double =
-      if (objective == "binary:logistic") { if (marginOf(v) > 0.0) 1.0 else 0.0 }
-      else marginOf(v)
+    def predictOne(v: Vector): Double = objective match {
+      case "binary:logistic" => if (marginOf(v) > 0.0) 1.0 else 0.0
+      // log-link objectives predict on the response scale
+      case "reg:gamma" | "reg:tweedie" => math.exp(marginOf(v))
+      case _ => marginOf(v)
+    }
 
     override def transform(ds: Dataset[_]): DataFrame = {
       val bc = ds.sparkSession.sparkContext.broadcast(this)
@@ -178,16 +185,30 @@ object SparseBoost {
     * histogram pass per level; all split math on the driver over
     * model-sized aggregates. Returns the tree plus its per-feature
     * gain totals (importance accumulation).
+    *
+    * @param allowed per-feature mask — the round's `colsample_bytree`
+    *                subset; masked features never enter split search
+    * @param constraints per-feature monotone direction (+1/−1/0).
+    *                Enforced XGBoost-style: a candidate split on a
+    *                constrained feature is REJECTED when its child
+    *                Newton weights violate the ordering, and accepted
+    *                splits propagate [lower, upper] value bounds to
+    *                their children (midpoint fencing), with every
+    *                leaf clamped into its node's bounds — monotone in
+    *                the MODEL, not merely per split.
     */
   private[ml] def growTree(
       fit: DataFrame,
       edges: Array[Array[Double]],
       params: GraftBoost.BoostParams,
-      gainOut: Array[Double]
+      gainOut: Array[Double],
+      allowed: Array[Boolean],
+      constraints: Array[Int]
   ): SparseTree = {
     val numFeat = edges.length
     val lambda = params.lambdaL2
     val minH = params.minChildWeight.toDouble
+    val minGain = math.max(params.gammaMinSplitLoss, 0.0) + 1e-12
 
     // per-node histogram block layout: feature j occupies
     // edges(j).length + 2 slots (regions 0..m_j plus one MISSING bin)
@@ -208,17 +229,21 @@ object SparseBoost {
       col("h").cast("double"))
 
     val totals = rows.select(sum(col("g")), sum(col("h")), count(lit(1))).head()
-    // (G, H, count) per live frontier node, tracked exactly from the
-    // parent's chosen split — no extra pass at finalization
-    var frontier: Vector1 = scala.Vector(
-      (0, totals.getDouble(0), totals.getDouble(1), totals.getLong(2).toDouble))
+    // (G, H, count, valueLo, valueHi) per live frontier node: totals
+    // tracked exactly from the parent's chosen split (no extra pass
+    // at finalization); the bounds are the monotone-constraint fences
+    var frontier: scala.Vector[NodeStat] = scala.Vector(NodeStat(0,
+      totals.getDouble(0), totals.getDouble(1), totals.getLong(2).toDouble,
+      Double.NegativeInfinity, Double.PositiveInfinity))
 
-    def leafValue(g: Double, h: Double): Double =
-      params.eta * (-g / (h + lambda))
+    def clamp(w: Double, lo: Double, hi: Double): Double =
+      math.min(math.max(w, lo), hi)
+    def leafValue(g: Double, h: Double, lo: Double, hi: Double): Double =
+      params.eta * clamp(-g / (h + lambda), lo, hi)
 
     var depth = 0
     while (depth < params.maxDepth && frontier.nonEmpty) {
-      val slotOf = frontier.map(_._1).zipWithIndex.toMap
+      val slotOf = frontier.map(_.node).zipWithIndex.toMap
       // immutable snapshots for the task closure (small, model-sized)
       val fSnap = feature.toArray
       val tSnap = thresh.toArray
@@ -271,15 +296,25 @@ object SparseBoost {
         while (i < size) { hist(i) += p(i); i += 1 }
       }
 
-      val next = scala.Vector.newBuilder[(Int, Double, Double, Double)]
-      frontier.foreach { case (node, gTot, hTot, cTot) =>
+      val next = scala.Vector.newBuilder[NodeStat]
+      frontier.foreach { case NodeStat(node, gTot, hTot, cTot, vLo, vHi) =>
         val base = slotOf(node) * perNode
         val parentScore = gTot * gTot / (hTot + lambda)
+        // ordering check for a monotone-constrained candidate: clamp
+        // the child Newton weights into the node's fence first (the
+        // values the children can actually take), then compare
+        def monoOk(c: Int, gl: Double, hl: Double, gr: Double, hr: Double): Boolean =
+          c == 0 || {
+            val wl = clamp(-gl / (hl + lambda), vLo, vHi)
+            val wr = clamp(-gr / (hr + lambda), vLo, vHi)
+            if (c > 0) wl <= wr else wl >= wr
+          }
         var best: Option[Split] = None
         var jj = 0
         while (jj < numFeat) {
           val m = edges(jj).length
-          if (m > 0) {
+          if (m > 0 && allowed(jj)) {
+            val cj = constraints(jj)
             val off = (base + featOff(jj)) * 3
             val missIdx = off + (m + 1) * 3
             val gMiss = hist(missIdx)
@@ -294,20 +329,22 @@ object SparseBoost {
               // missing → right (enumerated first; ties keep it)
               var glx = gl; var hlx = hl; var clx = cl
               var grx = gTot - glx; var hrx = hTot - hlx; var crx = cTot - clx
-              if (hlx >= minH && hrx >= minH && clx >= 1 && crx >= 1) {
+              if (hlx >= minH && hrx >= minH && clx >= 1 && crx >= 1 &&
+                  monoOk(cj, glx, hlx, grx, hrx)) {
                 val gain = 0.5 * (glx * glx / (hlx + lambda) +
                   grx * grx / (hrx + lambda) - parentScore)
-                if (gain > best.map(_.gain).getOrElse(1e-12))
+                if (gain > best.map(_.gain).getOrElse(minGain))
                   best = Some(Split(jj, b, defaultLeft = false, gain,
                     glx, hlx, clx, grx, hrx, crx))
               }
               // missing → left
               glx = gl + gMiss; hlx = hl + hMiss; clx = cl + cMiss
               grx = gTot - glx; hrx = hTot - hlx; crx = cTot - clx
-              if (cMiss > 0 && hlx >= minH && hrx >= minH && clx >= 1 && crx >= 1) {
+              if (cMiss > 0 && hlx >= minH && hrx >= minH && clx >= 1 && crx >= 1 &&
+                  monoOk(cj, glx, hlx, grx, hrx)) {
                 val gain = 0.5 * (glx * glx / (hlx + lambda) +
                   grx * grx / (hrx + lambda) - parentScore)
-                if (gain > best.map(_.gain).getOrElse(1e-12))
+                if (gain > best.map(_.gain).getOrElse(minGain))
                   best = Some(Split(jj, b, defaultLeft = true, gain,
                     glx, hlx, clx, grx, hrx, crx))
               }
@@ -330,34 +367,64 @@ object SparseBoost {
             left(node) = li
             right(node) = ri
             defLeft(node) = s.defaultLeft
-            next += ((li, s.gl, s.hl, s.cl))
-            next += ((ri, s.gr, s.hr, s.cr))
+            // midpoint fencing (XGBoost monotone propagation): a
+            // constrained split pins the boundary value both subtrees
+            // must respect; unconstrained splits inherit the fence
+            val cj = constraints(s.feature)
+            val (loL, hiL, loR, hiR) =
+              if (cj == 0) (vLo, vHi, vLo, vHi)
+              else {
+                val wl = clamp(-s.gl / (s.hl + lambda), vLo, vHi)
+                val wr = clamp(-s.gr / (s.hr + lambda), vLo, vHi)
+                val mid = 0.5 * (wl + wr)
+                if (cj > 0) (vLo, mid, mid, vHi) else (mid, vHi, vLo, mid)
+              }
+            next += NodeStat(li, s.gl, s.hl, s.cl, loL, hiL)
+            next += NodeStat(ri, s.gr, s.hr, s.cr, loR, hiR)
           case None =>
-            value(node) = leafValue(gTot, hTot)
+            value(node) = leafValue(gTot, hTot, vLo, vHi)
         }
       }
       frontier = next.result()
       depth += 1
     }
     // depth budget exhausted: finalize the remaining frontier
-    frontier.foreach { case (node, gTot, hTot, _) =>
-      value(node) = leafValue(gTot, hTot)
+    frontier.foreach { case NodeStat(node, gTot, hTot, _, vLo, vHi) =>
+      value(node) = leafValue(gTot, hTot, vLo, vHi)
     }
     SparseTree(feature.toArray, thresh.toArray, left.toArray, right.toArray,
       defLeft.toArray, value.toArray)
   }
-  private type Vector1 = scala.Vector[(Int, Double, Double, Double)]
+
+  /** Exact per-node totals and monotone value fence, tracked on the
+    * driver through tree growth.
+    */
+  private final case class NodeStat(
+      node: Int, g: Double, h: Double, cnt: Double, lo: Double, hi: Double)
 
   /** Mean loss of margin column `f` for the round history. */
-  private def lossOf(df: DataFrame, objective: String): Double =
-    if (objective == "binary:logistic") {
-      // logloss with the standard 1e-15 clip
-      val p = lit(1.0) / (lit(1.0) + exp(-col("f")))
-      val pc = least(greatest(p, lit(1e-15)), lit(1.0 - 1e-15))
-      df.select(avg(-(col("label") * log(pc) +
-        (lit(1.0) - col("label")) * log(lit(1.0) - pc)))).head().getDouble(0)
-    } else
-      df.select(sqrt(avg(pow(col("label") - col("f"), 2)))).head().getDouble(0)
+  private def lossOf(df: DataFrame, objective: String, rho: Double): Double =
+    objective match {
+      case "binary:logistic" =>
+        // logloss with the standard 1e-15 clip
+        val p = lit(1.0) / (lit(1.0) + exp(-col("f")))
+        val pc = least(greatest(p, lit(1e-15)), lit(1.0 - 1e-15))
+        df.select(avg(-(col("label") * log(pc) +
+          (lit(1.0) - col("label")) * log(lit(1.0) - pc)))).head().getDouble(0)
+      case "reg:gamma" =>
+        // mean gamma deviance: 2·(−ln(y/μ) + (y−μ)/μ), μ = e^f
+        val mu = exp(col("f"))
+        df.select(avg(lit(2.0) * (-log(col("label") / mu) +
+          (col("label") - mu) / mu))).head().getDouble(0)
+      case "reg:tweedie" =>
+        // tweedie negative log-likelihood kernel (XGBoost's
+        // tweedie-nloglik@ρ): −y·e^{(1−ρ)f}/(1−ρ) + e^{(2−ρ)f}/(2−ρ)
+        df.select(avg(
+          -col("label") * exp(lit(1.0 - rho) * col("f")) / (1.0 - rho) +
+          exp(lit(2.0 - rho) * col("f")) / (2.0 - rho))).head().getDouble(0)
+      case _ =>
+        df.select(sqrt(avg(pow(col("label") - col("f"), 2)))).head().getDouble(0)
+    }
 
   /** Train the sparsity-aware booster. `data` must carry `features`
     * (vector; NaN marks missing) and `label`; an optional weight
@@ -371,19 +438,69 @@ object SparseBoost {
       params: GraftBoost.BoostParams,
       weightCol: Option[String] = None
   ): (SparseModel, Array[Double]) = {
-    require(params.objective == "binary:logistic" ||
-      params.objective == "reg:squarederror",
-      s"native sparse boosting supports binary:logistic and " +
-      s"reg:squarederror, got ${params.objective}")
+    require(Set("binary:logistic", "reg:squarederror", "reg:gamma",
+      "reg:tweedie").contains(params.objective),
+      s"native sparse boosting supports binary:logistic, reg:squarederror, " +
+      s"reg:gamma and reg:tweedie, got ${params.objective}")
     val binary = params.objective == "binary:logistic"
+    val rho = params.tweedieVariancePower
+    if (params.objective == "reg:tweedie")
+      require(rho > 1.0 && rho < 2.0,
+        s"tweedie variance power must be in (1, 2), got $rho")
     val keep = Seq(col("features"), col("label")) ++ weightCol.map(col)
     val src = data.select(keep: _*)
 
     val numFeat = src.select(col("features")).head().getAs[Vector](0).size
     val edges = proposeEdges(src, numFeat, params.maxBins)
+    val constraints =
+      if (params.monotoneConstraints.isEmpty) new Array[Int](numFeat)
+      else {
+        require(params.monotoneConstraints.length == numFeat,
+          s"monotoneConstraints has ${params.monotoneConstraints.length} " +
+          s"entries for $numFeat features")
+        require(params.monotoneConstraints.forall(c => c >= -1 && c <= 1),
+          "monotone constraints must be -1, 0 or +1")
+        params.monotoneConstraints.toArray
+      }
+    require(params.colsampleBytree > 0.0 && params.colsampleBytree <= 1.0,
+      s"colsampleBytree must be in (0, 1], got ${params.colsampleBytree}")
 
-    // XGBoost base_score = 0.5: margin 0 for logistic, 0.5 for reg
-    val base = if (binary) 0.0 else 0.5
+    /** XGBoost's `colsample_bytree`: the round's feature subset is the
+      * ⌈colsample·numFeat⌉ features with the smallest (feature, round,
+      * seed) mix hash — a deterministic sample that reshuffles per
+      * round with no RNG state (same discipline as
+      * [[GraftBoost.roundSample]]).
+      */
+    def roundMask(round: Int): Array[Boolean] =
+      if (params.colsampleBytree >= 1.0) Array.fill(numFeat)(true)
+      else {
+        val k = math.max(1, math.ceil(params.colsampleBytree * numFeat).toInt)
+        // full murmur3 fmix64 — a single-multiply mixer left the
+        // (round, feature) comparison dominated by round-independent
+        // high bits, starving features across every round
+        val ranked = (0 until numFeat).sortBy { j =>
+          var h = params.seed + 7919L * round + 0x9e3779b97f4a7c15L * (j + 1)
+          h ^= h >>> 33; h *= 0xff51afd7ed558ccdL
+          h ^= h >>> 33; h *= 0xc4ceb9fe1a85ec53L
+          h ^= h >>> 33
+          h
+        }
+        val mask = new Array[Boolean](numFeat)
+        ranked.take(k).foreach(j => mask(j) = true)
+        mask
+      }
+
+    // XGBoost base_score = 0.5: margin 0 for logistic, 0.5 for
+    // squared error. The log-link objectives start from ln(mean) —
+    // the intercept MLE, same convention as [[PoissonBoost]]
+    val base = params.objective match {
+      case "binary:logistic" => 0.0
+      case "reg:gamma" | "reg:tweedie" =>
+        val mean = src.select(avg(col("label"))).head().getDouble(0)
+        require(mean > 0.0, "log-link objectives need a positive label mean")
+        math.log(mean)
+      case _ => 0.5
+    }
     var cur = src.withColumn("f", lit(base)).localCheckpoint()
 
     val gains = new Array[Double](numFeat)
@@ -392,23 +509,45 @@ object SparseBoost {
     for (r <- 1 to params.numRound) {
       val sampled = GraftBoost.roundSample(cur, params.subsample,
         params.seed + 197L * r)
-      val (g: Column, h: Column) =
-        if (binary) {
+      val (g: Column, h: Column) = params.objective match {
+        case "binary:logistic" =>
           val p = lit(1.0) / (lit(1.0) + exp(-col("f")))
           (p - col("label"), greatest(p * (lit(1.0) - p), lit(1e-16)))
-        } else (col("f") - col("label"), lit(1.0))
-      val (gw, hw) = weightCol match {
-        case Some(w) => (g * col(w), h * col(w))
+        case "reg:gamma" =>
+          // gamma deviance, log link: g = 1 − y·e^{−f}, h = y·e^{−f}
+          val ymu = col("label") * exp(-col("f"))
+          (lit(1.0) - ymu, greatest(ymu, lit(1e-16)))
+        case "reg:tweedie" =>
+          // XGBoost tweedie gradients, log link, variance power ρ
+          val a = col("label") * exp(lit(1.0 - rho) * col("f"))
+          val b = exp(lit(2.0 - rho) * col("f"))
+          (b - a,
+            greatest(lit(2.0 - rho) * b - lit(1.0 - rho) * a, lit(1e-16)))
+        case _ => (col("f") - col("label"), lit(1.0))
+      }
+      // instance weight = user weight × scale_pos_weight on positives
+      val spw: Option[Column] =
+        if (binary && params.scalePosWeight != 1.0)
+          Some(when(col("label") === 1.0, lit(params.scalePosWeight))
+            .otherwise(lit(1.0)))
+        else None
+      val w = (weightCol.map(col), spw) match {
+        case (Some(u), Some(s)) => Some(u * s)
+        case (u, s) => u.orElse(s)
+      }
+      val (gw, hw) = w match {
+        case Some(wc) => (g * wc, h * wc)
         case None => (g, h)
       }
       val tree = growTree(
-        sampled.withColumn("g", gw).withColumn("h", hw), edges, params, gains)
+        sampled.withColumn("g", gw).withColumn("h", hw), edges, params, gains,
+        roundMask(r), constraints)
       forest += tree
 
       val bc = data.sparkSession.sparkContext.broadcast(tree)
       val upd = udf((v: Vector, f: Double) => f + bc.value.valueOf(v))
       cur = cur.withColumn("f", upd(col("features"), col("f"))).localCheckpoint()
-      hist += lossOf(cur, params.objective)
+      hist += lossOf(cur, params.objective, rho)
     }
     val gSum = gains.sum
     val imp = if (gSum > 0) gains.map(_ / gSum) else gains

@@ -33,27 +33,37 @@ object StagedEval {
       labelCol: String,
       weightCol: Option[String]
   ): DataFrame = {
-    val data = GraftBoost.assemble(df, model.featureCols, model.imputation)
+    val data = GraftBoost.assemble(df, model.featureCols, model.imputation,
+        keepNaN = model.missingStrategy == "native")
       .withColumn("label", col(labelCol).cast("double"))
       .withColumn("w", weightCol.map(col(_).cast("double")).getOrElse(lit(1.0)))
       .select(col("features"), col("label"), col("w"))
     val spark = df.sparkSession
     import spark.implicits._
 
-    val (trees, weights) = model.model match {
-      case m: GBTClassificationModel => (m.trees, m.treeWeights)
-      case m: GBTRegressionModel     => (m.trees, m.treeWeights)
+    // (initial margin, per-round margin increments) — closures keep
+    // the walk uniform across MLlib GBT forests and the native sparse
+    // forest (η already baked into SparseTree leaf values)
+    val (init: Double, steps: Array[Vector => Double]) = model.model match {
+      case m: GBTClassificationModel =>
+        (0.0, m.trees.zip(m.treeWeights).map { case (t, tw) =>
+          (v: Vector) => tw * t.predict(v) })
+      case m: GBTRegressionModel =>
+        (0.0, m.trees.zip(m.treeWeights).map { case (t, tw) =>
+          (v: Vector) => tw * t.predict(v) })
+      case m: SparseBoost.SparseModel =>
+        (m.base, m.trees.map(t => (v: Vector) => t.valueOf(v)))
       case m => throw new UnsupportedOperationException(
-        s"staged evaluation needs a GBT model, got ${m.getClass}")
+        s"staged evaluation needs a GBT or native sparse model, got ${m.getClass}")
     }
-    val bTrees = spark.sparkContext.broadcast((trees, weights))
+    val bTrees = spark.sparkContext.broadcast((init, steps))
 
     data.as[(Vector, Double, Double)].mapPartitions { it =>
-      val (ts, ws) = bTrees.value
+      val (i0, ts) = bTrees.value
       it.flatMap { case (features, label, w) =>
-        var margin = 0.0
+        var margin = i0
         ts.indices.iterator.map { r =>
-          margin += ws(r) * ts(r).predict(features)
+          margin += ts(r)(features)
           (r + 1, label, margin, w)
         }
       }
@@ -297,8 +307,9 @@ object StagedEval {
   ): (GraftBoost.GraftBoostModel, Int, Array[Double], Int) = {
     import org.apache.spark.ml.classification.{GBTClassificationModel, GraftModelBridge}
     require(params.objective == "binary:logistic" || params.objective == "reg:squarederror",
-      "arbitrary-metric early stopping needs a single GBT model " +
-      "(binary:logistic or reg:squarederror); multiclass OvR has no truncation")
+      "arbitrary-metric early stopping needs a single truncatable model " +
+      "(binary:logistic or reg:squarederror — GBT or native sparse); " +
+      "multiclass OvR has no truncation")
     var chunk = math.min(math.max(2 * earlyStoppingRounds, 8), params.numRound)
     var trained = 0
     while (true) {
@@ -318,6 +329,7 @@ object StagedEval {
         val cut = m.model match {
           case g: GBTClassificationModel => GraftModelBridge.truncateClassifier(g, k)
           case g: GBTRegressionModel     => GraftModelBridge.truncateRegressor(g, k)
+          case s: SparseBoost.SparseModel => s.truncate(k)
           case other => throw new UnsupportedOperationException(s"${other.getClass}")
         }
         return (m.copy(model = cut), k, clipped, trained)
@@ -344,6 +356,7 @@ object StagedEval {
     val cut = model.model match {
       case m: GBTClassificationModel => GraftModelBridge.truncateClassifier(m, k)
       case m: GBTRegressionModel     => GraftModelBridge.truncateRegressor(m, k)
+      case m: SparseBoost.SparseModel => m.truncate(k)
       case m => throw new UnsupportedOperationException(s"${m.getClass}")
     }
     (model.copy(model = cut), k, hist)

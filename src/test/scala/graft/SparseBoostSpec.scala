@@ -128,6 +128,149 @@ class SparseBoostSpec extends AnyFunSuite {
     assert(math.abs(imp.values.sum - 1.0) < 1e-9)
   }
 
+  test("gamma (min_split_loss) prunes low-gain splits") {
+    // two regions separated by a small gain; a large gamma must leave
+    // the tree as a single leaf (constant prediction)
+    val df = (0 until 40).map(i => (if (i < 20) 1.0 else 2.0, if (i < 20) 0.4 else 0.6))
+      .toDF("x", "y")
+    def distinct(gamma: Double): Long =
+      GraftBoost.predict(
+        GraftBoost.train(df, Seq("x"), "y",
+          BoostParams("reg:squarederror", numRound = 2, maxDepth = 2, eta = 0.5,
+            missing = Some(-999.0), missingStrategy = "native",
+            gammaMinSplitLoss = gamma)),
+        df).select("prediction").distinct().count()
+    assert(distinct(0.0) == 2, "gamma=0 splits the regions")
+    assert(distinct(100.0) == 1, "a prohibitive gamma forbids every split")
+  }
+
+  test("colsample_bytree masks features per round, deterministically") {
+    // y depends ONLY on x1; with colsample=0.5 over {x1, x2} half the
+    // rounds must fit on x2 alone — those trees are near-stumps, so
+    // importances still favor x1, and the whole fit stays reproducible
+    val df = (0 until 400).map { i =>
+      ((i % 8).toDouble, ((i * 3) % 5).toDouble, if (i % 8 >= 4) 1.0 else 0.0)
+    }.toDF("x1", "x2", "y")
+    val p = BoostParams("binary:logistic", numRound = 6, maxDepth = 2,
+      eta = 0.5, missing = Some(-999.0), missingStrategy = "native",
+      colsampleBytree = 0.5)
+    val m1 = GraftBoost.train(df, Seq("x1", "x2"), "y", p)
+    val m2 = GraftBoost.train(df, Seq("x1", "x2"), "y", p)
+    def preds(m: GraftBoostModel) = GraftBoost.predict(m, df)
+      .orderBy("x1", "x2").select("prediction").collect().map(_.getDouble(0))
+    assert(preds(m1).sameElements(preds(m2)), "column sampling must be deterministic")
+    val imp = GraftBoost.featureImportances(m1)
+    assert(imp("x1") > imp("x2"), s"signal feature must dominate: $imp")
+    // the mask genuinely bites: every tree uses at most 1 of 2 features
+    val usedPerTree = m1.model.asInstanceOf[SparseBoost.SparseModel].trees
+      .map(t => t.feature.filter(_ >= 0).distinct.length)
+    assert(usedPerTree.forall(_ <= 1), s"colsample=0.5 of 2 → ≤1 feature/tree: ${usedPerTree.toSeq}")
+  }
+
+  test("scale_pos_weight shifts the decision boundary toward recall") {
+    // heavily imbalanced, overlapping regions: upweighting positives
+    // must increase predicted-positive count (recall up)
+    val df = (0 until 600).map { i =>
+      val x = (i % 20).toDouble
+      val y = if (i % 10 == 0) 1.0 else 0.0   // 10% positives
+      (x + (if (y == 1.0) 2.0 else 0.0), y)   // weak signal, overlap
+    }.toDF("x", "y")
+    def positives(spw: Double): Long =
+      GraftBoost.predict(
+        GraftBoost.train(df, Seq("x"), "y",
+          BoostParams("binary:logistic", numRound = 6, maxDepth = 2, eta = 0.5,
+            missing = Some(-999.0), missingStrategy = "native",
+            scalePosWeight = spw)),
+        df).filter(col("prediction") === 1.0).count()
+    val base = positives(1.0)
+    val boosted = positives(9.0)
+    assert(boosted > base,
+      s"scale_pos_weight=9 must predict more positives: $base -> $boosted")
+  }
+
+  test("monotone constraint +1 makes the MODEL non-decreasing in x") {
+    // noisy increasing trend with a deliberate dip the unconstrained
+    // fit memorizes; the constrained fit must be globally monotone
+    val df = (0 until 300).map { i =>
+      val x = (i % 30).toDouble
+      val dip = if (x >= 12 && x < 15) -8.0 else 0.0
+      (x, x + dip)
+    }.toDF("x", "y")
+    def fitted(cs: Seq[Int]): Array[Double] = {
+      val m = GraftBoost.train(df, Seq("x"), "y",
+        BoostParams("reg:squarederror", numRound = 8, maxDepth = 3, eta = 0.5,
+          missing = Some(-999.0), missingStrategy = "native",
+          monotoneConstraints = cs))
+      (0 until 30).map(x =>
+        GraftBoost.predictLocal(m, Vectors.dense(x.toDouble))).toArray
+    }
+    val free = fitted(Nil)
+    assert(free.sliding(2).exists(p => p(1) < p(0) - 1e-9),
+      "the dip must make the unconstrained fit non-monotone (fixture sanity)")
+    val mono = fitted(Seq(1))
+    mono.sliding(2).foreach { p =>
+      assert(p(1) >= p(0) - 1e-9,
+        s"constrained fit must be non-decreasing: ${mono.toSeq}")
+    }
+  }
+
+  test("staged history + early stopping work on the native loop") {
+    val df = (0 until 500).map { i =>
+      val x = (i % 10).toDouble
+      (x, ((i * 7) % 3).toDouble, if (x >= 5) 1.0 else 0.0)
+    }.toDF("x1", "x2", "y")
+    val (train, valid) = GraftBoost.calibrationSplit(df, 0.3)
+    val p = BoostParams("binary:logistic", numRound = 30, maxDepth = 2,
+      eta = 0.5, missing = Some(-999.0), missingStrategy = "native")
+    val (m, best, hist, trained) = StagedEval.fitWithEarlyStopping(
+      train, valid, Seq("x1", "x2"), "y", p, "auc", earlyStoppingRounds = 3)
+    assert(trained < 30,
+      s"a saturating metric must stop before numRound: trained=$trained")
+    assert(best >= 1 && best <= hist.length)
+    assert(m.model.asInstanceOf[SparseBoost.SparseModel].trees.length == best,
+      "the returned model must be physically truncated at the best round")
+  }
+
+  test("reg:gamma converges to per-region means (log link, gamma deviance)") {
+    // two regions with positive skewed-ish labels: x=0 → mean 2,
+    // x=1 → mean 20; the gamma MLE per region is the region mean
+    val df = (0 until 300).map { i =>
+      if (i % 2 == 0) (0.0, Seq(1.0, 2.0, 3.0)(i % 3))
+      else (1.0, Seq(10.0, 20.0, 30.0)(i % 3))
+    }.toDF("x", "y")
+    val m = GraftBoost.train(df, Seq("x"), "y",
+      BoostParams("reg:gamma", numRound = 12, maxDepth = 1, eta = 0.5))
+    val preds = GraftBoost.predict(m, df)
+      .groupBy("x").agg(first("prediction").as("p"))
+      .collect().map(r => r.getDouble(0) -> r.getDouble(1)).toMap
+    assert(math.abs(preds(0.0) - 2.0) < 0.1, s"region 0: ${preds(0.0)} vs 2")
+    assert(math.abs(preds(1.0) - 20.0) < 1.0, s"region 1: ${preds(1.0)} vs 20")
+    val hist = m.evalsResult("train")("gamma-deviance")
+    assert(hist.last < hist.head, s"deviance must fall: ${hist.toSeq}")
+    assert(GraftBoost.predictLocal(m, Vectors.dense(0.0)) > 0.0,
+      "log link keeps predictions strictly positive")
+  }
+
+  test("reg:tweedie handles exact zeros and converges to region means") {
+    // zero-inflated target: x=0 rows are 60% exact zeros (mean 1.2),
+    // x=1 rows positive (mean 15) — the compound Poisson-gamma shape
+    // a gamma objective cannot touch (it needs y > 0)
+    val df = (0 until 400).map { i =>
+      if (i % 2 == 0) (0.0, if (i % 10 < 6) 0.0 else 3.0)
+      else (1.0, Seq(10.0, 15.0, 20.0)(i % 3))
+    }.toDF("x", "y")
+    val m = GraftBoost.train(df, Seq("x"), "y",
+      BoostParams("reg:tweedie", numRound = 15, maxDepth = 1, eta = 0.5,
+        tweedieVariancePower = 1.5))
+    val preds = GraftBoost.predict(m, df)
+      .groupBy("x").agg(first("prediction").as("p"))
+      .collect().map(r => r.getDouble(0) -> r.getDouble(1)).toMap
+    assert(math.abs(preds(0.0) - 1.2) < 0.15, s"zero-heavy region: ${preds(0.0)} vs 1.2")
+    assert(math.abs(preds(1.0) - 15.0) < 1.0, s"positive region: ${preds(1.0)} vs 15")
+    val hist = m.evalsResult("train")("tweedie-nloglik")
+    assert(hist.last < hist.head, s"nloglik must fall: ${hist.toSeq}")
+  }
+
   test("model sink round-trip + serve-time marker substitution + local parity") {
     val df = (0 until 300).map { i =>
       val x = (i % 10) + 1.0
