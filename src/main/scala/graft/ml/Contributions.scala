@@ -33,14 +33,17 @@ object Contributions {
   /** Array-flattened tree with per-NODE expected values (unlike
     * [[QuantileBoost.PlainTree]], internal predictions matter here —
     * they are what the path deltas difference). Leaf iff
-    * `feature(i) < 0`; else `x(feature(i)) ≤ thresh(i)` goes left.
+    * `feature(i) < 0`; else `x(feature(i)) ≤ thresh(i)` goes left,
+    * and a NaN feature follows `defaultLeft(i)` (native sparse
+    * forests; MLlib GBT never sees NaN, its flag array is all-false).
     */
   final case class CTree(
       feature: Array[Int],
       thresh: Array[Double],
       left: Array[Int],
       right: Array[Int],
-      pred: Array[Double]
+      pred: Array[Double],
+      defaultLeft: Array[Boolean]
   ) extends Serializable
 
   private[ml] def flatten(root: Node): CTree = {
@@ -69,18 +72,27 @@ object Contributions {
     }
     walk(root)
     CTree(feature.toArray, thresh.toArray, left.toArray, right.toArray,
-      pred.toArray)
+      pred.toArray, new Array[Boolean](feature.length))
   }
 
-  /** The forest as (flattened tree, weight) pairs. */
+  /** The forest as (flattened tree, weight) pairs. A native sparse
+    * forest maps directly: every node carries its η-scaled Newton
+    * estimate (leaves the final fenced weight), and the learned
+    * default directions ride along so MISSING values attribute to the
+    * feature whose default branch routed them — XGBoost pred_contribs
+    * semantics.
+    */
   private[ml] def forestOf(model: GraftBoost.GraftBoostModel): Array[(CTree, Double)] =
     model.model match {
       case m: GBTRegressionModel =>
         m.trees.map(t => flatten(t.rootNode)).zip(m.treeWeights)
       case m: GBTClassificationModel =>
         m.trees.map(t => flatten(t.rootNode)).zip(m.treeWeights)
+      case m: SparseBoost.SparseModel =>
+        m.trees.map(t => (CTree(t.feature, t.thresh, t.left, t.right,
+          t.value, t.defaultLeft), 1.0))
       case m => throw new UnsupportedOperationException(
-        s"feature contributions need a GBT forest, got ${m.getClass}")
+        s"feature contributions need a GBT or native sparse forest, got ${m.getClass}")
     }
 
   /** One row's decomposition: (bias, per-feature contributions). */
@@ -95,7 +107,11 @@ object Contributions {
       bias += w * t.pred(0)
       var i = 0
       while (t.feature(i) >= 0) {
-        val next = if (v(t.feature(i)) <= t.thresh(i)) t.left(i) else t.right(i)
+        val x = v(t.feature(i))
+        val next =
+          if (java.lang.Double.isNaN(x)) {
+            if (t.defaultLeft(i)) t.left(i) else t.right(i)
+          } else if (x <= t.thresh(i)) t.left(i) else t.right(i)
         out(t.feature(i)) += w * (t.pred(next) - t.pred(i))
         i = next
       }
@@ -119,11 +135,18 @@ object Contributions {
         forest.map { case (t, _) => if (t.feature(0) >= 0) t.feature.max + 1 else 1 }.max
       case n => n
     }
-    val data = GraftBoost.assemble(df, model.featureCols, model.imputation)
+    // the native booster's margin includes an explicit base score;
+    // fold it into the bias so additivity reproduces the margin
+    val baseOffset = model.model match {
+      case m: SparseBoost.SparseModel => m.base
+      case _ => 0.0
+    }
+    val data = GraftBoost.assemble(df, model.featureCols, model.imputation,
+      keepNaN = model.missingStrategy == "native")
     val bc = data.sparkSession.sparkContext.broadcast(forest)
     val cu = udf((v: Vector) => {
       val (b, c) = contribsOne(bc.value, nf, v)
-      (b, c.toSeq)
+      (b + baseOffset, c.toSeq)
     })
     data
       .withColumn("_bc", cu(col("features")))

@@ -128,8 +128,22 @@ object GraftBoost {
         * Poisson-gamma — point mass at zero plus positive skew, the
         * insurance-severity shape. Ignored by other objectives.
         */
-      tweedieVariancePower: Double = 1.5
+      tweedieVariancePower: Double = 1.5,
+      /** Split-candidate proposal for the native loop (XGBoost's
+        * `tree_method` axis): "exact" computes true quantiles of each
+        * feature (deterministic; one sort-based aggregate per
+        * feature), "approx" uses Spark's mergeable Greenwald-Khanna
+        * sketch (`percentile_approx`) — the O(1)-memory-per-partition
+        * form that survives 100 TB scans. Candidate sets differ
+        * within sketch error; tree quality is equivalent (pinned in
+        * SparseBoostSpec). XGBoost additionally hessian-weights its
+        * approx sketch per iteration; this proposal is one-shot and
+        * unweighted (documented divergence).
+        */
+      splitProposal: String = "exact"
   ) {
+    require(splitProposal == "exact" || splitProposal == "approx",
+      s"splitProposal must be \"exact\" or \"approx\", got $splitProposal")
     GraftBoost.validateMissingStrategy(missingStrategy)
   }
 
@@ -324,12 +338,13 @@ object GraftBoost {
     val data = assemble(df, featureCols, imputation, keepNaN = native)
       .withColumn("label", col(labelCol).cast("double"))
 
-    if (params.objective == "rank:pairwise") {
-      // pairwise learning-to-rank — a custom loop (RankBoost) whose
-      // tree learner is the shared sparse histogram grower, so the
-      // native NaN routing above applies to ranking too
+    if (params.objective == "rank:pairwise" || params.objective == "rank:ndcg") {
+      // pairwise learning-to-rank (plain RankNet pairs or ΔNDCG-
+      // weighted LambdaMART) — a custom loop (RankBoost) whose tree
+      // learner is the shared sparse histogram grower, so the native
+      // NaN routing above applies to ranking too
       require(groupCol.isDefined,
-        "rank:pairwise needs groupCol (the DMatrix group vector)")
+        "ranking objectives need groupCol (the DMatrix group vector)")
       require(validationCol.isEmpty,
         "ranking records its NDCG train history itself")
       val (m, histR) = RankBoost.train(

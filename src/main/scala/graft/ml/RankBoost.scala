@@ -8,8 +8,9 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Pairwise learning-to-rank boosting — XGBoost's `rank:pairwise`
-  * objective (RankNet gradients boosted with trees, the LambdaMART
-  * family), reachable in the reference through its params passthrough
+  * (plain RankNet pair gradients) and `rank:ndcg` (LambdaMART:
+  * pairs weighted by |ΔNDCG| at the current ranks, Burges 2010)
+  * objectives, reachable in the reference through its params passthrough
   * (`core.py:164-321` forwards arbitrary `params` to `xgb.train`;
   * group structure rides the DMatrix). A Spark-native restatement:
   *
@@ -85,13 +86,18 @@ object RankBoost {
       data: DataFrame,
       params: GraftBoost.BoostParams
   ): (SparseBoost.SparseModel, Array[Double]) = {
+    require(params.objective == "rank:pairwise" ||
+      params.objective == "rank:ndcg",
+      s"ranking objectives are rank:pairwise and rank:ndcg, " +
+      s"got ${params.objective}")
     val spark = data.sparkSession
     import spark.implicits._
     val src = data.select(col("features"), col("label").cast("double"),
       col("group").cast("long"))
 
     val numFeat = src.select(col("features")).head().getAs[Vector](0).size
-    val edges = SparseBoost.proposeEdges(src, numFeat, params.maxBins)
+    val edges = SparseBoost.proposeEdges(src, numFeat, params.maxBins,
+      params.splitProposal)
     val constraints =
       if (params.monotoneConstraints.isEmpty) new Array[Int](numFeat)
       else params.monotoneConstraints.toArray
@@ -102,18 +108,42 @@ object RankBoost {
     val hist = new ArrayBuffer[Double](params.numRound)
     val forest = new ArrayBuffer[SparseBoost.SparseTree](params.numRound)
 
+    val ndcgWeighted = params.objective == "rank:ndcg"
     for (r <- 1 to params.numRound) {
-      // RankNet gradients, one group at a time. flatMapGroups keeps
-      // the pair loop in primitive arrays; only (features, g, h) rows
-      // leave the group — nothing group-quadratic is materialized.
+      // RankNet / LambdaMART gradients, one group at a time.
+      // flatMapGroups keeps the pair loop in primitive arrays; only
+      // (features, g, h) rows leave the group — nothing
+      // group-quadratic is materialized. Under rank:ndcg each pair is
+      // weighted by |ΔNDCG| — the NDCG swap cost at the CURRENT ranks
+      // (Burges' LambdaMART), so top positions dominate the gradient.
       val grad = cur.select(col("group"), col("features"), col("label"), col("f"))
         .as[(Long, Vector, Double, Double)]
         .groupByKey(_._1)
         .flatMapGroups { (_, it) =>
-          val rows = it.toArray
+          // deterministic in-group order: shuffle arrival order must
+          // not pick the rank positions (margin ties are broken by
+          // content, and float accumulation order is fixed)
+          val rows = it.toArray.sortBy { case (_, v, rel, f) =>
+            (-f, -rel, java.util.Arrays.hashCode(v.toArray))
+          }
           val n = rows.length
           val g = new Array[Double](n)
           val h = new Array[Double](n)
+          // after the sort above, position i IS the current rank i+1
+          val disc = Array.tabulate(n)(i =>
+            1.0 / (math.log(i + 2.0) / math.log(2.0)))
+          val idcg =
+            if (!ndcgWeighted) 1.0
+            else {
+              val sortedRel = rows.map(_._3).sorted(Ordering[Double].reverse)
+              var s = 0.0
+              var i = 0
+              while (i < n) {
+                s += (math.pow(2.0, sortedRel(i)) - 1.0) * disc(i)
+                i += 1
+              }
+              s
+            }
           var i = 0
           while (i < n) {
             var j = i + 1
@@ -122,11 +152,15 @@ object RankBoost {
               if (ri != rj) {
                 // hi = preferred index, lo = the other
                 val (hiI, loI) = if (ri > rj) (i, j) else (j, i)
+                val w =
+                  if (!ndcgWeighted || idcg <= 0.0) 1.0
+                  else math.abs(math.pow(2.0, ri) - math.pow(2.0, rj)) *
+                    math.abs(disc(i) - disc(j)) / idcg
                 val rho = 1.0 / (1.0 +
                   math.exp(rows(hiI)._4 - rows(loI)._4))
-                g(hiI) -= rho
-                g(loI) += rho
-                val hess = math.max(rho * (1.0 - rho), 1e-16)
+                g(hiI) -= rho * w
+                g(loI) += rho * w
+                val hess = math.max(rho * (1.0 - rho) * w, 1e-16)
                 h(hiI) += hess
                 h(loI) += hess
               }
@@ -151,6 +185,6 @@ object RankBoost {
     val gSum = gains.sum
     val imp = if (gSum > 0) gains.map(_ / gSum) else gains
     (new SparseBoost.SparseModel(s"rank_${params.seed}", forest.toArray, 0.0,
-      "rank:pairwise", imp), hist.toArray)
+      params.objective, imp), hist.toArray)
   }
 }

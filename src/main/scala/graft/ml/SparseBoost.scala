@@ -152,23 +152,33 @@ object SparseBoost {
     lo
   }
 
-  /** Exact per-feature quantile split candidates over NON-missing
-    * values (maxBins−1 interior quantiles, deduplicated). Exact
-    * `percentile` keeps the proposal deterministic; at 100 TB this is
-    * the one aggregate to swap for a mergeable KLL/GK sketch — the
-    * histogram passes are already sketch-free.
+  /** Per-feature quantile split candidates over NON-missing values
+    * (maxBins−1 interior quantiles, deduplicated). "exact" computes
+    * true order statistics (deterministic); "approx" routes through
+    * Spark's `percentile_approx` — a mergeable Greenwald-Khanna
+    * sketch whose per-partition memory is bounded by the accuracy
+    * parameter, the proposal that survives a 100 TB scan where the
+    * exact form's per-value count map cannot. The histogram passes
+    * downstream are identical either way.
     */
   private[ml] def proposeEdges(
       data: DataFrame,
       numFeat: Int,
-      maxBins: Int
+      maxBins: Int,
+      mode: String = "exact"
   ): Array[Array[Double]] = {
     import org.apache.spark.ml.functions.vector_to_array
     val probs = (1 until maxBins).map(_.toDouble / maxBins).toArray
     val arr = vector_to_array(col("features"))
     val aggs = (0 until numFeat).map { j =>
       val x = element_at(arr, j + 1)
-      percentile(when(!isnan(x), x), lit(probs)).as(s"f$j")
+      if (mode == "approx")
+        // GK accuracy ~10× the bin resolution: sketch error well
+        // under one candidate spacing
+        percentile_approx(when(!isnan(x), x), lit(probs),
+          lit(math.max(10000, maxBins * 100))).as(s"f$j")
+      else
+        percentile(when(!isnan(x), x), lit(probs)).as(s"f$j")
     }
     val row = data.select(aggs: _*).head()
     (0 until numFeat).map { j =>
@@ -240,6 +250,14 @@ object SparseBoost {
       math.min(math.max(w, lo), hi)
     def leafValue(g: Double, h: Double, lo: Double, hi: Double): Double =
       params.eta * clamp(-g / (h + lambda), lo, hi)
+    // every node carries its η-scaled Newton estimate from creation:
+    // internal nodes keep it (the per-node expected value the Saabas
+    // attribution differences — Contributions.scala), leaves get
+    // overwritten with the fence-clamped final weight. Scoring only
+    // ever reads leaf slots, so routing is unaffected.
+    def nodeEstimate(g: Double, h: Double): Double =
+      params.eta * (-g / (h + lambda))
+    value(0) = nodeEstimate(totals.getDouble(0), totals.getDouble(1))
 
     var depth = 0
     while (depth < params.maxDepth && frontier.nonEmpty) {
@@ -358,10 +376,10 @@ object SparseBoost {
             gainOut(s.feature) += s.gain
             val li = feature.length
             feature += -1; thresh += 0.0; left += -1; right += -1
-            defLeft += false; value += 0.0
+            defLeft += false; value += nodeEstimate(s.gl, s.hl)
             val ri = feature.length
             feature += -1; thresh += 0.0; left += -1; right += -1
-            defLeft += false; value += 0.0
+            defLeft += false; value += nodeEstimate(s.gr, s.hr)
             feature(node) = s.feature
             thresh(node) = edges(s.feature)(s.bin)
             left(node) = li
@@ -451,7 +469,7 @@ object SparseBoost {
     val src = data.select(keep: _*)
 
     val numFeat = src.select(col("features")).head().getAs[Vector](0).size
-    val edges = proposeEdges(src, numFeat, params.maxBins)
+    val edges = proposeEdges(src, numFeat, params.maxBins, params.splitProposal)
     val constraints =
       if (params.monotoneConstraints.isEmpty) new Array[Int](numFeat)
       else {

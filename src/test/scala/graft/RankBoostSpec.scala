@@ -80,6 +80,57 @@ class RankBoostSpec extends AnyFunSuite {
       "a reloaded ranker must produce identical scores")
   }
 
+  test("rank:ndcg weights pairs by NDCG swap cost and still learns the ranking") {
+    // graded fixture with noise: both objectives must learn it; the
+    // ΔNDCG weighting must (a) change the fitted margins vs plain
+    // pairwise and (b) not cost top-k quality
+    val df = (0 until 480).map { i =>
+      val gid = (i / 8).toLong
+      val pos = i % 8
+      val x1 = pos + ((i * 13) % 7) * 0.4
+      val rel = (pos / 2).toDouble // 0,0,1,1,2,2,3,3
+      (gid, x1, ((i * 5) % 11).toDouble, rel)
+    }.toDF("group", "x1", "x2", "label")
+      .withColumn("features",
+        org.apache.spark.ml.functions.array_to_vector(array(col("x1"), col("x2"))))
+    def fit(obj: String) = RankBoost.train(df,
+      BoostParams(obj, numRound = 5, maxDepth = 3, eta = 0.3))
+    val (mP, _) = fit("rank:pairwise")
+    val (mN, hN) = fit("rank:ndcg")
+    assert(hN.last > 0.9, s"rank:ndcg must learn the ranking: ${hN.toSeq}")
+    val probe = Vectors.dense(5.0, 3.0)
+    assert(mN.marginOf(probe) != mP.marginOf(probe),
+      "ΔNDCG weighting must actually change the fit")
+    def ndcg3(m: SparseBoost.SparseModel): Double = {
+      val bc = spark.sparkContext.broadcast(m)
+      val sU = udf((v: org.apache.spark.ml.linalg.Vector) => bc.value.marginOf(v))
+      RankBoost.meanNdcg(df.withColumn("f", sU(col("features"))),
+        "group", "label", "f", 3)
+    }
+    assert(ndcg3(mN) >= ndcg3(mP) - 0.02,
+      s"top-k quality must not degrade under ΔNDCG weighting: " +
+      s"${ndcg3(mN)} vs ${ndcg3(mP)}")
+  }
+
+  test("approx split proposal (GK sketch) matches exact-proposal quality") {
+    val df = (0 until 400).map { i =>
+      val x = (i % 10) + (i % 3) * 0.1
+      (i.toLong / 5, x, if (x >= 5) 1.0 else 0.0)
+    }.toDF("group", "x", "y")
+    def acc(mode: String): Double = {
+      val m = GraftBoost.train(df, Seq("x"), "y",
+        BoostParams("binary:logistic", numRound = 5, maxDepth = 2, eta = 0.5,
+          missing = Some(-999.0), missingStrategy = "native",
+          splitProposal = mode))
+      GraftBoost.predict(m, df)
+        .select(avg((col("prediction") === col("y")).cast("double")))
+        .head().getDouble(0)
+    }
+    val (e, a) = (acc("exact"), acc("approx"))
+    assert(e > 0.95 && a > 0.95,
+      s"both proposals must separate the signal: exact=$e approx=$a")
+  }
+
   test("meanNdcg is 1 for a perfect ranking and lower for an inverted one") {
     val df = (0 until 60).map { i =>
       val gid = (i / 6).toLong

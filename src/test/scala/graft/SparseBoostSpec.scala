@@ -271,6 +271,38 @@ class SparseBoostSpec extends AnyFunSuite {
     assert(hist.last < hist.head, s"nloglik must fall: ${hist.toSeq}")
   }
 
+  test("Saabas contributions decompose the native margin, missing rows included") {
+    val df = (0 until 300).map { i =>
+      val x1 = (i % 10).toDouble
+      val x2 = ((i * 3) % 7).toDouble
+      val miss = i % 6 == 0
+      // missing x1 rows behave like the high-x1 region
+      (if (miss) -999.0 else x1, x2,
+        (if (miss) 9.0 else x1) * 2.0 + x2 * 0.5)
+    }.toDF("x1", "x2", "y")
+    val m = GraftBoost.train(df, Seq("x1", "x2"), "y",
+      BoostParams("reg:squarederror", numRound = 5, maxDepth = 3, eta = 0.5,
+        missing = Some(-999.0), missingStrategy = "native"))
+    val joined = Contributions.transform(m, df)
+      .join(GraftBoost.predict(m, df), Seq("x1", "x2", "y"))
+    val maxErr = joined
+      .select(max(abs(col("bias") +
+        aggregate(col("contribs"), lit(0.0), (a, x) => a + x) -
+        col("prediction"))))
+      .head().getDouble(0)
+    assert(maxErr < 1e-9, s"bias + Σcontribs must reproduce the margin: $maxErr")
+    // a missing row's routing must be ATTRIBUTED to the missing
+    // feature (default-branch credit, XGBoost pred_contribs shape)
+    // the transform output carries the ASSEMBLED feature columns, so
+    // the marker already became NaN
+    val missContrib = Contributions.transform(m, df)
+      .filter(isnan(col("x1")))
+      .select(avg(abs(element_at(col("contribs"), 1))))
+      .head().getDouble(0)
+    assert(missContrib > 0.1,
+      s"missing rows must carry x1 attribution through the default branch: $missContrib")
+  }
+
   test("model sink round-trip + serve-time marker substitution + local parity") {
     val df = (0 until 300).map { i =>
       val x = (i % 10) + 1.0
