@@ -932,9 +932,106 @@ object MLQueries {
     """)
   )
 
+  /** Exact TreeSHAP serving pass ([[TreeShap]], XGBoost's
+    * `pred_contribs=True`) plus the `get_score` importance-type family
+    * over one native sparse fit — with REAL missing values injected so
+    * the attribution must follow learned default branches. Gates: the
+    * local-accuracy identity bias + Σφ = margin over the whole table
+    * (1e-6 — TreeSHAP's defining property; Saabas would also pass this
+    * but TreeShapSpec separates them against brute-force Shapley), the
+    * attribution views (exact SHAP and Saabas paths) AND the
+    * total_gain importance all crowning the same top feature — the
+    * target is constructed with designed dominance (quantity carries
+    * ~50× the spread of the other terms) because the raw corpus has no
+    * dominant predictor of l_extendedprice, which turns a top-1
+    * agreement gate into a coin flip — and the importance identities
+    * (total = average × weight per feature; weight = the forest's
+    * actual split count). n_rows / n_missing are exact SQL so the
+    * oracle hash-checks the injection plumbing.
+    */
+  val mlShapImportance = GraftQuery(
+    "ml_shap_importance",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val feats = Seq("l_quantity", "l_discount", "l_tax")
+      val df = t.lineitem
+        // dominant-by-construction target: quantity spans ~49*100,
+        // the discount/tax terms ~100 each — attribution and gain must
+        // all rank quantity first; the discount term still gives the
+        // missing-marked feature real (secondary) signal to learn
+        .withColumn("target",
+          col("l_quantity") * 100.0 + col("l_discount") * 1000.0 +
+            col("l_tax") * 500.0)
+        .withColumn("l_discount",
+          when(pmod(col("l_partkey"), lit(9)) === 0, lit(-999.0))
+            .otherwise(col("l_discount")))
+        .withColumn("is_missing", pmod(col("l_partkey"), lit(9)) === 0)
+        .select((feats.map(col) :+ col("target") :+ col("is_missing")): _*)
+        .cache()
+      val model = GraftBoost.train(df, feats, "target",
+        GraftBoost.BoostParams("reg:squarederror", numRound = 3, maxDepth = 3,
+          maxBins = 16, missing = Some(-999.0), missingStrategy = "native"))
+      val sm = model.model.asInstanceOf[SparseBoost.SparseModel]
+      val scored = GraftBoost.predict(model, df)
+      val attributed = TreeShap.transform(model, scored)
+        .withColumn("ssum", aggregate(col("shap"), lit(0.0), (a, x) => a + x))
+      // gain leaderboards: mean |phi| vs total_gain must crown the
+      // same feature
+      val meanAbs = attributed
+        .select(feats.indices.map(i =>
+          avg(abs(element_at(col("shap"), i + 1))).as(s"c$i")): _*)
+        .head()
+      val topShap = feats(feats.indices.maxBy(meanAbs.getDouble))
+      val saabasAbs = Contributions.transform(model, scored)
+        .select(feats.indices.map(i =>
+          avg(abs(element_at(col("contribs"), i + 1))).as(s"s$i")): _*)
+        .head()
+      val topSaabas = feats(feats.indices.maxBy(saabasAbs.getDouble))
+      val topGain = feats(
+        sm.importanceByType("total_gain").zipWithIndex.maxBy(_._1)._2)
+      // importance identities over the raw split statistics
+      val w = sm.importanceByType("weight")
+      // relative tolerance: total_gain is O(1e9) on this target, so
+      // the divide-then-multiply round trip is exact only to ulps
+      def close(a: Double, b: Double) =
+        math.abs(a - b) <= 1e-9 * math.max(1.0, math.max(math.abs(a), math.abs(b)))
+      val identityOk = feats.indices.forall { j =>
+        close(sm.importanceByType("total_gain")(j),
+          sm.importanceByType("gain")(j) * w(j)) &&
+        close(sm.importanceByType("total_cover")(j),
+          sm.importanceByType("cover")(j) * w(j))
+      }
+      val counted = new Array[Double](feats.length)
+      sm.trees.foreach(t0 => t0.feature.filter(_ >= 0).foreach(counted(_) += 1))
+      val weightOk = w.toSeq == counted.toSeq
+      val out = attributed.agg(
+          count(lit(1)).as("n_rows"),
+          sum(col("is_missing").cast("long")).as("n_missing"),
+          max(abs(col("bias") + col("ssum") - col("prediction"))).as("maxerr"))
+        .select(
+          col("n_rows").cast("long").as("n_rows"),
+          col("n_missing").cast("long").as("n_missing"),
+          (col("maxerr") < 1e-6).as("additivity_ok"),
+          lit(topShap == topSaabas && topShap == topGain)
+            .as("top_feature_agrees"),
+          lit(identityOk && weightOk).as("importance_identity_ok"))
+      out.persist().count()
+      df.unpersist(false)
+      out
+    },
+    Some("""
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+             CAST(SUM(CASE WHEN l_partkey % 9 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_missing,
+             TRUE AS additivity_ok, TRUE AS top_feature_agrees,
+             TRUE AS importance_identity_ok
+      FROM lineitem
+    """)
+  )
+
   def all: Seq[GraftQuery] =
     Seq(mlBinary, mlRegression, mlMulticlass, mlCvKfold, mlTextClassifier,
       mlCvRollingOrigin, mlCalibrationBins, mlPermutationImportance,
       mlMulticlassSoftprob, mlQuantile, mlFeatureContribs, mlPoisson,
-      mlSparseNative, mlRankPairwise, mlTweedie)
+      mlSparseNative, mlRankPairwise, mlTweedie, mlShapImportance)
 }

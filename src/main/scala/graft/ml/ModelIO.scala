@@ -76,7 +76,13 @@ object ModelIO {
       left: Seq[Seq[Int]],
       right: Seq[Seq[Int]],
       defaultLeft: Seq[Seq[Boolean]],
-      value: Seq[Seq[Double]]
+      value: Seq[Seq[Double]],
+      // per-node hessian cover (TreeSHAP weights) + the raw split
+      // statistics behind every get_score importance type
+      cover: Seq[Seq[Double]] = Seq.empty,
+      impWeight: Seq[Double] = Seq.empty,
+      impTotalGain: Seq[Double] = Seq.empty,
+      impTotalCover: Seq[Double] = Seq.empty
   )
 
   /** The divergence notes a given model carries (reference:
@@ -159,7 +165,9 @@ object ModelIO {
           sm.trees.map(_.left.toSeq).toSeq,
           sm.trees.map(_.right.toSeq).toSeq,
           sm.trees.map(_.defaultLeft.toSeq).toSeq,
-          sm.trees.map(_.value.toSeq).toSeq)
+          sm.trees.map(_.value.toSeq).toSeq,
+          sm.trees.map(_.cover.toSeq).toSeq,
+          sm.stats.weight.toSeq, sm.stats.gain.toSeq, sm.stats.cover.toSeq)
         val fsS = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
         val outS = fsS.create(new Path(path, "model/sparse.json"), true)
         try outS.write(Serialization.write(doc).getBytes("UTF-8"))
@@ -253,10 +261,14 @@ object ModelIO {
         val trees = doc.feature.indices.map { i =>
           SparseBoost.SparseTree(doc.feature(i).toArray, doc.thresh(i).toArray,
             doc.left(i).toArray, doc.right(i).toArray,
-            doc.defaultLeft(i).toArray, doc.value(i).toArray)
+            doc.defaultLeft(i).toArray, doc.value(i).toArray,
+            if (doc.cover.isEmpty) new Array[Double](doc.feature(i).length)
+            else doc.cover(i).toArray)
         }.toArray
         new SparseBoost.SparseModel("sparse_loaded", trees, doc.base,
-          doc.objective, doc.importances.toArray)
+          doc.objective, doc.importances.toArray,
+          SparseBoost.ImportanceAcc(doc.impTotalGain.toArray,
+            doc.impWeight.toArray, doc.impTotalCover.toArray))
       case c if c.endsWith("QuantileModel") =>
         val inQ = fs.open(new Path(path, "model/quantile.json"))
         val jsonQ = try scala.io.Source.fromInputStream(inQ, "UTF-8").mkString

@@ -104,7 +104,7 @@ object RankBoost {
     val allowed = Array.fill(numFeat)(true)
 
     var cur = src.withColumn("f", lit(0.0)).localCheckpoint()
-    val gains = new Array[Double](numFeat)
+    val acc = SparseBoost.ImportanceAcc(numFeat)
     val hist = new ArrayBuffer[Double](params.numRound)
     val forest = new ArrayBuffer[SparseBoost.SparseTree](params.numRound)
 
@@ -173,7 +173,7 @@ object RankBoost {
         .toDF("features", "g", "h")
         .localCheckpoint()
 
-      val tree = SparseBoost.growTree(grad, edges, params, gains,
+      val tree = SparseBoost.growTree(grad, edges, params, acc,
         allowed, constraints)
       forest += tree
 
@@ -182,9 +182,9 @@ object RankBoost {
       cur = cur.withColumn("f", upd(col("features"), col("f"))).localCheckpoint()
       hist += meanNdcg(cur, "group", "label", "f", 10)
     }
-    val gSum = gains.sum
-    val imp = if (gSum > 0) gains.map(_ / gSum) else gains
+    val gSum = acc.gain.sum
+    val imp = if (gSum > 0) acc.gain.map(_ / gSum) else acc.gain.clone()
     (new SparseBoost.SparseModel(s"rank_${params.seed}", forest.toArray, 0.0,
-      params.objective, imp), hist.toArray)
+      params.objective, imp, acc), hist.toArray)
   }
 }

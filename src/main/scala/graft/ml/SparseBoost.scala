@@ -69,7 +69,13 @@ object SparseBoost {
       left: Array[Int],
       right: Array[Int],
       defaultLeft: Array[Boolean],
-      value: Array[Double]
+      value: Array[Double],
+      /** Per-node hessian sum (XGBoost's `cover`) — the conditional
+        * probability weights TreeSHAP needs ([[TreeShap]]) and the
+        * cover importance's numerator. Root slot holds the full
+        * training mass.
+        */
+      cover: Array[Double]
   ) extends Serializable {
     def leafOf(v: Vector): Int = {
       var i = 0
@@ -98,11 +104,36 @@ object SparseBoost {
       /** Per-feature total split gain, normalized to sum 1 — XGBoost's
         * `total_gain` importance, accumulated during training.
         */
-      val importances: Array[Double]
+      val importances: Array[Double],
+      /** Raw per-feature split statistics accumulated during training
+        * — the inputs to every XGBoost `get_score` importance type.
+        */
+      val stats: ImportanceAcc = ImportanceAcc.empty
   ) extends Model[SparseModel] {
 
     override def copy(extra: ParamMap): SparseModel =
-      new SparseModel(uid, trees, base, objective, importances)
+      new SparseModel(uid, trees, base, objective, importances, stats)
+
+    /** XGBoost `get_score(importance_type=…)` parity over the raw
+      * split statistics: `weight` (split count), `total_gain`,
+      * `total_cover` (hessian mass of split nodes), and the per-split
+      * averages `gain` = total_gain/weight, `cover` =
+      * total_cover/weight (0 where a feature never splits).
+      */
+    def importanceByType(importanceType: String): Array[Double] = {
+      def avg(tot: Array[Double]): Array[Double] =
+        tot.zip(stats.weight).map { case (t, w) => if (w > 0) t / w else 0.0 }
+      importanceType match {
+        case "weight"      => stats.weight.clone()
+        case "total_gain"  => stats.gain.clone()
+        case "total_cover" => stats.cover.clone()
+        case "gain"        => avg(stats.gain)
+        case "cover"       => avg(stats.cover)
+        case t => throw new IllegalArgumentException(
+          s"unknown importance type '$t' (weight, gain, cover, " +
+          "total_gain, total_cover)")
+      }
+    }
 
     override def transformSchema(schema: StructType): StructType =
       schema.add(StructField("prediction", DoubleType))
@@ -135,8 +166,32 @@ object SparseBoost {
     def truncate(rounds: Int): SparseModel = {
       require(rounds >= 1 && rounds <= trees.length,
         s"rounds must be in [1, ${trees.length}], got $rounds")
-      new SparseModel(uid, trees.take(rounds), base, objective, importances)
+      new SparseModel(uid, trees.take(rounds), base, objective, importances,
+        stats)
     }
+  }
+
+  /** Per-feature split-statistic accumulators filled during tree
+    * growth: split count, total gain, and total hessian cover of the
+    * split nodes — one slot per feature.
+    */
+  final case class ImportanceAcc(
+      gain: Array[Double],
+      weight: Array[Double],
+      cover: Array[Double]
+  ) {
+    private[ml] def record(feature: Int, splitGain: Double, nodeCover: Double): Unit = {
+      gain(feature) += splitGain
+      weight(feature) += 1.0
+      cover(feature) += nodeCover
+    }
+  }
+
+  object ImportanceAcc {
+    def apply(numFeat: Int): ImportanceAcc = ImportanceAcc(
+      new Array[Double](numFeat), new Array[Double](numFeat),
+      new Array[Double](numFeat))
+    val empty: ImportanceAcc = apply(0)
   }
 
   /** Region index of x among sorted candidate edges: the count of
@@ -211,7 +266,7 @@ object SparseBoost {
       fit: DataFrame,
       edges: Array[Array[Double]],
       params: GraftBoost.BoostParams,
-      gainOut: Array[Double],
+      acc: ImportanceAcc,
       allowed: Array[Boolean],
       constraints: Array[Int]
   ): SparseTree = {
@@ -234,6 +289,7 @@ object SparseBoost {
     val right = ArrayBuffer(-1)
     val defLeft = ArrayBuffer(false)
     val value = ArrayBuffer(0.0)
+    val cover = ArrayBuffer(0.0)
 
     val rows = fit.select(col("features"), col("g").cast("double"),
       col("h").cast("double"))
@@ -258,6 +314,7 @@ object SparseBoost {
     def nodeEstimate(g: Double, h: Double): Double =
       params.eta * (-g / (h + lambda))
     value(0) = nodeEstimate(totals.getDouble(0), totals.getDouble(1))
+    cover(0) = totals.getDouble(1)
 
     var depth = 0
     while (depth < params.maxDepth && frontier.nonEmpty) {
@@ -373,13 +430,13 @@ object SparseBoost {
         }
         best match {
           case Some(s) =>
-            gainOut(s.feature) += s.gain
+            acc.record(s.feature, s.gain, hTot)
             val li = feature.length
             feature += -1; thresh += 0.0; left += -1; right += -1
-            defLeft += false; value += nodeEstimate(s.gl, s.hl)
+            defLeft += false; value += nodeEstimate(s.gl, s.hl); cover += s.hl
             val ri = feature.length
             feature += -1; thresh += 0.0; left += -1; right += -1
-            defLeft += false; value += nodeEstimate(s.gr, s.hr)
+            defLeft += false; value += nodeEstimate(s.gr, s.hr); cover += s.hr
             feature(node) = s.feature
             thresh(node) = edges(s.feature)(s.bin)
             left(node) = li
@@ -411,7 +468,7 @@ object SparseBoost {
       value(node) = leafValue(gTot, hTot, vLo, vHi)
     }
     SparseTree(feature.toArray, thresh.toArray, left.toArray, right.toArray,
-      defLeft.toArray, value.toArray)
+      defLeft.toArray, value.toArray, cover.toArray)
   }
 
   /** Exact per-node totals and monotone value fence, tracked on the
@@ -521,7 +578,7 @@ object SparseBoost {
     }
     var cur = src.withColumn("f", lit(base)).localCheckpoint()
 
-    val gains = new Array[Double](numFeat)
+    val acc = ImportanceAcc(numFeat)
     val hist = new ArrayBuffer[Double](params.numRound)
     val forest = new ArrayBuffer[SparseTree](params.numRound)
     for (r <- 1 to params.numRound) {
@@ -558,7 +615,7 @@ object SparseBoost {
         case None => (g, h)
       }
       val tree = growTree(
-        sampled.withColumn("g", gw).withColumn("h", hw), edges, params, gains,
+        sampled.withColumn("g", gw).withColumn("h", hw), edges, params, acc,
         roundMask(r), constraints)
       forest += tree
 
@@ -567,9 +624,9 @@ object SparseBoost {
       cur = cur.withColumn("f", upd(col("features"), col("f"))).localCheckpoint()
       hist += lossOf(cur, params.objective, rho)
     }
-    val gSum = gains.sum
-    val imp = if (gSum > 0) gains.map(_ / gSum) else gains
+    val gSum = acc.gain.sum
+    val imp = if (gSum > 0) acc.gain.map(_ / gSum) else acc.gain.clone()
     (new SparseModel(s"sparse_${params.seed}", forest.toArray, base,
-      params.objective, imp), hist.toArray)
+      params.objective, imp, acc), hist.toArray)
   }
 }

@@ -1,0 +1,244 @@
+package graft.ml
+
+import org.apache.spark.ml.linalg.Vector
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Exact TreeSHAP — XGBoost's `pred_contribs=True` semantics
+  * (Lundberg, Erion & Lee 2018, "Consistent Individualized Feature
+  * Attribution for Tree Ensembles", Algorithm 2) for the native
+  * sparse forest ([[SparseBoost]]). Where [[Contributions]] ships the
+  * Saabas path decomposition (XGBoost's `approx_contribs=True`),
+  * this computes the true Shapley values of the tree's
+  * cover-conditional expectation game:
+  *
+  *   φ_j = Σ_{S ⊆ F∖{j}} |S|!·(M−|S|−1)!/M! · [v(S∪{j}) − v(S)],
+  *
+  * v(S) = E[f(x) | x_S] estimated by the tree itself — features in S
+  * follow x, features outside S average both children weighted by
+  * their training hessian cover. The polynomial-time algorithm keeps
+  * one "unique path" of the features met so far, extending it with a
+  * (zero-fraction, one-fraction) pair per split and summing unwound
+  * permutation weights at each leaf; cost O(leaves · depth²) per tree
+  * per row instead of 2^M.
+  *
+  * Local accuracy holds by construction: bias + Σφ = margin (bias is
+  * the forest's cover-weighted expected value plus the base score).
+  * TreeShapSpec pins that identity AND equality with the brute-force
+  * subset-enumeration Shapley values on small forests — the algorithm
+  * is verified against the definition, not against itself.
+  *
+  * Scale posture: the forest (trees + cover) is a model-sized driver
+  * artifact broadcast once; scoring is one map-side pass, no shuffle.
+  * Needs per-node cover, which the native loop records during growth;
+  * MLlib GBT hides its node statistics, so those models keep the
+  * Saabas decomposition ([[Contributions]]) — documented divergence.
+  */
+object TreeShap {
+
+  /** One frame of the unique path: parallel arrays sized for the
+    * tree's max depth + 1. `d` = feature that created the segment,
+    * `z` = fraction of zero (cover-averaged) paths that flow through,
+    * `o` = fraction of one (x-following) paths (0 or 1 at creation),
+    * `w` = accumulated permutation weight.
+    */
+  private final class Path(maxLen: Int) {
+    val d = new Array[Int](maxLen)
+    val z = new Array[Double](maxLen)
+    val o = new Array[Double](maxLen)
+    val w = new Array[Double](maxLen)
+    var len = 0
+    def copyOf(): Path = {
+      val p = new Path(d.length)
+      System.arraycopy(d, 0, p.d, 0, len)
+      System.arraycopy(z, 0, p.z, 0, len)
+      System.arraycopy(o, 0, p.o, 0, len)
+      System.arraycopy(w, 0, p.w, 0, len)
+      p.len = len
+      p
+    }
+  }
+
+  /** Grow the path by one split with incoming fractions (pz, po). */
+  private def extend(m: Path, pz: Double, po: Double, pi: Int): Unit = {
+    val l = m.len
+    m.d(l) = pi; m.z(l) = pz; m.o(l) = po
+    m.w(l) = if (l == 0) 1.0 else 0.0
+    var i = l - 1
+    while (i >= 0) {
+      m.w(i + 1) += po * m.w(i) * (i + 1).toDouble / (l + 1).toDouble
+      m.w(i) = pz * m.w(i) * (l - i).toDouble / (l + 1).toDouble
+      i -= 1
+    }
+    m.len = l + 1
+  }
+
+  /** Remove path element `pi`, redistributing its weight exactly
+    * (inverse of [[extend]]).
+    */
+  private def unwind(m: Path, pi: Int): Unit = {
+    val ud = m.len - 1
+    val of = m.o(pi)
+    val zf = m.z(pi)
+    var n = m.w(ud)
+    var i = ud - 1
+    while (i >= 0) {
+      if (of != 0.0) {
+        val t = m.w(i)
+        m.w(i) = n * (ud + 1).toDouble / ((i + 1).toDouble * of)
+        n = t - m.w(i) * zf * (ud - i).toDouble / (ud + 1).toDouble
+      } else {
+        m.w(i) = m.w(i) * (ud + 1).toDouble / (zf * (ud - i).toDouble)
+      }
+      i -= 1
+    }
+    var j = pi
+    while (j < ud) {
+      m.d(j) = m.d(j + 1); m.z(j) = m.z(j + 1); m.o(j) = m.o(j + 1)
+      j += 1
+    }
+    m.len = ud
+  }
+
+  /** Total permutation weight the path would carry if element `pi`
+    * were unwound — the leaf-time multiplier of Algorithm 2, computed
+    * without mutating the path.
+    */
+  private def unwoundSum(m: Path, pi: Int): Double = {
+    val ud = m.len - 1
+    val of = m.o(pi)
+    val zf = m.z(pi)
+    var n = m.w(ud)
+    var total = 0.0
+    var i = ud - 1
+    if (of != 0.0) {
+      while (i >= 0) {
+        val t = n / ((i + 1).toDouble * of)
+        total += t
+        n = m.w(i) - t * zf * (ud - i).toDouble
+        i -= 1
+      }
+    } else {
+      while (i >= 0) {
+        total += m.w(i) / (zf * (ud - i).toDouble)
+        i -= 1
+      }
+    }
+    total * (ud + 1).toDouble
+  }
+
+  private def recurse(
+      t: SparseBoost.SparseTree, v: Vector, phi: Array[Double],
+      node: Int, m: Path, pz: Double, po: Double, pi: Int
+  ): Unit = {
+    extend(m, pz, po, pi)
+    val f = t.feature(node)
+    if (f < 0) {
+      val leafV = t.value(node)
+      var i = 1
+      while (i < m.len) {
+        phi(m.d(i)) += unwoundSum(m, i) * (m.o(i) - m.z(i)) * leafV
+        i += 1
+      }
+    } else {
+      val x = v(f)
+      val goLeft =
+        if (java.lang.Double.isNaN(x)) t.defaultLeft(node) else x <= t.thresh(node)
+      val (hot, cold) = if (goLeft) (t.left(node), t.right(node))
+        else (t.right(node), t.left(node))
+      val cN = t.cover(node)
+      val hotZ = t.cover(hot) / cN
+      val coldZ = t.cover(cold) / cN
+      var iz = 1.0
+      var io = 1.0
+      // a feature met twice on one path: undo its earlier segment and
+      // carry its fractions into the new one
+      var k = 0
+      while (k < m.len && m.d(k) != f) k += 1
+      if (k < m.len) {
+        iz = m.z(k); io = m.o(k)
+        unwind(m, k)
+      }
+      recurse(t, v, phi, hot, m.copyOf(), iz * hotZ, io, f)
+      recurse(t, v, phi, cold, m.copyOf(), iz * coldZ, 0.0, f)
+    }
+  }
+
+  /** Cover-weighted expected value of one tree — the bias share the
+    * Shapley decomposition is anchored to.
+    */
+  private[graft] def expectedValue(t: SparseBoost.SparseTree): Double = {
+    def walk(node: Int, p: Double): Double =
+      if (t.feature(node) < 0) p * t.value(node)
+      else {
+        val cN = t.cover(node)
+        walk(t.left(node), p * t.cover(t.left(node)) / cN) +
+          walk(t.right(node), p * t.cover(t.right(node)) / cN)
+      }
+    walk(0, 1.0)
+  }
+
+  /** Longest root-to-leaf path of a tree (leaf inclusive). */
+  private[graft] def depthOf(t: SparseBoost.SparseTree): Int = {
+    def walk(node: Int): Int =
+      if (t.feature(node) < 0) 1
+      else 1 + math.max(walk(t.left(node)), walk(t.right(node)))
+    walk(0)
+  }
+
+  /** One row's exact Shapley decomposition over a forest:
+    * (bias, per-feature φ) with bias + Σφ = Σ_trees tree(x).
+    */
+  private[graft] def shapOne(
+      trees: Array[SparseBoost.SparseTree],
+      expected: Array[Double],
+      pathCap: Int,
+      numFeatures: Int,
+      v: Vector
+  ): (Double, Array[Double]) = {
+    val phi = new Array[Double](numFeatures)
+    var bias = 0.0
+    var m = 0
+    while (m < trees.length) {
+      bias += expected(m)
+      recurse(trees(m), v, phi, 0, new Path(pathCap), 1.0, 1.0, -1)
+      m += 1
+    }
+    (bias, phi)
+  }
+
+  /** Score `df` with exact TreeSHAP attributions: appends `bias`
+    * (double; forest expected value + base score — identical for
+    * every row) and `shap` (array<double> per training feature in
+    * [[GraftBoost.GraftBoostModel.featureCols]] order). The local
+    * accuracy identity `bias + Σshap = margin` holds exactly up to
+    * float summation order.
+    */
+  def transform(model: GraftBoost.GraftBoostModel, df: DataFrame): DataFrame = {
+    val sm = model.model match {
+      case m: SparseBoost.SparseModel => m
+      case m => throw new UnsupportedOperationException(
+        "exact TreeSHAP needs the native sparse forest's cover " +
+        s"statistics; got ${m.getClass} — use Contributions (Saabas) " +
+        "for MLlib-backed models")
+    }
+    val nf = model.featureCols.length
+    val expected = sm.trees.map(expectedValue)
+    // one path segment per split on the longest branch + root + slack
+    val pathCap = (if (sm.trees.isEmpty) 1 else sm.trees.map(depthOf).max) + 2
+    val data = GraftBoost.assemble(df, model.featureCols, model.imputation,
+      keepNaN = model.missingStrategy == "native")
+    val bc = data.sparkSession.sparkContext.broadcast((sm.trees, expected))
+    val base = sm.base
+    val su = udf((v: Vector) => {
+      val (trees, exp) = bc.value
+      val (b, phi) = shapOne(trees, exp, pathCap, nf, v)
+      (b + base, phi.toSeq)
+    })
+    data
+      .withColumn("_sv", su(col("features")))
+      .withColumn("bias", col("_sv")("_1"))
+      .withColumn("shap", col("_sv")("_2"))
+      .drop("_sv", "features")
+  }
+}
