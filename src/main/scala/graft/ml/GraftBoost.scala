@@ -110,6 +110,27 @@ object GraftBoost {
         * loop only.
         */
       colsampleBytree: Double = 1.0,
+      /** Fraction of the tree's feature subset re-sampled at each
+        * DEPTH (XGBoost's `colsample_bylevel`) and at each NODE
+        * (`colsample_bynode`). Cumulative, exactly as in XGBoost:
+        * bynode samples from bylevel's subset, which samples from
+        * bytree's. Deterministic hash draws. Native loop only.
+        */
+      colsampleBylevel: Double = 1.0,
+      colsampleBynode: Double = 1.0,
+      /** Hard cap on the magnitude of each leaf's Newton step BEFORE
+        * η (XGBoost's `max_delta_step`, default 0 = no cap) — the
+        * stabilizer XGBoost recommends for extremely imbalanced
+        * logistic fits. Native loop only.
+        */
+      maxDeltaStep: Double = 0.0,
+      /** Global bias on the margin scale (XGBoost's `base_score` is a
+        * PROBABILITY for binary:logistic, default 0.5 → margin 0; here
+        * the value is taken on the margin/link scale directly so one
+        * knob serves every objective; NaN = objective default). Native
+        * loop + gblinear.
+        */
+      baseScore: Double = Double.NaN,
       /** Gradient/hessian multiplier on positive-class rows
         * (XGBoost's `scale_pos_weight`) — class-imbalance control for
         * binary:logistic. Native loop only.
@@ -123,6 +144,16 @@ object GraftBoost {
         * split.
         */
       monotoneConstraints: Seq[Int] = Nil,
+      /** Feature interaction constraints (XGBoost's
+        * `interaction_constraints`): each inner list is a group of
+        * feature indices allowed to interact. A node may split on
+        * feature j only if some group contains j TOGETHER WITH every
+        * feature already used on the root path — XGBoost's exact
+        * rule, under which features in no group become unusable once
+        * any constraint is given. Empty = unconstrained. Native loop
+        * only.
+        */
+      interactionConstraints: Seq[Seq[Int]] = Nil,
       /** Variance power ρ ∈ (1, 2) for `reg:tweedie` (XGBoost's
         * `tweedie_variance_power`, default 1.5): compound
         * Poisson-gamma — point mass at zero plus positive skew, the
@@ -140,10 +171,67 @@ object GraftBoost {
         * approx sketch per iteration; this proposal is one-shot and
         * unweighted (documented divergence).
         */
-      splitProposal: String = "exact"
+      splitProposal: String = "exact",
+      /** Tree growth policy for the native loop (XGBoost's
+        * `grow_policy`): "depthwise" (default; one histogram pass per
+        * level) or "lossguide" (best-first — always expand the
+        * highest-gain leaf, LightGBM-style; one histogram pass per
+        * expansion). Split semantics are shared, only the expansion
+        * ORDER and shape budget differ.
+        */
+      growPolicy: String = "depthwise",
+      /** Leaf budget for `grow_policy = "lossguide"` (XGBoost's
+        * `max_leaves`; 0 = unbounded — growth then stops on gain /
+        * min_child_weight / maxDepth alone).
+        */
+      maxLeaves: Int = 0,
+      /** L1 leaf/weight regularization (XGBoost's `alpha`, default
+        * 0). Used by the gblinear coordinate updates (soft threshold
+        * — drives small weights exactly to zero).
+        */
+      alphaL1: Double = 0.0,
+      /** Booster variant (XGBoost's `booster`): "gbtree" (default),
+        * "gblinear" — elastic-net coordinate-descent linear boosting
+        * ([[LinearBoost]]) — or "dart" — per-round dropout of earlier
+        * trees (Vinayak & Gilad-Bachrach 2015) with the paper's
+        * "tree" normalization: the round trains against the margins
+        * of the NON-dropped trees, the new tree enters at weight
+        * 1/(k+1) and the k dropped trees are permanently rescaled by
+        * k/(k+1). With `rateDrop = 0` every round degenerates to
+        * plain gbtree (bit-identical — pinned in spec). Divergence
+        * note: XGBoost entangles the learning rate into its
+        * normalization constants (lr/(k+lr)); here η is already
+        * folded into stored leaf values, so the paper's constants
+        * apply to the η-scaled trees.
+        */
+      booster: String = "gbtree",
+      /** DART dropout rate: each earlier tree independently drops for
+        * the round with this probability (deterministic fmix64 of
+        * (seed, round, tree) — no RNG state).
+        */
+      rateDrop: Double = 0.0,
+      /** DART: probability a round skips dropout entirely (XGBoost's
+        * `skip_drop`); a skipped round is a plain gbtree round.
+        */
+      skipDrop: Double = 0.0
   ) {
     require(splitProposal == "exact" || splitProposal == "approx",
       s"splitProposal must be \"exact\" or \"approx\", got $splitProposal")
+    require(growPolicy == "depthwise" || growPolicy == "lossguide",
+      s"growPolicy must be \"depthwise\" or \"lossguide\", got $growPolicy")
+    require(maxLeaves >= 0, s"maxLeaves must be >= 0, got $maxLeaves")
+    require(booster == "gbtree" || booster == "dart" || booster == "gblinear",
+      s"booster must be \"gbtree\", \"gblinear\" or \"dart\", got $booster")
+    require(alphaL1 >= 0.0, s"alphaL1 must be >= 0, got $alphaL1")
+    require(colsampleBylevel > 0.0 && colsampleBylevel <= 1.0,
+      s"colsampleBylevel must be in (0, 1], got $colsampleBylevel")
+    require(colsampleBynode > 0.0 && colsampleBynode <= 1.0,
+      s"colsampleBynode must be in (0, 1], got $colsampleBynode")
+    require(maxDeltaStep >= 0.0, s"maxDeltaStep must be >= 0, got $maxDeltaStep")
+    require(rateDrop >= 0.0 && rateDrop < 1.0,
+      s"rateDrop must be in [0, 1), got $rateDrop")
+    require(skipDrop >= 0.0 && skipDrop <= 1.0,
+      s"skipDrop must be in [0, 1], got $skipDrop")
     GraftBoost.validateMissingStrategy(missingStrategy)
   }
 
@@ -185,7 +273,7 @@ object GraftBoost {
   /** Train-history metric name for the native sparse loop's
     * objectives (XGBoost's default eval metric per objective).
     */
-  private def sparseMetricName(objective: String): String = objective match {
+  private[ml] def sparseMetricName(objective: String): String = objective match {
     case "binary:logistic" => "logloss"
     case "reg:gamma"       => "gamma-deviance"
     case "reg:tweedie"     => "tweedie-nloglik"
@@ -337,6 +425,33 @@ object GraftBoost {
     }
     val data = assemble(df, featureCols, imputation, keepNaN = native)
       .withColumn("label", col(labelCol).cast("double"))
+
+    if (params.booster == "gblinear") {
+      require(!native,
+        "gblinear has no sparse-skip routing — use missingStrategy " +
+        "\"impute\" or \"sentinel\" with the linear booster")
+      require(validationCol.isEmpty,
+        "gblinear records its train history itself; use StagedEval-style " +
+        "post-hoc evaluation for validation metrics")
+      val (m, histL) = LinearBoost.train(data, params, weightCol)
+      return GraftBoostModel(m, featureCols, params.objective,
+        if (params.objective == "binary:logistic") 2 else 0,
+        Map("train" -> Map(sparseMetricName(params.objective) -> histL)),
+        imputation, params.missingStrategy)
+    }
+    // DART dropout lives in the native sparse loop only — ignoring it
+    // silently on an MLlib path would fake the mechanism
+    if (params.booster == "dart")
+      require(native || params.objective == "reg:gamma" ||
+        params.objective == "reg:tweedie",
+        "booster=\"dart\" runs in the native loop — set " +
+        "missingStrategy=\"native\" (or a gamma/tweedie objective)")
+    if (params.growPolicy == "lossguide")
+      require(native || params.objective == "reg:gamma" ||
+        params.objective == "reg:tweedie" ||
+        params.objective.startsWith("rank:"),
+        "grow_policy=\"lossguide\" runs in the native tree loop — set " +
+        "missingStrategy=\"native\" (or a gamma/tweedie/rank objective)")
 
     if (params.objective == "rank:pairwise" || params.objective == "rank:ndcg") {
       // pairwise learning-to-rank (plain RankNet pairs or ΔNDCG-
@@ -506,6 +621,7 @@ object GraftBoost {
       keepNaN = model.missingStrategy == "native")
     val scored = model.model match {
       case m: SparseBoost.SparseModel     => m.transform(data)
+      case m: LinearBoost.LinearModel     => m.transform(data)
       case m: GBTRegressionModel         => m.transform(data)
       case m: GBTClassificationModel     => m.transform(data)
       case m: RandomForestClassificationModel => m.transform(data)
@@ -529,6 +645,13 @@ object GraftBoost {
     model.model match {
       case m: SparseBoost.SparseModel if m.objective == "binary:logistic" =>
         // sigmoid of the boosted margin — the XGBoost binary proba
+        val bc = data.sparkSession.sparkContext.broadcast(m)
+        val pU = udf((v: Vector) => {
+          val p = bc.value.probOf(v)
+          Array(1.0 - p, p)
+        })
+        data.withColumn("proba", pU(col("features"))).drop("features")
+      case m: LinearBoost.LinearModel if m.objective == "binary:logistic" =>
         val bc = data.sparkSession.sparkContext.broadcast(m)
         val pU = udf((v: Vector) => {
           val p = bc.value.probOf(v)
@@ -705,6 +828,7 @@ object GraftBoost {
       case m: QuantileBoost.QuantileModel => m.predictOne(f)
       case m: PoissonBoost.PoissonModel   => m.predictOne(f)
       case m: SparseBoost.SparseModel     => m.predictOne(f)
+      case m: LinearBoost.LinearModel     => m.predictOne(f)
       case m => throw new UnsupportedOperationException(
         s"local predict unavailable for ${m.getClass}")
     }
@@ -739,6 +863,12 @@ object GraftBoost {
         // per-feature total split gain accumulated during training —
         // XGBoost's `total_gain` importance, already normalized
         sb.importances
+      case lm: LinearBoost.LinearModel =>
+        // gblinear "importance" is the weight vector; normalize its
+        // magnitudes so the contract (sums to 1) matches tree models
+        val mag = lm.weights.map(math.abs)
+        val tot = mag.sum
+        if (tot > 0) mag.map(_ / tot) else mag
       case m => throw new UnsupportedOperationException(
         s"feature importances unavailable for ${m.getClass}")
     }

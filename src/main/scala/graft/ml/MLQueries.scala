@@ -1029,9 +1029,117 @@ object MLQueries {
     """)
   )
 
+  /** DART booster × lossguide growth — the two remaining `params`
+    * axes of the native loop composed in one lifecycle (XGBoost
+    * `booster="dart"` + `grow_policy="lossguide"` via the reference's
+    * passthrough). Gates: the leaf budget binds on every tree
+    * (best-first growth must stop at max_leaves), the dropout
+    * ensemble still beats the constant-mean predictor by 2× on RMSE
+    * (a broken rescale or margin bookkeeping destroys the fit), and
+    * the train history is finite and improves. The mechanism pins
+    * (gbtree equivalence at rate 0, gain-ordered expansion,
+    * determinism) live in SparseBoostSpec.
+    */
+  val mlDartLossguide = GraftQuery(
+    "ml_dart_lossguide",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val feats = Seq("l_quantity", "l_discount", "l_tax")
+      val df = t.lineitem
+        .withColumn("target",
+          col("l_quantity") * 100.0 + col("l_discount") * 2000.0)
+        .select((feats.map(col) :+ col("target")): _*)
+        .cache()
+      val model = GraftBoost.train(df, feats, "target",
+        GraftBoost.BoostParams("reg:squarederror", numRound = 4, maxDepth = 6,
+          maxBins = 16, eta = 0.5, missing = Some(-999.0),
+          missingStrategy = "native", booster = "dart", rateDrop = 0.3,
+          growPolicy = "lossguide", maxLeaves = 6))
+      val sm = model.model.asInstanceOf[SparseBoost.SparseModel]
+      val leavesOk = sm.trees.forall(_.feature.count(_ < 0) <= 6)
+      val hist = model.evalsResult("train")(GraftBoost.sparseMetricName("reg:squarederror"))
+      val sd = df.select(stddev_pop(col("target"))).head().getDouble(0)
+      val out = GraftBoost.predict(model, df)
+        .agg(
+          count(lit(1)).as("n_rows"),
+          sqrt(avg(pow(col("prediction") - col("target"), 2))).as("rmse"))
+        .select(
+          col("n_rows").cast("long").as("n_rows"),
+          (col("rmse") < sd * 0.5).as("fit_ok"),
+          lit(leavesOk).as("leaf_budget_ok"),
+          lit(hist.forall(v => !v.isNaN && !v.isInfinite) &&
+            hist.last < hist.head).as("history_ok"))
+      out.persist().count()
+      df.unpersist(false)
+      out
+    },
+    Some("""
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+             TRUE AS fit_ok, TRUE AS leaf_budget_ok, TRUE AS history_ok
+      FROM lineitem
+    """)
+  )
+
+  /** gblinear lifecycle ([[LinearBoost]], XGBoost's `booster=
+    * "gblinear"` via the reference's params passthrough): elastic-net
+    * coordinate-descent linear boosting, one distributed stats pass
+    * per round, nothing row-sized on the driver. The target is an
+    * exact linear form of the features, so the booster must RECOVER
+    * the generating coefficients — a far sharper gate than
+    * beats-the-mean: each fitted weight lands within 2 % of truth,
+    * train RMSE collapses below 5 % of the target's spread, and the
+    * loss history is non-increasing. The ridge-exactness and L1 pins
+    * live in LinearBoostSpec.
+    */
+  val mlGblinear = GraftQuery(
+    "ml_gblinear",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val feats = Seq("l_quantity", "l_discount", "l_tax")
+      val truth = Seq(100.0, 2000.0, 500.0)
+      val df = t.lineitem
+        .withColumn("target",
+          col("l_quantity") * truth(0) + col("l_discount") * truth(1) +
+            col("l_tax") * truth(2))
+        .select((feats.map(col) :+ col("target")): _*)
+        .cache()
+      val model = GraftBoost.train(df, feats, "target",
+        // eta = 1 (undamped Jacobi) is stable here: the three
+        // features are nearly orthogonal, and recovery is exact by
+        // round ~40 (eta 0.5 needs 100+ rounds for the same result)
+        GraftBoost.BoostParams("reg:squarederror", numRound = 40, eta = 1.0,
+          lambdaL2 = 0.0, booster = "gblinear"))
+      val lm = model.model.asInstanceOf[LinearBoost.LinearModel]
+      val hist = model.evalsResult("train")("rmse")
+      val weightsOk = lm.weights.toSeq.zip(truth).forall { case (w, tr) =>
+        math.abs(w - tr) <= 0.02 * tr
+      }
+      val sd = df.select(stddev_pop(col("target"))).head().getDouble(0)
+      val out = GraftBoost.predict(model, df)
+        .agg(
+          count(lit(1)).as("n_rows"),
+          sqrt(avg(pow(col("prediction") - col("target"), 2))).as("rmse"))
+        .select(
+          col("n_rows").cast("long").as("n_rows"),
+          (col("rmse") < sd * 0.05).as("fit_ok"),
+          lit(weightsOk).as("weights_recovered_ok"),
+          lit(hist.zip(hist.tail).forall { case (a, b) => b <= a + 1e-9 })
+            .as("history_ok"))
+      out.persist().count()
+      df.unpersist(false)
+      out
+    },
+    Some("""
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+             TRUE AS fit_ok, TRUE AS weights_recovered_ok, TRUE AS history_ok
+      FROM lineitem
+    """)
+  )
+
   def all: Seq[GraftQuery] =
     Seq(mlBinary, mlRegression, mlMulticlass, mlCvKfold, mlTextClassifier,
       mlCvRollingOrigin, mlCalibrationBins, mlPermutationImportance,
       mlMulticlassSoftprob, mlQuantile, mlFeatureContribs, mlPoisson,
-      mlSparseNative, mlRankPairwise, mlTweedie, mlShapImportance)
+      mlSparseNative, mlRankPairwise, mlTweedie, mlShapImportance,
+      mlDartLossguide, mlGblinear)
 }

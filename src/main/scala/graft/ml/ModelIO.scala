@@ -85,6 +85,16 @@ object ModelIO {
       impTotalCover: Seq[Double] = Seq.empty
   )
 
+  /** Serialized form of a [[LinearBoost.LinearModel]] — one small
+    * JSON under `model/linear.json`.
+    */
+  private case class LinearDoc(
+      base: Double,
+      bias: Double,
+      objective: String,
+      weights: Seq[Double]
+  )
+
   /** The divergence notes a given model carries (reference:
     * `core.py:370-377` sparse-skip missing; `core.py:580-590`
     * multi:softprob single-model multiclass).
@@ -172,6 +182,16 @@ object ModelIO {
         val outS = fsS.create(new Path(path, "model/sparse.json"), true)
         try outS.write(Serialization.write(doc).getBytes("UTF-8"))
         finally outS.close()
+      // a linear booster is one weight vector — one JSON
+      case lm: LinearBoost.LinearModel =>
+        import org.json4s.DefaultFormats
+        import org.json4s.jackson.Serialization
+        implicit val fmt: DefaultFormats.type = DefaultFormats
+        val doc = LinearDoc(lm.base, lm.bias, lm.objective, lm.weights.toSeq)
+        val fsL = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val outL = fsL.create(new Path(path, "model/linear.json"), true)
+        try outL.write(Serialization.write(doc).getBytes("UTF-8"))
+        finally outL.close()
       case w: MLWritable =>
         w.write.overwrite().save(new Path(path, "model").toString)
       case m => throw new UnsupportedOperationException(s"not writable: ${m.getClass}")
@@ -269,6 +289,13 @@ object ModelIO {
           doc.objective, doc.importances.toArray,
           SparseBoost.ImportanceAcc(doc.impTotalGain.toArray,
             doc.impWeight.toArray, doc.impTotalCover.toArray))
+      case c if c.endsWith("LinearModel") =>
+        val inL = fs.open(new Path(path, "model/linear.json"))
+        val jsonL = try scala.io.Source.fromInputStream(inL, "UTF-8").mkString
+          finally inL.close()
+        val doc = JsonMethods.parse(jsonL).extract[LinearDoc]
+        new LinearBoost.LinearModel("gblinear_loaded", doc.weights.toArray,
+          doc.bias, doc.base, doc.objective)
       case c if c.endsWith("QuantileModel") =>
         val inQ = fs.open(new Path(path, "model/quantile.json"))
         val jsonQ = try scala.io.Source.fromInputStream(inQ, "UTF-8").mkString

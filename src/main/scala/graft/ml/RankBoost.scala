@@ -174,7 +174,7 @@ object RankBoost {
         .localCheckpoint()
 
       val tree = SparseBoost.growTree(grad, edges, params, acc,
-        allowed, constraints)
+        allowed, constraints, params.seed ^ (1337L * r))
       forest += tree
 
       val bc = spark.sparkContext.broadcast(tree)

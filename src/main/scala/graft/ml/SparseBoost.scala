@@ -268,57 +268,150 @@ object SparseBoost {
       params: GraftBoost.BoostParams,
       acc: ImportanceAcc,
       allowed: Array[Boolean],
-      constraints: Array[Int]
+      constraints: Array[Int],
+      maskSeed: Long = 0L
   ): SparseTree = {
-    val numFeat = edges.length
-    val lambda = params.lambdaL2
-    val minH = params.minChildWeight.toDouble
-    val minGain = math.max(params.gammaMinSplitLoss, 0.0) + 1e-12
+    val g = new Grower(fit, edges, params, acc, allowed, constraints, maskSeed)
+    if (params.growPolicy == "lossguide") g.growLossguide() else g.growDepthwise()
+  }
+
+  /** Shared tree-growth machinery: the distributed histogram pass,
+    * the driver-side both-directions split search (missing-bin
+    * enumeration, monotone fences, interaction groups), and split
+    * application. Both growth policies drive it:
+    *
+    *  - depthwise ([[Grower.growDepthwise]], XGBoost's default
+    *    `grow_policy`): one histogram pass per LEVEL covering the
+    *    whole frontier — the fewest distributed passes per tree,
+    *  - lossguide ([[Grower.growLossguide]], XGBoost/LightGBM
+    *    best-first): always expand the highest-gain leaf until
+    *    `max_leaves`; one histogram pass per EXPANSION covering the
+    *    two freshly created children. Deeper lopsided trees from the
+    *    same leaf budget — the policy that wins on targets whose
+    *    structure is concentrated in one region. At very large scans
+    *    the per-expansion pass cost is the trade; the classic
+    *    histogram-subtraction trick (scan the smaller child, derive
+    *    the sibling as parent − child) halves accumulation work and
+    *    would slot into `histPass` unchanged.
+    *
+    * Split semantics are policy-independent by construction — one
+    * `search` implementation — so a lossguide tree with an
+    * unreachable leaf budget reproduces depthwise's split SET (pinned
+    * in SparseBoostSpec).
+    */
+  private final class Grower(
+      fit: DataFrame,
+      edges: Array[Array[Double]],
+      params: GraftBoost.BoostParams,
+      acc: ImportanceAcc,
+      allowed: Array[Boolean],
+      constraints: Array[Int],
+      maskSeed: Long
+  ) {
+    private val numFeat = edges.length
+    private val lambda = params.lambdaL2
+    private val minH = params.minChildWeight.toDouble
+    private val minGain = math.max(params.gammaMinSplitLoss, 0.0) + 1e-12
+    private val maxDelta = params.maxDeltaStep
 
     // per-node histogram block layout: feature j occupies
     // edges(j).length + 2 slots (regions 0..m_j plus one MISSING bin)
-    val featOff = new Array[Int](numFeat + 1)
-    var j = 0
-    while (j < numFeat) { featOff(j + 1) = featOff(j) + edges(j).length + 2; j += 1 }
-    val perNode = featOff(numFeat)
+    private val featOff: Array[Int] = {
+      val fo = new Array[Int](numFeat + 1)
+      var j = 0
+      while (j < numFeat) { fo(j + 1) = fo(j) + edges(j).length + 2; j += 1 }
+      fo
+    }
+    private val perNode = featOff(numFeat)
 
     // growable tree arrays; children appended as they are created
-    val feature = ArrayBuffer(-1)
-    val thresh = ArrayBuffer(0.0)
-    val left = ArrayBuffer(-1)
-    val right = ArrayBuffer(-1)
-    val defLeft = ArrayBuffer(false)
-    val value = ArrayBuffer(0.0)
-    val cover = ArrayBuffer(0.0)
+    private val feature = ArrayBuffer(-1)
+    private val thresh = ArrayBuffer(0.0)
+    private val left = ArrayBuffer(-1)
+    private val right = ArrayBuffer(-1)
+    private val defLeft = ArrayBuffer(false)
+    private val value = ArrayBuffer(0.0)
+    private val cover = ArrayBuffer(0.0)
 
-    val rows = fit.select(col("features"), col("g").cast("double"),
+    private val rows = fit.select(col("features"), col("g").cast("double"),
       col("h").cast("double"))
 
-    val totals = rows.select(sum(col("g")), sum(col("h")), count(lit(1))).head()
-    // (G, H, count, valueLo, valueHi) per live frontier node: totals
-    // tracked exactly from the parent's chosen split (no extra pass
-    // at finalization); the bounds are the monotone-constraint fences
-    var frontier: scala.Vector[NodeStat] = scala.Vector(NodeStat(0,
-      totals.getDouble(0), totals.getDouble(1), totals.getLong(2).toDouble,
-      Double.NegativeInfinity, Double.PositiveInfinity))
+    // interaction groups as index sets; empty = unconstrained
+    private val interGroups: Array[Set[Int]] =
+      params.interactionConstraints.map(_.toSet).toArray
 
-    def clamp(w: Double, lo: Double, hi: Double): Double =
+    private def clamp(w: Double, lo: Double, hi: Double): Double =
       math.min(math.max(w, lo), hi)
-    def leafValue(g: Double, h: Double, lo: Double, hi: Double): Double =
-      params.eta * clamp(-g / (h + lambda), lo, hi)
+    // raw Newton step with XGBoost's max_delta_step cap (pre-η)
+    private def newton(g: Double, h: Double): Double = {
+      val w = -g / (h + lambda)
+      if (maxDelta > 0.0) clamp(w, -maxDelta, maxDelta) else w
+    }
+    private def leafValue(g: Double, h: Double, lo: Double, hi: Double): Double =
+      params.eta * clamp(newton(g, h), lo, hi)
     // every node carries its η-scaled Newton estimate from creation:
     // internal nodes keep it (the per-node expected value the Saabas
     // attribution differences — Contributions.scala), leaves get
     // overwritten with the fence-clamped final weight. Scoring only
     // ever reads leaf slots, so routing is unaffected.
-    def nodeEstimate(g: Double, h: Double): Double =
-      params.eta * (-g / (h + lambda))
-    value(0) = nodeEstimate(totals.getDouble(0), totals.getDouble(1))
-    cover(0) = totals.getDouble(1)
+    private def nodeEstimate(g: Double, h: Double): Double =
+      params.eta * newton(g, h)
 
-    var depth = 0
-    while (depth < params.maxDepth && frontier.nonEmpty) {
-      val slotOf = frontier.map(_.node).zipWithIndex.toMap
+    private def fmix(a: Long, b: Long): Long = {
+      var h = maskSeed ^ (a * 0x9e3779b97f4a7c15L) ^ (b * 0xc2b2ae3d27d4eb4fL)
+      h ^= h >>> 33; h *= 0xff51afd7ed558ccdL
+      h ^= h >>> 33; h *= 0xc4ceb9fe1a85ec53L
+      h ^= h >>> 33
+      h
+    }
+
+    /** ⌈frac·|parent|⌉ features hash-ranked out of the parent set —
+      * the cumulative colsample chain (bynode ⊂ bylevel ⊂ bytree),
+      * deterministic per (maskSeed, salt).
+      */
+    private def sampleMask(parent: Array[Boolean], frac: Double, salt: Long): Array[Boolean] =
+      if (frac >= 1.0) parent
+      else {
+        val idx = parent.indices.filter(parent).toArray
+        val k = math.max(1, math.ceil(frac * idx.length).toInt)
+        val m = new Array[Boolean](parent.length)
+        idx.sortBy(j => fmix(salt, j)).take(k).foreach(j => m(j) = true)
+        m
+      }
+
+    private val levelMasks = scala.collection.mutable.Map.empty[Int, Array[Boolean]]
+    /** The node's effective feature set: bytree ∩ bylevel(depth) ∩
+      * bynode(node).
+      */
+    private def allowedFor(stat: NodeStat): Array[Boolean] = {
+      val lvl =
+        if (params.colsampleBylevel >= 1.0) allowed
+        else levelMasks.getOrElseUpdate(stat.depth,
+          sampleMask(allowed, params.colsampleBylevel, 7L + stat.depth))
+      if (params.colsampleBynode >= 1.0) lvl
+      else sampleMask(lvl, params.colsampleBynode, 7919L + stat.node)
+    }
+
+    /** One distributed pass over the exact (G, H, count) totals —
+      * also seeds the root node's estimate and cover.
+      */
+    def rootStat(): NodeStat = {
+      val totals = rows.select(sum(col("g")), sum(col("h")), count(lit(1))).head()
+      value(0) = nodeEstimate(totals.getDouble(0), totals.getDouble(1))
+      cover(0) = totals.getDouble(1)
+      NodeStat(0, totals.getDouble(0), totals.getDouble(1),
+        totals.getLong(2).toDouble,
+        Double.NegativeInfinity, Double.PositiveInfinity)
+    }
+
+    /** One histogram pass for the given node → slot map: per
+      * (node, feature, bin) gradient/hessian/count triples, rows
+      * routed through the CURRENT tree, partials folded on the driver
+      * in partition-index order (deterministic float sum). Rows whose
+      * landing node is not in `slotOf` (finalized leaves, or — under
+      * lossguide — leaves queued but not being expanded) are skipped.
+      */
+    def histPass(slotOf: Map[Int, Int]): Array[Double] = {
       // immutable snapshots for the task closure (small, model-sized)
       val fSnap = feature.toArray
       val tSnap = thresh.toArray
@@ -329,10 +422,8 @@ object SparseBoost {
       val featOffL = featOff
       val perNodeL = perNode
       val slotL = slotOf
-      val size = frontier.length * perNode * 3
+      val size = slotOf.size * perNode * 3
 
-      // one histogram pass for the whole level; partials folded on
-      // the driver in partition-index order (deterministic float sum)
       val partials = rows.rdd.mapPartitions { it =>
         val acc = new Array[Double](size)
         it.foreach { row =>
@@ -360,7 +451,7 @@ object SparseBoost {
                 acc(idx + 2) += 1.0
                 jj += 1
               }
-            case None => // routed to an already-finalized leaf
+            case None => // not a target of this pass
           }
         }
         Iterator.single(acc)
@@ -370,112 +461,196 @@ object SparseBoost {
         var i = 0
         while (i < size) { hist(i) += p(i); i += 1 }
       }
+      hist
+    }
 
-      val next = scala.Vector.newBuilder[NodeStat]
-      frontier.foreach { case NodeStat(node, gTot, hTot, cTot, vLo, vHi) =>
-        val base = slotOf(node) * perNode
-        val parentScore = gTot * gTot / (hTot + lambda)
-        // ordering check for a monotone-constrained candidate: clamp
-        // the child Newton weights into the node's fence first (the
-        // values the children can actually take), then compare
-        def monoOk(c: Int, gl: Double, hl: Double, gr: Double, hr: Double): Boolean =
-          c == 0 || {
-            val wl = clamp(-gl / (hl + lambda), vLo, vHi)
-            val wr = clamp(-gr / (hr + lambda), vLo, vHi)
-            if (c > 0) wl <= wr else wl >= wr
-          }
-        var best: Option[Split] = None
-        var jj = 0
-        while (jj < numFeat) {
-          val m = edges(jj).length
-          if (m > 0 && allowed(jj)) {
-            val cj = constraints(jj)
-            val off = (base + featOff(jj)) * 3
-            val missIdx = off + (m + 1) * 3
-            val gMiss = hist(missIdx)
-            val hMiss = hist(missIdx + 1)
-            val cMiss = hist(missIdx + 2)
-            var gl = 0.0; var hl = 0.0; var cl = 0.0
-            var b = 0
-            while (b < m) {
-              gl += hist(off + b * 3)
-              hl += hist(off + b * 3 + 1)
-              cl += hist(off + b * 3 + 2)
-              // missing → right (enumerated first; ties keep it)
-              var glx = gl; var hlx = hl; var clx = cl
-              var grx = gTot - glx; var hrx = hTot - hlx; var crx = cTot - clx
-              if (hlx >= minH && hrx >= minH && clx >= 1 && crx >= 1 &&
-                  monoOk(cj, glx, hlx, grx, hrx)) {
-                val gain = 0.5 * (glx * glx / (hlx + lambda) +
-                  grx * grx / (hrx + lambda) - parentScore)
-                if (gain > best.map(_.gain).getOrElse(minGain))
-                  best = Some(Split(jj, b, defaultLeft = false, gain,
-                    glx, hlx, clx, grx, hrx, crx))
-              }
-              // missing → left
-              glx = gl + gMiss; hlx = hl + hMiss; clx = cl + cMiss
-              grx = gTot - glx; hrx = hTot - hlx; crx = cTot - clx
-              if (cMiss > 0 && hlx >= minH && hrx >= minH && clx >= 1 && crx >= 1 &&
-                  monoOk(cj, glx, hlx, grx, hrx)) {
-                val gain = 0.5 * (glx * glx / (hlx + lambda) +
-                  grx * grx / (hrx + lambda) - parentScore)
-                if (gain > best.map(_.gain).getOrElse(minGain))
-                  best = Some(Split(jj, b, defaultLeft = true, gain,
-                    glx, hlx, clx, grx, hrx, crx))
-              }
-              b += 1
+    /** Best split of one node from its histogram block (slot base
+      * offset in `hist`): both-directions missing enumeration,
+      * hessian-sum min_child_weight, monotone ordering inside the
+      * node's value fence, interaction-group filtering.
+      */
+    def search(hist: Array[Double], slotBase: Int, stat: NodeStat): Option[Split] = {
+      val NodeStat(_, gTot, hTot, cTot, vLo, vHi, path, _) = stat
+      val nodeAllowed = allowedFor(stat)
+      // XGBoost interaction rule: j is usable here iff one group
+      // holds j and the whole root path
+      def interOk(j: Int): Boolean =
+        interGroups.isEmpty ||
+          interGroups.exists(g => g.contains(j) && path.subsetOf(g))
+      val parentScore = gTot * gTot / (hTot + lambda)
+      // ordering check for a monotone-constrained candidate: clamp
+      // the child Newton weights into the node's fence first (the
+      // values the children can actually take), then compare
+      def monoOk(c: Int, gl: Double, hl: Double, gr: Double, hr: Double): Boolean =
+        c == 0 || {
+          val wl = clamp(newton(gl, hl), vLo, vHi)
+          val wr = clamp(newton(gr, hr), vLo, vHi)
+          if (c > 0) wl <= wr else wl >= wr
+        }
+      var best: Option[Split] = None
+      var jj = 0
+      while (jj < numFeat) {
+        val m = edges(jj).length
+        if (m > 0 && nodeAllowed(jj) && interOk(jj)) {
+          val cj = constraints(jj)
+          val off = (slotBase + featOff(jj)) * 3
+          val missIdx = off + (m + 1) * 3
+          val gMiss = hist(missIdx)
+          val hMiss = hist(missIdx + 1)
+          val cMiss = hist(missIdx + 2)
+          var gl = 0.0; var hl = 0.0; var cl = 0.0
+          var b = 0
+          while (b < m) {
+            gl += hist(off + b * 3)
+            hl += hist(off + b * 3 + 1)
+            cl += hist(off + b * 3 + 2)
+            // missing → right (enumerated first; ties keep it)
+            var glx = gl; var hlx = hl; var clx = cl
+            var grx = gTot - glx; var hrx = hTot - hlx; var crx = cTot - clx
+            if (hlx >= minH && hrx >= minH && clx >= 1 && crx >= 1 &&
+                monoOk(cj, glx, hlx, grx, hrx)) {
+              val gain = 0.5 * (glx * glx / (hlx + lambda) +
+                grx * grx / (hrx + lambda) - parentScore)
+              if (gain > best.map(_.gain).getOrElse(minGain))
+                best = Some(Split(jj, b, defaultLeft = false, gain,
+                  glx, hlx, clx, grx, hrx, crx))
             }
+            // missing → left
+            glx = gl + gMiss; hlx = hl + hMiss; clx = cl + cMiss
+            grx = gTot - glx; hrx = hTot - hlx; crx = cTot - clx
+            if (cMiss > 0 && hlx >= minH && hrx >= minH && clx >= 1 && crx >= 1 &&
+                monoOk(cj, glx, hlx, grx, hrx)) {
+              val gain = 0.5 * (glx * glx / (hlx + lambda) +
+                grx * grx / (hrx + lambda) - parentScore)
+              if (gain > best.map(_.gain).getOrElse(minGain))
+                best = Some(Split(jj, b, defaultLeft = true, gain,
+                  glx, hlx, clx, grx, hrx, crx))
+            }
+            b += 1
           }
-          jj += 1
         }
-        best match {
-          case Some(s) =>
-            acc.record(s.feature, s.gain, hTot)
-            val li = feature.length
-            feature += -1; thresh += 0.0; left += -1; right += -1
-            defLeft += false; value += nodeEstimate(s.gl, s.hl); cover += s.hl
-            val ri = feature.length
-            feature += -1; thresh += 0.0; left += -1; right += -1
-            defLeft += false; value += nodeEstimate(s.gr, s.hr); cover += s.hr
-            feature(node) = s.feature
-            thresh(node) = edges(s.feature)(s.bin)
-            left(node) = li
-            right(node) = ri
-            defLeft(node) = s.defaultLeft
-            // midpoint fencing (XGBoost monotone propagation): a
-            // constrained split pins the boundary value both subtrees
-            // must respect; unconstrained splits inherit the fence
-            val cj = constraints(s.feature)
-            val (loL, hiL, loR, hiR) =
-              if (cj == 0) (vLo, vHi, vLo, vHi)
-              else {
-                val wl = clamp(-s.gl / (s.hl + lambda), vLo, vHi)
-                val wr = clamp(-s.gr / (s.hr + lambda), vLo, vHi)
-                val mid = 0.5 * (wl + wr)
-                if (cj > 0) (vLo, mid, mid, vHi) else (mid, vHi, vLo, mid)
-              }
-            next += NodeStat(li, s.gl, s.hl, s.cl, loL, hiL)
-            next += NodeStat(ri, s.gr, s.hr, s.cr, loR, hiR)
-          case None =>
-            value(node) = leafValue(gTot, hTot, vLo, vHi)
-        }
+        jj += 1
       }
-      frontier = next.result()
-      depth += 1
+      best
     }
-    // depth budget exhausted: finalize the remaining frontier
-    frontier.foreach { case NodeStat(node, gTot, hTot, _, vLo, vHi) =>
-      value(node) = leafValue(gTot, hTot, vLo, vHi)
+
+    /** Materialize a chosen split: append both children, rewrite the
+      * node as internal, record importance statistics, propagate the
+      * monotone value fence (midpoint fencing — XGBoost's monotone
+      * propagation) and the interaction path. Returns the child stats.
+      */
+    def applySplit(stat: NodeStat, s: Split): (NodeStat, NodeStat) = {
+      val NodeStat(node, _, hTot, _, vLo, vHi, path, depth) = stat
+      acc.record(s.feature, s.gain, hTot)
+      val li = feature.length
+      feature += -1; thresh += 0.0; left += -1; right += -1
+      defLeft += false; value += nodeEstimate(s.gl, s.hl); cover += s.hl
+      val ri = feature.length
+      feature += -1; thresh += 0.0; left += -1; right += -1
+      defLeft += false; value += nodeEstimate(s.gr, s.hr); cover += s.hr
+      feature(node) = s.feature
+      thresh(node) = edges(s.feature)(s.bin)
+      left(node) = li
+      right(node) = ri
+      defLeft(node) = s.defaultLeft
+      // midpoint fencing: a constrained split pins the boundary value
+      // both subtrees must respect; unconstrained splits inherit
+      val cj = constraints(s.feature)
+      val (loL, hiL, loR, hiR) =
+        if (cj == 0) (vLo, vHi, vLo, vHi)
+        else {
+          val wl = clamp(newton(s.gl, s.hl), vLo, vHi)
+          val wr = clamp(newton(s.gr, s.hr), vLo, vHi)
+          val mid = 0.5 * (wl + wr)
+          if (cj > 0) (vLo, mid, mid, vHi) else (mid, vHi, vLo, mid)
+        }
+      val childPath = path + s.feature
+      (NodeStat(li, s.gl, s.hl, s.cl, loL, hiL, childPath, depth + 1),
+        NodeStat(ri, s.gr, s.hr, s.cr, loR, hiR, childPath, depth + 1))
     }
-    SparseTree(feature.toArray, thresh.toArray, left.toArray, right.toArray,
-      defLeft.toArray, value.toArray, cover.toArray)
+
+    def finalizeLeaf(stat: NodeStat): Unit =
+      value(stat.node) = leafValue(stat.g, stat.h, stat.lo, stat.hi)
+
+    private def result(): SparseTree =
+      SparseTree(feature.toArray, thresh.toArray, left.toArray, right.toArray,
+        defLeft.toArray, value.toArray, cover.toArray)
+
+    /** Breadth-first growth: one histogram pass per level over the
+      * whole live frontier.
+      */
+    def growDepthwise(): SparseTree = {
+      var frontier: scala.Vector[NodeStat] = scala.Vector(rootStat())
+      var depth = 0
+      while (depth < params.maxDepth && frontier.nonEmpty) {
+        val slotOf = frontier.map(_.node).zipWithIndex.toMap
+        val hist = histPass(slotOf)
+        val next = scala.Vector.newBuilder[NodeStat]
+        frontier.foreach { stat =>
+          search(hist, slotOf(stat.node) * perNode, stat) match {
+            case Some(s) =>
+              val (l, r) = applySplit(stat, s)
+              next += l
+              next += r
+            case None => finalizeLeaf(stat)
+          }
+        }
+        frontier = next.result()
+        depth += 1
+      }
+      // depth budget exhausted: finalize the remaining frontier
+      frontier.foreach(finalizeLeaf)
+      result()
+    }
+
+    /** Best-first growth (`grow_policy = "lossguide"`): a max-heap of
+      * evaluated candidate splits ordered by gain (ties broken by
+      * node id — deterministic), expanded one at a time until
+      * `max_leaves` (0 = unbounded) or no candidate clears the gain /
+      * min_child_weight / depth bars. Each expansion costs one
+      * histogram pass over the two new children.
+      */
+    def growLossguide(): SparseTree = {
+      val maxLeaves = if (params.maxLeaves > 0) params.maxLeaves else Int.MaxValue
+      // (candidate split, node stat); max by (gain, then LOWER node id)
+      val ord = Ordering.by[(Split, NodeStat), (Double, Int)] {
+        case (s, st) => (s.gain, -st.node)
+      }
+      val queue = scala.collection.mutable.PriorityQueue.empty(ord)
+      // leaves not in the queue are final; track live leaf count
+      var leaves = 1
+
+      def enqueueOrFinalize(stat: NodeStat, hist: Array[Double], slotBase: Int): Unit =
+        if (stat.depth >= params.maxDepth) finalizeLeaf(stat)
+        else search(hist, slotBase, stat) match {
+          case Some(s) => queue.enqueue((s, stat))
+          case None => finalizeLeaf(stat)
+        }
+
+      val root = rootStat()
+      enqueueOrFinalize(root, histPass(Map(root.node -> 0)), 0)
+      while (leaves < maxLeaves && queue.nonEmpty) {
+        val (s, stat) = queue.dequeue()
+        val (l, r) = applySplit(stat, s)
+        leaves += 1
+        val slotOf = Map(l.node -> 0, r.node -> 1)
+        val hist = histPass(slotOf)
+        enqueueOrFinalize(l, hist, 0)
+        enqueueOrFinalize(r, hist, perNode)
+      }
+      // leaf budget reached: whatever stayed queued becomes a leaf
+      queue.foreach { case (_, stat) => finalizeLeaf(stat) }
+      result()
+    }
   }
 
-  /** Exact per-node totals and monotone value fence, tracked on the
+  /** Exact per-node totals, monotone value fence, root-path feature
+    * set (interaction-constraint state) and depth, tracked on the
     * driver through tree growth.
     */
   private final case class NodeStat(
-      node: Int, g: Double, h: Double, cnt: Double, lo: Double, hi: Double)
+      node: Int, g: Double, h: Double, cnt: Double, lo: Double, hi: Double,
+      path: Set[Int] = Set.empty, depth: Int = 0)
 
   /** Mean loss of margin column `f` for the round history. */
   private def lossOf(df: DataFrame, objective: String, rho: Double): Double =
@@ -539,6 +714,10 @@ object SparseBoost {
       }
     require(params.colsampleBytree > 0.0 && params.colsampleBytree <= 1.0,
       s"colsampleBytree must be in (0, 1], got ${params.colsampleBytree}")
+    params.interactionConstraints.foreach { g =>
+      require(g.nonEmpty && g.forall(j => j >= 0 && j < numFeat),
+        s"interaction group $g has indices outside [0, $numFeat)")
+    }
 
     /** XGBoost's `colsample_bytree`: the round's feature subset is the
       * ⌈colsample·numFeat⌉ features with the smallest (feature, round,
@@ -568,37 +747,71 @@ object SparseBoost {
     // XGBoost base_score = 0.5: margin 0 for logistic, 0.5 for
     // squared error. The log-link objectives start from ln(mean) —
     // the intercept MLE, same convention as [[PoissonBoost]]
-    val base = params.objective match {
-      case "binary:logistic" => 0.0
-      case "reg:gamma" | "reg:tweedie" =>
-        val mean = src.select(avg(col("label"))).head().getDouble(0)
-        require(mean > 0.0, "log-link objectives need a positive label mean")
-        math.log(mean)
-      case _ => 0.5
-    }
+    val base =
+      if (!params.baseScore.isNaN) params.baseScore
+      else params.objective match {
+        case "binary:logistic" => 0.0
+        case "reg:gamma" | "reg:tweedie" =>
+          val mean = src.select(avg(col("label"))).head().getDouble(0)
+          require(mean > 0.0, "log-link objectives need a positive label mean")
+          math.log(mean)
+        case _ => 0.5
+      }
     var cur = src.withColumn("f", lit(base)).localCheckpoint()
 
     val acc = ImportanceAcc(numFeat)
     val hist = new ArrayBuffer[Double](params.numRound)
     val forest = new ArrayBuffer[SparseTree](params.numRound)
+    // deterministic DART dropout draws: fmix64 of (seed, round, tree)
+    // mapped to [0, 1) — reproducible with no RNG state
+    def u01(a: Long, b: Long, c: Long): Double = {
+      var h = params.seed ^ (a * 0x9e3779b97f4a7c15L) ^
+        (b * 0xc2b2ae3d27d4eb4fL) ^ (c * 0xff51afd7ed558ccdL)
+      h ^= h >>> 33; h *= 0xff51afd7ed558ccdL
+      h ^= h >>> 33; h *= 0xc4ceb9fe1a85ec53L
+      h ^= h >>> 33
+      (h >>> 11).toDouble / (1L << 53).toDouble
+    }
+
     for (r <- 1 to params.numRound) {
-      val sampled = GraftBoost.roundSample(cur, params.subsample,
+      // DART: pick the round's dropped tree set (empty = plain round)
+      val dropped: Seq[Int] =
+        if (params.booster != "dart" || forest.isEmpty ||
+            (params.skipDrop > 0.0 && u01(2L, r, -1L) < params.skipDrop)) Nil
+        else forest.indices.filter(i => u01(1L, r, i) < params.rateDrop)
+      val k = dropped.length
+      // s = the dropped trees' margin share; the round's gradients are
+      // taken at f − s (the paper's "fit against the rest")
+      val withS =
+        if (k == 0) cur.withColumn("s", lit(0.0))
+        else {
+          val bcD = data.sparkSession.sparkContext
+            .broadcast(dropped.map(forest).toArray)
+          val sU = udf((v: Vector) => {
+            var acc = 0.0
+            bcD.value.foreach(t => acc += t.valueOf(v))
+            acc
+          })
+          cur.withColumn("s", sU(col("features")))
+        }
+      val sampled = GraftBoost.roundSample(withS, params.subsample,
         params.seed + 197L * r)
+      val fm = col("f") - col("s")
       val (g: Column, h: Column) = params.objective match {
         case "binary:logistic" =>
-          val p = lit(1.0) / (lit(1.0) + exp(-col("f")))
+          val p = lit(1.0) / (lit(1.0) + exp(-fm))
           (p - col("label"), greatest(p * (lit(1.0) - p), lit(1e-16)))
         case "reg:gamma" =>
           // gamma deviance, log link: g = 1 − y·e^{−f}, h = y·e^{−f}
-          val ymu = col("label") * exp(-col("f"))
+          val ymu = col("label") * exp(-fm)
           (lit(1.0) - ymu, greatest(ymu, lit(1e-16)))
         case "reg:tweedie" =>
           // XGBoost tweedie gradients, log link, variance power ρ
-          val a = col("label") * exp(lit(1.0 - rho) * col("f"))
-          val b = exp(lit(2.0 - rho) * col("f"))
+          val a = col("label") * exp(lit(1.0 - rho) * fm)
+          val b = exp(lit(2.0 - rho) * fm)
           (b - a,
             greatest(lit(2.0 - rho) * b - lit(1.0 - rho) * a, lit(1e-16)))
-        case _ => (col("f") - col("label"), lit(1.0))
+        case _ => (fm - col("label"), lit(1.0))
       }
       // instance weight = user weight × scale_pos_weight on positives
       val spw: Option[Column] =
@@ -616,12 +829,30 @@ object SparseBoost {
       }
       val tree = growTree(
         sampled.withColumn("g", gw).withColumn("h", hw), edges, params, acc,
-        roundMask(r), constraints)
-      forest += tree
+        roundMask(r), constraints, params.seed ^ (1337L * r))
 
+      // margin update f' = f + (t_new − s)/(k+1): simultaneously adds
+      // the DOWN-SCALED new tree and removes the share the dropped
+      // trees lose to their k/(k+1) rescale (for k = 0 this is plain
+      // f + t_new). localCheckpoint is eager, so the in-place leaf
+      // rescale below cannot race the update's broadcast reads.
       val bc = data.sparkSession.sparkContext.broadcast(tree)
-      val upd = udf((v: Vector, f: Double) => f + bc.value.valueOf(v))
-      cur = cur.withColumn("f", upd(col("features"), col("f"))).localCheckpoint()
+      val kd = (k + 1).toDouble
+      val upd = udf((v: Vector, f: Double, sv: Double) =>
+        f + (bc.value.valueOf(v) - sv) / kd)
+      cur = withS.withColumn("f", upd(col("features"), col("f"), col("s")))
+        .drop("s").localCheckpoint()
+      if (k > 0) {
+        val scaleOld = k.toDouble / kd
+        dropped.foreach { i =>
+          val t = forest(i)
+          var j = 0
+          while (j < t.value.length) { t.value(j) *= scaleOld; j += 1 }
+        }
+        var j = 0
+        while (j < tree.value.length) { tree.value(j) /= kd; j += 1 }
+      }
+      forest += tree
       hist += lossOf(cur, params.objective, rho)
     }
     val gSum = acc.gain.sum

@@ -1,0 +1,149 @@
+package graft
+
+import org.apache.spark.ml.linalg.Vectors
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ml._
+import graft.ml.GraftBoost._
+
+/** gblinear ([[LinearBoost]]) — XGBoost's linear booster via the
+  * params passthrough. Pins convergence to the CLOSED-FORM ridge
+  * solution (the damped Jacobi fixed point is the normal-equations
+  * solution for squared error), L1 sparsification, logistic learning,
+  * determinism, and the full lifecycle (predict/proba/local/
+  * importances/model sink).
+  */
+class LinearBoostSpec extends AnyFunSuite {
+  import TestSession._
+  import spark.implicits._
+
+  test("squared error converges to the closed-form ridge solution") {
+    // y = 3 x1 − 2 x2 + 1 on a small deterministic design
+    val rows = (0 until 200).map { i =>
+      val x1 = (i % 10).toDouble
+      val x2 = ((i * 7) % 5).toDouble
+      (x1, x2, 3.0 * x1 - 2.0 * x2 + 1.0)
+    }
+    val df = rows.toDF("x1", "x2", "y")
+    val lambda = 1.0
+    val m = GraftBoost.train(df, Seq("x1", "x2"), "y",
+      BoostParams("reg:squarederror", numRound = 200, eta = 0.5,
+        lambdaL2 = lambda, booster = "gblinear"))
+    val lm = m.model.asInstanceOf[LinearBoost.LinearModel]
+
+    // closed-form ridge with unpenalized intercept, matching the
+    // trainer's objective: minimize Σ(f−y)² + λ‖w‖² over (w, b) with
+    // margin f = 0.5 + b + w·x. Solve the 3×3 normal equations on
+    // the centered-by-nothing design directly.
+    val n = rows.length.toDouble
+    val xs = rows.map(r => Array(1.0, r._1, r._2))
+    val ys = rows.map(_._3 - 0.5) // fold the base score out
+    val a = Array.ofDim[Double](3, 3)
+    val b = new Array[Double](3)
+    for ((x, y) <- xs.zip(ys)) {
+      for (p <- 0 until 3; q <- 0 until 3) a(p)(q) += x(p) * x(q)
+      for (p <- 0 until 3) b(p) += x(p) * y
+    }
+    a(1)(1) += lambda; a(2)(2) += lambda // penalize weights, not bias
+    // gaussian elimination (3×3)
+    for (p <- 0 until 3) {
+      val piv = a(p)(p)
+      for (q <- p until 3) a(p)(q) /= piv
+      b(p) /= piv
+      for (r <- 0 until 3 if r != p) {
+        val f = a(r)(p)
+        for (q <- p until 3) a(r)(q) -= f * a(p)(q)
+        b(r) -= f * b(p)
+      }
+    }
+    assert(math.abs(lm.bias - b(0)) < 1e-6, s"bias ${lm.bias} vs ridge ${b(0)}")
+    assert(math.abs(lm.weights(0) - b(1)) < 1e-6, s"w0 ${lm.weights(0)} vs ${b(1)}")
+    assert(math.abs(lm.weights(1) - b(2)) < 1e-6, s"w1 ${lm.weights(1)} vs ${b(2)}")
+    // history: rmse monotone-ish decreasing and near the ridge floor
+    val hist = m.evalsResult("train")("rmse")
+    assert(hist.last <= hist.head + 1e-12)
+  }
+
+  test("alpha drives an irrelevant feature's weight exactly to zero") {
+    val df = (0 until 300).map { i =>
+      val x1 = (i % 10).toDouble
+      val noise = (((i * 31) % 17) - 8).toDouble / 8.0 // mean ~0, no signal
+      (x1, noise, 5.0 * x1)
+    }.toDF("x1", "x2", "y")
+    val m = GraftBoost.train(df, Seq("x1", "x2"), "y",
+      BoostParams("reg:squarederror", numRound = 120, eta = 0.5,
+        lambdaL2 = 0.0, alphaL1 = 50.0, booster = "gblinear"))
+    val lm = m.model.asInstanceOf[LinearBoost.LinearModel]
+    assert(lm.weights(1) == 0.0,
+      s"soft threshold must zero the noise weight: ${lm.weights.toSeq}")
+    assert(math.abs(lm.weights(0) - 5.0) < 0.1,
+      s"signal weight survives the penalty: ${lm.weights.toSeq}")
+  }
+
+  test("binary logistic separable fit: accuracy, proba, locality, determinism") {
+    val df = (0 until 400).map { i =>
+      val x = (i % 20).toDouble
+      (x, if (x > 9.5) 1.0 else 0.0)
+    }.toDF("x", "y")
+    val p = BoostParams("binary:logistic", numRound = 60, eta = 0.5,
+      booster = "gblinear")
+    val m = GraftBoost.train(df, Seq("x"), "y", p)
+    val acc = GraftBoost.predict(m, df)
+      .select(avg((col("prediction") === col("y")).cast("double")))
+      .head().getDouble(0)
+    assert(acc == 1.0, s"a linearly separable step must be learned: $acc")
+    val hist = m.evalsResult("train")("logloss")
+    assert(hist.last < hist.head, "logloss must fall")
+    // proba is a 2-vector sigmoid pair
+    val pr = GraftBoost.predictProba(m, df.limit(1))
+      .select("proba").head().getSeq[Double](0)
+    assert(math.abs(pr.sum - 1.0) < 1e-12 && pr.forall(x => x >= 0 && x <= 1))
+    // local ≡ distributed
+    assert(GraftBoost.predictLocal(m, Vectors.dense(15.0)) == 1.0)
+    assert(GraftBoost.predictLocal(m, Vectors.dense(2.0)) == 0.0)
+    // two fits are bit-identical (no RNG anywhere in the loop)
+    val m2 = GraftBoost.train(df, Seq("x"), "y", p)
+    val (l1, l2) = (m.model.asInstanceOf[LinearBoost.LinearModel],
+      m2.model.asInstanceOf[LinearBoost.LinearModel])
+    assert(l1.weights.sameElements(l2.weights) && l1.bias == l2.bias)
+  }
+
+  test("importances are normalized weight magnitudes; sink round-trips") {
+    val df = (0 until 200).map { i =>
+      ((i % 10).toDouble, ((i * 3) % 4).toDouble, 4.0 * (i % 10) + ((i * 3) % 4))
+    }.toDF("x1", "x2", "y")
+    val m = GraftBoost.train(df, Seq("x1", "x2"), "y",
+      BoostParams("reg:squarederror", numRound = 80, eta = 0.5,
+        booster = "gblinear"))
+    val imp = GraftBoost.featureImportances(m)
+    assert(math.abs(imp.values.sum - 1.0) < 1e-9)
+    assert(imp("x1") > imp("x2"))
+    val dir = java.nio.file.Files.createTempDirectory("gblinear_model").toString
+    ModelIO.save(spark, m, dir)
+    val back = ModelIO.load(spark, dir)
+    val (a, b) = (m.model.asInstanceOf[LinearBoost.LinearModel],
+      back.model.asInstanceOf[LinearBoost.LinearModel])
+    assert(a.weights.sameElements(b.weights) && a.bias == b.bias &&
+      a.base == b.base && a.objective == b.objective)
+    // reloaded model scores identically
+    val va = GraftBoost.predict(m, df).orderBy("x1", "x2")
+      .select("prediction").collect().map(_.getDouble(0))
+    val vb = GraftBoost.predict(back, df).orderBy("x1", "x2")
+      .select("prediction").collect().map(_.getDouble(0))
+    assert(va.sameElements(vb))
+  }
+
+  test("guards: native missing strategy and unsupported objectives are loud") {
+    val df = Seq((1.0, 2.0)).toDF("x", "y")
+    intercept[IllegalArgumentException] {
+      GraftBoost.train(df, Seq("x"), "y",
+        BoostParams("reg:squarederror", booster = "gblinear",
+          missing = Some(-999.0), missingStrategy = "native"))
+    }
+    intercept[IllegalArgumentException] {
+      GraftBoost.train(df, Seq("x"), "y",
+        BoostParams("reg:gamma", booster = "gblinear"))
+    }
+  }
+}

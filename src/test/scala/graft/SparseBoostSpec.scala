@@ -328,4 +328,260 @@ class SparseBoostSpec extends AnyFunSuite {
       GraftBoost.predict(loaded, Seq((8.0, 0.0)).toDF("x", "y"))
         .select("prediction").head().getDouble(0))
   }
+
+  test("interaction constraints: no root path mixes features from different groups") {
+    // AND-shaped target (XOR would leave every FIRST split gainless
+    // and nothing grows): the positive quadrant needs x1 THEN x2 on
+    // one path, so an unconstrained fit must mix both features —
+    // proving the fixture would trip an ignored constraint
+    val df = (0 until 400).map { i =>
+      val x1 = (i % 10).toDouble
+      val x2 = ((i / 10) % 10).toDouble
+      val y = if (x1 > 4.5 && x2 > 4.5) 1.0 else 0.0
+      (x1, x2, y)
+    }.toDF("x1", "x2", "y")
+    def pathsMix(m: GraftBoostModel): Boolean = {
+      val sm = m.model.asInstanceOf[SparseBoost.SparseModel]
+      sm.trees.exists { t =>
+        def walk(node: Int, seen: Set[Int]): Boolean =
+          if (t.feature(node) < 0) seen.size > 1
+          else {
+            val s2 = seen + t.feature(node)
+            walk(t.left(node), s2) || walk(t.right(node), s2)
+          }
+        walk(0, Set.empty)
+      }
+    }
+    val base = BoostParams("binary:logistic", numRound = 4, maxDepth = 3,
+      eta = 0.5, missing = Some(-999.0), missingStrategy = "native")
+    val free = GraftBoost.train(df, Seq("x1", "x2"), "y", base)
+    assert(pathsMix(free), "the AND target must make an unconstrained fit interact")
+    val boxed = GraftBoost.train(df, Seq("x1", "x2"), "y",
+      base.copy(interactionConstraints = Seq(Seq(0), Seq(1))))
+    assert(!pathsMix(boxed),
+      "groups [[0],[1]] forbid every x1-x2 interaction path")
+  }
+
+  test("interaction constraints: features in no group never split") {
+    // x3 is the strongest single predictor, but the only group is
+    // {x1, x2} — XGBoost bans ungrouped features outright
+    val df = (0 until 400).map { i =>
+      val x3 = (i % 20).toDouble
+      ((i % 7).toDouble, ((i / 7) % 5).toDouble, x3, x3 * 2.0)
+    }.toDF("x1", "x2", "x3", "y")
+    val m = GraftBoost.train(df, Seq("x1", "x2", "x3"), "y",
+      BoostParams("reg:squarederror", numRound = 3, maxDepth = 3,
+        missing = Some(-999.0), missingStrategy = "native",
+        interactionConstraints = Seq(Seq(0, 1))))
+    val sm = m.model.asInstanceOf[SparseBoost.SparseModel]
+    val used = sm.trees.flatMap(_.feature.filter(_ >= 0)).toSet
+    assert(!used.contains(2), s"x3 is outside every group; used=$used")
+    assert(sm.importanceByType("weight")(2) == 0.0)
+  }
+
+  test("lossguide with an unreachable leaf budget reproduces depthwise predictions") {
+    val df = (0 until 500).map { i =>
+      val x1 = (i % 25).toDouble
+      val x2 = ((i / 25) % 20).toDouble
+      (x1, x2, x1 * 3.0 + (if (x2 > 10) 40.0 else 0.0) + (i % 4))
+    }.toDF("x1", "x2", "y")
+    val base = BoostParams("reg:squarederror", numRound = 3, maxDepth = 3,
+      missing = Some(-999.0), missingStrategy = "native")
+    val dw = GraftBoost.train(df, Seq("x1", "x2"), "y", base)
+    val lg = GraftBoost.train(df, Seq("x1", "x2"), "y",
+      base.copy(growPolicy = "lossguide", maxLeaves = 0))
+    // same split decisions, different node numbering — predictions
+    // must agree bit-for-bit on every training row
+    val a = GraftBoost.predict(dw, df).orderBy("x1", "x2", "y")
+      .select("prediction").collect().map(_.getDouble(0))
+    val b = GraftBoost.predict(lg, df).orderBy("x1", "x2", "y")
+      .select("prediction").collect().map(_.getDouble(0))
+    assert(a.sameElements(b),
+      "unbounded lossguide must reproduce the depthwise tree's predictions")
+  }
+
+  test("lossguide: gain-ordered expansion, binding leaf budget, determinism") {
+    // geometric plateau fixture: root splits at the biggest gap, and
+    // the two child candidates have UNEQUAL gains (right ≈ 4.0e6,
+    // left ≈ 3.3e6 here) — with only two expansions, best-first must
+    // take the right child and leave the left unexpanded, while
+    // depthwise's level pass takes both
+    val df = (0 until 800).map { i =>
+      val x = (i % 100).toDouble
+      val y =
+        if (x < 50) 0.01 * x
+        else if (x < 75) 100.0
+        else if (x < 87) 200.0
+        else if (x < 94) 400.0
+        else 800.0
+      (x, y)
+    }.toDF("x", "y")
+    def tree(m: GraftBoostModel): SparseBoost.SparseTree =
+      m.model.asInstanceOf[SparseBoost.SparseModel].trees.head
+    def leafCount(t: SparseBoost.SparseTree): Int = t.feature.count(_ < 0)
+    def splitThreshes(t: SparseBoost.SparseTree): Set[Double] =
+      t.feature.indices.filter(t.feature(_) >= 0).map(t.thresh).toSet
+
+    val dw = GraftBoost.train(df, Seq("x"), "y",
+      BoostParams("reg:squarederror", numRound = 1, maxDepth = 2, eta = 1.0,
+        missing = Some(-999.0), missingStrategy = "native"))
+    val tDw = tree(dw)
+    assert(leafCount(tDw) == 4, "depthwise level pass must split both children")
+
+    def lgParams(leaves: Int) =
+      BoostParams("reg:squarederror", numRound = 1, maxDepth = 8, eta = 1.0,
+        missing = Some(-999.0), missingStrategy = "native",
+        growPolicy = "lossguide", maxLeaves = leaves)
+    // budget 3 = two expansions: root plus exactly ONE child — the
+    // higher-gain one (depthwise node order is [root, left, right],
+    // so tDw.thresh(2) is the right child's threshold)
+    val lg3 = tree(GraftBoost.train(df, Seq("x"), "y", lgParams(3)))
+    assert(leafCount(lg3) == 3, s"leaf budget must bind: ${leafCount(lg3)}")
+    assert(splitThreshes(lg3) == Set(tDw.thresh(0), tDw.thresh(2)),
+      s"best-first must expand the higher-gain child first: " +
+        s"lg=${splitThreshes(lg3)} dw=(${tDw.thresh.toSeq.take(3)})")
+    // with the budget for all three, the split SET matches depthwise
+    // and so do the predictions (policy changes order, not semantics)
+    val lg4m = GraftBoost.train(df, Seq("x"), "y", lgParams(4))
+    assert(splitThreshes(tree(lg4m)) == splitThreshes(tDw))
+    val a = GraftBoost.predict(dw, df).orderBy("x", "y")
+      .select("prediction").collect().map(_.getDouble(0))
+    val b = GraftBoost.predict(lg4m, df).orderBy("x", "y")
+      .select("prediction").collect().map(_.getDouble(0))
+    assert(a.sameElements(b))
+    // determinism: the same lossguide fit twice is bit-identical
+    val lg3b = tree(GraftBoost.train(df, Seq("x"), "y", lgParams(3)))
+    assert(lg3.feature.toSeq == lg3b.feature.toSeq &&
+      lg3.thresh.toSeq == lg3b.thresh.toSeq &&
+      lg3.value.toSeq == lg3b.value.toSeq)
+  }
+
+  test("DART: zero drop rate and full skip both reproduce gbtree exactly") {
+    val df = (0 until 400).map { i =>
+      val x = (i % 20).toDouble
+      (x, ((i * 7) % 5).toDouble, x * 4.0 + (i % 3))
+    }.toDF("x1", "x2", "y")
+    def trees(m: GraftBoostModel) =
+      m.model.asInstanceOf[SparseBoost.SparseModel].trees
+    val base = BoostParams("reg:squarederror", numRound = 4, maxDepth = 2,
+      missing = Some(-999.0), missingStrategy = "native")
+    val gb = GraftBoost.train(df, Seq("x1", "x2"), "y", base)
+    val dart0 = GraftBoost.train(df, Seq("x1", "x2"), "y",
+      base.copy(booster = "dart", rateDrop = 0.0))
+    val dartSkip = GraftBoost.train(df, Seq("x1", "x2"), "y",
+      base.copy(booster = "dart", rateDrop = 0.9, skipDrop = 1.0))
+    def eq(a: Array[SparseBoost.SparseTree], b: Array[SparseBoost.SparseTree]) =
+      a.length == b.length && a.zip(b).forall { case (x, yT) =>
+        x.feature.sameElements(yT.feature) && x.thresh.sameElements(yT.thresh) &&
+          x.value.sameElements(yT.value)
+      }
+    assert(eq(trees(gb), trees(dart0)), "rateDrop=0 must be plain gbtree")
+    assert(eq(trees(gb), trees(dartSkip)), "skipDrop=1 must be plain gbtree")
+  }
+
+  test("DART: dropout rounds rescale trees, stay deterministic, and still learn") {
+    val df = (0 until 600).map { i =>
+      val x = (i % 30).toDouble
+      (x, ((i * 11) % 7).toDouble, 2.0 * x + ((i * 13) % 5))
+    }.toDF("x1", "x2", "y")
+    val p = BoostParams("reg:squarederror", numRound = 6, maxDepth = 2,
+      eta = 0.5, missing = Some(-999.0), missingStrategy = "native",
+      booster = "dart", rateDrop = 0.4)
+    val m1 = GraftBoost.train(df, Seq("x1", "x2"), "y", p)
+    val m2 = GraftBoost.train(df, Seq("x1", "x2"), "y", p)
+    val t1 = m1.model.asInstanceOf[SparseBoost.SparseModel].trees
+    val t2 = m2.model.asInstanceOf[SparseBoost.SparseModel].trees
+    assert(t1.zip(t2).forall { case (a, b) => a.value.sameElements(b.value) },
+      "DART dropout draws are content-hashed: two fits must be bit-identical")
+    // the forest differs from gbtree (dropout actually fired) …
+    val gb = GraftBoost.train(df, Seq("x1", "x2"), "y",
+      p.copy(booster = "gbtree"))
+    val tg = gb.model.asInstanceOf[SparseBoost.SparseModel].trees
+    assert(!t1.zip(tg).forall { case (a, b) => a.value.sameElements(b.value) },
+      "rateDrop=0.4 over 6 rounds must diverge from gbtree")
+    // … yet the ensemble still fits: vs the constant-mean baseline
+    import org.apache.spark.sql.functions._
+    val rmse = GraftBoost.predict(m1, df)
+      .select(sqrt(avg(pow(col("prediction") - col("y"), 2)))).head().getDouble(0)
+    val sd = df.select(stddev_pop(col("y"))).head().getDouble(0)
+    assert(rmse < 0.5 * sd, s"DART fit must beat the mean baseline: rmse=$rmse sd=$sd")
+    // local scoring matches distributed scoring on the rescaled forest
+    val probe = org.apache.spark.ml.linalg.Vectors.dense(15.0, 3.0)
+    assert(GraftBoost.predictLocal(m1, probe) ==
+      GraftBoost.predict(m1, Seq((15.0, 3.0, 0.0)).toDF("x1", "x2", "y"))
+        .select("prediction").head().getDouble(0))
+  }
+
+  test("max_delta_step caps every leaf's pre-eta Newton step") {
+    // heavy-imbalance logistic: the pure-class leaves' uncapped steps
+    // are large; with the cap every stored leaf obeys |v| <= eta*cap
+    val df = (0 until 300).map { i =>
+      val x = (i % 10).toDouble
+      (x, if (x > 8.5) 1.0 else 0.0)
+    }.toDF("x", "y")
+    val capped = GraftBoost.train(df, Seq("x"), "y",
+      BoostParams("binary:logistic", numRound = 3, maxDepth = 2, eta = 1.0,
+        missing = Some(-999.0), missingStrategy = "native", maxDeltaStep = 0.1))
+    val vals = capped.model.asInstanceOf[SparseBoost.SparseModel]
+      .trees.flatMap(_.value)
+    assert(vals.forall(v => math.abs(v) <= 0.1 + 1e-12),
+      s"every node estimate must obey the cap: ${vals.toSeq}")
+    val free = GraftBoost.train(df, Seq("x"), "y",
+      BoostParams("binary:logistic", numRound = 3, maxDepth = 2, eta = 1.0,
+        missing = Some(-999.0), missingStrategy = "native"))
+    val fVals = free.model.asInstanceOf[SparseBoost.SparseModel]
+      .trees.flatMap(_.value)
+    assert(fVals.exists(v => math.abs(v) > 0.1),
+      "the fixture must actually exceed the cap when uncapped")
+  }
+
+  test("base_score shifts the margin origin for trees and gblinear") {
+    val df = (0 until 100).map(i => ((i % 10).toDouble, 7.0)).toDF("x", "y")
+    // constant target, zero rounds of useful splits: prediction ≈ base
+    // + one Newton step toward 7 — with base_score = 7 the first tree
+    // has nothing to fit and predictions equal 7 exactly
+    val m = GraftBoost.train(df, Seq("x"), "y",
+      BoostParams("reg:squarederror", numRound = 1, maxDepth = 2, eta = 1.0,
+        lambdaL2 = 0.0, missing = Some(-999.0), missingStrategy = "native",
+        baseScore = 7.0))
+    val preds = GraftBoost.predict(m, df).select("prediction")
+      .collect().map(_.getDouble(0))
+    assert(preds.forall(_ == 7.0), s"base 7 + zero gradient ⇒ exact: ${preds.take(3).toSeq}")
+    val lin = GraftBoost.train(df, Seq("x"), "y",
+      BoostParams("reg:squarederror", numRound = 1, eta = 1.0,
+        lambdaL2 = 0.0, booster = "gblinear", baseScore = 7.0))
+    val lm = lin.model.asInstanceOf[LinearBoost.LinearModel]
+    assert(lm.base == 7.0 && math.abs(lm.bias) < 1e-9 &&
+      lm.weights.forall(w => math.abs(w) < 1e-9))
+  }
+
+  test("colsample_bylevel/bynode restrict nodes yet never starve a split") {
+    val df = (0 until 400).map { i =>
+      val x1 = (i % 10).toDouble
+      val x2 = ((i / 10) % 8).toDouble
+      (x1, x2, 5.0 * x1 + 3.0 * x2)
+    }.toDF("x1", "x2", "y")
+    val p = BoostParams("reg:squarederror", numRound = 3, maxDepth = 3,
+      eta = 0.5, missing = Some(-999.0), missingStrategy = "native",
+      colsampleBynode = 0.5)
+    val m = GraftBoost.train(df, Seq("x1", "x2"), "y", p)
+    val trees = m.model.asInstanceOf[SparseBoost.SparseModel].trees
+    // every split exists (k >= 1 floor), and across the forest BOTH
+    // features appear — the per-node hash draw must vary by node
+    val used = trees.flatMap(_.feature.filter(_ >= 0)).toSet
+    assert(used == Set(0, 1), s"bynode draws must rotate features: $used")
+    // determinism
+    val m2 = GraftBoost.train(df, Seq("x1", "x2"), "y", p)
+    val t2 = m2.model.asInstanceOf[SparseBoost.SparseModel].trees
+    assert(trees.zip(t2).forall { case (a, b) =>
+      a.feature.sameElements(b.feature) && a.value.sameElements(b.value) })
+    // bylevel composes: a fit with both knobs still learns the target
+    val m3 = GraftBoost.train(df, Seq("x1", "x2"), "y",
+      p.copy(colsampleBylevel = 0.5, colsampleBynode = 1.0, numRound = 6))
+    import org.apache.spark.sql.functions._
+    val rmse = GraftBoost.predict(m3, df)
+      .select(sqrt(avg(pow(col("prediction") - col("y"), 2)))).head().getDouble(0)
+    val sd = df.select(stddev_pop(col("y"))).head().getDouble(0)
+    assert(rmse < 0.7 * sd, s"bylevel-sampled fit must still learn: $rmse vs $sd")
+  }
 }
