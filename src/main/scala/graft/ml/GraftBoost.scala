@@ -244,6 +244,19 @@ object GraftBoost {
     * would sample whole classes in or out). `df` must carry
     * `features` (vector) and `label`.
     */
+  /** murmur3's 64-bit finalizer — the avalanche mix behind every
+    * deterministic no-RNG-state draw in the boosting loops (round
+    * subsampling keys, colsample masks, DART dropout). One definition
+    * so the constants can never drift between call sites.
+    */
+  private[ml] def fmix64(h0: Long): Long = {
+    var h = h0
+    h ^= h >>> 33; h *= 0xff51afd7ed558ccdL
+    h ^= h >>> 33; h *= 0xc4ceb9fe1a85ec53L
+    h ^= h >>> 33
+    h
+  }
+
   private[ml] def roundSample(df: DataFrame, subsample: Double, seed: Long): DataFrame =
     if (subsample >= 1.0) df
     else {
@@ -439,13 +452,17 @@ object GraftBoost {
         Map("train" -> Map(sparseMetricName(params.objective) -> histL)),
         imputation, params.missingStrategy)
     }
-    // DART dropout lives in the native sparse loop only — ignoring it
-    // silently on an MLlib path would fake the mechanism
+    // DART dropout lives in the native sparse TRAIN loop only —
+    // ignoring it silently on an MLlib path (or in the RankBoost
+    // loop, which manages its own forest without dropout) would fake
+    // the mechanism
     if (params.booster == "dart")
-      require(native || params.objective == "reg:gamma" ||
-        params.objective == "reg:tweedie",
+      require((native || params.objective == "reg:gamma" ||
+        params.objective == "reg:tweedie") &&
+        !params.objective.startsWith("rank:"),
         "booster=\"dart\" runs in the native loop — set " +
-        "missingStrategy=\"native\" (or a gamma/tweedie objective)")
+        "missingStrategy=\"native\" (or a gamma/tweedie objective); " +
+        "ranking objectives have no DART path")
     if (params.growPolicy == "lossguide")
       require(native || params.objective == "reg:gamma" ||
         params.objective == "reg:tweedie" ||

@@ -278,12 +278,17 @@ object ModelIO {
         val jsonS = try scala.io.Source.fromInputStream(inS, "UTF-8").mkString
           finally inS.close()
         val doc = JsonMethods.parse(jsonS).extract[SparseDoc]
+        // fail loudly on a pre-cover artifact: zero-filled cover would
+        // make TreeSHAP silently emit NaN (0/0 child fractions) and
+        // empty stats would crash importance indexing downstream
+        require(doc.cover.nonEmpty && doc.impWeight.nonEmpty,
+          s"$path/model/sparse.json predates per-node cover / split " +
+          "statistics — re-save the model with this build")
         val trees = doc.feature.indices.map { i =>
           SparseBoost.SparseTree(doc.feature(i).toArray, doc.thresh(i).toArray,
             doc.left(i).toArray, doc.right(i).toArray,
             doc.defaultLeft(i).toArray, doc.value(i).toArray,
-            if (doc.cover.isEmpty) new Array[Double](doc.feature(i).length)
-            else doc.cover(i).toArray)
+            doc.cover(i).toArray)
         }.toArray
         new SparseBoost.SparseModel("sparse_loaded", trees, doc.base,
           doc.objective, doc.importances.toArray,

@@ -98,13 +98,14 @@ object RankBoost {
     val numFeat = src.select(col("features")).head().getAs[Vector](0).size
     val edges = SparseBoost.proposeEdges(src, numFeat, params.maxBins,
       params.splitProposal)
+    SparseBoost.validateFeatureParams(params, numFeat)
     val constraints =
       if (params.monotoneConstraints.isEmpty) new Array[Int](numFeat)
       else params.monotoneConstraints.toArray
     val allowed = Array.fill(numFeat)(true)
 
     var cur = src.withColumn("f", lit(0.0)).localCheckpoint()
-    val acc = SparseBoost.ImportanceAcc(numFeat)
+    val roundAccs = new ArrayBuffer[SparseBoost.ImportanceAcc](params.numRound)
     val hist = new ArrayBuffer[Double](params.numRound)
     val forest = new ArrayBuffer[SparseBoost.SparseTree](params.numRound)
 
@@ -173,7 +174,9 @@ object RankBoost {
         .toDF("features", "g", "h")
         .localCheckpoint()
 
-      val tree = SparseBoost.growTree(grad, edges, params, acc,
+      val roundAcc = SparseBoost.ImportanceAcc(numFeat)
+      roundAccs += roundAcc
+      val tree = SparseBoost.growTree(grad, edges, params, roundAcc,
         allowed, constraints, params.seed ^ (1337L * r))
       forest += tree
 
@@ -182,9 +185,10 @@ object RankBoost {
       cur = cur.withColumn("f", upd(col("features"), col("f"))).localCheckpoint()
       hist += meanNdcg(cur, "group", "label", "f", 10)
     }
+    val acc = SparseBoost.ImportanceAcc.sum(roundAccs.toSeq, numFeat)
     val gSum = acc.gain.sum
     val imp = if (gSum > 0) acc.gain.map(_ / gSum) else acc.gain.clone()
     (new SparseBoost.SparseModel(s"rank_${params.seed}", forest.toArray, 0.0,
-      params.objective, imp, acc), hist.toArray)
+      params.objective, imp, acc, Some(roundAccs.toSeq)), hist.toArray)
   }
 }

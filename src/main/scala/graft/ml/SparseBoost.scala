@@ -108,11 +108,17 @@ object SparseBoost {
       /** Raw per-feature split statistics accumulated during training
         * — the inputs to every XGBoost `get_score` importance type.
         */
-      val stats: ImportanceAcc = ImportanceAcc.empty
+      val stats: ImportanceAcc = ImportanceAcc.empty,
+      /** Per-round split statistics (training-time only; not
+        * persisted) — lets [[truncate]] report EXACT importance stats
+        * for the kept prefix instead of the full fit's.
+        */
+      val statsPerRound: Option[Seq[ImportanceAcc]] = None
   ) extends Model[SparseModel] {
 
     override def copy(extra: ParamMap): SparseModel =
-      new SparseModel(uid, trees, base, objective, importances, stats)
+      new SparseModel(uid, trees, base, objective, importances, stats,
+        statsPerRound)
 
     /** XGBoost `get_score(importance_type=…)` parity over the raw
       * split statistics: `weight` (split count), `total_gain`,
@@ -160,14 +166,28 @@ object SparseBoost {
       ds.withColumn("prediction", pU(col("features")))
     }
 
-    /** Truncated copy keeping the first `rounds` boosting rounds
-      * (importances are kept as-trained — they describe the full fit).
+    /** Truncated copy keeping the first `rounds` boosting rounds.
+      * When per-round stats are available (freshly trained model) the
+      * importance statistics are recomputed EXACTLY for the kept
+      * prefix — `importanceByType("weight")` always equals the kept
+      * forest's split count; a model reloaded from disk carries only
+      * the aggregate, which is kept as-trained (documented caveat).
       */
     def truncate(rounds: Int): SparseModel = {
       require(rounds >= 1 && rounds <= trees.length,
         s"rounds must be in [1, ${trees.length}], got $rounds")
-      new SparseModel(uid, trees.take(rounds), base, objective, importances,
-        stats)
+      val kept = statsPerRound.map(_.take(rounds))
+      val newStats = kept match {
+        case Some(rs) => ImportanceAcc.sum(rs, stats.gain.length)
+        case None => stats
+      }
+      val gSum = newStats.gain.sum
+      val newImp =
+        if (kept.isDefined)
+          (if (gSum > 0) newStats.gain.map(_ / gSum) else newStats.gain.clone())
+        else importances
+      new SparseModel(uid, trees.take(rounds), base, objective, newImp,
+        newStats, kept)
     }
   }
 
@@ -192,6 +212,40 @@ object SparseBoost {
       new Array[Double](numFeat), new Array[Double](numFeat),
       new Array[Double](numFeat))
     val empty: ImportanceAcc = apply(0)
+
+    /** Element-wise sum (fresh arrays). */
+    def sum(accs: Seq[ImportanceAcc], numFeat: Int): ImportanceAcc = {
+      val out = apply(numFeat)
+      accs.foreach { a =>
+        var j = 0
+        while (j < numFeat) {
+          out.gain(j) += a.gain(j)
+          out.weight(j) += a.weight(j)
+          out.cover(j) += a.cover(j)
+          j += 1
+        }
+      }
+      out
+    }
+  }
+
+  /** Per-feature constraint validation shared by every loop that
+    * feeds [[growTree]] (the sparse train loop AND [[RankBoost]]) —
+    * the same params must fail identically everywhere.
+    */
+  private[ml] def validateFeatureParams(
+      params: GraftBoost.BoostParams, numFeat: Int): Unit = {
+    if (params.monotoneConstraints.nonEmpty) {
+      require(params.monotoneConstraints.length == numFeat,
+        s"monotoneConstraints has ${params.monotoneConstraints.length} " +
+        s"entries for $numFeat features")
+      require(params.monotoneConstraints.forall(c => c >= -1 && c <= 1),
+        "monotone constraints must be -1, 0 or +1")
+    }
+    params.interactionConstraints.foreach { g =>
+      require(g.nonEmpty && g.forall(j => j >= 0 && j < numFeat),
+        s"interaction group $g has indices outside [0, $numFeat)")
+    }
   }
 
   /** Region index of x among sorted candidate edges: the count of
@@ -357,13 +411,9 @@ object SparseBoost {
     private def nodeEstimate(g: Double, h: Double): Double =
       params.eta * newton(g, h)
 
-    private def fmix(a: Long, b: Long): Long = {
-      var h = maskSeed ^ (a * 0x9e3779b97f4a7c15L) ^ (b * 0xc2b2ae3d27d4eb4fL)
-      h ^= h >>> 33; h *= 0xff51afd7ed558ccdL
-      h ^= h >>> 33; h *= 0xc4ceb9fe1a85ec53L
-      h ^= h >>> 33
-      h
-    }
+    private def fmix(a: Long, b: Long): Long =
+      GraftBoost.fmix64(
+        maskSeed ^ (a * 0x9e3779b97f4a7c15L) ^ (b * 0xc2b2ae3d27d4eb4fL))
 
     /** ⌈frac·|parent|⌉ features hash-ranked out of the parent set —
       * the cumulative colsample chain (bynode ⊂ bylevel ⊂ bytree),
@@ -702,22 +752,12 @@ object SparseBoost {
 
     val numFeat = src.select(col("features")).head().getAs[Vector](0).size
     val edges = proposeEdges(src, numFeat, params.maxBins, params.splitProposal)
+    validateFeatureParams(params, numFeat)
     val constraints =
       if (params.monotoneConstraints.isEmpty) new Array[Int](numFeat)
-      else {
-        require(params.monotoneConstraints.length == numFeat,
-          s"monotoneConstraints has ${params.monotoneConstraints.length} " +
-          s"entries for $numFeat features")
-        require(params.monotoneConstraints.forall(c => c >= -1 && c <= 1),
-          "monotone constraints must be -1, 0 or +1")
-        params.monotoneConstraints.toArray
-      }
+      else params.monotoneConstraints.toArray
     require(params.colsampleBytree > 0.0 && params.colsampleBytree <= 1.0,
       s"colsampleBytree must be in (0, 1], got ${params.colsampleBytree}")
-    params.interactionConstraints.foreach { g =>
-      require(g.nonEmpty && g.forall(j => j >= 0 && j < numFeat),
-        s"interaction group $g has indices outside [0, $numFeat)")
-    }
 
     /** XGBoost's `colsample_bytree`: the round's feature subset is the
       * ⌈colsample·numFeat⌉ features with the smallest (feature, round,
@@ -733,11 +773,8 @@ object SparseBoost {
         // (round, feature) comparison dominated by round-independent
         // high bits, starving features across every round
         val ranked = (0 until numFeat).sortBy { j =>
-          var h = params.seed + 7919L * round + 0x9e3779b97f4a7c15L * (j + 1)
-          h ^= h >>> 33; h *= 0xff51afd7ed558ccdL
-          h ^= h >>> 33; h *= 0xc4ceb9fe1a85ec53L
-          h ^= h >>> 33
-          h
+          GraftBoost.fmix64(
+            params.seed + 7919L * round + 0x9e3779b97f4a7c15L * (j + 1))
         }
         val mask = new Array[Boolean](numFeat)
         ranked.take(k).foreach(j => mask(j) = true)
@@ -759,17 +796,14 @@ object SparseBoost {
       }
     var cur = src.withColumn("f", lit(base)).localCheckpoint()
 
-    val acc = ImportanceAcc(numFeat)
+    val roundAccs = new ArrayBuffer[ImportanceAcc](params.numRound)
     val hist = new ArrayBuffer[Double](params.numRound)
     val forest = new ArrayBuffer[SparseTree](params.numRound)
     // deterministic DART dropout draws: fmix64 of (seed, round, tree)
     // mapped to [0, 1) — reproducible with no RNG state
     def u01(a: Long, b: Long, c: Long): Double = {
-      var h = params.seed ^ (a * 0x9e3779b97f4a7c15L) ^
-        (b * 0xc2b2ae3d27d4eb4fL) ^ (c * 0xff51afd7ed558ccdL)
-      h ^= h >>> 33; h *= 0xff51afd7ed558ccdL
-      h ^= h >>> 33; h *= 0xc4ceb9fe1a85ec53L
-      h ^= h >>> 33
+      val h = GraftBoost.fmix64(params.seed ^ (a * 0x9e3779b97f4a7c15L) ^
+        (b * 0xc2b2ae3d27d4eb4fL) ^ (c * 0xff51afd7ed558ccdL))
       (h >>> 11).toDouble / (1L << 53).toDouble
     }
 
@@ -792,7 +826,10 @@ object SparseBoost {
             bcD.value.foreach(t => acc += t.valueOf(v))
             acc
           })
-          cur.withColumn("s", sU(col("features")))
+          // pin s: growTree re-reads the frame once per level (or per
+          // lossguide expansion) and must not re-route the k dropped
+          // trees on every pass
+          cur.withColumn("s", sU(col("features"))).localCheckpoint()
         }
       val sampled = GraftBoost.roundSample(withS, params.subsample,
         params.seed + 197L * r)
@@ -827,9 +864,11 @@ object SparseBoost {
         case Some(wc) => (g * wc, h * wc)
         case None => (g, h)
       }
+      val roundAcc = ImportanceAcc(numFeat)
+      roundAccs += roundAcc
       val tree = growTree(
-        sampled.withColumn("g", gw).withColumn("h", hw), edges, params, acc,
-        roundMask(r), constraints, params.seed ^ (1337L * r))
+        sampled.withColumn("g", gw).withColumn("h", hw), edges, params,
+        roundAcc, roundMask(r), constraints, params.seed ^ (1337L * r))
 
       // margin update f' = f + (t_new − s)/(k+1): simultaneously adds
       // the DOWN-SCALED new tree and removes the share the dropped
@@ -855,9 +894,10 @@ object SparseBoost {
       forest += tree
       hist += lossOf(cur, params.objective, rho)
     }
+    val acc = ImportanceAcc.sum(roundAccs.toSeq, numFeat)
     val gSum = acc.gain.sum
     val imp = if (gSum > 0) acc.gain.map(_ / gSum) else acc.gain.clone()
     (new SparseModel(s"sparse_${params.seed}", forest.toArray, base,
-      params.objective, imp, acc), hist.toArray)
+      params.objective, imp, acc, Some(roundAccs.toSeq)), hist.toArray)
   }
 }

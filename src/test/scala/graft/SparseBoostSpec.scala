@@ -584,4 +584,37 @@ class SparseBoostSpec extends AnyFunSuite {
     val sd = df.select(stddev_pop(col("y"))).head().getDouble(0)
     assert(rmse < 0.7 * sd, s"bylevel-sampled fit must still learn: $rmse vs $sd")
   }
+
+  test("truncate reports EXACT importance stats for the kept prefix") {
+    val df = (0 until 300).map { i =>
+      val x1 = (i % 10).toDouble
+      (x1, ((i * 7) % 5).toDouble, 3.0 * x1 + ((i * 7) % 5))
+    }.toDF("x1", "x2", "y")
+    val m = GraftBoost.train(df, Seq("x1", "x2"), "y",
+      BoostParams("reg:squarederror", numRound = 4, maxDepth = 2,
+        missing = Some(-999.0), missingStrategy = "native"))
+    val sm = m.model.asInstanceOf[SparseBoost.SparseModel]
+    val cut = sm.truncate(2)
+    // weight must equal the KEPT forest's actual split count — the
+    // invariant ml_shap_importance gates on, now preserved under
+    // truncation (review finding: stats used to describe the full fit)
+    val counted = new Array[Double](2)
+    cut.trees.foreach(t => t.feature.filter(_ >= 0).foreach(counted(_) += 1))
+    assert(cut.importanceByType("weight").toSeq == counted.toSeq)
+    assert(cut.stats.gain.sum <= sm.stats.gain.sum + 1e-9)
+    assert(math.abs(cut.importances.sum - 1.0) < 1e-9)
+    // dart is rejected loudly for ranking objectives (silent-ignore fix)
+    intercept[IllegalArgumentException] {
+      GraftBoost.train(df.withColumn("g", lit(1L)), Seq("x1", "x2"), "y",
+        BoostParams("rank:pairwise", booster = "dart", rateDrop = 0.5,
+          missing = Some(-999.0), missingStrategy = "native"),
+        groupCol = Some("g"))
+    }
+    // rank loop validates interaction indices like the tree loop does
+    intercept[IllegalArgumentException] {
+      GraftBoost.train(df.withColumn("g", lit(1L)), Seq("x1", "x2"), "y",
+        BoostParams("rank:pairwise", interactionConstraints = Seq(Seq(0, 99))),
+        groupCol = Some("g"))
+    }
+  }
 }
