@@ -1009,6 +1009,37 @@ object MLQueries {
       val counted = new Array[Double](feats.length)
       sm.trees.foreach(t0 => t0.feature.filter(_ >= 0).foreach(counted(_) += 1))
       val weightOk = w.toSeq == counted.toSeq
+      // SHAP interaction matrices (pred_interactions) on a
+      // deterministic slice: each row costs 2·M conditioned walks, so
+      // the gate samples rather than sweeping 600k rows. One UDF
+      // computes plain shap AND the matrix per row and emits the two
+      // pred_interactions identity errors directly (row sums must
+      // reproduce the shap vector; the matrix total must reproduce
+      // the shap total ⇒ with the main pass's additivity gate, the
+      // margin), so no cross-frame row alignment is needed.
+      val (interErr, rowSumErr) = {
+        val sm2 = sm
+        val exp = sm2.trees.map(TreeShap.expectedValue)
+        val cap = (if (sm2.trees.isEmpty) 1
+                   else sm2.trees.map(TreeShap.depthOf).max) + 2
+        val bc = s.sparkContext.broadcast((sm2.trees, exp))
+        val nf = feats.length
+        val errU = udf((v: org.apache.spark.ml.linalg.Vector) => {
+          val (trees, e) = bc.value
+          val (_, phi) = TreeShap.shapOne(trees, e, cap, nf, v)
+          val (_, mat) = TreeShap.interactionsOne(trees, e, cap, nf, v)
+          val totalErr = math.abs(mat.map(_.sum).sum - phi.sum)
+          val rowErr = (0 until nf)
+            .map(i => math.abs(mat(i).sum - phi(i))).max
+          Array(totalErr, rowErr)
+        })
+        val sliced = GraftBoost
+          .assemble(df.limit(500), feats, model.imputation, keepNaN = true)
+        val r = sliced.select(errU(col("features")).as("e"))
+          .agg(max(element_at(col("e"), 1)), max(element_at(col("e"), 2)))
+          .head()
+        (r.getDouble(0), r.getDouble(1))
+      }
       val out = attributed.agg(
           count(lit(1)).as("n_rows"),
           sum(col("is_missing").cast("long")).as("n_missing"),
@@ -1019,7 +1050,8 @@ object MLQueries {
           (col("maxerr") < 1e-6).as("additivity_ok"),
           lit(topShap == topSaabas && topShap == topGain)
             .as("top_feature_agrees"),
-          lit(identityOk && weightOk).as("importance_identity_ok"))
+          lit(identityOk && weightOk).as("importance_identity_ok"),
+          lit(interErr < 1e-6 && rowSumErr < 1e-6).as("interactions_ok"))
       out.persist().count()
       df.unpersist(false)
       out
@@ -1029,7 +1061,7 @@ object MLQueries {
              CAST(SUM(CASE WHEN l_partkey % 9 = 0 THEN 1 ELSE 0 END) AS BIGINT)
                AS n_missing,
              TRUE AS additivity_ok, TRUE AS top_feature_agrees,
-             TRUE AS importance_identity_ok
+             TRUE AS importance_identity_ok, TRUE AS interactions_ok
       FROM lineitem
     """)
   )

@@ -127,14 +127,26 @@ object TreeShap {
     total * (ud + 1).toDouble
   }
 
+  /** Algorithm 2's recursion, generalized with the conditioning hook
+    * of Lundberg et al.'s interaction algorithm: when `condF >= 0`,
+    * that feature is held OUT of the permutation game (its path
+    * segment is never extended) and instead scales the scalar
+    * `condFrac` — by 1/0 on the x-branch for `cond = +1` ("feature
+    * known present"), by the cover fractions for `cond = -1`
+    * ("feature known absent"). `cond = 0` is plain TreeSHAP.
+    */
   private def recurse(
       t: SparseBoost.SparseTree, v: Vector, phi: Array[Double],
-      node: Int, m: Path, pz: Double, po: Double, pi: Int
+      node: Int, m: Path, pz: Double, po: Double, pi: Int,
+      cond: Int = 0, condF: Int = -1, condFrac: Double = 1.0
   ): Unit = {
-    extend(m, pz, po, pi)
+    if (condFrac == 0.0) return
+    // the conditioned feature owns no path segment: skip the pending
+    // extension its split would have issued
+    if (cond == 0 || condF != pi) extend(m, pz, po, pi)
     val f = t.feature(node)
     if (f < 0) {
-      val leafV = t.value(node)
+      val leafV = t.value(node) * condFrac
       var i = 1
       while (i < m.len) {
         phi(m.d(i)) += unwoundSum(m, i) * (m.o(i) - m.z(i)) * leafV
@@ -159,8 +171,12 @@ object TreeShap {
         iz = m.z(k); io = m.o(k)
         unwind(m, k)
       }
-      recurse(t, v, phi, hot, m.copyOf(), iz * hotZ, io, f)
-      recurse(t, v, phi, cold, m.copyOf(), iz * coldZ, 0.0, f)
+      var hotCF = condFrac
+      var coldCF = condFrac
+      if (cond > 0 && f == condF) coldCF = 0.0
+      else if (cond < 0 && f == condF) { hotCF *= hotZ; coldCF *= coldZ }
+      recurse(t, v, phi, hot, m.copyOf(), iz * hotZ, io, f, cond, condF, hotCF)
+      recurse(t, v, phi, cold, m.copyOf(), iz * coldZ, 0.0, f, cond, condF, coldCF)
     }
   }
 
@@ -205,6 +221,81 @@ object TreeShap {
       m += 1
     }
     (bias, phi)
+  }
+
+  /** One row's exact SHAP INTERACTION matrix (XGBoost's
+    * `pred_interactions`): Φ(i)(j) for i ≠ j is half the difference
+    * between feature j's Shapley values with feature i conditioned
+    * present vs absent; the diagonal absorbs the remainder of the
+    * plain Shapley value, so Σ_j Φ(i)(j) = φ_i per row of the matrix
+    * and bias + ΣΦ = margin. Cost: 2·M conditioned tree walks on top
+    * of the plain pass. Brute-force-pinned against the Shapley
+    * interaction index in TreeShapSpec.
+    */
+  private[graft] def interactionsOne(
+      trees: Array[SparseBoost.SparseTree],
+      expected: Array[Double],
+      pathCap: Int,
+      numFeatures: Int,
+      v: Vector
+  ): (Double, Array[Array[Double]]) = {
+    val (bias, plain) = shapOne(trees, expected, pathCap, numFeatures, v)
+    val mat = Array.ofDim[Double](numFeatures, numFeatures)
+    var i = 0
+    while (i < numFeatures) {
+      val on = new Array[Double](numFeatures)
+      val off = new Array[Double](numFeatures)
+      var t = 0
+      while (t < trees.length) {
+        recurse(trees(t), v, on, 0, new Path(pathCap), 1.0, 1.0, -1, 1, i, 1.0)
+        recurse(trees(t), v, off, 0, new Path(pathCap), 1.0, 1.0, -1, -1, i, 1.0)
+        t += 1
+      }
+      var j = 0
+      var offDiag = 0.0
+      while (j < numFeatures) {
+        if (j != i) {
+          mat(i)(j) = 0.5 * (on(j) - off(j))
+          offDiag += mat(i)(j)
+        }
+        j += 1
+      }
+      mat(i)(i) = plain(i) - offDiag
+      i += 1
+    }
+    (bias, mat)
+  }
+
+  /** Score `df` with exact SHAP interaction matrices (XGBoost's
+    * `pred_interactions`): appends `bias` and `interactions`
+    * (flattened row-major M×M array<double>). Costs 2·M conditioned
+    * walks per row on top of a plain pass — score slices, not
+    * corpora, unless M is small.
+    */
+  def transformInteractions(
+      model: GraftBoost.GraftBoostModel, df: DataFrame): DataFrame = {
+    val sm = model.model match {
+      case m: SparseBoost.SparseModel => m
+      case m => throw new UnsupportedOperationException(
+        s"pred_interactions needs the native sparse forest, got ${m.getClass}")
+    }
+    val nf = model.featureCols.length
+    val expected = sm.trees.map(expectedValue)
+    val pathCap = (if (sm.trees.isEmpty) 1 else sm.trees.map(depthOf).max) + 2
+    val data = GraftBoost.assemble(df, model.featureCols, model.imputation,
+      keepNaN = model.missingStrategy == "native")
+    val bc = data.sparkSession.sparkContext.broadcast((sm.trees, expected))
+    val base = sm.base
+    val iu = udf((v: Vector) => {
+      val (trees, exp) = bc.value
+      val (b, mat) = interactionsOne(trees, exp, pathCap, nf, v)
+      (b + base, mat.flatten.toSeq)
+    })
+    data
+      .withColumn("_iv", iu(col("features")))
+      .withColumn("bias", col("_iv")("_1"))
+      .withColumn("interactions", col("_iv")("_2"))
+      .drop("_iv", "features")
   }
 
   /** Score `df` with exact TreeSHAP attributions: appends `bias`

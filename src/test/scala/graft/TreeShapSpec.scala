@@ -229,4 +229,66 @@ class TreeShapSpec extends AnyFunSuite {
     val (biasB, phiB) = TreeShap.shapOne(b.trees, b.trees.map(TreeShap.expectedValue), capA, 1, v)
     assert(biasA == biasB && phiA.toSeq == phiB.toSeq)
   }
+
+  test("SHAP interaction values match the brute-force Shapley interaction index") {
+    // interacting target so off-diagonals are non-trivial
+    val df = (0 until 300).map { i =>
+      val x1 = (i % 10).toDouble
+      val x2 = ((i * 7) % 5).toDouble
+      val x3 = ((i * 3) % 4).toDouble
+      (x1, x2, x3, x1 * x2 + 2.0 * x3 + (if (x1 > 6 && x3 < 2) 4.0 else 0.0))
+    }.toDF("x1", "x2", "x3", "y")
+    val m = nativeModel(df, Seq("x1", "x2", "x3"), rounds = 2, depth = 3)
+    val sm = m.model.asInstanceOf[SparseBoost.SparseModel]
+    val cap = sm.trees.map(TreeShap.depthOf).max + 2
+    val M = 3
+
+    // brute-force Shapley interaction index over all subsets:
+    // phi_ij = sum_{S ⊆ F∖{i,j}} |S|!(M−|S|−2)!/(2(M−1)!) ·
+    //          [v(S∪{i,j}) − v(S∪{i}) − v(S∪{j}) + v(S)]
+    def fact(n: Int): Double = (1 to n).product.toDouble
+    def bruteInter(t: SparseBoost.SparseTree, v: org.apache.spark.ml.linalg.Vector,
+        i: Int, j: Int): Double = {
+      val rest = (0 until M).toSet - i - j
+      rest.subsets().map { sub =>
+        val w = fact(sub.size) * fact(M - sub.size - 2) / (2.0 * fact(M - 1))
+        w * (expVal(t, v, sub + i + j) - expVal(t, v, sub + i) -
+          expVal(t, v, sub + j) + expVal(t, v, sub))
+      }.sum
+    }
+
+    val probes = Seq(
+      Vectors.dense(9.0, 4.0, 3.0), Vectors.dense(2.0, 1.0, 0.0),
+      Vectors.dense(7.0, 0.0, 1.0))
+    probes.foreach { v =>
+      val exp = sm.trees.map(TreeShap.expectedValue)
+      val (bias, mat) = TreeShap.interactionsOne(sm.trees, exp, cap, M, v)
+      val (_, plain) = TreeShap.shapOne(sm.trees, exp, cap, M, v)
+      for (i <- 0 until M; j <- 0 until M if i != j) {
+        val brute = sm.trees.map(t => bruteInter(t, v, i, j)).sum
+        assert(math.abs(mat(i)(j) - brute) < 1e-9,
+          s"Phi($i)($j) for $v: fast=${mat(i)(j)} brute=$brute")
+        // symmetry comes with the definition; the fast path must keep it
+        assert(math.abs(mat(i)(j) - mat(j)(i)) < 1e-9)
+      }
+      // row sums reproduce the plain Shapley values; total reproduces
+      // the margin — the pred_interactions local-accuracy identities
+      for (i <- 0 until M)
+        assert(math.abs(mat(i).sum - plain(i)) < 1e-9,
+          s"row $i must sum to phi_$i")
+      val margin = sm.trees.map(_.valueOf(v)).sum
+      assert(math.abs(bias + mat.map(_.sum).sum - margin) < 1e-9)
+    }
+
+    // the DataFrame surface emits the same flattened matrix
+    val one = df.limit(1)
+    val viaDf = TreeShap.transformInteractions(m, one)
+      .select("interactions").head().getSeq[Double](0)
+    val vRow = one.select("x1", "x2", "x3").head()
+    val vv = Vectors.dense(vRow.getDouble(0), vRow.getDouble(1), vRow.getDouble(2))
+    val (_, direct) = TreeShap.interactionsOne(sm.trees,
+      sm.trees.map(TreeShap.expectedValue), cap, M, vv)
+    assert(viaDf == direct.flatten.toSeq,
+      "transformInteractions must equal the kernel bit-for-bit")
+  }
 }
