@@ -49,11 +49,32 @@ object LinearBoost {
       val weights: Array[Double],
       val bias: Double,
       val base: Double,
-      val objective: String
+      val objective: String,
+      /** Per-round (weights, bias) snapshots (training-time only; not
+        * persisted) — the staged-evaluation / best-round-truncation
+        * surface [[StagedEval]] gives tree models, extended to the
+        * linear booster. Model-sized: numRound × numFeat doubles.
+        */
+      val snapshots: Option[Array[(Array[Double], Double)]] = None
   ) extends Model[LinearModel] {
 
     override def copy(extra: ParamMap): LinearModel =
-      new LinearModel(uid, weights, bias, base, objective)
+      new LinearModel(uid, weights, bias, base, objective, snapshots)
+
+    /** The model as of round `rounds` (1-based) — exact: coordinate
+      * descent is a state sequence, so truncation replays the
+      * recorded snapshot rather than un-summing anything.
+      */
+    def truncate(rounds: Int): LinearModel = {
+      val snaps = snapshots.getOrElse(throw new UnsupportedOperationException(
+        "per-round snapshots are training-time state; a reloaded " +
+        "gblinear model cannot be truncated"))
+      require(rounds >= 1 && rounds <= snaps.length,
+        s"rounds must be in [1, ${snaps.length}], got $rounds")
+      val (w, b) = snaps(rounds - 1)
+      new LinearModel(uid, w.clone(), b, base, objective,
+        Some(snaps.take(rounds)))
+    }
 
     override def transformSchema(schema: StructType): StructType =
       schema.add(StructField("prediction", DoubleType))
@@ -109,6 +130,7 @@ object LinearBoost {
     val weights = new Array[Double](numFeat)
     var bias = 0.0
     val hist = new ArrayBuffer[Double](params.numRound)
+    val snaps = new ArrayBuffer[(Array[Double], Double)](params.numRound)
     // loss denominator: total weight (or row count), one action
     val denom = math.max(
       if (hasW) src.select(sum(col("w"))).head().getDouble(0)
@@ -193,8 +215,9 @@ object LinearBoost {
       }
       s = statsPass()
       hist += lossOf(s)
+      snaps += ((weights.clone(), bias))
     }
     (new LinearModel(s"gblinear_${params.seed}", weights, bias, base,
-      params.objective), hist.toArray)
+      params.objective, Some(snaps.toArray)), hist.toArray)
   }
 }

@@ -53,8 +53,27 @@ object StagedEval {
           (v: Vector) => tw * t.predict(v) })
       case m: SparseBoost.SparseModel =>
         (m.base, m.trees.map(t => (v: Vector) => t.valueOf(v)))
+      case m: LinearBoost.LinearModel if m.snapshots.isDefined =>
+        // per-round margin deltas from the recorded weight snapshots:
+        // step_r(x) = Δbias_r + Δw_r·x
+        val snaps = m.snapshots.get
+        val steps = snaps.indices.map { r =>
+          val (w1, b1) = snaps(r)
+          val (w0, b0) =
+            if (r == 0) (new Array[Double](w1.length), 0.0) else snaps(r - 1)
+          val dw = w1.indices.map(j => w1(j) - w0(j)).toArray
+          val db = b1 - b0
+          (v: Vector) => {
+            var acc = db
+            var j = 0
+            while (j < dw.length) { acc += dw(j) * v(j); j += 1 }
+            acc
+          }
+        }.toArray
+        (m.base, steps)
       case m => throw new UnsupportedOperationException(
-        s"staged evaluation needs a GBT or native sparse model, got ${m.getClass}")
+        s"staged evaluation needs a GBT, native sparse or freshly " +
+        s"trained gblinear model, got ${m.getClass}")
     }
     val bTrees = spark.sparkContext.broadcast((init, steps))
 
@@ -330,6 +349,7 @@ object StagedEval {
           case g: GBTClassificationModel => GraftModelBridge.truncateClassifier(g, k)
           case g: GBTRegressionModel     => GraftModelBridge.truncateRegressor(g, k)
           case s: SparseBoost.SparseModel => s.truncate(k)
+          case l: LinearBoost.LinearModel => l.truncate(k)
           case other => throw new UnsupportedOperationException(s"${other.getClass}")
         }
         return (m.copy(model = cut), k, clipped, trained)
@@ -357,6 +377,7 @@ object StagedEval {
       case m: GBTClassificationModel => GraftModelBridge.truncateClassifier(m, k)
       case m: GBTRegressionModel     => GraftModelBridge.truncateRegressor(m, k)
       case m: SparseBoost.SparseModel => m.truncate(k)
+      case m: LinearBoost.LinearModel => m.truncate(k)
       case m => throw new UnsupportedOperationException(s"${m.getClass}")
     }
     (model.copy(model = cut), k, hist)

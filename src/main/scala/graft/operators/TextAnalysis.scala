@@ -3052,6 +3052,123 @@ object TextAnalysis {
     """)
   )
 
+  /** Token budget allocated by the DoReMi-style mixture. */
+  val DoremiBudget = 100000L
+
+  /** DoReMi-style domain reweighting (Xie et al. 2023, "DoReMi:
+    * Optimizing Data Mixtures Speeds Up Language Model Pretraining"):
+    * domain weights rise exponentially in each domain's EXCESS loss —
+    * the gap between the generalist model's loss on the domain and a
+    * domain-adapted reference. Deterministic analog with exact
+    * cross-engine parity: the "generalist" is the whole-corpus
+    * unigram LM, the per-domain reference is the domain's own unigram
+    * LM, so the excess loss is exactly KL(source ‖ corpus-model) ≥ 0
+    * (the [[textKlSourceDrift]] quantity — cross-entropy minus own
+    * entropy, nonneg by Gibbs), computed with the 6-dp-rounded-log /
+    * DECIMAL-sum discipline. One exponentiated-gradient step from the
+    * uniform baseline (η = 1): w_s ∝ exp(excess_s), rounded to 6 dp
+    * (same parity class as the logs — both engines' libm agree well
+    * inside 5e-7 on [1, e]), scaled to exact integer micro-weights,
+    * and a fixed token budget split by the largest-remainder method
+    * ([[sampleTemperatureMixture]]'s Hamilton machinery) — Σ alloc =
+    * budget by construction. Scale: one corpus tokenize + vocab-sized
+    * joins; the allocation is |sources|-sized, driver-free.
+    */
+  val sampleDoremiMixture = GraftQuery(
+    "sample_doremi_mixture",
+    (s, dir) => {
+      import graft.functions.GraftFunctions.dec6
+      val t = Tables(s, dir)
+      val toks = t.documents
+        .select(col("source"), explode(tokens(col("text"))).as("term"))
+        .filter(col("term") =!= "")
+      val cntS = toks.groupBy(col("source"), col("term"))
+        .agg(count(lit(1)).as("cs")).cache()
+      val totS = cntS.groupBy(col("source"))
+        .agg(sum(col("cs")).as("ns"))
+      val cntAll = cntS.groupBy(col("term")).agg(sum(col("cs")).as("c"))
+      val totAll = cntAll.agg(sum(col("c")).as("n"))
+      val lpS = round(log(col("cs").cast(DoubleType) / col("ns").cast(DoubleType)), 6)
+      val lpAll = round(log(col("c").cast(DoubleType) / col("n").cast(DoubleType)), 6)
+      val excess = cntS.join(cntAll, Seq("term"))
+        .join(broadcast(totS), Seq("source"))
+        .crossJoin(broadcast(totAll))
+        .select(col("source"), col("ns"),
+          ((dec6(lpS) - dec6(lpAll)) * col("cs")).as("wkl"))
+        .groupBy(col("source"))
+        .agg(max(col("ns")).as("n_tokens"),
+          round(sum(col("wkl")).cast(DoubleType)
+            / max(col("ns")).cast(DoubleType), 6).as("excess_kl"))
+        // w = exp(η·excess) at η = 1 in integer micro-units. The
+        // rounding happens ONCE at micro scale — a 6-dp-rounded double
+        // times 1e6 can land at N − 1e-10, where Spark's long cast
+        // TRUNCATES but DuckDB's CAST rounds (one-ulp mismatch class);
+        // round(·, 0) first makes both casts exact
+        .withColumn("v",
+          round(exp(col("excess_kl")) * lit(1e6), 0).cast("long"))
+      val w = excess.agg(sum(col("v")).as("w_total"))
+      val quota = excess.crossJoin(broadcast(w))
+        .withColumn("num", lit(DoremiBudget) * col("v"))
+        .withColumn("rem", pmod(col("num"), col("w_total")))
+        .withColumn("base",
+          ((col("num") - col("rem")) / col("w_total")).cast("long"))
+      val leftover = quota.agg((lit(DoremiBudget) - sum(col("base"))).as("r"))
+      val rk = Window.orderBy(col("rem").desc, col("source"))
+      val out = quota.crossJoin(broadcast(leftover))
+        .withColumn("seat", row_number().over(rk).cast("long"))
+        .select(col("source"), col("n_tokens").cast("long").as("n_tokens"),
+          col("excess_kl"), col("v").as("weight_micro"),
+          (col("base") + when(col("seat") <= col("r"), 1L).otherwise(0L))
+            .as("alloc"))
+        .orderBy(col("source"))
+      out.persist().count()
+      cntS.unpersist(false)
+      out
+    },
+    Some(raw"""
+      WITH toks AS (
+        SELECT source, unnest(string_split_regex(lower(text), '\s+')) AS term
+        FROM documents),
+      tk AS (SELECT source, term FROM toks WHERE term <> ''),
+      cnt_s AS (SELECT source, term, COUNT(*) AS cs FROM tk GROUP BY 1, 2),
+      tot_s AS (SELECT source, CAST(SUM(cs) AS BIGINT) AS ns
+                FROM cnt_s GROUP BY 1),
+      cnt_all AS (SELECT term, COUNT(*) AS c FROM tk GROUP BY 1),
+      tot_all AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM cnt_all),
+      excess AS (
+        SELECT source, MAX(ns) AS n_tokens,
+               round(CAST(CAST(SUM(
+                   (CAST(round(ln(CAST(cs AS DOUBLE) / CAST(ns AS DOUBLE)), 6)
+                      AS DECIMAL(25,6))
+                    - CAST(round(ln(CAST(c AS DOUBLE) / CAST(n AS DOUBLE)), 6)
+                      AS DECIMAL(25,6))) * cs) AS VARCHAR) AS DOUBLE)
+                 / CAST(MAX(ns) AS DOUBLE), 6) AS excess_kl
+        FROM cnt_s JOIN cnt_all USING (term)
+        JOIN tot_s USING (source) CROSS JOIN tot_all
+        GROUP BY source),
+      wts AS (
+        SELECT source, n_tokens, excess_kl,
+               CAST(round(exp(excess_kl) * 1e6, 0) AS BIGINT) AS v
+        FROM excess),
+      tot AS (SELECT CAST(SUM(v) AS BIGINT) AS w_total FROM wts),
+      quota AS (
+        SELECT source, n_tokens, excess_kl, v,
+               ($DoremiBudget * v) // w_total AS base,
+               ($DoremiBudget * v) % w_total AS rem
+        FROM wts CROSS JOIN tot),
+      leftover AS (SELECT $DoremiBudget - CAST(SUM(base) AS BIGINT) AS r FROM quota),
+      seated AS (
+        SELECT source, n_tokens, excess_kl, v, base, rem,
+               CAST(row_number() OVER (ORDER BY rem DESC, source) AS BIGINT) AS seat
+        FROM quota)
+      SELECT source, CAST(n_tokens AS BIGINT) AS n_tokens, excess_kl,
+             v AS weight_micro,
+             CAST(base + CASE WHEN seat <= r THEN 1 ELSE 0 END AS BIGINT) AS alloc
+      FROM seated CROSS JOIN leftover
+      ORDER BY source
+    """)
+  )
+
   def all: Seq[GraftQuery] =
     Seq(textTokens, textQuality, textLangid, textFingerprint, textTopNgrams,
       textTrainingSet, textChunk, textDecontaminate, sampleStratified,
@@ -3065,5 +3182,5 @@ object TextAnalysis {
       textPmiCollocations, sampleHoldoutSplit, sampleTokenBudget,
       sampleBootstrapCi, textVocabGrowth, textEncodingScreen,
       textUnigramEntropy, textKlSourceDrift, textBigramCondEntropy,
-      sampleTemperatureMixture)
+      sampleTemperatureMixture, sampleDoremiMixture)
 }

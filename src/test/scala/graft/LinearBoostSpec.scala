@@ -146,4 +146,49 @@ class LinearBoostSpec extends AnyFunSuite {
         BoostParams("reg:gamma", booster = "gblinear"))
     }
   }
+
+  test("staged evaluation + best-round truncation + early stopping cover gblinear") {
+    val df = (0 until 400).map { i =>
+      val x1 = (i % 10).toDouble
+      (x1, ((i * 7) % 5).toDouble, 4.0 * x1 - ((i * 7) % 5))
+    }.toDF("x1", "x2", "y")
+    val p = BoostParams("reg:squarederror", numRound = 30, eta = 1.0,
+      lambdaL2 = 0.0, booster = "gblinear")
+    val m = GraftBoost.train(df, Seq("x1", "x2"), "y", p)
+
+    // truncation replays the exact training state: truncate(r) equals
+    // a fresh fit with numRound = r bit-for-bit (no RNG anywhere)
+    val lm = m.model.asInstanceOf[LinearBoost.LinearModel]
+    val cut5 = lm.truncate(5)
+    val fresh5 = GraftBoost.train(df, Seq("x1", "x2"), "y",
+      p.copy(numRound = 5)).model.asInstanceOf[LinearBoost.LinearModel]
+    assert(cut5.weights.sameElements(fresh5.weights) && cut5.bias == fresh5.bias)
+
+    // staged rmse history matches the trainer's own per-round history
+    val hist = StagedEval.history(m, df, "y", "rmse")
+    val own = m.evalsResult("train")("rmse")
+    assert(hist.length == own.length)
+    hist.zip(own).foreach { case (a, b) =>
+      assert(math.abs(a - b) < 1e-6, s"staged $a vs trainer $b") }
+
+    // early stopping: a ZERO-MEAN feature decouples the bias and
+    // weight updates (the cross-moment B vanishes), so eta-1 Jacobi
+    // solves exactly in one round — rmse is 0.0 from round 1 onward,
+    // the strict-improvement stall detector fires inside the first
+    // chunk, and far fewer than numRound=60 rounds are trained. (The
+    // correlated fixtures above keep strictly improving at ulp scale
+    // all 60 rounds, which correctly trains to completion — stalling
+    // is a property of the metric, not of the round budget.)
+    val df1 = (0 until 200).map { i =>
+      val x = (i % 10).toDouble - 4.5
+      (x, 4.0 * x)
+    }.toDF("x1", "y")
+    val (es, best, clipped, trained) = StagedEval.fitWithEarlyStopping(
+      df1, df1, Seq("x1"), "y",
+      p.copy(numRound = 60), "rmse", earlyStoppingRounds = 3)
+    assert(trained < 60, s"early stopping must save rounds: trained=$trained")
+    assert(best >= 1 && best <= clipped.length)
+    val esl = es.model.asInstanceOf[LinearBoost.LinearModel]
+    assert(esl.snapshots.get.length == best)
+  }
 }
