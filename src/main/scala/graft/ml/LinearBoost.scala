@@ -94,7 +94,10 @@ object LinearBoost {
     }
 
     override def transform(ds: org.apache.spark.sql.Dataset[_]): DataFrame = {
-      val bc = ds.sparkSession.sparkContext.broadcast(this)
+      // scoring reads weights/bias only — never ship the per-round
+      // snapshot history (numRound × numFeat doubles) to executors
+      val bc = ds.sparkSession.sparkContext.broadcast(
+        new LinearModel(uid, weights, bias, base, objective))
       val pU = udf((v: Vector) => bc.value.predictOne(v))
       ds.withColumn("prediction", pU(col("features")))
     }

@@ -1011,34 +1011,27 @@ object MLQueries {
       val weightOk = w.toSeq == counted.toSeq
       // SHAP interaction matrices (pred_interactions) on a
       // deterministic slice: each row costs 2·M conditioned walks, so
-      // the gate samples rather than sweeping 600k rows. One UDF
-      // computes plain shap AND the matrix per row and emits the two
-      // pred_interactions identity errors directly (row sums must
-      // reproduce the shap vector; the matrix total must reproduce
-      // the shap total ⇒ with the main pass's additivity gate, the
-      // margin), so no cross-frame row alignment is needed.
-      val (interErr, rowSumErr) = {
-        val sm2 = sm
-        val exp = sm2.trees.map(TreeShap.expectedValue)
-        val cap = (if (sm2.trees.isEmpty) 1
-                   else sm2.trees.map(TreeShap.depthOf).max) + 2
-        val bc = s.sparkContext.broadcast((sm2.trees, exp))
-        val nf = feats.length
+      // the gate samples rather than sweeping 600k rows. The gated
+      // property is SYMMETRY — Φ(i)(j) = Φ(j)(i) is a THEOREM about
+      // correct conditioning (independent i- and j-conditioned walks
+      // must agree pairwise), not a construction artifact; the
+      // row-sum and total identities hold by the diagonal's
+      // definition and would pass even with a broken conditioned
+      // recursion, so they gate nothing. NaN-safe: a NaN symErr
+      // fails the < comparison.
+      val interactionSymErr = {
+        val ctx = TreeShap.forestCtx(model)
+        val bc = s.sparkContext.broadcast(ctx)
         val errU = udf((v: org.apache.spark.ml.linalg.Vector) => {
-          val (trees, e) = bc.value
-          val (_, phi) = TreeShap.shapOne(trees, e, cap, nf, v)
-          val (_, mat) = TreeShap.interactionsOne(trees, e, cap, nf, v)
-          val totalErr = math.abs(mat.map(_.sum).sum - phi.sum)
-          val rowErr = (0 until nf)
-            .map(i => math.abs(mat(i).sum - phi(i))).max
-          Array(totalErr, rowErr)
+          val c = bc.value
+          val (_, _, mat) = TreeShap.interactionsOne(
+            c.trees, c.expected, c.pathCap, c.numFeatures, v)
+          val n = c.numFeatures
+          (for (i <- 0 until n; j <- i + 1 until n)
+            yield math.abs(mat(i)(j) - mat(j)(i))).foldLeft(0.0)(math.max)
         })
-        val sliced = GraftBoost
-          .assemble(df.limit(500), feats, model.imputation, keepNaN = true)
-        val r = sliced.select(errU(col("features")).as("e"))
-          .agg(max(element_at(col("e"), 1)), max(element_at(col("e"), 2)))
-          .head()
-        (r.getDouble(0), r.getDouble(1))
+        GraftBoost.assemble(df.limit(500), feats, model.imputation, keepNaN = true)
+          .agg(max(errU(col("features")))).head().getDouble(0)
       }
       val out = attributed.agg(
           count(lit(1)).as("n_rows"),
@@ -1051,7 +1044,7 @@ object MLQueries {
           lit(topShap == topSaabas && topShap == topGain)
             .as("top_feature_agrees"),
           lit(identityOk && weightOk).as("importance_identity_ok"),
-          lit(interErr < 1e-6 && rowSumErr < 1e-6).as("interactions_ok"))
+          lit(interactionSymErr < 1e-6).as("interactions_ok"))
       out.persist().count()
       df.unpersist(false)
       out

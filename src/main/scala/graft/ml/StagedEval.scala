@@ -44,10 +44,17 @@ object StagedEval {
     // (initial margin, per-round margin increments) — closures keep
     // the walk uniform across MLlib GBT forests and the native sparse
     // forest (η already baked into SparseTree leaf values)
+    // margins are emitted on the FULL-LOGIT scale (p = sigmoid(m)).
+    // MLlib GBT classification raw scores are HALF logits
+    // (p = sigmoid(2·raw)), so those steps are doubled here; the
+    // native sparse and gblinear margins are full logits already —
+    // one convention downstream, so the logloss metric is correct for
+    // every model family (it used to assume half logits universally,
+    // which mis-scored native/linear models)
     val (init: Double, steps: Array[Vector => Double]) = model.model match {
       case m: GBTClassificationModel =>
         (0.0, m.trees.zip(m.treeWeights).map { case (t, tw) =>
-          (v: Vector) => tw * t.predict(v) })
+          (v: Vector) => 2.0 * tw * t.predict(v) })
       case m: GBTRegressionModel =>
         (0.0, m.trees.zip(m.treeWeights).map { case (t, tw) =>
           (v: Vector) => tw * t.predict(v) })
@@ -178,8 +185,9 @@ object StagedEval {
     val staged = stagedMargins(model, df, labelCol, weightCol)
     val byRound: DataFrame = metric match {
       case "logloss" =>
-        // p = sigmoid(2 * margin) — MLlib GBT classification margin
-        val p = lit(1.0) / (lit(1.0) + exp(lit(-2.0) * col("margin")))
+        // p = sigmoid(margin) — stagedMargins normalizes every model
+        // family to full logits
+        val p = lit(1.0) / (lit(1.0) + exp(-col("margin")))
         val ll = when(col("label") === 1.0, -log(greatest(p, lit(1e-15))))
           .otherwise(-log(greatest(lit(1.0) - p, lit(1e-15))))
         staged.groupBy(col("round"))

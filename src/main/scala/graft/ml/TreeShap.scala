@@ -238,7 +238,7 @@ object TreeShap {
       pathCap: Int,
       numFeatures: Int,
       v: Vector
-  ): (Double, Array[Array[Double]]) = {
+  ): (Double, Array[Double], Array[Array[Double]]) = {
     val (bias, plain) = shapOne(trees, expected, pathCap, numFeatures, v)
     val mat = Array.ofDim[Double](numFeatures, numFeatures)
     var i = 0
@@ -263,7 +263,56 @@ object TreeShap {
       mat(i)(i) = plain(i) - offDiag
       i += 1
     }
-    (bias, mat)
+    (bias, plain, mat)
+  }
+
+  /** The scoring context a kernel needs: the sparse forest, its
+    * per-tree expected values, the path-buffer cap, the feature
+    * count, and the base score — derived once per transform and
+    * broadcast-ready.
+    */
+  private[graft] final case class ForestCtx(
+      trees: Array[SparseBoost.SparseTree],
+      expected: Array[Double],
+      pathCap: Int,
+      numFeatures: Int,
+      base: Double
+  ) extends Serializable
+
+  private[graft] def forestCtx(model: GraftBoost.GraftBoostModel): ForestCtx = {
+    val sm = model.model match {
+      case m: SparseBoost.SparseModel => m
+      case m => throw new UnsupportedOperationException(
+        "exact TreeSHAP needs the native sparse forest's cover " +
+        s"statistics; got ${m.getClass} — use Contributions (Saabas) " +
+        "for MLlib-backed models")
+    }
+    ForestCtx(sm.trees, sm.trees.map(expectedValue),
+      (if (sm.trees.isEmpty) 1 else sm.trees.map(depthOf).max) + 2,
+      model.featureCols.length, sm.base)
+  }
+
+  /** One assemble + broadcast + UDF pass appending `bias` and a
+    * kernel-computed column — the plumbing [[transform]] and
+    * [[transformInteractions]] share.
+    */
+  private def scoreWith(
+      model: GraftBoost.GraftBoostModel, df: DataFrame, outCol: String
+  )(kernel: (ForestCtx, Vector) => (Double, Seq[Double])): DataFrame = {
+    val ctx = forestCtx(model)
+    val data = GraftBoost.assemble(df, model.featureCols, model.imputation,
+      keepNaN = model.missingStrategy == "native")
+    val bc = data.sparkSession.sparkContext.broadcast(ctx)
+    val ku = udf((v: Vector) => {
+      val c = bc.value
+      val (b, out) = kernel(c, v)
+      (b + c.base, out)
+    })
+    data
+      .withColumn("_kv", ku(col("features")))
+      .withColumn("bias", col("_kv")("_1"))
+      .withColumn(outCol, col("_kv")("_2"))
+      .drop("_kv", "features")
   }
 
   /** Score `df` with exact SHAP interaction matrices (XGBoost's
@@ -273,30 +322,12 @@ object TreeShap {
     * corpora, unless M is small.
     */
   def transformInteractions(
-      model: GraftBoost.GraftBoostModel, df: DataFrame): DataFrame = {
-    val sm = model.model match {
-      case m: SparseBoost.SparseModel => m
-      case m => throw new UnsupportedOperationException(
-        s"pred_interactions needs the native sparse forest, got ${m.getClass}")
+      model: GraftBoost.GraftBoostModel, df: DataFrame): DataFrame =
+    scoreWith(model, df, "interactions") { (c, v) =>
+      val (b, _, mat) = interactionsOne(c.trees, c.expected, c.pathCap,
+        c.numFeatures, v)
+      (b, mat.flatten.toSeq)
     }
-    val nf = model.featureCols.length
-    val expected = sm.trees.map(expectedValue)
-    val pathCap = (if (sm.trees.isEmpty) 1 else sm.trees.map(depthOf).max) + 2
-    val data = GraftBoost.assemble(df, model.featureCols, model.imputation,
-      keepNaN = model.missingStrategy == "native")
-    val bc = data.sparkSession.sparkContext.broadcast((sm.trees, expected))
-    val base = sm.base
-    val iu = udf((v: Vector) => {
-      val (trees, exp) = bc.value
-      val (b, mat) = interactionsOne(trees, exp, pathCap, nf, v)
-      (b + base, mat.flatten.toSeq)
-    })
-    data
-      .withColumn("_iv", iu(col("features")))
-      .withColumn("bias", col("_iv")("_1"))
-      .withColumn("interactions", col("_iv")("_2"))
-      .drop("_iv", "features")
-  }
 
   /** Score `df` with exact TreeSHAP attributions: appends `bias`
     * (double; forest expected value + base score — identical for
@@ -305,31 +336,9 @@ object TreeShap {
     * accuracy identity `bias + Σshap = margin` holds exactly up to
     * float summation order.
     */
-  def transform(model: GraftBoost.GraftBoostModel, df: DataFrame): DataFrame = {
-    val sm = model.model match {
-      case m: SparseBoost.SparseModel => m
-      case m => throw new UnsupportedOperationException(
-        "exact TreeSHAP needs the native sparse forest's cover " +
-        s"statistics; got ${m.getClass} — use Contributions (Saabas) " +
-        "for MLlib-backed models")
+  def transform(model: GraftBoost.GraftBoostModel, df: DataFrame): DataFrame =
+    scoreWith(model, df, "shap") { (c, v) =>
+      val (b, phi) = shapOne(c.trees, c.expected, c.pathCap, c.numFeatures, v)
+      (b, phi.toSeq)
     }
-    val nf = model.featureCols.length
-    val expected = sm.trees.map(expectedValue)
-    // one path segment per split on the longest branch + root + slack
-    val pathCap = (if (sm.trees.isEmpty) 1 else sm.trees.map(depthOf).max) + 2
-    val data = GraftBoost.assemble(df, model.featureCols, model.imputation,
-      keepNaN = model.missingStrategy == "native")
-    val bc = data.sparkSession.sparkContext.broadcast((sm.trees, expected))
-    val base = sm.base
-    val su = udf((v: Vector) => {
-      val (trees, exp) = bc.value
-      val (b, phi) = shapOne(trees, exp, pathCap, nf, v)
-      (b + base, phi.toSeq)
-    })
-    data
-      .withColumn("_sv", su(col("features")))
-      .withColumn("bias", col("_sv")("_1"))
-      .withColumn("shap", col("_sv")("_2"))
-      .drop("_sv", "features")
-  }
 }

@@ -2841,6 +2841,44 @@ object TextAnalysis {
     """)
   )
 
+  /** Per-source excess loss vs the whole-corpus unigram LM —
+    * KL(source ‖ corpus) with the 6-dp-rounded-log / DECIMAL-sum
+    * discipline. Shared by [[textKlSourceDrift]] and
+    * [[sampleDoremiMixture]] so the parity recipe can never diverge
+    * between them. Returns (result frame with source / n_tokens /
+    * n_terms / excess 6-dp, cleanup thunk releasing the vocab-sized
+    * cache once the caller has materialized).
+    */
+  private def perSourceExcessKl(
+      t: Tables, excessCol: String): (org.apache.spark.sql.DataFrame, () => Unit) = {
+    import graft.functions.GraftFunctions.dec6
+    val toks = t.documents
+      .select(col("source"), explode(tokens(col("text"))).as("term"))
+      .filter(col("term") =!= "")
+    // ONE corpus pass: the (source, term) counts are cached at
+    // vocab scale and every other frame — global counts, totals —
+    // derives from them by re-aggregation, never re-scanning text
+    val cntS = toks.groupBy(col("source"), col("term"))
+      .agg(count(lit(1)).as("cs")).cache()
+    val totS = cntS.groupBy(col("source"))
+      .agg(sum(col("cs")).as("ns"), count(lit(1)).as("terms"))
+    val cntAll = cntS.groupBy(col("term")).agg(sum(col("cs")).as("c"))
+    val totAll = cntAll.agg(sum(col("c")).as("n"))
+    val lpS = round(log(col("cs").cast(DoubleType) / col("ns").cast(DoubleType)), 6)
+    val lpAll = round(log(col("c").cast(DoubleType) / col("n").cast(DoubleType)), 6)
+    val out = cntS.join(cntAll, Seq("term"))
+      .join(broadcast(totS), Seq("source"))
+      .crossJoin(broadcast(totAll))
+      .select(col("source"), col("ns"), col("terms"),
+        ((dec6(lpS) - dec6(lpAll)) * col("cs")).as("wkl"))
+      .groupBy(col("source"))
+      .agg(max(col("ns")).as("n_tokens"),
+        max(col("terms")).as("n_terms"),
+        round(sum(col("wkl")).cast(DoubleType)
+          / max(col("ns")).cast(DoubleType), 6).as(excessCol))
+    (out, () => cntS.unpersist(false))
+  }
+
   /** KL divergence of each source's unigram distribution from the
     * whole-corpus distribution — the source-drift score behind
     * mixture rebalancing (a source whose KL spikes is feeding the
@@ -2856,35 +2894,10 @@ object TextAnalysis {
   val textKlSourceDrift = GraftQuery(
     "text_kl_source_drift",
     (s, dir) => {
-      import graft.functions.GraftFunctions.dec6
-      val t = Tables(s, dir)
-      val toks = t.documents
-        .select(col("source"), explode(tokens(col("text"))).as("term"))
-        .filter(col("term") =!= "")
-      // ONE corpus pass: the (source, term) counts are cached at
-      // vocab scale and every other frame — global counts, totals —
-      // derives from them by re-aggregation, never re-scanning text
-      val cntS = toks.groupBy(col("source"), col("term"))
-        .agg(count(lit(1)).as("cs")).cache()
-      val totS = cntS.groupBy(col("source"))
-        .agg(sum(col("cs")).as("ns"), count(lit(1)).as("terms"))
-      val cntAll = cntS.groupBy(col("term")).agg(sum(col("cs")).as("c"))
-      val totAll = cntAll.agg(sum(col("c")).as("n"))
-      val lpS = round(log(col("cs").cast(DoubleType) / col("ns").cast(DoubleType)), 6)
-      val lpAll = round(log(col("c").cast(DoubleType) / col("n").cast(DoubleType)), 6)
-      val out = cntS.join(cntAll, Seq("term"))
-        .join(broadcast(totS), Seq("source"))
-        .crossJoin(broadcast(totAll))
-        .select(col("source"), col("ns"), col("terms"),
-          ((dec6(lpS) - dec6(lpAll)) * col("cs")).as("wkl"))
-        .groupBy(col("source"))
-        .agg(max(col("ns")).as("n_tokens"),
-          max(col("terms")).as("n_terms"),
-          round(sum(col("wkl")).cast(DoubleType)
-            / max(col("ns")).cast(DoubleType), 6).as("kl_vs_corpus"))
-        .orderBy(col("source"))
+      val (kl, cleanup) = perSourceExcessKl(Tables(s, dir), "kl_vs_corpus")
+      val out = kl.orderBy(col("source"))
       out.persist().count()
-      cntS.unpersist(false)
+      cleanup()
       out
     },
     Some(raw"""
@@ -3077,35 +3090,19 @@ object TextAnalysis {
   val sampleDoremiMixture = GraftQuery(
     "sample_doremi_mixture",
     (s, dir) => {
-      import graft.functions.GraftFunctions.dec6
-      val t = Tables(s, dir)
-      val toks = t.documents
-        .select(col("source"), explode(tokens(col("text"))).as("term"))
-        .filter(col("term") =!= "")
-      val cntS = toks.groupBy(col("source"), col("term"))
-        .agg(count(lit(1)).as("cs")).cache()
-      val totS = cntS.groupBy(col("source"))
-        .agg(sum(col("cs")).as("ns"))
-      val cntAll = cntS.groupBy(col("term")).agg(sum(col("cs")).as("c"))
-      val totAll = cntAll.agg(sum(col("c")).as("n"))
-      val lpS = round(log(col("cs").cast(DoubleType) / col("ns").cast(DoubleType)), 6)
-      val lpAll = round(log(col("c").cast(DoubleType) / col("n").cast(DoubleType)), 6)
-      val excess = cntS.join(cntAll, Seq("term"))
-        .join(broadcast(totS), Seq("source"))
-        .crossJoin(broadcast(totAll))
-        .select(col("source"), col("ns"),
-          ((dec6(lpS) - dec6(lpAll)) * col("cs")).as("wkl"))
-        .groupBy(col("source"))
-        .agg(max(col("ns")).as("n_tokens"),
-          round(sum(col("wkl")).cast(DoubleType)
-            / max(col("ns")).cast(DoubleType), 6).as("excess_kl"))
-        // w = exp(η·excess) at η = 1 in integer micro-units. The
-        // rounding happens ONCE at micro scale — a 6-dp-rounded double
-        // times 1e6 can land at N − 1e-10, where Spark's long cast
-        // TRUNCATES but DuckDB's CAST rounds (one-ulp mismatch class);
-        // round(·, 0) first makes both casts exact
+      val (kl, cleanup) = perSourceExcessKl(Tables(s, dir), "excess_kl")
+      val excess = kl.drop("n_terms")
+        // w = exp(η·min(excess, ln 1000)) at η = 1 in integer
+        // micro-units. The clip is DoReMi's standard trust region AND
+        // the exactness bound: unclipped, a near-disjoint source's
+        // exp(KL) is unbounded, budget·v leaves the 2^53-exact range
+        // and the quota division truncates one ulp below DuckDB's
+        // integer //. Rounding happens ONCE at micro scale — a
+        // 6-dp-rounded double times 1e6 can land at N − 1e-10, where
+        // Spark's long cast TRUNCATES but DuckDB's CAST rounds
         .withColumn("v",
-          round(exp(col("excess_kl")) * lit(1e6), 0).cast("long"))
+          round(exp(least(col("excess_kl"), lit(6.907755))) * lit(1e6), 0)
+            .cast("long"))
       val w = excess.agg(sum(col("v")).as("w_total"))
       val quota = excess.crossJoin(broadcast(w))
         .withColumn("num", lit(DoremiBudget) * col("v"))
@@ -3122,7 +3119,7 @@ object TextAnalysis {
             .as("alloc"))
         .orderBy(col("source"))
       out.persist().count()
-      cntS.unpersist(false)
+      cleanup()
       out
     },
     Some(raw"""
@@ -3148,7 +3145,7 @@ object TextAnalysis {
         GROUP BY source),
       wts AS (
         SELECT source, n_tokens, excess_kl,
-               CAST(round(exp(excess_kl) * 1e6, 0) AS BIGINT) AS v
+               CAST(round(exp(least(excess_kl, 6.907755)) * 1e6, 0) AS BIGINT) AS v
         FROM excess),
       tot AS (SELECT CAST(SUM(v) AS BIGINT) AS w_total FROM wts),
       quota AS (

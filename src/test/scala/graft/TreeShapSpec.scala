@@ -262,8 +262,7 @@ class TreeShapSpec extends AnyFunSuite {
       Vectors.dense(7.0, 0.0, 1.0))
     probes.foreach { v =>
       val exp = sm.trees.map(TreeShap.expectedValue)
-      val (bias, mat) = TreeShap.interactionsOne(sm.trees, exp, cap, M, v)
-      val (_, plain) = TreeShap.shapOne(sm.trees, exp, cap, M, v)
+      val (bias, plain, mat) = TreeShap.interactionsOne(sm.trees, exp, cap, M, v)
       for (i <- 0 until M; j <- 0 until M if i != j) {
         val brute = sm.trees.map(t => bruteInter(t, v, i, j)).sum
         assert(math.abs(mat(i)(j) - brute) < 1e-9,
@@ -286,7 +285,7 @@ class TreeShapSpec extends AnyFunSuite {
       .select("interactions").head().getSeq[Double](0)
     val vRow = one.select("x1", "x2", "x3").head()
     val vv = Vectors.dense(vRow.getDouble(0), vRow.getDouble(1), vRow.getDouble(2))
-    val (_, direct) = TreeShap.interactionsOne(sm.trees,
+    val (_, _, direct) = TreeShap.interactionsOne(sm.trees,
       sm.trees.map(TreeShap.expectedValue), cap, M, vv)
     assert(viaDf == direct.flatten.toSeq,
       "transformInteractions must equal the kernel bit-for-bit")
