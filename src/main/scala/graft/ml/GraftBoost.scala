@@ -213,7 +213,21 @@ object GraftBoost {
       /** DART: probability a round skips dropout entirely (XGBoost's
         * `skip_drop`); a skipped round is a plain gbtree round.
         */
-      skipDrop: Double = 0.0
+      skipDrop: Double = 0.0,
+      /** Trees trained per boosting round (XGBoost's
+        * `num_parallel_tree`): each of the T trees sees the SAME
+        * round gradients through its own deterministic subsample and
+        * colsample draws, and the round's update is their AVERAGE
+        * (leaf values stored pre-scaled by 1/T, so the model stays a
+        * plain tree sum). numRound = 1 with T > 1 and eta = 1 is a
+        * random forest with native NaN routing. Divergence note:
+        * XGBoost SUMS its parallel trees unscaled and leaves the
+        * 1/T to the caller's learning-rate choice; averaging here
+        * makes T a pure variance knob with no step-size coupling.
+        * Native tree loop only; incompatible with DART (XGBoost
+        * shares that restriction).
+        */
+      numParallelTree: Int = 1
   ) {
     require(splitProposal == "exact" || splitProposal == "approx",
       s"splitProposal must be \"exact\" or \"approx\", got $splitProposal")
@@ -232,6 +246,10 @@ object GraftBoost {
       s"rateDrop must be in [0, 1), got $rateDrop")
     require(skipDrop >= 0.0 && skipDrop <= 1.0,
       s"skipDrop must be in [0, 1], got $skipDrop")
+    require(numParallelTree >= 1,
+      s"numParallelTree must be >= 1, got $numParallelTree")
+    require(numParallelTree == 1 || booster != "dart",
+      "num_parallel_tree > 1 is incompatible with DART dropout")
     GraftBoost.validateMissingStrategy(missingStrategy)
   }
 
@@ -469,6 +487,13 @@ object GraftBoost {
         params.objective.startsWith("rank:"),
         "grow_policy=\"lossguide\" runs in the native tree loop — set " +
         "missingStrategy=\"native\" (or a gamma/tweedie/rank objective)")
+    if (params.numParallelTree > 1)
+      require((native || params.objective == "reg:gamma" ||
+        params.objective == "reg:tweedie") &&
+        !params.objective.startsWith("rank:"),
+        "num_parallel_tree > 1 runs in the native tree loop — set " +
+        "missingStrategy=\"native\" (or a gamma/tweedie objective); " +
+        "the ranking loop has no parallel-tree path")
 
     if (params.objective == "rank:pairwise" || params.objective == "rank:ndcg") {
       // pairwise learning-to-rank (plain RankNet pairs or ΔNDCG-

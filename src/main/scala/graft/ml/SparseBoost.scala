@@ -176,7 +176,11 @@ object SparseBoost {
     def truncate(rounds: Int): SparseModel = {
       require(rounds >= 1 && rounds <= trees.length,
         s"rounds must be in [1, ${trees.length}], got $rounds")
-      val kept = statsPerRound.map(_.take(rounds))
+      // exact prefix stats exist only when rounds and trees are 1:1
+      // (num_parallel_tree = 1); a parallel-tree forest keeps the
+      // as-trained aggregate (same documented caveat as loaded models)
+      val kept = statsPerRound.filter(_.length == trees.length)
+        .map(_.take(rounds))
       val newStats = kept match {
         case Some(rs) => ImportanceAcc.sum(rs, stats.gain.length)
         case None => stats
@@ -866,19 +870,44 @@ object SparseBoost {
       }
       val roundAcc = ImportanceAcc(numFeat)
       roundAccs += roundAcc
-      val tree = growTree(
-        sampled.withColumn("g", gw).withColumn("h", hw), edges, params,
-        roundAcc, roundMask(r), constraints, params.seed ^ (1337L * r))
+      // num_parallel_tree: T trees on the SAME round gradients, each
+      // with its own deterministic subsample/colsample draws; leaf
+      // values pre-scaled by 1/T so the stored model stays a plain
+      // sum and the round's update is the ensemble AVERAGE. The draw
+      // index is (r−1)·T + t, which reduces to r when T = 1 — the
+      // single-tree path is bit-identical to before.
+      val T = params.numParallelTree
+      val newTrees = (1 to T).map { tIdx =>
+        val idx = (r - 1) * T + tIdx
+        val sampledT =
+          if (T == 1) sampled
+          else GraftBoost.roundSample(withS, params.subsample,
+            params.seed + 197L * idx)
+        val tree = growTree(
+          sampledT.withColumn("g", gw).withColumn("h", hw), edges, params,
+          roundAcc, roundMask(idx), constraints, params.seed ^ (1337L * idx))
+        if (T > 1) {
+          var j = 0
+          while (j < tree.value.length) { tree.value(j) /= T; j += 1 }
+        }
+        tree
+      }
 
-      // margin update f' = f + (t_new − s)/(k+1): simultaneously adds
-      // the DOWN-SCALED new tree and removes the share the dropped
-      // trees lose to their k/(k+1) rescale (for k = 0 this is plain
-      // f + t_new). localCheckpoint is eager, so the in-place leaf
-      // rescale below cannot race the update's broadcast reads.
-      val bc = data.sparkSession.sparkContext.broadcast(tree)
+      // margin update f' = f + (Σ t_new − s)/(k+1): simultaneously
+      // adds the round's (already 1/T-averaged) trees and removes the
+      // share the dropped trees lose to their k/(k+1) rescale (k = 0
+      // for every non-DART round — DART forbids T > 1, so Σ is one
+      // tree whenever k > 0). localCheckpoint is eager, so the
+      // in-place leaf rescale below cannot race the broadcast reads.
+      val bc = data.sparkSession.sparkContext.broadcast(newTrees.toArray)
       val kd = (k + 1).toDouble
-      val upd = udf((v: Vector, f: Double, sv: Double) =>
-        f + (bc.value.valueOf(v) - sv) / kd)
+      val upd = udf((v: Vector, f: Double, sv: Double) => {
+        var acc = -sv
+        val ts = bc.value
+        var i = 0
+        while (i < ts.length) { acc += ts(i).valueOf(v); i += 1 }
+        f + acc / kd
+      })
       cur = withS.withColumn("f", upd(col("features"), col("f"), col("s")))
         .drop("s").localCheckpoint()
       if (k > 0) {
@@ -888,10 +917,11 @@ object SparseBoost {
           var j = 0
           while (j < t.value.length) { t.value(j) *= scaleOld; j += 1 }
         }
+        val t0 = newTrees.head
         var j = 0
-        while (j < tree.value.length) { tree.value(j) /= kd; j += 1 }
+        while (j < t0.value.length) { t0.value(j) /= kd; j += 1 }
       }
-      forest += tree
+      forest ++= newTrees
       hist += lossOf(cur, params.objective, rho)
     }
     val acc = ImportanceAcc.sum(roundAccs.toSeq, numFeat)

@@ -617,4 +617,64 @@ class SparseBoostSpec extends AnyFunSuite {
         groupCol = Some("g"))
     }
   }
+
+  test("num_parallel_tree: bagged-average rounds, pure-RF mode, T=1 unchanged") {
+    val df = (0 until 600).map { i =>
+      val x1 = (i % 30).toDouble
+      (x1, ((i * 11) % 7).toDouble, 2.0 * x1 + ((i * 13) % 5))
+    }.toDF("x1", "x2", "y")
+    val base = BoostParams("reg:squarederror", numRound = 2, maxDepth = 3,
+      eta = 0.5, missing = Some(-999.0), missingStrategy = "native")
+
+    // T = 1 reduces exactly to the single-tree path
+    val one = GraftBoost.train(df, Seq("x1", "x2"), "y", base)
+    val oneExplicit = GraftBoost.train(df, Seq("x1", "x2"), "y",
+      base.copy(numParallelTree = 1))
+    val (ta, tb) = (one.model.asInstanceOf[SparseBoost.SparseModel].trees,
+      oneExplicit.model.asInstanceOf[SparseBoost.SparseModel].trees)
+    assert(ta.zip(tb).forall { case (a, b) => a.value.sameElements(b.value) })
+
+    // pure RF: one round, 6 bagged trees, full step. Jensen's
+    // identity pins the averaging semantics: the ensemble's MSE is
+    // STRICTLY below the members' mean MSE whenever the bagged trees
+    // disagree anywhere — a theorem about averaging, not a lucky
+    // fixture (train rmse of one deep tree vs the ensemble is NOT a
+    // theorem and is deliberately not asserted)
+    val rfP = BoostParams("reg:squarederror", numRound = 1, maxDepth = 4,
+      eta = 1.0, subsample = 0.5, colsampleBynode = 0.5,
+      missing = Some(-999.0), missingStrategy = "native",
+      numParallelTree = 6)
+    val rf = GraftBoost.train(df, Seq("x1", "x2"), "y", rfP)
+    val rfTrees = rf.model.asInstanceOf[SparseBoost.SparseModel].trees
+    assert(rfTrees.length == 6, s"forest size: ${rfTrees.length}")
+    val rows = df.collect().map(r =>
+      (org.apache.spark.ml.linalg.Vectors.dense(r.getDouble(0), r.getDouble(1)),
+        r.getDouble(2)))
+    val baseScore = rf.model.asInstanceOf[SparseBoost.SparseModel].base
+    def mse(pred: org.apache.spark.ml.linalg.Vector => Double): Double =
+      rows.map { case (v, y) => val d = pred(v) - y; d * d }.sum / rows.length
+    val ensembleMse = mse(v => baseScore + rfTrees.map(_.valueOf(v)).sum)
+    // member t's standalone prediction: base + T × its (1/T-scaled) leaf
+    val memberMse = rfTrees.map(t =>
+      mse(v => baseScore + 6.0 * t.valueOf(v))).sum / rfTrees.length
+    assert(ensembleMse < memberMse - 1e-9,
+      s"Jensen: ensemble $ensembleMse must beat member mean $memberMse")
+    import org.apache.spark.sql.functions._
+    // the margin is the AVERAGE of the unscaled ensemble: stored leaf
+    // values are pre-divided by T, so the plain sum reproduces it
+    val probe = org.apache.spark.ml.linalg.Vectors.dense(15.0, 3.0)
+    val summed = rf.model.asInstanceOf[SparseBoost.SparseModel].marginOf(probe)
+    assert(GraftBoost.predictLocal(rf, probe) == summed)
+    // the six trees differ (independent bagging draws actually fired)
+    assert(rfTrees.map(_.thresh.toSeq).distinct.length > 1)
+    // determinism
+    val rf2 = GraftBoost.train(df, Seq("x1", "x2"), "y", rfP)
+    val t2 = rf2.model.asInstanceOf[SparseBoost.SparseModel].trees
+    assert(rfTrees.zip(t2).forall { case (a, b) => a.value.sameElements(b.value) })
+    // dart × parallel trees is rejected loudly
+    intercept[IllegalArgumentException] {
+      GraftBoost.train(df, Seq("x1", "x2"), "y",
+        base.copy(numParallelTree = 2, booster = "dart", rateDrop = 0.3))
+    }
+  }
 }
