@@ -248,8 +248,9 @@ object GraftBoost {
       s"skipDrop must be in [0, 1], got $skipDrop")
     require(numParallelTree >= 1,
       s"numParallelTree must be >= 1, got $numParallelTree")
-    require(numParallelTree == 1 || booster != "dart",
-      "num_parallel_tree > 1 is incompatible with DART dropout")
+    require(numParallelTree == 1 || booster == "gbtree",
+      "num_parallel_tree > 1 needs the tree booster (DART dropout and " +
+      "gblinear have no parallel-tree path)")
     GraftBoost.validateMissingStrategy(missingStrategy)
   }
 

@@ -82,7 +82,8 @@ object ModelIO {
       cover: Seq[Seq[Double]] = Seq.empty,
       impWeight: Seq[Double] = Seq.empty,
       impTotalGain: Seq[Double] = Seq.empty,
-      impTotalCover: Seq[Double] = Seq.empty
+      impTotalCover: Seq[Double] = Seq.empty,
+      treesPerRound: Int = 1
   )
 
   /** Serialized form of a [[LinearBoost.LinearModel]] — one small
@@ -177,7 +178,8 @@ object ModelIO {
           sm.trees.map(_.defaultLeft.toSeq).toSeq,
           sm.trees.map(_.value.toSeq).toSeq,
           sm.trees.map(_.cover.toSeq).toSeq,
-          sm.stats.weight.toSeq, sm.stats.gain.toSeq, sm.stats.cover.toSeq)
+          sm.stats.weight.toSeq, sm.stats.gain.toSeq, sm.stats.cover.toSeq,
+          sm.treesPerRound)
         val fsS = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
         val outS = fsS.create(new Path(path, "model/sparse.json"), true)
         try outS.write(Serialization.write(doc).getBytes("UTF-8"))
@@ -293,7 +295,8 @@ object ModelIO {
         new SparseBoost.SparseModel("sparse_loaded", trees, doc.base,
           doc.objective, doc.importances.toArray,
           SparseBoost.ImportanceAcc(doc.impTotalGain.toArray,
-            doc.impWeight.toArray, doc.impTotalCover.toArray))
+            doc.impWeight.toArray, doc.impTotalCover.toArray),
+          treesPerRound = doc.treesPerRound)
       case c if c.endsWith("LinearModel") =>
         val inL = fs.open(new Path(path, "model/linear.json"))
         val jsonL = try scala.io.Source.fromInputStream(inL, "UTF-8").mkString

@@ -113,12 +113,21 @@ object SparseBoost {
         * persisted) — lets [[truncate]] report EXACT importance stats
         * for the kept prefix instead of the full fit's.
         */
-      val statsPerRound: Option[Seq[ImportanceAcc]] = None
+      val statsPerRound: Option[Seq[ImportanceAcc]] = None,
+      /** Trees per boosting round (`num_parallel_tree`): round r owns
+        * trees [r·T, (r+1)·T). Round-indexed consumers (truncation,
+        * staged evaluation) group by this — a mid-round cut would
+        * silently keep a fraction of a 1/T-scaled average.
+        */
+      val treesPerRound: Int = 1
   ) extends Model[SparseModel] {
 
     override def copy(extra: ParamMap): SparseModel =
       new SparseModel(uid, trees, base, objective, importances, stats,
-        statsPerRound)
+        statsPerRound, treesPerRound)
+
+    /** Number of boosting rounds in the forest. */
+    def numRounds: Int = trees.length / treesPerRound
 
     /** XGBoost `get_score(importance_type=…)` parity over the raw
       * split statistics: `weight` (split count), `total_gain`,
@@ -166,21 +175,21 @@ object SparseBoost {
       ds.withColumn("prediction", pU(col("features")))
     }
 
-    /** Truncated copy keeping the first `rounds` boosting rounds.
-      * When per-round stats are available (freshly trained model) the
-      * importance statistics are recomputed EXACTLY for the kept
-      * prefix — `importanceByType("weight")` always equals the kept
-      * forest's split count; a model reloaded from disk carries only
-      * the aggregate, which is kept as-trained (documented caveat).
+    /** Truncated copy keeping the first `rounds` BOOSTING ROUNDS —
+      * i.e. `rounds · treesPerRound` trees, so a parallel-tree forest
+      * is always cut at a round boundary (a mid-round cut would keep
+      * a fraction of a 1/T-scaled average and silently shrink every
+      * prediction). When per-round stats are available (freshly
+      * trained model) the importance statistics are recomputed
+      * EXACTLY for the kept prefix — `importanceByType("weight")`
+      * always equals the kept forest's split count; a model reloaded
+      * from disk carries only the aggregate, kept as-trained
+      * (documented caveat).
       */
     def truncate(rounds: Int): SparseModel = {
-      require(rounds >= 1 && rounds <= trees.length,
-        s"rounds must be in [1, ${trees.length}], got $rounds")
-      // exact prefix stats exist only when rounds and trees are 1:1
-      // (num_parallel_tree = 1); a parallel-tree forest keeps the
-      // as-trained aggregate (same documented caveat as loaded models)
-      val kept = statsPerRound.filter(_.length == trees.length)
-        .map(_.take(rounds))
+      require(rounds >= 1 && rounds <= numRounds,
+        s"rounds must be in [1, $numRounds], got $rounds")
+      val kept = statsPerRound.map(_.take(rounds))
       val newStats = kept match {
         case Some(rs) => ImportanceAcc.sum(rs, stats.gain.length)
         case None => stats
@@ -190,8 +199,8 @@ object SparseBoost {
         if (kept.isDefined)
           (if (gSum > 0) newStats.gain.map(_ / gSum) else newStats.gain.clone())
         else importances
-      new SparseModel(uid, trees.take(rounds), base, objective, newImp,
-        newStats, kept)
+      new SparseModel(uid, trees.take(rounds * treesPerRound), base,
+        objective, newImp, newStats, kept, treesPerRound)
     }
   }
 
@@ -835,8 +844,6 @@ object SparseBoost {
           // trees on every pass
           cur.withColumn("s", sU(col("features"))).localCheckpoint()
         }
-      val sampled = GraftBoost.roundSample(withS, params.subsample,
-        params.seed + 197L * r)
       val fm = col("f") - col("s")
       val (g: Column, h: Column) = params.objective match {
         case "binary:logistic" =>
@@ -878,11 +885,11 @@ object SparseBoost {
       // single-tree path is bit-identical to before.
       val T = params.numParallelTree
       val newTrees = (1 to T).map { tIdx =>
+        // idx reduces to r at T = 1, so every per-tree seed matches
+        // the single-tree path's draws exactly
         val idx = (r - 1) * T + tIdx
-        val sampledT =
-          if (T == 1) sampled
-          else GraftBoost.roundSample(withS, params.subsample,
-            params.seed + 197L * idx)
+        val sampledT = GraftBoost.roundSample(withS, params.subsample,
+          params.seed + 197L * idx)
         val tree = growTree(
           sampledT.withColumn("g", gw).withColumn("h", hw), edges, params,
           roundAcc, roundMask(idx), constraints, params.seed ^ (1337L * idx))
@@ -928,6 +935,7 @@ object SparseBoost {
     val gSum = acc.gain.sum
     val imp = if (gSum > 0) acc.gain.map(_ / gSum) else acc.gain.clone()
     (new SparseModel(s"sparse_${params.seed}", forest.toArray, base,
-      params.objective, imp, acc, Some(roundAccs.toSeq)), hist.toArray)
+      params.objective, imp, acc, Some(roundAccs.toSeq),
+      params.numParallelTree), hist.toArray)
   }
 }

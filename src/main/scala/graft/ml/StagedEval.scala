@@ -59,7 +59,17 @@ object StagedEval {
         (0.0, m.trees.zip(m.treeWeights).map { case (t, tw) =>
           (v: Vector) => tw * t.predict(v) })
       case m: SparseBoost.SparseModel =>
-        (m.base, m.trees.map(t => (v: Vector) => t.valueOf(v)))
+        // one step per ROUND: a parallel-tree round's T trees move
+        // together (each is 1/T-scaled; a per-tree walk would score
+        // fractional rounds and mis-place best_iteration)
+        (m.base, m.trees.grouped(m.treesPerRound).map { group =>
+          (v: Vector) => {
+            var acc = 0.0
+            var i = 0
+            while (i < group.length) { acc += group(i).valueOf(v); i += 1 }
+            acc
+          }
+        }.toArray)
       case m: LinearBoost.LinearModel if m.snapshots.isDefined =>
         // per-round margin deltas from the recorded weight snapshots:
         // step_r(x) = Δbias_r + Δw_r·x

@@ -671,10 +671,31 @@ class SparseBoostSpec extends AnyFunSuite {
     val rf2 = GraftBoost.train(df, Seq("x1", "x2"), "y", rfP)
     val t2 = rf2.model.asInstanceOf[SparseBoost.SparseModel].trees
     assert(rfTrees.zip(t2).forall { case (a, b) => a.value.sameElements(b.value) })
-    // dart × parallel trees is rejected loudly
+    // dart × parallel trees is rejected loudly; gblinear too
     intercept[IllegalArgumentException] {
       GraftBoost.train(df, Seq("x1", "x2"), "y",
         base.copy(numParallelTree = 2, booster = "dart", rateDrop = 0.3))
     }
+    intercept[IllegalArgumentException] {
+      GraftBoost.train(df, Seq("x1", "x2"), "y",
+        base.copy(numParallelTree = 2, booster = "gblinear",
+          missingStrategy = "impute"))
+    }
+    // truncation is ROUND-aligned: cutting a 2-round × 3-tree forest
+    // at round 1 keeps exactly the first round's 3 trees and equals a
+    // fresh 1-round fit bit-for-bit (same per-tree draw indices) —
+    // a mid-round tree cut would halve a 1/T-scaled average silently
+    val two = GraftBoost.train(df, Seq("x1", "x2"), "y",
+      base.copy(numParallelTree = 3, numRound = 2))
+    val sm2 = two.model.asInstanceOf[SparseBoost.SparseModel]
+    assert(sm2.trees.length == 6 && sm2.numRounds == 2)
+    val cut1 = sm2.truncate(1)
+    assert(cut1.trees.length == 3)
+    val fresh1 = GraftBoost.train(df, Seq("x1", "x2"), "y",
+      base.copy(numParallelTree = 3, numRound = 1))
+      .model.asInstanceOf[SparseBoost.SparseModel]
+    assert(cut1.trees.zip(fresh1.trees).forall { case (a, b) =>
+      a.value.sameElements(b.value) && a.thresh.sameElements(b.thresh) })
+    intercept[IllegalArgumentException](sm2.truncate(3))
   }
 }
