@@ -452,4 +452,17 @@ class ScaleSpec extends AnyFunSuite {
     assert(plan.contains("partial_sum"),
       "quantity rollup must combine map-side before the shuffle")
   }
+
+  test("doremi/drift KL dataflow: totals broadcast, vocab-sized partial aggs") {
+    // the per-source KL helper feeds two queries; its scale shape —
+    // |sources|-sized totals BROADCAST to the vocab-sized count frame,
+    // counts partially aggregated map-side before their exchange — is
+    // what survives a 100 TB corpus (the corpus is tokenized ONCE and
+    // everything else re-aggregates vocab-scale frames)
+    val plan = planOf("sample_doremi_mixture")
+    assert(plan.contains("BroadcastHashJoin"),
+      "per-source totals must broadcast to the vocab frame")
+    assert(plan.contains("partial_count") || plan.contains("partial_sum"),
+      "term counts must combine map-side before the exchange")
+  }
 }
