@@ -21,6 +21,9 @@ object SharedBuilds {
     operators.Dedup.cosinePairsShared(s, dir, operators.Dedup.CosineThreshold)
     operators.Graph.copurchaseGraphShared(s, dir)
     operators.Graph.copurchaseWeightedShared(s, dir)
+    operators.TextAnalysis.bm25RankedShared(s, dir)
+    operators.TextAnalysis.scoredDocsShared(s, dir)
+    operators.TextAnalysis.perSourceExcessKlShared(s, dir)
   }
 
   /** Drop every memoized shared frame (unpersisting live entries) so
@@ -29,6 +32,7 @@ object SharedBuilds {
   def clearAll(): Unit = {
     operators.Dedup.clearSharedCaches()
     operators.Graph.clearSharedCaches()
+    operators.TextAnalysis.clearSharedCaches()
   }
 
   /** Is `df` one of the LIVE memoized shared frames? Queries may
@@ -38,6 +42,7 @@ object SharedBuilds {
     * Reference equality suffices — the memo hands out one instance.
     */
   def isShared(df: org.apache.spark.sql.DataFrame): Boolean =
-    (operators.Dedup.liveSharedFrames ++ operators.Graph.liveSharedFrames)
+    (operators.Dedup.liveSharedFrames ++ operators.Graph.liveSharedFrames ++
+      operators.TextAnalysis.liveSharedFrames)
       .exists(_ eq df)
 }

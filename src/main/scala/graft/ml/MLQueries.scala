@@ -631,15 +631,24 @@ object MLQueries {
     * reassigned by REVERSING the wrap-free multiplicative hash order
     * of the unique (orderkey, linenumber) row key — engine-portable,
     * no RNG), and report the accuracy drop. Distributed permutation =
-    * one hash-order rank + one co-partitioned reversal join per
-    * feature (the honest shuffle cost of an exact permutation at
-    * scale). Model-dependent numbers ride as gates:
+    * one hash-order contiguous rank (range partition + per-partition
+    * row_number + broadcast prefix offsets — the DataFrame spelling
+    * of zipWithIndex, NO single-partition sort) + ONE reversal join
+    * carrying every feature's mirrored value at once (the honest
+    * shuffle cost of an exact permutation at scale — one exchange,
+    * not one per feature). Model-dependent numbers ride as gates:
     * every drop must exceed −2 % (permuting one feature can only help
     * within noise) and SOME feature must matter (max drop > 0) —
     * value parity is spec-checked against per-feature recomputes.
     */
   val PermutationFeatures =
     Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+
+  /** Range partitions for the distributed contiguous rank — matches
+    * the session shuffle parallelism; at cluster scale this is
+    * "shuffle partitions", never 1.
+    */
+  val IdxPartitions = 32
 
   val mlPermutationImportance = GraftQuery(
     "ml_permutation_importance",
@@ -667,26 +676,50 @@ object MLQueries {
         r.getLong(1).toDouble / r.getLong(0).toDouble
       }
       val baseline = acc(keyed)
+      import s.implicits._
       // ONE global rank under the hash order; the permutation applied
       // per feature is the hash-order REVERSAL rn → n+1−rn (a fixed
-      // deterministic derangement up to the odd-n midpoint). At
-      // corpus scale the contiguous index comes from zipWithIndex
-      // (per-partition offsets), not a single-partition window.
-      val idx = keyed.withColumn("rn",
-        row_number().over(Window.orderBy(col("rk")))).cache()
+      // deterministic derangement up to the odd-n midpoint). The
+      // contiguous rank is computed distributed: range-partition on
+      // rk (unique by construction), row_number WITHIN each
+      // partition, then add broadcast per-partition prefix offsets —
+      // the offsets collect is partition-count-sized, never row-
+      // scale, so the plan has no single-partition Exchange.
+      val ranged = keyed.repartitionByRange(IdxPartitions, col("rk"))
+        .withColumn("pid", spark_partition_id())
+        .cache()
+      val cnts = ranged.groupBy(col("pid")).agg(count(lit(1)).as("c"))
+        .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+      var running = 0L
+      val offDf = cnts.toSeq
+        .map { case (p, c) => val o = running; running += c; (p, o) }
+        .toDF("pid", "off")
+      val wp = Window.partitionBy(col("pid")).orderBy(col("rk"))
+      val idx = ranged.join(broadcast(offDf), Seq("pid"))
+        .withColumn("rn", col("off") + row_number().over(wp))
+        .drop("pid", "off")
+        .cache()
       val n = idx.count()
+      ranged.unpersist(false)
+      // ONE reversal join materializes every feature's mirrored value
+      // (p_<f>) next to the row's own values; each per-feature score
+      // then just re-selects columns from the cached joined frame —
+      // 1 exchange total instead of |features|.
+      val mirrored = idx.select(
+        (feats.map(f => col(f).as(s"p_$f")) :+
+          (lit(n + 1L) - col("rn")).as("rn")): _*)
+      val joined = idx.join(mirrored, Seq("rn")).cache()
+      joined.count()
       val rows = feats.map { f =>
-        val perm = idx.select(col(f).as("permuted"),
-          (lit(n + 1L) - col("rn")).as("rn"))
-        val swapped = idx.drop(f)
-          .join(perm, Seq("rn"))
-          .withColumnRenamed("permuted", f)
+        val swapped = joined.select(
+          (feats.map(g => if (g == f) col(s"p_$f").as(f) else col(g)) :+
+            col("label")): _*)
         val a = acc(swapped)
         (f, baseline - a)
       }
+      joined.unpersist(false)
       idx.unpersist()
       keyed.unpersist()
-      import s.implicits._
       val maxDrop = rows.map(_._2).max
       rows.map { case (f, drop) =>
         (f, n, drop > -0.02, maxDrop > 0.0)
