@@ -83,7 +83,14 @@ object ModelIO {
       impWeight: Seq[Double] = Seq.empty,
       impTotalGain: Seq[Double] = Seq.empty,
       impTotalCover: Seq[Double] = Seq.empty,
-      treesPerRound: Int = 1
+      treesPerRound: Int = 1,
+      // per-ROUND split statistics (model-sized: rounds × features ×
+      // 3 doubles) so truncate() on a reloaded model reports the
+      // kept prefix's exact importances, same as a fresh fit
+      roundWeight: Seq[Seq[Double]] = Seq.empty,
+      roundGain: Seq[Seq[Double]] = Seq.empty,
+      roundCover: Seq[Seq[Double]] = Seq.empty,
+      dartRescaled: Boolean = false
   )
 
   /** Serialized form of a [[LinearBoost.LinearModel]] — one small
@@ -179,7 +186,11 @@ object ModelIO {
           sm.trees.map(_.value.toSeq).toSeq,
           sm.trees.map(_.cover.toSeq).toSeq,
           sm.stats.weight.toSeq, sm.stats.gain.toSeq, sm.stats.cover.toSeq,
-          sm.treesPerRound)
+          sm.treesPerRound,
+          sm.statsPerRound.map(_.map(_.weight.toSeq)).getOrElse(Seq.empty),
+          sm.statsPerRound.map(_.map(_.gain.toSeq)).getOrElse(Seq.empty),
+          sm.statsPerRound.map(_.map(_.cover.toSeq)).getOrElse(Seq.empty),
+          sm.dartRescaled)
         val fsS = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
         val outS = fsS.create(new Path(path, "model/sparse.json"), true)
         try outS.write(Serialization.write(doc).getBytes("UTF-8"))
@@ -292,11 +303,19 @@ object ModelIO {
             doc.defaultLeft(i).toArray, doc.value(i).toArray,
             doc.cover(i).toArray)
         }.toArray
+        val roundStats =
+          if (doc.roundGain.isEmpty) None
+          else Some(doc.roundGain.indices.map { r =>
+            SparseBoost.ImportanceAcc(doc.roundGain(r).toArray,
+              doc.roundWeight(r).toArray, doc.roundCover(r).toArray)
+          }.toSeq)
         new SparseBoost.SparseModel("sparse_loaded", trees, doc.base,
           doc.objective, doc.importances.toArray,
           SparseBoost.ImportanceAcc(doc.impTotalGain.toArray,
             doc.impWeight.toArray, doc.impTotalCover.toArray),
-          treesPerRound = doc.treesPerRound)
+          statsPerRound = roundStats,
+          treesPerRound = doc.treesPerRound,
+          dartRescaled = doc.dartRescaled)
       case c if c.endsWith("LinearModel") =>
         val inL = fs.open(new Path(path, "model/linear.json"))
         val jsonL = try scala.io.Source.fromInputStream(inL, "UTF-8").mkString

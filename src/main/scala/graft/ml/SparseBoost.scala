@@ -119,12 +119,21 @@ object SparseBoost {
         * staged evaluation) group by this — a mid-round cut would
         * silently keep a fraction of a 1/T-scaled average.
         */
-      val treesPerRound: Int = 1
+      val treesPerRound: Int = 1,
+      /** True when any DART dropout round actually fired (k > 0):
+        * earlier trees' stored leaf values were then rescaled by
+        * k/(k+1) IN PLACE, so per-round tree prefixes no longer
+        * correspond to any training-time round margin. Round-indexed
+        * consumers (truncate, staged evaluation) fail loudly on such
+        * forests — the same reason XGBoost forbids `ntree_limit`
+        * with `booster="dart"`.
+        */
+      val dartRescaled: Boolean = false
   ) extends Model[SparseModel] {
 
     override def copy(extra: ParamMap): SparseModel =
       new SparseModel(uid, trees, base, objective, importances, stats,
-        statsPerRound, treesPerRound)
+        statsPerRound, treesPerRound, dartRescaled)
 
     /** Number of boosting rounds in the forest. */
     def numRounds: Int = trees.length / treesPerRound
@@ -180,13 +189,18 @@ object SparseBoost {
       * is always cut at a round boundary (a mid-round cut would keep
       * a fraction of a 1/T-scaled average and silently shrink every
       * prediction). When per-round stats are available (freshly
-      * trained model) the importance statistics are recomputed
-      * EXACTLY for the kept prefix — `importanceByType("weight")`
-      * always equals the kept forest's split count; a model reloaded
-      * from disk carries only the aggregate, kept as-trained
-      * (documented caveat).
+      * trained model, or one reloaded by [[ModelIO]] which persists
+      * them) the importance statistics are recomputed EXACTLY for
+      * the kept prefix — `importanceByType("weight")` always equals
+      * the kept forest's split count; only an artifact saved by a
+      * pre-round-stats build keeps the aggregate as-trained.
       */
     def truncate(rounds: Int): SparseModel = {
+      require(!dartRescaled,
+        "cannot truncate a DART forest whose dropout rounds fired: " +
+        "the k/(k+1) leaf rescales mutate earlier rounds' trees, so " +
+        "no tree prefix reproduces a training-time round margin " +
+        "(XGBoost likewise forbids ntree_limit with booster='dart')")
       require(rounds >= 1 && rounds <= numRounds,
         s"rounds must be in [1, $numRounds], got $rounds")
       val kept = statsPerRound.map(_.take(rounds))
@@ -812,6 +826,9 @@ object SparseBoost {
     val roundAccs = new ArrayBuffer[ImportanceAcc](params.numRound)
     val hist = new ArrayBuffer[Double](params.numRound)
     val forest = new ArrayBuffer[SparseTree](params.numRound)
+    // set once a dropout round fires (k > 0): earlier leaves are then
+    // mutated in place and the model must refuse round-indexed use
+    var anyDartRescale = false
     // deterministic DART dropout draws: fmix64 of (seed, round, tree)
     // mapped to [0, 1) — reproducible with no RNG state
     def u01(a: Long, b: Long, c: Long): Double = {
@@ -918,6 +935,7 @@ object SparseBoost {
       cur = withS.withColumn("f", upd(col("features"), col("f"), col("s")))
         .drop("s").localCheckpoint()
       if (k > 0) {
+        anyDartRescale = true
         val scaleOld = k.toDouble / kd
         dropped.foreach { i =>
           val t = forest(i)
@@ -936,6 +954,6 @@ object SparseBoost {
     val imp = if (gSum > 0) acc.gain.map(_ / gSum) else acc.gain.clone()
     (new SparseModel(s"sparse_${params.seed}", forest.toArray, base,
       params.objective, imp, acc, Some(roundAccs.toSeq),
-      params.numParallelTree), hist.toArray)
+      params.numParallelTree, anyDartRescale), hist.toArray)
   }
 }

@@ -58,6 +58,13 @@ object StagedEval {
       case m: GBTRegressionModel =>
         (0.0, m.trees.zip(m.treeWeights).map { case (t, tw) =>
           (v: Vector) => tw * t.predict(v) })
+      case m: SparseBoost.SparseModel if m.dartRescaled =>
+        throw new UnsupportedOperationException(
+          "staged evaluation is undefined for a DART forest whose " +
+          "dropout rounds fired: the k/(k+1) leaf rescales mutate " +
+          "earlier rounds' stored trees, so per-round prefix margins " +
+          "do not correspond to any training-time round margin " +
+          "(XGBoost likewise forbids ntree_limit with booster='dart')")
       case m: SparseBoost.SparseModel =>
         // one step per ROUND: a parallel-tree round's T trees move
         // together (each is 1/T-scaled; a per-tree walk would score

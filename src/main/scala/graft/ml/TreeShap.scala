@@ -299,6 +299,14 @@ object TreeShap {
   private def scoreWith(
       model: GraftBoost.GraftBoostModel, df: DataFrame, outCol: String
   )(kernel: (ForestCtx, Vector) => (Double, Seq[Double])): DataFrame = {
+    // withColumn silently REPLACES an existing column — an input that
+    // already carries `bias`/`shap`/`interactions` (or the temp) would
+    // lose it without a trace; refuse up front like the other
+    // withColumn-contract operators
+    val clash = Seq("_kv", "bias", outCol).filter(df.columns.contains)
+    require(clash.isEmpty,
+      s"input already has column(s) ${clash.mkString(", ")} that " +
+      s"TreeShap would overwrite — rename or drop them before scoring")
     val ctx = forestCtx(model)
     val data = GraftBoost.assemble(df, model.featureCols, model.imputation,
       keepNaN = model.missingStrategy == "native")

@@ -510,6 +510,15 @@ class SparseBoostSpec extends AnyFunSuite {
     assert(GraftBoost.predictLocal(m1, probe) ==
       GraftBoost.predict(m1, Seq((15.0, 3.0, 0.0)).toDF("x1", "x2", "y"))
         .select("prediction").head().getDouble(0))
+    // round-indexed use of a rescaled forest is refused loudly: the
+    // dropout rounds mutated earlier trees' leaves, so no prefix
+    // matches a training-time round margin (ntree_limit-with-DART ban)
+    val sm1 = m1.model.asInstanceOf[SparseBoost.SparseModel]
+    assert(sm1.dartRescaled, "rateDrop=0.4 over 6 rounds must have fired")
+    assert(!gb.model.asInstanceOf[SparseBoost.SparseModel].dartRescaled)
+    intercept[IllegalArgumentException](sm1.truncate(3))
+    intercept[UnsupportedOperationException](
+      StagedEval.history(m1, df, "y", "rmse"))
   }
 
   test("max_delta_step caps every leaf's pre-eta Newton step") {

@@ -228,6 +228,31 @@ class TreeShapSpec extends AnyFunSuite {
     val (biasA, phiA) = TreeShap.shapOne(a.trees, a.trees.map(TreeShap.expectedValue), capA, 1, v)
     val (biasB, phiB) = TreeShap.shapOne(b.trees, b.trees.map(TreeShap.expectedValue), capA, 1, v)
     assert(biasA == biasB && phiA.toSeq == phiB.toSeq)
+    // per-round stats persist too: truncation of the reloaded model
+    // reports the SAME exact kept-prefix importances as a fresh fit
+    assert(b.statsPerRound.isDefined,
+      "round stats must survive the model sink")
+    val cutA = a.truncate(1)
+    val cutB = b.truncate(1)
+    assert(cutA.stats.weight.toSeq == cutB.stats.weight.toSeq)
+    assert(cutA.stats.gain.toSeq == cutB.stats.gain.toSeq)
+    assert(cutA.importances.toSeq == cutB.importances.toSeq)
+    assert(!b.dartRescaled)
+  }
+
+  test("transform refuses inputs that already carry an output column") {
+    import org.apache.spark.sql.functions.lit
+    val df = (0 until 50).map(i => ((i % 10).toDouble, (i % 10) * 1.5))
+      .toDF("x1", "y")
+    val m = nativeModel(df, Seq("x1"), rounds = 2, depth = 2)
+    val withBias = df.withColumn("bias", lit(0.0))
+    val e = intercept[IllegalArgumentException](
+      TreeShap.transform(m, withBias))
+    assert(e.getMessage.contains("bias"))
+    intercept[IllegalArgumentException](
+      TreeShap.transformInteractions(m, df.withColumn("interactions", lit(1))))
+    intercept[IllegalArgumentException](
+      TreeShap.transform(m, df.withColumn("shap", lit(1))))
   }
 
   test("SHAP interaction values match the brute-force Shapley interaction index") {
