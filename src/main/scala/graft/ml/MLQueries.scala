@@ -1092,6 +1092,104 @@ object MLQueries {
     """)
   )
 
+  /** SHAP interaction values as a CORPUS-SCALE surface (XGBoost's
+    * `pred_interactions`, the matrix face of the importance surface
+    * `test_core.py:57`) — unlike the 500-row slice gate inside
+    * ml_shap_importance, this runs the 2·M conditioned walks over
+    * EVERY lineitem row. Affordable by design: M = 3 features and a
+    * 2-round depth-3 forest keep the per-row kernel a handful of
+    * short tree walks, and the whole pass is one broadcast-model
+    * map-side scan (no shuffle, nothing driver-side but the final
+    * aggregate). Gates are the two identities that are theorems of a
+    * CORRECT conditioned recursion:
+    *  - symmetry Φ(i)(j) = Φ(j)(i) for every pair on every row
+    *    (independent i- and j-conditioned walks must agree);
+    *  - efficiency bias + ΣΣ Φ = margin on every row (the matrix
+    *    decomposes the prediction exactly).
+    * Plus the additive-target readout: the label has no product
+    * terms, so diagonal (main-effect) mass must dominate off-diagonal
+    * interaction mass.
+    */
+  val mlShapInteractions = GraftQuery(
+    "ml_shap_interactions",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val feats = Seq("l_quantity", "l_discount", "l_tax")
+      val df = t.lineitem
+        .withColumn("target",
+          col("l_quantity") * 100.0 + col("l_discount") * 1000.0 +
+            col("l_tax") * 500.0)
+        .select((feats.map(col) :+ col("target")): _*)
+        .cache()
+      // native sparse loop (exact TreeSHAP needs its per-node cover);
+      // the -999 marker never occurs in this projection
+      val model = GraftBoost.train(df, feats, "target",
+        GraftBoost.BoostParams("reg:squarederror", numRound = 2, maxDepth = 3,
+          maxBins = 8, splitProposal = "approx",
+          missing = Some(-999.0), missingStrategy = "native"))
+      val ctx = TreeShap.forestCtx(model)
+      val bc = s.sparkContext.broadcast(ctx)
+      // per-row kernel: (max pairwise symmetry error, efficiency
+      // error vs the margin, diagonal |Φ| mass, off-diagonal |Φ|
+      // mass) — one struct per row, aggregated map-side
+      val kernelU = udf((v: org.apache.spark.ml.linalg.Vector) => {
+        val c = bc.value
+        val (b, _, mat) = TreeShap.interactionsOne(
+          c.trees, c.expected, c.pathCap, c.numFeatures, v)
+        val n = c.numFeatures
+        var sym = 0.0; var tot = 0.0; var diag = 0.0; var off = 0.0
+        var i = 0
+        while (i < n) {
+          var j = 0
+          while (j < n) {
+            val x = mat(i)(j)
+            tot += x
+            if (i == j) diag += math.abs(x)
+            else {
+              off += math.abs(x)
+              if (j > i) {
+                val d = math.abs(x - mat(j)(i))
+                if (d > sym) sym = d
+              }
+            }
+            j += 1
+          }
+          i += 1
+        }
+        var margin = c.base
+        var r = 0
+        while (r < c.trees.length) { margin += c.trees(r).valueOf(v); r += 1 }
+        (sym, math.abs(b + c.base + tot - margin), diag, off)
+      })
+      val out = GraftBoost.assemble(df, feats, model.imputation,
+          keepNaN = true)
+        .select(kernelU(col("features")).as("k"))
+        .agg(
+          count(lit(1)).as("n"),
+          max(col("k._1")).as("symerr"),
+          max(col("k._2")).as("efferr"),
+          sum(col("k._3")).as("diag"),
+          sum(col("k._4")).as("off"))
+        .select(
+          col("n").cast("long").as("n_rows"),
+          (col("n") * lit(feats.length.toLong * feats.length))
+            .cast("long").as("n_cells"),
+          (col("symerr") < 1e-6).as("symmetry_ok"),
+          (col("efferr") < 1e-6).as("efficiency_ok"),
+          (col("diag") > col("off")).as("main_effects_dominate_ok"))
+      out.persist().count()
+      df.unpersist(false)
+      out
+    },
+    Some("""
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+             CAST(COUNT(*) * 9 AS BIGINT) AS n_cells,
+             TRUE AS symmetry_ok, TRUE AS efficiency_ok,
+             TRUE AS main_effects_dominate_ok
+      FROM lineitem
+    """)
+  )
+
   /** DART booster × lossguide growth — the two remaining `params`
     * axes of the native loop composed in one lifecycle (XGBoost
     * `booster="dart"` + `grow_policy="lossguide"` via the reference's
@@ -1209,5 +1307,5 @@ object MLQueries {
       mlCvRollingOrigin, mlCalibrationBins, mlPermutationImportance,
       mlMulticlassSoftprob, mlQuantile, mlFeatureContribs, mlPoisson,
       mlSparseNative, mlRankPairwise, mlTweedie, mlShapImportance,
-      mlDartLossguide, mlGblinear)
+      mlShapInteractions, mlDartLossguide, mlGblinear)
 }
