@@ -369,11 +369,13 @@ object SparseBoost {
     *    `max_leaves`; one histogram pass per EXPANSION covering the
     *    two freshly created children. Deeper lopsided trees from the
     *    same leaf budget — the policy that wins on targets whose
-    *    structure is concentrated in one region. At very large scans
-    *    the per-expansion pass cost is the trade; the classic
-    *    histogram-subtraction trick (scan the smaller child, derive
-    *    the sibling as parent − child) halves accumulation work and
-    *    would slot into `histPass` unchanged.
+    *    structure is concentrated in one region.
+    *
+    * Both policies use the classic histogram-subtraction trick
+    * (XGBoost's hist-method sibling derivation): each pass
+    * accumulates only the SMALLER sibling of every fresh split and
+    * derives the larger block as parent − smaller, halving per-pass
+    * accumulation work and collected partial size.
     *
     * Split semantics are policy-independent by construction — one
     * `search` implementation — so a lossguide tree with an
@@ -649,34 +651,82 @@ object SparseBoost {
     def finalizeLeaf(stat: NodeStat): Unit =
       value(stat.node) = leafValue(stat.g, stat.h, stat.lo, stat.hi)
 
+    /** One node's (g, h, count) block copied out of a multi-slot
+      * histogram — the unit the sibling-subtraction trick operates
+      * on (perNode × 3 doubles; model-sized).
+      */
+    private def blockOf(hist: Array[Double], slot: Int): Array[Double] = {
+      val out = new Array[Double](perNode * 3)
+      System.arraycopy(hist, slot * perNode * 3, out, 0, perNode * 3)
+      out
+    }
+
+    /** parent − child, element-wise — XGBoost's histogram-subtraction
+      * trick: only the SMALLER sibling of each split is ever scanned;
+      * the larger one's histogram is derived here. Counts subtract
+      * exactly (whole numbers in doubles); g/h differ from a direct
+      * accumulation only in float rounding order, the same tolerance
+      * XGBoost's own hist method accepts.
+      */
+    private def minus(parent: Array[Double], child: Array[Double]): Array[Double] = {
+      val out = new Array[Double](parent.length)
+      var i = 0
+      while (i < parent.length) { out(i) = parent(i) - child(i); i += 1 }
+      out
+    }
+
     private def result(): SparseTree =
       SparseTree(feature.toArray, thresh.toArray, left.toArray, right.toArray,
         defLeft.toArray, value.toArray, cover.toArray)
 
-    /** Breadth-first growth: one histogram pass per level over the
-      * whole live frontier.
+    /** Breadth-first growth: one histogram pass per level — but each
+      * pass accumulates only the SMALLER sibling of every fresh split
+      * (XGBoost's hist-method sibling trick); the larger sibling's
+      * block is derived as parent − smaller. Halves per-level
+      * accumulation work and the collected partial size; rows landing
+      * in unscanned siblings still route through the tree but skip
+      * the per-feature binning loop.
       */
     def growDepthwise(): SparseTree = {
-      var frontier: scala.Vector[NodeStat] = scala.Vector(rootStat())
-      var depth = 0
-      while (depth < params.maxDepth && frontier.nonEmpty) {
-        val slotOf = frontier.map(_.node).zipWithIndex.toMap
+      val root = rootStat()
+      if (params.maxDepth <= 0) { finalizeLeaf(root); return result() }
+      // fresh sibling pairs awaiting search, with their parent's block
+      var pending = scala.Vector.empty[(NodeStat, NodeStat, Array[Double])]
+      val rootHist = histPass(Map(root.node -> 0))
+      search(rootHist, 0, root) match {
+        case Some(s) =>
+          val (l, r) = applySplit(root, s)
+          pending = scala.Vector((l, r, blockOf(rootHist, 0)))
+        case None => finalizeLeaf(root)
+      }
+      var depth = 1
+      while (depth < params.maxDepth && pending.nonEmpty) {
+        val scans = pending.map { case (l, r, _) => if (l.cnt <= r.cnt) l else r }
+        val slotOf = scans.map(_.node).zipWithIndex.toMap
         val hist = histPass(slotOf)
-        val next = scala.Vector.newBuilder[NodeStat]
-        frontier.foreach { stat =>
-          search(hist, slotOf(stat.node) * perNode, stat) match {
-            case Some(s) =>
-              val (l, r) = applySplit(stat, s)
-              next += l
-              next += r
-            case None => finalizeLeaf(stat)
-          }
+        val next = scala.Vector.newBuilder[(NodeStat, NodeStat, Array[Double])]
+        pending.foreach { case (l, r, pBlock) =>
+          val (small, big) = if (l.cnt <= r.cnt) (l, r) else (r, l)
+          val smallBlock = blockOf(hist, slotOf(small.node))
+          val bigBlock = minus(pBlock, smallBlock)
+          // keep the level's left-to-right node order so tree-array
+          // layout (and thus spec pins) match the pre-trick grower
+          Seq((l, if (small.node == l.node) smallBlock else bigBlock),
+              (r, if (small.node == r.node) smallBlock else bigBlock))
+            .foreach { case (stat, block) =>
+              search(block, 0, stat) match {
+                case Some(s) =>
+                  val (cl, cr) = applySplit(stat, s)
+                  next += ((cl, cr, block))
+                case None => finalizeLeaf(stat)
+              }
+            }
         }
-        frontier = next.result()
+        pending = next.result()
         depth += 1
       }
       // depth budget exhausted: finalize the remaining frontier
-      frontier.foreach(finalizeLeaf)
+      pending.foreach { case (l, r, _) => finalizeLeaf(l); finalizeLeaf(r) }
       result()
     }
 
@@ -689,34 +739,39 @@ object SparseBoost {
       */
     def growLossguide(): SparseTree = {
       val maxLeaves = if (params.maxLeaves > 0) params.maxLeaves else Int.MaxValue
-      // (candidate split, node stat); max by (gain, then LOWER node id)
-      val ord = Ordering.by[(Split, NodeStat), (Double, Int)] {
-        case (s, st) => (s.gain, -st.node)
+      // (candidate split, node stat, the node's own histogram block —
+      // kept so the expansion can scan only the smaller child and
+      // derive the sibling; ≤ max_leaves blocks live at once, each
+      // perNode×3 doubles: model-sized); max by (gain, LOWER node id)
+      val ord = Ordering.by[(Split, NodeStat, Array[Double]), (Double, Int)] {
+        case (s, st, _) => (s.gain, -st.node)
       }
       val queue = scala.collection.mutable.PriorityQueue.empty(ord)
       // leaves not in the queue are final; track live leaf count
       var leaves = 1
 
-      def enqueueOrFinalize(stat: NodeStat, hist: Array[Double], slotBase: Int): Unit =
+      def enqueueOrFinalize(stat: NodeStat, block: Array[Double]): Unit =
         if (stat.depth >= params.maxDepth) finalizeLeaf(stat)
-        else search(hist, slotBase, stat) match {
-          case Some(s) => queue.enqueue((s, stat))
+        else search(block, 0, stat) match {
+          case Some(s) => queue.enqueue((s, stat, block))
           case None => finalizeLeaf(stat)
         }
 
       val root = rootStat()
-      enqueueOrFinalize(root, histPass(Map(root.node -> 0)), 0)
+      enqueueOrFinalize(root, histPass(Map(root.node -> 0)))
       while (leaves < maxLeaves && queue.nonEmpty) {
-        val (s, stat) = queue.dequeue()
+        val (s, stat, pBlock) = queue.dequeue()
         val (l, r) = applySplit(stat, s)
         leaves += 1
-        val slotOf = Map(l.node -> 0, r.node -> 1)
-        val hist = histPass(slotOf)
-        enqueueOrFinalize(l, hist, 0)
-        enqueueOrFinalize(r, hist, perNode)
+        // sibling trick: scan the smaller child only
+        val small = if (l.cnt <= r.cnt) l else r
+        val smallBlock = histPass(Map(small.node -> 0))
+        val bigBlock = minus(pBlock, smallBlock)
+        enqueueOrFinalize(l, if (small.node == l.node) smallBlock else bigBlock)
+        enqueueOrFinalize(r, if (small.node == r.node) smallBlock else bigBlock)
       }
       // leaf budget reached: whatever stayed queued becomes a leaf
-      queue.foreach { case (_, stat) => finalizeLeaf(stat) }
+      queue.foreach { case (_, stat, _) => finalizeLeaf(stat) }
       result()
     }
   }
