@@ -223,12 +223,27 @@ object GraftBoost {
         * random forest with native NaN routing. Divergence note:
         * XGBoost SUMS its parallel trees unscaled and leaves the
         * 1/T to the caller's learning-rate choice; averaging here
-        * makes T a pure variance knob with no step-size coupling.
+        * makes T a pure variance knob with no step-size coupling —
+        * set [[parallelTreeUpdate]] = "sum" for XGBoost's semantics.
         * Native tree loop only; incompatible with DART (XGBoost
         * shares that restriction).
         */
-      numParallelTree: Int = 1
+      numParallelTree: Int = 1,
+      /** How a round's T parallel trees enter the margin update:
+        *  - "average" (default): leaf values pre-scaled by 1/T, the
+        *    round's step is the ensemble MEAN — T is a pure variance
+        *    knob decoupled from step size;
+        *  - "sum": XGBoost compatibility — member trees summed
+        *    UNSCALED (xgboost's num_parallel_tree semantics), the
+        *    effective step grows with T exactly as there.
+        * T = 1 is bit-identical under both modes (no scaling either
+        * way). Round-indexed machinery (truncate, staged eval) is
+        * mode-agnostic: it walks whole T-tree round groups.
+        */
+      parallelTreeUpdate: String = "average"
   ) {
+    require(parallelTreeUpdate == "average" || parallelTreeUpdate == "sum",
+      s"parallelTreeUpdate must be \"average\" or \"sum\", got $parallelTreeUpdate")
     require(splitProposal == "exact" || splitProposal == "approx",
       s"splitProposal must be \"exact\" or \"approx\", got $splitProposal")
     require(growPolicy == "depthwise" || growPolicy == "lossguide",

@@ -1190,6 +1190,87 @@ object MLQueries {
     """)
   )
 
+  /** Random-forest mode of the native loop (`num_parallel_tree` with
+    * one boosting round) in BOTH update semantics — the averaged
+    * default and the XGBoost-summed compat flag
+    * (`parallelTreeUpdate = "sum"`; xgboost sums member trees
+    * unscaled). Gates pin the mechanism, not a fixture: Jensen's
+    * identity (the bagged ensemble's MSE strictly beats its members'
+    * mean MSE wherever they disagree — a theorem about averaging),
+    * and the single-round scale identity (summed margins = T × the
+    * averaged margins around the shared base, because one round's
+    * draws are mode-independent). Trains on a deterministic quarter
+    * slice — the compat gate needs the mechanism, not the corpus;
+    * scoring is one broadcast-of-both-forests map pass.
+    */
+  val RfParallelTrees = 4
+
+  val mlRandomForest = GraftQuery(
+    "ml_random_forest",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val feats = Seq("l_quantity", "l_discount", "l_tax")
+      val df = t.lineitem
+        .filter(pmod(col("l_orderkey"), lit(4)) === 0)
+        .withColumn("target",
+          col("l_quantity") * 100.0 + col("l_discount") * 2000.0)
+        .select((feats.map(col) :+ col("target")): _*)
+        .cache()
+      val T = RfParallelTrees
+      val params = GraftBoost.BoostParams("reg:squarederror", numRound = 1,
+        maxDepth = 3, maxBins = 16, eta = 1.0, subsample = 0.5,
+        colsampleBynode = 0.5, missing = Some(-999.0),
+        missingStrategy = "native", numParallelTree = T)
+      val avgM = GraftBoost.train(df, feats, "target", params)
+        .model.asInstanceOf[SparseBoost.SparseModel]
+      val sumM = GraftBoost.train(df, feats, "target",
+          params.copy(parallelTreeUpdate = "sum"))
+        .model.asInstanceOf[SparseBoost.SparseModel]
+      val bcA = s.sparkContext.broadcast(avgM)
+      val bcS = s.sparkContext.broadcast(sumM)
+      // per-row: ensemble sq-error, member-mean sq-error (member i =
+      // base + T·t_i under the averaged 1/T pre-scale), and the
+      // summed-vs-averaged scale identity residual
+      val kernelU = udf((v: org.apache.spark.ml.linalg.Vector, y: Double) => {
+        val a = bcA.value; val b = bcS.value
+        val mAvg = a.marginOf(v)
+        val mSum = b.marginOf(v)
+        val de = mAvg - y
+        var mem = 0.0
+        var i = 0
+        while (i < a.trees.length) {
+          val d = a.base + T * a.trees(i).valueOf(v) - y
+          mem += d * d
+          i += 1
+        }
+        (de * de, mem / a.trees.length,
+          math.abs((mSum - b.base) - T * (mAvg - a.base)))
+      })
+      val out = GraftBoost.assemble(df, feats, None, keepNaN = true)
+        .select(kernelU(col("features"), col("target")).as("k"))
+        .agg(
+          count(lit(1)).as("n"),
+          avg(col("k._1")).as("ens"),
+          avg(col("k._2")).as("mem"),
+          max(col("k._3")).as("scaleerr"))
+        .select(
+          col("n").cast("long").as("n_rows"),
+          lit(avgM.trees.length == T && sumM.trees.length == T)
+            .as("forest_size_ok"),
+          (col("ens") < col("mem")).as("jensen_ok"),
+          (col("scaleerr") < 1e-9).as("sum_scaling_ok"))
+      out.persist().count()
+      df.unpersist(false)
+      out
+    },
+    Some("""
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+             TRUE AS forest_size_ok, TRUE AS jensen_ok,
+             TRUE AS sum_scaling_ok
+      FROM lineitem WHERE l_orderkey % 4 = 0
+    """)
+  )
+
   /** DART booster × lossguide growth — the two remaining `params`
     * axes of the native loop composed in one lifecycle (XGBoost
     * `booster="dart"` + `grow_policy="lossguide"` via the reference's
@@ -1307,5 +1388,5 @@ object MLQueries {
       mlCvRollingOrigin, mlCalibrationBins, mlPermutationImportance,
       mlMulticlassSoftprob, mlQuantile, mlFeatureContribs, mlPoisson,
       mlSparseNative, mlRankPairwise, mlTweedie, mlShapImportance,
-      mlShapInteractions, mlDartLossguide, mlGblinear)
+      mlShapInteractions, mlRandomForest, mlDartLossguide, mlGblinear)
 }

@@ -965,7 +965,9 @@ object SparseBoost {
         val tree = growTree(
           sampledT.withColumn("g", gw).withColumn("h", hw), edges, params,
           roundAcc, roundMask(idx), constraints, params.seed ^ (1337L * idx))
-        if (T > 1) {
+        // "sum" (XGBoost compat) keeps member trees unscaled; the
+        // default averages them (1/T pre-scale, see BoostParams)
+        if (T > 1 && params.parallelTreeUpdate == "average") {
           var j = 0
           while (j < tree.value.length) { tree.value(j) /= T; j += 1 }
         }
@@ -973,7 +975,8 @@ object SparseBoost {
       }
 
       // margin update f' = f + (Σ t_new − s)/(k+1): simultaneously
-      // adds the round's (already 1/T-averaged) trees and removes the
+      // adds the round's trees (1/T-pre-scaled under the default
+      // "average" mode; unscaled under "sum") and removes the
       // share the dropped trees lose to their k/(k+1) rescale (k = 0
       // for every non-DART round — DART forbids T > 1, so Σ is one
       // tree whenever k > 0). localCheckpoint is eager, so the

@@ -707,4 +707,56 @@ class SparseBoostSpec extends AnyFunSuite {
       a.value.sameElements(b.value) && a.thresh.sameElements(b.thresh) })
     intercept[IllegalArgumentException](sm2.truncate(3))
   }
+
+  test("parallelTreeUpdate=sum: XGBoost-summed forests, T=1 bit-identity") {
+    val df = (0 until 600).map { i =>
+      val x1 = (i % 30).toDouble
+      (x1, ((i * 11) % 7).toDouble, 2.0 * x1 + ((i * 13) % 5))
+    }.toDF("x1", "x2", "y")
+    val base = BoostParams("reg:squarederror", numRound = 1, maxDepth = 3,
+      eta = 1.0, subsample = 0.5, colsampleBynode = 0.5,
+      missing = Some(-999.0), missingStrategy = "native",
+      numParallelTree = 4)
+    def trees(m: GraftBoostModel) =
+      m.model.asInstanceOf[SparseBoost.SparseModel].trees
+    val avg = GraftBoost.train(df, Seq("x1", "x2"), "y", base)
+    val sum = GraftBoost.train(df, Seq("x1", "x2"), "y",
+      base.copy(parallelTreeUpdate = "sum"))
+    // one round, same draws: identical split structure, leaf values
+    // exactly T x the averaged ones
+    assert(trees(avg).zip(trees(sum)).forall { case (a, b) =>
+      a.thresh.sameElements(b.thresh) && a.feature.sameElements(b.feature) })
+    val scaleOk = trees(avg).zip(trees(sum)).forall { case (a, b) =>
+      a.value.indices.forall(j => math.abs(b.value(j) - 4.0 * a.value(j)) <=
+        1e-12 * math.max(1.0, math.abs(b.value(j)))) }
+    assert(scaleOk, "summed leaves must be T x the averaged leaves")
+    // margins scale the same way around the shared base
+    val probe = org.apache.spark.ml.linalg.Vectors.dense(15.0, 3.0)
+    val bScore = avg.model.asInstanceOf[SparseBoost.SparseModel].base
+    val mAvg = avg.model.asInstanceOf[SparseBoost.SparseModel].marginOf(probe)
+    val mSum = sum.model.asInstanceOf[SparseBoost.SparseModel].marginOf(probe)
+    assert(math.abs((mSum - bScore) - 4.0 * (mAvg - bScore)) < 1e-9)
+    // multi-round: margins diverge (round-2 gradients differ), but
+    // both modes remain deterministic
+    val avg2 = GraftBoost.train(df, Seq("x1", "x2"), "y",
+      base.copy(numRound = 2, eta = 0.3))
+    val sum2 = GraftBoost.train(df, Seq("x1", "x2"), "y",
+      base.copy(numRound = 2, eta = 0.3, parallelTreeUpdate = "sum"))
+    val mA2 = avg2.model.asInstanceOf[SparseBoost.SparseModel].marginOf(probe)
+    val mS2 = sum2.model.asInstanceOf[SparseBoost.SparseModel].marginOf(probe)
+    assert(mA2 != mS2, "summed steps must diverge from averaged over rounds")
+    val sum2b = GraftBoost.train(df, Seq("x1", "x2"), "y",
+      base.copy(numRound = 2, eta = 0.3, parallelTreeUpdate = "sum"))
+    assert(trees(sum2).zip(trees(sum2b)).forall { case (a, b) =>
+      a.value.sameElements(b.value) })
+    // T = 1: both modes reduce to the identical single-tree path
+    val one = GraftBoost.train(df, Seq("x1", "x2"), "y",
+      base.copy(numParallelTree = 1))
+    val oneSum = GraftBoost.train(df, Seq("x1", "x2"), "y",
+      base.copy(numParallelTree = 1, parallelTreeUpdate = "sum"))
+    assert(trees(one).zip(trees(oneSum)).forall { case (a, b) =>
+      a.value.sameElements(b.value) })
+    intercept[IllegalArgumentException](
+      base.copy(parallelTreeUpdate = "mean"))
+  }
 }
