@@ -240,10 +240,43 @@ object GraftBoost {
         * way). Round-indexed machinery (truncate, staged eval) is
         * mode-agnostic: it walks whole T-tree round groups.
         */
-      parallelTreeUpdate: String = "average"
+      parallelTreeUpdate: String = "average",
+      /** gblinear coordinate-selection rule per round (XGBoost's
+        * `feature_selector`; reference params passthrough
+        * core.py:118-124):
+        *  - "shotgun" (default): every coordinate moves each round
+        *    via the damped simultaneous Jacobi step;
+        *  - "greedy": only the [[topK]] coordinates with the largest
+        *    bias-adjusted gradient magnitude move (XGBoost: "select
+        *    coordinate with the greatest gradient magnitude");
+        *  - "thrifty": only the [[topK]] coordinates with the
+        *    largest proposed univariate weight-change magnitude move
+        *    (XGBoost: "reorders features in descending magnitude of
+        *    their univariate weight changes"). Caveat XGBoost shares:
+        *    weight-change ranking is scale-sensitive — a small-scale
+        *    feature's large weight can monopolize the budget;
+        *  - "cyclic": a deterministic round-robin window of [[topK]]
+        *    coordinates moves each round.
+        * Divergence note: XGBoost's greedy re-evaluates gradients
+        * after every single coordinate update (O(numFeat²) passes);
+        * here selection is within the one distributed stats pass per
+        * round — same ranking signal, Jacobi application. gblinear
+        * only.
+        */
+      featureSelector: String = "shotgun",
+      /** Coordinates moved per round under greedy/thrifty/cyclic
+        * selection (XGBoost's `top_k`); 0 = all features (XGBoost's
+        * own 0 default). gblinear only.
+        */
+      topK: Int = 0
   ) {
     require(parallelTreeUpdate == "average" || parallelTreeUpdate == "sum",
       s"parallelTreeUpdate must be \"average\" or \"sum\", got $parallelTreeUpdate")
+    require(Set("shotgun", "cyclic", "greedy", "thrifty")
+        .contains(featureSelector),
+      s"featureSelector must be shotgun, cyclic, greedy or thrifty, " +
+      s"got $featureSelector")
+    require(topK >= 0, s"topK must be >= 0, got $topK")
     require(splitProposal == "exact" || splitProposal == "approx",
       s"splitProposal must be \"exact\" or \"approx\", got $splitProposal")
     require(growPolicy == "depthwise" || growPolicy == "lossguide",

@@ -195,27 +195,51 @@ object LinearBoost {
     // pass's stats, then the next pass doubles as both that round's
     // post-update loss (XGBoost evals_result convention) and the
     // following round's gradient source
+    // coordinates moved per round under a selective feature_selector
+    val k =
+      if (params.topK > 0) math.min(params.topK, numFeat) else numFeat
     var s = statsPass()
-    for (_ <- 1 to params.numRound) {
+    for (r <- 1 to params.numRound) {
       val gSum = s(0)
       val hSum = s(1)
 
-      // bias first (unpenalized Newton step), then every coordinate
-      // against the bias-adjusted gradients G_j + Δb·B_j
+      // bias first (unpenalized Newton step), then the SELECTED
+      // coordinates against the bias-adjusted gradients G_j + Δb·B_j
       val db = if (hSum > 0) eta * (-gSum / hSum) else 0.0
       bias += db
+      // propose every coordinate's damped soft-threshold step once,
+      // then apply only the selector's choice (see BoostParams
+      // .featureSelector — ranking signals are driver-side over the
+      // model-sized stats block, never a second distributed pass)
+      val prop = new Array[Double](numFeat)
+      val grad = new Array[Double](numFeat)
       var j = 0
       while (j < numFeat) {
         val o = 3 + j * 3
         val gj = s(o) + db * s(o + 2)
         val hj = s(o + 1)
+        grad(j) = math.abs(gj)
         if (hj > 0) {
           val z = hj * weights(j) - gj
           val wNew = math.signum(z) * math.max(math.abs(z) - alpha, 0.0) / (hj + lambda)
-          weights(j) += eta * (wNew - weights(j))
+          prop(j) = eta * (wNew - weights(j))
         }
         j += 1
       }
+      val chosen: Seq[Int] = params.featureSelector match {
+        case "shotgun" => 0 until numFeat
+        case "greedy" if k >= numFeat => 0 until numFeat
+        case "greedy" =>
+          // largest gradient magnitude first; index tie-break
+          (0 until numFeat).sortBy(j => (-grad(j), j)).take(k)
+        case "thrifty" if k >= numFeat => 0 until numFeat
+        case "thrifty" =>
+          // largest univariate weight-change proposal first
+          (0 until numFeat).sortBy(j => (-math.abs(prop(j)), j)).take(k)
+        case "cyclic" =>
+          (0 until k).map(i => ((r - 1).toLong * k + i).toInt % numFeat)
+      }
+      chosen.foreach(j => weights(j) += prop(j))
       s = statsPass()
       hist += lossOf(s)
       snaps += ((weights.clone(), bias))

@@ -1362,6 +1362,31 @@ object MLQueries {
         math.abs(w - tr) <= 0.02 * tr
       }
       val sd = df.select(stddev_pop(col("target"))).head().getDouble(0)
+      // feature_selector gate (core.py:118-124 passthrough → XGBoost
+      // gblinear top_k selectors) on a deterministic eighth slice
+      // with two planted noise coordinates: a RANKING selector
+      // (greedy: largest proposed weight change) finds the
+      // informative coordinates every round, the cyclic round-robin
+      // wastes rounds on the noise columns — so greedy's staged rmse
+      // must end strictly lower at the same round budget
+      val sel = t.lineitem
+        .filter(pmod(col("l_orderkey"), lit(8)) === 0)
+        .withColumn("target",
+          col("l_quantity") * 100.0 + col("l_discount") * 2000.0)
+        .withColumn("n1", pmod(col("l_partkey"), lit(7)).cast("double"))
+        .withColumn("n2", pmod(col("l_suppkey"), lit(5)).cast("double"))
+        .select(col("l_quantity"), col("l_discount"), col("n1"), col("n2"),
+          col("target"))
+        .cache()
+      val selFeats = Seq("l_quantity", "l_discount", "n1", "n2")
+      def selLoss(fs: String): Double =
+        GraftBoost.train(sel, selFeats, "target",
+          GraftBoost.BoostParams("reg:squarederror", numRound = 6, eta = 0.8,
+            lambdaL2 = 0.0, booster = "gblinear",
+            featureSelector = fs, topK = 1))
+          .evalsResult("train")("rmse").last
+      val selectorOk = selLoss("greedy") < selLoss("cyclic")
+      sel.unpersist(false)
       val out = GraftBoost.predict(model, df)
         .agg(
           count(lit(1)).as("n_rows"),
@@ -1371,14 +1396,16 @@ object MLQueries {
           (col("rmse") < sd * 0.05).as("fit_ok"),
           lit(weightsOk).as("weights_recovered_ok"),
           lit(hist.zip(hist.tail).forall { case (a, b) => b <= a + 1e-9 })
-            .as("history_ok"))
+            .as("history_ok"),
+          lit(selectorOk).as("greedy_selector_ok"))
       out.persist().count()
       df.unpersist(false)
       out
     },
     Some("""
       SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
-             TRUE AS fit_ok, TRUE AS weights_recovered_ok, TRUE AS history_ok
+             TRUE AS fit_ok, TRUE AS weights_recovered_ok, TRUE AS history_ok,
+             TRUE AS greedy_selector_ok
       FROM lineitem
     """)
   )

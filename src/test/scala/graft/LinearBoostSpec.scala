@@ -191,4 +191,43 @@ class LinearBoostSpec extends AnyFunSuite {
     val esl = es.model.asInstanceOf[LinearBoost.LinearModel]
     assert(esl.snapshots.get.length == best)
   }
+
+  test("feature_selector greedy/thrifty beat cyclic; top_k=0 equals shotgun") {
+    // one informative feature among four: a selective updater that
+    // RANKS coordinates finds x1 every round; the cyclic round-robin
+    // wastes 3 of every 4 rounds on noise columns
+    val df = (0 until 400).map { i =>
+      val x1 = (i % 20).toDouble - 9.5
+      val n1 = ((i * 7) % 5).toDouble - 2.0
+      val n2 = ((i * 11) % 3).toDouble - 1.0
+      val n3 = ((i * 13) % 7).toDouble - 3.0
+      (x1, n1, n2, n3, 5.0 * x1)
+    }.toDF("x1", "n1", "n2", "n3", "y")
+    val feats = Seq("x1", "n1", "n2", "n3")
+    val p = BoostParams("reg:squarederror", numRound = 8, eta = 0.8,
+      booster = "gblinear", lambdaL2 = 0.0, missingStrategy = "impute")
+    def lastLoss(params: BoostParams): Double =
+      GraftBoost.train(df, feats, "y", params)
+        .evalsResult("train")("rmse").last
+    val greedy = lastLoss(p.copy(featureSelector = "greedy", topK = 1))
+    val thrifty = lastLoss(p.copy(featureSelector = "thrifty", topK = 1))
+    val cyclic = lastLoss(p.copy(featureSelector = "cyclic", topK = 1))
+    val shotgun = lastLoss(p)
+    assert(greedy < cyclic,
+      s"greedy must out-converge round-robin: $greedy vs $cyclic")
+    assert(thrifty < cyclic,
+      s"thrifty must out-converge round-robin: $thrifty vs $cyclic")
+    // ranking selectors with the whole budget reduce to shotgun
+    def weightsOf(params: BoostParams) =
+      GraftBoost.train(df, feats, "y", params)
+        .model.asInstanceOf[LinearBoost.LinearModel].weights.toSeq
+    assert(weightsOf(p.copy(featureSelector = "greedy")) == weightsOf(p),
+      "topK=0 greedy must be bit-identical to shotgun")
+    assert(weightsOf(p.copy(featureSelector = "thrifty", topK = 4)) ==
+      weightsOf(p))
+    // determinism of the selective path
+    assert(weightsOf(p.copy(featureSelector = "greedy", topK = 1)) ==
+      weightsOf(p.copy(featureSelector = "greedy", topK = 1)))
+    intercept[IllegalArgumentException](p.copy(featureSelector = "random"))
+  }
 }
