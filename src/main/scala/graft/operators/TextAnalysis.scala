@@ -1737,18 +1737,26 @@ object TextAnalysis {
     "text_bigram_lm",
     (s, dir) => {
       val t = Tables(s, dir)
-      val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-      val toks = t.documents
+      // doc-local adjacency derived ARRAY-side (zip of shifted
+      // slices): the bigram frame explodes straight out of the scan
+      // with ZERO exchange before the bigram-key aggregation — the
+      // posexplode → per-doc window-lag alternative pays a full
+      // per-token (doc_id) shuffle+sort first
+      val tl = t.documents
+        .select(col("doc_id"), filter(tokens(col("text")), _ =!= "").as("l"))
+      val pairLen = greatest(size(col("l")) - 1, lit(0))
+      val big = tl
         .select(col("doc_id"),
-          posexplode(filter(tokens(col("text")), _ =!= "")).as(Seq("pos", "w2")))
-      val big = toks
-        .withColumn("w1", lag(col("w2"), 1).over(w))
-        .filter(col("w1").isNotNull)
-        .select(col("doc_id"), col("w1"), col("w2"))
+          explode(zip_with(
+            slice(col("l"), lit(1), pairLen),
+            slice(col("l"), lit(2), pairLen),
+            (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
+        .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
         .cache()
       val cnt2 = big.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
       val cnt1 = cnt2.groupBy(col("w1")).agg(sum(col("c2")).as("c1"))
-      val vocab = toks.agg(countDistinct(col("w2")).as("vsz"))
+      val vocab = tl.select(explode(col("l")).as("term"))
+        .agg(countDistinct(col("term")).as("vsz"))
       val model = cnt2.join(cnt1, Seq("w1")).crossJoin(broadcast(vocab))
         .select(col("w1"), col("w2"),
           round(log((col("c2").cast("double") + lit(1.0)) /
@@ -3021,15 +3029,21 @@ object TextAnalysis {
     (s, dir) => {
       import graft.functions.GraftFunctions.dec6
       val t = Tables(s, dir)
-      val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-      val toks = t.documents
-        .select(col("lang"), col("doc_id"),
-          posexplode(filter(tokens(col("text")), _ =!= "")).as(Seq("pos", "w2")))
-      val big = toks
-        .withColumn("w1", lag(col("w2"), 1).over(w))
-        .filter(col("w1").isNotNull)
+      // array-side doc-local adjacency — same zero-exchange shape as
+      // [[textBigramLm]]
+      val tl = t.documents
+        .select(col("lang"),
+          filter(tokens(col("text")), _ =!= "").as("l"))
+      val pairLen = greatest(size(col("l")) - 1, lit(0))
+      val big = tl
+        .select(col("lang"),
+          explode(zip_with(
+            slice(col("l"), lit(1), pairLen),
+            slice(col("l"), lit(2), pairLen),
+            (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
+        .select(col("lang"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
       // bigram-vocab cache: cnt1/tot/the weighted sum all read it —
-      // without it the posexplode+lag runs once per consumer
+      // without it the tokenize+explode runs once per consumer
       val cnt2 = big.groupBy(col("lang"), col("w1"), col("w2"))
         .agg(count(lit(1)).as("c2")).cache()
       val cnt1 = cnt2.groupBy(col("lang"), col("w1")).agg(sum(col("c2")).as("c1"))
