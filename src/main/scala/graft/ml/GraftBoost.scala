@@ -256,7 +256,12 @@ object GraftBoost {
         *    weight-change ranking is scale-sensitive — a small-scale
         *    feature's large weight can monopolize the budget;
         *  - "cyclic": a deterministic round-robin window of [[topK]]
-        *    coordinates moves each round.
+        *    coordinates moves each round;
+        *  - "shuffle": cyclic over a per-round hash permutation of
+        *    the features (XGBoost's shuffled-cyclic, deterministic
+        *    here — no RNG state);
+        *  - "random": [[topK]] with-replacement hash draws per round
+        *    (deduplicated before applying — a coordinate moves once).
         * Divergence note: XGBoost's greedy re-evaluates gradients
         * after every single coordinate update (O(numFeat²) passes);
         * here selection is within the one distributed stats pass per
@@ -272,10 +277,10 @@ object GraftBoost {
   ) {
     require(parallelTreeUpdate == "average" || parallelTreeUpdate == "sum",
       s"parallelTreeUpdate must be \"average\" or \"sum\", got $parallelTreeUpdate")
-    require(Set("shotgun", "cyclic", "greedy", "thrifty")
+    require(Set("shotgun", "cyclic", "greedy", "thrifty", "shuffle", "random")
         .contains(featureSelector),
-      s"featureSelector must be shotgun, cyclic, greedy or thrifty, " +
-      s"got $featureSelector")
+      s"featureSelector must be shotgun, cyclic, shuffle, random, " +
+      s"greedy or thrifty, got $featureSelector")
     require(topK >= 0, s"topK must be >= 0, got $topK")
     require(splitProposal == "exact" || splitProposal == "approx",
       s"splitProposal must be \"exact\" or \"approx\", got $splitProposal")

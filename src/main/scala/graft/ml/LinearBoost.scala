@@ -238,6 +238,23 @@ object LinearBoost {
           (0 until numFeat).sortBy(j => (-math.abs(prop(j)), j)).take(k)
         case "cyclic" =>
           (0 until k).map(i => ((r - 1).toLong * k + i).toInt % numFeat)
+        case "shuffle" =>
+          // cyclic over a per-round deterministic permutation
+          // (XGBoost's "similar to cyclic but with random feature
+          // shuffling prior to each update" — hash-ranked, no RNG)
+          (0 until numFeat)
+            .sortBy(j => GraftBoost.fmix64(
+              params.seed ^ (r * 0x9e3779b97f4a7c15L) ^
+                (j * 0xc2b2ae3d27d4eb4fL)))
+            .take(k)
+        case "random" =>
+          // with-replacement draws, deterministic per (seed, r, i)
+          (0 until k).map { i =>
+            val h = GraftBoost.fmix64(
+              params.seed ^ (r * 0xff51afd7ed558ccdL) ^
+                (i * 0x9e3779b97f4a7c15L))
+            java.lang.Math.floorMod(h, numFeat.toLong).toInt
+          }.distinct
       }
       chosen.foreach(j => weights(j) += prop(j))
       s = statsPass()

@@ -1122,9 +1122,12 @@ object MLQueries {
         .select((feats.map(col) :+ col("target")): _*)
         .cache()
       // native sparse loop (exact TreeSHAP needs its per-node cover);
-      // the -999 marker never occurs in this projection
+      // the -999 marker never occurs in this projection. Depth 2
+      // keeps the per-row kernel (2·M conditioned walks of every
+      // tree path) bench-proportionate — the gated identities are
+      // forest-shape-independent theorems
       val model = GraftBoost.train(df, feats, "target",
-        GraftBoost.BoostParams("reg:squarederror", numRound = 2, maxDepth = 3,
+        GraftBoost.BoostParams("reg:squarederror", numRound = 2, maxDepth = 2,
           maxBins = 8, splitProposal = "approx",
           missing = Some(-999.0), missingStrategy = "native"))
       val ctx = TreeShap.forestCtx(model)

@@ -228,6 +228,20 @@ class LinearBoostSpec extends AnyFunSuite {
     // determinism of the selective path
     assert(weightsOf(p.copy(featureSelector = "greedy", topK = 1)) ==
       weightsOf(p.copy(featureSelector = "greedy", topK = 1)))
-    intercept[IllegalArgumentException](p.copy(featureSelector = "random"))
+    // shuffle/random: deterministic hash draws, still converge on
+    // this fixture given enough rounds (every coordinate is visited)
+    val pLong = p.copy(numRound = 16, topK = 2)
+    val oneRound = lastLoss(p.copy(numRound = 1))
+    val shuffleLoss = lastLoss(pLong.copy(featureSelector = "shuffle"))
+    val randomLoss = lastLoss(pLong.copy(featureSelector = "random"))
+    assert(shuffleLoss.isFinite && shuffleLoss < oneRound,
+      s"shuffled-cyclic must keep converging: $shuffleLoss vs $oneRound")
+    assert(randomLoss.isFinite && randomLoss < oneRound,
+      s"random selector must keep converging: $randomLoss vs $oneRound")
+    assert(weightsOf(pLong.copy(featureSelector = "shuffle")) ==
+      weightsOf(pLong.copy(featureSelector = "shuffle")))
+    assert(weightsOf(pLong.copy(featureSelector = "random")) ==
+      weightsOf(pLong.copy(featureSelector = "random")))
+    intercept[IllegalArgumentException](p.copy(featureSelector = "bogus"))
   }
 }
