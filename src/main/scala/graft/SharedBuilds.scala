@@ -1,6 +1,62 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Weak-session-keyed build memo — THE pattern behind every shared
+  * frame family (dedup pair graphs, graph co-purchase edges, text
+  * postings/scoring/KL rollups). One instance per family; `K` is the
+  * family's cache key (usually the sf dir plus tuning knobs), `V`
+  * the built value, `frames` extracts the persisted DataFrames inside
+  * `V` so [[clear]] can unpersist and [[live]] can answer the
+  * harness's is-this-shared check. Entries die with their session
+  * (SparkSession doesn't override equals, so WeakHashMap lookup IS
+  * identity); Bench repeat mode calls [[clear]] between timed runs so
+  * each `_shared_build` row runs cold.
+  */
+private[graft] final class SessionMemo[K, V](frames: V => Seq[DataFrame]) {
+  private val cache =
+    new java.util.WeakHashMap[SparkSession, scala.collection.mutable.Map[K, V]]()
+
+  def getOrBuild(s: SparkSession, key: K)(build: => V): V =
+    cache.synchronized {
+      val perSession = {
+        val cur = cache.get(s)
+        if (cur != null) cur
+        else {
+          val m = scala.collection.mutable.Map.empty[K, V]
+          cache.put(s, m); m
+        }
+      }
+      perSession.getOrElseUpdate(key, build)
+    }
+
+  /** Every DataFrame inside a live memo entry. */
+  def live: Seq[DataFrame] = cache.synchronized {
+    import scala.jdk.CollectionConverters._
+    cache.values().asScala.toSeq.flatMap(_.values.toSeq).flatMap(frames)
+  }
+
+  /** Drop every entry, unpersisting live frames (no-op for
+    * localCheckpoint'd frames, whose memo entry still must go so a
+    * rebuild cannot reuse state derived from a dropped sibling).
+    */
+  def clear(): Unit = cache.synchronized {
+    cache.values().forEach { inner =>
+      inner.values.foreach { v =>
+        frames(v).foreach { df =>
+          try if (!df.sparkSession.sparkContext.isStopped) df.unpersist(false)
+          catch { case _: Throwable => () }
+        }
+      }
+    }
+    cache.clear()
+  }
+}
+
+private[graft] object SessionMemo {
+  /** The common single-DataFrame case. */
+  def ofFrame[K]: SessionMemo[K, DataFrame] = new SessionMemo[K, DataFrame](Seq(_))
+}
 
 /** The session-memoized frames several query families share: the
   * dedup pair graphs (shingle Jaccard, its connected components, the

@@ -237,7 +237,9 @@ object LinearBoost {
           // largest univariate weight-change proposal first
           (0 until numFeat).sortBy(j => (-math.abs(prop(j)), j)).take(k)
         case "cyclic" =>
-          (0 until k).map(i => ((r - 1).toLong * k + i).toInt % numFeat)
+          // mod in LONG first: (r-1)*k can exceed Int.MaxValue and a
+          // wrapped negative index would crash the weight update
+          (0 until k).map(i => (((r - 1).toLong * k + i) % numFeat).toInt)
         case "shuffle" =>
           // cyclic over a per-round deterministic permutation
           // (XGBoost's "similar to cyclic but with random feature

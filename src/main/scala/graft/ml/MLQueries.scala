@@ -1097,7 +1097,7 @@ object MLQueries {
     * `test_core.py:57`) — unlike the 500-row slice gate inside
     * ml_shap_importance, this runs the 2·M conditioned walks over
     * EVERY lineitem row. Affordable by design: M = 3 features and a
-    * 2-round depth-3 forest keep the per-row kernel a handful of
+    * 2-round depth-2 forest keep the per-row kernel a handful of
     * short tree walks, and the whole pass is one broadcast-model
     * map-side scan (no shuffle, nothing driver-side but the final
     * aggregate). Gates are the two identities that are theorems of a
@@ -1368,7 +1368,7 @@ object MLQueries {
       // feature_selector gate (core.py:118-124 passthrough → XGBoost
       // gblinear top_k selectors) on a deterministic eighth slice
       // with two planted noise coordinates: a RANKING selector
-      // (greedy: largest proposed weight change) finds the
+      // (greedy: largest bias-adjusted gradient magnitude) finds the
       // informative coordinates every round, the cyclic round-robin
       // wastes rounds on the noise columns — so greedy's staged rmse
       // must end strictly lower at the same round budget

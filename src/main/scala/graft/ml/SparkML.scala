@@ -218,6 +218,10 @@ final class GraftXGBModelML(
       .setParent(parent)
 
   override def transform(dataset: Dataset[_]): DataFrame = {
+    // same loud refusal the estimator side enforces — withColumnRenamed
+    // would otherwise mint a DUPLICATE column name
+    require(!dataset.columns.contains($(predictionCol)),
+      s"prediction column '${$(predictionCol)}' already exists on the input")
     // scoring consumes the features vector (GraftBoost.predict drops
     // it); evaluators need only label + prediction
     val scored = GraftBoost.predict(inner, toEngineFrame(dataset.toDF()))
@@ -230,7 +234,7 @@ final class GraftXGBModelML(
 
   /** `predict_proba` pass-through for binary/multiclass models. */
   def transformProba(dataset: Dataset[_]): DataFrame =
-    GraftBoost.predictProba(inner, dataset.toDF())
+    GraftBoost.predictProba(inner, toEngineFrame(dataset.toDF()))
 
   /** `feature_importances_` in feature order. */
   def featureImportances: Map[String, Double] =

@@ -57,6 +57,14 @@ import org.apache.spark.sql.types._
   */
 object SparseBoost {
 
+  /** Driver-heap budget for lossguide's retained sibling-subtraction
+    * blocks: at most this many live candidate leaves hold their own
+    * histogram block (perNode×3 doubles each); candidates beyond it
+    * re-scan both children on expansion. 512 × a 100-feature/32-bin
+    * block ≈ 40 MB — bounded regardless of maxLeaves/maxDepth.
+    */
+  private val MaxRetainedBlocks = 512
+
   /** Array-flattened tree with per-split default directions. Node i
     * is a leaf iff `feature(i) < 0` (then `value(i)` is its η-scaled
     * Newton weight); otherwise x(feature) ≤ thresh goes left, and a
@@ -705,8 +713,7 @@ object SparseBoost {
         val slotOf = scans.map(_.node).zipWithIndex.toMap
         val hist = histPass(slotOf)
         val next = scala.Vector.newBuilder[(NodeStat, NodeStat, Array[Double])]
-        pending.foreach { case (l, r, pBlock) =>
-          val (small, big) = if (l.cnt <= r.cnt) (l, r) else (r, l)
+        pending.zip(scans).foreach { case ((l, r, pBlock), small) =>
           val smallBlock = blockOf(hist, slotOf(small.node))
           val bigBlock = minus(pBlock, smallBlock)
           // keep the level's left-to-right node order so tree-array
@@ -740,9 +747,8 @@ object SparseBoost {
     def growLossguide(): SparseTree = {
       val maxLeaves = if (params.maxLeaves > 0) params.maxLeaves else Int.MaxValue
       // (candidate split, node stat, the node's own histogram block —
-      // kept so the expansion can scan only the smaller child and
-      // derive the sibling; ≤ max_leaves blocks live at once, each
-      // perNode×3 doubles: model-sized); max by (gain, LOWER node id)
+      // null once the retained-block budget is exhausted); max by
+      // (gain, LOWER node id)
       val ord = Ordering.by[(Split, NodeStat, Array[Double]), (Double, Int)] {
         case (s, st, _) => (s.gain, -st.node)
       }
@@ -750,25 +756,48 @@ object SparseBoost {
       // leaves not in the queue are final; track live leaf count
       var leaves = 1
 
-      def enqueueOrFinalize(stat: NodeStat, block: Array[Double]): Unit =
+      // Sibling subtraction needs each candidate leaf's OWN block
+      // retained until it is expanded or finalized. The retained set
+      // is capped at MaxRetainedBlocks × perNode×3 doubles so an
+      // unbounded (maxLeaves = 0) deep-and-wide growth can never pin
+      // unbounded driver heap: candidates enqueued past the cap hold
+      // null and their expansion re-scans both children (correct,
+      // one extra accumulation — and every realistic tree stays
+      // entirely on the subtraction path, which keeps unbounded
+      // lossguide bit-identical to depthwise, spec-pinned).
+      def retained(hist: Array[Double], slot: Int): Array[Double] =
+        if (queue.size >= MaxRetainedBlocks) null
+        else if (slot == 0 && hist.length == perNode * 3) hist
+        else blockOf(hist, slot)
+
+      def enqueueOrFinalize(
+          stat: NodeStat, hist: Array[Double], slot: Int): Unit =
         if (stat.depth >= params.maxDepth) finalizeLeaf(stat)
-        else search(block, 0, stat) match {
-          case Some(s) => queue.enqueue((s, stat, block))
+        else search(hist, slot * perNode, stat) match {
+          case Some(s) => queue.enqueue((s, stat, retained(hist, slot)))
           case None => finalizeLeaf(stat)
         }
 
       val root = rootStat()
-      enqueueOrFinalize(root, histPass(Map(root.node -> 0)))
+      enqueueOrFinalize(root, histPass(Map(root.node -> 0)), 0)
       while (leaves < maxLeaves && queue.nonEmpty) {
         val (s, stat, pBlock) = queue.dequeue()
         val (l, r) = applySplit(stat, s)
         leaves += 1
-        // sibling trick: scan the smaller child only
-        val small = if (l.cnt <= r.cnt) l else r
-        val smallBlock = histPass(Map(small.node -> 0))
-        val bigBlock = minus(pBlock, smallBlock)
-        enqueueOrFinalize(l, if (small.node == l.node) smallBlock else bigBlock)
-        enqueueOrFinalize(r, if (small.node == r.node) smallBlock else bigBlock)
+        if (pBlock != null) {
+          // sibling trick: scan the smaller child only
+          val small = if (l.cnt <= r.cnt) l else r
+          val smallBlock = histPass(Map(small.node -> 0))
+          val bigBlock = minus(pBlock, smallBlock)
+          enqueueOrFinalize(l,
+            if (small.node == l.node) smallBlock else bigBlock, 0)
+          enqueueOrFinalize(r,
+            if (small.node == r.node) smallBlock else bigBlock, 0)
+        } else {
+          val hist = histPass(Map(l.node -> 0, r.node -> 1))
+          enqueueOrFinalize(l, hist, 0)
+          enqueueOrFinalize(r, hist, 1)
+        }
       }
       // leaf budget reached: whatever stayed queued becomes a leaf
       queue.foreach { case (_, stat, _) => finalizeLeaf(stat) }

@@ -169,20 +169,13 @@ object Dedup {
     * unpersists it, reuse degrades to recompute (correctness
     * unaffected).
     */
-  // weak identity keying on the session: entries die with the session
-  // (no stale stopped-context frames, no cross-session collisions);
-  // SparkSession does not override equals, so WeakHashMap's
-  // equals-based lookup IS identity here
-  private val pairCache =
-    new java.util.WeakHashMap[org.apache.spark.sql.SparkSession,
-      scala.collection.mutable.Map[(String, Int), DataFrame]]()
+  // weak-session-keyed memos (shared [[graft.SessionMemo]] machinery)
+  private val pairCache = graft.SessionMemo.ofFrame[(String, Int)]
 
   // CC labels over the shared Jaccard pair graph, memoized like the
   // pair graph itself: dedup_clusters and dedup_survivorship consume
   // the SAME fixpoint — one iterative computation per (session, dir)
-  private val ccCache =
-    new java.util.WeakHashMap[org.apache.spark.sql.SparkSession,
-      scala.collection.mutable.Map[(String, Int), DataFrame]]()
+  private val ccCache = graft.SessionMemo.ofFrame[(String, Int)]
 
   /** Memoized connected components of the shared ≥0.5-Jaccard pair
     * graph. The returned frame is cached for the session's life —
@@ -190,40 +183,21 @@ object Dedup {
     */
   private[graft] def jaccardClustersShared(
       s: org.apache.spark.sql.SparkSession, dir: String, dfCap: Int): DataFrame =
-    ccCache.synchronized {
-      val perSession = {
-        val cur = ccCache.get(s)
-        if (cur != null) cur
-        else {
-          val m = scala.collection.mutable.Map.empty[(String, Int), DataFrame]
-          ccCache.put(s, m); m
-        }
-      }
-      perSession.getOrElseUpdate((dir, dfCap), {
-        connectedComponents(jaccardPairsShared(s, dir, dfCap), "ia", "ib")
-      })
+    ccCache.getOrBuild(s, (dir, dfCap)) {
+      connectedComponents(jaccardPairsShared(s, dir, dfCap), "ia", "ib")
     }
+
   private[graft] def jaccardPairsShared(
       s: org.apache.spark.sql.SparkSession, dir: String, dfCap: Int): DataFrame =
-    pairCache.synchronized {
-      val perSession = {
-        val cur = pairCache.get(s)
-        if (cur != null) cur
-        else {
-          val m = scala.collection.mutable.Map.empty[(String, Int), DataFrame]
-          pairCache.put(s, m); m
-        }
-      }
-      perSession.getOrElseUpdate((dir, dfCap), {
-        // cache the SETS (pre-explode): exploding off the raw
-        // projection would re-inline the tokenizer per generated row
-        val sets = docShingleSets(Tables(s, dir).documents).cache()
-        // ngramJaccardPairs pins its (small) pair result; release the
-        // big shingle cache once it has materialized
-        val out = ngramJaccardPairs(sets, dfCap)
-        sets.unpersist(false)
-        out
-      })
+    pairCache.getOrBuild(s, (dir, dfCap)) {
+      // cache the SETS (pre-explode): exploding off the raw
+      // projection would re-inline the tokenizer per generated row
+      val sets = docShingleSets(Tables(s, dir).documents).cache()
+      // ngramJaccardPairs pins its (small) pair result; release the
+      // big shingle cache once it has materialized
+      val out = ngramJaccardPairs(sets, dfCap)
+      sets.unpersist(false)
+      out
     }
 
   /** N-gram Jaccard near-dup via shingle inverted index: explode
@@ -598,63 +572,34 @@ object Dedup {
     * by the lexical queries.
     */
   // same weak identity keying as pairCache
-  private val cosCache =
-    new java.util.WeakHashMap[org.apache.spark.sql.SparkSession,
-      scala.collection.mutable.Map[(String, Double), DataFrame]]()
+  private val cosCache = graft.SessionMemo.ofFrame[(String, Double)]
   private[graft] def cosinePairsShared(
       s: org.apache.spark.sql.SparkSession, dir: String, threshold: Double): DataFrame =
-    cosCache.synchronized {
-      val perSession = {
-        val cur = cosCache.get(s)
-        if (cur != null) cur
-        else {
-          val m = scala.collection.mutable.Map.empty[(String, Double), DataFrame]
-          cosCache.put(s, m); m
-        }
-      }
-      perSession.getOrElseUpdate((dir, threshold), {
-        val vecs = Tables(s, dir).embeddings
-          .select(col("vec_id"), toDoubleArray(col("embedding")).as("v"))
-        blockedCosinePairs(s, vecs, threshold, BlockRows)
-      })
+    cosCache.getOrBuild(s, (dir, threshold)) {
+      val vecs = Tables(s, dir).embeddings
+        .select(col("vec_id"), toDoubleArray(col("embedding")).as("v"))
+      blockedCosinePairs(s, vecs, threshold, BlockRows)
     }
 
   /** Live memoized frames (for the harness's is-this-shared check —
     * dedup_ngram_jaccard / dedup_embedding_cosine RETURN these frames
     * directly, and the harness must not unpersist them as output pins).
     */
-  private[graft] def liveSharedFrames: Seq[org.apache.spark.sql.DataFrame] = {
-    import scala.jdk.CollectionConverters._
-    def vals[K](m: java.util.WeakHashMap[org.apache.spark.sql.SparkSession,
-        scala.collection.mutable.Map[K, org.apache.spark.sql.DataFrame]]) =
-      m.synchronized { m.values().asScala.toSeq.flatMap(_.values.toSeq) }
-    vals(pairCache) ++ vals(cosCache) ++ vals(ccCache)
-  }
+  private[graft] def liveSharedFrames: Seq[org.apache.spark.sql.DataFrame] =
+    pairCache.live ++ cosCache.live ++ ccCache.live
 
   /** Drop every memoized pair graph (unpersisting live entries).
     * Bench repeat mode calls this between timed runs so each run
     * measures the query cold instead of the memo hit. Session death
-    * itself is handled by the weak keys.
+    * itself is handled by the weak keys. cc frames are
+    * localCheckpoint'd (unpersist is a no-op) but the memo entry must
+    * go too, or a rebuild would reuse labels derived from the dropped
+    * pair graph's timing run.
     */
   def clearSharedCaches(): Unit = {
-    def drain[K](
-        m: java.util.WeakHashMap[org.apache.spark.sql.SparkSession,
-          scala.collection.mutable.Map[K, DataFrame]]): Unit =
-      m.synchronized {
-        m.values().forEach { inner =>
-          inner.values.foreach { df =>
-            try if (!df.sparkSession.sparkContext.isStopped) df.unpersist(false)
-            catch { case _: Throwable => () }
-          }
-        }
-        m.clear()
-      }
-    drain(pairCache)
-    drain(cosCache)
-    // cc frames are localCheckpoint'd (unpersist is a no-op) but the
-    // memo entry must go too, or a rebuild would reuse labels derived
-    // from the dropped pair graph's timing run
-    drain(ccCache)
+    pairCache.clear()
+    cosCache.clear()
+    ccCache.clear()
   }
 
   val dedupEmbeddingCosine = GraftQuery(

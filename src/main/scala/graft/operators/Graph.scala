@@ -82,12 +82,10 @@ object Graph {
     if (big) edges.repartition(col(key)).sortWithinPartitions(col(key)).cache()
     else edges
 
-  // weak identity keying on the session, mirroring Dedup.pairCache:
-  // entries die with the session; SparkSession doesn't override
-  // equals, so WeakHashMap lookup IS identity here
+  // weak-session-keyed memos (shared [[graft.SessionMemo]] machinery)
   private val graphCache =
-    new java.util.WeakHashMap[SparkSession,
-      scala.collection.mutable.Map[String, (DataFrame, DataFrame)]]()
+    new graft.SessionMemo[String, (DataFrame, DataFrame)](
+      { case (e, sym) => Seq(e, sym) })
 
   /** Memoized co-purchase graph per (session, dir): (edges, sym), both
     * cached for the session's life. Building the edge frame (items
@@ -99,43 +97,21 @@ object Graph {
     */
   private[graft] def copurchaseGraphShared(
       s: SparkSession, dir: String): (DataFrame, DataFrame) =
-    graphCache.synchronized {
-      val perSession = {
-        val cur = graphCache.get(s)
-        if (cur != null) cur
-        else {
-          val m = scala.collection.mutable.Map.empty[String, (DataFrame, DataFrame)]
-          graphCache.put(s, m); m
-        }
-      }
-      perSession.getOrElseUpdate(dir, {
-        val edges = copurchaseEdges(Tables(s, dir)).cache()
-        val sym = symmetric(edges).cache()
-        sym.count()
-        (edges, sym)
-      })
+    graphCache.getOrBuild(s, dir) {
+      val edges = copurchaseEdges(Tables(s, dir)).cache()
+      val sym = symmetric(edges).cache()
+      sym.count()
+      (edges, sym)
     }
 
-  private val weightedCache =
-    new java.util.WeakHashMap[SparkSession,
-      scala.collection.mutable.Map[String, DataFrame]]()
+  private val weightedCache = graft.SessionMemo.ofFrame[String]
 
   /** Live memoized frames (for the harness's is-this-shared check —
     * queries may RETURN a shared frame directly, and the harness must
     * not unpersist those as query-output pins).
     */
-  private[graft] def liveSharedFrames: Seq[DataFrame] = {
-    val g = graphCache.synchronized {
-      import scala.jdk.CollectionConverters._
-      graphCache.values().asScala.toSeq.flatMap(_.values.toSeq)
-        .flatMap { case (e, sy) => Seq(e, sy) }
-    }
-    val w = weightedCache.synchronized {
-      import scala.jdk.CollectionConverters._
-      weightedCache.values().asScala.toSeq.flatMap(_.values.toSeq)
-    }
-    g ++ w
-  }
+  private[graft] def liveSharedFrames: Seq[DataFrame] =
+    graphCache.live ++ weightedCache.live
 
   /** Drop the memoized co-purchase frames (unpersisting live entries)
     * — the Graph side of [[Dedup.clearSharedCaches]]'s contract.
@@ -143,25 +119,8 @@ object Graph {
     * build runs cold; session death itself is handled by weak keys.
     */
   def clearSharedCaches(): Unit = {
-    graphCache.synchronized {
-      graphCache.values().forEach { inner =>
-        inner.values.foreach { case (e, sy) =>
-          try if (!e.sparkSession.sparkContext.isStopped) {
-            e.unpersist(false); sy.unpersist(false)
-          } catch { case _: Throwable => () }
-        }
-      }
-      graphCache.clear()
-    }
-    weightedCache.synchronized {
-      weightedCache.values().forEach { inner =>
-        inner.values.foreach { df =>
-          try if (!df.sparkSession.sparkContext.isStopped) df.unpersist(false)
-          catch { case _: Throwable => () }
-        }
-      }
-      weightedCache.clear()
-    }
+    graphCache.clear()
+    weightedCache.clear()
   }
 
   /** Memoized WEIGHTED symmetric co-purchase edges per (session, dir):
@@ -173,31 +132,21 @@ object Graph {
     */
   private[graft] def copurchaseWeightedShared(
       s: SparkSession, dir: String): DataFrame =
-    weightedCache.synchronized {
-      val perSession = {
-        val cur = weightedCache.get(s)
-        if (cur != null) cur
-        else {
-          val m = scala.collection.mutable.Map.empty[String, DataFrame]
-          weightedCache.put(s, m); m
-        }
-      }
-      perSession.getOrElseUpdate(dir, {
-        val t = Tables(s, dir)
-        val items = t.lineitem
-          .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
-          .distinct()
-        val weighted = items.as("a").join(items.as("b"),
-            col("a.o") === col("b.o") && col("a.p") < col("b.p"))
-          .groupBy(col("a.p").as("pa"), col("b.p").as("pb"))
-          .agg(count(lit(1)).as("cnt"))
-        val symW = weighted
-          .select(col("pa").as("u"), col("pb").as("v"), col("cnt"))
-          .union(weighted.select(col("pb").as("u"), col("pa").as("v"), col("cnt")))
-          .cache()
-        symW.count()
-        symW
-      })
+    weightedCache.getOrBuild(s, dir) {
+      val t = Tables(s, dir)
+      val items = t.lineitem
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+        .distinct()
+      val weighted = items.as("a").join(items.as("b"),
+          col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+        .groupBy(col("a.p").as("pa"), col("b.p").as("pb"))
+        .agg(count(lit(1)).as("cnt"))
+      val symW = weighted
+        .select(col("pa").as("u"), col("pb").as("v"), col("cnt"))
+        .union(weighted.select(col("pb").as("u"), col("pa").as("v"), col("cnt")))
+        .cache()
+      symW.count()
+      symW
     }
 
   /** Degree histogram of the co-purchase graph: how many parts have

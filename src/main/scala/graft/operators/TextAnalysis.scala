@@ -17,52 +17,27 @@ import graft.sources.Tables
   */
 object TextAnalysis {
 
-  // ---- Session-memoized shared builds (see [[graft.SharedBuilds]]).
-  // Three frames are consumed by more than one registered query:
-  // the BM25 ranked lists (text_bm25 + retrieval_hybrid_rrf), the
-  // per-document scoring projection (text_training_set +
-  // pipeline_pretrain_funnel), and the per-source excess-KL rollup
-  // (text_kl_source_drift + sample_doremi_mixture). Memoizing them
-  // per (session, dir) — same weak-keyed pattern as Dedup's pair
-  // graphs — moves the build cost into Bench's one `_shared_build`
-  // row instead of re-running the corpus-scale scan per consumer.
-  private val shareCache =
-    new java.util.WeakHashMap[SparkSession,
-      scala.collection.mutable.Map[(String, String), DataFrame]]()
+  // ---- Session-memoized shared builds (see [[graft.SharedBuilds]],
+  // [[graft.SessionMemo]]). Three frames are consumed by more than
+  // one registered query: the BM25 ranked lists (text_bm25 +
+  // retrieval_hybrid_rrf), the per-document scoring projection
+  // (text_training_set + pipeline_pretrain_funnel), and the
+  // per-source excess-KL rollup (text_kl_source_drift +
+  // sample_doremi_mixture). Memoizing them per (session, dir) moves
+  // the build cost into Bench's one `_shared_build` row instead of
+  // re-running the corpus-scale scan per consumer.
+  private val shareMemo = graft.SessionMemo.ofFrame[(String, String)]
 
   private def sharedFrame(s: SparkSession, dir: String, key: String)(
       build: => DataFrame): DataFrame =
-    shareCache.synchronized {
-      val perSession = {
-        val cur = shareCache.get(s)
-        if (cur != null) cur
-        else {
-          val m = scala.collection.mutable.Map
-            .empty[(String, String), DataFrame]
-          shareCache.put(s, m); m
-        }
-      }
-      perSession.getOrElseUpdate((dir, key), build)
-    }
+    shareMemo.getOrBuild(s, (dir, key))(build)
 
-  private[graft] def liveSharedFrames: Seq[DataFrame] =
-    shareCache.synchronized {
-      import scala.jdk.CollectionConverters._
-      shareCache.values().asScala.toSeq.flatMap(_.values.toSeq)
-    }
+  private[graft] def liveSharedFrames: Seq[DataFrame] = shareMemo.live
 
   /** Drop every memoized shared text frame (unpersisting live
     * entries) — Bench repeat mode + spec isolation.
     */
-  def clearSharedCaches(): Unit = shareCache.synchronized {
-    shareCache.values().forEach { inner =>
-      inner.values.foreach { df =>
-        try if (!df.sparkSession.sparkContext.isStopped) df.unpersist(false)
-        catch { case _: Throwable => () }
-      }
-    }
-    shareCache.clear()
-  }
+  def clearSharedCaches(): Unit = shareMemo.clear()
 
   /** Lower-cased whitespace tokens. */
   def tokens(text: Column): Column = split(lower(text), "\\s+")

@@ -112,10 +112,23 @@ class SparkMLSpec extends AnyFunSuite {
     val a = model.transform(df).select(col("pred")).collect().map(_.getDouble(0))
     val b = back.transform(df).select(col("pred")).collect().map(_.getDouble(0))
     assert(a.sameElements(b), "reloaded model must score identically")
+    // predict_proba honors the non-default features column too
+    val proba = back.transformProba(df).select(col("proba")).head()
+      .getSeq[Double](0)
+    assert(proba.length == 2 && math.abs(proba.sum - 1.0) < 1e-9)
   }
 
   test("schema validation refuses a missing features column loudly") {
     val est = new GraftXGBRegressorML().setLabelCol("y")
     intercept[IllegalArgumentException](est.fit(regFrame))
+  }
+
+  test("model.transform refuses inputs already carrying predictionCol") {
+    val df = new VectorAssembler().setInputCols(Array("x1", "x2"))
+      .setOutputCol("features").transform(regFrame)
+    val model = new GraftXGBRegressorML().setLabelCol("y").setNumRound(2)
+      .fit(df)
+    intercept[IllegalArgumentException](
+      model.transform(df.withColumn("prediction", lit(0.0))))
   }
 }
