@@ -1,0 +1,54 @@
+package graft.functions
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Contiguous global rank WITHOUT a single-partition sort — the
+  * DataFrame spelling of `zipWithIndex`: range-partition on the sort
+  * key, `row_number` WITHIN each partition, then add broadcast
+  * per-partition prefix offsets. The offsets collect is
+  * partition-count-sized (never row-scale), so the plan carries no
+  * SinglePartition Exchange at any data size. This is also the
+  * scalable form of a row-scale cumulative sum (rank the keys, then
+  * prefix-aggregate per partition + offset) — see SCALING.md's
+  * q133_abc note.
+  *
+  * The sort key must be globally unique for the rank to be exact
+  * (ties would be broken by physical row order within a partition).
+  */
+object DistributedRank {
+
+  /** Append `rankCol` (1-based long) ranking `df` by `sortCol`
+    * ascending across `numPartitions` range partitions. Returns the
+    * ranked frame plus a release thunk dropping the internal
+    * range-partitioned pin — call it once the ranked frame (or a
+    * downstream cache of it) has materialized.
+    */
+  def withContiguousRank(
+      df: DataFrame,
+      sortCol: String,
+      rankCol: String,
+      numPartitions: Int
+  ): (DataFrame, () => Unit) = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    // pin the ranged layout so the counts job and the rank job see
+    // the SAME partition assignment
+    val ranged = df.repartitionByRange(numPartitions, col(sortCol))
+      .withColumn("_rank_pid", spark_partition_id())
+      .cache()
+    val cnts = ranged.groupBy(col("_rank_pid"))
+      .agg(count(lit(1)).as("c"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    var running = 0L
+    val offDf = cnts.toSeq
+      .map { case (p, c) => val o = running; running += c; (p, o) }
+      .toDF("_rank_pid", "_rank_off")
+    val wp = Window.partitionBy(col("_rank_pid")).orderBy(col(sortCol))
+    val ranked = ranged.join(broadcast(offDf), Seq("_rank_pid"))
+      .withColumn(rankCol, col("_rank_off") + row_number().over(wp))
+      .drop("_rank_pid", "_rank_off")
+    (ranked, () => ranged.unpersist(false))
+  }
+}

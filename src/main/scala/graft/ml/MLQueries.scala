@@ -653,8 +653,6 @@ object MLQueries {
   val mlPermutationImportance = GraftQuery(
     "ml_permutation_importance",
     (s, dir) => {
-      import org.apache.spark.sql.expressions.Window
-      import org.apache.spark.sql.types.DoubleType
       val t = Tables(s, dir)
       val feats = PermutationFeatures
       val keyed = t.lineitem
@@ -680,27 +678,15 @@ object MLQueries {
       // ONE global rank under the hash order; the permutation applied
       // per feature is the hash-order REVERSAL rn → n+1−rn (a fixed
       // deterministic derangement up to the odd-n midpoint). The
-      // contiguous rank is computed distributed: range-partition on
-      // rk (unique by construction), row_number WITHIN each
-      // partition, then add broadcast per-partition prefix offsets —
-      // the offsets collect is partition-count-sized, never row-
-      // scale, so the plan has no single-partition Exchange.
-      val ranged = keyed.repartitionByRange(IdxPartitions, col("rk"))
-        .withColumn("pid", spark_partition_id())
-        .cache()
-      val cnts = ranged.groupBy(col("pid")).agg(count(lit(1)).as("c"))
-        .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
-      var running = 0L
-      val offDf = cnts.toSeq
-        .map { case (p, c) => val o = running; running += c; (p, o) }
-        .toDF("pid", "off")
-      val wp = Window.partitionBy(col("pid")).orderBy(col("rk"))
-      val idx = ranged.join(broadcast(offDf), Seq("pid"))
-        .withColumn("rn", col("off") + row_number().over(wp))
-        .drop("pid", "off")
-        .cache()
+      // contiguous rank comes from [[graft.functions.DistributedRank]]
+      // (range partition + per-partition row_number + broadcast
+      // prefix offsets — no single-partition Exchange; rk is unique
+      // by construction).
+      val (ranked, release) = graft.functions.DistributedRank
+        .withContiguousRank(keyed, "rk", "rn", IdxPartitions)
+      val idx = ranked.cache()
       val n = idx.count()
-      ranged.unpersist(false)
+      release()
       // ONE reversal join materializes every feature's mirrored value
       // (p_<f>) next to the row's own values; each per-feature score
       // then just re-selects columns from the cached joined frame —

@@ -465,4 +465,34 @@ class ScaleSpec extends AnyFunSuite {
     assert(plan.contains("partial_count") || plan.contains("partial_sum"),
       "term counts must combine map-side before the exchange")
   }
+
+  test("DistributedRank: exact global rank, no single-partition exchange") {
+    import spark.implicits._
+    // unique unordered keys across many partitions
+    val df = (0 until 5000).map(i => (i * 2654435761L % 100003L, i))
+      .toDF("k", "payload").repartition(16)
+    val (ranked, release) = graft.functions.DistributedRank
+      .withContiguousRank(df, "k", "rn", 8)
+    val out = ranked.cache()
+    // parity with the ground-truth sort order
+    val got = out.orderBy(col("rn")).select(col("k")).collect()
+      .map(_.getLong(0))
+    val want = (0 until 5000).map(i => i * 2654435761L % 100003L)
+      .sorted.toArray
+    assert(got.sameElements(want), "rank order must equal the sorted keys")
+    val rns = out.select(col("rn")).collect().map(_.getLong(0)).sorted
+    assert(rns.head == 1L && rns.last == 5000L &&
+      rns.sameElements(Array.tabulate(5000)(i => i + 1L)),
+      "ranks must be exactly 1..n with no gaps or dups")
+    // the scale shape: data stays spread across the range partitions
+    // and the plan carries no SinglePartition exchange
+    assert(out.rdd.getNumPartitions > 1,
+      "ranked output must remain multi-partition")
+    val plan = out.queryExecution
+      .explainString(org.apache.spark.sql.execution.FormattedMode)
+    assert(!plan.contains("SinglePartition"),
+      s"no single-partition exchange allowed:\n$plan")
+    out.unpersist(false)
+    release()
+  }
 }
