@@ -213,6 +213,7 @@ object StagedEval {
         staged.groupBy(col("round"))
           .agg(sqrt(sum(pow(col("margin") - col("label"), 2) * col("w")) / sum(col("w"))).as("m"))
       case "auc" => aucByRound(staged)
+      case "aucpr" => aucprByRound(staged)
       case other =>
         throw new IllegalArgumentException(s"unknown metric: $other")
     }
@@ -287,14 +288,87 @@ object StagedEval {
     } finally sorted.unpersist()
   }
 
+  /** Exact per-round PR-AUC as AVERAGE PRECISION — the step-wise
+    * integral AP = Σ_g (ΔR_g · P_g) over descending-margin tie
+    * groups (sklearn `average_precision_score` semantics; XGBoost's
+    * `aucpr` trapezoid-interpolates between points, which differs on
+    * coarse curves — divergence documented, the ranking it induces
+    * for early stopping is the same monotone quantity).
+    *
+    * Same no-single-reducer shape as [[aucByRound]]: collapse ties
+    * into (round, margin) groups, range-partition DESCENDING on
+    * margin, collect per-(partition, round) positive/negative totals
+    * (O(partitions × rounds) driver data), then one distributed pass
+    * walks each partition with running TP/FP counters seeded from
+    * the prefix offsets and sums p_g · precision_after_g per round;
+    * the closing division by nPos rides the final hash aggregation.
+    */
+  private[graft] def aucprByRound(staged: DataFrame): DataFrame = {
+    val spark = staged.sparkSession
+    import spark.implicits._
+    val grouped = staged.groupBy(col("round"), col("margin")).agg(
+        sum(when(col("label") === 1.0, 1L).otherwise(0L)).as("p"),
+        sum(when(col("label") === 0.0, 1L).otherwise(0L)).as("n"))
+      .as[(Int, Double, Long, Long)]
+    val nParts = math.max(2, spark.sessionState.conf.numShufflePartitions)
+    val sorted = grouped
+      .repartitionByRange(nParts, col("round"), col("margin").desc)
+      .sortWithinPartitions(col("round"), col("margin").desc)
+      .persist()
+    try {
+      // pass 1: per-(partition, round) (pos, neg) totals -> prefix
+      // offsets of the cumulative TP/FP entering each partition
+      val partTot = sorted.mapPartitions { it =>
+        val pid = org.apache.spark.TaskContext.getPartitionId()
+        val acc = scala.collection.mutable.LinkedHashMap.empty[Int, (Long, Long)]
+        it.foreach { case (r, _, p, n) =>
+          val (a, b) = acc.getOrElse(r, (0L, 0L))
+          acc(r) = (a + p, b + n)
+        }
+        acc.iterator.map { case (r, (p, n)) => (pid, r, p, n) }
+      }.collect()
+      val offsets: Map[(Int, Int), (Long, Long)] =
+        partTot.groupBy(_._2).flatMap { case (r, arr) =>
+          var cp = 0L; var cn = 0L
+          arr.sortBy(_._1).map { case (pid, _, p, n) =>
+            val o = ((pid, r), (cp, cn)); cp += p; cn += n; o
+          }
+        }
+      val bOff = spark.sparkContext.broadcast(offsets)
+      // pass 2: running TP/FP per round within each sorted partition;
+      // each tie group contributes p_g · precision AFTER absorbing
+      // the whole group (standard tie handling for step AP)
+      val contrib = sorted.mapPartitions { it =>
+        val pid = org.apache.spark.TaskContext.getPartitionId()
+        val off = bOff.value
+        val cum = scala.collection.mutable.HashMap.empty[Int, (Long, Long)]
+        val a = scala.collection.mutable.LinkedHashMap.empty[Int, (Double, Long)]
+        it.foreach { case (r, _, p, n) =>
+          val (tp0, fp0) = cum.getOrElse(r, off.getOrElse((pid, r), (0L, 0L)))
+          val tp = tp0 + p
+          val fp = fp0 + n
+          val (a0, p0) = a.getOrElse(r, (0.0, 0L))
+          val prec = if (tp + fp > 0) tp.toDouble / (tp + fp).toDouble else 0.0
+          a(r) = (a0 + p * prec, p0 + p)
+          cum(r) = (tp, fp)
+        }
+        a.iterator.map { case (r, (aa, pp)) => (r, aa, pp) }
+      }.toDF("round", "a", "np")
+      contrib.groupBy(col("round"))
+        .agg((sum(col("a")) / sum(col("np"))).as("m"))
+        .orderBy(col("round"))
+        .localCheckpoint(true)
+    } finally sorted.unpersist()
+  }
+
   /** Best round under the metric (1-based, like `best_iteration`+1 in
-    * the reference's 0-based counting; maximize AUC, minimize
+    * the reference's 0-based counting; maximize AUC/PR-AUC, minimize
     * logloss/rmse).
     */
   def bestIteration(hist: Array[Double], metric: String): Int = {
     val idx = metric match {
-      case "auc" => hist.indexOf(hist.max)
-      case _     => hist.indexOf(hist.min)
+      case "auc" | "aucpr" => hist.indexOf(hist.max)
+      case _               => hist.indexOf(hist.min)
     }
     idx + 1
   }
@@ -308,7 +382,8 @@ object StagedEval {
   def stalledAt(hist: Array[Double], metric: String, patience: Int): Option[Int] = {
     require(patience >= 1, s"earlyStoppingRounds must be >= 1, got $patience")
     val better: (Double, Double) => Boolean =
-      if (metric == "auc") (v, b) => v > b else (v, b) => v < b
+      if (metric == "auc" || metric == "aucpr") (v, b) => v > b
+      else (v, b) => v < b
     var best = hist.headOption.getOrElse(return None)
     var bestRound = 1
     for (r <- 2 to hist.length) {

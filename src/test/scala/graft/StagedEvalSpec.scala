@@ -177,6 +177,56 @@ class StagedEvalSpec extends AnyFunSuite {
     }
   }
 
+  test("aucprByRound matches brute-force average precision, ties included") {
+    // same deliberate-tie fixture class as the AUC test: tie groups
+    // must absorb their whole block before precision is read
+    val rows = Seq(
+      (1, 1.0, 0.9), (1, 1.0, 0.5), (1, 0.0, 0.5), (1, 0.0, 0.1),
+      (1, 1.0, 0.1), (1, 0.0, 0.9), (1, 0.0, 0.3), (1, 1.0, 0.3),
+      (2, 1.0, 0.8), (2, 0.0, 0.2), (2, 1.0, 0.2), (2, 0.0, 0.8),
+      (2, 1.0, 0.7), (2, 0.0, 0.4)
+    )
+    val df = rows.toDF("round", "label", "margin")
+    val got = StagedEval.aucprByRound(df).collect()
+      .map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    // brute force: walk unique margins descending; each tie group g
+    // contributes p_g * precision(after absorbing g); AP = sum / nPos
+    val expected = rows.groupBy(_._1).map { case (round, rs) =>
+      val byMargin = rs.groupBy(_._3).toSeq.sortBy(-_._1)
+      var tp = 0L; var fp = 0L; var ap = 0.0
+      byMargin.foreach { case (_, g) =>
+        val p = g.count(_._2 == 1.0); val n = g.count(_._2 == 0.0)
+        tp += p; fp += n
+        ap += p * (tp.toDouble / (tp + fp).toDouble)
+      }
+      round -> ap / rs.count(_._2 == 1.0)
+    }
+    expected.foreach { case (round, e) =>
+      assert(math.abs(got(round) - e) < 1e-12,
+        s"round $round: got ${got(round)}, expected $e")
+    }
+    // maximize semantics wired through best-iteration + stall rule
+    assert(StagedEval.bestIteration(Array(0.4, 0.9, 0.7), "aucpr") == 2)
+    assert(StagedEval.stalledAt(Array(0.8, 0.7, 0.6, 0.5), "aucpr", 2)
+      .contains(3))
+  }
+
+  test("in-fit early stopping works on the aucpr metric") {
+    val df = (0 until 300).map { i =>
+      val x = (i % 20).toDouble
+      (x, if (x > 12) 1.0 else 0.0)
+    }.toDF("x", "y")
+    val (m, best, hist, trained) = StagedEval.fitWithEarlyStopping(
+      df, df, Seq("x"), "y",
+      BoostParams("binary:logistic", numRound = 40, maxDepth = 2, eta = 0.5),
+      "aucpr", earlyStoppingRounds = 3)
+    assert(trained < 40, s"separable fit must stall early: trained=$trained")
+    assert(best >= 1 && best <= hist.length)
+    assert(hist(best - 1) == hist.max, "best round carries the max AP")
+    assert(hist.max > 0.95, s"separable data must reach high AP: ${hist.max}")
+    assert(m != null)
+  }
+
   test("staged rmse works for regression models") {
     val df = (0 until 400).map { i =>
       val x = (i % 25).toDouble
