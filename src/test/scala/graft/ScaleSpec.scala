@@ -466,6 +466,18 @@ class ScaleSpec extends AnyFunSuite {
       "term counts must combine map-side before the exchange")
   }
 
+  test("bigram adjacency is array-side: no exchange before the bigram agg") {
+    // text_bigram_lm derives doc-local bigrams by zipping shifted
+    // slices — the pairs explode straight out of the scan, so the
+    // FIRST exchange in the plan must be the bigram-key aggregation,
+    // never a per-token (doc_id) shuffle for a window lag
+    val plan = planOf("text_bigram_lm")
+    assert(!plan.contains("Window"),
+      s"no window operator allowed in the bigram derivation:\n$plan")
+    assert(plan.contains("zip_with") || plan.contains("slice"),
+      "bigrams must derive from array slices")
+  }
+
   test("DistributedRank: exact global rank, no single-partition exchange") {
     import spark.implicits._
     // unique unordered keys across many partitions
