@@ -23,6 +23,25 @@ class PropertySpec extends AnyFunSuite {
   private val smallDouble =
     Gen.oneOf(Gen.chooseNum(0.1, 100.0), Gen.chooseNum(-100.0, -0.1))
 
+  test("DistributedRank ≡ global sort rank on arbitrary unique keys") {
+    val keySets = Gen.chooseNum(1, 400).flatMap { n =>
+      Gen.containerOfN[Set, Long](n, Gen.chooseNum(-1000000L, 1000000L))
+    }
+    (1 to 12).foreach { trial =>
+      val keys = keySets.sample.getOrElse(Set(1L, 2L, 3L)).toSeq
+      val parts = 1 + (trial % 7)
+      val df = keys.zipWithIndex.toDF("k", "i").repartition(5)
+      val (ranked, release) = graft.functions.DistributedRank
+        .withContiguousRank(df, "k", "rn", parts)
+      val got = ranked.select(col("k"), col("rn")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._2).map(_._1)
+      release()
+      val want = keys.sorted
+      assert(got.sameElements(want),
+        s"trial $trial (n=${keys.size}, parts=$parts): rank order diverged")
+    }
+  }
+
   test("VecMath dot/cosine/l2 ≡ HOF fold formulations on arbitrary vectors") {
     val vecPair = for {
       n <- Gen.chooseNum(1, 16)
