@@ -51,4 +51,44 @@ object DistributedRank {
       .drop("_rank_pid", "_rank_off")
     (ranked, () => ranged.unpersist(false))
   }
+
+  /** Append `cumCol` = running sum of LONG column `valueCol` in
+    * `sortExprs` order (rows-between unbounded-preceding..current),
+    * computed WITHOUT a single-partition window: range partition on
+    * the sort expressions, per-partition running sum, broadcast
+    * per-partition prefix-sum offsets. The row-scale cumulative
+    * (q133-class ABC/Pareto sweeps) that a plain
+    * `Window.orderBy(...)` would funnel through one reducer.
+    *
+    * The sort expressions must order rows uniquely (ties would make
+    * the running sum depend on physical order). Returns the frame
+    * plus a release thunk for the internal range-partitioned pin —
+    * call it after the result (or a downstream cache) materializes.
+    */
+  def withPartitionedCumsum(
+      df: DataFrame,
+      sortExprs: Seq[org.apache.spark.sql.Column],
+      valueCol: String,
+      cumCol: String,
+      numPartitions: Int
+  ): (DataFrame, () => Unit) = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val ranged = df.repartitionByRange(numPartitions, sortExprs: _*)
+      .withColumn("_cs_pid", spark_partition_id())
+      .cache()
+    val sums = ranged.groupBy(col("_cs_pid"))
+      .agg(sum(col(valueCol)).as("s"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    var running = 0L
+    val offDf = sums.toSeq
+      .map { case (p, v) => val o = running; running += v; (p, o) }
+      .toDF("_cs_pid", "_cs_off")
+    val wp = Window.partitionBy(col("_cs_pid")).orderBy(sortExprs: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val out = ranged.join(broadcast(offDf), Seq("_cs_pid"))
+      .withColumn(cumCol, col("_cs_off") + sum(col(valueCol)).over(wp))
+      .drop("_cs_pid", "_cs_off")
+    (out, () => ranged.unpersist(false))
+  }
 }

@@ -3457,28 +3457,36 @@ object Analytics {
         .agg(sum(round(col("l_extendedprice") * 100).cast("long"))
           .as("cents"))
       val tot = perPart.agg(sum(col("cents")).as("total"))
-      val wCum = Window.orderBy(col("cents").desc, col("l_partkey"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      // the revenue cumulative runs through the range-partitioned
+      // two-pass cumsum (graft.functions.DistributedRank) — |parts|
+      // is bounded at TPC-H cardinalities, but the row-scale form
+      // costs the same here and removes the one unpartitioned
+      // ordered window this query used to carry
+      val (cumd, release) = graft.functions.DistributedRank
+        .withPartitionedCumsum(perPart,
+          Seq(col("cents").desc, col("l_partkey")), "cents", "cum", 32)
       // class from the cumulative BEFORE the current part (standard
       // ABC: the head item belongs to A even when it alone carries
       // more than the A cutoff — review finding: the
       // cumulative-inclusive compare would push a dominant head item
       // out of A on skewed data)
-      val classed = perPart.crossJoin(broadcast(tot))
-        .withColumn("cum", sum(col("cents")).over(wCum))
+      val classed = cumd.crossJoin(broadcast(tot))
         .withColumn("cls",
           when((col("cum") - col("cents")) * 1000L <
             lit(AbcCutA) * col("total"), "A")
             .when((col("cum") - col("cents")) * 1000L <
               lit(AbcCutB) * col("total"), "B")
             .otherwise("C"))
-      classed.groupBy(col("cls"))
+      val out = classed.groupBy(col("cls"))
         .agg(count(lit(1)).as("n_parts"), sum(col("cents")).as("cents"),
           first(col("total")).as("total"))
         .select(col("cls"), col("n_parts"), col("cents"),
           (col("cents").cast(DoubleType) / col("total").cast(DoubleType))
             .as("revenue_share"))
         .orderBy(col("cls"))
+      out.persist().count()
+      release()
+      out
     },
     Some(s"""
       WITH pp AS (

@@ -42,6 +42,28 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("withPartitionedCumsum ≡ global window cumsum on arbitrary data") {
+    val gen = Gen.chooseNum(1, 300).flatMap { n =>
+      Gen.listOfN(n, Gen.zip(Gen.chooseNum(-500L, 500L), Gen.chooseNum(0L, 999L)))
+    }
+    (1 to 8).foreach { trial =>
+      // unique sort key (v desc, id asc) via the index
+      val rows = gen.sample.getOrElse(List((1L, 2L))).zipWithIndex
+        .map { case ((v, x), i) => (v, i.toLong, x) }
+      val df = rows.toDF("v", "id", "x").repartition(4)
+      val (cum, release) = graft.functions.DistributedRank
+        .withPartitionedCumsum(df,
+          Seq(col("v").desc, col("id")), "x", "cum", 1 + trial % 5)
+      val got = cum.select(col("id"), col("cum")).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      release()
+      var acc = 0L
+      val want = rows.sortBy { case (v, id, _) => (-v, id) }
+        .map { case (_, id, x) => acc += x; id -> acc }.toMap
+      assert(got == want, s"trial $trial: cumsum diverged")
+    }
+  }
+
   test("VecMath dot/cosine/l2 ≡ HOF fold formulations on arbitrary vectors") {
     val vecPair = for {
       n <- Gen.chooseNum(1, 16)
