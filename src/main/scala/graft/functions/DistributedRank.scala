@@ -30,12 +30,23 @@ object DistributedRank {
       sortCol: String,
       rankCol: String,
       numPartitions: Int
+  ): (DataFrame, () => Unit) =
+    withContiguousRank(df, Seq(col(sortCol)), rankCol, numPartitions)
+
+  /** Composite-sort variant: `sortExprs` may mix directions (e.g.
+    * `Seq(col("s").desc, col("id"))`) but must order rows uniquely.
+    */
+  def withContiguousRank(
+      df: DataFrame,
+      sortExprs: Seq[org.apache.spark.sql.Column],
+      rankCol: String,
+      numPartitions: Int
   ): (DataFrame, () => Unit) = {
     val spark = df.sparkSession
     import spark.implicits._
     // pin the ranged layout so the counts job and the rank job see
     // the SAME partition assignment
-    val ranged = df.repartitionByRange(numPartitions, col(sortCol))
+    val ranged = df.repartitionByRange(numPartitions, sortExprs: _*)
       .withColumn("_rank_pid", spark_partition_id())
       .cache()
     val cnts = ranged.groupBy(col("_rank_pid"))
@@ -45,11 +56,42 @@ object DistributedRank {
     val offDf = cnts.toSeq
       .map { case (p, c) => val o = running; running += c; (p, o) }
       .toDF("_rank_pid", "_rank_off")
-    val wp = Window.partitionBy(col("_rank_pid")).orderBy(col(sortCol))
+    val wp = Window.partitionBy(col("_rank_pid")).orderBy(sortExprs: _*)
     val ranked = ranged.join(broadcast(offDf), Seq("_rank_pid"))
       .withColumn(rankCol, col("_rank_off") + row_number().over(wp))
       .drop("_rank_pid", "_rank_off")
     (ranked, () => ranged.unpersist(false))
+  }
+
+  /** Exact `ntile(k)` over `sortExprs` order WITHOUT a single-
+    * partition window — standard SQL tile sizing (the first
+    * n mod k tiles hold ⌈n/k⌉ rows, the rest ⌊n/k⌋; identical to
+    * Spark's and DuckDB's ntile), derived arithmetically from the
+    * contiguous rank and the total count.
+    */
+  def withNtile(
+      df: DataFrame,
+      sortExprs: Seq[org.apache.spark.sql.Column],
+      k: Int,
+      tileCol: String,
+      numPartitions: Int
+  ): (DataFrame, () => Unit) = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val (ranked0, release) =
+      withContiguousRank(df, sortExprs, "_nt_rank", numPartitions)
+    val ranked = ranked0.cache()
+    val n = ranked.count()
+    release()
+    val big = n / k + (if (n % k > 0) 1L else 0L) // ceil(n/k)
+    val small = n / k
+    val rem = n % k
+    val r = col("_nt_rank")
+    val tile =
+      if (small == 0L) r // fewer rows than tiles: tile = rank
+      else when(r <= lit(rem * big), (r - 1L) / lit(big) + 1L)
+        .otherwise(lit(rem) + (r - lit(rem * big) - 1L) / lit(small) + 1L)
+    val out = ranked.withColumn(tileCol, tile.cast("long")).drop("_nt_rank")
+    (out, () => ranked.unpersist(false))
   }
 
   /** Append `cumCol` = running sum of LONG column `valueCol` in

@@ -4083,20 +4083,29 @@ object Analytics {
             round(col("o_totalprice") * 100).cast("long"))).as("s1"),
           sum(when(col("o_orderdate") >= cut,
             round(col("o_totalprice") * 100).cast("long"))).as("s2"))
-      val q1 = spend.filter(col("s1").isNotNull)
-        .withColumn("t1", ntile(5).over(
-          Window.orderBy(col("s1").desc, col("o_custkey"))).cast("long"))
-        .select(col("o_custkey"), col("t1"))
-      val q2 = spend.filter(col("s2").isNotNull)
-        .withColumn("t2", ntile(5).over(
-          Window.orderBy(col("s2").desc, col("o_custkey"))).cast("long"))
-        .select(col("o_custkey").as("ck2"), col("t2"))
-      q1.join(q2, col("o_custkey") === col("ck2"), "full_outer")
+      // tiers over |customers| are row-scale at a 100 TB SF: both
+      // ntiles run through the rank-derived exact form
+      // (DistributedRank.withNtile — identical tile sizing, no
+      // single-partition ordered window)
+      val (q1t, rel1) = graft.functions.DistributedRank.withNtile(
+        spend.filter(col("s1").isNotNull)
+          .select(col("o_custkey"), col("s1")),
+        Seq(col("s1").desc, col("o_custkey")), 5, "t1", 32)
+      val q1 = q1t.select(col("o_custkey"), col("t1"))
+      val (q2t, rel2) = graft.functions.DistributedRank.withNtile(
+        spend.filter(col("s2").isNotNull)
+          .select(col("o_custkey"), col("s2")),
+        Seq(col("s2").desc, col("o_custkey")), 5, "t2", 32)
+      val q2 = q2t.select(col("o_custkey").as("ck2"), col("t2"))
+      val out = q1.join(q2, col("o_custkey") === col("ck2"), "full_outer")
         .select(coalesce(col("t1"), lit(0L)).as("from_tier"),
           coalesce(col("t2"), lit(0L)).as("to_tier"))
         .groupBy(col("from_tier"), col("to_tier"))
         .agg(count(lit(1)).as("n"))
         .orderBy(col("from_tier"), col("to_tier"))
+      out.persist().count()
+      rel1(); rel2()
+      out
     },
     Some(s"""
       WITH sp AS (

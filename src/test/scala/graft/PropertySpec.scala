@@ -64,6 +64,31 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("withNtile ≡ Spark ntile window on arbitrary data and k") {
+    import org.apache.spark.sql.expressions.Window
+    val gen = Gen.chooseNum(1, 200).flatMap { n =>
+      Gen.listOfN(n, Gen.chooseNum(-500L, 500L))
+    }
+    (1 to 8).foreach { trial =>
+      val k = 1 + trial % 7
+      val rows = gen.sample.getOrElse(List(3L)).zipWithIndex
+        .map { case (v, i) => (v, i.toLong) }
+      val df = rows.toDF("v", "id").repartition(4)
+      val (tiled, release) = graft.functions.DistributedRank
+        .withNtile(df, Seq(col("v").desc, col("id")), k, "tile",
+          1 + trial % 5)
+      val got = tiled.select(col("id"), col("tile")).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      release()
+      val want = df.withColumn("tile",
+          ntile(k).over(Window.orderBy(col("v").desc, col("id")))
+            .cast("long"))
+        .select(col("id"), col("tile")).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == want, s"trial $trial (k=$k, n=${rows.size}): ntile diverged")
+    }
+  }
+
   test("VecMath dot/cosine/l2 ≡ HOF fold formulations on arbitrary vectors") {
     val vecPair = for {
       n <- Gen.chooseNum(1, 16)
