@@ -45,3 +45,43 @@ class TopKAgg(k: Int) extends Aggregator[TopKEntry, Seq[TopKEntry], Seq[TopKEntr
   override def outputEncoder: Encoder[Seq[TopKEntry]] =
     org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[TopKEntry]]()
 }
+
+/** String-payload sibling of [[TopKEntry]] — term/pair leaderboards
+  * (vocabulary-scale groups where the window/rank formulation would
+  * funnel the whole vocabulary through one reducer).
+  */
+final case class TopKStrEntry(sortKey: Double, payload: String)
+
+/** Bounded top-k over (sortKey, string payload) pairs — the same
+  * scale argument as [[TopKAgg]]: partial aggregation keeps at most
+  * k candidates per partition. Ties on sortKey break toward the
+  * LEXICOGRAPHICALLY SMALLER payload, matching
+  * `row_number() OVER (ORDER BY sortKey DESC, payload)`.
+  */
+class TopKStrAgg(k: Int)
+    extends Aggregator[TopKStrEntry, Seq[TopKStrEntry], Seq[TopKStrEntry]] {
+
+  private def better(a: TopKStrEntry, b: TopKStrEntry): Boolean =
+    a.sortKey > b.sortKey ||
+      (a.sortKey == b.sortKey && a.payload < b.payload)
+
+  private def insert(buf: Seq[TopKStrEntry], x: TopKStrEntry): Seq[TopKStrEntry] =
+    if (buf.length < k) (buf :+ x).sortWith(better)
+    else if (better(x, buf.last)) (buf.init :+ x).sortWith(better)
+    else buf
+
+  override def zero: Seq[TopKStrEntry] = Seq.empty
+
+  override def reduce(buf: Seq[TopKStrEntry], x: TopKStrEntry): Seq[TopKStrEntry] =
+    insert(buf, x)
+
+  override def merge(a: Seq[TopKStrEntry], b: Seq[TopKStrEntry]): Seq[TopKStrEntry] =
+    b.foldLeft(a)(insert)
+
+  override def finish(buf: Seq[TopKStrEntry]): Seq[TopKStrEntry] = buf
+
+  override def bufferEncoder: Encoder[Seq[TopKStrEntry]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[TopKStrEntry]]()
+  override def outputEncoder: Encoder[Seq[TopKStrEntry]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[TopKStrEntry]]()
+}

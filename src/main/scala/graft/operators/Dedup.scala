@@ -1145,8 +1145,11 @@ object Dedup {
     * LSH banding (probabilistic) and the df-capped shingle index
     * (frequency cutoff): prefix filtering is EXACT — no recall gate
     * needed, the oracle is the full all-pairs co-occurrence count.
-    * The global token ranking is a vocabulary-sized window (one
-    * reducer over |vocab| rows — domain-sized, not corpus-sized).
+    * The pigeonhole argument needs only that every document sorts
+    * its tokens by the SAME total order — the (df, tok) tuple itself
+    * is that order, so no global rank is ever materialized: the
+    * per-token df broadcasts and each document's per-doc window
+    * sorts by it locally (no vocabulary-wide ordered window).
     */
   val dedupSetsimPrefix = GraftQuery(
     "dedup_setsim_prefix",
@@ -1162,15 +1165,13 @@ object Dedup {
           size(col("tset")).cast("long").as("sz"))
         .where(col("sz") >= O)
         .cache()
-      val dfRank = docs.select(explode(col("tset")).as("tok"))
+      val tokDf = docs.select(explode(col("tset")).as("tok"))
         .groupBy(col("tok")).agg(count(lit(1)).as("df"))
-        .withColumn("r",
-          row_number().over(Window.orderBy(col("df"), col("tok"))).cast("long"))
-        .select(col("tok"), col("r"))
-      val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("r"))
+      val wDoc = Window.partitionBy(col("doc_id"))
+        .orderBy(col("df"), col("tok"))
       val prefix = docs
         .select(col("doc_id"), col("sz"), explode(col("tset")).as("tok"))
-        .join(broadcast(dfRank), Seq("tok"))
+        .join(broadcast(tokDf), Seq("tok"))
         .withColumn("pos", row_number().over(wDoc))
         .where(col("pos") <= col("sz") - (O - 1))
         .select(col("doc_id"), col("tok"))

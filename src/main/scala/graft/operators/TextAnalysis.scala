@@ -819,11 +819,16 @@ object TextAnalysis {
             .select(col("e.term").as("term")),
           Seq("term"), "left_anti")
         .agg(count(lit(1)).as("n_missing"))
-      // vocabulary-sized frame: the single-reducer rank is over
-      // distinct terms, not tokens
-      val w = Window.orderBy(col("cnt").desc, col("term"))
-      val out = exact.withColumn("rank", row_number().over(w).cast("long"))
-        .filter(col("rank") <= HeavyTopN)
+      // global top-N through the bounded-heap string aggregator —
+      // map-side combined, so no reducer ever holds the vocabulary
+      // (the former window rank sorted ALL distinct terms on one)
+      val topk = udaf(new graft.functions.TopKStrAgg(HeavyTopN))
+      val out = exact
+        .agg(topk(col("cnt").cast(DoubleType), col("term")).as("top"))
+        .select(posexplode(col("top")))
+        .select((col("pos") + 1).cast("long").as("rank"),
+          col("col.payload").as("term"),
+          col("col.sortKey").cast("long").as("cnt"))
         .crossJoin(broadcast(missing))
         .select(col("rank"), col("term"), col("cnt"),
           (col("n_missing") === 0).as("mg_ok"))
@@ -1012,11 +1017,16 @@ object TextAnalysis {
         .select(col("term"),
           explode(sequence(lit(1), length(col("term")) - 1)).as("pos"))
         .select(col("term").substr(col("pos"), lit(2)).as("pair"))
-      val w = Window.orderBy(col("cnt").desc, col("pair"))
+      // pair-vocabulary top-N via the bounded-heap string aggregator
+      // (map-side combined; the window rank sorted every distinct
+      // pair through one reducer)
+      val topk = udaf(new graft.functions.TopKStrAgg(BpeTopPairs.toInt))
       pairs.groupBy(col("pair")).agg(count(lit(1)).as("cnt"))
-        .withColumn("rank", row_number().over(w).cast("long"))
-        .filter(col("rank") <= BpeTopPairs)
-        .select(col("rank"), col("pair"), col("cnt"))
+        .agg(topk(col("cnt").cast(DoubleType), col("pair")).as("top"))
+        .select(posexplode(col("top")))
+        .select((col("pos") + 1).cast("long").as("rank"),
+          col("col.payload").as("pair"),
+          col("col.sortKey").cast("long").as("cnt"))
         .orderBy(col("rank"))
     },
     Some(raw"""
@@ -1657,9 +1667,15 @@ object TextAnalysis {
       val total = toks.count()
       val eps = math.E / CmsWidth
       val exact = toks.groupBy(col("term")).agg(count(lit(1)).as("cnt"))
-      val w = Window.orderBy(col("cnt").desc, col("term"))
-      val top = exact.withColumn("rank", row_number().over(w).cast("long"))
-        .filter(col("rank") <= 20)
+      // exact top-20 via the bounded-heap string aggregator (no
+      // vocabulary-wide single-reducer rank)
+      val topAgg = udaf(new graft.functions.TopKStrAgg(20))
+      val top = exact
+        .agg(topAgg(col("cnt").cast(DoubleType), col("term")).as("t"))
+        .select(posexplode(col("t")))
+        .select((col("pos") + 1).cast("long").as("rank"),
+          col("col.payload").as("term"),
+          col("col.sortKey").cast("long").as("cnt"))
       val probes = top
         .select(col("rank"), col("term"), col("cnt"),
           posexplode(hashes).as(Seq("row", "bucket")))

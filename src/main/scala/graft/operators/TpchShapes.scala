@@ -277,12 +277,12 @@ object TpchShapes {
 
   /** TPC-H Q15 (top supplier): the supplier(s) whose quarterly
     * revenue equals the maximum — argmax with EXACT tie semantics.
-    * Ranking happens on the DECIMAL revenue (before the double
+    * The max is taken on the DECIMAL revenue (before the double
     * render), so equal revenues tie in both engines by exact
-    * arithmetic, not by double rounding luck. The rank window is
-    * global but runs over the |suppliers|-sized aggregate, never the
-    * fact. Scale: one fact aggregation on l_suppkey, then a
-    * domain-sized window.
+    * arithmetic, not by double rounding luck. Scale: one fact
+    * aggregation on l_suppkey, a 1-row max broadcast back, and an
+    * equality filter — dense_rank() = 1 spelled without any global
+    * ordered window (|suppliers| is row-scale at a 100 TB SF).
     */
   val q104TopSupplier = GraftQuery(
     "q104_top_supplier",
@@ -290,19 +290,25 @@ object TpchShapes {
       val t = Tables(s, dir)
       val lo = lit("1999-01-01 00:00:00").cast("timestamp")
       val hi = lit("1999-04-01 00:00:00").cast("timestamp")
+      // cache the |suppliers|-sized rollup so the max probe and the
+      // equality filter share ONE fact scan
       val rev = t.lineitem
         .filter(col("l_shipdate") >= lo && col("l_shipdate") < hi)
         .groupBy(col("l_suppkey"))
         .agg(sum(dec2(col("l_extendedprice")) * oneMinus(col("l_discount")))
           .as("rev_dec"))
-      rev
-        .withColumn("rk", dense_rank().over(Window.orderBy(col("rev_dec").desc)))
-        .filter(col("rk") === 1)
+        .cache()
+      val out = rev
+        .crossJoin(broadcast(rev.agg(max(col("rev_dec")).as("mx"))))
+        .filter(col("rev_dec") === col("mx"))
         .join(broadcast(t.supplier.select(col("s_suppkey"), col("s_name"))),
           col("l_suppkey") === col("s_suppkey"))
         .select(col("s_suppkey"), col("s_name"),
           col("rev_dec").cast(DoubleType).as("total_rev"))
         .orderBy(col("s_suppkey"))
+      out.persist().count()
+      rev.unpersist(false)
+      out
     },
     Some("""
       WITH rev AS (
