@@ -1,23 +1,54 @@
 package graft.functions
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
 
 /** Contiguous global rank WITHOUT a single-partition sort — the
   * DataFrame spelling of `zipWithIndex`: range-partition on the sort
   * key, `row_number` WITHIN each partition, then add broadcast
   * per-partition prefix offsets. The offsets collect is
   * partition-count-sized (never row-scale), so the plan carries no
-  * SinglePartition Exchange at any data size. This is also the
-  * scalable form of a row-scale cumulative sum (rank the keys, then
-  * prefix-aggregate per partition + offset) — see SCALING.md's
-  * q133_abc note.
+  * SinglePartition Exchange at any data size. The same scaffold
+  * provides the row-scale cumulative sum and exact ntile (q133/q142-
+  * class sweeps) that a plain `Window.orderBy(...)` would funnel
+  * through one reducer.
   *
-  * The sort key must be globally unique for the rank to be exact
-  * (ties would be broken by physical row order within a partition).
+  * Sort keys must order rows uniquely for exact results (ties would
+  * be broken by physical row order within a partition).
   */
 object DistributedRank {
+
+  /** Shared two-pass scaffold: pin the range-partitioned layout (so
+    * the offsets job and the consuming job see the SAME partition
+    * assignment), collect one LONG per (partition) via `perPid`,
+    * prefix-fold it into broadcast offsets `(_pp_pid, _pp_off)`, and
+    * hand both to `build`. A partition whose aggregate is NULL (e.g.
+    * summing an all-null slice) contributes 0. Returns build's frame
+    * plus the release thunk for the internal pin.
+    */
+  private def withPrefixOffsets(
+      df: DataFrame,
+      sortExprs: Seq[Column],
+      numPartitions: Int,
+      perPid: Column
+  )(build: (DataFrame, DataFrame) => DataFrame): (DataFrame, () => Unit) = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val ranged = df.repartitionByRange(numPartitions, sortExprs: _*)
+      .withColumn("_pp_pid", spark_partition_id())
+      .cache()
+    val vals = ranged.groupBy(col("_pp_pid")).agg(perPid.as("v"))
+      .collect()
+      .map(r => (r.getInt(0), if (r.isNullAt(1)) 0L else r.getLong(1)))
+      .sortBy(_._1)
+    var running = 0L
+    val offDf = vals.toSeq
+      .map { case (p, v) => val o = running; running += v; (p, o) }
+      .toDF("_pp_pid", "_pp_off")
+    (build(ranged, broadcast(offDf)), () => ranged.unpersist(false))
+  }
 
   /** Append `rankCol` (1-based long) ranking `df` by `sortCol`
     * ascending across `numPartitions` range partitions. Returns the
@@ -38,40 +69,64 @@ object DistributedRank {
     */
   def withContiguousRank(
       df: DataFrame,
-      sortExprs: Seq[org.apache.spark.sql.Column],
+      sortExprs: Seq[Column],
       rankCol: String,
       numPartitions: Int
+  ): (DataFrame, () => Unit) =
+    withPrefixOffsets(df, sortExprs, numPartitions, count(lit(1))) {
+      (ranged, offDf) =>
+        val wp = Window.partitionBy(col("_pp_pid")).orderBy(sortExprs: _*)
+        ranged.join(offDf, Seq("_pp_pid"))
+          .withColumn(rankCol, col("_pp_off") + row_number().over(wp))
+          .drop("_pp_pid", "_pp_off")
+    }
+
+  /** Append `cumCol` = running sum of LONG column `valueCol` in
+    * `sortExprs` order (rows-between unbounded-preceding..current),
+    * computed without a single-partition window: per-partition
+    * running sums plus broadcast prefix-sum offsets. NULL values
+    * count as 0 (SUM semantics). Returns the frame plus the release
+    * thunk for the internal pin.
+    */
+  def withPartitionedCumsum(
+      df: DataFrame,
+      sortExprs: Seq[Column],
+      valueCol: String,
+      cumCol: String,
+      numPartitions: Int
   ): (DataFrame, () => Unit) = {
-    val spark = df.sparkSession
-    import spark.implicits._
-    // pin the ranged layout so the counts job and the rank job see
-    // the SAME partition assignment
-    val ranged = df.repartitionByRange(numPartitions, sortExprs: _*)
-      .withColumn("_rank_pid", spark_partition_id())
-      .cache()
-    val cnts = ranged.groupBy(col("_rank_pid"))
-      .agg(count(lit(1)).as("c"))
-      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
-    var running = 0L
-    val offDf = cnts.toSeq
-      .map { case (p, c) => val o = running; running += c; (p, o) }
-      .toDF("_rank_pid", "_rank_off")
-    val wp = Window.partitionBy(col("_rank_pid")).orderBy(sortExprs: _*)
-    val ranked = ranged.join(broadcast(offDf), Seq("_rank_pid"))
-      .withColumn(rankCol, col("_rank_off") + row_number().over(wp))
-      .drop("_rank_pid", "_rank_off")
-    (ranked, () => ranged.unpersist(false))
+    require(df.schema(valueCol).dataType == LongType,
+      s"withPartitionedCumsum needs a LONG value column; '$valueCol' is " +
+      s"${df.schema(valueCol).dataType.simpleString}")
+    withPrefixOffsets(df, sortExprs, numPartitions, sum(col(valueCol))) {
+      (ranged, offDf) =>
+        val wp = Window.partitionBy(col("_pp_pid")).orderBy(sortExprs: _*)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ranged.join(offDf, Seq("_pp_pid"))
+          .withColumn(cumCol, col("_pp_off") + sum(col(valueCol)).over(wp))
+          .drop("_pp_pid", "_pp_off")
+    }
   }
+
+  /** Exact long integer division a / b (b > 0 literal, a >= 0): the
+    * remainder is removed in LONG arithmetic and the now-divisible
+    * quotient is taken in DECIMAL — Spark's plain `/` divides as
+    * DOUBLE, whose 2^53 mantissa would mis-place tile boundaries at
+    * row counts a 100 TB table actually reaches.
+    */
+  private def exactDiv(a: Column, b: Long): Column =
+    ((a - pmod(a, lit(b))).cast("decimal(38,0)") /
+      lit(b).cast("decimal(38,0)")).cast("long")
 
   /** Exact `ntile(k)` over `sortExprs` order WITHOUT a single-
     * partition window — standard SQL tile sizing (the first
     * n mod k tiles hold ⌈n/k⌉ rows, the rest ⌊n/k⌋; identical to
-    * Spark's and DuckDB's ntile), derived arithmetically from the
-    * contiguous rank and the total count.
+    * Spark's and DuckDB's ntile), derived in exact integer
+    * arithmetic from the contiguous rank and the total count.
     */
   def withNtile(
       df: DataFrame,
-      sortExprs: Seq[org.apache.spark.sql.Column],
+      sortExprs: Seq[Column],
       k: Int,
       tileCol: String,
       numPartitions: Int
@@ -88,49 +143,9 @@ object DistributedRank {
     val r = col("_nt_rank")
     val tile =
       if (small == 0L) r // fewer rows than tiles: tile = rank
-      else when(r <= lit(rem * big), (r - 1L) / lit(big) + 1L)
-        .otherwise(lit(rem) + (r - lit(rem * big) - 1L) / lit(small) + 1L)
+      else when(r <= lit(rem * big), exactDiv(r - 1L, big) + 1L)
+        .otherwise(lit(rem) + exactDiv(r - lit(rem * big) - 1L, small) + 1L)
     val out = ranked.withColumn(tileCol, tile.cast("long")).drop("_nt_rank")
     (out, () => ranked.unpersist(false))
-  }
-
-  /** Append `cumCol` = running sum of LONG column `valueCol` in
-    * `sortExprs` order (rows-between unbounded-preceding..current),
-    * computed WITHOUT a single-partition window: range partition on
-    * the sort expressions, per-partition running sum, broadcast
-    * per-partition prefix-sum offsets. The row-scale cumulative
-    * (q133-class ABC/Pareto sweeps) that a plain
-    * `Window.orderBy(...)` would funnel through one reducer.
-    *
-    * The sort expressions must order rows uniquely (ties would make
-    * the running sum depend on physical order). Returns the frame
-    * plus a release thunk for the internal range-partitioned pin —
-    * call it after the result (or a downstream cache) materializes.
-    */
-  def withPartitionedCumsum(
-      df: DataFrame,
-      sortExprs: Seq[org.apache.spark.sql.Column],
-      valueCol: String,
-      cumCol: String,
-      numPartitions: Int
-  ): (DataFrame, () => Unit) = {
-    val spark = df.sparkSession
-    import spark.implicits._
-    val ranged = df.repartitionByRange(numPartitions, sortExprs: _*)
-      .withColumn("_cs_pid", spark_partition_id())
-      .cache()
-    val sums = ranged.groupBy(col("_cs_pid"))
-      .agg(sum(col(valueCol)).as("s"))
-      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
-    var running = 0L
-    val offDf = sums.toSeq
-      .map { case (p, v) => val o = running; running += v; (p, o) }
-      .toDF("_cs_pid", "_cs_off")
-    val wp = Window.partitionBy(col("_cs_pid")).orderBy(sortExprs: _*)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val out = ranged.join(broadcast(offDf), Seq("_cs_pid"))
-      .withColumn(cumCol, col("_cs_off") + sum(col(valueCol)).over(wp))
-      .drop("_cs_pid", "_cs_off")
-    (out, () => ranged.unpersist(false))
   }
 }

@@ -239,42 +239,68 @@ object StagedEval {
     * is a hash agg or a per-partition scan — no round lands on a
     * single reducer, so the same code holds on a full corpus.
     */
-  private[graft] def aucByRound(staged: DataFrame): DataFrame = {
+  /** Shared machinery of the per-round rank statistics ([[aucByRound]]
+    * / [[aucprByRound]]): collapse ties into (round, margin, pos, neg)
+    * groups — one hash aggregation — range-partition + sort them on
+    * (round, margin asc|desc), and collect per-(partition, round)
+    * prefix offsets of the (pos, neg) totals (O(partitions × rounds)
+    * values — the only driver data). Each metric then runs ONE
+    * distributed walk of the sorted partitions with counters seeded
+    * from the offsets; only the per-group contribution formula
+    * differs. Returns (sorted persisted groups, broadcast offsets,
+    * unpersist thunk).
+    */
+  private def tieGroupsWithOffsets(staged: DataFrame, descending: Boolean): (
+      Dataset[(Int, Double, Long, Long)],
+      org.apache.spark.broadcast.Broadcast[Map[(Int, Int), (Long, Long)]],
+      () => Unit) = {
     val spark = staged.sparkSession
     import spark.implicits._
     val grouped = staged.groupBy(col("round"), col("margin")).agg(
         sum(when(col("label") === 1.0, 1L).otherwise(0L)).as("p"),
         sum(when(col("label") === 0.0, 1L).otherwise(0L)).as("n"))
       .as[(Int, Double, Long, Long)]
+    val m = if (descending) col("margin").desc else col("margin").asc
     val nParts = math.max(2, spark.sessionState.conf.numShufflePartitions)
     val sorted = grouped
-      .repartitionByRange(nParts, col("round"), col("margin"))
-      .sortWithinPartitions(col("round"), col("margin"))
+      .repartitionByRange(nParts, col("round"), m)
+      .sortWithinPartitions(col("round"), m)
       .persist()
-    try {
-      // pass 1: per-(partition, round) negative totals -> prefix offsets
-      val partNeg = sorted.mapPartitions { it =>
-        val pid = org.apache.spark.TaskContext.getPartitionId()
-        val acc = scala.collection.mutable.LinkedHashMap.empty[Int, Long]
-        it.foreach { case (r, _, _, n) => acc(r) = acc.getOrElse(r, 0L) + n }
-        acc.iterator.map { case (r, n) => (pid, r, n) }
-      }.collect()
-      val offsets: Map[(Int, Int), Long] = partNeg.groupBy(_._2).flatMap {
-        case (r, arr) =>
-          var cum = 0L
-          arr.sortBy(_._1).map { case (pid, _, n) =>
-            val o = ((pid, r), cum); cum += n; o
-          }
+    val partTot = sorted.mapPartitions { it =>
+      val pid = org.apache.spark.TaskContext.getPartitionId()
+      val acc = scala.collection.mutable.LinkedHashMap.empty[Int, (Long, Long)]
+      it.foreach { case (r, _, p, n) =>
+        val (a, b) = acc.getOrElse(r, (0L, 0L))
+        acc(r) = (a + p, b + n)
       }
-      val bOff = spark.sparkContext.broadcast(offsets)
-      // pass 2: running negBelow per round within each sorted partition
+      acc.iterator.map { case (r, (p, n)) => (pid, r, p, n) }
+    }.collect()
+    val offsets: Map[(Int, Int), (Long, Long)] =
+      partTot.groupBy(_._2).flatMap { case (r, arr) =>
+        var cp = 0L; var cn = 0L
+        arr.sortBy(_._1).map { case (pid, _, p, n) =>
+          val o = ((pid, r), (cp, cn)); cp += p; cn += n; o
+        }
+      }
+    (sorted, spark.sparkContext.broadcast(offsets), () => {
+      sorted.unpersist(); ()
+    })
+  }
+
+  private[graft] def aucByRound(staged: DataFrame): DataFrame = {
+    val spark = staged.sparkSession
+    import spark.implicits._
+    // ascending margins: the walk counts negatives BELOW each group
+    val (sorted, bOff, release) = tieGroupsWithOffsets(staged, descending = false)
+    try {
       val contrib = sorted.mapPartitions { it =>
         val pid = org.apache.spark.TaskContext.getPartitionId()
         val off = bOff.value
         val negBelow = scala.collection.mutable.HashMap.empty[Int, Long]
         val u = scala.collection.mutable.LinkedHashMap.empty[Int, (Double, Long, Long)]
         it.foreach { case (r, _, p, n) =>
-          val below = negBelow.getOrElse(r, off.getOrElse((pid, r), 0L))
+          val below = negBelow.getOrElse(r,
+            off.getOrElse((pid, r), (0L, 0L))._2)
           val (u0, p0, n0) = u.getOrElse(r, (0.0, 0L, 0L))
           u(r) = (u0 + p * (below + n / 2.0), p0 + p, n0 + n)
           negBelow(r) = below + n
@@ -285,7 +311,7 @@ object StagedEval {
         .agg((sum(col("u")) / (sum(col("np")) * sum(col("nn")))).as("m"))
         .orderBy(col("round"))
         .localCheckpoint(true)
-    } finally sorted.unpersist()
+    } finally release()
   }
 
   /** Exact per-round PR-AUC as AVERAGE PRECISION — the step-wise
@@ -295,49 +321,20 @@ object StagedEval {
     * coarse curves — divergence documented, the ranking it induces
     * for early stopping is the same monotone quantity).
     *
-    * Same no-single-reducer shape as [[aucByRound]]: collapse ties
-    * into (round, margin) groups, range-partition DESCENDING on
-    * margin, collect per-(partition, round) positive/negative totals
-    * (O(partitions × rounds) driver data), then one distributed pass
-    * walks each partition with running TP/FP counters seeded from
-    * the prefix offsets and sums p_g · precision_after_g per round;
-    * the closing division by nPos rides the final hash aggregation.
+    * Same no-single-reducer shape as [[aucByRound]] (shared
+    * [[tieGroupsWithOffsets]] machinery, descending margins): one
+    * distributed walk with running TP/FP counters seeded from the
+    * prefix offsets sums p_g · precision_after_g per round; the
+    * closing division by nPos rides the final hash aggregation.
     */
   private[graft] def aucprByRound(staged: DataFrame): DataFrame = {
     val spark = staged.sparkSession
     import spark.implicits._
-    val grouped = staged.groupBy(col("round"), col("margin")).agg(
-        sum(when(col("label") === 1.0, 1L).otherwise(0L)).as("p"),
-        sum(when(col("label") === 0.0, 1L).otherwise(0L)).as("n"))
-      .as[(Int, Double, Long, Long)]
-    val nParts = math.max(2, spark.sessionState.conf.numShufflePartitions)
-    val sorted = grouped
-      .repartitionByRange(nParts, col("round"), col("margin").desc)
-      .sortWithinPartitions(col("round"), col("margin").desc)
-      .persist()
+    val (sorted, bOff, release) = tieGroupsWithOffsets(staged, descending = true)
     try {
-      // pass 1: per-(partition, round) (pos, neg) totals -> prefix
-      // offsets of the cumulative TP/FP entering each partition
-      val partTot = sorted.mapPartitions { it =>
-        val pid = org.apache.spark.TaskContext.getPartitionId()
-        val acc = scala.collection.mutable.LinkedHashMap.empty[Int, (Long, Long)]
-        it.foreach { case (r, _, p, n) =>
-          val (a, b) = acc.getOrElse(r, (0L, 0L))
-          acc(r) = (a + p, b + n)
-        }
-        acc.iterator.map { case (r, (p, n)) => (pid, r, p, n) }
-      }.collect()
-      val offsets: Map[(Int, Int), (Long, Long)] =
-        partTot.groupBy(_._2).flatMap { case (r, arr) =>
-          var cp = 0L; var cn = 0L
-          arr.sortBy(_._1).map { case (pid, _, p, n) =>
-            val o = ((pid, r), (cp, cn)); cp += p; cn += n; o
-          }
-        }
-      val bOff = spark.sparkContext.broadcast(offsets)
-      // pass 2: running TP/FP per round within each sorted partition;
-      // each tie group contributes p_g · precision AFTER absorbing
-      // the whole group (standard tie handling for step AP)
+      // running TP/FP per round within each sorted partition; each
+      // tie group contributes p_g · precision AFTER absorbing the
+      // whole group (standard tie handling for step AP)
       val contrib = sorted.mapPartitions { it =>
         val pid = org.apache.spark.TaskContext.getPartitionId()
         val off = bOff.value
@@ -358,7 +355,7 @@ object StagedEval {
         .agg((sum(col("a")) / sum(col("np"))).as("m"))
         .orderBy(col("round"))
         .localCheckpoint(true)
-    } finally sorted.unpersist()
+    } finally release()
   }
 
   /** Best round under the metric (1-based, like `best_iteration`+1 in

@@ -3444,9 +3444,10 @@ object Analytics {
     * that), with
     * revenue-desc + partkey ranking making the cumulative total tie-
     * free. Scale: the per-part rollup is the one data-scale shuffle;
-    * the cumulative window runs over the part-DIMENSION frame
-    * (bucket drill-down q90-style is the stated path when even parts
-    * outgrow a window), and the output is 3 class rows.
+    * the cumulative runs through the range-partitioned two-pass
+    * cumsum ([[graft.functions.DistributedRank.withPartitionedCumsum]]
+    * — no single-partition ordered window even if parts outgrow the
+    * dimension), and the output is 3 class rows.
     */
   val q133AbcClassification = GraftQuery(
     "q133_abc_classification",
@@ -4068,21 +4069,25 @@ object Analytics {
     * bucketing is total and engine-identical), customers absent from
     * an era carry tier 0 ("none"), and the matrix counts every
     * (from_tier, to_tier) cell. Scale: two conditional per-customer
-    * rollups from ONE scan, a full-outer dimension join, and a
-    * 6×6-sized count — ntile's single-partition ordering runs on the
-    * customer frame with the q90 drill-down named past that.
+    * rollups from ONE cached scan, a full-outer dimension join, and
+    * a 6×6-sized count — the quintiles come from the rank-derived
+    * exact ntile ([[graft.functions.DistributedRank.withNtile]]), so
+    * no customer-scale single-partition ordering exists anywhere.
     */
   val q142RfmTransition = GraftQuery(
     "q142_rfm_transition",
     (s, dir) => {
       val t = Tables(s, dir)
       val cut = lit(RfmEraCutoff).cast("timestamp")
+      // cache the per-customer rollup: both ntile builds and both
+      // era filters read it — ONE orders scan total
       val spend = t.orders.groupBy(col("o_custkey"))
         .agg(
           sum(when(col("o_orderdate") < cut,
             round(col("o_totalprice") * 100).cast("long"))).as("s1"),
           sum(when(col("o_orderdate") >= cut,
             round(col("o_totalprice") * 100).cast("long"))).as("s2"))
+        .cache()
       // tiers over |customers| are row-scale at a 100 TB SF: both
       // ntiles run through the rank-derived exact form
       // (DistributedRank.withNtile — identical tile sizing, no
@@ -4105,6 +4110,7 @@ object Analytics {
         .orderBy(col("from_tier"), col("to_tier"))
       out.persist().count()
       rel1(); rel2()
+      spend.unpersist(false)
       out
     },
     Some(s"""

@@ -480,8 +480,9 @@ class ScaleSpec extends AnyFunSuite {
 
   test("DistributedRank: exact global rank, no single-partition exchange") {
     import spark.implicits._
-    // unique unordered keys across many partitions
-    val df = (0 until 5000).map(i => (i * 2654435761L % 100003L, i))
+    // GENUINELY unique unordered keys across many partitions (no
+    // modulus: i * odd-constant is injective over Long)
+    val df = (0 until 5000).map(i => (i * 2654435761L, i))
       .toDF("k", "payload").repartition(16)
     val (ranked, release) = graft.functions.DistributedRank
       .withContiguousRank(df, "k", "rn", 8)
@@ -489,7 +490,7 @@ class ScaleSpec extends AnyFunSuite {
     // parity with the ground-truth sort order
     val got = out.orderBy(col("rn")).select(col("k")).collect()
       .map(_.getLong(0))
-    val want = (0 until 5000).map(i => i * 2654435761L % 100003L)
+    val want = (0 until 5000).map(i => i * 2654435761L)
       .sorted.toArray
     assert(got.sameElements(want), "rank order must equal the sorted keys")
     val rns = out.select(col("rn")).collect().map(_.getLong(0)).sorted
