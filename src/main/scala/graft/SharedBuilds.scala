@@ -8,10 +8,16 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * family's cache key (usually the sf dir plus tuning knobs), `V`
   * the built value, `frames` extracts the persisted DataFrames inside
   * `V` so [[clear]] can unpersist and [[live]] can answer the
-  * harness's is-this-shared check. Entries die with their session
-  * (SparkSession doesn't override equals, so WeakHashMap lookup IS
-  * identity); Bench repeat mode calls [[clear]] between timed runs so
-  * each `_shared_build` row runs cold.
+  * harness's is-this-shared check. Lookup is session-identity
+  * (SparkSession doesn't override equals). NOTE the WeakHashMap is
+  * keyed-by-identity only, NOT an eviction mechanism: the cached
+  * DataFrames strongly reference their SparkSession, so per the
+  * WeakHashMap contract an entry can never be weakly collected while
+  * its value lives — eviction is [[clear]]-only (Bench repeat mode
+  * calls it between timed runs so each `_shared_build` row runs
+  * cold) or process exit. Fine for the one-session-per-JVM harness
+  * processes this engine runs in; a long-lived multi-session server
+  * would want an explicit per-session close hook calling [[clear]].
   */
 private[graft] final class SessionMemo[K, V](frames: V => Seq[DataFrame]) {
   private val cache =

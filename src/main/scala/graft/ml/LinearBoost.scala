@@ -55,11 +55,20 @@ object LinearBoost {
         * surface [[StagedEval]] gives tree models, extended to the
         * linear booster. Model-sized: numRound × numFeat doubles.
         */
-      val snapshots: Option[Array[(Array[Double], Double)]] = None
+      val snapshots: Option[Array[(Array[Double], Double)]] = None,
+      /** Per-round coordinate indices the feature_selector actually
+        * moved (training-time diagnostics, not persisted) — the
+        * surface the ml_gblinear selector gates verify MECHANISM
+        * properties on (cyclic/shuffle coverage, random determinism)
+        * instead of data-dependent loss inequalities. Model-sized:
+        * numRound × top_k ints.
+        */
+      val selectedHistory: Option[Array[Array[Int]]] = None
   ) extends Model[LinearModel] {
 
     override def copy(extra: ParamMap): LinearModel =
-      new LinearModel(uid, weights, bias, base, objective, snapshots)
+      new LinearModel(uid, weights, bias, base, objective, snapshots,
+        selectedHistory)
 
     /** The model as of round `rounds` (1-based) — exact: coordinate
       * descent is a state sequence, so truncation replays the
@@ -73,7 +82,7 @@ object LinearBoost {
         s"rounds must be in [1, ${snaps.length}], got $rounds")
       val (w, b) = snaps(rounds - 1)
       new LinearModel(uid, w.clone(), b, base, objective,
-        Some(snaps.take(rounds)))
+        Some(snaps.take(rounds)), selectedHistory.map(_.take(rounds)))
     }
 
     override def transformSchema(schema: StructType): StructType =
@@ -134,6 +143,7 @@ object LinearBoost {
     var bias = 0.0
     val hist = new ArrayBuffer[Double](params.numRound)
     val snaps = new ArrayBuffer[(Array[Double], Double)](params.numRound)
+    val selHist = new ArrayBuffer[Array[Int]](params.numRound)
     // loss denominator: total weight (or row count), one action
     val denom = math.max(
       if (hasW) src.select(sum(col("w"))).head().getDouble(0)
@@ -198,6 +208,15 @@ object LinearBoost {
     // coordinates moved per round under a selective feature_selector
     val k =
       if (params.topK > 0) math.min(params.topK, numFeat) else numFeat
+    // ONE per-fit permutation for the "shuffle" selector, seeded by
+    // params.seed alone; rounds advance a cyclic window over it.
+    // XGBoost's shuffled-cyclic keeps cyclic's coverage guarantee
+    // (every coordinate touched every ⌈numFeat/k⌉ rounds) — a fresh
+    // per-round permutation can starve hash-unlucky coordinates for
+    // many rounds under small top_k.
+    lazy val shufflePerm: IndexedSeq[Int] =
+      (0 until numFeat).sortBy(j =>
+        (GraftBoost.fmix64(params.seed ^ (j * 0xc2b2ae3d27d4eb4fL)), j))
     var s = statsPass()
     for (r <- 1 to params.numRound) {
       val gSum = s(0)
@@ -241,14 +260,11 @@ object LinearBoost {
           // wrapped negative index would crash the weight update
           (0 until k).map(i => (((r - 1).toLong * k + i) % numFeat).toInt)
         case "shuffle" =>
-          // cyclic over a per-round deterministic permutation
+          // cyclic window over the ONE per-fit shuffled order
           // (XGBoost's "similar to cyclic but with random feature
           // shuffling prior to each update" — hash-ranked, no RNG)
-          (0 until numFeat)
-            .sortBy(j => GraftBoost.fmix64(
-              params.seed ^ (r * 0x9e3779b97f4a7c15L) ^
-                (j * 0xc2b2ae3d27d4eb4fL)))
-            .take(k)
+          (0 until k).map(i =>
+            shufflePerm((((r - 1).toLong * k + i) % numFeat).toInt))
         case "random" =>
           // with-replacement draws, deterministic per (seed, r, i)
           (0 until k).map { i =>
@@ -259,11 +275,13 @@ object LinearBoost {
           }.distinct
       }
       chosen.foreach(j => weights(j) += prop(j))
+      selHist += chosen.toArray
       s = statsPass()
       hist += lossOf(s)
       snaps += ((weights.clone(), bias))
     }
     (new LinearModel(s"gblinear_${params.seed}", weights, bias, base,
-      params.objective, Some(snaps.toArray)), hist.toArray)
+      params.objective, Some(snaps.toArray), Some(selHist.toArray)),
+      hist.toArray)
   }
 }

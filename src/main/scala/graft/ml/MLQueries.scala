@@ -1368,13 +1368,36 @@ object MLQueries {
           col("target"))
         .cache()
       val selFeats = Seq("l_quantity", "l_discount", "n1", "n2")
-      def selLoss(fs: String): Double =
+      def selFit(fs: String, rounds: Int = 6) =
         GraftBoost.train(sel, selFeats, "target",
-          GraftBoost.BoostParams("reg:squarederror", numRound = 6, eta = 0.8,
-            lambdaL2 = 0.0, booster = "gblinear",
+          GraftBoost.BoostParams("reg:squarederror", numRound = rounds,
+            eta = 0.8, lambdaL2 = 0.0, booster = "gblinear",
             featureSelector = fs, topK = 1))
-          .evalsResult("train")("rmse").last
-      val selectorOk = selLoss("greedy") < selLoss("cyclic")
+      def selLoss(fs: String): Double =
+        selFit(fs).evalsResult("train")("rmse").last
+      def selPicks(fit: GraftBoost.GraftBoostModel): Array[Int] =
+        fit.model.asInstanceOf[LinearBoost.LinearModel]
+          .selectedHistory.get.map(_.head)
+      // 5 % tolerance, not a strict inequality: the separation is
+      // data-dependent (a testdata regeneration could let cyclic tie
+      // within noise), but a BROKEN ranking selector — starving the
+      // informative coordinates for the planted noise ones — misses
+      // by multiples, which is what the gate is for
+      val selectorOk = selLoss("greedy") <= selLoss("cyclic") * 1.05
+      // shuffle: mechanism gate, margin-free — ONE per-fit
+      // permutation advanced cyclically, so with top_k=1 over 4
+      // features and 8 rounds the first 4 picks are a permutation of
+      // the features and rounds 5-8 repeat them exactly (the
+      // coverage guarantee a per-round reshuffle loses)
+      val sh = selPicks(selFit("shuffle", rounds = 8))
+      val shuffleOk = sh.length == 8 &&
+        sh.take(4).sorted.sameElements(0 until 4) &&
+        sh.drop(4).sameElements(sh.take(4))
+      // random: with-replacement draws must be in range and
+      // deterministic per seed (retry/reproducibility contract)
+      val r1 = selPicks(selFit("random"))
+      val r2 = selPicks(selFit("random"))
+      val randomOk = r1.sameElements(r2) && r1.forall(j => j >= 0 && j < 4)
       sel.unpersist(false)
       val out = GraftBoost.predict(model, df)
         .agg(
@@ -1386,7 +1409,9 @@ object MLQueries {
           lit(weightsOk).as("weights_recovered_ok"),
           lit(hist.zip(hist.tail).forall { case (a, b) => b <= a + 1e-9 })
             .as("history_ok"),
-          lit(selectorOk).as("greedy_selector_ok"))
+          lit(selectorOk).as("greedy_selector_ok"),
+          lit(shuffleOk).as("shuffle_coverage_ok"),
+          lit(randomOk).as("random_deterministic_ok"))
       out.persist().count()
       df.unpersist(false)
       out
@@ -1394,7 +1419,8 @@ object MLQueries {
     Some("""
       SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
              TRUE AS fit_ok, TRUE AS weights_recovered_ok, TRUE AS history_ok,
-             TRUE AS greedy_selector_ok
+             TRUE AS greedy_selector_ok, TRUE AS shuffle_coverage_ok,
+             TRUE AS random_deterministic_ok
       FROM lineitem
     """)
   )

@@ -242,6 +242,14 @@ final class GraftXGBModelML(
 
   override def write: MLWriter = new MLWriter {
     override protected def saveImpl(path: String): Unit = {
+      // standard spark.ml metadata FIRST: PipelineModel/
+      // CrossValidatorModel loading resolves every stage through
+      // DefaultParamsReader.loadParamsInstance, which reads
+      // <path>/metadata for the class name before dispatching to this
+      // class's own reader — without it a fitted pipeline containing
+      // this stage saves fine but fails to load (file-not-found)
+      org.apache.spark.ml.util.GraftPersistBridge.saveMetadata(
+        GraftXGBModelML.this, path, sparkSession)
       ModelIO.save(sparkSession, inner, new Path(path, "graft").toString)
       import org.json4s.DefaultFormats
       import org.json4s.jackson.Serialization
@@ -268,6 +276,10 @@ object GraftXGBModelML extends MLReadable[GraftXGBModelML] {
       import org.json4s.DefaultFormats
       import org.json4s.jackson.JsonMethods
       implicit val fmt: DefaultFormats.type = DefaultFormats
+      // validate the standard metadata written by saveImpl (loud
+      // class-mismatch error instead of a downstream parse failure)
+      org.apache.spark.ml.util.GraftPersistBridge.loadMetadataUid(
+        path, sparkSession, classOf[GraftXGBModelML].getName)
       val fs = new Path(path)
         .getFileSystem(sparkSession.sparkContext.hadoopConfiguration)
       val in = fs.open(new Path(path, "adapter_meta.json"))

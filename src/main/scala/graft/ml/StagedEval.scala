@@ -214,6 +214,7 @@ object StagedEval {
           .agg(sqrt(sum(pow(col("margin") - col("label"), 2) * col("w")) / sum(col("w"))).as("m"))
       case "auc" => aucByRound(staged)
       case "aucpr" => aucprByRound(staged)
+      case "aucpr-trapezoid" => aucprByRound(staged, trapezoid = true)
       case other =>
         throw new IllegalArgumentException(s"unknown metric: $other")
     }
@@ -314,27 +315,38 @@ object StagedEval {
     } finally release()
   }
 
-  /** Exact per-round PR-AUC as AVERAGE PRECISION — the step-wise
-    * integral AP = Σ_g (ΔR_g · P_g) over descending-margin tie
-    * groups (sklearn `average_precision_score` semantics; XGBoost's
-    * `aucpr` trapezoid-interpolates between points, which differs on
-    * coarse curves — divergence documented, the ranking it induces
-    * for early stopping is the same monotone quantity).
+  /** Exact per-round PR-AUC over descending-margin tie groups, in two
+    * interpolation flavors:
+    *
+    *  - step (`trapezoid = false`, the `aucpr` default): AVERAGE
+    *    PRECISION, AP = Σ_g ΔR_g · P_g — sklearn
+    *    `average_precision_score` semantics (each tie group
+    *    contributes p_g · precision AFTER absorbing the whole group).
+    *  - trapezoid (`trapezoid = true`, metric `aucpr-trapezoid`):
+    *    XGBoost-style linear interpolation between consecutive PR
+    *    points, Σ_g ΔR_g · (P_g + P_{g-1})/2, anchored at
+    *    P_0 = 1 for the zero-recall point (the PR-curve limit
+    *    convention). On coarse curves (few distinct margins, heavy
+    *    ties) the two differ materially — StagedEvalSpec pins the
+    *    divergence on a tie fixture; both induce the same monotone
+    *    better-than ranking on smooth curves.
     *
     * Same no-single-reducer shape as [[aucByRound]] (shared
     * [[tieGroupsWithOffsets]] machinery, descending margins): one
     * distributed walk with running TP/FP counters seeded from the
-    * prefix offsets sums p_g · precision_after_g per round; the
-    * closing division by nPos rides the final hash aggregation.
+    * prefix offsets; the previous group's precision needed by the
+    * trapezoid rule falls out of the SAME running state (tp0/(tp0+fp0)
+    * before absorbing the group — exact even at partition boundaries,
+    * where the offsets seed it), so no extra pass. ΔR_g = p_g / nPos
+    * lets the closing division by nPos ride the final hash
+    * aggregation.
     */
-  private[graft] def aucprByRound(staged: DataFrame): DataFrame = {
+  private[graft] def aucprByRound(
+      staged: DataFrame, trapezoid: Boolean = false): DataFrame = {
     val spark = staged.sparkSession
     import spark.implicits._
     val (sorted, bOff, release) = tieGroupsWithOffsets(staged, descending = true)
     try {
-      // running TP/FP per round within each sorted partition; each
-      // tie group contributes p_g · precision AFTER absorbing the
-      // whole group (standard tie handling for step AP)
       val contrib = sorted.mapPartitions { it =>
         val pid = org.apache.spark.TaskContext.getPartitionId()
         val off = bOff.value
@@ -346,7 +358,14 @@ object StagedEval {
           val fp = fp0 + n
           val (a0, p0) = a.getOrElse(r, (0.0, 0L))
           val prec = if (tp + fp > 0) tp.toDouble / (tp + fp).toDouble else 0.0
-          a(r) = (a0 + p * prec, p0 + p)
+          val g =
+            if (!trapezoid) prec
+            else {
+              val prevPrec =
+                if (tp0 + fp0 > 0) tp0.toDouble / (tp0 + fp0).toDouble else 1.0
+              (prec + prevPrec) / 2.0
+            }
+          a(r) = (a0 + p * g, p0 + p)
           cum(r) = (tp, fp)
         }
         a.iterator.map { case (r, (aa, pp)) => (r, aa, pp) }
@@ -364,7 +383,7 @@ object StagedEval {
     */
   def bestIteration(hist: Array[Double], metric: String): Int = {
     val idx = metric match {
-      case "auc" | "aucpr" => hist.indexOf(hist.max)
+      case "auc" | "aucpr" | "aucpr-trapezoid" => hist.indexOf(hist.max)
       case _               => hist.indexOf(hist.min)
     }
     idx + 1
@@ -379,7 +398,7 @@ object StagedEval {
   def stalledAt(hist: Array[Double], metric: String, patience: Int): Option[Int] = {
     require(patience >= 1, s"earlyStoppingRounds must be >= 1, got $patience")
     val better: (Double, Double) => Boolean =
-      if (metric == "auc" || metric == "aucpr") (v, b) => v > b
+      if (metric == "auc" || metric.startsWith("aucpr")) (v, b) => v > b
       else (v, b) => v < b
     var best = hist.headOption.getOrElse(return None)
     var bestRound = 1

@@ -999,7 +999,18 @@ object Dedup {
       val t = Tables(s, dir)
       val base = t.part.select(col("p_partkey"), col("p_brand"), col("p_name"))
         .withColumn("len", length(col("p_name")))
-      val a = base.select(col("p_partkey").as("ia"), col("p_brand"),
+      // fan the probe side out across the cluster: at sf0.1 `part` is
+      // ONE parquet split, so without this the entire blocks'
+      // cross-product (6.9M candidate pairs) — and every levenshtein —
+      // runs in a single task. Must be repartition-BY-NUM: a keyed
+      // repartition's tiny 20k-row shuffle gets coalesced straight
+      // back to 1 partition by AQE (measured: 3.7s vs 0.5s for the
+      // join+kernel stage). Round-robin is fine — the join is
+      // broadcast, so no co-partitioning is needed — and
+      // defaultParallelism sizes the fan-out to the cluster.
+      val fanout = s.sparkContext.defaultParallelism
+      val a = base.repartition(fanout)
+        .select(col("p_partkey").as("ia"), col("p_brand"),
         col("p_name").as("na"), col("len").as("la"),
         (col("len") / 3).cast("long").as("band"))
       val b = base.select(col("p_partkey").as("ib"), col("p_brand"),
@@ -1011,11 +1022,15 @@ object Dedup {
       // thresholded levenshtein (banded DP, O(len·k) with early
       // abandon, -1 when above the bound) computed ONCE in its own
       // projection — the candidate volume is the blocks' cross
-      // product, so the per-pair kernel cost is the whole query
+      // product, so the per-pair kernel cost is the whole query.
+      // MaterializeOnce fences the kernel: without it Catalyst pushes
+      // the `dist >= 0` predicate into the join condition and the
+      // kernel runs TWICE per candidate pair (the round-7 regression).
       a.join(b, Seq("p_brand", "band"))
         .filter(col("ia") < col("ib") && abs(col("la") - col("lb")) <= 2)
         .select(col("ia"), col("ib"), col("p_brand"),
-          levenshtein(col("na"), col("nb"), 2).cast("long").as("dist"))
+          graft.plans.MaterializeOnce(
+            levenshtein(col("na"), col("nb"), 2).cast("long")).as("dist"))
         .filter(col("dist") >= 0)
         .orderBy(col("ia"), col("ib"))
     },

@@ -15,8 +15,10 @@ import graft.sources.Tables
   * shape: binary column + metadata struct, a mapPartitions decode
   * stage that iterates batches without materializing a partition in
   * memory (the Scala analog of a Pandas-UDF `mapInPandas` pipeline),
-  * and frame-sampling that yields multiple rows per asset. Swapping
-  * the stub for a JNI/ffmpeg decoder changes only `decodeStub`.
+  * and frame-sampling that yields multiple rows per asset. A real
+  * JNI/ffmpeg decoder plugs in through the [[Multimodal.AssetCodec]]
+  * interface (`-Dgraft.codec.class=<FQCN>` or `AssetCodec.install`)
+  * with zero call-site changes; the stub is the sandbox default.
   *
   * Scale posture: assets never shuffle — decode is map-side; only
   * extracted (small) features flow into joins/aggregates downstream.
@@ -35,13 +37,59 @@ object Multimodal {
       first_frame_checksum: Long
   )
 
+  /** Pluggable per-asset decoder — the seam where a codec-bearing
+    * environment lights up real media decoding WITHOUT code change.
+    *
+    * Contract: `decode` must be a pure function of (docId, payload)
+    * (task retries and speculative execution re-decode), and the
+    * byte-arithmetic features the registered queries oracle-check
+    * (n_bytes, n_frames as ⌈bytes/FrameSize⌉, mean_byte) must be
+    * computed exactly as [[Multimodal.decodeStub]] computes them —
+    * they describe the payload, not its decoded content, so any codec
+    * can and must reproduce them. Codec-specific signal goes in
+    * first_frame_checksum (and, in a real deployment, additional
+    * columns outside the oracle-gated set). Implementations must be
+    * Serializable: the instance rides the task closure to executors.
+    */
+  trait AssetCodec extends Serializable {
+    def decode(docId: Long, payload: Array[Byte]): AssetFeatures
+  }
+
+  object AssetCodec {
+    /** The sandbox default: [[decodeStub]] behind the interface. */
+    object Stub extends AssetCodec {
+      override def decode(docId: Long, payload: Array[Byte]): AssetFeatures =
+        decodeStub(docId, payload)
+    }
+
+    /** Resolution order: an explicitly [[install]]ed codec (tests,
+      * programmatic setup), else `-Dgraft.codec.class=<FQCN>` (a
+      * no-arg-constructible AssetCodec on the classpath — the
+      * deploy-time hook for a JNI/ffmpeg build), else the stub.
+      */
+    @volatile private var installed: Option[AssetCodec] = None
+
+    def install(c: AssetCodec): Unit = { installed = Some(c) }
+    def reset(): Unit = { installed = None }
+
+    def current: AssetCodec = installed.getOrElse {
+      sys.props.get("graft.codec.class") match {
+        case Some(cn) =>
+          Class.forName(cn).getDeclaredConstructor()
+            .newInstance().asInstanceOf[AssetCodec]
+        case None => Stub
+      }
+    }
+  }
+
   /** ======== STUB ========
     * Deterministic fake decoder: real media decoding (image/audio/
     * video libs) is unavailable in this environment. Consumes the
     * payload bytes as if they were frames of FrameSize bytes and
     * emits per-asset features. Deterministic in the payload, so
     * results are reproducible and oracle-friendly for the metadata
-    * part. Replace with a real codec to productionize.
+    * part. A real codec plugs in through [[AssetCodec]] — no call
+    * site changes.
     */
   def decodeStub(docId: Long, payload: Array[Byte]): AssetFeatures = {
     val n = payload.length.toLong
@@ -102,10 +150,14 @@ object Multimodal {
     (s, dir) => {
       import s.implicits._
       val t = Tables(s, dir)
+      // resolve the codec ON THE DRIVER (one instance, shipped in the
+      // task closure) — resolving inside the lambda would re-reflect
+      // per partition and let executors disagree with the driver
+      val codec = AssetCodec.current
       t.documents
         .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
         .as[(Long, Array[Byte])]
-        .mapPartitions(_.map { case (id, bytes) => decodeStub(id, bytes) })
+        .mapPartitions(_.map { case (id, bytes) => codec.decode(id, bytes) })
         .toDF()
         .select(col("doc_id"), col("n_bytes"), col("n_frames"),
           round(col("mean_byte"), 6).as("mean_byte"))

@@ -198,17 +198,10 @@ object Similarity {
 
   /** IVF ANN top-k. `base` must be the cached (vec_id, v) corpus. */
   def annIvfTopK(base: DataFrame): DataFrame = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
-    val featured = base.withColumn("features", array_to_vector(col("v")))
-    val km = new KMeans().setK(NCells).setSeed(42L).setMaxIter(5)
-      .setFeaturesCol("features").setPredictionCol("cell")
-    val model = km.fit(featured)
-    val indexed = model.transform(featured)
-      .select(col("vec_id"), col("v"), col("cell"))
+    val centroids = coarseCentroids(base)
+    val indexed = withCell(base, centroids)
     // probe cells per query: distance of the query vector to every
     // centroid, keep the NProbe nearest cell ids
-    val centroids = model.clusterCenters.map(_.toArray)
     val queries = base.filter(col("vec_id") < NumQueries)
       .select(col("vec_id").as("qid"), col("v").as("qv"))
       .withColumn("cells", {
@@ -599,21 +592,66 @@ object Similarity {
     */
   val PqRecallGate = 0.2
 
-  /** PQ codebooks: one seeded KMeans per subspace over the corpus'
-    * unit-normalized sub-slices. At 100 TB the fit runs on a sample
-    * (codebooks are model-sized); encode is the full-corpus pass.
+  /** Training-sample cap for the driver-side codebook fits. 16k ×
+    * 64-dim doubles = 8 MB on the driver — model-sized like the PQ
+    * LUTs. FAISS trains on ~39×k to 256×k points; 16k covers k ≤ 64
+    * comfortably.
+    */
+  val CodebookTrainSample = 16384
+
+  /** Deterministic driver-side training sample: the CodebookTrainSample
+    * hash-smallest vec_ids — a per-partition bounded-heap top-k (no
+    * global sort materializes), collected and re-sorted by vec_id so
+    * the local fits accumulate in one canonical order regardless of
+    * task scheduling.
+    */
+  private def trainSample(df: DataFrame, vecCol: String): Array[Array[Double]] = {
+    val s = df.sparkSession
+    import s.implicits._
+    df.select(col("vec_id"), col(vecCol))
+      .orderBy(xxhash64(col("vec_id")), col("vec_id"))
+      .limit(CodebookTrainSample)
+      .as[(Long, Array[Double])].collect()
+      .sortBy(_._1).map(_._2)
+  }
+
+  /** PQ codebooks: one seeded local k-means per subspace over the
+    * sample's unit-normalized sub-slices. The fit runs DRIVER-SIDE on
+    * a bounded sample (graft.functions.LocalKMeans — see its scaladoc
+    * for why a distributed fit per subspace is the wrong shape:
+    * codebooks are model-sized and M sequential MLlib fits are pure
+    * scheduler latency, the round-7 drift); encode stays the
+    * full-corpus map-side pass.
     */
   private def pqCodebooks(unit: DataFrame): Array[Array[Array[Double]]] = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
+    val sample = trainSample(unit, "u")
     val subDim = Dim / PqSubspaces
     (0 until PqSubspaces).map { m =>
-      val sub = unit.select(
-        array_to_vector(slice(col("u"), m * subDim + 1, subDim)).as("features"))
-      new KMeans().setK(PqCodebook).setSeed(42L + m).setMaxIter(5)
-        .setFeaturesCol("features").fit(sub)
-        .clusterCenters.map(_.toArray)
+      val pts = sample.map(u => java.util.Arrays.copyOfRange(u, m * subDim, (m + 1) * subDim))
+      graft.functions.LocalKMeans.fitBest(pts, PqCodebook, 25, 42L + m)
     }.toArray
+  }
+
+  /** IVF coarse quantizer: seeded local k-means over a driver-side
+    * sample of the RAW (un-normalized) corpus — shared by sim_ann_ivf
+    * and sim_ann_ivfpq so the two gates always exercise the same
+    * coarse geometry.
+    */
+  private def coarseCentroids(base: DataFrame): Array[Array[Double]] =
+    graft.functions.LocalKMeans.fitBest(trainSample(base, "v"), NCells, 25, 42L)
+
+  /** Full-corpus cell assignment: broadcast centroids + one map-side
+    * primitive-loop pass — (vec_id, v, cell). At 100 TB this is the
+    * index build's only corpus-scale work (plus the clustered write).
+    */
+  private def withCell(base: DataFrame, centroids: Array[Array[Double]]): DataFrame = {
+    val s = base.sparkSession
+    import s.implicits._
+    val bc = s.sparkContext.broadcast(centroids)
+    base.select(col("vec_id"), col("v")).as[(Long, Array[Double])]
+      .mapPartitions(_.map { case (id, v) =>
+        (id, v, graft.functions.LocalKMeans.nearestIdx(bc.value, v))
+      }).toDF("vec_id", "v", "cell")
   }
 
   /** (vec_id, u) unit-normalized corpus (cosine ⇒ dot). */
@@ -732,17 +770,11 @@ object Similarity {
     * pins their composition.
     */
   def ivfPqTopK(base: DataFrame): DataFrame = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
     val s = base.sparkSession
     import s.implicits._
     // coarse quantizer: same seeded fit as the IVF query
-    val featured = base.withColumn("features", array_to_vector(col("v")))
-    val km = new KMeans().setK(NCells).setSeed(42L).setMaxIter(5)
-      .setFeaturesCol("features").setPredictionCol("cell")
-    val model = km.fit(featured)
-    val cells = model.transform(featured).select(col("vec_id"), col("cell"))
-    val centroids = model.clusterCenters.map(_.toArray)
+    val centroids = coarseCentroids(base)
+    val cells = withCell(base, centroids).select(col("vec_id"), col("cell"))
     // fine quantizer: PQ codes over the unit-normalized corpus
     val unit = unitCorpus(base).cache()
     val cbs = pqCodebooks(unit)

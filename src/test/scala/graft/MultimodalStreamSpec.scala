@@ -19,6 +19,30 @@ class MultimodalStreamSpec extends AnyFunSuite {
     assert(Multimodal.decodeStub(1L, Array.emptyByteArray).n_frames == 0L)
   }
 
+  test("codec swap preserves the oracle-gated columns (stub ⇄ custom)") {
+    // a "real" codec must reproduce the byte-arithmetic features the
+    // registered query oracle-checks; codec-specific signal lives in
+    // first_frame_checksum (NOT in the registered output). Installing
+    // one must leave mm_decode_features' output bit-identical.
+    val stubOut = SparkEntry.queries("mm_decode_features")(spark, sf)
+      .collect().map(_.toSeq)
+    object FancyCodec extends Multimodal.AssetCodec {
+      override def decode(id: Long, payload: Array[Byte]): Multimodal.AssetFeatures = {
+        val base = Multimodal.decodeStub(id, payload)
+        base.copy(first_frame_checksum = base.first_frame_checksum ^ 0x5eedL)
+      }
+    }
+    try {
+      Multimodal.AssetCodec.install(FancyCodec)
+      assert(Multimodal.AssetCodec.current eq FancyCodec)
+      val swapped = SparkEntry.queries("mm_decode_features")(spark, sf)
+        .collect().map(_.toSeq)
+      assert(swapped.toSeq == stubOut.toSeq,
+        "codec swap must not move the oracle-gated columns")
+    } finally Multimodal.AssetCodec.reset()
+    assert(Multimodal.AssetCodec.current eq Multimodal.AssetCodec.Stub)
+  }
+
   test("mm_decode_features agrees with mm_binary_metadata on sizes") {
     val meta = SparkEntry.queries("mm_binary_metadata")(spark, sf)
       .select("doc_id", "n_bytes", "n_frames")

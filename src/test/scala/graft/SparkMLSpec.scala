@@ -118,6 +118,28 @@ class SparkMLSpec extends AnyFunSuite {
     assert(proba.length == 2 && math.abs(proba.sum - 1.0) < 1e-9)
   }
 
+  test("fitted PipelineModel containing the adapter stage round-trips") {
+    // the round-7 gap: PipelineModel.load resolves each stage from
+    // <stagePath>/metadata via DefaultParamsReader.loadParamsInstance,
+    // so the model writer must emit the standard metadata file — a
+    // direct-model round-trip alone never exercises that path
+    val tmp = java.nio.file.Files.createTempDirectory("sparkml_pipe").toString
+    val pipe = new Pipeline().setStages(Array(
+      new VectorAssembler().setInputCols(Array("x1", "x2"))
+        .setOutputCol("features"),
+      new GraftXGBClassifierML().setLabelCol("y").setNumRound(5)
+        .setMaxDepth(2)))
+    val fitted = pipe.fit(clsFrame)
+    fitted.write.overwrite().save(s"$tmp/pipe")
+    val back = org.apache.spark.ml.PipelineModel.load(s"$tmp/pipe")
+    assert(back.stages(1).isInstanceOf[GraftXGBModelML])
+    val a = fitted.transform(clsFrame).select(col("prediction"))
+      .collect().map(_.getDouble(0))
+    val b = back.transform(clsFrame).select(col("prediction"))
+      .collect().map(_.getDouble(0))
+    assert(a.sameElements(b), "reloaded pipeline must score identically")
+  }
+
   test("schema validation refuses a missing features column loudly") {
     val est = new GraftXGBRegressorML().setLabelCol("y")
     intercept[IllegalArgumentException](est.fit(regFrame))

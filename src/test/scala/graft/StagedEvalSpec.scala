@@ -209,6 +209,37 @@ class StagedEvalSpec extends AnyFunSuite {
     assert(StagedEval.bestIteration(Array(0.4, 0.9, 0.7), "aucpr") == 2)
     assert(StagedEval.stalledAt(Array(0.8, 0.7, 0.6, 0.5), "aucpr", 2)
       .contains(3))
+
+    // trapezoid variant (XGBoost-style interpolation): brute force is
+    // the same walk with the group contribution averaged between the
+    // previous and current precision, anchored at P=1 for zero recall
+    val gotT = StagedEval.aucprByRound(df, trapezoid = true).collect()
+      .map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    val expectedT = rows.groupBy(_._1).map { case (round, rs) =>
+      val byMargin = rs.groupBy(_._3).toSeq.sortBy(-_._1)
+      var tp = 0L; var fp = 0L; var ap = 0.0
+      byMargin.foreach { case (_, g) =>
+        val p = g.count(_._2 == 1.0); val n = g.count(_._2 == 0.0)
+        val prevPrec = if (tp + fp > 0) tp.toDouble / (tp + fp) else 1.0
+        tp += p; fp += n
+        ap += p * (tp.toDouble / (tp + fp).toDouble + prevPrec) / 2.0
+      }
+      round -> ap / rs.count(_._2 == 1.0)
+    }
+    expectedT.foreach { case (round, e) =>
+      assert(math.abs(gotT(round) - e) < 1e-12,
+        s"trapezoid round $round: got ${gotT(round)}, expected $e")
+    }
+    // the two interpolations genuinely DIVERGE on this tie-heavy
+    // fixture (coarse PR curve) — the documented XGBoost-vs-step gap
+    expected.foreach { case (round, e) =>
+      assert(math.abs(gotT(round) - e) > 1e-6,
+        s"fixture must separate step AP from trapezoid at round $round")
+    }
+    // maximize semantics cover the variant metric name too
+    assert(StagedEval.bestIteration(Array(0.4, 0.9, 0.7), "aucpr-trapezoid") == 2)
+    assert(StagedEval.stalledAt(Array(0.8, 0.7, 0.6, 0.5), "aucpr-trapezoid", 2)
+      .contains(3))
   }
 
   test("in-fit early stopping works on the aucpr metric") {
