@@ -18,6 +18,10 @@ object Bench {
       .master(s"local[$cpus]")
       .appName("graft-bench")
       .config("spark.sql.shuffle.partitions", cpus)
+      // split small files down to ~bytes/parallelism (see GraftSession
+      // scaladoc: default 4 MB open-cost floor single-tasks the
+      // bench-scale scans; inert at 100 TB where maxPartitionBytes binds)
+      .config("spark.sql.files.openCostInBytes", (64 * 1024).toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")

@@ -45,6 +45,14 @@ object GraftSession {
       .master(s"local[$cores]")
       .appName(appName)
       .config("spark.sql.shuffle.partitions", cores.toString)
+      // let small parquet files split down to ~totalBytes/parallelism:
+      // the default 4 MB open-cost floor leaves the bench-scale tables
+      // at 1-3 splits, so scan-side kernels (tokenize/shingle/regex)
+      // and the ML loops' per-round histogram passes run on a fraction
+      // of the task slots. Scale-safe: open cost only binds for SMALL
+      // files — at 100 TB splits are maxPartitionBytes-bound (default
+      // 128 MB, untouched) and this setting is inert.
+      .config("spark.sql.files.openCostInBytes", (64 * 1024).toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")

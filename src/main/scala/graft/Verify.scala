@@ -14,6 +14,10 @@ object Verify {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // match Bench/GraftSession's small-file splitting so the oracle
+      // gate exercises the same multi-partition plans (esp. float-sum
+      // partial orders) the bench runs — not a 1-split special case
+      .config("spark.sql.files.openCostInBytes", (64 * 1024).toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

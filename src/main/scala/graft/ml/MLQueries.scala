@@ -1386,17 +1386,18 @@ object MLQueries {
       val selectorOk = selLoss("greedy") <= selLoss("cyclic") * 1.05
       // shuffle: mechanism gate, margin-free — ONE per-fit
       // permutation advanced cyclically, so with top_k=1 over 4
-      // features and 8 rounds the first 4 picks are a permutation of
-      // the features and rounds 5-8 repeat them exactly (the
-      // coverage guarantee a per-round reshuffle loses)
-      val sh = selPicks(selFit("shuffle", rounds = 8))
-      val shuffleOk = sh.length == 8 &&
+      // features the first 4 picks are a permutation of the features
+      // and round 5 wraps back to pick 1 (the coverage guarantee a
+      // per-round reshuffle loses). 5 rounds proves both properties;
+      // every extra round is a full stats pass on the fixture.
+      val sh = selPicks(selFit("shuffle", rounds = 5))
+      val shuffleOk = sh.length == 5 &&
         sh.take(4).sorted.sameElements(0 until 4) &&
-        sh.drop(4).sameElements(sh.take(4))
+        sh(4) == sh(0)
       // random: with-replacement draws must be in range and
       // deterministic per seed (retry/reproducibility contract)
-      val r1 = selPicks(selFit("random"))
-      val r2 = selPicks(selFit("random"))
+      val r1 = selPicks(selFit("random", rounds = 3))
+      val r2 = selPicks(selFit("random", rounds = 3))
       val randomOk = r1.sameElements(r2) && r1.forall(j => j >= 0 && j < 4)
       sel.unpersist(false)
       val out = GraftBoost.predict(model, df)

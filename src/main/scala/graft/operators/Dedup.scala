@@ -120,7 +120,9 @@ object Dedup {
         "pairs whose shared shingles are ALL hot will not surface " +
         "(see Dedup.MaxShingleDf scaladoc). If this is an oracle-gated " +
         "corpus, expect divergence from the all-pairs oracle.")
-    val rare = ds.join(broadcast(hot), Seq("shingle"), "left_anti")
+    // cache the rare postings once: both self-join sides read them,
+    // and without the pin each side re-runs the explode + anti-join
+    val rare = ds.join(broadcast(hot), Seq("shingle"), "left_anti").cache()
     val a = rare.select(col("doc_id").as("ia"), col("n_sh").as("na"), col("shingle"))
     val b = rare.select(col("doc_id").as("ib"), col("n_sh").as("nb"), col("shingle"))
     val counted = a.join(b, Seq("shingle"))
@@ -155,6 +157,7 @@ object Dedup {
       .orderBy(col("ia"), col("ib"))
     out.persist().count()
     hot.unpersist(false)
+    rare.unpersist(false)
     out
   }
 
@@ -191,8 +194,14 @@ object Dedup {
       s: org.apache.spark.sql.SparkSession, dir: String, dfCap: Int): DataFrame =
     pairCache.getOrBuild(s, (dir, dfCap)) {
       // cache the SETS (pre-explode): exploding off the raw
-      // projection would re-inline the tokenizer per generated row
-      val sets = docShingleSets(Tables(s, dir).documents).cache()
+      // projection would re-inline the tokenizer per generated row.
+      // Fan the scan out BY NUMBER first: documents is one parquet
+      // split at bench scale, so without it the tokenize+shingle
+      // kernel runs in a single task (and a keyed/by-col repartition
+      // of so small a shuffle would be AQE-coalesced back to one).
+      val sets = docShingleSets(
+        Tables(s, dir).documents.repartition(s.sparkContext.defaultParallelism))
+        .cache()
       // ngramJaccardPairs pins its (small) pair result; release the
       // big shingle cache once it has materialized
       val out = ngramJaccardPairs(sets, dfCap)

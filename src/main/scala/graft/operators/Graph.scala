@@ -26,26 +26,6 @@ import graft.sources.Tables
   */
 object Graph {
 
-  /** Distinct undirected co-purchase edges (pa < pb): parts appearing
-    * in the same order. The self-join key is the order key — per-key
-    * fan-out is order size (single digits), so the join is uniform and
-    * the edge distinct is the only graph-sized shuffle.
-    */
-  private[graft] def copurchaseEdges(t: Tables): DataFrame = {
-    val items = t.lineitem
-      .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
-      .distinct()
-    items.as("a").join(items.as("b"),
-        col("a.o") === col("b.o") && col("a.p") < col("b.p"))
-      .select(col("a.p").as("pa"), col("b.p").as("pb"))
-      .distinct()
-  }
-
-  /** Symmetric (both directions) edge view, for degrees/messages. */
-  private def symmetric(edges: DataFrame): DataFrame =
-    edges.select(col("pa").as("u"), col("pb").as("v"))
-      .union(edges.select(col("pb").as("u"), col("pa").as("v")))
-
   /** Row-count guard for every broadcast whose frame scales with the
     * GRAPH rather than with a model: the oriented-edge closing probe
     * (data-scale) and the per-round rank/label/score vectors of the
@@ -93,13 +73,21 @@ object Graph {
     * cost of EVERY graph query — ~12s of each one's wall clock at
     * sf0.1 — so the five graph queries share ONE materialization, the
     * same sweep-level sharing Dedup.jaccardPairsShared established.
+    *
+    * The unweighted graph is DERIVED from the weighted one: the
+    * distinct pair set is exactly the weighted aggregation's key set,
+    * so dropping `cnt` from the cached weighted edges replaces a
+    * second per-order self-join (the former duplicate was ~2s of the
+    * `_shared_build` row at sf0.1) with a KB-scale scan of the cache.
     * Callers must NOT unpersist the returned frames.
     */
   private[graft] def copurchaseGraphShared(
       s: SparkSession, dir: String): (DataFrame, DataFrame) =
     graphCache.getOrBuild(s, dir) {
-      val edges = copurchaseEdges(Tables(s, dir)).cache()
-      val sym = symmetric(edges).cache()
+      val symW = copurchaseWeightedShared(s, dir)
+      val edges = symW.filter(col("u") < col("v"))
+        .select(col("u").as("pa"), col("v").as("pb")).cache()
+      val sym = symW.select(col("u"), col("v")).cache()
       sym.count()
       (edges, sym)
     }

@@ -39,6 +39,17 @@ object TextAnalysis {
     */
   def clearSharedCaches(): Unit = shareMemo.clear()
 
+  /** Fan a small scan out BY NUMBER before a heavy per-row kernel:
+    * documents is one parquet split at bench scale, so tokenize/
+    * regex/shingle projections otherwise run in a single task (a
+    * keyed/by-col repartition of so small a shuffle would be AQE-
+    * coalesced straight back to one partition). At 100 TB the scan
+    * has thousands of splits and this shuffle of slim rows sizes
+    * with the cluster — harmless.
+    */
+  private def fanned(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
   /** Lower-cased whitespace tokens. */
   def tokens(text: Column): Column = split(lower(text), "\\s+")
 
@@ -383,7 +394,7 @@ object TextAnalysis {
       (lit(1.0) - least(nPunct / nChars * lit(10.0), lit(1.0))) * lit(0.2)
     val normalized = trim(regexp_replace(lower(col("text")), "\\s+", " "))
     val zh = length(regexp_replace(col("text"), "[^\\u4e00-\\u9fff]", "")) > 0
-    t.documents
+    fanned(t.documents)
       .select(col("doc_id"), col("text"), tokens(col("text")).as("toks"))
       .select(col("doc_id"), col("text"), col("toks"),
         langBest(toks).as("best"))
@@ -1331,7 +1342,7 @@ object TextAnalysis {
     "text_tfidf",
     (s, dir) => {
       val t = Tables(s, dir)
-      val terms = t.documents
+      val terms = fanned(t.documents)
         .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
         .filter(length(col("term")) >= 3 && !isStopword(col("term")))
       val tf = terms.groupBy(col("doc_id"), col("term"))
@@ -1828,7 +1839,7 @@ object TextAnalysis {
       import graft.functions.GraftFunctions.sumDec
       import s.implicits._
       val t = Tables(s, dir)
-      val terms = t.documents
+      val terms = fanned(t.documents)
         .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
         .filter(length(col("term")) >= 3 && !isStopword(col("term")))
       val tf = terms.groupBy(col("doc_id"), col("term"))
@@ -2917,7 +2928,7 @@ object TextAnalysis {
   private def perSourceExcessKl(
       t: Tables, excessCol: String): (org.apache.spark.sql.DataFrame, () => Unit) = {
     import graft.functions.GraftFunctions.dec6
-    val toks = t.documents
+    val toks = fanned(t.documents)
       .select(col("source"), explode(tokens(col("text"))).as("term"))
       .filter(col("term") =!= "")
     // ONE corpus pass: the (source, term) counts are cached at
