@@ -361,7 +361,9 @@ object SparseBoost {
       maskSeed: Long = 0L
   ): SparseTree = {
     val g = new Grower(fit, edges, params, acc, allowed, constraints, maskSeed)
-    if (params.growPolicy == "lossguide") g.growLossguide() else g.growDepthwise()
+    try {
+      if (params.growPolicy == "lossguide") g.growLossguide() else g.growDepthwise()
+    } finally g.release()
   }
 
   /** Shared tree-growth machinery: the distributed histogram pass,
@@ -426,6 +428,25 @@ object SparseBoost {
 
     private val rows = fit.select(col("features"), col("g").cast("double"),
       col("h").cast("double"))
+
+    /** The SAME rows as a cached, already-deserialized typed RDD: a
+      * tree's growth reads the frame once per level (or lossguide
+      * expansion), and without this every pass re-decodes the whole
+      * frame's InternalRow→Vector — the dominant FIXED cost of a pass
+      * at bench scale (the per-row histogram arithmetic itself is
+      * microseconds). Identical partition layout and within-partition
+      * order as the source, so the driver's partition-index partial
+      * fold — and its bit-stable float sums — are unchanged. Released
+      * per tree by [[release]] (the next round's g/h differ).
+      */
+    private lazy val rowsTyped: org.apache.spark.rdd.RDD[(Vector, Double, Double)] = {
+      val s = fit.sparkSession
+      import s.implicits._
+      rows.as[(Vector, Double, Double)].rdd
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
+
+    private[ml] def release(): Unit = rowsTyped.unpersist(false)
 
     // interaction groups as index sets; empty = unconstrained
     private val interGroups: Array[Set[Int]] =
@@ -511,12 +532,9 @@ object SparseBoost {
       val slotL = slotOf
       val size = slotOf.size * perNode * 3
 
-      val partials = rows.rdd.mapPartitions { it =>
+      val partials = rowsTyped.mapPartitions { it =>
         val acc = new Array[Double](size)
-        it.foreach { row =>
-          val v = row.getAs[Vector](0)
-          val g = row.getDouble(1)
-          val h = row.getDouble(2)
+        it.foreach { case (v, g, h) =>
           var i = 0
           while (fSnap(i) >= 0) {
             val x = v(fSnap(i))
