@@ -18,6 +18,18 @@ import org.apache.spark.sql.types.{DecimalType, DoubleType}
   */
 object GraftFunctions {
 
+  /** Fan a small scan out BY NUMBER before a heavy per-row kernel —
+    * the CLAUDE.md tiny-input fan-out rule in one place. Bench-scale
+    * tables are 1-3 parquet splits, so tokenize/shingle/regex/edit-
+    * distance kernels otherwise run on a fraction of the task slots;
+    * a keyed/by-col repartition of so small a shuffle gets coalesced
+    * straight back to one partition by AQE, so it must be by-number.
+    * At 100 TB the scan has thousands of splits and this shuffle of
+    * slim rows sizes with the cluster — harmless.
+    */
+  def fanOut(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
   /** Money column (2 fractional digits) as an exact decimal term. */
   def dec2(c: Column): Column = c.cast(DecimalType(12, 2))
 

@@ -124,7 +124,11 @@ object LocalKMeans {
         var pot = 0.0
         i = 0
         while (i < n) { pot += math.min(minD2(i), sqDist(points(i), cand)); i += 1 }
-        if (pot < bestPot) { bestPot = pot; bestIdx = idx }
+        // `|| bestIdx < 0` guards NaN/∞ coordinates in the sample: a
+        // single NaN poisons every potential, every `<` comparison is
+        // false, and an unguarded loop would exit with bestIdx == -1
+        // (an opaque AIOOBE from inside an index build)
+        if (pot < bestPot || bestIdx < 0) { bestPot = pot; bestIdx = idx }
         t += 1
       }
       val chosen = points(bestIdx)

@@ -254,13 +254,10 @@ final class GraftXGBModelML(
       import org.json4s.DefaultFormats
       import org.json4s.jackson.Serialization
       implicit val fmt: DefaultFormats.type = DefaultFormats
-      val meta = Map(
-        "uid" -> uid,
-        "isClassifier" -> isClassifier,
-        "featuresCol" -> $(featuresCol),
-        "labelCol" -> $(labelCol),
-        "predictionCol" -> $(predictionCol),
-        "weightCol" -> $(weightCol))
+      // uid + params live in the STANDARD metadata file (one source
+      // of truth, restored via getAndSetParams); adapter_meta carries
+      // only what Params can't: the constructor flag
+      val meta = Map("isClassifier" -> isClassifier)
       val fs = new Path(path)
         .getFileSystem(sparkSession.sparkContext.hadoopConfiguration)
       val out = fs.create(new Path(path, "adapter_meta.json"), true)
@@ -276,10 +273,6 @@ object GraftXGBModelML extends MLReadable[GraftXGBModelML] {
       import org.json4s.DefaultFormats
       import org.json4s.jackson.JsonMethods
       implicit val fmt: DefaultFormats.type = DefaultFormats
-      // validate the standard metadata written by saveImpl (loud
-      // class-mismatch error instead of a downstream parse failure)
-      org.apache.spark.ml.util.GraftPersistBridge.loadMetadataUid(
-        path, sparkSession, classOf[GraftXGBModelML].getName)
       val fs = new Path(path)
         .getFileSystem(sparkSession.sparkContext.hadoopConfiguration)
       val in = fs.open(new Path(path, "adapter_meta.json"))
@@ -288,12 +281,15 @@ object GraftXGBModelML extends MLReadable[GraftXGBModelML] {
       val meta = JsonMethods.parse(json).extract[Map[String, Any]]
       val inner =
         ModelIO.load(sparkSession, new Path(path, "graft").toString)
-      val m = new GraftXGBModelML(meta("uid").asInstanceOf[String], inner,
+      // uid from the standard metadata (validated against this class);
+      // params restored onto the instance from the SAME file —
+      // adapter_meta carries only the constructor flag
+      val uid0 = org.apache.spark.ml.util.GraftPersistBridge.loadMetadataUid(
+        path, sparkSession, classOf[GraftXGBModelML].getName)
+      val m = new GraftXGBModelML(uid0, inner,
         meta("isClassifier").asInstanceOf[Boolean])
-      m.setFeaturesCol(meta("featuresCol").asInstanceOf[String])
-        .setLabelCol(meta("labelCol").asInstanceOf[String])
-        .setPredictionCol(meta("predictionCol").asInstanceOf[String])
-        .setWeightCol(meta("weightCol").asInstanceOf[String])
+      org.apache.spark.ml.util.GraftPersistBridge.loadMetadataInto(
+        m, path, sparkSession, classOf[GraftXGBModelML].getName)
       m
     }
   }

@@ -194,13 +194,10 @@ object Dedup {
       s: org.apache.spark.sql.SparkSession, dir: String, dfCap: Int): DataFrame =
     pairCache.getOrBuild(s, (dir, dfCap)) {
       // cache the SETS (pre-explode): exploding off the raw
-      // projection would re-inline the tokenizer per generated row.
-      // Fan the scan out BY NUMBER first: documents is one parquet
-      // split at bench scale, so without it the tokenize+shingle
-      // kernel runs in a single task (and a keyed/by-col repartition
-      // of so small a shuffle would be AQE-coalesced back to one).
+      // projection would re-inline the tokenizer per generated row;
+      // fanOut first or the tokenize+shingle kernel runs single-task
       val sets = docShingleSets(
-        Tables(s, dir).documents.repartition(s.sparkContext.defaultParallelism))
+        graft.functions.GraftFunctions.fanOut(Tables(s, dir).documents))
         .cache()
       // ngramJaccardPairs pins its (small) pair result; release the
       // big shingle cache once it has materialized
@@ -1008,17 +1005,12 @@ object Dedup {
       val t = Tables(s, dir)
       val base = t.part.select(col("p_partkey"), col("p_brand"), col("p_name"))
         .withColumn("len", length(col("p_name")))
-      // fan the probe side out across the cluster: at sf0.1 `part` is
-      // ONE parquet split, so without this the entire blocks'
-      // cross-product (6.9M candidate pairs) — and every levenshtein —
-      // runs in a single task. Must be repartition-BY-NUM: a keyed
-      // repartition's tiny 20k-row shuffle gets coalesced straight
-      // back to 1 partition by AQE (measured: 3.7s vs 0.5s for the
-      // join+kernel stage). Round-robin is fine — the join is
-      // broadcast, so no co-partitioning is needed — and
-      // defaultParallelism sizes the fan-out to the cluster.
-      val fanout = s.sparkContext.defaultParallelism
-      val a = base.repartition(fanout)
+      // fan the probe side out across the cluster (fanOut: at sf0.1
+      // `part` is ONE parquet split, so without this the entire
+      // blocks' cross-product — 6.9M candidate pairs, every
+      // levenshtein — runs in a single task; measured 3.7s vs 0.5s
+      // for the join+kernel stage)
+      val a = graft.functions.GraftFunctions.fanOut(base)
         .select(col("p_partkey").as("ia"), col("p_brand"),
         col("p_name").as("na"), col("len").as("la"),
         (col("len") / 3).cast("long").as("band"))
@@ -1035,7 +1027,11 @@ object Dedup {
       // MaterializeOnce fences the kernel: without it Catalyst pushes
       // the `dist >= 0` predicate into the join condition and the
       // kernel runs TWICE per candidate pair (the round-7 regression).
-      a.join(b, Seq("p_brand", "band"))
+      // broadcast(b) PINS the build side: the fan-out above only helps
+      // while `a` is the streamed side, and with both sides under the
+      // auto threshold an estimator flip would silently re-serialize
+      // the kernel onto b's single split.
+      a.join(broadcast(b), Seq("p_brand", "band"))
         .filter(col("ia") < col("ib") && abs(col("la") - col("lb")) <= 2)
         .select(col("ia"), col("ib"), col("p_brand"),
           graft.plans.MaterializeOnce(

@@ -88,7 +88,12 @@ object Graph {
       val edges = symW.filter(col("u") < col("v"))
         .select(col("u").as("pa"), col("v").as("pb")).cache()
       val sym = symW.select(col("u"), col("v")).cache()
+      // materialize BOTH caches here: edges no longer derives from sym
+      // (both read symW), so without its own count the first
+      // edges-consuming query's bench row would silently absorb the
+      // cache fill that _shared_build is supposed to pay
       sym.count()
+      edges.count()
       (edges, sym)
     }
 

@@ -15,10 +15,16 @@ import graft.sources.Tables
   * shape: binary column + metadata struct, a mapPartitions decode
   * stage that iterates batches without materializing a partition in
   * memory (the Scala analog of a Pandas-UDF `mapInPandas` pipeline),
-  * and frame-sampling that yields multiple rows per asset. A real
-  * JNI/ffmpeg decoder plugs in through the [[Multimodal.AssetCodec]]
-  * interface (`-Dgraft.codec.class=<FQCN>` or `AssetCodec.install`)
-  * with zero call-site changes; the stub is the sandbox default.
+  * and frame-sampling that yields multiple rows per asset. The DECODE
+  * stage (mm_decode_features) routes through the
+  * [[Multimodal.AssetCodec]] interface (`-Dgraft.codec.class=<FQCN>`
+  * or `AssetCodec.install`; stub is the sandbox default) — that is
+  * the one stage a real JNI/ffmpeg build replaces. The OTHER queries
+  * here (metadata, frame sampling, pHash/energy/cuts) deliberately
+  * compute byte-arithmetic features with relational expressions so
+  * they stay DuckDB-oracle-checkable; a production deployment would
+  * layer codec-derived columns NEXT TO them via the same seam, not
+  * swap their oracle-gated math.
   *
   * Scale posture: assets never shuffle — decode is map-side; only
   * extracted (small) features flow into joins/aggregates downstream.

@@ -39,16 +39,9 @@ object TextAnalysis {
     */
   def clearSharedCaches(): Unit = shareMemo.clear()
 
-  /** Fan a small scan out BY NUMBER before a heavy per-row kernel:
-    * documents is one parquet split at bench scale, so tokenize/
-    * regex/shingle projections otherwise run in a single task (a
-    * keyed/by-col repartition of so small a shuffle would be AQE-
-    * coalesced straight back to one partition). At 100 TB the scan
-    * has thousands of splits and this shuffle of slim rows sizes
-    * with the cluster — harmless.
-    */
+  /** [[graft.functions.GraftFunctions.fanOut]], locally named. */
   private def fanned(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
-    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    graft.functions.GraftFunctions.fanOut(df)
 
   /** Lower-cased whitespace tokens. */
   def tokens(text: Column): Column = split(lower(text), "\\s+")

@@ -27,4 +27,16 @@ object GraftPersistBridge {
   def loadMetadataUid(path: String, spark: SparkSession,
       expectedClassName: String): String =
     DefaultParamsReader.loadMetadata(path, spark, expectedClassName).uid
+
+  /** Parse `<path>/metadata`, set every persisted param on `instance`
+    * (the standard DefaultParamsReader path), and return the
+    * persisted uid — so adapters restore params from ONE source of
+    * truth instead of maintaining a parallel params JSON.
+    */
+  def loadMetadataInto(instance: Params, path: String, spark: SparkSession,
+      expectedClassName: String): String = {
+    val meta = DefaultParamsReader.loadMetadata(path, spark, expectedClassName)
+    meta.getAndSetParams(instance)
+    meta.uid
+  }
 }

@@ -39,6 +39,25 @@ class ScaleSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin"), "part dim should broadcast")
   }
 
+  test("fuzzy names: ONE levenshtein, none in the join, fanned probe, pinned build") {
+    // the round-7 regression class, pinned: (a) the thresholded kernel
+    // must appear exactly once (MaterializeOnce fences the dist >= 0
+    // predicate above the defining projection — unfenced, Catalyst
+    // pushes it into the join condition and the kernel runs twice per
+    // candidate pair); (b) the exploded side builds the broadcast hash
+    // (pinned with broadcast()) so the fanned-out probe side streams —
+    // an estimator flip would re-serialize the kernel onto one task
+    val plan = planOf("dedup_fuzzy_names")
+    val levCount = "levenshtein".r.findAllIn(plan).length
+    assert(levCount == 1, s"expected exactly one levenshtein in the plan, got $levCount")
+    val joinCond = plan.linesIterator.find(_.contains("Join condition")).getOrElse("")
+    assert(!joinCond.contains("levenshtein"),
+      s"kernel leaked into the join condition: $joinCond")
+    assert(plan.contains("BroadcastHashJoin"), "banded join must be broadcast")
+    assert(plan.contains("REPARTITION_BY_NUM"),
+      "probe side must be fanned out by-number (AQE-uncoalescible)")
+  }
+
   test("filtered vector search pushes the metadata predicate into the scan") {
     val plan = planOf("sim_ann_filtered")
     assert(plan.contains(s"EqualTo(label,${operators.Similarity.FilterLabel})"),
