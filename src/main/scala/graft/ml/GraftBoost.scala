@@ -33,6 +33,13 @@ import org.apache.spark.sql.functions._
   */
 object GraftBoost {
 
+  /** Minimum rows per task for the train-entry fan-out: below this a
+    * histogram/stats pass's per-task compute (µs/row primitive loops)
+    * drops under the task-launch overhead, and splitting wider makes
+    * round loops SLOWER. ~20k rows ≈ 2-20 ms of kernel per task.
+    */
+  val TrainRowsPerTask = 20000L
+
   /** Training parameters, mirroring the reference's canonical param
     * dict (`test_core.py:31-36`: max_depth, eta, objective) plus the
     * sklearn-wrapper knobs (`core.py:388-480`).
@@ -508,8 +515,31 @@ object GraftBoost {
         case _ => (m, learnImputation(df, featureCols, m))
       }
     }
-    val data = assemble(df, featureCols, imputation, keepNaN = native)
+    // Fan the training frame out BY NUMBER before the fit: a
+    // single-row-group parquet source leaves every row in ONE task
+    // regardless of split count (splits below row-group size are
+    // empty), which serializes every per-round stats/histogram pass —
+    // and MLlib's own iterations — onto one core. One shuffle of the
+    // slim assembled rows, amortized over numRound × levels passes;
+    // XGBoost4J-Spark likewise repartitions to its worker count at
+    // train entry. SIZE-AWARE: the partition count is
+    // n / TrainRowsPerTask capped at defaultParallelism — a tiny
+    // frame (softprob's 1.6k-row per-class loops) must NOT be split
+    // 32 ways, or task-launch overhead × (rounds × levels × classes)
+    // passes dominates (measured: 9.5s → 15s on ml_multiclass_softprob
+    // with an unconditional fan-out). The count() is one cheap scan —
+    // training then reads the frame rounds × levels times. Partition
+    // contents stay deterministic (sortBeforeRepartition), so the
+    // partition-index partial folds keep their bit-stability contract.
+    val assembled = assemble(df, featureCols, imputation, keepNaN = native)
       .withColumn("label", col(labelCol).cast("double"))
+    val trainParts = {
+      val n = assembled.count()
+      math.min(df.sparkSession.sparkContext.defaultParallelism.toLong,
+        math.max(1L, n / TrainRowsPerTask)).toInt
+    }
+    val data =
+      if (trainParts > 1) assembled.repartition(trainParts) else assembled
 
     if (params.booster == "gblinear") {
       require(!native,

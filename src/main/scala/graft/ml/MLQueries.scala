@@ -640,6 +640,16 @@ object MLQueries {
     * every drop must exceed −2 % (permuting one feature can only help
     * within noise) and SOME feature must matter (max drop > 0) —
     * value parity is spec-checked against per-feature recomputes.
+    *
+    * The label is a DETERMINISTIC function of l_quantity (the
+    * round-8 lesson: the original returnflag label had no real
+    * relationship to the features, the fitted model was
+    * majority-class-constant, and max-drop > 0 held only through
+    * partition-order noise in the fit — a gate that a mere
+    * repartition of the training frame flipped). With planted
+    * dependence the gate is structural: permuting l_quantity MUST
+    * destroy accuracy, and the uninformative columns demonstrate the
+    * within-noise-floor side.
     */
   val PermutationFeatures =
     Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
@@ -656,7 +666,7 @@ object MLQueries {
       val t = Tables(s, dir)
       val feats = PermutationFeatures
       val keyed = t.lineitem
-        .withColumn("label", (col("l_returnflag") === "R").cast("double"))
+        .withColumn("label", (col("l_quantity") > 25).cast("double"))
         .withColumn("rk",
           graft.operators.TextAnalysis.holdoutBucket(
             col("l_orderkey") * 8L + col("l_linenumber")) * 4294967296L +

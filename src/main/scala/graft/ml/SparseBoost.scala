@@ -500,15 +500,33 @@ object SparseBoost {
       else sampleMask(lvl, params.colsampleBynode, 7919L + stat.node)
     }
 
-    /** One distributed pass over the exact (G, H, count) totals —
-      * also seeds the root node's estimate and cover.
+    /** Root (G, H, count) totals DERIVED from the root histogram —
+      * every row lands in exactly one bin of feature 0 (regions
+      * 0..m₀ plus the missing bin), so summing that feature's slots
+      * reproduces the totals without the separate aggregation pass
+      * the old rootStat ran (one full frame scan per TREE saved).
+      * The bins are summed in ascending order — deterministic; the
+      * totals differ from a row-order SQL sum only in float
+      * association, the same tolerance every non-root node's stats
+      * (split-derived, i.e. histogram-derived) already carry.
+      * Also seeds the root node's estimate and cover.
       */
-    def rootStat(): NodeStat = {
-      val totals = rows.select(sum(col("g")), sum(col("h")), count(lit(1))).head()
-      value(0) = nodeEstimate(totals.getDouble(0), totals.getDouble(1))
-      cover(0) = totals.getDouble(1)
-      NodeStat(0, totals.getDouble(0), totals.getDouble(1),
-        totals.getLong(2).toDouble,
+    def rootStatFrom(rootHist: Array[Double]): NodeStat = {
+      val m0 = edges(0).length
+      var gT = 0.0
+      var hT = 0.0
+      var cT = 0.0
+      var b = 0
+      while (b <= m0 + 1) {
+        val o = (featOff(0) + b) * 3
+        gT += rootHist(o)
+        hT += rootHist(o + 1)
+        cT += rootHist(o + 2)
+        b += 1
+      }
+      value(0) = nodeEstimate(gT, hT)
+      cover(0) = hT
+      NodeStat(0, gT, hT, cT,
         Double.NegativeInfinity, Double.PositiveInfinity)
     }
 
@@ -714,11 +732,11 @@ object SparseBoost {
       * the per-feature binning loop.
       */
     def growDepthwise(): SparseTree = {
-      val root = rootStat()
+      val rootHist = histPass(Map(0 -> 0))
+      val root = rootStatFrom(rootHist)
       if (params.maxDepth <= 0) { finalizeLeaf(root); return result() }
       // fresh sibling pairs awaiting search, with their parent's block
       var pending = scala.Vector.empty[(NodeStat, NodeStat, Array[Double])]
-      val rootHist = histPass(Map(root.node -> 0))
       search(rootHist, 0, root) match {
         case Some(s) =>
           val (l, r) = applySplit(root, s)
@@ -796,8 +814,9 @@ object SparseBoost {
           case None => finalizeLeaf(stat)
         }
 
-      val root = rootStat()
-      enqueueOrFinalize(root, histPass(Map(root.node -> 0)), 0)
+      val rootHist = histPass(Map(0 -> 0))
+      val root = rootStatFrom(rootHist)
+      enqueueOrFinalize(root, rootHist, 0)
       while (leaves < maxLeaves && queue.nonEmpty) {
         val (s, stat, pBlock) = queue.dequeue()
         val (l, r) = applySplit(stat, s)

@@ -33,11 +33,15 @@ object StagedEval {
       labelCol: String,
       weightCol: Option[String]
   ): DataFrame = {
-    val data = GraftBoost.assemble(df, model.featureCols, model.imputation,
+    // fanOut: the staged walk does rounds × rows work in one
+    // mapPartitions — on a single-row-group source that is ONE task
+    // without the by-number repartition (see GraftBoost.train)
+    val data = graft.functions.GraftFunctions.fanOut(
+      GraftBoost.assemble(df, model.featureCols, model.imputation,
         keepNaN = model.missingStrategy == "native")
       .withColumn("label", col(labelCol).cast("double"))
       .withColumn("w", weightCol.map(col(_).cast("double")).getOrElse(lit(1.0)))
-      .select(col("features"), col("label"), col("w"))
+      .select(col("features"), col("label"), col("w")))
     val spark = df.sparkSession
     import spark.implicits._
 
@@ -127,10 +131,11 @@ object StagedEval {
       labelCol: String,
       weightCol: Option[String]
   ): DataFrame = {
-    val data = GraftBoost.assemble(df, model.featureCols, model.imputation)
+    val data = graft.functions.GraftFunctions.fanOut(
+      GraftBoost.assemble(df, model.featureCols, model.imputation)
       .withColumn("label", col(labelCol).cast("double"))
       .withColumn("w", weightCol.map(col(_).cast("double")).getOrElse(lit(1.0)))
-      .select(col("features"), col("label"), col("w"))
+      .select(col("features"), col("label"), col("w")))
     val spark = df.sparkSession
     import spark.implicits._
 

@@ -308,8 +308,14 @@ object TreeShap {
       s"input already has column(s) ${clash.mkString(", ")} that " +
       s"TreeShap would overwrite — rename or drop them before scoring")
     val ctx = forestCtx(model)
-    val data = GraftBoost.assemble(df, model.featureCols, model.imputation,
-      keepNaN = model.missingStrategy == "native")
+    // fanOut: the SHAP kernel is O(trees × depth²) per row (2·M
+    // conditioned walks for interactions) — heavy enough that the
+    // by-number repartition pays even at scale, and on a
+    // single-row-group source it is the difference between one task
+    // and the whole cluster (see GraftBoost.train)
+    val data = graft.functions.GraftFunctions.fanOut(
+      GraftBoost.assemble(df, model.featureCols, model.imputation,
+        keepNaN = model.missingStrategy == "native"))
     val bc = data.sparkSession.sparkContext.broadcast(ctx)
     val ku = udf((v: Vector) => {
       val c = bc.value
