@@ -2,29 +2,45 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-/** Weak-session-keyed build memo — THE pattern behind every shared
+/** Session-keyed build memo — THE pattern behind every shared
   * frame family (dedup pair graphs, graph co-purchase edges, text
   * postings/scoring/KL rollups). One instance per family; `K` is the
   * family's cache key (usually the sf dir plus tuning knobs), `V`
   * the built value, `frames` extracts the persisted DataFrames inside
   * `V` so [[clear]] can unpersist and [[live]] can answer the
   * harness's is-this-shared check. Lookup is session-identity
-  * (SparkSession doesn't override equals). NOTE the WeakHashMap is
-  * keyed-by-identity only, NOT an eviction mechanism: the cached
-  * DataFrames strongly reference their SparkSession, so per the
-  * WeakHashMap contract an entry can never be weakly collected while
-  * its value lives — eviction is [[clear]]-only (Bench repeat mode
+  * (SparkSession doesn't override equals).
+  *
+  * Eviction: the WeakHashMap key alone can never be weakly collected
+  * while its value lives (the cached DataFrames strongly reference
+  * their SparkSession), so every access additionally PRUNES entries
+  * whose session is dead — `isDead` defaults to the underlying
+  * context having stopped. A stopped session's entry (and the whole
+  * object graph behind it) becomes collectable at the next memo
+  * touch from any later session in the same JVM, so a long-lived
+  * multi-session server no longer leaks one entry per closed
+  * session. [[clear]] remains the explicit path (Bench repeat mode
   * calls it between timed runs so each `_shared_build` row runs
-  * cold) or process exit. Fine for the one-session-per-JVM harness
-  * processes this engine runs in; a long-lived multi-session server
-  * would want an explicit per-session close hook calling [[clear]].
+  * cold). `isDead` is injectable for the eviction spec only — a
+  * deterministic test can't stop the JVM-shared local context.
   */
-private[graft] final class SessionMemo[K, V](frames: V => Seq[DataFrame]) {
+private[graft] final class SessionMemo[K, V](
+    frames: V => Seq[DataFrame],
+    isDead: SparkSession => Boolean = _.sparkContext.isStopped) {
   private val cache =
     new java.util.WeakHashMap[SparkSession, scala.collection.mutable.Map[K, V]]()
 
+  /** Drop entries of dead sessions (no unpersist — their context is
+    * gone, the blocks with it). Callers hold the monitor.
+    */
+  private def evictDead(): Unit = {
+    val it = cache.entrySet().iterator()
+    while (it.hasNext) if (isDead(it.next().getKey)) it.remove()
+  }
+
   def getOrBuild(s: SparkSession, key: K)(build: => V): V =
     cache.synchronized {
+      evictDead()
       val perSession = {
         val cur = cache.get(s)
         if (cur != null) cur
@@ -36,8 +52,14 @@ private[graft] final class SessionMemo[K, V](frames: V => Seq[DataFrame]) {
       perSession.getOrElseUpdate(key, build)
     }
 
+  /** Live memo entries (dead sessions pruned first). */
+  private[graft] def entryCount: Int = cache.synchronized {
+    evictDead(); cache.size
+  }
+
   /** Every DataFrame inside a live memo entry. */
   def live: Seq[DataFrame] = cache.synchronized {
+    evictDead()
     import scala.jdk.CollectionConverters._
     cache.values().asScala.toSeq.flatMap(_.values.toSeq).flatMap(frames)
   }

@@ -10,7 +10,11 @@ object Verify {
     // the driver always runs the full surface)
     val only: Option[Set[String]] =
       if (args.length > 2) Some(args(2).split(",").toSet) else None
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // default = the DRIVER's grading parallelism (32): the builder's
+    // oracle gate must exercise the partition layouts the driver sees,
+    // or config-dependent flakes hide (the round-8 red row passed at
+    // the old 4-CPU default and failed only at 32)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)

@@ -37,8 +37,14 @@ object GraftBoost {
     * histogram/stats pass's per-task compute (µs/row primitive loops)
     * drops under the task-launch overhead, and splitting wider makes
     * round loops SLOWER. ~20k rows ≈ 2-20 ms of kernel per task.
+    *
+    * Overridable via `-Dgraft.train.rowsPerTask` so the partition-
+    * invariance sweep (GateInvarianceSpec) can force DIFFERENT
+    * training layouts on the same data and assert every fitted-model
+    * gate boolean is layout-independent — the round-8 flake class.
     */
-  val TrainRowsPerTask = 20000L
+  def TrainRowsPerTask: Long =
+    sys.props.get("graft.train.rowsPerTask").map(_.toLong).getOrElse(20000L)
 
   /** Training parameters, mirroring the reference's canonical param
     * dict (`test_core.py:31-36`: max_depth, eta, objective) plus the

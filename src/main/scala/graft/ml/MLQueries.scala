@@ -231,8 +231,16 @@ object MLQueries {
     * gate checks that additivity identity over the WHOLE table (1e-6
     * absolute — the two sides differ only in float summation order)
     * plus agreement between the attribution's top feature and the
-    * impurity importances' top feature on a fixture where one feature
-    * carries most of the signal.
+    * impurity importances' top feature.
+    *
+    * The agreement fixture is STRUCTURAL (round-9 fix for the r8 red
+    * row): the target is a deterministic function dominated by ONE
+    * feature — `100·l_quantity` spans [100, 5000] while the discount
+    * and tax terms span ≤ 1 — so both argmaxes must land on
+    * l_quantity regardless of partition layout or quantile-bin
+    * boundaries. The previous fixture (target = l_extendedprice over
+    * three correlated features) was a near-tie that flipped with the
+    * round-8 train-entry fan-out at driver parallelism.
     */
   val mlFeatureContribs = GraftQuery(
     "ml_feature_contributions",
@@ -240,7 +248,9 @@ object MLQueries {
       val t = Tables(s, dir)
       val feats = Seq("l_quantity", "l_discount", "l_tax")
       val df = t.lineitem
-        .select((feats.map(col) :+ col("l_extendedprice").as("target")): _*)
+        .select((feats.map(col) :+
+          (col("l_quantity") * 100.0 + col("l_discount") * 10.0 +
+            col("l_tax")).as("target")): _*)
         .cache()
       val m = GraftBoost.train(df, feats, "target",
         GraftBoost.BoostParams("reg:squarederror", numRound = 5,

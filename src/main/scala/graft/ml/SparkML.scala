@@ -281,16 +281,30 @@ object GraftXGBModelML extends MLReadable[GraftXGBModelML] {
       val meta = JsonMethods.parse(json).extract[Map[String, Any]]
       val inner =
         ModelIO.load(sparkSession, new Path(path, "graft").toString)
-      // uid from the standard metadata (validated against this class);
-      // params restored onto the instance from the SAME file —
-      // adapter_meta carries only the constructor flag
-      val uid0 = org.apache.spark.ml.util.GraftPersistBridge.loadMetadataUid(
-        path, sparkSession, classOf[GraftXGBModelML].getName)
-      val m = new GraftXGBModelML(uid0, inner,
-        meta("isClassifier").asInstanceOf[Boolean])
-      org.apache.spark.ml.util.GraftPersistBridge.loadMetadataInto(
-        m, path, sparkSession, classOf[GraftXGBModelML].getName)
-      m
+      if (fs.exists(new Path(path, "metadata"))) {
+        // current format: uid from the standard metadata (validated
+        // against this class); params restored onto the instance from
+        // the SAME file — adapter_meta carries only the constructor
+        // flag
+        val uid0 = org.apache.spark.ml.util.GraftPersistBridge.loadMetadataUid(
+          path, sparkSession, classOf[GraftXGBModelML].getName)
+        val m = new GraftXGBModelML(uid0, inner,
+          meta("isClassifier").asInstanceOf[Boolean])
+        org.apache.spark.ml.util.GraftPersistBridge.loadMetadataInto(
+          m, path, sparkSession, classOf[GraftXGBModelML].getName)
+        m
+      } else {
+        // legacy format (pre standard-metadata writer): everything —
+        // uid and the column params — lives in adapter_meta.json.
+        // Standalone models saved by that code must keep loading.
+        val m = new GraftXGBModelML(meta("uid").asInstanceOf[String], inner,
+          meta("isClassifier").asInstanceOf[Boolean])
+        m.setFeaturesCol(meta("featuresCol").asInstanceOf[String])
+          .setLabelCol(meta("labelCol").asInstanceOf[String])
+          .setPredictionCol(meta("predictionCol").asInstanceOf[String])
+          .setWeightCol(meta("weightCol").asInstanceOf[String])
+        m
+      }
     }
   }
 

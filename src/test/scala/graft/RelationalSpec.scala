@@ -7,7 +7,15 @@ import org.scalatest.funsuite.AnyFunSuite
 import graft.operators.Relational
 
 object TestSession {
-  lazy val spark: SparkSession = GraftSession.local(cores = 4, appName = "graft-test")
+  /** 4 cores keeps the suite cheap; `GRAFT_TEST_CPUS=32` reruns any
+    * spec at the driver's parallelism (GateInvarianceSpec's negative
+    * reproduction of the r8 flake needs the real defaultParallelism —
+    * scan bytes-per-core and task-slot count aren't emulatable from a
+    * 4-core context via conf alone).
+    */
+  lazy val spark: SparkSession = GraftSession.local(
+    cores = sys.env.getOrElse("GRAFT_TEST_CPUS", "4").toInt,
+    appName = "graft-test")
   val sf = "/root/testdata/sf0.001"
 }
 

@@ -118,6 +118,38 @@ class SparkMLSpec extends AnyFunSuite {
     assert(proba.length == 2 && math.abs(proba.sum - 1.0) < 1e-9)
   }
 
+  test("legacy saved models (adapter_meta-only, no standard metadata) load") {
+    // models written before the standard-metadata writer carry uid +
+    // column params ONLY in adapter_meta.json; the loader must fall
+    // back to those keys instead of failing file-not-found
+    val tmp = java.nio.file.Files.createTempDirectory("sparkml_legacy").toString
+    val df = new VectorAssembler().setInputCols(Array("x1", "x2"))
+      .setOutputCol("feats").transform(clsFrame)
+    val model = new GraftXGBClassifierML().setLabelCol("y").setNumRound(5)
+      .setMaxDepth(2).setFeaturesCol("feats").setPredictionCol("pred")
+      .fit(df)
+    model.write.overwrite().save(s"$tmp/model")
+    // rewrite the save dir into the legacy shape: drop <path>/metadata,
+    // expand adapter_meta.json to the old full key set
+    val dir = java.nio.file.Paths.get(s"$tmp/model")
+    import scala.jdk.CollectionConverters._
+    java.nio.file.Files.walk(dir.resolve("metadata")).iterator().asScala
+      .toSeq.reverse.foreach(java.nio.file.Files.delete)
+    // drop Hadoop LocalFileSystem's sidecar checksum — the rewritten
+    // adapter_meta.json must not fail the reader's CRC verification
+    java.nio.file.Files.deleteIfExists(dir.resolve(".adapter_meta.json.crc"))
+    java.nio.file.Files.writeString(dir.resolve("adapter_meta.json"),
+      s"""{"uid":"${model.uid}","isClassifier":true,"featuresCol":"feats",
+         |"labelCol":"y","predictionCol":"pred","weightCol":""}"""
+        .stripMargin.replace("\n", ""))
+    val back = GraftXGBModelML.load(s"$tmp/model")
+    assert(back.isClassifier && back.getFeaturesCol == "feats" &&
+      back.getPredictionCol == "pred" && back.uid == model.uid)
+    val a = model.transform(df).select(col("pred")).collect().map(_.getDouble(0))
+    val b = back.transform(df).select(col("pred")).collect().map(_.getDouble(0))
+    assert(a.sameElements(b), "legacy-loaded model must score identically")
+  }
+
   test("fitted PipelineModel containing the adapter stage round-trips") {
     // the round-7 gap: PipelineModel.load resolves each stage from
     // <stagePath>/metadata via DefaultParamsReader.loadParamsInstance,

@@ -25,6 +25,9 @@ either way. Gates:
 
 To re-baseline after an intentional perf change: run a quiet-host
 sweep and `python3 tools/bench_diff.py --write-baseline <sweep.json>`.
+--write-baseline REFUSES a sweep that reports failed queries or that
+is missing rows present in the current baseline (a partial sweep must
+not silently become the reference); `--force` overrides.
 """
 import json
 import os
@@ -68,6 +71,23 @@ def main():
 
     baseline_path = args[1] if len(args) > 1 else DEFAULT_BASELINE
     if write_baseline:
+        force = "--force" in sys.argv
+        problems = []
+        failed = sweep.get("failed")
+        if failed:
+            problems.append(f"sweep reports {failed} failed queries")
+        if os.path.exists(baseline_path):
+            with open(baseline_path) as f:
+                prev = json.load(f).get("queries", {})
+            dropped = sorted(set(prev) - set(rows))
+            if dropped:
+                problems.append(
+                    f"sweep is missing {len(dropped)} baseline rows "
+                    f"(e.g. {', '.join(dropped[:5])})")
+        if problems and not force:
+            raise SystemExit(
+                "refusing to write baseline: " + "; ".join(problems) +
+                " (pass --force to override)")
         out = {
             "total": sweep.get("value"),
             "sf": sweep.get("sf"),
