@@ -79,8 +79,18 @@ object MLQueries {
   def regressionDetail(s: SparkSession, dir: String): DataFrame = {
     val t = Tables(s, dir)
     val feats = Seq("l_quantity", "l_discount", "l_tax")
+    // STRUCTURAL target (round-9): the driver's synthetic lineitem has
+    // NO feature-target correlation for l_extendedprice (corr ≈ 0.003),
+    // so a raw-corpus target left the old sse gate a 0.2 % overfit
+    // hair — the r8 near-tie flake class. The target is a deterministic
+    // function of the features (spans ~100-5200) plus an uncorrelated
+    // extendedprice term (~1-100) as irreducible noise, so the fitted
+    // model must cut SSE by an order of magnitude, not by luck.
     val df = t.lineitem
-      .select((feats.map(col) :+ col("l_extendedprice").as("target")): _*)
+      .withColumn("target",
+        col("l_quantity") * 100.0 + col("l_discount") * 1000.0 +
+          col("l_tax") * 500.0 + col("l_extendedprice") * 0.001)
+      .select((feats.map(col) :+ col("target")): _*)
       .cache()
     val reg = new GraftXGBRegressor()
       .setNEstimators(10).setMaxDepth(3).setLearningRate(0.3).setMaxBins(16)
@@ -89,7 +99,7 @@ object MLQueries {
       .agg(
         count(lit(1)).as("n"),
         count(when(col("prediction") > col("target"), 1)).as("n_over"),
-        count(when(abs(col("prediction") - col("target")) < 20000, 1)).as("n_close"),
+        count(when(abs(col("prediction") - col("target")) < 500, 1)).as("n_close"),
         sum(pow(col("prediction") - col("target"), 2)).as("sse_model"),
         (var_pop(col("target")) * count(lit(1))).as("sse_mean"))
     val pinned = out.persist()
@@ -99,15 +109,16 @@ object MLQueries {
   }
 
   /** Regression train+score (`XGBRegressor` lifecycle). Gate: the
-    * fitted model beats the constant-mean predictor on its own train
-    * set (R² > 0) — the first boosting step already guarantees it.
+    * fitted model halves the constant-mean predictor's train SSE —
+    * wide slack both ways on the structural target (measured R² well
+    * above 0.9; a broken feature path stays at ~1.0 and trips it).
     */
   val mlRegression = GraftQuery(
     "ml_regression_train_predict",
     (s, dir) => {
       val d = regressionDetail(s, dir)
       val out = d.select(col("n"),
-        (col("sse_model") <= col("sse_mean")).as("fit_ok"))
+        (col("sse_model") < col("sse_mean") * 0.5).as("fit_ok"))
       out.persist().count()
       d.unpersist(false)
       out
@@ -178,8 +189,15 @@ object MLQueries {
     * over the fact table. Gates: (a) train-set coverage lands near α
     * (a broken line search collapses to the squared-loss mean and
     * drops to ~0.5), and (b) the model's pinball loss beats the
-    * constant global-α-quantile predictor — the base score F₀ is
-    * exactly that predictor, so any useful round must improve on it.
+    * constant global-α-quantile predictor by a wide margin.
+    *
+    * STRUCTURAL target (round-9): the synthetic corpus has no
+    * feature that predicts l_extendedprice (corr ≈ 0.003), which left
+    * the old pinball gate a 0.02 % near-tie — the r8 flake class. The
+    * quantity term (100-5000) is learnable structure, the
+    * uncorrelated extendedprice term (~1-100) is genuine conditional
+    * spread, so per-leaf quantiles beat the global quantile solidly
+    * (measured ratio 0.61 at sf0.01) while coverage stays ≈ α.
     */
   val mlQuantile = GraftQuery(
     "ml_quantile_regression",
@@ -188,7 +206,9 @@ object MLQueries {
       val feats = Seq("l_quantity", "l_discount", "l_tax")
       val alpha = 0.9
       val df = t.lineitem
-        .select((feats.map(col) :+ col("l_extendedprice").as("target")): _*)
+        .withColumn("target",
+          col("l_quantity") * 100.0 + col("l_extendedprice") * 0.001)
+        .select((feats.map(col) :+ col("target")): _*)
         .cache()
       // subsample = 0.2 (XGBoost stochastic boosting): each round is
       // an INDEPENDENT tree fit + exact leaf-percentile pass (unlike
@@ -211,9 +231,13 @@ object MLQueries {
           avg((col("target") <= col("prediction")).cast("double")).as("cov"),
           pin(col("prediction")).as("pin_model"),
           pin(lit(q90)).as("pin_const"))
+        // margins sized from the measured operating point (cov 0.938,
+        // pinball ratio 0.61 at sf0.01): a broken line search lands at
+        // cov ≈ 0.5 / ratio ≈ 1.0, an intact one stays well inside —
+        // no boundary within jitter distance in either direction
         .select(col("n_rows").cast("long").as("n_rows"),
-          (abs(col("cov") - alpha) < 0.05).as("cov_ok"),
-          (col("pin_model") < col("pin_const")).as("pinball_ok"))
+          (abs(col("cov") - alpha) < 0.1).as("cov_ok"),
+          (col("pin_model") < col("pin_const") * 0.8).as("pinball_ok"))
       out.persist().count()
       df.unpersist()
       out
@@ -919,23 +943,31 @@ object MLQueries {
   /** Tweedie severity lifecycle ([[SparseBoost]] `reg:tweedie`, the
     * XGBoost insurance objective via the reference's params
     * passthrough). The target is zero-inflated by construction —
-    * quantity paid out only on returned lines — exactly the compound
+    * ~45 % of rows pay zero severity, the rest a positive amount
+    * scaling with quantity × excess discount — exactly the compound
     * Poisson-gamma shape (point mass at zero + positive skew) that
     * squared error mis-centers and gamma cannot touch (y > 0
     * required). Gates: the train tweedie-nloglik history falls, every
     * prediction is strictly positive (log link), and the model's
-    * mean absolute error beats the constant global-mean predictor —
-    * the base margin IS that predictor, so any useful round improves
-    * on it. n_rows / n_zero are exact SQL.
+    * mean absolute error HALVES the constant global-mean predictor's
+    * (wide slack: the label is a deterministic function of the
+    * features). n_rows / n_zero are exact SQL.
     */
   val mlTweedie = GraftQuery(
     "ml_tweedie_severity",
     (s, dir) => {
       val t = Tables(s, dir)
-      val feats = Seq("l_extendedprice", "l_discount", "l_tax")
+      val feats = Seq("l_quantity", "l_discount", "l_tax")
+      // STRUCTURAL severity label (round-9): ~45 % exact zeros (the
+      // tweedie point mass) below the discount threshold, positive
+      // severity determined by the features above it — the old label
+      // (quantity on returned lines) was unpredictable from the
+      // feature set on this synthetic corpus, leaving the mae gate a
+      // 0.07 % near-tie of two fitted constants (the r8 flake class).
       val df = t.lineitem
         .withColumn("label",
-          when(col("l_returnflag") === "R", col("l_quantity").cast("double"))
+          when(col("l_discount") >= 0.05,
+            col("l_quantity") * (col("l_discount") - 0.04) * 100.0)
             .otherwise(lit(0.0)))
         .select((feats.map(col) :+ col("label")): _*)
         .cache()
@@ -955,7 +987,7 @@ object MLQueries {
           col("n_rows").cast("long").as("n_rows"),
           col("n_zero").cast("long").as("n_zero"),
           (col("min_pred") > 0.0).as("positive_ok"),
-          (col("mae_model") < col("mae_const")).as("beats_const_ok"),
+          (col("mae_model") < col("mae_const") * 0.5).as("beats_const_ok"),
           lit(hist.last < hist.head).as("nloglik_improves_ok"))
       out.persist().count()
       df.unpersist(false)
@@ -963,7 +995,7 @@ object MLQueries {
     },
     Some("""
       SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
-             CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 0 ELSE 1 END) AS BIGINT)
+             CAST(SUM(CASE WHEN l_discount >= 0.05 THEN 0 ELSE 1 END) AS BIGINT)
                AS n_zero,
              TRUE AS positive_ok, TRUE AS beats_const_ok,
              TRUE AS nloglik_improves_ok
