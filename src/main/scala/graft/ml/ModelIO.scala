@@ -139,7 +139,19 @@ object ModelIO {
             "argmax classes agree, probability vectors are approximate.")
       }
       else None
-    missing.toSeq ++ multi.toSeq
+    val gblinear = model.model match {
+      case _: LinearBoost.LinearModel =>
+        Some("gblinear shuffle selector: ONE per-fit permutation advanced " +
+          "cyclically across rounds — INTENTIONAL divergence from " +
+          "XGBoost's documented per-round reshuffle (updater.cc " +
+          "shuffle before each update). Chosen for deterministic, " +
+          "partition-independent coordinate coverage; ml_gblinear's " +
+          "shuffle_coverage_ok gate pins THIS mechanism, so restoring " +
+          "exact reference parity must update that gate in the same " +
+          "change.")
+      case _ => None
+    }
+    missing.toSeq ++ multi.toSeq ++ gblinear.toSeq
   }
 
   def save(spark: SparkSession, model: GraftBoostModel, path: String): Unit = {

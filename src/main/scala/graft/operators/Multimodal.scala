@@ -151,20 +151,31 @@ object Multimodal {
     * bytes); the stub's rolling checksum stays out of the registered
     * output and is pinned by MultimodalStreamSpec instead.
     */
+  /** The FULL decoded-asset frame, codec-specific columns included
+    * (first_frame_checksum) — the surface a production pipeline joins
+    * downstream of the seam. The registered query below keeps only
+    * the oracle-checkable subset; the spec layer drives THIS frame to
+    * prove an installed codec's signal actually flows through the
+    * distributed mapPartitions decode, not just a driver-side lookup.
+    */
+  def decodedAssets(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val t = Tables(s, dir)
+    // resolve the codec ON THE DRIVER (one instance, shipped in the
+    // task closure) — resolving inside the lambda would re-reflect
+    // per partition and let executors disagree with the driver
+    val codec = AssetCodec.current
+    t.documents
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) => codec.decode(id, bytes) })
+      .toDF()
+  }
+
   val mmDecodeFeatures = GraftQuery(
     "mm_decode_features",
     (s, dir) => {
-      import s.implicits._
-      val t = Tables(s, dir)
-      // resolve the codec ON THE DRIVER (one instance, shipped in the
-      // task closure) — resolving inside the lambda would re-reflect
-      // per partition and let executors disagree with the driver
-      val codec = AssetCodec.current
-      t.documents
-        .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
-        .as[(Long, Array[Byte])]
-        .mapPartitions(_.map { case (id, bytes) => codec.decode(id, bytes) })
-        .toDF()
+      decodedAssets(s, dir)
         .select(col("doc_id"), col("n_bytes"), col("n_frames"),
           round(col("mean_byte"), 6).as("mean_byte"))
         .orderBy(col("doc_id"))

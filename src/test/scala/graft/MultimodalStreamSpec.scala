@@ -32,6 +32,9 @@ class MultimodalStreamSpec extends AnyFunSuite {
         base.copy(first_frame_checksum = base.first_frame_checksum ^ 0x5eedL)
       }
     }
+    val stubChecksums = Multimodal.decodedAssets(spark, sf)
+      .select(col("doc_id"), col("first_frame_checksum"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     try {
       Multimodal.AssetCodec.install(FancyCodec)
       assert(Multimodal.AssetCodec.current eq FancyCodec)
@@ -39,6 +42,17 @@ class MultimodalStreamSpec extends AnyFunSuite {
         .collect().map(_.toSeq)
       assert(swapped.toSeq == stubOut.toSeq,
         "codec swap must not move the oracle-gated columns")
+      // ...while the codec-derived column must CARRY the new codec's
+      // signal through the distributed decode (executor-side
+      // mapPartitions, not a driver-only dispatch)
+      val fancy = Multimodal.decodedAssets(spark, sf)
+        .select(col("doc_id"), col("first_frame_checksum"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(fancy.keySet == stubChecksums.keySet)
+      fancy.foreach { case (id, ck) =>
+        assert(ck == (stubChecksums(id) ^ 0x5eedL),
+          s"doc $id: installed codec's signal missing from decode output")
+      }
     } finally Multimodal.AssetCodec.reset()
     assert(Multimodal.AssetCodec.current eq Multimodal.AssetCodec.Stub)
   }
