@@ -1478,10 +1478,95 @@ object MLQueries {
     """)
   )
 
+  /** XGBoost JSON model-interchange lifecycle ([[XgbJson]], the
+    * public `save_model("model.json")` schema): fit a native forest,
+    * export it to the XGBoost document, ingest the document back, and
+    * gate that (a) every tree round-trips structurally bit-for-bit
+    * (features, thresholds through the strict-< nextUp/nextDown
+    * shift, values, default directions, covers) and (b) the ingested
+    * model scores the WHOLE table byte-identically to the original —
+    * one distributed pass scoring both broadcast models side by side.
+    * The same fit also drives the [[TreeDump]] `trees_to_dataframe`
+    * surface, gating its structural identities: node census, the
+    * binary-tree leaf count (leaves = internals + trees), leaf rows
+    * carrying the leaf VALUE in the Gain column (the reference's
+    * convention), and the dump's per-feature gain totals matching the
+    * training-time `get_score` total_gain statistics. All gates are
+    * exact/near-exact identities of deterministic driver-side
+    * artifacts, layout-invariant by construction.
+    */
+  val mlModelInterchange = GraftQuery(
+    "ml_model_interchange",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val feats = Seq("l_quantity", "l_discount", "l_tax")
+      val df = t.lineitem
+        .withColumn("target",
+          col("l_quantity") * 100.0 + col("l_discount") * 1000.0 +
+            col("l_tax") * 500.0)
+        .select((feats.map(col) :+ col("target")): _*)
+        .cache()
+      val m = GraftBoost.train(df, feats, "target",
+        GraftBoost.BoostParams("reg:squarederror", numRound = 3,
+          maxDepth = 3, maxBins = 8, splitProposal = "approx",
+          missing = Some(-999.0), missingStrategy = "native"))
+      val back = XgbJson.importModel(XgbJson.export(m))
+      val sm = m.model.asInstanceOf[SparseBoost.SparseModel]
+      val bm = back.model.asInstanceOf[SparseBoost.SparseModel]
+      val structuralOk = bm.base == sm.base &&
+        bm.trees.length == sm.trees.length &&
+        sm.trees.zip(bm.trees).forall { case (a, b) =>
+          a.feature.sameElements(b.feature) &&
+          a.thresh.sameElements(b.thresh) &&
+          a.left.sameElements(b.left) && a.right.sameElements(b.right) &&
+          a.defaultLeft.sameElements(b.defaultLeft) &&
+          a.value.sameElements(b.value) && a.cover.sameElements(b.cover)
+        }
+      // trees_to_dataframe identities off the same fit (model-sized
+      // driver data — the dump is trees × nodes rows)
+      val dump = TreeDump.treesToDataFrame(s, m).collect()
+      val leaves = dump.filter(_.getString(3) == "Leaf")
+      val internals = dump.filter(_.getString(3) != "Leaf")
+      val gainByFeat = internals.groupBy(_.getString(3))
+        .view.mapValues(_.map(_.getDouble(8)).sum).toMap
+      def close(a: Double, b: Double) =
+        math.abs(a - b) <= 1e-9 * math.max(1.0, math.max(math.abs(a), math.abs(b)))
+      val totalGain = sm.importanceByType("total_gain")
+      val dumpOk =
+        dump.length == sm.trees.map(_.feature.length).sum &&
+        leaves.length == internals.length + sm.trees.length &&
+        leaves.forall(r =>
+          r.getDouble(8) == sm.trees(r.getInt(0)).value(r.getInt(1))) &&
+        feats.indices.forall(j =>
+          close(gainByFeat.getOrElse(feats(j), 0.0), totalGain(j)))
+      val both = GraftBoost.predict(back,
+        GraftBoost.predict(m, df).withColumnRenamed("prediction", "p_orig"))
+      val out = both.agg(
+          count(lit(1)).as("n_rows"),
+          max(abs(col("prediction") - col("p_orig"))).as("maxdiff"))
+        .select(col("n_rows").cast("long").as("n_rows"),
+          lit(sm.trees.length.toLong).as("n_trees"),
+          lit(structuralOk).as("structural_roundtrip_ok"),
+          (col("maxdiff") === 0.0).as("scores_identical_ok"),
+          lit(dumpOk).as("dump_consistent_ok"))
+      out.persist().count()
+      df.unpersist(false)
+      out
+    },
+    Some("""
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+             CAST(3 AS BIGINT) AS n_trees,
+             TRUE AS structural_roundtrip_ok, TRUE AS scores_identical_ok,
+             TRUE AS dump_consistent_ok
+      FROM lineitem
+    """)
+  )
+
   def all: Seq[GraftQuery] =
     Seq(mlBinary, mlRegression, mlMulticlass, mlCvKfold, mlTextClassifier,
       mlCvRollingOrigin, mlCalibrationBins, mlPermutationImportance,
       mlMulticlassSoftprob, mlQuantile, mlFeatureContribs, mlPoisson,
       mlSparseNative, mlRankPairwise, mlTweedie, mlShapImportance,
-      mlShapInteractions, mlRandomForest, mlDartLossguide, mlGblinear)
+      mlShapInteractions, mlRandomForest, mlDartLossguide, mlGblinear,
+      mlModelInterchange)
 }

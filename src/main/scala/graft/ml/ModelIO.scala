@@ -90,7 +90,10 @@ object ModelIO {
       roundWeight: Seq[Seq[Double]] = Seq.empty,
       roundGain: Seq[Seq[Double]] = Seq.empty,
       roundCover: Seq[Seq[Double]] = Seq.empty,
-      dartRescaled: Boolean = false
+      dartRescaled: Boolean = false,
+      // per-node split gain (loss_changes); absent in pre-gain
+      // artifacts — loads as empty, meaning "stats unavailable"
+      nodeGain: Seq[Seq[Double]] = Seq.empty
   )
 
   /** Serialized form of a [[LinearBoost.LinearModel]] — one small
@@ -202,7 +205,8 @@ object ModelIO {
           sm.statsPerRound.map(_.map(_.weight.toSeq)).getOrElse(Seq.empty),
           sm.statsPerRound.map(_.map(_.gain.toSeq)).getOrElse(Seq.empty),
           sm.statsPerRound.map(_.map(_.cover.toSeq)).getOrElse(Seq.empty),
-          sm.dartRescaled)
+          sm.dartRescaled,
+          nodeGain = sm.trees.map(_.gain.toSeq).toSeq)
         val fsS = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
         val outS = fsS.create(new Path(path, "model/sparse.json"), true)
         try outS.write(Serialization.write(doc).getBytes("UTF-8"))
@@ -313,7 +317,9 @@ object ModelIO {
           SparseBoost.SparseTree(doc.feature(i).toArray, doc.thresh(i).toArray,
             doc.left(i).toArray, doc.right(i).toArray,
             doc.defaultLeft(i).toArray, doc.value(i).toArray,
-            doc.cover(i).toArray)
+            doc.cover(i).toArray,
+            if (doc.nodeGain.isEmpty) Array.emptyDoubleArray
+            else doc.nodeGain(i).toArray)
         }.toArray
         val roundStats =
           if (doc.roundGain.isEmpty) None

@@ -83,7 +83,15 @@ object SparseBoost {
         * cover importance's numerator. Root slot holds the full
         * training mass.
         */
-      cover: Array[Double]
+      cover: Array[Double],
+      /** Per-node split gain (XGBoost's `loss_changes` /
+        * trees_to_dataframe `Gain`): the chosen split's loss
+        * reduction at each internal node, 0 at leaves. Empty =
+        * unknown (models persisted before this field or ingested
+        * from documents without loss_changes) — consumers must treat
+        * an empty array as "stats unavailable", not as zeros.
+        */
+      gain: Array[Double] = Array.emptyDoubleArray
   ) extends Serializable {
     def leafOf(v: Vector): Int = {
       var i = 0
@@ -425,6 +433,7 @@ object SparseBoost {
     private val defLeft = ArrayBuffer(false)
     private val value = ArrayBuffer(0.0)
     private val cover = ArrayBuffer(0.0)
+    private val nodeGain = ArrayBuffer(0.0)
 
     private val rows = fit.select(col("features"), col("g").cast("double"),
       col("h").cast("double"))
@@ -668,9 +677,12 @@ object SparseBoost {
       val li = feature.length
       feature += -1; thresh += 0.0; left += -1; right += -1
       defLeft += false; value += nodeEstimate(s.gl, s.hl); cover += s.hl
+      nodeGain += 0.0
       val ri = feature.length
       feature += -1; thresh += 0.0; left += -1; right += -1
       defLeft += false; value += nodeEstimate(s.gr, s.hr); cover += s.hr
+      nodeGain += 0.0
+      nodeGain(node) = s.gain
       feature(node) = s.feature
       thresh(node) = edges(s.feature)(s.bin)
       left(node) = li
@@ -721,7 +733,7 @@ object SparseBoost {
 
     private def result(): SparseTree =
       SparseTree(feature.toArray, thresh.toArray, left.toArray, right.toArray,
-        defLeft.toArray, value.toArray, cover.toArray)
+        defLeft.toArray, value.toArray, cover.toArray, nodeGain.toArray)
 
     /** Breadth-first growth: one histogram pass per level — but each
       * pass accumulates only the SMALLER sibling of every fresh split

@@ -31,12 +31,14 @@ import SparseBoost.{SparseModel, SparseTree}
   *    `learner.attributes.graft.base_margin` and wins on ingest when
   *    present (link-function round trips lose ulps otherwise). Files
   *    from stock XGBoost (no attribute) take the inverse-link path.
-  *  - IMPORTANCE STATS. `loss_changes` exports per-node gain as 0.0
-  *    (this engine accumulates per-FEATURE totals, not per-node), and
-  *    ingested models carry empty `get_score` statistics — scoring,
-  *    TreeSHAP and contributions are exact (they need only structure,
-  *    values and `sum_hessian`), importance queries are not available
-  *    on an ingested model.
+  *  - IMPORTANCE STATS. `loss_changes` carries the real per-node
+  *    split gains for freshly-trained forests (zeros only for models
+  *    loaded from pre-gain ModelIO artifacts), but ingested models
+  *    still carry empty aggregate `get_score` statistics — scoring,
+  *    TreeSHAP, contributions and trees_to_dataframe are exact (they
+  *    need only structure, values, `sum_hessian` and per-node gain),
+  *    while `get_score` importance queries are not available on an
+  *    ingested model.
   *  - `evals_result` history, calibration, and the missing-marker
   *    imputation statistics are engine-side training artifacts with
   *    no schema slot; [[ModelIO]] remains the lossless sink. Ingested
@@ -100,7 +102,9 @@ object XgbJson {
           (0 until n).map(i => JInt(if (leaf(i)) -1 else t.left(i)): JValue).toList),
         "right_children" -> JArray(
           (0 until n).map(i => JInt(if (leaf(i)) -1 else t.right(i)): JValue).toList),
-        "loss_changes" -> JArray(List.fill(n)(JDouble(0.0): JValue)),
+        "loss_changes" -> JArray(
+          (if (t.gain.length == n) t.gain.toSeq else Seq.fill(n)(0.0))
+            .map(JDouble(_): JValue).toList),
         "parents" -> JArray(parents.map(JInt(_): JValue).toList),
         // leaves carry their value in split_conditions (the schema's
         // convention); internal nodes the <-compatible threshold
@@ -125,8 +129,7 @@ object XgbJson {
         "attributes" -> JObject(
           "graft.base_margin" -> JString(sm.base.toString),
           "graft.divergences" -> JString(
-            "float64 fields; loss_changes zeroed (per-feature stats " +
-            "not per-node); thresholds pre-shifted with nextUp for " +
+            "float64 fields; thresholds pre-shifted with nextUp for " +
             "strict-< routing; see graft.ml.XgbJson scaladoc")),
         "feature_names" -> JArray(
           model.featureCols.map(JString(_): JValue).toList),
@@ -234,10 +237,14 @@ object XgbJson {
           }
           i += 1
         }
-        SparseTree(feature, thresh,
-          left.map(l => if (l < 0) 0 else l),
-          right.map(r => if (r < 0) 0 else r),
-          dl, value, hess)
+        val lossChanges = (tj \ "loss_changes") match {
+          case JArray(_) => doubles(tj \ "loss_changes")
+          case _ => Array.emptyDoubleArray
+        }
+        // leaf children stay -1 — both the schema's and the grower's
+        // convention (leafOf never dereferences children at a leaf)
+        SparseTree(feature, thresh, left, right, dl, value, hess,
+          lossChanges)
       }.toArray
       case _ => throw new IllegalArgumentException("no trees in document")
     }

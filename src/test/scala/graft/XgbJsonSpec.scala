@@ -44,6 +44,8 @@ class XgbJsonSpec extends AnyFunSuite {
     assert(bm.trees.length == sm.trees.length)
     sm.trees.zip(bm.trees).foreach { case (a, b) =>
       assert(a.feature.toSeq == b.feature.toSeq)
+      assert(a.left.toSeq == b.left.toSeq && a.right.toSeq == b.right.toSeq,
+        "children (incl. the -1 leaf convention) must round-trip")
       // nextDown(nextUp(t)) == t exactly: internal thresholds
       // bit-identical after the strict-< shift and back
       a.feature.indices.filter(a.feature(_) >= 0).foreach { i =>
@@ -52,6 +54,8 @@ class XgbJsonSpec extends AnyFunSuite {
       assert(a.value.toSeq == b.value.toSeq)
       assert(a.defaultLeft.toSeq == b.defaultLeft.toSeq)
       assert(a.cover.toSeq == b.cover.toSeq)
+      assert(a.gain.toSeq == b.gain.toSeq,
+        "per-node gains must ride loss_changes both ways")
     }
     // end to end: identical scores on the training frame
     val orig = GraftBoost.predict(m, df).select("prediction")
@@ -109,6 +113,37 @@ class XgbJsonSpec extends AnyFunSuite {
     assert(sm.marginOf(Vectors.dense(10.0)) == 0.5 + 2.0)
     // NaN follows default_left -> left
     assert(sm.marginOf(Vectors.dense(Double.NaN)) == 0.5 - 1.0)
+  }
+
+  test("trees_to_dataframe: reference column conventions hold") {
+    val (m, df) = fitNative("reg:squarederror")
+    val sm = m.model.asInstanceOf[SparseBoost.SparseModel]
+    val dump = graft.ml.TreeDump.treesToDataFrame(spark, m).collect()
+    assert(dump.length == sm.trees.map(_.feature.length).sum)
+    dump.foreach { r =>
+      val (t, n) = (r.getInt(0), r.getInt(1))
+      val tree = sm.trees(t)
+      assert(r.getString(2) == s"$t-$n")
+      if (r.getString(3) == "Leaf") {
+        assert(tree.feature(n) < 0)
+        assert(r.isNullAt(4) && r.isNullAt(5) && r.isNullAt(6) && r.isNullAt(7))
+        // leaf rows carry the leaf VALUE in Gain (reference convention)
+        assert(r.getDouble(8) == tree.value(n))
+      } else {
+        assert(r.getString(3) == m.featureCols(tree.feature(n)))
+        assert(r.getDouble(4) == tree.thresh(n))
+        assert(r.getString(5) == s"$t-${tree.left(n)}")
+        assert(r.getString(6) == s"$t-${tree.right(n)}")
+        val expectMissing =
+          if (tree.defaultLeft(n)) tree.left(n) else tree.right(n)
+        assert(r.getString(7) == s"$t-$expectMissing",
+          "Missing must point at the learned default branch")
+        assert(r.getDouble(8) == tree.gain(n))
+        assert(r.getDouble(8) >= 0.0, "split gain must be non-negative")
+      }
+      assert(r.getDouble(9) == tree.cover(n))
+    }
+    df.unpersist()
   }
 
   test("refuses what the schema cannot carry") {
