@@ -22,6 +22,13 @@ import graft.functions.GraftFunctions._
   */
 object MLQueries {
 
+  /** 1e-9 relative tolerance for comparing two float accumulations of
+    * the same quantity (e.g. total_gain ~O(1e9): divide-then-multiply
+    * and reordered sums are exact only to ulps).
+    */
+  private def close(a: Double, b: Double): Boolean =
+    math.abs(a - b) <= 1e-9 * math.max(1.0, math.max(math.abs(a), math.abs(b)))
+
   /** Confusion-matrix detail of the binary lifecycle. */
   def binaryDetail(s: SparkSession, dir: String): DataFrame = {
     val t = Tables(s, dir)
@@ -199,47 +206,61 @@ object MLQueries {
     * spread, so per-leaf quantiles beat the global quantile solidly
     * (measured ratio 0.61 at sf0.01) while coverage stays ≈ α.
     */
+  /** Raw quantile-lifecycle quantities (n_rows, cov, pin_model,
+    * pin_const) — the query's gates AND tools.GateMarginProbe's
+    * margin readout derive from THIS one builder, so measured margins
+    * always describe the shipped fixture.
+    */
+  def quantileDetail(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables(s, dir)
+    val feats = Seq("l_quantity", "l_discount", "l_tax")
+    val alpha = QuantileAlpha
+    val df = t.lineitem
+      .withColumn("target",
+        col("l_quantity") * 100.0 + col("l_extendedprice") * 0.001)
+      .select((feats.map(col) :+ col("target")): _*)
+      .cache()
+    // subsample = 0.2 (XGBoost stochastic boosting): each round is
+    // an INDEPENDENT tree fit + exact leaf-percentile pass (unlike
+    // GBTRegressor, which amortizes binning across its internal
+    // iterations), so the per-round fit set is the direct cost knob
+    // — margins and gates still run over the FULL table, and the
+    // coverage/pinball gates saturate well before round 5
+    val m = GraftBoost.train(df, feats, "target",
+      GraftBoost.BoostParams("reg:quantileerror", numRound = 5,
+        maxDepth = 3, maxBins = 16, quantileAlpha = alpha,
+        subsample = 0.2))
+    def pin(pred: org.apache.spark.sql.Column) = avg(greatest(
+      (col("target") - pred) * alpha, (col("target") - pred) * (alpha - 1.0)))
+    // the model's base score IS the exact global α-quantile — reuse
+    // it rather than paying the (expensive, exact) percentile twice
+    val q90 = m.model.asInstanceOf[QuantileBoost.QuantileModel].base
+    val out = GraftBoost.predict(m, df)
+      .agg(
+        count(lit(1)).as("n_rows"),
+        avg((col("target") <= col("prediction")).cast("double")).as("cov"),
+        pin(col("prediction")).as("pin_model"),
+        pin(lit(q90)).as("pin_const"))
+    out.persist().count()
+    df.unpersist()
+    out
+  }
+
+  val QuantileAlpha = 0.9
+
   val mlQuantile = GraftQuery(
     "ml_quantile_regression",
     (s, dir) => {
-      val t = Tables(s, dir)
-      val feats = Seq("l_quantity", "l_discount", "l_tax")
-      val alpha = 0.9
-      val df = t.lineitem
-        .withColumn("target",
-          col("l_quantity") * 100.0 + col("l_extendedprice") * 0.001)
-        .select((feats.map(col) :+ col("target")): _*)
-        .cache()
-      // subsample = 0.2 (XGBoost stochastic boosting): each round is
-      // an INDEPENDENT tree fit + exact leaf-percentile pass (unlike
-      // GBTRegressor, which amortizes binning across its internal
-      // iterations), so the per-round fit set is the direct cost knob
-      // — margins and gates still run over the FULL table, and the
-      // coverage/pinball gates saturate well before round 5
-      val m = GraftBoost.train(df, feats, "target",
-        GraftBoost.BoostParams("reg:quantileerror", numRound = 5,
-          maxDepth = 3, maxBins = 16, quantileAlpha = alpha,
-          subsample = 0.2))
-      def pin(pred: org.apache.spark.sql.Column) = avg(greatest(
-        (col("target") - pred) * alpha, (col("target") - pred) * (alpha - 1.0)))
-      // the model's base score IS the exact global α-quantile — reuse
-      // it rather than paying the (expensive, exact) percentile twice
-      val q90 = m.model.asInstanceOf[QuantileBoost.QuantileModel].base
-      val out = GraftBoost.predict(m, df)
-        .agg(
-          count(lit(1)).as("n_rows"),
-          avg((col("target") <= col("prediction")).cast("double")).as("cov"),
-          pin(col("prediction")).as("pin_model"),
-          pin(lit(q90)).as("pin_const"))
-        // margins sized from the measured operating point (cov 0.938,
-        // pinball ratio 0.61 at sf0.01): a broken line search lands at
-        // cov ≈ 0.5 / ratio ≈ 1.0, an intact one stays well inside —
-        // no boundary within jitter distance in either direction
-        .select(col("n_rows").cast("long").as("n_rows"),
-          (abs(col("cov") - alpha) < 0.1).as("cov_ok"),
+      val d = quantileDetail(s, dir)
+      // margins sized from the measured operating point (cov 0.938,
+      // pinball ratio 0.61 at sf0.01): a broken line search lands at
+      // cov ≈ 0.5 / ratio ≈ 1.0, an intact one stays well inside —
+      // no boundary within jitter distance in either direction
+      val out = d.select(col("n_rows").cast("long").as("n_rows"),
+          (abs(col("cov") - QuantileAlpha) < 0.1).as("cov_ok"),
           (col("pin_model") < col("pin_const") * 0.8).as("pinball_ok"))
       out.persist().count()
-      df.unpersist()
+      d.unpersist(false)
       out
     },
     Some("""
@@ -953,44 +974,57 @@ object MLQueries {
     * (wide slack: the label is a deterministic function of the
     * features). n_rows / n_zero are exact SQL.
     */
+  /** Raw tweedie-lifecycle quantities (counts, min_pred, mae_model,
+    * mae_const) plus the train nloglik history — shared by the
+    * query's gates and tools.GateMarginProbe so measured margins
+    * always describe the shipped fixture.
+    *
+    * STRUCTURAL severity label (round-9): ~45 % exact zeros (the
+    * tweedie point mass) below the discount threshold, positive
+    * severity determined by the features above it — the old label
+    * (quantity on returned lines) was unpredictable from the
+    * feature set on this synthetic corpus, leaving the mae gate a
+    * 0.07 % near-tie of two fitted constants (the r8 flake class).
+    */
+  def tweedieDetail(s: SparkSession, dir: String): (DataFrame, Seq[Double]) = {
+    val t = Tables(s, dir)
+    val feats = Seq("l_quantity", "l_discount", "l_tax")
+    val df = t.lineitem
+      .withColumn("label",
+        when(col("l_discount") >= 0.05,
+          col("l_quantity") * (col("l_discount") - 0.04) * 100.0)
+          .otherwise(lit(0.0)))
+      .select((feats.map(col) :+ col("label")): _*)
+      .cache()
+    val model = GraftBoost.train(df, feats, "label",
+      GraftBoost.BoostParams("reg:tweedie", numRound = 6, maxDepth = 3,
+        maxBins = 16, eta = 0.3, tweedieVariancePower = 1.5))
+    val hist = model.evalsResult("train")("tweedie-nloglik")
+    val yMean = df.select(avg(col("label"))).head().getDouble(0)
+    val out = GraftBoost.predict(model, df)
+      .agg(
+        count(lit(1)).as("n_rows"),
+        sum((col("label") === 0.0).cast("long")).as("n_zero"),
+        min(col("prediction")).as("min_pred"),
+        avg(abs(col("label") - col("prediction"))).as("mae_model"),
+        avg(abs(col("label") - lit(yMean))).as("mae_const"))
+    out.persist().count()
+    df.unpersist(false)
+    (out, hist.toSeq)
+  }
+
   val mlTweedie = GraftQuery(
     "ml_tweedie_severity",
     (s, dir) => {
-      val t = Tables(s, dir)
-      val feats = Seq("l_quantity", "l_discount", "l_tax")
-      // STRUCTURAL severity label (round-9): ~45 % exact zeros (the
-      // tweedie point mass) below the discount threshold, positive
-      // severity determined by the features above it — the old label
-      // (quantity on returned lines) was unpredictable from the
-      // feature set on this synthetic corpus, leaving the mae gate a
-      // 0.07 % near-tie of two fitted constants (the r8 flake class).
-      val df = t.lineitem
-        .withColumn("label",
-          when(col("l_discount") >= 0.05,
-            col("l_quantity") * (col("l_discount") - 0.04) * 100.0)
-            .otherwise(lit(0.0)))
-        .select((feats.map(col) :+ col("label")): _*)
-        .cache()
-      val model = GraftBoost.train(df, feats, "label",
-        GraftBoost.BoostParams("reg:tweedie", numRound = 6, maxDepth = 3,
-          maxBins = 16, eta = 0.3, tweedieVariancePower = 1.5))
-      val hist = model.evalsResult("train")("tweedie-nloglik")
-      val yMean = df.select(avg(col("label"))).head().getDouble(0)
-      val out = GraftBoost.predict(model, df)
-        .agg(
-          count(lit(1)).as("n_rows"),
-          sum((col("label") === 0.0).cast("long")).as("n_zero"),
-          min(col("prediction")).as("min_pred"),
-          avg(abs(col("label") - col("prediction"))).as("mae_model"),
-          avg(abs(col("label") - lit(yMean))).as("mae_const"))
-        .select(
+      val (d, hist) = tweedieDetail(s, dir)
+      val out = d.select(
           col("n_rows").cast("long").as("n_rows"),
           col("n_zero").cast("long").as("n_zero"),
           (col("min_pred") > 0.0).as("positive_ok"),
           (col("mae_model") < col("mae_const") * 0.5).as("beats_const_ok"),
           lit(hist.last < hist.head).as("nloglik_improves_ok"))
       out.persist().count()
-      df.unpersist(false)
+      d.unpersist(false)
       out
     },
     Some("""
@@ -1067,10 +1101,6 @@ object MLQueries {
         sm.importanceByType("total_gain").zipWithIndex.maxBy(_._1)._2)
       // importance identities over the raw split statistics
       val w = sm.importanceByType("weight")
-      // relative tolerance: total_gain is O(1e9) on this target, so
-      // the divide-then-multiply round trip is exact only to ulps
-      def close(a: Double, b: Double) =
-        math.abs(a - b) <= 1e-9 * math.max(1.0, math.max(math.abs(a), math.abs(b)))
       val identityOk = feats.indices.forall { j =>
         close(sm.importanceByType("total_gain")(j),
           sm.importanceByType("gain")(j) * w(j)) &&
@@ -1529,8 +1559,6 @@ object MLQueries {
       val internals = dump.filter(_.getString(3) != "Leaf")
       val gainByFeat = internals.groupBy(_.getString(3))
         .view.mapValues(_.map(_.getDouble(8)).sum).toMap
-      def close(a: Double, b: Double) =
-        math.abs(a - b) <= 1e-9 * math.max(1.0, math.max(math.abs(a), math.abs(b)))
       val totalGain = sm.importanceByType("total_gain")
       val dumpOk =
         dump.length == sm.trees.map(_.feature.length).sum &&

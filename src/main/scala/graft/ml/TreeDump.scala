@@ -37,6 +37,12 @@ object TreeDump {
         s"forests; got ${other.getClass.getSimpleName}")
     }
     val names = model.featureCols
+    val maxIdx = sm.trees.iterator.flatMap(_.feature.iterator)
+      .filter(_ >= 0).maxOption.getOrElse(-1)
+    require(maxIdx < names.length,
+      s"forest splits on feature slot $maxIdx but only ${names.length} " +
+      "named feature column(s) exist — vector-pass-through models have " +
+      "no per-slot names to dump; train on named feature columns")
     val rows = sm.trees.zipWithIndex.flatMap { case (t, ti) =>
       def id(i: Int) = s"$ti-$i"
       t.feature.indices.map { n =>

@@ -34,11 +34,18 @@ import SparseBoost.{SparseModel, SparseTree}
   *  - IMPORTANCE STATS. `loss_changes` carries the real per-node
   *    split gains for freshly-trained forests (zeros only for models
   *    loaded from pre-gain ModelIO artifacts), but ingested models
-  *    still carry empty aggregate `get_score` statistics — scoring,
-  *    TreeSHAP, contributions and trees_to_dataframe are exact (they
-  *    need only structure, values, `sum_hessian` and per-node gain),
-  *    while `get_score` importance queries are not available on an
-  *    ingested model.
+  *    carry empty aggregate `get_score` statistics — those queries
+  *    are unavailable on an ingested model.
+  *  - INTERNAL NODE VALUES. Scoring and TreeSHAP are exact on any
+  *    ingested file (they need only structure, leaf outputs and
+  *    `sum_hessian`). Saabas contributions additionally walk internal
+  *    node values: own exports round-trip them exactly via
+  *    `base_weights`; STOCK files store base_weights WITHOUT the
+  *    learning rate there, so ingest recomputes internal values as
+  *    cover-weighted subtree means of the leaf outputs — the Saabas
+  *    expectation, restoring the additivity identity by construction
+  *    (attributions then reflect the recomputed expectations, not
+  *    XGBoost's raw unscaled weights).
   *  - `evals_result` history, calibration, and the missing-marker
   *    imputation statistics are engine-side training artifacts with
   *    no schema slot; [[ModelIO]] remains the lossless sink. Ingested
@@ -80,6 +87,16 @@ object XgbJson {
         "ModelIO for engine-native persistence")
     }
     val numFeature = model.featureCols.length
+    // a forest trained through the vector pass-through (featureCols =
+    // one vector column) has split indices spanning the vector's
+    // dimension, not the column list — emitting num_feature=1 with
+    // those indices would be a silently corrupt document
+    val maxIdx = sm.trees.iterator.flatMap(_.feature.iterator)
+      .filter(_ >= 0).maxOption.getOrElse(-1)
+    require(maxIdx < numFeature,
+      s"forest splits on feature slot $maxIdx but only $numFeature named " +
+      "feature column(s) exist — the model was trained on a pre-assembled " +
+      "vector column; train on named feature columns for JSON interchange")
     val trees = sm.trees.map { t =>
       val n = t.feature.length
       val parents = Array.fill(n)(2147483647) // root convention
@@ -169,6 +186,20 @@ object XgbJson {
 
   private def ints(v: JValue): Array[Int] = doubles(v).map(_.toInt)
 
+  /** default_left appears as 0/1 ints (current xgboost) or booleans
+    * (older 1.x serializers; xgboost's own loader accepts both).
+    */
+  private def bools(v: JValue): Array[Boolean] = v match {
+    case JArray(xs) => xs.map {
+      case JBool(b) => b
+      case JInt(i) => i != 0
+      case JLong(l) => l != 0
+      case JDouble(d) => d != 0.0
+      case other => throw new IllegalArgumentException(s"not a flag: $other")
+    }.toArray
+    case other => throw new IllegalArgumentException(s"not an array: $other")
+  }
+
   /** Ingest an XGBoost JSON model document into a scoreable
     * [[GraftBoostModel]] (native SparseModel forest). Single-target
     * gbtree only (`num_class` 0/1, no multi-target vector leaves);
@@ -195,6 +226,10 @@ object XgbJson {
     val treesPerRound =
       (modelObj \ "gbtree_model_param" \ "num_parallel_tree")
         .extractOpt[String].map(_.toInt).getOrElse(1)
+    // the presence of this attribute marks an own-engine export:
+    // exact margin base AND base_weights already in serving scale
+    val ownBase =
+      (learner \ "attributes" \ "graft.base_margin").extractOpt[String]
     val trees = (modelObj \ "trees") match {
       case JArray(ts) => ts.map { tj =>
         (tj \ "split_type") match {
@@ -208,7 +243,7 @@ object XgbJson {
         val right = ints(tj \ "right_children")
         val cond = doubles(tj \ "split_conditions")
         val idx = ints(tj \ "split_indices")
-        val dl = ints(tj \ "default_left").map(_ != 0)
+        val dl = bools(tj \ "default_left")
         val hess = (tj \ "sum_hessian") match {
           case JArray(_) => doubles(tj \ "sum_hessian")
           case _ => Array.fill(left.length)(0.0)
@@ -241,6 +276,26 @@ object XgbJson {
           case JArray(_) => doubles(tj \ "loss_changes")
           case _ => Array.emptyDoubleArray
         }
+        // STOCK files: base_weights are raw Newton weights WITHOUT the
+        // learning rate, while leaf outputs (split_conditions) carry
+        // it — mixing the two breaks the Saabas additivity identity.
+        // Recompute internal values as cover-weighted subtree means of
+        // the actual leaf outputs (the Saabas expectation), restoring
+        // additivity by construction. Own exports (attribute present)
+        // keep their base_weights untouched — bit-exact round trips.
+        if (ownBase.isEmpty) {
+          def fill(i: Int): Double =
+            if (feature(i) < 0) value(i)
+            else {
+              val lv = fill(left(i)); val rv = fill(right(i))
+              val cl = hess(left(i)); val cr = hess(right(i))
+              value(i) =
+                if (cl + cr > 0) (cl * lv + cr * rv) / (cl + cr)
+                else 0.5 * (lv + rv)
+              value(i)
+            }
+          fill(0)
+        }
         // leaf children stay -1 — both the schema's and the grower's
         // convention (leafOf never dereferences children at a leaf)
         SparseTree(feature, thresh, left, right, dl, value, hess,
@@ -248,9 +303,8 @@ object XgbJson {
       }.toArray
       case _ => throw new IllegalArgumentException("no trees in document")
     }
-    val base = (learner \ "attributes" \ "graft.base_margin")
-      .extractOpt[String].map(_.toDouble).getOrElse(
-        fromBaseScore(objective, (lmp \ "base_score").extract[String].toDouble))
+    val base = ownBase.map(_.toDouble).getOrElse(
+      fromBaseScore(objective, (lmp \ "base_score").extract[String].toDouble))
     val sm = new SparseModel(
       org.apache.spark.ml.util.Identifiable.randomUID("xgbjson"),
       trees, base, objective,

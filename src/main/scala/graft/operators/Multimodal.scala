@@ -144,19 +144,17 @@ object Multimodal {
     """)
   )
 
-  /** Batched decode via mapPartitions over the typed Dataset — the
-    * real plumbing around the stubbed codec. The byte-arithmetic
-    * features (sizes, frame counts, mean byte) are oracle-checked in
-    * DuckDB (the corpus is ASCII, so per-char codes equal payload
-    * bytes); the stub's rolling checksum stays out of the registered
-    * output and is pinned by MultimodalStreamSpec instead.
-    */
-  /** The FULL decoded-asset frame, codec-specific columns included
+  /** The FULL decoded-asset frame — batched decode via mapPartitions
+    * over the typed Dataset, codec-specific columns included
     * (first_frame_checksum) — the surface a production pipeline joins
     * downstream of the seam. The registered query below keeps only
-    * the oracle-checkable subset; the spec layer drives THIS frame to
-    * prove an installed codec's signal actually flows through the
-    * distributed mapPartitions decode, not just a driver-side lookup.
+    * the oracle-checkable byte-arithmetic subset (sizes, frame
+    * counts, mean byte — the corpus is ASCII, so DuckDB's per-char
+    * codes equal payload bytes); the checksum column stays out of the
+    * registered output and is pinned by MultimodalStreamSpec, which
+    * also drives THIS frame to prove an installed codec's signal
+    * actually flows through the distributed decode, not just a
+    * driver-side lookup.
     */
   def decodedAssets(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._

@@ -113,6 +113,36 @@ class XgbJsonSpec extends AnyFunSuite {
     assert(sm.marginOf(Vectors.dense(10.0)) == 0.5 + 2.0)
     // NaN follows default_left -> left
     assert(sm.marginOf(Vectors.dense(Double.NaN)) == 0.5 - 1.0)
+    // stock base_weights are eta-unscaled -> internal values must be
+    // REBUILT as cover-weighted subtree means of the leaf outputs
+    // (Saabas expectation): (10*(-1) + 20*2) / 30, not the file's 0.0
+    assert(sm.trees(0).value(0) == (10.0 * -1.0 + 20.0 * 2.0) / 30.0)
+    // boolean default_left (older 1.x serializers) must also ingest
+    val boolDoc = doc.replace("\"default_left\":[1,0,0]",
+      "\"default_left\":[true,false,false]")
+    val mb = XgbJson.importModel(boolDoc)
+    assert(mb.model.asInstanceOf[SparseBoost.SparseModel]
+      .marginOf(Vectors.dense(Double.NaN)) == 0.5 - 1.0)
+  }
+
+  test("vector-pass-through forests are refused loudly (export and dump)") {
+    // a forest splitting on slot >= |featureCols| was trained through
+    // the vector pass-through; emitting num_feature=1 would be a
+    // silently corrupt document, and the dump has no per-slot names
+    val t = SparseBoost.SparseTree(
+      feature = Array(2, -1, -1), thresh = Array(1.0, 0.0, 0.0),
+      left = Array(1, -1, -1), right = Array(2, -1, -1),
+      defaultLeft = Array(false, false, false),
+      value = Array(0.0, -1.0, 1.0), cover = Array(4.0, 2.0, 2.0))
+    val vecModel = GraftBoost.GraftBoostModel(
+      new SparseBoost.SparseModel("u", Array(t), 0.0, "reg:squarederror",
+        Array(0.0)),
+      Seq("features"), "reg:squarederror", 0, Map.empty,
+      missingStrategy = "native")
+    intercept[IllegalArgumentException] { XgbJson.export(vecModel) }
+    intercept[IllegalArgumentException] {
+      graft.ml.TreeDump.treesToDataFrame(spark, vecModel)
+    }
   }
 
   test("trees_to_dataframe: reference column conventions hold") {
