@@ -30,9 +30,15 @@ class GateInvarianceSpec extends AnyFunSuite {
   private val sf: String =
     sys.env.getOrElse("GRAFT_GATESPEC_SF", TestSession.sf)
 
-  /** Every query whose output depends on a fitted/estimated model. */
+  /** Every query whose output depends on a fitted/estimated model:
+    * the ML lifecycle gates plus the similarity family (its recall /
+    * assignment / identity booleans derive from sample-trained
+    * codebooks and estimated centroids — the same
+    * "fitted-artifact gate" class, guarded here against layout
+    * sensitivity creeping into the sampling or training paths).
+    */
   private val gateQueries: Seq[String] =
-    ml.MLQueries.all.map(_.name)
+    (ml.MLQueries.all ++ operators.Similarity.all).map(_.name)
 
   private case class Layout(shuffle: String, openCost: String,
       maxPart: String, rowsPerTask: Option[String])
