@@ -759,6 +759,7 @@ object GraftBoost {
       case m: RandomForestClassificationModel => m.transform(data)
       case m: OneVsRestModel             => m.transform(data)
       case m: SoftprobBoost.SoftprobModel => m.transform(data).drop("margins")
+      case m: MultiSparse.MultiSparseModel => m.transform(data).drop("margins")
       case m: QuantileBoost.QuantileModel => m.transform(data)
       case m: PoissonBoost.PoissonModel   => m.transform(data)
       case m => throw new IllegalStateException(s"unknown model ${m.getClass}")
@@ -790,16 +791,11 @@ object GraftBoost {
           Array(1.0 - p, p)
         })
         data.withColumn("proba", pU(col("features"))).drop("features")
-      case m: SoftprobBoost.SoftprobModel =>
-        // TRUE multi:softprob probabilities: softmax of the jointly
-        // boosted margins — not an OvR renormalization. exp array and
-        // sum materialized before the normalizing lambda (HOF rule).
-        m.transform(data)
-          .withColumn("ex", transform(col("margins"),
-            x => exp(x - array_max(col("margins")))))
-          .withColumn("exs", aggregate(col("ex"), lit(0.0), (a, y) => a + y))
-          .withColumn("proba", transform(col("ex"), x => x / col("exs")))
-          .drop("features", "margins", "ex", "exs")
+      case m: SoftprobBoost.SoftprobModel => softmaxProba(m.transform(data))
+      case m: MultiSparse.MultiSparseModel =>
+        // the ingested-document scorer shares the softprob path —
+        // its margins column has the same contract
+        softmaxProba(m.transform(data))
       case m: ProbabilisticClassificationModel[_, _] =>
         m.transform(data)
           .withColumn("proba", vector_to_array(col("probability")))
@@ -836,6 +832,18 @@ object GraftBoost {
         throw new IllegalStateException(s"model has no probabilities: ${m.getClass}")
     }
   }
+
+  /** TRUE multi:softprob probabilities: softmax of the jointly
+    * boosted margins — not an OvR renormalization. exp array and
+    * sum materialized before the normalizing lambda (HOF rule).
+    */
+  private def softmaxProba(withMargins: DataFrame): DataFrame =
+    withMargins
+      .withColumn("ex", transform(col("margins"),
+        x => exp(x - array_max(col("margins")))))
+      .withColumn("exs", aggregate(col("ex"), lit(0.0), (a, y) => a + y))
+      .withColumn("proba", transform(col("ex"), x => x / col("exs")))
+      .drop("features", "margins", "ex", "exs")
 
   /** Deterministic (train, calibration) split for [[calibrate]]:
     * rows are bucketed by a content hash over every column, so the
@@ -957,6 +965,9 @@ object GraftBoost {
       case m: SoftprobBoost.SoftprobModel =>
         val margins = m.marginsOf(f)
         margins.indices.maxBy(margins(_)).toDouble
+      case m: MultiSparse.MultiSparseModel =>
+        val margins = m.marginsOf(f)
+        margins.indices.maxBy(margins(_)).toDouble
       case m: QuantileBoost.QuantileModel => m.predictOne(f)
       case m: PoissonBoost.PoissonModel   => m.predictOne(f)
       case m: SparseBoost.SparseModel     => m.predictOne(f)
@@ -995,6 +1006,12 @@ object GraftBoost {
         // per-feature total split gain accumulated during training —
         // XGBoost's `total_gain` importance, already normalized
         sb.importances
+      case mm: MultiSparse.MultiSparseModel =>
+        // ingested multiclass document: normalized total_gain over
+        // the statistics rebuilt from loss_changes at ingest
+        val g = mm.importanceByType("total_gain")
+        val tot = g.sum
+        if (tot > 0) g.map(_ / tot) else g
       case lm: LinearBoost.LinearModel =>
         // gblinear "importance" is the weight vector; normalize its
         // magnitudes so the contract (sums to 1) matches tree models

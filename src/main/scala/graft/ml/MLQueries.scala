@@ -1590,11 +1590,130 @@ object MLQueries {
     """)
   )
 
+  /** Booster-complete XGBoost-JSON interchange ([[XgbJson]]): the
+    * round-9 interchange gate covers single-target gbtree; this one
+    * closes the remaining public booster slots the reference's
+    * lifecycle reaches — the MULTICLASS classifier (`core.py:580-590`
+    * rewrites the objective to `multi:softprob`; trees export
+    * round-major with per-tree class ids in `tree_info` and ingest
+    * into the native [[MultiSparse.MultiSparseModel]] scorer),
+    * `gblinear` (weights+bias in the schema's `[w..., bias]` layout)
+    * and `dart` (gbtree submodel + `weight_drop`; drop normalization
+    * is folded into stored leaves at train time, so export carries
+    * unit weights and ingest inherits XGBoost's no-truncation rule).
+    * Also gates the ingest-side `get_score` statistics rebuild: split
+    * counts exactly, gain/cover mass to reordered-sum tolerance.
+    * All gates are exact/near-exact identities of deterministic
+    * driver-side artifacts or double-scorings of one fit —
+    * layout-invariant by construction.
+    */
+  val mlInterchangeBoosters = GraftQuery(
+    "ml_interchange_boosters",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val feats = Seq("l_quantity", "l_discount", "l_tax")
+      val df = t.lineitem
+        .filter(pmod(col("l_orderkey"), lit(4)) === 0)
+        .withColumn("cls", pmod(col("l_orderkey"), lit(3)).cast("double"))
+        .withColumn("target",
+          col("l_quantity") * 100.0 + col("l_discount") * 1000.0)
+        .select((feats.map(col) :+ col("cls") :+ col("target")): _*)
+        .cache()
+
+      // 1. multiclass softprob: one joint fit, export → ingest, then
+      // the ingested native scorer double-scores the slice next to
+      // the original — class probabilities must match bit-for-bit
+      val spM = GraftBoost.train(df, feats, "cls",
+        GraftBoost.BoostParams("multi:softprob", numRound = 2, maxDepth = 3,
+          multiclassStrategy = "softprob"))
+      val spDoc = XgbJson.export(spM)
+      val spBack = XgbJson.importModel(spDoc)
+      val mm = spBack.model.asInstanceOf[MultiSparse.MultiSparseModel]
+      val spStructuralOk = spBack.numClasses == 3 &&
+        spDoc.contains("\"num_class\":\"3\"") &&
+        mm.trees.length == 6 &&
+        mm.treeInfo.toSeq == (0 until 6).map(_ % 3)
+      val spBoth = GraftBoost.predictProba(spBack,
+        GraftBoost.predictProba(spM, df).withColumnRenamed("proba", "p_orig"))
+      val spDiff = spBoth
+        .select(zip_with(col("proba"), col("p_orig"),
+          (a, b) => abs(a - b)).as("d"))
+        .select(max(aggregate(col("d"), lit(0.0),
+          (acc, x) => greatest(acc, x))))
+        .head().getDouble(0)
+
+      // 2. gblinear: the whole model is driver-sized — weights, bias
+      // and the (base, bias) split must survive exactly
+      val linM = GraftBoost.train(df, feats, "target",
+        GraftBoost.BoostParams("reg:squarederror", numRound = 4, eta = 0.7,
+          booster = "gblinear"))
+      val linDoc = XgbJson.export(linM)
+      val lm = linM.model.asInstanceOf[LinearBoost.LinearModel]
+      val bl = XgbJson.importModel(linDoc).model
+        .asInstanceOf[LinearBoost.LinearModel]
+      val linOk = linDoc.contains("\"name\":\"gblinear\"") &&
+        bl.weights.sameElements(lm.weights) && bl.bias == lm.bias &&
+        bl.base == lm.base
+
+      // 3. dart: dropout normalization is folded into stored leaves,
+      // so the dart-slot round trip must score bit-identically and
+      // the ingested forest must refuse truncation (XGBoost's
+      // ntree_limit restriction)
+      val dartM = GraftBoost.train(df, feats, "target",
+        GraftBoost.BoostParams("reg:squarederror", numRound = 3, maxDepth = 3,
+          maxBins = 8, splitProposal = "approx", missing = Some(-999.0),
+          missingStrategy = "native", booster = "dart", rateDrop = 0.9))
+      val dartSm = dartM.model.asInstanceOf[SparseBoost.SparseModel]
+      val dartDoc = XgbJson.export(dartM)
+      val dartBack = XgbJson.importModel(dartDoc)
+      val dartBm = dartBack.model.asInstanceOf[SparseBoost.SparseModel]
+      val dartShapeOk = dartSm.dartRescaled &&
+        dartDoc.contains("\"name\":\"dart\"") &&
+        dartDoc.contains("weight_drop") && dartBm.dartRescaled &&
+        scala.util.Try(dartBm.truncate(1)).isFailure
+
+      // 4. ingest-side get_score rebuild (off the dart fit): split
+      // counts exact, gain/cover re-fold the identical per-node
+      // doubles in node-index order — reordered-sum tolerance
+      val statsOk =
+        dartBm.importanceByType("weight").sameElements(
+          dartSm.importanceByType("weight")) &&
+        Seq("total_gain", "total_cover").forall { ty =>
+          dartSm.importanceByType(ty).zip(dartBm.importanceByType(ty))
+            .forall { case (a, b) => close(a, b) }
+        }
+
+      val dartBoth = GraftBoost.predict(dartBack,
+        GraftBoost.predict(dartM, df).withColumnRenamed("prediction", "p_orig"))
+      val out = dartBoth.agg(
+          count(lit(1)).as("n_rows"),
+          max(abs(col("prediction") - col("p_orig"))).as("dartdiff"))
+        .select(col("n_rows").cast("long").as("n_rows"),
+          lit(spStructuralOk).as("softprob_structural_ok"),
+          lit(spDiff == 0.0).as("softprob_proba_identical_ok"),
+          lit(linOk).as("gblinear_roundtrip_ok"),
+          ((col("dartdiff") === 0.0) && lit(dartShapeOk)).as("dart_roundtrip_ok"),
+          lit(statsOk).as("ingested_stats_ok"))
+      out.persist().count()
+      df.unpersist(false)
+      out
+    },
+    Some("""
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+             TRUE AS softprob_structural_ok,
+             TRUE AS softprob_proba_identical_ok,
+             TRUE AS gblinear_roundtrip_ok,
+             TRUE AS dart_roundtrip_ok,
+             TRUE AS ingested_stats_ok
+      FROM lineitem WHERE l_orderkey % 4 = 0
+    """)
+  )
+
   def all: Seq[GraftQuery] =
     Seq(mlBinary, mlRegression, mlMulticlass, mlCvKfold, mlTextClassifier,
       mlCvRollingOrigin, mlCalibrationBins, mlPermutationImportance,
       mlMulticlassSoftprob, mlQuantile, mlFeatureContribs, mlPoisson,
       mlSparseNative, mlRankPairwise, mlTweedie, mlShapImportance,
       mlShapInteractions, mlRandomForest, mlDartLossguide, mlGblinear,
-      mlModelInterchange)
+      mlModelInterchange, mlInterchangeBoosters)
 }

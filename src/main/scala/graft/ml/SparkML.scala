@@ -296,13 +296,32 @@ object GraftXGBModelML extends MLReadable[GraftXGBModelML] {
       } else {
         // legacy format (pre standard-metadata writer): everything —
         // uid and the column params — lives in adapter_meta.json.
-        // Standalone models saved by that code must keep loading.
-        val m = new GraftXGBModelML(meta("uid").asInstanceOf[String], inner,
-          meta("isClassifier").asInstanceOf[Boolean])
-        m.setFeaturesCol(meta("featuresCol").asInstanceOf[String])
-          .setLabelCol(meta("labelCol").asInstanceOf[String])
-          .setPredictionCol(meta("predictionCol").asInstanceOf[String])
-          .setWeightCol(meta("weightCol").asInstanceOf[String])
+        // Standalone models saved by that code must keep loading, and
+        // a partially-written file must fail NAMING the artifact and
+        // the missing key — not with a bare NoSuchElementException
+        def legacyStr(key: String): String = meta.get(key) match {
+          case Some(v: String) => v
+          case Some(other) => throw new IllegalArgumentException(
+            s"legacy adapter_meta.json at $path: key '$key' is not a " +
+            s"string (got $other) — artifact unreadable")
+          case None => throw new IllegalArgumentException(
+            s"legacy adapter_meta.json at $path is missing key '$key' " +
+            "— the artifact was not fully written by the legacy saver")
+        }
+        val m = new GraftXGBModelML(legacyStr("uid"), inner,
+          meta.get("isClassifier") match {
+            case Some(b: Boolean) => b
+            case _ => throw new IllegalArgumentException(
+              s"legacy adapter_meta.json at $path is missing boolean " +
+              "key 'isClassifier' — artifact unreadable")
+          })
+        // column params: restore when present, keep the Param default
+        // when a legacy writer omitted one (weightCol has no default
+        // and stays unset if absent)
+        meta.get("featuresCol").foreach(v => m.setFeaturesCol(v.asInstanceOf[String]))
+        meta.get("labelCol").foreach(v => m.setLabelCol(v.asInstanceOf[String]))
+        meta.get("predictionCol").foreach(v => m.setPredictionCol(v.asInstanceOf[String]))
+        meta.get("weightCol").foreach(v => m.setWeightCol(v.asInstanceOf[String]))
         m
       }
     }

@@ -30,20 +30,29 @@ object TreeDump {
     StructField("Cover", DoubleType, nullable = false)))
 
   def treesToDataFrame(s: SparkSession, model: GraftBoostModel): DataFrame = {
-    val sm = model.model match {
-      case m: SparseModel => m
+    val trees = model.model match {
+      case m: SparseModel => m.trees
+      case m: MultiSparse.MultiSparseModel => m.trees
       case other => throw new IllegalArgumentException(
-        "trees_to_dataframe covers the native-loop SparseModel " +
-        s"forests; got ${other.getClass.getSimpleName}")
+        "trees_to_dataframe covers the native-loop SparseModel / " +
+        s"MultiSparseModel forests; got ${other.getClass.getSimpleName}")
     }
     val names = model.featureCols
-    val maxIdx = sm.trees.iterator.flatMap(_.feature.iterator)
+    // pass-through detection is STRUCTURAL (featureCols is the
+    // assembled vector itself — GraftBoost.assemble's signal), with
+    // the max split index as a corruption backstop: a pass-through
+    // forest splitting only slot 0 must still be refused, it has no
+    // per-slot names to dump
+    require(names != Seq("features"),
+      "the model was trained on a pre-assembled vector column — " +
+      "vector-pass-through models have no per-slot names to dump; " +
+      "train on named feature columns")
+    val maxIdx = trees.iterator.flatMap(_.feature.iterator)
       .filter(_ >= 0).maxOption.getOrElse(-1)
     require(maxIdx < names.length,
       s"forest splits on feature slot $maxIdx but only ${names.length} " +
-      "named feature column(s) exist — vector-pass-through models have " +
-      "no per-slot names to dump; train on named feature columns")
-    val rows = sm.trees.zipWithIndex.flatMap { case (t, ti) =>
+      "named feature column(s) exist — corrupt or mislabeled model")
+    val rows = trees.zipWithIndex.flatMap { case (t, ti) =>
       def id(i: Int) = s"$ti-$i"
       t.feature.indices.map { n =>
         val leaf = t.feature(n) < 0

@@ -4,13 +4,31 @@ import org.json4s.{DefaultFormats, JArray, JBool, JDecimal, JDouble, JInt, JLong
 import org.json4s.jackson.JsonMethods
 
 import GraftBoost.GraftBoostModel
-import SparseBoost.{SparseModel, SparseTree}
+import LinearBoost.LinearModel
+import MultiSparse.MultiSparseModel
+import SparseBoost.{ImportanceAcc, SparseModel, SparseTree}
 
-/** XGBoost-format model interchange for the native-loop forests
-  * ([[SparseBoost.SparseModel]]): emit and ingest the PUBLIC XGBoost
-  * JSON model schema (xgboost doc/model.schema, the `save_model
-  * ("model.json")` format), so models trained here are portable to
-  * stock XGBoost tooling and vice versa.
+/** XGBoost-format model interchange: emit and ingest the PUBLIC
+  * XGBoost JSON model schema (xgboost doc/model.schema, the
+  * `save_model("model.json")` format), so models trained here are
+  * portable to stock XGBoost tooling and vice versa. Covers all three
+  * public booster slots:
+  *
+  *  - `gbtree` — the native-loop forests ([[SparseBoost.SparseModel]]),
+  *    single-target AND multiclass (`num_class` = K with round-major
+  *    trees and per-tree class ids in `tree_info`, the schema's
+  *    multiclass layout). The engine's true-softprob forests
+  *    ([[SoftprobBoost.SoftprobModel]], reference `core.py:580-590`)
+  *    export through a lossless MLlib→array conversion
+  *    ([[MultiSparse.fromMLlibTree]]); multiclass documents ingest
+  *    into the native [[MultiSparse.MultiSparseModel]] scorer.
+  *  - `dart` — a forest whose dropout rounds fired exports as the
+  *    schema's dart slot (gbtree submodel + `weight_drop`); ingest
+  *    folds `weight_drop` into the stored leaf values (the plain-sum
+  *    serving semantics) and marks the model non-truncatable, the
+  *    same restriction XGBoost places on `ntree_limit` with dart.
+  *  - `gblinear` — coefficients + bias in the schema's weights layout
+  *    (`[w_0..w_{n-1}, bias]` for one output group).
   *
   * Documented divergences (also stamped into the artifact under
   * `learner.attributes.graft.divergences`):
@@ -30,12 +48,30 @@ import SparseBoost.{SparseModel, SparseTree}
   *    the exact margin-space base also rides in
   *    `learner.attributes.graft.base_margin` and wins on ingest when
   *    present (link-function round trips lose ulps otherwise). Files
-  *    from stock XGBoost (no attribute) take the inverse-link path.
+  *    from stock XGBoost (no attribute) take the inverse-link path
+  *    (identity for `multi:*` — the softmax objective's margin shift
+  *    is uniform across classes and cancels in softmax/argmax).
   *  - IMPORTANCE STATS. `loss_changes` carries the real per-node
-  *    split gains for freshly-trained forests (zeros only for models
-  *    loaded from pre-gain ModelIO artifacts), but ingested models
-  *    carry empty aggregate `get_score` statistics — those queries
-  *    are unavailable on an ingested model.
+  *    split gains. Ingest REBUILDS the aggregate `get_score`
+  *    statistics (weight / total_gain / total_cover and the per-split
+  *    averages) from the document's per-node `loss_changes` +
+  *    `sum_hessian`, so importance queries work on ingested models —
+  *    including stock XGBoost files, which always carry both arrays.
+  *    A model whose own gains are unknown (loaded from a pre-gain
+  *    [[ModelIO]] artifact) exports zeros there plus the
+  *    `graft.stats_absent` attribute; ingest honors the marker by
+  *    restoring "stats unavailable" (empty gain arrays, no aggregate
+  *    stats) instead of silently converting absence into real 0.0s.
+  *  - SOFTPROB GAINS. The softprob forest's per-node gains are
+  *    MLlib's hessian-weighted variance-impurity decreases — genuine
+  *    loss changes, but not XGBoost's regularized Newton gain formula
+  *    (divergence stamped; covers and structure are exact).
+  *  - DART WEIGHTS. This engine folds dropout normalization into the
+  *    stored leaf values at train time (the stored forest is a plain
+  *    sum), so its dart export carries `weight_drop` of all 1.0 —
+  *    stock XGBoost then scores the file identically. Stock dart
+  *    files with real weights ingest by folding each tree's weight
+  *    into its leaf values (same serving sum).
   *  - INTERNAL NODE VALUES. Scoring and TreeSHAP are exact on any
   *    ingested file (they need only structure, leaf outputs and
   *    `sum_hessian`). Saabas contributions additionally walk internal
@@ -49,12 +85,17 @@ import SparseBoost.{SparseModel, SparseTree}
   *  - `evals_result` history, calibration, and the missing-marker
   *    imputation statistics are engine-side training artifacts with
   *    no schema slot; [[ModelIO]] remains the lossless sink. Ingested
-  *    models score with `missingStrategy = "native"` (NaN follows the
-  *    file's `default_left`), matching XGBoost serving semantics.
+  *    tree models score with `missingStrategy = "native"` (NaN
+  *    follows the file's `default_left`), matching XGBoost serving
+  *    semantics; gblinear has no missing routing in either engine.
   */
 object XgbJson {
 
   private implicit val fmt: DefaultFormats.type = DefaultFormats
+
+  private val DivergenceNote =
+    "float64 fields; thresholds pre-shifted with nextUp for " +
+    "strict-< routing; see graft.ml.XgbJson scaladoc"
 
   /** margin -> original-space base_score per objective link. */
   private def toBaseScore(objective: String, margin: Double): Double =
@@ -73,31 +114,145 @@ object XgbJson {
       case _ => score
     }
 
-  /** Serialize a native-loop model to the XGBoost JSON model format.
-    * Refuses wrapped-MLlib / linear / quantile / softprob models —
-    * their forests don't have the gbtree shape the schema describes;
+  /** A model trained through the vector pass-through (featureCols IS
+    * the pre-assembled `features` vector, [[GraftBoost.assemble]]'s
+    * structural signal) has split/weight slots spanning the vector's
+    * dimension, not a named column list — emitting `num_feature = 1`
+    * with feature name "features" would be a silently mislabeled
+    * document. Detected structurally, with the max split index as a
+    * corruption backstop for hand-built models.
+    */
+  private def namedFeatureGuard(model: GraftBoostModel, maxIdx: Int): Unit = {
+    require(model.featureCols != Seq("features"),
+      "the model was trained on a pre-assembled vector column " +
+      "(featureCols is the vector itself) — per-slot feature names " +
+      "don't exist, so the document would be silently mislabeled; " +
+      "train on named feature columns for JSON interchange")
+    require(maxIdx < model.featureCols.length,
+      s"model uses feature slot $maxIdx but only " +
+      s"${model.featureCols.length} named feature column(s) exist — " +
+      "corrupt or mislabeled model")
+  }
+
+  /** Serialize a model to the XGBoost JSON model format. Dispatches
+    * on the trained booster: native-loop forests → `gbtree` (or
+    * `dart` when dropout rounds fired), softprob / ingested
+    * multiclass forests → multiclass `gbtree`, linear models →
+    * `gblinear`. Refuses the wrapped-MLlib / quantile / poisson /
+    * ranking models — their forests don't have a schema slot;
     * [[ModelIO]] persists those.
     */
-  def export(model: GraftBoostModel): String = {
-    val sm = model.model match {
-      case m: SparseModel => m
-      case other => throw new IllegalArgumentException(
-        "XGBoost JSON interchange covers the native-loop SparseModel " +
-        s"forests only; got ${other.getClass.getSimpleName} — use " +
-        "ModelIO for engine-native persistence")
-    }
-    val numFeature = model.featureCols.length
-    // a forest trained through the vector pass-through (featureCols =
-    // one vector column) has split indices spanning the vector's
-    // dimension, not the column list — emitting num_feature=1 with
-    // those indices would be a silently corrupt document
-    val maxIdx = sm.trees.iterator.flatMap(_.feature.iterator)
-      .filter(_ >= 0).maxOption.getOrElse(-1)
-    require(maxIdx < numFeature,
-      s"forest splits on feature slot $maxIdx but only $numFeature named " +
-      "feature column(s) exist — the model was trained on a pre-assembled " +
-      "vector column; train on named feature columns for JSON interchange")
-    val trees = sm.trees.map { t =>
+  def export(model: GraftBoostModel): String = model.model match {
+    case sm: SparseModel =>
+      val maxIdx = sm.trees.iterator.flatMap(_.feature.iterator)
+        .filter(_ >= 0).maxOption.getOrElse(-1)
+      namedFeatureGuard(model, maxIdx)
+      val booster = JObject(
+        "model" -> treeModelJson(sm.trees, Array.fill(sm.trees.length)(0),
+          model.featureCols.length, sm.treesPerRound),
+        "name" -> JString("gbtree"))
+      val wrapped =
+        if (!sm.dartRescaled) booster
+        else JObject(
+          // dropout normalization is folded into the stored leaves
+          // at train time — unit drop weights keep the serving sum
+          "model" -> JObject(
+            "gbtree" -> (booster \ "model").asInstanceOf[JObject],
+            "weight_drop" -> JArray(
+              List.fill(sm.trees.length)(JDouble(1.0): JValue))),
+          "name" -> JString("dart"))
+      learnerDoc(model, wrapped, numClass = 0, sm.base,
+        objectiveJson(sm.objective, 0),
+        statsAbsent = sm.trees.exists(t => t.gain.length != t.feature.length),
+        dartRescaled = sm.dartRescaled)
+
+    case mm: MultiSparseModel =>
+      val maxIdx = mm.trees.iterator.flatMap(_.feature.iterator)
+        .filter(_ >= 0).maxOption.getOrElse(-1)
+      namedFeatureGuard(model, maxIdx)
+      val booster = JObject(
+        "model" -> treeModelJson(mm.trees, mm.treeInfo,
+          model.featureCols.length, treesPerIteration(mm)),
+        "name" -> JString("gbtree"))
+      learnerDoc(model, booster, numClass = mm.numClasses, mm.base,
+        objectiveJson(mm.objective, mm.numClasses),
+        statsAbsent = mm.trees.exists(t => t.gain.length != t.feature.length))
+
+    case sp: SoftprobBoost.SoftprobModel =>
+      // round-major flatten: round r emits its K class trees in class
+      // order, tree_info carrying the class ids — the schema's
+      // multiclass layout. The MLlib→array conversion is lossless
+      // (thresholds/leaf outputs bit-exact; covers from the weighted
+      // node stats; see MultiSparse.fromMLlibTree).
+      val K = sp.numClasses
+      val flat = sp.trees.flatMap(_.map(MultiSparse.fromMLlibTree(_, sp.eta)))
+      val info = Array.tabulate(flat.length)(_ % K)
+      val maxIdx = flat.iterator.flatMap(_.feature.iterator)
+        .filter(_ >= 0).maxOption.getOrElse(-1)
+      namedFeatureGuard(model, maxIdx)
+      val booster = JObject(
+        "model" -> treeModelJson(flat, info, model.featureCols.length, K),
+        "name" -> JString("gbtree"))
+      learnerDoc(model, booster, numClass = K, baseMargin = 0.0,
+        objectiveJson("multi:softprob", K), statsAbsent = false,
+        extraDivergence = "; softprob per-node gains are MLlib " +
+          "hessian-weighted variance decreases, not regularized " +
+          "Newton gains")
+
+    case lm: LinearModel =>
+      namedFeatureGuard(model, lm.weights.length - 1)
+      require(lm.weights.length == model.featureCols.length,
+        s"gblinear weight count ${lm.weights.length} != feature count " +
+        s"${model.featureCols.length} — corrupt or mislabeled model")
+      // schema layout for one output group: [w_0 .. w_{n-1}, bias]
+      val booster = JObject(
+        "model" -> JObject(
+          "weights" -> JArray(
+            (lm.weights.toList :+ lm.bias).map(JDouble(_): JValue))),
+        "name" -> JString("gblinear"))
+      // the schema's weights slot carries bias SEPARATELY from
+      // base_score (stock serving adds BOTH), so base_score encodes
+      // lm.base alone — encoding base+bias would double-count the
+      // bias in stock XGBoost
+      learnerDoc(model, booster, numClass = 0, lm.base,
+        objectiveJson(lm.objective, 0), statsAbsent = false)
+
+    case other => throw new IllegalArgumentException(
+      "XGBoost JSON interchange covers the native-loop forests " +
+      "(single and multiclass), softprob forests and the linear " +
+      s"booster; got ${other.getClass.getSimpleName} — use ModelIO " +
+      "for engine-native persistence")
+  }
+
+  /** trees-per-iteration for a multiclass forest: K when `tree_info`
+    * has the plain round-major layout, else the whole forest is one
+    * iteration (a safe `iteration_indptr` for irregular layouts).
+    */
+  private def treesPerIteration(mm: MultiSparseModel): Int = {
+    val K = mm.numClasses
+    val roundMajor = mm.trees.length % K == 0 &&
+      mm.treeInfo.indices.forall(i => mm.treeInfo(i) == i % K)
+    if (roundMajor) K else mm.trees.length
+  }
+
+  private def objectiveJson(name: String, numClass: Int): JObject =
+    if (name.startsWith("multi:"))
+      JObject("name" -> JString(name),
+        "softmax_multiclass_param" -> JObject(
+          "num_class" -> JString(numClass.toString)))
+    else JObject("name" -> JString(name))
+
+  /** The gbtree `model` object: per-tree documents + tree bookkeeping
+    * (`tree_info` class ids, `iteration_indptr` grouping trees into
+    * boosting iterations of `treesPerIter`).
+    */
+  private def treeModelJson(
+      trees: Array[SparseTree],
+      treeInfo: Array[Int],
+      numFeature: Int,
+      treesPerIter: Int
+  ): JObject = {
+    val treeDocs = trees.map { t =>
       val n = t.feature.length
       val parents = Array.fill(n)(2147483647) // root convention
       var i = 0
@@ -139,36 +294,57 @@ object XgbJson {
           "size_leaf_vector" -> JString("1"))
       )
     }
-    val nRounds = sm.numRounds
-    val indptr = (0 to nRounds).map(r => r * sm.treesPerRound)
+    val nIter = trees.length / math.max(treesPerIter, 1)
+    val indptr = (0 to nIter).map(r => r * treesPerIter)
+    JObject(
+      "gbtree_model_param" -> JObject(
+        "num_trees" -> JString(trees.length.toString),
+        "num_parallel_tree" -> JString(
+          (if (treeInfo.exists(_ != 0)) 1 else treesPerIter).toString)),
+      "iteration_indptr" -> JArray(indptr.map(JInt(_): JValue).toList),
+      "tree_info" -> JArray(treeInfo.map(JInt(_): JValue).toList),
+      "trees" -> JArray(treeDocs.toList))
+  }
+
+  /** Assemble the full learner document around a gradient_booster. */
+  private def learnerDoc(
+      model: GraftBoostModel,
+      gradientBooster: JObject,
+      numClass: Int,
+      baseMargin: Double,
+      objective: JObject,
+      statsAbsent: Boolean,
+      dartRescaled: Boolean = false,
+      extraDivergence: String = ""
+  ): String = {
+    val objectiveName = (objective \ "name").extract[String]
+    val attrs = List(
+      "graft.base_margin" -> (JString(baseMargin.toString): JValue),
+      "graft.divergences" -> (JString(DivergenceNote + extraDivergence): JValue)) ++
+      (if (statsAbsent)
+        // pre-gain source artifact: the zeros in loss_changes are
+        // NOT real gains — ingest must restore "stats unavailable"
+        List("graft.stats_absent" -> (JString("1"): JValue)) else Nil) ++
+      (if (dartRescaled)
+        List("graft.dart_rescaled" -> (JString("1"): JValue)) else Nil)
+    val numFeature = model.featureCols.length
     val doc = JObject(
       "learner" -> JObject(
-        "attributes" -> JObject(
-          "graft.base_margin" -> JString(sm.base.toString),
-          "graft.divergences" -> JString(
-            "float64 fields; thresholds pre-shifted with nextUp for " +
-            "strict-< routing; see graft.ml.XgbJson scaladoc")),
+        "attributes" -> JObject(attrs),
         "feature_names" -> JArray(
           model.featureCols.map(JString(_): JValue).toList),
         "feature_types" -> JArray(
           model.featureCols.map(_ => JString("float"): JValue).toList),
-        "gradient_booster" -> JObject(
-          "model" -> JObject(
-            "gbtree_model_param" -> JObject(
-              "num_trees" -> JString(sm.trees.length.toString),
-              "num_parallel_tree" -> JString(sm.treesPerRound.toString)),
-            "iteration_indptr" -> JArray(indptr.map(JInt(_): JValue).toList),
-            "tree_info" -> JArray(
-              List.fill(sm.trees.length)(JInt(0): JValue)),
-            "trees" -> JArray(trees.toList)),
-          "name" -> JString("gbtree")),
+        "gradient_booster" -> gradientBooster,
         "learner_model_param" -> JObject(
-          "base_score" -> JString(toBaseScore(sm.objective, sm.base).toString),
+          "base_score" -> JString(
+            toBaseScore(objectiveName, baseMargin).toString),
           "boost_from_average" -> JString("1"),
-          "num_class" -> JString("0"),
+          "num_class" -> JString(
+            (if (numClass <= 1) 0 else numClass).toString),
           "num_feature" -> JString(numFeature.toString),
           "num_target" -> JString("1")),
-        "objective" -> JObject("name" -> JString(sm.objective))),
+        "objective" -> objective),
       "version" -> JArray(List(JInt(2), JInt(0), JInt(0))))
     JsonMethods.compact(JsonMethods.render(doc))
   }
@@ -201,20 +377,18 @@ object XgbJson {
   }
 
   /** Ingest an XGBoost JSON model document into a scoreable
-    * [[GraftBoostModel]] (native SparseModel forest). Single-target
-    * gbtree only (`num_class` 0/1, no multi-target vector leaves);
-    * categorical splits (`split_type` 1) are refused loudly.
+    * [[GraftBoostModel]]: `gbtree`/`dart` → native forest (single
+    * target or [[MultiSparse.MultiSparseModel]] for `num_class` > 1),
+    * `gblinear` → [[LinearBoost.LinearModel]]. Categorical splits
+    * (`split_type` 1) and multi-target vector leaves are refused
+    * loudly.
     */
   def importModel(json: String): GraftBoostModel = {
     val root = JsonMethods.parse(json)
     val learner = root \ "learner"
     val boosterName = (learner \ "gradient_booster" \ "name").extract[String]
-    require(boosterName == "gbtree",
-      s"only gbtree models ingest; got '$boosterName'")
     val lmp = learner \ "learner_model_param"
     val numClass = (lmp \ "num_class").extract[String].toInt
-    require(numClass <= 1,
-      s"multi-class interchange not supported (num_class=$numClass)")
     val objective = (learner \ "objective" \ "name").extract[String]
     val featureNames = (learner \ "feature_names") match {
       case JArray(xs) if xs.nonEmpty => xs.map(_.extract[String])
@@ -222,96 +396,188 @@ object XgbJson {
         val m = (lmp \ "num_feature").extract[String].toInt
         (0 until m).map(i => s"f$i")
     }
-    val modelObj = learner \ "gradient_booster" \ "model"
-    val treesPerRound =
-      (modelObj \ "gbtree_model_param" \ "num_parallel_tree")
-        .extractOpt[String].map(_.toInt).getOrElse(1)
+    require((lmp \ "num_target").extractOpt[String].forall(_.toInt <= 1),
+      "multi-target (vector-leaf) models are not supported")
     // the presence of this attribute marks an own-engine export:
     // exact margin base AND base_weights already in serving scale
-    val ownBase =
-      (learner \ "attributes" \ "graft.base_margin").extractOpt[String]
-    val trees = (modelObj \ "trees") match {
-      case JArray(ts) => ts.map { tj =>
-        (tj \ "split_type") match {
-          case JArray(st) if st.exists {
-            case JInt(x) => x != 0; case _ => false
-          } => throw new IllegalArgumentException(
-            "categorical splits (split_type=1) are not supported")
-          case _ => ()
-        }
-        val left = ints(tj \ "left_children")
-        val right = ints(tj \ "right_children")
-        val cond = doubles(tj \ "split_conditions")
-        val idx = ints(tj \ "split_indices")
-        val dl = bools(tj \ "default_left")
-        val hess = (tj \ "sum_hessian") match {
-          case JArray(_) => doubles(tj \ "sum_hessian")
-          case _ => Array.fill(left.length)(0.0)
-        }
-        val n = left.length
-        val feature = new Array[Int](n)
-        val thresh = new Array[Double](n)
-        // INTERNAL node values come from base_weights — the Saabas
-        // path decomposition walks them; exports here write the full
-        // value array there, so own-file round trips are exact. Leaf
-        // OUTPUTS override from split_conditions (the schema's slot
-        // for the eta-scaled leaf value).
-        val value = (tj \ "base_weights") match {
-          case JArray(_) => doubles(tj \ "base_weights")
-          case _ => new Array[Double](n)
-        }
-        var i = 0
-        while (i < n) {
-          if (left(i) < 0) { // leaf: value rides in split_conditions
-            feature(i) = -1
-            value(i) = cond(i)
-          } else {
-            feature(i) = idx(i)
-            // XGBoost's strict `x < c` left == our `x <= nextDown(c)`
-            thresh(i) = math.nextDown(cond(i))
-          }
-          i += 1
-        }
-        val lossChanges = (tj \ "loss_changes") match {
-          case JArray(_) => doubles(tj \ "loss_changes")
-          case _ => Array.emptyDoubleArray
-        }
-        // STOCK files: base_weights are raw Newton weights WITHOUT the
-        // learning rate, while leaf outputs (split_conditions) carry
-        // it — mixing the two breaks the Saabas additivity identity.
-        // Recompute internal values as cover-weighted subtree means of
-        // the actual leaf outputs (the Saabas expectation), restoring
-        // additivity by construction. Own exports (attribute present)
-        // keep their base_weights untouched — bit-exact round trips.
-        if (ownBase.isEmpty) {
-          def fill(i: Int): Double =
-            if (feature(i) < 0) value(i)
-            else {
-              val lv = fill(left(i)); val rv = fill(right(i))
-              val cl = hess(left(i)); val cr = hess(right(i))
-              value(i) =
-                if (cl + cr > 0) (cl * lv + cr * rv) / (cl + cr)
-                else 0.5 * (lv + rv)
-              value(i)
-            }
-          fill(0)
-        }
-        // leaf children stay -1 — both the schema's and the grower's
-        // convention (leafOf never dereferences children at a leaf)
-        SparseTree(feature, thresh, left, right, dl, value, hess,
-          lossChanges)
-      }.toArray
-      case _ => throw new IllegalArgumentException("no trees in document")
-    }
+    val attrs = learner \ "attributes"
+    val ownBase = (attrs \ "graft.base_margin").extractOpt[String]
+    val statsAbsent = (attrs \ "graft.stats_absent").extractOpt[String]
+      .contains("1")
     val base = ownBase.map(_.toDouble).getOrElse(
       fromBaseScore(objective, (lmp \ "base_score").extract[String].toDouble))
-    val sm = new SparseModel(
-      org.apache.spark.ml.util.Identifiable.randomUID("xgbjson"),
-      trees, base, objective,
-      Array.fill(featureNames.length)(0.0),
-      treesPerRound = treesPerRound)
-    GraftBoostModel(sm, featureNames, objective,
-      if (objective == "binary:logistic") 2 else 0,
-      Map.empty, imputation = None, missingStrategy = "native")
+
+    boosterName match {
+      case "gblinear" =>
+        require(numClass <= 1,
+          s"multi-group gblinear interchange not supported (num_class=$numClass)")
+        val w = doubles(learner \ "gradient_booster" \ "model" \ "weights")
+        require(w.length == featureNames.length + 1,
+          s"gblinear weights length ${w.length} != num_feature+1 " +
+          s"(${featureNames.length + 1}) — single-group layout expected")
+        // [w_0..w_{n-1}, bias]; own exports keep (base, bias) split
+        // exactly via the attribute, stock files land the whole
+        // intercept in bias with base = inverse-link(base_score)
+        val lin = new LinearModel(
+          org.apache.spark.ml.util.Identifiable.randomUID("xgbjson"),
+          w.init, w.last, base, objective)
+        GraftBoostModel(lin, featureNames, objective,
+          if (objective == "binary:logistic") 2 else 0,
+          Map.empty, imputation = None, missingStrategy = "impute")
+
+      case "gbtree" | "dart" =>
+        val gbModel = learner \ "gradient_booster" \ "model"
+        val (modelObj, weightDrop) =
+          if (boosterName == "dart")
+            (gbModel \ "gbtree",
+              Some(doubles(gbModel \ "weight_drop")))
+          else (gbModel, None)
+        val treesPerRound =
+          (modelObj \ "gbtree_model_param" \ "num_parallel_tree")
+            .extractOpt[String].map(_.toInt).getOrElse(1)
+        val trees = (modelObj \ "trees") match {
+          case JArray(ts) => ts.zipWithIndex.map { case (tj, ti) =>
+            parseTree(tj, ownFile = ownBase.isDefined,
+              statsAbsent = statsAbsent,
+              dropWeight = weightDrop.map(_(ti)).getOrElse(1.0))
+          }.toArray
+          case _ => throw new IllegalArgumentException("no trees in document")
+        }
+        weightDrop.foreach(wd => require(wd.length == trees.length,
+          s"weight_drop length ${wd.length} != num_trees ${trees.length}"))
+        // rebuild the get_score statistics from per-node loss_changes
+        // + sum_hessian (every internal node: one split of its
+        // feature, its gain, its hessian mass) — unavailable only
+        // when the exporting side marked its gains absent
+        val stats =
+          if (statsAbsent || trees.exists(_.gain.isEmpty)) ImportanceAcc.empty
+          else {
+            val acc = ImportanceAcc(featureNames.length)
+            trees.foreach { t =>
+              var i = 0
+              while (i < t.feature.length) {
+                if (t.feature(i) >= 0)
+                  acc.record(t.feature(i), t.gain(i), t.cover(i))
+                i += 1
+              }
+            }
+            acc
+          }
+        val gSum = stats.gain.sum
+        val importances =
+          if (gSum > 0) stats.gain.map(_ / gSum)
+          else new Array[Double](featureNames.length)
+
+        if (numClass > 1) {
+          val info = (modelObj \ "tree_info") match {
+            case JArray(xs) if xs.nonEmpty => ints(JArray(xs))
+            // round-major default: tree i belongs to class i mod K
+            case _ => Array.tabulate(trees.length)(_ % numClass)
+          }
+          val mm = new MultiSparseModel(
+            org.apache.spark.ml.util.Identifiable.randomUID("xgbjson"),
+            trees, info, numClass, base, objective, stats)
+          GraftBoostModel(mm, featureNames, objective, numClass,
+            Map.empty, imputation = None, missingStrategy = "native")
+        } else {
+          // a dart document's prefix margins never correspond to a
+          // training-time round (XGBoost forbids ntree_limit there);
+          // ingest conservatively inherits the refusal
+          val dartRescaled = boosterName == "dart"
+          val sm = new SparseModel(
+            org.apache.spark.ml.util.Identifiable.randomUID("xgbjson"),
+            trees, base, objective, importances, stats,
+            treesPerRound = treesPerRound, dartRescaled = dartRescaled)
+          GraftBoostModel(sm, featureNames, objective,
+            if (objective == "binary:logistic") 2 else 0,
+            Map.empty, imputation = None, missingStrategy = "native")
+        }
+
+      case other => throw new IllegalArgumentException(
+        s"unknown booster '$other' (gbtree, dart, gblinear)")
+    }
+  }
+
+  /** Parse one tree document into the array form. `dropWeight` folds
+    * a dart drop weight into the leaf outputs (1.0 = plain gbtree);
+    * `ownFile` keeps base_weights untouched (bit-exact round trips),
+    * stock files rebuild internal values as cover-weighted subtree
+    * means of the (weighted) leaf outputs — the Saabas expectation.
+    */
+  private def parseTree(
+      tj: JValue,
+      ownFile: Boolean,
+      statsAbsent: Boolean,
+      dropWeight: Double
+  ): SparseTree = {
+    (tj \ "split_type") match {
+      case JArray(st) if st.exists {
+        case JInt(x) => x != 0; case _ => false
+      } => throw new IllegalArgumentException(
+        "categorical splits (split_type=1) are not supported")
+      case _ => ()
+    }
+    val left = ints(tj \ "left_children")
+    val right = ints(tj \ "right_children")
+    val cond = doubles(tj \ "split_conditions")
+    val idx = ints(tj \ "split_indices")
+    val dl = bools(tj \ "default_left")
+    val hess = (tj \ "sum_hessian") match {
+      case JArray(_) => doubles(tj \ "sum_hessian")
+      case _ => Array.fill(left.length)(0.0)
+    }
+    val n = left.length
+    val feature = new Array[Int](n)
+    val thresh = new Array[Double](n)
+    // INTERNAL node values come from base_weights — the Saabas
+    // path decomposition walks them; exports here write the full
+    // value array there, so own-file round trips are exact. Leaf
+    // OUTPUTS override from split_conditions (the schema's slot
+    // for the eta-scaled leaf value), times any dart drop weight.
+    val value = (tj \ "base_weights") match {
+      case JArray(_) => doubles(tj \ "base_weights")
+      case _ => new Array[Double](n)
+    }
+    var i = 0
+    while (i < n) {
+      if (left(i) < 0) { // leaf: value rides in split_conditions
+        feature(i) = -1
+        value(i) = cond(i) * dropWeight
+      } else {
+        feature(i) = idx(i)
+        // XGBoost's strict `x < c` left == our `x <= nextDown(c)`
+        thresh(i) = math.nextDown(cond(i))
+      }
+      i += 1
+    }
+    val lossChanges =
+      if (statsAbsent) Array.emptyDoubleArray
+      else (tj \ "loss_changes") match {
+        case JArray(_) => doubles(tj \ "loss_changes")
+        case _ => Array.emptyDoubleArray
+      }
+    // STOCK files: base_weights are raw Newton weights WITHOUT the
+    // learning rate, while leaf outputs (split_conditions) carry
+    // it — mixing the two breaks the Saabas additivity identity.
+    // Recompute internal values as cover-weighted subtree means of
+    // the actual leaf outputs (the Saabas expectation), restoring
+    // additivity by construction. Own exports keep their
+    // base_weights untouched — bit-exact round trips.
+    if (!ownFile) {
+      def fill(i: Int): Double =
+        if (feature(i) < 0) value(i)
+        else {
+          val lv = fill(left(i)); val rv = fill(right(i))
+          val cl = hess(left(i)); val cr = hess(right(i))
+          value(i) =
+            if (cl + cr > 0) (cl * lv + cr * rv) / (cl + cr)
+            else 0.5 * (lv + rv)
+          value(i)
+        }
+      fill(0)
+    }
+    // leaf children stay -1 — both the schema's and the grower's
+    // convention (leafOf never dereferences children at a leaf)
+    SparseTree(feature, thresh, left, right, dl, value, hess, lossChanges)
   }
 }

@@ -85,6 +85,12 @@ class GateInvarianceSpec extends AnyFunSuite {
   }
 
   private def run(name: String, l: Layout): Seq[String] = withLayout(l) {
+    // drop any memoized shared build FIRST: a query consuming e.g.
+    // Dedup.cosinePairsShared must rebuild the shared frame under
+    // THIS layout — reusing the other layout's memoized pair graph
+    // would make the invariance assertion vacuous for exactly the
+    // sampling/shared-build path the sweep exists to cover
+    SharedBuilds.clearAll()
     val df = SparkEntry.queries(name)(spark, sf)
     val rows = df.collect().map(_.toString).sorted.toSeq
     // drop the query's output pin so the second layout re-executes

@@ -179,11 +179,307 @@ class XgbJsonSpec extends AnyFunSuite {
   test("refuses what the schema cannot carry") {
     val (m, df) = fitNative("reg:squarederror")
     df.unpersist()
-    val lin = m.copy(model = new graft.ml.LinearBoost.LinearModel(
-      "u", Array(0.0), 0.0, 0.0, "reg:squarederror"))
-    intercept[IllegalArgumentException] { XgbJson.export(lin) }
-    val multi = XgbJson.export(m).replace("\"num_class\":\"0\"",
-      "\"num_class\":\"3\"")
-    intercept[IllegalArgumentException] { XgbJson.importModel(multi) }
+    // pinball-loss forests have no schema slot (gbtree leaf values
+    // are Newton steps; the quantile loop's are leaf quantiles)
+    val q = m.copy(model = new graft.ml.QuantileBoost.QuantileModel(
+      "u", Array.empty, 0.0, 0.1, 0.5))
+    intercept[IllegalArgumentException] { XgbJson.export(q) }
+    // multi-group gblinear (num_class > 1) has a different weights
+    // layout — refused loudly rather than mis-sliced
+    val linDoc = XgbJson.export(fitLinear()._1)
+    val multiLin = linDoc.replace("\"num_class\":\"0\"", "\"num_class\":\"3\"")
+    intercept[IllegalArgumentException] { XgbJson.importModel(multiLin) }
+  }
+
+  // ---- multiclass softprob interchange -----------------------------
+
+  private def fitSoftprob(): (GraftBoost.GraftBoostModel,
+      org.apache.spark.sql.DataFrame) = {
+    val t = Tables(spark, sf)
+    val feats = Seq("l_quantity", "l_discount", "l_tax")
+    val df = t.lineitem
+      .withColumn("label", pmod(col("l_orderkey"), lit(3)).cast("double"))
+      .select((feats.map(col) :+ col("label")): _*)
+      .cache()
+    val m = GraftBoost.train(df, feats, "label",
+      GraftBoost.BoostParams("multi:softprob", numRound = 3, maxDepth = 3,
+        multiclassStrategy = "softprob"))
+    (m, df)
+  }
+
+  test("softprob: export -> import scores bit-identically via the native scorer") {
+    val (m, df) = fitSoftprob()
+    val sp = m.model.asInstanceOf[graft.ml.SoftprobBoost.SoftprobModel]
+    val doc = XgbJson.export(m)
+    assert(doc.contains("\"num_class\":\"3\""))
+    assert(doc.contains("multi:softprob"))
+    val back = XgbJson.importModel(doc)
+    assert(back.numClasses == 3)
+    val mm = back.model.asInstanceOf[graft.ml.MultiSparse.MultiSparseModel]
+    // round-major layout: 3 rounds x 3 classes, tree_info = i mod K
+    assert(mm.trees.length == 9)
+    assert(mm.treeInfo.toSeq == (0 until 9).map(_ % 3))
+    // margins bit-equal on local vectors (same per-class sum order)
+    import org.apache.spark.ml.linalg.Vectors
+    Seq(Vectors.dense(10.0, 0.05, 0.02), Vectors.dense(45.0, 0.0, 0.08))
+      .foreach { v =>
+        assert(sp.marginsOf(v).toSeq == mm.marginsOf(v).toSeq,
+          "per-class margins must round-trip bit-exactly")
+      }
+    // end to end: identical class predictions AND probabilities
+    val orig = GraftBoost.predict(m, df).select("prediction")
+      .collect().map(_.getDouble(0))
+    val rt = GraftBoost.predict(back, df).select("prediction")
+      .collect().map(_.getDouble(0))
+    assert(orig.sameElements(rt))
+    val pOrig = GraftBoost.predictProba(m, df).select("proba")
+      .collect().map(_.getSeq[Double](0))
+    val pRt = GraftBoost.predictProba(back, df).select("proba")
+      .collect().map(_.getSeq[Double](0))
+    assert(pOrig.zip(pRt).forall { case (a, b) => a == b },
+      "softmax probabilities must round-trip bit-exactly")
+    df.unpersist()
+  }
+
+  test("stock multiclass document ingests: tree_info routing, softmax, NaN default") {
+    // 2 classes, 2 depth-1 trees: class 0 splits f0 < 10, class 1 is
+    // a stump pair too; no graft attributes (stock file)
+    def tree(leftVal: Double, rightVal: Double) = s"""
+      {"base_weights":[0.0,$leftVal,$rightVal],
+       "categories":[],"categories_nodes":[],"categories_segments":[],
+       "categories_sizes":[],
+       "default_left":[1,0,0],"id":0,
+       "left_children":[1,-1,-1],"right_children":[2,-1,-1],
+       "loss_changes":[3.0,0.0,0.0],"parents":[2147483647,0,0],
+       "split_conditions":[10.0,$leftVal,$rightVal],
+       "split_indices":[0,0,0],"split_type":[0,0,0],
+       "sum_hessian":[30.0,10.0,20.0],
+       "tree_param":{"num_deleted":"0","num_feature":"1",
+         "num_nodes":"3","size_leaf_vector":"1"}}"""
+    val doc = s"""
+      {"learner":{"attributes":{},
+        "feature_names":["f0"],"feature_types":["float"],
+        "gradient_booster":{"model":{
+          "gbtree_model_param":{"num_trees":"2","num_parallel_tree":"1"},
+          "iteration_indptr":[0,2],"tree_info":[0,1],
+          "trees":[${tree(-1.0, 2.0)},${tree(1.5, -0.5)}]},
+          "name":"gbtree"},
+        "learner_model_param":{"base_score":"0.5","boost_from_average":"1",
+          "num_class":"2","num_feature":"1","num_target":"1"},
+        "objective":{"name":"multi:softprob",
+          "softmax_multiclass_param":{"num_class":"2"}}},
+       "version":[2,0,0]}"""
+    val m = XgbJson.importModel(doc)
+    assert(m.numClasses == 2)
+    val mm = m.model.asInstanceOf[graft.ml.MultiSparse.MultiSparseModel]
+    import org.apache.spark.ml.linalg.Vectors
+    // x < 10: class margins = 0.5 + (-1.0), 0.5 + 1.5 (softmax base
+    // shift is uniform); x == 10 goes RIGHT under strict <
+    assert(mm.marginsOf(Vectors.dense(9.0)).toSeq == Seq(-0.5, 2.0))
+    assert(mm.marginsOf(Vectors.dense(10.0)).toSeq == Seq(2.5, 0.0))
+    // NaN follows default_left -> left on both trees
+    assert(mm.marginsOf(Vectors.dense(Double.NaN)).toSeq == Seq(-0.5, 2.0))
+    val p = mm.probaOf(Vectors.dense(9.0))
+    assert(math.abs(p.sum - 1.0) < 1e-12 && p(1) > p(0))
+    // ingested stats: one split of f0 per tree
+    assert(mm.importanceByType("weight").toSeq == Seq(2.0))
+    assert(mm.importanceByType("total_gain").toSeq == Seq(6.0))
+    assert(mm.importanceByType("total_cover").toSeq == Seq(60.0))
+  }
+
+  // ---- gblinear interchange ----------------------------------------
+
+  private def fitLinear(): (GraftBoost.GraftBoostModel,
+      org.apache.spark.sql.DataFrame) = {
+    val t = Tables(spark, sf)
+    val feats = Seq("l_quantity", "l_discount")
+    val df = t.lineitem
+      .withColumn("label", col("l_quantity") * 3.0 + col("l_discount") * 50.0)
+      .select((feats.map(col) :+ col("label")): _*)
+      .cache()
+    val m = GraftBoost.train(df, feats, "label",
+      GraftBoost.BoostParams("reg:squarederror", numRound = 5, eta = 0.7,
+        booster = "gblinear"))
+    (m, df)
+  }
+
+  test("gblinear: export -> import round-trips weights, bias and base exactly") {
+    val (m, df) = fitLinear()
+    val lm = m.model.asInstanceOf[graft.ml.LinearBoost.LinearModel]
+    val doc = XgbJson.export(m)
+    assert(doc.contains("\"name\":\"gblinear\""))
+    val back = XgbJson.importModel(doc)
+    val bl = back.model.asInstanceOf[graft.ml.LinearBoost.LinearModel]
+    assert(bl.weights.sameElements(lm.weights))
+    assert(bl.bias == lm.bias && bl.base == lm.base,
+      "the (base, bias) split must survive via the margin attribute")
+    assert(back.featureCols == m.featureCols)
+    val orig = GraftBoost.predict(m, df).select("prediction")
+      .collect().map(_.getDouble(0))
+    val rt = GraftBoost.predict(back, df).select("prediction")
+      .collect().map(_.getDouble(0))
+    assert(orig.sameElements(rt))
+    df.unpersist()
+  }
+
+  test("gblinear: stock document ingests with the [w..., bias] layout") {
+    val doc = """
+      {"learner":{"attributes":{},
+        "feature_names":["a","b"],"feature_types":["float","float"],
+        "gradient_booster":{"model":{"weights":[2.0,-1.0,0.5]},
+          "name":"gblinear"},
+        "learner_model_param":{"base_score":"0.25","boost_from_average":"1",
+          "num_class":"0","num_feature":"2","num_target":"1"},
+        "objective":{"name":"reg:squarederror"}},
+       "version":[2,0,0]}"""
+    val m = XgbJson.importModel(doc)
+    val lm = m.model.asInstanceOf[graft.ml.LinearBoost.LinearModel]
+    assert(lm.weights.toSeq == Seq(2.0, -1.0) && lm.bias == 0.5)
+    import org.apache.spark.ml.linalg.Vectors
+    // margin = base(0.25, identity link) + bias + w.x
+    assert(lm.marginOf(Vectors.dense(1.0, 1.0)) == 0.25 + 0.5 + 1.0)
+  }
+
+  // ---- DART interchange --------------------------------------------
+
+  test("dart: a dropout-rescaled forest round-trips through the dart slot") {
+    val t = Tables(spark, sf)
+    val feats = Seq("l_quantity", "l_discount", "l_tax")
+    val df = t.lineitem
+      .withColumn("label", col("l_quantity") * 10.0 + col("l_discount") * 100.0)
+      .select((feats.map(col) :+ col("label")): _*)
+      .cache()
+    val m = GraftBoost.train(df, feats, "label",
+      GraftBoost.BoostParams("reg:squarederror", numRound = 4, maxDepth = 3,
+        maxBins = 16, missing = Some(-999.0), missingStrategy = "native",
+        booster = "dart", rateDrop = 0.9))
+    val sm = m.model.asInstanceOf[SparseBoost.SparseModel]
+    assert(sm.dartRescaled, "fixture must actually fire dropout rounds")
+    val doc = XgbJson.export(m)
+    assert(doc.contains("\"name\":\"dart\"") && doc.contains("weight_drop"),
+      "a rescaled forest must export through the dart slot")
+    val back = XgbJson.importModel(doc)
+    val bm = back.model.asInstanceOf[SparseBoost.SparseModel]
+    assert(bm.dartRescaled,
+      "dart ingest must inherit the no-truncation restriction")
+    intercept[IllegalArgumentException] { bm.truncate(1) }
+    val orig = GraftBoost.predict(m, df).select("prediction")
+      .collect().map(_.getDouble(0))
+    val rt = GraftBoost.predict(back, df).select("prediction")
+      .collect().map(_.getDouble(0))
+    assert(orig.sameElements(rt),
+      "unit drop weights must keep the folded leaf values bit-exact")
+    df.unpersist()
+  }
+
+  test("dart: stock weight_drop folds into leaf outputs at ingest") {
+    // the stock gbtree doc from above, wrapped in a dart booster with
+    // a 0.5 drop weight: leaves scale, internal values rebuild from
+    // the SCALED leaf outputs
+    val doc = """
+      {"learner":{"attributes":{},
+        "feature_names":["f0"],"feature_types":["float"],
+        "gradient_booster":{"model":{
+          "gbtree":{
+            "gbtree_model_param":{"num_trees":"1","num_parallel_tree":"1"},
+            "iteration_indptr":[0,1],"tree_info":[0],
+            "trees":[{"base_weights":[0.0,-1.0,2.0],
+              "categories":[],"categories_nodes":[],"categories_segments":[],
+              "categories_sizes":[],
+              "default_left":[1,0,0],"id":0,
+              "left_children":[1,-1,-1],"right_children":[2,-1,-1],
+              "loss_changes":[5.0,0.0,0.0],"parents":[2147483647,0,0],
+              "split_conditions":[10.0,-1.0,2.0],
+              "split_indices":[0,0,0],"split_type":[0,0,0],
+              "sum_hessian":[30.0,10.0,20.0],
+              "tree_param":{"num_deleted":"0","num_feature":"1",
+                "num_nodes":"3","size_leaf_vector":"1"}}]},
+          "weight_drop":[0.5]},
+          "name":"dart"},
+        "learner_model_param":{"base_score":"0.5","boost_from_average":"1",
+          "num_class":"0","num_feature":"1","num_target":"1"},
+        "objective":{"name":"reg:squarederror"}},
+       "version":[2,0,0]}"""
+    val m = XgbJson.importModel(doc)
+    val sm = m.model.asInstanceOf[SparseBoost.SparseModel]
+    assert(sm.dartRescaled)
+    import org.apache.spark.ml.linalg.Vectors
+    assert(sm.marginOf(Vectors.dense(9.0)) == 0.5 + 0.5 * -1.0)
+    assert(sm.marginOf(Vectors.dense(10.0)) == 0.5 + 0.5 * 2.0)
+    // internal Saabas value rebuilt from SCALED leaves
+    assert(sm.trees(0).value(0) == (10.0 * -0.5 + 20.0 * 1.0) / 30.0)
+  }
+
+  // ---- get_score statistics at ingest ------------------------------
+
+  test("get_score statistics are rebuilt at ingest from loss_changes/sum_hessian") {
+    val (m, df) = fitNative("reg:squarederror")
+    df.unpersist()
+    val sm = m.model.asInstanceOf[SparseBoost.SparseModel]
+    val bm = XgbJson.importModel(XgbJson.export(m))
+      .model.asInstanceOf[SparseBoost.SparseModel]
+    // split COUNTS are integers — exact; gain/cover sums re-fold the
+    // identical per-node doubles in node-index order (training
+    // accumulated them in growth order), so compare to 1 ulp-scale
+    // relative tolerance
+    assert(bm.importanceByType("weight").toSeq ==
+      sm.importanceByType("weight").toSeq)
+    Seq("total_gain", "total_cover", "gain", "cover").foreach { t =>
+      val a = sm.importanceByType(t); val b = bm.importanceByType(t)
+      a.indices.foreach { j =>
+        assert(math.abs(a(j) - b(j)) <= 1e-12 * math.max(math.abs(a(j)), 1.0),
+          s"$t diverged at feature $j: ${a(j)} vs ${b(j)}")
+      }
+    }
+    // and the normalized default importances follow
+    val fi = graft.ml.GraftBoost.featureImportances(m)
+    val fb = graft.ml.GraftBoost.featureImportances(
+      XgbJson.importModel(XgbJson.export(m)))
+    fi.foreach { case (k, v) => assert(math.abs(fb(k) - v) < 1e-12) }
+  }
+
+  test("stats-absent marker: pre-gain exports round-trip as 'unavailable', not 0.0") {
+    // a model whose gains are unknown (pre-gain ModelIO artifact):
+    // empty gain array
+    val t = SparseBoost.SparseTree(
+      feature = Array(0, -1, -1), thresh = Array(1.0, 0.0, 0.0),
+      left = Array(1, -1, -1), right = Array(2, -1, -1),
+      defaultLeft = Array(false, false, false),
+      value = Array(0.0, -1.0, 1.0), cover = Array(4.0, 2.0, 2.0))
+    val m = GraftBoost.GraftBoostModel(
+      new SparseBoost.SparseModel("u", Array(t), 0.0, "reg:squarederror",
+        Array(0.0)),
+      Seq("x"), "reg:squarederror", 0, Map.empty,
+      missingStrategy = "native")
+    val doc = XgbJson.export(m)
+    assert(doc.contains("graft.stats_absent"))
+    val back = XgbJson.importModel(doc)
+    val bm = back.model.asInstanceOf[SparseBoost.SparseModel]
+    assert(bm.trees(0).gain.isEmpty,
+      "absent gains must NOT come back as real 0.0 gains")
+    // trees_to_dataframe then reports Gain null on internal nodes,
+    // exactly like the ModelIO path for pre-gain artifacts
+    val dump = graft.ml.TreeDump.treesToDataFrame(spark, back).collect()
+    assert(dump.filter(_.getString(3) != "Leaf").forall(_.isNullAt(8)))
+  }
+
+  test("vector-pass-through detection is structural, not split-index-based") {
+    // the ADVICE r9 scenario: a pass-through forest whose splits all
+    // land on slot 0 — the old max-index inference would accept it
+    // and emit a mislabeled num_feature=1 document
+    val t = SparseBoost.SparseTree(
+      feature = Array(0, -1, -1), thresh = Array(1.0, 0.0, 0.0),
+      left = Array(1, -1, -1), right = Array(2, -1, -1),
+      defaultLeft = Array(false, false, false),
+      value = Array(0.0, -1.0, 1.0), cover = Array(4.0, 2.0, 2.0))
+    val m = GraftBoost.GraftBoostModel(
+      new SparseBoost.SparseModel("u", Array(t), 0.0, "reg:squarederror",
+        Array(0.0)),
+      Seq("features"), "reg:squarederror", 0, Map.empty,
+      missingStrategy = "native")
+    intercept[IllegalArgumentException] { XgbJson.export(m) }
+    intercept[IllegalArgumentException] {
+      graft.ml.TreeDump.treesToDataFrame(spark, m)
+    }
   }
 }
