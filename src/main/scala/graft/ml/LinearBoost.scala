@@ -30,9 +30,10 @@ import org.apache.spark.sql.types._
   *
   * ONE distributed pass per round: margins are recomputed inline from
   * the broadcast (model-sized) weight vector, and the pass emits the
-  * [Σg, Σh, {G_j, H_j, B_j}] block — 3·numFeat + 2 doubles — folded
-  * on the driver in partition-index order (bit-stable, like
-  * [[SparseBoost]]'s histograms). No margin column, no checkpoint
+  * [Σg, Σh, {G_j, H_j, B_j}] block — 3·numFeat + 2 doubles — merged
+  * in partition-index order through [[PartialFold]] (bit-stable, like
+  * [[SparseBoost]]'s histograms; distributed block folds above
+  * PartialFold.BlockSize partitions). No margin column, no checkpoint
   * chain, nothing row-sized ever returns to the driver.
   *
   * Objectives: `binary:logistic` and `reg:squarederror`. With α = 0
@@ -190,13 +191,10 @@ object LinearBoost {
           }
         }
         Iterator.single(acc)
-      }.collect()
-      val s = new Array[Double](size)
-      partials.foreach { p =>
-        var i = 0
-        while (i < size) { s(i) += p(i); i += 1 }
       }
-      s
+      // deterministic partition-index-ordered merge (distributed
+      // block folds above PartialFold.BlockSize partitions)
+      PartialFold.sum(partials, size)
     }
     def lossOf(s: Array[Double]): Double =
       if (binary) s(2) / denom else math.sqrt(s(2) / denom)

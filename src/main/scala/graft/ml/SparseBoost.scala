@@ -46,14 +46,16 @@ import org.apache.spark.sql.types._
   * `missingStrategy = "native"`; gamma/tweedie ALWAYS train here —
   * MLlib GBT has neither loss family.
   *
-  * Determinism: histogram partials are folded on the driver in
-  * partition-index order (float addition order is fixed), split ties
+  * Determinism: histogram partials merge through [[PartialFold]] —
+  * partition-index-ordered folds whose addition tree is a pure
+  * function of the partition count (driver fold at modest P,
+  * distributed block folds + ordered block-sum fold above
+  * PartialFold.BlockSize, so a 10k-core fit ships the driver block
+  * sums instead of an O(P) histogram funnel); split ties
   * break by (feature, bin, missing-right-first) enumeration order,
   * and the `subsample` path reuses the content-hash Bernoulli filter
   * ([[GraftBoost.roundSample]]) — two trains on the same frame are
-  * bit-identical. At cluster scale the fold would move to
-  * `treeAggregate` (documented trade: log-depth aggregation vs.
-  * bit-stable addition order); histogram sizes are unchanged.
+  * bit-identical. Histogram sizes are unchanged either way.
   */
 object SparseBoost {
 
@@ -559,7 +561,7 @@ object SparseBoost {
       val slotL = slotOf
       val size = slotOf.size * perNode * 3
 
-      val partials = rowsTyped.mapPartitions { it =>
+      val partialsRdd = rowsTyped.mapPartitions { it =>
         val acc = new Array[Double](size)
         it.foreach { case (v, g, h) =>
           var i = 0
@@ -587,13 +589,12 @@ object SparseBoost {
           }
         }
         Iterator.single(acc)
-      }.collect()
-      val hist = new Array[Double](size)
-      partials.foreach { p =>
-        var i = 0
-        while (i < size) { hist(i) += p(i); i += 1 }
       }
-      hist
+      // deterministic partition-index-ordered merge; above
+      // PartialFold.BlockSize partitions the per-block folds run
+      // distributed and the driver only sees block sums (the
+      // cluster-scale shape — see PartialFold scaladoc)
+      PartialFold.sum(partialsRdd, size)
     }
 
     /** Best split of one node from its histogram block (slot base

@@ -527,4 +527,40 @@ class ScaleSpec extends AnyFunSuite {
     out.unpersist(false)
     release()
   }
+
+  test("boost stats merge (PartialFold): index-ordered, blocked above BlockSize") {
+    // The merge behind every boosting histogram/stats pass. The pin:
+    // the addition tree is a pure function of the partition count —
+    // flat partition-index fold at P <= blockSize (the historical
+    // driver shape, byte-identical), consecutive-index block folds +
+    // an ordered block-sum fold above it (the cluster shape: driver
+    // receives ceil(P/B) block sums, not P histograms). Values chosen
+    // float-sensitive so EXACT equality pins the exact fold order.
+    import graft.ml.PartialFold
+    val parts = Seq(
+      Array(1e16, 0.1), Array(1.0, 0.2), Array(-1e16, 0.3),
+      Array(1.0, 0.4), Array(3.0, 0.5))
+    val rdd = spark.sparkContext.parallelize(parts, parts.length)
+    def fold(as: Seq[Array[Double]]): Array[Double] = {
+      val acc = new Array[Double](2)
+      as.foreach { p => acc(0) += p(0); acc(1) += p(1) }
+      acc
+    }
+    // P <= blockSize: the flat in-order fold, exactly
+    assert(PartialFold.sum(rdd, 2, blockSize = 64).toSeq ==
+      fold(parts).toSeq)
+    // P > blockSize: blocks [0,1][2,3][4] in index order, then the
+    // ordered block sums — and bit-stable across repeated runs
+    val blocked = PartialFold.sum(rdd, 2, blockSize = 2)
+    val expect = fold(Seq(
+      fold(parts.slice(0, 2)), fold(parts.slice(2, 4)),
+      fold(parts.slice(4, 5))))
+    assert(blocked.toSeq == expect.toSeq,
+      "blocked merge must fold consecutive index blocks in order")
+    assert(PartialFold.sum(rdd, 2, blockSize = 2).toSeq == blocked.toSeq,
+      "merge must be bit-stable across runs")
+    // (the two shapes legitimately differ in float tree — the
+    // determinism contract is per-shape, and local[32] training
+    // always takes the flat shape, so committed hashes are unmoved)
+  }
 }
