@@ -157,14 +157,26 @@ object Multimodal {
     * driver-side lookup.
     */
   def decodedAssets(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
     val t = Tables(s, dir)
+    decodeAssetFrame(
+      t.documents
+        .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload")))
+  }
+
+  /** Frame-level decode: run any `(doc_id: long, payload: binary)`
+    * frame through the current [[AssetCodec]] — the entry a real
+    * ingest pipeline (object-store listing, streaming attachment
+    * feed) uses, and the one the codec specs drive with GENUINE
+    * binary assets (BMP/WAV) to prove the executor-side decode path
+    * on true media bytes. Map-side only; assets never shuffle.
+    */
+  def decodeAssetFrame(df: DataFrame): DataFrame = {
+    import df.sparkSession.implicits._
     // resolve the codec ON THE DRIVER (one instance, shipped in the
     // task closure) — resolving inside the lambda would re-reflect
     // per partition and let executors disagree with the driver
     val codec = AssetCodec.current
-    t.documents
-      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+    df.select(col("doc_id"), col("payload"))
       .as[(Long, Array[Byte])]
       .mapPartitions(_.map { case (id, bytes) => codec.decode(id, bytes) })
       .toDF()
