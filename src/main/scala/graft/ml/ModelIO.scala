@@ -96,6 +96,29 @@ object ModelIO {
       nodeGain: Seq[Seq[Double]] = Seq.empty
   )
 
+  /** Serialized form of a [[MultiSparse.MultiSparseModel]] (ingested
+    * or converted multiclass forest) — model-sized driver arrays
+    * under `model/multisparse.json`.
+    */
+  private case class MultiSparseDoc(
+      base: Double,
+      objective: String,
+      numClasses: Int,
+      treeInfo: Seq[Int],
+      feature: Seq[Seq[Int]],
+      thresh: Seq[Seq[Double]],
+      left: Seq[Seq[Int]],
+      right: Seq[Seq[Int]],
+      defaultLeft: Seq[Seq[Boolean]],
+      value: Seq[Seq[Double]],
+      cover: Seq[Seq[Double]],
+      impWeight: Seq[Double] = Seq.empty,
+      impTotalGain: Seq[Double] = Seq.empty,
+      impTotalCover: Seq[Double] = Seq.empty,
+      // per-node split gain; empty = stats unavailable (never zeros)
+      nodeGain: Seq[Seq[Double]] = Seq.empty
+  )
+
   /** Serialized form of a [[LinearBoost.LinearModel]] — one small
     * JSON under `model/linear.json`.
     */
@@ -135,6 +158,11 @@ object ModelIO {
             "round on shared multinomial softmax gradients, Newton leaves " +
             "via hessian-weighted least squares (core.py:580-590 mechanism " +
             "parity up to split-finding details).")
+        case _: MultiSparse.MultiSparseModel =>
+          Some("multiclass: native tree_info-routed forest (XGBoost JSON " +
+            "ingest / conversion) — per-class margins summed over the " +
+            "document's trees, softmax probabilities; true multi:softprob " +
+            "serving semantics incl. default-branch NaN routing.")
         case _ =>
           Some("multiclass: one-vs-rest / RF ensemble, per-class scores " +
             "normalized (+ optional Platt calibration) — NOT XGBoost " +
@@ -211,6 +239,27 @@ object ModelIO {
         val outS = fsS.create(new Path(path, "model/sparse.json"), true)
         try outS.write(Serialization.write(doc).getBytes("UTF-8"))
         finally outS.close()
+      // a multiclass native forest (XgbJson ingest / conversion) is
+      // model-sized driver arrays — one JSON
+      case mm: MultiSparse.MultiSparseModel =>
+        import org.json4s.DefaultFormats
+        import org.json4s.jackson.Serialization
+        implicit val fmt: DefaultFormats.type = DefaultFormats
+        val doc = MultiSparseDoc(mm.base, mm.objective, mm.numClasses,
+          mm.treeInfo.toSeq,
+          mm.trees.map(_.feature.toSeq).toSeq,
+          mm.trees.map(_.thresh.toSeq).toSeq,
+          mm.trees.map(_.left.toSeq).toSeq,
+          mm.trees.map(_.right.toSeq).toSeq,
+          mm.trees.map(_.defaultLeft.toSeq).toSeq,
+          mm.trees.map(_.value.toSeq).toSeq,
+          mm.trees.map(_.cover.toSeq).toSeq,
+          mm.stats.weight.toSeq, mm.stats.gain.toSeq, mm.stats.cover.toSeq,
+          nodeGain = mm.trees.map(_.gain.toSeq).toSeq)
+        val fsM = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val outM = fsM.create(new Path(path, "model/multisparse.json"), true)
+        try outM.write(Serialization.write(doc).getBytes("UTF-8"))
+        finally outM.close()
       // a linear booster is one weight vector — one JSON
       case lm: LinearBoost.LinearModel =>
         import org.json4s.DefaultFormats
@@ -302,6 +351,24 @@ object ModelIO {
         }
         new PoissonBoost.PoissonModel("poisson_loaded", trees,
           meta.poissonBase, meta.poissonEta)
+      case c if c.endsWith("MultiSparseModel") =>
+        // MUST precede the SparseModel case: that suffix matches too
+        val inM = fs.open(new Path(path, "model/multisparse.json"))
+        val jsonM = try scala.io.Source.fromInputStream(inM, "UTF-8").mkString
+          finally inM.close()
+        val doc = JsonMethods.parse(jsonM).extract[MultiSparseDoc]
+        val trees = doc.feature.indices.map { i =>
+          SparseBoost.SparseTree(doc.feature(i).toArray, doc.thresh(i).toArray,
+            doc.left(i).toArray, doc.right(i).toArray,
+            doc.defaultLeft(i).toArray, doc.value(i).toArray,
+            doc.cover(i).toArray,
+            if (doc.nodeGain.isEmpty) Array.emptyDoubleArray
+            else doc.nodeGain(i).toArray)
+        }.toArray
+        new MultiSparse.MultiSparseModel("multisparse_loaded", trees,
+          doc.treeInfo.toArray, doc.numClasses, doc.base, doc.objective,
+          SparseBoost.ImportanceAcc(doc.impTotalGain.toArray,
+            doc.impWeight.toArray, doc.impTotalCover.toArray))
       case c if c.endsWith("SparseModel") =>
         val inS = fs.open(new Path(path, "model/sparse.json"))
         val jsonS = try scala.io.Source.fromInputStream(inS, "UTF-8").mkString

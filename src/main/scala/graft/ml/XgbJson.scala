@@ -21,7 +21,13 @@ import SparseBoost.{ImportanceAcc, SparseModel, SparseTree}
   *    ([[SoftprobBoost.SoftprobModel]], reference `core.py:580-590`)
   *    export through a lossless MLlib→array conversion
   *    ([[MultiSparse.fromMLlibTree]]); multiclass documents ingest
-  *    into the native [[MultiSparse.MultiSparseModel]] scorer.
+  *    into the native [[MultiSparse.MultiSparseModel]] scorer. The
+  *    wrapped MLlib GBT paths export too: regression folds each tree
+  *    weight into its node values (margins bit-exact), binary
+  *    classification folds 2·wᵢ so stock `sigmoid(margin)` matches
+  *    MLlib's probability to complement-form rounding (~ulp(1);
+  *    MLlib evaluates 1 − sigmoid(−2m)) with the decision boundary
+  *    exact.
   *  - `dart` — a forest whose dropout rounds fired exports as the
   *    schema's dart slot (gbtree submodel + `weight_drop`); ingest
   *    folds `weight_drop` into the stored leaf values (the plain-sum
@@ -217,12 +223,57 @@ object XgbJson {
       learnerDoc(model, booster, numClass = 0, lm.base,
         objectiveJson(lm.objective, 0), statsAbsent = false)
 
+    case g: org.apache.spark.ml.regression.GBTRegressionModel =>
+      // wrapped-MLlib path: margin = Σ wᵢ·treeᵢ(x); each tree weight
+      // folds into its node values through the lossless walk, so the
+      // document is a plain gbtree sum (base margin 0 — MLlib GBT has
+      // no separate intercept, its first tree carries it)
+      val flat = g.trees.zip(g.treeWeights)
+        .map { case (t, w) => MultiSparse.fromMLlibTree(t, w) }
+      val maxIdx = flat.iterator.flatMap(_.feature.iterator)
+        .filter(_ >= 0).maxOption.getOrElse(-1)
+      namedFeatureGuard(model, maxIdx)
+      val booster = JObject(
+        "model" -> treeModelJson(flat, Array.fill(flat.length)(0),
+          model.featureCols.length, 1),
+        "name" -> JString("gbtree"))
+      learnerDoc(model, booster, numClass = 0, baseMargin = 0.0,
+        objectiveJson(model.objective, 0), statsAbsent = false,
+        extraDivergence = MLlibGainNote)
+
+    case g: org.apache.spark.ml.classification.GBTClassificationModel =>
+      // MLlib binary GBT probability = sigmoid(2·Σ wᵢ·treeᵢ(x)) —
+      // folding 2·wᵢ into the node values makes stock XGBoost's
+      // sigmoid(margin) reproduce the probability up to the
+      // complement form's ~ulp(1) rounding (MLlib evaluates
+      // 1 − sigmoid(−2m)) and the decision boundary EXACTLY
+      // (margin sign is unchanged)
+      val flat = g.trees.zip(g.treeWeights)
+        .map { case (t, w) => MultiSparse.fromMLlibTree(t, 2.0 * w) }
+      val maxIdx = flat.iterator.flatMap(_.feature.iterator)
+        .filter(_ >= 0).maxOption.getOrElse(-1)
+      namedFeatureGuard(model, maxIdx)
+      val booster = JObject(
+        "model" -> treeModelJson(flat, Array.fill(flat.length)(0),
+          model.featureCols.length, 1),
+        "name" -> JString("gbtree"))
+      learnerDoc(model, booster, numClass = 0, baseMargin = 0.0,
+        objectiveJson("binary:logistic", 0), statsAbsent = false,
+        extraDivergence = MLlibGainNote)
+
     case other => throw new IllegalArgumentException(
       "XGBoost JSON interchange covers the native-loop forests " +
-      "(single and multiclass), softprob forests and the linear " +
-      s"booster; got ${other.getClass.getSimpleName} — use ModelIO " +
-      "for engine-native persistence")
+      "(single and multiclass), softprob forests, the wrapped MLlib " +
+      s"GBT paths and the linear booster; got " +
+      s"${other.getClass.getSimpleName} — use ModelIO for " +
+      "engine-native persistence")
   }
+
+  /** Divergence stamp shared by the MLlib-tree-walked exports. */
+  private val MLlibGainNote =
+    "; per-node gains are MLlib impurity decreases, not regularized " +
+    "Newton gains, and sum_hessian carries the node's instance-weight " +
+    "mass"
 
   /** trees-per-iteration for a multiclass forest: K when `tree_info`
     * has the plain round-major layout, else the whole forest is one

@@ -463,6 +463,96 @@ class XgbJsonSpec extends AnyFunSuite {
     assert(dump.filter(_.getString(3) != "Leaf").forall(_.isNullAt(8)))
   }
 
+  // ---- wrapped MLlib GBT interchange -------------------------------
+
+  private def fitWrapped(objective: String): (GraftBoost.GraftBoostModel,
+      org.apache.spark.sql.DataFrame) = {
+    val t = Tables(spark, sf)
+    val feats = Seq("l_quantity", "l_discount", "l_tax")
+    val df = t.lineitem
+      .withColumn("label",
+        col("l_quantity") * 10.0 + col("l_discount") * 100.0)
+      .withColumn("label",
+        if (objective == "binary:logistic") (col("label") > 150.0).cast("double")
+        else col("label"))
+      .select((feats.map(col) :+ col("label")): _*)
+      .cache()
+    // default missingStrategy ("impute", no marker) -> the MLlib GBT
+    // wrapper paths, not the native loop
+    val m = GraftBoost.train(df, feats, "label",
+      GraftBoost.BoostParams(objective, numRound = 4, maxDepth = 3,
+        maxBins = 16))
+    (m, df)
+  }
+
+  test("wrapped MLlib GBT regression exports and scores bit-identically") {
+    val (m, df) = fitWrapped("reg:squarederror")
+    assert(m.model.isInstanceOf[org.apache.spark.ml.regression.GBTRegressionModel])
+    val back = XgbJson.importModel(XgbJson.export(m))
+    // tree weights folded in: the ingested plain-sum forest must
+    // reproduce MLlib's weighted dot product exactly
+    val orig = GraftBoost.predict(m, df).select("prediction")
+      .collect().map(_.getDouble(0))
+    val rt = GraftBoost.predict(back, df).select("prediction")
+      .collect().map(_.getDouble(0))
+    assert(orig.sameElements(rt))
+    df.unpersist()
+  }
+
+  test("wrapped MLlib GBT classifier exports: sigmoid(margin) = MLlib probability") {
+    val (m, df) = fitWrapped("binary:logistic")
+    assert(m.model.isInstanceOf[org.apache.spark.ml.classification.GBTClassificationModel])
+    val doc = XgbJson.export(m)
+    assert(doc.contains("binary:logistic"))
+    val back = XgbJson.importModel(doc)
+    val orig = GraftBoost.predict(m, df).select("prediction")
+      .collect().map(_.getDouble(0))
+    val rt = GraftBoost.predict(back, df).select("prediction")
+      .collect().map(_.getDouble(0))
+    assert(orig.sameElements(rt), "decision boundary must be unchanged")
+    // the 2·w fold makes sigmoid(margin) MLlib's probability up to
+    // the COMPLEMENT form's rounding: MLlib evaluates p₁ as
+    // 1 − sigmoid(−2m) (LogLoss.computeProbability on raw(0) = −m),
+    // a subtraction from 1 whose absolute error sits at the scale of
+    // ulp(1.0) ≈ 2.2e-16 regardless of how small p₁ is — the direct
+    // sigmoid here is the more accurate of the two; mathematically
+    // they are identical
+    val pOrig = GraftBoost.predictProba(m, df).select("proba")
+      .collect().map(_.getSeq[Double](0)(1))
+    val pRt = GraftBoost.predictProba(back, df).select("proba")
+      .collect().map(_.getSeq[Double](0)(1))
+    pOrig.zip(pRt).foreach { case (a, b) =>
+      assert(math.abs(a - b) <= 4 * math.ulp(1.0),
+        s"probability drift beyond complement-form rounding: $a vs $b")
+    }
+    df.unpersist()
+  }
+
+  test("ModelIO persists an ingested multiclass forest losslessly") {
+    val (m, df) = fitSoftprob()
+    val ingested = XgbJson.importModel(XgbJson.export(m))
+    val dir = java.nio.file.Files.createTempDirectory("multisparse_io").toString
+    graft.ml.ModelIO.save(spark, ingested, dir)
+    val loaded = graft.ml.ModelIO.load(spark, dir)
+    val a = ingested.model.asInstanceOf[graft.ml.MultiSparse.MultiSparseModel]
+    val b = loaded.model.asInstanceOf[graft.ml.MultiSparse.MultiSparseModel]
+    assert(b.numClasses == a.numClasses &&
+      b.treeInfo.sameElements(a.treeInfo) && b.base == a.base)
+    a.trees.zip(b.trees).foreach { case (x, y) =>
+      assert(x.feature.sameElements(y.feature) &&
+        x.thresh.sameElements(y.thresh) && x.value.sameElements(y.value) &&
+        x.cover.sameElements(y.cover) && x.gain.sameElements(y.gain))
+    }
+    assert(b.importanceByType("weight").sameElements(
+      a.importanceByType("weight")))
+    val pA = GraftBoost.predict(ingested, df).select("prediction")
+      .collect().map(_.getDouble(0))
+    val pB = GraftBoost.predict(loaded, df).select("prediction")
+      .collect().map(_.getDouble(0))
+    assert(pA.sameElements(pB))
+    df.unpersist()
+  }
+
   test("vector-pass-through detection is structural, not split-index-based") {
     // the ADVICE r9 scenario: a pass-through forest whose splits all
     // land on slot 0 — the old max-index inference would accept it
