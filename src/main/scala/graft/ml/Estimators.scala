@@ -107,6 +107,35 @@ sealed abstract class GraftEstimator[Self <: GraftEstimator[Self]] { self: Self 
     */
   def featureImportances: Map[String, Double] =
     GraftBoost.featureImportances(fitted)
+
+  /** `save_model("model.json")` parity (reference model sink,
+    * `core.py:126-131`, via the sklearn wrapper surface): writes the
+    * fitted model as the PUBLIC XGBoost JSON document ([[XgbJson]])
+    * to a driver-local path, exactly like stock XGBoost's
+    * `Booster.save_model`. Use [[ModelIO]] for the lossless
+    * engine-native artifact (eval history, imputation stats,
+    * calibration have no schema slot).
+    */
+  def saveModel(path: String): Unit =
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(path),
+      XgbJson.export(fitted).getBytes("UTF-8"))
+
+  /** `load_model("model.json")` parity: ingest an XGBoost JSON
+    * document (stock or own export) into this estimator. Matching
+    * stock XGBoost, training-time state (`evals_result`,
+    * best_iteration) is NOT restored — the document doesn't carry it.
+    */
+  def loadModel(path: String): Self = {
+    model = Some(XgbJson.importModel(new String(
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)),
+      "UTF-8")))
+    evalsResult = Map.empty
+    bestIteration = None
+    bestScore = None
+    roundsTrained = None
+    this
+  }
 }
 
 /** `XGBRegressor` parity (`core.py:387-484`). */

@@ -121,6 +121,20 @@ object MultiSparse {
     }
   }
 
+  /** Lossless array-form view of a trained softprob forest: round-
+    * major flatten (round r's K class trees in class order) with
+    * `tree_info` class ids — the exact layout [[XgbJson]] exports and
+    * the per-class sum order that keeps margins bit-identical to
+    * [[SoftprobBoost.SoftprobModel.marginsOf]]. Base margin is 0 (the
+    * softprob loop starts every class at F = 0).
+    */
+  def fromSoftprob(sp: SoftprobBoost.SoftprobModel): MultiSparseModel = {
+    val K = sp.numClasses
+    val flat = sp.trees.flatMap(_.map(fromMLlibTree(_, sp.eta)))
+    new MultiSparseModel(sp.uid + "_arr", flat,
+      Array.tabulate(flat.length)(_ % K), K, 0.0, "multi:softprob")
+  }
+
   /** Flatten one MLlib regression tree into the array form, scaling
     * every node value by `scale` (the learning rate — XGBoost
     * documents store η-scaled leaf values; internal `base_weights`

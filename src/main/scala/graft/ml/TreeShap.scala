@@ -355,4 +355,70 @@ object TreeShap {
       val (b, phi) = shapOne(c.trees, c.expected, c.pathCap, c.numFeatures, v)
       (b, phi.toSeq)
     }
+
+  /** Per-class exact TreeSHAP for multiclass forests — XGBoost's
+    * `pred_contribs=True` with `num_class > 1` (one attribution
+    * vector per class, reference multiclass lifecycle
+    * `core.py:580-590`). Accepts the native multiclass scorer
+    * ([[MultiSparse.MultiSparseModel]], e.g. an ingested XGBoost
+    * document) or a trained softprob forest (converted losslessly —
+    * its hessian instance weights ARE the cover statistics the
+    * conditional-expectation game needs). Appends `bias`
+    * (array<double>, length K: per-class forest expectation + base)
+    * and `shap` (row-major K×M flattened array<double>). Per class,
+    * local accuracy `bias(k) + Σ_j shap(k·M+j) = margin_k` holds
+    * exactly up to float summation order.
+    *
+    * Scale posture: identical to [[transform]] — model-sized
+    * broadcast, one fanned map-side pass, no shuffle; per-row cost is
+    * the single-class kernel summed over the K class forests.
+    */
+  def transformMulticlass(
+      model: GraftBoost.GraftBoostModel, df: DataFrame): DataFrame = {
+    val mm = model.model match {
+      case m: MultiSparse.MultiSparseModel => m
+      case m: SoftprobBoost.SoftprobModel => MultiSparse.fromSoftprob(m)
+      case m => throw new UnsupportedOperationException(
+        "multiclass TreeSHAP needs a multiclass forest (native " +
+        s"MultiSparseModel or softprob); got ${m.getClass} — use " +
+        "transform for single-target forests")
+    }
+    val clash = Seq("_kv", "bias", "shap").filter(df.columns.contains)
+    require(clash.isEmpty,
+      s"input already has column(s) ${clash.mkString(", ")} that " +
+      s"TreeShap would overwrite — rename or drop them before scoring")
+    val K = mm.numClasses
+    val M = model.featureCols.length
+    // per-class forests in stored tree order (the margin sum order)
+    val byClass = Array.tabulate(K)(k =>
+      mm.treeInfo.indices.collect {
+        case i if mm.treeInfo(i) == k => mm.trees(i)
+      }.toArray)
+    val expected = byClass.map(_.map(expectedValue))
+    val pathCap =
+      (if (mm.trees.isEmpty) 1 else mm.trees.map(depthOf).max) + 2
+    val base = mm.base
+    val data = graft.functions.GraftFunctions.fanOut(
+      GraftBoost.assemble(df, model.featureCols, model.imputation,
+        keepNaN = model.missingStrategy == "native"))
+    val bc = data.sparkSession.sparkContext.broadcast((byClass, expected))
+    val ku = udf((v: Vector) => {
+      val (forests, exps) = bc.value
+      val bias = new Array[Double](K)
+      val flat = new Array[Double](K * M)
+      var k = 0
+      while (k < K) {
+        val (b, phi) = shapOne(forests(k), exps(k), pathCap, M, v)
+        bias(k) = b + base
+        System.arraycopy(phi, 0, flat, k * M, M)
+        k += 1
+      }
+      (bias.toSeq, flat.toSeq)
+    })
+    data
+      .withColumn("_kv", ku(col("features")))
+      .withColumn("bias", col("_kv")("_1"))
+      .withColumn("shap", col("_kv")("_2"))
+      .drop("_kv", "features")
+  }
 }

@@ -155,7 +155,8 @@ object XgbJson {
       namedFeatureGuard(model, maxIdx)
       val booster = JObject(
         "model" -> treeModelJson(sm.trees, Array.fill(sm.trees.length)(0),
-          model.featureCols.length, sm.treesPerRound),
+          model.featureCols.length, sm.treesPerRound,
+          numParallelTree = sm.treesPerRound),
         "name" -> JString("gbtree"))
       val wrapped =
         if (!sm.dartRescaled) booster
@@ -190,14 +191,14 @@ object XgbJson {
       // multiclass layout. The MLlib→array conversion is lossless
       // (thresholds/leaf outputs bit-exact; covers from the weighted
       // node stats; see MultiSparse.fromMLlibTree).
-      val K = sp.numClasses
-      val flat = sp.trees.flatMap(_.map(MultiSparse.fromMLlibTree(_, sp.eta)))
-      val info = Array.tabulate(flat.length)(_ % K)
-      val maxIdx = flat.iterator.flatMap(_.feature.iterator)
+      val mm = MultiSparse.fromSoftprob(sp)
+      val K = mm.numClasses
+      val maxIdx = mm.trees.iterator.flatMap(_.feature.iterator)
         .filter(_ >= 0).maxOption.getOrElse(-1)
       namedFeatureGuard(model, maxIdx)
       val booster = JObject(
-        "model" -> treeModelJson(flat, info, model.featureCols.length, K),
+        "model" -> treeModelJson(mm.trees, mm.treeInfo,
+          model.featureCols.length, K),
         "name" -> JString("gbtree"))
       learnerDoc(model, booster, numClass = K, baseMargin = 0.0,
         objectiveJson("multi:softprob", K), statsAbsent = false,
@@ -301,7 +302,12 @@ object XgbJson {
       trees: Array[SparseTree],
       treeInfo: Array[Int],
       numFeature: Int,
-      treesPerIter: Int
+      treesPerIter: Int,
+      /** num_parallel_tree to stamp — equals treesPerIter only for a
+        * single-target parallel-tree forest; multiclass iterations
+        * group K class trees that are NOT parallel trees.
+        */
+      numParallelTree: Int = 1
   ): JObject = {
     val treeDocs = trees.map { t =>
       val n = t.feature.length
@@ -350,8 +356,7 @@ object XgbJson {
     JObject(
       "gbtree_model_param" -> JObject(
         "num_trees" -> JString(trees.length.toString),
-        "num_parallel_tree" -> JString(
-          (if (treeInfo.exists(_ != 0)) 1 else treesPerIter).toString)),
+        "num_parallel_tree" -> JString(numParallelTree.toString)),
       "iteration_indptr" -> JArray(indptr.map(JInt(_): JValue).toList),
       "tree_info" -> JArray(treeInfo.map(JInt(_): JValue).toList),
       "trees" -> JArray(treeDocs.toList))

@@ -315,4 +315,51 @@ class TreeShapSpec extends AnyFunSuite {
     assert(viaDf == direct.flatten.toSeq,
       "transformInteractions must equal the kernel bit-for-bit")
   }
+
+  test("multiclass TreeSHAP: per-class local accuracy on a softprob forest") {
+    import org.apache.spark.sql.functions._
+    // 3-class fixture; small joint softprob fit
+    val df = (0 until 240).map { i =>
+      val x1 = (i % 12).toDouble
+      val x2 = ((i * 7) % 5).toDouble
+      (x1, x2, (i % 3).toDouble)
+    }.toDF("x1", "x2", "label")
+    val m = GraftBoost.train(df, Seq("x1", "x2"), "label",
+      BoostParams("multi:softprob", numRound = 3, maxDepth = 3,
+        multiclassStrategy = "softprob"))
+    val sp = m.model.asInstanceOf[SoftprobBoost.SoftprobModel]
+    val mm = MultiSparse.fromSoftprob(sp)
+    val K = 3; val M = 2
+    val out = TreeShap.transformMulticlass(m, df)
+      .select(col("x1"), col("x2"), col("bias"), col("shap"))
+      .collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val v = Vectors.dense(r.getDouble(0), r.getDouble(1))
+      val margins = mm.marginsOf(v) // bit-identical to sp.marginsOf (spec'd)
+      val bias = r.getSeq[Double](2)
+      val shap = r.getSeq[Double](3)
+      assert(bias.length == K && shap.length == K * M)
+      (0 until K).foreach { k =>
+        val reconstructed = bias(k) +
+          (0 until M).map(j => shap(k * M + j)).sum
+        assert(math.abs(reconstructed - margins(k)) < 1e-9,
+          s"class $k: bias + sum(shap) = $reconstructed != margin ${margins(k)}")
+      }
+    }
+    // the converted forest scores identically to the source softprob
+    val probe = Vectors.dense(5.0, 2.0)
+    assert(mm.marginsOf(probe).toSeq == sp.marginsOf(probe).toSeq)
+    // ingested documents take the same path: round-trip and re-score
+    val ingested = XgbJson.importModel(XgbJson.export(m))
+    val viaIngest = TreeShap.transformMulticlass(ingested, df.limit(5))
+      .select("bias", "shap").collect()
+    val direct = TreeShap.transformMulticlass(m, df.limit(5))
+      .select("bias", "shap").collect()
+    viaIngest.zip(direct).foreach { case (a, b) =>
+      assert(a.getSeq[Double](0) == b.getSeq[Double](0) &&
+        a.getSeq[Double](1) == b.getSeq[Double](1),
+        "ingested-document SHAP must equal the source forest's")
+    }
+  }
 }

@@ -553,6 +553,47 @@ class XgbJsonSpec extends AnyFunSuite {
     df.unpersist()
   }
 
+  test("estimator save_model/load_model: the reference's sklearn-wrapper sink") {
+    val t = Tables(spark, sf)
+    val feats = Seq("l_quantity", "l_discount")
+    val df = t.lineitem
+      .withColumn("label", col("l_quantity") * 5.0 + col("l_discount") * 40.0)
+      .select((feats.map(col) :+ col("label")): _*)
+      .cache()
+    val reg = new graft.ml.GraftXGBRegressor()
+      .setNEstimators(3).setMaxDepth(3)
+    reg.fit(df, feats, "label")
+    val path = java.nio.file.Files.createTempFile("graft_xgb", ".json").toString
+    reg.saveModel(path)
+    val fresh = new graft.ml.GraftXGBRegressor().loadModel(path)
+    val orig = reg.predict(df).select("prediction")
+      .collect().map(_.getDouble(0))
+    val rt = fresh.predict(df).select("prediction")
+      .collect().map(_.getDouble(0))
+    assert(orig.sameElements(rt))
+    // matching stock XGBoost: the document carries no training-time
+    // state, so nothing must pretend to be restored
+    assert(fresh.evalsResult.isEmpty && fresh.bestIteration.isEmpty)
+
+    // multiclass classifier through the same surface
+    val dfc = t.lineitem
+      .withColumn("label", pmod(col("l_orderkey"), lit(3)).cast("double"))
+      .select((feats.map(col) :+ col("label")): _*)
+      .cache()
+    val clf = new graft.ml.GraftXGBClassifier()
+      .setNEstimators(2).setMaxDepth(3).setMulticlassStrategy("softprob")
+    clf.fit(dfc, feats, "label")
+    val pathC = java.nio.file.Files.createTempFile("graft_xgbc", ".json").toString
+    clf.saveModel(pathC)
+    val freshC = new graft.ml.GraftXGBClassifier().loadModel(pathC)
+    val pOrig = clf.predict(dfc).select(col("prediction").cast("double"))
+      .collect().map(_.getDouble(0))
+    val pRt = freshC.predict(dfc).select(col("prediction").cast("double"))
+      .collect().map(_.getDouble(0))
+    assert(pOrig.sameElements(pRt))
+    df.unpersist(); dfc.unpersist()
+  }
+
   test("vector-pass-through detection is structural, not split-index-based") {
     // the ADVICE r9 scenario: a pass-through forest whose splits all
     // land on slot 0 — the old max-index inference would accept it
