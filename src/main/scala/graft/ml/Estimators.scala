@@ -221,6 +221,19 @@ final class GraftXGBClassifier extends GraftEstimator[GraftXGBClassifier] {
   def setObjective(o: String): GraftXGBClassifier = { objective = o; this }
   def setMulticlassStrategy(s: String): GraftXGBClassifier = { multiclassStrategy = s; this }
 
+  /** sklearn-wrapper parity on `load_model`: `classes_` comes back as
+    * 0..K−1 from the document's class count (stock XGBoost restores
+    * n_classes the same way — original label values have no schema
+    * slot), and the objective follows the document.
+    */
+  override def loadModel(path: String): GraftXGBClassifier = {
+    super.loadModel(path)
+    classes = model.filter(_.numClasses > 0)
+      .map(m => Array.tabulate(m.numClasses)(_.toDouble))
+    model.foreach(m => objective = m.objective)
+    this
+  }
+
   /** Distributed fit with class inference + objective rewrite.
     * Class inference is the reference's eager distributed distinct
     * (`core.py:561-570`); with >2 classes the default binary

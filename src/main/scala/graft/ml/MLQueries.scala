@@ -1612,8 +1612,11 @@ object MLQueries {
     (s, dir) => {
       val t = Tables(s, dir)
       val feats = Seq("l_quantity", "l_discount", "l_tax")
+      // 1/8 slice: three small fits + two double-scorings ride this
+      // frame, and every gate is a structural identity of one fit —
+      // row mass adds bench cost, not evidence
       val df = t.lineitem
-        .filter(pmod(col("l_orderkey"), lit(4)) === 0)
+        .filter(pmod(col("l_orderkey"), lit(8)) === 0)
         .withColumn("cls", pmod(col("l_orderkey"), lit(3)).cast("double"))
         .withColumn("target",
           col("l_quantity") * 100.0 + col("l_discount") * 1000.0)
@@ -1705,7 +1708,7 @@ object MLQueries {
              TRUE AS gblinear_roundtrip_ok,
              TRUE AS dart_roundtrip_ok,
              TRUE AS ingested_stats_ok
-      FROM lineitem WHERE l_orderkey % 4 = 0
+      FROM lineitem WHERE l_orderkey % 8 = 0
     """)
   )
 

@@ -586,6 +586,8 @@ class XgbJsonSpec extends AnyFunSuite {
     val pathC = java.nio.file.Files.createTempFile("graft_xgbc", ".json").toString
     clf.saveModel(pathC)
     val freshC = new graft.ml.GraftXGBClassifier().loadModel(pathC)
+    assert(freshC.numClasses == 3,
+      "classes_ must restore as 0..K-1 from the document's num_class")
     val pOrig = clf.predict(dfc).select(col("prediction").cast("double"))
       .collect().map(_.getDouble(0))
     val pRt = freshC.predict(dfc).select(col("prediction").cast("double"))
