@@ -191,8 +191,12 @@ object SparseBoost {
 
     def predictOne(v: Vector): Double = objective match {
       case "binary:logistic" => if (marginOf(v) > 0.0) 1.0 else 0.0
-      // log-link objectives predict on the response scale
+      // log-link objectives predict on the response scale. count:*
+      // only arises via XgbJson ingest (training routes count:poisson
+      // to PoissonBoost) — without this arm an ingested Poisson
+      // document would silently emit log-rates instead of counts
       case "reg:gamma" | "reg:tweedie" => math.exp(marginOf(v))
+      case o if o.startsWith("count:") => math.exp(marginOf(v))
       case _ => marginOf(v)
     }
 

@@ -143,10 +143,11 @@ object XgbJson {
   /** Serialize a model to the XGBoost JSON model format. Dispatches
     * on the trained booster: native-loop forests → `gbtree` (or
     * `dart` when dropout rounds fired), softprob / ingested
-    * multiclass forests → multiclass `gbtree`, linear models →
-    * `gblinear`. Refuses the wrapped-MLlib / quantile / poisson /
-    * ranking models — their forests don't have a schema slot;
-    * [[ModelIO]] persists those.
+    * multiclass forests → multiclass `gbtree`, wrapped MLlib GBT →
+    * `gbtree` (tree weights folded into node values), linear models
+    * → `gblinear`, Poisson Newton loop → `gbtree count:poisson`.
+    * Refuses quantile / ranking / RF-multiclass models — their
+    * scoring rules have no schema slot; [[ModelIO]] persists those.
     */
   def export(model: GraftBoostModel): String = model.model match {
     case sm: SparseModel =>
@@ -240,6 +241,23 @@ object XgbJson {
         "name" -> JString("gbtree"))
       learnerDoc(model, booster, numClass = 0, baseMargin = 0.0,
         objectiveJson(model.objective, 0), statsAbsent = false,
+        extraDivergence = MLlibGainNote)
+
+    case pm: PoissonBoost.PoissonModel =>
+      // Poisson Newton loop: μ = exp(base + η·Σ treeᵣ(x)) — η folds
+      // into the node values, the log-link base rides base_score
+      // (exp link) + the exact margin attribute; ingest scores
+      // exp(margin) via the count:* arm of SparseModel.predictOne
+      val flat = pm.trees.map(MultiSparse.fromMLlibTree(_, pm.eta))
+      val maxIdx = flat.iterator.flatMap(_.feature.iterator)
+        .filter(_ >= 0).maxOption.getOrElse(-1)
+      namedFeatureGuard(model, maxIdx)
+      val booster = JObject(
+        "model" -> treeModelJson(flat, Array.fill(flat.length)(0),
+          model.featureCols.length, 1),
+        "name" -> JString("gbtree"))
+      learnerDoc(model, booster, numClass = 0, baseMargin = pm.base,
+        objectiveJson("count:poisson", 0), statsAbsent = false,
         extraDivergence = MLlibGainNote)
 
     case g: org.apache.spark.ml.classification.GBTClassificationModel =>
@@ -491,16 +509,19 @@ object XgbJson {
         val treesPerRound =
           (modelObj \ "gbtree_model_param" \ "num_parallel_tree")
             .extractOpt[String].map(_.toInt).getOrElse(1)
-        val trees = (modelObj \ "trees") match {
-          case JArray(ts) => ts.zipWithIndex.map { case (tj, ti) =>
-            parseTree(tj, ownFile = ownBase.isDefined,
-              statsAbsent = statsAbsent,
-              dropWeight = weightDrop.map(_(ti)).getOrElse(1.0))
-          }.toArray
+        val treeDocs = (modelObj \ "trees") match {
+          case JArray(ts) => ts
           case _ => throw new IllegalArgumentException("no trees in document")
         }
-        weightDrop.foreach(wd => require(wd.length == trees.length,
-          s"weight_drop length ${wd.length} != num_trees ${trees.length}"))
+        // length check BEFORE indexing per tree — a short weight_drop
+        // must fail naming the mismatch, not with an index error
+        weightDrop.foreach(wd => require(wd.length == treeDocs.length,
+          s"weight_drop length ${wd.length} != num_trees ${treeDocs.length}"))
+        val trees = treeDocs.zipWithIndex.map { case (tj, ti) =>
+          parseTree(tj, ownFile = ownBase.isDefined,
+            statsAbsent = statsAbsent,
+            dropWeight = weightDrop.map(_(ti)).getOrElse(1.0))
+        }.toArray
         // rebuild the get_score statistics from per-node loss_changes
         // + sum_hessian (every internal node: one split of its
         // feature, its gain, its hessian mass) — unavailable only

@@ -528,6 +528,33 @@ class XgbJsonSpec extends AnyFunSuite {
     df.unpersist()
   }
 
+  test("poisson booster exports: ingested document scores counts, not log-rates") {
+    val t = Tables(spark, sf)
+    val feats = Seq("l_quantity", "l_discount")
+    val df = t.lineitem
+      .withColumn("label", (col("l_linenumber") % 4 + 1).cast("double"))
+      .select((feats.map(col) :+ col("label")): _*)
+      .cache()
+    val m = GraftBoost.train(df, feats, "label",
+      GraftBoost.BoostParams("count:poisson", numRound = 3, maxDepth = 3))
+    assert(m.model.isInstanceOf[graft.ml.PoissonBoost.PoissonModel])
+    val doc = XgbJson.export(m)
+    assert(doc.contains("count:poisson"))
+    val back = XgbJson.importModel(doc)
+    assert(back.model.asInstanceOf[SparseBoost.SparseModel]
+      .objective == "count:poisson")
+    // η and base fold exactly: the ingested plain-sum forest must
+    // reproduce exp(base + η·Σ tree) bit-for-bit — and on the COUNT
+    // scale (all predictions ≥ 0), not the log-rate scale
+    val orig = GraftBoost.predict(m, df).select("prediction")
+      .collect().map(_.getDouble(0))
+    val rt = GraftBoost.predict(back, df).select("prediction")
+      .collect().map(_.getDouble(0))
+    assert(orig.sameElements(rt))
+    assert(rt.forall(_ > 0.0), "count scale, not log-rate")
+    df.unpersist()
+  }
+
   test("ModelIO persists an ingested multiclass forest losslessly") {
     val (m, df) = fitSoftprob()
     val ingested = XgbJson.importModel(XgbJson.export(m))
