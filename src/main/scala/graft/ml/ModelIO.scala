@@ -116,7 +116,9 @@ object ModelIO {
       impTotalGain: Seq[Double] = Seq.empty,
       impTotalCover: Seq[Double] = Seq.empty,
       // per-node split gain; empty = stats unavailable (never zeros)
-      nodeGain: Seq[Seq[Double]] = Seq.empty
+      nodeGain: Seq[Seq[Double]] = Seq.empty,
+      // dart provenance: drop weights folded into leaves at ingest
+      dartFolded: Boolean = false
   )
 
   /** Serialized form of a [[LinearBoost.LinearModel]] — one small
@@ -255,7 +257,8 @@ object ModelIO {
           mm.trees.map(_.value.toSeq).toSeq,
           mm.trees.map(_.cover.toSeq).toSeq,
           mm.stats.weight.toSeq, mm.stats.gain.toSeq, mm.stats.cover.toSeq,
-          nodeGain = mm.trees.map(_.gain.toSeq).toSeq)
+          nodeGain = mm.trees.map(_.gain.toSeq).toSeq,
+          dartFolded = mm.dartFolded)
         val fsM = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
         val outM = fsM.create(new Path(path, "model/multisparse.json"), true)
         try outM.write(Serialization.write(doc).getBytes("UTF-8"))
@@ -368,7 +371,8 @@ object ModelIO {
         new MultiSparse.MultiSparseModel("multisparse_loaded", trees,
           doc.treeInfo.toArray, doc.numClasses, doc.base, doc.objective,
           SparseBoost.ImportanceAcc(doc.impTotalGain.toArray,
-            doc.impWeight.toArray, doc.impTotalCover.toArray))
+            doc.impWeight.toArray, doc.impTotalCover.toArray),
+          dartFolded = doc.dartFolded)
       case c if c.endsWith("SparseModel") =>
         val inS = fs.open(new Path(path, "model/sparse.json"))
         val jsonS = try scala.io.Source.fromInputStream(inS, "UTF-8").mkString

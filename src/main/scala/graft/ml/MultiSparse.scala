@@ -51,7 +51,13 @@ object MultiSparse {
         * recomputed at ingest from the document's `loss_changes` /
         * `sum_hessian` when available; empty = stats unavailable.
         */
-      val stats: ImportanceAcc = ImportanceAcc.empty
+      val stats: ImportanceAcc = ImportanceAcc.empty,
+      /** True when this forest came through a dart document (drop
+        * weights folded into the leaf values at ingest): re-export
+        * must go back through the dart slot, not relabel the forest
+        * as plain gbtree.
+        */
+      val dartFolded: Boolean = false
   ) extends Model[MultiSparseModel] {
     require(trees.length == treeInfo.length,
       s"tree_info length ${treeInfo.length} != num_trees ${trees.length}")
@@ -60,7 +66,7 @@ object MultiSparse {
 
     override def copy(extra: ParamMap): MultiSparseModel =
       new MultiSparseModel(uid, trees, treeInfo, numClasses, base,
-        objective, stats)
+        objective, stats, dartFolded)
 
     /** Accumulated per-class margins for one feature vector — tree
       * order, so a forest converted from [[SoftprobBoost]] sums each
@@ -81,26 +87,16 @@ object MultiSparse {
       SoftprobBoost.softmaxInPlace(marginsOf(v))
 
     /** XGBoost `get_score` parity over recomputed split statistics —
-      * same contract as [[SparseBoost.SparseModel.importanceByType]];
-      * refuses when the source document carried no usable statistics.
+      * one shared dispatch ([[ImportanceAcc.byType]]) with the same
+      * loud refusal contract as the single-target model when the
+      * source document carried no usable statistics.
       */
     def importanceByType(importanceType: String): Array[Double] = {
       require(stats.gain.nonEmpty,
         "importance statistics unavailable: the source document " +
         "carried no loss_changes (or was exported from a pre-gain " +
         "artifact with the stats-absent marker)")
-      def avg(tot: Array[Double]): Array[Double] =
-        tot.zip(stats.weight).map { case (t, w) => if (w > 0) t / w else 0.0 }
-      importanceType match {
-        case "weight"      => stats.weight.clone()
-        case "total_gain"  => stats.gain.clone()
-        case "total_cover" => stats.cover.clone()
-        case "gain"        => avg(stats.gain)
-        case "cover"       => avg(stats.cover)
-        case t => throw new IllegalArgumentException(
-          s"unknown importance type '$t' (weight, gain, cover, " +
-          "total_gain, total_cover)")
-      }
+      stats.byType(importanceType)
     }
 
     override def transformSchema(schema: StructType): StructType =
@@ -108,17 +104,27 @@ object MultiSparse {
         .add(StructField("margins", ArrayType(DoubleType, containsNull = false)))
         .add(StructField("prediction", DoubleType))
 
-    /** Same output contract (and argmax tie-break: lowest class id)
-      * as [[SoftprobBoost.SoftprobModel.transform]].
-      */
-    override def transform(ds: Dataset[_]): DataFrame = {
-      val bc = ds.sparkSession.sparkContext.broadcast(this)
-      val mU = udf((v: Vector) => bc.value.marginsOf(v))
-      ds.withColumn("margins", mU(col("features")))
-        .withColumn("prediction",
-          (array_position(col("margins"), array_max(col("margins"))) - 1L)
-            .cast(DoubleType))
-    }
+    override def transform(ds: Dataset[_]): DataFrame =
+      argmaxTransform(ds, this)((m, v) => m.marginsOf(v))
+  }
+
+  /** THE multiclass scoring transform, shared by both margin scorers
+    * ([[MultiSparseModel]] and [[SoftprobBoost.SoftprobModel]]):
+    * broadcast the model once, append `margins` (array of K doubles)
+    * and `prediction` — the argmax class id with ties breaking to the
+    * LOWEST class (array_position finds the first maximum). One
+    * definition so the tie-break contract can never drift between the
+    * trained and the ingested scorer.
+    */
+  private[ml] def argmaxTransform[M <: java.io.Serializable : scala.reflect.ClassTag](
+      ds: Dataset[_], model: M)(
+      marginsOf: (M, Vector) => Array[Double]): DataFrame = {
+    val bc = ds.sparkSession.sparkContext.broadcast(model)
+    val mU = udf((v: Vector) => marginsOf(bc.value, v))
+    ds.withColumn("margins", mU(col("features")))
+      .withColumn("prediction",
+        (array_position(col("margins"), array_max(col("margins"))) - 1L)
+          .cast(DoubleType))
   }
 
   /** Lossless array-form view of a trained softprob forest: round-

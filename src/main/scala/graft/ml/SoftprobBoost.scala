@@ -81,14 +81,10 @@ object SoftprobBoost {
     /** Softmax probabilities for one feature vector (max-shifted). */
     def probaOf(v: Vector): Array[Double] = softmaxInPlace(marginsOf(v))
 
-    override def transform(ds: Dataset[_]): DataFrame = {
-      val bc = ds.sparkSession.sparkContext.broadcast(this)
-      val mU = udf((v: Vector) => bc.value.marginsOf(v))
-      ds.withColumn("margins", mU(col("features")))
-        .withColumn("prediction",
-          (array_position(col("margins"), array_max(col("margins"))) - 1L)
-            .cast(DoubleType))
-    }
+    override def transform(ds: Dataset[_]): DataFrame =
+      // shared with the ingested-document scorer so the argmax
+      // tie-break contract can never drift between the two
+      MultiSparse.argmaxTransform(ds, this)((m, v) => m.marginsOf(v))
 
     /** Truncated copy keeping the first `rounds` boosting rounds —
       * the multiclass analog of GraftModelBridge's GBT truncation.

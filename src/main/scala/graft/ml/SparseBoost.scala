@@ -160,21 +160,17 @@ object SparseBoost {
       * split statistics: `weight` (split count), `total_gain`,
       * `total_cover` (hessian mass of split nodes), and the per-split
       * averages `gain` = total_gain/weight, `cover` =
-      * total_cover/weight (0 where a feature never splits).
+      * total_cover/weight (0 where a feature never splits). Refuses
+      * loudly when statistics are unavailable (a stats-absent XgbJson
+      * ingest) instead of handing back zero-length arrays — same
+      * contract as the multiclass scorer.
       */
     def importanceByType(importanceType: String): Array[Double] = {
-      def avg(tot: Array[Double]): Array[Double] =
-        tot.zip(stats.weight).map { case (t, w) => if (w > 0) t / w else 0.0 }
-      importanceType match {
-        case "weight"      => stats.weight.clone()
-        case "total_gain"  => stats.gain.clone()
-        case "total_cover" => stats.cover.clone()
-        case "gain"        => avg(stats.gain)
-        case "cover"       => avg(stats.cover)
-        case t => throw new IllegalArgumentException(
-          s"unknown importance type '$t' (weight, gain, cover, " +
-          "total_gain, total_cover)")
-      }
+      require(stats.gain.nonEmpty,
+        "importance statistics unavailable on this model (ingested " +
+        "from a document without usable loss_changes, or exported " +
+        "from a pre-gain artifact with the stats-absent marker)")
+      stats.byType(importanceType)
     }
 
     override def transformSchema(schema: StructType): StructType =
@@ -253,6 +249,25 @@ object SparseBoost {
       gain(feature) += splitGain
       weight(feature) += 1.0
       cover(feature) += nodeCover
+    }
+
+    /** XGBoost `get_score(importance_type=…)` dispatch over these
+      * accumulators — ONE implementation for every model type
+      * (single-target and multiclass get_score parity can't drift).
+      */
+    private[ml] def byType(importanceType: String): Array[Double] = {
+      def avg(tot: Array[Double]): Array[Double] =
+        tot.zip(weight).map { case (t, w) => if (w > 0) t / w else 0.0 }
+      importanceType match {
+        case "weight"      => weight.clone()
+        case "total_gain"  => gain.clone()
+        case "total_cover" => cover.clone()
+        case "gain"        => avg(gain)
+        case "cover"       => avg(cover)
+        case t => throw new IllegalArgumentException(
+          s"unknown importance type '$t' (weight, gain, cover, " +
+          "total_gain, total_cover)")
+      }
     }
   }
 

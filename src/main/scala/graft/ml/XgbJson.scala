@@ -182,9 +182,21 @@ object XgbJson {
         "model" -> treeModelJson(mm.trees, mm.treeInfo,
           model.featureCols.length, treesPerIteration(mm)),
         "name" -> JString("gbtree"))
-      learnerDoc(model, booster, numClass = mm.numClasses, mm.base,
+      // a dart-ingested forest re-exports through the dart slot (unit
+      // weights — the drops are folded into its leaves), never
+      // silently relabeled as plain gbtree
+      val wrapped =
+        if (!mm.dartFolded) booster
+        else JObject(
+          "model" -> JObject(
+            "gbtree" -> (booster \ "model").asInstanceOf[JObject],
+            "weight_drop" -> JArray(
+              List.fill(mm.trees.length)(JDouble(1.0): JValue))),
+          "name" -> JString("dart"))
+      learnerDoc(model, wrapped, numClass = mm.numClasses, mm.base,
         objectiveJson(mm.objective, mm.numClasses),
-        statsAbsent = mm.trees.exists(t => t.gain.length != t.feature.length))
+        statsAbsent = mm.trees.exists(t => t.gain.length != t.feature.length),
+        dartRescaled = mm.dartFolded)
 
     case sp: SoftprobBoost.SoftprobModel =>
       // round-major flatten: round r emits its K class trees in class
@@ -225,60 +237,35 @@ object XgbJson {
       learnerDoc(model, booster, numClass = 0, lm.base,
         objectiveJson(lm.objective, 0), statsAbsent = false)
 
+    // wrapped-MLlib paths: margin = Σ wᵢ·treeᵢ(x); each tree weight
+    // folds into its node values through the lossless walk, so the
+    // document is a plain gbtree sum (base margin 0 — MLlib GBT has
+    // no separate intercept, its first tree carries it)
     case g: org.apache.spark.ml.regression.GBTRegressionModel =>
-      // wrapped-MLlib path: margin = Σ wᵢ·treeᵢ(x); each tree weight
-      // folds into its node values through the lossless walk, so the
-      // document is a plain gbtree sum (base margin 0 — MLlib GBT has
-      // no separate intercept, its first tree carries it)
-      val flat = g.trees.zip(g.treeWeights)
-        .map { case (t, w) => MultiSparse.fromMLlibTree(t, w) }
-      val maxIdx = flat.iterator.flatMap(_.feature.iterator)
-        .filter(_ >= 0).maxOption.getOrElse(-1)
-      namedFeatureGuard(model, maxIdx)
-      val booster = JObject(
-        "model" -> treeModelJson(flat, Array.fill(flat.length)(0),
-          model.featureCols.length, 1),
-        "name" -> JString("gbtree"))
-      learnerDoc(model, booster, numClass = 0, baseMargin = 0.0,
-        objectiveJson(model.objective, 0), statsAbsent = false,
-        extraDivergence = MLlibGainNote)
+      walkedGbtreeDoc(model,
+        g.trees.zip(g.treeWeights)
+          .map { case (t, w) => MultiSparse.fromMLlibTree(t, w) },
+        model.objective, baseMargin = 0.0)
 
+    // Poisson Newton loop: μ = exp(base + η·Σ treeᵣ(x)) — η folds
+    // into the node values, the log-link base rides base_score (exp
+    // link) + the exact margin attribute; ingest scores exp(margin)
+    // via the count:* arm of SparseModel.predictOne
     case pm: PoissonBoost.PoissonModel =>
-      // Poisson Newton loop: μ = exp(base + η·Σ treeᵣ(x)) — η folds
-      // into the node values, the log-link base rides base_score
-      // (exp link) + the exact margin attribute; ingest scores
-      // exp(margin) via the count:* arm of SparseModel.predictOne
-      val flat = pm.trees.map(MultiSparse.fromMLlibTree(_, pm.eta))
-      val maxIdx = flat.iterator.flatMap(_.feature.iterator)
-        .filter(_ >= 0).maxOption.getOrElse(-1)
-      namedFeatureGuard(model, maxIdx)
-      val booster = JObject(
-        "model" -> treeModelJson(flat, Array.fill(flat.length)(0),
-          model.featureCols.length, 1),
-        "name" -> JString("gbtree"))
-      learnerDoc(model, booster, numClass = 0, baseMargin = pm.base,
-        objectiveJson("count:poisson", 0), statsAbsent = false,
-        extraDivergence = MLlibGainNote)
+      walkedGbtreeDoc(model,
+        pm.trees.map(MultiSparse.fromMLlibTree(_, pm.eta)),
+        "count:poisson", baseMargin = pm.base)
 
+    // MLlib binary GBT probability = sigmoid(2·Σ wᵢ·treeᵢ(x)) —
+    // folding 2·wᵢ into the node values makes stock XGBoost's
+    // sigmoid(margin) reproduce the probability up to the complement
+    // form's ~ulp(1) rounding (MLlib evaluates 1 − sigmoid(−2m)) and
+    // the decision boundary EXACTLY (margin sign is unchanged)
     case g: org.apache.spark.ml.classification.GBTClassificationModel =>
-      // MLlib binary GBT probability = sigmoid(2·Σ wᵢ·treeᵢ(x)) —
-      // folding 2·wᵢ into the node values makes stock XGBoost's
-      // sigmoid(margin) reproduce the probability up to the
-      // complement form's ~ulp(1) rounding (MLlib evaluates
-      // 1 − sigmoid(−2m)) and the decision boundary EXACTLY
-      // (margin sign is unchanged)
-      val flat = g.trees.zip(g.treeWeights)
-        .map { case (t, w) => MultiSparse.fromMLlibTree(t, 2.0 * w) }
-      val maxIdx = flat.iterator.flatMap(_.feature.iterator)
-        .filter(_ >= 0).maxOption.getOrElse(-1)
-      namedFeatureGuard(model, maxIdx)
-      val booster = JObject(
-        "model" -> treeModelJson(flat, Array.fill(flat.length)(0),
-          model.featureCols.length, 1),
-        "name" -> JString("gbtree"))
-      learnerDoc(model, booster, numClass = 0, baseMargin = 0.0,
-        objectiveJson("binary:logistic", 0), statsAbsent = false,
-        extraDivergence = MLlibGainNote)
+      walkedGbtreeDoc(model,
+        g.trees.zip(g.treeWeights)
+          .map { case (t, w) => MultiSparse.fromMLlibTree(t, 2.0 * w) },
+        "binary:logistic", baseMargin = 0.0)
 
     case other => throw new IllegalArgumentException(
       "XGBoost JSON interchange covers the native-loop forests " +
@@ -286,6 +273,28 @@ object XgbJson {
       s"GBT paths and the linear booster; got " +
       s"${other.getClass.getSimpleName} — use ModelIO for " +
       "engine-native persistence")
+  }
+
+  /** Single-target gbtree document for an MLlib-walked forest (the
+    * wrapped GBT paths and the Poisson Newton loop): one shared guard
+    * + booster + learner assembly so the three arms cannot drift.
+    */
+  private def walkedGbtreeDoc(
+      model: GraftBoostModel,
+      flat: Array[SparseTree],
+      objective: String,
+      baseMargin: Double
+  ): String = {
+    val maxIdx = flat.iterator.flatMap(_.feature.iterator)
+      .filter(_ >= 0).maxOption.getOrElse(-1)
+    namedFeatureGuard(model, maxIdx)
+    val booster = JObject(
+      "model" -> treeModelJson(flat, Array.fill(flat.length)(0),
+        model.featureCols.length, 1),
+      "name" -> JString("gbtree"))
+    learnerDoc(model, booster, numClass = 0, baseMargin,
+      objectiveJson(objective, 0), statsAbsent = false,
+      extraDivergence = MLlibGainNote)
   }
 
   /** Divergence stamp shared by the MLlib-tree-walked exports. */
@@ -540,11 +549,6 @@ object XgbJson {
             }
             acc
           }
-        val gSum = stats.gain.sum
-        val importances =
-          if (gSum > 0) stats.gain.map(_ / gSum)
-          else new Array[Double](featureNames.length)
-
         if (numClass > 1) {
           val info = (modelObj \ "tree_info") match {
             case JArray(xs) if xs.nonEmpty => ints(JArray(xs))
@@ -553,7 +557,8 @@ object XgbJson {
           }
           val mm = new MultiSparseModel(
             org.apache.spark.ml.util.Identifiable.randomUID("xgbjson"),
-            trees, info, numClass, base, objective, stats)
+            trees, info, numClass, base, objective, stats,
+            dartFolded = boosterName == "dart")
           GraftBoostModel(mm, featureNames, objective, numClass,
             Map.empty, imputation = None, missingStrategy = "native")
         } else {
@@ -561,6 +566,10 @@ object XgbJson {
           // training-time round (XGBoost forbids ntree_limit there);
           // ingest conservatively inherits the refusal
           val dartRescaled = boosterName == "dart"
+          val gSum = stats.gain.sum
+          val importances =
+            if (gSum > 0) stats.gain.map(_ / gSum)
+            else new Array[Double](featureNames.length)
           val sm = new SparseModel(
             org.apache.spark.ml.util.Identifiable.randomUID("xgbjson"),
             trees, base, objective, importances, stats,

@@ -285,6 +285,33 @@ class XgbJsonSpec extends AnyFunSuite {
     assert(mm.importanceByType("weight").toSeq == Seq(2.0))
     assert(mm.importanceByType("total_gain").toSeq == Seq(6.0))
     assert(mm.importanceByType("total_cover").toSeq == Seq(60.0))
+
+    // multiclass DART: drop weights fold into leaves, provenance is
+    // kept, and re-export goes back through the dart slot — never a
+    // silent gbtree relabel
+    val dartDoc = s"""
+      {"learner":{"attributes":{},
+        "feature_names":["f0"],"feature_types":["float"],
+        "gradient_booster":{"model":{
+          "weight_drop":[0.5,1.0],
+          "gbtree":{
+            "gbtree_model_param":{"num_trees":"2","num_parallel_tree":"1"},
+            "iteration_indptr":[0,2],"tree_info":[0,1],
+            "trees":[${tree(-1.0, 2.0)},${tree(1.5, -0.5)}]}},
+          "name":"dart"},
+        "learner_model_param":{"base_score":"0.5","boost_from_average":"1",
+          "num_class":"2","num_feature":"1","num_target":"1"},
+        "objective":{"name":"multi:softprob",
+          "softmax_multiclass_param":{"num_class":"2"}}},
+       "version":[2,0,0]}"""
+    val md = XgbJson.importModel(dartDoc)
+    val mmd = md.model.asInstanceOf[graft.ml.MultiSparse.MultiSparseModel]
+    assert(mmd.dartFolded)
+    // class-0 tree scaled by 0.5, class-1 tree untouched
+    assert(mmd.marginsOf(Vectors.dense(9.0)).toSeq == Seq(0.5 - 0.5, 2.0))
+    val reDoc = XgbJson.export(md)
+    assert(reDoc.contains("\"name\":\"dart\"") && reDoc.contains("weight_drop"),
+      "dart-ingested multiclass forests must re-export through the dart slot")
   }
 
   // ---- gblinear interchange ----------------------------------------
@@ -457,6 +484,9 @@ class XgbJsonSpec extends AnyFunSuite {
     val bm = back.model.asInstanceOf[SparseBoost.SparseModel]
     assert(bm.trees(0).gain.isEmpty,
       "absent gains must NOT come back as real 0.0 gains")
+    // get_score refuses loudly — never zero-length arrays (the same
+    // contract the multiclass scorer has)
+    intercept[IllegalArgumentException] { bm.importanceByType("weight") }
     // trees_to_dataframe then reports Gain null on internal nodes,
     // exactly like the ModelIO path for pre-gain artifacts
     val dump = graft.ml.TreeDump.treesToDataFrame(spark, back).collect()

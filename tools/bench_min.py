@@ -23,11 +23,25 @@ from bench_diff import load_sweep
 
 
 def main():
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    args = []
     out_path = None
-    if "--out" in sys.argv:
-        out_path = sys.argv[sys.argv.index("--out") + 1]
-        args = [a for a in args if a != out_path]
+    argv = sys.argv[1:]
+    i = 0
+    while i < len(argv):
+        a = argv[i]
+        if a == "--out":
+            if i + 1 >= len(argv):
+                raise SystemExit("--out needs a file argument")
+            out_path = argv[i + 1]
+            i += 2
+        elif a.startswith("--out="):
+            out_path = a[len("--out="):]
+            i += 1
+        elif a.startswith("--"):
+            raise SystemExit(f"unknown flag {a} (only --out FILE)")
+        else:
+            args.append(a)
+            i += 1
     if len(args) < 2:
         raise SystemExit(__doc__)
     sweeps = [load_sweep(p) for p in args]
