@@ -106,6 +106,47 @@ object MultiSparse {
 
     override def transform(ds: Dataset[_]): DataFrame =
       argmaxTransform(ds, this)((m, v) => m.marginsOf(v))
+
+    /** Truncated copy keeping the first `rounds` boosting rounds —
+      * XGBoost's `iteration_range` on a multiclass document. Needs
+      * the plain round-major layout (tree i → class i mod K; an
+      * irregular tree_info has no round structure to cut at) and
+      * refuses dart-folded forests, the same `ntree_limit`
+      * restriction XGBoost and [[SparseBoost.SparseModel.truncate]]
+      * apply. Importance statistics are recomputed EXACTLY for the
+      * kept prefix from its per-node gains/covers when available.
+      */
+    def truncate(rounds: Int): MultiSparseModel = {
+      require(!dartFolded,
+        "cannot truncate a dart-folded forest: drop-weight rescales " +
+        "mean no tree prefix reproduces a training-time round margin " +
+        "(XGBoost likewise forbids ntree_limit with booster='dart')")
+      val roundMajor = trees.length % numClasses == 0 &&
+        treeInfo.indices.forall(i => treeInfo(i) == i % numClasses)
+      require(roundMajor,
+        "truncation needs the round-major tree layout (tree i -> " +
+        "class i mod K); this document's tree_info is irregular")
+      val numRounds = trees.length / numClasses
+      require(rounds >= 1 && rounds <= numRounds,
+        s"rounds must be in [1, $numRounds], got $rounds")
+      val kept = trees.take(rounds * numClasses)
+      val newStats =
+        if (stats.gain.isEmpty || kept.exists(t => t.gain.length != t.feature.length))
+          ImportanceAcc.empty
+        else {
+          val acc = ImportanceAcc(stats.gain.length)
+          kept.foreach { t =>
+            var i = 0
+            while (i < t.feature.length) {
+              if (t.feature(i) >= 0) acc.record(t.feature(i), t.gain(i), t.cover(i))
+              i += 1
+            }
+          }
+          acc
+        }
+      new MultiSparseModel(uid, kept, treeInfo.take(rounds * numClasses),
+        numClasses, base, objective, newStats)
+    }
   }
 
   /** THE multiclass scoring transform, shared by both margin scorers

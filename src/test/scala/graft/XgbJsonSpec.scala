@@ -610,6 +610,31 @@ class XgbJsonSpec extends AnyFunSuite {
     df.unpersist()
   }
 
+  test("multiclass truncate: iteration_range on an ingested document") {
+    val (m, df) = fitSoftprob()
+    val sp = m.model.asInstanceOf[graft.ml.SoftprobBoost.SoftprobModel]
+    val mm = XgbJson.importModel(XgbJson.export(m))
+      .model.asInstanceOf[graft.ml.MultiSparse.MultiSparseModel]
+    val cut = mm.truncate(2)
+    assert(cut.trees.length == 6 && cut.treeInfo.toSeq == (0 until 6).map(_ % 3))
+    // the 2-round prefix scores bit-identically to the truncated
+    // SOURCE forest (same per-class sum order)
+    val spCut = graft.ml.MultiSparse.fromSoftprob(sp.truncate(2))
+    import org.apache.spark.ml.linalg.Vectors
+    Seq(Vectors.dense(10.0, 0.05, 0.02), Vectors.dense(45.0, 0.0, 0.08))
+      .foreach { v =>
+        assert(cut.marginsOf(v).toSeq == spCut.marginsOf(v).toSeq)
+      }
+    // prefix stats are recomputed exactly from the kept trees
+    val manual = cut.trees.flatMap(t =>
+      t.feature.indices.filter(t.feature(_) >= 0).map(i => t.gain(i))).sum
+    assert(math.abs(cut.importanceByType("total_gain").sum - manual) < 1e-9)
+    // bounds + dart refusal
+    intercept[IllegalArgumentException] { mm.truncate(0) }
+    intercept[IllegalArgumentException] { mm.truncate(4) }
+    df.unpersist()
+  }
+
   test("estimator save_model/load_model: the reference's sklearn-wrapper sink") {
     val t = Tables(spark, sf)
     val feats = Seq("l_quantity", "l_discount")
