@@ -464,7 +464,10 @@ object XgbJson {
     * target or [[MultiSparse.MultiSparseModel]] for `num_class` > 1),
     * `gblinear` → [[LinearBoost.LinearModel]]. Categorical splits
     * (`split_type` 1) and multi-target vector leaves are refused
-    * loudly.
+    * loudly — both postdate the reference's entire API surface
+    * (requirements.txt pins `xgboost <= 0.90`; categorical trees
+    * arrived in 1.5, vector leaves in 2.0), so a loud refusal is the
+    * faithful scope line, not a gap.
     */
   def importModel(json: String): GraftBoostModel = {
     val root = JsonMethods.parse(json)
