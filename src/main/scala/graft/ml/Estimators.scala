@@ -228,6 +228,14 @@ final class GraftXGBClassifier extends GraftEstimator[GraftXGBClassifier] {
     */
   override def loadModel(path: String): GraftXGBClassifier = {
     super.loadModel(path)
+    // a regression document in the classifier wrapper would silently
+    // emit truncated continuous predictions as "classes" — refuse
+    // loudly and point at the right wrapper
+    model.foreach { m =>
+      require(m.objective == "binary:logistic" || m.objective.startsWith("multi:"),
+        s"document objective '${m.objective}' is not a classification " +
+        "objective — load it with GraftXGBRegressor")
+    }
     classes = model.filter(_.numClasses > 0)
       .map(m => Array.tabulate(m.numClasses)(_.toDouble))
     model.foreach(m => objective = m.objective)

@@ -670,6 +670,11 @@ class XgbJsonSpec extends AnyFunSuite {
     val freshC = new graft.ml.GraftXGBClassifier().loadModel(pathC)
     assert(freshC.numClasses == 3,
       "classes_ must restore as 0..K-1 from the document's num_class")
+    // cross-wrapper misuse fails loudly: a regression document in the
+    // classifier would otherwise emit floor(margin) as "classes"
+    intercept[IllegalArgumentException] {
+      new graft.ml.GraftXGBClassifier().loadModel(path)
+    }
     val pOrig = clf.predict(dfc).select(col("prediction").cast("double"))
       .collect().map(_.getDouble(0))
     val pRt = freshC.predict(dfc).select(col("prediction").cast("double"))
