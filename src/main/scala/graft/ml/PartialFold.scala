@@ -43,8 +43,14 @@ private[graft] object PartialFold {
     * on the exact historical driver-fold path, while a 10k-core
     * cluster fit ships the driver 157 block sums instead of 10k
     * histograms.
+    *
+    * Overridable via `-Dgraft.partialfold.blockSize` so the scale
+    * spec can drive a REAL fit through the depth-2 shuffle-merge arm
+    * (local fan-out never exceeds 32 partitions, so no shipped
+    * configuration would otherwise traverse it end-to-end).
     */
-  val BlockSize = 64
+  def BlockSize: Int =
+    sys.props.get("graft.partialfold.blockSize").map(_.toInt).getOrElse(64)
 
   /** Zero-initialized in-order fold (matches the historical driver
     * loop exactly: acc starts as zeros, partials added left to
