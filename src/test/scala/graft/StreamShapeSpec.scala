@@ -344,4 +344,42 @@ class StreamShapeSpec extends AnyFunSuite {
       EvT(9L, t0, "b"), EvT(9L, t0 + 1, "a")), mkState(None)).toSeq
     assert(out3.head.top_type == "a" && out3.head.top_n == 1L)
   }
+
+  test("kafka wire-schema contract: exact column names, types and order") {
+    // the one-line production swap (readStream.format("kafka")) is
+    // type-checked by THIS pin: Spark's Kafka source emits exactly
+    // these columns in exactly this order (spark-sql-kafka contract);
+    // any consumer drift or a schema edit here must fail loudly,
+    // never at the broker
+    import org.apache.spark.sql.types._
+    import graft.streaming.KafkaShape
+    val expect = Seq(
+      ("key", BinaryType), ("value", BinaryType), ("topic", StringType),
+      ("partition", IntegerType), ("offset", LongType),
+      ("timestamp", TimestampType), ("timestampType", IntegerType))
+    assert(KafkaShape.kafkaSchema.fields.toSeq.map(f => (f.name, f.dataType))
+      == expect,
+      "KafkaShape.kafkaSchema must match the spark-sql-kafka source " +
+      "contract exactly (names, types, order)")
+    // a staged topic read back through readTopicStream carries the
+    // contract verbatim — the seam consumers are written against
+    val tmp = java.nio.file.Files.createTempDirectory("kafka_contract")
+    try {
+      import spark.implicits._
+      val df = Seq((1L, 10L, "view", 1.5, java.sql.Timestamp.valueOf("2026-01-01 00:00:00")))
+        .toDF("user_id", "event_id", "event_type", "value", "ts")
+        .select(col("user_id"), col("event_id"),
+          to_json(struct(col("event_id"), col("event_type"), col("value")))
+            .as("payload"), col("ts"))
+      KafkaShape.stageTopic(df, "user_id", "payload", "ts", "event_id",
+        "t", 2, tmp.toString)
+      val got = KafkaShape.readTopicStream(spark, tmp.toString).schema
+      assert(got.fields.toSeq.map(f => (f.name, f.dataType)) == expect)
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm); f.delete()
+      }
+      rm(tmp.toFile)
+    }
+  }
 }
