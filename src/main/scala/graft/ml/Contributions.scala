@@ -89,6 +89,10 @@ object Contributions {
       case m: GBTClassificationModel =>
         m.trees.map(t => flatten(t.rootNode)).zip(m.treeWeights)
       case m: SparseBoost.SparseModel =>
+        require(!m.trees.exists(_.hasCategorical),
+          "Saabas contributions on a forest with categorical " +
+          "(set-membership) splits are not supported: the walk is " +
+          "numeric-threshold only")
         m.trees.map(t => (CTree(t.feature, t.thresh, t.left, t.right,
           t.value, t.defaultLeft), 1.0))
       case m => throw new UnsupportedOperationException(

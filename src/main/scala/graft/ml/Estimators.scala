@@ -98,6 +98,14 @@ sealed abstract class GraftEstimator[Self <: GraftEstimator[Self]] { self: Self 
   def setSeed(s: Long): Self = { seed = s; this }
   /** MLlib histogram bins per feature (see BoostParams.maxBins). */
   def setMaxBins(b: Int): Self = { maxBins = b; this }
+  /** Per-row `base_margin` column (reference `dmatrix_kwargs`,
+    * `core.py:143-147`): fit starts each row's boosting recursion from
+    * this margin instead of the scalar base, and predict scores from
+    * it — stock semantics (base_score unused when supplied). Native
+    * sparse loop only (missingStrategy="native" or gamma/tweedie).
+    */
+  def setBaseMarginCol(c: String): Self = { baseMarginCol = Some(c); this }
+  protected var baseMarginCol: Option[String] = None
 
   protected def fitted: GraftBoostModel =
     model.getOrElse(throw new IllegalStateException("call fit() first"))
@@ -141,6 +149,23 @@ sealed abstract class GraftEstimator[Self <: GraftEstimator[Self]] { self: Self 
 /** `XGBRegressor` parity (`core.py:387-484`). */
 final class GraftXGBRegressor extends GraftEstimator[GraftXGBRegressor] {
 
+  /** Mirror of the classifier-side wrapper guard: a classification
+    * document loaded through the regressor wrapper would score through
+    * the binary-threshold or multiclass-argmax arm and emit class ids
+    * where stock XGBoost's regressor surface returns continuous
+    * margins — a silent semantic divergence. Refuse loudly and point
+    * at the right wrapper.
+    */
+  override def loadModel(path: String): GraftXGBRegressor = {
+    super.loadModel(path)
+    model.foreach { m =>
+      require(m.objective != "binary:logistic" && !m.objective.startsWith("multi:"),
+        s"document objective '${m.objective}' is a classification " +
+        "objective — load it with GraftXGBClassifier")
+    }
+    this
+  }
+
   /** Distributed fit (`core.py:388-480`). `evalSets` reproduces the
     * reference's eval_set history; unlike the reference — which
     * forbids lazy collections in eval sets (`core.py:154-161`) —
@@ -170,7 +195,8 @@ final class GraftXGBRegressor extends GraftEstimator[GraftXGBRegressor] {
            .unionByName(v.withColumn("isVal", lit(true))), Some("isVal"))
       case None => (df, None)
     }
-    model = Some(GraftBoost.train(data, featureCols, labelCol, params, weightCol, valCol))
+    model = Some(GraftBoost.train(data, featureCols, labelCol, params,
+      weightCol, valCol, marginCol = baseMarginCol))
     if (evalSets.nonEmpty) {
       val (weighted, plain) = evalSets.partition { case (n, _) => evalWeights.contains(n) }
       evalsResult = GraftBoost.evalHistory(fitted, plain, labelCol) ++
@@ -182,8 +208,11 @@ final class GraftXGBRegressor extends GraftEstimator[GraftXGBRegressor] {
     this
   }
 
-  /** Lazy distributed predict (`core.py:482-484`). */
-  def predict(df: DataFrame): DataFrame = GraftBoost.predict(fitted, df)
+  /** Lazy distributed predict (`core.py:482-484`). A set
+    * [[setBaseMarginCol]] carries through to scoring, stock-style.
+    */
+  def predict(df: DataFrame): DataFrame =
+    GraftBoost.predict(fitted, df, baseMarginCol)
 
   /** Arbitrary-metric in-fit early stopping (`early_stopping_rounds` +
     * `eval_metric`, `core.py:435-449`): trains in doubling chunks via
@@ -273,7 +302,8 @@ final class GraftXGBClassifier extends GraftEstimator[GraftXGBClassifier] {
            .unionByName(v.withColumn("isVal", lit(true))), Some("isVal"))
       case None => (df, None)
     }
-    model = Some(GraftBoost.train(data, featureCols, labelCol, params, weightCol, valCol))
+    model = Some(GraftBoost.train(data, featureCols, labelCol, params,
+      weightCol, valCol, marginCol = baseMarginCol))
     if (evalSets.nonEmpty) {
       if (effective == "binary:logistic") {
         // weighted sets (`sample_weight_eval_set`) go through the
@@ -320,7 +350,7 @@ final class GraftXGBClassifier extends GraftEstimator[GraftXGBClassifier] {
     * MLlib's `prediction` column.
     */
   def predict(df: DataFrame): DataFrame =
-    GraftBoost.predict(fitted, df)
+    GraftBoost.predict(fitted, df, baseMarginCol)
       .withColumn("prediction", col("prediction").cast("long"))
 
   /** `predict_proba` (`core.py:626-631`). The reference raises
@@ -333,7 +363,7 @@ final class GraftXGBClassifier extends GraftEstimator[GraftXGBClassifier] {
     require(ntreeLimit.isEmpty,
       "'ntree_limit' is not supported (reference parity, core.py:626-631); " +
       "truncate the model physically with StagedEval.truncateToBest instead")
-    GraftBoost.predictProba(fitted, df)
+    GraftBoost.predictProba(fitted, df, baseMarginCol)
   }
 
   /** Arbitrary-metric in-fit early stopping — the reference's

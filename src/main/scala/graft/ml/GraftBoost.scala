@@ -471,9 +471,13 @@ object GraftBoost {
         // Replace the marker with the TRAINING-time replacement value
         // (column mean, out-of-range sentinel, or NaN for the native
         // sparse path — learned/fixed at fit time and carried on the
-        // model for serve parity).
+        // model for serve parity). A NaN marker (ingested-gblinear
+        // stock serving: missing entry = zero contribution) needs the
+        // explicit isnan test — equality on NaN is Spark-special-cased
+        // but isnan states the intent.
         featureCols.foldLeft(df) { case (d, c) =>
-          d.withColumn(c, when(col(c) === marker, repl(c)).otherwise(col(c)))
+          val isMissing = if (marker.isNaN) isnan(col(c)) else col(c) === marker
+          d.withColumn(c, when(isMissing, repl(c)).otherwise(col(c)))
         }
     }
     new VectorAssembler()
@@ -509,9 +513,25 @@ object GraftBoost {
       /** Query/group id column for ranking objectives — the
         * reference's DMatrix group vector.
         */
-      groupCol: Option[String] = None
+      groupCol: Option[String] = None,
+      /** Per-row `base_margin` column (the reference's
+        * `dmatrix_kwargs` surface, `core.py:143-147`): the boosting
+        * recursion starts from this row's margin INSTEAD of the
+        * scalar base — stock semantics (base_score unused when
+        * base_margin is supplied). Native sparse loop only.
+        */
+      marginCol: Option[String] = None
   ): GraftBoostModel = {
     val native = params.missingStrategy == "native"
+    if (marginCol.isDefined)
+      require((native || params.objective == "reg:gamma" ||
+        params.objective == "reg:tweedie") &&
+        !params.objective.startsWith("rank:") &&
+        params.booster != "gblinear",
+        "per-row base_margin runs in the native sparse loop — set " +
+        "missingStrategy=\"native\" (or a gamma/tweedie objective); " +
+        "the MLlib-backed, linear, ranking and multiclass paths have " +
+        "no margin-initialization hook")
     val imputation = params.missing.map { m =>
       params.missingStrategy match {
         case "sentinel" => (m, learnSentinels(df, featureCols, m))
@@ -607,7 +627,7 @@ object GraftBoost {
       require(validationCol.isEmpty,
         "native sparse boosting records its train history itself; " +
         "use StagedEval on the returned model for validation metrics")
-      val (m, histN) = SparseBoost.train(data, params, weightCol)
+      val (m, histN) = SparseBoost.train(data, params, weightCol, marginCol)
       return GraftBoostModel(m, featureCols, params.objective,
         if (params.objective == "binary:logistic") 2 else 0,
         Map("train" -> Map(sparseMetricName(params.objective) -> histN)),
@@ -661,7 +681,7 @@ object GraftBoost {
         // loop (SparseBoost); MLlib GBT has neither loss family
         require(validationCol.isEmpty,
           "gamma/tweedie boosting records its train history itself")
-        val (m, histG) = SparseBoost.train(data, params, weightCol)
+        val (m, histG) = SparseBoost.train(data, params, weightCol, marginCol)
         GraftBoostModel(m, featureCols, params.objective, 0,
           Map("train" -> Map(sparseMetricName(params.objective) -> histG)),
           imputation, params.missingStrategy)
@@ -748,9 +768,30 @@ object GraftBoost {
     * bookkeeping of the reference (`core.py:369-377`) is subsumed by
     * the probability vector column; see [[predictProba]].
     */
-  def predict(model: GraftBoostModel, df: DataFrame): DataFrame = {
+  def predict(
+      model: GraftBoostModel,
+      df: DataFrame,
+      /** Per-row `base_margin` column — replaces the model's scalar
+        * base at scoring, stock `DMatrix(base_margin=...)` semantics.
+        * Native sparse forests only.
+        */
+      marginCol: Option[String] = None
+  ): DataFrame = {
     val data = assemble(df, model.featureCols, model.imputation,
       keepNaN = model.missingStrategy == "native")
+    marginCol.foreach { mc =>
+      val m = model.model match {
+        case sm: SparseBoost.SparseModel => sm
+        case other => throw new IllegalArgumentException(
+          "per-row base_margin scoring is supported on native sparse " +
+          s"forests only, not ${other.getClass.getSimpleName}")
+      }
+      val bc = data.sparkSession.sparkContext.broadcast(m)
+      val pU = udf((v: Vector, bm: Double) => bc.value.predictOne(v, bm))
+      return data
+        .withColumn("prediction", pU(col("features"), col(mc).cast("double")))
+        .drop("features")
+    }
     val scored = model.model match {
       case m: SparseBoost.SparseModel     => m.transform(data)
       case m: LinearBoost.LinearModel     => m.transform(data)
@@ -772,9 +813,32 @@ object GraftBoost {
     * numClasses (the reference's (n, num_class) matrix,
     * `core.py:374`).
     */
-  def predictProba(model: GraftBoostModel, df: DataFrame): DataFrame = {
+  def predictProba(
+      model: GraftBoostModel,
+      df: DataFrame,
+      /** Per-row `base_margin` column — see [[predict]]. Binary
+        * native sparse forests only.
+        */
+      marginCol: Option[String] = None
+  ): DataFrame = {
     val data = assemble(df, model.featureCols, model.imputation,
       keepNaN = model.missingStrategy == "native")
+    marginCol.foreach { mc =>
+      val m = model.model match {
+        case sm: SparseBoost.SparseModel if sm.objective == "binary:logistic" => sm
+        case other => throw new IllegalArgumentException(
+          "per-row base_margin probabilities are supported on binary " +
+          s"native sparse forests only, not ${other.getClass.getSimpleName}")
+      }
+      val bc = data.sparkSession.sparkContext.broadcast(m)
+      val pU = udf((v: Vector, bm: Double) => {
+        val p = 1.0 / (1.0 + math.exp(-bc.value.marginWithBase(v, bm)))
+        Array(1.0 - p, p)
+      })
+      return data
+        .withColumn("proba", pU(col("features"), col(mc).cast("double")))
+        .drop("features")
+    }
     model.model match {
       case m: SparseBoost.SparseModel if m.objective == "binary:logistic" =>
         // sigmoid of the boosted margin — the XGBoost binary proba

@@ -45,7 +45,12 @@ object ModelIO {
       // documented behavioral deviations from the reference engine,
       // stamped on the artifact so a loaded model STATES how it was
       // trained instead of relying on out-of-band docs (VERDICT r4 §8)
-      divergences: Seq[String] = Seq.empty
+      divergences: Seq[String] = Seq.empty,
+      // NaN-marker imputation (ingested gblinear: NaN → 0.0, stock
+      // serving parity). NaN itself is not valid JSON, so the marker
+      // rides as this flag and is rebuilt at load; the replacement map
+      // is fully determined (all zeros).
+      nanMissing: Boolean = false
   )
 
   /** Serialized form of one [[QuantileBoost.PlainTree]] plus the
@@ -93,7 +98,12 @@ object ModelIO {
       dartRescaled: Boolean = false,
       // per-node split gain (loss_changes); absent in pre-gain
       // artifacts — loads as empty, meaning "stats unavailable"
-      nodeGain: Seq[Seq[Double]] = Seq.empty
+      nodeGain: Seq[Seq[Double]] = Seq.empty,
+      // per-node RIGHT-branch category sets (ingested categorical
+      // splits): empty inner seq = numeric/leaf node; whole field
+      // empty = no categorical nodes. Categorical nodes' thresh slots
+      // are stored 0.0 (NaN is not valid JSON) and rebuilt NaN at load
+      cats: Seq[Seq[Seq[Int]]] = Seq.empty
   )
 
   /** Serialized form of a [[MultiSparse.MultiSparseModel]] (ingested
@@ -118,7 +128,9 @@ object ModelIO {
       // per-node split gain; empty = stats unavailable (never zeros)
       nodeGain: Seq[Seq[Double]] = Seq.empty,
       // dart provenance: drop weights folded into leaves at ingest
-      dartFolded: Boolean = false
+      dartFolded: Boolean = false,
+      // categorical split sets — same encoding as SparseDoc.cats
+      cats: Seq[Seq[Seq[Int]]] = Seq.empty
   )
 
   /** Serialized form of a [[LinearBoost.LinearModel]] — one small
@@ -187,6 +199,40 @@ object ModelIO {
     missing.toSeq ++ multi.toSeq ++ gblinear.toSeq
   }
 
+  /** Doc-side encoding of [[SparseBoost.SparseTree]] categorical sets
+    * and thresholds: NaN thresh slots (categorical nodes) become 0.0
+    * in the JSON, the sets ride the `cats` field, and load rebuilds
+    * both so a round trip scores identically.
+    */
+  private def encodeCats(
+      trees: Array[SparseBoost.SparseTree]): Seq[Seq[Seq[Int]]] =
+    if (!trees.exists(_.hasCategorical)) Seq.empty
+    else trees.map { t =>
+      t.feature.indices.map { i =>
+        if (t.cats != null && t.cats(i) != null) t.cats(i).toSeq
+        else Seq.empty[Int]
+      }.toSeq
+    }.toSeq
+
+  private def encodeThresh(t: SparseBoost.SparseTree): Seq[Double] =
+    t.thresh.toSeq.map(x => if (x.isNaN) 0.0 else x)
+
+  /** Inverse of [[encodeCats]]/[[encodeThresh]] for one tree. */
+  private def decodeTreeCats(
+      docCats: Seq[Seq[Seq[Int]]], ti: Int,
+      thresh: Array[Double]): (Array[Array[Int]], Array[Double]) =
+    if (docCats.isEmpty) (null, thresh)
+    else {
+      val sets = docCats(ti).map(s =>
+        if (s.isEmpty) null else s.toArray).toArray
+      if (!sets.exists(_ != null)) (null, thresh)
+      else {
+        val fixed = thresh.clone()
+        sets.indices.foreach(i => if (sets(i) != null) fixed(i) = Double.NaN)
+        (sets, fixed)
+      }
+    }
+
   def save(spark: SparkSession, model: GraftBoostModel, path: String): Unit = {
     model.model match {
       // a softprob forest is a composite: one MLlib tree writer per
@@ -224,7 +270,7 @@ object ModelIO {
         implicit val fmt: DefaultFormats.type = DefaultFormats
         val doc = SparseDoc(sm.base, sm.objective, sm.importances.toSeq,
           sm.trees.map(_.feature.toSeq).toSeq,
-          sm.trees.map(_.thresh.toSeq).toSeq,
+          sm.trees.map(encodeThresh).toSeq,
           sm.trees.map(_.left.toSeq).toSeq,
           sm.trees.map(_.right.toSeq).toSeq,
           sm.trees.map(_.defaultLeft.toSeq).toSeq,
@@ -236,7 +282,8 @@ object ModelIO {
           sm.statsPerRound.map(_.map(_.gain.toSeq)).getOrElse(Seq.empty),
           sm.statsPerRound.map(_.map(_.cover.toSeq)).getOrElse(Seq.empty),
           sm.dartRescaled,
-          nodeGain = sm.trees.map(_.gain.toSeq).toSeq)
+          nodeGain = sm.trees.map(_.gain.toSeq).toSeq,
+          cats = encodeCats(sm.trees))
         val fsS = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
         val outS = fsS.create(new Path(path, "model/sparse.json"), true)
         try outS.write(Serialization.write(doc).getBytes("UTF-8"))
@@ -250,7 +297,7 @@ object ModelIO {
         val doc = MultiSparseDoc(mm.base, mm.objective, mm.numClasses,
           mm.treeInfo.toSeq,
           mm.trees.map(_.feature.toSeq).toSeq,
-          mm.trees.map(_.thresh.toSeq).toSeq,
+          mm.trees.map(encodeThresh).toSeq,
           mm.trees.map(_.left.toSeq).toSeq,
           mm.trees.map(_.right.toSeq).toSeq,
           mm.trees.map(_.defaultLeft.toSeq).toSeq,
@@ -258,7 +305,8 @@ object ModelIO {
           mm.trees.map(_.cover.toSeq).toSeq,
           mm.stats.weight.toSeq, mm.stats.gain.toSeq, mm.stats.cover.toSeq,
           nodeGain = mm.trees.map(_.gain.toSeq).toSeq,
-          dartFolded = mm.dartFolded)
+          dartFolded = mm.dartFolded,
+          cats = encodeCats(mm.trees))
         val fsM = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
         val outM = fsM.create(new Path(path, "model/multisparse.json"), true)
         try outM.write(Serialization.write(doc).getBytes("UTF-8"))
@@ -287,10 +335,12 @@ object ModelIO {
       model.objective,
       model.numClasses,
       model.missingStrategy,
-      model.imputation.map(_._1),
+      model.imputation.map(_._1).filterNot(_.isNaN),
       // native replacement values are NaN (not valid JSON) and fully
-      // determined by the strategy — rebuilt at load from featureCols
-      if (model.missingStrategy == "native") Map.empty
+      // determined by the strategy — rebuilt at load from featureCols;
+      // same for a NaN marker (nanMissing flag, zeros map)
+      if (model.missingStrategy == "native" ||
+          model.imputation.exists(_._1.isNaN)) Map.empty
       else model.imputation.map(_._2).getOrElse(Map.empty),
       model.evalsResult,
       model.calibration.map(_.map(_._1).toSeq).getOrElse(Seq.empty),
@@ -315,7 +365,8 @@ object ModelIO {
         case pm: PoissonBoost.PoissonModel => pm.trees.length
         case _ => 0
       },
-      divergences = divergenceNotes(model)
+      divergences = divergenceNotes(model),
+      nanMissing = model.imputation.exists(_._1.isNaN)
     )
     val json = Serialization.write(meta)
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -361,12 +412,15 @@ object ModelIO {
           finally inM.close()
         val doc = JsonMethods.parse(jsonM).extract[MultiSparseDoc]
         val trees = doc.feature.indices.map { i =>
-          SparseBoost.SparseTree(doc.feature(i).toArray, doc.thresh(i).toArray,
+          val (cats, thresh) =
+            decodeTreeCats(doc.cats, i, doc.thresh(i).toArray)
+          SparseBoost.SparseTree(doc.feature(i).toArray, thresh,
             doc.left(i).toArray, doc.right(i).toArray,
             doc.defaultLeft(i).toArray, doc.value(i).toArray,
             doc.cover(i).toArray,
             if (doc.nodeGain.isEmpty) Array.emptyDoubleArray
-            else doc.nodeGain(i).toArray)
+            else doc.nodeGain(i).toArray,
+            cats)
         }.toArray
         new MultiSparse.MultiSparseModel("multisparse_loaded", trees,
           doc.treeInfo.toArray, doc.numClasses, doc.base, doc.objective,
@@ -385,12 +439,15 @@ object ModelIO {
           s"$path/model/sparse.json predates per-node cover / split " +
           "statistics — re-save the model with this build")
         val trees = doc.feature.indices.map { i =>
-          SparseBoost.SparseTree(doc.feature(i).toArray, doc.thresh(i).toArray,
+          val (cats, thresh) =
+            decodeTreeCats(doc.cats, i, doc.thresh(i).toArray)
+          SparseBoost.SparseTree(doc.feature(i).toArray, thresh,
             doc.left(i).toArray, doc.right(i).toArray,
             doc.defaultLeft(i).toArray, doc.value(i).toArray,
             doc.cover(i).toArray,
             if (doc.nodeGain.isEmpty) Array.emptyDoubleArray
-            else doc.nodeGain(i).toArray)
+            else doc.nodeGain(i).toArray,
+            cats)
         }.toArray
         val roundStats =
           if (doc.roundGain.isEmpty) None
@@ -431,7 +488,9 @@ object ModelIO {
       meta.objective,
       meta.numClasses,
       meta.evalsResult,
-      meta.imputationMarker.map { m =>
+      if (meta.nanMissing)
+        Some((Double.NaN, meta.featureCols.map(_ -> 0.0).toMap))
+      else meta.imputationMarker.map { m =>
         if (meta.missingStrategy == "native")
           (m, meta.featureCols.map(_ -> Double.NaN).toMap)
         else (m, meta.imputationMeans)

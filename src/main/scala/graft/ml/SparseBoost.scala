@@ -93,18 +93,42 @@ object SparseBoost {
         * from documents without loss_changes) — consumers must treat
         * an empty array as "stats unavailable", not as zeros.
         */
-      gain: Array[Double] = Array.emptyDoubleArray
+      gain: Array[Double] = Array.emptyDoubleArray,
+      /** Per-node category sets for ingested categorical splits
+        * (`split_type` = 1, XGBoost 1.5+ documents). null (every
+        * TRAINED forest — the training loop is numeric-threshold
+        * only) = no categorical nodes; otherwise slot i is null for
+        * numeric/leaf nodes and the RIGHT-branch category set at a
+        * categorical node — stock `common::Decision` semantics:
+        * category ∈ set → right child, anything else (including
+        * negative/invalid codes) → left, NaN → default branch. The
+        * node's `thresh` slot is NaN and must never be consulted.
+        */
+      cats: Array[Array[Int]] = null
   ) extends Serializable {
+    def hasCategorical: Boolean = cats != null
+
     def leafOf(v: Vector): Int = {
       var i = 0
       while (feature(i) >= 0) {
         val x = v(feature(i))
         i = if (java.lang.Double.isNaN(x)) { if (defaultLeft(i)) left(i) else right(i) }
+          else if (cats != null && cats(i) != null) {
+            // set-membership routing (stored set = right-goers);
+            // AsCat truncation + InvalidCat→left, like stock
+            if (x >= 0.0 && contains(cats(i), x.toInt)) right(i) else left(i)
+          }
           else if (x <= thresh(i)) left(i) else right(i)
       }
       i
     }
     def valueOf(v: Vector): Double = value(leafOf(v))
+
+    private def contains(set: Array[Int], c: Int): Boolean = {
+      var k = 0
+      while (k < set.length) { if (set(k) == c) return true; k += 1 }
+      false
+    }
   }
 
   /** The trained booster: margin(x) = base + Σ_r value_r(x) (leaf
@@ -185,16 +209,31 @@ object SparseBoost {
 
     def probOf(v: Vector): Double = 1.0 / (1.0 + math.exp(-marginOf(v)))
 
-    def predictOne(v: Vector): Double = objective match {
-      case "binary:logistic" => if (marginOf(v) > 0.0) 1.0 else 0.0
-      // log-link objectives predict on the response scale. count:*
-      // only arises via XgbJson ingest (training routes count:poisson
-      // to PoissonBoost) — without this arm an ingested Poisson
-      // document would silently emit log-rates instead of counts
-      case "reg:gamma" | "reg:tweedie" => math.exp(marginOf(v))
-      case o if o.startsWith("count:") => math.exp(marginOf(v))
-      case _ => marginOf(v)
+    /** Response-scale value of a margin — the objective's inverse
+      * link. count:* only arises via XgbJson ingest (training routes
+      * count:poisson to PoissonBoost); without that arm an ingested
+      * Poisson document would silently emit log-rates instead of
+      * counts.
+      */
+    private[ml] def link(f: Double): Double = objective match {
+      case "binary:logistic" => if (f > 0.0) 1.0 else 0.0
+      case "reg:gamma" | "reg:tweedie" => math.exp(f)
+      case o if o.startsWith("count:") => math.exp(f)
+      case _ => f
     }
+
+    def predictOne(v: Vector): Double = link(marginOf(v))
+
+    /** Scoring with a per-row `base_margin` — stock XGBoost
+      * semantics: the supplied margin REPLACES the stored base, it is
+      * not added on top (`DMatrix(base_margin=...)` makes base_score
+      * unused).
+      */
+    def marginWithBase(v: Vector, baseMargin: Double): Double =
+      marginOf(v) - base + baseMargin
+
+    def predictOne(v: Vector, baseMargin: Double): Double =
+      link(marginWithBase(v, baseMargin))
 
     override def transform(ds: Dataset[_]): DataFrame = {
       val bc = ds.sparkSession.sparkContext.broadcast(this)
@@ -910,13 +949,24 @@ object SparseBoost {
     * (vector; NaN marks missing) and `label`; an optional weight
     * column scales each row's (g, h) — XGBoost's instance weights.
     *
+    * `marginCol` names a per-row `base_margin` column (the reference
+    * forwards it through `dmatrix_kwargs`, `core.py:143-147`): the
+    * boosting recursion starts from that row's margin INSTEAD of the
+    * scalar base — stock semantics, where a supplied base_margin makes
+    * base_score unused. The classic boosting-continuation pattern:
+    * score an existing model's margins, pass them here, and the new
+    * trees continue that fit exactly. The returned model still carries
+    * the scalar base, so standalone scoring (no margin) falls back to
+    * base_score — also stock behavior.
+    *
     * @return the model plus the per-round TRAIN loss history
     *         (logloss for binary:logistic, rmse for reg:squarederror)
     */
   def train(
       data: DataFrame,
       params: GraftBoost.BoostParams,
-      weightCol: Option[String] = None
+      weightCol: Option[String] = None,
+      marginCol: Option[String] = None
   ): (SparseModel, Array[Double]) = {
     require(Set("binary:logistic", "reg:squarederror", "reg:gamma",
       "reg:tweedie").contains(params.objective),
@@ -927,7 +977,8 @@ object SparseBoost {
     if (params.objective == "reg:tweedie")
       require(rho > 1.0 && rho < 2.0,
         s"tweedie variance power must be in (1, 2), got $rho")
-    val keep = Seq(col("features"), col("label")) ++ weightCol.map(col)
+    val keep = Seq(col("features"), col("label")) ++ weightCol.map(col) ++
+      marginCol.map(c => col(c).cast("double").as("graft_bm"))
     val src = data.select(keep: _*)
 
     val numFeat = src.select(col("features")).head().getAs[Vector](0).size
@@ -974,7 +1025,12 @@ object SparseBoost {
           math.log(mean)
         case _ => 0.5
       }
-    var cur = src.withColumn("f", lit(base)).localCheckpoint()
+    // per-row base_margin REPLACES the scalar base as the boosting
+    // start point (stock: base_score is unused when base_margin rides
+    // the DMatrix)
+    var cur = src.withColumn("f",
+      if (marginCol.isDefined) col("graft_bm") else lit(base))
+      .localCheckpoint()
 
     val roundAccs = new ArrayBuffer[ImportanceAcc](params.numRound)
     val hist = new ArrayBuffer[Double](params.numRound)

@@ -47,6 +47,10 @@ object TreeDump {
       "the model was trained on a pre-assembled vector column — " +
       "vector-pass-through models have no per-slot names to dump; " +
       "train on named feature columns")
+    require(!trees.exists(_.hasCategorical),
+      "trees_to_dataframe renders numeric thresholds in its Split " +
+      "column; categorical (set-membership) nodes have none — dump " +
+      "refused rather than emitting NaN splits")
     val maxIdx = trees.iterator.flatMap(_.feature.iterator)
       .filter(_ >= 0).maxOption.getOrElse(-1)
     require(maxIdx < names.length,

@@ -287,6 +287,11 @@ object TreeShap {
         s"statistics; got ${m.getClass} — use Contributions (Saabas) " +
         "for MLlib-backed models")
     }
+    require(!sm.trees.exists(_.hasCategorical),
+      "TreeSHAP on a forest with categorical (set-membership) splits " +
+      "is not supported: the path-conditioning walk is " +
+      "numeric-threshold only — score the model as-is or re-encode " +
+      "the categorical features")
     ForestCtx(sm.trees, sm.trees.map(expectedValue),
       (if (sm.trees.isEmpty) 1 else sm.trees.map(depthOf).max) + 2,
       model.featureCols.length, sm.base)

@@ -93,7 +93,10 @@ import SparseBoost.{ImportanceAcc, SparseModel, SparseTree}
   *    no schema slot; [[ModelIO]] remains the lossless sink. Ingested
   *    tree models score with `missingStrategy = "native"` (NaN
   *    follows the file's `default_left`), matching XGBoost serving
-  *    semantics; gblinear has no missing routing in either engine.
+  *    semantics; ingested gblinear scores a NaN entry as ZERO
+  *    contribution (NaN → 0.0 imputation at assemble), matching stock
+  *    gblinear's sparse dot product, which simply skips missing
+  *    entries.
   */
 object XgbJson {
 
@@ -345,12 +348,21 @@ object XgbJson {
         i += 1
       }
       def leaf(i: Int) = t.feature(i) < 0
+      def isCat(i: Int) = t.cats != null && t.cats(i) != null
+      // categorical nodes (ingested 1.5+ documents only; trained
+      // forests have none) re-export through the four categories
+      // arrays so a round trip preserves set-membership routing
+      val catNodes = if (t.cats == null) Array.empty[Int]
+        else (0 until n).filter(isCat).toArray
+      val catSizes = catNodes.map(i => t.cats(i).length)
+      val catSegs = catSizes.scanLeft(0)(_ + _).init
       JObject(
         "base_weights" -> JArray(t.value.map(JDouble(_): JValue).toList),
-        "categories" -> JArray(Nil),
-        "categories_nodes" -> JArray(Nil),
-        "categories_segments" -> JArray(Nil),
-        "categories_sizes" -> JArray(Nil),
+        "categories" -> JArray(
+          catNodes.flatMap(i => t.cats(i)).map(JInt(_): JValue).toList),
+        "categories_nodes" -> JArray(catNodes.map(JInt(_): JValue).toList),
+        "categories_segments" -> JArray(catSegs.map(JInt(_): JValue).toList),
+        "categories_sizes" -> JArray(catSizes.map(JInt(_): JValue).toList),
         "default_left" -> JArray(
           t.defaultLeft.map(b => JInt(if (b) 1 else 0): JValue).toList),
         "id" -> JInt(0),
@@ -363,13 +375,17 @@ object XgbJson {
             .map(JDouble(_): JValue).toList),
         "parents" -> JArray(parents.map(JInt(_): JValue).toList),
         // leaves carry their value in split_conditions (the schema's
-        // convention); internal nodes the <-compatible threshold
+        // convention); internal nodes the <-compatible threshold;
+        // categorical nodes a 0.0 placeholder (their condition lives
+        // in the categories arrays — a NaN thresh is not valid JSON)
         "split_conditions" -> JArray((0 until n).map(i =>
-          JDouble(if (leaf(i)) t.value(i) else math.nextUp(t.thresh(i)))
-            : JValue).toList),
+          JDouble(if (leaf(i)) t.value(i)
+            else if (isCat(i)) 0.0
+            else math.nextUp(t.thresh(i))): JValue).toList),
         "split_indices" -> JArray((0 until n).map(i =>
           JInt(if (leaf(i)) 0 else t.feature(i)): JValue).toList),
-        "split_type" -> JArray(List.fill(n)(JInt(0): JValue)),
+        "split_type" -> JArray((0 until n).map(i =>
+          JInt(if (isCat(i)) 1 else 0): JValue).toList),
         "sum_hessian" -> JArray(t.cover.map(JDouble(_): JValue).toList),
         "tree_param" -> JObject(
           "num_deleted" -> JString("0"),
@@ -462,12 +478,17 @@ object XgbJson {
   /** Ingest an XGBoost JSON model document into a scoreable
     * [[GraftBoostModel]]: `gbtree`/`dart` → native forest (single
     * target or [[MultiSparse.MultiSparseModel]] for `num_class` > 1),
-    * `gblinear` → [[LinearBoost.LinearModel]]. Categorical splits
-    * (`split_type` 1) and multi-target vector leaves are refused
-    * loudly — both postdate the reference's entire API surface
-    * (requirements.txt pins `xgboost <= 0.90`; categorical trees
-    * arrived in 1.5, vector leaves in 2.0), so a loud refusal is the
-    * faithful scope line, not a gap.
+    * `gblinear` → [[LinearBoost.LinearModel]]. Categorical
+    * (partition) splits, `split_type` 1 (XGBoost 1.5+), ingest into
+    * the native forest with stock set-membership routing (stored
+    * category set → right child, invalid codes → left, NaN →
+    * default branch) and survive re-export through the categories
+    * arrays. Multi-target vector leaves are refused loudly — they
+    * postdate the reference's entire API surface (requirements.txt
+    * pins `xgboost <= 0.90`; vector leaves are 2.0+) and have no
+    * single-value scoring semantics here. TreeSHAP/Saabas attribution
+    * on categorical forests is refused loudly (the path-conditioning
+    * walk is numeric-threshold only).
     */
   def importModel(json: String): GraftBoostModel = {
     val root = JsonMethods.parse(json)
@@ -507,9 +528,15 @@ object XgbJson {
         val lin = new LinearModel(
           org.apache.spark.ml.util.Identifiable.randomUID("xgbjson"),
           w.init, w.last, base, objective)
+        // stock gblinear serving scores a missing (NaN) entry as zero
+        // contribution (the sparse dot product simply skips it) — map
+        // NaN → 0.0 at assemble time so ingested documents score NaN
+        // rows exactly like stock instead of erroring in the assembler
         GraftBoostModel(lin, featureNames, objective,
           if (objective == "binary:logistic") 2 else 0,
-          Map.empty, imputation = None, missingStrategy = "impute")
+          Map.empty,
+          imputation = Some((Double.NaN, featureNames.map(_ -> 0.0).toMap)),
+          missingStrategy = "impute")
 
       case "gbtree" | "dart" =>
         val gbModel = learner \ "gradient_booster" \ "model"
@@ -599,18 +626,51 @@ object XgbJson {
       statsAbsent: Boolean,
       dropWeight: Double
   ): SparseTree = {
-    (tj \ "split_type") match {
-      case JArray(st) if st.exists {
-        case JInt(x) => x != 0; case _ => false
-      } => throw new IllegalArgumentException(
-        "categorical splits (split_type=1) are not supported")
-      case _ => ()
-    }
     val left = ints(tj \ "left_children")
     val right = ints(tj \ "right_children")
     val cond = doubles(tj \ "split_conditions")
     val idx = ints(tj \ "split_indices")
     val dl = bools(tj \ "default_left")
+    // categorical (partition) splits, split_type=1 (XGBoost 1.5+):
+    // the four categories arrays give each categorical node its
+    // RIGHT-branch category set (stock Decision: in set → right)
+    val splitType = (tj \ "split_type") match {
+      case JArray(_) => ints(tj \ "split_type")
+      case _ => null
+    }
+    val cats: Array[Array[Int]] =
+      if (splitType == null || !splitType.exists(_ != 0)) null
+      else {
+        val catVals = ints(tj \ "categories")
+        val catNodes = ints(tj \ "categories_nodes")
+        val catSegs = ints(tj \ "categories_segments")
+        val catSizes = ints(tj \ "categories_sizes")
+        require(catNodes.length == catSegs.length &&
+          catNodes.length == catSizes.length,
+          s"categorical metadata arrays disagree: ${catNodes.length} nodes, " +
+          s"${catSegs.length} segments, ${catSizes.length} sizes")
+        val arr = new Array[Array[Int]](left.length)
+        var k = 0
+        while (k < catNodes.length) {
+          val node = catNodes(k)
+          require(node >= 0 && node < left.length && splitType(node) == 1,
+            s"categories_nodes[$k] = $node is not a categorical node")
+          require(catSegs(k) >= 0 && catSizes(k) > 0 &&
+            catSegs(k) + catSizes(k) <= catVals.length,
+            s"categories segment [$k] out of bounds")
+          arr(node) = java.util.Arrays.copyOfRange(
+            catVals, catSegs(k), catSegs(k) + catSizes(k))
+          k += 1
+        }
+        var i = 0
+        while (i < left.length) {
+          require((splitType(i) == 1) == (arr(i) != null),
+            s"node $i: split_type ${splitType(i)} without a matching " +
+            "categories entry")
+          i += 1
+        }
+        arr
+      }
     val hess = (tj \ "sum_hessian") match {
       case JArray(_) => doubles(tj \ "sum_hessian")
       case _ => Array.fill(left.length)(0.0)
@@ -632,6 +692,12 @@ object XgbJson {
       if (left(i) < 0) { // leaf: value rides in split_conditions
         feature(i) = -1
         value(i) = cond(i) * dropWeight
+      } else if (cats != null && cats(i) != null) {
+        // categorical node: routing is set membership; the threshold
+        // slot is poisoned so a numeric walk of it can never pass
+        // silently
+        feature(i) = idx(i)
+        thresh(i) = Double.NaN
       } else {
         feature(i) = idx(i)
         // XGBoost's strict `x < c` left == our `x <= nextDown(c)`
@@ -667,6 +733,7 @@ object XgbJson {
     }
     // leaf children stay -1 — both the schema's and the grower's
     // convention (leafOf never dereferences children at a leaf)
-    SparseTree(feature, thresh, left, right, dl, value, hess, lossChanges)
+    SparseTree(feature, thresh, left, right, dl, value, hess, lossChanges,
+      cats)
   }
 }

@@ -759,4 +759,88 @@ class SparseBoostSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](
       base.copy(parallelTreeUpdate = "mean"))
   }
+
+  test("base_margin: warm-started fit continues the source fit exactly") {
+    // the classic boosting-continuation pattern (reference
+    // dmatrix_kwargs surface, core.py:143-147): fit 3 rounds, score
+    // margins, continue 3 more rounds from those margins — must equal
+    // a single 6-round fit. reg:squarederror's identity link makes
+    // prediction == margin, so the stage-1 predictions ARE the
+    // base_margin vector.
+    val df = (0 until 400).map { i =>
+      val x1 = (i % 10).toDouble
+      val x2 = ((i * 3) % 7).toDouble
+      (i.toLong, x1, x2, 2.0 * x1 - x2 + ((i % 5) - 2) * 0.1)
+    }.toDF("id", "x1", "x2", "y")
+    def p(r: Int) = BoostParams("reg:squarederror", numRound = r,
+      maxDepth = 3, eta = 0.3, missing = Some(-999.0),
+      missingStrategy = "native")
+    val full  = GraftBoost.train(df, Seq("x1", "x2"), "y", p(6))
+    val first = GraftBoost.train(df, Seq("x1", "x2"), "y", p(3))
+    val withBm = GraftBoost.predict(first, df)
+      .withColumnRenamed("prediction", "bm")
+    val cont = GraftBoost.train(withBm, Seq("x1", "x2"), "y", p(3),
+      marginCol = Some("bm"))
+
+    val fullP = GraftBoost.predict(full, df)
+      .select("id", "prediction").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val contP = GraftBoost.predict(cont, withBm, marginCol = Some("bm"))
+      .select("id", "prediction").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(fullP.keySet == contP.keySet)
+    val maxDiff = fullP.keys.map(k => math.abs(fullP(k) - contP(k))).max
+    assert(maxDiff < 1e-9,
+      s"warm-started continuation must reproduce the 6-round fit " +
+      s"(max |diff| = $maxDiff)")
+
+    // the continuation model's trees genuinely fit stage-2 residuals:
+    // scored WITHOUT the margin they fall back to the scalar base
+    // (stock: base_score is used only when no base_margin rides along)
+    val standalone = GraftBoost.predict(cont, df)
+      .select("id", "prediction").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(fullP.keys.exists(k => math.abs(standalone(k) - fullP(k)) > 0.1),
+      "standalone scoring must NOT silently include the stage-1 margins")
+
+    // refusals: non-native paths have no margin-initialization hook,
+    // and margin scoring is native-forest-only
+    intercept[IllegalArgumentException] {
+      GraftBoost.train(withBm, Seq("x1", "x2"), "y",
+        BoostParams("reg:squarederror", numRound = 2),
+        marginCol = Some("bm"))
+    }
+    intercept[IllegalArgumentException] {
+      val mlModel = GraftBoost.train(df, Seq("x1", "x2"), "y",
+        BoostParams("reg:squarederror", numRound = 2))
+      GraftBoost.predict(mlModel, withBm, marginCol = Some("bm"))
+    }
+  }
+
+  test("base_margin: binary logistic trains from and scores with per-row margins") {
+    // rows with an informative prior (bm) and a weak feature: the
+    // margin-aware fit must use the prior at BOTH fit and serve time
+    val df = (0 until 400).map { i =>
+      val x = (i % 4).toDouble
+      val prior = if (i % 2 == 0) 2.0 else -2.0
+      val y = if (prior > 0) 1.0 else 0.0
+      (i.toLong, x, prior, y)
+    }.toDF("id", "x", "bm", "y")
+    val m = GraftBoost.train(df, Seq("x"), "y",
+      BoostParams("binary:logistic", numRound = 3, maxDepth = 2,
+        eta = 0.3, missing = Some(-999.0), missingStrategy = "native"),
+      marginCol = Some("bm"))
+    // x alone carries NO signal (labels alternate within each x) —
+    // only the margin separates the classes
+    val acc = GraftBoost.predict(m, df, marginCol = Some("bm"))
+      .select("y", "prediction").collect()
+      .count(r => r.getDouble(0) == r.getDouble(1)) / 400.0
+    assert(acc == 1.0, s"margin-aware binary scoring accuracy $acc")
+    val proba = GraftBoost.predictProba(m, df, marginCol = Some("bm"))
+      .select("bm", "proba").collect()
+    proba.foreach { r =>
+      val p1 = r.getSeq[Double](1)(1)
+      if (r.getDouble(0) > 0) assert(p1 > 0.5) else assert(p1 < 0.5)
+    }
+  }
 }

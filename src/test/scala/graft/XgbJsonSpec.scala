@@ -367,6 +367,131 @@ class XgbJsonSpec extends AnyFunSuite {
     assert(lm.marginOf(Vectors.dense(1.0, 1.0)) == 0.25 + 0.5 + 1.0)
   }
 
+  test("gblinear: ingested document scores NaN entries as zero contribution") {
+    // stock gblinear serving is a sparse dot product — a missing (NaN)
+    // entry simply contributes nothing (ADVICE r10: the old ingest left
+    // imputation=None and the assembler errored on NaN rows instead)
+    val doc = """
+      {"learner":{"attributes":{},
+        "feature_names":["a","b"],"feature_types":["float","float"],
+        "gradient_booster":{"model":{"weights":[2.0,-1.0,0.5]},
+          "name":"gblinear"},
+        "learner_model_param":{"base_score":"0.25","boost_from_average":"1",
+          "num_class":"0","num_feature":"2","num_target":"1"},
+        "objective":{"name":"reg:squarederror"}},
+       "version":[2,0,0]}"""
+    val m = XgbJson.importModel(doc)
+    import spark.implicits._
+    val df = Seq(
+      (1.0, 4.0),               // full row: 0.25 + 0.5 + 2*1 - 1*4
+      (3.0, Double.NaN),         // b missing: 0.25 + 0.5 + 2*3
+      (Double.NaN, Double.NaN)   // all missing: intercept only
+    ).toDF("a", "b")
+    val got = GraftBoost.predict(m, df).select("prediction")
+      .collect().map(_.getDouble(0))
+    assert(got.toSeq == Seq(0.25 + 0.5 + 2.0 - 4.0, 0.25 + 0.5 + 6.0, 0.75))
+
+    // the NaN->0 marker must survive the lossless sink: NaN is not
+    // valid JSON, so ModelIO carries it as the nanMissing flag
+    val path = java.nio.file.Files.createTempDirectory("graft_lin_nan").toString
+    graft.ml.ModelIO.save(spark, m, path)
+    val back = graft.ml.ModelIO.load(spark, path)
+    assert(back.imputation.exists { case (mk, repl) =>
+      mk.isNaN && repl.values.forall(_ == 0.0) })
+    val rt = GraftBoost.predict(back, df).select("prediction")
+      .collect().map(_.getDouble(0))
+    assert(rt.sameElements(got))
+  }
+
+  // ---- categorical (partition) splits ------------------------------
+
+  test("categorical splits ingest with stock set-membership routing") {
+    // hand-built 1.5+-style document: root is categorical on f0 with
+    // RIGHT-branch set {1, 3} (stock common::Decision: category in
+    // the stored set -> right child; invalid/negative -> left; NaN ->
+    // default branch, here left). Leaves: left -1.0, right 2.0;
+    // base_score 0.5 (identity link for reg:squarederror).
+    val doc = """
+      {"learner":{"attributes":{},
+        "feature_names":["f0"],"feature_types":["c"],
+        "gradient_booster":{"model":{
+            "gbtree_model_param":{"num_trees":"1","num_parallel_tree":"1"},
+            "tree_info":[0],
+            "trees":[{
+              "base_weights":[0.1,-1.0,2.0],
+              "categories":[1,3],
+              "categories_nodes":[0],
+              "categories_segments":[0],
+              "categories_sizes":[2],
+              "default_left":[1,0,0],
+              "id":0,
+              "left_children":[1,-1,-1],
+              "right_children":[2,-1,-1],
+              "loss_changes":[5.0,0.0,0.0],
+              "parents":[2147483647,0,0],
+              "split_conditions":[0.0,-1.0,2.0],
+              "split_indices":[0,0,0],
+              "split_type":[1,0,0],
+              "sum_hessian":[10.0,6.0,4.0],
+              "tree_param":{"num_deleted":"0","num_feature":"1",
+                "num_nodes":"3","size_leaf_vector":"1"}}]},
+          "name":"gbtree"},
+        "learner_model_param":{"base_score":"0.5","boost_from_average":"1",
+          "num_class":"0","num_feature":"1","num_target":"1"},
+        "objective":{"name":"reg:squarederror"}},
+       "version":[2,0,0]}"""
+    val m = XgbJson.importModel(doc)
+    val sm = m.model.asInstanceOf[SparseBoost.SparseModel]
+    assert(sm.trees.head.hasCategorical)
+    import spark.implicits._
+    val df = Seq(
+      (1L, 1.0), (2L, 3.0),          // in {1,3} -> right: 0.5 + 2.0
+      (3L, 2.0), (4L, 0.0),          // not in set -> left: 0.5 - 1.0
+      (5L, -1.0),                    // invalid code -> left
+      (6L, Double.NaN),              // missing -> default (left)
+      (7L, 1.5)                      // AsCat truncation -> 1 -> right
+    ).toDF("id", "f0")
+    val expect = Map(1L -> 2.5, 2L -> 2.5, 3L -> -0.5, 4L -> -0.5,
+      5L -> -0.5, 6L -> -0.5, 7L -> 2.5)
+    def score(model: graft.ml.GraftBoost.GraftBoostModel) =
+      GraftBoost.predict(model, df).select("id", "prediction")
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(score(m) == expect)
+
+    // export -> re-import: the categories arrays survive and scoring
+    // is identical (including the NaN/invalid/truncation rows)
+    val reDoc = XgbJson.export(m)
+    assert(reDoc.contains("\"split_type\":[1,0,0]") &&
+      reDoc.contains("\"categories\":[1,3]") &&
+      reDoc.contains("\"categories_nodes\":[0]"),
+      s"re-export must carry the categorical arrays:\n$reDoc")
+    assert(score(XgbJson.importModel(reDoc)) == expect)
+
+    // lossless sink round trip (NaN thresh slots can't ride JSON —
+    // ModelIO rebuilds them from the cats field)
+    val dir = java.nio.file.Files.createTempDirectory("cat_io").toString
+    graft.ml.ModelIO.save(spark, m, dir)
+    val back = graft.ml.ModelIO.load(spark, dir)
+    assert(back.model.asInstanceOf[SparseBoost.SparseModel]
+      .trees.head.hasCategorical)
+    assert(score(back) == expect)
+
+    // get_score rebuild works off categorical nodes too
+    assert(sm.importanceByType("weight").toSeq == Seq(1.0))
+    assert(sm.importanceByType("total_gain").toSeq == Seq(5.0))
+
+    // attribution walks are numeric-threshold only — refuse loudly
+    intercept[IllegalArgumentException] {
+      graft.ml.TreeShap.transform(m, df)
+    }
+    intercept[IllegalArgumentException] {
+      graft.ml.Contributions.transform(m, df)
+    }
+    intercept[IllegalArgumentException] {
+      graft.ml.TreeDump.treesToDataFrame(spark, m)
+    }
+  }
+
   // ---- DART interchange --------------------------------------------
 
   test("dart: a dropout-rescaled forest round-trips through the dart slot") {
@@ -610,6 +735,22 @@ class XgbJsonSpec extends AnyFunSuite {
     df.unpersist()
   }
 
+  test("ModelIO dispatch refuses an unknown model class loudly") {
+    // the load dispatch is suffix-based (MultiSparseModel must match
+    // before its own suffix SparseModel) — an unrecognized class must
+    // fail NAMING the class, never fall through to a wrong arm
+    val dir = java.nio.file.Files.createTempDirectory("modelio_neg")
+    java.nio.file.Files.write(dir.resolve("graft_meta.json"),
+      """{"modelClass":"com.example.MysteryModel","featureCols":["a"],
+         "objective":"reg:squarederror","numClasses":0,
+         "missingStrategy":"impute","imputationMeans":{},
+         "evalsResult":{}}""".getBytes("UTF-8"))
+    val e = intercept[UnsupportedOperationException] {
+      graft.ml.ModelIO.load(spark, dir.toString)
+    }
+    assert(e.getMessage.contains("MysteryModel"))
+  }
+
   test("multiclass truncate: iteration_range on an ingested document") {
     val (m, df) = fitSoftprob()
     val sp = m.model.asInstanceOf[graft.ml.SoftprobBoost.SoftprobModel]
@@ -674,6 +815,12 @@ class XgbJsonSpec extends AnyFunSuite {
     // classifier would otherwise emit floor(margin) as "classes"
     intercept[IllegalArgumentException] {
       new graft.ml.GraftXGBClassifier().loadModel(path)
+    }
+    // ... and the MIRROR: a classification document in the regressor
+    // would emit class ids / thresholded 0/1 where stock's regressor
+    // surface returns continuous values (ADVICE r10)
+    intercept[IllegalArgumentException] {
+      new graft.ml.GraftXGBRegressor().loadModel(pathC)
     }
     val pOrig = clf.predict(dfc).select(col("prediction").cast("double"))
       .collect().map(_.getDouble(0))
