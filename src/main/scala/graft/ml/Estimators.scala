@@ -158,8 +158,14 @@ final class GraftXGBRegressor extends GraftEstimator[GraftXGBRegressor] {
     */
   override def loadModel(path: String): GraftXGBRegressor = {
     super.loadModel(path)
-    model.foreach { m =>
-      require(m.objective != "binary:logistic" && !m.objective.startsWith("multi:"),
+    // clear BEFORE throwing: a caller catching the refusal must not
+    // be left holding exactly the misloaded model the guard exists
+    // to prevent
+    val bad = model.filter(m =>
+      m.objective == "binary:logistic" || m.objective.startsWith("multi:"))
+    bad.foreach { m =>
+      model = None
+      throw new IllegalArgumentException(
         s"document objective '${m.objective}' is a classification " +
         "objective — load it with GraftXGBClassifier")
     }
@@ -195,6 +201,10 @@ final class GraftXGBRegressor extends GraftEstimator[GraftXGBRegressor] {
            .unionByName(v.withColumn("isVal", lit(true))), Some("isVal"))
       case None => (df, None)
     }
+    require(baseMarginCol.isEmpty || evalSets.isEmpty,
+      "eval-set histories score without per-row margins, so a " +
+      "base_margin fit with eval_set would silently mix margin-trained " +
+      "trees with margin-less metrics — drop one of the two")
     model = Some(GraftBoost.train(data, featureCols, labelCol, params,
       weightCol, valCol, marginCol = baseMarginCol))
     if (evalSets.nonEmpty) {
@@ -230,6 +240,10 @@ final class GraftXGBRegressor extends GraftEstimator[GraftXGBRegressor] {
       metric: String = "rmse",
       weightCol: Option[String] = None
   ): GraftXGBRegressor = {
+    require(baseMarginCol.isEmpty,
+      "fitWithEarlyStopping has no per-row base_margin path (the " +
+      "staged metric would score without the margins the trees were " +
+      "fit from) — unset the base margin column or use fit()")
     val params = BoostParams("reg:squarederror", nEstimators, maxDepth,
       learningRate, 1, subsample, missingValue, seed = seed,
       missingStrategy = missingStrat, maxBins = maxBins)
@@ -259,9 +273,13 @@ final class GraftXGBClassifier extends GraftEstimator[GraftXGBClassifier] {
     super.loadModel(path)
     // a regression document in the classifier wrapper would silently
     // emit truncated continuous predictions as "classes" — refuse
-    // loudly and point at the right wrapper
-    model.foreach { m =>
-      require(m.objective == "binary:logistic" || m.objective.startsWith("multi:"),
+    // loudly and point at the right wrapper, clearing the misloaded
+    // model first so a caught refusal leaves nothing scoreable behind
+    val bad = model.filter(m =>
+      m.objective != "binary:logistic" && !m.objective.startsWith("multi:"))
+    bad.foreach { m =>
+      model = None
+      throw new IllegalArgumentException(
         s"document objective '${m.objective}' is not a classification " +
         "objective — load it with GraftXGBRegressor")
     }
@@ -302,6 +320,10 @@ final class GraftXGBClassifier extends GraftEstimator[GraftXGBClassifier] {
            .unionByName(v.withColumn("isVal", lit(true))), Some("isVal"))
       case None => (df, None)
     }
+    require(baseMarginCol.isEmpty || evalSets.isEmpty,
+      "eval-set histories score without per-row margins, so a " +
+      "base_margin fit with eval_set would silently mix margin-trained " +
+      "trees with margin-less metrics — drop one of the two")
     model = Some(GraftBoost.train(data, featureCols, labelCol, params,
       weightCol, valCol, marginCol = baseMarginCol))
     if (evalSets.nonEmpty) {
@@ -383,6 +405,10 @@ final class GraftXGBClassifier extends GraftEstimator[GraftXGBClassifier] {
       metric: String = "auc",
       weightCol: Option[String] = None
   ): GraftXGBClassifier = {
+    require(baseMarginCol.isEmpty,
+      "fitWithEarlyStopping has no per-row base_margin path (the " +
+      "staged metric would score without the margins the trees were " +
+      "fit from) — unset the base margin column or use fit()")
     val inferred = df.select(col(labelCol).cast("double"))
       .distinct().collect().map(_.getDouble(0)).sorted
     classes = Some(inferred)

@@ -9,7 +9,7 @@ import org.apache.spark.ml.functions.vector_to_array
 import org.apache.spark.ml.linalg.Vector
 import org.apache.spark.ml.regression.{GBTRegressionModel, GBTRegressor}
 import org.apache.spark.ml.Model
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Distributed gradient-boosted training/scoring — the Spark-native
@@ -454,6 +454,19 @@ object GraftBoost {
     }.toMap
   }
 
+  /** `base_margin` column with a loud null/NaN guard: the margin
+    * scoring UDFs take a primitive Double, so Spark's null handling
+    * would otherwise short-circuit to silent null predictions (and a
+    * null margin in TRAINING would silently null the gradient chain).
+    */
+  private[ml] def marginColumn(mc: String): Column = {
+    val c = col(mc).cast("double")
+    when(c.isNull || isnan(c),
+      raise_error(lit(s"base_margin column '$mc' contains null/NaN — " +
+        "every row needs a finite margin")))
+      .otherwise(c)
+  }
+
   def assemble(
       df: DataFrame,
       featureCols: Seq[String],
@@ -789,7 +802,7 @@ object GraftBoost {
       val bc = data.sparkSession.sparkContext.broadcast(m)
       val pU = udf((v: Vector, bm: Double) => bc.value.predictOne(v, bm))
       return data
-        .withColumn("prediction", pU(col("features"), col(mc).cast("double")))
+        .withColumn("prediction", pU(col("features"), marginColumn(mc)))
         .drop("features")
     }
     val scored = model.model match {
@@ -836,7 +849,7 @@ object GraftBoost {
         Array(1.0 - p, p)
       })
       return data
-        .withColumn("proba", pU(col("features"), col(mc).cast("double")))
+        .withColumn("proba", pU(col("features"), marginColumn(mc)))
         .drop("features")
     }
     model.model match {

@@ -46,10 +46,11 @@ object ModelIO {
       // stamped on the artifact so a loaded model STATES how it was
       // trained instead of relying on out-of-band docs (VERDICT r4 §8)
       divergences: Seq[String] = Seq.empty,
-      // NaN-marker imputation (ingested gblinear: NaN → 0.0, stock
-      // serving parity). NaN itself is not valid JSON, so the marker
-      // rides as this flag and is rebuilt at load; the replacement map
-      // is fully determined (all zeros).
+      // the imputation MARKER is NaN (ingested gblinear's NaN → 0.0
+      // stock-serving map, or a fit with missing = Some(NaN) under any
+      // strategy). NaN itself is not valid JSON, so the marker rides
+      // as this flag; the replacement map persists normally (finite)
+      // except under "native", where it is rebuilt as NaN pass-through.
       nanMissing: Boolean = false
   )
 
@@ -337,10 +338,11 @@ object ModelIO {
       model.missingStrategy,
       model.imputation.map(_._1).filterNot(_.isNaN),
       // native replacement values are NaN (not valid JSON) and fully
-      // determined by the strategy — rebuilt at load from featureCols;
-      // same for a NaN marker (nanMissing flag, zeros map)
-      if (model.missingStrategy == "native" ||
-          model.imputation.exists(_._1.isNaN)) Map.empty
+      // determined by the strategy — rebuilt at load from featureCols.
+      // A NaN MARKER (nanMissing flag) keeps its replacement map: the
+      // ingested-gblinear case carries zeros, a NaN-marker impute fit
+      // carries its learned means — both finite, both JSON-safe
+      if (model.missingStrategy == "native") Map.empty
       else model.imputation.map(_._2).getOrElse(Map.empty),
       model.evalsResult,
       model.calibration.map(_.map(_._1).toSeq).getOrElse(Seq.empty),
@@ -489,7 +491,14 @@ object ModelIO {
       meta.numClasses,
       meta.evalsResult,
       if (meta.nanMissing)
-        Some((Double.NaN, meta.featureCols.map(_ -> 0.0).toMap))
+        // NaN marker restored with its strategy-appropriate
+        // replacements: native rebuilds the NaN pass-through map,
+        // impute/sentinel keep the persisted (finite) values —
+        // ingested-gblinear zeros and NaN-marker learned means alike
+        Some((Double.NaN,
+          if (meta.missingStrategy == "native")
+            meta.featureCols.map(_ -> Double.NaN).toMap
+          else meta.imputationMeans))
       else meta.imputationMarker.map { m =>
         if (meta.missingStrategy == "native")
           (m, meta.featureCols.map(_ -> Double.NaN).toMap)

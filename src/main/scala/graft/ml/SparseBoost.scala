@@ -978,7 +978,7 @@ object SparseBoost {
       require(rho > 1.0 && rho < 2.0,
         s"tweedie variance power must be in (1, 2), got $rho")
     val keep = Seq(col("features"), col("label")) ++ weightCol.map(col) ++
-      marginCol.map(c => col(c).cast("double").as("graft_bm"))
+      marginCol.map(c => GraftBoost.marginColumn(c).as("graft_bm"))
     val src = data.select(keep: _*)
 
     val numFeat = src.select(col("features")).head().getAs[Vector](0).size

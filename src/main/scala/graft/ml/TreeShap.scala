@@ -388,6 +388,11 @@ object TreeShap {
         s"MultiSparseModel or softprob); got ${m.getClass} — use " +
         "transform for single-target forests")
     }
+    require(!mm.trees.exists(_.hasCategorical),
+      "TreeSHAP on a forest with categorical (set-membership) splits " +
+      "is not supported: the path-conditioning walk is " +
+      "numeric-threshold only — score the model as-is or re-encode " +
+      "the categorical features")
     val clash = Seq("_kv", "bias", "shap").filter(df.columns.contains)
     require(clash.isEmpty,
       s"input already has column(s) ${clash.mkString(", ")} that " +

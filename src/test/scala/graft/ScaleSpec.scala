@@ -586,30 +586,32 @@ class ScaleSpec extends AnyFunSuite {
       .select("id", "y", "prediction").collect()
       .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
 
-    val flat = preds(fit())
-    val savedBs = sys.props.get("graft.partialfold.blockSize")
-    val savedRpt = sys.props.get("graft.train.rowsPerTask")
-    val blocked =
+    // one save/restore helper for BOTH blocked-arm sections: a missed
+    // restore would leak a 1-partition block size into every later
+    // suite in this JVM
+    def withBlockedMerge[A](body: => A): A = {
+      val saved = Seq("graft.partialfold.blockSize", "graft.train.rowsPerTask")
+        .map(k => k -> sys.props.get(k))
       try {
         sys.props("graft.partialfold.blockSize") = "1"
         // 2000 rows / 50 -> fan-out = min(defaultParallelism, 40):
         // >= 4 partitions at any test CPU count, always > blockSize
         sys.props("graft.train.rowsPerTask") = "50"
-        val m1 = preds(fit())
-        val m2 = preds(fit())
-        assert(m1.zip(m2).forall { case (a, b) => a == b },
-          "blocked-merge training must stay bit-deterministic")
-        m1
-      } finally {
-        savedBs match {
-          case Some(v) => sys.props("graft.partialfold.blockSize") = v
-          case None => sys.props -= "graft.partialfold.blockSize"
-        }
-        savedRpt match {
-          case Some(v) => sys.props("graft.train.rowsPerTask") = v
-          case None => sys.props -= "graft.train.rowsPerTask"
-        }
+        body
+      } finally saved.foreach {
+        case (k, Some(v)) => sys.props(k) = v
+        case (k, None) => sys.props -= k
       }
+    }
+
+    val flat = preds(fit())
+    val blocked = withBlockedMerge {
+      val m1 = preds(fit())
+      val m2 = preds(fit())
+      assert(m1.zip(m2).forall { case (a, b) => a == b },
+        "blocked-merge training must stay bit-deterministic")
+      m1
+    }
     // the gate is STRUCTURAL (dominant signal): both merge shapes
     // classify perfectly — the blocked float tree may differ in ulps
     // but must not change any decision
@@ -624,9 +626,7 @@ class ScaleSpec extends AnyFunSuite {
       val x = (i % 17).toDouble
       (i.toLong, x, 3.0 * x + 1.0)
     }.toDF("id", "x", "y")
-    try {
-      sys.props("graft.partialfold.blockSize") = "1"
-      sys.props("graft.train.rowsPerTask") = "50"
+    withBlockedMerge {
       def linFit() = GraftBoost.train(dfl, Seq("x"), "y",
         BoostParams("reg:squarederror", numRound = 80, eta = 0.5,
           booster = "gblinear"))
@@ -639,15 +639,6 @@ class ScaleSpec extends AnyFunSuite {
       val w2 = linFit().model.asInstanceOf[LinearBoost.LinearModel].weights
       assert(w1.sameElements(w2),
         "gblinear blocked-merge training must stay bit-deterministic")
-    } finally {
-      savedBs match {
-        case Some(v) => sys.props("graft.partialfold.blockSize") = v
-        case None => sys.props -= "graft.partialfold.blockSize"
-      }
-      savedRpt match {
-        case Some(v) => sys.props("graft.train.rowsPerTask") = v
-        case None => sys.props -= "graft.train.rowsPerTask"
-      }
     }
   }
 }

@@ -817,6 +817,47 @@ class SparseBoostSpec extends AnyFunSuite {
     }
   }
 
+  test("base_margin: null margins fail loudly, never silent null predictions") {
+    val df = Seq((1.0, 2.0, Some(0.5)), (2.0, 4.0, None))
+      .toDF("x", "y", "bm")
+    val m = GraftBoost.train(df.filter(col("bm").isNotNull), Seq("x"), "y",
+      BoostParams("reg:squarederror", numRound = 1, maxDepth = 1,
+        missing = Some(-999.0), missingStrategy = "native"))
+    val e = intercept[Exception] {
+      GraftBoost.predict(m, df, marginCol = Some("bm")).collect()
+    }
+    def rootMsg(t: Throwable): String =
+      (Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(x => Option(x.getMessage).getOrElse("")).mkString(" | "))
+    assert(rootMsg(e).contains("base_margin"),
+      s"null margin must raise the loud guard, got: ${rootMsg(e).take(300)}")
+  }
+
+  test("base_margin: NaN missing-marker model round-trips the sink faithfully") {
+    // missing = Some(NaN) is stock XGBoost's default marker; the sink's
+    // nanMissing flag must NOT rewrite native NaN pass-through (or
+    // learned impute means) into zeros on reload
+    val df = (0 until 200).map { i =>
+      val x = if (i % 5 == 0) Double.NaN else (i % 10).toDouble
+      (x, if (i % 10 > 4 || (i % 5 == 0 && i % 2 == 0)) 1.0 else 0.0)
+    }.toDF("x", "y")
+    val m = GraftBoost.train(df, Seq("x"), "y",
+      BoostParams("binary:logistic", numRound = 3, maxDepth = 2,
+        missing = Some(Double.NaN), missingStrategy = "native"))
+    val dir = java.nio.file.Files.createTempDirectory("nan_marker_io").toString
+    graft.ml.ModelIO.save(spark, m, dir)
+    val back = graft.ml.ModelIO.load(spark, dir)
+    assert(back.imputation.exists { case (mk, repl) =>
+      mk.isNaN && repl.values.forall(_.isNaN) },
+      "native NaN-marker imputation must reload as NaN pass-through, " +
+      s"got ${back.imputation}")
+    val a = GraftBoost.predict(m, df).select("prediction")
+      .collect().map(_.getDouble(0))
+    val b = GraftBoost.predict(back, df).select("prediction")
+      .collect().map(_.getDouble(0))
+    assert(a.sameElements(b))
+  }
+
   test("base_margin: binary logistic trains from and scores with per-row margins") {
     // rows with an informative prior (bm) and a weak feature: the
     // margin-aware fit must use the prior at BOTH fit and serve time

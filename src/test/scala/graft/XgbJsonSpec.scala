@@ -465,6 +465,8 @@ class XgbJsonSpec extends AnyFunSuite {
       reDoc.contains("\"categories\":[1,3]") &&
       reDoc.contains("\"categories_nodes\":[0]"),
       s"re-export must carry the categorical arrays:\n$reDoc")
+    assert(reDoc.contains("\"feature_types\":[\"c\"]"),
+      "a feature split categorically must re-export as type \"c\"")
     assert(score(XgbJson.importModel(reDoc)) == expect)
 
     // lossless sink round trip (NaN thresh slots can't ride JSON —
@@ -490,6 +492,34 @@ class XgbJsonSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       graft.ml.TreeDump.treesToDataFrame(spark, m)
     }
+    // ... and the MULTICLASS TreeSHAP path refuses too (it builds its
+    // forest context without going through the guarded forestCtx)
+    val mmCat = graft.ml.GraftBoost.GraftBoostModel(
+      new graft.ml.MultiSparse.MultiSparseModel("catmm",
+        Array(sm.trees.head, sm.trees.head), Array(0, 1), 2,
+        0.0, "multi:softprob", SparseBoost.ImportanceAcc.empty),
+      Seq("f0"), "multi:softprob", 2, Map.empty,
+      missingStrategy = "native")
+    intercept[IllegalArgumentException] {
+      graft.ml.TreeShap.transformMulticlass(mmCat, df)
+    }
+  }
+
+  test("cross-wrapper refusal leaves no scoreable model behind") {
+    // a caller catching the load_model refusal must not be able to
+    // predict() with the misloaded document afterwards
+    val t = Tables(spark, sf)
+    val feats = Seq("l_quantity", "l_discount")
+    val df = t.lineitem
+      .withColumn("label", col("l_quantity") * 2.0)
+      .select((feats.map(col) :+ col("label")): _*)
+    val reg = new graft.ml.GraftXGBRegressor().setNEstimators(2)
+    reg.fit(df, feats, "label")
+    val path = java.nio.file.Files.createTempFile("graft_reg", ".json").toString
+    reg.saveModel(path)
+    val clf = new graft.ml.GraftXGBClassifier()
+    intercept[IllegalArgumentException] { clf.loadModel(path) }
+    intercept[IllegalStateException] { clf.predict(df) } // "call fit() first"
   }
 
   // ---- DART interchange --------------------------------------------
