@@ -1712,11 +1712,142 @@ object MLQueries {
     """)
   )
 
+  /** Per-row `base_margin` through the driver gate (reference
+    * `dmatrix_kwargs` surface, `core.py:143-147`): fit 2 rounds, score
+    * margins, continue 2 more rounds warm-started from them. The gates
+    * are STRUCTURAL (CLAUDE.md model-gate rule — no strict compare of
+    * two independently fitted quantities):
+    *  - additivity: margin-aware scoring is marginOf − base + bm BY
+    *    DEFINITION, so (p_warm − bm) − (p_standalone − base) is a few
+    *    float round-offs of the same walk — |·| ≤ 1e-6 holds for any
+    *    forest under any partition layout;
+    *  - monotonicity: continuing squared-error boosting from stage-1
+    *    margins cannot worsen train RMSE (Newton leaves with λ ≥ 0
+    *    shrink residuals region-wise) — gated with 0.1 % slack.
+    *
+    * Scale posture: three small fits on a 1/8 slice (fit cost is the
+    * knob, gates are size-independent identities); scoring is
+    * broadcast-model map-side, no shuffle beyond the final agg.
+    */
+  val mlBaseMargin = GraftQuery(
+    "ml_base_margin_warmstart",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val feats = Seq("l_quantity", "l_discount")
+      val df = t.lineitem
+        .filter(pmod(col("l_orderkey"), lit(8)) === 0)
+        .withColumn("target",
+          col("l_quantity") * 50.0 + col("l_discount") * 500.0)
+        .select((feats.map(col) :+ col("target")): _*)
+        .cache()
+      def p(r: Int) = GraftBoost.BoostParams("reg:squarederror",
+        numRound = r, maxDepth = 3, maxBins = 8, splitProposal = "approx",
+        missing = Some(-999.0), missingStrategy = "native")
+      val stage1 = GraftBoost.train(df, feats, "target", p(2))
+      val withBm = GraftBoost.predict(stage1, df)
+        .withColumnRenamed("prediction", "bm")
+      val cont = GraftBoost.train(withBm, feats, "target", p(2),
+        marginCol = Some("bm"))
+      val base = cont.model.asInstanceOf[SparseBoost.SparseModel].base
+      val warm = GraftBoost.predict(cont, withBm, marginCol = Some("bm"))
+        .withColumnRenamed("prediction", "p_warm")
+      val both = GraftBoost.predict(cont, warm)
+        .withColumnRenamed("prediction", "p_standalone")
+      val stats = both.agg(
+          count(lit(1)).as("n_rows"),
+          max(abs((col("p_warm") - col("bm")) -
+            (col("p_standalone") - lit(base)))).as("add_err"),
+          sqrt(avg(pow(col("p_warm") - col("target"), 2))).as("rmse_warm"),
+          sqrt(avg(pow(col("bm") - col("target"), 2))).as("rmse_stage1"))
+      val out = stats.select(
+        col("n_rows").cast("long").as("n_rows"),
+        (col("add_err") <= 1e-6).as("additivity_ok"),
+        (col("rmse_warm") <= col("rmse_stage1") * 1.001).as("improves_ok"))
+      out.persist().count()
+      df.unpersist()
+      out
+    },
+    Some("""
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+             TRUE AS additivity_ok,
+             TRUE AS improves_ok
+      FROM lineitem WHERE l_orderkey % 8 = 0
+    """)
+  )
+
+  /** Categorical-split ingest through the driver gate: a hand-built
+    * XGBoost 1.5+ document (one categorical root, RIGHT-branch set
+    * {1, 3}) scores a derived integer-code column — including NULL
+    * codes, which the assembler turns into NaN and the forest routes
+    * along default_left. The DuckDB oracle restates the ENTIRE routing
+    * arithmetic independently (`CASE WHEN code IN (1,3)` — NULL falls
+    * to ELSE exactly like the NaN default branch), so the hash compare
+    * pins set-membership polarity, the invalid-code arm and the
+    * missing arm end to end. All values (0.5 + 2.0, 0.5 − 1.0) are
+    * exact binary doubles — no float tolerance needed.
+    */
+  val mlInterchangeCategorical = GraftQuery(
+    "ml_interchange_categorical",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val doc = """
+        {"learner":{"attributes":{},
+          "feature_names":["code"],"feature_types":["c"],
+          "gradient_booster":{"model":{
+              "gbtree_model_param":{"num_trees":"1","num_parallel_tree":"1"},
+              "tree_info":[0],
+              "trees":[{
+                "base_weights":[0.1,-1.0,2.0],
+                "categories":[1,3],
+                "categories_nodes":[0],
+                "categories_segments":[0],
+                "categories_sizes":[2],
+                "default_left":[1,0,0],
+                "id":0,
+                "left_children":[1,-1,-1],
+                "right_children":[2,-1,-1],
+                "loss_changes":[5.0,0.0,0.0],
+                "parents":[2147483647,0,0],
+                "split_conditions":[0.0,-1.0,2.0],
+                "split_indices":[0,0,0],
+                "split_type":[1,0,0],
+                "sum_hessian":[10.0,6.0,4.0],
+                "tree_param":{"num_deleted":"0","num_feature":"1",
+                  "num_nodes":"3","size_leaf_vector":"1"}}]},
+            "name":"gbtree"},
+          "learner_model_param":{"base_score":"0.5","boost_from_average":"1",
+            "num_class":"0","num_feature":"1","num_target":"1"},
+          "objective":{"name":"reg:squarederror"}},
+         "version":[2,0,0]}"""
+      val m = XgbJson.importModel(doc)
+      val df = t.lineitem.select(
+        when(pmod(col("l_suppkey"), lit(11)) === 0, lit(null))
+          .otherwise(pmod(col("l_partkey"), lit(6)))
+          .cast("double").as("code"))
+      val out = GraftBoost.predict(m, df)
+        .groupBy(col("code").cast("long").as("code"))
+        .agg(count(lit(1)).as("n"), min(col("prediction")).as("pred"))
+        .orderBy(col("code"))
+      out.persist().count()
+      out
+    },
+    Some("""
+      SELECT code, CAST(COUNT(*) AS BIGINT) AS n,
+             CASE WHEN code IN (1, 3) THEN 2.5 ELSE -0.5 END AS pred
+      FROM (SELECT CASE WHEN l_suppkey % 11 = 0 THEN NULL
+                        ELSE l_partkey % 6 END AS code
+            FROM lineitem)
+      GROUP BY code
+      ORDER BY code
+    """)
+  )
+
   def all: Seq[GraftQuery] =
     Seq(mlBinary, mlRegression, mlMulticlass, mlCvKfold, mlTextClassifier,
       mlCvRollingOrigin, mlCalibrationBins, mlPermutationImportance,
       mlMulticlassSoftprob, mlQuantile, mlFeatureContribs, mlPoisson,
       mlSparseNative, mlRankPairwise, mlTweedie, mlShapImportance,
       mlShapInteractions, mlRandomForest, mlDartLossguide, mlGblinear,
-      mlModelInterchange, mlInterchangeBoosters)
+      mlModelInterchange, mlInterchangeBoosters, mlBaseMargin,
+      mlInterchangeCategorical)
 }

@@ -175,7 +175,8 @@ object XgbJson {
       learnerDoc(model, wrapped, numClass = 0, sm.base,
         objectiveJson(sm.objective, 0),
         statsAbsent = sm.trees.exists(t => t.gain.length != t.feature.length),
-        dartRescaled = sm.dartRescaled)
+        dartRescaled = sm.dartRescaled,
+        categoricalFeatures = categoricalSlots(sm.trees))
 
     case mm: MultiSparseModel =>
       val maxIdx = mm.trees.iterator.flatMap(_.feature.iterator)
@@ -199,7 +200,8 @@ object XgbJson {
       learnerDoc(model, wrapped, numClass = mm.numClasses, mm.base,
         objectiveJson(mm.objective, mm.numClasses),
         statsAbsent = mm.trees.exists(t => t.gain.length != t.feature.length),
-        dartRescaled = mm.dartFolded)
+        dartRescaled = mm.dartFolded,
+        categoricalFeatures = categoricalSlots(mm.trees))
 
     case sp: SoftprobBoost.SoftprobModel =>
       // round-major flatten: round r emits its K class trees in class
@@ -406,6 +408,17 @@ object XgbJson {
   }
 
   /** Assemble the full learner document around a gradient_booster. */
+  /** Feature slots used by a categorical node anywhere in the forest
+    * — re-exported as feature_type "c" so a stock loader sees the
+    * same type vector it wrote.
+    */
+  private def categoricalSlots(trees: Array[SparseTree]): Set[Int] =
+    trees.iterator.filter(_.hasCategorical).flatMap { t =>
+      t.feature.indices.iterator
+        .filter(i => t.cats(i) != null)
+        .map(t.feature)
+    }.toSet
+
   private def learnerDoc(
       model: GraftBoostModel,
       gradientBooster: JObject,
@@ -414,7 +427,8 @@ object XgbJson {
       objective: JObject,
       statsAbsent: Boolean,
       dartRescaled: Boolean = false,
-      extraDivergence: String = ""
+      extraDivergence: String = "",
+      categoricalFeatures: Set[Int] = Set.empty
   ): String = {
     val objectiveName = (objective \ "name").extract[String]
     val attrs = List(
@@ -433,7 +447,9 @@ object XgbJson {
         "feature_names" -> JArray(
           model.featureCols.map(JString(_): JValue).toList),
         "feature_types" -> JArray(
-          model.featureCols.map(_ => JString("float"): JValue).toList),
+          model.featureCols.indices.map(i =>
+            JString(if (categoricalFeatures(i)) "c" else "float")
+              : JValue).toList),
         "gradient_booster" -> gradientBooster,
         "learner_model_param" -> JObject(
           "base_score" -> JString(

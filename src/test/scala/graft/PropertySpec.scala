@@ -316,4 +316,72 @@ class PropertySpec extends AnyFunSuite {
       assert(rp == pxBlock && rs == sxBlock, s"block mismatch at ($px, $sx)")
     }
   }
+
+  test("categorical SparseTree routing ≡ independent reference interpreter") {
+    // randomized mixed numeric/categorical trees, scored by leafOf and
+    // by a from-scratch interpreter of the STOCK rules (NaN -> default
+    // branch; categorical: negative/invalid -> left, in right-set ->
+    // right; numeric: x <= thresh -> left). Catches polarity or
+    // precedence drift the hand-built-document spec can't enumerate.
+    import graft.ml.SparseBoost.SparseTree
+    val rnd = new scala.util.Random(20260816L)
+    def refWalk(t: SparseTree, x: Array[Double]): Int = {
+      var i = 0
+      while (t.feature(i) >= 0) {
+        val v = x(t.feature(i))
+        i =
+          if (v.isNaN) { if (t.defaultLeft(i)) t.left(i) else t.right(i) }
+          else if (t.cats != null && t.cats(i) != null) {
+            if (v >= 0.0 && t.cats(i).contains(v.toInt)) t.right(i)
+            else t.left(i)
+          }
+          else if (v <= t.thresh(i)) t.left(i) else t.right(i)
+      }
+      i
+    }
+    (1 to 40).foreach { _ =>
+      // full binary tree of depth 3: nodes 0..6 internal, 7..14 leaves
+      val n = 15
+      val feature = new Array[Int](n)
+      val thresh = new Array[Double](n)
+      val left = new Array[Int](n)
+      val right = new Array[Int](n)
+      val dl = new Array[Boolean](n)
+      val value = new Array[Double](n)
+      val cats = new Array[Array[Int]](n)
+      var anyCat = false
+      (0 until 7).foreach { i =>
+        feature(i) = rnd.nextInt(3)
+        left(i) = 2 * i + 1; right(i) = 2 * i + 2
+        dl(i) = rnd.nextBoolean()
+        if (rnd.nextBoolean()) {
+          anyCat = true
+          cats(i) = (0 to 5).filter(_ => rnd.nextBoolean()).toArray match {
+            case a if a.isEmpty => Array(rnd.nextInt(6))
+            case a => a
+          }
+          thresh(i) = Double.NaN
+        } else thresh(i) = rnd.nextInt(7) - 0.5
+      }
+      (7 until 15).foreach { i =>
+        feature(i) = -1; left(i) = -1; right(i) = -1
+        value(i) = rnd.nextDouble()
+      }
+      val t = SparseTree(feature, thresh, left, right, dl, value,
+        Array.fill(n)(1.0), Array.emptyDoubleArray,
+        if (anyCat) cats else null)
+      (1 to 60).foreach { _ =>
+        val x = Array.fill(3)(rnd.nextInt(10) match {
+          case 0 => Double.NaN
+          case 1 => -1.0 - rnd.nextInt(3)
+          case k => (k - 2).toDouble
+        })
+        val got = t.leafOf(org.apache.spark.ml.linalg.Vectors.dense(x))
+        val want = refWalk(t, x)
+        assert(got == want,
+          s"routing mismatch at x=${x.toSeq}: leafOf=$got ref=$want " +
+          s"cats=${Option(t.cats).map(_.map(c => Option(c).map(_.toSeq)).toSeq)}")
+      }
+    }
+  }
 }
