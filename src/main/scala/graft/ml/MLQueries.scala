@@ -1833,7 +1833,8 @@ object MLQueries {
     },
     Some("""
       SELECT code, CAST(COUNT(*) AS BIGINT) AS n,
-             CASE WHEN code IN (1, 3) THEN 2.5 ELSE -0.5 END AS pred
+             CAST(CASE WHEN code IN (1, 3) THEN 2.5 ELSE -0.5 END
+               AS DOUBLE) AS pred
       FROM (SELECT CASE WHEN l_suppkey % 11 = 0 THEN NULL
                         ELSE l_partkey % 6 END AS code
             FROM lineitem)
