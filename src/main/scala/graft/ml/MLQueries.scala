@@ -1744,8 +1744,12 @@ object MLQueries {
         numRound = r, maxDepth = 3, maxBins = 8, splitProposal = "approx",
         missing = Some(-999.0), missingStrategy = "native")
       val stage1 = GraftBoost.train(df, feats, "target", p(2))
+      // pin the margins: the continuation fit and both scoring passes
+      // all read this frame — unpinned, each pass re-runs stage-1's
+      // scoring UDF over the slice
       val withBm = GraftBoost.predict(stage1, df)
         .withColumnRenamed("prediction", "bm")
+        .cache()
       val cont = GraftBoost.train(withBm, feats, "target", p(2),
         marginCol = Some("bm"))
       val base = cont.model.asInstanceOf[SparseBoost.SparseModel].base
@@ -1764,6 +1768,7 @@ object MLQueries {
         (col("add_err") <= 1e-6).as("additivity_ok"),
         (col("rmse_warm") <= col("rmse_stage1") * 1.001).as("improves_ok"))
       out.persist().count()
+      withBm.unpersist()
       df.unpersist()
       out
     },
