@@ -858,6 +858,43 @@ class SparseBoostSpec extends AnyFunSuite {
     assert(a.sameElements(b))
   }
 
+  test("base_margin: log-link warm start takes MARGINS, not predictions") {
+    // reg:gamma predicts exp(margin) — the stock base_margin contract
+    // is MARGIN-scale, so continuation must feed marginOf (log scale),
+    // never the response-scale prediction. The identity: 3+3 rounds
+    // warm-started from stage-1 margins == one 6-round fit.
+    val df = (0 until 300).map { i =>
+      val x = (i % 2).toDouble
+      val y = (if (i % 2 == 0) Seq(1.0, 2.0, 3.0) else Seq(10.0, 20.0, 30.0))(i % 3)
+      (i.toLong, x, y)
+    }.toDF("id", "x", "y")
+    def p(r: Int) = BoostParams("reg:gamma", numRound = r, maxDepth = 1,
+      eta = 0.5)
+    val full  = GraftBoost.train(df, Seq("x"), "y", p(6))
+    val first = GraftBoost.train(df, Seq("x"), "y", p(3))
+    val sm1 = first.model.asInstanceOf[SparseBoost.SparseModel]
+    val bc = spark.sparkContext.broadcast(sm1)
+    // margin column via the model's own margin walk (log scale)
+    val mU = udf((x: Double) =>
+      bc.value.marginOf(org.apache.spark.ml.linalg.Vectors.dense(x)))
+    val withBm = df.withColumn("bm", mU(col("x")))
+    val cont = GraftBoost.train(withBm, Seq("x"), "y", p(3),
+      marginCol = Some("bm"))
+    val fullP = GraftBoost.predict(full, df)
+      .select("id", "prediction").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val contP = GraftBoost.predict(cont, withBm, marginCol = Some("bm"))
+      .select("id", "prediction").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val maxRel = fullP.keys.map(k =>
+      math.abs(fullP(k) - contP(k)) / math.abs(fullP(k))).max
+    assert(maxRel < 1e-9,
+      s"gamma warm-start continuation must reproduce the 6-round fit " +
+      s"(max rel diff $maxRel)")
+    // and the response-scale values ARE exp(margin): positive
+    assert(contP.values.forall(_ > 0.0))
+  }
+
   test("base_margin: binary logistic trains from and scores with per-row margins") {
     // rows with an informative prior (bm) and a weak feature: the
     // margin-aware fit must use the prior at BOTH fit and serve time
