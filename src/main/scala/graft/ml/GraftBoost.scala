@@ -570,15 +570,40 @@ object GraftBoost {
     // training then reads the frame rounds × levels times. Partition
     // contents stay deterministic (sortBeforeRepartition), so the
     // partition-index partial folds keep their bit-stability contract.
+    // Project to EXACTLY the columns training reads before anything is
+    // shuffled or stored: VectorAssembler keeps its raw inputs (and
+    // whatever else rides the frame — text payloads on the text
+    // queries), so an unprojected fan-out shuffles and materializes
+    // the feature bytes twice plus dead columns on every pre-round
+    // pass (guide §2.3 "project before the exchange").
+    val trainCols: Seq[Column] =
+      (Seq("features", "label") ++
+        (weightCol ++ validationCol ++ groupCol ++ marginCol))
+        .distinct.map(col)
     val assembled = assemble(df, featureCols, imputation, keepNaN = native)
       .withColumn("label", col(labelCol).cast("double"))
+      .select(trainCols: _*)
     val trainParts = {
       val n = assembled.count()
       math.min(df.sparkSession.sparkContext.defaultParallelism.toLong,
         math.max(1L, n / TrainRowsPerTask)).toInt
     }
+    // Materialize the (repartitioned, slim) training frame ONCE before
+    // the fit. Without this every pre-round action — the numFeat
+    // head(), the proposeEdges quantile pass, the base-score mean, the
+    // round-0 margin checkpoint, MLlib's own input cache fill —
+    // re-executes the assemble pipeline AND the fan-out shuffle from
+    // the source (3-4 redundant executions per fit; worse when the
+    // source is a single-row-group parquet whose scan is one serial
+    // task). localCheckpoint is eager and freezes the layout one
+    // repartition execution produces, so the partition-index partial
+    // folds see one consistent layout; at cluster scale caching the
+    // training frame across rounds×levels passes is the standard
+    // distributed-boosting posture (XGBoost4J-Spark caches its
+    // converted input the same way).
     val data =
-      if (trainParts > 1) assembled.repartition(trainParts) else assembled
+      (if (trainParts > 1) assembled.repartition(trainParts) else assembled)
+        .localCheckpoint()
 
     if (params.booster == "gblinear") {
       require(!native,

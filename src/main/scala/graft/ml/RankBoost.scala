@@ -14,16 +14,20 @@ import org.apache.spark.sql.functions._
   * (`core.py:164-321` forwards arbitrary `params` to `xgb.train`;
   * group structure rides the DMatrix). A Spark-native restatement:
   *
-  *  1. rows carry (features, relevance label, group id, margin f);
-  *     each round computes RankNet gradients PER GROUP with
-  *     `groupByKey(...).flatMapGroups` — for every in-group pair
-  *     (i, j) with rel_i > rel_j, ρ = σ(−(f_i − f_j)) contributes
-  *     −ρ to g_i, +ρ to g_j and ρ(1−ρ) to both hessians (the exact
-  *     XGBoost pairwise loop). Groups are queries: thousands of
-  *     documents at most, so the in-group O(n²) is bounded and the
-  *     across-group parallelism is the scale axis (one shuffle by
-  *     group id per round; at 100 TB this is the natural
-  *     co-partitioning — group id is the key everywhere),
+  *  1. rows carry (features, relevance label, group id, margin f),
+  *     hash-partitioned and sorted by group id ONCE at fit entry;
+  *     each round computes RankNet gradients PER GROUP with a
+  *     partition-local run-walker over the contiguous groups — for
+  *     every in-group pair (i, j) with rel_i > rel_j,
+  *     ρ = σ(−(f_i − f_j)) contributes −ρ to g_i, +ρ to g_j and
+  *     ρ(1−ρ) to both hessians (the exact XGBoost pairwise loop).
+  *     Groups are queries: thousands of documents at most, so the
+  *     in-group O(n²) is bounded and the across-group parallelism is
+  *     the scale axis. ONE shuffle establishes the group clustering
+  *     for the whole fit — the per-round gradient walk, the margin
+  *     updates (narrow) and the NDCG windows (clustered-distribution
+  *     reuse) all ride it; at 100 TB this is the natural
+  *     co-partitioning — group id is the key everywhere,
   *  2. the gradient frame is localCheckpoint'ed once per round, then
   *     [[SparseBoost.growTree]] fits a histogram tree on it (shared
   *     split-proposal edges, missing-bin routing, monotone/colsample
@@ -82,6 +86,63 @@ object RankBoost {
     *         are ranking scores) plus the per-round TRAIN NDCG@10
     *         history
     */
+  /** RankNet / LambdaMART gradients for ONE group's rows. The rows
+    * are first put in a deterministic in-group order (margin desc,
+    * relevance desc, content-hash tie-break) so the rank positions —
+    * and the float accumulation order — never depend on arrival
+    * order; position i then IS the current rank i+1.
+    */
+  private def pairGradients(
+      groupRows: Array[(Long, Vector, Double, Double)],
+      ndcgWeighted: Boolean
+  ): Iterator[(Vector, Double, Double)] = {
+    val rows = groupRows.sortBy { case (_, v, rel, f) =>
+      (-f, -rel, java.util.Arrays.hashCode(v.toArray))
+    }
+    val n = rows.length
+    val g = new Array[Double](n)
+    val h = new Array[Double](n)
+    val disc = Array.tabulate(n)(i =>
+      1.0 / (math.log(i + 2.0) / math.log(2.0)))
+    val idcg =
+      if (!ndcgWeighted) 1.0
+      else {
+        val sortedRel = rows.map(_._3).sorted(Ordering[Double].reverse)
+        var s = 0.0
+        var i = 0
+        while (i < n) {
+          s += (math.pow(2.0, sortedRel(i)) - 1.0) * disc(i)
+          i += 1
+        }
+        s
+      }
+    var i = 0
+    while (i < n) {
+      var j = i + 1
+      while (j < n) {
+        val (ri, rj) = (rows(i)._3, rows(j)._3)
+        if (ri != rj) {
+          // hi = preferred index, lo = the other
+          val (hiI, loI) = if (ri > rj) (i, j) else (j, i)
+          val w =
+            if (!ndcgWeighted || idcg <= 0.0) 1.0
+            else math.abs(math.pow(2.0, ri) - math.pow(2.0, rj)) *
+              math.abs(disc(i) - disc(j)) / idcg
+          val rho = 1.0 / (1.0 +
+            math.exp(rows(hiI)._4 - rows(loI)._4))
+          g(hiI) -= rho * w
+          g(loI) += rho * w
+          val hess = math.max(rho * (1.0 - rho) * w, 1e-16)
+          h(hiI) += hess
+          h(loI) += hess
+        }
+        j += 1
+      }
+      i += 1
+    }
+    (0 until n).iterator.map(i2 => (rows(i2)._2, g(i2), h(i2)))
+  }
+
   def train(
       data: DataFrame,
       params: GraftBoost.BoostParams
@@ -104,72 +165,50 @@ object RankBoost {
       else params.monotoneConstraints.toArray
     val allowed = Array.fill(numFeat)(true)
 
-    var cur = src.withColumn("f", lit(0.0)).localCheckpoint()
+    // Establish the group partitioning ONCE (guide §2.4 "two
+    // operations keyed the same way can share one exchange"): the
+    // per-round gradient pass needs rows grouped by query id and the
+    // per-round NDCG windows need a clustered-by-group distribution —
+    // hash-partitioning + an in-partition group sort here satisfies
+    // BOTH for every round, where the previous groupByKey (opaque
+    // lambda key — Catalyst cannot see it equals the group column)
+    // re-shuffled the full feature frame every round and meanNdcg
+    // added a second full exchange per round on top.
+    val groupParts = math.max(1, src.rdd.getNumPartitions)
+    var cur = src.withColumn("f", lit(0.0))
+      .repartition(groupParts, col("group"))
+      .sortWithinPartitions(col("group"))
+      .localCheckpoint()
     val roundAccs = new ArrayBuffer[SparseBoost.ImportanceAcc](params.numRound)
     val hist = new ArrayBuffer[Double](params.numRound)
     val forest = new ArrayBuffer[SparseBoost.SparseTree](params.numRound)
 
     val ndcgWeighted = params.objective == "rank:ndcg"
     for (r <- 1 to params.numRound) {
-      // RankNet / LambdaMART gradients, one group at a time.
-      // flatMapGroups keeps the pair loop in primitive arrays; only
-      // (features, g, h) rows leave the group — nothing
-      // group-quadratic is materialized. Under rank:ndcg each pair is
-      // weighted by |ΔNDCG| — the NDCG swap cost at the CURRENT ranks
-      // (Burges' LambdaMART), so top positions dominate the gradient.
+      // RankNet / LambdaMART gradients, one group at a time. Groups
+      // are CONTIGUOUS within each partition (established above and
+      // preserved by the narrow margin updates), so a partition-local
+      // run-walker replaces the per-round shuffle; the pair loop stays
+      // in primitive arrays and only (features, g, h) rows leave the
+      // group — nothing group-quadratic is materialized. Under
+      // rank:ndcg each pair is weighted by |ΔNDCG| — the NDCG swap
+      // cost at the CURRENT ranks (Burges' LambdaMART), so top
+      // positions dominate the gradient.
       val grad = cur.select(col("group"), col("features"), col("label"), col("f"))
         .as[(Long, Vector, Double, Double)]
-        .groupByKey(_._1)
-        .flatMapGroups { (_, it) =>
-          // deterministic in-group order: shuffle arrival order must
-          // not pick the rank positions (margin ties are broken by
-          // content, and float accumulation order is fixed)
-          val rows = it.toArray.sortBy { case (_, v, rel, f) =>
-            (-f, -rel, java.util.Arrays.hashCode(v.toArray))
-          }
-          val n = rows.length
-          val g = new Array[Double](n)
-          val h = new Array[Double](n)
-          // after the sort above, position i IS the current rank i+1
-          val disc = Array.tabulate(n)(i =>
-            1.0 / (math.log(i + 2.0) / math.log(2.0)))
-          val idcg =
-            if (!ndcgWeighted) 1.0
-            else {
-              val sortedRel = rows.map(_._3).sorted(Ordering[Double].reverse)
-              var s = 0.0
-              var i = 0
-              while (i < n) {
-                s += (math.pow(2.0, sortedRel(i)) - 1.0) * disc(i)
-                i += 1
-              }
-              s
+        .mapPartitions { (it: Iterator[(Long, Vector, Double, Double)]) =>
+          val in = it.buffered
+          val perGroup = new Iterator[Iterator[(Vector, Double, Double)]] {
+            def hasNext: Boolean = in.hasNext
+            def next(): Iterator[(Vector, Double, Double)] = {
+              val gId = in.head._1
+              val groupRows = ArrayBuffer.empty[(Long, Vector, Double, Double)]
+              while (in.hasNext && in.head._1 == gId)
+                groupRows += in.next()
+              pairGradients(groupRows.toArray, ndcgWeighted)
             }
-          var i = 0
-          while (i < n) {
-            var j = i + 1
-            while (j < n) {
-              val (ri, rj) = (rows(i)._3, rows(j)._3)
-              if (ri != rj) {
-                // hi = preferred index, lo = the other
-                val (hiI, loI) = if (ri > rj) (i, j) else (j, i)
-                val w =
-                  if (!ndcgWeighted || idcg <= 0.0) 1.0
-                  else math.abs(math.pow(2.0, ri) - math.pow(2.0, rj)) *
-                    math.abs(disc(i) - disc(j)) / idcg
-                val rho = 1.0 / (1.0 +
-                  math.exp(rows(hiI)._4 - rows(loI)._4))
-                g(hiI) -= rho * w
-                g(loI) += rho * w
-                val hess = math.max(rho * (1.0 - rho) * w, 1e-16)
-                h(hiI) += hess
-                h(loI) += hess
-              }
-              j += 1
-            }
-            i += 1
           }
-          (0 until n).iterator.map(i2 => (rows(i2)._2, g(i2), h(i2)))
+          perGroup.flatten
         }
         .toDF("features", "g", "h")
         .localCheckpoint()
