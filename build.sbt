@@ -27,4 +27,9 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // Ephemeral JVM state (Spark local dirs, temp stream checkpoints)
+  // goes to the fastest local storage available — override to test
+  // alternate placements. Purely harness-level: durable checkpoints
+  // in a deployment name their own location.
+  s"-Djava.io.tmpdir=${sys.env.getOrElse("GRAFT_TMPDIR", "/tmp")}",
 )

@@ -41,9 +41,20 @@ object Bench {
       if (!SharedBuilds.isShared(df)) df.unpersist(false)
     }
 
-    // JIT/codegen warmup on the smallest SF (not measured)
+    // JIT/codegen warmup on the smallest SF (not measured). The set
+    // covers one representative of each heavy kernel class so the
+    // first MEASURED row of a family doesn't absorb its JIT: scan+agg
+    // (q01), broadcast join (q02), window (q07), text kernels
+    // (text_quality), shingle/minhash + the shared-build machinery
+    // (dedup_minhash_lsh), the co-purchase graph build
+    // (graph_degree_stats), streaming replay machinery
+    // (stream_hourly_agg), and the native sparse boosting loop
+    // (ml_sparse_native_missing) — the r12 sweep-start bench_diff
+    // flags were exactly the families this list did not touch.
     val warmup = Seq("q01_pricing_summary", "q02_revenue_by_nation",
-      "q07_window_topk_per_order", "text_quality")
+      "q07_window_topk_per_order", "text_quality",
+      "dedup_minhash_lsh", "graph_degree_stats",
+      "stream_hourly_agg", "ml_sparse_native_missing")
     warmup.foreach { q =>
       try materialize(q, "/root/testdata/sf0.001")
       catch { case _: Throwable => () }

@@ -81,7 +81,9 @@ object EventsStream {
     * scale this knob goes UP — thousands of partitions for billions
     * of keys; here it is sized to the test corpus' keyspace.
     */
-  val StatePartitions = 8
+  def StatePartitions: Int =
+    sys.props.get("graft.stream.stateParts")
+      .orElse(sys.env.get("GRAFT_STATE_PARTS")).map(_.toInt).getOrElse(8)
 
   private def runToTable(df: DataFrame, mode: OutputMode): DataFrame = {
     val name = "graft_sink_" + UUID.randomUUID().toString.replace("-", "")
