@@ -98,16 +98,55 @@ object SharedBuilds {
 
   /** Force every memoized shared frame for (session, dir). Safe to
     * call repeatedly — memo hits are no-ops.
+    *
+    * The five dependency chains are INDEPENDENT (separate memo locks,
+    * disjoint inputs), so they run overlapped from a small thread pool
+    * (optimization guide §2.6 "overlap independent jobs"): Spark's
+    * FIFO scheduler back-fills the tail of one chain's stages with the
+    * next chain's tasks instead of leaving most cores idle while each
+    * build's final single-partition stages drain. Results are
+    * unchanged — each chain's jobs are deterministic and no build
+    * mutates session state; only the wall-clock of the `_shared_build`
+    * bench row shrinks. Within a chain order still matters
+    * (jaccardClusters reads jaccardPairs, the unweighted co-purchase
+    * graph derives from the weighted one, the per-source KL rollup
+    * reads scoredDocs) — each chain keeps its sequential build order.
     */
   def buildAll(s: SparkSession, dir: String): Unit = {
-    operators.Dedup.jaccardPairsShared(s, dir, operators.Dedup.MaxShingleDf)
-    operators.Dedup.jaccardClustersShared(s, dir, operators.Dedup.MaxShingleDf)
-    operators.Dedup.cosinePairsShared(s, dir, operators.Dedup.CosineThreshold)
-    operators.Graph.copurchaseGraphShared(s, dir)
-    operators.Graph.copurchaseWeightedShared(s, dir)
-    operators.TextAnalysis.bm25RankedShared(s, dir)
-    operators.TextAnalysis.scoredDocsShared(s, dir)
-    operators.TextAnalysis.perSourceExcessKlShared(s, dir)
+    val chains: Seq[() => Unit] = Seq(
+      () => {
+        operators.Dedup.jaccardPairsShared(s, dir, operators.Dedup.MaxShingleDf)
+        operators.Dedup.jaccardClustersShared(s, dir, operators.Dedup.MaxShingleDf)
+        ()
+      },
+      () => { operators.Dedup.cosinePairsShared(s, dir, operators.Dedup.CosineThreshold); () },
+      () => {
+        operators.Graph.copurchaseWeightedShared(s, dir)
+        operators.Graph.copurchaseGraphShared(s, dir)
+        ()
+      },
+      () => { operators.TextAnalysis.bm25RankedShared(s, dir); () },
+      () => {
+        operators.TextAnalysis.scoredDocsShared(s, dir)
+        operators.TextAnalysis.perSourceExcessKlShared(s, dir)
+        ()
+      }
+    )
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(chains.length)
+    try {
+      val futures = chains.map(c => pool.submit(new java.util.concurrent.Callable[Unit] {
+        def call(): Unit = c()
+      }))
+      // get() rethrows any chain's failure (unwrapped below) — a
+      // failed build must fail buildAll exactly as it did sequentially
+      futures.foreach { f =>
+        try f.get()
+        catch {
+          case e: java.util.concurrent.ExecutionException =>
+            throw Option(e.getCause).getOrElse(e)
+        }
+      }
+    } finally pool.shutdown()
   }
 
   /** Drop every memoized shared frame (unpersisting live entries) so
