@@ -584,6 +584,7 @@ object GraftBoost {
       .withColumn("label", col(labelCol).cast("double"))
       .select(trainCols: _*)
     val trainParts = {
+      df.sparkSession.sparkContext.setJobDescription("boost: input count")
       val n = assembled.count()
       math.min(df.sparkSession.sparkContext.defaultParallelism.toLong,
         math.max(1L, n / TrainRowsPerTask)).toInt
@@ -601,9 +602,11 @@ object GraftBoost {
     // training frame across rounds×levels passes is the standard
     // distributed-boosting posture (XGBoost4J-Spark caches its
     // converted input the same way).
+    df.sparkSession.sparkContext.setJobDescription("boost: train materialize")
     val data =
       (if (trainParts > 1) assembled.repartition(trainParts) else assembled)
         .localCheckpoint()
+    df.sparkSession.sparkContext.setJobDescription(null)
 
     if (params.booster == "gblinear") {
       require(!native,

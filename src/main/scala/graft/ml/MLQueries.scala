@@ -36,6 +36,7 @@ object MLQueries {
     val df = t.lineitem
       .withColumn("label", (col("l_returnflag") === "R").cast("double"))
       .select((feats.map(col) :+ col("label")): _*)
+      .transform(fanOut)
       .cache()
     val model = GraftBoost.train(df, feats, "label",
       GraftBoost.BoostParams("binary:logistic", numRound = 10, maxDepth = 3,
@@ -98,6 +99,7 @@ object MLQueries {
         col("l_quantity") * 100.0 + col("l_discount") * 1000.0 +
           col("l_tax") * 500.0 + col("l_extendedprice") * 0.001)
       .select((feats.map(col) :+ col("target")): _*)
+      .transform(fanOut)
       .cache()
     val reg = new GraftXGBRegressor()
       .setNEstimators(10).setMaxDepth(3).setLearningRate(0.3).setMaxBins(16)
@@ -219,6 +221,7 @@ object MLQueries {
       .withColumn("target",
         col("l_quantity") * 100.0 + col("l_extendedprice") * 0.001)
       .select((feats.map(col) :+ col("target")): _*)
+      .transform(fanOut)
       .cache()
     // subsample = 0.2 (XGBoost stochastic boosting): each round is
     // an INDEPENDENT tree fit + exact leaf-percentile pass (unlike
@@ -296,6 +299,7 @@ object MLQueries {
         .select((feats.map(col) :+
           (col("l_quantity") * 100.0 + col("l_discount") * 10.0 +
             col("l_tax")).as("target")): _*)
+        .transform(fanOut)
         .cache()
       val m = GraftBoost.train(df, feats, "target",
         GraftBoost.BoostParams("reg:squarederror", numRound = 5,
@@ -727,6 +731,7 @@ object MLQueries {
             col("l_orderkey") * 8L + col("l_linenumber")) * 4294967296L +
             (col("l_orderkey") * 8L + col("l_linenumber")) % 4294967296L)
         .select((feats.map(col) :+ col("label") :+ col("rk")): _*)
+        .transform(fanOut)
         .cache()
       val model = GraftBoost.train(keyed, feats, "label",
         GraftBoost.BoostParams("binary:logistic", numRound = 10, maxDepth = 3,
@@ -869,6 +874,7 @@ object MLQueries {
             .otherwise(col("l_discount")))
         .withColumn("is_missing", pmod(col("l_partkey"), lit(7)) === 0)
         .select((feats.map(col) :+ col("label") :+ col("is_missing")): _*)
+        .transform(fanOut)
         .cache()
       val model = GraftBoost.train(df, feats, "label",
         GraftBoost.BoostParams("binary:logistic", numRound = 6, maxDepth = 3,
@@ -932,6 +938,7 @@ object MLQueries {
             .cast("double"))
         .withColumn("group", col("l_orderkey").cast("long"))
         .select((feats.map(col) :+ col("label") :+ col("group")): _*)
+        .transform(fanOut)
         .cache()
       val model = GraftBoost.train(df, feats, "label",
         GraftBoost.BoostParams("rank:pairwise", numRound = 4, maxDepth = 3,
@@ -995,6 +1002,7 @@ object MLQueries {
           col("l_quantity") * (col("l_discount") - 0.04) * 100.0)
           .otherwise(lit(0.0)))
       .select((feats.map(col) :+ col("label")): _*)
+      .transform(fanOut)
       .cache()
     val model = GraftBoost.train(df, feats, "label",
       GraftBoost.BoostParams("reg:tweedie", numRound = 6, maxDepth = 3,
@@ -1072,6 +1080,7 @@ object MLQueries {
             .otherwise(col("l_discount")))
         .withColumn("is_missing", pmod(col("l_partkey"), lit(9)) === 0)
         .select((feats.map(col) :+ col("target") :+ col("is_missing")): _*)
+        .transform(fanOut)
         .cache()
       // 2 rounds / 8 GK-sketch bins: the attribution identities the
       // gates pin are forest-shape-independent, so the smallest fit
@@ -1188,6 +1197,7 @@ object MLQueries {
           col("l_quantity") * 100.0 + col("l_discount") * 1000.0 +
             col("l_tax") * 500.0)
         .select((feats.map(col) :+ col("target")): _*)
+        .transform(fanOut)
         .cache()
       // native sparse loop (exact TreeSHAP needs its per-node cover);
       // the -999 marker never occurs in this projection. Depth 2
@@ -1286,6 +1296,7 @@ object MLQueries {
         .withColumn("target",
           col("l_quantity") * 100.0 + col("l_discount") * 2000.0)
         .select((feats.map(col) :+ col("target")): _*)
+        .transform(fanOut)
         .cache()
       val T = RfParallelTrees
       val params = GraftBoost.BoostParams("reg:squarederror", numRound = 1,
@@ -1365,6 +1376,7 @@ object MLQueries {
         .withColumn("target",
           col("l_quantity") * 100.0 + col("l_discount") * 2000.0)
         .select((feats.map(col) :+ col("target")): _*)
+        .transform(fanOut)
         .cache()
       val model = GraftBoost.train(df, feats, "target",
         GraftBoost.BoostParams("reg:squarederror", numRound = 3, maxDepth = 6,
@@ -1418,6 +1430,7 @@ object MLQueries {
           col("l_quantity") * truth(0) + col("l_discount") * truth(1) +
             col("l_tax") * truth(2))
         .select((feats.map(col) :+ col("target")): _*)
+        .transform(fanOut)
         .cache()
       val model = GraftBoost.train(df, feats, "target",
         // eta = 1 (undamped Jacobi) is stable here: the three
@@ -1448,6 +1461,7 @@ object MLQueries {
         .withColumn("n2", pmod(col("l_suppkey"), lit(5)).cast("double"))
         .select(col("l_quantity"), col("l_discount"), col("n1"), col("n2"),
           col("target"))
+        .transform(fanOut)
         .cache()
       val selFeats = Seq("l_quantity", "l_discount", "n1", "n2")
       def selFit(fs: String, rounds: Int = 6) =
@@ -1535,6 +1549,7 @@ object MLQueries {
           col("l_quantity") * 100.0 + col("l_discount") * 1000.0 +
             col("l_tax") * 500.0)
         .select((feats.map(col) :+ col("target")): _*)
+        .transform(fanOut)
         .cache()
       val m = GraftBoost.train(df, feats, "target",
         GraftBoost.BoostParams("reg:squarederror", numRound = 3,
@@ -1621,6 +1636,7 @@ object MLQueries {
         .withColumn("target",
           col("l_quantity") * 100.0 + col("l_discount") * 1000.0)
         .select((feats.map(col) :+ col("cls") :+ col("target")): _*)
+        .transform(fanOut)
         .cache()
 
       // 1. multiclass softprob: one joint fit, export → ingest, then
@@ -1739,6 +1755,7 @@ object MLQueries {
         .withColumn("target",
           col("l_quantity") * 50.0 + col("l_discount") * 500.0)
         .select((feats.map(col) :+ col("target")): _*)
+        .transform(fanOut)
         .cache()
       def p(r: Int) = GraftBoost.BoostParams("reg:squarederror",
         numRound = r, maxDepth = 3, maxBins = 8, splitProposal = "approx",

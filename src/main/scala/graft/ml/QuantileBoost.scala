@@ -176,7 +176,9 @@ object QuantileBoost {
     val keep = Seq(col("features"), col("label")) ++ weightCol.map(col)
     val src = data.select(keep: _*)
 
+    spark.sparkContext.setJobDescription("boost: base-quantile")
     val base = src.select(percentile(col("label"), lit(alpha))).head().getDouble(0)
+    spark.sparkContext.setJobDescription("boost: init-margin")
     var cur = src.withColumn("f", lit(base)).localCheckpoint()
 
     val hist = new ArrayBuffer[Double](params.numRound)
@@ -196,15 +198,28 @@ object QuantileBoost {
         .setMinInstancesPerNode(params.minChildWeight)
         .setSeed(params.seed + 131L * r)
       weightCol.foreach(dt.setWeightCol)
+      spark.sparkContext.setJobDescription(s"boost: r$r grow")
       val fitted = dt.fit(fitBase.withColumn("g", g))
+      spark.sparkContext.setJobDescription(s"boost: r$r gamma")
       val skeleton = flatten(fitted.rootNode)
 
       // line search: γ_leaf = exact α-quantile of residuals in leaf
-      // (over the same round sample the tree saw)
+      // (over the same round sample the tree saw). The exact
+      // percentile's value multiset per leaf is partition-order-free,
+      // so the final merges can run one-leaf-per-task: the explicit
+      // keyed repartition stops AQE from coalescing this small shuffle
+      // back onto ONE reducer (the same serial-merge fix as
+      // SparseBoost.proposeEdges; ×4 oversampling against hash
+      // collisions).
       val bcSkel = spark.sparkContext.broadcast(skeleton)
       val leafU = udf((v: Vector) => bcSkel.value.leafOf(v))
+      val nLeaves = skeleton.leafIds.length
+      val leafParts = math.max(1, math.min(
+        spark.sparkContext.defaultParallelism, nLeaves * 4))
       val gammas = fitBase
-        .groupBy(leafU(col("features")).as("leaf"))
+        .withColumn("leaf", leafU(col("features")))
+        .repartition(leafParts, col("leaf"))
+        .groupBy(col("leaf"))
         .agg(percentile(col("label") - col("f"), lit(alpha)).as("gamma"))
         .collect()
         .map(row => row.getInt(0) -> row.getDouble(1))
@@ -215,9 +230,12 @@ object QuantileBoost {
       val bcTree = spark.sparkContext.broadcast(tree)
       val eta = params.eta
       val upd = udf((v: Vector, f: Double) => f + eta * bcTree.value.gammaOf(v))
+      spark.sparkContext.setJobDescription(s"boost: r$r margin-update")
       cur = cur.withColumn("f", upd(col("features"), col("f"))).localCheckpoint()
+      spark.sparkContext.setJobDescription(s"boost: r$r loss")
       hist += pinball(cur, alpha)
     }
+    spark.sparkContext.setJobDescription(null)
     (new QuantileModel(s"quantile_${params.seed}_$alpha", forest.toArray,
       base, params.eta, alpha), hist.toArray)
   }

@@ -203,7 +203,15 @@ object SoftprobBoost {
       // shared by all K class trees
       val fitBase = GraftBoost.roundSample(scored, params.subsample,
         params.seed + 31L * r)
-      val roundTrees = (0 until K).map { k =>
+      // The K class fits of a round are INDEPENDENT given the round's
+      // margins (each reads only its own gradient columns), so they
+      // run overlapped from a small thread pool (optimization guide
+      // §2.6 "overlap independent jobs"): each MLlib tree fit is a
+      // chain of short driver-bound jobs whose stage tails otherwise
+      // leave the cores idle K times per round. Each fit is a
+      // deterministic function of (data, seed) alone — results are
+      // identical to the sequential loop, collected by class index.
+      val fitOne = (k: Int) => {
         val pk = element_at(col("p"), k + 1)
         val yk = when(col("label") === k.toDouble, lit(1.0)).otherwise(lit(0.0))
         val h0 = greatest(pk * (lit(1.0) - pk), lit(HessFloor))
@@ -215,7 +223,27 @@ object SoftprobBoost {
           .setMinInstancesPerNode(params.minChildWeight)
           .setSeed(params.seed + 31L * r + k)
           .fit(fitBase.withColumn("z", z).withColumn("h", h))
-      }.toArray
+      }
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(K)
+      val roundTrees =
+        try {
+          val futures = (0 until K).map { k =>
+            pool.submit(new java.util.concurrent.Callable[
+                org.apache.spark.ml.regression.DecisionTreeRegressionModel] {
+              def call() = {
+                spark.sparkContext.setJobDescription(s"boost: r$r class-$k grow")
+                fitOne(k)
+              }
+            })
+          }
+          futures.map { f =>
+            try f.get()
+            catch {
+              case e: java.util.concurrent.ExecutionException =>
+                throw Option(e.getCause).getOrElse(e)
+            }
+          }.toArray
+        } finally pool.shutdown()
       forest += roundTrees
       val bc = spark.sparkContext.broadcast(roundTrees)
       val eta = params.eta
