@@ -168,7 +168,15 @@ object Temporal {
     "q36_gapfill_resample",
     (s, dir) => {
       val t = Tables(s, dir)
+      // pin ONE user_id exchange for the whole chain: hash(user_id)
+      // satisfies the hourly agg, the span agg, the grid⋈hourly join
+      // and the fill window (ClusteredDistribution subsets), so the
+      // per-user grid explode and window run on 32 tasks instead of
+      // the single AQE-coalesced partition the small agg shuffle
+      // otherwise collapses to (two ~1.5 s serial jobs at sf0.1)
       val hourly = t.events
+        .select(col("user_id"), col("ts"), col("value"))
+        .repartition(s.sparkContext.defaultParallelism, col("user_id"))
         .groupBy(col("user_id"), date_trunc("hour", col("ts")).as("hour"))
         .agg(sumDec(col("value")).as("hour_value"))
       val grid = hourly
